@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Catalog, DataCatalog, Q}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * The catalog lives in graft.queries.{Catalog, DataCatalog}; every entry
+  * pairs a Spark DataFrame builder with (where SQL-expressible) the
+  * equivalent DuckDB oracle query. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val all: Seq[(String, Q)] = Catalog.entries ++ DataCatalog.entries
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the J1 many-way assembly join (SURVEY §2.3 J1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Catalog.j1.build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (name, q) => name -> q.build }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    all.collect { case (name, Q(_, Some(sql))) => name -> sql }.toMap
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.FloatDotProduct
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, an IVF-style
+  * cell-restricted variant as the scale path, and cosine near-dup pairs.
+  *
+  * Numeric contract: dot products are a strict left fold in DOUBLE — the
+  * codegen'd FloatDotProduct expression — so the DuckDB oracle
+  * (list_reduce over double-cast lists) reproduces values bit-for-bit.
+  *
+  * Scale design:
+  *  - Norms are computed ONCE per vector before the pair join (not per
+  *    pair): O(N) instead of O(N·M) norm work.
+  *  - Brute-force is O(Q×N) with the corpus side broadcast when small /
+  *    block-nested when not; IVF restricts candidates to the query's
+  *    coarse cell (`label` stands in for a learned coarse quantizer),
+  *    turning the cross product into an equi-join on cell id.
+  *  - Top-k is a windowed row_number; the shuffle sort does per-query
+  *    partial top-k map-side.
+  */
+object Similarity {
+
+  /** Codegen'd strict-left-fold double dot product (graft.plans). */
+  def dot(a: Column, b: Column): Column = FloatDotProduct.dot(a, b)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def withNorm(df: DataFrame, id: String, v: String, n: String): DataFrame =
+    df.withColumn(n, sqrt(dot(col(v), col(v))))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("cos").as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Exact top-k neighbors by cosine for the given query rows.
+    * Ties broken by ascending neighbor id (deterministic). */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")), "query_id", "qv", "qn")
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv")), "neighbor_id", "cv", "cn")
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** IVF-style ANN: candidates restricted to the query's coarse cell. */
+  def topKIvf(vectors: DataFrame, cellCol: String, k: Int): DataFrame = {
+    val q = withNorm(vectors.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col(cellCol).as("cell")), "query_id", "qv", "qn")
+    val c = withNorm(vectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col(cellCol).as("cell")), "neighbor_id", "cv", "cn")
+    val scored = q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b) with cosine ≥
+    * threshold, blocked by coarse cell to avoid the full cross product. */
+  def nearDupPairs(vectors: DataFrame, cellCol: String, threshold: Double): DataFrame = {
+    val a = withNorm(vectors.select(col("vec_id").as("id_a"),
+      col("embedding").as("va"), col(cellCol).as("cell")), "id_a", "va", "na")
+    val b = withNorm(vectors.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col(cellCol).as("cell")), "id_b", "vb", "nb")
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Text-analysis operators for training-data curation over the `documents`
+  * table: tokenization, token counting, quality scoring, language-ID
+  * heuristic, and document fingerprinting. All are pure column expressions
+  * (whole-stage codegen, no UDFs) so they run at full scan speed — at
+  * 100 TB these are embarrassingly parallel map-side ops with zero shuffle.
+  */
+object TextOps {
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-language marker words for the n-gram/heuristic language-ID op.
+    * Deterministic precedence on ties: listed order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("的", "是", "了"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Token counts: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation). */
+  def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      size(F.tokens(text)).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+
+  /** Quality scoring: length, word stats, stopword ratio, composite score.
+    * Mirrors the length/punct/stopword-ratio heuristics used by public
+    * pretraining-data pipelines (C4/Gopher-style rules). */
+  def quality(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // Ratios stay as raw doubles: int/int division is bit-identical across
+    // engines, while round() diverges on half-way boundary values.
+    val toks = F.tokens(text)
+    val nChars = length(text).cast("long")
+    val nWords = size(toks).cast("long")
+    val stopRatio = countIn(toks, StopWords).cast("double") / nWords
+    val avgLen = nChars.cast("double") / nWords
+    val score =
+      least(lit(1.0), nWords.cast("double") / 50) * lit(0.5) +
+        least(lit(1.0), stopRatio * 5) * lit(0.3) +
+        when(avgLen.between(3.0, 10.0), lit(0.2)).otherwise(lit(0.0))
+    df.select(id.as("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+      avgLen.as("avg_word_len"), stopRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** Heuristic language ID: count per-language marker tokens, pick the
+    * max with deterministic precedence (LangMarkers order); all-zero →
+    * "und". */
+  def langId(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = F.tokens(lower(text))
+    val scores = LangMarkers.map { case (lang, ws) => lang -> countIn(toks, ws) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    // foldRight gives the FIRST matching language precedence (en before es…)
+    val first = scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(els)
+    }
+    df.select(id.as("doc_id"), first.as("lang_pred"))
+  }
+
+  /** Document fingerprint: position-weighted polynomial hash of tokens,
+    * portable to the DuckDB oracle (sum over tokens of
+    * (portableHash60(tok) mod 1000003) * position, as a long). Native
+    * per-row expression — the HOF formulation interpreted an md5 call
+    * per element. */
+  def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      graft.plans.TextHashExprs.tokenFingerprint(text).as("fingerprint"))
+}

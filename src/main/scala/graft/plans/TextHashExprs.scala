@@ -1,0 +1,178 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row native implementations of the token-hash pipelines (MinHash
+  * signatures, SimHash, shingle-set Jaccard).
+  *
+  * The composable formulations (explode → md5 per shingle-row → groupBy
+  * with 16/32 aggregates) are correct but shuffle one row per
+  * token/shingle and interpret scalar lambdas per element; these
+  * expressions do the whole per-document computation in one `eval` with
+  * zero shuffle, which is the shape that survives 100 TB: signatures are
+  * a pure map over the corpus, and only candidate pairs (orders of
+  * magnitude fewer) ever move.
+  *
+  * Numeric contract shared with graft.functions.F.portableHash60 and the
+  * DuckDB oracle: h(seed, s) = first 15 hex chars of md5("seed|s") as a
+  * 60-bit long — computed here as (first 8 md5 bytes as big-endian
+  * long) >>> 4, which is exactly the 15-hex-char prefix value.
+  */
+object TextHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def hash60(seed: Int, s: String): Long = {
+    val d = md.get()
+    d.reset()
+    val bytes = d.digest((seed.toString + "|" + s).getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def tokens(text: String): Array[String] = text.trim.split("\\s+")
+
+  /** Word n-gram shingles (multiset, in document order). */
+  def shingles(text: String, n: Int): Array[String] = {
+    val toks = tokens(text)
+    if (toks.length < n) Array.empty
+    else {
+      val out = new Array[String](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(i + k)); k += 1 }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+  }
+}
+
+/** array<long> of `numHashes` MinHash values over word-`n`-gram shingles;
+  * NULL when the document has fewer than n tokens (matching the oracle,
+  * where such docs simply have no shingle rows). Min over the shingle
+  * multiset equals min over the distinct set, so no dedup is needed. */
+case class MinHashSigs(child: Expression, numHashes: Int, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sh = TextHash.shingles(input.asInstanceOf[UTF8String].toString, n)
+    if (sh.isEmpty) null
+    else {
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < sh.length) {
+        var h = 0
+        while (h < numHashes) {
+          val v = TextHash.hash60(h, sh(i))
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins.map(java.lang.Long.valueOf): Array[Any])
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
+}
+
+/** SimHash signature: every token (with multiplicity) votes ±1 on each of
+  * `bits` bit positions of its hash; bit b of the result is 1 iff the
+  * vote sum is positive. */
+case class SimHashSig(child: Expression, bits: Int, seed: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.tokens(input.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < toks.length) {
+      val h = TextHash.hash60(seed, toks(i))
+      var b = 0
+      while (b < bits) { votes(b) += (((h >>> b) & 1L).toInt * 2) - 1; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHashSig = copy(child = c)
+}
+
+/** Exact Jaccard similarity of two shingle arrays as distinct sets:
+  * |A∩B| / (|A|+|B|-|A∩B|); NULL when both sets are empty. */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    def distinct(x: Any): java.util.HashSet[UTF8String] = {
+      val arr = x.asInstanceOf[ArrayData]
+      val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
+      var i = 0
+      while (i < arr.numElements()) { s.add(arr.getUTF8String(i)); i += 1 }
+      s
+    }
+    val sa = distinct(a)
+    val sb = distinct(b)
+    val na = sa.size
+    val nb = sb.size
+    if (na + nb == 0) null
+    else {
+      var inter = 0
+      val it = sa.iterator()
+      while (it.hasNext) { if (sb.contains(it.next())) inter += 1 }
+      java.lang.Double.valueOf(inter.toDouble / (na + nb - inter))
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayJaccard =
+    copy(left = l, right = r)
+}
+
+/** Position-weighted polynomial token fingerprint: sum over tokens of
+  * (hash60(7, tok) mod 1000003) * position(1-based), as a long — the
+  * per-row native twin of the aggregate(zip_with(...)) formulation. */
+case class TokenFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.tokens(input.asInstanceOf[UTF8String].toString)
+    var s = 0L
+    var i = 0
+    while (i < toks.length) {
+      s += (TextHash.hash60(7, toks(i)) % 1000003L) * (i + 1)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+  override protected def withNewChildInternal(c: Expression): TokenFingerprint = copy(child = c)
+}
+
+object TextHashExprs {
+  def tokenFingerprint(text: Column): Column =
+    ColumnBridge.column(TokenFingerprint(ColumnBridge.expression(text)))
+  def minhashSigs(text: Column, numHashes: Int = 16, n: Int = 3): Column =
+    ColumnBridge.column(MinHashSigs(ColumnBridge.expression(text), numHashes, n))
+  def simhashSig(text: Column, bits: Int = 32, seed: Int = 99): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(text), bits, seed))
+  def arrayJaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{NearDup, Similarity, TextOps}
+import graft.sources.Tables._
+import Catalog.ordered
+
+/** Training-data-pipeline section of the catalog: dedup family, similarity
+  * search, text analysis, multimodal plumbing, event-time windowing —
+  * each with a DuckDB oracle that replicates the op bit-for-bit (shared
+  * md5-derived hashing, strict-left-fold double dot products, exact cents
+  * arithmetic). */
+object DataCatalog {
+
+  private val OBA = " ORDER BY ALL NULLS FIRST"
+
+  /** Shared oracle CTEs: lowercased whitespace tokens and distinct word
+    * 3-gram shingles per document (twin of NearDup.shingles). */
+  private val ShinglesCte =
+    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      "FROM toks, unnest(range(1, len(tk) - 1)) u(i))"
+
+  // D1 exact dedup: canonical doc per md5(text), min doc_id survives.
+  val d1 = Q(
+    (s, d) => ordered(NearDup.exact(documents(s, d), col("doc_id"), col("text"))),
+    Some("SELECT doc_id, content_hash FROM (SELECT doc_id, md5(text) AS content_hash, " +
+      "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) " +
+      "WHERE rn = 1" + OBA))
+
+  // D2 MinHash+LSH near-dup pairs (shingle → 16 minhashes → 4 bands →
+  // band-join candidates → exact-Jaccard verify ≥ 0.5).
+  val d2 = Q(
+    (s, d) => ordered(NearDup.minhashLsh(documents(s, d), col("doc_id"), col("text"), 0.5)),
+    Some(ShinglesCte + ", " +
+      "mins AS (SELECT doc_id, h, min(('0x' || substr(md5(h::VARCHAR || '|' || sh), 1, 15))::BIGINT) AS mh " +
+      "FROM sh, unnest(range(0, 16)) t(h) GROUP BY doc_id, h), " +
+      "sigs AS (SELECT doc_id, h // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY h) AS sig " +
+      "FROM mins GROUP BY doc_id, h // 4), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b " +
+      "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
+      "JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh " +
+      "GROUP BY c.id_a, c.id_b) " +
+      "SELECT c.id_a, c.id_b, coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) AS jaccard " +
+      "FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b " +
+      "JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b " +
+      "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.5" + OBA))
+
+  // D3 SimHash near-dup pairs: 32-bit token-vote signatures, byte-banded
+  // candidates, Hamming ≤ 3.
+  val d3 = Q(
+    (s, d) => ordered(NearDup.simhashPairs(
+      NearDup.simhash(documents(s, d), col("doc_id"), col("text")))),
+    Some("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t " +
+      "FROM documents), " +
+      "th AS (SELECT doc_id, ('0x' || substr(md5('99|' || t), 1, 15))::BIGINT AS h FROM tok), " +
+      "votes AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v " +
+      "FROM th, unnest(range(0, 32)) u(b) GROUP BY doc_id, b), " +
+      "sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash " +
+      "FROM votes GROUP BY doc_id), " +
+      "banded AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS key " +
+      "FROM sig, unnest(range(0, 4)) u(b)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "a.simhash AS sa, b.simhash AS sb FROM banded a JOIN banded b " +
+      "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) " +
+      "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand " +
+      "WHERE bit_count(xor(sa, sb)) <= 3" + OBA))
+
+  // D4 n-gram Jaccard brute force, blocked by lang (the small-data twin
+  // of D2; at scale the block bounds the pair count).
+  val d4 = Q(
+    (s, d) => ordered(NearDup.ngramJaccardBlocked(documents(s, d),
+      col("doc_id"), col("text"), col("lang"), 0.5)),
+    Some("WITH toks AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      "FROM toks, unnest(range(1, len(tk) - 1)) u(i)), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a JOIN toks b " +
+      "ON a.lang = b.lang AND a.doc_id < b.doc_id), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT p.id_a, p.id_b, count(*) AS i FROM pairs p " +
+      "JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh " +
+      "GROUP BY p.id_a, p.id_b) " +
+      "SELECT p.id_a, p.id_b, coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) AS jaccard " +
+      "FROM pairs p LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b " +
+      "JOIN cnt ca ON ca.doc_id = p.id_a JOIN cnt cb ON cb.doc_id = p.id_b " +
+      "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.5" + OBA))
+
+  /** DuckDB twin of Similarity.dot: strict left fold over double-cast
+    * lists (list_reduce preserves order, matching Spark's aggregate()). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  // SIM1 brute-force exact cosine top-5 for query vectors (vec_id % 50 = 0).
+  val sim1 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      ordered(Similarity.topK(e.filter(col("vec_id") % 50 === 0), e, 5))
+    },
+    Some("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), " +
+      "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c ON query_id <> neighbor_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+      "FROM ranked WHERE rank <= 5" + OBA))
+
+  // SIM2 IVF-style ANN: candidates restricted to the query's coarse cell
+  // (label = coarse quantizer cell), the scale path for ANN.
+  val sim2 = Q(
+    (s, d) => ordered(Similarity.topKIvf(embeddings(s, d), "label", 5)),
+    Some("WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings), " +
+      "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c USING (label) WHERE query_id <> neighbor_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+      "FROM ranked WHERE rank <= 5" + OBA))
+
+  // D5 embedding-cosine near-dup pairs within coarse cells.
+  val d5 = Q(
+    (s, d) => ordered(Similarity.nearDupPairs(embeddings(s, d), "label", 0.9)),
+    Some("WITH a AS (SELECT vec_id AS id_a, embedding AS va, label FROM embeddings), " +
+      "b AS (SELECT vec_id AS id_b, embedding AS vb, label FROM embeddings) " +
+      "SELECT id_a, id_b, " + cosSql("va", "vb") + " AS cosine " +
+      "FROM a JOIN b USING (label) WHERE id_a < id_b AND " + cosSql("va", "vb") + " >= 0.9" + OBA))
+
+  // TX1 token counting (whitespace + BPE-ish regex segmentation).
+  val tx1 = Q(
+    (s, d) => ordered(TextOps.tokenCounts(documents(s, d), col("doc_id"), col("text"))),
+    Some("SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
+      "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens " +
+      "FROM documents" + OBA))
+
+  // TX2 quality scoring (length / stopword-ratio / word-shape heuristics).
+  val tx2 = Q(
+    (s, d) => ordered(TextOps.quality(documents(s, d), col("doc_id"), col("text"))),
+    Some("WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents), " +
+      "m AS (SELECT doc_id, n_chars, CAST(len(tk) AS BIGINT) AS n_words, " +
+      "n_chars::DOUBLE / len(tk) AS avg_word_len, " +
+      "len(list_filter(tk, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(tk) AS stopword_ratio " +
+      "FROM t) " +
+      "SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio, " +
+      "least(1.0, n_words::DOUBLE / 50) * 0.5 + least(1.0, stopword_ratio * 5) * 0.3 + " +
+      "(CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END) AS quality_score " +
+      "FROM m" + OBA))
+
+  // TX3 heuristic language ID with deterministic tie precedence.
+  val tx3 = Q(
+    (s, d) => ordered(TextOps.langId(documents(s, d), col("doc_id"), col("text"))),
+    Some("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+      "sc AS (SELECT doc_id, " +
+      "len(list_filter(tk, x -> x IN ('the','a','and'))) AS s_en, " +
+      "len(list_filter(tk, x -> x IN ('el','la','de'))) AS s_es, " +
+      "len(list_filter(tk, x -> x IN ('der','die','und'))) AS s_de, " +
+      "len(list_filter(tk, x -> x IN ('le','la','et'))) AS s_fr, " +
+      "len(list_filter(tk, x -> x IN ('的','是','了'))) AS s_zh FROM t), " +
+      "mx AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM sc) " +
+      "SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_en = m THEN 'en' " +
+      "WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr' " +
+      "ELSE 'zh' END AS lang_pred FROM mx" + OBA))
+
+  // TX4 document fingerprint (position-weighted polynomial token hash).
+  val tx4 = Q(
+    (s, d) => ordered(TextOps.fingerprint(documents(s, d), col("doc_id"), col("text"))),
+    Some("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents) " +
+      "SELECT doc_id, CAST(sum((('0x' || substr(md5('7|' || tk[i]), 1, 15))::BIGINT % 1000003) * i) AS BIGINT) " +
+      "AS fingerprint FROM t, unnest(range(1, len(tk) + 1)) u(i) GROUP BY doc_id" + OBA))
+
+  // E1 event-time tumbling-window aggregation (batch expression of the
+  // Structured Streaming op in graft.streaming; exact cents arithmetic).
+  val e1 = Q(
+    (s, d) => ordered(events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))),
+    Some("SELECT date_trunc('hour', ts) AS window_start, event_type, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents " +
+      "FROM events GROUP BY 1, 2" + OBA))
+
+  // M1 multimodal plumbing: opaque binary payload + typed metadata
+  // (byte length, content hash, size class) — the deterministic
+  // feature-extraction twin of graft.operators.Multimodal.
+  val m1 = Q(
+    (s, d) => ordered(documents(s, d).select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      md5(col("text")).as("content_md5"),
+      when(col("n_chars") < 200, "small").when(col("n_chars") < 400, "medium")
+        .otherwise("large").as("size_class"))),
+    Some("SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+      "md5(text) AS content_md5, CASE WHEN n_chars < 200 THEN 'small' " +
+      "WHEN n_chars < 400 THEN 'medium' ELSE 'large' END AS size_class FROM documents" + OBA))
+
+  val entries: Seq[(String, Q)] = Seq(
+    "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
+    "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
+    "d5_embedding_neardup" -> d5,
+    "sim1_cosine_topk" -> sim1, "sim2_ivf_ann" -> sim2,
+    "tx1_token_counts" -> tx1, "tx2_quality_score" -> tx2,
+    "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
+    "e1_event_window_agg" -> e1, "m1_multimodal_meta" -> m1)
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr, timestamp_micros}
+
+/** Fixture-table registry: the engine's scan layer over the driver's
+  * parquet tables (TESTDATA.md). Mirrors the reference's source registry
+  * role (`ddb/src/lib.rs:21-33` connects to the Drupal MySQL; here each
+  * "table" is a parquet directory and Catalyst provides pushdown/pruning).
+  *
+  * Scale note: at 100 TB these reads keep predicate pushdown + column
+  * pruning intact because every downstream operator is declared on the
+  * DataFrame (never collected); small dimension tables are exposed with a
+  * broadcast hint so dimension joins never shuffle the fact side.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read nanos as long and truncate to microseconds — exactly
+    * what DuckDB's µs-precision TIMESTAMP does, keeping oracle parity. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Dimensions small enough to broadcast at any scale factor (region and
+    * nation are fixed-cardinality; supplier/part grow with sf but stay
+    * << fact tables — at 100 TB these would be bucketed instead; the
+    * broadcast hint is correct for dims that fit in executor memory). */
+  def regionB(s: SparkSession, d: String): DataFrame = broadcast(region(s, d))
+  def nationB(s: SparkSession, d: String): DataFrame = broadcast(nation(s, d))
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.9: the reference has no
+  * event-time streaming — this is the Spark-native extension over the
+  * driver's `events` table). Batch and stream share one transform so the
+  * windowed aggregation is testable both ways; `Trigger.AvailableNow`
+  * turns the periodic re-sync jobs of the reference into incremental
+  * runs with checkpointed state.
+  *
+  * Scale: watermark + tumbling window keeps state bounded; the shuffle is
+  * on (window, event_type) — low cardinality, map-side combined.
+  */
+object EventStream {
+
+  /** events file schema: ts arrives as raw nanos (INT64) because the
+    * parquet carries TIMESTAMP(NANOS) and the session reads nanos-as-long
+    * (see Tables.events); converted to µs timestamps on ingest. */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Shared transform: 1-hour tumbling window per event_type with exact
+    * cents arithmetic (twin of DataCatalog.e1). */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Run the windowed agg as a stream over a directory of parquet events,
+    * drained synchronously into an in-memory sink (local testing shape;
+    * production shape swaps source/sink formats, the transform is
+    * unchanged). Returns the completed query; results in table `outName`. */
+  def runAvailableNow(spark: SparkSession, eventsDir: String, outName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = windowedAgg(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Gap-based per-user sessionization (batch/deterministic form of the
+    * `mapGroupsWithState` session op): a new session starts when the gap
+    * to the previous event exceeds `gapMinutes`. Single shuffle on
+    * user_id; the running sum stays inside the same window partition. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs).cast("int"))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("sess_id")
+  }
+}

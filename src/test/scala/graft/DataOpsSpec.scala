@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, NearDup, Similarity, TextOps}
+
+class DataOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different words entirely unrelated content here now today"),
+    (4L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per content hash") {
+    val got = NearDup.exact(docs, col("doc_id"), col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("minhashLsh finds exact and near dup pairs, skips unrelated") {
+    val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // exact dup must have jaccard 1.0
+    val j = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs → distance 0 pair; signatures stable") {
+    val pairs = NearDup.simhashPairs(
+      NearDup.simhash(docs, col("doc_id"), col("text")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L, 0L)))
+  }
+
+  test("shingles guard: docs shorter than n tokens yield none") {
+    val sh = NearDup.shingles(Seq((9L, "one two")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    assert(sh.count() == 0)
+  }
+
+  test("quality fields are consistent") {
+    val row = TextOps.quality(docs, col("doc_id"), col("text"))
+      .filter(col("doc_id") === 4).head()
+    assert(row.getAs[Long]("n_words") == 2)
+    assert(row.getAs[Long]("n_chars") == 10)
+    assert(math.abs(row.getAs[Double]("avg_word_len") - 5.0) < 1e-12)
+  }
+
+  test("langId picks marker language deterministically") {
+    val d = Seq((0L, "le chat et la maison"), (1L, "xyz qqq www")).toDF("doc_id", "text")
+    val got = TextOps.langId(d, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(got(0L) == "fr" && got(1L) == "und")
+  }
+
+  test("cosine similarity: self-similarity is 1.0, topK ranks correctly") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0), (3L, Array(0.9f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.topK(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(top == Map(1L -> 1L, 3L -> 2L))
+    val self = Similarity.nearDupPairs(vecs, "label", 0.9999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(self.contains((0L, 1L)))
+  }
+
+  test("multimodal plumbing: schema, batching, deterministic stub features") {
+    val media = Multimodal.asMedia(docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 5)
+    val f0 = feats.find(_.doc_id == 0L).get
+    val f1 = feats.find(_.doc_id == 1L).get
+    assert(f0.n_bytes == f1.n_bytes && f0.feature.sameElements(f1.feature))
+    assert(f0.feature.length == 8 && f0.width >= 16)
+  }
+}

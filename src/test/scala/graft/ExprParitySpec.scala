@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.F
+import graft.operators.NearDup
+import graft.plans.TextHash
+
+/** Parity between the native per-row expressions (graft.plans) and the
+  * SQL-composable formulations they replaced — the contract that keeps
+  * the DuckDB oracle valid. */
+class ExprParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TextHash.hash60 == F.portableHash60 (md5 15-hex-prefix contract)") {
+    val samples = Seq("tok", "the quick", "", "ümlaut 漢字", "a|b")
+    val viaSql = samples.toDF("s")
+      .select((0 until 4).map(seed => F.portableHash60(col("s"), seed)): _*)
+      .collect().map(_.toSeq)
+    for ((s, i) <- samples.zipWithIndex; seed <- 0 until 4)
+      assert(TextHash.hash60(seed, s) == viaSql(i)(seed),
+        s"mismatch for '$s' seed $seed")
+  }
+
+  test("MinHashSigs == groupBy-min of portableHash60 over shingle rows") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "one two three four five six"),
+      (2L, "tiny")
+    ).toDF("doc_id", "text")
+    val native = NearDup.minhashSigs(docs, col("doc_id"), col("text"), 4)
+      .as[(Long, Seq[Long])].collect().toMap
+    val sh = NearDup.shingles(docs, col("doc_id"), col("text"))
+    val sqlWay = sh.groupBy(col("doc_id"))
+      .agg(min(F.portableHash60(col("sh"), 0)).as("m0"),
+        (1 until 4).map(h => min(F.portableHash60(col("sh"), h)).as(s"m$h")): _*)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    assert(native == sqlWay)
+    assert(!native.contains(2L)) // <3 tokens → no signature
+  }
+
+  test("TokenFingerprint == aggregate/zip_with formulation") {
+    val docs = Seq((0L, "alpha beta gamma delta"), (1L, "x")).toDF("doc_id", "text")
+    val native = graft.operators.TextOps.fingerprint(docs, col("doc_id"), col("text"))
+      .as[(Long, Long)].collect().toMap
+    val hof = docs.select(col("doc_id"), aggregate(
+      zip_with(F.tokens(col("text")), sequence(lit(1), size(F.tokens(col("text")))),
+        (t, i) => (F.portableHash60(t, 7) % 1000003L) * i.cast("long")),
+      lit(0L), (acc, v) => acc + v).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == hof)
+  }
+
+  test("ArrayJaccard matches set arithmetic") {
+    val df = Seq((Seq("a b c", "b c d", "a b c"), Seq("b c d", "c d e")))
+      .toDF("x", "y")
+    val j = df.select(graft.plans.TextHashExprs.arrayJaccard(col("x"), col("y")))
+      .as[Double].head()
+    // distinct sets {abc,bcd} vs {bcd,cde}: inter 1, union 3
+    assert(math.abs(j - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("FloatDotProduct == strict-left-fold HOF dot") {
+    val vecs = Seq((Array(0.1f, 0.2f, 0.3f), Array(-0.5f, 0.25f, 1.5f))).toDF("a", "b")
+    val native = vecs.select(graft.plans.FloatDotProduct.dot(col("a"), col("b")))
+      .as[Double].head()
+    val hof = vecs.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)).as[Double].head()
+    assert(native == hof) // bit-identical, not approximately
+  }
+}

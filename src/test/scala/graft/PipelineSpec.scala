@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.SyncPipeline
+import graft.streaming.EventStream
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("sync pipeline: FK order, upsert, leaf-first GC, stats") {
+    val p = SyncPipeline.runDemo(spark, sf)
+    val custs = p.table("customers")
+    val ords = p.table("orders")
+    // GC invariant: every surviving order's FK exists in customers
+    val orphan = ords.join(custs.select(col("id").as("cust_id")), Seq("cust_id"), "left_anti")
+    assert(orphan.count() == 0)
+    assert(p.statsMap("customers").upserted > 0)
+    assert(p.statsJson.contains("\"orders\""))
+  }
+
+  test("streaming windowed agg (availableNow) matches batch twin") {
+    import graft.sources.Tables
+    // stream sources need a directory; stage the single parquet file
+    val dir = java.nio.file.Files.createTempDirectory("ev_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    EventStream.runAvailableNow(spark, dir.toString, "ev_out")
+    val streamed = spark.table("ev_out")
+      .select("window_start", "event_type", "n", "value_cents")
+    val batch = EventStream.windowedAgg(Tables.events(spark, sf))
+      .select("window_start", "event_type", "n", "value_cents")
+    assert(streamed.count() > 0)
+    // append mode emits only watermark-closed windows: everything emitted
+    // must match the batch twin, and only the un-closed tail (within
+    // watermark 2h + window 1h of stream end) may be withheld.
+    assert(streamed.except(batch).count() == 0)
+    val cutoff = Tables.events(spark, sf).agg(max(col("ts"))).head().getTimestamp(0)
+    val withheld = batch.except(streamed)
+      .filter(col("window_start") < timestamp_millis(lit(cutoff.getTime - 3L * 3600 * 1000)))
+    assert(withheld.count() == 0)
+  }
+
+  test("sessionize splits on gap and covers all events") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val sess = EventStream.sessionize(ev, 30)
+    assert(sess.agg(sum(col("n_events"))).as[Long].head() == ev.count())
+    assert(sess.filter(col("session_end") < col("session_start")).count() == 0)
+  }
+}
