@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.operators.Dedup
+import graft.sink.AudienceSink
+
+/** Audience sync pipeline — the Spark shape of `sync-mail run` per job
+  * (reference `sync-mail/src/mailchimp.rs:238-290`, SURVEY §3.3):
+  *
+  *   scope members → validate emails (P10) → priority dedup (A6) →
+  *   partner expansion (A9) → merge-field render (F8) + member id (F2) →
+  *   S11 batch upsert → S12 retain (cleaned spared) → S13 tag updates.
+  *
+  * Members here derive from the customer fixture (synthetic emails);
+  * swapping the extract for the DDB member query and the sink transport
+  * for HTTP yields the reference pipeline unchanged.
+  */
+object MailSyncPipeline {
+
+  final case class JobStats(upserted: Long, deleted: Long, tagOps: Long)
+
+  /** Member rows with validated, deduped, rendered audience fields. */
+  def audienceRows(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val base = Tables.customer(spark, dir).select(
+      col("c_custkey").as("cust_id"),
+      F.synthEmail(col("c_name"), col("c_custkey")).as("email"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"),
+      col("c_acctbal").as("balance"))
+    // P10 email validity, then A6: one row per email, BUILDING priority
+    val valid = base.filter(F.isValidEmail(col("email")))
+    val deduped = Dedup.priorityMerge(valid, Seq(col("email")),
+      when(col("segment") === "BUILDING", 0).otherwise(1), Seq(col("cust_id")))
+    // A9 partner expansion: every 4th member carries a partner account
+    val expanded = deduped.select(col("*"),
+        explode(when(col("cust_id") % 4 === 0,
+          array(lit("primary"), lit("partner"))).otherwise(array(lit("primary"))))
+          .as("role"))
+      .withColumn("email",
+        when(col("role") === "partner", concat(lit("partner+"), col("email")))
+          .otherwise(col("email")))
+    // F2 id + F8 typed merge-field rendering (null propagates)
+    expanded.select(
+      F.memberIdForEmail(col("email")).as("id"),
+      lower(col("email")).as("email"),
+      lit("subscribed").as("status"),
+      to_json(struct(col("name").as("NAME"), col("balance").as("BAL"),
+        col("role").as("ROLE")), Map("ignoreNullFields" -> "true")).as("merge_json"),
+      col("segment"), col("balance"))
+  }
+
+  /** F10 tag derivation per audience row. */
+  def tagUpdates(rows: DataFrame): DataFrame =
+    rows.select(col("id"), explode(array(
+        struct(lit("building").as("tag"), (col("segment") === "BUILDING").as("active")),
+        struct(lit("debtor").as("tag"), (col("balance") < 0.0).as("active")))).as("t"))
+      .select(col("id"), col("t.tag").as("tag"), col("t.active").as("active"))
+
+  def run(spark: SparkSession, dir: String, sink: AudienceSink): JobStats = {
+    val rows = audienceRows(spark, dir).cache()
+    val upserted = sink.upsertMany(rows)        // S11
+    val deleted = sink.retain(upserted)         // S12
+    val tagOps = sink.updateTags(tagUpdates(rows)) // S13
+    rows.unpersist()
+    JobStats(upserted.size.toLong, deleted.toLong, tagOps.toLong)
+  }
+}

@@ -131,6 +131,16 @@ object Catalog {
       "WHERE email <> '' AND email NOT LIKE '%noemail.com' " +
       "AND email NOT LIKE '%example.com'" + OBA))
 
+  // P11 row-level PII stripping: the conformed projection keeps only
+  // non-PII columns (sync-app/migrations/20251227120001_remove_pii_
+  // restrict_regions.sql; db/src/member.rs:216-226 address = user/state).
+  val p11 = Q(
+    (s, d) => ordered(customer(s, d).select(
+      col("c_custkey").as("user_id"),
+      col("c_nationkey").cast("long").as("state"))),
+    Some("SELECT c_custkey AS user_id, CAST(c_nationkey AS BIGINT) AS state " +
+      "FROM customer" + OBA))
+
   // ---------------------------------------------------------------- §2.3
   // J1 many-way assembly join (ddb/src/members.rs:303-338 ~20-way EAV
   // assembly) — fact lineitem widened with orders/customer/nation/region/
@@ -442,6 +452,17 @@ object Catalog {
       "CAST(l_linenumber AS BIGINT) AS line_no, l_extendedprice AS price FROM lineitem " +
       "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100)" + OBA))
 
+  // W3 fetch_optional: first-row-or-none point lookup with deterministic
+  // order (ddb/src/users.rs:99-108 — latest order of one customer).
+  val w3 = Q(
+    (s, d) => ordered(orders(s, d).filter(col("o_custkey") === 77)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      .limit(1)
+      .select(col("o_orderkey").as("order_id"), col("o_orderdate").as("order_date"))),
+    Some("SELECT * FROM (SELECT o_orderkey AS order_id, o_orderdate AS order_date " +
+      "FROM orders WHERE o_custkey = 77 " +
+      "ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 1)" + OBA))
+
   // W4 first element of a sorted collected list (ddb/src/members.rs:918).
   val w4 = Q(
     (s, d) => ordered(orders(s, d).groupBy(col("o_custkey").as("cust"))
@@ -468,6 +489,17 @@ object Catalog {
 
   val t1 = asofQ(AsOf)
   val t2 = asofQ("1999-01-01")
+
+  // T3 DateFilter::All — same interval table, no date predicate (full
+  // history, ddb/src/leadership.rs:109; used by sync at sync.rs:486-494).
+  val t3 = Q(
+    (s, d) => ordered(orders(s, d).select(col("o_orderkey").as("order_id"),
+      col("o_orderdate").as("start_ts"),
+      when(col("o_orderkey") % 5 === 0, lit(null).cast("timestamp"))
+        .otherwise(col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("end_ts"))),
+    Some("SELECT o_orderkey AS order_id, o_orderdate AS start_ts, " +
+      "CASE WHEN o_orderkey % 5 = 0 THEN NULL " +
+      "ELSE o_orderdate + INTERVAL 90 DAY END AS end_ts FROM orders" + OBA))
 
   // T4 rolling window on the fact table (ddb/src/members.rs:344).
   val t4 = Q(
@@ -691,6 +723,7 @@ object Catalog {
     "p5_inlist_filter" -> p5, "p6_date_window" -> p6,
     "p7_null_guard" -> p7, "p8_point_lookup" -> p8,
     "p9_dynamic_inset" -> p9, "p10_email_validity" -> p10,
+    "p11_pii_strip" -> p11,
     "j1_assembly_join" -> j1, "j2_selfjoin_alias" -> j2,
     "j3_multicond_join" -> j3, "j4_coalesce_key_join" -> j4,
     "j5_scope_semijoin" -> j5, "j6_anti_join" -> j6,
@@ -702,9 +735,11 @@ object Catalog {
     "a6_priority_dedup" -> a6, "a7_except" -> a7,
     "a8_union_stats" -> a8, "a9_explode" -> a9,
     "a10_stats_agg" -> a10, "a11_keyed_first" -> a11,
-    "w2_topk_order_limit" -> w2, "w4_first_sorted" -> w4,
+    "w2_topk_order_limit" -> w2, "w3_point_first" -> w3,
+    "w4_first_sorted" -> w4,
     "t1_asof_current" -> t1, "t2_asof_param" -> t2,
-    "t4_rolling_window" -> t4, "t5_epoch_formats" -> t5,
+    "t3_full_history" -> t3, "t4_rolling_window" -> t4,
+    "t5_epoch_formats" -> t5,
     "f1_email_id_hash" -> f1, "f2_md5_member_id" -> f2,
     "f4_split_trim" -> f4, "f5_cast_family" -> f5,
     "f7_enum_decode" -> f7, "f8_merge_field_render" -> f8,

@@ -187,6 +187,19 @@ object DataCatalog {
       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents " +
       "FROM events GROUP BY 1, 2" + OBA))
 
+  // E2 gap-based sessionization (graft.streaming.EventStream.sessionize):
+  // a new session starts after a 30-minute silence per user.
+  val e2 = Q(
+    (s, d) => ordered(graft.streaming.EventStream.sessionize(events(s, d), 30)),
+    Some("WITH x AS (SELECT user_id, ts, event_id, " +
+      "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+      "y AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+      "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM x), " +
+      "z AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS sess_id FROM y) " +
+      "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
+      "CAST(count(*) AS BIGINT) AS n_events FROM z GROUP BY user_id, sess_id" + OBA))
+
   // M1 multimodal plumbing: opaque binary payload + typed metadata
   // (byte length, content hash, size class) — the deterministic
   // feature-extraction twin of graft.operators.Multimodal.
@@ -207,5 +220,6 @@ object DataCatalog {
     "sim1_cosine_topk" -> sim1, "sim2_ivf_ann" -> sim2,
     "tx1_token_counts" -> tx1, "tx2_quality_score" -> tx2,
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
-    "e1_event_window_agg" -> e1, "m1_multimodal_meta" -> m1)
+    "e1_event_window_agg" -> e1, "e2_sessionize" -> e2,
+    "m1_multimodal_meta" -> m1)
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sink.AudienceSink
+import graft.sources.PagedSource
+
+class SinkSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val audienceSchema = StructType(Seq(
+    StructField("id", StringType), StructField("email", StringType),
+    StructField("status", StringType), StructField("rating", IntegerType)))
+
+  test("paged source: pages partition-parallel, all rows, no dupes") {
+    val df = PagedSource.read(spark, audienceSchema, total = 2500, pageSize = 300,
+      concurrency = 10, PagedSource.syntheticAudience(2500))
+    assert(df.count() == 2500)
+    assert(df.select("id").distinct().count() == 2500)
+    assert(df.rdd.getNumPartitions == 10)
+  }
+
+  test("paged source: projection pushdown passes only required fields") {
+    val slim = StructType(Seq(StructField("id", StringType)))
+    var seenFields: Seq[String] = Nil
+    val spy: PagedSource.Fetch = (off, cnt, fields) => {
+      seenFields = fields; PagedSource.syntheticAudience(100)(off, cnt, fields)
+    }
+    val df = PagedSource.read(spark, slim, 100, 50, 2, spy)
+    assert(df.columns.toSeq == Seq("id"))
+    assert(df.count() == 100)
+  }
+
+  test("audience sink: upsert chunks, id set, retain spares cleaned, tags diff") {
+    val sink = new AudienceSink(sinkId = "t1", batchSize = 10, sinkPartitions = 4)
+    val members = (0 until 95).map(i =>
+      (f"m$i%03d", s"u$i@x.org", if (i % 10 == 0) "cleaned" else "subscribed", "{}"))
+      .toDF("id", "email", "status", "merge_json")
+    val upserted = sink.upsertMany(members)
+    assert(upserted.size == 95 && sink.size == 95)
+
+    // second sync keeps only even ids → odds deleted EXCEPT cleaned ones
+    val keep = (0 until 95 by 2).map(i => f"m$i%03d").toSet
+    val deleted = sink.retain(keep)
+    val survivors = sink.allIds
+    assert(deleted == 95 - keep.size - /* odd cleaned don't exist: cleaned are %10==0 (even) */ 0)
+    assert(keep.subsetOf(survivors))
+
+    val tagUpdates = Seq(("m000", "member", true), ("m000", "lapsed", false),
+      ("m002", "lapsed", true)).toDF("id", "tag", "active")
+    sink.updateTags(tagUpdates)
+    assert(sink.tagsOf("m000") == Set("member"))
+    assert(sink.tagsOf("m002") == Set("lapsed"))
+  }
+
+  test("audience sink: transient batch failures retried to success") {
+    val sink = new AudienceSink(sinkId = "t2", batchSize = 50, sinkPartitions = 2)
+    sink.injectTransientFailures(2)
+    val members = (0 until 100).map(i => (s"r$i", s"r$i@x.org", "subscribed", "{}"))
+      .toDF("id", "email", "status", "merge_json")
+    val upserted = sink.upsertMany(members)
+    assert(upserted.size == 100 && sink.size == 100)
+  }
+
+  test("audience sink retain semantics mirror cleaned-exclusion") {
+    val sink = new AudienceSink(sinkId = "t3")
+    sink.upsertMany(Seq(
+      ("a", "a@x.org", "subscribed", "{}"),
+      ("b", "b@x.org", "cleaned", "{}"),
+      ("c", "c@x.org", "subscribed", "{}")).toDF("id", "email", "status", "merge_json"))
+    val n = sink.retain(Set("a"))
+    assert(n == 1)                       // only c deleted
+    assert(sink.allIds == Set("a", "b")) // cleaned b spared
+  }
+}
+
+class MailPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("mail sync end-to-end: upsert, retain idempotence, tags") {
+    val sink = new AudienceSink(sinkId = "mail1", batchSize = 100, sinkPartitions = 4)
+    // pre-seed a stale member that the retain pass must GC, plus a
+    // cleaned member it must spare
+    import spark.implicits._
+    sink.upsertMany(Seq(
+      ("stale", "old@x.org", "subscribed", "{}"),
+      ("ghost", "ghost@x.org", "cleaned", "{}")).toDF("id", "email", "status", "merge_json"))
+
+    val stats = graft.pipeline.MailSyncPipeline.run(spark, "/root/testdata/sf0.001", sink)
+    assert(stats.upserted > 0)
+    assert(stats.deleted == 1)                    // stale gone
+    assert(sink.get("ghost").nonEmpty)            // cleaned spared
+    assert(sink.get("stale").isEmpty)
+    // idempotent: re-running changes nothing
+    val stats2 = graft.pipeline.MailSyncPipeline.run(spark, "/root/testdata/sf0.001", sink)
+    assert(stats2.upserted == stats.upserted && stats2.deleted == 0)
+    // partner expansion: partner ids exist (md5 of partner+email)
+    val rows = graft.pipeline.MailSyncPipeline.audienceRows(spark, "/root/testdata/sf0.001")
+    val partners = rows.filter(col("email").startsWith("partner+")).count()
+    assert(partners > 0)
+    assert(rows.filter(col("email").endsWith("example.com")).count() == 0)
+  }
+}
