@@ -69,17 +69,20 @@ object DataCatalog {
       "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand " +
       "WHERE bit_count(xor(sa, sb)) <= 3" + OBA))
 
-  // D4 n-gram Jaccard brute force, blocked by lang (the small-data twin
-  // of D2; at scale the block bounds the pair count).
+  // D4 n-gram Jaccard brute force, blocked by (lang, source) — the
+  // small-data twin of D2. The block bounds the quadratic: lang alone
+  // gives O((N/5)²) pairs whose shingle-array join shuffles ~15 GB at
+  // sf0.1; lang×source keeps blocks ~50 docs.
   val d4 = Q(
     (s, d) => ordered(NearDup.ngramJaccardBlocked(documents(s, d),
-      col("doc_id"), col("text"), col("lang"), 0.5)),
-    Some("WITH toks AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      col("doc_id"), col("text"), concat_ws("|", col("lang"), col("source")), 0.5)),
+    Some("WITH d AS (SELECT doc_id, lang, source FROM documents), " +
+      "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
       "FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
       "FROM toks, unnest(range(1, len(tk) - 1)) u(i)), " +
-      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a JOIN toks b " +
-      "ON a.lang = b.lang AND a.doc_id < b.doc_id), " +
+      "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM d a JOIN d b " +
+      "ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id), " +
       "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT p.id_a, p.id_b, count(*) AS i FROM pairs p " +
       "JOIN sh sa ON sa.doc_id = p.id_a JOIN sh sb ON sb.doc_id = p.id_b AND sb.sh = sa.sh " +

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.F
+import graft.operators.{Dedup, Merge}
+
+/** Property-based invariants (SURVEY §5.2): dedup idempotence/priority,
+  * upsert-then-retain key algebra, as-of monotonicity. Each property runs
+  * on generated tables through the real Spark operators, with
+  * deterministic seeds (no scalatestplus bridge in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 10 deterministic samples per generator. */
+  private def forAll[A](gen: Gen[A])(body: A => Unit): Unit =
+    (1 to 10).foreach { i =>
+      gen.apply(Gen.Parameters.default.withSize(30), rng.Seed(i.toLong))
+        .foreach(body)
+    }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    (1 to 10).foreach { i =>
+      for {
+        a <- ga.apply(Gen.Parameters.default.withSize(30), rng.Seed(i.toLong))
+        b <- gb.apply(Gen.Parameters.default.withSize(30), rng.Seed(i.toLong + 100))
+      } body(a, b)
+    }
+  private def whenever(c: Boolean)(body: => Unit): Unit = if (c) body
+
+  private val rowsGen: Gen[List[(Int, Int, Int)]] =
+    Gen.listOf(for {
+      key <- Gen.choose(0, 8)
+      prio <- Gen.choose(0, 2)
+      id <- Gen.choose(0, 1000)
+    } yield (key, prio, id))
+
+  test("priorityMerge: idempotent, one row per key, lowest priority wins") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("key", "prio", "id")
+        val once = Dedup.priorityMerge(df, Seq(col("key")), col("prio"), Seq(col("id")))
+        val twice = Dedup.priorityMerge(once, Seq(col("key")), col("prio"), Seq(col("id")))
+        val got = once.as[(Int, Int, Int)].collect()
+        // exactly one survivor per key
+        assert(got.map(_._1).distinct.length == got.length)
+        // survivor has the min (prio, id) of its group
+        val best = rows.groupBy(_._1).view.mapValues(g => g.map(t => (t._2, t._3)).min).toMap
+        got.foreach { case (k, p, i) => assert((p, i) == best(k)) }
+        // idempotent
+        assert(twice.as[(Int, Int, Int)].collect().sorted.sameElements(got.sorted))
+      }
+    }
+  }
+
+  test("upsert∘retain: target keys == source keys; applying twice is stable") {
+    val tGen = Gen.listOf(Gen.choose(0, 20).map(k => (k, s"t$k")))
+    val sGen = Gen.listOf(Gen.choose(0, 20).map(k => (k, s"s$k")))
+    forAll(tGen, sGen) { (t, s) =>
+      whenever(s.nonEmpty) {
+        val target = t.distinctBy(_._1).toDF("id", "v")
+        val source = s.distinctBy(_._1).toDF("id", "v")
+        val synced = Merge.retain(Merge.upsert(target, source, Seq("id")), source, Seq("id"))
+        val keys = synced.select("id").as[Int].collect().toSet
+        assert(keys == s.map(_._1).toSet)
+        // source rows win everywhere
+        synced.as[(Int, String)].collect().foreach { case (k, v) => assert(v == s"s$k") }
+        val again = Merge.retain(Merge.upsert(synced, source, Seq("id")), source, Seq("id"))
+        assert(again.as[(Int, String)].collect().toSet ==
+          synced.as[(Int, String)].collect().toSet)
+      }
+    }
+  }
+
+  test("as-of monotonicity: open-ended rows valid at d stay valid at later d'") {
+    val ivGen = Gen.listOf(for {
+      start <- Gen.choose(0, 365)
+      openEnded <- Gen.oneOf(true, false)
+      len <- Gen.choose(0, 200)
+    } yield (start, if (openEnded) None else Some(start + len)))
+    forAll(ivGen) { ivs =>
+      whenever(ivs.nonEmpty) {
+        val df = ivs.zipWithIndex.map { case ((s, e), i) =>
+          (i.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2000, 1, 1).plusDays(s)),
+            e.map(d => java.sql.Date.valueOf(java.time.LocalDate.of(2000, 1, 1).plusDays(d))).orNull)
+        }.toDF("id", "s", "e")
+        def validAt(d: String): Set[Long] =
+          df.filter(F.validAsOf(col("s"), col("e"), lit(d).cast("date")))
+            .select("id").as[Long].collect().toSet
+        val early = validAt("2000-06-01")
+        val late = validAt("2001-06-01")
+        val openIds = ivs.zipWithIndex.collect { case (((_, None)), i) => i.toLong }.toSet
+        // every open-ended interval valid early remains valid later
+        assert((early & openIds).subsetOf(late))
+      }
+    }
+  }
+}
