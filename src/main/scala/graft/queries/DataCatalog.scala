@@ -203,6 +203,35 @@ object DataCatalog {
       "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
       "CAST(count(*) AS BIGINT) AS n_events FROM z GROUP BY user_id, sess_id" + OBA))
 
+  // E3 sliding-window aggregation (1 h window, 15 min slide): each event
+  // lands in 4 windows; both engines bucket on the epoch-aligned 15-min
+  // grid, so results match bit-for-bit.
+  val e3 = Q(
+    (s, d) => ordered(events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))),
+    Some("SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' " +
+      "AS window_start, event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents " +
+      "FROM events, unnest(range(0, 4)) u(k) GROUP BY 1, 2" + OBA))
+
+  // J12 salted skew join: identical semantics to the plain equi-join
+  // (the oracle), different physical distribution — the hot-key spread
+  // pattern for skew beyond AQE's split.
+  val j12 = Q(
+    (s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id").as("c_custkey"))
+      val cust = customer(s, d).select(col("c_custkey"), col("c_name"))
+      ordered(graft.operators.Skew.saltedJoin(ev, cust, "c_custkey",
+          pmod(col("event_id"), lit(8)), 8)
+        .select(col("event_id"), col("c_name").as("cust_name")))
+    },
+    Some("SELECT event_id, c_name AS cust_name FROM events " +
+      "JOIN customer ON c_custkey = user_id" + OBA))
+
   // M1 multimodal plumbing: opaque binary payload + typed metadata
   // (byte length, content hash, size class) — the deterministic
   // feature-extraction twin of graft.operators.Multimodal.
@@ -224,5 +253,6 @@ object DataCatalog {
     "tx1_token_counts" -> tx1, "tx2_quality_score" -> tx2,
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
     "e1_event_window_agg" -> e1, "e2_sessionize" -> e2,
+    "e3_sliding_window" -> e3, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1)
 }

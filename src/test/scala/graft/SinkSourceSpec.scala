@@ -103,3 +103,60 @@ class MailPipelineSpec extends AnyFunSuite {
     assert(rows.filter(col("email").endsWith("example.com")).count() == 0)
   }
 }
+
+class DataSourceV2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def read(total: Int) = spark.read
+    .format("graft.sources.AudienceDataSource")
+    .option("total", total).option("pageSize", 300)
+    .load()
+
+  test("DSv2 audience source: full scan, one partition per page") {
+    val df = read(1000)
+    assert(df.count() == 1000)
+    assert(df.rdd.getNumPartitions == 4) // ceil(1000/300) pages
+    assert(df.select("id").distinct().count() == 1000)
+  }
+
+  test("DSv2 projection pushdown prunes to requested columns at the scan") {
+    val df = read(900).select("id", "rating")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(df.columns.toSeq == Seq("id", "rating"))
+    assert(plan.contains("ReadSchema") || df.count() == 900)
+    // the scan's readSchema must carry only the pruned columns
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("id", "rating"))
+  }
+
+  test("DSv2 source composes with catalog operators (retain semantics)") {
+    import org.apache.spark.sql.functions._
+    val audience = read(500)
+    val keep = audience.filter(col("rating") >= 2).select("id")
+    val deletes = graft.operators.Merge.retainDeletes(
+      audience, keep, Seq("id"), exempt = Some(col("status") === "cleaned"))
+    val got = deletes.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(got == Set("subscribed")) // cleaned never in the delete set
+  }
+}
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("saltedJoin result equals plain equi-join (inner and left)") {
+    val big = (0 until 500).map(i => (i.toLong, i % 7)).toDF("row_id", "k")
+    val small = (0 until 7).map(k => (k, s"name$k")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val salted = graft.operators.Skew.saltedJoin(big, small, "k",
+        pmod(col("row_id"), lit(4)), 4, jt).select("row_id", "k", "name")
+      val plain = big.join(small, Seq("k"), jt).select("row_id", "k", "name")
+      assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+      assert(salted.count() == plain.count())
+    }
+  }
+}
