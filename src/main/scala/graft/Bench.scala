@@ -9,11 +9,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "j1_assembly_join", "j2_selfjoin_alias", "j7_argmax_latest",
-    "a1_minpick_dedup", "a6_priority_dedup", "a10_stats_agg",
-    "s8_upsert_merge", "s10_retain_gc",
-    "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash_pairs",
+    "j12_salted_join", "a1_minpick_dedup", "a6_priority_dedup",
+    "a10_stats_agg", "s8_upsert_merge", "s10_retain_gc", "eav2_assembly",
+    "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash_pairs", "d4_ngram_jaccard",
     "sim1_cosine_topk", "sim2_ivf_ann",
-    "tx2_quality_score", "tx4_fingerprint", "e1_event_window_agg")
+    "tx2_quality_score", "tx4_fingerprint",
+    "e1_event_window_agg", "e2_sessionize", "e3_sliding_window",
+    "m1_multimodal_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

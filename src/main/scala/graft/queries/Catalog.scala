@@ -716,6 +716,49 @@ object Catalog {
       "(SELECT DISTINCT p_type AS tag FROM part WHERE p_size <= 25) d FULL OUTER JOIN " +
       "(SELECT DISTINCT p_type AS tag FROM part WHERE p_size >= 20) l ON d.tag = l.tag" + OBA))
 
+  // EAV1 wide→EAV explosion: the Drupal storage model (SURVEY §1.1) —
+  // one (entity_id, field, value) row per attribute.
+  val eav1 = Q(
+    (s, d) => {
+      val triplets = array(
+        struct(lit("name").as("field"), col("c_name").as("value")),
+        struct(lit("segment").as("field"), col("c_mktsegment").as("value")),
+        struct(lit("nation").as("field"), col("c_nationkey").cast("string").as("value")))
+      ordered(customer(s, d)
+        .select(col("c_custkey").as("entity_id"), explode(triplets).as("t"))
+        .select(col("entity_id"), col("t.field").as("field"), col("t.value").as("value")))
+    },
+    Some("SELECT c_custkey AS entity_id, 'name' AS field, c_name AS value FROM customer " +
+      "UNION ALL SELECT c_custkey, 'segment', c_mktsegment FROM customer " +
+      "UNION ALL SELECT c_custkey, 'nation', CAST(c_nationkey AS VARCHAR) FROM customer" + OBA))
+
+  // EAV2 assembly: EAV triplets back to a wide typed record — the core
+  // extract pattern of the reference (ddb/src/members.rs:303-338 builds
+  // wide members from one-table-per-attribute via ~20 joins; conditional
+  // aggregation is the shuffle-minimal Spark equivalent: ONE hash
+  // shuffle on entity_id instead of N self-joins).
+  val eav2 = Q(
+    (s, d) => {
+      val triplets = array(
+        struct(lit("name").as("field"), col("c_name").as("value")),
+        struct(lit("segment").as("field"), col("c_mktsegment").as("value")),
+        struct(lit("nation").as("field"), col("c_nationkey").cast("string").as("value")))
+      val eav = customer(s, d)
+        .select(col("c_custkey").as("entity_id"), explode(triplets).as("t"))
+        .select(col("entity_id"), col("t.field").as("field"), col("t.value").as("value"))
+      ordered(eav.groupBy(col("entity_id")).agg(
+        max(when(col("field") === "name", col("value"))).as("name"),
+        max(when(col("field") === "segment", col("value"))).as("segment"),
+        max(when(col("field") === "nation", col("value"))).cast("long").as("nation")))
+    },
+    Some("WITH eav AS (SELECT c_custkey AS entity_id, 'name' AS field, c_name AS value " +
+      "FROM customer UNION ALL SELECT c_custkey, 'segment', c_mktsegment FROM customer " +
+      "UNION ALL SELECT c_custkey, 'nation', CAST(c_nationkey AS VARCHAR) FROM customer) " +
+      "SELECT entity_id, max(CASE WHEN field = 'name' THEN value END) AS name, " +
+      "max(CASE WHEN field = 'segment' THEN value END) AS segment, " +
+      "CAST(max(CASE WHEN field = 'nation' THEN value END) AS BIGINT) AS nation " +
+      "FROM eav GROUP BY entity_id" + OBA))
+
   /** Relational (reference-parity) section of the catalog. */
   val entries: Seq[(String, Q)] = Seq(
     "p1_wide_projection" -> p1, "p2_bool_projection" -> p2,
@@ -746,5 +789,6 @@ object Catalog {
     "f10_tag_derivation" -> f10,
     "s8_upsert_merge" -> s8, "s9_composite_upsert" -> s9,
     "s10_retain_gc" -> s10, "s12_audience_retain" -> s12,
-    "s14_schema_diff" -> s14)
+    "s14_schema_diff" -> s14,
+    "eav1_explode" -> eav1, "eav2_assembly" -> eav2)
 }
