@@ -54,6 +54,50 @@ object EventStream {
     q
   }
 
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState
+    * (§2.9 custom-state extension point): per user, events accumulate
+    * into gap-delimited sessions; CLOSED sessions are emitted as soon as
+    * a later event exceeds the gap, the still-open session stays in
+    * state (bounded: one (start, end, count) triple per user). The batch
+    * twin below emits open sessions too — tests assert exactly that
+    * relationship. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val typed = events.select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    def fn(uid: Long, evs: Iterator[(Long, Long)],
+        state: GroupState[(Long, Long, Long)]): Iterator[SessionOut] = {
+      val sorted = evs.map(_._2).toArray.sorted
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { t =>
+        cur match {
+          case Some((s, e, n)) if t - e <= gapUs => cur = Some((s, t, n + 1))
+          case Some((s, e, n)) =>
+            out ::= SessionOut(uid, tsOf(s), tsOf(e), n)
+            cur = Some((t, t, 1))
+          case None => cur = Some((t, t, 1))
+        }
+      }
+      cur.foreach(state.update)
+      out.reverseIterator
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /** Gap-based per-user sessionization (batch/deterministic form of the
     * `mapGroupsWithState` session op): a new session starts when the gap
     * to the previous event exceeds `gapMinutes`. Single shuffle on

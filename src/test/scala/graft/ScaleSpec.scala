@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bucketing
+import graft.streaming.EventStream
+
+/** Scale-mechanics specs: bucketed joins really skip the shuffle, and
+  * stateful streaming sessionization matches its batch twin. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed co-located join plans without any shuffle exchange") {
+    import graft.sources.Tables
+    Bucketing.writeBucketed(Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("k"), col("o_totalprice")), "b_orders", "k", 8)
+    Bucketing.writeBucketed(Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("k"), col("l_quantity")), "b_lineitem", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "k")
+      assert(joined.count() > 0)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty, "bucketed join must not shuffle either side")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("stateful streaming sessionization: closed sessions match batch twin") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    // drive through a real stream (availableNow over a staged dir)
+    val dir = java.nio.file.Files.createTempDirectory("ev_sess")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(EventStream.schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.sessionizeStream(src, 30).writeStream
+      .outputMode("append").format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("sess_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+    val batch = EventStream.sessionize(ev, 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+    // every emitted (closed) session is a batch session…
+    assert(streamed.except(batch).count() == 0)
+    // …and exactly one open session per user is withheld in state
+    val users = ev.select("user_id").distinct().count()
+    assert(batch.count() - streamed.count() == users)
+  }
+}
