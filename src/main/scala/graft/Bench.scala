@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * collect, no driver materialization. */
 object Bench {
   val headline: Seq[String] = Seq(
+    "mbr1_members_by_club", "mbr3_members_all",
     "j1_assembly_join", "j2_selfjoin_alias", "j7_argmax_latest",
     "j12_salted_join", "a1_minpick_dedup", "a6_priority_dedup",
     "a10_stats_agg", "s8_upsert_merge", "s10_retain_gc", "eav2_assembly",
@@ -20,6 +21,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Dev-only subset filter (comma-separated query names); the driver
+    // harness doesn't set it, so the official record is always the full
+    // headline.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,15 +36,22 @@ object Bench {
     // untimed warmup: JVM/codegen/session init, not query work
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = headline.filter(qs.contains)
+      .filter(n => subset.forall(_.contains(n))).map { name =>
       val t0 = System.nanoTime()
-      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: $e"); errors += name; false }
+      // A failed query must not read as "fast": record it as -1 so the
+      // gate can tell a crash from a quick pass.
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qj = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val ej = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"errors":$ej,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Catalog, DataCatalog, Q}
+import graft.queries.{Catalog, DataCatalog, MembersCatalog, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * The catalog lives in graft.queries.{Catalog, DataCatalog}; every entry
@@ -9,12 +9,13 @@ import graft.queries.{Catalog, DataCatalog, Q}
   * equivalent DuckDB oracle query. */
 object SparkEntry {
 
-  private val all: Seq[(String, Q)] = Catalog.entries ++ DataCatalog.entries
+  private val all: Seq[(String, Q)] =
+    Catalog.entries ++ DataCatalog.entries ++ MembersCatalog.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the J1 many-way assembly join (SURVEY §2.3 J1). */
+    * the composed members-by-club assembly (SURVEY §7.2). */
   def entry(spark: SparkSession): DataFrame =
-    Catalog.j1.build(spark, "/root/testdata/sf0.001")
+    MembersCatalog.mbr1.build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -16,16 +16,22 @@ object Merge {
   /** Upsert: `INSERT … ON CONFLICT(key) DO UPDATE` (`db/src/lib.rs:14`,
     * `db/src/user.rs:59-99` et al). Row exists in source → source wins;
     * else target survives. Implemented as full-outer join + per-column
-    * coalesce(source, target); both sides must share a schema. */
+    * pick; both sides must share a schema.
+    *
+    * NULL-key semantics match SQL unique constraints (and the oracle's
+    * plain `=` join): NULLs never conflict, so a NULL-key source row is
+    * an insert, never an update of a NULL-key target row. "Source wins"
+    * is decided by a non-null marker tagged on the source side — not by
+    * key null-ness — so it stays correct even for NULL-key rows. */
   def upsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = target.columns.toSeq
     val dataCols = cols.filterNot(keys.contains)
     val t = target.alias("t")
-    val s = source.alias("s")
-    val joined = t.join(s, keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _), "full_outer")
+    val s = source.withColumn("__src", lit(1)).alias("s")
+    val joined = t.join(s, keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _), "full_outer")
     val out = keys.map(k => coalesce(col(s"s.$k"), col(s"t.$k")).as(k)) ++
-      dataCols.map(c => when(keys.map(k => col(s"s.$k").isNotNull).reduce(_ && _),
-                             col(s"s.$c")).otherwise(col(s"t.$c")).as(c))
+      dataCols.map(c => when(col("s.__src").isNotNull, col(s"s.$c"))
+        .otherwise(col(s"t.$c")).as(c))
     joined.select(out: _*)
   }
 

@@ -86,17 +86,16 @@ object NearDup {
   /** Full MinHash-LSH near-dup pipeline: signatures (map) → bands →
     * band-join candidates → exact-Jaccard verify ≥ threshold.
     *
-    * Signatures and candidates are persisted eagerly: both are tiny
-    * (16 longs per doc; candidate pairs ≪ corpus), and without the
-    * barrier the band self-join + verify re-derive the signature subtree
-    * several times inside one action (measured 4× slower at sf0.1). At
-    * cluster scale this is the checkpoint-the-candidates pattern. */
+    * Signatures are persisted eagerly: they are tiny (16 longs per doc)
+    * and the band self-join would otherwise derive the signature subtree
+    * once per join side inside one action. Candidates flow straight into
+    * verification — they are consumed exactly once, so a persist there
+    * is a pure barrier cost. At cluster scale the persist becomes the
+    * checkpoint-the-signatures pattern. */
   def minhashLsh(docs: DataFrame, id: Column, text: Column, threshold: Double): DataFrame = {
     val sigs = minhashSigs(docs, id, text).persist()
     sigs.count()
-    val cand = candidates(bands(sigs)).persist()
-    cand.count()
-    jaccardPairs(cand, shingleArrays(docs, id, text))
+    jaccardPairs(candidates(bands(sigs)), shingleArrays(docs, id, text))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -108,11 +107,16 @@ object NearDup {
     * byte-banding (pigeonhole: dist ≤ 3 over 4 bands ⇒ ≥1 band equal) —
     * no all-pairs comparison. */
   def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
+    // Persist the banded signatures: both sides of the candidate
+    // self-join read them, and without the barrier each side recomputes
+    // every per-token signature. 4 small rows per doc — cache is cheap.
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key"))): _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.key"))
+      .persist()
+    banded.count()
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -125,16 +129,40 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** Brute-force n-gram Jaccard within a blocking key (the small-data /
-    * verification path; LSH is the scale path). */
+  /** Exact n-gram Jaccard within blocking keys via exploded-shingle
+    * co-group counting: intersections come from a self-join on
+    * (shingle, block) followed by a pair-count aggregate, so the bytes
+    * shuffled are one row per SHARED shingle — never a full pair
+    * matrix, never a replicated shingle array per candidate (the
+    * round-1 formulation; quadratic in block size). Pairs sharing zero
+    * shingles can't reach any threshold > 0, so skipping them is exact.
+    * Per-doc distinct-shingle rows and counts both come straight off
+    * `array_distinct` of the per-doc shingle array — map-only, no
+    * pre-join shuffle. At 100 TB the remaining scale lever is capping
+    * shingle document-frequency (a stop-shingle filter) before the
+    * self-join; the synthetic corpus doesn't need it. */
   def ngramJaccardBlocked(docs: DataFrame, id: Column, text: Column,
-      block: Column, threshold: Double): DataFrame = {
-    val d = docs.select(id.as("doc_id"), block.as("blk"), text.as("txt"))
-    val a = d.alias("a")
-    val b = d.alias("b")
-    val pairs = a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    jaccardPairs(pairs, shingleArrays(d, col("doc_id"), col("txt")))
+      blockCols: Seq[Column], threshold: Double, n: Int = 3): DataFrame = {
+    val blkNames = blockCols.indices.map(i => s"blk_$i")
+    val base = docs.select(
+      id.as("doc_id") +:
+        array_distinct(WordShingles.shingles(lower(text), n)).as("sh_set") +:
+        blockCols.zip(blkNames).map { case (c, nm) => c.as(nm) }: _*)
+    val sh = base.select(
+      col("doc_id") +: explode(col("sh_set")).as("sh") +: blkNames.map(col): _*)
+    val cnt = base.select(col("doc_id"), size(col("sh_set")).cast("long").as("n_sh"))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    val joinCond = blkNames.map(nm => col(s"a.$nm") === col(s"b.$nm"))
+      .foldLeft(col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))(_ && _)
+    val inter = a.join(b, joinCond)
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(cnt.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

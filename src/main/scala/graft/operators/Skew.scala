@@ -18,9 +18,18 @@ object Skew {
     * The shuffle key becomes (key, salt): a hot key spreads over nSalts
     * reducers instead of one. `saltOf` must be deterministic per row
     * (e.g. `pmod(hash(unique_id), nSalts)` — never rand(), which breaks
-    * retry idempotence). */
+    * retry idempotence).
+    *
+    * Only inner / left / left_semi / left_anti are legal: the small side
+    * is replicated nSalts times, so any join type that emits UNMATCHED
+    * small-side rows (right / full_outer) would duplicate each one per
+    * salt — silently wrong results. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltOf: Column, nSalts: Int, joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(jt),
+      s"saltedJoin: join type '$joinType' would duplicate unmatched " +
+        "replicated small-side rows; use inner/left/left_semi/left_anti")
     val saltedBig = big.withColumn("__salt", pmod(saltOf, lit(nSalts)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))

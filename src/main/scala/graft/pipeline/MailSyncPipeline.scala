@@ -42,13 +42,21 @@ object MailSyncPipeline {
       .withColumn("email",
         when(col("role") === "partner", concat(lit("partner+"), col("email")))
           .otherwise(col("email")))
-    // F2 id + F8 typed merge-field rendering (null propagates)
-    expanded.select(
+    // F2 id + F8 typed merge-field rendering driven by the declared
+    // catalog (MergeFieldCatalog.all): values dispatch on (Spark type ×
+    // declared MergeType), nulls skipped in the JSON (F9).
+    val withFields = expanded
+      .withColumn("bal", col("balance").cast("decimal(12,2)"))
+      .withColumn("joined",
+        date_add(lit("1995-01-01").cast("date"), (col("cust_id") % 1000).cast("int")))
+    withFields.select(
       F.memberIdForEmail(col("email")).as("id"),
       lower(col("email")).as("email"),
       lit("subscribed").as("status"),
-      to_json(struct(col("name").as("NAME"), col("balance").as("BAL"),
-        col("role").as("ROLE")), Map("ignoreNullFields" -> "true")).as("merge_json"),
+      graft.functions.MergeFieldRender.mergeJson(withFields,
+        graft.sources.MergeFieldCatalog.all, Map(
+          "NAME" -> col("name"), "BAL" -> col("bal"), "JOINED" -> col("joined"),
+          "ROLE" -> col("role"), "SEGMENT" -> col("segment"))).as("merge_json"),
       col("segment"), col("balance"))
   }
 
@@ -61,10 +69,10 @@ object MailSyncPipeline {
 
   def run(spark: SparkSession, dir: String, sink: AudienceSink): JobStats = {
     val rows = audienceRows(spark, dir).cache()
-    val upserted = sink.upsertMany(rows)        // S11
-    val deleted = sink.retain(upserted)         // S12
-    val tagOps = sink.updateTags(tagUpdates(rows)) // S13
+    val upserted = sink.upsertMany(rows)              // S11 (returns count)
+    val deleted = sink.retain(spark, rows.select("id")) // S12: keep set stays a DataFrame
+    val tagOps = sink.updateTags(tagUpdates(rows))    // S13
     rows.unpersist()
-    JobStats(upserted.size.toLong, deleted.toLong, tagOps.toLong)
+    JobStats(upserted, deleted, tagOps)
   }
 }

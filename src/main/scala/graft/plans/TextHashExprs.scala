@@ -30,15 +30,54 @@ object TextHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def hash60(seed: Int, s: String): Long = {
+  /** 2^31-1 (Mersenne prime) — the modulus of the affine MinHash
+    * permutations. Small enough that a·x+b stays < 2^62, so both JVM
+    * longs and DuckDB BIGINTs evaluate it exactly (DuckDB errors on
+    * 64-bit overflow, so the arithmetic must never approach it). */
+  val MersenneP = 2147483647L
+
+  /** Affine permutation parameters for minhash h: x ↦ (aₕ·x + bₕ) mod P.
+    * aₕ is never 0 mod P: P is prime, 2654435761 ≢ 0 (mod P), and
+    * 2h+1 < P. The same formulas are inlined in the DuckDB oracle SQL. */
+  def permA(h: Int): Long = ((2L * h + 1L) * 2654435761L) % MersenneP
+  def permB(h: Int): Long = (h * 40503L + 12345L) % MersenneP
+
+  // Memoizes md5-prefix hashes per task thread. Token/shingle streams are
+  // Zipfian, so most lookups hit; the cap bounds worst-case heap (the
+  // big-heap G1 environment the bench runs in punishes allocation churn).
+  private val cacheTL = new ThreadLocal[java.util.HashMap[String, java.lang.Long]] {
+    override def initialValue(): java.util.HashMap[String, java.lang.Long] =
+      new java.util.HashMap(1 << 14)
+  }
+
+  private def md5Prefix60(key: String): Long = {
     val d = md.get()
     d.reset()
-    val bytes = d.digest((seed.toString + "|" + s).getBytes("UTF-8"))
+    val bytes = d.digest(key.getBytes("UTF-8"))
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  private def cachedHash(key: String): Long = {
+    val m = cacheTL.get()
+    val hit = m.get(key)
+    if (hit != null) hit.longValue()
+    else {
+      val v = md5Prefix60(key)
+      if (m.size >= (1 << 17)) m.clear()
+      m.put(key, java.lang.Long.valueOf(v))
+      v
+    }
+  }
+
+  def hash60(seed: Int, s: String): Long = cachedHash(seed.toString + "|" + s)
+
+  /** Seedless base hash: first 15 hex chars of md5(s) as a 60-bit long
+    * (DuckDB twin: ('0x'||substr(md5(s),1,15))::BIGINT). One digest per
+    * shingle; the per-permutation variety is derived arithmetically. */
+  def baseHash60(s: String): Long = cachedHash(s)
 
   def tokens(text: String): Array[String] = text.trim.split("\\s+")
 
@@ -65,27 +104,37 @@ object TextHash {
 /** array<long> of `numHashes` MinHash values over word-`n`-gram shingles;
   * NULL when the document has fewer than n tokens (matching the oracle,
   * where such docs simply have no shingle rows). Min over the shingle
-  * multiset equals min over the distinct set, so no dedup is needed. */
+  * multiset equals min over the distinct set, so no dedup is needed.
+  *
+  * One md5 digest per shingle: hₕ(s) = (aₕ·(base(s) mod P) + bₕ) mod P —
+  * the classic universal-hash MinHash family. The round-1 formulation
+  * (a full digest per shingle PER hash function, 16×) was the dominant
+  * CPU cost of the near-dup bench queries. */
 case class MinHashSigs(child: Expression, numHashes: Int, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val as: Array[Long] = Array.tabulate(numHashes)(TextHash.permA)
+  private lazy val bs: Array[Long] = Array.tabulate(numHashes)(TextHash.permB)
 
   override protected def nullSafeEval(input: Any): Any = {
     val sh = TextHash.shingles(input.asInstanceOf[UTF8String].toString, n)
     if (sh.isEmpty) null
     else {
+      val p = TextHash.MersenneP
       val mins = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < sh.length) {
+        val x = TextHash.baseHash60(sh(i)) % p
         var h = 0
         while (h < numHashes) {
-          val v = TextHash.hash60(h, sh(i))
+          val v = (as(h) * x + bs(h)) % p
           if (v < mins(h)) mins(h) = v
           h += 1
         }
         i += 1
       }
-      new GenericArrayData(mins.map(java.lang.Long.valueOf): Array[Any])
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
     }
   }
   override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)

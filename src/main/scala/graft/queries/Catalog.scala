@@ -602,6 +602,42 @@ object Catalog {
       "FROM (SELECT *, CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE " +
       "DATE '1995-01-01' + CAST(c_custkey % 1000 AS INT) END AS joined FROM customer)" + OBA))
 
+  // F8b the full typed merge-field DISPATCH: (value × declared MergeType)
+  // → one JSON object per member, declaration-ordered, null fields
+  // skipped (F9), mismatches erroring at plan time
+  // (mailchimp/src/merge_fields.rs:272-365). The oracle rebuilds the
+  // exact Jackson byte stream: declared key order, decimal scale
+  // preserved, date/birthday format dispatch, null keys dropped.
+  val f8b = Q(
+    (s, d) => {
+      val joined = when(col("c_custkey") % 7 === 0, lit(null).cast("date"))
+        .otherwise(date_add(lit("1995-01-01").cast("date"), (col("c_custkey") % 1000).cast("int")))
+      val df = customer(s, d).select(col("c_custkey").as("cust_id"),
+        col("c_name").as("name"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"),
+        joined.as("joined"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("date"))
+          .otherwise(joined).as("bday"),
+        col("c_mktsegment").as("segment"))
+      ordered(df.select(col("cust_id"),
+        graft.functions.MergeFieldRender.mergeJson(df,
+          graft.sources.MergeFieldCatalog.all, Map(
+            "NAME" -> col("name"), "BAL" -> col("bal"), "JOINED" -> col("joined"),
+            "BDAY" -> col("bday"), "SEGMENT" -> col("segment"))).as("merge_json")))
+    },
+    Some("SELECT cust_id, '{\"NAME\":\"' || name || '\"' || " +
+      "CASE WHEN bal IS NULL THEN '' ELSE ',\"BAL\":' || CAST(bal AS VARCHAR) END || " +
+      "CASE WHEN joined IS NULL THEN '' ELSE ',\"JOINED\":\"' || strftime(joined, '%Y-%m-%d') || '\"' END || " +
+      "CASE WHEN bday IS NULL THEN '' ELSE ',\"BDAY\":\"' || strftime(bday, '%m/%d') || '\"' END || " +
+      "',\"SEGMENT\":\"' || segment || '\"}' AS merge_json FROM (" +
+      "SELECT c_custkey AS cust_id, c_name AS name, " +
+      "CAST(c_acctbal AS DECIMAL(12,2)) AS bal, " +
+      "CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE " +
+      "DATE '1995-01-01' + CAST(c_custkey % 1000 AS INT) END AS joined, " +
+      "CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE (CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE " +
+      "DATE '1995-01-01' + CAST(c_custkey % 1000 AS INT) END) END AS bday, " +
+      "c_mktsegment AS segment FROM customer)" + OBA))
+
   // F10 tag derivation: per-entity boolean tags exploded to rows
   // (ddb/src/members.rs:833-861).
   val f10 = Q(
@@ -786,7 +822,7 @@ object Catalog {
     "f1_email_id_hash" -> f1, "f2_md5_member_id" -> f2,
     "f4_split_trim" -> f4, "f5_cast_family" -> f5,
     "f7_enum_decode" -> f7, "f8_merge_field_render" -> f8,
-    "f10_tag_derivation" -> f10,
+    "f8b_typed_dispatch" -> f8b, "f10_tag_derivation" -> f10,
     "s8_upsert_merge" -> s8, "s9_composite_upsert" -> s9,
     "s10_retain_gc" -> s10, "s12_audience_retain" -> s12,
     "s14_schema_diff" -> s14,

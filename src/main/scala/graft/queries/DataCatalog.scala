@@ -30,11 +30,16 @@ object DataCatalog {
       "WHERE rn = 1" + OBA))
 
   // D2 MinHash+LSH near-dup pairs (shingle → 16 minhashes → 4 bands →
-  // band-join candidates → exact-Jaccard verify ≥ 0.5).
+  // band-join candidates → exact-Jaccard verify ≥ 0.5). MinHash h is the
+  // affine universal hash (aₕ·x + bₕ) mod 2³¹-1 over ONE md5-derived base
+  // hash per shingle (TextHash.permA/permB twins) — a single digest per
+  // shingle instead of one per shingle per hash function.
   val d2 = Q(
     (s, d) => ordered(NearDup.minhashLsh(documents(s, d), col("doc_id"), col("text"), 0.5)),
     Some(ShinglesCte + ", " +
-      "mins AS (SELECT doc_id, h, min(('0x' || substr(md5(h::VARCHAR || '|' || sh), 1, 15))::BIGINT) AS mh " +
+      "mins AS (SELECT doc_id, h, min(((((2*h+1)*2654435761) % 2147483647) * " +
+      "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
+      "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
       "FROM sh, unnest(range(0, 16)) t(h) GROUP BY doc_id, h), " +
       "sigs AS (SELECT doc_id, h // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY h) AS sig " +
       "FROM mins GROUP BY doc_id, h // 4), " +
@@ -69,13 +74,15 @@ object DataCatalog {
       "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand " +
       "WHERE bit_count(xor(sa, sb)) <= 3" + OBA))
 
-  // D4 n-gram Jaccard brute force, blocked by (lang, source) — the
-  // small-data twin of D2. The block bounds the quadratic: lang alone
-  // gives O((N/5)²) pairs whose shingle-array join shuffles ~15 GB at
-  // sf0.1; lang×source keeps blocks ~50 docs.
+  // D4 n-gram Jaccard, blocked by (lang, source) — the exact small-data
+  // twin of D2. Intersections come from exploded-shingle co-group
+  // counting (one shuffled row per SHARED shingle), never a materialized
+  // pair matrix or replicated shingle arrays; the block columns join
+  // directly (null-safe vs the round-1 concat_ws key, which skipped
+  // nulls and was separator-ambiguous).
   val d4 = Q(
     (s, d) => ordered(NearDup.ngramJaccardBlocked(documents(s, d),
-      col("doc_id"), col("text"), concat_ws("|", col("lang"), col("source")), 0.5)),
+      col("doc_id"), col("text"), Seq(col("lang"), col("source")), 0.5)),
     Some("WITH d AS (SELECT doc_id, lang, source FROM documents), " +
       "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
       "FROM documents), " +

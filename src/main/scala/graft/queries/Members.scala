@@ -1,0 +1,471 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Drupal-shaped EAV fixture derived deterministically from the TPC-H
+  * testdata (SURVEY §1.1: the reference's source schema is Drupal's
+  * one-table-per-attribute storage). Every "table" here is a pure
+  * projection of one driver parquet table, so the DuckDB oracle rebuilds
+  * the identical fixture from identical inputs:
+  *
+  *   orders   → membership paragraphs + their attribute tables
+  *              (club target, join/leave date, membership class) and the
+  *              user→paragraph link tables (home-club / affiliate /
+  *              intraclub), Drupal-style string flags ('0'/'1') included
+  *   customer → users_field_data + the z_member_search_main profile
+  *              (synthetic email, birthday, personal_status, partner)
+  *   nation   → club nodes (+ club number attribute, region link)
+  *   region   → region nodes (+ region number attribute)
+  *
+  * Keys: paragraph_id = o_orderkey, uid = o_custkey = c_custkey,
+  * club_nid = n_nationkey, region nid = r_regionkey.
+  */
+object DrupalFixture {
+
+  /** paragraphs_item_field_data: one membership paragraph per order. */
+  def paragraphs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("paragraph_id"),
+      col("o_custkey").as("uid"),
+      when(col("o_orderkey") % 37 === 0, "0").otherwise("1").as("status"),
+      when(col("o_orderkey") % 11 === 0, "ssp_international_membership")
+        .otherwise("membership").as("ptype"))
+
+  /** paragraph__field_club (EAV attribute). */
+  def paraClub(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("entity_id"),
+      (col("o_orderkey") % 25).cast("long").as("club_target"),
+      when(col("o_orderkey") % 41 === 0, "1").otherwise("0").as("deleted"))
+
+  /** paragraph__field_join_date (EAV attribute; o_orderdate is
+    * timestamp[ms] in the parquet — normalize to DATE on both engines,
+    * the reference's DATE(field_join_date_value) convention). */
+  def paraJoin(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("entity_id"),
+      to_date(col("o_orderdate")).as("join_dt"),
+      lit("0").as("deleted"))
+
+  /** paragraph__field_leave_date (EAV attribute); NULL = open-ended. */
+  def paraLeave(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("entity_id"),
+      when(col("o_orderkey") % 5 === 0, lit(null).cast("date"))
+        .otherwise(date_add(to_date(col("o_orderdate")), 1460)).as("leave_dt"),
+      lit("0").as("deleted"))
+
+  /** paragraph__field_membership_class (EAV attribute; sparse). */
+  def paraClass(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") % 6 =!= 0).select(
+      col("o_orderkey").as("entity_id"),
+      (col("o_orderkey") % 4).cast("long").as("class_tid"),
+      lit("0").as("deleted"))
+
+  /** taxonomy_term_field_data for membership classes (decode dim). */
+  def classTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq((0L, "Lifetime"), (1L, "Charter"), (2L, "Honorary"), (3L, "Student"))
+      .toDF("tid", "name")
+  }
+
+  private def userLink(s: SparkSession, d: String, rem: Int): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") % 3 === rem).select(
+      col("o_custkey").as("entity_id"),
+      col("o_orderkey").as("target_id"),
+      when(col("o_orderkey") % 43 === 0, "1").otherwise("0").as("deleted"))
+
+  /** user__field_home_club / user__field_memberships (affiliate) /
+    * user__field_intraclub_memberships: link tables deciding which
+    * paragraphs count as home/affiliate/intraclub memberships. */
+  def userHomeClub(s: SparkSession, d: String): DataFrame = userLink(s, d, 0)
+  def userAffClub(s: SparkSession, d: String): DataFrame = userLink(s, d, 1)
+  def userIntraClub(s: SparkSession, d: String): DataFrame =
+    userLink(s, d, 2).filter(col("target_id") % 2 === 0)
+
+  /** user__field_primary_member: marks partner-record users (excluded
+    * from member output — they ride along on the primary's row). */
+  def userPrimaryMember(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") % 17 === 0).select(
+      col("c_custkey").as("entity_id"),
+      (col("c_custkey") - 1).as("primary_target"))
+
+  /** users_field_data. */
+  def users(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").as("uid"),
+      when(col("c_custkey") % 13 === 0, 0).otherwise(1).as("status"),
+      (lit(915148800L) + col("c_custkey") * 3600).as("login"))
+
+  /** z_member_search_main: the wide member profile view. */
+  def profile(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").as("user_id"),
+      substring(col("c_name"), 1, 8).as("first_name"),
+      substring(col("c_name"), 10, 18).as("last_name"),
+      graft.functions.F.synthEmail(col("c_name"), col("c_custkey")).as("email"),
+      date_add(lit("1950-01-01").cast("date"),
+        (col("c_custkey") % 18250).cast("int")).as("birthdate"),
+      when(col("c_mktsegment") === "BUILDING", "947")
+        .when(col("c_mktsegment") === "AUTOMOBILE", "951")
+        .when(col("c_mktsegment") === "MACHINERY", "1099")
+        .when(col("c_mktsegment") === "FURNITURE", "300")
+        .otherwise("400").as("personal_status_id"),
+      when(col("c_custkey") % 2 === 0, col("c_custkey") + 1)
+        .otherwise(lit(null).cast("long")).as("partner_user_id"))
+
+  /** node_field_data for clubs (nid = nation key). */
+  def clubNodes(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(
+      col("n_nationkey").cast("long").as("nid"),
+      col("n_name").as("title"),
+      col("n_regionkey").cast("long").as("regionkey"))
+
+  /** node__field_club_number (EAV attribute on club nodes). */
+  def clubNumber(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(
+      col("n_nationkey").cast("long").as("entity_id"),
+      (col("n_nationkey") + 100).cast("long").as("club_number"))
+
+  /** node__field_region (club → region link). */
+  def clubRegion(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(
+      col("n_nationkey").cast("long").as("entity_id"),
+      col("n_regionkey").cast("long").as("region_target"),
+      lit("0").as("deleted"))
+
+  /** node__field_region_number (EAV attribute on region nodes). */
+  def regionNumber(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select(
+      col("r_regionkey").cast("long").as("entity_id"),
+      (col("r_regionkey") + 10).cast("long").as("region_number"))
+
+  /** v_brns: per-user sorted comma-joined BRN list (string_agg twin). */
+  def brns(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(array_join(array_sort(collect_set(col("o_orderkey").cast("string"))), ",")
+        .as("brns_values"))
+}
+
+/** The composed flagship: `aci-ddb members by-club <uid>` re-expressed as
+  * ONE Catalyst plan — scope semi-join (J5) → EAV membership assembly
+  * (J1) → date-window filters (P6) → flags rollup (A2) → active-pick
+  * argmax (J7, deterministic min-paragraph tie-break per the reference's
+  * own MIN(paragraph_id) history convention, SURVEY §7.4.1) → wide
+  * projection with enum decode + NULL placeholders (P1/F7) → priority
+  * dedup regular-over-affiliate keyed on email (A6).
+  *
+  * Mirrors `ddb/src/members.rs` FETCH_CLUB_MEMBERS_QUERY (:362-524) and
+  * dedupe_members (:16-55). Signatures mirror the reference public fns
+  * (`ddb/src/members.rs:7-38`).
+  *
+  * Scale shape: the orders-derived EAV attribute joins co-shuffle on
+  * paragraph_id (one key), flags is one hash shuffle on uid, all club /
+  * region / taxonomy dims are broadcast, and the scope list is a
+  * broadcast semi-join — the fact side shuffles twice (paragraph_id,
+  * uid) regardless of corpus size.
+  */
+object Members {
+  import DrupalFixture._
+
+  /** All current members (no scope restriction). */
+  def all(s: SparkSession, d: String, asOf: String = Catalog.AsOf): DataFrame =
+    assemble(s, d, scope = None, asOf)
+
+  /** Members of one club. */
+  def byClub(s: SparkSession, d: String, clubNid: Long,
+      asOf: String = Catalog.AsOf): DataFrame =
+    assemble(s, d, Some((Some(clubNid), None)), asOf)
+
+  /** Members of every club in a region. */
+  def byRegion(s: SparkSession, d: String, regionNid: Long,
+      asOf: String = Catalog.AsOf): DataFrame =
+    assemble(s, d, Some((None, Some(regionNid))), asOf)
+
+  /** Point lookups over the assembled members (reference by_uid/by_email,
+    * `ddb/src/members.rs:57-79`). */
+  def byUid(s: SparkSession, d: String, uid: Long): DataFrame =
+    all(s, d).filter(col("uid") === uid)
+  def byEmail(s: SparkSession, d: String, email: String): DataFrame =
+    all(s, d).filter(col("email") === email)
+
+  private def assemble(s: SparkSession, d: String,
+      scope: Option[(Option[Long], Option[Long])], asOf: String): DataFrame = {
+    val asOfD = lit(asOf).cast("date")
+
+    // ---- acp: scoped, date-windowed membership paragraphs ----
+    val p = paragraphs(s, d).filter(col("status") === "1" && col("ptype") === "membership")
+    val pc = paraClub(s, d).filter(col("deleted") === "0")
+      .select(col("entity_id"), col("club_target"))
+    val fjd = paraJoin(s, d).filter(col("deleted") === "0")
+      .select(col("entity_id"), col("join_dt"))
+    val fld = paraLeave(s, d).filter(col("deleted") === "0")
+      .select(col("entity_id"), col("leave_dt"))
+
+    val acpAll = p
+      .join(pc, col("paragraph_id") === pc("entity_id")).drop("entity_id")
+      .join(fjd, col("paragraph_id") === fjd("entity_id"), "left").drop("entity_id")
+      .join(fld, col("paragraph_id") === fld("entity_id"), "left").drop("entity_id")
+      .filter(col("join_dt").isNotNull && col("join_dt") <= asOfD &&
+        (col("leave_dt").isNull || col("leave_dt") >= asOfD))
+
+    // Scope: club branch UNION ALL region-expansion branch, exactly the
+    // reference's parameterized IN-subquery (NULL param → empty branch).
+    val acp = scope match {
+      case None => acpAll
+      case Some((clubNid, regionNid)) =>
+        val clubLit = clubNid.map(v => lit(v)).getOrElse(lit(null)).cast("long")
+        val regionLit = regionNid.map(v => lit(v)).getOrElse(lit(null)).cast("long")
+        val one = s.range(1).select(clubLit.as("club_nid"))
+          .filter(col("club_nid").isNotNull)
+        val regionClubs = clubRegion(s, d)
+          .filter(col("deleted") === "0" && col("region_target") === regionLit)
+          .select(col("entity_id").as("club_nid"))
+        val scopeDf = one.unionByName(regionClubs)
+        acpAll.join(broadcast(scopeDf), col("club_target") === col("club_nid"), "left_semi")
+    }
+
+    // ---- flags: per-user membership-kind rollup (A2) ----
+    val uhc = userHomeClub(s, d).filter(col("deleted") === "0")
+    val uac = userAffClub(s, d).filter(col("deleted") === "0")
+    val uic = userIntraClub(s, d).filter(col("deleted") === "0")
+    def flagJoin(links: DataFrame, nm: String): DataFrame =
+      links.select(col("entity_id").as(s"${nm}_uid"), col("target_id").as(s"${nm}_pid"),
+        lit(1).as(s"${nm}_hit"))
+    val flags = acp
+      .join(flagJoin(uhc, "uhc"), col("uid") === col("uhc_uid") &&
+        col("paragraph_id") === col("uhc_pid"), "left")
+      .join(flagJoin(uac, "uac"), col("uid") === col("uac_uid") &&
+        col("paragraph_id") === col("uac_pid"), "left")
+      .join(flagJoin(uic, "uic"), col("uid") === col("uic_uid") &&
+        col("paragraph_id") === col("uic_pid"), "left")
+      .groupBy(col("uid"))
+      .agg(
+        greatest(max(coalesce(col("uhc_hit"), lit(0))),
+          max(coalesce(col("uic_hit"), lit(0)))).as("member_flag"),
+        max(coalesce(col("uac_hit"), lit(0))).as("affiliate_flag"),
+        max(col("join_dt")).as("latest_join_date"),
+        max(col("leave_dt")).as("latest_expiration_date"))
+
+    // ---- active_pick: latest membership paragraph per user (J7),
+    // deterministic tie-break on lowest paragraph_id ----
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("uid")).orderBy(col("join_dt").desc, col("paragraph_id").asc)
+    val activePick = acp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("uid").as("ap_uid"), col("paragraph_id").as("ap_pid"),
+        col("club_target").as("ap_club"))
+
+    // ---- wide assembly ----
+    val u = users(s, d)
+    val md = profile(s, d)
+    val pm = userPrimaryMember(s, d)
+      .select(col("entity_id").as("pm_uid"), lit(1).as("pm_hit"))
+    val mc = paraClass(s, d).filter(col("deleted") === "0")
+      .select(col("entity_id").as("mc_pid"), col("class_tid"))
+    val ttd = classTerms(s, d)
+    val nclub = clubNodes(s, d)
+    val cnum = clubNumber(s, d)
+    val cr = clubRegion(s, d).filter(col("deleted") === "0")
+    val rnum = regionNumber(s, d)
+    val brn = brns(s, d)
+    val pu = users(s, d).select(col("uid").as("pu_uid"), col("login").as("pu_login"))
+    val pprof = profile(s, d).select(col("user_id").as("pp_uid"),
+      col("first_name").as("pp_first"), col("last_name").as("pp_last"),
+      col("email").as("pp_email"), col("birthdate").as("pp_birth"))
+
+    val assembled = flags
+      .join(u, Seq("uid"))
+      .join(md, col("uid") === col("user_id")).drop("user_id")
+      .join(pm, col("uid") === col("pm_uid"), "left").drop("pm_uid")
+      .join(activePick, col("uid") === col("ap_uid"), "left").drop("ap_uid")
+      .join(mc, col("ap_pid") === col("mc_pid"), "left").drop("mc_pid")
+      .join(broadcast(ttd), col("class_tid") === col("tid"), "left").drop("tid")
+      .join(broadcast(nclub), col("ap_club") === col("nid"), "left")
+      .join(broadcast(cnum), col("ap_club") === cnum("entity_id"), "left").drop("entity_id")
+      .join(broadcast(cr.select(col("entity_id").as("cr_club"),
+        col("region_target"))), col("ap_club") === col("cr_club"), "left").drop("cr_club")
+      .join(broadcast(rnum.select(col("entity_id").as("rn_region"),
+        col("region_number"))), col("region_target") === col("rn_region"), "left")
+      .drop("rn_region")
+      .join(brn, col("uid") === col("user_id"), "left").drop("user_id")
+      .join(pu, col("partner_user_id") === col("pu_uid"), "left").drop("pu_uid")
+      .join(pprof, col("partner_user_id") === col("pp_uid"), "left").drop("pp_uid")
+      .filter(col("personal_status_id").isin("947", "951", "1099") &&
+        col("pm_hit").isNull &&
+        (col("member_flag") === 1 || col("affiliate_flag") === 1))
+      .select(
+        col("uid"),
+        to_date(from_unixtime(col("login"))).as("last_login"),
+        col("first_name"), col("last_name"), col("email"),
+        col("birthdate").as("birthday"),
+        lit(null).cast("string").as("pass"),
+        lit(null).cast("string").as("gender"),
+        lit(null).cast("string").as("race_tid"),
+        lit(null).cast("string").as("communication_preference"),
+        lit(null).cast("string").as("member_notes"),
+        (col("status") === 1).as("active"),
+        when(col("member_flag") === 1, "regular")
+          .when(col("affiliate_flag") === 1, "affiliate")
+          .otherwise(lit(null).cast("string")).as("member_type"),
+        coalesce(col("name"), lit("Regular")).as("member_class"),
+        col("personal_status_id").as("member_status"),
+        col("latest_join_date").as("join_date"),
+        col("latest_expiration_date").as("expiration_date"),
+        col("club_number"),
+        col("nid").as("club_uid"),
+        col("title").as("club_name"),
+        col("region_number").as("club_region"),
+        col("region_target").as("club_region_uid"),
+        col("brns_values").as("brns"),
+        col("partner_user_id").as("partner_uid"),
+        to_date(from_unixtime(col("pu_login"))).as("partner_last_login"),
+        col("pp_first").as("partner_first_name"),
+        col("pp_last").as("partner_last_name"),
+        col("pp_email").as("partner_email"),
+        col("pp_birth").as("partner_birthday"))
+
+    // ---- dedupe_members (A6): regulars beat affiliates per email;
+    // deterministic uid tie-break (the reference HashMap is arbitrary,
+    // SURVEY §7.4.1) ----
+    val dw = org.apache.spark.sql.expressions.Window.partitionBy(col("email"))
+      .orderBy(when(col("member_type") === "regular", 0).otherwise(1).asc, col("uid").asc)
+    assembled.withColumn("ddrn", row_number().over(dw)).filter(col("ddrn") === 1).drop("ddrn")
+  }
+}
+
+/** Catalog entries for the composed flagship, with the DuckDB oracle
+  * rebuilt CTE-for-CTE from the same parquet fixtures. */
+object MembersCatalog {
+
+  /** The oracle twin of Members.assemble, parameterized the same way the
+    * reference binds (club_nid, region_nid). */
+  private def membersSql(club: Option[Long], region: Option[Long]): String = {
+    val clubLit = club.map(_.toString).getOrElse("NULL")
+    val regionLit = region.map(_.toString).getOrElse("NULL")
+    val scope =
+      if (club.isEmpty && region.isEmpty) ""
+      else s"AND pc.club_target IN (SELECT club_nid FROM " +
+        s"(SELECT CAST($clubLit AS BIGINT) AS club_nid) WHERE club_nid IS NOT NULL " +
+        s"UNION ALL SELECT CAST(n_nationkey AS BIGINT) FROM nation " +
+        s"WHERE CAST(n_regionkey AS BIGINT) = CAST($regionLit AS BIGINT)) "
+    "WITH p AS (SELECT o_orderkey AS paragraph_id, o_custkey AS uid, " +
+      "CASE WHEN o_orderkey % 37 = 0 THEN '0' ELSE '1' END AS status, " +
+      "CASE WHEN o_orderkey % 11 = 0 THEN 'ssp_international_membership' ELSE 'membership' END AS ptype " +
+      "FROM orders), " +
+      "pc AS (SELECT o_orderkey AS entity_id, CAST(o_orderkey % 25 AS BIGINT) AS club_target, " +
+      "CASE WHEN o_orderkey % 41 = 0 THEN '1' ELSE '0' END AS deleted FROM orders), " +
+      "fjd AS (SELECT o_orderkey AS entity_id, CAST(o_orderdate AS DATE) AS join_dt FROM orders), " +
+      "fld AS (SELECT o_orderkey AS entity_id, CASE WHEN o_orderkey % 5 = 0 THEN NULL " +
+      "ELSE CAST(o_orderdate AS DATE) + 1460 END AS leave_dt FROM orders), " +
+      "acp AS (SELECT p.uid, p.paragraph_id, pc.club_target, fjd.join_dt, fld.leave_dt " +
+      "FROM p JOIN pc ON pc.entity_id = p.paragraph_id AND pc.deleted = '0' " +
+      "LEFT JOIN fjd ON fjd.entity_id = p.paragraph_id " +
+      "LEFT JOIN fld ON fld.entity_id = p.paragraph_id " +
+      "WHERE p.status = '1' AND p.ptype = 'membership' " +
+      "AND fjd.join_dt IS NOT NULL AND fjd.join_dt <= DATE '" + Catalog.AsOf + "' " +
+      "AND (fld.leave_dt IS NULL OR fld.leave_dt >= DATE '" + Catalog.AsOf + "') " +
+      scope + "), " +
+      "uhc AS (SELECT o_custkey AS entity_id, o_orderkey AS target_id FROM orders " +
+      "WHERE o_orderkey % 3 = 0 AND o_orderkey % 43 <> 0), " +
+      "uac AS (SELECT o_custkey AS entity_id, o_orderkey AS target_id FROM orders " +
+      "WHERE o_orderkey % 3 = 1 AND o_orderkey % 43 <> 0), " +
+      "uic AS (SELECT o_custkey AS entity_id, o_orderkey AS target_id FROM orders " +
+      "WHERE o_orderkey % 3 = 2 AND o_orderkey % 2 = 0 AND o_orderkey % 43 <> 0), " +
+      "flags AS (SELECT a.uid, " +
+      "GREATEST(MAX(CASE WHEN uhc.entity_id IS NOT NULL THEN 1 ELSE 0 END), " +
+      "MAX(CASE WHEN uic.entity_id IS NOT NULL THEN 1 ELSE 0 END)) AS member_flag, " +
+      "MAX(CASE WHEN uac.entity_id IS NOT NULL THEN 1 ELSE 0 END) AS affiliate_flag, " +
+      "MAX(a.join_dt) AS latest_join_date, MAX(a.leave_dt) AS latest_expiration_date " +
+      "FROM acp a " +
+      "LEFT JOIN uhc ON uhc.entity_id = a.uid AND uhc.target_id = a.paragraph_id " +
+      "LEFT JOIN uac ON uac.entity_id = a.uid AND uac.target_id = a.paragraph_id " +
+      "LEFT JOIN uic ON uic.entity_id = a.uid AND uic.target_id = a.paragraph_id " +
+      "GROUP BY a.uid), " +
+      "active_pick AS (SELECT uid, paragraph_id, club_target FROM (" +
+      "SELECT uid, paragraph_id, club_target, row_number() OVER (" +
+      "PARTITION BY uid ORDER BY join_dt DESC, paragraph_id ASC) AS rn FROM acp) WHERE rn = 1), " +
+      "u AS (SELECT c_custkey AS uid, CASE WHEN c_custkey % 13 = 0 THEN 0 ELSE 1 END AS status, " +
+      "915148800 + c_custkey * 3600 AS login FROM customer), " +
+      "md AS (SELECT c_custkey AS user_id, substr(c_name, 1, 8) AS first_name, " +
+      "substr(c_name, 10, 18) AS last_name, " +
+      "replace(lower(c_name), '#', '.') || CASE WHEN c_custkey % 10 = 0 " +
+      "THEN '@example.com' ELSE '@acme.org' END AS email, " +
+      "DATE '1950-01-01' + CAST(c_custkey % 18250 AS INTEGER) AS birthdate, " +
+      "CASE c_mktsegment WHEN 'BUILDING' THEN '947' WHEN 'AUTOMOBILE' THEN '951' " +
+      "WHEN 'MACHINERY' THEN '1099' WHEN 'FURNITURE' THEN '300' ELSE '400' END AS personal_status_id, " +
+      "CASE WHEN c_custkey % 2 = 0 THEN c_custkey + 1 END AS partner_user_id FROM customer), " +
+      "pm AS (SELECT c_custkey AS pm_uid FROM customer WHERE c_custkey % 17 = 0), " +
+      "mc AS (SELECT o_orderkey AS mc_pid, CAST(o_orderkey % 4 AS BIGINT) AS class_tid " +
+      "FROM orders WHERE o_orderkey % 6 <> 0), " +
+      "ttd AS (SELECT CAST(tid AS BIGINT) AS tid, name FROM (VALUES (0, 'Lifetime'), " +
+      "(1, 'Charter'), (2, 'Honorary'), (3, 'Student')) t(tid, name)), " +
+      "nclub AS (SELECT CAST(n_nationkey AS BIGINT) AS nid, n_name AS title FROM nation), " +
+      "cnum AS (SELECT CAST(n_nationkey AS BIGINT) AS cn_club, " +
+      "CAST(n_nationkey + 100 AS BIGINT) AS club_number FROM nation), " +
+      "cr AS (SELECT CAST(n_nationkey AS BIGINT) AS cr_club, " +
+      "CAST(n_regionkey AS BIGINT) AS region_target FROM nation), " +
+      "rnum AS (SELECT CAST(r_regionkey AS BIGINT) AS rn_region, " +
+      "CAST(r_regionkey + 10 AS BIGINT) AS region_number FROM region), " +
+      "brn AS (SELECT user_id, string_agg(v, ',' ORDER BY v) AS brns_values FROM (" +
+      "SELECT DISTINCT o_custkey AS user_id, CAST(o_orderkey AS VARCHAR) AS v FROM orders " +
+      "WHERE o_orderpriority = '1-URGENT') GROUP BY user_id), " +
+      "assembled AS (SELECT u.uid, (to_timestamp(u.login))::DATE AS last_login, " +
+      "md.first_name, md.last_name, md.email, md.birthdate AS birthday, " +
+      "CAST(NULL AS VARCHAR) AS pass, CAST(NULL AS VARCHAR) AS gender, " +
+      "CAST(NULL AS VARCHAR) AS race_tid, CAST(NULL AS VARCHAR) AS communication_preference, " +
+      "CAST(NULL AS VARCHAR) AS member_notes, u.status = 1 AS active, " +
+      "CASE WHEN flags.member_flag = 1 THEN 'regular' " +
+      "WHEN flags.affiliate_flag = 1 THEN 'affiliate' END AS member_type, " +
+      "COALESCE(ttd.name, 'Regular') AS member_class, " +
+      "md.personal_status_id AS member_status, " +
+      "flags.latest_join_date AS join_date, flags.latest_expiration_date AS expiration_date, " +
+      "cnum.club_number, nclub.nid AS club_uid, nclub.title AS club_name, " +
+      "rnum.region_number AS club_region, cr.region_target AS club_region_uid, " +
+      "brn.brns_values AS brns, md.partner_user_id AS partner_uid, " +
+      "(to_timestamp(pu.login))::DATE AS partner_last_login, " +
+      "pp.first_name AS partner_first_name, pp.last_name AS partner_last_name, " +
+      "pp.email AS partner_email, pp.birthdate AS partner_birthday " +
+      "FROM flags JOIN u ON u.uid = flags.uid JOIN md ON md.user_id = u.uid " +
+      "LEFT JOIN pm ON pm.pm_uid = u.uid " +
+      "LEFT JOIN active_pick ap ON ap.uid = u.uid " +
+      "LEFT JOIN mc ON mc.mc_pid = ap.paragraph_id " +
+      "LEFT JOIN ttd ON ttd.tid = mc.class_tid " +
+      "LEFT JOIN nclub ON nclub.nid = ap.club_target " +
+      "LEFT JOIN cnum ON cnum.cn_club = ap.club_target " +
+      "LEFT JOIN cr ON cr.cr_club = ap.club_target " +
+      "LEFT JOIN rnum ON rnum.rn_region = cr.region_target " +
+      "LEFT JOIN brn ON brn.user_id = u.uid " +
+      "LEFT JOIN u pu ON pu.uid = md.partner_user_id " +
+      "LEFT JOIN md pp ON pp.user_id = md.partner_user_id " +
+      "WHERE md.personal_status_id IN ('947', '951', '1099') " +
+      "AND pm.pm_uid IS NULL AND (flags.member_flag = 1 OR flags.affiliate_flag = 1)) " +
+      "SELECT uid, last_login, first_name, last_name, email, birthday, pass, gender, " +
+      "race_tid, communication_preference, member_notes, active, member_type, member_class, " +
+      "member_status, join_date, expiration_date, club_number, club_uid, club_name, " +
+      "club_region, club_region_uid, brns, partner_uid, partner_last_login, " +
+      "partner_first_name, partner_last_name, partner_email, partner_birthday " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY email ORDER BY " +
+      "CASE WHEN member_type = 'regular' THEN 0 ELSE 1 END ASC, uid ASC) AS ddrn " +
+      "FROM assembled) WHERE ddrn = 1 ORDER BY ALL NULLS FIRST"
+  }
+
+  val mbr1 = Q(
+    (s, d) => Catalog.ordered(Members.byClub(s, d, 7L)),
+    Some(membersSql(Some(7L), None)))
+
+  val mbr2 = Q(
+    (s, d) => Catalog.ordered(Members.byRegion(s, d, 2L)),
+    Some(membersSql(None, Some(2L))))
+
+  val mbr3 = Q(
+    (s, d) => Catalog.ordered(Members.all(s, d)),
+    Some(membersSql(None, None)))
+
+  val entries: Seq[(String, Q)] = Seq(
+    "mbr1_members_by_club" -> mbr1,
+    "mbr2_members_by_region" -> mbr2,
+    "mbr3_members_all" -> mbr3)
+}

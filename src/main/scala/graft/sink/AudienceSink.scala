@@ -3,7 +3,8 @@ package graft.sink
 import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Audience-style sink with the reference's Mailchimp semantics
   * (SURVEY §2.1 S11–S13), emulated over an in-JVM "service" so the
@@ -13,12 +14,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   *    per batch (`mailchimp/src/members.rs:130-134` — 500 documented as
   *    timing out), bounded sink-side parallelism via `repartition(n)`
   *    (reference: 8 concurrent batches), per-batch retry with exponential
-  *    backoff capped at 5 s (`mailchimp/src/lib.rs:331-364`); returns the
-  *    upserted id set for the subsequent retain.
+  *    backoff capped at 5 s (`mailchimp/src/lib.rs:331-364`).
   *  - S12 `retain`: delete audience rows whose id is NOT in the keep set,
   *    never touching `cleaned` members (`mailchimp/src/members.rs:68-97`).
-  *  - S13 `updateTags`: per-member tag-state updates applied in chunks of
-  *    1000 (`mailchimp/src/members.rs:249-274`).
+  *    The keep set is a DataFrame and the doomed set is a distributed
+  *    anti-join (Merge.retainDeletes); deletes are pushed from executors
+  *    in batches. Nothing member-shaped ever lands on the driver — at a
+  *    10⁸-member audience the driver only sees counts.
+  *  - S13 `updateTags`: per-member tag-state updates applied from
+  *    executors in chunks of 1000 (`mailchimp/src/members.rs:249-274`),
+  *    same partition-parallel shape as S11.
   *
   * The executor-side closure captures only the sink id (a string); state
   * lives in a static registry — exactly where the real HTTP endpoint
@@ -37,14 +42,37 @@ object AudienceSink {
   private val registry = new ConcurrentHashMap[String, State]()
   def state(id: String): State = registry.computeIfAbsent(id, _ => new State)
 
+  private def maybeFail(st: State): Unit =
+    if (st.failNextAttempts.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new java.io.IOException("transient sink error (injected)")
+
   /** Transport boundary: a real implementation POSTs the batch here. */
   private[sink] def postBatch(sinkId: String,
       rows: Seq[(String, String, String, String)]): Unit = {
     val st = state(sinkId)
-    if (st.failNextAttempts.getAndUpdate(n => math.max(0, n - 1)) > 0)
-      throw new java.io.IOException("transient sink error (injected)")
+    maybeFail(st)
     rows.foreach { case (id, email, status, merge) =>
       st.members.put(id, (email, status, merge))
+    }
+  }
+
+  /** Transport boundary for the S12 batch DELETE. */
+  private[sink] def deleteBatch(sinkId: String, ids: Seq[String]): Unit = {
+    val st = state(sinkId)
+    maybeFail(st)
+    ids.foreach { id => st.members.remove(id); st.tags.remove(id) }
+  }
+
+  /** Transport boundary for the S13 tag POST. */
+  private[sink] def postTagBatch(sinkId: String,
+      updates: Seq[(String, String, Boolean)]): Unit = {
+    val st = state(sinkId)
+    maybeFail(st)
+    updates.foreach { case (id, tag, active) =>
+      st.tags.compute(id, (_, cur) => {
+        val s = Option(cur).getOrElse(Set.empty[String])
+        if (active) s + tag else s - tag
+      })
     }
   }
 
@@ -77,42 +105,61 @@ final class AudienceSink(val sinkId: String, batchSize: Int = 300,
   def injectTransientFailures(n: Int): Unit =
     state(sinkId).failNextAttempts.set(n)
 
-  /** S11: df(id, email, status, merge_json) → set of upserted ids. */
-  def upsertMany(df: DataFrame): Set[String] = {
+  /** The audience "list members" endpoint as a DataFrame (id, status).
+    * Production shape: the paged DSv2 scan (graft.sources
+    * .AudienceDataSource) — a distributed, column-pruned page fan-out.
+    * The in-JVM emulation snapshots the registry service-side; the
+    * PIPELINE never collects it. */
+  def membersDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    state(sinkId).members.asScala.toSeq
+      .map { case (id, (_, status, _)) => (id, status) }
+      .toDF("id", "status")
+  }
+
+  /** S11: df(id, email, status, merge_json) upserted from executors in
+    * ≤batchSize chunks; returns the upserted count (stats only — the
+    * keep set for S12 stays a DataFrame on the caller's side). */
+  def upsertMany(df: DataFrame): Long = {
     val (sid, bs, retries) = (sinkId, batchSize, maxRetries)
-    df.select("id", "email", "status", "merge_json")
-      .repartition(sinkPartitions)
+    val data = df.select("id", "email", "status", "merge_json")
+    data.repartition(sinkPartitions)
       .foreachPartition { it: Iterator[Row] =>
         it.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
           .grouped(bs)
           .foreach(batch => withRetry(retries)(postBatch(sid, batch)))
       }
-    df.select("id").distinct().collect().map(_.getString(0)).toSet
+    data.count()
   }
 
-  /** S12: delete members not in `keep`, excluding cleaned. Returns count. */
-  def retain(keep: Set[String]): Int = {
-    val st = state(sinkId)
-    val toDelete = st.members.asScala.collect {
-      case (id, (_, status, _)) if status != "cleaned" && !keep.contains(id) => id
-    }.toSeq
-    toDelete.foreach { id => st.members.remove(id); st.tags.remove(id) }
-    toDelete.size
-  }
-
-  /** S13: apply (id, tag, active) updates in chunks of 1000. */
-  def updateTags(updates: DataFrame): Int = {
-    val st = state(sinkId)
-    val rows = updates.select("id", "tag", "active").collect()
-    rows.grouped(1000).foreach { chunk =>
-      chunk.foreach { r =>
-        val (id, tag, active) = (r.getString(0), r.getString(1), r.getBoolean(2))
-        st.tags.compute(id, (_, cur) => {
-          val s = Option(cur).getOrElse(Set.empty[String])
-          if (active) s + tag else s - tag
-        })
-      }
+  /** S12: delete members not in `keep` (a DataFrame of ids), excluding
+    * cleaned — the doomed set is a distributed anti-join and the deletes
+    * are executor-side batches. Returns the deleted count. */
+  def retain(spark: SparkSession, keep: DataFrame): Long = {
+    val (sid, bs, retries) = (sinkId, batchSize, maxRetries)
+    val doomed = graft.operators.Merge.retainDeletes(
+        membersDf(spark), keep.select(col(keep.columns.head).as("id")), Seq("id"),
+        exempt = Some(col("status") === "cleaned"))
+      .select("id").persist()
+    val n = doomed.count() // D6 stats; also materializes before mutation
+    doomed.repartition(sinkPartitions).foreachPartition { it: Iterator[Row] =>
+      it.map(_.getString(0)).grouped(bs)
+        .foreach(ids => withRetry(retries)(deleteBatch(sid, ids)))
     }
-    rows.length
+    doomed.unpersist()
+    n
+  }
+
+  /** S13: (id, tag, active) updates applied from executors in chunks of
+    * 1000. Returns the number of tag operations. */
+  def updateTags(updates: DataFrame): Long = {
+    val (sid, retries) = (sinkId, maxRetries)
+    val data = updates.select("id", "tag", "active")
+    data.repartition(sinkPartitions).foreachPartition { it: Iterator[Row] =>
+      it.map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+        .grouped(1000)
+        .foreach(chunk => withRetry(retries)(postTagBatch(sid, chunk)))
+    }
+    data.count()
   }
 }

@@ -30,11 +30,16 @@ class AudienceDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     AudienceDataSource.FullSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // getTable receives the ORIGINAL-case options map (DataSourceV2Utils
+    // passes options.asCaseSensitiveMap()), so camelCase user options
+    // like pageSize would miss a lowercase lookup — normalize first.
+    val opts = new CaseInsensitiveStringMap(properties)
     new AudienceTable(
-      properties.getOrDefault("total", "1000").toLong,
-      properties.getOrDefault("pagesize", "300").toInt,
-      properties.getOrDefault("concurrency", "10").toInt)
+      opts.getLong("total", 1000L),
+      opts.getInt("pageSize", 300),
+      opts.getInt("concurrency", 10))
+  }
 }
 
 object AudienceDataSource {

@@ -23,7 +23,7 @@ class ExprParitySpec extends AnyFunSuite {
         s"mismatch for '$s' seed $seed")
   }
 
-  test("MinHashSigs == groupBy-min of portableHash60 over shingle rows") {
+  test("MinHashSigs == groupBy-min of affine-permuted base hash over shingle rows") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
       (1L, "one two three four five six"),
@@ -31,10 +31,14 @@ class ExprParitySpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val native = NearDup.minhashSigs(docs, col("doc_id"), col("text"), 4)
       .as[(Long, Seq[Long])].collect().toMap
+    val p = TextHash.MersenneP
+    def perm(h: Int) = {
+      val base = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long") % p
+      (lit(TextHash.permA(h)) * base + lit(TextHash.permB(h))) % p
+    }
     val sh = NearDup.shingles(docs, col("doc_id"), col("text"))
     val sqlWay = sh.groupBy(col("doc_id"))
-      .agg(min(F.portableHash60(col("sh"), 0)).as("m0"),
-        (1 until 4).map(h => min(F.portableHash60(col("sh"), h)).as(s"m$h")): _*)
+      .agg(min(perm(0)).as("m0"), (1 until 4).map(h => min(perm(h)).as(s"m$h")): _*)
       .as[(Long, Long, Long, Long, Long)].collect()
       .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
     assert(native == sqlWay)

@@ -39,14 +39,14 @@ class SinkSourceSpec extends AnyFunSuite {
       (f"m$i%03d", s"u$i@x.org", if (i % 10 == 0) "cleaned" else "subscribed", "{}"))
       .toDF("id", "email", "status", "merge_json")
     val upserted = sink.upsertMany(members)
-    assert(upserted.size == 95 && sink.size == 95)
+    assert(upserted == 95 && sink.size == 95)
 
     // second sync keeps only even ids → odds deleted EXCEPT cleaned ones
-    val keep = (0 until 95 by 2).map(i => f"m$i%03d").toSet
-    val deleted = sink.retain(keep)
+    val keep = (0 until 95 by 2).map(i => f"m$i%03d")
+    val deleted = sink.retain(spark, keep.toDF("id"))
     val survivors = sink.allIds
     assert(deleted == 95 - keep.size - /* odd cleaned don't exist: cleaned are %10==0 (even) */ 0)
-    assert(keep.subsetOf(survivors))
+    assert(keep.toSet.subsetOf(survivors))
 
     val tagUpdates = Seq(("m000", "member", true), ("m000", "lapsed", false),
       ("m002", "lapsed", true)).toDF("id", "tag", "active")
@@ -61,7 +61,7 @@ class SinkSourceSpec extends AnyFunSuite {
     val members = (0 until 100).map(i => (s"r$i", s"r$i@x.org", "subscribed", "{}"))
       .toDF("id", "email", "status", "merge_json")
     val upserted = sink.upsertMany(members)
-    assert(upserted.size == 100 && sink.size == 100)
+    assert(upserted == 100 && sink.size == 100)
   }
 
   test("audience sink retain semantics mirror cleaned-exclusion") {
@@ -70,7 +70,7 @@ class SinkSourceSpec extends AnyFunSuite {
       ("a", "a@x.org", "subscribed", "{}"),
       ("b", "b@x.org", "cleaned", "{}"),
       ("c", "c@x.org", "subscribed", "{}")).toDF("id", "email", "status", "merge_json"))
-    val n = sink.retain(Set("a"))
+    val n = sink.retain(spark, Seq("a").toDF("id"))
     assert(n == 1)                       // only c deleted
     assert(sink.allIds == Set("a", "b")) // cleaned b spared
   }
@@ -111,6 +111,14 @@ class DataSourceV2Spec extends AnyFunSuite {
     .format("graft.sources.AudienceDataSource")
     .option("total", total).option("pageSize", 300)
     .load()
+
+  test("DSv2 camelCase options are honored (non-default pageSize)") {
+    // getTable receives the original-case map; a lowercase-only lookup
+    // silently ignored pageSize (masked when it equaled the default)
+    val df = spark.read.format("graft.sources.AudienceDataSource")
+      .option("total", 1000).option("pageSize", 100).load()
+    assert(df.rdd.getNumPartitions == 10) // ceil(1000/100) pages
+  }
 
   test("DSv2 audience source: full scan, one partition per page") {
     val df = read(1000)
