@@ -10,7 +10,8 @@ import graft.queries.{Catalog, DataCatalog, MembersCatalog, Q}
 object SparkEntry {
 
   private val all: Seq[(String, Q)] =
-    Catalog.entries ++ DataCatalog.entries ++ MembersCatalog.entries
+    Catalog.entries ++ DataCatalog.entries ++ MembersCatalog.entries ++
+      graft.queries.DdbCatalog.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the composed members-by-club assembly (SURVEY §7.2). */

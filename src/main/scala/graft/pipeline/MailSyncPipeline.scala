@@ -60,6 +60,62 @@ object MailSyncPipeline {
       col("segment"), col("balance"))
   }
 
+  /** Audience rows for a scoped JOB: members come from the composed
+    * Members queries (by_club / by_region / all — exactly the reference's
+    * `Job::db_members`, `sync-mail/src/mailchimp.rs:170-180`), partner
+    * records expand to their own audience row sharing the membership
+    * merge fields (`ddb/src/members.rs:887-895`, SURVEY §7.4.7), and the
+    * merge JSON renders from the job's declared catalog (club jobs use
+    * the club subset — `Job::merge_fields`, mailchimp.rs:182-189). */
+  def audienceRowsFor(spark: SparkSession, dir: String, job: SyncJob): DataFrame = {
+    val members = job.club.map(c => graft.queries.Members.byClub(spark, dir, c))
+      .orElse(job.region.map(r => graft.queries.Members.byRegion(spark, dir, r)))
+      .getOrElse(graft.queries.Members.all(spark, dir))
+    val catalog = if (job.club.isDefined) graft.sources.MergeFieldCatalog.club
+                  else graft.sources.MergeFieldCatalog.all
+    memberAudienceRows(members, catalog)
+  }
+
+  /** Member rows → audience rows: primary + partner expansion, email
+    * validity (P10), dedup on normalized email, catalog-driven F8
+    * render. Keeps `role` for tag derivation. */
+  def memberAudienceRows(members: DataFrame,
+      catalog: Seq[graft.sources.MergeField]): DataFrame = {
+    val primary = members.select(
+      col("email"),
+      concat_ws(" ", col("first_name"), col("last_name")).as("name"),
+      col("birthday").as("bday"), col("join_date").as("joined"),
+      coalesce(col("member_type"), lit("member")).as("role"),
+      col("member_class").as("segment"))
+    val partner = members.filter(col("partner_email").isNotNull).select(
+      col("partner_email").as("email"),
+      concat_ws(" ", col("partner_first_name"), col("partner_last_name")).as("name"),
+      col("partner_birthday").as("bday"), col("join_date").as("joined"),
+      lit("partner").as("role"), col("member_class").as("segment"))
+    val valid = primary.unionByName(partner).filter(F.isValidEmail(col("email")))
+    val deduped = Dedup.keepOneByKey(valid, Seq(lower(col("email"))),
+      Seq(col("role"), col("name")))
+    deduped.select(
+      F.memberIdForEmail(col("email")).as("id"),
+      lower(col("email")).as("email"),
+      lit("subscribed").as("status"),
+      graft.functions.MergeFieldRender.mergeJson(deduped, catalog, Map(
+        "NAME" -> col("name"), "JOINED" -> col("joined"), "BDAY" -> col("bday"),
+        "ROLE" -> col("role"), "SEGMENT" -> col("segment"))).as("merge_json"),
+      col("role"))
+  }
+
+  /** Tag updates for member-based audience rows (F10): membership-kind
+    * tags mirror the reference's member/partner tagging (both partner
+    * rows get the same updates, ddb/src/members.rs:811-831). */
+  def memberTagUpdates(rows: DataFrame): DataFrame =
+    rows.select(col("id"), explode(array(
+        struct(lit("partner").as("tag"), (col("role") === "partner").as("active")),
+        struct(lit("affiliate").as("tag"), (col("role") === "affiliate").as("active")),
+        struct(lit("member").as("tag"), (col("role") === "regular").as("active"))))
+        .as("t"))
+      .select(col("id"), col("t.tag").as("tag"), col("t.active").as("active"))
+
   /** F10 tag derivation per audience row. */
   def tagUpdates(rows: DataFrame): DataFrame =
     rows.select(col("id"), explode(array(
