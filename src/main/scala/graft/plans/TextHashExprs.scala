@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,15 +14,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * The composable formulations (explode → md5 per shingle-row → groupBy
   * with 16/32 aggregates) are correct but shuffle one row per
   * token/shingle and interpret scalar lambdas per element; these
-  * expressions do the whole per-document computation in one `eval` with
+  * expressions do the whole per-document computation in one call with
   * zero shuffle, which is the shape that survives 100 TB: signatures are
   * a pure map over the corpus, and only candidate pairs (orders of
   * magnitude fewer) ever move.
   *
+  * Each expression has real `doGenCode` (FloatDotProduct pattern): the
+  * generated code calls the static per-row kernels below, so the
+  * expressions stay inside WholeStageCodegen spans — no CodegenFallback
+  * boxing or per-row virtual eval dispatch.
+  *
   * Numeric contract shared with graft.functions.F.portableHash60 and the
-  * DuckDB oracle: h(seed, s) = first 15 hex chars of md5("seed|s") as a
-  * 60-bit long — computed here as (first 8 md5 bytes as big-endian
-  * long) >>> 4, which is exactly the 15-hex-char prefix value.
+  * DuckDB oracle: base(s) = first 15 hex chars of md5(s) as a 60-bit
+  * long; minhash h = (aₕ·(base mod P) + bₕ) mod P with P = 2³¹-1.
   */
 object TextHash {
   private val md = new ThreadLocal[java.security.MessageDigest] {
@@ -99,36 +103,35 @@ object TextHash {
       out
     }
   }
-}
 
-/** array<long> of `numHashes` MinHash values over word-`n`-gram shingles;
-  * NULL when the document has fewer than n tokens (matching the oracle,
-  * where such docs simply have no shingle rows). Min over the shingle
-  * multiset equals min over the distinct set, so no dedup is needed.
-  *
-  * One md5 digest per shingle: hₕ(s) = (aₕ·(base(s) mod P) + bₕ) mod P —
-  * the classic universal-hash MinHash family. The round-1 formulation
-  * (a full digest per shingle PER hash function, 16×) was the dominant
-  * CPU cost of the near-dup bench queries. */
-case class MinHashSigs(child: Expression, numHashes: Int, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // ---- static per-row kernels, called from generated code ----
 
-  private lazy val as: Array[Long] = Array.tabulate(numHashes)(TextHash.permA)
-  private lazy val bs: Array[Long] = Array.tabulate(numHashes)(TextHash.permB)
+  /** Shingle array as Catalyst ArrayData (WordShingles kernel). */
+  def shingleKernel(input: UTF8String, n: Int): ArrayData = {
+    val sh = shingles(input.toString, n)
+    val out = new Array[Any](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = UTF8String.fromString(sh(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val sh = TextHash.shingles(input.asInstanceOf[UTF8String].toString, n)
+  /** MinHash signature array, or null for docs with < n tokens (matching
+    * the oracle, where such docs simply have no shingle rows). Min over
+    * the shingle multiset equals min over the distinct set. One md5 per
+    * shingle + numHashes affine permutations (the round-1 digest-per-
+    * hash-function version was the dominant CPU cost of the bench). */
+  def minhashKernel(input: UTF8String, numHashes: Int, n: Int): ArrayData = {
+    val sh = shingles(input.toString, n)
     if (sh.isEmpty) null
     else {
-      val p = TextHash.MersenneP
+      val p = MersenneP
       val mins = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < sh.length) {
-        val x = TextHash.baseHash60(sh(i)) % p
+        val x = baseHash60(sh(i)) % p
         var h = 0
         while (h < numHashes) {
-          val v = (as(h) * x + bs(h)) % p
+          val v = (permA(h) * x + permB(h)) % p
           if (v < mins(h)) mins(h) = v
           h += 1
         }
@@ -137,22 +140,15 @@ case class MinHashSigs(child: Expression, numHashes: Int, n: Int)
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
     }
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
-}
 
-/** SimHash signature: every token (with multiplicity) votes ±1 on each of
-  * `bits` bit positions of its hash; bit b of the result is 1 iff the
-  * vote sum is positive. */
-case class SimHashSig(child: Expression, bits: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = TextHash.tokens(input.asInstanceOf[UTF8String].toString)
+  /** SimHash: every token (with multiplicity) votes ±1 per bit position
+    * of its hash; bit b of the result is 1 iff the vote sum is positive. */
+  def simhashKernel(input: UTF8String, bits: Int, seed: Int): Long = {
+    val toks = tokens(input.toString)
     val votes = new Array[Int](bits)
     var i = 0
     while (i < toks.length) {
-      val h = TextHash.hash60(seed, toks(i))
+      val h = hash60(seed, toks(i))
       var b = 0
       while (b < bits) { votes(b) += (((h >>> b) & 1L).toInt * 2) - 1; b += 1 }
       i += 1
@@ -160,20 +156,25 @@ case class SimHashSig(child: Expression, bits: Int, seed: Int)
     var sig = 0L
     var b = 0
     while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(sig)
+    sig
   }
-  override protected def withNewChildInternal(c: Expression): SimHashSig = copy(child = c)
-}
 
-/** Exact Jaccard similarity of two shingle arrays as distinct sets:
-  * |A∩B| / (|A|+|B|-|A∩B|); NULL when both sets are empty. */
-case class ArrayJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
+  /** Position-weighted polynomial token fingerprint. */
+  def fingerprintKernel(input: UTF8String): Long = {
+    val toks = tokens(input.toString)
+    var s = 0L
+    var i = 0
+    while (i < toks.length) {
+      s += (hash60(7, toks(i)) % 1000003L) * (i + 1)
+      i += 1
+    }
+    s
+  }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    def distinct(x: Any): java.util.HashSet[UTF8String] = {
-      val arr = x.asInstanceOf[ArrayData]
+  /** Exact distinct-set Jaccard of two shingle arrays; null (boxed) when
+    * both sets are empty. */
+  def jaccardKernel(a: ArrayData, b: ArrayData): java.lang.Double = {
+    def distinct(arr: ArrayData): java.util.HashSet[UTF8String] = {
       val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
       var i = 0
       while (i < arr.numElements()) { s.add(arr.getUTF8String(i)); i += 1 }
@@ -191,27 +192,80 @@ case class ArrayJaccard(left: Expression, right: Expression)
       java.lang.Double.valueOf(inter.toDouble / (na + nb - inter))
     }
   }
+}
+
+/** array<long> of `numHashes` MinHash values over word-`n`-gram shingles;
+  * NULL when the document has fewer than n tokens. */
+case class MinHashSigs(child: Expression, numHashes: Int, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // < n tokens → null signature
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashKernel(input.asInstanceOf[UTF8String], numHashes, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"""
+       |${ev.value} = graft.plans.TextHash.minhashKernel($in, $numHashes, $n);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
+}
+
+/** 64-bit-packed SimHash signature over whitespace tokens. */
+case class SimHashSig(child: Expression, bits: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      TextHash.simhashKernel(input.asInstanceOf[UTF8String], bits, seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextHash.simhashKernel($in, $bits, $seed);")
+
+  override protected def withNewChildInternal(c: Expression): SimHashSig = copy(child = c)
+}
+
+/** Exact Jaccard similarity of two shingle arrays as distinct sets:
+  * |A∩B| / (|A|+|B|-|A∩B|); NULL when both sets are empty. */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // both-empty → null
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaccardKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("jac")
+      s"""
+         |java.lang.Double $boxed = graft.plans.TextHash.jaccardKernel($a, $b);
+         |${ev.isNull} = $boxed == null;
+         |${ev.value} = ${ev.isNull} ? -1.0 : $boxed.doubleValue();
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayJaccard =
     copy(left = l, right = r)
 }
 
 /** Position-weighted polynomial token fingerprint: sum over tokens of
-  * (hash60(7, tok) mod 1000003) * position(1-based), as a long — the
-  * per-row native twin of the aggregate(zip_with(...)) formulation. */
+  * (hash60(7, tok) mod 1000003) * position(1-based), as a long. */
 case class TokenFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = TextHash.tokens(input.asInstanceOf[UTF8String].toString)
-    var s = 0L
-    var i = 0
-    while (i < toks.length) {
-      s += (TextHash.hash60(7, toks(i)) % 1000003L) * (i + 1)
-      i += 1
-    }
-    java.lang.Long.valueOf(s)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(TextHash.fingerprintKernel(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextHash.fingerprintKernel($in);")
+
   override protected def withNewChildInternal(c: Expression): TokenFingerprint = copy(child = c)
 }
 

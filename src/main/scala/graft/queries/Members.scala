@@ -235,6 +235,13 @@ object Members {
     def flagJoin(links: DataFrame, nm: String): DataFrame =
       links.select(col("entity_id").as(s"${nm}_uid"), col("target_id").as(s"${nm}_pid"),
         lit(1).as(s"${nm}_hit"))
+    // One hash aggregate on uid computes BOTH the flags rollup (A2) and
+    // the active-pick argmax (J7): the pick is max over
+    // (join_dt, -paragraph_id) structs — latest join date, lowest
+    // paragraph_id tie-break, identical to the oracle's
+    // row_number() OVER (ORDER BY join_dt DESC, paragraph_id ASC) = 1 —
+    // so the acp subtree is consumed once and the plan has a single
+    // uid shuffle instead of window + re-join.
     val flags = acp
       .join(flagJoin(uhc, "uhc"), col("uid") === col("uhc_uid") &&
         col("paragraph_id") === col("uhc_pid"), "left")
@@ -248,15 +255,9 @@ object Members {
           max(coalesce(col("uic_hit"), lit(0)))).as("member_flag"),
         max(coalesce(col("uac_hit"), lit(0))).as("affiliate_flag"),
         max(col("join_dt")).as("latest_join_date"),
-        max(col("leave_dt")).as("latest_expiration_date"))
-
-    // ---- active_pick: latest membership paragraph per user (J7),
-    // deterministic tie-break on lowest paragraph_id ----
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("uid")).orderBy(col("join_dt").desc, col("paragraph_id").asc)
-    val activePick = acp.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("uid").as("ap_uid"), col("paragraph_id").as("ap_pid"),
-        col("club_target").as("ap_club"))
+        max(col("leave_dt")).as("latest_expiration_date"),
+        max(struct(col("join_dt"), (-col("paragraph_id")).as("neg_pid"),
+          col("paragraph_id"), col("club_target"))).as("pick"))
 
     // ---- wide assembly ----
     val u = users(s, d)
@@ -277,10 +278,12 @@ object Members {
       col("email").as("pp_email"), col("birthdate").as("pp_birth"))
 
     val assembled = flags
+      .withColumn("ap_pid", col("pick.paragraph_id"))
+      .withColumn("ap_club", col("pick.club_target"))
+      .drop("pick")
       .join(u, Seq("uid"))
       .join(md, col("uid") === col("user_id")).drop("user_id")
       .join(pm, col("uid") === col("pm_uid"), "left").drop("pm_uid")
-      .join(activePick, col("uid") === col("ap_uid"), "left").drop("ap_uid")
       .join(mc, col("ap_pid") === col("mc_pid"), "left").drop("mc_pid")
       .join(broadcast(ttd), col("class_tid") === col("tid"), "left").drop("tid")
       .join(broadcast(nclub), col("ap_club") === col("nid"), "left")
