@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * collect, no driver materialization. */
 object Bench {
   val headline: Seq[String] = Seq(
-    "mbr1_members_by_club", "mbr3_members_all",
+    "mbr1_members_by_club", "mbr3_members_all", "mh1_membership_history",
     "j1_assembly_join", "j2_selfjoin_alias", "j7_argmax_latest",
     "j12_salted_join", "a1_minpick_dedup", "a6_priority_dedup",
     "a10_stats_agg", "s8_upsert_merge", "s10_retain_gc", "eav2_assembly",

@@ -18,15 +18,36 @@ import graft.operators.{Dedup, Merge}
   * reference orders them for FK integrity (§7.4.6); the parallelism lives
   * inside each distributed write, not across them.
   */
-final class SyncPipeline(spark: SparkSession) {
+final class SyncPipeline(spark: SparkSession, storeDir: Option[String] = None) {
   import scala.collection.mutable
   private val store = mutable.LinkedHashMap[String, DataFrame]()
   private val stats = mutable.LinkedHashMap[String, SyncStats]()
+  private val versions = mutable.HashMap[String, Int]().withDefaultValue(0)
 
   def table(name: String): DataFrame = store(name)
   def statsMap: Map[String, SyncStats] = stats.toMap
 
   def init(name: String, df: DataFrame): Unit = store(name) = df
+
+  /** Materialize a table state. With `storeDir` set this is
+    * WRITE-TABLE-THEN-SWAP: the merged state lands in a fresh versioned
+    * parquet directory and the current pointer swaps to it only after
+    * the write action succeeds — fault-tolerant (a failed write leaves
+    * the previous version intact) and replayable, exactly the
+    * transactional shape the reference gets from Postgres
+    * (`db/src/lib.rs:31-75`); at cluster scale the pointer swap is a
+    * metastore/table-format commit. Without `storeDir` (unit-test mode)
+    * it falls back to `localCheckpoint` — executor-block-pinned and NOT
+    * fault-tolerant, fine only for ephemeral fixtures. */
+  private def materialize(name: String, df: DataFrame): DataFrame = storeDir match {
+    case Some(dir) =>
+      val v = versions(name) + 1
+      versions(name) = v
+      val path = s"$dir/$name/v$v"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path) // swap: the store now points at the new version
+    case None => df.localCheckpoint(eager = true)
+  }
 
   /** Upsert `source` into table `name` on `keys`, recording stats. */
   def load(name: String, source: DataFrame, keys: Seq[String]): Unit = {
@@ -35,10 +56,7 @@ final class SyncPipeline(spark: SparkSession) {
       case Some(target) => Merge.upsert(target, source, keys)
       case None         => source
     }
-    // Materialize so downstream FK filters see the loaded state and the
-    // lineage doesn't grow unboundedly across pipeline stages.
-    val mat = merged.localCheckpoint(eager = true)
-    store(name) = mat
+    store(name) = materialize(name, merged)
     stats(name) = SyncStats(upserted = source.count(), deleted = 0,
       duration = (System.nanoTime() - t0) / 1e9)
   }
@@ -49,7 +67,7 @@ final class SyncPipeline(spark: SparkSession) {
     val t0 = System.nanoTime()
     val target = store(name)
     val deleted = Merge.retainDeletes(target, keep, keys).count()
-    store(name) = Merge.retain(target, keep, keys).localCheckpoint(eager = true)
+    store(name) = materialize(name, Merge.retain(target, keep, keys))
     val prev = stats.getOrElse(name, SyncStats(0, 0, 0))
     stats(name) = prev.copy(deleted = prev.deleted + deleted,
       duration = prev.duration + (System.nanoTime() - t0) / 1e9)
@@ -71,10 +89,12 @@ final case class SyncStats(upserted: Long, deleted: Long, duration: Double)
 
 object SyncPipeline {
   /** Demo DAG over the testdata star schema, exercising the full load/GC
-    * protocol: dims before facts (FK order), GC leaf-first. */
-  def runDemo(spark: SparkSession, dir: String): SyncPipeline = {
+    * protocol: dims before facts (FK order), GC leaf-first. Pass
+    * `storeDir` for the fault-tolerant write-then-swap store. */
+  def runDemo(spark: SparkSession, dir: String,
+      storeDir: Option[String] = None): SyncPipeline = {
     import graft.sources.Tables._
-    val p = new SyncPipeline(spark)
+    val p = new SyncPipeline(spark, storeDir)
     val cust = customer(spark, dir).select(col("c_custkey").as("id"),
       col("c_name").as("name"), col("c_nationkey").cast("long").as("nation"))
     val ord = orders(spark, dir).select(col("o_orderkey").as("id"),

@@ -192,6 +192,84 @@ object Members {
   def byEmail(s: SparkSession, d: String, email: String): DataFrame =
     all(s, d).filter(col("email") === email)
 
+  /** Full membership history for portal sync — one row per membership
+    * paragraph, NO date filtering, deduped on (user, club, join_date,
+    * member_type) keeping the lowest paragraph_id
+    * (`ddb/src/members.rs:103-110` + FETCH_MEMBERSHIP_HISTORY_QUERY,
+    * `:192-260`). member_type precedence: home-club → regular,
+    * intraclub → intraclub, affiliate → affiliate, else regular. */
+  def historyAll(s: SparkSession, d: String): DataFrame = {
+    val p = paragraphs(s, d).filter(col("status") === "1" && col("ptype") === "membership")
+    val pc = paraClub(s, d).filter(col("deleted") === "0")
+      .select(col("entity_id"), col("club_target"))
+    val fjd = paraJoin(s, d).select(col("entity_id"), col("join_dt"))
+    val fld = paraLeave(s, d).select(col("entity_id"), col("leave_dt"))
+    val mc = paraClass(s, d).filter(col("deleted") === "0")
+      .select(col("entity_id").as("mc_pid"), col("class_tid"))
+    val md = profile(s, d).select(col("user_id"), col("partner_user_id"))
+    def link(df: DataFrame, nm: String): DataFrame =
+      df.filter(col("deleted") === "0")
+        .select(col("target_id").as(s"${nm}_pid"), lit(1).as(s"${nm}_hit"))
+    val all = p
+      .join(pc, col("paragraph_id") === pc("entity_id")).drop("entity_id")
+      .join(fjd, col("paragraph_id") === fjd("entity_id")).drop("entity_id")
+      .join(fld, col("paragraph_id") === fld("entity_id"), "left").drop("entity_id")
+      .join(mc, col("paragraph_id") === col("mc_pid"), "left").drop("mc_pid")
+      .join(broadcast(classTerms(s, d)), col("class_tid") === col("tid"), "left").drop("tid")
+      .join(link(userHomeClub(s, d), "uhc"), col("paragraph_id") === col("uhc_pid"), "left")
+      .join(link(userAffClub(s, d), "uac"), col("paragraph_id") === col("uac_pid"), "left")
+      .join(link(userIntraClub(s, d), "uic"), col("paragraph_id") === col("uic_pid"), "left")
+      .join(md, col("uid") === col("user_id"), "left").drop("user_id")
+      .filter(col("join_dt").isNotNull &&
+        (col("uhc_hit").isNotNull || col("uac_hit").isNotNull || col("uic_hit").isNotNull))
+      .select(col("paragraph_id"), col("uid").as("user_uid"),
+        col("partner_user_id").as("partner_uid"),
+        col("club_target").as("club_uid"),
+        coalesce(col("name"), lit("Regular")).as("member_class"),
+        when(col("uhc_hit").isNotNull, "regular")
+          .when(col("uic_hit").isNotNull, "intraclub")
+          .when(col("uac_hit").isNotNull, "affiliate")
+          .otherwise("regular").as("member_type"),
+        col("join_dt").as("join_date"), col("leave_dt").as("leave_date"))
+    val pick = all.groupBy(col("user_uid"), col("club_uid"), col("join_date"),
+        col("member_type"))
+      .agg(min(col("paragraph_id")).as("paragraph_id"))
+      .select("paragraph_id")
+    all.join(pick, Seq("paragraph_id"), "left_semi")
+  }
+
+  /** International membership history (`ssp_international_membership`
+    * paragraphs; club is NULL), deduped on (user_uid, join_date) keeping
+    * the lowest paragraph_id (`ddb/src/members.rs:131-189`). */
+  def internationalHistoryAll(s: SparkSession, d: String): DataFrame = {
+    val p = paragraphs(s, d)
+      .filter(col("status") === "1" && col("ptype") === "ssp_international_membership")
+    val fjd = paraJoin(s, d).select(col("entity_id"), col("join_dt"))
+    val fld = paraLeave(s, d).select(col("entity_id"), col("leave_dt"))
+    val mc = paraClass(s, d).filter(col("deleted") === "0")
+      .select(col("entity_id").as("mc_pid"), col("class_tid"))
+    val md = profile(s, d).select(col("user_id"), col("partner_user_id"))
+    val all = p
+      .join(fjd, col("paragraph_id") === fjd("entity_id")).drop("entity_id")
+      .join(fld, col("paragraph_id") === fld("entity_id"), "left").drop("entity_id")
+      .join(mc, col("paragraph_id") === col("mc_pid"), "left").drop("mc_pid")
+      .join(broadcast(classTerms(s, d)), col("class_tid") === col("tid"), "left").drop("tid")
+      .join(md, col("uid") === col("user_id"), "left").drop("user_id")
+      .filter(col("join_dt").isNotNull)
+      .select(col("paragraph_id"), col("uid").as("user_uid"),
+        col("partner_user_id").as("partner_uid"),
+        coalesce(col("name"), lit("Regular")).as("member_class"),
+        col("join_dt").as("join_date"), col("leave_dt").as("leave_date"))
+    val pick = all.groupBy(col("user_uid"), col("join_date"))
+      .agg(min(col("paragraph_id")).as("paragraph_id"))
+      .select("paragraph_id")
+    all.join(pick, Seq("paragraph_id"), "left_semi")
+  }
+
+  /** Mailing addresses (`ddb/src/members.rs` mailing_address module). */
+  def mailingAddresses(s: SparkSession, d: String): DataFrame =
+    Addresses.all(s, d)
+
   private def assemble(s: SparkSession, d: String,
       scope: Option[(Option[Long], Option[Long])], asOf: String): DataFrame = {
     val asOfD = lit(asOf).cast("date")
@@ -343,6 +421,78 @@ object Members {
   * rebuilt CTE-for-CTE from the same parquet fixtures. */
 object MembersCatalog {
 
+  // Shared fixture CTE text (the DuckDB rebuild of DrupalFixture).
+  private val PCte =
+    "p AS (SELECT o_orderkey AS paragraph_id, o_custkey AS uid, " +
+      "CASE WHEN o_orderkey % 37 = 0 THEN '0' ELSE '1' END AS status, " +
+      "CASE WHEN o_orderkey % 11 = 0 THEN 'ssp_international_membership' ELSE 'membership' END AS ptype " +
+      "FROM orders)"
+  private val FjdCte =
+    "fjd AS (SELECT o_orderkey AS entity_id, CAST(o_orderdate AS DATE) AS join_dt FROM orders)"
+  private val FldCte =
+    "fld AS (SELECT o_orderkey AS entity_id, CASE WHEN o_orderkey % 5 = 0 THEN NULL " +
+      "ELSE CAST(o_orderdate AS DATE) + 1460 END AS leave_dt FROM orders)"
+  private val McCte =
+    "mc AS (SELECT o_orderkey AS mc_pid, CAST(o_orderkey % 4 AS BIGINT) AS class_tid " +
+      "FROM orders WHERE o_orderkey % 6 <> 0)"
+  private val TtdCte =
+    "ttd AS (SELECT CAST(tid AS BIGINT) AS tid, name FROM (VALUES (0, 'Lifetime'), " +
+      "(1, 'Charter'), (2, 'Honorary'), (3, 'Student')) t(tid, name))"
+
+  /** Full membership history oracle (FETCH_MEMBERSHIP_HISTORY_QUERY twin). */
+  private val historySql: String =
+    "WITH " + PCte + ", " +
+      "pc AS (SELECT o_orderkey AS entity_id, CAST(o_orderkey % 25 AS BIGINT) AS club_target " +
+      "FROM orders WHERE o_orderkey % 41 <> 0), " +
+      FjdCte + ", " + FldCte + ", " + McCte + ", " + TtdCte + ", " +
+      "uhc AS (SELECT o_orderkey AS target_id FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 43 <> 0), " +
+      "uac AS (SELECT o_orderkey AS target_id FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 43 <> 0), " +
+      "uic AS (SELECT o_orderkey AS target_id FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 2 = 0 AND o_orderkey % 43 <> 0), " +
+      "md AS (SELECT c_custkey AS user_id, CASE WHEN c_custkey % 2 = 0 THEN c_custkey + 1 END AS partner_user_id FROM customer), " +
+      "am AS (SELECT p.paragraph_id, p.uid AS user_uid, md.partner_user_id AS partner_uid, " +
+      "pc.club_target AS club_uid, COALESCE(ttd.name, 'Regular') AS member_class, " +
+      "CASE WHEN uhc.target_id IS NOT NULL THEN 'regular' " +
+      "WHEN uic.target_id IS NOT NULL THEN 'intraclub' " +
+      "WHEN uac.target_id IS NOT NULL THEN 'affiliate' ELSE 'regular' END AS member_type, " +
+      "fjd.join_dt AS join_date, fld.leave_dt AS leave_date " +
+      "FROM p JOIN pc ON pc.entity_id = p.paragraph_id " +
+      "JOIN fjd ON fjd.entity_id = p.paragraph_id " +
+      "LEFT JOIN fld ON fld.entity_id = p.paragraph_id " +
+      "LEFT JOIN mc ON mc.mc_pid = p.paragraph_id " +
+      "LEFT JOIN ttd ON ttd.tid = mc.class_tid " +
+      "LEFT JOIN uhc ON uhc.target_id = p.paragraph_id " +
+      "LEFT JOIN uac ON uac.target_id = p.paragraph_id " +
+      "LEFT JOIN uic ON uic.target_id = p.paragraph_id " +
+      "LEFT JOIN md ON md.user_id = p.uid " +
+      "WHERE p.status = '1' AND p.ptype = 'membership' AND fjd.join_dt IS NOT NULL " +
+      "AND (uhc.target_id IS NOT NULL OR uac.target_id IS NOT NULL OR uic.target_id IS NOT NULL)), " +
+      "dp AS (SELECT user_uid, club_uid, join_date, member_type, MIN(paragraph_id) AS paragraph_id " +
+      "FROM am GROUP BY 1, 2, 3, 4) " +
+      "SELECT am.paragraph_id, am.user_uid, am.partner_uid, am.club_uid, am.member_class, " +
+      "am.member_type, am.join_date, am.leave_date FROM am " +
+      "JOIN dp ON am.paragraph_id = dp.paragraph_id ORDER BY ALL NULLS FIRST"
+
+  /** International history oracle (club-less paragraphs, (user, join)
+    * dedupe). */
+  private val intlHistorySql: String =
+    "WITH " + PCte + ", " + FjdCte + ", " + FldCte + ", " + McCte + ", " + TtdCte + ", " +
+      "md AS (SELECT c_custkey AS user_id, CASE WHEN c_custkey % 2 = 0 THEN c_custkey + 1 END AS partner_user_id FROM customer), " +
+      "am AS (SELECT p.paragraph_id, p.uid AS user_uid, md.partner_user_id AS partner_uid, " +
+      "COALESCE(ttd.name, 'Regular') AS member_class, " +
+      "fjd.join_dt AS join_date, fld.leave_dt AS leave_date " +
+      "FROM p JOIN fjd ON fjd.entity_id = p.paragraph_id " +
+      "LEFT JOIN fld ON fld.entity_id = p.paragraph_id " +
+      "LEFT JOIN mc ON mc.mc_pid = p.paragraph_id " +
+      "LEFT JOIN ttd ON ttd.tid = mc.class_tid " +
+      "LEFT JOIN md ON md.user_id = p.uid " +
+      "WHERE p.status = '1' AND p.ptype = 'ssp_international_membership' " +
+      "AND fjd.join_dt IS NOT NULL), " +
+      "dp AS (SELECT user_uid, join_date, MIN(paragraph_id) AS paragraph_id " +
+      "FROM am GROUP BY 1, 2) " +
+      "SELECT am.paragraph_id, am.user_uid, am.partner_uid, am.member_class, " +
+      "am.join_date, am.leave_date FROM am " +
+      "JOIN dp ON am.paragraph_id = dp.paragraph_id ORDER BY ALL NULLS FIRST"
+
   /** The oracle twin of Members.assemble, parameterized the same way the
     * reference binds (club_nid, region_nid). */
   private def membersSql(club: Option[Long], region: Option[Long]): String = {
@@ -467,8 +617,18 @@ object MembersCatalog {
     (s, d) => Catalog.ordered(Members.all(s, d)),
     Some(membersSql(None, None)))
 
+  val mh1 = Q(
+    (s, d) => Catalog.ordered(Members.historyAll(s, d)),
+    Some(historySql))
+
+  val mh2 = Q(
+    (s, d) => Catalog.ordered(Members.internationalHistoryAll(s, d)),
+    Some(intlHistorySql))
+
   val entries: Seq[(String, Q)] = Seq(
     "mbr1_members_by_club" -> mbr1,
     "mbr2_members_by_region" -> mbr2,
-    "mbr3_members_all" -> mbr3)
+    "mbr3_members_all" -> mbr3,
+    "mh1_membership_history" -> mh1,
+    "mh2_intl_history" -> mh2)
 }

@@ -29,6 +29,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(p.statsJson.contains("\"orders\""))
   }
 
+  test("file-backed store: write-then-swap matches in-memory results") {
+    val storeDir = java.nio.file.Files.createTempDirectory("sync_store").toString
+    val mem = SyncPipeline.runDemo(spark, sf)
+    val file = SyncPipeline.runDemo(spark, sf, Some(storeDir))
+    for (t <- Seq("customers", "orders")) {
+      assert(file.table(t).except(mem.table(t)).count() == 0)
+      assert(mem.table(t).except(file.table(t)).count() == 0)
+    }
+    // both versions persisted: v1 (load) and v2 (gc) — the swap never
+    // destroys the previous state, so a failed write can't lose a table
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$storeDir/customers/v1")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$storeDir/customers/v2")))
+    assert(file.statsMap("customers").deleted == mem.statsMap("customers").deleted)
+  }
+
   test("streaming windowed agg (availableNow) matches batch twin") {
     import graft.sources.Tables
     // stream sources need a directory; stage the single parquet file
