@@ -129,6 +129,50 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** Connected-components clustering over near-dup pairs — the final
+    * step of corpus dedup at scale: every document's cluster_id is the
+    * MINIMUM doc_id reachable through the near-dup graph (the canonical-
+    * survivor convention; reference analog is the min-id history dedup,
+    * `ddb/src/members.rs:240-258`, lifted from key-equality to graph
+    * reachability).
+    *
+    * Implementation is iterative min-label propagation: each round is
+    * one hash shuffle (join edges⋈labels + groupBy), converging in
+    * O(component diameter) rounds — the standard large-graph CC shape.
+    * Near-dup components are short chains, so diameter is small; labels
+    * are checkpointed every few rounds to keep lineage bounded. The
+    * DuckDB oracle computes the identical fixpoint via a recursive
+    * transitive closure + MIN — procedure differs, result is the same
+    * well-defined function of the graph. */
+  def dedupClusters(docs: DataFrame, id: Column, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = docs.select(id.as("doc_id"), id.as("label")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("label").as("src_label")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("src_label")).as("nbr_label"))
+      var next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      if (iter % 5 == 4) next = next.localCheckpoint(eager = false)
+      next = next.persist()
+      changed = next.alias("n")
+        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard within blocking keys via exploded-shingle
     * co-group counting: intersections come from a self-join on
     * (shingle, block) followed by a pair-count aggregate, so the bytes
@@ -142,15 +186,30 @@ object NearDup {
     * shingle document-frequency (a stop-shingle filter) before the
     * self-join; the synthetic corpus doesn't need it. */
   def ngramJaccardBlocked(docs: DataFrame, id: Column, text: Column,
-      blockCols: Seq[Column], threshold: Double, n: Int = 3): DataFrame = {
+      blockCols: Seq[Column], threshold: Double, n: Int = 3,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     val blkNames = blockCols.indices.map(i => s"blk_$i")
     val base = docs.select(
       id.as("doc_id") +:
         array_distinct(WordShingles.shingles(lower(text), n)).as("sh_set") +:
         blockCols.zip(blkNames).map { case (c, nm) => c.as(nm) }: _*)
-    val sh = base.select(
+    val shAll = base.select(
       col("doc_id") +: explode(col("sh_set")).as("sh") +: blkNames.map(col): _*)
-    val cnt = base.select(col("doc_id"), size(col("sh_set")).cast("long").as("n_sh"))
+    // Stop-shingle cap — THE 100 TB lever for hot-shingle skew: shingles
+    // appearing in more than maxDocFreq docs are dropped from the sets
+    // entirely (similarity is then defined over the capped sets, same on
+    // both engines), bounding the per-shingle join fan-out.
+    val sh = maxDocFreq match {
+      case None => shAll
+      case Some(f) =>
+        val keep = shAll.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= f).select("sh")
+        shAll.join(keep, Seq("sh"), "left_semi")
+    }
+    val cnt = maxDocFreq match {
+      case None => base.select(col("doc_id"), size(col("sh_set")).cast("long").as("n_sh"))
+      case Some(_) => sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    }
     val a = sh.alias("a")
     val b = sh.alias("b")
     val joinCond = blkNames.map(nm => col(s"a.$nm") === col(s"b.$nm"))

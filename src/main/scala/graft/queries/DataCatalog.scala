@@ -16,11 +16,33 @@ object DataCatalog {
 
   /** Shared oracle CTEs: lowercased whitespace tokens and distinct word
     * 3-gram shingles per document (twin of NearDup.shingles). */
-  private val ShinglesCte =
-    "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+  private val ShinglesBody =
+    "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
       "FROM documents), " +
       "sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
       "FROM toks, unnest(range(1, len(tk) - 1)) u(i))"
+  private val ShinglesCte = "WITH " + ShinglesBody
+
+  /** The full MinHash-LSH pair pipeline as reusable CTE text, ending in
+    * `pairs(id_a, id_b, jaccard)` (verified ≥ 0.5). */
+  private val MinhashPairsBody = ShinglesBody + ", " +
+    "mins AS (SELECT doc_id, h, min(((((2*h+1)*2654435761) % 2147483647) * " +
+    "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
+    "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
+    "FROM sh, unnest(range(0, 16)) t(h) GROUP BY doc_id, h), " +
+    "sigs AS (SELECT doc_id, h // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY h) AS sig " +
+    "FROM mins GROUP BY doc_id, h // 4), " +
+    "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b " +
+    "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+    "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
+    "JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh " +
+    "GROUP BY c.id_a, c.id_b), " +
+    "pairs AS (SELECT c.id_a, c.id_b, " +
+    "coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) AS jaccard " +
+    "FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b " +
+    "JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b " +
+    "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.5)"
 
   // D1 exact dedup: canonical doc per md5(text), min doc_id survives.
   val d1 = Q(
@@ -36,23 +58,25 @@ object DataCatalog {
   // shingle instead of one per shingle per hash function.
   val d2 = Q(
     (s, d) => ordered(NearDup.minhashLsh(documents(s, d), col("doc_id"), col("text"), 0.5)),
-    Some(ShinglesCte + ", " +
-      "mins AS (SELECT doc_id, h, min(((((2*h+1)*2654435761) % 2147483647) * " +
-      "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
-      "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
-      "FROM sh, unnest(range(0, 16)) t(h) GROUP BY doc_id, h), " +
-      "sigs AS (SELECT doc_id, h // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY h) AS sig " +
-      "FROM mins GROUP BY doc_id, h // 4), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b " +
-      "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
-      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-      "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
-      "JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh " +
-      "GROUP BY c.id_a, c.id_b) " +
-      "SELECT c.id_a, c.id_b, coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) AS jaccard " +
-      "FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b " +
-      "JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b " +
-      "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.5" + OBA))
+    Some("WITH " + MinhashPairsBody + " SELECT id_a, id_b, jaccard FROM pairs" + OBA))
+
+  // D6 connected-components dedup clustering: cluster_id = min doc_id
+  // reachable through the verified MinHash near-dup graph (canonical-
+  // survivor convention). Spark runs iterative min-label propagation
+  // (one shuffle per round, O(diameter) rounds); the oracle computes the
+  // identical fixpoint via recursive transitive closure + MIN.
+  val d6 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
+      ordered(NearDup.dedupClusters(docs, col("doc_id"), pairs))
+    },
+    Some("WITH RECURSIVE " + MinhashPairsBody + ", " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src) " +
+      "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a" + OBA))
 
   // D3 SimHash near-dup pairs: 32-bit token-vote signatures, byte-banded
   // candidates, Hamming ≤ 3.
@@ -98,6 +122,43 @@ object DataCatalog {
       "FROM pairs p LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b " +
       "JOIN cnt ca ON ca.doc_id = p.id_a JOIN cnt cb ON cb.doc_id = p.id_b " +
       "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.5" + OBA))
+
+  // D7 frequency-capped blocked Jaccard: d4 with the stop-shingle cap
+  // engaged (doc-freq ≤ 20) — similarity over the capped shingle sets,
+  // the skew-bounding variant that survives hot shingles at 100 TB.
+  val d7 = Q(
+    (s, d) => ordered(NearDup.ngramJaccardBlocked(documents(s, d),
+      col("doc_id"), col("text"), Seq(col("lang"), col("source")), 0.3,
+      maxDocFreq = Some(20L))),
+    Some(ShinglesCte + ", " +
+      "keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 20), " +
+      "shc AS (SELECT s.doc_id, s.sh, d.lang, d.source FROM sh s " +
+      "JOIN keep USING (sh) JOIN documents d USING (doc_id)), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id), " +
+      "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i FROM shc a " +
+      "JOIN shc b ON a.sh = b.sh AND a.lang = b.lang AND a.source = b.source " +
+      "AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT i.id_a, i.id_b, i.i::DOUBLE / (ca.n + cb.n - i.i) AS jaccard " +
+      "FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b " +
+      "WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.3" + OBA))
+
+  // EMB1 int8 quantization: per-vector symmetric scale 127/max|x|,
+  // floor quantize — a pure map (no cross-row float sums, so both
+  // engines produce identical bits); output as a joined string to keep
+  // the compare scalar-typed.
+  val emb1 = Q(
+    (s, d) => {
+      val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      val sc = when(maxabs === 0.0, lit(null)).otherwise(lit(127.0) / maxabs)
+      ordered(embeddings(s, d).select(col("vec_id"),
+        array_join(transform(col("embedding"),
+          x => floor(x.cast("double") * sc).cast("long")), ",").as("q8")))
+    },
+    Some("SELECT vec_id, array_to_string(list_transform(embedding, " +
+      "x -> CAST(floor(x::DOUBLE * s) AS BIGINT)), ',') AS q8 FROM (" +
+      "SELECT vec_id, embedding, 127.0 / nullif(list_max(" +
+      "list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS s " +
+      "FROM embeddings)" + OBA))
 
   /** DuckDB twin of Similarity.dot: strict left fold over double-cast
     * lists (list_reduce preserves order, matching Spark's aggregate()). */
@@ -255,7 +316,8 @@ object DataCatalog {
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
-    "d5_embedding_neardup" -> d5,
+    "d5_embedding_neardup" -> d5, "d6_dedup_clusters" -> d6,
+    "d7_capped_jaccard" -> d7, "emb1_quantize" -> emb1,
     "sim1_cosine_topk" -> sim1, "sim2_ivf_ann" -> sim2,
     "tx1_token_counts" -> tx1, "tx2_quality_score" -> tx2,
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,

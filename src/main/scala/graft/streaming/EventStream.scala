@@ -54,6 +54,36 @@ object EventStream {
     q
   }
 
+  /** Streaming exact dedup — the streaming twin of the corpus dedup
+    * family (D1): drop repeats of (user_id, event_type, ts) with state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark`: a key's
+    * state is evicted once the watermark passes it, so state is O(keys
+    * per watermark window), not O(stream)). Batch twin: dropDuplicates
+    * on the same keys. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("user_id", "event_type", "ts")
+
+  /** Run the streaming dedup end-to-end over a parquet directory into a
+    * memory sink (same shape as runAvailableNow). */
+  def runDedupAvailableNow(spark: SparkSession, eventsDir: String,
+      outName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = dedupStream(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 

@@ -41,6 +41,16 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L, 0L)))
   }
 
+  test("dedupClusters: min-id label propagation over chains and singletons") {
+    // graph: chain 10-11-12 (transitive near-dups), pair 20-21, singleton 30
+    val nodes = Seq(10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = NearDup.dedupClusters(nodes, col("doc_id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
   test("shingles guard: docs shorter than n tokens yield none") {
     val sh = NearDup.shingles(Seq((9L, "one two")).toDF("doc_id", "text"),
       col("doc_id"), col("text"))

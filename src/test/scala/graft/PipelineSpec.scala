@@ -68,6 +68,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(withheld.count() == 0)
   }
 
+  test("streaming dedup (availableNow) matches batch dropDuplicates") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ev_dedup")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    // duplicate the file: every event arrives twice
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events_dup.parquet"))
+    EventStream.runDedupAvailableNow(spark, dir.toString, "ev_dedup_out")
+    val streamed = spark.table("ev_dedup_out")
+    val batch = EventStream.dedupBatch(Tables.events(spark, sf))
+    // streaming dedup must emit each key once despite duplicated input
+    assert(streamed.count() == batch.count())
+    assert(streamed.groupBy("user_id", "event_type", "ts").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("sessionize splits on gap and covers all events") {
     import graft.sources.Tables
     val ev = Tables.events(spark, sf)
