@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.pipeline.JsonOut
+import graft.queries._
+
+/** CLI surface mirroring the reference's subcommand verbs (SURVEY
+  * §7.1.9; `ddb/src/main.rs` + the `ddb/src/cmd` modules): every command builds a
+  * named query and prints one JSON document per row (S7/F9 contract).
+  *
+  *   runMain graft.Cli <sfDir> members all
+  *   runMain graft.Cli <sfDir> members by-club 7
+  *   runMain graft.Cli <sfDir> members by-uid 42
+  *   runMain graft.Cli <sfDir> members history
+  *   runMain graft.Cli <sfDir> members intl-history
+  *   runMain graft.Cli <sfDir> users by-email <email>
+  *   runMain graft.Cli <sfDir> clubs | regions | races | airstreams | addresses
+  *   runMain graft.Cli <sfDir> leadership for-clubs [--as-of 2000-06-01 | --all]
+  *   runMain graft.Cli <sfDir> leadership for-region <uid> [...]
+  */
+object Cli {
+
+  /** Resolve a command line to a DataFrame (separated from main for
+    * testability). Throws IllegalArgumentException on unknown verbs. */
+  def resolve(spark: SparkSession, d: String, args: Seq[String]): DataFrame = {
+    def dateFilter(rest: Seq[String]): DateFilter = rest match {
+      case Seq("--all", _*)          => DateFilter.All
+      case Seq("--as-of", dt, _*)    => DateFilter.AsOf(dt)
+      case _                         => DateFilter.Current
+    }
+    args match {
+      case Seq("members", "all")                  => Members.all(spark, d)
+      case Seq("members", "by-club", uid)         => Members.byClub(spark, d, uid.toLong)
+      case Seq("members", "by-region", uid)       => Members.byRegion(spark, d, uid.toLong)
+      case Seq("members", "by-uid", uid)          => Members.byUid(spark, d, uid.toLong)
+      case Seq("members", "by-email", email)      => Members.byEmail(spark, d, email)
+      case Seq("members", "history")              => Members.historyAll(spark, d)
+      case Seq("members", "intl-history")         => Members.internationalHistoryAll(spark, d)
+      case Seq("members", "mailing-addresses")    => Members.mailingAddresses(spark, d)
+      case Seq("users", "all")                    => Users.all(spark, d)
+      case Seq("users", "by-uid", uid)            => Users.byUid(spark, d, uid.toLong)
+      case Seq("users", "by-email", email)        => Users.byEmail(spark, d, email)
+      case Seq("clubs")                           => Clubs.all(spark, d)
+      case Seq("clubs", "by-uid", uid)            => Clubs.byUid(spark, d, uid.toLong)
+      case Seq("clubs", "by-number", n)           => Clubs.byNumber(spark, d, n.toLong)
+      case Seq("regions")                         => Regions.all(spark, d)
+      case Seq("regions", "by-uid", uid)          => Regions.byUid(spark, d, uid.toLong)
+      case Seq("regions", "by-number", n)         => Regions.byNumber(spark, d, n.toLong)
+      case Seq("standing-committees")             => StandingCommittees.all(spark, d)
+      case Seq("races")                           => Races.all(spark, d)
+      case Seq("roles")                           => Roles.all(spark, d)
+      case Seq("roles", "microsite-admins")       => Roles.micrositeAdmins(spark, d)
+      case Seq("airstreams")                      => Airstreams.all(spark, d)
+      case Seq("airstreams", "by-user", uid)      => Airstreams.byUserId(spark, d, uid.toLong)
+      case Seq("addresses")                       => Addresses.all(spark, d)
+      case Seq("addresses", "by-user", uid)       => Addresses.byUserId(spark, d, uid.toLong)
+      case Seq("leadership", "for-clubs", rest @ _*) =>
+        Leadership.forAllClubs(spark, d, dateFilter(rest))
+      case Seq("leadership", "for-club", uid, rest @ _*) =>
+        Leadership.forClub(spark, d, uid.toLong, dateFilter(rest))
+      case Seq("leadership", "for-regions", rest @ _*) =>
+        Leadership.forAllRegions(spark, d, dateFilter(rest))
+      case Seq("leadership", "for-region", uid, rest @ _*) =>
+        Leadership.forRegion(spark, d, uid.toLong, dateFilter(rest))
+      case Seq("leadership", "international", rest @ _*) =>
+        Leadership.forInternational(spark, d, dateFilter(rest))
+      case other =>
+        throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: graft.Cli <sfDir> <command...>")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = resolve(spark, args.head, args.tail.toSeq)
+    JsonOut.print(Catalog.ordered(df))
+    spark.stop()
+  }
+}

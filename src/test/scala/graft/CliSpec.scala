@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLI verb surface (SURVEY §7.1.9): every subcommand resolves to a
+  * runnable plan; unknown verbs fail loudly. */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private val commands = Seq(
+    Seq("members", "all"), Seq("members", "by-club", "7"),
+    Seq("members", "by-region", "2"), Seq("members", "history"),
+    Seq("members", "intl-history"), Seq("members", "mailing-addresses"),
+    Seq("users", "all"), Seq("users", "by-uid", "1"),
+    Seq("clubs"), Seq("clubs", "by-number", "107"),
+    Seq("regions"), Seq("regions", "by-uid", "2"),
+    Seq("standing-committees"), Seq("races"), Seq("roles"),
+    Seq("roles", "microsite-admins"),
+    Seq("airstreams"), Seq("addresses", "by-user", "1"),
+    Seq("leadership", "for-clubs"),
+    Seq("leadership", "for-clubs", "--all"),
+    Seq("leadership", "for-clubs", "--as-of", "1996-06-01"),
+    Seq("leadership", "for-region", "0", "--all"),
+    Seq("leadership", "international", "--all"))
+
+  test("every CLI verb resolves and runs") {
+    commands.foreach { cmd =>
+      val df = Cli.resolve(spark, d, cmd)
+      df.count() // must execute without error (some are empty at sf0.001)
+    }
+  }
+
+  test("members by-club emits serde-style JSON lines (null fields skipped)") {
+    val lines = graft.pipeline.JsonOut.lines(
+      graft.queries.Catalog.ordered(Cli.resolve(spark, d, Seq("members", "by-club", "7"))))
+    assert(lines.nonEmpty)
+    assert(lines.forall(l => l.startsWith("{\"uid\":")))
+    assert(lines.forall(l => !l.contains("\"pass\""))) // null placeholder skipped
+  }
+
+  test("unknown verb fails loudly") {
+    intercept[IllegalArgumentException] {
+      Cli.resolve(spark, d, Seq("nonsense", "verb"))
+    }
+  }
+}
