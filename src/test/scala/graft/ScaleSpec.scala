@@ -35,6 +35,31 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup pair generation never plans a nested-loop/cartesian join") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import graft.operators.NearDup
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    // d4/d7-shape (co-group counting) and d2-shape (band candidates):
+    // the pair space must come from equi-joins only — a nested-loop node
+    // would mean the quadratic all-pairs regression snuck back in
+    for (df <- Seq(
+        NearDup.ngramJaccardBlocked(docs, col("doc_id"), col("text"),
+          Seq(col("lang"), col("source")), 0.5),
+        NearDup.ngramJaccardBlocked(docs, col("doc_id"), col("text"),
+          Seq(col("lang"), col("source")), 0.3, maxDocFreq = Some(20L)),
+        NearDup.candidates(NearDup.bands(
+          NearDup.minhashSigs(docs, col("doc_id"), col("text")))))) {
+      df.count()
+      val bad = df.queryExecution.executedPlan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }
+      assert(bad.isEmpty, s"non-equi join in near-dup plan: $bad")
+    }
+  }
+
   test("stateful streaming sessionization: closed sessions match batch twin") {
     import graft.sources.Tables
     val ev = Tables.events(spark, sf)
