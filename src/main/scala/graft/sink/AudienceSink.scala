@@ -137,8 +137,15 @@ final class AudienceSink(val sinkId: String, batchSize: Int = 300,
     * are executor-side batches. Returns the deleted count. */
   def retain(spark: SparkSession, keep: DataFrame): Long = {
     val (sid, bs, retries) = (sinkId, batchSize, maxRetries)
+    val keepIds =
+      if (keep.columns.contains("id")) keep.select("id")
+      else {
+        require(keep.columns.length == 1,
+          s"retain keep-set needs an 'id' column or exactly one column, got ${keep.columns.mkString(",")}")
+        keep.select(col(keep.columns.head).as("id"))
+      }
     val doomed = graft.operators.Merge.retainDeletes(
-        membersDf(spark), keep.select(col(keep.columns.head).as("id")), Seq("id"),
+        membersDf(spark), keepIds, Seq("id"),
         exempt = Some(col("status") === "cleaned"))
       .select("id").persist()
     val n = doomed.count() // D6 stats; also materializes before mutation
