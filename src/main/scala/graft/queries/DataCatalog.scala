@@ -160,6 +160,24 @@ object DataCatalog {
       "list_transform(embedding, x -> abs(x::DOUBLE))), 0.0) AS s " +
       "FROM embeddings)" + OBA))
 
+  // SK1 exact grouped quantiles (the exact small-data twin of sketch
+  // quantiles; at 100 TB this becomes a mergeable sketch, but the exact
+  // path IS the oracle): percentile() and quantile_cont() interpolate
+  // identically on these values; output exploded to scalar rows so the
+  // compare never depends on float→string formatting.
+  val sk1 = Q(
+    (s, d) => {
+      val q = lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"))
+      ordered(q.select(col("flag"), posexplode(col("qs")))
+        .toDF("flag", "pos", "q")
+        .select(col("flag"), col("pos").cast("long").as("pos"), col("q")))
+    },
+    Some("WITH g AS (SELECT l_returnflag AS flag, " +
+      "quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs FROM lineitem GROUP BY 1) " +
+      "SELECT flag, CAST(i AS BIGINT) AS pos, qs[i + 1] AS q " +
+      "FROM g, unnest(range(0, 3)) u(i)" + OBA))
+
   /** DuckDB twin of Similarity.dot: strict left fold over double-cast
     * lists (list_reduce preserves order, matching Spark's aggregate()). */
   private def dotSql(a: String, b: String): String =
@@ -318,6 +336,7 @@ object DataCatalog {
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5, "d6_dedup_clusters" -> d6,
     "d7_capped_jaccard" -> d7, "emb1_quantize" -> emb1,
+    "sk1_exact_quantiles" -> sk1,
     "sim1_cosine_topk" -> sim1, "sim2_ivf_ann" -> sim2,
     "tx1_token_counts" -> tx1, "tx2_quality_score" -> tx2,
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,

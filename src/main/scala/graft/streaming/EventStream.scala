@@ -54,6 +54,33 @@ object EventStream {
     q
   }
 
+  /** Stream-static enrichment (J9's streaming form): the event stream
+    * joins a static dimension per micro-batch — state-free for inner
+    * joins (no watermark needed), dimension broadcast to executors.
+    * Works identically on a batch DataFrame (the twin the test uses). */
+  def enrich(events: DataFrame, dim: DataFrame, dimKey: String,
+      nameCol: String): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim(dimKey))
+      .select(events("event_id"), events("user_id"), events("event_type"),
+        dim(nameCol).as("user_name"))
+
+  /** Run the stream-static enrichment end-to-end into a memory sink. */
+  def runEnrichAvailableNow(spark: SparkSession, eventsDir: String,
+      dim: DataFrame, dimKey: String, nameCol: String,
+      outName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = enrich(src, dim, dimKey, nameCol).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming exact dedup — the streaming twin of the corpus dedup
     * family (D1): drop repeats of (user_id, event_type, ts) with state
     * bounded by the watermark (`dropDuplicatesWithinWatermark`: a key's

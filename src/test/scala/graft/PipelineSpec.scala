@@ -85,6 +85,21 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("stream-static enrichment join matches batch twin") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ev_enrich")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val dim = Tables.customer(spark, sf).select(col("c_custkey"), col("c_name"))
+    EventStream.runEnrichAvailableNow(spark, dir.toString, dim,
+      "c_custkey", "c_name", "ev_enrich_out")
+    val streamed = spark.table("ev_enrich_out")
+    val batch = EventStream.enrich(Tables.events(spark, sf), dim,
+      "c_custkey", "c_name")
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+  }
+
   test("sessionize splits on gap and covers all events") {
     import graft.sources.Tables
     val ev = Tables.events(spark, sf)

@@ -97,4 +97,30 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dedupClusters == union-find reachability on random graphs") {
+    import graft.operators.NearDup
+    val graphGen = for {
+      n <- Gen.choose(1, 18)
+      edges <- Gen.listOf(for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, edges.filter(e => e._1 != e._2))
+    forAll(graphGen) { case (n, edges) =>
+      // driver-side reference: classic union-find with min-root convention
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val nodes = (0L until n).toList.toDF("doc_id")
+      val pairs = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("id_a", "id_b")
+      val got = NearDup.dedupClusters(nodes, col("doc_id"), pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"n=$n edges=$edges")
+    }
+  }
 }
