@@ -264,6 +264,22 @@ object DataCatalog {
       "SELECT doc_id, CAST(sum((('0x' || substr(md5('7|' || tk[i]), 1, 15))::BIGINT % 1000003) * i) AS BIGINT) " +
       "AS fingerprint FROM t, unnest(range(1, len(tk) + 1)) u(i) GROUP BY doc_id" + OBA))
 
+  // TX5 heavy hitters: exact top-20 corpus tokens with deterministic
+  // tie-break (count desc, token asc) — the vocabulary-stats op; at
+  // 100 TB the same shape runs on a count-min/TopK sketch with this
+  // exact query as its oracle. LIMIT wrapped in a subquery before the
+  // final ORDER BY ALL (parity rule).
+  val tx5 = Q(
+    (s, d) => {
+      val toks = documents(s, d).select(
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      ordered(toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(20))
+    },
+    Some("SELECT token, n FROM (SELECT token, CAST(count(*) AS BIGINT) AS n FROM (" +
+      "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token " +
+      "FROM documents) GROUP BY token ORDER BY n DESC, token ASC LIMIT 20)" + OBA))
+
   // E1 event-time tumbling-window aggregation (batch expression of the
   // Structured Streaming op in graft.streaming; exact cents arithmetic).
   val e1 = Q(
@@ -340,6 +356,7 @@ object DataCatalog {
     "sim1_cosine_topk" -> sim1, "sim2_ivf_ann" -> sim2,
     "tx1_token_counts" -> tx1, "tx2_quality_score" -> tx2,
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
+    "tx5_top_tokens" -> tx5,
     "e1_event_window_agg" -> e1, "e2_sessionize" -> e2,
     "e3_sliding_window" -> e3, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1)
