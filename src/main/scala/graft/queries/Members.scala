@@ -175,6 +175,15 @@ object Members {
   def all(s: SparkSession, d: String, asOf: String = Catalog.AsOf): DataFrame =
     assemble(s, d, scope = None, asOf)
 
+  /** The reference's `all()` proper (FETCH_ALL_MEMBERS_QUERY +
+    * `parent_field_name = 'field_home_club'`, `ddb/src/members.rs:7-14`,
+    * `:300-351`): HOME-CLUB membership paragraphs only, both dates
+    * required, and the T4 rolling window — leave_date within 1 year
+    * BEFORE asOf still counts (recently-lapsed members are kept for
+    * outreach), unlike the by-club query's hard leave >= asOf. */
+  def allRolling(s: SparkSession, d: String, asOf: String = Catalog.AsOf): DataFrame =
+    assemble(s, d, scope = None, asOf, rollingYear = true, homeClubOnly = true)
+
   /** Members of one club. */
   def byClub(s: SparkSession, d: String, clubNid: Long,
       asOf: String = Catalog.AsOf): DataFrame =
@@ -271,11 +280,18 @@ object Members {
     Addresses.all(s, d)
 
   private def assemble(s: SparkSession, d: String,
-      scope: Option[(Option[Long], Option[Long])], asOf: String): DataFrame = {
+      scope: Option[(Option[Long], Option[Long])], asOf: String,
+      rollingYear: Boolean = false, homeClubOnly: Boolean = false): DataFrame = {
     val asOfD = lit(asOf).cast("date")
 
     // ---- acp: scoped, date-windowed membership paragraphs ----
-    val p = paragraphs(s, d).filter(col("status") === "1" && col("ptype") === "membership")
+    val p0 = paragraphs(s, d).filter(col("status") === "1" && col("ptype") === "membership")
+    // FETCH_ALL's parent_field_name = 'field_home_club' analog: only
+    // paragraphs referenced by a home-club user link.
+    val p = if (!homeClubOnly) p0 else p0.join(
+      userHomeClub(s, d).filter(col("deleted") === "0")
+        .select(col("target_id").as("paragraph_id")),
+      Seq("paragraph_id"), "left_semi")
     val pc = paraClub(s, d).filter(col("deleted") === "0")
       .select(col("entity_id"), col("club_target"))
     val fjd = paraJoin(s, d).filter(col("deleted") === "0")
@@ -283,12 +299,19 @@ object Members {
     val fld = paraLeave(s, d).filter(col("deleted") === "0")
       .select(col("entity_id"), col("leave_dt"))
 
+    val dateOk =
+      if (rollingYear)
+        // T4: both dates present; leave within the trailing year survives
+        col("join_dt").isNotNull && col("leave_dt").isNotNull &&
+          col("join_dt") <= asOfD && col("leave_dt") >= add_months(asOfD, -12)
+      else
+        col("join_dt").isNotNull && col("join_dt") <= asOfD &&
+          (col("leave_dt").isNull || col("leave_dt") >= asOfD)
     val acpAll = p
       .join(pc, col("paragraph_id") === pc("entity_id")).drop("entity_id")
       .join(fjd, col("paragraph_id") === fjd("entity_id"), "left").drop("entity_id")
       .join(fld, col("paragraph_id") === fld("entity_id"), "left").drop("entity_id")
-      .filter(col("join_dt").isNotNull && col("join_dt") <= asOfD &&
-        (col("leave_dt").isNull || col("leave_dt") >= asOfD))
+      .filter(dateOk)
 
     // Scope: club branch UNION ALL region-expansion branch, exactly the
     // reference's parameterized IN-subquery (NULL param → empty branch).
@@ -494,16 +517,21 @@ object MembersCatalog {
       "JOIN dp ON am.paragraph_id = dp.paragraph_id ORDER BY ALL NULLS FIRST"
 
   /** The oracle twin of Members.assemble, parameterized the same way the
-    * reference binds (club_nid, region_nid). */
-  private def membersSql(club: Option[Long], region: Option[Long]): String = {
+    * reference binds (club_nid, region_nid) plus the FETCH_ALL variant
+    * switches (rolling 1-year window, home-club-only paragraphs). */
+  private def membersSql(club: Option[Long], region: Option[Long],
+      rolling: Boolean = false, homeClubOnly: Boolean = false): String = {
     val clubLit = club.map(_.toString).getOrElse("NULL")
     val regionLit = region.map(_.toString).getOrElse("NULL")
-    val scope =
+    val scope0 =
       if (club.isEmpty && region.isEmpty) ""
       else s"AND pc.club_target IN (SELECT club_nid FROM " +
         s"(SELECT CAST($clubLit AS BIGINT) AS club_nid) WHERE club_nid IS NOT NULL " +
         s"UNION ALL SELECT CAST(n_nationkey AS BIGINT) FROM nation " +
         s"WHERE CAST(n_regionkey AS BIGINT) = CAST($regionLit AS BIGINT)) "
+    val scope = scope0 + (if (!homeClubOnly) ""
+      else "AND p.paragraph_id IN (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderkey % 3 = 0 AND o_orderkey % 43 <> 0) ")
     "WITH p AS (SELECT o_orderkey AS paragraph_id, o_custkey AS uid, " +
       "CASE WHEN o_orderkey % 37 = 0 THEN '0' ELSE '1' END AS status, " +
       "CASE WHEN o_orderkey % 11 = 0 THEN 'ssp_international_membership' ELSE 'membership' END AS ptype " +
@@ -518,8 +546,13 @@ object MembersCatalog {
       "LEFT JOIN fjd ON fjd.entity_id = p.paragraph_id " +
       "LEFT JOIN fld ON fld.entity_id = p.paragraph_id " +
       "WHERE p.status = '1' AND p.ptype = 'membership' " +
-      "AND fjd.join_dt IS NOT NULL AND fjd.join_dt <= DATE '" + Catalog.AsOf + "' " +
-      "AND (fld.leave_dt IS NULL OR fld.leave_dt >= DATE '" + Catalog.AsOf + "') " +
+      (if (rolling)
+        "AND fjd.join_dt IS NOT NULL AND fld.leave_dt IS NOT NULL " +
+          "AND fjd.join_dt <= DATE '" + Catalog.AsOf + "' " +
+          "AND fld.leave_dt >= (DATE '" + Catalog.AsOf + "' - INTERVAL 1 YEAR) "
+      else
+        "AND fjd.join_dt IS NOT NULL AND fjd.join_dt <= DATE '" + Catalog.AsOf + "' " +
+          "AND (fld.leave_dt IS NULL OR fld.leave_dt >= DATE '" + Catalog.AsOf + "') ") +
       scope + "), " +
       "uhc AS (SELECT o_custkey AS entity_id, o_orderkey AS target_id FROM orders " +
       "WHERE o_orderkey % 3 = 0 AND o_orderkey % 43 <> 0), " +
@@ -617,6 +650,10 @@ object MembersCatalog {
     (s, d) => Catalog.ordered(Members.all(s, d)),
     Some(membersSql(None, None)))
 
+  val mbr4 = Q(
+    (s, d) => Catalog.ordered(Members.allRolling(s, d)),
+    Some(membersSql(None, None, rolling = true, homeClubOnly = true)))
+
   val mh1 = Q(
     (s, d) => Catalog.ordered(Members.historyAll(s, d)),
     Some(historySql))
@@ -629,6 +666,7 @@ object MembersCatalog {
     "mbr1_members_by_club" -> mbr1,
     "mbr2_members_by_region" -> mbr2,
     "mbr3_members_all" -> mbr3,
+    "mbr4_members_all_rolling" -> mbr4,
     "mh1_membership_history" -> mh1,
     "mh2_intl_history" -> mh2)
 }
