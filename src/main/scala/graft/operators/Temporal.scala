@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively (SURVEY §2.6 family;
+  * the brief's canonical custom-operator examples).
+  *
+  * The as-of join matches each left row to the LATEST right row with
+  * `rightTime <= leftTime` on the same key. The naive formulation is a
+  * range join (O(n·m) BroadcastNestedLoopJoin, or join+argmax with a
+  * pair blow-up); the shape that survives 100 TB is the UNION-WINDOW
+  * forward fill: tag both sides, union them, and run ONE window over
+  * (key, time) carrying the last version value forward — a single hash
+  * shuffle on the key, zero pair materialization, and AQE handles skew
+  * like any window. DuckDB's native ASOF JOIN is the oracle twin.
+  */
+object Temporal {
+
+  /** As-of join: for every `left` row, attach `valueCol` of the latest
+    * `right` row with rightTime <= leftTime, matching on `key`. Rows with
+    * no preceding version get NULL (ASOF LEFT JOIN semantics); pass the
+    * result through `.filter(col(...).isNotNull)` for inner semantics.
+    * Ties (rightTime == leftTime) match, like DuckDB's `ts >= valid_from`.
+    * `right` must be unique per (key, rightTime) — pre-dedupe otherwise
+    * (Dedup.keepOneByKey), or the forward fill is ambiguous. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCol: String,
+      asOfValueName: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns
+    val l = left.select(
+      col(key).as("__k") +: col(leftTime).as("__t") +: lit(0).as("__isr") +:
+        lit(null).cast(right.schema(valueCol).dataType).as("__v") +:
+        leftCols.map(c => left(c).as(s"__l_$c")): _*)
+    val r = right.select(
+      col(key).as("__k") +: col(rightTime).as("__t") +: lit(1).as("__isr") +:
+        col(valueCol).as("__v") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+    // versions sort BEFORE events at equal time (__isr desc) so an
+    // equal-timestamp version is visible to the event's forward fill
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__isr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__filled", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__isr") === 0)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) :+
+        col("__filled").as(asOfValueName): _*)
+  }
+
+  /** Range (interval-containment) join: left rows matched to intervals
+    * [startCol, endCol] containing leftTime, on an equality key. The
+    * equi-key keeps this a hash join — the interval predicate is a
+    * post-join filter on co-grouped rows, never a cross product. For
+    * keyless interval joins, bucket time into granules and equi-join on
+    * (granule) — not needed while every reference range join is keyed. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, startCol: String, endCol: String): DataFrame =
+    left.join(right, Seq(key))
+      .filter(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
+}

@@ -320,6 +320,56 @@ object DataCatalog {
       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents " +
       "FROM events, unnest(range(0, 4)) u(k) GROUP BY 1, 2" + OBA))
 
+  // T6 AS-OF JOIN: every event matched to the latest state version at or
+  // before its timestamp (versions = every 7th event, deduped per
+  // (user, ts)). Spark side is the union-window forward fill — ONE hash
+  // shuffle on user_id, no pair materialization; oracle is DuckDB's
+  // native ASOF LEFT JOIN. All ts comparisons run on µs-cast timestamps
+  // on the oracle side (the parquet is ns; Spark truncates on read).
+  val t6 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val versions = graft.operators.Dedup.keepOneByKey(
+        ev.filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), col("ts").as("valid_from"),
+            col("event_type").as("state"), col("event_id")),
+        Seq(col("user_id"), col("valid_from")), Seq(col("event_id")))
+        .select("user_id", "valid_from", "state")
+      ordered(graft.operators.Temporal.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        versions, "user_id", "ts", "valid_from", "state", "asof_state"))
+    },
+    Some("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "v0 AS (SELECT user_id, ts AS valid_from, event_type AS state, " +
+      "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn " +
+      "FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id " +
+      "FROM events WHERE event_id % 7 = 0)), " +
+      "v AS (SELECT user_id, valid_from, state FROM v0 WHERE rn = 1) " +
+      "SELECT e.event_id, e.user_id, e.ts, v.state AS asof_state " +
+      "FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.valid_from" + OBA))
+
+  // T7 keyed range join: events matched to 2-hour maintenance windows of
+  // the same user containing their timestamp — equi-join on the key, the
+  // interval predicate filters co-grouped rows (never a cross product).
+  val t7 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val wins = ev.filter(col("event_id") % 11 === 0)
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"),
+          col("event_id").as("w_id"))
+      ordered(graft.operators.Temporal.rangeJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          wins, "user_id", "ts", "w_start", "w_end")
+        .select(col("event_id"), col("user_id"), col("w_id")))
+    },
+    Some("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "w AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS w_start, " +
+      "CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS w_end, event_id AS w_id " +
+      "FROM events WHERE event_id % 11 = 0) " +
+      "SELECT e.event_id, e.user_id, w.w_id FROM e JOIN w USING (user_id) " +
+      "WHERE e.ts >= w.w_start AND e.ts <= w.w_end" + OBA))
+
   // J12 salted skew join: identical semantics to the plain equi-join
   // (the oracle), different physical distribution — the hot-key spread
   // pattern for skew beyond AQE's split.
@@ -358,6 +408,7 @@ object DataCatalog {
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
     "tx5_top_tokens" -> tx5,
     "e1_event_window_agg" -> e1, "e2_sessionize" -> e2,
-    "e3_sliding_window" -> e3, "j12_salted_join" -> j12,
+    "e3_sliding_window" -> e3, "t6_asof_join" -> t6,
+    "t7_range_join" -> t7, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1)
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Temporal
+
+/** As-of / range join semantics: tie-at-boundary, no-preceding-version,
+  * latest-of-several, key isolation. */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest version at or before each event") {
+    val events = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // before any version → null
+      (2L, 100L, ts("2024-01-01 12:00:00")), // exactly at v1 → v1 (tie matches)
+      (3L, 100L, ts("2024-01-01 13:30:00")), // between v1 and v2 → v1
+      (4L, 100L, ts("2024-01-01 15:00:00")), // after v2 → v2
+      (5L, 200L, ts("2024-01-01 23:00:00"))  // other key: only its own versions
+    ).toDF("event_id", "user_id", "ts")
+    val versions = Seq(
+      (100L, ts("2024-01-01 12:00:00"), "A"),
+      (100L, ts("2024-01-01 14:00:00"), "B"),
+      (200L, ts("2024-01-01 00:00:00"), "Z")
+    ).toDF("user_id", "valid_from", "state")
+    val got = Temporal.asofJoin(events, versions, "user_id", "ts",
+        "valid_from", "state", "asof_state")
+      .select("event_id", "asof_state").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some("A"), 3L -> Some("A"),
+      4L -> Some("B"), 5L -> Some("Z")))
+  }
+
+  test("asofJoin preserves left row count and columns (left semantics)") {
+    val events = Seq((1L, 9L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val versions = Seq((8L, ts("2024-01-01 09:00:00"), "X"))
+      .toDF("user_id", "valid_from", "state")
+    val out = Temporal.asofJoin(events, versions, "user_id", "ts", "valid_from", "state")
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "ts", "asof_value"))
+    assert(out.count() == 1 && out.filter(col("asof_value").isNull).count() == 1)
+  }
+
+  test("rangeJoin matches only intervals containing the timestamp, per key") {
+    val events = Seq(
+      (1L, 7L, ts("2024-01-01 10:30:00")),
+      (2L, 7L, ts("2024-01-01 13:00:00")),
+      (3L, 8L, ts("2024-01-01 10:30:00"))).toDF("event_id", "user_id", "ts")
+    val wins = Seq(
+      (7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 91L),
+      (8L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 92L)
+    ).toDF("user_id", "w_start", "w_end", "w_id")
+    val got = Temporal.rangeJoin(events, wins, "user_id", "ts", "w_start", "w_end")
+      .select("event_id", "w_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 91L), (3L, 92L))) // event 2 outside; keys isolated
+  }
+}
