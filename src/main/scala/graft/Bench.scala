@@ -16,6 +16,7 @@ object Bench {
     "sim1_cosine_topk", "sim2_ivf_ann",
     "tx2_quality_score", "tx4_fingerprint",
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window",
+    "t6_asof_join",
     "m1_multimodal_meta")
 
   def main(args: Array[String]): Unit = {

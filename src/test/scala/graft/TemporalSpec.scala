@@ -42,6 +42,29 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.count() == 1 && out.filter(col("asof_value").isNull).count() == 1)
   }
 
+  test("asofJoin == brute-force latest-version on random data") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val events = (1 to 60).map(i =>
+        (i.toLong, (rnd.nextInt(4) + 1).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      val versions = (1 to 20).map(i =>
+        ((rnd.nextInt(4) + 1).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), s"s$i"))
+        // unique per (key, time): keep the last generated, like the
+        // operator's pre-dedupe contract
+        .groupBy(v => (v._1, v._2)).map(_._2.last).toSeq
+      val expected = events.map { case (id, k, t) =>
+        val cand = versions.filter(v => v._1 == k && !v._2.after(t))
+        id -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2.getTime)._3))
+      }.toMap
+      val got = Temporal.asofJoin(events.toDF("event_id", "user_id", "ts"),
+          versions.toDF("user_id", "valid_from", "state"),
+          "user_id", "ts", "valid_from", "state")
+        .select("event_id", "asof_value").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got == expected)
+    }
+  }
+
   test("rangeJoin matches only intervals containing the timestamp, per key") {
     val events = Seq(
       (1L, 7L, ts("2024-01-01 10:30:00")),
