@@ -320,6 +320,18 @@ object DataCatalog {
       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents " +
       "FROM events, unnest(range(0, 4)) u(k) GROUP BY 1, 2" + OBA))
 
+  // A12 exact bitmap distinct-count (custom TypedImperativeAggregate):
+  // distinct users per event_type via mergeable bitmaps — one bitmap per
+  // group crosses the shuffle instead of count(DISTINCT)'s expand + two
+  // shuffles on (group, value). Oracle: plain COUNT(DISTINCT).
+  val a12 = Q(
+    (s, d) => ordered(events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.plans.BitmapDistinct.distinctCount(col("user_id"), 1 << 22)
+        .as("n_users"))),
+    Some("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+      "FROM events GROUP BY 1" + OBA))
+
   // T6 AS-OF JOIN: every event matched to the latest state version at or
   // before its timestamp (versions = every 7th event, deduped per
   // (user, ts)). Spark side is the union-window forward fill — ONE hash
@@ -408,7 +420,8 @@ object DataCatalog {
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
     "tx5_top_tokens" -> tx5,
     "e1_event_window_agg" -> e1, "e2_sessionize" -> e2,
-    "e3_sliding_window" -> e3, "t6_asof_join" -> t6,
+    "e3_sliding_window" -> e3, "a12_bitmap_distinct" -> a12,
+    "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1)
 }

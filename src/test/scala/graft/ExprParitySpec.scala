@@ -66,6 +66,21 @@ class ExprParitySpec extends AnyFunSuite {
     assert(math.abs(j - 1.0 / 3.0) < 1e-15)
   }
 
+  test("BitmapDistinct == count(DISTINCT) across many partitions; bound enforced") {
+    import graft.plans.BitmapDistinct
+    val df = spark.range(0, 10000, 1, 16) // 16 partitions → real merges
+      .select((col("id") % 137).as("g"), (col("id") % 701).as("v"))
+    val got = df.groupBy("g").agg(BitmapDistinct.distinctCount(col("v"), 1024).as("n"))
+    val exact = df.groupBy("g").agg(countDistinct(col("v")).as("n"))
+    assert(got.join(exact.withColumnRenamed("n", "m"), "g")
+      .filter(col("n") =!= col("m")).count() == 0)
+    // out-of-bound values must fail loudly, not corrupt the count
+    intercept[Exception] {
+      spark.range(1).select(lit(2048L).as("v"))
+        .agg(BitmapDistinct.distinctCount(col("v"), 1024)).collect()
+    }
+  }
+
   test("FloatDotProduct == strict-left-fold HOF dot") {
     val vecs = Seq((Array(0.1f, 0.2f, 0.3f), Array(-0.5f, 0.25f, 1.5f))).toDF("a", "b")
     val native = vecs.select(graft.plans.FloatDotProduct.dot(col("a"), col("b")))
