@@ -320,6 +320,18 @@ object DataCatalog {
       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents " +
       "FROM events, unnest(range(0, 4)) u(k) GROUP BY 1, 2" + OBA))
 
+  // E4 view→purchase correlation (batch twin of the stream-stream join
+  // in EventStream.correlate; oracle comparisons on µs-cast timestamps).
+  val e4 = Q(
+    (s, d) => ordered(graft.streaming.EventStream.correlate(events(s, d))),
+    Some("WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM e WHERE event_type = 'view'), " +
+      "p AS (SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts " +
+      "FROM e WHERE event_type = 'purchase') " +
+      "SELECT v.user_id, view_id, purchase_id, view_ts, purchase_ts FROM v JOIN p " +
+      "ON v.user_id = p.p_user AND purchase_ts >= view_ts " +
+      "AND purchase_ts <= view_ts + INTERVAL 1 HOUR" + OBA))
+
   // A12 exact bitmap distinct-count (custom TypedImperativeAggregate):
   // distinct users per event_type via mergeable bitmaps — one bitmap per
   // group crosses the shuffle instead of count(DISTINCT)'s expand + two
@@ -420,7 +432,8 @@ object DataCatalog {
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
     "tx5_top_tokens" -> tx5,
     "e1_event_window_agg" -> e1, "e2_sessionize" -> e2,
-    "e3_sliding_window" -> e3, "a12_bitmap_distinct" -> a12,
+    "e3_sliding_window" -> e3, "e4_correlate" -> e4,
+    "a12_bitmap_distinct" -> a12,
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1)

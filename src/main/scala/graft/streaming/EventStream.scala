@@ -81,6 +81,45 @@ object EventStream {
     q
   }
 
+  /** Stream-stream correlation join: each `view` event joined to
+    * `purchase` events of the SAME user within one hour after it. Both
+    * sides carry watermarks and the join condition bounds event time in
+    * both directions, so Spark can expire join state (state is
+    * O(events per watermark window), not O(stream)). The same function
+    * applied to batch frames is the oracle twin. */
+  def correlate(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
+  /** Run the stream-stream correlation end-to-end (two streaming readers
+    * over the same directory) into a memory sink. */
+  def runCorrelateAvailableNow(spark: SparkSession, eventsDir: String,
+      outName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = correlate(src).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming exact dedup — the streaming twin of the corpus dedup
     * family (D1): drop repeats of (user_id, event_type, ts) with state
     * bounded by the watermark (`dropDuplicatesWithinWatermark`: a key's

@@ -85,6 +85,21 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("stream-stream correlation join matches batch twin") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ev_corr")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    EventStream.runCorrelateAvailableNow(spark, dir.toString, "ev_corr_out")
+    val streamed = spark.table("ev_corr_out")
+    val batch = EventStream.correlate(Tables.events(spark, sf))
+    // watermark (2h) exceeds the join window (1h), so no legitimate pair
+    // is evicted: stream must equal batch exactly
+    assert(batch.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+  }
+
   test("stream-static enrichment join matches batch twin") {
     import graft.sources.Tables
     val dir = java.nio.file.Files.createTempDirectory("ev_enrich")
