@@ -72,4 +72,16 @@ object Multimodal {
     media.toDF().select(col("doc_id"),
       filter(sequence(lit(0), length(col("payload")) - 1),
         i => i % k === 0).as("frame_offsets"))
+
+  /** Resize plumbing: aspect-preserving fit into a maxDim bounding box —
+    * the metadata contract a real resize kernel satisfies (never
+    * upscales; floor semantics; at scale the pixel work runs inside the
+    * same mapPartitions pass as decode so payloads are scanned once). */
+  def resizeMeta(features: Dataset[MediaFeatures], maxDim: Int): DataFrame =
+    features.toDF()
+      .withColumn("scale",
+        least(lit(1.0), lit(maxDim.toDouble) / greatest(col("width"), col("height"))))
+      .select(col("doc_id"), col("width"), col("height"),
+        floor(col("width") * col("scale")).cast("int").as("out_w"),
+        floor(col("height") * col("scale")).cast("int").as("out_h"))
 }

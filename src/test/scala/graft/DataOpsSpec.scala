@@ -94,4 +94,16 @@ class DataOpsSpec extends AnyFunSuite {
     assert(f0.n_bytes == f1.n_bytes && f0.feature.sameElements(f1.feature))
     assert(f0.feature.length == 8 && f0.width >= 16)
   }
+
+  test("multimodal resize: aspect-preserving fit, never upscales") {
+    val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs))
+    val out = Multimodal.resizeMeta(feats, 32)
+      .as[(Long, Int, Int, Int, Int)].collect()
+    out.foreach { case (_, w, h, ow, oh) =>
+      assert(ow <= 32 && oh <= 32)
+      assert(ow <= w && oh <= h) // never upscale
+      // aspect preserved within floor rounding
+      if (w >= h) assert(ow >= oh) else assert(oh >= ow)
+    }
+  }
 }
