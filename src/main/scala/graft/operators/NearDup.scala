@@ -99,21 +99,30 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 32-bit SimHash per doc — a pure map (one expression per row). */
-  def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame =
-    docs.select(id.as("doc_id"), TextHashExprs.simhashSig(lower(text), bits).as("simhash"))
+  /** 64-bit SimHash per doc — a pure map (one expression per row). All
+    * 64 bits carry hash entropy (two 60-bit md5-prefix token hashes —
+    * TextHash.simhash64Kernel), so every 16-bit band key draws from the
+    * full 65,536-value space. */
+  def simhash(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextHashExprs.simhashSig64(lower(text)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, found via
-    * byte-banding (pigeonhole: dist ≤ 3 over 4 bands ⇒ ≥1 band equal) —
-    * no all-pairs comparison. */
+    * 16-bit banding (pigeonhole: dist ≤ 3 over 4 bands ⇒ ≥1 band equal) —
+    * no all-pairs comparison. 65,536 keys per band keeps the within-bucket
+    * self-join sub-quadratic at corpus scale: expected bucket size is
+    * N/65,536 per band (vs N/256 for the old 8-bit bands, whose bucket
+    * self-joins went quadratic at ~10⁹ docs). */
   def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
     // Persist the banded signatures: both sides of the candidate
     // self-join read them, and without the barrier each side recomputes
     // every per-token signature. 4 small rows per doc — cache is cheap.
+    // shiftright is arithmetic, but the 0xFFFF mask drops the sign-
+    // extension bits, so negative signatures band identically to the
+    // oracle's logical extraction.
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key"))): _*)).as("bs"))
+          shiftright(col("simhash"), b * 16).bitwiseAND(65535).as("key"))): _*)).as("bs"))
       .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.key"))
       .persist()
     banded.count()

@@ -159,6 +159,31 @@ object TextHash {
     sig
   }
 
+  /** 64-bit SimHash: the md5-prefix token hash is 60 bits, so a full
+    * 64-bit signature takes bits 0..59 from hash60(seedLo, tok) and bits
+    * 60..63 from the low bits of hash60(seedHi, tok) — both replicable by
+    * the DuckDB oracle with the same substr(md5(...)) contract. Every
+    * signature bit is a real hash bit (a plain 64-bit vote over a 60-bit
+    * hash would leave the top 4 bits always-zero, shrinking the top
+    * band's key space 16×). */
+  def simhash64Kernel(input: UTF8String, seedLo: Int, seedHi: Int): Long = {
+    val toks = tokens(input.toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h1 = hash60(seedLo, toks(i))
+      val h2 = hash60(seedHi, toks(i))
+      var b = 0
+      while (b < 60) { votes(b) += (((h1 >>> b) & 1L).toInt * 2) - 1; b += 1 }
+      while (b < 64) { votes(b) += (((h2 >>> (b - 60)) & 1L).toInt * 2) - 1; b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** Position-weighted polynomial token fingerprint. */
   def fingerprintKernel(input: UTF8String): Long = {
     val toks = tokens(input.toString)
@@ -229,6 +254,24 @@ case class SimHashSig(child: Expression, bits: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression): SimHashSig = copy(child = c)
 }
 
+/** Full 64-bit SimHash signature (two 60-bit token hashes; see
+  * TextHash.simhash64Kernel). All 64 bits carry hash entropy, so 16-bit
+  * band keys draw from the full 65,536-value space. */
+case class SimHashSig64(child: Expression, seedLo: Int, seedHi: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      TextHash.simhash64Kernel(input.asInstanceOf[UTF8String], seedLo, seedHi))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextHash.simhash64Kernel($in, $seedLo, $seedHi);")
+
+  override protected def withNewChildInternal(c: Expression): SimHashSig64 = copy(child = c)
+}
+
 /** Exact Jaccard similarity of two shingle arrays as distinct sets:
   * |A∩B| / (|A|+|B|-|A∩B|); NULL when both sets are empty. */
 case class ArrayJaccard(left: Expression, right: Expression)
@@ -276,6 +319,8 @@ object TextHashExprs {
     ColumnBridge.column(MinHashSigs(ColumnBridge.expression(text), numHashes, n))
   def simhashSig(text: Column, bits: Int = 32, seed: Int = 99): Column =
     ColumnBridge.column(SimHashSig(ColumnBridge.expression(text), bits, seed))
+  def simhashSig64(text: Column, seedLo: Int = 99, seedHi: Int = 98): Column =
+    ColumnBridge.column(SimHashSig64(ColumnBridge.expression(text), seedLo, seedHi))
   def arrayJaccard(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -78,19 +78,28 @@ object DataCatalog {
       "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src) " +
       "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a" + OBA))
 
-  // D3 SimHash near-dup pairs: 32-bit token-vote signatures, byte-banded
-  // candidates, Hamming ≤ 3.
+  // D3 SimHash near-dup pairs: 64-bit token-vote signatures (bits 0..59
+  // from the seed-99 hash, 60..63 from the seed-98 hash — every bit is
+  // real hash entropy), 16-bit-banded candidates (65,536 keys/band; the
+  // old 8-bit bands' 256-key buckets went quadratic at corpus scale),
+  // Hamming ≤ 3. Bit 63 is emitted via the min-long literal because
+  // DuckDB raises on `1::BIGINT << 63`; the HUGEINT sum then casts back
+  // into BIGINT exactly. DuckDB's `>>` is arithmetic like Spark's
+  // shiftright — the & 65535 mask makes band keys identical either way.
   val d3 = Q(
     (s, d) => ordered(NearDup.simhashPairs(
       NearDup.simhash(documents(s, d), col("doc_id"), col("text")))),
     Some("WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t " +
       "FROM documents), " +
-      "th AS (SELECT doc_id, ('0x' || substr(md5('99|' || t), 1, 15))::BIGINT AS h FROM tok), " +
-      "votes AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v " +
-      "FROM th, unnest(range(0, 32)) u(b) GROUP BY doc_id, b), " +
-      "sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash " +
+      "th AS (SELECT doc_id, ('0x' || substr(md5('99|' || t), 1, 15))::BIGINT AS h1, " +
+      "('0x' || substr(md5('98|' || t), 1, 15))::BIGINT AS h2 FROM tok), " +
+      "votes AS (SELECT doc_id, b, " +
+      "sum(((CASE WHEN b < 60 THEN h1 >> b ELSE h2 >> (b - 60) END) & 1) * 2 - 1) AS v " +
+      "FROM th, unnest(range(0, 64)) u(b) GROUP BY doc_id, b), " +
+      "sig AS (SELECT doc_id, CAST(sum(CASE WHEN v <= 0 THEN 0 " +
+      "WHEN b = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << b) END) AS BIGINT) AS simhash " +
       "FROM votes GROUP BY doc_id), " +
-      "banded AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS key " +
+      "banded AS (SELECT doc_id, simhash, b AS band, (simhash >> (b * 16)) & 65535 AS key " +
       "FROM sig, unnest(range(0, 4)) u(b)), " +
       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
       "a.simhash AS sa, b.simhash AS sb FROM banded a JOIN banded b " +

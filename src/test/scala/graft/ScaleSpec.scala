@@ -60,6 +60,39 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash band keys draw from the full 16-bit space, not 256 buckets") {
+    import graft.operators.NearDup
+    import graft.sources.Tables
+    // The r2 scale wart: 8-bit band keys (256 values) made each band's
+    // bucket self-join quadratic at corpus scale. With 64-bit signatures
+    // and 16-bit bands the key space is 65,536 per band — on even a tiny
+    // corpus the observed keys must overflow the old 8-bit range, and
+    // every one of the 64 signature bits must actually vary (no dead
+    // top-4 bits from the 60-bit token hash).
+    val sig = NearDup.simhash(Tables.documents(spark, sf), col("doc_id"), col("text"))
+      .persist()
+    try {
+      val banded = sig.select(
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(65535).as("key"))): _*)).as("bs"))
+        .select(col("bs.band").as("band"), col("bs.key").as("key"))
+      val perBand = banded.groupBy("band")
+        .agg(max("key").as("mx"), countDistinct("key").as("nk"))
+        .collect()
+      assert(perBand.length == 4)
+      perBand.foreach { r =>
+        assert(r.getAs[Long]("mx") > 255L,
+          s"band ${r.get(0)} keys confined to 8 bits — banding regressed")
+      }
+      val bitsSeen = sig.agg(
+        sum(when(col("simhash") < 0, 1L).otherwise(0L)).as("neg"),
+        bit_or(col("simhash")).as("anyset")).collect()(0)
+      assert(bitsSeen.getAs[Long]("neg") > 0, "sign bit (63) never set — dead top bits")
+      assert(bitsSeen.getAs[Long]("anyset") == -1L, "some signature bit never varies")
+    } finally sig.unpersist()
+  }
+
   test("stateful streaming sessionization: closed sessions match batch twin") {
     import graft.sources.Tables
     val ev = Tables.events(spark, sf)
