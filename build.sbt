@@ -33,11 +33,27 @@ val jdk17AddOpens = Seq(
 // sweet spot.
 def heapMb(spec: String): Long = {
   val s = spec.trim.toLowerCase
-  val n = s.takeWhile(_.isDigit).toLong
-  if (s.endsWith("g")) n * 1024 else if (s.endsWith("m")) n else n / (1024 * 1024)
+  val digits = s.takeWhile(_.isDigit)
+  require(digits.nonEmpty, s"unparseable memory spec '$spec'")
+  val n = digits.toLong
+  // Unsuffixed values are MB (an unsuffixed "8192" divided down to bytes
+  // would produce -Xmx0m and a JVM that fails to start).
+  if (s.endsWith("g")) n * 1024 else n
+}
+// SPARK_GRAFT_FORCE_MEM bypasses the 8g clamp when a larger scale factor
+// genuinely needs the headroom.
+def resolvedHeapMb: Long = {
+  val requested = heapMb(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+  sys.env.get("SPARK_GRAFT_FORCE_MEM").map(heapMb).getOrElse {
+    val mb = math.min(requested, 8192L)
+    if (requested > mb)
+      println(s"[graft] clamping -Xmx ${requested}m -> ${mb}m (large G1 heaps measured " +
+        "4-10x slower here; set SPARK_GRAFT_FORCE_MEM to override)")
+    mb
+  }
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${math.min(heapMb(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")), 8192L)}m",
+  s"-Xmx${resolvedHeapMb}m",
 )

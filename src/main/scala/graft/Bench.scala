@@ -54,9 +54,17 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qj = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // A crash must never IMPROVE the headline: each failed query charges
+    // a full timeout's worth of seconds into the total (the -1 marker in
+    // `queries` still tells the reader which ones crashed).
+    val failPenaltySec = 600.0
+    val total = results.map(_._2).filter(_ >= 0).sum + errors.size * failPenaltySec
     val ej = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"errors":$ej,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

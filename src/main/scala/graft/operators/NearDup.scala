@@ -179,6 +179,14 @@ object NearDup {
       iter += 1
     }
     edges.unpersist()
+    // Silent non-convergence would hand callers wrong cluster_ids (and a
+    // diverging d6 oracle) with no signal: a component whose diameter
+    // exceeds maxIters must fail loudly, not approximately.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge after $maxIters iterations " +
+        s"($changed labels still changing) — raise maxIters (component diameter " +
+        "exceeds the iteration budget)")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

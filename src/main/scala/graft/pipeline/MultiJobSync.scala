@@ -74,13 +74,28 @@ object MultiJobSync {
 
   final case class JobResult(jobId: Long, name: String,
       stats: Option[MailSyncPipeline.JobStats], error: Option[String]) {
-    /** D6 per-job stats line (serde-style: absent fields skipped). */
+    /** D6 per-job stats line (serde-style: absent fields skipped). Names
+      * and error messages are JSON-escaped — an exception text with a
+      * quote or backslash must not emit a malformed stats line. */
     def statsJson: String = {
-      val base = s"""{"job":$jobId,"name":"$name""""
+      val base = s"""{"job":$jobId,"name":${JobResult.esc(name)}"""
       stats.map(st => base +
           s""","upserted":${st.upserted},"deleted":${st.deleted},"tagOps":${st.tagOps}}""")
-        .getOrElse(base + s""","error":"${error.getOrElse("unknown")}"}""")
+        .getOrElse(base + s""","error":${JobResult.esc(error.getOrElse("unknown"))}}""")
     }
+  }
+
+  object JobResult {
+    /** Minimal JSON string encoder (quote, backslash, control chars). */
+    private[pipeline] def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
   }
 
   /** Run one job end-to-end against its list's sink. */

@@ -119,17 +119,29 @@ final class AudienceSink(val sinkId: String, batchSize: Int = 300,
 
   /** S11: df(id, email, status, merge_json) upserted from executors in
     * ≤batchSize chunks; returns the upserted count (stats only — the
-    * keep set for S12 stays a DataFrame on the caller's side). */
+    * keep set for S12 stays a DataFrame on the caller's side).
+    *
+    * The count rides a LongAccumulator inside the SAME foreachPartition
+    * pass that posts the batches: the upstream plan executes once per
+    * call (the old trailing `count()` ran the whole member transform a
+    * second time — at 100 TB, twice the pipeline per sink call — and
+    * could diverge from what was actually posted for non-deterministic
+    * inputs). Accumulator updates inside an action are applied exactly
+    * once per successful task, so task retries don't double-count. */
   def upsertMany(df: DataFrame): Long = {
     val (sid, bs, retries) = (sinkId, batchSize, maxRetries)
     val data = df.select("id", "email", "status", "merge_json")
+    val sent = data.sparkSession.sparkContext.longAccumulator("audience_upserted")
     data.repartition(sinkPartitions)
       .foreachPartition { it: Iterator[Row] =>
         it.map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
           .grouped(bs)
-          .foreach(batch => withRetry(retries)(postBatch(sid, batch)))
+          .foreach { batch =>
+            withRetry(retries)(postBatch(sid, batch))
+            sent.add(batch.size)
+          }
       }
-    data.count()
+    sent.value
   }
 
   /** S12: delete members not in `keep` (a DataFrame of ids), excluding
@@ -158,15 +170,20 @@ final class AudienceSink(val sinkId: String, batchSize: Int = 300,
   }
 
   /** S13: (id, tag, active) updates applied from executors in chunks of
-    * 1000. Returns the number of tag operations. */
+    * 1000. Returns the number of tag operations, counted in the same
+    * single pass that posts them (see upsertMany). */
   def updateTags(updates: DataFrame): Long = {
     val (sid, retries) = (sinkId, maxRetries)
     val data = updates.select("id", "tag", "active")
+    val sent = data.sparkSession.sparkContext.longAccumulator("audience_tag_ops")
     data.repartition(sinkPartitions).foreachPartition { it: Iterator[Row] =>
       it.map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
         .grouped(1000)
-        .foreach(chunk => withRetry(retries)(postTagBatch(sid, chunk)))
+        .foreach { chunk =>
+          withRetry(retries)(postTagBatch(sid, chunk))
+          sent.add(chunk.size)
+        }
     }
-    data.count()
+    sent.value
   }
 }

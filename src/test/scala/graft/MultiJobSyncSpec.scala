@@ -48,6 +48,23 @@ class MultiJobSyncSpec extends AnyFunSuite {
     AudienceSink.state("job-mj-bad").failNextAttempts.set(0)
   }
 
+  test("statsJson escapes quotes/backslashes/control chars in name and error") {
+    import graft.pipeline.MultiJobSync.JobResult
+    val r = JobResult(7, "club \"A\" \\ west\n", None,
+      Some("boom: path \"C:\\tmp\"\tfailed"))
+    val line = r.statsJson
+    assert(!line.exists(c => c < ' '), "raw control char leaked into JSON line")
+    // the line must round-trip through a strict JSON parser back to the
+    // original strings — a malformed line breaks the D6 stats contract
+    import spark.implicits._
+    val parsed = spark.read
+      .option("mode", "FAILFAST").json(Seq(line).toDS)
+      .select("job", "name", "error").collect()(0)
+    assert(parsed.getLong(0) == 7)
+    assert(parsed.getString(1) == "club \"A\" \\ west\n")
+    assert(parsed.getString(2) == "boom: path \"C:\\tmp\"\tfailed")
+  }
+
   test("job scope drives the member extract and merge-field catalog") {
     import org.apache.spark.sql.functions._
     val clubRows = graft.pipeline.MailSyncPipeline

@@ -55,6 +55,31 @@ class SinkSourceSpec extends AnyFunSuite {
     assert(sink.tagsOf("m002") == Set("lapsed"))
   }
 
+  test("audience sink: upsert and tag stats come from ONE pass over the input") {
+    // The r2 wart: upsertMany/updateTags ran foreachPartition then
+    // count(), executing the upstream plan twice per sink call. A static
+    // per-row probe in the input plan counts actual evaluations — if the
+    // plan ran twice the probe doubles.
+    SinkSourceSpec.planEvals.set(0)
+    val probe = udf { (id: String) => SinkSourceSpec.planEvals.incrementAndGet(); id }
+    val sink = new AudienceSink(sinkId = "t_onepass", batchSize = 10, sinkPartitions = 2)
+    val members = (0 until 40).map(i => (f"m$i%03d", s"u$i@x.org", "subscribed", "{}"))
+      .toDF("id", "email", "status", "merge_json")
+      .withColumn("id", probe(col("id")))
+    assert(sink.upsertMany(members) == 40)
+    assert(SinkSourceSpec.planEvals.get() == 40,
+      s"upsertMany evaluated the input plan ${SinkSourceSpec.planEvals.get() / 40.0} times")
+
+    SinkSourceSpec.planEvals.set(0)
+    val tagProbe = udf { (id: String) => SinkSourceSpec.planEvals.incrementAndGet(); id }
+    val tags = (0 until 30).map(i => (f"m$i%03d", "member", true))
+      .toDF("id", "tag", "active")
+      .withColumn("id", tagProbe(col("id")))
+    assert(sink.updateTags(tags) == 30)
+    assert(SinkSourceSpec.planEvals.get() == 30,
+      s"updateTags evaluated the input plan ${SinkSourceSpec.planEvals.get() / 30.0} times")
+  }
+
   test("audience sink: transient batch failures retried to success") {
     val sink = new AudienceSink(sinkId = "t2", batchSize = 50, sinkPartitions = 2)
     sink.injectTransientFailures(2)
@@ -149,6 +174,12 @@ class DataSourceV2Spec extends AnyFunSuite {
     val got = deletes.select("status").distinct().collect().map(_.getString(0)).toSet
     assert(got == Set("subscribed")) // cleaned never in the delete set
   }
+}
+
+object SinkSourceSpec {
+  /** Per-row evaluation probe for the one-pass sink-stats test; static so
+    * executor-side (local-mode) UDF calls and the test share the count. */
+  val planEvals = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 class SkewSpec extends AnyFunSuite {
