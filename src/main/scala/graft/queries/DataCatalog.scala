@@ -289,6 +289,43 @@ object DataCatalog {
       "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token " +
       "FROM documents) GROUP BY token ORDER BY n DESC, token ASC LIMIT 20)" + OBA))
 
+  // TX6 heavy hitters via count-min sketch (the mergeable sibling tx5's
+  // comment promised): one fixed-size additive sketch crosses the
+  // shuffle for the whole corpus; the vocabulary side probes it and
+  // keeps the top 20 with tx5's tie-break. Oracle = the EXACT heavy-
+  // hitter SQL — the sketch is sized (eps=1e-4) so estimates are
+  // deterministically collision-free at fixture vocabulary size, and a
+  // property test asserts sketch ≡ exact.
+  val tx6 = Q(
+    (s, d) => {
+      val toks = documents(s, d).select(
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      ordered(graft.plans.Sketches.cmTopTokens(toks, col("token"), 20))
+    },
+    Some("SELECT token, n FROM (SELECT token, CAST(count(*) AS BIGINT) AS n FROM (" +
+      "SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token " +
+      "FROM documents) GROUP BY token ORDER BY n DESC, token ASC LIMIT 20)" + OBA))
+
+  // SK2 grouped quantiles via mergeable fixed-bin histogram (the sketch
+  // sk1's comment promised): one array of 64 additive counters per group
+  // crosses the shuffle regardless of group size. l_quantity is integer-
+  // valued 1..50, so unit bins reproduce quantile_cont EXACTLY (same
+  // lower+(upper-lower)*frac interpolation at rank p*(n-1)); oracle =
+  // sk1's exact SQL.
+  val sk2 = Q(
+    (s, d) => {
+      val q = lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+        .agg(graft.plans.Sketches.histQuantiles(col("l_quantity"),
+          0.0, 1.0, 64, Seq(0.25, 0.5, 0.75)).as("qs"))
+      ordered(q.select(col("flag"), posexplode(col("qs")))
+        .toDF("flag", "pos", "q")
+        .select(col("flag"), col("pos").cast("long").as("pos"), col("q")))
+    },
+    Some("WITH g AS (SELECT l_returnflag AS flag, " +
+      "quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs FROM lineitem GROUP BY 1) " +
+      "SELECT flag, CAST(i AS BIGINT) AS pos, qs[i + 1] AS q " +
+      "FROM g, unnest(range(0, 3)) u(i)" + OBA))
+
   // E1 event-time tumbling-window aggregation (batch expression of the
   // Structured Streaming op in graft.streaming; exact cents arithmetic).
   val e1 = Q(
@@ -435,11 +472,11 @@ object DataCatalog {
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5, "d6_dedup_clusters" -> d6,
     "d7_capped_jaccard" -> d7, "emb1_quantize" -> emb1,
-    "sk1_exact_quantiles" -> sk1,
+    "sk1_exact_quantiles" -> sk1, "sk2_hist_quantiles" -> sk2,
     "sim1_cosine_topk" -> sim1, "sim2_ivf_ann" -> sim2,
     "tx1_token_counts" -> tx1, "tx2_quality_score" -> tx2,
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
-    "tx5_top_tokens" -> tx5,
+    "tx5_top_tokens" -> tx5, "tx6_cm_top_tokens" -> tx6,
     "e1_event_window_agg" -> e1, "e2_sessionize" -> e2,
     "e3_sliding_window" -> e3, "e4_correlate" -> e4,
     "a12_bitmap_distinct" -> a12,

@@ -98,6 +98,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sketch aggregates ≡ exact twins on sf0.001 (tx6 vs tx5, sk2 vs sk1)") {
+    val sf = "/root/testdata/sf0.001"
+    // count-min top-20 must equal the exact top-20 (values AND order)
+    val toks = graft.sources.Tables.documents(spark, sf).select(
+      explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+    val sketchTop = graft.plans.Sketches.cmTopTokens(toks, col("token"), 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exactTop = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sketchTop == exactTop)
+
+    // histogram quantiles must equal percentile() bit-for-bit on the
+    // integer-valued fixture
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val hist = li.groupBy(col("l_returnflag"))
+      .agg(graft.plans.Sketches.histQuantiles(col("l_quantity"),
+        0.0, 1.0, 64, Seq(0.25, 0.5, 0.75)).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(hist.keySet == exact.keySet)
+    hist.foreach { case (k, v) => assert(v == exact(k), s"flag $k: $v vs ${exact(k)}") }
+
+    // mergeability: histogram partials merged in any order give the same
+    // answer — repartition shuffles the merge order
+    val reparted = li.repartition(13).groupBy(col("l_returnflag"))
+      .agg(graft.plans.Sketches.histQuantiles(col("l_quantity"),
+        0.0, 1.0, 64, Seq(0.25, 0.5, 0.75)).as("qs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(reparted == hist)
+  }
+
   test("dedupClusters == union-find reachability on random graphs") {
     import graft.operators.NearDup
     val graphGen = for {
