@@ -38,11 +38,13 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode: a real implementation would decode the payload with an
-    * image/audio codec here (one codec init per partition, amortized over
-    * the iterator — the reason this is mapPartitions, not a per-row UDF).
-    * The fake derives deterministic pseudo-features from the bytes so the
-    * plumbing (batching, schema, downstream consumption) is testable. */
+  /** STUB decode for formats without a header parser below: a real
+    * implementation would decode the payload with a full codec here (one
+    * codec init per partition, amortized over the iterator — the reason
+    * this is mapPartitions, not a per-row UDF). The fake derives
+    * deterministic pseudo-features from the bytes so the plumbing
+    * (batching, schema, downstream consumption) stays testable for
+    * arbitrary payloads. */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = payload.length
     val w = 16 + (n % 64)
@@ -53,17 +55,152 @@ object Multimodal {
     (w, h, feat)
   }
 
-  /** Batched feature extraction over partitions. */
+  // ---- real container-header parsing (pure byte reads, no codec deps) ----
+
+  private def beU32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def beU16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def leU32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def leU16(b: Array[Byte], o: Int): Int =
+    ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG: 8-byte signature, then the IHDR chunk (must be first): length,
+    * "IHDR", width u32 BE, height u32 BE. */
+  private def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length < 24 || !b.startsWith(PngSig)) None
+    else if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') None
+    else Some((beU32(b, 16).toInt, beU32(b, 20).toInt))
+
+  /** JPEG: SOI then marker segments; dimensions live in the first SOFn
+    * (C0–CF except the non-frame C4/C8/CC): [marker, len u16, precision,
+    * height u16 BE, width u16 BE]. Segment lengths include their own two
+    * bytes — malformed lengths abort rather than scan off the end. */
+  private def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / scan start: no SOF seen
+      val len = beU16(b, i + 2)
+      if (len < 2 || i + 2 + len > b.length) return None
+      val isSof = marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      if (isSof) {
+        if (len < 7) return None
+        return Some((beU16(b, i + 7), beU16(b, i + 5))) // (width, height)
+      }
+      i += 2 + len
+    }
+    None
+  }
+
+  /** WAV: "RIFF" size "WAVE", then chunks of [id(4), size u32 LE, data];
+    * the "fmt " chunk carries audioFormat u16, channels u16, sampleRate
+    * u32 LE. Returns (sampleRate, channels) as the audio "dimensions". */
+  private def parseWav(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = leU32(b, i + 4).toInt
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 8 || i + 8 + 8 > b.length) return None
+        return Some((leU32(b, i + 12).toInt, leU16(b, i + 10))) // (sampleRate, channels)
+      }
+      i += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Sniff the container by magic bytes (trusting bytes over any declared
+    * mime) and read the real dimensions from the header. */
+  def parseDims(payload: Array[Byte]): Option[(String, Int, Int)] =
+    parsePng(payload).map { case (w, h) => ("image/png", w, h) }
+      .orElse(parseJpeg(payload).map { case (w, h) => ("image/jpeg", w, h) })
+      .orElse(parseWav(payload).map { case (r, c) => ("audio/wav", r, c) })
+
+  /** Batched feature extraction over partitions: REAL header dimensions
+    * for recognized containers (PNG IHDR / JPEG SOFn / WAV fmt — pure
+    * byte reads above), stub features otherwise. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition init happens here (codec/model handles)
       rows.map { r =>
-        val (w, h, feat) = decodeStub(r.payload)
-        MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, w, h, feat)
+        val (sw, sh, feat) = decodeStub(r.payload)
+        parseDims(r.payload) match {
+          case Some((mime, w, h)) =>
+            MediaFeatures(r.doc_id, mime, r.payload.length.toLong, w, h, feat)
+          case None =>
+            MediaFeatures(r.doc_id, r.mime, r.payload.length.toLong, sw, sh, feat)
+        }
       }
     }
+  }
+
+  // ---- fixture synthesis: real minimal containers from doc columns ----
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(PngSig).putInt(13).put("IHDR".getBytes)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .putInt(0) // CRC not validated by the header parser
+    out.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(2 + 2 + 17 + 2)
+    out.put(0xff.toByte).put(0xd8.toByte)            // SOI
+      .put(0xff.toByte).put(0xc0.toByte).putShort(17) // SOF0, len
+      .put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      .put(3.toByte)                                  // 3 components
+      .put(Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+      .put(0xff.toByte).put(0xd9.toByte)              // EOI
+    out.array()
+  }
+
+  private def wavBytes(sampleRate: Int, channels: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    out.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(byteRate).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes).putInt(0)
+    out.array()
+  }
+
+  /** Media fixture with REAL container bytes, dimensions derived
+    * deterministically from doc columns (so an engine-independent oracle
+    * can predict them): the m2 round trip is synthesize → encode header
+    * bytes → re-parse with the byte readers above. */
+  def syntheticMedia(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val payload = (id % 3) match {
+          case 0 => pngBytes((1 + id % 640).toInt, (1 + nChars % 480).toInt)
+          case 1 => wavBytes((8000 + (id % 5) * 8820).toInt, (1 + id % 2).toInt)
+          case _ => jpegBytes((1 + id % 1024).toInt, (1 + nChars % 768).toInt)
+        }
+        val mime = (id % 3) match {
+          case 0 => "image/png"
+          case 1 => "audio/wav"
+          case _ => "image/jpeg"
+        }
+        MediaRow(id, payload, mime)
+      }
   }
 
   /** Deterministic frame-sample analog: pick every k-th byte window as a
@@ -81,7 +218,7 @@ object Multimodal {
     features.toDF()
       .withColumn("scale",
         least(lit(1.0), lit(maxDim.toDouble) / greatest(col("width"), col("height"))))
-      .select(col("doc_id"), col("width"), col("height"),
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
         floor(col("width") * col("scale")).cast("int").as("out_w"),
         floor(col("height") * col("scale")).cast("int").as("out_h"))
 }

@@ -467,6 +467,45 @@ object DataCatalog {
       "md5(text) AS content_md5, CASE WHEN n_chars < 200 THEN 'small' " +
       "WHEN n_chars < 400 THEN 'medium' ELSE 'large' END AS size_class FROM documents" + OBA))
 
+  // M2 real container-header decode: the fixture synthesizes genuine
+  // minimal PNG / JPEG / WAV byte payloads with dimensions derived from
+  // doc columns, and the operator re-reads them by PARSING THE ACTUAL
+  // HEADER BYTES (PNG IHDR u32s, JPEG SOFn segment walk, WAV fmt chunk —
+  // Multimodal.parseDims), then feeds them through the aspect-preserving
+  // resize. The oracle predicts the same dims straight from the doc
+  // columns, so a hash match proves the encode→parse round trip: any
+  // byte-order / offset / segment-walk bug diverges. WAV "dims" are
+  // (sample_rate, channels); audio never resizes below the 256 box rule
+  // the same way images do — the formula is applied uniformly and the
+  // oracle replicates it.
+  val m2 = Q(
+    (s, d) => {
+      val feats = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.syntheticMedia(documents(s, d)))
+      ordered(graft.operators.Multimodal.resizeMeta(feats, 256)
+        .select(col("doc_id"), col("mime"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h")))
+    },
+    Some("WITH dims AS (SELECT doc_id, " +
+      "CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' " +
+      "ELSE 'image/jpeg' END AS mime, " +
+      "CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 640 " +
+      "WHEN 1 THEN 8000 + (doc_id % 5) * 8820 " +
+      "ELSE 1 + doc_id % 1024 END AS width, " +
+      "CASE doc_id % 3 WHEN 0 THEN 1 + n_chars % 480 " +
+      "WHEN 1 THEN 1 + doc_id % 2 " +
+      "ELSE 1 + n_chars % 768 END AS height FROM documents), " +
+      // DOUBLE casts force IEEE division/floor like Spark (a bare 256.0
+      // literal is DECIMAL in DuckDB and rounds differently)
+      "sc AS (SELECT *, least(1.0::DOUBLE, 256.0::DOUBLE / greatest(width, height)) AS scale FROM dims) " +
+      "SELECT doc_id, mime, CAST(width AS BIGINT) AS width, " +
+      "CAST(height AS BIGINT) AS height, " +
+      "CAST(floor(width * scale) AS BIGINT) AS out_w, " +
+      "CAST(floor(height * scale) AS BIGINT) AS out_h FROM sc" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -482,5 +521,5 @@ object DataCatalog {
     "a12_bitmap_distinct" -> a12,
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "j12_salted_join" -> j12,
-    "m1_multimodal_meta" -> m1)
+    "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2)
 }

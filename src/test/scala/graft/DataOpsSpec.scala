@@ -95,11 +95,35 @@ class DataOpsSpec extends AnyFunSuite {
     assert(f0.feature.length == 8 && f0.width >= 16)
   }
 
+  test("multimodal header parse: real PNG/JPEG/WAV bytes round-trip dims") {
+    import graft.operators.Multimodal
+    val media = Multimodal.syntheticMedia(docs.toDF()
+      .withColumn("n_chars", length(col("text")))).collect()
+    media.foreach { m =>
+      val parsed = Multimodal.parseDims(m.payload)
+      assert(parsed.isDefined, s"doc ${m.doc_id}: ${m.mime} payload did not parse")
+      assert(parsed.get._1 == m.mime, s"doc ${m.doc_id}: sniffed ${parsed.get._1}")
+    }
+    // dims come from the HEADER BYTES, not the length heuristics
+    val png = media.find(_.mime == "image/png").get
+    val Some((_, w, h)) = Multimodal.parseDims(png.payload)
+    assert(w == (1 + png.doc_id % 640) && h > 0)
+    // malformed input never throws, just fails to parse
+    assert(Multimodal.parseDims(Array[Byte]()) == None)
+    assert(Multimodal.parseDims("RIFFxxxxWAVE".getBytes) == None)
+    assert(Multimodal.parseDims(Array.fill[Byte](40)(0x42)) == None)
+    val truncated = png.payload.take(20)
+    assert(Multimodal.parseDims(truncated) == None)
+    // JPEG with a lying segment length must abort, not scan off the end
+    val evil = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 0x7f, 0x7f)
+    assert(Multimodal.parseDims(evil) == None)
+  }
+
   test("multimodal resize: aspect-preserving fit, never upscales") {
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs))
     val out = Multimodal.resizeMeta(feats, 32)
-      .as[(Long, Int, Int, Int, Int)].collect()
-    out.foreach { case (_, w, h, ow, oh) =>
+      .as[(Long, String, Int, Int, Int, Int)].collect()
+    out.foreach { case (_, _, w, h, ow, oh) =>
       assert(ow <= 32 && oh <= 32)
       assert(ow <= w && oh <= h) // never upscale
       // aspect preserved within floor rounding
