@@ -18,35 +18,33 @@ import graft.operators.{Dedup, Merge}
   * reference orders them for FK integrity (§7.4.6); the parallelism lives
   * inside each distributed write, not across them.
   */
-final class SyncPipeline(spark: SparkSession, storeDir: Option[String] = None) {
+final class SyncPipeline(spark: SparkSession, storeDir: Option[String] = None,
+    tableStore: Option[graft.sources.TableStore] = None) {
   import scala.collection.mutable
   private val store = mutable.LinkedHashMap[String, DataFrame]()
   private val stats = mutable.LinkedHashMap[String, SyncStats]()
-  private val versions = mutable.HashMap[String, Int]().withDefaultValue(0)
+  /** The persistence seam: an explicit TableStore wins; a bare storeDir
+    * keeps the historical parquet default; neither → localCheckpoint. */
+  private val backing: Option[graft.sources.TableStore] =
+    tableStore.orElse(storeDir.map(graft.sources.ParquetStore(_)))
 
   def table(name: String): DataFrame = store(name)
   def statsMap: Map[String, SyncStats] = stats.toMap
 
   def init(name: String, df: DataFrame): Unit = store(name) = df
 
-  /** Materialize a table state. With `storeDir` set this is
-    * WRITE-TABLE-THEN-SWAP: the merged state lands in a fresh versioned
-    * parquet directory and the current pointer swaps to it only after
-    * the write action succeeds — fault-tolerant (a failed write leaves
-    * the previous version intact) and replayable, exactly the
-    * transactional shape the reference gets from Postgres
-    * (`db/src/lib.rs:31-75`); at cluster scale the pointer swap is a
-    * metastore/table-format commit. Without `storeDir` (unit-test mode)
-    * it falls back to `localCheckpoint` — executor-block-pinned and NOT
-    * fault-tolerant, fine only for ephemeral fixtures. */
-  private def materialize(name: String, df: DataFrame): DataFrame = storeDir match {
-    case Some(dir) =>
-      val v = versions(name) + 1
-      versions(name) = v
-      val path = s"$dir/$name/v$v"
-      df.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path) // swap: the store now points at the new version
-    case None => df.localCheckpoint(eager = true)
+  /** Materialize a table state through the TableStore seam
+    * (WRITE-TABLE-THEN-SWAP: the merged state becomes visible only after
+    * the write action succeeds — a failed write leaves the previous
+    * version intact; `ParquetStore` versions directories, `JdbcStore`
+    * renames a staging table, matching the transactional shape the
+    * reference gets from Postgres, `db/src/lib.rs:31-75`). With no store
+    * configured (unit-test mode) it falls back to `localCheckpoint` —
+    * executor-block-pinned and NOT fault-tolerant, fine only for
+    * ephemeral fixtures. */
+  private def materialize(name: String, df: DataFrame): DataFrame = backing match {
+    case Some(ts) => ts.writeSwap(spark, name, df)
+    case None     => df.localCheckpoint(eager = true)
   }
 
   /** Upsert `source` into table `name` on `keys`, recording stats. */

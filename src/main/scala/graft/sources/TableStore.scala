@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** The pluggable source/sink seam (reference S1/S2): the reference reads
+  * live MySQL/Postgres pools (`ddb/src/lib.rs:21-33`,
+  * `sync-app/src/settings.rs:57-64`) and lands conformed state
+  * transactionally (`db/src/lib.rs:14-76`); the sandbox reads parquet
+  * fixtures. Both are the same two operations — scan a named table,
+  * atomically replace a named table — so both live behind this trait:
+  * `ParquetStore` is the default, `JdbcStore` the options-driven
+  * production seam.
+  */
+trait TableSource extends Serializable {
+  /** Scan table `name` as a DataFrame (pushdown/pruning intact). */
+  def table(spark: SparkSession, name: String): DataFrame
+}
+
+trait TableStore extends TableSource {
+  /** Atomically replace table `name` with `df`: the new state becomes
+    * visible only after the write action succeeds (write-then-swap), and
+    * the returned DataFrame reads the committed state. */
+  def writeSwap(spark: SparkSession, name: String, df: DataFrame): DataFrame
+}
+
+/** Parquet-directory store: reads `dir/<name>.parquet`; writes land in a
+  * fresh versioned directory and the current pointer swaps only after
+  * the write succeeds — a failed write leaves the previous version
+  * intact. At cluster scale the pointer swap is a metastore/table-format
+  * commit. */
+final case class ParquetStore(dir: String) extends TableStore {
+  private val versions =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  override def table(spark: SparkSession, name: String): DataFrame = {
+    val v = versions.get(name)
+    if (v == null) spark.read.parquet(s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name/v$v")
+  }
+
+  override def writeSwap(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val v = versions.compute(name, (_, cur) => if (cur == null) 1 else cur + 1)
+    val path = s"$dir/$name/v$v"
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path) // swap: the store now points at the new version
+  }
+}
+
+/** JDBC-backed store, options-driven: reads are partitioned
+  * `spark.read.format("jdbc")` scans (predicate pushdown rides the
+  * JDBC source), writes land in a staging table and swap in via an
+  * atomic rename on the database side. The transport boundary is
+  * injectable (the AudienceSink pattern) so the option plumbing and
+  * swap protocol are unit-testable without a live database; the default
+  * transport is the real Spark JDBC source.
+  *
+  * @param url         jdbc:subprotocol://... URL (also routes Tables.t here)
+  * @param options     extra JDBC options (user, password, driver,
+  *                    partitionColumn/lowerBound/upperBound, fetchsize…)
+  * @param numPartitions read/write parallelism hint when the caller
+  *                    supplies a partitionColumn
+  */
+final case class JdbcStore(
+    url: String,
+    options: Map[String, String] = Map.empty,
+    numPartitions: Int = 8,
+    transport: JdbcStore.Transport = JdbcStore.SparkJdbc) extends TableStore {
+
+  private def baseOptions(name: String): Map[String, String] =
+    options ++ Map("url" -> url, "dbtable" -> name,
+      "numPartitions" -> numPartitions.toString)
+
+  override def table(spark: SparkSession, name: String): DataFrame =
+    transport.read(spark, baseOptions(name))
+
+  override def writeSwap(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val staging = s"${name}__staging"
+    transport.write(df, baseOptions(staging))
+    // the swap is the transactional pointer flip the reference gets from
+    // Postgres (`db/src/lib.rs:31-75`): rename staging over live
+    transport.exec(url,
+      s"BEGIN; DROP TABLE IF EXISTS $name; " +
+      s"ALTER TABLE $staging RENAME TO $name; COMMIT")
+    table(spark, name)
+  }
+}
+
+object JdbcStore {
+  /** Transport boundary: a real deployment drives the Spark JDBC source
+    * and a plain JDBC statement for the swap; tests inject a recorder. */
+  trait Transport extends Serializable {
+    def read(spark: SparkSession, options: Map[String, String]): DataFrame
+    def write(df: DataFrame, options: Map[String, String]): Unit
+    def exec(url: String, sql: String): Unit
+  }
+
+  /** The real thing (requires a JDBC driver on the classpath). */
+  object SparkJdbc extends Transport {
+    override def read(spark: SparkSession, options: Map[String, String]): DataFrame =
+      spark.read.format("jdbc").options(options).load()
+    override def write(df: DataFrame, options: Map[String, String]): Unit =
+      df.write.format("jdbc").options(options).mode(SaveMode.Overwrite).save()
+    override def exec(url: String, sql: String): Unit = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+      finally conn.close()
+    }
+  }
+}

@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions.{broadcast, col, expr, timestamp_micros}
   * broadcast hint so dimension joins never shuffle the fact side.
   */
 object Tables {
+  /** Route the table-dir string to its source impl: a jdbc: URL scans
+    * through the JDBC seam, anything else is a parquet directory. Every
+    * catalog query takes its table dir as a parameter, so passing a JDBC
+    * URL runs the whole catalog against a live warehouse unchanged. */
+  def source(dir: String): TableSource =
+    if (dir.startsWith("jdbc:")) JdbcStore(dir) else ParquetStore(dir)
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    source(dir).table(spark, name)
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
@@ -27,10 +34,12 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects; read nanos as long and truncate to microseconds — exactly
     * what DuckDB's µs-precision TIMESTAMP does, keeping oracle parity. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    if (d.startsWith("jdbc:")) t(s, d, "events") // DB timestamps arrive typed
+    else {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{JdbcStore, ParquetStore, Tables, TableStore}
+
+/** The S1/S2 source/sink seam: option plumbing and the staging-swap
+  * protocol of the JDBC impl, exercised against a recording stub
+  * transport (no live database in the sandbox), plus routing and the
+  * parquet default through the same trait. */
+class JdbcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Records every transport call; serves canned tables. */
+  final class Recorder extends JdbcStore.Transport {
+    val reads = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    val writes = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    val execs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var served: Map[String, DataFrame] = Map.empty
+    override def read(s: SparkSession, options: Map[String, String]): DataFrame = {
+      reads += options
+      served.getOrElse(options("dbtable"), Seq((1L, "x")).toDF("id", "v"))
+    }
+    override def write(df: DataFrame, options: Map[String, String]): Unit = {
+      writes += options
+      served += options("dbtable") -> df
+    }
+    override def exec(url: String, sql: String): Unit = execs += (url -> sql)
+  }
+
+  private val url = "jdbc:postgresql://warehouse:5432/conformed"
+
+  test("jdbc read: url/dbtable/partitioning options reach the transport") {
+    val rec = new Recorder
+    val store = JdbcStore(url,
+      options = Map("user" -> "svc", "fetchsize" -> "10000",
+        "partitionColumn" -> "id", "lowerBound" -> "0", "upperBound" -> "1000000"),
+      numPartitions = 16, transport = rec)
+    store.table(spark, "members").count()
+    val opts = rec.reads.head
+    assert(opts("url") == url && opts("dbtable") == "members")
+    assert(opts("numPartitions") == "16" && opts("partitionColumn") == "id")
+    assert(opts("fetchsize") == "10000" && opts("user") == "svc")
+  }
+
+  test("jdbc writeSwap: staging write, atomic rename, re-read of committed state") {
+    val rec = new Recorder
+    val store = JdbcStore(url, transport = rec)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val committed = store.writeSwap(spark, "members", df)
+    // write went to the staging table, not the live one
+    assert(rec.writes.map(_("dbtable")) == Seq("members__staging"))
+    // exactly one swap statement, renaming staging over live, on the url
+    val (execUrl, sql) = rec.execs.head
+    assert(execUrl == url)
+    assert(sql.contains("members__staging RENAME TO members"))
+    assert(sql.contains("DROP TABLE IF EXISTS members"))
+    // the returned frame re-reads the committed table
+    assert(rec.reads.map(_("dbtable")) == Seq("members"))
+    assert(committed.count() == 2)
+  }
+
+  test("Tables.t routes jdbc: urls to JdbcStore and paths to ParquetStore") {
+    assert(Tables.source(url).isInstanceOf[JdbcStore])
+    assert(Tables.source("/root/testdata/sf0.001").isInstanceOf[ParquetStore])
+    // parquet default still reads fixtures through the seam
+    assert(Tables.t(spark, "/root/testdata/sf0.001", "region").count() == 5)
+  }
+
+  test("SyncPipeline load/gc runs through an injected TableStore") {
+    val rec = new Recorder
+    val store = JdbcStore(url, transport = rec)
+    val p = new graft.pipeline.SyncPipeline(spark, tableStore = Some(store))
+    p.load("customers", Seq((1L, "ann"), (2L, "bo")).toDF("id", "name"), Seq("id"))
+    assert(rec.writes.map(_("dbtable")) == Seq("customers__staging"))
+    assert(rec.execs.size == 1)
+    p.gc("customers", Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    assert(rec.writes.size == 2 && rec.execs.size == 2)
+    assert(p.statsMap("customers").deleted == 1)
+  }
+
+  test("ParquetStore writeSwap: versioned dirs, old version intact after new write") {
+    val dir = java.nio.file.Files.createTempDirectory("pstore").toString
+    val store: TableStore = ParquetStore(dir)
+    val v1 = store.writeSwap(spark, "t", Seq((1L, "a")).toDF("id", "v"))
+    assert(v1.count() == 1)
+    val v2 = store.writeSwap(spark, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(v2.count() == 2 && store.table(spark, "t").count() == 2)
+    // previous version still readable (failed-write safety)
+    assert(spark.read.parquet(s"$dir/t/v1").count() == 1)
+  }
+}
