@@ -80,41 +80,55 @@ object Multimodal {
   /** JPEG: SOI then marker segments; dimensions live in the first SOFn
     * (C0–CF except the non-frame C4/C8/CC): [marker, len u16, precision,
     * height u16 BE, width u16 BE]. Segment lengths include their own two
-    * bytes — malformed lengths abort rather than scan off the end. */
+    * bytes — malformed lengths abort rather than scan off the end.
+    * Standalone markers (TEM 0x01, RSTn 0xD0–0xD7) carry no length, and
+    * 0xFF fill bytes before a marker are skipped, per the spec. */
   private def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var i = 2
-    while (i + 3 < b.length) {
+    while (i + 1 < b.length) {
       if ((b(i) & 0xff) != 0xff) return None
-      val marker = b(i + 1) & 0xff
+      var j = i + 1 // skip 0xFF fill bytes: any number may pad a marker
+      while (j < b.length && (b(j) & 0xff) == 0xff) j += 1
+      if (j >= b.length) return None
+      val marker = b(j) & 0xff
       if (marker == 0xd9 || marker == 0xda) return None // EOI / scan start: no SOF seen
-      val len = beU16(b, i + 2)
-      if (len < 2 || i + 2 + len > b.length) return None
-      val isSof = marker >= 0xc0 && marker <= 0xcf &&
-        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-      if (isSof) {
-        if (len < 7) return None
-        return Some((beU16(b, i + 7), beU16(b, i + 5))) // (width, height)
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i = j + 1 // standalone marker: no length field
+      } else {
+        if (j + 3 >= b.length) return None
+        val len = beU16(b, j + 1)
+        if (len < 2 || j + 1 + len > b.length) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 7) return None
+          return Some((beU16(b, j + 6), beU16(b, j + 4))) // (width, height)
+        }
+        i = j + 1 + len
       }
-      i += 2 + len
     }
     None
   }
 
   /** WAV: "RIFF" size "WAVE", then chunks of [id(4), size u32 LE, data];
     * the "fmt " chunk carries audioFormat u16, channels u16, sampleRate
-    * u32 LE. Returns (sampleRate, channels) as the audio "dimensions". */
+    * u32 LE. Returns (sampleRate, channels) as the audio "dimensions".
+    * Chunk sizes stay u32-in-Long so a crafted size (e.g. 0xFFFFFFF8)
+    * can't wrap negative and stall or underflow the walk. */
   private def parseWav(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
     if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var i = 12
     while (i + 8 <= b.length) {
-      val size = leU32(b, i + 4).toInt
+      val size = leU32(b, i + 4) // u32 as Long: never negative
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
         if (size < 8 || i + 8 + 8 > b.length) return None
         return Some((leU32(b, i + 12).toInt, leU16(b, i + 10))) // (sampleRate, channels)
       }
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      if (next <= i || next > b.length.toLong) return None // overflow / truncated chunk
+      i = next.toInt
     }
     None
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
@@ -59,6 +60,14 @@ object Sketches {
     val skBytes = toks
       .agg(count_min_sketch(token, lit(eps), lit(confidence), lit(seed)))
       .head().getAs[Array[Byte]](0)
+    val spark = toks.sparkSession
+    // Spark's count_min_sketch aggregate yields NULL over zero rows —
+    // an empty corpus has no heavy hitters, not a readFrom NPE
+    if (skBytes == null) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("token", StringType), StructField("n", LongType, nullable = false))))
+    }
     val est = ColumnBridge.column(
       CmEstimate(ColumnBridge.expression(col("token")), skBytes))
     toks.select(token.as("token")).distinct()
@@ -83,8 +92,17 @@ case class HistogramQuantile(
   extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(child)
-  override def nullable: Boolean = false
+  // eval yields null for an all-NULL / empty group, so the schema must
+  // say so — codegen trusts nullable=false and would corrupt the row
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // analysis-time error instead of a runtime ClassCastException when the
+  // measure column isn't DOUBLE (AbstractDataType is private[sql], so
+  // this is the checkInputDataTypes spelling of ExpectsInputTypes)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"histogram_quantile requires a DOUBLE measure, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](bins)
 
@@ -180,4 +198,14 @@ case class CmEstimate(child: Expression, sketchBytes: Array[Byte])
   }
 
   override protected def withNewChildInternal(c: Expression): CmEstimate = copy(child = c)
+
+  // Array[Byte] fields get reference equality from the case class, which
+  // defeats expression canonicalization — compare sketch contents
+  override def equals(o: Any): Boolean = o match {
+    case c: CmEstimate =>
+      child == c.child && java.util.Arrays.equals(sketchBytes, c.sketchBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(sketchBytes)
 }

@@ -31,6 +31,11 @@ trait TableStore extends TableSource {
 final case class ParquetStore(dir: String) extends TableStore {
   private val versions =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  // candidate-version allocator, separate from the published pointer: a
+  // claimed version becomes visible to table() only after its write
+  // action succeeds, so a failed write can never be read
+  private val claims =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
   override def table(spark: SparkSession, name: String): DataFrame = {
     val v = versions.get(name)
@@ -39,10 +44,17 @@ final case class ParquetStore(dir: String) extends TableStore {
   }
 
   override def writeSwap(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
-    val v = versions.compute(name, (_, cur) => if (cur == null) 1 else cur + 1)
+    val v = claims
+      .computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicInteger(
+        Option(versions.get(name)).fold(0)(_.intValue())))
+      .incrementAndGet() // unique dir per concurrent writer
     val path = s"$dir/$name/v$v"
     df.write.mode(SaveMode.Overwrite).parquet(path)
-    spark.read.parquet(path) // swap: the store now points at the new version
+    // publish only now that the write succeeded; concurrent completions
+    // resolve monotonically (highest completed version wins)
+    versions.merge(name, Integer.valueOf(v),
+      (a, b) => if (a.intValue() >= b.intValue()) a else b)
+    spark.read.parquet(path)
   }
 }
 
@@ -77,21 +89,29 @@ final case class JdbcStore(
     val staging = s"${name}__staging"
     transport.write(df, baseOptions(staging))
     // the swap is the transactional pointer flip the reference gets from
-    // Postgres (`db/src/lib.rs:31-75`): rename staging over live
-    transport.exec(url,
-      s"BEGIN; DROP TABLE IF EXISTS $name; " +
-      s"ALTER TABLE $staging RENAME TO $name; COMMIT")
+    // Postgres (`db/src/lib.rs:31-75`): rename staging over live. The
+    // statements run individually inside ONE explicit transaction (a
+    // single multi-statement string is rejected by MySQL by default),
+    // identifiers quoted; credentials ride the same options as reads.
+    transport.exec(url, options, Seq(
+      s"DROP TABLE IF EXISTS ${JdbcStore.quote(name)}",
+      s"ALTER TABLE ${JdbcStore.quote(staging)} RENAME TO ${JdbcStore.quote(name)}"))
     table(spark, name)
   }
 }
 
 object JdbcStore {
+  /** ANSI identifier quoting (doubled inner quotes). */
+  def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+
   /** Transport boundary: a real deployment drives the Spark JDBC source
-    * and a plain JDBC statement for the swap; tests inject a recorder. */
+    * and a plain JDBC transaction for the swap; tests inject a recorder. */
   trait Transport extends Serializable {
     def read(spark: SparkSession, options: Map[String, String]): DataFrame
     def write(df: DataFrame, options: Map[String, String]): Unit
-    def exec(url: String, sql: String): Unit
+    /** Run `statements` in order inside one transaction on `url`,
+      * authenticating with user/password from `options` when present. */
+    def exec(url: String, options: Map[String, String], statements: Seq[String]): Unit
   }
 
   /** The real thing (requires a JDBC driver on the classpath). */
@@ -100,10 +120,24 @@ object JdbcStore {
       spark.read.format("jdbc").options(options).load()
     override def write(df: DataFrame, options: Map[String, String]): Unit =
       df.write.format("jdbc").options(options).mode(SaveMode.Overwrite).save()
-    override def exec(url: String, sql: String): Unit = {
-      val conn = java.sql.DriverManager.getConnection(url)
-      try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
-      finally conn.close()
+    override def exec(url: String, options: Map[String, String],
+        statements: Seq[String]): Unit = {
+      val props = new java.util.Properties()
+      options.get("user").foreach(props.setProperty("user", _))
+      options.get("password").foreach(props.setProperty("password", _))
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        try {
+          val st = conn.createStatement()
+          try statements.foreach(st.execute) finally st.close()
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw e
+        }
+      } finally conn.close()
     }
   }
 }

@@ -119,6 +119,42 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Multimodal.parseDims(evil) == None)
   }
 
+  test("multimodal header parse: crafted chunk sizes / standalone markers never hang or throw") {
+    import graft.operators.Multimodal
+    // RIFF chunk whose u32 size wraps negative as Int (0xFFFFFFF8 = -8):
+    // the walk must terminate with None, not loop forever or underflow
+    val wavEvil = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(24).put("WAVE".getBytes)
+      .put("junk".getBytes).putInt(0xFFFFFFF8) // size = 4294967288
+      .put(Array.fill[Byte](8)(0)).array()
+    assert(Multimodal.parseDims(wavEvil) == None)
+    // size that walks exactly to 0 steps (size = -9 & align) must not stall
+    val wavZero = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+      .put("junk".getBytes).putInt(0xFFFFFFF7).array()
+    assert(Multimodal.parseDims(wavZero) == None)
+    // JPEG standalone markers (RST0, TEM) carry no length field — the
+    // walk must hop them, then still find the SOF0 that follows
+    val jpegRst = java.nio.ByteBuffer.allocate(2 + 2 + 2 + 2 + 9 + 2)
+      .put(0xff.toByte).put(0xd8.toByte)             // SOI
+      .put(0xff.toByte).put(0xd0.toByte)             // RST0 (standalone)
+      .put(0xff.toByte).put(0x01.toByte)             // TEM  (standalone)
+      .put(0xff.toByte).put(0xc0.toByte).putShort(9) // SOF0 len=9
+      .put(8.toByte).putShort(77).putShort(33)       // precision, h=77, w=33
+      .put(0.toByte).put(0.toByte)
+      .array()
+    assert(Multimodal.parseDims(jpegRst) == Some(("image/jpeg", 33, 77)))
+    // 0xFF fill bytes before a marker are padding, not a parse failure
+    val jpegFill = java.nio.ByteBuffer.allocate(2 + 3 + 2 + 9)
+      .put(0xff.toByte).put(0xd8.toByte)              // SOI
+      .put(0xff.toByte).put(0xff.toByte).put(0xff.toByte) // fill run
+      .put(0xc0.toByte).putShort(9)                   // SOF0 after fill
+      .put(8.toByte).putShort(12).putShort(34)
+      .put(0.toByte).put(0.toByte)
+      .array()
+    assert(Multimodal.parseDims(jpegFill) == Some(("image/jpeg", 34, 12)))
+  }
+
   test("multimodal resize: aspect-preserving fit, never upscales") {
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs))
     val out = Multimodal.resizeMeta(feats, 32)

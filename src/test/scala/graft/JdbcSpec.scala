@@ -16,7 +16,7 @@ class JdbcSpec extends AnyFunSuite {
   final class Recorder extends JdbcStore.Transport {
     val reads = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
     val writes = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
-    val execs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val execs = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String], Seq[String])]
     var served: Map[String, DataFrame] = Map.empty
     override def read(s: SparkSession, options: Map[String, String]): DataFrame = {
       reads += options
@@ -26,7 +26,18 @@ class JdbcSpec extends AnyFunSuite {
       writes += options
       served += options("dbtable") -> df
     }
-    override def exec(url: String, sql: String): Unit = execs += (url -> sql)
+    private val Rename = """ALTER TABLE "(.+)" RENAME TO "(.+)"""".r
+    override def exec(url: String, options: Map[String, String],
+        statements: Seq[String]): Unit = {
+      execs += ((url, options, statements))
+      // behave like the database: apply the rename so post-swap reads of
+      // the live table see the staged data
+      statements.foreach {
+        case Rename(from, to) =>
+          served.get(from).foreach { df => served += to -> df; served -= from }
+        case _ => ()
+      }
+    }
   }
 
   private val url = "jdbc:postgresql://warehouse:5432/conformed"
@@ -46,19 +57,38 @@ class JdbcSpec extends AnyFunSuite {
 
   test("jdbc writeSwap: staging write, atomic rename, re-read of committed state") {
     val rec = new Recorder
-    val store = JdbcStore(url, transport = rec)
+    val store = JdbcStore(url, options = Map("user" -> "svc", "password" -> "s3cr3t"),
+      transport = rec)
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val committed = store.writeSwap(spark, "members", df)
     // write went to the staging table, not the live one
     assert(rec.writes.map(_("dbtable")) == Seq("members__staging"))
-    // exactly one swap statement, renaming staging over live, on the url
-    val (execUrl, sql) = rec.execs.head
+    // one transaction of individual quoted statements, credentials carried
+    val (execUrl, execOpts, statements) = rec.execs.head
     assert(execUrl == url)
-    assert(sql.contains("members__staging RENAME TO members"))
-    assert(sql.contains("DROP TABLE IF EXISTS members"))
+    assert(execOpts("user") == "svc" && execOpts("password") == "s3cr3t")
+    assert(statements == Seq(
+      "DROP TABLE IF EXISTS \"members\"",
+      "ALTER TABLE \"members__staging\" RENAME TO \"members\""))
     // the returned frame re-reads the committed table
     assert(rec.reads.map(_("dbtable")) == Seq("members"))
     assert(committed.count() == 2)
+  }
+
+  test("ParquetStore: a failed write never publishes — reads stay on the old version") {
+    val dir = java.nio.file.Files.createTempDirectory("pstore-fail").toString
+    val store: TableStore = ParquetStore(dir)
+    store.writeSwap(spark, "t", Seq((1L, "a")).toDF("id", "v"))
+    // a plan that fails at write time (division by zero under ANSI off
+    // still fails via raise_error)
+    val bad = Seq(Tuple1(1L)).toDF("id")
+      .selectExpr("id", "raise_error('boom') as v")
+    intercept[Exception] { store.writeSwap(spark, "t", bad) }
+    // reads-after-failure: still the committed v1, not the broken v2
+    assert(store.table(spark, "t").count() == 1)
+    // and the next successful write still lands and publishes
+    assert(store.writeSwap(spark, "t", Seq((1L, "a"), (2L, "b")).toDF("id", "v")).count() == 2)
+    assert(store.table(spark, "t").count() == 2)
   }
 
   test("Tables.t routes jdbc: urls to JdbcStore and paths to ParquetStore") {
