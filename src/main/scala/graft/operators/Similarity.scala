@@ -44,8 +44,20 @@ object Similarity {
   }
 
   /** Exact top-k neighbors by cosine for the given query rows.
-    * Ties broken by ascending neighbor id (deterministic). */
-  def topK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    * Ties broken by ascending neighbor id (deterministic).
+    *
+    * This is the exact BASELINE: the plan is a broadcast-nested-loop
+    * O(Q×N) scoring pass, intentional only while the query side is
+    * small. `maxQueries` bounds that contract — a query set past the
+    * cap fails fast with a pointer at the IVF scale path instead of
+    * silently materializing a Q×N cross product on the cluster. */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+      maxQueries: Int = 10000): DataFrame = {
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"Similarity.topK is the exact O(Q*N) baseline and its query side " +
+      s"exceeds maxQueries=$maxQueries; use topKIvf/topKMultiProbe for " +
+      s"large query sets, or raise maxQueries deliberately")
     val q = withNorm(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv")), "query_id", "qv", "qn")
     val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"),
@@ -60,6 +72,37 @@ object Similarity {
   def topKIvf(vectors: DataFrame, cellCol: String, k: Int): DataFrame = {
     val q = withNorm(vectors.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"), col(cellCol).as("cell")), "query_id", "qv", "qn")
+    val c = withNorm(vectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col(cellCol).as("cell")), "neighbor_id", "cv", "cn")
+    val scored = q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** IVF multi-probe ANN: each query probes its own coarse cell plus
+    * `nprobe - 1` ring-adjacent cells ((cell ± i) mod numCells) — the
+    * recall lever real IVF indexes use when the nearest neighbor falls
+    * just across a cell boundary. Candidate generation stays an
+    * equi-join on cell id: the query side fans out ×nprobe (map-side
+    * explode, no extra shuffle of the corpus), and because every
+    * corpus vector lives in exactly one cell the probe union is
+    * duplicate-free by construction. Recall ⊇ single-probe topKIvf at
+    * ×nprobe candidate cost — still O(N·nprobe/numCells) per query,
+    * never O(N). */
+  def topKMultiProbe(vectors: DataFrame, cellCol: String, k: Int,
+      numCells: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= numCells,
+      s"nprobe must be in [1, numCells=$numCells], got $nprobe")
+    // ring offsets 0, +1, -1, +2, -2, … taking the first nprobe
+    val offsets = (0 until numCells)
+      .flatMap(i => if (i == 0) Seq(0) else Seq(i, -i))
+      .take(nprobe)
+    val probes = array(offsets.map(o =>
+      pmod(col(cellCol) + lit(o), lit(numCells))): _*)
+    val q = withNorm(vectors.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), explode(probes).as("cell")),
+      "query_id", "qv", "qn")
     val c = withNorm(vectors.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"), col(cellCol).as("cell")), "neighbor_id", "cv", "cn")
     val scored = q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))

@@ -222,6 +222,22 @@ object DataCatalog {
       "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
       "FROM ranked WHERE rank <= 5" + OBA))
 
+  // SIM3 IVF multi-probe ANN: nprobe=3 over the 10 coarse cells — each
+  // query also probes the two ring-adjacent cells, recovering neighbors
+  // that fall just across its cell boundary (recall ⊇ sim2 by
+  // construction; candidate cost ×3, never O(N)).
+  val sim3 = Q(
+    (s, d) => ordered(Similarity.topKMultiProbe(embeddings(s, d), "label", 5, 10, 3)),
+    Some("WITH q AS (SELECT vec_id AS query_id, embedding AS qv, " +
+      "unnest([label % 10, (label + 1) % 10, (label + 9) % 10]) AS cell FROM embeddings), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cell FROM embeddings), " +
+      "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+      "FROM ranked WHERE rank <= 5" + OBA))
+
   // D5 embedding-cosine near-dup pairs within coarse cells.
   val d5 = Q(
     (s, d) => ordered(Similarity.nearDupPairs(embeddings(s, d), "label", 0.9)),
@@ -512,7 +528,7 @@ object DataCatalog {
     "d5_embedding_neardup" -> d5, "d6_dedup_clusters" -> d6,
     "d7_capped_jaccard" -> d7, "emb1_quantize" -> emb1,
     "sk1_exact_quantiles" -> sk1, "sk2_hist_quantiles" -> sk2,
-    "sim1_cosine_topk" -> sim1, "sim2_ivf_ann" -> sim2,
+    "sim1_cosine_topk" -> sim1, "sim2_ivf_ann" -> sim2, "sim3_multiprobe_ann" -> sim3,
     "tx1_token_counts" -> tx1, "tx2_quality_score" -> tx2,
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
     "tx5_top_tokens" -> tx5, "tx6_cm_top_tokens" -> tx6,

@@ -85,6 +85,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(self.contains((0L, 1L)))
   }
 
+  test("topK guard: a query side past maxQueries fails fast toward the IVF path") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0), (3L, Array(0.9f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.topK(vecs, vecs, 2, maxQueries = 2)
+    }
+    assert(e.getMessage.contains("topKIvf"))
+    // at or under the cap the exact path still runs
+    assert(Similarity.topK(vecs.limit(2), vecs, 2, maxQueries = 2).count() > 0)
+  }
+
+  test("multi-probe ANN: recall ⊇ single-probe, ≡ exact when probes cover all cells") {
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = hits(Similarity.topK(vecs, vecs, 3, maxQueries = 100000))
+    val p1 = hits(Similarity.topKMultiProbe(vecs, "label", 3, 10, 1))
+    val p3 = hits(Similarity.topKMultiProbe(vecs, "label", 3, 10, 3))
+    val pAll = hits(Similarity.topKMultiProbe(vecs, "label", 3, 10, 10))
+    // nprobe=1 ≡ the single-probe IVF operator
+    assert(p1 == hits(Similarity.topKIvf(vecs, "label", 3)))
+    // recall vs exact grows monotonically with nprobe, reaching 1.0 at full cover
+    val r1 = (p1 & exact).size.toDouble / exact.size
+    val r3 = (p3 & exact).size.toDouble / exact.size
+    assert(r3 >= r1)
+    assert(pAll == exact)
+  }
+
   test("multimodal plumbing: schema, batching, deterministic stub features") {
     val media = Multimodal.asMedia(docs)
     val feats = Multimodal.extractFeatures(media).collect()
