@@ -24,9 +24,32 @@ import graft.sources.Tables
   */
 object DrupalFixture {
 
+  /** The ~17 fixture projections below all re-derive from four base
+    * scans (orders, customer, nation, region). In a real Drupal store
+    * each EAV table is a genuinely distinct table, so separate scans are
+    * the honest shape of the assembly operator — but in the fixture
+    * they are projections of the SAME parquet files, which made every
+    * broadcast-build job of the flagship re-read orders.parquet from
+    * disk (~13 sequential scan jobs dominated mbr1/mbr3 wall time).
+    * Caching the base frames once per (session, dir) turns each
+    * derivation into an in-memory scan while leaving the join structure
+    * — the operator under test — untouched. Scale note: this pins the
+    * synthetic BASE tables, not 100 TB of facts; a real deployment has
+    * distinct source tables and no rescan to elide, so nothing here
+    * changes the at-scale plan. */
+  private val baseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def cachedBase(s: SparkSession, d: String, name: String): DataFrame =
+    baseCache.computeIfAbsent((s, d, name), _ =>
+      Tables.t(s, d, name).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+  private def ordersB(s: SparkSession, d: String): DataFrame = cachedBase(s, d, "orders")
+  private def customerB(s: SparkSession, d: String): DataFrame = cachedBase(s, d, "customer")
+  private def nationB(s: SparkSession, d: String): DataFrame = cachedBase(s, d, "nation")
+  private def regionB(s: SparkSession, d: String): DataFrame = cachedBase(s, d, "region")
+
   /** paragraphs_item_field_data: one membership paragraph per order. */
   def paragraphs(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
+    ordersB(s, d).select(
       col("o_orderkey").as("paragraph_id"),
       col("o_custkey").as("uid"),
       when(col("o_orderkey") % 37 === 0, "0").otherwise("1").as("status"),
@@ -35,7 +58,7 @@ object DrupalFixture {
 
   /** paragraph__field_club (EAV attribute). */
   def paraClub(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
+    ordersB(s, d).select(
       col("o_orderkey").as("entity_id"),
       (col("o_orderkey") % 25).cast("long").as("club_target"),
       when(col("o_orderkey") % 41 === 0, "1").otherwise("0").as("deleted"))
@@ -44,14 +67,14 @@ object DrupalFixture {
     * timestamp[ms] in the parquet — normalize to DATE on both engines,
     * the reference's DATE(field_join_date_value) convention). */
   def paraJoin(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
+    ordersB(s, d).select(
       col("o_orderkey").as("entity_id"),
       to_date(col("o_orderdate")).as("join_dt"),
       lit("0").as("deleted"))
 
   /** paragraph__field_leave_date (EAV attribute); NULL = open-ended. */
   def paraLeave(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).select(
+    ordersB(s, d).select(
       col("o_orderkey").as("entity_id"),
       when(col("o_orderkey") % 5 === 0, lit(null).cast("date"))
         .otherwise(date_add(to_date(col("o_orderdate")), 1460)).as("leave_dt"),
@@ -59,7 +82,7 @@ object DrupalFixture {
 
   /** paragraph__field_membership_class (EAV attribute; sparse). */
   def paraClass(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).filter(col("o_orderkey") % 6 =!= 0).select(
+    ordersB(s, d).filter(col("o_orderkey") % 6 =!= 0).select(
       col("o_orderkey").as("entity_id"),
       (col("o_orderkey") % 4).cast("long").as("class_tid"),
       lit("0").as("deleted"))
@@ -72,7 +95,7 @@ object DrupalFixture {
   }
 
   private def userLink(s: SparkSession, d: String, rem: Int): DataFrame =
-    Tables.orders(s, d).filter(col("o_orderkey") % 3 === rem).select(
+    ordersB(s, d).filter(col("o_orderkey") % 3 === rem).select(
       col("o_custkey").as("entity_id"),
       col("o_orderkey").as("target_id"),
       when(col("o_orderkey") % 43 === 0, "1").otherwise("0").as("deleted"))
@@ -88,20 +111,20 @@ object DrupalFixture {
   /** user__field_primary_member: marks partner-record users (excluded
     * from member output — they ride along on the primary's row). */
   def userPrimaryMember(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d).filter(col("c_custkey") % 17 === 0).select(
+    customerB(s, d).filter(col("c_custkey") % 17 === 0).select(
       col("c_custkey").as("entity_id"),
       (col("c_custkey") - 1).as("primary_target"))
 
   /** users_field_data. */
   def users(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d).select(
+    customerB(s, d).select(
       col("c_custkey").as("uid"),
       when(col("c_custkey") % 13 === 0, 0).otherwise(1).as("status"),
       (lit(915148800L) + col("c_custkey") * 3600).as("login"))
 
   /** z_member_search_main: the wide member profile view. */
   def profile(s: SparkSession, d: String): DataFrame =
-    Tables.customer(s, d).select(
+    customerB(s, d).select(
       col("c_custkey").as("user_id"),
       substring(col("c_name"), 1, 8).as("first_name"),
       substring(col("c_name"), 10, 18).as("last_name"),
@@ -118,33 +141,33 @@ object DrupalFixture {
 
   /** node_field_data for clubs (nid = nation key). */
   def clubNodes(s: SparkSession, d: String): DataFrame =
-    Tables.nation(s, d).select(
+    nationB(s, d).select(
       col("n_nationkey").cast("long").as("nid"),
       col("n_name").as("title"),
       col("n_regionkey").cast("long").as("regionkey"))
 
   /** node__field_club_number (EAV attribute on club nodes). */
   def clubNumber(s: SparkSession, d: String): DataFrame =
-    Tables.nation(s, d).select(
+    nationB(s, d).select(
       col("n_nationkey").cast("long").as("entity_id"),
       (col("n_nationkey") + 100).cast("long").as("club_number"))
 
   /** node__field_region (club → region link). */
   def clubRegion(s: SparkSession, d: String): DataFrame =
-    Tables.nation(s, d).select(
+    nationB(s, d).select(
       col("n_nationkey").cast("long").as("entity_id"),
       col("n_regionkey").cast("long").as("region_target"),
       lit("0").as("deleted"))
 
   /** node__field_region_number (EAV attribute on region nodes). */
   def regionNumber(s: SparkSession, d: String): DataFrame =
-    Tables.region(s, d).select(
+    regionB(s, d).select(
       col("r_regionkey").cast("long").as("entity_id"),
       (col("r_regionkey") + 10).cast("long").as("region_number"))
 
   /** v_brns: per-user sorted comma-joined BRN list (string_agg twin). */
   def brns(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    ordersB(s, d).filter(col("o_orderpriority") === "1-URGENT")
       .groupBy(col("o_custkey").as("user_id"))
       .agg(array_join(array_sort(collect_set(col("o_orderkey").cast("string"))), ",")
         .as("brns_values"))
