@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: the train/eval overlap scan every LLM data
+  * pipeline runs before training — flag corpus documents whose word
+  * n-grams cover a large fraction of any benchmark document, so eval
+  * answers don't leak into the training set.
+  *
+  * Scale shape (same family as the blocked-Jaccard counter, NearDup
+  * d4): overlap counting explodes shingles and equi-joins on the
+  * shingle string — one shuffled row per SHARED shingle, never a
+  * corpus×bench pair matrix. The benchmark side is an eval set, tiny by
+  * construction, so its exploded shingles broadcast and the corpus side
+  * never shuffles at all: the whole scan is a map-side join + one
+  * aggregate on (corpus_id, bench_id), which only materializes pairs
+  * that share at least one shingle. Directionality matters: the score
+  * is the fraction of the BENCHMARK doc covered (a 100-word eval item
+  * fully contained in a 10k-word train doc is 100% contaminated, not
+  * 1%).
+  */
+object Contamination {
+
+  /** (corpus_id, bench_id, hits, overlap) for every cross-set pair with
+    * overlap ≥ tau, where overlap = |shingles(corpus) ∩ shingles(bench)|
+    * / |shingles(bench)|. */
+  def flagged(corpus: DataFrame, bench: DataFrame,
+      id: Column, text: Column, tau: Double, n: Int = 3): DataFrame = {
+    val cs = NearDup.shingles(corpus, id, text, n)
+      .select(col("doc_id").as("corpus_id"), col("sh"))
+    val bs = NearDup.shingles(bench, id, text, n)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    val bcnt = bs.groupBy(col("bench_id")).agg(count(lit(1)).as("n"))
+    val hits = cs.join(broadcast(bs), Seq("sh"))
+      .groupBy(col("corpus_id"), col("bench_id"))
+      .agg(count(lit(1)).as("hits"))
+    hits.join(broadcast(bcnt), Seq("bench_id"))
+      .withColumn("overlap", col("hits") / col("n"))
+      .filter(col("overlap") >= tau)
+      .select(col("corpus_id"), col("bench_id"), col("hits"), col("overlap"))
+  }
+}

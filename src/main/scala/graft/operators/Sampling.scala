@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * Random sampling (`df.sample`) is irreproducible across runs, partition
+  * layouts, and engines — useless for a 100 TB corpus where the sample
+  * defines the dataset. These samplers key every keep/drop decision on a
+  * content-stable md5 bucket of the row's key, so:
+  *
+  *  - the same row always lands on the same side (reruns, retries, and
+  *    speculative tasks agree);
+  *  - the decision is a pure map — no shuffle, no driver coordination,
+  *    embarrassingly parallel at any scale;
+  *  - the DuckDB oracle reproduces the sample bit-for-bit (md5-prefix
+  *    bucketing, the engine-portable hash convention).
+  *
+  * The bucket is `md5(key) mod 1000` (permille); nested sampling is
+  * monotone — `bernoulli(df, k, 100)` ⊂ `bernoulli(df, k, 200)` — which
+  * is what makes sample-size sweeps consistent.
+  */
+object Sampling {
+
+  /** 60-bit md5-prefix bucket in [0, 1000): the engine-portable twin of
+    * DuckDB's `('0x' || substr(md5(k), 1, 15))::BIGINT % 1000`. */
+  def bucket(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"), lit(1000))
+
+  /** Keep rows whose key-bucket falls below `permille` (‰ keep rate). */
+  def bernoulli(df: DataFrame, key: Column, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille in [0,1000], got $permille")
+    df.filter(bucket(key) < permille)
+  }
+
+  /** Stratified sample: a per-stratum keep rate (‰), e.g. downsampling an
+    * over-represented language while keeping the tails — the standard
+    * corpus-rebalancing move. Strata absent from `rates` use
+    * `defaultPermille`. Still a pure map: the stratum column rides the
+    * row, so no shuffle and no per-stratum pass. */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Int], defaultPermille: Int = 1000): DataFrame = {
+    require((defaultPermille +: rates.values.toSeq).forall(r => r >= 0 && r <= 1000),
+      "all rates must be in [0,1000]")
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket(key) < rate)
+  }
+
+  /** Exact top-k per group by an explicit deterministic order — the
+    * grouped sibling of the global ORDER BY + LIMIT (W2). The window
+    * shuffles once on the group key and the sort does map-side partial
+    * top-k, so no group ever materializes fully sorted on one node
+    * beyond its k rows at the merge. Callers must pass a total order
+    * (tie-break to a unique column) or the pick is nondeterministic. */
+  def topKPerGroup(df: DataFrame, group: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+}

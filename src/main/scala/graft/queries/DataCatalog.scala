@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{NearDup, Similarity, TextOps}
+import graft.operators.{Contamination, NearDup, Sampling, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -522,6 +522,65 @@ object DataCatalog {
       "CAST(floor(width * scale) AS BIGINT) AS out_w, " +
       "CAST(floor(height * scale) AS BIGINT) AS out_h FROM sc" + OBA))
 
+  // SMP1 deterministic Bernoulli sample: keep rows whose md5(doc_id)
+  // bucket < 200‰. Reproducible across engines/runs/partitionings — the
+  // 100 TB sampling primitive (a pure map, no shuffle, nested samples
+  // are monotone in the rate).
+  val smp1 = Q(
+    (s, d) => ordered(Sampling.bernoulli(documents(s, d), col("doc_id"), 200)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+    Some("SELECT doc_id, lang, source, n_chars FROM documents " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 200" + OBA))
+
+  // SMP2 stratified sample: per-language keep rates (downsample the
+  // over-represented 'en', oversample-keep 'zh') — the standard corpus
+  // rebalancing move, still a pure map.
+  val smp2 = Q(
+    (s, d) => ordered(Sampling.stratified(documents(s, d), col("doc_id"), col("lang"),
+      Map("en" -> 150, "zh" -> 900), defaultPermille = 600)
+      .select(col("doc_id"), col("lang"), col("n_chars"))),
+    Some("SELECT doc_id, lang, n_chars FROM documents " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < " +
+      "(CASE WHEN lang = 'en' THEN 150 WHEN lang = 'zh' THEN 900 ELSE 600 END)" + OBA))
+
+  // W5 grouped top-k: top-3 longest docs per language, deterministic
+  // tie-break on doc_id — the grouped sibling of W2's ORDER BY+LIMIT;
+  // one shuffle on the group key, map-side partial top-k.
+  val w5 = Q(
+    (s, d) => ordered(Sampling.topKPerGroup(
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq(col("lang")), Seq(col("n_chars").desc, col("doc_id").asc), 3)),
+    Some("SELECT doc_id, lang, n_chars, CAST(rank AS BIGINT) AS rank FROM (" +
+      "SELECT doc_id, lang, n_chars, row_number() OVER (" +
+      "PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank FROM documents) " +
+      "WHERE rank <= 3" + OBA))
+
+  // C1 benchmark contamination: corpus docs (doc_id % 5 <> 0) whose
+  // 3-gram shingles cover ≥ 50% of any benchmark doc (doc_id % 5 = 0).
+  // Shared-shingle equi-join counting — no pair matrix; the eval set
+  // broadcasts.
+  val c1 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      ordered(Contamination.flagged(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), 0.5))
+    },
+    Some("WITH ctoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id % 5 <> 0), " +
+      "csh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      "FROM ctoks, unnest(range(1, len(tk) - 1)) u(i)), " +
+      "btoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id % 5 = 0), " +
+      "bsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      "FROM btoks, unnest(range(1, len(tk) - 1)) u(i)), " +
+      "bcnt AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1), " +
+      "h AS (SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, " +
+      "CAST(count(*) AS BIGINT) AS hits FROM csh c JOIN bsh b ON c.sh = b.sh GROUP BY 1, 2) " +
+      "SELECT h.corpus_id, h.bench_id, h.hits, h.hits::DOUBLE / n.n AS overlap " +
+      "FROM h JOIN bcnt n ON n.doc_id = h.bench_id " +
+      "WHERE h.hits::DOUBLE / n.n >= 0.5" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -537,5 +596,7 @@ object DataCatalog {
     "a12_bitmap_distinct" -> a12,
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "j12_salted_join" -> j12,
-    "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2)
+    "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,
+    "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,
+    "w5_grouped_topk" -> w5, "c1_contamination" -> c1)
 }

@@ -116,6 +116,51 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pAll == exact)
   }
 
+  test("deterministic sampling: monotone nesting, stratified rates, stable across runs") {
+    import graft.operators.Sampling
+    val rows = (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s100 = Sampling.bernoulli(rows, col("doc_id"), 100).select("doc_id").as[Long].collect().toSet
+    val s300 = Sampling.bernoulli(rows, col("doc_id"), 300).select("doc_id").as[Long].collect().toSet
+    assert(s100.subsetOf(s300)) // nested samples: same key-buckets, larger cut
+    assert(s300.size > s100.size && s100.nonEmpty)
+    // rerun is bit-identical (content-keyed, not RNG)
+    assert(Sampling.bernoulli(rows, col("doc_id"), 100)
+      .select("doc_id").as[Long].collect().toSet == s100)
+    // stratified: rate 0 drops the stratum entirely, 1000 keeps all of it
+    val st = Sampling.stratified(rows, col("doc_id"), col("lang"), Map("en" -> 0, "de" -> 1000))
+      .select("lang").as[String].collect()
+    assert(!st.contains("en") && st.count(_ == "de") == rows.filter(col("lang") === "de").count())
+    intercept[IllegalArgumentException] {
+      Sampling.bernoulli(rows, col("doc_id"), 1001)
+    }
+  }
+
+  test("grouped top-k picks k best per group with deterministic ties") {
+    import graft.operators.Sampling
+    val df = Seq((1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
+      (5L, "b", 7L)).toDF("id", "g", "score")
+    val got = Sampling.topKPerGroup(df, Seq(col("g")),
+      Seq(col("score").desc, col("id").asc), 2)
+      .select("id", "rank").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 3L -> 2L, 5L -> 1L)) // id 2 beats 3 on the tie
+  }
+
+  test("contamination: full containment flags 1.0, disjoint sets produce nothing") {
+    import graft.operators.Contamination
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // contains bench 1 fully
+      (11L, "nothing shared with that benchmark document at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "totally distinct evaluation item right here")
+    ).toDF("doc_id", "text")
+    val got = Contamination.flagged(corpus, bench, col("doc_id"), col("text"), 0.5)
+      .select("corpus_id", "bench_id", "overlap").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((10L, 1L, 1.0)))
+  }
+
   test("multimodal plumbing: schema, batching, deterministic stub features") {
     val media = Multimodal.asMedia(docs)
     val feats = Multimodal.extractFeatures(media).collect()
