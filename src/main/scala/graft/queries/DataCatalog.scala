@@ -522,6 +522,23 @@ object DataCatalog {
       "CAST(floor(width * scale) AS BIGINT) AS out_w, " +
       "CAST(floor(height * scale) AS BIGINT) AS out_h FROM sc" + OBA))
 
+  // TX7 text canonicalization: Unicode NFC + lowercase + whitespace-run
+  // collapse via the native NormalizeText expression (Spark has no
+  // built-in Unicode normalizer; this one is codegen'd with an ASCII
+  // fast path). The fixture text is ASCII so NFC is the identity here —
+  // the unicode behavior itself is covered by unit tests on
+  // composed/decomposed forms.
+  val tx7 = Q(
+    (s, d) => {
+      val norm = graft.plans.TextNormExpr.normalize(
+        col("text"), "NFC", lower = true, collapseWs = true)
+      ordered(documents(s, d).select(col("doc_id"), norm.as("norm"),
+        (norm =!= col("text")).as("changed")))
+    },
+    Some("SELECT doc_id, lower(regexp_replace(trim(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm, " +
+      "lower(regexp_replace(trim(nfc_normalize(text)), '\\s+', ' ', 'g')) <> text AS changed " +
+      "FROM documents" + OBA))
+
   // SMP1 deterministic Bernoulli sample: keep rows whose md5(doc_id)
   // bucket < 200‰. Reproducible across engines/runs/partitionings — the
   // 100 TB sampling primitive (a pure map, no shuffle, nested samples
@@ -597,6 +614,7 @@ object DataCatalog {
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,
+    "tx7_normalize" -> tx7,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,
     "w5_grouped_topk" -> w5, "c1_contamination" -> c1)
 }

@@ -45,6 +45,25 @@ class ExprParitySpec extends AnyFunSuite {
     assert(!native.contains(2L)) // <3 tokens → no signature
   }
 
+  test("NormalizeText: composed/decomposed unify, NFKC folds compatibility forms") {
+    import graft.plans.TextNormExpr.normalize
+    val composed = "caf\u00e9"    // \u00e9 precomposed
+    val decomposed = "cafe\u0301"  // e + combining acute
+    val rows = Seq((0L, composed), (1L, decomposed), (2L, "  A   B\tC  "),
+      (3L, "\ufb01le"), (4L, null.asInstanceOf[String])).toDF("id", "s")
+    val nfc = rows.select(col("id"), normalize(col("s")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(nfc(0L) == nfc(1L) && nfc(0L) == composed) // both canonicalize to the composed bytes
+    assert(nfc(2L) == "A B C")                        // ws runs collapse, ends trimmed
+    assert(nfc(3L) == "\ufb01le")                     // NFC keeps the fi ligature
+    assert(nfc(4L) == null)                           // null passes through
+    val nfkc = rows.select(col("id"),
+      normalize(col("s"), "NFKC", lower = true).as("n")).as[(Long, String)].collect().toMap
+    assert(nfkc(3L) == "file")                        // NFKC folds the ligature, then lowers
+    // ASCII fast path is byte-identical to the normalized slow path
+    assert(nfc(2L) == "A B C" && nfkc(2L) == "a b c")
+  }
+
   test("TokenFingerprint == aggregate/zip_with formulation") {
     val docs = Seq((0L, "alpha beta gamma delta"), (1L, "x")).toDF("doc_id", "text")
     val native = graft.operators.TextOps.fingerprint(docs, col("doc_id"), col("text"))
