@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-pruned semi-join: the shuffle-reduction pattern for the case
+  * where the probe side is enormous (the 100 TB fact table), the build
+  * side's KEY SET fits on the driver as a few-MB bloom filter, but the
+  * build ROWS are too large or too hot to broadcast-join outright.
+  *
+  * Shape: build a bloom filter over the build side's join keys (one
+  * collect of hashed bits — same cost class as a broadcast build), ship
+  * it to every task inside a codegen'd `might_contain` expression, and
+  * filter the probe side BEFORE its shuffle; a final exact semi-join
+  * scrubs the bloom's false positives. The result is semantically
+  * identical to a plain left-semi join — the bloom pass only exists so
+  * that, at low join selectivity, the probe side shuffles `fpp + σ`
+  * of its rows instead of all of them.
+  *
+  * (Spark's own runtime bloom pushdown — InjectRuntimeFilter — does
+  * this automatically only for shuffle-join shapes it recognizes; this
+  * operator is the explicit, composable form.)
+  */
+object BloomJoin {
+
+  /** Build a bloom filter over `buildKey` (long keys). */
+  def buildFilter(build: DataFrame, buildKey: Column, fpp: Double): BloomFilter = {
+    val n = math.max(1L, build.select(buildKey).distinct().count())
+    build.stat.bloomFilter(buildKey, n, fpp)
+  }
+
+  /** Codegen'd membership probe over a driver-built filter. */
+  def mightContain(key: Column, bf: BloomFilter): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(key), bf))
+
+  /** probe ⋉ build on long keys, bloom-pruned before the shuffle.
+    * Result ≡ `probe.join(build, probeKey === buildKey, "left_semi")`. */
+  def semiJoin(probe: DataFrame, probeKey: Column,
+      build: DataFrame, buildKey: Column, fpp: Double = 0.01): DataFrame = {
+    val bf = buildFilter(build, buildKey, fpp)
+    probe.filter(mightContain(probeKey, bf))
+      .join(build.select(buildKey.as("__bf_key")).distinct(),
+        probeKey === col("__bf_key"), "left_semi")
+  }
+}
+
+/** `bf.mightContainLong(key)` as a codegen'd expression; the filter
+  * rides the generated class as a reference object (broadcast by task
+  * serialization, not rebuilt per row). */
+case class BloomMightContain(child: Expression, bf: BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(bf.mightContainLong(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bf,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.mightContainLong($in);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}

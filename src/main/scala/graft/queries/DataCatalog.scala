@@ -522,6 +522,24 @@ object DataCatalog {
       "CAST(floor(width * scale) AS BIGINT) AS out_w, " +
       "CAST(floor(height * scale) AS BIGINT) AS out_h FROM sc" + OBA))
 
+  // BF1 bloom-pruned semi-join: lineitem rows whose order is URGENT —
+  // the probe side is pre-filtered map-side by a driver-built bloom
+  // filter over the urgent order keys BEFORE any shuffle, then the
+  // exact semi-join scrubs false positives. Result ≡ the plain
+  // left-semi join (which is exactly what the oracle runs); the bloom
+  // pass is the 100 TB lever that keeps (1-σ-fpp) of the fact table
+  // out of the shuffle.
+  val bf1 = Q(
+    (s, d) => {
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      ordered(graft.plans.BloomJoin.semiJoin(
+        lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        col("l_orderkey"), urgent, col("o_orderkey"), fpp = 0.01))
+    },
+    Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+      "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
+      "WHERE o_orderpriority = '1-URGENT')" + OBA))
+
   // TX7 text canonicalization: Unicode NFC + lowercase + whitespace-run
   // collapse via the native NormalizeText expression (Spark has no
   // built-in Unicode normalizer; this one is codegen'd with an ASCII
@@ -614,7 +632,7 @@ object DataCatalog {
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,
-    "tx7_normalize" -> tx7,
+    "tx7_normalize" -> tx7, "bf1_bloom_semijoin" -> bf1,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,
     "w5_grouped_topk" -> w5, "c1_contamination" -> c1)
 }

@@ -161,6 +161,19 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 1L, 1.0)))
   }
 
+  test("bloom semi-join: result equals plain semi-join; bloom pass actually prunes") {
+    import graft.plans.BloomJoin
+    val probe = (0L until 2000L).map(i => (i, i % 7)).toDF("k", "v")
+    val build = Seq(3L, 10L, 500L, 1999L).toDF("bk")
+    val got = BloomJoin.semiJoin(probe, col("k"), build, col("bk"), fpp = 0.01)
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(3L, 10L, 500L, 1999L)) // ≡ exact semi-join, no false positives survive
+    // the bloom pre-filter alone keeps ~fpp of the non-matching rows, not all of them
+    val bf = BloomJoin.buildFilter(build, col("bk"), 0.01)
+    val kept = probe.filter(BloomJoin.mightContain(col("k"), bf)).count()
+    assert(kept >= 4 && kept < 200, s"bloom pass kept $kept of 2000")
+  }
+
   test("multimodal plumbing: schema, batching, deterministic stub features") {
     val media = Multimodal.asMedia(docs)
     val feats = Multimodal.extractFeatures(media).collect()
