@@ -522,6 +522,61 @@ object DataCatalog {
       "CAST(floor(width * scale) AS BIGINT) AS out_w, " +
       "CAST(floor(height * scale) AS BIGINT) AS out_h FROM sc" + OBA))
 
+  // TX8 TF-IDF top terms per document. The idf uses the RATIONAL form
+  // (N / df) rather than log((N+1)/(df+1)) — transcendentals are not
+  // bit-portable across engines, while products/quotients of exact
+  // integer counts are IEEE-identical, keeping the hash compare valid.
+  // Scale shape: tf is one (doc,term) aggregate, df one term aggregate
+  // that broadcasts back, top-3 is a windowed partial top-k on doc_id.
+  val tx8 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(graft.functions.F.tokens(lower(col("text")))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("doclen"))
+      val df_ = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dl, Seq("doc_id")).join(broadcast(df_), Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          (col("tf").cast("double") / col("doclen")) * (col("n_docs").cast("double") / col("df")))
+      ordered(Sampling.topKPerGroup(
+        scored.select(col("doc_id"), col("term"), col("tf"), col("tfidf")),
+        Seq(col("doc_id")), Seq(col("tfidf").desc, col("term").asc), 3))
+    },
+    Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY 1), " +
+      "idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), " +
+      "n AS (SELECT count(*) AS n_docs FROM documents), " +
+      "scored AS (SELECT tf.doc_id, tf.term, tf.tf, " +
+      "(tf.tf::DOUBLE / dl.doclen) * (n.n_docs::DOUBLE / idf.df) AS tfidf " +
+      "FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN n) " +
+      "SELECT doc_id, term, tf, tfidf, CAST(rank AS BIGINT) AS rank FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY tfidf DESC, term ASC) AS rank FROM scored) WHERE rank <= 3" + OBA))
+
+  // EMB2 L2 normalization to unit vectors (the standard pre-ANN step):
+  // norm is the strict-left-fold dot (bit-portable), each element is one
+  // IEEE division — output exploded to scalar DOUBLE rows so the compare
+  // never depends on float→string formatting.
+  val emb2 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val nrm = sqrt(Similarity.dot(col("embedding"), col("embedding")))
+      ordered(e.select(col("vec_id"), nrm.as("nrm"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          (col("x").cast("double") / col("nrm")).as("v")))
+    },
+    Some("WITH n AS (SELECT vec_id, embedding, sqrt(" + dotSql("embedding", "embedding") + ") AS nrm " +
+      "FROM embeddings) " +
+      "SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, embedding[i]::DOUBLE / nrm AS v " +
+      "FROM n, unnest(range(1, 65)) u(i)" + OBA))
+
   // BF1 bloom-pruned semi-join: lineitem rows whose order is URGENT —
   // the probe side is pre-filtered map-side by a driver-built bloom
   // filter over the urgent order keys BEFORE any shuffle, then the
@@ -632,7 +687,8 @@ object DataCatalog {
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,
-    "tx7_normalize" -> tx7, "bf1_bloom_semijoin" -> bf1,
+    "tx7_normalize" -> tx7, "tx8_tfidf_topterms" -> tx8,
+    "emb2_l2_normalize" -> emb2, "bf1_bloom_semijoin" -> bf1,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,
     "w5_grouped_topk" -> w5, "c1_contamination" -> c1)
 }
