@@ -13,8 +13,9 @@ object Bench {
     "j12_salted_join", "a1_minpick_dedup", "a6_priority_dedup",
     "a10_stats_agg", "s8_upsert_merge", "s10_retain_gc", "eav2_assembly",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash_pairs", "d4_ngram_jaccard",
-    "sim1_cosine_topk", "sim2_ivf_ann",
-    "tx2_quality_score", "tx4_fingerprint",
+    "sim1_cosine_topk", "sim2_ivf_ann", "sim3_multiprobe_ann",
+    "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
+    "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window",
     "t6_asof_join",
     "m1_multimodal_meta")
