@@ -13,6 +13,24 @@ class ScaleSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = "/root/testdata/sf0.001"
 
+  /** Flatten the EXECUTED plan through AQE wrappers: after an action,
+    * `executedPlan` is an AdaptiveSparkPlanExec whose children are
+    * hidden behind query-stage nodes, so a naive `plan.collect` sees
+    * almost nothing and every plan assertion passes vacuously. */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case r: ReusedExchangeExec => p +: flatten(r.child)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+  }
+  private def nodes(df: org.apache.spark.sql.DataFrame) =
+    flatten(df.queryExecution.executedPlan)
+
   test("bucketed co-located join plans without any shuffle exchange") {
     import graft.sources.Tables
     Bucketing.writeBucketed(Tables.orders(spark, sf)
@@ -24,9 +42,7 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
       val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "k")
       assert(joined.count() > 0)
-      val shuffles = joined.queryExecution.executedPlan.collect {
-        case s: ShuffleExchangeExec => s
-      }
+      val shuffles = nodes(joined).collect { case s: ShuffleExchangeExec => s }
       assert(shuffles.isEmpty, "bucketed join must not shuffle either side")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -52,7 +68,7 @@ class ScaleSpec extends AnyFunSuite {
         NearDup.candidates(NearDup.bands(
           NearDup.minhashSigs(docs, col("doc_id"), col("text")))))) {
       df.count()
-      val bad = df.queryExecution.executedPlan.collect {
+      val bad = nodes(df).collect {
         case j: BroadcastNestedLoopJoinExec => j
         case j: CartesianProductExec => j
       }
@@ -91,6 +107,47 @@ class ScaleSpec extends AnyFunSuite {
       assert(bitsSeen.getAs[Long]("neg") > 0, "sign bit (63) never set — dead top bits")
       assert(bitsSeen.getAs[Long]("anyset") == -1L, "some signature bit never varies")
     } finally sig.unpersist()
+  }
+
+  test("contamination scan plans equi-joins only; sampling is a shuffle-free map") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.{Contamination, Sampling}
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val c = Contamination.flagged(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0), col("doc_id"), col("text"), 0.5)
+    c.count()
+    val bad = nodes(c).collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty, s"non-equi join in contamination plan: $bad")
+    // deterministic sampling must not shuffle: keep/drop is per-row
+    val smp = Sampling.bernoulli(docs, col("doc_id"), 200)
+    smp.count()
+    val shuffles = nodes(smp).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, "sampling plan must be a pure map")
+  }
+
+  test("bloom semi-join probes the filter at the fact scan, before any join") {
+    import graft.plans.{BloomJoin, BloomMightContain}
+    import graft.sources.Tables
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val urgent = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+    val out = BloomJoin.semiJoin(
+      Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_quantity")),
+      col("l_orderkey"), urgent, col("o_orderkey"))
+    out.count()
+    // the might_contain filter must sit BELOW the semi-join (map-side,
+    // pre-shuffle), not above it
+    val joins = nodes(out).collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    val bloomFiltersUnderJoin = joins.flatMap(_.children.flatMap(flatten)).collect {
+      case f: FilterExec if f.condition.exists(_.isInstanceOf[BloomMightContain]) => f
+    }
+    assert(bloomFiltersUnderJoin.nonEmpty,
+      "bloom might_contain not applied below the join")
   }
 
   test("stateful streaming sessionization: closed sessions match batch twin") {
