@@ -16,6 +16,7 @@ object Bench {
     "sim1_cosine_topk", "sim2_ivf_ann", "sim3_multiprobe_ann",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
     "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
+    "dp1_curation_pipeline",
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window",
     "t6_asof_join",
     "m1_multimodal_meta")

@@ -671,6 +671,59 @@ object DataCatalog {
       "FROM h JOIN bcnt n ON n.doc_id = h.bench_id " +
       "WHERE h.hits::DOUBLE / n.n >= 0.5" + OBA))
 
+  // DP1 — the composed curation flagship: the full corpus-preparation
+  // pipeline a training run needs, as ONE declarative plan. exact dedup
+  // (cheap md5 pass) → MinHash-LSH near-dup clustering, keep each
+  // cluster's min-id representative → quality + language gate → 800‰
+  // deterministic sample. Every stage is an already-oracle-verified
+  // operator; this entry verifies their COMPOSITION end-to-end (CTE for
+  // CTE in DuckDB, incl. the recursive connected-components rebuild).
+  // Scale: stages are the d1/d2/d6/tx2/smp1 shapes — nothing quadratic,
+  // sampling and quality are maps, and the cluster pass touches only
+  // near-dup candidates.
+  val dp1 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val exactSurv = docs.join(
+        NearDup.exact(docs, col("doc_id"), col("text")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val pairs = NearDup.minhashLsh(exactSurv, col("doc_id"), col("text"), 0.5)
+      val reps = NearDup.dedupClusters(exactSurv, col("doc_id"), pairs)
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      val surviving = exactSurv.join(reps, Seq("doc_id"), "left_semi")
+      val q = TextOps.quality(surviving, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("n_words"), col("quality_score"))
+      val filtered = surviving.join(q, Seq("doc_id"))
+        .filter(col("lang").isin("en", "de", "fr") &&
+          col("quality_score") >= 0.6 && col("n_words") >= 20)
+      ordered(Sampling.bernoulli(filtered, col("doc_id"), 800)
+        .select(col("doc_id"), col("lang"), col("n_words"), col("quality_score")))
+    },
+    Some("WITH RECURSIVE " +
+      "d1 AS (SELECT doc_id, text, lang FROM (SELECT doc_id, text, lang, " +
+      "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) " +
+      "WHERE rn = 1), " +
+      MinhashPairsBody.replace("FROM documents", "FROM d1") + ", " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT doc_id, doc_id FROM d1 " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src), " +
+      "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "surv AS (SELECT d.* FROM d1 d JOIN cl ON cl.doc_id = d.doc_id AND cl.cluster_id = d.doc_id), " +
+      "qt AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM surv), " +
+      "qm AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, " +
+      "n_chars::DOUBLE / len(tk) AS avg_word_len, " +
+      "len(list_filter(tk, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(tk) AS stopword_ratio " +
+      "FROM qt), " +
+      "qs AS (SELECT doc_id, n_words, " +
+      "least(1.0, n_words::DOUBLE / 50) * 0.5 + least(1.0, stopword_ratio * 5) * 0.3 + " +
+      "(CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END) AS quality_score FROM qm) " +
+      "SELECT s.doc_id, s.lang, q.n_words, q.quality_score " +
+      "FROM surv s JOIN qs q ON q.doc_id = s.doc_id " +
+      "WHERE s.lang IN ('en', 'de', 'fr') AND q.quality_score >= 0.6 AND q.n_words >= 20 " +
+      "AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 800" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -690,5 +743,6 @@ object DataCatalog {
     "tx7_normalize" -> tx7, "tx8_tfidf_topterms" -> tx8,
     "emb2_l2_normalize" -> emb2, "bf1_bloom_semijoin" -> bf1,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,
-    "w5_grouped_topk" -> w5, "c1_contamination" -> c1)
+    "w5_grouped_topk" -> w5, "c1_contamination" -> c1,
+    "dp1_curation_pipeline" -> dp1)
 }
