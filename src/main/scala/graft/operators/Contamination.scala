@@ -24,11 +24,26 @@ object Contamination {
 
   /** (corpus_id, bench_id, hits, overlap) for every cross-set pair with
     * overlap ≥ tau, where overlap = |shingles(corpus) ∩ shingles(bench)|
-    * / |shingles(bench)|. */
+    * / |shingles(bench)|.
+    *
+    * `maxCorpusFreq` is the skew bound (the d7 stop-shingle move): a
+    * shingle present in more than that many CORPUS docs is boilerplate
+    * ("all rights reserved …") — it pairs every one of those docs with
+    * every bench doc containing it, which is where the join blows up at
+    * corpus scale. Capped shingles are dropped from the corpus side
+    * only; the bench denominator is untouched, so the score stays "how
+    * much of the eval item appears", just ignoring ubiquitous n-grams.
+    * The default (None) keeps the exact semantics for the oracle. */
   def flagged(corpus: DataFrame, bench: DataFrame,
-      id: Column, text: Column, tau: Double, n: Int = 3): DataFrame = {
-    val cs = NearDup.shingles(corpus, id, text, n)
+      id: Column, text: Column, tau: Double, n: Int = 3,
+      maxCorpusFreq: Option[Long] = None): DataFrame = {
+    val cs0 = NearDup.shingles(corpus, id, text, n)
       .select(col("doc_id").as("corpus_id"), col("sh"))
+    val cs = maxCorpusFreq.fold(cs0) { cap =>
+      val keep = cs0.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= cap).select("sh")
+      cs0.join(keep, Seq("sh"), "left_semi")
+    }
     val bs = NearDup.shingles(bench, id, text, n)
       .select(col("doc_id").as("bench_id"), col("sh"))
     val bcnt = bs.groupBy(col("bench_id")).agg(count(lit(1)).as("n"))

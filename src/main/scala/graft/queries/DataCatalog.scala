@@ -671,6 +671,35 @@ object DataCatalog {
       "FROM h JOIN bcnt n ON n.doc_id = h.bench_id " +
       "WHERE h.hits::DOUBLE / n.n >= 0.5" + OBA))
 
+  // C2 contamination with the stop-shingle cap: corpus shingles present
+  // in more than 4 docs are boilerplate and dropped from the corpus side
+  // (the d7 skew bound — THE lever that keeps the shingle join's
+  // per-key fan-out bounded at corpus scale); the bench denominator is
+  // untouched.
+  val c2 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      ordered(Contamination.flagged(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), 0.5, maxCorpusFreq = Some(4L)))
+    },
+    Some("WITH ctoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id % 5 <> 0), " +
+      "csh0 AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      "FROM ctoks, unnest(range(1, len(tk) - 1)) u(i)), " +
+      "cdf AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM csh0 GROUP BY 1) WHERE df <= 4), " +
+      "csh AS (SELECT c.doc_id, c.sh FROM csh0 c JOIN cdf USING (sh)), " +
+      "btoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id % 5 = 0), " +
+      "bsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      "FROM btoks, unnest(range(1, len(tk) - 1)) u(i)), " +
+      "bcnt AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1), " +
+      "h AS (SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, " +
+      "CAST(count(*) AS BIGINT) AS hits FROM csh c JOIN bsh b ON c.sh = b.sh GROUP BY 1, 2) " +
+      "SELECT h.corpus_id, h.bench_id, h.hits, h.hits::DOUBLE / n.n AS overlap " +
+      "FROM h JOIN bcnt n ON n.doc_id = h.bench_id " +
+      "WHERE h.hits::DOUBLE / n.n >= 0.5" + OBA))
+
   // DP1 — the composed curation flagship: the full corpus-preparation
   // pipeline a training run needs, as ONE declarative plan. exact dedup
   // (cheap md5 pass) → MinHash-LSH near-dup clustering, keep each
@@ -744,5 +773,5 @@ object DataCatalog {
     "emb2_l2_normalize" -> emb2, "bf1_bloom_semijoin" -> bf1,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,
     "w5_grouped_topk" -> w5, "c1_contamination" -> c1,
-    "dp1_curation_pipeline" -> dp1)
+    "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1)
 }

@@ -161,6 +161,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 1L, 1.0)))
   }
 
+  test("contamination cap drops boilerplate shingles from the corpus side only") {
+    import graft.operators.Contamination
+    // "x y z" is boilerplate: present in 3 corpus docs; the real overlap
+    // pair (40 ⊃ bench 5) shares distinctive shingles
+    val corpus = Seq(
+      (40L, "alpha beta gamma delta x y z"),
+      (41L, "p q r s t x y z"),
+      (42L, "u v w a b x y z")
+    ).toDF("doc_id", "text")
+    val bench = Seq((5L, "alpha beta gamma delta"), (6L, "x y z")).toDF("doc_id", "text")
+    val uncapped = Contamination.flagged(corpus, bench, col("doc_id"), col("text"), 0.9)
+      .select("corpus_id", "bench_id").as[(Long, Long)].collect().toSet
+    // all three corpus docs fully cover bench 6 ("x y z" = its only shingle)
+    assert(uncapped == Set((40L, 5L), (40L, 6L), (41L, 6L), (42L, 6L)))
+    val capped = Contamination.flagged(corpus, bench, col("doc_id"), col("text"), 0.9,
+      maxCorpusFreq = Some(2L))
+      .select("corpus_id", "bench_id").as[(Long, Long)].collect().toSet
+    // the boilerplate shingle (df=3 > 2) is dropped: its pairs vanish,
+    // the distinctive containment survives
+    assert(capped == Set((40L, 5L)))
+  }
+
   test("bloom semi-join: result equals plain semi-join; bloom pass actually prunes") {
     import graft.plans.BloomJoin
     val probe = (0L until 2000L).map(i => (i, i % 7)).toDF("k", "v")
