@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the engine's native expressions: registered through
+  * `SparkSessionExtensions` so a SQL-only user gets the same codegen'd
+  * kernels the DataFrame API uses —
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT graft_simhash64(lower(text)) FROM docs")
+  * }}}
+  *
+  * (or `--conf spark.sql.extensions=graft.plans.GraftExtensions` on an
+  * existing deployment — the standard extension injection point, no
+  * code change needed).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+  private def boolLit(e: Expression, fn: String, arg: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a boolean literal, got $other")
+  }
+  private def strLit(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
+  }
+  private def arity(fn: String, args: Seq[Expression], allowed: Range): Unit =
+    if (!allowed.contains(args.length)) throw new IllegalArgumentException(
+      s"$fn expects ${allowed.min}..${allowed.max} arguments, got ${args.length}")
+
+  private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft.plans", name, usage), builder)
+
+  /** name → (identifier, doc, builder); every builder returns one of the
+    * engine's codegen'd expressions. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    fn("graft_shingles", "word n-gram shingles of a string (default n=3)") { args =>
+      arity("graft_shingles", args, 1 to 2)
+      WordShingles(args.head,
+        if (args.length > 1) intLit(args(1), "graft_shingles", "n") else 3)
+    },
+    fn("graft_minhash_sigs", "MinHash signature array (numHashes, shingle n)") { args =>
+      arity("graft_minhash_sigs", args, 1 to 3)
+      MinHashSigs(args.head,
+        if (args.length > 1) intLit(args(1), "graft_minhash_sigs", "numHashes") else 16,
+        if (args.length > 2) intLit(args(2), "graft_minhash_sigs", "n") else 3)
+    },
+    fn("graft_simhash64", "64-bit SimHash signature over whitespace tokens") { args =>
+      arity("graft_simhash64", args, 1 to 1)
+      SimHashSig64(args.head, 99, 98)
+    },
+    fn("graft_token_fingerprint", "position-weighted polynomial token fingerprint") { args =>
+      arity("graft_token_fingerprint", args, 1 to 1)
+      TokenFingerprint(args.head)
+    },
+    fn("graft_array_jaccard", "exact distinct-set Jaccard of two string arrays") { args =>
+      arity("graft_array_jaccard", args, 2 to 2)
+      ArrayJaccard(args(0), args(1))
+    },
+    fn("graft_dot", "strict-left-fold double dot product of two float arrays") { args =>
+      arity("graft_dot", args, 2 to 2)
+      FloatDotProduct(args(0), args(1))
+    },
+    fn("graft_normalize",
+        "canonicalize text: unicode form (default NFC), lower, collapse whitespace") { args =>
+      arity("graft_normalize", args, 1 to 4)
+      NormalizeText(args.head,
+        if (args.length > 1) strLit(args(1), "graft_normalize", "form") else "NFC",
+        if (args.length > 2) boolLit(args(2), "graft_normalize", "lower") else false,
+        if (args.length > 3) boolLit(args(3), "graft_normalize", "collapseWs") else true)
+    })
+}

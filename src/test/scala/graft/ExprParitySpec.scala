@@ -64,6 +64,42 @@ class ExprParitySpec extends AnyFunSuite {
     assert(nfc(2L) == "A B C" && nfkc(2L) == "a b c")
   }
 
+  test("GraftExtensions: native expressions callable from plain SQL") {
+    import graft.plans.GraftExtensions
+    // a shared test JVM can't rebuild its SparkSession with
+    // .withExtensions (getOrCreate returns the existing one), so drive
+    // the same builders through the registry of an isolated session —
+    // production injection is `spark.sql.extensions=graft.plans.GraftExtensions`
+    val ext = spark.newSession()
+    GraftExtensions.functions.foreach { case (id, info, b) =>
+      ext.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
+    import ext.implicits._
+    Seq((0L, "the quick brown fox jumps high"),
+      (1L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+      .createOrReplaceTempView("ext_docs")
+    val row = ext.sql(
+      """SELECT graft_simhash64(lower(text)) AS sh,
+        |       graft_token_fingerprint(text) AS fp,
+        |       size(graft_shingles(lower(text))) AS nsh,
+        |       graft_normalize('  Café   x ', 'NFC', true, true) AS norm
+        |FROM ext_docs WHERE doc_id = 0""".stripMargin).head()
+    // SQL results ≡ the DataFrame-API expressions
+    val viaDf = Seq((0L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+      .select(graft.plans.TextHashExprs.simhashSig64(lower(col("text"))).as("sh"),
+        graft.plans.TextHashExprs.tokenFingerprint(col("text")).as("fp")).head()
+    assert(row.getAs[Long]("sh") == viaDf.getAs[Long]("sh"))
+    assert(row.getAs[Long]("fp") == viaDf.getAs[Long]("fp"))
+    assert(row.getAs[Int]("nsh") == 4) // 6 tokens → 4 trigram shingles
+    assert(row.getAs[String]("norm") == "café x")
+    // non-literal where a literal is required → analysis-time error
+    val e = intercept[Exception] {
+      ext.sql("SELECT graft_minhash_sigs(text, doc_id + 1) FROM ext_docs").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
+
   test("TokenFingerprint == aggregate/zip_with formulation") {
     val docs = Seq((0L, "alpha beta gamma delta"), (1L, "x")).toDF("doc_id", "text")
     val native = graft.operators.TextOps.fingerprint(docs, col("doc_id"), col("text"))
