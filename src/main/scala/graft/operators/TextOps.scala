@@ -39,8 +39,18 @@ object TextOps {
     * Mirrors the length/punct/stopword-ratio heuristics used by public
     * pretraining-data pipelines (C4/Gopher-style rules). */
   def quality(df: DataFrame, id: Column, text: Column): DataFrame = {
-    // Ratios stay as raw doubles: int/int division is bit-identical across
-    // engines, while round() diverges on half-way boundary values.
+    val (nChars, nWords, avgLen, stopRatio, score) = qualityCols(text)
+    df.select(id.as("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+      avgLen.as("avg_word_len"), stopRatio.as("stopword_ratio"),
+      score.as("quality_score"))
+  }
+
+  /** The quality metrics as bare columns — a pure projection, so callers
+    * that already carry the row (e.g. a document stream) can append them
+    * without a self-join. Ratios stay as raw doubles: int/int division
+    * is bit-identical across engines, while round() diverges on
+    * half-way boundary values. */
+  def qualityCols(text: Column): (Column, Column, Column, Column, Column) = {
     val toks = F.tokens(text)
     val nChars = length(text).cast("long")
     val nWords = size(toks).cast("long")
@@ -50,9 +60,7 @@ object TextOps {
       least(lit(1.0), nWords.cast("double") / 50) * lit(0.5) +
         least(lit(1.0), stopRatio * 5) * lit(0.3) +
         when(avgLen.between(3.0, 10.0), lit(0.2)).otherwise(lit(0.0))
-    df.select(id.as("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
-      avgLen.as("avg_word_len"), stopRatio.as("stopword_ratio"),
-      score.as("quality_score"))
+    (nChars, nWords, avgLen, stopRatio, score)
   }
 
   /** Heuristic language ID: count per-language marker tokens, pick the

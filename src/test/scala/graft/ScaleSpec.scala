@@ -150,6 +150,20 @@ class ScaleSpec extends AnyFunSuite {
       "bloom might_contain not applied below the join")
   }
 
+  test("streaming curation gate emits exactly the batch result (stateless, rerun-stable)") {
+    import graft.streaming.DocStream
+    val dir = java.nio.file.Files.createTempDirectory("doc_curate")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    DocStream.runCurateAvailableNow(spark, dir.toString, "curate_out")
+    val streamed = spark.table("curate_out")
+    val batch = DocStream.curate(
+      spark.read.schema(DocStream.schema).parquet(dir.toString),
+      Seq("en", "de", "fr"), 20, 0.6, 800)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("stateful streaming sessionization: closed sessions match batch twin") {
     import graft.sources.Tables
     val ev = Tables.events(spark, sf)
