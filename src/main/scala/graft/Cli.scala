@@ -18,6 +18,8 @@ import graft.queries._
   *   runMain graft.Cli <sfDir> clubs | regions | races | airstreams | addresses
   *   runMain graft.Cli <sfDir> leadership for-clubs [--as-of 2000-06-01 | --all]
   *   runMain graft.Cli <sfDir> leadership for-region <uid> [...]
+  *   runMain graft.Cli <sfDir> curate | contamination
+  *   runMain graft.Cli <sfDir> query <catalog-entry-name>
   */
 object Cli {
 
@@ -65,6 +67,16 @@ object Cli {
         Leadership.forRegion(spark, d, uid.toLong, dateFilter(rest))
       case Seq("leadership", "international", rest @ _*) =>
         Leadership.forInternational(spark, d, dateFilter(rest))
+      // data-pipeline verbs (beyond reference parity, SURVEY §2.11):
+      // run any catalog entry by name against the table dir
+      case Seq("query", name) =>
+        SparkEntry.queries.getOrElse(name, throw new IllegalArgumentException(
+          s"unknown query: $name (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})"
+        ))(spark, d)
+      case Seq("curate") =>
+        DataCatalog.dp1.build(spark, d)
+      case Seq("contamination") =>
+        DataCatalog.c1.build(spark, d)
       case other =>
         throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}")
     }

@@ -22,7 +22,9 @@ class CliSpec extends AnyFunSuite {
     Seq("leadership", "for-clubs", "--all"),
     Seq("leadership", "for-clubs", "--as-of", "1996-06-01"),
     Seq("leadership", "for-region", "0", "--all"),
-    Seq("leadership", "international", "--all"))
+    Seq("leadership", "international", "--all"),
+    Seq("curate"), Seq("contamination"),
+    Seq("query", "smp1_hash_sample"), Seq("query", "tx7_normalize"))
 
   test("every CLI verb resolves and runs") {
     commands.foreach { cmd =>
