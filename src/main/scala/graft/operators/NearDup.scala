@@ -152,7 +152,18 @@ object NearDup {
     * are checkpointed every few rounds to keep lineage bounded. The
     * DuckDB oracle computes the identical fixpoint via a recursive
     * transitive closure + MIN — procedure differs, result is the same
-    * well-defined function of the graph. */
+    * well-defined function of the graph.
+    *
+    * Note on a measured dead-end: restricting iteration to the edge
+    * subgraph (docs in pairs) and anti-join-unioning the singletons back
+    * at the end looks like the obvious 100 TB win (rounds touch |dup
+    * nodes|, not |corpus|), but measured at sf0.1 it was 2-40× SLOWER
+    * and wildly unstable run-to-run — the lazy union defeated cache
+    * pickup under AQE and broadcast builds recomputed the whole
+    * candidate/verify pipeline on single-task stages. At real corpus
+    * scale the right split is coarser: materialize `pairs` to storage
+    * first (they are the expensive artifact), then run label propagation
+    * as its own job over that table — not a fused lazy plan. */
   def dedupClusters(docs: DataFrame, id: Column, pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

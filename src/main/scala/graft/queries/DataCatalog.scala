@@ -713,9 +713,13 @@ object DataCatalog {
   val dp1 = Q(
     (s, d) => {
       val docs = documents(s, d)
+      // persisted once: five downstream stages consume it (minhash
+      // signatures, shingle arrays, cluster propagation, the survivor
+      // semi-join, quality) — the inter-stage checkpoint a real corpus
+      // pipeline would write to storage between phases
       val exactSurv = docs.join(
         NearDup.exact(docs, col("doc_id"), col("text")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi").persist()
       val pairs = NearDup.minhashLsh(exactSurv, col("doc_id"), col("text"), 0.5)
       val reps = NearDup.dedupClusters(exactSurv, col("doc_id"), pairs)
         .filter(col("doc_id") === col("cluster_id")).select("doc_id")
