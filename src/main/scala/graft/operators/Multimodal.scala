@@ -224,6 +224,25 @@ object Multimodal {
       filter(sequence(lit(0), length(col("payload")) - 1),
         i => i % k === 0).as("frame_offsets"))
 
+  /** Frame-sample plumbing: k evenly-spaced frame indices per media row
+    * (audio frames = sample positions, image "frames" = row tiles),
+    * offsets computed from the REAL decoded header dims. The analog of
+    * video frame sampling for training-data extraction: deterministic
+    * (offset_i = floor(i·frames/k)), map-only, and at scale the frame
+    * reads happen inside the same mapPartitions pass as decode so each
+    * payload is scanned once. */
+  def frameSampleMeta(features: Dataset[MediaFeatures], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    features.toDF()
+      .withColumn("n_frames",
+        when(col("mime") === "audio/wav", col("width")).otherwise(col("height")))
+      .select(col("doc_id"), col("mime"), col("n_frames").cast("long").as("n_frames"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("doc_id"), col("mime"), col("n_frames"),
+        col("i").cast("long").as("frame_idx"),
+        floor(col("i") * col("n_frames") / lit(k)).cast("long").as("frame_offset"))
+  }
+
   /** Resize plumbing: aspect-preserving fit into a maxDim bounding box —
     * the metadata contract a real resize kernel satisfies (never
     * upscales; floor semantics; at scale the pixel work runs inside the

@@ -757,6 +757,45 @@ object DataCatalog {
       "WHERE s.lang IN ('en', 'de', 'fr') AND q.quality_score >= 0.6 AND q.n_words >= 20 " +
       "AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 800" + OBA))
 
+  // M3 frame sampling: k evenly-spaced frame indices per media row from
+  // the REAL decoded header dims (audio → sample positions, images →
+  // row tiles) — the video-frame-sampling analog, deterministic and
+  // map-only.
+  val m3 = Q(
+    (s, d) => {
+      val feats = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.syntheticMedia(documents(s, d)))
+      ordered(graft.operators.Multimodal.frameSampleMeta(feats, 4))
+    },
+    Some("WITH dims AS (SELECT doc_id, " +
+      "CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' " +
+      "ELSE 'image/jpeg' END AS mime, " +
+      "CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 640 " +
+      "WHEN 1 THEN 8000 + (doc_id % 5) * 8820 " +
+      "ELSE 1 + doc_id % 1024 END AS width, " +
+      "CASE doc_id % 3 WHEN 0 THEN 1 + n_chars % 480 " +
+      "WHEN 1 THEN 1 + doc_id % 2 " +
+      "ELSE 1 + n_chars % 768 END AS height FROM documents), " +
+      "f AS (SELECT doc_id, mime, CAST(CASE WHEN mime = 'audio/wav' THEN width " +
+      "ELSE height END AS BIGINT) AS n_frames FROM dims) " +
+      "SELECT doc_id, mime, n_frames, CAST(i AS BIGINT) AS frame_idx, " +
+      "CAST(floor(i * n_frames / 4.0::DOUBLE) AS BIGINT) AS frame_offset " +
+      "FROM f, unnest(range(0, 4)) u(i)" + OBA))
+
+  // SMP3 fixed-size deterministic sample: the K rows with the smallest
+  // md5 bucket (doc_id tie-break) — "give me exactly 50 reproducible
+  // rows" without an RNG. Plans as TakeOrderedAndProject: each partition
+  // keeps its local top-K, only K rows per partition reach the driver
+  // merge — the scale-safe fixed-size sampler.
+  val smp3 = Q(
+    (s, d) => ordered(documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        Sampling.bucket(col("doc_id")).as("bucket"))
+      .orderBy(col("bucket"), col("doc_id")).limit(50)),
+    Some("SELECT doc_id, lang, bucket FROM (" +
+      "SELECT doc_id, lang, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket " +
+      "FROM documents ORDER BY bucket, doc_id LIMIT 50)" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -773,6 +812,7 @@ object DataCatalog {
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,
+    "m3_frame_sample" -> m3, "smp3_fixed_sample" -> smp3,
     "tx7_normalize" -> tx7, "tx8_tfidf_topterms" -> tx8,
     "emb2_l2_normalize" -> emb2, "bf1_bloom_semijoin" -> bf1,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,

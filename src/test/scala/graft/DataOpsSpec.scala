@@ -266,6 +266,31 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Multimodal.parseDims(jpegFill) == Some(("image/jpeg", 34, 12)))
   }
 
+  test("frame sampling: k evenly-spaced offsets inside the decoded frame count") {
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(
+      docs.withColumn("n_chars", length(col("text")).cast("long"))))
+    val got = Multimodal.frameSampleMeta(feats, 4).collect()
+    assert(got.length == 5 * 4) // k rows per media row
+    got.foreach { r =>
+      val nFrames = r.getAs[Long]("n_frames")
+      val idx = r.getAs[Long]("frame_idx")
+      val off = r.getAs[Long]("frame_offset")
+      assert(off == math.floor(idx * nFrames / 4.0).toLong)
+      assert(off >= 0 && off < math.max(nFrames, 1))
+    }
+  }
+
+  test("fixed-size sample plans as TakeOrderedAndProject, not a global sort") {
+    import graft.operators.Sampling
+    val rows = (0L until 5000L).map(i => (i, s"r$i")).toDF("doc_id", "v")
+    val df = rows.select(col("doc_id"), Sampling.bucket(col("doc_id")).as("bucket"))
+      .orderBy(col("bucket"), col("doc_id")).limit(50)
+    assert(df.count() == 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fixed-size sample should be a partial top-K, got:\n${plan.take(500)}")
+  }
+
   test("multimodal resize: aspect-preserving fit, never upscales") {
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs))
     val out = Multimodal.resizeMeta(feats, 32)
