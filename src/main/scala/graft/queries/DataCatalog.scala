@@ -757,6 +757,33 @@ object DataCatalog {
       "WHERE s.lang IN ('en', 'de', 'fr') AND q.quality_score >= 0.6 AND q.n_words >= 20 " +
       "AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 800" + OBA))
 
+  // EMB3 nearest-centroid assignment — the k-means assignment step (and
+  // the building block for training a real IVF coarse quantizer):
+  // centroids broadcast, each vector fans out ×K map-side, one hash
+  // aggregate on vec_id picks argmax cosine with a deterministic min-cid
+  // tie-break (the same max-struct fusion as the members active-pick).
+  val emb3 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val scored = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (Similarity.dot(col("embedding"), col("cv")) /
+            (sqrt(Similarity.dot(col("embedding"), col("embedding"))) *
+             sqrt(Similarity.dot(col("cv"), col("cv"))))).as("cos"))
+      ordered(scored.groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cid")).as("neg"), col("cid"))).as("pick"))
+        .select(col("vec_id"), col("pick.cid").as("cid"), col("pick.cos").as("cos")))
+    },
+    Some("WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8), " +
+      "s AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") + " AS cos " +
+      "FROM embeddings e CROSS JOIN c), " +
+      "r AS (SELECT vec_id, cid, cos, row_number() OVER (" +
+      "PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM s) " +
+      "SELECT vec_id, cid, cos FROM r WHERE rn = 1" + OBA))
+
   // M3 frame sampling: k evenly-spaced frame indices per media row from
   // the REAL decoded header dims (audio → sample positions, images →
   // row tiles) — the video-frame-sampling analog, deterministic and
@@ -813,6 +840,7 @@ object DataCatalog {
     "t7_range_join" -> t7, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3, "smp3_fixed_sample" -> smp3,
+    "emb3_centroid_assign" -> emb3,
     "tx7_normalize" -> tx7, "tx8_tfidf_topterms" -> tx8,
     "emb2_l2_normalize" -> emb2, "bf1_bloom_semijoin" -> bf1,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,
