@@ -51,6 +51,7 @@ object Bench {
         try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e"); errors += name; false }
+        finally CacheScope.releaseAll() // operator-internal persists end with the query
       // A failed query must not read as "fast": record it as -1 so the
       // gate can tell a crash from a quick pass.
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

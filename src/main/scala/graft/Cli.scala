@@ -93,7 +93,8 @@ object Cli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = resolve(spark, args.head, args.tail.toSeq)
-    JsonOut.print(Catalog.ordered(df))
+    try JsonOut.print(Catalog.ordered(df))
+    finally CacheScope.releaseAll() // operator-internal persists end with the query
     spark.stop()
   }
 }

@@ -91,9 +91,11 @@ object NearDup {
     * once per join side inside one action. Candidates flow straight into
     * verification — they are consumed exactly once, so a persist there
     * is a pure barrier cost. At cluster scale the persist becomes the
-    * checkpoint-the-signatures pattern. */
+    * checkpoint-the-signatures pattern. The persist is registered with
+    * CacheScope so the pipeline driver releases it after the consuming
+    * action (a long-lived session must not accumulate cached RDDs). */
   def minhashLsh(docs: DataFrame, id: Column, text: Column, threshold: Double): DataFrame = {
-    val sigs = minhashSigs(docs, id, text).persist()
+    val sigs = graft.CacheScope.persist(minhashSigs(docs, id, text))
     sigs.count()
     jaccardPairs(candidates(bands(sigs)), shingleArrays(docs, id, text))
       .filter(col("jaccard") >= threshold)
@@ -115,16 +117,17 @@ object NearDup {
   def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
     // Persist the banded signatures: both sides of the candidate
     // self-join read them, and without the barrier each side recomputes
-    // every per-token signature. 4 small rows per doc — cache is cheap.
+    // every per-token signature. 4 small rows per doc — cache is cheap,
+    // and CacheScope releases it at pipeline end.
     // shiftright is arithmetic, but the 0xFFFF mask drops the sign-
     // extension bits, so negative signatures band identically to the
     // oracle's logical extraction.
-    val banded = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(65535).as("key"))): _*)).as("bs"))
-      .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.key"))
-      .persist()
+    val banded = graft.CacheScope.persist(
+      sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(65535).as("key"))): _*)).as("bs"))
+        .select(col("doc_id"), col("simhash"), col("bs.band"), col("bs.key")))
     banded.count()
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -190,6 +193,9 @@ object NearDup {
       iter += 1
     }
     edges.unpersist()
+    // the converged labels stay cached (callers typically consume them
+    // more than once); CacheScope releases them at pipeline end
+    graft.CacheScope.persist(labels)
     // Silent non-convergence would hand callers wrong cluster_ids (and a
     // diverging d6 oracle) with no signal: a component whose diameter
     // exceeds maxIters must fail loudly, not approximately.

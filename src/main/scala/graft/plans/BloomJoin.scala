@@ -28,10 +28,20 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomJoin {
 
-  /** Build a bloom filter over `buildKey` (long keys). */
-  def buildFilter(build: DataFrame, buildKey: Column, fpp: Double): BloomFilter = {
-    val n = math.max(1L, build.select(buildKey).distinct().count())
-    build.stat.bloomFilter(buildKey, n, fpp)
+  /** Build a bloom filter over `buildKey` (long keys).
+    *
+    * Sizing: `expectedItems` (caller knowledge — a table-stats row count,
+    * a previous run's cardinality) skips the sizing pass entirely, making
+    * the build ONE job. Without it, the NDV comes from a single
+    * `approx_count_distinct` aggregation (one lightweight HLL sketch per
+    * partition — no distinct-row shuffle, unlike the old
+    * `distinct().count()` double pass), padded 10% for the sketch's ~2%
+    * error so the realized fpp never exceeds the requested one by much. */
+  def buildFilter(build: DataFrame, buildKey: Column, fpp: Double,
+      expectedItems: Option[Long] = None): BloomFilter = {
+    val n = expectedItems.getOrElse(
+      (build.select(approx_count_distinct(buildKey)).head().getLong(0) * 11L) / 10L)
+    build.stat.bloomFilter(buildKey, math.max(1L, n), fpp)
   }
 
   /** Codegen'd membership probe over a driver-built filter. */
@@ -41,8 +51,9 @@ object BloomJoin {
   /** probe ⋉ build on long keys, bloom-pruned before the shuffle.
     * Result ≡ `probe.join(build, probeKey === buildKey, "left_semi")`. */
   def semiJoin(probe: DataFrame, probeKey: Column,
-      build: DataFrame, buildKey: Column, fpp: Double = 0.01): DataFrame = {
-    val bf = buildFilter(build, buildKey, fpp)
+      build: DataFrame, buildKey: Column, fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val bf = buildFilter(build, buildKey, fpp, expectedItems)
     probe.filter(mightContain(probeKey, bf))
       .join(build.select(buildKey.as("__bf_key")).distinct(),
         probeKey === col("__bf_key"), "left_semi")

@@ -526,8 +526,13 @@ object DataCatalog {
   // (N / df) rather than log((N+1)/(df+1)) — transcendentals are not
   // bit-portable across engines, while products/quotients of exact
   // integer counts are IEEE-identical, keeping the hash compare valid.
-  // Scale shape: tf is one (doc,term) aggregate, df one term aggregate
-  // that broadcasts back, top-3 is a windowed partial top-k on doc_id.
+  // Scale shape: tf is one (doc,term) aggregate, df one term aggregate,
+  // top-3 is a windowed partial top-k on doc_id. The tf⋈df join is
+  // deliberately UNHINTED: df's cardinality is the corpus VOCABULARY
+  // (billions of terms on a web corpus — URLs, typos, code), so a forced
+  // broadcast would OOM at scale; AQE broadcasts it at fixture size and
+  // falls back to a hash join on `term` when it is genuinely large. The
+  // only hint left is the 1-row corpus count.
   val tx8 = Q(
     (s, d) => {
       val docs = documents(s, d)
@@ -538,7 +543,7 @@ object DataCatalog {
       val df_ = toks.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dl, Seq("doc_id")).join(broadcast(df_), Seq("term"))
+      val scored = tf.join(dl, Seq("doc_id")).join(df_, Seq("term"))
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           (col("tf").cast("double") / col("doclen")) * (col("n_docs").cast("double") / col("df")))
@@ -716,10 +721,11 @@ object DataCatalog {
       // persisted once: five downstream stages consume it (minhash
       // signatures, shingle arrays, cluster propagation, the survivor
       // semi-join, quality) — the inter-stage checkpoint a real corpus
-      // pipeline would write to storage between phases
-      val exactSurv = docs.join(
+      // pipeline would write to storage between phases; CacheScope
+      // releases it after the consuming action
+      val exactSurv = graft.CacheScope.persist(docs.join(
         NearDup.exact(docs, col("doc_id"), col("text")).select("doc_id"),
-        Seq("doc_id"), "left_semi").persist()
+        Seq("doc_id"), "left_semi"))
       val pairs = NearDup.minhashLsh(exactSurv, col("doc_id"), col("text"), 0.5)
       val reps = NearDup.dedupClusters(exactSurv, col("doc_id"), pairs)
         .filter(col("doc_id") === col("cluster_id")).select("doc_id")

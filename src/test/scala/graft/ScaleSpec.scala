@@ -150,6 +150,83 @@ class ScaleSpec extends AnyFunSuite {
       "bloom might_contain not applied below the join")
   }
 
+  test("tx8 does not force-broadcast the vocabulary-cardinality df table") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.queries.DataCatalog.tx8.build(spark, sf)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    // the only acceptable hint is the 1-row corpus count; the per-term
+    // doc-frequency aggregate (output column `df`) is vocabulary-sized —
+    // billions of terms on a web corpus — and must never be hint-forced
+    hints.foreach { h =>
+      assert(!h.child.output.exists(_.name == "df"),
+        "doc-frequency subtree is force-broadcast — OOMs at corpus scale")
+      assert(h.child.maxRows.contains(1L),
+        s"forced broadcast of a non-single-row subtree: ${h.child.output.map(_.name)}")
+    }
+  }
+
+  test("operator-internal persists are released at pipeline end (no cache leak)") {
+    import graft.queries.DataCatalog
+    val sc = spark.sparkContext
+    graft.CacheScope.releaseAll() // clean slate (other suites may have run queries)
+    val before = sc.getPersistentRDDs.keySet
+    // the three persist-using operator families, run end-to-end
+    DataCatalog.d2.build(spark, sf).count() // minhashLsh signatures
+    DataCatalog.d3.build(spark, sf).count() // simhash banded signatures
+    DataCatalog.d6.build(spark, sf).count() // dedupClusters converged labels
+    assert(sc.getPersistentRDDs.keySet.size > before.size,
+      "expected live operator caches mid-pipeline (did the persists disappear?)")
+    graft.CacheScope.releaseAll()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"cached RDDs leaked past pipeline end: $leaked")
+  }
+
+  test("bloom filter build is one job with expectedItems, two without") {
+    import graft.plans.BloomJoin
+    import graft.sources.Tables
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").persist()
+    urgent.count() // materialize so job counts below are only the builds
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the listener bus is async: poll until the count stops moving
+      def drain(): Int = {
+        var prev = -1
+        var cur = jobs.get()
+        while (cur != prev) { Thread.sleep(200); prev = cur; cur = jobs.get() }
+        cur
+      }
+      def countJobs(body: => Unit): Int = {
+        drain(); jobs.set(0); body; drain()
+      }
+      val sized = countJobs(BloomJoin.buildFilter(urgent, col("o_orderkey"), 0.01,
+        expectedItems = Some(2000L)))
+      val unsized = countJobs(BloomJoin.buildFilter(urgent, col("o_orderkey"), 0.01))
+      // absolute job counts are a Spark-internal detail (stat.bloomFilter
+      // and AQE each schedule more than one); the contract is that
+      // expectedItems strictly skips the sizing pass
+      assert(sized < unsized,
+        s"expectedItems must skip the sizing pass: sized=$sized unsized=$unsized")
+      // and the auto-sized filter is functionally sound: every real key
+      // contained, fpp in the requested ballpark on foreign keys
+      val bf = BloomJoin.buildFilter(urgent, col("o_orderkey"), 0.01)
+      val keys = urgent.select(col("o_orderkey")).distinct()
+        .collect().map(_.getLong(0))
+      assert(keys.forall(bf.mightContainLong), "bloom filter missed a real key")
+      val falsePos = (1L to 20000L).filterNot(keys.toSet)
+        .count(bf.mightContainLong)
+      assert(falsePos < 600, s"auto-sized filter fpp way above 1%: $falsePos/20000")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      urgent.unpersist()
+    }
+  }
+
   test("streaming curation gate emits exactly the batch result (stateless, rerun-stable)") {
     import graft.streaming.DocStream
     val dir = java.nio.file.Files.createTempDirectory("doc_curate")
