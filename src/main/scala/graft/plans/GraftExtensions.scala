@@ -41,6 +41,17 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be a string literal, got $other")
   }
+  // SQL numeric literals arrive as int/long/decimal/double depending on
+  // how the user spells them — accept any exact numeric literal
+  private def doubleLit(e: Expression, fn: String, arg: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a numeric literal, got $other")
+  }
   private def arity(fn: String, args: Seq[Expression], allowed: Range): Unit =
     if (!allowed.contains(args.length)) throw new IllegalArgumentException(
       s"$fn expects ${allowed.min}..${allowed.max} arguments, got ${args.length}")
@@ -86,5 +97,23 @@ object GraftExtensions {
         if (args.length > 1) strLit(args(1), "graft_normalize", "form") else "NFC",
         if (args.length > 2) boolLit(args(2), "graft_normalize", "lower") else false,
         if (args.length > 3) boolLit(args(3), "graft_normalize", "collapseWs") else true)
+    },
+    // aggregates: the analyzer wraps a bare AggregateFunction returned
+    // from a registry builder in its AggregateExpression, so SQL users
+    // get GROUP BY semantics for free
+    fn("graft_bitmap_distinct",
+        "exact distinct count of longs in [0, maxBound) via mergeable bitmaps") { args =>
+      arity("graft_bitmap_distinct", args, 2 to 2)
+      BitmapDistinct(args.head, intLit(args(1), "graft_bitmap_distinct", "maxBound"))
+    },
+    fn("graft_hist_quantile",
+        "grouped quantiles from a mergeable fixed-bin histogram: " +
+          "(measure, lo, binWidth, bins, prob...)") { args =>
+      arity("graft_hist_quantile", args, 5 to 16)
+      HistogramQuantile(args.head,
+        doubleLit(args(1), "graft_hist_quantile", "lo"),
+        doubleLit(args(2), "graft_hist_quantile", "binWidth"),
+        intLit(args(3), "graft_hist_quantile", "bins"),
+        args.drop(4).map(doubleLit(_, "graft_hist_quantile", "prob")))
     })
 }

@@ -71,12 +71,18 @@ final case class ParquetStore(dir: String) extends TableStore {
   *                    partitionColumn/lowerBound/upperBound, fetchsize…)
   * @param numPartitions read/write parallelism hint when the caller
   *                    supplies a partitionColumn
+  * @param dialect     identifier-quoting + swap-statement provider;
+  *                    defaults from the URL subprotocol (MySQL/MariaDB →
+  *                    backticks + atomic RENAME TABLE, else ANSI)
   */
 final case class JdbcStore(
     url: String,
     options: Map[String, String] = Map.empty,
     numPartitions: Int = 8,
-    transport: JdbcStore.Transport = JdbcStore.SparkJdbc) extends TableStore {
+    transport: JdbcStore.Transport = JdbcStore.SparkJdbc,
+    dialect: Option[JdbcStore.Dialect] = None) extends TableStore {
+
+  private val dia: JdbcStore.Dialect = dialect.getOrElse(JdbcStore.dialectFor(url))
 
   private def baseOptions(name: String): Map[String, String] =
     options ++ Map("url" -> url, "dbtable" -> name,
@@ -88,21 +94,69 @@ final case class JdbcStore(
   override def writeSwap(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
     val staging = s"${name}__staging"
     transport.write(df, baseOptions(staging))
-    // the swap is the transactional pointer flip the reference gets from
-    // Postgres (`db/src/lib.rs:31-75`): rename staging over live. The
-    // statements run individually inside ONE explicit transaction (a
-    // single multi-statement string is rejected by MySQL by default),
-    // identifiers quoted; credentials ride the same options as reads.
-    transport.exec(url, options, Seq(
-      s"DROP TABLE IF EXISTS ${JdbcStore.quote(name)}",
-      s"ALTER TABLE ${JdbcStore.quote(staging)} RENAME TO ${JdbcStore.quote(name)}"))
+    // the swap is the pointer flip the reference gets from its database
+    // (`db/src/lib.rs:31-75`): rename staging over live. The statement
+    // LIST is dialect-provided because atomicity lives in different
+    // places per engine — Postgres has transactional DDL, MySQL has the
+    // multi-table RENAME. Statements run individually inside one
+    // explicit transaction (a single multi-statement string is rejected
+    // by MySQL by default); credentials ride the same options as reads.
+    transport.exec(url, options, dia.swapStatements(name, staging))
     table(spark, name)
   }
 }
 
 object JdbcStore {
   /** ANSI identifier quoting (doubled inner quotes). */
-  def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+  def quote(ident: String): String = AnsiDialect.quote(ident)
+
+  /** What differs per engine: how identifiers quote, and which statement
+    * sequence atomically replaces the live table with the staging one. */
+  sealed trait Dialect extends Serializable {
+    def quote(ident: String): String
+    /** Statements that replace `live` with `staging`; run in order
+      * inside one transaction by Transport.exec. */
+    def swapStatements(live: String, staging: String): Seq[String]
+  }
+
+  /** Postgres and other ANSI engines: DDL is transactional, so DROP +
+    * RENAME inside the exec() transaction is atomic — a crash between
+    * the two statements rolls both back (`db/src/lib.rs:31-75` is this
+    * exact protocol on the reference's Postgres side). */
+  case object AnsiDialect extends Dialect {
+    override def quote(ident: String): String =
+      "\"" + ident.replace("\"", "\"\"") + "\""
+    override def swapStatements(live: String, staging: String): Seq[String] = Seq(
+      s"DROP TABLE IF EXISTS ${quote(live)}",
+      s"ALTER TABLE ${quote(staging)} RENAME TO ${quote(live)}")
+  }
+
+  /** MySQL/MariaDB (the engine behind the reference's DDB pool,
+    * `ddb/src/lib.rs:21-33`): double-quoted identifiers fail outside
+    * ANSI_QUOTES mode → backticks; DDL implicitly COMMITS, so a
+    * transaction cannot make DROP + RENAME atomic — a crash between them
+    * would lose the live table. The engine's atomic idiom is the
+    * multi-table `RENAME TABLE live TO old, staging TO live` (one
+    * statement, all-or-nothing). CREATE IF NOT EXISTS covers the
+    * first-ever publish (RENAME requires the live side to exist);
+    * the `__old` copy is dropped after the swap lands. */
+  case object MySqlDialect extends Dialect {
+    override def quote(ident: String): String =
+      "`" + ident.replace("`", "``") + "`"
+    override def swapStatements(live: String, staging: String): Seq[String] = {
+      val old = s"${live}__old"
+      Seq(
+        s"DROP TABLE IF EXISTS ${quote(old)}",
+        s"CREATE TABLE IF NOT EXISTS ${quote(live)} LIKE ${quote(staging)}",
+        s"RENAME TABLE ${quote(live)} TO ${quote(old)}, ${quote(staging)} TO ${quote(live)}",
+        s"DROP TABLE IF EXISTS ${quote(old)}")
+    }
+  }
+
+  /** Default dialect from the JDBC subprotocol. */
+  def dialectFor(url: String): Dialect =
+    if (url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:")) MySqlDialect
+    else AnsiDialect
 
   /** Transport boundary: a real deployment drives the Spark JDBC source
     * and a plain JDBC transaction for the swap; tests inject a recorder. */

@@ -100,6 +100,39 @@ class ExprParitySpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("integer literal"))
   }
 
+  test("GraftExtensions: custom AGGREGATES callable from plain SQL with GROUP BY") {
+    import graft.plans.GraftExtensions
+    val ext = spark.newSession()
+    GraftExtensions.functions.foreach { case (id, info, b) =>
+      ext.sessionState.functionRegistry.registerFunction(id, info, b)
+    }
+    ext.range(0, 5000, 1, 8)
+      .selectExpr("id % 3 AS g", "id % 517 AS v", "CAST(id % 50 AS DOUBLE) AS x")
+      .createOrReplaceTempView("ext_agg")
+    val viaSql = ext.sql(
+      """SELECT g, graft_bitmap_distinct(v, 1024) AS n,
+        |       graft_hist_quantile(x, 0.0, 1.0, 64, 0.25, 0.5, 0.75) AS qs
+        |FROM ext_agg GROUP BY g""".stripMargin)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    // SQL-path results ≡ the DataFrame-path aggregates
+    val viaDf = ext.range(0, 5000, 1, 8)
+      .selectExpr("id % 3 AS g", "id % 517 AS v", "CAST(id % 50 AS DOUBLE) AS x")
+      .groupBy("g")
+      .agg(graft.plans.BitmapDistinct.distinctCount(col("v"), 1024).as("n"),
+        graft.plans.Sketches.histQuantiles(col("x"), 0.0, 1.0, 64,
+          Seq(0.25, 0.5, 0.75)).as("qs"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(viaSql == viaDf)
+    assert(viaSql.keySet == Set(0L, 1L, 2L))
+    // decimal-spelled probs (0.25 parses as DECIMAL in SQL) must work —
+    // covered above; a non-literal bins argument must fail at analysis
+    val e = intercept[Exception] {
+      ext.sql("SELECT graft_hist_quantile(x, 0.0, 1.0, g, 0.5) FROM ext_agg GROUP BY g").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
+
   test("TokenFingerprint == aggregate/zip_with formulation") {
     val docs = Seq((0L, "alpha beta gamma delta"), (1L, "x")).toDF("doc_id", "text")
     val native = graft.operators.TextOps.fingerprint(docs, col("doc_id"), col("text"))

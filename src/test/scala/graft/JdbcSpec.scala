@@ -13,7 +13,7 @@ class JdbcSpec extends AnyFunSuite {
   import spark.implicits._
 
   /** Records every transport call; serves canned tables. */
-  final class Recorder extends JdbcStore.Transport {
+  class Recorder extends JdbcStore.Transport {
     val reads = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
     val writes = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
     val execs = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String], Seq[String])]
@@ -27,14 +27,22 @@ class JdbcSpec extends AnyFunSuite {
       served += options("dbtable") -> df
     }
     private val Rename = """ALTER TABLE "(.+)" RENAME TO "(.+)"""".r
+    private val MyRename = """RENAME TABLE `(.+)` TO `(.+)`, `(.+)` TO `(.+)`""".r
+    private val MyDrop = """DROP TABLE IF EXISTS `(.+)`""".r
     override def exec(url: String, options: Map[String, String],
         statements: Seq[String]): Unit = {
       execs += ((url, options, statements))
-      // behave like the database: apply the rename so post-swap reads of
+      // behave like the database: apply renames so post-swap reads of
       // the live table see the staged data
       statements.foreach {
         case Rename(from, to) =>
           served.get(from).foreach { df => served += to -> df; served -= from }
+        case MyRename(a, b, c, d) => // atomic multi-rename: all-or-nothing
+          require(served.contains(a) && served.contains(c),
+            s"RENAME TABLE with missing source: $a or $c")
+          val (dfA, dfC) = (served(a), served(c))
+          served = served - a - c + (b -> dfA) + (d -> dfC)
+        case MyDrop(t) => served -= t
         case _ => ()
       }
     }
@@ -73,6 +81,50 @@ class JdbcSpec extends AnyFunSuite {
     // the returned frame re-reads the committed table
     assert(rec.reads.map(_("dbtable")) == Seq("members"))
     assert(committed.count() == 2)
+  }
+
+  test("jdbc writeSwap on MySQL: backtick quoting, single atomic RENAME TABLE") {
+    val rec = new Recorder
+    // live table pre-exists (the steady-state publish)
+    rec.served += "members" -> Seq((9L, "old")).toDF("id", "v")
+    val store = JdbcStore("jdbc:mysql://ddb:3306/drupal",
+      options = Map("user" -> "svc"), transport = rec)
+    val committed = store.writeSwap(spark, "members",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val (_, _, statements) = rec.execs.head
+    // MySQL DDL implicitly commits, so DROP+ALTER can't be made atomic
+    // by a transaction; the swap must be the one-statement multi-rename
+    assert(statements == Seq(
+      "DROP TABLE IF EXISTS `members__old`",
+      "CREATE TABLE IF NOT EXISTS `members` LIKE `members__staging`",
+      "RENAME TABLE `members` TO `members__old`, `members__staging` TO `members`",
+      "DROP TABLE IF EXISTS `members__old`"))
+    assert(statements.count(_.contains("RENAME TABLE")) == 1)
+    assert(committed.count() == 2)
+    // identifiers with embedded backticks stay escaped
+    assert(JdbcStore.MySqlDialect.quote("we`ird") == "`we``ird`")
+    // and the subprotocol routes the dialect automatically
+    assert(JdbcStore.dialectFor("jdbc:mysql://x/y") == JdbcStore.MySqlDialect)
+    assert(JdbcStore.dialectFor("jdbc:mariadb://x/y") == JdbcStore.MySqlDialect)
+    assert(JdbcStore.dialectFor(url) == JdbcStore.AnsiDialect)
+  }
+
+  test("jdbc writeSwap on MySQL: first-ever publish (no live table) still lands") {
+    val rec = new Recorder
+    // emulate CREATE IF NOT EXISTS on the recorder: seed live on demand
+    val store = JdbcStore("jdbc:mysql://ddb:3306/drupal", transport = new Recorder {
+      override def exec(url: String, options: Map[String, String],
+          statements: Seq[String]): Unit = {
+        statements.foreach { st =>
+          if (st.startsWith("CREATE TABLE IF NOT EXISTS `members`") &&
+              !served.contains("members"))
+            served += "members" -> Seq.empty[(Long, String)].toDF("id", "v")
+        }
+        super.exec(url, options, statements)
+      }
+    })
+    val committed = store.writeSwap(spark, "members", Seq((1L, "a")).toDF("id", "v"))
+    assert(committed.count() == 1)
   }
 
   test("ParquetStore: a failed write never publishes — reads stay on the old version") {
