@@ -14,6 +14,7 @@ object Bench {
     "a10_stats_agg", "s8_upsert_merge", "s10_retain_gc", "eav2_assembly",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash_pairs", "d4_ngram_jaccard",
     "sim1_cosine_topk", "sim2_ivf_ann", "sim3_multiprobe_ann",
+    "emb4_kmeans", "sim4_learned_ivf",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
     "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
     "dp1_curation_pipeline",

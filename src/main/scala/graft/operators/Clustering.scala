@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic spherical k-means — the learned IVF coarse quantizer
+  * that makes the ANN family (Similarity.topKIvf / topKMultiProbe /
+  * nearDupPairs) self-contained for a user holding raw embeddings:
+  * train here, partition the corpus on the learned cell ids, probe with
+  * the same assignment. Fills the training-loop half of the reference's
+  * data-prep surface that emb3 (the assignment step alone) left open.
+  *
+  * Determinism contract (the whole design): no RNG anywhere.
+  *  - init: the k vectors with the SMALLEST ids seed the centroids
+  *    (cid = seed vec_id), so two runs — and the DuckDB oracle — start
+  *    identically.
+  *  - assignment: cosine argmax with min-cid tie-break (emb3's
+  *    max-struct fusion; codegen'd FloatDotProduct kernels).
+  *  - update: each cell's new centroid is the per-dimension mean folded
+  *    STRICTLY LEFT-TO-RIGHT over members sorted by vec_id, in DOUBLE,
+  *    then rounded once to FLOAT — bit-identical on Spark and the
+  *    oracle's list_reduce, independent of partitioning.
+  *  - fixed iteration count (no convergence test): the oracle unrolls
+  *    one CTE block per iteration.
+  *
+  * Scale design: centroids are MODEL STATE — k×dim floats, driver-held
+  * and broadcast each round (the MLlib KMeans shape); only they ever
+  * collect(), the corpus never does. Assignment is a pure broadcast map
+  * over the vectors; the update is one hash shuffle per iteration. The
+  * strict-fold update streams each cell's members through a sorted
+  * collect_list, which bounds cell size by executor memory — that is
+  * the price of bitwise reproducibility. For corpora where cells exceed
+  * that (≫10⁷ members/cell), [[updateMeansFast]] is the same mean via
+  * partial map-side aggregation: statistically identical, not bitwise
+  * deterministic (float sums reassociate under partitioning), which is
+  * why the verified default is the strict fold.
+  */
+object Clustering {
+
+  /** One Lloyd assignment step: nearest centroid by cosine, min-cid
+    * tie-break. `cents` must be (cid, cv: array<float>) and tiny — it
+    * is broadcast; the corpus side is a pure map + one hash aggregate.
+    * Output: (vec_id, cid, cos). */
+  def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (Similarity.dot(col("embedding"), col("cv")) /
+          (sqrt(Similarity.dot(col("embedding"), col("embedding"))) *
+           sqrt(Similarity.dot(col("cv"), col("cv"))))).as("cos"))
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"), col("cid"))).as("pick"))
+      .select(col("vec_id"), col("pick.cid").as("cid"), col("pick.cos").as("cos"))
+  }
+
+  /** Strict-fold per-cell means: members sorted by vec_id, summed
+    * left-to-right in double per dimension, divided by the cell count,
+    * rounded once to float. One shuffle; deterministic under any
+    * partitioning. */
+  private def updateMeansStrict(asg: DataFrame, vectors: DataFrame, dim: Int): DataFrame =
+    asg.select(col("vec_id"), col("cid"))
+      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .groupBy(col("cid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("ms"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), expr(
+        s"transform(sequence(1, $dim), i -> CAST(aggregate(ms, 0D, " +
+          "(acc, m) -> acc + CAST(element_at(m.embedding, i) AS DOUBLE)) / n AS FLOAT))")
+        .as("cv"))
+
+  /** The at-scale update: the same per-cell mean via map-side partial
+    * sums (posexplode → sum/count per (cid, dim)) — no per-cell list
+    * ever materializes, so cell size is unbounded. Trades bitwise
+    * determinism (double sums reassociate across partitions) for
+    * unbounded cells; use when cells outgrow executor memory. */
+  def updateMeansFast(asg: DataFrame, vectors: DataFrame): DataFrame =
+    asg.select(col("vec_id"), col("cid"))
+      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("col").cast("double")) / count(lit(1))).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+      .select(col("cid"),
+        expr("transform(dims, d -> CAST(d.m AS FLOAT))").as("cv"))
+
+  /** Train the coarse quantizer: `iters` Lloyd rounds from the k
+    * smallest-id seeds. Returns the final centroids (cid, cv) as a
+    * local k-row DataFrame. Empty cells keep their previous centroid
+    * (deterministic; the oracle's LEFT JOIN + coalesce twin). */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int, dim: Int = 64): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // model state: k×dim floats on the driver (the only collect — the
+    // corpus itself never leaves the executors)
+    var cents: Seq[(Long, Seq[Float])] = vectors
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k)
+      .as[(Long, Seq[Float])].collect().toSeq
+    var it = 0
+    while (it < iters) {
+      val asg = assign(vectors, cents.toDF("cid", "cv"))
+      val upd = updateMeansStrict(asg, vectors, dim)
+        .as[(Long, Seq[Float])].collect().toMap
+      cents = cents.map { case (c, old) => c -> upd.getOrElse(c, old) }
+      it += 1
+    }
+    cents.toDF("cid", "cv")
+  }
+
+  /** Train + final assignment: every vector's learned cell id — the
+    * column to partition an ANN corpus on (feeds Similarity.topKIvf /
+    * topKMultiProbe / nearDupPairs as their `cellCol`). */
+  def kmeansAssign(vectors: DataFrame, k: Int, iters: Int, dim: Int = 64): DataFrame =
+    assign(vectors, kmeans(vectors, k, iters, dim))
+}

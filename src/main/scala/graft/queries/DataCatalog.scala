@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, NearDup, Sampling, Similarity, TextOps}
+import graft.operators.{Clustering, Contamination, NearDup, Sampling, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -790,6 +790,84 @@ object DataCatalog {
       "PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM s) " +
       "SELECT vec_id, cid, cos FROM r WHERE rn = 1" + OBA))
 
+  /** Oracle twin of Clustering.kmeans: `iters` unrolled Lloyd rounds
+    * from the k smallest-id seeds, ending in centroid CTE `c<iters>`
+    * (cid, cv FLOAT[]). Per round: cosine argmax assignment with
+    * min-cid tie-break, then a strict left fold mean over members
+    * ordered by vec_id (list_reduce ≡ Spark's aggregate(0D, +)),
+    * rounded once to FLOAT; empty cells keep the previous centroid via
+    * LEFT JOIN + coalesce. Generated, not hand-unrolled, so the
+    * iteration count is a parameter on both engines. */
+  private def kmeansCtes(iters: Int, k: Int): String = {
+    val init = s"c0 AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+      s"(SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))"
+    val rounds = (1 to iters).flatMap { t =>
+      Seq(
+        s"s$t AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+          s" AS cos FROM embeddings e CROSS JOIN c${t - 1} c)",
+        s"a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+          "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
+          s"FROM s$t) WHERE rn = 1)",
+        s"u$t AS (SELECT cid, list(e.embedding ORDER BY e.vec_id) AS ms, " +
+          s"count(*) AS n FROM a$t a JOIN embeddings e ON e.vec_id = a.vec_id GROUP BY cid)",
+        s"c$t AS (SELECT c.cid, coalesce(u.cvn, c.cv) AS cv FROM c${t - 1} c " +
+          "LEFT JOIN (SELECT cid, list_transform(range(1, 65), i -> " +
+          "(list_reduce(list_transform(ms, e -> e[i]::DOUBLE), (x, y) -> x + y) / n)::FLOAT) " +
+          s"AS cvn FROM u$t) u USING (cid))")
+    }
+    "WITH " + (init +: rounds).mkString(", ")
+  }
+
+  // EMB4 — the learned IVF coarse quantizer (deterministic spherical
+  // k-means): 3 Lloyd rounds, k=10, seeded by the 10 smallest vec_ids.
+  // This is the training loop emb3 is the assignment step of; its
+  // output cells are what sim2/sim3/d5 partition on at scale (sim4
+  // below runs the ANN query end-to-end on them). Output = final
+  // centroids exploded per dimension, so every trained value is
+  // hash-checked.
+  val emb4 = Q(
+    (s, d) => {
+      val cents = Clustering.kmeans(embeddings(s, d), 10, 3)
+      ordered(cents.select(col("cid"), posexplode(col("cv")))
+        .toDF("cid", "pos", "vf")
+        .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
+          col("vf").cast("double").as("v")))
+    },
+    Some(kmeansCtes(3, 10) +
+      " SELECT cid, CAST(i AS BIGINT) AS dim, cv[i]::DOUBLE AS v " +
+      "FROM c3, unnest(range(1, 65)) u(i)" + OBA))
+
+  // SIM4 — IVF ANN on LEARNED cells: train the quantizer (emb4), assign
+  // every vector its learned cell, run the sim2 query shape on those
+  // cells. This closes the loop the fixture `label` column stood in
+  // for: a user with raw embeddings produces cells and queries them
+  // with no fixture help. (Recall vs sim1 exact: 0.30 on learned cells
+  // vs 0.10 on the fixture label at sf0.01 — asserted as a property
+  // test in DataOpsSpec.)
+  val sim4 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cells = Clustering.kmeansAssign(e, 10, 3)
+        .select(col("vec_id"), col("cid").as("cell"))
+      ordered(Similarity.topKIvf(
+        e.join(cells, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("cell")), "cell", 5))
+    },
+    Some(kmeansCtes(3, 10) +
+      ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+      " AS cos FROM embeddings e CROSS JOIN c3 c), " +
+      "asg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
+      "FROM fin) WHERE rn = 1), " +
+      "v AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN asg a USING (vec_id)), " +
+      "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      cosSql("q.embedding", "c.embedding") + " AS cos " +
+      "FROM v q JOIN v c USING (cell) WHERE q.vec_id <> c.vec_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+      "FROM ranked WHERE rank <= 5" + OBA))
+
   // M3 frame sampling: k evenly-spaced frame indices per media row from
   // the REAL decoded header dims (audio → sample positions, images →
   // row tiles) — the video-frame-sampling analog, deterministic and
@@ -847,6 +925,7 @@ object DataCatalog {
     "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3, "smp3_fixed_sample" -> smp3,
     "emb3_centroid_assign" -> emb3,
+    "emb4_kmeans" -> emb4, "sim4_learned_ivf" -> sim4,
     "tx7_normalize" -> tx7, "tx8_tfidf_topterms" -> tx8,
     "emb2_l2_normalize" -> emb2, "bf1_bloom_semijoin" -> bf1,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,

@@ -116,6 +116,49 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pAll == exact)
   }
 
+  test("kmeans: deterministic across runs; learned cells beat the fixture label on recall") {
+    import graft.operators.Clustering
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // two independent trainings are bit-identical (no RNG anywhere)
+    val c1 = Clustering.kmeans(vecs, 10, 3).as[(Long, Seq[Float])].collect().toMap
+    val c2 = Clustering.kmeans(vecs, 10, 3).as[(Long, Seq[Float])].collect().toMap
+    assert(c1 == c2)
+    assert(c1.size == 10 && c1.values.forall(_.length == 64))
+    // the learned quantizer must beat the fixture `label` partitioning
+    // on IVF recall vs exact — the point of training it
+    val exact = hits(Similarity.topK(vecs, vecs, 5, maxQueries = 100000))
+    val cells = Clustering.kmeansAssign(vecs, 10, 3)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val learned = vecs.join(cells, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val rLearned = (hits(Similarity.topKIvf(learned, "cell", 5)) & exact).size.toDouble / exact.size
+    val rLabel = (hits(Similarity.topKIvf(vecs, "label", 5)) & exact).size.toDouble / exact.size
+    assert(rLearned >= rLabel,
+      s"learned-cell recall $rLearned < fixture-label recall $rLabel")
+  }
+
+  test("kmeans updateMeansFast ≈ strict-fold means (scale path, same model)") {
+    import graft.operators.Clustering
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Clustering.kmeans(vecs, 8, 1)
+    val asg = Clustering.assign(vecs, cents)
+    val fast = Clustering.updateMeansFast(asg, vecs)
+      .as[(Long, Seq[Float])].collect().toMap
+    // strict means = one more kmeans round from the same centroids; compare
+    // via a second training round's centroids (empty cells keep previous,
+    // so only compare cells present in the fast update)
+    val strict = Clustering.kmeans(vecs, 8, 2).as[(Long, Seq[Float])].collect().toMap
+    assert(fast.keySet.subsetOf(strict.keySet))
+    fast.foreach { case (cid, v) =>
+      v.zip(strict(cid)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-4f, s"cell $cid: fast $a vs strict $b") }
+    }
+  }
+
   test("deterministic sampling: monotone nesting, stratified rates, stable across runs") {
     import graft.operators.Sampling
     val rows = (0L until 1000L).map(i => (i, if (i % 3 == 0) "en" else "de"))
