@@ -17,7 +17,7 @@ object Bench {
     "emb4_kmeans", "sim4_learned_ivf",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
     "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
-    "dp1_curation_pipeline",
+    "dp1_curation_pipeline", "dp2_curation_twophase",
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window",
     "t6_asof_join",
     "m1_multimodal_meta")

@@ -75,6 +75,10 @@ object Cli {
         ))(spark, d)
       case Seq("curate") =>
         DataCatalog.dp1.build(spark, d)
+      // the at-scale two-phase split: pairs + survivors land in the
+      // checkpoint store first, clustering runs as its own job over them
+      case Seq("curate", "--checkpoint-dir", dir) =>
+        graft.pipeline.Curation.run(spark, d, dir)
       case Seq("contamination") =>
         DataCatalog.c1.build(spark, d)
       case other =>

@@ -207,6 +207,31 @@ object NearDup {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components over the EDGE SUBGRAPH only: propagation
+    * iterates over just the nodes that appear in `pairs` (the ~% of a
+    * deduped corpus with any near-dup edge), and every other doc is its
+    * own cluster via a single left join + coalesce at the end — rounds
+    * touch |dup nodes|, not |corpus|.
+    *
+    * This is the shape the fused-plan experiment (the measured dead-end
+    * documented on [[dedupClusters]]) could NOT reach: restricting the
+    * subgraph inside one lazy plan recomputed the whole LSH pipeline
+    * per round. It becomes the RIGHT shape exactly when `pairs` is a
+    * materialized table (the two-phase curation runner,
+    * graft.pipeline.Curation): the subgraph then derives from a cheap
+    * parquet scan, each round's plan is three nodes deep, and the
+    * final corpus-wide join is one broadcast (dup nodes are small). */
+  def dedupClustersSparse(docs: DataFrame, id: Column, pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val nodes = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val sub = dedupClusters(nodes, col("doc_id"), pairs, maxIters)
+      .withColumnRenamed("cluster_id", "sub_cluster")
+    docs.select(id.as("doc_id")).join(sub, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sub_cluster"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard within blocking keys via exploded-shingle
     * co-group counting: intersections come from a self-join on
     * (shingle, block) followed by a pair-count aggregate, so the bytes

@@ -715,6 +715,35 @@ object DataCatalog {
   // Scale: stages are the d1/d2/d6/tx2/smp1 shapes — nothing quadratic,
   // sampling and quality are maps, and the cluster pass touches only
   // near-dup candidates.
+  /** dp1's oracle — shared verbatim by dp2 (the two-phase runner): both
+    * engines' pipelines are different EXECUTIONS of the same function of
+    * the corpus, so one SQL twin verifies both. */
+  private val Dp1OracleSql: String =
+    "WITH RECURSIVE " +
+      "d1 AS (SELECT doc_id, text, lang FROM (SELECT doc_id, text, lang, " +
+      "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) " +
+      "WHERE rn = 1), " +
+      MinhashPairsBody.replace("FROM documents", "FROM d1") + ", " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT doc_id, doc_id FROM d1 " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src), " +
+      "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "surv AS (SELECT d.* FROM d1 d JOIN cl ON cl.doc_id = d.doc_id AND cl.cluster_id = d.doc_id), " +
+      "qt AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM surv), " +
+      "qm AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, " +
+      "n_chars::DOUBLE / len(tk) AS avg_word_len, " +
+      "len(list_filter(tk, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(tk) AS stopword_ratio " +
+      "FROM qt), " +
+      "qs AS (SELECT doc_id, n_words, " +
+      "least(1.0, n_words::DOUBLE / 50) * 0.5 + least(1.0, stopword_ratio * 5) * 0.3 + " +
+      "(CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END) AS quality_score FROM qm) " +
+      "SELECT s.doc_id, s.lang, q.n_words, q.quality_score " +
+      "FROM surv s JOIN qs q ON q.doc_id = s.doc_id " +
+      "WHERE s.lang IN ('en', 'de', 'fr') AND q.quality_score >= 0.6 AND q.n_words >= 20 " +
+      "AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 800" + OBA
+
   val dp1 = Q(
     (s, d) => {
       val docs = documents(s, d)
@@ -738,30 +767,22 @@ object DataCatalog {
       ordered(Sampling.bernoulli(filtered, col("doc_id"), 800)
         .select(col("doc_id"), col("lang"), col("n_words"), col("quality_score")))
     },
-    Some("WITH RECURSIVE " +
-      "d1 AS (SELECT doc_id, text, lang FROM (SELECT doc_id, text, lang, " +
-      "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) " +
-      "WHERE rn = 1), " +
-      MinhashPairsBody.replace("FROM documents", "FROM d1") + ", " +
-      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
-      "UNION ALL SELECT id_b, id_a FROM pairs), " +
-      "reach(a, b) AS (SELECT doc_id, doc_id FROM d1 " +
-      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src), " +
-      "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
-      "surv AS (SELECT d.* FROM d1 d JOIN cl ON cl.doc_id = d.doc_id AND cl.cluster_id = d.doc_id), " +
-      "qt AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
-      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM surv), " +
-      "qm AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, " +
-      "n_chars::DOUBLE / len(tk) AS avg_word_len, " +
-      "len(list_filter(tk, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(tk) AS stopword_ratio " +
-      "FROM qt), " +
-      "qs AS (SELECT doc_id, n_words, " +
-      "least(1.0, n_words::DOUBLE / 50) * 0.5 + least(1.0, stopword_ratio * 5) * 0.3 + " +
-      "(CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END) AS quality_score FROM qm) " +
-      "SELECT s.doc_id, s.lang, q.n_words, q.quality_score " +
-      "FROM surv s JOIN qs q ON q.doc_id = s.doc_id " +
-      "WHERE s.lang IN ('en', 'de', 'fr') AND q.quality_score >= 0.6 AND q.n_words >= 20 " +
-      "AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 800" + OBA))
+    Some(Dp1OracleSql))
+
+  // DP2 — the same curated corpus via the TWO-PHASE runner
+  // (pipeline.Curation): phase 1 materializes survivors + verified
+  // pairs through the TableStore's write-then-swap, phase 2 runs
+  // subgraph clustering + gate + sample over the committed tables.
+  // Output ≡ dp1 (same oracle SQL, and PipelineSpec asserts fused ≡
+  // two-phase row-for-row); what's verified HERE is that the split —
+  // the shape that holds at 100 TB — computes the identical corpus.
+  val dp2 = Q(
+    (s, d) => {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_curation_").toString
+      ordered(graft.pipeline.Curation.run(s, d, ckpt))
+    },
+    Some(Dp1OracleSql))
 
   // EMB3 nearest-centroid assignment — the k-means assignment step (and
   // the building block for training a real IVF coarse quantizer):
@@ -930,5 +951,6 @@ object DataCatalog {
     "emb2_l2_normalize" -> emb2, "bf1_bloom_semijoin" -> bf1,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,
     "w5_grouped_topk" -> w5, "c1_contamination" -> c1,
-    "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1)
+    "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1,
+    "dp2_curation_twophase" -> dp2)
 }

@@ -38,9 +38,27 @@ final case class ParquetStore(dir: String) extends TableStore {
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
   override def table(spark: SparkSession, name: String): DataFrame = {
-    val v = versions.get(name)
-    if (v == null) spark.read.parquet(s"$dir/$name.parquet")
-    else spark.read.parquet(s"$dir/$name/v$v")
+    val v = Option(versions.get(name)).map(_.intValue())
+      .orElse(committedVersion(name))
+    v match {
+      case Some(ver) => spark.read.parquet(s"$dir/$name/v$ver")
+      case None      => spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Restart recovery: the highest on-disk version that finished its
+    * write action — judged by Spark's _SUCCESS commit marker, so a
+    * version claimed by a writer that crashed mid-write is never read.
+    * This is what lets a phase-2 job (or a fresh driver) pick up tables
+    * a previous process committed. */
+  private def committedVersion(name: String): Option[Int] = {
+    val d = new java.io.File(s"$dir/$name")
+    if (!d.isDirectory) None
+    else Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .flatMap(_.getName.drop(1).toIntOption)
+      .maxOption
   }
 
   override def writeSwap(spark: SparkSession, name: String, df: DataFrame): DataFrame = {

@@ -46,6 +46,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(file.statsMap("customers").deleted == mem.statsMap("customers").deleted)
   }
 
+  test("two-phase curation ≡ fused dp1, via the Cli verb, with committed artifacts") {
+    val ckpt = java.nio.file.Files.createTempDirectory("curation_ckpt").toString
+    val fused = graft.queries.Catalog.ordered(
+      graft.queries.DataCatalog.dp1.build(spark, sf)).collect().toSeq
+    CacheScope.releaseAll()
+    val twoPhase = graft.queries.Catalog.ordered(
+      Cli.resolve(spark, sf, Seq("curate", "--checkpoint-dir", ckpt))).collect().toSeq
+    CacheScope.releaseAll()
+    assert(twoPhase == fused)
+    // the expensive artifacts are committed tables a restart can reuse
+    val store = graft.sources.ParquetStore(ckpt)
+    assert(store.table(spark, graft.pipeline.Curation.PairsTable).count() > 0)
+    assert(store.table(spark, graft.pipeline.Curation.SurvivorsTable).count() > 0)
+  }
+
+  test("dedupClustersSparse ≡ dense dedupClusters (singletons via coalesce)") {
+    import graft.operators.NearDup
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val dense = NearDup.dedupClusters(nodes, col("doc_id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    val sparse = NearDup.dedupClustersSparse(nodes, col("doc_id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(sparse == dense)
+    assert(sparse(4L) == 4L && sparse(7L) == 7L) // singletons self-label
+  }
+
   test("streaming windowed agg (availableNow) matches batch twin") {
     import graft.sources.Tables
     // stream sources need a directory; stage the single parquet file
