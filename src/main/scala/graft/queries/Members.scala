@@ -330,16 +330,17 @@ object Members {
       else
         col("join_dt").isNotNull && col("join_dt") <= asOfD &&
           (col("leave_dt").isNull || col("leave_dt") >= asOfD)
-    val acpAll = p
-      .join(pc, col("paragraph_id") === pc("entity_id")).drop("entity_id")
-      .join(fjd, col("paragraph_id") === fjd("entity_id"), "left").drop("entity_id")
-      .join(fld, col("paragraph_id") === fld("entity_id"), "left").drop("entity_id")
-      .filter(dateOk)
-
     // Scope: club branch UNION ALL region-expansion branch, exactly the
     // reference's parameterized IN-subquery (NULL param → empty branch).
-    val acp = scope match {
-      case None => acpAll
+    // The semi-join is applied to the CLUB ATTRIBUTE TABLE, before any
+    // paragraph join — club_target is functionally pc's column, so
+    // pruning pc prunes the same acp rows, but ~96% of paragraphs (one
+    // club of ~25) now drop before the 4-way assembly and the three
+    // flag joins instead of after. Catalyst does not push a left_semi
+    // below this join tree on its own (verified on the optimized plan),
+    // so the pushdown is done at authoring level.
+    val pcScoped = scope match {
+      case None => pc
       case Some((clubNid, regionNid)) =>
         val clubLit = clubNid.map(v => lit(v)).getOrElse(lit(null)).cast("long")
         val regionLit = regionNid.map(v => lit(v)).getOrElse(lit(null)).cast("long")
@@ -349,8 +350,13 @@ object Members {
           .filter(col("deleted") === "0" && col("region_target") === regionLit)
           .select(col("entity_id").as("club_nid"))
         val scopeDf = one.unionByName(regionClubs)
-        acpAll.join(broadcast(scopeDf), col("club_target") === col("club_nid"), "left_semi")
+        pc.join(broadcast(scopeDf), col("club_target") === col("club_nid"), "left_semi")
     }
+    val acp = p
+      .join(pcScoped, col("paragraph_id") === pcScoped("entity_id")).drop("entity_id")
+      .join(fjd, col("paragraph_id") === fjd("entity_id"), "left").drop("entity_id")
+      .join(fld, col("paragraph_id") === fld("entity_id"), "left").drop("entity_id")
+      .filter(dateOk)
 
     // ---- flags: per-user membership-kind rollup (A2) ----
     val uhc = userHomeClub(s, d).filter(col("deleted") === "0")
