@@ -10,10 +10,24 @@ import org.apache.spark.sql.DataFrame
   * Operators that persist multi-consumer subtrees (the MinHash
   * signatures, the SimHash bands, the curation pipeline's dedup
   * checkpoint) register through [[persist]]; pipeline drivers
-  * (Verify / Bench / Cli — anything that runs a query to completion)
-  * call [[releaseAll]] once the action finishes. Each persist remains
+  * (Verify / Bench / Cli / SyncPipeline / MailSyncPipeline /
+  * MultiJobSync — anything that runs a query to completion) call
+  * [[releaseAll]] once the action finishes. Each persist remains
   * individually justified while the query runs; this is the
   * unpersist-at-pipeline-end half of the contract.
+  *
+  * Concurrency contract: the registry is process-global, so
+  * [[releaseAll]] must only run at a point where NO query is still
+  * building or executing — one driver thread sequencing queries
+  * (Verify/Bench/Cli), or a fan-out driver calling it strictly after
+  * joining its workers (MultiJobSync releases after the pool drains,
+  * never per-job). Calling it mid-build from another thread would
+  * unpersist a live intermediate: results stay correct (Spark
+  * recomputes from lineage) but the barrier the persist paid for is
+  * lost. A long-lived server interleaving independent queries on many
+  * threads needs per-scope tokens instead of this global registry —
+  * deliberately out of scope for the current drivers, all of which
+  * sequence.
   */
 object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
@@ -25,8 +39,8 @@ object CacheScope {
     df
   }
 
-  /** Unpersist every tracked intermediate (idempotent; safe while other
-    * queries build — they re-persist on registration). Non-blocking:
+  /** Unpersist every tracked intermediate. Idempotent; must run only at
+    * a quiesced point (see the concurrency contract above). Non-blocking:
     * the RDDs leave the session's persistent-RDD map immediately, block
     * cleanup proceeds asynchronously. */
   def releaseAll(): Unit = {

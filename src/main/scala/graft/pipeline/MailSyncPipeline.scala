@@ -129,6 +129,9 @@ object MailSyncPipeline {
     val deleted = sink.retain(spark, rows.select("id")) // S12: keep set stays a DataFrame
     val tagOps = sink.updateTags(tagUpdates(rows))    // S13
     rows.unpersist()
+    // driver contract (CacheScope): release operator-internal persists
+    // registered by any stage feeding audienceRows
+    graft.CacheScope.releaseAll()
     JobStats(upserted, deleted, tagOps)
   }
 }

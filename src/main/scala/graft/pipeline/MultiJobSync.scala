@@ -136,6 +136,10 @@ object MultiJobSync {
       concurrency: Int = 20): Map[Long, JobResult] = {
     val results = syncMany(spark, dir, JobStore.fromDf(jobsDf), concurrency)
     results.toSeq.sortBy(_._1).foreach { case (_, r) => println(r.statsJson) }
+    // driver contract (CacheScope): all jobs have completed (syncMany
+    // joins the pool), so release AFTER the last concurrent job — not
+    // per-job, which could unpersist a sibling's live intermediate
+    graft.CacheScope.releaseAll()
     results
   }
 }

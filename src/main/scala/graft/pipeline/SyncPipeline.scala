@@ -104,6 +104,10 @@ object SyncPipeline {
     val keep = cust.filter(col("nation") < 20)
     p.gc("customers", keep, Seq("id"))
     p.gc("orders", p.table("customers").select(col("id").as("cust_id")), Seq("cust_id"))
+    // driver contract (CacheScope): every load/gc action above has run,
+    // so operator-internal persists (e.g. a curation stage composed into
+    // a load) are released before the pipeline hands back
+    graft.CacheScope.releaseAll()
     p
   }
 }

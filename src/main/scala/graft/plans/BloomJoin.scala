@@ -35,12 +35,14 @@ object BloomJoin {
     * the build ONE job. Without it, the NDV comes from a single
     * `approx_count_distinct` aggregation (one lightweight HLL sketch per
     * partition — no distinct-row shuffle, unlike the old
-    * `distinct().count()` double pass), padded 10% for the sketch's ~2%
-    * error so the realized fpp never exceeds the requested one by much. */
+    * `distinct().count()` double pass) run at rsd=0.02 (Spark's default
+    * 0.05 would make the 10% pad only ~2σ); 2% error + 10% pad is ~5σ,
+    * so an undersized filter — realized fpp above the requested one —
+    * is vanishingly unlikely. */
   def buildFilter(build: DataFrame, buildKey: Column, fpp: Double,
       expectedItems: Option[Long] = None): BloomFilter = {
     val n = expectedItems.getOrElse(
-      (build.select(approx_count_distinct(buildKey)).head().getLong(0) * 11L) / 10L)
+      (build.select(approx_count_distinct(buildKey, rsd = 0.02)).head().getLong(0) * 11L) / 10L)
     build.stat.bloomFilter(buildKey, math.max(1L, n), fpp)
   }
 

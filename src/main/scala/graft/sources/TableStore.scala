@@ -79,7 +79,13 @@ final case class ParquetStore(dir: String) extends TableStore {
 /** JDBC-backed store, options-driven: reads are partitioned
   * `spark.read.format("jdbc")` scans (predicate pushdown rides the
   * JDBC source), writes land in a staging table and swap in via an
-  * atomic rename on the database side. The transport boundary is
+  * atomic rename on the database side.
+  *
+  * RESERVED NAMES: for a live table `t`, the swap protocol owns
+  * `t__staging` (both dialects) and `t__old` (MySQL — dropped before
+  * and after the RENAME; a crash between RENAME and the final DROP
+  * leaves `t__old` residue that the next publish clears). Genuine
+  * application tables must not use the `__staging`/`__old` suffixes. The transport boundary is
   * injectable (the AudienceSink pattern) so the option plumbing and
   * swap protocol are unit-testable without a live database; the default
   * transport is the real Spark JDBC source.

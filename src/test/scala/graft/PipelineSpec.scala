@@ -61,6 +61,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.table(spark, graft.pipeline.Curation.SurvivorsTable).count() > 0)
   }
 
+  test("SyncPipeline releases operator-internal caches (CacheScope driver contract)") {
+    import graft.operators.NearDup
+    val sc = spark.sparkContext
+    CacheScope.releaseAll() // clean slate
+    val before = sc.getPersistentRDDs.keySet
+    // a curation stage composed into a pipeline run registers persists…
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5).count() >= 0)
+    val operatorCaches = sc.getPersistentRDDs.keySet -- before
+    assert(operatorCaches.nonEmpty,
+      "expected a live operator cache before the pipeline driver finished")
+    // …and the pipeline driver's end-of-run release cleans exactly those
+    // up (the pipeline's own store tables are its to keep — only
+    // CacheScope-registered operator intermediates must not outlive it)
+    SyncPipeline.runDemo(spark, sf)
+    val leaked = sc.getPersistentRDDs.keySet & operatorCaches
+    assert(leaked.isEmpty, s"operator caches leaked past SyncPipeline end: $leaked")
+  }
+
   test("dedupClustersSparse ≡ dense dedupClusters (singletons via coalesce)") {
     import graft.operators.NearDup
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")

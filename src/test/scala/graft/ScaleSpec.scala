@@ -194,12 +194,21 @@ class ScaleSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      // the listener bus is async: poll until the count stops moving
+      // the listener bus is async: poll until the count survives two
+      // consecutive 200ms windows unchanged (one delivery-gap window
+      // alone undercounts), bounded at 10s so a never-idle bus fails
+      // the test instead of hanging it
       def drain(): Int = {
-        var prev = -1
-        var cur = jobs.get()
-        while (cur != prev) { Thread.sleep(200); prev = cur; cur = jobs.get() }
-        cur
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var stable = 0
+        var prev = jobs.get()
+        while (stable < 2 && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          val cur = jobs.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        assert(stable >= 2, "listener bus never quiesced within 10s")
+        prev
       }
       def countJobs(body: => Unit): Int = {
         drain(); jobs.set(0); body; drain()
