@@ -23,6 +23,7 @@ object Bench {
     "sim1_cosine_topk", "sim2_ivf_ann", "sim3_multiprobe_ann",
     "emb4_kmeans", "sim4_learned_ivf",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
+    "tx9_seq_packing", "out1_shard_manifest",
     "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
     "dp1_curation_pipeline", "dp2_curation_twophase",
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window",

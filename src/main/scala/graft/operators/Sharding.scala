@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus shard writer (out1) — the step between "curated
+  * corpus" and "training job". A training run wants the corpus as a fixed
+  * number of shards whose membership and order do not depend on Spark's
+  * partition layout, task scheduling, or retries, so that re-running the
+  * export (or re-reading shard 17 of 1024) always yields the same bytes.
+  *
+  * Shard assignment is a pure map — `md5(key) mod numShards` — the same
+  * content-stable convention as [[Sampling.bucket]], so it is reproducible
+  * across runs AND across engines (the DuckDB oracle reproduces the
+  * manifest bit-for-bit). No sampling-based range partitioner: Spark's
+  * `repartitionByRange` draws reservoir samples whose boundaries shift
+  * with the input split layout, which would make shard membership
+  * layout-dependent — exactly what a training-data export can't have.
+  *
+  * The per-shard manifest (row count + order-independent content hash)
+  * is the cheap integrity check a 100 TB export needs: a re-run, a
+  * different cluster, or the DuckDB oracle can re-derive it and diff
+  * without reading shard bytes side by side.
+  */
+object Sharding {
+
+  /** Modulus for row/content hashes: a prime < 2³¹, so per-shard sums of
+    * row hashes stay far from Long overflow (up to ~2³² rows per shard)
+    * and DuckDB's HUGEINT sum agrees after one final mod. */
+  val HashMod = 1000000007L
+
+  /** Content-stable shard id in [0, numShards): 60-bit md5 prefix of the
+    * key, mod shard count — the engine-portable twin of DuckDB's
+    * `('0x' || substr(md5(k), 1, 15))::BIGINT % n`. */
+  def shardId(key: Column, numShards: Int): Column = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"), lit(numShards))
+  }
+
+  /** Per-row content hash < [[HashMod]] over `key:content`. NULL content
+    * propagates to a NULL hash (skipped by the shard sum) in both engines. */
+  private def rowHash(key: Column, content: Column): Column =
+    pmod(conv(substring(md5(concat(key.cast("string"), lit(":"), content.cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(HashMod))
+
+  private def assigned(df: DataFrame, key: Column, content: Column, numShards: Int): DataFrame =
+    df.withColumn("shard_id", shardId(key, numShards))
+      .withColumn("row_hash", rowHash(key, content))
+
+  /** Shard manifest: `(shard_id, n_rows, content_hash)` where the hash is
+    * the mod-sum of row hashes — commutative, so it is independent of row
+    * order and partitioning. One hash shuffle on shard_id (map-side
+    * partial aggregation does most of the work); shards that receive no
+    * rows are absent, as in the oracle. */
+  def manifest(df: DataFrame, key: Column, content: Column, numShards: Int): DataFrame =
+    assigned(df, key, content, numShards)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(col("row_hash")), lit(HashMod)).as("content_hash"))
+
+  /** Write `df` as `numShards` deterministic parquet shards under
+    * `path/data/shard_id=K/` plus a `MANIFEST.json` (one line per shard,
+    * ascending shard_id). Each shard value hashes to exactly one task of
+    * the `repartition(numShards, shard_id)` exchange, so every shard
+    * directory holds ONE file, sorted by key — two runs produce
+    * byte-identical manifests and shard contents regardless of input
+    * partitioning. Returns the manifest.
+    *
+    * The manifest itself is O(numShards) rows — the driver-side JSON
+    * write is the output contract (same stance as JsonOut), not a data
+    * collect. */
+  def write(df: DataFrame, key: Column, content: Column, numShards: Int, path: String): DataFrame = {
+    val a = assigned(df, key, content, numShards)
+    a.repartition(numShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), key)
+      .drop("row_hash")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(s"$path/data")
+
+    val m = manifest(df, key, content, numShards).orderBy("shard_id")
+    val lines = m.collect().map { r =>
+      s"""{"shard_id":${r.getLong(0)},"n_rows":${r.getLong(1)},"content_hash":${r.getLong(2)}}"""
+    }
+    val manifestPath = new Path(path, "MANIFEST.json")
+    val fs = FileSystem.get(manifestPath.toUri, df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(manifestPath, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    m
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Clustering, Contamination, NearDup, Sampling, Similarity, TextOps}
+import graft.operators.{Clustering, Contamination, NearDup, Packing, Sampling, Sharding, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -928,6 +928,38 @@ object DataCatalog {
       "SELECT doc_id, lang, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket " +
       "FROM documents ORDER BY bucket, doc_id LIMIT 50)" + OBA))
 
+  // OUT1 — deterministic corpus shard manifest: content-stable
+  // `md5(doc_id) mod 8` shard assignment plus an order-independent
+  // per-shard content hash (mod-sum of row hashes). The manifest IS the
+  // contract of the shard writer (Sharding.write emits it next to the
+  // parquet shards): a re-run, another cluster, or the oracle re-derives
+  // it bit-for-bit, so export integrity is checkable without comparing
+  // shard bytes. One hash shuffle, map-side partials.
+  val out1 = Q(
+    (s, d) => ordered(Sharding.manifest(documents(s, d), col("doc_id"), col("text"), 8)),
+    Some("SELECT shard_id, count(*) AS n_rows, " +
+      "CAST(sum(row_hash) % 1000000007 AS BIGINT) AS content_hash FROM " +
+      "(SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard_id, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 1000000007 AS row_hash " +
+      "FROM documents) GROUP BY shard_id" + OBA))
+
+  // TX9 — token-budget sequence packing: docs in id order, pack =
+  // floor(exclusive running token sum / 2048) — the batch-prep step
+  // between a curated corpus and example concatenation. Spark side is
+  // the two-level distributed prefix sum (Packing.pack: bucket totals →
+  // tiny offsets window → per-bucket running sum); the oracle is the
+  // single running-sum CTE both decompositions equal.
+  val tx9 = Q(
+    (s, d) => ordered(Packing.pack(documents(s, d), col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))),
+      2048)),
+    Some("WITH t AS (SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens " +
+      "FROM documents), " +
+      "s AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (" +
+      "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t) " +
+      "SELECT doc_id, n_tokens, prev // 2048 AS pack_id FROM s" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -952,5 +984,6 @@ object DataCatalog {
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,
     "w5_grouped_topk" -> w5, "c1_contamination" -> c1,
     "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1,
-    "dp2_curation_twophase" -> dp2)
+    "dp2_curation_twophase" -> dp2,
+    "out1_shard_manifest" -> out1, "tx9_seq_packing" -> tx9)
 }

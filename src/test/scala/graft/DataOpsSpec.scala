@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Multimodal, NearDup, Similarity, TextOps}
+import graft.operators.{Multimodal, NearDup, Packing, Sharding, Similarity, TextOps}
 
 class DataOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -332,6 +332,69 @@ class DataOpsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"fixed-size sample should be a partial top-K, got:\n${plan.take(500)}")
+  }
+
+  test("packing: two-level prefix sum equals the naive global running sum") {
+    val rows = spark.range(0, 500)
+      .select(col("id").as("doc_id"), (pmod(col("id") * 37 + 11, lit(90)) + 1).as("toks"))
+    val got = Packing.pack(rows, col("doc_id"), col("toks"), budget = 256, buckets = 7)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // naive oracle on the driver: exclusive prefix sum / budget
+    val toks = rows.orderBy("doc_id").as[(Long, Long)].collect()
+    var run = 0L
+    val want = toks.map { case (id, t) => val p = run / 256; run += t; (id, t, p) }
+    assert(got.toSeq == want.toSeq)
+    // bucket count must not affect the result (order-preserving decomposition)
+    val one = Packing.pack(rows, col("doc_id"), col("toks"), budget = 256, buckets = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(one.toSeq == got.toSeq)
+  }
+
+  test("packing: packs are consecutive-id runs and only the last doc straddles") {
+    val rows = spark.range(0, 300)
+      .select(col("id").as("doc_id"), (pmod(col("id") * 13 + 5, lit(40)) + 1).as("toks"))
+    val got = Packing.pack(rows, col("doc_id"), col("toks"), budget = 100, buckets = 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq) // nondecreasing in id order
+    got.groupBy(_._3).foreach { case (_, ds) =>
+      // pack total without its last (straddling) doc stays under budget
+      assert(ds.map(_._2).sum - ds.last._2 < 100)
+    }
+  }
+
+  test("sharding: manifest counts + hashes are partition-layout independent") {
+    val df = docs
+    val m1 = Sharding.manifest(df, col("doc_id"), col("text"), 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val m2 = Sharding.manifest(df.repartition(7), col("doc_id"), col("text"), 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(m1.toSeq == m2.toSeq)
+    assert(m1.map(_._2).sum == df.count())
+    m1.foreach { case (sid, _, h) =>
+      assert(sid >= 0 && sid < 4); assert(h >= 0 && h < Sharding.HashMod)
+    }
+  }
+
+  test("sharding: two write runs produce byte-identical manifests and one sorted file per shard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    val big = spark.range(0, 1000)
+      .select(col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
+    Sharding.write(big, col("doc_id"), col("text"), 8, s"$dir/run1")
+    Sharding.write(big.repartition(13), col("doc_id"), col("text"), 8, s"$dir/run2")
+    val b1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/run1/MANIFEST.json"))
+    val b2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/run2/MANIFEST.json"))
+    assert(java.util.Arrays.equals(b1, b2), "manifests must be byte-identical across runs")
+    // exactly one parquet file per shard directory, content sorted by key
+    (0 until 8).foreach { sid =>
+      val files = new java.io.File(s"$dir/run1/data/shard_id=$sid")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $sid should be exactly one file")
+      val ids = spark.read.parquet(files.head.getPath).select("doc_id").as[Long].collect()
+      assert(ids.toSeq == ids.sorted.toSeq, s"shard $sid not sorted by key")
+    }
+    // shard contents round-trip: union of shards == input
+    val back = spark.read.parquet(s"$dir/run1/data").select("doc_id").as[Long].collect()
+    assert(back.sorted.toSeq == (0L until 1000L).toSeq)
   }
 
   test("multimodal resize: aspect-preserving fit, never upscales") {
