@@ -81,6 +81,17 @@ object Cli {
         graft.pipeline.Curation.run(spark, d, dir)
       case Seq("contamination") =>
         DataCatalog.c1.build(spark, d)
+      // deterministic shard export of the curated corpus (out1) and the
+      // one-pass integrity check of a previous export (out2); both print
+      // the manifest/diff rows as the JSON result
+      case Seq("export", "--shards", n, "--out", dir) =>
+        graft.operators.Sharding.write(graft.sources.Tables.documents(spark, d),
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"), n.toInt, dir)
+      case Seq("export", "--verify", dir, "--shards", n) =>
+        graft.operators.Sharding.verify(spark, dir,
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"), n.toInt)
       case other =>
         throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}")
     }

@@ -77,6 +77,38 @@ object TextOps {
     df.select(id.as("doc_id"), first.as("lang_pred"))
   }
 
+  /** Context-length chunking (tx10): split each document into fixed
+    * token-count windows with overlap — the step that turns variable-
+    * length curated docs into model-context-sized pieces. Chunk starts
+    * step by `chunkTokens - overlap`; the last chunk is short rather
+    * than dropped (training pipelines pad it), and every chunk retains
+    * provenance (`doc_id`, `chunk_id`).
+    *
+    * Pure map + explode: per-row fan-out is ceil(n/step), no shuffle,
+    * no state — at 100 TB this runs at scan speed and the output stays
+    * partition-local for a downstream [[Packing.pack]] or
+    * [[Sharding.write]]. Whitespace tokens ([[F.tokens]]), rejoined
+    * with single spaces. */
+  def chunk(df: DataFrame, id: Column, text: Column,
+      chunkTokens: Int = 128, overlap: Int = 16): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val step = chunkTokens - overlap
+    val toks = F.tokens(text)
+    val n = size(toks)
+    // sequence() throws on start > stop; empty docs yield no chunks
+    val starts = when(n > 0, sequence(lit(0), n - 1, lit(step)))
+      .otherwise(array().cast("array<int>"))
+    df.select(id.as("doc_id"), toks.as("tk"), explode(starts).as("start"))
+      .select(col("doc_id"),
+        (col("start") / step).cast("long").as("chunk_id"),
+        slice(col("tk"), col("start") + 1, lit(chunkTokens)).as("ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_tokens"),
+        array_join(col("ck"), " ").as("chunk_text"))
+  }
+
   /** Document fingerprint: position-weighted polynomial hash of tokens,
     * portable to the DuckDB oracle (sum over tokens of
     * (portableHash60(tok) mod 1000003) * position, as a long). Native

@@ -960,6 +960,21 @@ object DataCatalog {
       "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t) " +
       "SELECT doc_id, n_tokens, prev // 2048 AS pack_id FROM s" + OBA))
 
+  // TX10 — context-length chunking: fixed 128-token windows, 16-token
+  // overlap (step 112), last chunk short, provenance kept. A pure
+  // map+explode — the step between curated docs and context-sized
+  // training pieces; composes with tx9 (pack the chunks) and out1
+  // (shard them). DuckDB's list_slice(begin, end) is inclusive, so
+  // end = i + 128 pairs with Spark's slice(start = i+1, length = 128).
+  val tx10 = Q(
+    (s, d) => ordered(TextOps.chunk(documents(s, d), col("doc_id"), col("text"), 128, 16)),
+    Some("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, i AS start, list_slice(tk, i + 1, i + 128) AS ck " +
+      "FROM t, unnest(range(0, len(tk), 112)) u(i)) " +
+      "SELECT doc_id, start // 112 AS chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens, " +
+      "array_to_string(ck, ' ') AS chunk_text FROM c" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -985,5 +1000,6 @@ object DataCatalog {
     "w5_grouped_topk" -> w5, "c1_contamination" -> c1,
     "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1,
     "dp2_curation_twophase" -> dp2,
-    "out1_shard_manifest" -> out1, "tx9_seq_packing" -> tx9)
+    "out1_shard_manifest" -> out1, "tx9_seq_packing" -> tx9,
+    "tx10_chunking" -> tx10)
 }

@@ -26,6 +26,16 @@ class CliSpec extends AnyFunSuite {
     Seq("curate"), Seq("contamination"),
     Seq("query", "smp1_hash_sample"), Seq("query", "tx7_normalize"))
 
+  test("export verb writes shards then verifies its own manifest clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_export_").toString
+    val m = Cli.resolve(spark, d, Seq("export", "--shards", "4", "--out", dir))
+    assert(m.count() > 0)
+    assert(new java.io.File(s"$dir/MANIFEST.json").exists())
+    import org.apache.spark.sql.functions.col
+    val v = Cli.resolve(spark, d, Seq("export", "--verify", dir, "--shards", "4"))
+    assert(v.filter(col("status") =!= "ok").count() == 0)
+  }
+
   test("every CLI verb resolves and runs") {
     commands.foreach { cmd =>
       val df = Cli.resolve(spark, d, cmd)

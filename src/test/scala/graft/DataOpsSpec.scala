@@ -397,6 +397,41 @@ class DataOpsSpec extends AnyFunSuite {
     assert(back.sorted.toSeq == (0L until 1000L).toSeq)
   }
 
+  test("chunking: overlapped windows cover every token, short tail kept, provenance intact") {
+    val text = (1 to 300).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val got = TextOps.chunk(df, col("doc_id"), col("text"), chunkTokens = 128, overlap = 16)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    // starts at 0, 112, 224 → 3 chunks; last one is short (300-224=76)
+    assert(got.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(got.map(_._3).toSeq == Seq(128L, 128L, 76L))
+    // consecutive chunks overlap by exactly 16 tokens
+    val c0 = got(0)._4.split(" "); val c1 = got(1)._4.split(" ")
+    assert(c0.takeRight(16).toSeq == c1.take(16).toSeq)
+    // every token appears in some chunk
+    assert(got.flatMap(_._4.split(" ")).toSet == text.split(" ").toSet)
+    // empty doc yields no chunks rather than throwing
+    assert(TextOps.chunk(Seq((8L, "one two")).toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .count() == 1)
+  }
+
+  test("shard verify: clean export is all ok; a rewritten shard is caught by hash, not count") {
+    import graft.operators.Sharding
+    val dir = java.nio.file.Files.createTempDirectory("graft_verify_").toString
+    val big = spark.range(0, 400)
+      .select(col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
+    Sharding.write(big, col("doc_id"), col("text"), 4, dir)
+    val ok = Sharding.verify(spark, dir, col("doc_id"), col("text"), 4)
+    assert(ok.filter(col("status") =!= "ok").count() == 0)
+    // tamper: rewrite shard 2 with same ids but altered content
+    val tampered = big.filter(Sharding.shardId(col("doc_id"), 4) === 2)
+      .withColumn("text", concat(col("text"), lit("!")))
+    tampered.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/shard_id=2")
+    val bad = Sharding.verify(spark, dir, col("doc_id"), col("text"), 4)
+      .filter(col("shard_id") === 2).select("status").as[String].collect()
+    assert(bad.toSeq == Seq("hash_mismatch"))
+  }
+
   test("multimodal resize: aspect-preserving fit, never upscales") {
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs))
     val out = Multimodal.resizeMeta(feats, 32)

@@ -165,6 +165,47 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("packing: the corpus-side window is partitioned; only the bucket-offset frame is global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.operators.Packing
+    val rows = spark.range(0, 2000)
+      .select(col("id").as("doc_id"), (pmod(col("id") * 7, lit(50)) + 1).as("toks"))
+    val packed = Packing.pack(rows, col("doc_id"), col("toks"), budget = 512, buckets = 16)
+    packed.write.format("noop").mode("overwrite").save()
+    val wins = nodes(packed).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window nodes in the packing plan")
+    // Global (unpartitioned) windows single-thread their input. Packing
+    // is allowed exactly one — the exclusive prefix over the ≤ buckets
+    // bucket totals — never one over the corpus itself.
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.size == 1,
+      s"exactly one global window (the tiny bucket-offset frame), got ${global.size}")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the per-doc running sum must be partitioned by bucket")
+    // the offsets frame joins back by broadcast — the corpus side must
+    // not shuffle for a ≤ buckets-row join
+    assert(nodes(packed).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "bucket offsets should broadcast-join back to the corpus")
+  }
+
+  test("shard manifest aggregates map-side (partial agg) and shuffles only shard_id groups") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import graft.operators.Sharding
+    import graft.sources.Tables
+    val m = Sharding.manifest(Tables.documents(spark, sf), col("doc_id"), col("text"), 8)
+    m.write.format("noop").mode("overwrite").save()
+    val aggs = nodes(m).collect { case a: HashAggregateExec => a }
+    // partial + final pair: the mod-sum is computed map-side, so only
+    // numShards partial rows per task cross the exchange — at 100 TB the
+    // shuffle for the whole manifest is KB-sized.
+    assert(aggs.exists(_.aggregateExpressions.exists(_.mode.toString == "Partial")),
+      "manifest must do map-side partial aggregation")
+    val shuffles = nodes(m).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, // shard_id agg + the ordered() output sort
+      s"manifest should shuffle once for the agg (+1 output sort), got ${shuffles.size}")
+  }
+
   test("operator-internal persists are released at pipeline end (no cache leak)") {
     import graft.queries.DataCatalog
     val sc = spark.sparkContext
