@@ -101,6 +101,55 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-set candidate pairs: batch docs sharing any (band, sig) with
+    * a corpus doc. Same high-cardinality equi-join as [[candidates]],
+    * but between two frames — no ordering constraint, since sides are
+    * disjoint sets with different roles. */
+  def candidatesAcross(batchBands: DataFrame, corpusBands: DataFrame): DataFrame =
+    batchBands.alias("a").join(corpusBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+  /** Incremental near-dedup (d8): admit only the batch documents that
+    * are neither exact nor near (Jaccard ≥ threshold) duplicates of the
+    * existing corpus, deduping the batch itself exactly first (min-id
+    * survivor). THE corpus-update primitive: a crawl snapshot lands as
+    * a batch, and only genuinely new content joins the corpus —
+    * without re-deduping the corpus against itself.
+    *
+    * Scale shape: the corpus is touched by exactly two map-side passes
+    * (content hashes; minhash signatures) and never self-joined — cost
+    * is O(|corpus| + |batch| + candidates), vs O(full d2 re-run) for
+    * re-deduping the union. All joins are hash equi-joins; the batch
+    * side of every join is the small one, so AQE broadcasts it.
+    * Output: surviving (doc_id, content_hash) — d1's contract. */
+  def incremental(corpus: DataFrame, batch: DataFrame, id: Column, text: Column,
+      threshold: Double): DataFrame = {
+    val batchDocs = batch.select(id.as("doc_id"), text.as("text"))
+    val corpusDocs = corpus.select(id.as("doc_id"), text.as("text"))
+    // exact: min-id survivor within the batch, then drop content the
+    // corpus already has
+    val survivors0 = exact(batchDocs, col("doc_id"), col("text"))
+      .join(corpusDocs.select(md5(col("text")).as("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+    val bsrc = batchDocs.join(survivors0.select("doc_id"), Seq("doc_id"), "left_semi")
+    // near: batch signatures band-join corpus signatures; verify exact
+    // Jaccard on candidates only
+    val cand = candidatesAcross(
+      bands(minhashSigs(bsrc, col("doc_id"), col("text"))),
+      bands(minhashSigs(corpusDocs, col("doc_id"), col("text"))))
+    val nearDups = cand
+      .join(shingleArrays(bsrc, col("doc_id"), col("text"))
+        .select(col("doc_id").as("id_a"), col("sh_arr").as("sa")), "id_a")
+      .join(shingleArrays(corpusDocs, col("doc_id"), col("text"))
+        .select(col("doc_id").as("id_b"), col("sh_arr").as("sb")), "id_b")
+      .filter(TextHashExprs.arrayJaccard(col("sa"), col("sb")) >= threshold)
+      .select(col("id_a").as("doc_id")).distinct()
+    survivors0.join(nearDups, Seq("doc_id"), "left_anti")
+      .select("doc_id", "content_hash")
+  }
+
   /** 64-bit SimHash per doc — a pure map (one expression per row). All
     * 64 bits carry hash entropy (two 60-bit md5-prefix token hashes —
     * TextHash.simhash64Kernel), so every 16-bit band key draws from the

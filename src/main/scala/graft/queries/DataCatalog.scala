@@ -928,6 +928,57 @@ object DataCatalog {
       "SELECT doc_id, lang, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bucket " +
       "FROM documents ORDER BY bucket, doc_id LIMIT 50)" + OBA))
 
+  /** Oracle minhash band signatures over one source CTE, name-prefixed
+    * so two document sets can coexist in a single query (d8). Twin of
+    * MinhashPairsBody's sigs pipeline. */
+  private def minhashSigsBody(src: String, p: String): String =
+    s"${p}toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      s"FROM $src), " +
+      s"${p}sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      s"FROM ${p}toks, unnest(range(1, len(tk) - 1)) u(i)), " +
+      s"${p}mins AS (SELECT doc_id, h, min(((((2*h+1)*2654435761) % 2147483647) * " +
+      "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
+      "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
+      s"FROM ${p}sh, unnest(range(0, 16)) t(h) GROUP BY doc_id, h), " +
+      s"${p}sigs AS (SELECT doc_id, h // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY h) AS sig " +
+      s"FROM ${p}mins GROUP BY doc_id, h // 4)"
+
+  // D8 — incremental near-dedup: a new batch (doc_id % 10 < 2) lands
+  // against the existing corpus (doc_id % 10 >= 2); admit only batch
+  // docs that are not exact dups (within batch or vs corpus) nor
+  // near-dups (Jaccard ≥ 0.5) of any corpus doc. The corpus-update
+  // primitive: two map passes over the corpus, no corpus self-join —
+  // O(corpus + batch + candidates) instead of re-deduping the union.
+  val d8 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      ordered(NearDup.incremental(
+        docs.filter(col("doc_id") % 10 >= 2),
+        docs.filter(col("doc_id") % 10 < 2),
+        col("doc_id"), col("text"), 0.5))
+    },
+    Some("WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2), " +
+      "batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 2), " +
+      "bex AS (SELECT doc_id, content_hash FROM (SELECT doc_id, md5(text) AS content_hash, " +
+      "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM batch) WHERE rn = 1), " +
+      "s0 AS (SELECT b.doc_id, b.content_hash FROM bex b " +
+      "WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = b.content_hash)), " +
+      "bsrc AS (SELECT t.doc_id, t.text FROM batch t JOIN s0 ON s0.doc_id = t.doc_id), " +
+      minhashSigsBody("bsrc", "b") + ", " +
+      minhashSigsBody("corpus", "c") + ", " +
+      "cand AS (SELECT DISTINCT a.doc_id AS bid, c2.doc_id AS cid FROM bsigs a " +
+      "JOIN csigs c2 ON a.band = c2.band AND a.sig = c2.sig), " +
+      "bcnt AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1), " +
+      "ccnt AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1), " +
+      "inter AS (SELECT cand.bid, cand.cid, count(*) AS i FROM cand " +
+      "JOIN bsh ON bsh.doc_id = cand.bid " +
+      "JOIN csh ON csh.doc_id = cand.cid AND csh.sh = bsh.sh GROUP BY 1, 2), " +
+      "ver AS (SELECT DISTINCT i.bid FROM inter i " +
+      "JOIN bcnt bn ON bn.doc_id = i.bid JOIN ccnt cn ON cn.doc_id = i.cid " +
+      "WHERE i.i::DOUBLE / (bn.n + cn.n - i.i) >= 0.5) " +
+      "SELECT doc_id, content_hash FROM s0 " +
+      "WHERE NOT EXISTS (SELECT 1 FROM ver WHERE ver.bid = s0.doc_id)" + OBA))
+
   // OUT1 — deterministic corpus shard manifest: content-stable
   // `md5(doc_id) mod 8` shard assignment plus an order-independent
   // per-shard content hash (mod-sum of row hashes). The manifest IS the
@@ -1001,5 +1052,5 @@ object DataCatalog {
     "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1,
     "dp2_curation_twophase" -> dp2,
     "out1_shard_manifest" -> out1, "tx9_seq_packing" -> tx9,
-    "tx10_chunking" -> tx10)
+    "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8)
 }

@@ -397,6 +397,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(back.sorted.toSeq == (0L until 1000L).toSeq)
   }
 
+  test("incremental dedup: batch admits only content new vs corpus and within-batch") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "totally original corpus content nothing like the others at all")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of corpus
+      (201L, "the quick brown fox jumps over the lazy dog again and again today"), // near dup of corpus
+      (202L, "entirely fresh new content about completely different things here"),
+      (203L, "entirely fresh new content about completely different things here"), // exact dup within batch
+      (204L, "short text")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.NearDup.incremental(
+      corpus, batch, col("doc_id"), col("text"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(202L, 204L))
+  }
+
   test("chunking: overlapped windows cover every token, short tail kept, provenance intact") {
     val text = (1 to 300).map(i => s"w$i").mkString(" ")
     val df = Seq((7L, text)).toDF("doc_id", "text")
