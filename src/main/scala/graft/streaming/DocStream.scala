@@ -39,6 +39,88 @@ object DocStream {
       .select(col("doc_id"), col("lang"), col("n_words"), col("quality_score"))
   }
 
+  /** Broadcastable corpus fingerprint for streaming admission: a bloom
+    * filter over content hashes (exact dups) and one over MinHash band
+    * signatures (near-dup candidates), both keyed by the portable 60-bit
+    * md5 hash. A few MB regardless of corpus size — the artifact a batch
+    * job publishes so ingest can gate against a 100 TB corpus without
+    * touching it. */
+  final case class CorpusFingerprint(
+      contentHashes: org.apache.spark.util.sketch.BloomFilter,
+      bandSigs: org.apache.spark.util.sketch.BloomFilter)
+
+  private def contentKey(text: org.apache.spark.sql.Column) =
+    graft.functions.F.portableHash60(md5(text), 0)
+
+  /** The 4 per-doc band-signature keys as columns (no explode — the
+    * stream side needs them row-local). Must derive identically to
+    * [[fingerprint]]'s build side: band index ':' comma-joined sigs. */
+  private def bandKeys(sigs: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    (0 until 4).map { b =>
+      graft.functions.F.portableHash60(
+        concat_ws(":", lit(b), concat_ws(",",
+          (0 until 4).map(r => element_at(sigs, b * 4 + r + 1)): _*)), 1)
+    }
+
+  /** Build the fingerprint from the existing corpus — a batch job with
+    * two bloom collects (same cost class as two broadcast builds). */
+  def fingerprint(corpus: DataFrame, fpp: Double = 0.001): CorpusFingerprint = {
+    import graft.operators.NearDup
+    import graft.plans.BloomJoin
+    val hashes = corpus.select(contentKey(col("text")).as("k"))
+    val sigs = NearDup.minhashSigs(corpus, col("doc_id"), col("text"))
+    val banded = sigs.select(explode(array(bandKeys(col("sigs")): _*)).as("k"))
+    CorpusFingerprint(
+      BloomJoin.buildFilter(hashes, col("k"), fpp),
+      BloomJoin.buildFilter(banded, col("k"), fpp))
+  }
+
+  /** Streaming corpus-admission gate — the stream twin of batch d8
+    * ([[graft.operators.NearDup.incremental]]): admit only documents
+    * that are neither exact dups of the corpus (content-hash bloom) nor
+    * near-dup CANDIDATES (any MinHash band signature present in the
+    * corpus bloom). A pure per-row map over two broadcast blooms — no
+    * state, no watermark, rerun-stable, so the same plan runs batch or
+    * streaming unchanged.
+    *
+    * Semantics vs batch d8, by construction of the approximation:
+    *  - no true exact dup is ever admitted (blooms have no false
+    *    negatives);
+    *  - band candidates are rejected WITHOUT the exact-Jaccard verify
+    *    (row-local decision), so admission is conservative: admitted ⊆
+    *    d8's admitted, with ~fpp extra over-rejection;
+    *  - intra-stream dups pass (stateless) — they belong to the
+    *    scheduled compaction (batch d8), the same split as the curation
+    *    gate's docs. */
+  def admit(docs: DataFrame, fp: CorpusFingerprint): DataFrame = {
+    import graft.plans.BloomJoin
+    val sigs = graft.plans.TextHashExprs.minhashSigs(lower(col("text")), 16, 3)
+    val bandHit = bandKeys(col("__sigs"))
+      .map(k => BloomJoin.mightContain(k, fp.bandSigs))
+      .reduce(_ || _)
+    docs
+      .withColumn("__exact", BloomJoin.mightContain(contentKey(col("text")), fp.contentHashes))
+      .withColumn("__sigs", sigs)
+      .withColumn("__near", col("__sigs").isNotNull && bandHit)
+      .filter(!col("__exact") && !col("__near"))
+      .drop("__exact", "__sigs", "__near")
+  }
+
+  /** Drive the admission gate over a parquet directory as a stream
+    * (AvailableNow) into a memory sink. */
+  def runAdmitAvailableNow(spark: SparkSession, docsDir: String,
+      fp: CorpusFingerprint, outName: String): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(docsDir)
+    val q = admit(src, fp).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Drive the gate over a parquet directory as a stream (AvailableNow)
     * into a memory sink. */
   def runCurateAvailableNow(spark: SparkSession, docsDir: String,

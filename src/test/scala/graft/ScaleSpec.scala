@@ -291,6 +291,42 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("streaming admission gate: conservative subset of batch d8, no exact dup admitted") {
+    import graft.streaming.DocStream
+    import graft.operators.NearDup
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 >= 2)
+    val batch = docs.filter(col("doc_id") % 10 < 2)
+    val dir = java.nio.file.Files.createTempDirectory("doc_admit")
+    batch.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/in")
+
+    val fp = DocStream.fingerprint(corpus)
+    DocStream.runAdmitAvailableNow(spark, dir.toString + "/in", fp, "admit_out")
+    val streamed = spark.table("admit_out").select("doc_id").as[Long].collect().toSet
+
+    // batch reference: d8 admits after exact + VERIFIED near dedup
+    val d8 = NearDup.incremental(corpus, batch, col("doc_id"), col("text"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // exact-dup content of the corpus must never be admitted (bloom has
+    // no false negatives)
+    val corpusHashes = corpus.select(md5(col("text"))).as[String].collect().toSet
+    val admittedHashes = batch.join(
+      spark.table("admit_out").select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(md5(col("text"))).as[String].collect().toSet
+    assert(admittedHashes.intersect(corpusHashes).isEmpty)
+    // conservative: stream admits only docs d8 admits, PLUS intra-batch
+    // dups (stateless gate doesn't dedup within the stream)
+    val intraBatchDups = batch.join(
+      NearDup.exact(batch, col("doc_id"), col("text")).select("doc_id"),
+      Seq("doc_id"), "left_anti").select("doc_id").as[Long].collect().toSet
+    assert((streamed -- intraBatchDups).subsetOf(d8), "stream must be conservative vs batch d8")
+    assert(streamed.nonEmpty)
+    // rerun-stable: second pass over the same files emits the same set
+    DocStream.runAdmitAvailableNow(spark, dir.toString + "/in", fp, "admit_out2")
+    assert(spark.table("admit_out2").select("doc_id").as[Long].collect().toSet == streamed)
+  }
+
   test("stateful streaming sessionization: closed sessions match batch twin") {
     import graft.sources.Tables
     val ev = Tables.events(spark, sf)
