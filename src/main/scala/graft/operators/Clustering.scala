@@ -113,4 +113,50 @@ object Clustering {
     * topKMultiProbe / nearDupPairs as their `cellCol`). */
   def kmeansAssign(vectors: DataFrame, k: Int, iters: Int, dim: Int = 64): DataFrame =
     assign(vectors, kmeans(vectors, k, iters, dim))
+
+  /** Product-quantization codebook (emb5): an independent deterministic
+    * spherical k-means per `m`-way subspace split of the embedding.
+    * Returns (sub, cid, cv) — m×k sub-centroids, each of dim/m floats.
+    * The IVF-PQ pairing: emb4's coarse cells route the search, PQ codes
+    * shrink the in-cell residual scan — at m=8 over 64 float dims a
+    * vector's scan representation drops from 256 B to 8 small ints
+    * (32×), which is what lets a 100 TB corpus's index fit a cluster's
+    * memory. Codebook training inherits kmeans' determinism contract
+    * wholesale (smallest-id seeds per subspace, min-cid tie-breaks,
+    * strict-fold means); cids are seed vec_ids, not 0..k-1. */
+  def pqTrain(vectors: DataFrame, m: Int = 8, k: Int = 4, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sliced = vectors.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      kmeans(sliced, k, iters, sub)
+        .select(lit(s.toLong).as("sub"), col("cid"), col("cv"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** PQ code assignment: explode each vector into its m subvectors
+    * map-side, broadcast the m×k codebook, cosine argmax per (vector,
+    * subspace) with the min-cid tie-break. Output (vec_id, sub, code) —
+    * a pure broadcast map + one hash aggregate, the same shape as
+    * [[assign]]; the corpus never shuffles its float payload. */
+  def pqAssign(vectors: DataFrame, codebook: DataFrame, m: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val parts = vectors.select(col("vec_id"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s.toLong).as("sub"),
+            slice(col("embedding"), s * sub + 1, sub).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    parts.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        (Similarity.dot(col("sv"), col("cv")) /
+          (sqrt(Similarity.dot(col("sv"), col("sv"))) *
+           sqrt(Similarity.dot(col("cv"), col("cv"))))).as("cos"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("neg"), col("cid"))).as("pick"))
+      .select(col("vec_id"), col("sub"), col("pick.cid").as("code"))
+  }
 }

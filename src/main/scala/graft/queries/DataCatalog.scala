@@ -189,10 +189,11 @@ object DataCatalog {
 
   /** DuckDB twin of Similarity.dot: strict left fold over double-cast
     * lists (list_reduce preserves order, matching Spark's aggregate()). */
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+  private def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+  private def cosSql(a: String, b: String): String = cosSqlDim(a, b, 64)
+  private def cosSqlDim(a: String, b: String, dim: Int): String =
+    s"(${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)})))"
 
   // SIM1 brute-force exact cosine top-5 for query vectors (vec_id % 50 = 0).
   val sim1 = Q(
@@ -819,25 +820,32 @@ object DataCatalog {
     * rounded once to FLOAT; empty cells keep the previous centroid via
     * LEFT JOIN + coalesce. Generated, not hand-unrolled, so the
     * iteration count is a parameter on both engines. */
-  private def kmeansCtes(iters: Int, k: Int): String = {
-    val init = s"c0 AS (SELECT vec_id AS cid, embedding AS cv FROM " +
-      s"(SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k))"
+  /** One full k-means CTE block over source table `src`, every CTE name
+    * prefixed with `p` so several independent trainings (emb5's per-
+    * subspace codebooks) coexist in a single WITH. Final centroids land
+    * in `${p}c${iters}`. */
+  private def kmeansBody(src: String, p: String, iters: Int, k: Int, dim: Int): String = {
+    val init = s"${p}c0 AS (SELECT vec_id AS cid, embedding AS cv FROM " +
+      s"(SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k))"
     val rounds = (1 to iters).flatMap { t =>
       Seq(
-        s"s$t AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
-          s" AS cos FROM embeddings e CROSS JOIN c${t - 1} c)",
-        s"a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        s"${p}s$t AS (SELECT e.vec_id, c.cid, " + cosSqlDim("e.embedding", "c.cv", dim) +
+          s" AS cos FROM $src e CROSS JOIN ${p}c${t - 1} c)",
+        s"${p}a$t AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
           "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
-          s"FROM s$t) WHERE rn = 1)",
-        s"u$t AS (SELECT cid, list(e.embedding ORDER BY e.vec_id) AS ms, " +
-          s"count(*) AS n FROM a$t a JOIN embeddings e ON e.vec_id = a.vec_id GROUP BY cid)",
-        s"c$t AS (SELECT c.cid, coalesce(u.cvn, c.cv) AS cv FROM c${t - 1} c " +
-          "LEFT JOIN (SELECT cid, list_transform(range(1, 65), i -> " +
+          s"FROM ${p}s$t) WHERE rn = 1)",
+        s"${p}u$t AS (SELECT cid, list(e.embedding ORDER BY e.vec_id) AS ms, " +
+          s"count(*) AS n FROM ${p}a$t a JOIN $src e ON e.vec_id = a.vec_id GROUP BY cid)",
+        s"${p}c$t AS (SELECT c.cid, coalesce(u.cvn, c.cv) AS cv FROM ${p}c${t - 1} c " +
+          s"LEFT JOIN (SELECT cid, list_transform(range(1, ${dim + 1}), i -> " +
           "(list_reduce(list_transform(ms, e -> e[i]::DOUBLE), (x, y) -> x + y) / n)::FLOAT) " +
-          s"AS cvn FROM u$t) u USING (cid))")
+          s"AS cvn FROM ${p}u$t) u USING (cid))")
     }
-    "WITH " + (init +: rounds).mkString(", ")
+    (init +: rounds).mkString(", ")
   }
+
+  private def kmeansCtes(iters: Int, k: Int): String =
+    "WITH " + kmeansBody("embeddings", "", iters, k, 64)
 
   // EMB4 — the learned IVF coarse quantizer (deterministic spherical
   // k-means): 3 Lloyd rounds, k=10, seeded by the 10 smallest vec_ids.
@@ -857,6 +865,36 @@ object DataCatalog {
     Some(kmeansCtes(3, 10) +
       " SELECT cid, CAST(i AS BIGINT) AS dim, cv[i]::DOUBLE AS v " +
       "FROM c3, unnest(range(1, 65)) u(i)" + OBA))
+
+  // EMB5 — product-quantization codes: 8 subspaces × 8 dims, k=4
+  // sub-centroids each (2 Lloyd rounds, smallest-id seeds — kmeans'
+  // determinism contract per subspace). Output = every vector's per-
+  // subspace code, the 32×-smaller in-cell scan representation that
+  // pairs with emb4's coarse cells as IVF-PQ. Oracle: 8 independent
+  // prefixed k-means CTE blocks over list_slice'd vectors in one WITH.
+  val emb5 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      ordered(Clustering.pqAssign(e, Clustering.pqTrain(e)))
+    },
+    Some {
+      val (m, sub, k, iters) = (8, 8, 4, 2)
+      val blocks = (0 until m).map { sx =>
+        val (lo, hi) = (sx * sub + 1, (sx + 1) * sub)
+        s"e$sx AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding " +
+          "FROM embeddings), " +
+          kmeansBody(s"e$sx", s"q$sx", iters, k, sub) + ", " +
+          s"fin$sx AS (SELECT e.vec_id, c.cid, " +
+          cosSqlDim("e.embedding", "c.cv", sub) +
+          s" AS cos FROM e$sx e CROSS JOIN q${sx}c$iters c), " +
+          s"asg$sx AS (SELECT vec_id, CAST($sx AS BIGINT) AS sub, cid AS code FROM " +
+          "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+          s"ORDER BY cos DESC, cid ASC) AS rn FROM fin$sx) WHERE rn = 1)"
+      }
+      "WITH " + blocks.mkString(", ") + " SELECT vec_id, sub, code FROM (" +
+        (0 until m).map(sx => s"SELECT * FROM asg$sx").mkString(" UNION ALL ") +
+        ")" + OBA
+    })
 
   // SIM4 — IVF ANN on LEARNED cells: train the quantizer (emb4), assign
   // every vector its learned cell, run the sim2 query shape on those
@@ -1052,5 +1090,6 @@ object DataCatalog {
     "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1,
     "dp2_curation_twophase" -> dp2,
     "out1_shard_manifest" -> out1, "tx9_seq_packing" -> tx9,
-    "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8)
+    "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
+    "emb5_pq_codes" -> emb5)
 }

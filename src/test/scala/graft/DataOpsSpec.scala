@@ -397,6 +397,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(back.sorted.toSeq == (0L until 1000L).toSeq)
   }
 
+  test("product quantization: deterministic codebook, m codes per vector from seed ids") {
+    import graft.operators.Clustering
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb1 = Clustering.pqTrain(e, m = 8, k = 4, iters = 2)
+    val cb2 = Clustering.pqTrain(e, m = 8, k = 4, iters = 2)
+    val rows1 = cb1.orderBy("sub", "cid").collect().map(_.toString)
+    assert(rows1.toSeq == cb2.orderBy("sub", "cid").collect().map(_.toString).toSeq,
+      "codebook must be bit-identical across runs")
+    assert(cb1.count() == 32) // 8 subspaces × 4 centroids
+
+    val codes = Clustering.pqAssign(e, cb1)
+    val n = e.count()
+    assert(codes.count() == n * 8, "m codes per vector")
+    // codes are the per-subspace seed cids (the 4 smallest vec_ids)
+    val seedIds = e.select("vec_id").orderBy("vec_id").limit(4)
+      .as[Long].collect().toSet
+    val used = codes.select("code").distinct().as[Long].collect().toSet
+    assert(used.subsetOf(seedIds))
+  }
+
   test("incremental dedup: batch admits only content new vs corpus and within-batch") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog again and again"),
