@@ -141,6 +141,22 @@ object Clustering {
     * subspace) with the min-cid tie-break. Output (vec_id, sub, code) —
     * a pure broadcast map + one hash aggregate, the same shape as
     * [[assign]]; the corpus never shuffles its float payload. */
+  /** Reconstruct each vector from its PQ codes: per subspace, look the
+    * code up in the broadcast codebook and concatenate the sub-centroids
+    * in subspace order. The decode half of the PQ contract — an ANN
+    * scorer works against these m×(dim/m)-float approximations instead
+    * of the raw corpus (sim5). Pure broadcast map + one hash aggregate
+    * per vector. */
+  def pqReconstruct(codes: DataFrame, codebook: DataFrame): DataFrame =
+    codes.alias("a")
+      .join(broadcast(codebook.alias("b")),
+        col("a.sub") === col("b.sub") && col("a.code") === col("b.cid"))
+      .select(col("a.vec_id"), col("a.sub"), col("b.cv"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("sub"), col("cv")))).as("parts"))
+      .select(col("vec_id"),
+        expr("flatten(transform(parts, p -> p.cv))").as("embedding"))
+
   def pqAssign(vectors: DataFrame, codebook: DataFrame, m: Int = 8,
       dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")

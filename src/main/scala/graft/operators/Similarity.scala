@@ -80,6 +80,25 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Asymmetric IVF top-k: queries score against a DIFFERENT corpus
+    * representation than their own — the IVF-PQ search shape (sim5),
+    * where the corpus side is PQ reconstructions
+    * ([[Clustering.pqReconstruct]]) while queries stay full-precision.
+    * Same equi-join-on-cell candidate generation as [[topKIvf]]; at
+    * scale the reconstructed corpus is the compact artifact that
+    * actually fits memory, queries arrive raw. Both frames need
+    * (vec_id, embedding, cellCol). */
+  def topKIvfAsym(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col(cellCol).as("cell")), "query_id", "qv", "qn")
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col(cellCol).as("cell")), "neighbor_id", "cv", "cn")
+    val scored = q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** IVF multi-probe ANN: each query probes its own coarse cell plus
     * `nprobe - 1` ring-adjacent cells ((cell ± i) mod numCells) — the
     * recall lever real IVF indexes use when the nearest neighbor falls

@@ -927,6 +927,64 @@ object DataCatalog {
       "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
       "FROM ranked WHERE rank <= 5" + OBA))
 
+  // SIM5 — IVF-PQ ANN end-to-end: route by emb4's learned coarse cells,
+  // score full-precision queries against emb5's PQ RECONSTRUCTIONS
+  // (asymmetric distance — the real IVF-PQ search). At scale the
+  // reconstruction-side corpus is 32× smaller than raw floats; queries
+  // stay raw. One WITH holds the coarse k-means, the 8 subspace
+  // codebooks, decode, and the ranked cell join.
+  val sim5 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cells = Clustering.kmeansAssign(e, 10, 3)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val cb = Clustering.pqTrain(e)
+      val rec = Clustering.pqReconstruct(Clustering.pqAssign(e, cb), cb)
+      ordered(Similarity.topKIvfAsym(
+        e.join(cells, Seq("vec_id")), rec.join(cells, Seq("vec_id")), "cell", 5))
+    },
+    Some {
+      val (m, sub, k, iters) = (8, 8, 4, 2)
+      val pqBlocks = (0 until m).map { sx =>
+        val (lo, hi) = (sx * sub + 1, (sx + 1) * sub)
+        s"e$sx AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding " +
+          "FROM embeddings), " +
+          kmeansBody(s"e$sx", s"q$sx", iters, k, sub) + ", " +
+          s"pfin$sx AS (SELECT e.vec_id, c.cid, " +
+          cosSqlDim("e.embedding", "c.cv", sub) +
+          s" AS cos FROM e$sx e CROSS JOIN q${sx}c$iters c), " +
+          s"pasg$sx AS (SELECT vec_id, CAST($sx AS BIGINT) AS sub, cid AS code FROM " +
+          "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+          s"ORDER BY cos DESC, cid ASC) AS rn FROM pfin$sx) WHERE rn = 1)"
+      }
+      kmeansCtes(3, 10) +
+        ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+        " AS cos FROM embeddings e CROSS JOIN c3 c), " +
+        "cellasg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
+        "FROM fin) WHERE rn = 1), " +
+        pqBlocks.mkString(", ") + ", " +
+        "allcodes AS (" + (0 until m).map(sx => s"SELECT * FROM pasg$sx")
+          .mkString(" UNION ALL ") + "), " +
+        "allbook AS (" + (0 until m).map(sx =>
+          s"SELECT CAST($sx AS BIGINT) AS sub, cid, cv FROM q${sx}c$iters")
+          .mkString(" UNION ALL ") + "), " +
+        "rec AS (SELECT a.vec_id, flatten(list(b.cv ORDER BY a.sub)) AS rv " +
+        "FROM allcodes a JOIN allbook b ON b.sub = a.sub AND b.cid = a.code " +
+        "GROUP BY a.vec_id), " +
+        "qside AS (SELECT e.vec_id, e.embedding, g.cell FROM embeddings e " +
+        "JOIN cellasg g USING (vec_id)), " +
+        "cside AS (SELECT r.vec_id, r.rv, g.cell FROM rec r " +
+        "JOIN cellasg g ON g.vec_id = r.vec_id), " +
+        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        cosSql("q.embedding", "c.rv") + " AS cos FROM qside q " +
+        "JOIN cside c USING (cell) WHERE q.vec_id <> c.vec_id), " +
+        "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+        "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+        "FROM ranked WHERE rank <= 5" + OBA
+    })
+
   // M3 frame sampling: k evenly-spaced frame indices per media row from
   // the REAL decoded header dims (audio → sample positions, images →
   // row tiles) — the video-frame-sampling analog, deterministic and
@@ -1091,5 +1149,5 @@ object DataCatalog {
     "dp2_curation_twophase" -> dp2,
     "out1_shard_manifest" -> out1, "tx9_seq_packing" -> tx9,
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
-    "emb5_pq_codes" -> emb5)
+    "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5)
 }

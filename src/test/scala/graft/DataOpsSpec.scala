@@ -418,6 +418,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(used.subsetOf(seedIds))
   }
 
+  test("pq reconstruction carries signal: self-cosine beats cross-cosine") {
+    import graft.operators.{Clustering, Similarity}
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Clustering.pqTrain(e)
+    val rec = Clustering.pqReconstruct(Clustering.pqAssign(e, cb), cb)
+    assert(rec.count() == e.count())
+    assert(rec.select(size(col("embedding"))).distinct().as[Int].collect().toSeq == Seq(64))
+    val joined = e.select(col("vec_id"), col("embedding").as("ov"))
+      .join(rec.select(col("vec_id"), col("embedding").as("rv")), "vec_id")
+    def cos(a: String, b: String) =
+      Similarity.dot(col(a), col(b)) /
+        (sqrt(Similarity.dot(col(a), col(a))) * sqrt(Similarity.dot(col(b), col(b))))
+    val selfCos = joined.select(avg(cos("ov", "rv"))).as[Double].head()
+    // cross pairing: each original vs the NEXT vector's reconstruction
+    val crossCos = joined.alias("x").join(joined.alias("y"),
+        col("x.vec_id") + 1 === col("y.vec_id"))
+      .select(avg(Similarity.dot(col("x.ov"), col("y.rv")) /
+        (sqrt(Similarity.dot(col("x.ov"), col("x.ov"))) *
+         sqrt(Similarity.dot(col("y.rv"), col("y.rv")))))).as[Double].head()
+    assert(selfCos > crossCos,
+      s"reconstruction must resemble its own vector (self=$selfCos cross=$crossCos)")
+  }
+
   test("incremental dedup: batch admits only content new vs corpus and within-batch") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog again and again"),
