@@ -109,6 +109,34 @@ object TextOps {
         array_join(col("ck"), " ").as("chunk_text"))
   }
 
+  /** PII patterns for [[scrubPii]] — deliberately RE2-compatible (no
+    * backrefs, no lookaround) so the DuckDB oracle and any RE2-based
+    * engine apply them identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b"
+  val IdRunRe = "\\d{9,}"
+
+  /** PII scrubbing (tx11): redact emails, phone numbers, and long digit
+    * runs (ids / account numbers) from document text — the privacy
+    * filter every public-corpus pipeline runs before training. Applied
+    * in a fixed order (emails → phones → digit runs) so the composition
+    * is deterministic: phone digits can't be re-matched as id runs once
+    * replaced. Pure map (three codegen'd regexp_replace passes + two
+    * counters); zero shuffle at any scale.
+    * Output: (doc_id, n_emails, n_phones, clean_text). */
+  def scrubPii(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val t = text
+    df.select(
+      id.as("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        IdRunRe, "<ID>").as("clean_text"))
+  }
+
   /** Document fingerprint: position-weighted polynomial hash of tokens,
     * portable to the DuckDB oracle (sum over tokens of
     * (portableHash60(tok) mod 1000003) * position, as a long). Native

@@ -1122,6 +1122,30 @@ object DataCatalog {
       "SELECT doc_id, start // 112 AS chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens, " +
       "array_to_string(ck, ' ') AS chunk_text FROM c" + OBA))
 
+  // TX11 — PII scrubbing. The fixture text is synthetic word salad with
+  // no PII, so the entry appends a deterministic PII-bearing suffix
+  // (email, phone, long id run derived from doc_id) BEFORE scrubbing —
+  // the oracle then verifies actual redaction work, not a no-op. The
+  // operator itself is three ordered regexp_replace passes (pure map).
+  val tx11 = Q(
+    (s, d) => {
+      val withPii = documents(s, d).withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or 555-123-4567 ref 9"),
+          lpad(col("doc_id").cast("string"), 9, "0")))
+      ordered(TextOps.scrubPii(withPii, col("doc_id"), col("text")))
+    },
+    Some("WITH t AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+      "'@mail.example.com or 555-123-4567 ref 9' || lpad(doc_id::VARCHAR, 9, '0') AS text " +
+      "FROM documents) " +
+      "SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, " +
+      "CAST(len(regexp_extract_all(text, '\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b')) AS BIGINT) AS n_phones, " +
+      "regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b', '<PHONE>', 'g'), " +
+      "'\\d{9,}', '<ID>', 'g') AS clean_text FROM t" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -1149,5 +1173,6 @@ object DataCatalog {
     "dp2_curation_twophase" -> dp2,
     "out1_shard_manifest" -> out1, "tx9_seq_packing" -> tx9,
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
-    "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5)
+    "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
+    "tx11_pii_scrub" -> tx11)
 }

@@ -460,6 +460,22 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == Set(202L, 204L))
   }
 
+  test("pii scrub: emails, phones, and id runs redacted in order; clean text stays clean") {
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org or 555-123-4567 thanks"),
+      (2L, "account 12345678901 and card 9876543210987654 on file"),
+      (3L, "nothing sensitive here just words"),
+      (4L, "two mails a@b.co c.d@e.io and short digits 12345678")
+    ).toDF("doc_id", "text")
+    val got = TextOps.scrubPii(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 1L, "reach me at <EMAIL> or <PHONE> thanks")))
+    assert(got(1) == ((2L, 0L, 0L, "account <ID> and card <ID> on file")))
+    assert(got(2) == ((3L, 0L, 0L, "nothing sensitive here just words")))
+    // 8-digit run is below the 9-digit id threshold — kept
+    assert(got(3) == ((4L, 2L, 0L, "two mails <EMAIL> <EMAIL> and short digits 12345678")))
+  }
+
   test("chunking: overlapped windows cover every token, short tail kept, provenance intact") {
     val text = (1 to 300).map(i => s"w$i").mkString(" ")
     val df = Seq((7L, text)).toDF("doc_id", "text")
