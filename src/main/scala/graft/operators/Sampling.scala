@@ -50,6 +50,38 @@ object Sampling {
     df.filter(bucket(key) < rate)
   }
 
+  /** Deterministic corpus mixing (mix1): sample each stratum so the kept
+    * counts hit target proportions `weights` — the data-mixing step that
+    * turns raw per-source availability into a training mixture (e.g.
+    * 5:2:2:1 across languages). The bottleneck stratum (smallest n/w;
+    * ties to the lexicographically smallest name) is kept whole and
+    * every other stratum downsamples to match, so the mixture is the
+    * LARGEST achievable at those proportions without upsampling.
+    * Strata without a weight are dropped (unlisted data stays out of a
+    * curated mixture by default).
+    *
+    * Rates are integer permille computed as `(1000·w_s·n_b) div
+    * (w_b·n_s)` — pure integer truncation, bit-identical across
+    * engines. Per-stratum counts are S rows of driver-side model state
+    * (the kmeans-centroid stance); the filter itself stays a pure
+    * [[bucket]] map, so two runs — and reruns at any partitioning —
+    * keep exactly the same rows. */
+  def mixture(df: DataFrame, key: Column, stratum: Column,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    val counts = df.groupBy(stratum.as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    require(present.nonEmpty, "no weighted stratum present in the data")
+    val (bs, bw) = present.minBy { case (s, w) => (counts(s).toDouble / w, s) }
+    val nb = counts(bs)
+    val rates = present.map { case (s, w) => s -> (1000L * w * nb) / (bw * counts(s)) }
+    val rate = rates.foldLeft(lit(-1L)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket(key) < rate)
+  }
+
   /** Exact top-k per group by an explicit deterministic order — the
     * grouped sibling of the global ORDER BY + LIMIT (W2). The window
     * shuffles once on the group key and the sort does map-side partial

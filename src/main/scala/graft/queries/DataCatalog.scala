@@ -1146,6 +1146,23 @@ object DataCatalog {
       "'\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b', '<PHONE>', 'g'), " +
       "'\\d{9,}', '<ID>', 'g') AS clean_text FROM t" + OBA))
 
+  // MIX1 — deterministic corpus mixing to 5:2:2:1 language proportions
+  // (es unweighted → dropped). The bottleneck stratum keeps rate 1000;
+  // the others get integer-permille rates from pure integer division,
+  // so the oracle reproduces the mixture bit-for-bit.
+  val mix1 = Q(
+    (s, d) => ordered(Sampling.mixture(documents(s, d), col("doc_id"), col("lang"),
+        Map("en" -> 5L, "de" -> 2L, "fr" -> 2L, "zh" -> 1L))
+      .select(col("doc_id"), col("lang"), col("source"))),
+    Some("WITH w(s, wt) AS (VALUES ('en', 5), ('de', 2), ('fr', 2), ('zh', 1)), " +
+      "n AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1), " +
+      "j AS (SELECT w.s, w.wt, n.n FROM w JOIN n USING (s) WHERE n.n > 0), " +
+      "b AS (SELECT s AS bs, wt AS bw, n AS bn FROM j ORDER BY n * 1.0 / wt, s LIMIT 1), " +
+      "r AS (SELECT j.s, (1000 * j.wt * b.bn) // (b.bw * j.n) AS rate FROM j, b) " +
+      "SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r ON r.s = d.lang " +
+      "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.rate" +
+      OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -1174,5 +1191,5 @@ object DataCatalog {
     "out1_shard_manifest" -> out1, "tx9_seq_packing" -> tx9,
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
-    "tx11_pii_scrub" -> tx11)
+    "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1)
 }

@@ -460,6 +460,32 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == Set(202L, 204L))
   }
 
+  test("mixture: kept counts track target proportions, bottleneck kept whole, unweighted dropped") {
+    import graft.operators.Sampling
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val w = Map("en" -> 5L, "de" -> 2L, "fr" -> 2L, "zh" -> 1L)
+    val kept = Sampling.mixture(docs, col("doc_id"), col("lang"), w)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("es"), "unweighted stratum must be dropped")
+    // bottleneck (smallest n/w) keeps every row
+    val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val bottleneck = w.keys.minBy(s => (n(s).toDouble / w(s), s))
+    assert(kept(bottleneck) == n(bottleneck))
+    // achieved proportions within md5-bucket sampling noise of targets
+    val unit = kept(bottleneck).toDouble / w(bottleneck)
+    w.foreach { case (s, wt) =>
+      val expect = unit * wt
+      assert(math.abs(kept(s) - expect) <= math.max(5.0, expect * 0.25),
+        s"$s kept=${kept(s)} want≈$expect")
+    }
+    // deterministic: same rows on rerun
+    val again = Sampling.mixture(docs, col("doc_id"), col("lang"), w)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == Sampling.mixture(docs, col("doc_id"), col("lang"), w)
+      .select("doc_id").as[Long].collect().toSet)
+  }
+
   test("pii scrub: emails, phones, and id runs redacted in order; clean text stays clean") {
     val df = Seq(
       (1L, "reach me at jane.doe+spam@corp.example.org or 555-123-4567 thanks"),
