@@ -716,12 +716,11 @@ object DataCatalog {
   // Scale: stages are the d1/d2/d6/tx2/smp1 shapes — nothing quadratic,
   // sampling and quality are maps, and the cluster pass touches only
   // near-dup candidates.
-  /** dp1's oracle — shared verbatim by dp2 (the two-phase runner): both
-    * engines' pipelines are different EXECUTIONS of the same function of
-    * the corpus, so one SQL twin verifies both. */
-  private val Dp1OracleSql: String =
-    "WITH RECURSIVE " +
-      "d1 AS (SELECT doc_id, text, lang FROM (SELECT doc_id, text, lang, " +
+  /** dp1's curation pipeline as a CTE chain (everything up to — but not
+    * including — the final projection), so dp3 can keep composing over
+    * the curated set. Requires the WITH RECURSIVE prologue. */
+  private val Dp1Ctes: String =
+    "d1 AS (SELECT doc_id, text, lang FROM (SELECT doc_id, text, lang, " +
       "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) " +
       "WHERE rn = 1), " +
       MinhashPairsBody.replace("FROM documents", "FROM d1") + ", " +
@@ -739,11 +738,18 @@ object DataCatalog {
       "FROM qt), " +
       "qs AS (SELECT doc_id, n_words, " +
       "least(1.0, n_words::DOUBLE / 50) * 0.5 + least(1.0, stopword_ratio * 5) * 0.3 + " +
-      "(CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END) AS quality_score FROM qm) " +
-      "SELECT s.doc_id, s.lang, q.n_words, q.quality_score " +
+      "(CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END) AS quality_score FROM qm), " +
+      "curated AS (SELECT s.doc_id, s.text, s.lang, q.n_words, q.quality_score " +
       "FROM surv s JOIN qs q ON q.doc_id = s.doc_id " +
       "WHERE s.lang IN ('en', 'de', 'fr') AND q.quality_score >= 0.6 AND q.n_words >= 20 " +
-      "AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 800" + OBA
+      "AND ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 800)"
+
+  /** dp1's oracle — shared verbatim by dp2 (the two-phase runner): both
+    * engines' pipelines are different EXECUTIONS of the same function of
+    * the corpus, so one SQL twin verifies both. */
+  private val Dp1OracleSql: String =
+    "WITH RECURSIVE " + Dp1Ctes +
+      " SELECT doc_id, lang, n_words, quality_score FROM curated" + OBA
 
   val dp1 = Q(
     (s, d) => {
@@ -1163,6 +1169,48 @@ object DataCatalog {
       "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.rate" +
       OBA))
 
+  // DP3 — the COMPLETE corpus-prep composition, end to end: dp1's
+  // curation (exact dedup → LSH clustering → quality/lang gate →
+  // sample) → PII scrub (with the tx11 deterministic-suffix trick so
+  // redaction really runs) → 128/16 context chunking → 2048-token
+  // packing → per-pack stats. One declarative plan whose final hashes
+  // depend on every stage upstream — the strongest composition check
+  // the catalog has: a boundary error in any of the six stages moves
+  // the pack totals. Scale shape is the stages' own (nothing new): the
+  // post-curation stages are pure maps + the two-level prefix sum.
+  val dp3 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val curatedIds = dp1.build(s, d).select("doc_id")
+      val withPii = docs.join(curatedIds, Seq("doc_id"), "left_semi")
+        .withColumn("text", concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or 555-123-4567 ref 9"),
+          lpad(col("doc_id").cast("string"), 9, "0")))
+      val clean = TextOps.scrubPii(withPii, col("doc_id"), col("text"))
+      val chunks = TextOps.chunk(clean, col("doc_id"), col("clean_text"), 128, 16)
+        .withColumn("chunk_key", col("doc_id") * 4096 + col("chunk_id"))
+      val packed = Packing.pack(chunks, col("chunk_key"), col("n_tokens"), 2048)
+      ordered(packed.groupBy("pack_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens")))
+    },
+    Some("WITH RECURSIVE " + Dp1Ctes + ", " +
+      "pii AS (SELECT c.doc_id, c.text || ' contact user' || c.doc_id || " +
+      "'@mail.example.com or 555-123-4567 ref 9' || lpad(c.doc_id::VARCHAR, 9, '0') AS text " +
+      "FROM curated c), " +
+      "clean AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b', '<PHONE>', 'g'), " +
+      "'\\d{9,}', '<ID>', 'g') AS t FROM pii), " +
+      "ctoks AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS tk FROM clean), " +
+      "chunks AS (SELECT doc_id, i // 112 AS chunk_id, " +
+      "CAST(len(list_slice(tk, i + 1, i + 128)) AS BIGINT) AS n_tokens " +
+      "FROM ctoks, unnest(range(0, len(tk), 112)) u(i)), " +
+      "keyed AS (SELECT doc_id * 4096 + chunk_id AS ck, n_tokens FROM chunks), " +
+      "run AS (SELECT ck, n_tokens, coalesce(sum(n_tokens) OVER (" +
+      "ORDER BY ck ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM keyed) " +
+      "SELECT prev // 2048 AS pack_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM run GROUP BY 1" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -1191,5 +1239,6 @@ object DataCatalog {
     "out1_shard_manifest" -> out1, "tx9_seq_packing" -> tx9,
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
-    "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1)
+    "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
+    "dp3_corpus_prep" -> dp3)
 }
