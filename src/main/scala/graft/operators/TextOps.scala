@@ -97,8 +97,14 @@ object TextOps {
     val step = chunkTokens - overlap
     val toks = F.tokens(text)
     val n = size(toks)
-    // sequence() throws on start > stop; empty docs yield no chunks
-    val starts = when(n > 0, sequence(lit(0), n - 1, lit(step)))
+    // Starts step by `step` but stop once the previous chunk already
+    // reaches the end: a start s with s-step+chunkTokens >= n would
+    // emit a chunk fully contained in its predecessor (pure duplication
+    // — a property test caught exactly that). Last valid start is the
+    // largest multiple of step below max(1, n - chunkTokens + step).
+    // sequence() throws on start > stop; empty docs yield no chunks.
+    val lastStart = greatest(lit(0), n - chunkTokens + step - 1)
+    val starts = when(n > 0, sequence(lit(0), lastStart, lit(step)))
       .otherwise(array().cast("array<int>"))
     df.select(id.as("doc_id"), toks.as("tk"), explode(starts).as("start"))
       .select(col("doc_id"),

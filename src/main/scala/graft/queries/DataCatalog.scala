@@ -1124,7 +1124,7 @@ object DataCatalog {
     Some("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk " +
       "FROM documents), " +
       "c AS (SELECT doc_id, i AS start, list_slice(tk, i + 1, i + 128) AS ck " +
-      "FROM t, unnest(range(0, len(tk), 112)) u(i)) " +
+      "FROM t, unnest(range(0, greatest(1, len(tk) - 128 + 112), 112)) u(i)) " +
       "SELECT doc_id, start // 112 AS chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens, " +
       "array_to_string(ck, ' ') AS chunk_text FROM c" + OBA))
 
@@ -1204,7 +1204,7 @@ object DataCatalog {
       "ctoks AS (SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS tk FROM clean), " +
       "chunks AS (SELECT doc_id, i // 112 AS chunk_id, " +
       "CAST(len(list_slice(tk, i + 1, i + 128)) AS BIGINT) AS n_tokens " +
-      "FROM ctoks, unnest(range(0, len(tk), 112)) u(i)), " +
+      "FROM ctoks, unnest(range(0, greatest(1, len(tk) - 128 + 112), 112)) u(i)), " +
       "keyed AS (SELECT doc_id * 4096 + chunk_id AS ck, n_tokens FROM chunks), " +
       "run AS (SELECT ck, n_tokens, coalesce(sum(n_tokens) OVER (" +
       "ORDER BY ck ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM keyed) " +

@@ -157,4 +157,77 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expected, s"n=$n edges=$edges")
     }
   }
+
+  private val tokenRowsGen: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      id <- Gen.choose(0L, 5000L)
+      toks <- Gen.choose(1L, 400L)
+    } yield (id, toks)).map(_.distinctBy(_._1))
+
+  test("packing == driver prefix sum for random sizes/budgets/buckets") {
+    import graft.operators.Packing
+    forAll(tokenRowsGen, Gen.choose(50L, 1000L)) { (rows, budget) =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("doc_id", "toks").repartition(5)
+        Seq(1, 3, 17).foreach { buckets =>
+          val got = Packing.pack(df, col("doc_id"), col("toks"), budget, buckets)
+            .as[(Long, Long, Long)].collect().sortBy(_._1)
+          var run = 0L
+          val want = rows.sortBy(_._1).map { case (id, t) =>
+            val p = run / budget; run += t; (id, t, p)
+          }
+          assert(got.toSeq == want, s"budget=$budget buckets=$buckets")
+        }
+      }
+    }
+  }
+
+  test("shard manifest: counts sum to input, hashes stable under any layout") {
+    import graft.operators.Sharding
+    forAll(tokenRowsGen, Gen.choose(1, 16)) { (rows, shards) =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("doc_id", "v")
+          .select(col("doc_id"), concat(lit("t"), col("v")).as("text"))
+        val m1 = Sharding.manifest(df, col("doc_id"), col("text"), shards)
+          .as[(Long, Long, Long)].collect().sortBy(_._1)
+        val m2 = Sharding.manifest(df.repartition(7).sortWithinPartitions("text"),
+            col("doc_id"), col("text"), shards)
+          .as[(Long, Long, Long)].collect().sortBy(_._1)
+        assert(m1.toSeq == m2.toSeq)
+        assert(m1.map(_._2).sum == rows.length)
+        assert(m1.forall { case (sid, n, h) =>
+          sid >= 0 && sid < shards && n > 0 && h >= 0 && h < Sharding.HashMod })
+      }
+    }
+  }
+
+  private val docGen: Gen[(Long, String)] = for {
+    id <- Gen.choose(0L, 100000L)
+    n <- Gen.choose(0, 300)
+    words <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "x9", "k"))
+  } yield (id, words.mkString(" "))
+
+  test("chunking: full coverage, exact overlap, short-only-at-tail for random docs") {
+    import graft.operators.TextOps
+    forAll(Gen.listOf(docGen).map(_.distinctBy(_._1))) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val got = TextOps.chunk(df, col("doc_id"), col("text"), 64, 8)
+          .as[(Long, Long, Long, String)].collect()
+          .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+        docs.foreach { case (id, text) =>
+          val toks = text.trim.split("\\s+").toSeq
+          val chunks = got.getOrElse(id, Array.empty)
+          // reassembling chunks at stride 56 reproduces the token stream
+          val rebuilt = chunks.zipWithIndex.flatMap { case ((_, _, _, ct), i) =>
+            val t = ct.split(" ").toSeq
+            if (i == 0) t else t.drop(8)
+          }.toSeq
+          assert(rebuilt == toks, s"doc $id")
+          // every chunk except the last is exactly 64 tokens
+          chunks.dropRight(1).foreach { c => assert(c._3 == 64L) }
+        }
+      }
+    }
+  }
 }
