@@ -206,6 +206,38 @@ class ScaleSpec extends AnyFunSuite {
       s"manifest should shuffle once for the agg (+1 output sort), got ${shuffles.size}")
   }
 
+  test("pq assignment broadcasts the codebook; corpus floats never shuffle") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    import graft.operators.Clustering
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+    val codes = Clustering.pqAssign(e, Clustering.pqTrain(e))
+    codes.write.format("noop").mode("overwrite").save()
+    val ns = nodes(codes)
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "codebook must broadcast-join the exploded subvectors")
+    assert(!ns.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[ShuffledHashJoinExec]),
+      "no shuffle join anywhere in the assignment plan")
+    // the only exchange is the (vec_id, sub) argmax aggregation
+    val shuffles = ns.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1,
+      s"assignment should shuffle once (argmax agg), got ${shuffles.size}")
+  }
+
+  test("mixture filter is a pure map: no shuffle beyond the S-row rate lookup") {
+    import graft.operators.Sampling
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val mixed = Sampling.mixture(docs, col("doc_id"), col("lang"),
+      Map("en" -> 5L, "de" -> 2L, "fr" -> 2L, "zh" -> 1L))
+    mixed.write.format("noop").mode("overwrite").save()
+    // after the counts collect (driver model state), the kept-row plan
+    // is scan + filter only — no exchange at any corpus size
+    val shuffles = nodes(mixed).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, "mixture must plan as a shuffle-free filter")
+  }
+
   test("operator-internal persists are released at pipeline end (no cache leak)") {
     import graft.queries.DataCatalog
     val sc = spark.sparkContext
