@@ -20,10 +20,12 @@ object Bench {
     "j12_salted_join", "a1_minpick_dedup", "a6_priority_dedup",
     "a10_stats_agg", "s8_upsert_merge", "s10_retain_gc", "eav2_assembly",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash_pairs", "d4_ngram_jaccard",
+    "d8_incremental_dedup",
     "sim1_cosine_topk", "sim2_ivf_ann", "sim3_multiprobe_ann",
     "emb4_kmeans", "sim4_learned_ivf",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
-    "tx9_seq_packing", "out1_shard_manifest",
+    "tx9_seq_packing", "tx10_chunking", "tx11_pii_scrub",
+    "out1_shard_manifest", "mix1_corpus_mixture",
     "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
     "dp1_curation_pipeline", "dp2_curation_twophase",
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window",

@@ -751,29 +751,35 @@ object DataCatalog {
     "WITH RECURSIVE " + Dp1Ctes +
       " SELECT doc_id, lang, n_words, quality_score FROM curated" + OBA
 
+  /** dp1's curated set, UNORDERED — dp3 composes over this (an ORDER BY
+    * feeding a semi-join would be wasted work); dp1 itself wraps it in
+    * the catalog's output ordering. */
+  private def dp1Curated(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = documents(s, d)
+    // persisted once: five downstream stages consume it (minhash
+    // signatures, shingle arrays, cluster propagation, the survivor
+    // semi-join, quality) — the inter-stage checkpoint a real corpus
+    // pipeline would write to storage between phases; CacheScope
+    // releases it after the consuming action
+    val exactSurv = graft.CacheScope.persist(docs.join(
+      NearDup.exact(docs, col("doc_id"), col("text")).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    val pairs = NearDup.minhashLsh(exactSurv, col("doc_id"), col("text"), 0.5)
+    val reps = NearDup.dedupClusters(exactSurv, col("doc_id"), pairs)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val surviving = exactSurv.join(reps, Seq("doc_id"), "left_semi")
+    val q = TextOps.quality(surviving, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+    val filtered = surviving.join(q, Seq("doc_id"))
+      .filter(col("lang").isin("en", "de", "fr") &&
+        col("quality_score") >= 0.6 && col("n_words") >= 20)
+    Sampling.bernoulli(filtered, col("doc_id"), 800)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("quality_score"))
+  }
+
   val dp1 = Q(
-    (s, d) => {
-      val docs = documents(s, d)
-      // persisted once: five downstream stages consume it (minhash
-      // signatures, shingle arrays, cluster propagation, the survivor
-      // semi-join, quality) — the inter-stage checkpoint a real corpus
-      // pipeline would write to storage between phases; CacheScope
-      // releases it after the consuming action
-      val exactSurv = graft.CacheScope.persist(docs.join(
-        NearDup.exact(docs, col("doc_id"), col("text")).select("doc_id"),
-        Seq("doc_id"), "left_semi"))
-      val pairs = NearDup.minhashLsh(exactSurv, col("doc_id"), col("text"), 0.5)
-      val reps = NearDup.dedupClusters(exactSurv, col("doc_id"), pairs)
-        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-      val surviving = exactSurv.join(reps, Seq("doc_id"), "left_semi")
-      val q = TextOps.quality(surviving, col("doc_id"), col("text"))
-        .select(col("doc_id"), col("n_words"), col("quality_score"))
-      val filtered = surviving.join(q, Seq("doc_id"))
-        .filter(col("lang").isin("en", "de", "fr") &&
-          col("quality_score") >= 0.6 && col("n_words") >= 20)
-      ordered(Sampling.bernoulli(filtered, col("doc_id"), 800)
-        .select(col("doc_id"), col("lang"), col("n_words"), col("quality_score")))
-    },
+    (s, d) => ordered(dp1Curated(s, d)),
     Some(Dp1OracleSql))
 
   // DP2 — the same curated corpus via the TWO-PHASE runner
@@ -1181,7 +1187,7 @@ object DataCatalog {
   val dp3 = Q(
     (s, d) => {
       val docs = documents(s, d)
-      val curatedIds = dp1.build(s, d).select("doc_id")
+      val curatedIds = dp1Curated(s, d).select("doc_id")
       val withPii = docs.join(curatedIds, Seq("doc_id"), "left_semi")
         .withColumn("text", concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@mail.example.com or 555-123-4567 ref 9"),
