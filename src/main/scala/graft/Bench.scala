@@ -85,9 +85,12 @@ object Bench {
       elapsed.foreach(t => samples(name) = samples.getOrElse(name, Vector.empty) :+ t)
     }
     // A failed query must not read as "fast": it reports -1 in every
-    // field so the gate can tell a crash from a quick pass.
+    // field so the gate can tell a crash from a quick pass — including
+    // a query that succeeded in an earlier rep and failed later (its
+    // partial samples would otherwise masquerade as a clean median).
     def fmt(f: Vector[Double] => Double) = names.map { n =>
-      val v = samples.get(n).filter(_.nonEmpty).map(f).getOrElse(-1.0)
+      val v = samples.get(n).filter(_.nonEmpty)
+        .filterNot(_ => errors.contains(n)).map(f).getOrElse(-1.0)
       f""""$n":$v%.3f"""
     }.mkString("{", ",", "}")
     val qj = fmt(median)
@@ -97,7 +100,8 @@ object Bench {
     // a full timeout's worth of seconds into the total (the -1 marker in
     // `queries` still tells the reader which ones crashed).
     val failPenaltySec = 600.0
-    val total = names.flatMap(samples.get).filter(_.nonEmpty).map(median).sum +
+    val total = names.filterNot(errors.contains)
+      .flatMap(samples.get).filter(_.nonEmpty).map(median).sum +
       errors.size * failPenaltySec
     val ej = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"lo":$loJ,"hi":$hiJ,"reps":$reps,"errors":$ej,"sf":"$sfDir"}""")

@@ -88,10 +88,10 @@ object Cli {
         graft.operators.Sharding.write(graft.sources.Tables.documents(spark, d),
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"), n.toInt, dir)
-      case Seq("export", "--verify", dir, "--shards", n) =>
+      case Seq("export", "--verify", dir) =>
         graft.operators.Sharding.verify(spark, dir,
           org.apache.spark.sql.functions.col("doc_id"),
-          org.apache.spark.sql.functions.col("text"), n.toInt)
+          org.apache.spark.sql.functions.col("text"))
       case other =>
         throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}")
     }

@@ -135,14 +135,23 @@ object NearDup {
         Seq("content_hash"), "left_anti")
     val bsrc = batchDocs.join(survivors0.select("doc_id"), Seq("doc_id"), "left_semi")
     // near: batch signatures band-join corpus signatures; verify exact
-    // Jaccard on candidates only
-    val cand = candidatesAcross(
+    // Jaccard on candidates only. Candidates are persisted (they are a
+    // small pair list consumed twice: the verify join AND the corpus-
+    // side pruning semi-join below) so the band join runs once.
+    val cand = graft.CacheScope.persist(candidatesAcross(
       bands(minhashSigs(bsrc, col("doc_id"), col("text"))),
-      bands(minhashSigs(corpusDocs, col("doc_id"), col("text"))))
+      bands(minhashSigs(corpusDocs, col("doc_id"), col("text")))))
+    // Shingle ONLY candidate corpus docs: without this semi-join the
+    // verify step would tokenize+shingle the whole corpus a third time —
+    // on the large-corpus/small-batch case this operator exists for,
+    // that's ~50% extra corpus-side cost for arrays a tiny join then
+    // discards.
+    val candCorpus = corpusDocs.join(
+      cand.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     val nearDups = cand
       .join(shingleArrays(bsrc, col("doc_id"), col("text"))
         .select(col("doc_id").as("id_a"), col("sh_arr").as("sa")), "id_a")
-      .join(shingleArrays(corpusDocs, col("doc_id"), col("text"))
+      .join(shingleArrays(candCorpus, col("doc_id"), col("text"))
         .select(col("doc_id").as("id_b"), col("sh_arr").as("sb")), "id_b")
       .filter(TextHashExprs.arrayJaccard(col("sa"), col("sb")) >= threshold)
       .select(col("id_a").as("doc_id")).distinct()

@@ -79,7 +79,11 @@ object Sharding {
       .drop("row_hash")
       .write.mode("overwrite").partitionBy("shard_id").parquet(s"$path/data")
 
-    val m = manifest(df, key, content, numShards).orderBy("shard_id")
+    // Manifest from the WRITTEN bytes, not a second scan+md5 of the
+    // source (that would double the export's I/O and CPU at 100 TB):
+    // the columnar re-read is cheap, and the manifest then describes
+    // what is actually on disk — the same recompute verify() trusts.
+    val m = recompute(df.sparkSession, path, key, content).orderBy("shard_id")
     val lines = m.collect().map { r =>
       s"""{"shard_id":${r.getLong(0)},"n_rows":${r.getLong(1)},"content_hash":${r.getLong(2)}}"""
     }
@@ -91,6 +95,18 @@ object Sharding {
     m
   }
 
+  /** Per-shard counts + hashes recomputed from the files under
+    * `path/data`, trusting nothing but bytes (shard_id rides in as the
+    * written layout's partition column). Shared by [[write]] (so the
+    * manifest describes what actually landed, with no second source
+    * scan) and [[verify]]. */
+  private def recompute(spark: org.apache.spark.sql.SparkSession, path: String,
+      key: Column, content: Column): DataFrame =
+    spark.read.parquet(s"$path/data")
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(rowHash(key, content)), lit(HashMod)).as("content_hash"))
+
   /** Integrity check (out2): recompute the manifest from the shard files
     * under `path/data` and diff it against the committed MANIFEST.json.
     * Returns one row per shard with `status`: `ok`, `count_mismatch`,
@@ -100,18 +116,15 @@ object Sharding {
     * as [[manifest]]) — no row-by-row compare against a second copy,
     * which is what makes the check affordable on a 100 TB export. */
   def verify(spark: org.apache.spark.sql.SparkSession, path: String,
-      key: Column, content: Column, numShards: Int): DataFrame = {
+      key: Column, content: Column): DataFrame = {
     val expected = spark.read
       .schema("shard_id LONG, n_rows LONG, content_hash LONG")
       .json(s"$path/MANIFEST.json")
       .withColumnRenamed("n_rows", "exp_rows")
       .withColumnRenamed("content_hash", "exp_hash")
-    // shard_id comes back as the partition column of the written layout;
-    // recompute the hash from file contents, trusting nothing but bytes
-    val actual = spark.read.parquet(s"$path/data")
-      .groupBy(col("shard_id").cast("long").as("shard_id"))
-      .agg(count(lit(1)).as("act_rows"),
-        pmod(sum(rowHash(key, content)), lit(HashMod)).as("act_hash"))
+    val actual = recompute(spark, path, key, content)
+      .withColumnRenamed("n_rows", "act_rows")
+      .withColumnRenamed("content_hash", "act_hash")
     expected.join(actual, Seq("shard_id"), "full_outer")
       .select(col("shard_id"), col("exp_rows"), col("act_rows"),
         col("exp_hash"), col("act_hash"),

@@ -791,11 +791,23 @@ object DataCatalog {
   // the shape that holds at 100 TB — computes the identical corpus.
   val dp2 = Q(
     (s, d) => {
+      // the result frame lazily reads the checkpoint tables, so the dir
+      // must outlive this builder — clean it at JVM exit instead of
+      // leaking one full phase-1 parquet copy per invocation into /tmp
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_curation_").toString
+      deleteAtExit(ckpt)
       ordered(graft.pipeline.Curation.run(s, d, ckpt))
     },
     Some(Dp1OracleSql))
+
+  private def deleteAtExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }))
 
   // EMB3 nearest-centroid assignment — the k-means assignment step (and
   // the building block for training a real IVF coarse quantizer):
@@ -1193,8 +1205,11 @@ object DataCatalog {
           lit("@mail.example.com or 555-123-4567 ref 9"),
           lpad(col("doc_id").cast("string"), 9, "0")))
       val clean = TextOps.scrubPii(withPii, col("doc_id"), col("text"))
+      // 2^20 chunks of headroom per doc (≈117M tokens at step 112) keeps
+      // chunk_key unique — Packing.pack's total-order precondition; a
+      // small multiplier would collide on book-length docs at scale
       val chunks = TextOps.chunk(clean, col("doc_id"), col("clean_text"), 128, 16)
-        .withColumn("chunk_key", col("doc_id") * 4096 + col("chunk_id"))
+        .withColumn("chunk_key", col("doc_id") * lit(1048576L) + col("chunk_id"))
       val packed = Packing.pack(chunks, col("chunk_key"), col("n_tokens"), 2048)
       ordered(packed.groupBy("pack_id")
         .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens")))
@@ -1211,7 +1226,7 @@ object DataCatalog {
       "chunks AS (SELECT doc_id, i // 112 AS chunk_id, " +
       "CAST(len(list_slice(tk, i + 1, i + 128)) AS BIGINT) AS n_tokens " +
       "FROM ctoks, unnest(range(0, greatest(1, len(tk) - 128 + 112), 112)) u(i)), " +
-      "keyed AS (SELECT doc_id * 4096 + chunk_id AS ck, n_tokens FROM chunks), " +
+      "keyed AS (SELECT doc_id * 1048576 + chunk_id AS ck, n_tokens FROM chunks), " +
       "run AS (SELECT ck, n_tokens, coalesce(sum(n_tokens) OVER (" +
       "ORDER BY ck ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM keyed) " +
       "SELECT prev // 2048 AS pack_id, CAST(count(*) AS BIGINT) AS n_chunks, " +

@@ -62,9 +62,16 @@ final case class ParquetStore(dir: String) extends TableStore {
   }
 
   override def writeSwap(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    // Seed the allocator from BOTH the in-memory pointer and the highest
+    // on-disk committed version: a fresh driver re-running a phase must
+    // claim a NEW directory, never overwrite the committed one a crashed
+    // run left behind (that rewrite could itself crash mid-write and
+    // destroy the only committed copy — the exact failure write-then-
+    // swap exists to prevent).
     val v = claims
       .computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicInteger(
-        Option(versions.get(name)).fold(0)(_.intValue())))
+        math.max(Option(versions.get(name)).fold(0)(_.intValue()),
+          committedVersion(name).getOrElse(0))))
       .incrementAndGet() // unique dir per concurrent writer
     val path = s"$dir/$name/v$v"
     df.write.mode(SaveMode.Overwrite).parquet(path)

@@ -32,7 +32,7 @@ class CliSpec extends AnyFunSuite {
     assert(m.count() > 0)
     assert(new java.io.File(s"$dir/MANIFEST.json").exists())
     import org.apache.spark.sql.functions.col
-    val v = Cli.resolve(spark, d, Seq("export", "--verify", dir, "--shards", "4"))
+    val v = Cli.resolve(spark, d, Seq("export", "--verify", dir))
     assert(v.filter(col("status") =!= "ok").count() == 0)
   }
 

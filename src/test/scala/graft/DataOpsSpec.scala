@@ -526,13 +526,13 @@ class DataOpsSpec extends AnyFunSuite {
     val big = spark.range(0, 400)
       .select(col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
     Sharding.write(big, col("doc_id"), col("text"), 4, dir)
-    val ok = Sharding.verify(spark, dir, col("doc_id"), col("text"), 4)
+    val ok = Sharding.verify(spark, dir, col("doc_id"), col("text"))
     assert(ok.filter(col("status") =!= "ok").count() == 0)
     // tamper: rewrite shard 2 with same ids but altered content
     val tampered = big.filter(Sharding.shardId(col("doc_id"), 4) === 2)
       .withColumn("text", concat(col("text"), lit("!")))
     tampered.coalesce(1).write.mode("overwrite").parquet(s"$dir/data/shard_id=2")
-    val bad = Sharding.verify(spark, dir, col("doc_id"), col("text"), 4)
+    val bad = Sharding.verify(spark, dir, col("doc_id"), col("text"))
       .filter(col("shard_id") === 2).select("status").as[String].collect()
     assert(bad.toSeq == Seq("hash_mismatch"))
   }

@@ -61,6 +61,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.table(spark, graft.pipeline.Curation.SurvivorsTable).count() > 0)
   }
 
+  test("writeSwap after a driver restart claims a NEW version, never the committed dir") {
+    val dir = java.nio.file.Files.createTempDirectory("swap_restart").toString
+    val t = "restart_table"
+    graft.sources.ParquetStore(dir)
+      .writeSwap(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$t/v1/_SUCCESS")))
+    // a FRESH store instance (new JVM in real life) re-runs the phase:
+    // it must allocate v2 — overwriting committed v1 in place would
+    // destroy the only committed copy if this rewrite crashed mid-write
+    val fresh = graft.sources.ParquetStore(dir)
+    fresh.writeSwap(spark, t, Seq((2L, "b")).toDF("id", "v"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$t/v2/_SUCCESS")))
+    assert(fresh.table(spark, t).as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    // and yet another fresh instance reads the v2 it committed
+    assert(graft.sources.ParquetStore(dir).table(spark, t)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+  }
+
   test("SyncPipeline releases operator-internal caches (CacheScope driver contract)") {
     import graft.operators.NearDup
     val sc = spark.sparkContext
