@@ -55,4 +55,18 @@ object Contamination {
       .filter(col("overlap") >= tau)
       .select(col("corpus_id"), col("bench_id"), col("hits"), col("overlap"))
   }
+
+  /** Decontaminate (c3): the corpus with every document flagged by
+    * [[flagged]] REMOVED — the action step after the scan, producing
+    * the training set that may actually be trained on. One left-anti
+    * join against the flagged ids; all the scan's scale properties
+    * (broadcast bench side, shared-shingle counting, df cap) carry
+    * over unchanged. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      id: Column, text: Column, tau: Double, n: Int = 3,
+      maxCorpusFreq: Option[Long] = None): DataFrame =
+    corpus.join(
+      flagged(corpus, bench, id, text, tau, n, maxCorpusFreq)
+        .select(col("corpus_id").as("__flagged_id")).distinct(),
+      id === col("__flagged_id"), "left_anti")
 }

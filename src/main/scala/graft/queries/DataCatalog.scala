@@ -706,6 +706,35 @@ object DataCatalog {
       "FROM h JOIN bcnt n ON n.doc_id = h.bench_id " +
       "WHERE h.hits::DOUBLE / n.n >= 0.5" + OBA))
 
+  // C3 — decontamination: the corpus MINUS every doc c1 flags — the
+  // action step after the scan, i.e. the training set that may actually
+  // be trained on. Output keeps provenance columns so a dropped-doc
+  // audit diffs c1 against this.
+  val c3 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      ordered(Contamination.decontaminate(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), 0.5)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+    },
+    Some("WITH ctoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id % 5 <> 0), " +
+      "csh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      "FROM ctoks, unnest(range(1, len(tk) - 1)) u(i)), " +
+      "btoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id % 5 = 0), " +
+      "bsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      "FROM btoks, unnest(range(1, len(tk) - 1)) u(i)), " +
+      "bcnt AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1), " +
+      "h AS (SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS hits " +
+      "FROM csh c JOIN bsh b ON c.sh = b.sh GROUP BY 1, 2), " +
+      "bad AS (SELECT DISTINCT h.corpus_id FROM h JOIN bcnt n ON n.doc_id = h.bench_id " +
+      "WHERE h.hits::DOUBLE / n.n >= 0.5) " +
+      "SELECT doc_id, lang, source, n_chars FROM documents d " +
+      "WHERE d.doc_id % 5 <> 0 AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.corpus_id = d.doc_id)" +
+      OBA))
+
   // DP1 — the composed curation flagship: the full corpus-preparation
   // pipeline a training run needs, as ONE declarative plan. exact dedup
   // (cheap md5 pass) → MinHash-LSH near-dup clustering, keep each
@@ -1261,5 +1290,5 @@ object DataCatalog {
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
-    "dp3_corpus_prep" -> dp3)
+    "dp3_corpus_prep" -> dp3, "c3_decontaminate" -> c3)
 }

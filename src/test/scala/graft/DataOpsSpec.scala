@@ -226,6 +226,20 @@ class DataOpsSpec extends AnyFunSuite {
     assert(capped == Set((40L, 5L)))
   }
 
+  test("decontaminate = corpus minus flagged docs, exactly") {
+    import graft.operators.Contamination
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bench = docs.filter(col("doc_id") % 5 === 0)
+    val flagged = Contamination.flagged(corpus, bench, col("doc_id"), col("text"), 0.5)
+      .select("corpus_id").as[Long].collect().toSet
+    val kept = Contamination.decontaminate(corpus, bench, col("doc_id"), col("text"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.intersect(flagged).isEmpty)
+    assert(kept.size + flagged.size == corpus.count())
+  }
+
   test("bloom semi-join: result equals plain semi-join; bloom pass actually prunes") {
     import graft.plans.BloomJoin
     val probe = (0L until 2000L).map(i => (i, i % 7)).toDF("k", "v")
