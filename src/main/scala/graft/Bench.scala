@@ -24,7 +24,8 @@ object Bench {
     "sim1_cosine_topk", "sim2_ivf_ann", "sim3_multiprobe_ann",
     "emb4_kmeans", "sim4_learned_ivf",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
-    "tx9_seq_packing", "tx10_chunking", "tx11_pii_scrub",
+    "tx9_seq_packing", "tx10_chunking", "tx11_pii_scrub", "tx12_repetition",
+    "sem1_semantic_dedup",
     "out1_shard_manifest", "mix1_corpus_mixture",
     "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
     "dp1_curation_pipeline", "dp2_curation_twophase",

@@ -82,6 +82,27 @@ object Sampling {
     df.filter(bucket(key) < rate)
   }
 
+  /** Deterministic train/val/test split (smp4): every row gets a split
+    * label from its key's md5 bucket — train = [0, 1000-val-test),
+    * val = next `valPermille`, test = the top `testPermille`. The same
+    * properties as [[bernoulli]] carry over: content-stable (a doc keeps
+    * its split across reruns, engines, and corpus growth — rows are
+    * never re-dealt when new data arrives, so yesterday's test set never
+    * leaks into today's train set), pure map, zero shuffle, oracle-
+    * reproducible. Partitions are disjoint and exhaustive by
+    * construction. */
+  def split(df: DataFrame, key: Column,
+      valPermille: Int = 10, testPermille: Int = 10): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"val+test permille must fit in [0,1000], got $valPermille+$testPermille")
+    val trainLim = 1000 - valPermille - testPermille
+    df.withColumn("split",
+      when(bucket(key) < trainLim, lit("train"))
+        .when(bucket(key) < trainLim + valPermille, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Exact top-k per group by an explicit deterministic order — the
     * grouped sibling of the global ORDER BY + LIMIT (W2). The window
     * shuffles once on the group key and the sort does map-side partial

@@ -143,4 +143,25 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos").as("cosine"))
   }
+
+  /** Semantic dedup (sem1, SemDeDup-style): drop every vector that has a
+    * SMALLER-id within-cell neighbor at cosine ≥ threshold; survivors
+    * keep their cell. The pruning rule is one pass and deterministic —
+    * "drop x iff ∃ y < x in x's cell with cos(x,y) ≥ τ" — the same
+    * min-id-survivor convention as the text dedup family (d1/d2), not a
+    * transitive clustering (that's d6's job; compose with it if cluster
+    * semantics are wanted). Blocked by the cell column, so the intended
+    * composition is cells learned by [[graft.operators.Clustering.kmeansAssign]]:
+    * cluster the corpus semantically, then prune redundancy inside each
+    * cell — prunes O(Σ cell²) pairs instead of O(N²).
+    *
+    * Scale shape: [[nearDupPairs]]'s banded equi-join on the cell plus
+    * one left-anti join — no cartesian node anywhere (ScaleSpec pins
+    * it). */
+  def semanticDedup(vectors: DataFrame, cellCol: String, threshold: Double): DataFrame = {
+    val dropIds = nearDupPairs(vectors, cellCol, threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    vectors.join(dropIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col(cellCol))
+  }
 }

@@ -143,6 +143,58 @@ object TextOps {
         IdRunRe, "<ID>").as("clean_text"))
   }
 
+  /** Longest run of equal adjacent elements in a SORTED array — i.e. the
+    * count of the most frequent element — computed as a left fold with a
+    * (prev, run, best) accumulator. Pure per-row expression: the
+    * shuffle-free way to get "top element count" without exploding the
+    * corpus into a token-level groupBy. */
+  private def maxRun(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Repetition quality metrics (tx12, Gopher-style): type-token ratio,
+    * most-frequent-token fraction, and most-frequent-bigram fraction —
+    * the "degenerate repetition" filters public pretraining pipelines
+    * apply alongside the length/stopword heuristics in [[quality]]. A
+    * document that loops the same phrase scores high top_*_frac and low
+    * distinct_ratio and gets gated out.
+    *
+    * Scale shape: pure map, zero shuffle. The per-token counts that a
+    * naive implementation gets from `explode + groupBy(doc, token)` (a
+    * corpus-wide shuffle of every token occurrence) come instead from
+    * sorting each doc's token array in place and folding the longest
+    * equal-adjacent run ([[maxRun]]) — O(n log n) per row, all inside
+    * the row's own partition. Bigrams are zip_with'd neighbor slices of
+    * the same array, same fold. Ratios stay raw int/int doubles
+    * (bit-identical across engines; round() diverges on halfway values).
+    * Tokens are lowercased whitespace tokens (the shingle convention). */
+  def repetition(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = F.tokens(lower(text))
+    val base = df.select(id.as("doc_id"), tk.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("distinct_tokens"),
+        maxRun(sort_array(col("tk"))).as("top_token_count"),
+        maxRun(sort_array(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => concat(a, lit(" "), b)))).as("top_bigram_count"))
+    base.select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+      (col("distinct_tokens").cast("double") / col("n_tokens")).as("distinct_ratio"),
+      col("top_token_count"),
+      (col("top_token_count").cast("double") / col("n_tokens")).as("top_token_frac"),
+      col("top_bigram_count"),
+      when(col("n_tokens") > 1,
+        col("top_bigram_count").cast("double") / (col("n_tokens") - 1))
+        .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Document fingerprint: position-weighted polynomial hash of tokens,
     * portable to the DuckDB oracle (sum over tokens of
     * (portableHash60(tok) mod 1000003) * position, as a long). Native

@@ -1261,6 +1261,73 @@ object DataCatalog {
       "SELECT prev // 2048 AS pack_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
       "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM run GROUP BY 1" + OBA))
 
+  // TX12 — repetition quality metrics (Gopher-style degenerate-text
+  // filters): type-token ratio, top-token fraction, top-bigram fraction.
+  // Spark computes the "most frequent element" counts WITHOUT a token-
+  // level shuffle (per-row sort + longest-equal-run fold); the oracle is
+  // the plain unnest + GROUP BY the map-side trick is equivalent to.
+  val tx12 = Q(
+    (s, d) => ordered(TextOps.repetition(documents(s, d), col("doc_id"), col("text"))),
+    Some("WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents), " +
+      "tk1 AS (SELECT doc_id, unnest(tk) AS t FROM toks), " +
+      "tc AS (SELECT doc_id, t, count(*) AS c FROM tk1 GROUP BY 1, 2), " +
+      "ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "CAST(count(*) AS BIGINT) AS distinct_tokens, " +
+      "CAST(max(c) AS BIGINT) AS top_token_count FROM tc GROUP BY 1), " +
+      "bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b FROM toks, " +
+      "unnest(range(1, len(tk))) u(i)), " +
+      "bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2), " +
+      "ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM bc GROUP BY 1) " +
+      "SELECT ta.doc_id, ta.n_tokens, ta.distinct_tokens, " +
+      "ta.distinct_tokens::DOUBLE / ta.n_tokens AS distinct_ratio, " +
+      "ta.top_token_count, ta.top_token_count::DOUBLE / ta.n_tokens AS top_token_frac, " +
+      "coalesce(ba.top_bigram_count, 0) AS top_bigram_count, " +
+      "CASE WHEN ta.n_tokens > 1 THEN coalesce(ba.top_bigram_count, 0)::DOUBLE / " +
+      "(ta.n_tokens - 1) ELSE 0.0 END AS top_bigram_frac " +
+      "FROM ta LEFT JOIN ba USING (doc_id)" + OBA))
+
+  // SMP4 — deterministic train/val/test split (980/10/10 permille):
+  // md5-bucket the doc id once, label by range. Content-stable (a doc
+  // never changes split as the corpus grows — no test-set leakage on
+  // refresh), pure map, disjoint + exhaustive by construction.
+  val smp4 = Q(
+    (s, d) => ordered(Sampling.split(documents(s, d), col("doc_id"), 10, 10)
+      .select(col("doc_id"), col("split"))),
+    Some("SELECT doc_id, CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val' " +
+      "ELSE 'test' END AS split FROM (SELECT doc_id, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS b " +
+      "FROM documents)" + OBA))
+
+  // SEM1 — semantic dedup (SemDeDup-style): learn coarse cells with the
+  // emb4 quantizer, then drop every vector with a smaller-id within-cell
+  // neighbor at cosine ≥ 0.4 (threshold calibrated to the synthetic
+  // fixture's cosine range — real embedding corpora sit near 0.95+; at
+  // sf0.01 it prunes 25 of 500). The at-scale composition the SemDeDup
+  // recipe prescribes: cluster semantically, prune redundancy inside
+  // cells — O(Σ cell²) pairs, never O(N²), and no cartesian node.
+  val sem1 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cells = Clustering.kmeansAssign(e, 10, 3)
+        .select(col("vec_id"), col("cid").as("cell"))
+      ordered(Similarity.semanticDedup(
+        e.join(cells, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("cell")), "cell", 0.4))
+    },
+    Some(kmeansCtes(3, 10) +
+      ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+      " AS cos FROM embeddings e CROSS JOIN c3 c), " +
+      "asg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
+      "FROM fin) WHERE rn = 1), " +
+      "v AS (SELECT e.vec_id, e.embedding, a.cell FROM embeddings e JOIN asg a USING (vec_id)), " +
+      "drops AS (SELECT DISTINCT b.vec_id FROM v a JOIN v b " +
+      "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      "WHERE " + cosSql("a.embedding", "b.embedding") + " >= 0.4) " +
+      "SELECT v.vec_id, v.cell FROM v " +
+      "WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.vec_id = v.vec_id)" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -1290,5 +1357,7 @@ object DataCatalog {
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
-    "dp3_corpus_prep" -> dp3, "c3_decontaminate" -> c3)
+    "dp3_corpus_prep" -> dp3, "c3_decontaminate" -> c3,
+    "tx12_repetition" -> tx12, "smp4_split" -> smp4,
+    "sem1_semantic_dedup" -> sem1)
 }

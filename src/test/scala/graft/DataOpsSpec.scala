@@ -551,6 +551,49 @@ class DataOpsSpec extends AnyFunSuite {
     assert(bad.toSeq == Seq("hash_mismatch"))
   }
 
+  test("repetition metrics: counts, ratios, and single-token edge") {
+    val d = Seq((1L, "a a a b"), (2L, "x"), (3L, "p q p q p q")).toDF("doc_id", "text")
+    val got = TextOps.repetition(d, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Long, Double, Long, Double)].collect()
+    // doc 1: 4 tokens, 2 distinct, top token "a"×3, bigrams {a a, a a, a b} → top 2
+    assert(got(0) == ((1L, 4L, 2L, 0.5, 3L, 0.75, 2L, 2.0 / 3)))
+    // doc 2: single token → no bigrams, frac pinned to 0.0 (not null/NaN)
+    assert(got(1) == ((2L, 1L, 1L, 1.0, 1L, 1.0, 0L, 0.0)))
+    // doc 3: "p q" repeats 3× in 5 bigrams
+    assert(got(2)._7 == 3L && got(2)._8 == 0.6)
+  }
+
+  test("split: disjoint+exhaustive labels, content-stable under corpus growth") {
+    import graft.operators.Sampling
+    val full = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val labeled = Sampling.split(full, col("doc_id"), 100, 100)
+    val counts = labeled.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000)
+    // md5 buckets are close to uniform: train ≈ 80%, val/test ≈ 10% each
+    assert(counts("train") > 1500 && counts("val") > 100 && counts("test") > 100)
+    // determinism + stability: a doc's split in a subset corpus equals its
+    // split in the full corpus (labels are content-keyed, never re-dealt)
+    val sub = Sampling.split(full.filter(col("doc_id") < 500), col("doc_id"), 100, 100)
+    val joined = sub.as("a").join(labeled.as("b"), "doc_id")
+      .filter(col("a.split") =!= col("b.split"))
+    assert(joined.count() == 0)
+  }
+
+  test("semanticDedup: drops any vector with a smaller within-cell neighbor") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f), 0L),   // survives (smallest in cell 0)
+      (2L, Array(1.0f, 0.01f), 0L),  // cos(1,2)≈1 → dropped
+      (3L, Array(0.0f, 1.0f), 0L),   // orthogonal to 1 and 2 → survives
+      (4L, Array(1.0f, 0.02f), 1L),  // other cell: survives despite cos≈1 vs 1/2
+      (5L, Array(1.0f, 0.03f), 1L)   // dropped by 4 (same cell)
+    ).toDF("vec_id", "embedding", "cell")
+    val got = Similarity.semanticDedup(vs, "cell", 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L))
+  }
+
   test("multimodal resize: aspect-preserving fit, never upscales") {
     val feats = Multimodal.extractFeatures(Multimodal.asMedia(docs))
     val out = Multimodal.resizeMeta(feats, 32)

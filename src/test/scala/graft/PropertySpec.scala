@@ -207,6 +207,58 @@ class PropertySpec extends AnyFunSuite {
     words <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "x9", "k"))
   } yield (id, words.mkString(" "))
 
+  test("repetition metrics == driver-side token counting for random docs") {
+    import graft.operators.TextOps
+    forAll(Gen.listOf(docGen).map(_.distinctBy(_._1))) { docs =>
+      whenever(docs.nonEmpty) {
+        val got = TextOps.repetition(docs.toDF("doc_id", "text"),
+            col("doc_id"), col("text"))
+          .as[(Long, Long, Long, Double, Long, Double, Long, Double)]
+          .collect().map(r => r._1 -> r).toMap
+        docs.foreach { case (id, text) =>
+          val tk = text.trim.toLowerCase.split("\\s+").toSeq
+          val n = tk.length.toLong
+          val topTok = tk.groupBy(identity).values.map(_.length).max.toLong
+          val bigrams = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+          val topBi = if (bigrams.isEmpty) 0L
+            else bigrams.groupBy(identity).values.map(_.length).max.toLong
+          val (gid, gn, gd, gdr, gt, gtf, gb, gbf) = got(id)
+          assert((gn, gd, gt, gb) == ((n, tk.distinct.length.toLong, topTok, topBi)), s"doc $id")
+          assert(gdr == tk.distinct.length.toDouble / n && gtf == topTok.toDouble / n)
+          assert(gbf == (if (n > 1) topBi.toDouble / (n - 1) else 0.0))
+        }
+      }
+    }
+  }
+
+  test("semanticDedup == brute-force within-cell pruning on random vectors") {
+    import graft.operators.Similarity
+    val vecGen = Gen.listOf(for {
+      id <- Gen.choose(0L, 3000L)
+      cell <- Gen.choose(0L, 3L)
+      v <- Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat))
+    } yield (id, v.toArray, cell)).map(_.distinctBy(_._1))
+      // zero vectors make cosine NaN — out of the operator's domain
+      .map(_.filter(_._2.exists(_ != 0f)))
+    forAll(vecGen) { vs =>
+      whenever(vs.nonEmpty) {
+        val df = vs.toDF("vec_id", "embedding", "cell").repartition(5)
+        val got = Similarity.semanticDedup(df, "cell", 0.95)
+          .select("vec_id").as[Long].collect().toSet
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          def d(x: Array[Float], y: Array[Float]) =
+            x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+          d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+        }
+        val want = vs.filter { case (id, v, c) =>
+          !vs.exists { case (id2, v2, c2) =>
+            c2 == c && id2 < id && cos(v2, v) >= 0.95 }
+        }.map(_._1).toSet
+        assert(got == want)
+      }
+    }
+  }
+
   test("chunking: full coverage, exact overlap, short-only-at-tail for random docs") {
     import graft.operators.TextOps
     forAll(Gen.listOf(docGen).map(_.distinctBy(_._1))) { docs =>

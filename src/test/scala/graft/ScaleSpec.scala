@@ -225,6 +225,24 @@ class ScaleSpec extends AnyFunSuite {
       s"assignment should shuffle once (argmax agg), got ${shuffles.size}")
   }
 
+  test("semanticDedup plans equi-joins only: no cartesian, no nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    // plan shape is independent of cell provenance, so the fixture label
+    // stands in for learned cells here (sem1's kmeans is plan-tested by
+    // the pq/assign tests; this pins the PRUNE stage's join shape)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label").as("cell"))
+    val survivors = Similarity.semanticDedup(e, "cell", 0.4)
+    survivors.write.format("noop").mode("overwrite").save()
+    val bad = nodes(survivors).collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty, s"non-equi join in semanticDedup plan: $bad")
+  }
+
   test("mixture filter is a pure map: no shuffle beyond the S-row rate lookup") {
     import graft.operators.Sampling
     import graft.sources.Tables
