@@ -195,6 +195,31 @@ object TextOps {
         .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Corpus report (qc1): the per-(stratum) "dataset card" a pipeline
+    * emits before training — doc counts, token/char totals, mean doc
+    * length, and the high-quality share (score ≥ threshold, reusing
+    * [[qualityCols]]'s composite).
+    *
+    * Determinism across engines: every aggregate is an INTEGER sum or
+    * count (one final int/int division for the mean), and the quality
+    * gate is a per-row comparison on a value both engines compute
+    * bit-identically — never a float SUM, whose partial-sum
+    * reassociation under partitioning would drift from the oracle's
+    * serial fold. Scale shape: one hash shuffle onto the (low-
+    * cardinality) stratum keys with map-side partials. */
+  def corpusReport(df: DataFrame, strata: Seq[String], text: Column,
+      qualityThreshold: Double = 0.8): DataFrame = {
+    val (nChars, nWords, _, _, score) = qualityCols(text)
+    df.select(strata.map(col) :+ nChars.as("nc") :+ nWords.as("nw") :+
+        (score >= qualityThreshold).cast("long").as("hq"): _*)
+      .groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_tokens"),
+        sum(col("nc")).as("total_chars"),
+        (sum(col("nw")).cast("double") / count(lit(1))).as("avg_doc_tokens"),
+        sum(col("hq")).as("n_high_quality"))
+  }
+
   /** Document fingerprint: position-weighted polynomial hash of tokens,
     * portable to the DuckDB oracle (sum over tokens of
     * (portableHash60(tok) mod 1000003) * position, as a long). Native

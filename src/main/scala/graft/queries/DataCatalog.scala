@@ -1328,6 +1328,30 @@ object DataCatalog {
       "SELECT v.vec_id, v.cell FROM v " +
       "WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.vec_id = v.vec_id)" + OBA))
 
+  // QC1 — corpus report: the per-(lang, source) "dataset card" emitted
+  // before training (doc counts, token/char totals, mean doc length,
+  // high-quality share at score ≥ 0.8). Every aggregate is an integer
+  // sum/count (one final int/int division) and the quality gate is a
+  // per-row comparison — no float SUM whose reassociation under
+  // partitioning could drift from the oracle's serial fold.
+  val qc1 = Q(
+    (s, d) => ordered(TextOps.corpusReport(
+      documents(s, d), Seq("lang", "source"), col("text"))),
+    Some("WITH t AS (SELECT lang, source, CAST(length(text) AS BIGINT) AS nc, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents), " +
+      "m AS (SELECT lang, source, nc, CAST(len(tk) AS BIGINT) AS nw, " +
+      "nc::DOUBLE / len(tk) AS awl, " +
+      "len(list_filter(tk, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(tk) AS sr " +
+      "FROM t), " +
+      "q AS (SELECT lang, source, nc, nw, " +
+      "least(1.0, nw::DOUBLE / 50) * 0.5 + least(1.0, sr * 5) * 0.3 + " +
+      "(CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END) AS score FROM m) " +
+      "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(nw) AS BIGINT) AS total_tokens, CAST(sum(nc) AS BIGINT) AS total_chars, " +
+      "sum(nw)::DOUBLE / count(*) AS avg_doc_tokens, " +
+      "CAST(sum(CASE WHEN score >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality " +
+      "FROM q GROUP BY lang, source" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -1359,5 +1383,5 @@ object DataCatalog {
     "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
     "dp3_corpus_prep" -> dp3, "c3_decontaminate" -> c3,
     "tx12_repetition" -> tx12, "smp4_split" -> smp4,
-    "sem1_semantic_dedup" -> sem1)
+    "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1)
 }
