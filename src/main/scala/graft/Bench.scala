@@ -3,16 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}}. Each query is
-  * forced end-to-end (including sorts) with a noop-format write — no
-  * collect, no driver materialization.
+  * prints the official record {"metric":"total",...,"queries":{medians}}
+  * as the LAST stdout line (compact — the driver tails stdout with a
+  * byte bound). Each query is forced end-to-end (including sorts) with a
+  * noop-format write — no collect, no driver materialization.
   *
   * Repetitions: the whole headline runs SPARK_GRAFT_REPS times (default
   * 3) inside one session, and each query reports its MEDIAN — this box
   * has noisy-neighbor variance that made single-shot records misstate a
   * round by multiple seconds (r5: four of five "regressions" vanished
-  * on re-run). `lo`/`hi` carry the per-query min/max so a reader can
-  * tell a stable number from a lucky one. */
+  * on re-run). The per-query min/max spread prints on its own
+  * {"metric":"spread",...} line just above the record so a reader can
+  * tell a stable number from a lucky one without bloating the record. */
 object Bench {
   val headline: Seq[String] = Seq(
     "mbr1_members_by_club", "mbr3_members_all", "mh1_membership_history",
@@ -105,8 +107,16 @@ object Bench {
       .flatMap(samples.get).filter(_.nonEmpty).map(median).sum +
       errors.size * failPenaltySec
     val ej = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"lo":$loJ,"hi":$hiJ,"reps":$reps,"errors":$ej,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing the record so no stray log line can land
+    // after it, then emit the official record as the LAST stdout line and
+    // keep it SMALL (medians + errors only). The per-query min/max spread
+    // goes on its own earlier line: the driver captures a bounded tail of
+    // stdout, and rounds 5–6 lost the medians block because one huge line
+    // (medians+lo+hi) was cut from the front by that tail capture.
     spark.stop()
+    println(f"""{"metric":"spread","lo":$loJ,"hi":$hiJ}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"reps":$reps,"errors":$ej,"sf":"$sfDir"}""")
+    System.out.flush()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.mkString(", ")}")
       sys.exit(1)

@@ -1143,6 +1143,33 @@ object DataCatalog {
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 1000000007 AS row_hash " +
       "FROM documents) GROUP BY shard_id" + OBA))
 
+  // OUT2 — shard-export integrity verifier, oracle-gated end to end: the
+  // entry exports `documents` as 8 deterministic shards to a fixed
+  // scratch dir, then runs Sharding.verify — one agg pass over the
+  // written bytes, full-outer diffed against the committed
+  // MANIFEST.json. The oracle re-derives the SAME diff straight from the
+  // shard parquet + manifest (both plain files DuckDB reads), so one
+  // entry cross-checks the written bytes, the manifest contract, and the
+  // verifier's status semantics. The path must be a literal: the oracle
+  // string is static SQL the driver replays after the Spark run.
+  private val Out2Dir = "/tmp/graft_out2_shards"
+  val out2 = Q(
+    (s, d) => {
+      Sharding.write(documents(s, d), col("doc_id"), col("text"), 8, Out2Dir)
+      ordered(Sharding.verify(s, Out2Dir, col("doc_id"), col("text")))
+    },
+    Some("WITH exp AS (SELECT shard_id, n_rows AS exp_rows, content_hash AS exp_hash " +
+      s"FROM read_json('$Out2Dir/MANIFEST.json', format = 'newline_delimited', " +
+      "columns = {shard_id: 'BIGINT', n_rows: 'BIGINT', content_hash: 'BIGINT'})), " +
+      "act AS (SELECT CAST(shard_id AS BIGINT) AS shard_id, CAST(count(*) AS BIGINT) AS act_rows, " +
+      "CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT " +
+      "% 1000000007) % 1000000007 AS BIGINT) AS act_hash " +
+      s"FROM read_parquet('$Out2Dir/data/*/*.parquet', hive_partitioning = 1) GROUP BY 1) " +
+      "SELECT shard_id, exp_rows, act_rows, exp_hash, act_hash, " +
+      "CASE WHEN exp_rows IS NULL THEN 'extra_shard' WHEN act_rows IS NULL THEN 'missing_shard' " +
+      "WHEN exp_rows <> act_rows THEN 'count_mismatch' WHEN exp_hash <> act_hash THEN 'hash_mismatch' " +
+      "ELSE 'ok' END AS status FROM exp FULL OUTER JOIN act USING (shard_id)" + OBA))
+
   // TX9 — token-budget sequence packing: docs in id order, pack =
   // floor(exclusive running token sum / 2048) — the batch-prep step
   // between a curated corpus and example concatenation. Spark side is
@@ -1158,7 +1185,7 @@ object DataCatalog {
       "FROM documents), " +
       "s AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (" +
       "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t) " +
-      "SELECT doc_id, n_tokens, prev // 2048 AS pack_id FROM s" + OBA))
+      "SELECT doc_id, n_tokens, CAST(prev // 2048 AS BIGINT) AS pack_id FROM s" + OBA))
 
   // TX10 — context-length chunking: fixed 128-token windows, 16-token
   // overlap (step 112), last chunk short, provenance kept. A pure
@@ -1258,7 +1285,7 @@ object DataCatalog {
       "keyed AS (SELECT doc_id * 1048576 + chunk_id AS ck, n_tokens FROM chunks), " +
       "run AS (SELECT ck, n_tokens, coalesce(sum(n_tokens) OVER (" +
       "ORDER BY ck ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM keyed) " +
-      "SELECT prev // 2048 AS pack_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+      "SELECT CAST(prev // 2048 AS BIGINT) AS pack_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
       "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM run GROUP BY 1" + OBA))
 
   // TX12 — repetition quality metrics (Gopher-style degenerate-text
@@ -1377,7 +1404,8 @@ object DataCatalog {
     "w5_grouped_topk" -> w5, "c1_contamination" -> c1,
     "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1,
     "dp2_curation_twophase" -> dp2,
-    "out1_shard_manifest" -> out1, "tx9_seq_packing" -> tx9,
+    "out1_shard_manifest" -> out1, "out2_shard_verify" -> out2,
+    "tx9_seq_packing" -> tx9,
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,

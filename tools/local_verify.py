@@ -39,18 +39,28 @@ def main():
             continue
         try:
             o = con.sql(sql)
-            ocols, orows = o.columns, o.fetchall()
+            ocols, orows, otypes = o.columns, o.fetchall(), [str(t) for t in o.types]
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:300]}")
             bad += 1
             continue
         try:
             sq = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols, srows = sq.columns, sq.fetchall()
+            scols, srows, stypes = sq.columns, sq.fetchall(), [str(t) for t in sq.types]
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {str(e)[:200]}")
             bad += 1
             continue
+        # Declared-type check: the driver's hash is typed, so an oracle
+        # column promoted to e.g. HUGEINT (DuckDB widens windowed
+        # sum(BIGINT)) hash-mismatches even when values are identical.
+        otmap = dict(zip(ocols, otypes))
+        stmap = dict(zip(scols, stypes))
+        tdiff = [(c, stmap[c], otmap[c]) for c in sorted(set(ocols) & set(scols))
+                 if stmap[c] != otmap[c]]
+        for c, st, ot in tdiff:
+            print(f"WARN {name}: column '{c}' type spark={st} vs oracle={ot}"
+                  " (driver's typed hash will mismatch)")
         oc, orws = rows_canon(ocols, orows)
         sc, srws = rows_canon(scols, srows)
         if oc != sc:
