@@ -19,6 +19,7 @@ import graft.queries._
   *   runMain graft.Cli <sfDir> leadership for-clubs [--as-of 2000-06-01 | --all]
   *   runMain graft.Cli <sfDir> leadership for-region <uid> [...]
   *   runMain graft.Cli <sfDir> curate | contamination
+  *   runMain graft.Cli <sfDir> corpus-prep --checkpoint-dir <dir> --out <dir> [--shards N]
   *   runMain graft.Cli <sfDir> query <catalog-entry-name>
   */
 object Cli {
@@ -81,6 +82,15 @@ object Cli {
         graft.pipeline.Curation.run(spark, d, dir)
       case Seq("contamination") =>
         DataCatalog.c1.build(spark, d)
+      // the full production corpus-prep path: two-phase checkpointed
+      // curation → scrub → chunk → pack → shard export → verify; prints
+      // the per-pack receipt (fails hard if the export doesn't verify)
+      case Seq("corpus-prep", "--checkpoint-dir", ckpt, "--out", out, rest @ _*) =>
+        val shards = rest match {
+          case Seq("--shards", n, _*) => n.toInt
+          case _                      => 8
+        }
+        graft.pipeline.CorpusPrep.run(spark, d, ckpt, out, shards)
       // deterministic shard export of the curated corpus (out1) and the
       // one-pass integrity check of a previous export (out2); both print
       // the manifest/diff rows as the JSON result

@@ -1250,8 +1250,11 @@ object DataCatalog {
   // packing → per-pack stats. One declarative plan whose final hashes
   // depend on every stage upstream — the strongest composition check
   // the catalog has: a boundary error in any of the six stages moves
-  // the pack totals. Scale shape is the stages' own (nothing new): the
-  // post-curation stages are pure maps + the two-level prefix sum.
+  // the pack totals. The scrub→chunk→pack body is CorpusPrep's own
+  // (the `Cli corpus-prep` production path), so the oracle-gated entry
+  // and the CLI pipeline cannot drift. Scale shape is the stages' own
+  // (nothing new): the post-curation stages are pure maps + the
+  // two-level prefix sum.
   val dp3 = Q(
     (s, d) => {
       val docs = documents(s, d)
@@ -1260,15 +1263,8 @@ object DataCatalog {
         .withColumn("text", concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@mail.example.com or 555-123-4567 ref 9"),
           lpad(col("doc_id").cast("string"), 9, "0")))
-      val clean = TextOps.scrubPii(withPii, col("doc_id"), col("text"))
-      // 2^20 chunks of headroom per doc (≈117M tokens at step 112) keeps
-      // chunk_key unique — Packing.pack's total-order precondition; a
-      // small multiplier would collide on book-length docs at scale
-      val chunks = TextOps.chunk(clean, col("doc_id"), col("clean_text"), 128, 16)
-        .withColumn("chunk_key", col("doc_id") * lit(1048576L) + col("chunk_id"))
-      val packed = Packing.pack(chunks, col("chunk_key"), col("n_tokens"), 2048)
-      ordered(packed.groupBy("pack_id")
-        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens")))
+      ordered(graft.pipeline.CorpusPrep.packStats(
+        graft.pipeline.CorpusPrep.packedChunks(withPii)))
     },
     Some("WITH RECURSIVE " + Dp1Ctes + ", " +
       "pii AS (SELECT c.doc_id, c.text || ' contact user' || c.doc_id || " +

@@ -61,6 +61,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(store.table(spark, graft.pipeline.Curation.SurvivorsTable).count() > 0)
   }
 
+  test("corpus-prep Cli verb ≡ direct operator composition, and the export verifies") {
+    val ckpt = java.nio.file.Files.createTempDirectory("corpusprep_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("corpusprep_out").toString
+    val cli = graft.queries.Catalog.ordered(Cli.resolve(spark, sf,
+      Seq("corpus-prep", "--checkpoint-dir", ckpt, "--out", out, "--shards", "4")))
+      .collect().toSeq
+    CacheScope.releaseAll()
+    // reference: the same stages composed directly over the fused dp1
+    // curation (two-phase ≡ fused is pinned by the test above)
+    val curated = graft.sources.Tables.documents(spark, sf).join(
+      graft.queries.DataCatalog.dp1.build(spark, sf).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val direct = graft.queries.Catalog.ordered(graft.pipeline.CorpusPrep.packStats(
+      graft.pipeline.CorpusPrep.packedChunks(curated))).collect().toSeq
+    CacheScope.releaseAll()
+    assert(cli == direct)
+    assert(cli.nonEmpty)
+    // the export is complete and internally consistent: committed
+    // manifest + every shard re-verifies ok from its written bytes
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/MANIFEST.json")))
+    val status = graft.operators.Sharding.verify(spark, out,
+      col("chunk_key"), col("chunk_text"))
+    assert(status.count() == 4)
+    assert(status.filter(col("status") =!= "ok").count() == 0)
+  }
+
   test("writeSwap after a driver restart claims a NEW version, never the committed dir") {
     val dir = java.nio.file.Files.createTempDirectory("swap_restart").toString
     val t = "restart_table"
