@@ -24,6 +24,7 @@ object Bench {
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash_pairs", "d4_ngram_jaccard",
     "d8_incremental_dedup",
     "sim1_cosine_topk", "sim2_ivf_ann", "sim3_multiprobe_ann",
+    "sim3b_centroid_multiprobe", "sim5_ivfpq_ann",
     "emb4_kmeans", "sim4_learned_ivf",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
     "tx9_seq_packing", "tx10_chunking", "tx11_pii_scrub", "tx12_repetition",

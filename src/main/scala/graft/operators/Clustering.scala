@@ -87,8 +87,17 @@ object Clustering {
   /** Train the coarse quantizer: `iters` Lloyd rounds from the k
     * smallest-id seeds. Returns the final centroids (cid, cv) as a
     * local k-row DataFrame. Empty cells keep their previous centroid
-    * (deterministic; the oracle's LEFT JOIN + coalesce twin). */
-  def kmeans(vectors: DataFrame, k: Int, iters: Int, dim: Int = 64): DataFrame = {
+    * (deterministic; the oracle's LEFT JOIN + coalesce twin).
+    *
+    * `strictMeans = true` (default) is the bitwise-reproducible fold —
+    * the verified configuration, bounded by the largest cell fitting an
+    * executor. `strictMeans = false` trains through [[updateMeansFast]]
+    * instead: unbounded cell size, statistically identical centroids
+    * (parity-tested within float tolerance in DataOpsSpec), NOT bitwise
+    * stable across partitionings — the knob to flip when a 100 TB
+    * corpus's cells outgrow the strict path. */
+  def kmeans(vectors: DataFrame, k: Int, iters: Int, dim: Int = 64,
+      strictMeans: Boolean = true): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // model state: k×dim floats on the driver (the only collect — the
@@ -100,7 +109,8 @@ object Clustering {
     var it = 0
     while (it < iters) {
       val asg = assign(vectors, cents.toDF("cid", "cv"))
-      val upd = updateMeansStrict(asg, vectors, dim)
+      val upd = (if (strictMeans) updateMeansStrict(asg, vectors, dim)
+                 else updateMeansFast(asg, vectors))
         .as[(Long, Seq[Float])].collect().toMap
       cents = cents.map { case (c, old) => c -> upd.getOrElse(c, old) }
       it += 1
@@ -128,12 +138,23 @@ object Clustering {
       dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    (0 until m).map { s =>
-      val sliced = vectors.select(col("vec_id"),
-        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
-      kmeans(sliced, k, iters, sub)
-        .select(lit(s.toLong).as("sub"), col("cid"), col("cv"))
-    }.reduce(_.unionByName(_))
+    // the m codebooks are INDEPENDENT trainings — submit them as
+    // concurrent Spark jobs (Lloyd rounds are inherently sequential
+    // within one subspace, but nothing orders subspaces against each
+    // other); results stay deterministic because each training is, and
+    // the union is by explicit `sub` id, not completion order
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trained = (0 until m).map { s =>
+      Future {
+        val sliced = vectors.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+        kmeans(sliced, k, iters, sub)
+          .select(lit(s.toLong).as("sub"), col("cid"), col("cv"))
+      }
+    }
+    trained.map(Await.result(_, Duration.Inf)).reduce(_.unionByName(_))
   }
 
   /** PQ code assignment: explode each vector into its m subvectors

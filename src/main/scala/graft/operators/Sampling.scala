@@ -96,6 +96,8 @@ object Sampling {
     require(valPermille >= 0 && testPermille >= 0 &&
       valPermille + testPermille <= 1000,
       s"val+test permille must fit in [0,1000], got $valPermille+$testPermille")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column; withColumn would silently replace it")
     val trainLim = 1000 - valPermille - testPermille
     df.withColumn("split",
       when(bucket(key) < trainLim, lit("train"))

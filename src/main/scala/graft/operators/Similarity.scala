@@ -99,16 +99,22 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** IVF multi-probe ANN: each query probes its own coarse cell plus
-    * `nprobe - 1` ring-adjacent cells ((cell ± i) mod numCells) — the
-    * recall lever real IVF indexes use when the nearest neighbor falls
-    * just across a cell boundary. Candidate generation stays an
-    * equi-join on cell id: the query side fans out ×nprobe (map-side
-    * explode, no extra shuffle of the corpus), and because every
-    * corpus vector lives in exactly one cell the probe union is
-    * duplicate-free by construction. Recall ⊇ single-probe topKIvf at
-    * ×nprobe candidate cost — still O(N·nprobe/numCells) per query,
-    * never O(N). */
+  /** IVF multi-probe ANN over a FIXTURE cell column: each query probes
+    * its own coarse cell plus `nprobe - 1` ring-adjacent cells
+    * ((cell ± i) mod numCells). Candidate generation stays an equi-join
+    * on cell id: the query side fans out ×nprobe (map-side explode, no
+    * extra shuffle of the corpus), and because every corpus vector
+    * lives in exactly one cell the probe union is duplicate-free by
+    * construction. Recall ⊇ single-probe topKIvf at ×nprobe candidate
+    * cost — still O(N·nprobe/numCells) per query, never O(N).
+    *
+    * The ring is metric-BLIND — id-adjacent cells are not cosine-
+    * adjacent centroids, so the extra candidates buy near-random recall.
+    * It exists for corpora whose cell column is an opaque label with no
+    * centroids to rank. When centroids are available (emb4 training),
+    * use the centroid-ranked overload below: same candidate cost,
+    * strictly better recall per candidate (property-tested in
+    * DataOpsSpec). */
   def topKMultiProbe(vectors: DataFrame, cellCol: String, k: Int,
       numCells: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= numCells,
@@ -124,6 +130,117 @@ object Similarity {
       "query_id", "qv", "qn")
     val c = withNorm(vectors.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"), col(cellCol).as("cell")), "neighbor_id", "cv", "cn")
+    val scored = q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** IVF-PQ top-k via ASYMMETRIC DISTANCE COMPUTATION (ADC) — the real
+    * IVF-PQ scan. The corpus side never carries floats into the scoring
+    * join: each corpus vector is its m PQ codes (small ints) plus one
+    * precomputed reconstruction-norm² double. Each QUERY precomputes its
+    * m×k table of sub-centroid dot products against the broadcast
+    * codebook (tiny — k·m doubles per query), and scoring a candidate is
+    * m map lookups folded in subspace order:
+    *
+    *   cos(q, rec(c)) = Σ_s qd[s][code_s] / (‖q‖ · sqrt(Σ_s cn2[s][code_s]))
+    *
+    * identical math to scoring against [[Clustering.pqReconstruct]]
+    * output, with ~dim/m× less scan arithmetic and no transient
+    * full-vector materialization. Determinism contract: both Σ folds run
+    * in ascending-subspace order (sorted struct arrays + aggregate's
+    * strict left fold), each qd/cn2 is FloatDotProduct's strict fold, so
+    * the DuckDB oracle (list_reduce over sub-ordered lists) reproduces
+    * every cosine bit-for-bit.
+    *
+    * `queries` = (vec_id, embedding, cell); `codes` = pqAssign output
+    * (vec_id, sub, code); `codebook` = pqTrain output (sub, cid, cv);
+    * `corpusCells` = (vec_id, cell) coarse routing. */
+  def topKIvfPq(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+      corpusCells: DataFrame, k: Int, m: Int = 8, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    // corpus scan payload: m (sub, code) ints + Σ cn2 — no embedding col
+    val cbn = codebook.select(col("sub"), col("cid"),
+      dot(col("cv"), col("cv")).as("cn2"))
+    val corpus = codes.alias("a")
+      .join(broadcast(cbn.alias("b")),
+        col("a.sub") === col("b.sub") && col("a.code") === col("b.cid"))
+      .select(col("a.vec_id").as("vec_id"), col("a.sub").as("sub"),
+        col("a.code").as("code"), col("b.cn2").as("cn2"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"), col("cn2")))).as("scs"))
+      .select(col("vec_id").as("neighbor_id"),
+        expr("transform(scs, x -> struct(x.sub AS sub, x.code AS code))").as("codes"),
+        expr("aggregate(scs, 0D, (acc, x) -> acc + x.cn2)").as("rn2"))
+      .join(corpusCells.select(col("vec_id").as("neighbor_id"), col("cell")),
+        Seq("neighbor_id"))
+    // per-query ADC table: map sub -> (map code -> dot(q_sub, sub-centroid))
+    val parts = queries.select(col("vec_id"),
+        explode(array((0 until m).map(sx =>
+          struct(lit(sx.toLong).as("sub"),
+            slice(col("embedding"), sx * subDim + 1, subDim).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    val qtab = parts.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        dot(col("sv"), col("cv")).as("qd"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(map_from_entries(collect_list(struct(col("cid"), col("qd")))).as("mp"))
+      .groupBy(col("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("mp")))).as("qdt"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("cell"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+      .join(qtab.select(col("vec_id").as("query_id"), col("qdt")), Seq("query_id"))
+    val scored = q.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("aggregate(codes, 0D, (acc, x) -> acc + qdt[x.sub][x.code])") /
+          (col("qn") * sqrt(col("rn2")))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Rank every centroid per vector by [[Clustering.assign]]'s scoring
+    * (cosine desc, min-cid tie-break): (vec_id, cid, crank). The cross
+    * join is against the BROADCAST k-row centroid model — N×k rows, a
+    * pure map — and the rank window partitions by vec_id. */
+  private def rankCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("embedding"), col("cv")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+           sqrt(dot(col("cv"), col("cv"))))).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("crank", row_number().over(w))
+  }
+
+  /** Metric-aware IVF multi-probe ANN on LEARNED centroids (the real
+    * multi-probe): each query probes the `nprobe` centroids NEAREST to
+    * it — ranked by the same cosine/min-cid scoring the quantizer
+    * assigns with ([[Clustering.assign]]) — instead of id-ring
+    * neighbors. Corpus vectors live in their rank-1 cell; query
+    * candidates fan out to rank ≤ nprobe cells, so recall ⊇ single-
+    * probe by construction and every extra candidate comes from a cell
+    * the query is actually close to. `cents` is the k-row (cid, cv)
+    * model from [[Clustering.kmeans]] — broadcast, never shuffled; the
+    * corpus side still moves only through one equi-join on cell id. */
+  def topKMultiProbe(vectors: DataFrame, cents: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val ranked = rankCells(vectors, cents)
+    val q = withNorm(vectors.join(
+        ranked.filter(col("crank") <= nprobe)
+          .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("cell")), "query_id", "qv", "qn")
+    val c = withNorm(vectors.join(
+        ranked.filter(col("crank") === 1)
+          .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("cell")), "neighbor_id", "cv", "cn")
     val scored = q.join(c, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
@@ -157,7 +274,15 @@ object Similarity {
     *
     * Scale shape: [[nearDupPairs]]'s banded equi-join on the cell plus
     * one left-anti join — no cartesian node anywhere (ScaleSpec pins
-    * it). */
+    * it).
+    *
+    * Domain: vectors must have NON-ZERO norm. A zero vector's cosine is
+    * NaN, and both engines order NaN above any threshold, so a zero
+    * vector is silently DROPPED whenever a smaller-id cell-mate exists
+    * (and keeps cell-mates it should arguably not match). Filter zero
+    * vectors out (or L2-normalize via emb2) before deduping; the same
+    * caveat applies to [[nearDupPairs]], whose pairs carry NaN cosines
+    * for zero-vector members. */
   def semanticDedup(vectors: DataFrame, cellCol: String, threshold: Double): DataFrame = {
     val dropIds = nearDupPairs(vectors, cellCol, threshold)
       .select(col("id_b").as("vec_id")).distinct()

@@ -980,21 +980,61 @@ object DataCatalog {
       "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
       "FROM ranked WHERE rank <= 5" + OBA))
 
-  // SIM5 — IVF-PQ ANN end-to-end: route by emb4's learned coarse cells,
-  // score full-precision queries against emb5's PQ RECONSTRUCTIONS
-  // (asymmetric distance — the real IVF-PQ search). At scale the
-  // reconstruction-side corpus is 32× smaller than raw floats; queries
-  // stay raw. One WITH holds the coarse k-means, the 8 subspace
-  // codebooks, decode, and the ranked cell join.
-  val sim5 = Q(
+  // SIM3B — metric-aware multi-probe on LEARNED centroids: each query
+  // probes its 3 NEAREST emb4 centroids (ranked by the quantizer's own
+  // cosine/min-cid scoring) instead of sim3's id-ring — the real
+  // multi-probe, where every extra candidate comes from a cell the
+  // query is actually close to (centroid-ranked recall ≥ ring recall
+  // is property-tested in DataOpsSpec). Corpus vectors live in their
+  // rank-1 cell; candidates stay one equi-join on cell id.
+  val sim3b = Q(
     (s, d) => {
       val e = embeddings(s, d)
-      val cells = Clustering.kmeansAssign(e, 10, 3)
-        .select(col("vec_id"), col("cid").as("cell"))
-      val cb = Clustering.pqTrain(e)
-      val rec = Clustering.pqReconstruct(Clustering.pqAssign(e, cb), cb)
-      ordered(Similarity.topKIvfAsym(
-        e.join(cells, Seq("vec_id")), rec.join(cells, Seq("vec_id")), "cell", 5))
+      ordered(Similarity.topKMultiProbe(e, Clustering.kmeans(e, 10, 3), 5, 3))
+    },
+    Some(kmeansCtes(3, 10) +
+      ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+      " AS cos FROM embeddings e CROSS JOIN c3 c), " +
+      "rc AS (SELECT vec_id, cid, row_number() OVER (" +
+      "PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM fin), " +
+      "qside AS (SELECT e.vec_id, e.embedding, r.cid AS cell " +
+      "FROM embeddings e JOIN rc r USING (vec_id) WHERE r.rn <= 3), " +
+      "cside AS (SELECT e.vec_id, e.embedding, r.cid AS cell " +
+      "FROM embeddings e JOIN rc r USING (vec_id) WHERE r.rn = 1), " +
+      "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      cosSql("q.embedding", "c.embedding") + " AS cos " +
+      "FROM qside q JOIN cside c USING (cell) WHERE q.vec_id <> c.vec_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+      "FROM ranked WHERE rank <= 5" + OBA))
+
+  // SIM5 — IVF-PQ ANN end-to-end: route by emb4's learned coarse cells,
+  // score full-precision queries against emb5's PQ codes via ASYMMETRIC
+  // DISTANCE COMPUTATION — each query precomputes its m×k sub-centroid
+  // dot-product table, a candidate costs m map lookups, and the corpus
+  // side of the scoring join carries only (sub, code) ints + one
+  // reconstruction-norm² double (ScaleSpec pins that no float vector —
+  // raw or reconstructed — rides the corpus side). Same math as scoring
+  // pqReconstruct output, ~8× less scan arithmetic. One WITH holds the
+  // coarse k-means, the 8 subspace codebooks, the ADC tables, and the
+  // ranked cell join; both engines fold the m partial dots in
+  // ascending-subspace order, so cosines stay bit-identical.
+  val sim5 = Q(
+    (s, d) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val e = embeddings(s, d)
+      // coarse quantizer and PQ codebooks are independent trainings —
+      // overlap their Spark jobs (each is internally deterministic)
+      val cellsF = Future(Clustering.kmeansAssign(e, 10, 3)
+        .select(col("vec_id"), col("cid").as("cell")))
+      val cbF = Future(Clustering.pqTrain(e))
+      val (cells, cb) = (Await.result(cellsF, Duration.Inf),
+        Await.result(cbF, Duration.Inf))
+      ordered(Similarity.topKIvfPq(
+        e.join(cells, Seq("vec_id")), Clustering.pqAssign(e, cb), cb, cells, 5))
     },
     Some {
       val (m, sub, k, iters) = (8, 8, 4, 2)
@@ -1022,16 +1062,34 @@ object DataCatalog {
         "allbook AS (" + (0 until m).map(sx =>
           s"SELECT CAST($sx AS BIGINT) AS sub, cid, cv FROM q${sx}c$iters")
           .mkString(" UNION ALL ") + "), " +
-        "rec AS (SELECT a.vec_id, flatten(list(b.cv ORDER BY a.sub)) AS rv " +
-        "FROM allcodes a JOIN allbook b ON b.sub = a.sub AND b.cid = a.code " +
-        "GROUP BY a.vec_id), " +
-        "qside AS (SELECT e.vec_id, e.embedding, g.cell FROM embeddings e " +
-        "JOIN cellasg g USING (vec_id)), " +
-        "cside AS (SELECT r.vec_id, r.rv, g.cell FROM rec r " +
-        "JOIN cellasg g ON g.vec_id = r.vec_id), " +
-        "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-        cosSql("q.embedding", "c.rv") + " AS cos FROM qside q " +
-        "JOIN cside c USING (cell) WHERE q.vec_id <> c.vec_id), " +
+        // per-query ADC table: dot(q_sub, sub-centroid) per (sub, cid)
+        "qdtab AS (" + (0 until m).map(sx =>
+          s"SELECT e.vec_id, CAST($sx AS BIGINT) AS sub, c.cid, " +
+            dotSql("e.embedding", "c.cv", sub) +
+            s" AS qd FROM e$sx e CROSS JOIN q${sx}c$iters c")
+          .mkString(" UNION ALL ") + "), " +
+        // static per-(sub, code) reconstruction norm² + its per-vector sum
+        "cbn AS (SELECT sub, cid, " + dotSql("cv", "cv", sub) +
+        " AS cn2 FROM allbook), " +
+        "rn2tab AS (SELECT a.vec_id, list_reduce(list(n.cn2 ORDER BY a.sub), " +
+        "(x, y) -> x + y) AS rn2 FROM allcodes a " +
+        "JOIN cbn n ON n.sub = a.sub AND n.cid = a.code GROUP BY a.vec_id), " +
+        "qn AS (SELECT vec_id, sqrt(" + dotSql("embedding", "embedding", 64) +
+        ") AS qn FROM embeddings), " +
+        "qside AS (SELECT e.vec_id, g.cell, n.qn FROM embeddings e " +
+        "JOIN cellasg g USING (vec_id) JOIN qn n USING (vec_id)), " +
+        "cside AS (SELECT g.vec_id, g.cell, r.rn2 FROM cellasg g " +
+        "JOIN rn2tab r USING (vec_id)), " +
+        "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "q.qn, c.rn2 FROM qside q JOIN cside c USING (cell) " +
+        "WHERE q.vec_id <> c.vec_id), " +
+        "dots AS (SELECT cand.query_id, cand.neighbor_id, cand.qn, cand.rn2, " +
+        "list_reduce(list(t.qd ORDER BY a.sub), (x, y) -> x + y) AS dotsum " +
+        "FROM cand JOIN allcodes a ON a.vec_id = cand.neighbor_id " +
+        "JOIN qdtab t ON t.vec_id = cand.query_id AND t.sub = a.sub AND t.cid = a.code " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "scored AS (SELECT query_id, neighbor_id, " +
+        "dotsum / (qn * sqrt(rn2)) AS cos FROM dots), " +
         "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
         "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
         "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
@@ -1394,6 +1452,7 @@ object DataCatalog {
     "m3_frame_sample" -> m3, "smp3_fixed_sample" -> smp3,
     "emb3_centroid_assign" -> emb3,
     "emb4_kmeans" -> emb4, "sim4_learned_ivf" -> sim4,
+    "sim3b_centroid_multiprobe" -> sim3b,
     "tx7_normalize" -> tx7, "tx8_tfidf_topterms" -> tx8,
     "emb2_l2_normalize" -> emb2, "bf1_bloom_semijoin" -> bf1,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,

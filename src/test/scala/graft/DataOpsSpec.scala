@@ -116,6 +116,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(pAll == exact)
   }
 
+  test("centroid-ranked multi-probe: recall ≥ id-ring at equal nprobe, ⊇ single-probe") {
+    import graft.operators.Clustering
+    import org.apache.spark.sql.expressions.Window
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = hits(Similarity.topK(vecs, vecs, 3, maxQueries = 100000))
+    val cents = Clustering.kmeans(vecs, 10, 3)
+    val ranked = hits(Similarity.topKMultiProbe(vecs, cents, 3, 3))
+    // the id-ring variant on the SAME learned cells, densified to 0..9
+    // (ring arithmetic needs contiguous ids; learned cids are seed vec_ids)
+    val dense = Clustering.assign(vecs, cents)
+      .select(col("vec_id"),
+        (dense_rank().over(Window.orderBy("cid")) - 1).cast("long").as("cell"))
+    val ring = hits(Similarity.topKMultiProbe(
+      vecs.join(dense, Seq("vec_id")), "cell", 3, 10, 3))
+    def recall(h: Set[(Long, Long)]) = (h & exact).size.toDouble / exact.size
+    assert(recall(ranked) >= recall(ring),
+      s"centroid-ranked recall ${recall(ranked)} < ring recall ${recall(ring)}")
+    // nprobe=1 degenerates to single-probe IVF on the learned cells
+    val cells = Clustering.assign(vecs, cents)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val single = hits(Similarity.topKIvf(
+      vecs.join(cells, Seq("vec_id")), "cell", 3))
+    assert(hits(Similarity.topKMultiProbe(vecs, cents, 3, 1)) == single)
+    // and more probes never lose TRUE hits (a displaced candidate is by
+    // definition beaten by 3 better ones, so it wasn't in the exact top-3)
+    assert((single & exact).subsetOf(ranked & exact))
+  }
+
   test("kmeans: deterministic across runs; learned cells beat the fixture label on recall") {
     import graft.operators.Clustering
     val vecs = spark.read
@@ -156,6 +187,15 @@ class DataOpsSpec extends AnyFunSuite {
     fast.foreach { case (cid, v) =>
       v.zip(strict(cid)).foreach { case (a, b) =>
         assert(math.abs(a - b) < 1e-4f, s"cell $cid: fast $a vs strict $b") }
+    }
+    // the trainer's 100 TB knob drives the same path end-to-end: a full
+    // fast-means training lands within tolerance of the strict model
+    val fastTrained = Clustering.kmeans(vecs, 8, 2, strictMeans = false)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(fastTrained.keySet == strict.keySet)
+    fastTrained.foreach { case (cid, v) =>
+      v.zip(strict(cid)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-3f, s"cell $cid: fastTrained $a vs strict $b") }
     }
   }
 
@@ -456,6 +496,31 @@ class DataOpsSpec extends AnyFunSuite {
       s"reconstruction must resemble its own vector (self=$selfCos cross=$crossCos)")
   }
 
+  test("ADC scoring ≡ scoring against reconstructions: same ranking, same math") {
+    import graft.operators.{Clustering, Similarity}
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cells = Clustering.kmeansAssign(e, 4, 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val cb = Clustering.pqTrain(e)
+    val rec = Clustering.pqReconstruct(Clustering.pqAssign(e, cb), cb)
+    val asym = Similarity.topKIvfAsym(
+      e.join(cells, Seq("vec_id")), rec.join(cells, Seq("vec_id")), "cell", 3)
+    val adc = Similarity.topKIvfPq(
+      e.join(cells, Seq("vec_id")), Clustering.pqAssign(e, cb), cb, cells, 3)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(triples(adc) == triples(asym),
+      "ADC must rank exactly as full-vector reconstruction scoring")
+    // cosines agree to float-association tolerance (the subspace-ordered
+    // fold vs the 64-term fold reassociate the same real-number sum)
+    val maxDelta = adc.select(col("query_id"), col("neighbor_id"), col("cosine").as("a"))
+      .join(asym.select(col("query_id"), col("neighbor_id"), col("cosine").as("b")),
+        Seq("query_id", "neighbor_id"))
+      .select(max(abs(col("a") - col("b")))).as[Double].head()
+    assert(maxDelta < 1e-9, s"ADC vs reconstruct cosine drift: $maxDelta")
+  }
+
   test("incremental dedup: batch admits only content new vs corpus and within-batch") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -579,6 +644,10 @@ class DataOpsSpec extends AnyFunSuite {
     val joined = sub.as("a").join(labeled.as("b"), "doc_id")
       .filter(col("a.split") =!= col("b.split"))
     assert(joined.count() == 0)
+    // re-splitting labeled data fails fast instead of silently replacing
+    intercept[IllegalArgumentException] {
+      Sampling.split(labeled, col("doc_id"), 100, 100)
+    }
   }
 
   test("semanticDedup: drops any vector with a smaller within-cell neighbor") {

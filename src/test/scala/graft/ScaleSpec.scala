@@ -225,6 +225,57 @@ class ScaleSpec extends AnyFunSuite {
       s"assignment should shuffle once (argmax agg), got ${shuffles.size}")
   }
 
+  test("sim5 ADC: corpus side of the scoring join carries code ints + norm, never float vectors") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.operators.{Clustering, Similarity}
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+    val cells = Clustering.kmeansAssign(e, 4, 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val cb = Clustering.pqTrain(e, m = 8, k = 2, iters = 1)
+    val out = Similarity.topKIvfPq(
+      e.join(cells, Seq("vec_id")), Clustering.pqAssign(e, cb), cb, cells, 3)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.optimizedPlan
+    // the reconstruct path is gone: no sub-centroid flatten anywhere,
+    // scoring goes through the per-query ADC lookup tables
+    assert(!plan.toString.contains("flatten("),
+      "sim5 must not reconstruct full vectors at scan time")
+    assert(plan.toString.contains("map_from_entries"),
+      "ADC tables missing from the plan")
+    // every join side that carries the PQ codes carries NO float vector:
+    // the corpus scan payload into scoring is (sub, code) ints + rn2
+    val codeSides = plan.collect { case j: Join => j }
+      .flatMap(j => Seq(j.left, j.right))
+      .filter(_.output.exists(_.name == "codes"))
+    assert(codeSides.nonEmpty, "scoring join with PQ codes not found")
+    codeSides.foreach { side =>
+      val floats = side.output.filter(_.dataType == ArrayType(FloatType))
+      assert(floats.isEmpty,
+        s"corpus side of the ADC scoring join carries float vectors: $floats")
+    }
+  }
+
+  test("kmeans fast update aggregates map-side: no per-member collect_list") {
+    import graft.operators.Clustering
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+    val upd = Clustering.updateMeansFast(
+      Clustering.assign(e, Clustering.kmeans(e, 4, 1)), e)
+    assert(upd.count() > 0)
+    val plan = upd.queryExecution.optimizedPlan.toString
+    // the 100 TB path: members stream through posexplode + partial sums;
+    // the ONLY collect_list is the dim-bounded (pos, mean) assembly —
+    // never the strict fold's per-member (vec_id, embedding) list whose
+    // size grows with the cell
+    assert(plan.contains("posexplode"), "fast update must posexplode members")
+    assert(plan.contains("collect_list(struct(pos"),
+      "dim-bounded mean assembly missing (plan-print drift? update the pin)")
+    assert(!plan.contains("collect_list(struct(vec_id"),
+      "fast update must not materialize per-member embedding lists")
+  }
+
   test("semanticDedup plans equi-joins only: no cartesian, no nested loop") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     import graft.operators.Similarity
