@@ -69,4 +69,28 @@ object Contamination {
       flagged(corpus, bench, id, text, tau, n, maxCorpusFreq)
         .select(col("corpus_id").as("__flagged_id")).distinct(),
       id === col("__flagged_id"), "left_anti")
+
+  /** Split-leakage audit (c4): verified near-duplicate pairs whose
+    * endpoints land in DIFFERENT [[Sampling.split]] partitions — the
+    * overlap a held-out set inherits through near-dups that exact-id
+    * splitting cannot see (a test doc whose near-twin trains is a leaked
+    * eval item even though the ids differ). Output: (id_a, id_b,
+    * split_a, split_b, jaccard), empty when the split is clean.
+    *
+    * The pair generator is [[NearDup.minhashLsh]] (banded equi-join,
+    * never O(N²)); the split labels are a pure map; the audit adds two
+    * equi-joins on doc id. Run it after smp4 and BEFORE training — the
+    * fix is deduping first (d2/d9) or moving whole near-dup clusters
+    * (d6) into one side. */
+  def splitLeakage(docs: DataFrame, id: Column, text: Column,
+      threshold: Double, valPermille: Int = 10, testPermille: Int = 10): DataFrame = {
+    val pairs = NearDup.minhashLsh(docs, id, text, threshold)
+    val sp = Sampling.split(docs.select(id.as("doc_id")), col("doc_id"),
+      valPermille, testPermille)
+    pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"), col("jaccard"))
+  }
 }

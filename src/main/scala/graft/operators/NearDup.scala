@@ -30,6 +30,40 @@ object NearDup {
       docs.select(id.as("doc_id"), md5(text).as("content_hash")),
       Seq(col("content_hash")), Seq(col("doc_id")))
 
+  /** Paragraph-level exact dedup (d9, the CCNet/RefinedWeb pre-pass):
+    * split each document on `sep`, keep only the FIRST instance of every
+    * distinct paragraph corpus-wide (first = smallest (doc_id, position)
+    * — deterministic), and reassemble each document from its surviving
+    * paragraphs in original order. Boilerplate that repeats across a
+    * crawl (headers, footers, license blocks) vanishes from every doc
+    * but its first, which doc-level dedup (d1/d2) cannot do — documents
+    * differing in one sentence share no md5 and may share no LSH band.
+    * Documents whose every paragraph is seen earlier disappear from the
+    * output (their empty husk is what a pipeline drops anyway).
+    * Output: (doc_id, n_paras, clean_text).
+    *
+    * Scale shape: split+posexplode is a pure map; the first-instance
+    * pick is ONE row_number window partitioned by md5(paragraph) — the
+    * same one-hash-shuffle profile as [[exact]] (paragraph text rides
+    * that shuffle exactly once, since reassembly needs it back; a
+    * paragraph repeated 10⁶ times is one partition's sort — the skew
+    * profile of any exact-dedup key); reassembly is one groupBy(doc_id)
+    * whose collect_list is bounded by a single document's paragraph
+    * count. */
+  def paragraphDedup(docs: DataFrame, id: Column, text: Column,
+      sep: String): DataFrame = {
+    val paras = docs
+      .select(id.as("doc_id"), posexplode(split(text, java.util.regex.Pattern.quote(sep))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"), col("col").as("para"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("para"))).orderBy(col("doc_id"), col("idx"))
+    paras.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        array_join(expr("transform(array_sort(collect_list(struct(idx, para))), x -> x.para)"),
+          sep).as("clean_text"))
+  }
+
   /** Distinct word-`n`-gram shingles per doc, one row each: (doc_id, sh).
     * Used by tests and as the row-per-shingle surface; the LSH pipeline
     * itself uses per-doc shingle ARRAYS (no row explosion). */

@@ -735,6 +735,28 @@ object DataCatalog {
       "WHERE d.doc_id % 5 <> 0 AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.corpus_id = d.doc_id)" +
       OBA))
 
+  // C4 — train/test split-leakage audit: verified near-dup pairs (d2's
+  // banded MinHash-LSH pipeline) whose endpoints land in different smp4
+  // split partitions — the contamination an id-keyed split cannot see
+  // (a test doc whose near-twin trains is a leaked eval item). The
+  // composition auditing smp4 with d2's machinery; both stages are the
+  // already-verified CTEs, joined by two equi-joins on doc id.
+  // (30/20% val/test here, not smp4's 1/1% — at sf0.01 the tiny default
+  // holdout makes every near-dup pair co-locate in train and the audit
+  // would verify an empty result; the wide split exercises the actual
+  // cross-split detection.)
+  val c4 = Q(
+    (s, d) => ordered(Contamination.splitLeakage(
+      documents(s, d), col("doc_id"), col("text"), 0.5, 300, 200)),
+    Some("WITH " + MinhashPairsBody + ", " +
+      "sp AS (SELECT doc_id, CASE WHEN b < 500 THEN 'train' WHEN b < 800 THEN 'val' " +
+      "ELSE 'test' END AS split FROM (SELECT doc_id, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS b " +
+      "FROM documents)) " +
+      "SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard " +
+      "FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a " +
+      "JOIN sp sb ON sb.doc_id = p.id_b WHERE sa.split <> sb.split" + OBA))
+
   // DP1 — the composed curation flagship: the full corpus-preparation
   // pipeline a training run needs, as ONE declarative plan. exact dedup
   // (cheap md5 pass) → MinHash-LSH near-dup clustering, keep each
@@ -1186,6 +1208,43 @@ object DataCatalog {
       "SELECT doc_id, content_hash FROM s0 " +
       "WHERE NOT EXISTS (SELECT 1 FROM ver WHERE ver.bid = s0.doc_id)" + OBA))
 
+  // D9 — paragraph-level dedup (the CCNet/RefinedWeb pre-pass): keep
+  // only the corpus-wide FIRST instance of every paragraph, reassemble
+  // docs from their survivors. The fixture text is single-segment, so
+  // the entry builds paragraph-structured docs deterministically (same
+  // stance as tx11's PII suffix): own text ∥ a mod-50 "header" ∥ a
+  // mod-7 "footer" ∥ own text again. Headers/footers are boilerplate
+  // recurring across N/50 (resp. N/7) docs — each survives only in its
+  // first carrier — and the trailing own-copy is a within-doc dup that
+  // must vanish everywhere, so survivors per doc are 3 / 2 / 1 by id
+  // range and reassembly must skip interior paragraphs, not just tails.
+  val d9 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val hdr = docs.select(col("doc_id").as("h_id"), upper(col("text")).as("h_text"))
+      val ftr = docs.select(col("doc_id").as("f_id"), reverse(col("text")).as("f_text"))
+      val structured = docs
+        .join(hdr, col("doc_id") % 50 === col("h_id"))
+        .join(ftr, col("doc_id") % 7 === col("f_id"))
+        .select(col("doc_id"), concat(col("text"), lit(" PBRK "), col("h_text"),
+          lit(" PBRK "), col("f_text"), lit(" PBRK "), col("text")).as("text"))
+      ordered(NearDup.paragraphDedup(structured, col("doc_id"), col("text"), " PBRK "))
+    },
+    Some("WITH hdr AS (SELECT doc_id AS h_id, upper(text) AS h_text FROM documents), " +
+      "ftr AS (SELECT doc_id AS f_id, reverse(text) AS f_text FROM documents), " +
+      "docs2 AS (SELECT d.doc_id, d.text || ' PBRK ' || h.h_text || ' PBRK ' || " +
+      "f.f_text || ' PBRK ' || d.text AS text FROM documents d " +
+      "JOIN hdr h ON h.h_id = d.doc_id % 50 JOIN ftr f ON f.f_id = d.doc_id % 7), " +
+      "sp AS (SELECT doc_id, string_split(text, ' PBRK ') AS p FROM docs2), " +
+      "paras AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, p[i] AS para " +
+      "FROM sp, unnest(range(1, len(p) + 1)) u(i)), " +
+      "kept AS (SELECT doc_id, idx, para FROM (SELECT doc_id, idx, para, " +
+      "row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rn " +
+      "FROM paras) WHERE rn = 1) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, " +
+      "string_agg(para, ' PBRK ' ORDER BY idx) AS clean_text " +
+      "FROM kept GROUP BY doc_id" + OBA))
+
   // OUT1 — deterministic corpus shard manifest: content-stable
   // `md5(doc_id) mod 8` shard assignment plus an order-independent
   // per-shard content hash (mod-sum of row hashes). The manifest IS the
@@ -1462,9 +1521,11 @@ object DataCatalog {
     "out1_shard_manifest" -> out1, "out2_shard_verify" -> out2,
     "tx9_seq_packing" -> tx9,
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
+    "d9_paragraph_dedup" -> d9,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
     "dp3_corpus_prep" -> dp3, "c3_decontaminate" -> c3,
+    "c4_split_leakage" -> c4,
     "tx12_repetition" -> tx12, "smp4_split" -> smp4,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1)
 }

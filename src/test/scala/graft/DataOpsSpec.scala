@@ -521,6 +521,28 @@ class DataOpsSpec extends AnyFunSuite {
     assert(maxDelta < 1e-9, s"ADC vs reconstruct cosine drift: $maxDelta")
   }
 
+  test("paragraph dedup: first instance wins, docs reassemble in order, empty docs vanish") {
+    import graft.operators.NearDup
+    val docs = Seq(
+      (1L, "alpha|boiler|omega"),   // all first instances → intact
+      (2L, "boiler|beta|boiler"),   // boiler seen in doc 1; within-doc dup too
+      (3L, "alpha|omega"),          // nothing new → disappears entirely
+      (4L, "beta|gamma|beta")       // beta seen in doc 2; gamma survives
+    ).toDF("doc_id", "text")
+    val got = NearDup.paragraphDedup(docs, col("doc_id"), col("text"), "|")
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, "alpha|boiler|omega"),
+      (2L, 1L, "beta"),
+      (4L, 1L, "gamma")))
+    // the separator is treated literally even when it's a regex metachar
+    val rx = Seq((1L, "a.+b|x"), (2L, "a.+b|y")).toDF("doc_id", "text")
+    val got2 = NearDup.paragraphDedup(rx, col("doc_id"), col("text"), "|")
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(got2 == Seq((1L, 2L, "a.+b|x"), (2L, 1L, "y")))
+  }
+
   test("incremental dedup: batch admits only content new vs corpus and within-batch") {
     val corpus = Seq(
       (100L, "the quick brown fox jumps over the lazy dog again and again"),
