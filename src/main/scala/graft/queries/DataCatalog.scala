@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Clustering, Contamination, NearDup, Packing, Sampling, Sharding, Similarity, TextOps}
+import graft.operators.{Clustering, Contamination, Learning, NearDup, Packing, Sampling, Sharding, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -1002,6 +1002,64 @@ object DataCatalog {
       "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
       "FROM ranked WHERE rank <= 5" + OBA))
 
+  /** Oracle twin of Learning.logregTrain: `iters` unrolled GD rounds.
+    * Per round: σ̃ scores from the previous weights (algebraic sigmoid —
+    * no libm exp), per-dimension gradient contributions rounded once to
+    * the 1e-9 grid and summed as BIGINT (exact, order-independent — the
+    * determinism move), then the identical double-arithmetic update.
+    * Bias is feature 1 of the dim+1 x-list; w0 = zeros; final weights
+    * land in CTE `w<iters>`. */
+  private def logregCtes(iters: Int, dim: Int, lr: Double): String = {
+    val d1 = dim + 1
+    val init =
+      "r0 AS (SELECT vec_id, list_concat([1.0], list_transform(embedding, e -> e::DOUBLE)) AS x, " +
+        "CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y FROM embeddings), " +
+        "n0 AS (SELECT count(*)::DOUBLE AS n FROM r0), " +
+        s"w0 AS (SELECT list_transform(range(1, ${d1 + 1}), j -> 0.0) AS w)"
+    val rounds = (1 to iters).map { t =>
+      s"s$t AS (SELECT x, y, 0.5 + 0.5 * tt / (1 + abs(tt)) AS sig FROM " +
+        s"(SELECT x, y, list_reduce(list_transform(range(1, ${d1 + 1}), " +
+        s"j -> x[j] * w.w[j]), (a, b) -> a + b) AS tt FROM r0, w${t - 1} w)), " +
+        s"g$t AS (SELECT j, sum(CAST(round(x[j] * (sig - y) * 1000000000.0) AS BIGINT)) AS g " +
+        s"FROM s$t, unnest(range(1, ${d1 + 1})) u(j) GROUP BY j), " +
+        s"w$t AS (SELECT list(w.w[g.j] - $lr * (g.g::DOUBLE / 1000000000.0 / n0.n) " +
+        s"ORDER BY g.j) AS w FROM g$t g, w${t - 1} w, n0)"
+    }
+    "WITH " + (init +: rounds).mkString(", ")
+  }
+
+  // LR1 — deterministic in-engine logistic regression (the fastText-
+  // style quality-classifier training loop): 10 batch-GD rounds at
+  // lr=2.0 over the embeddings, label = coarse-cluster half (label < 5,
+  // ~balanced), bias as feature 0 — reaches 0.65 train accuracy vs the
+  // 0.50 majority baseline on the fixture (property-tested). Fixed-
+  // point BIGINT gradient sums + the algebraic sigmoid make distributed
+  // training bit-reproducible on both engines — the cents-as-BIGINT
+  // stance applied to GD. Output: every trained weight.
+  val lr1 = Q(
+    (s, d) => ordered(Learning.logregWeights(embeddings(s, d),
+      col("embedding"), (col("label") < 5).cast("double"), 64, 10, 2.0)),
+    Some(logregCtes(10, 64, 2.0) +
+      " SELECT CAST(j - 1 AS BIGINT) AS dim, w[j] AS w " +
+      "FROM w10, unnest(range(1, 66)) u(j)" + OBA))
+
+  // LR2 — the classifier GATE the training loop exists for: score the
+  // corpus with the lr1 model (pure broadcast map — dim+1 doubles) and
+  // keep rows at or above the threshold. Train + gate in one entry so
+  // the oracle hash depends on the whole loop end-to-end.
+  val lr2 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val w = Learning.logregTrain(e, col("embedding"),
+        (col("label") < 5).cast("double"), 64, 10, 2.0)
+      ordered(Learning.classifierGate(e, col("embedding"), col("vec_id"), w, 0.5))
+    },
+    Some(logregCtes(10, 64, 2.0) +
+      ", sc AS (SELECT vec_id, 0.5 + 0.5 * tt / (1 + abs(tt)) AS score FROM " +
+      "(SELECT r.vec_id, list_reduce(list_transform(range(1, 66), " +
+      "j -> r.x[j] * w.w[j]), (a, b) -> a + b) AS tt FROM r0 r, w10 w)) " +
+      "SELECT vec_id, score FROM sc WHERE score >= 0.5" + OBA))
+
   // SIM3B — metric-aware multi-probe on LEARNED centroids: each query
   // probes its 3 NEAREST emb4 centroids (ranked by the quantizer's own
   // cosine/min-cid scoring) instead of sim3's id-ring — the real
@@ -1526,6 +1584,7 @@ object DataCatalog {
     "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
     "dp3_corpus_prep" -> dp3, "c3_decontaminate" -> c3,
     "c4_split_leakage" -> c4,
+    "lr1_logreg_weights" -> lr1, "lr2_classifier_gate" -> lr2,
     "tx12_repetition" -> tx12, "smp4_split" -> smp4,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1)
 }

@@ -521,6 +521,27 @@ class DataOpsSpec extends AnyFunSuite {
     assert(maxDelta < 1e-9, s"ADC vs reconstruct cosine drift: $maxDelta")
   }
 
+  test("logistic regression: deterministic across runs, learns past the majority baseline") {
+    import graft.operators.Learning
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val label = (col("label") < 5).cast("double")
+    // bit-identical retrain (no RNG; fixed-point sums kill order effects)
+    val w1 = Learning.logregTrain(e, col("embedding"), label, 64, 10, 2.0)
+    val w2 = Learning.logregTrain(e, col("embedding"), label, 64, 10, 2.0)
+    assert(w1 == w2 && w1.length == 65)
+    // the gate separates: train accuracy comfortably above the majority
+    // baseline (untrained w = all-zero scores 0.5 everywhere = baseline)
+    val scored = Learning.classifierGate(e, col("embedding"), col("vec_id"), w1, 0.5)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val truth = e.filter(col("label") < 5).select(col("vec_id")).as[Long].collect().toSet
+    val all = e.select(col("vec_id")).as[Long].collect().toSet
+    val correct = (scored & truth).size + ((all -- scored) & (all -- truth)).size
+    val acc = correct.toDouble / all.size
+    val base = math.max(truth.size, all.size - truth.size).toDouble / all.size
+    assert(acc >= 0.6 && acc > base,
+      s"classifier must beat the majority baseline: acc=$acc base=$base")
+  }
+
   test("paragraph dedup: first instance wins, docs reassemble in order, empty docs vanish") {
     import graft.operators.NearDup
     val docs = Seq(

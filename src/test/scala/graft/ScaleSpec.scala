@@ -378,6 +378,26 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("classifier gate is stateless: streaming scores ≡ batch (availableNow)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Learning
+    val dir = java.nio.file.Files.createTempDirectory("lr_gate")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val batchIn = spark.read.parquet(dir.toString)
+    val w = Learning.logregTrain(batchIn, col("embedding"),
+      (col("label") < 5).cast("double"), 64, 3, 2.0)
+    val src = spark.readStream.schema(batchIn.schema).parquet(dir.toString)
+    val q = Learning.classifierGate(src, col("embedding"), col("vec_id"), w, 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lr_gate_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("lr_gate_out")
+    val batch = Learning.classifierGate(batchIn, col("embedding"), col("vec_id"), w, 0.5)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("streaming curation gate emits exactly the batch result (stateless, rerun-stable)") {
     import graft.streaming.DocStream
     val dir = java.nio.file.Files.createTempDirectory("doc_curate")
