@@ -56,6 +56,7 @@ object Learning {
     import spark.implicits._
     val base = df.select(features.as("f"), label.cast("double").as("y"))
     val n = base.count().toDouble
+    require(n > 0, "logregTrain needs a non-empty training frame")
     var w: Seq[Double] = Seq.fill(dim + 1)(0.0)
     var it = 0
     while (it < iters) {

@@ -1459,6 +1459,40 @@ object DataCatalog {
       "SELECT CAST(prev // 2048 AS BIGINT) AS pack_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
       "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM run GROUP BY 1" + OBA))
 
+  // TX13 — pack-example materialization: the step after tx9 that a
+  // trainer actually consumes — each pack's chunks concatenated in
+  // chunk-key order into one example text, with count/token receipts.
+  // Reassembly is a groupBy(pack_id) whose collect_list is bounded by
+  // the token budget itself (≤ budget/step + 1 chunks per pack), so the
+  // group payload can never exceed ~budget tokens of text — safe at any
+  // corpus size; everything upstream is tx10's map+explode and tx9's
+  // two-level prefix sum.
+  val tx13 = Q(
+    (s, d) => {
+      val chunks = TextOps.chunk(documents(s, d), col("doc_id"), col("text"), 128, 16)
+        .withColumn("chunk_key", col("doc_id") * lit(1048576L) + col("chunk_id"))
+      val packed = Packing.pack(chunks, col("chunk_key"), col("n_tokens"), 2048)
+        .select(col("doc_id").as("chunk_key"), col("pack_id"))
+      ordered(chunks.join(packed, Seq("chunk_key"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("n_tokens"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(chunk_key, chunk_text))), x -> x.chunk_text)"),
+            " ").as("example_text")))
+    },
+    Some("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk " +
+      "FROM documents), " +
+      "c AS (SELECT doc_id, i // 112 AS chunk_id, list_slice(tk, i + 1, i + 128) AS ck " +
+      "FROM t, unnest(range(0, greatest(1, len(tk) - 128 + 112), 112)) u(i)), " +
+      "k AS (SELECT doc_id * 1048576 + chunk_id AS ck_key, " +
+      "CAST(len(ck) AS BIGINT) AS n_tokens, array_to_string(ck, ' ') AS chunk_text FROM c), " +
+      "run AS (SELECT ck_key, n_tokens, chunk_text, coalesce(sum(n_tokens) OVER (" +
+      "ORDER BY ck_key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM k), " +
+      "p AS (SELECT CAST(prev // 2048 AS BIGINT) AS pack_id, ck_key, n_tokens, chunk_text FROM run) " +
+      "SELECT pack_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+      "string_agg(chunk_text, ' ' ORDER BY ck_key) AS example_text FROM p GROUP BY 1" + OBA))
+
   // TX12 — repetition quality metrics (Gopher-style degenerate-text
   // filters): type-token ratio, top-token fraction, top-bigram fraction.
   // Spark computes the "most frequent element" counts WITHOUT a token-
@@ -1585,6 +1619,7 @@ object DataCatalog {
     "dp3_corpus_prep" -> dp3, "c3_decontaminate" -> c3,
     "c4_split_leakage" -> c4,
     "lr1_logreg_weights" -> lr1, "lr2_classifier_gate" -> lr2,
-    "tx12_repetition" -> tx12, "smp4_split" -> smp4,
+    "tx12_repetition" -> tx12, "tx13_pack_examples" -> tx13,
+    "smp4_split" -> smp4,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1)
 }
