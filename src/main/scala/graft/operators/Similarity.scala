@@ -230,14 +230,18 @@ object Similarity {
   def topKMultiProbe(vectors: DataFrame, cents: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val ranked = rankCells(vectors, cents)
+    // probe assignments feed BOTH join sides (rank ≤ nprobe queries,
+    // rank 1 corpus) — persist the N×nprobe (vec_id, cid, crank) ints
+    // once instead of running the broadcast-score + rank window twice;
+    // released by the driver's CacheScope.releaseAll at query end
+    val probes = graft.CacheScope.persist(
+      rankCells(vectors, cents).filter(col("crank") <= nprobe))
     val q = withNorm(vectors.join(
-        ranked.filter(col("crank") <= nprobe)
-          .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
+        probes.select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         col("cell")), "query_id", "qv", "qn")
     val c = withNorm(vectors.join(
-        ranked.filter(col("crank") === 1)
+        probes.filter(col("crank") === 1)
           .select(col("vec_id"), col("cid").as("cell")), Seq("vec_id"))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
         col("cell")), "neighbor_id", "cv", "cn")
