@@ -1345,6 +1345,56 @@ object DataCatalog {
       "WHEN exp_rows <> act_rows THEN 'count_mismatch' WHEN exp_hash <> act_hash THEN 'hash_mismatch' " +
       "ELSE 'ok' END AS status FROM exp FULL OUTER JOIN act USING (shard_id)" + OBA))
 
+  // OUT2B — the verifier's FAILURE statuses, oracle-gated: export
+  // shards, then deterministically tamper the committed MANIFEST.json
+  // (drop shard 0's line → extra_shard; bump shard 1's n_rows →
+  // count_mismatch; flip shard 2's hash → hash_mismatch; append ghost
+  // shard 99 → missing_shard; 3–7 stay ok). Both engines then diff the
+  // SAME tampered file against the same written bytes, so every status
+  // branch of the verifier is hash-checked cross-engine — out2 alone
+  // only ever exercises the all-ok path.
+  private val Out2bDir = "/tmp/graft_out2b_shards"
+  val out2b = Q(
+    (s, d) => {
+      Sharding.write(documents(s, d), col("doc_id"), col("text"), 8, Out2bDir)
+      val p = java.nio.file.Paths.get(Out2bDir, "MANIFEST.json")
+      import scala.jdk.CollectionConverters._
+      val nRowsRe = """"n_rows":(\d+)""".r
+      val hashRe = """"content_hash":(\d+)""".r
+      val tampered = java.nio.file.Files.readAllLines(p).asScala.toSeq.flatMap { l =>
+        if (l.startsWith("""{"shard_id":0,""")) None
+        else if (l.startsWith("""{"shard_id":1,""")) {
+          val n = nRowsRe.findFirstMatchIn(l).get.group(1).toLong + 1
+          Some(l.replaceFirst(""""n_rows":\d+""", s""""n_rows":$n"""))
+        } else if (l.startsWith("""{"shard_id":2,""")) {
+          val h = (hashRe.findFirstMatchIn(l).get.group(1).toLong + 1) % Sharding.HashMod
+          Some(l.replaceFirst(""""content_hash":\d+""", s""""content_hash":$h"""))
+        } else Some(l)
+      } :+ """{"shard_id":99,"n_rows":1,"content_hash":0}"""
+      // rewrite through the Hadoop FS (not java.nio): the writer left a
+      // .MANIFEST.json.crc sidecar, and a raw rewrite would leave it
+      // stale — Spark's checksummed local FS then fails the read
+      val mp = new org.apache.hadoop.fs.Path(Out2bDir, "MANIFEST.json")
+      val fs = org.apache.hadoop.fs.FileSystem.get(mp.toUri,
+        s.sparkContext.hadoopConfiguration)
+      val out = fs.create(mp, true)
+      try out.write((tampered.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      ordered(Sharding.verify(s, Out2bDir, col("doc_id"), col("text")))
+    },
+    Some("WITH exp AS (SELECT shard_id, n_rows AS exp_rows, content_hash AS exp_hash " +
+      s"FROM read_json('$Out2bDir/MANIFEST.json', format = 'newline_delimited', " +
+      "columns = {shard_id: 'BIGINT', n_rows: 'BIGINT', content_hash: 'BIGINT'})), " +
+      "act AS (SELECT CAST(shard_id AS BIGINT) AS shard_id, CAST(count(*) AS BIGINT) AS act_rows, " +
+      "CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT " +
+      "% 1000000007) % 1000000007 AS BIGINT) AS act_hash " +
+      s"FROM read_parquet('$Out2bDir/data/*/*.parquet', hive_partitioning = 1) GROUP BY 1) " +
+      "SELECT shard_id, exp_rows, act_rows, exp_hash, act_hash, " +
+      "CASE WHEN exp_rows IS NULL THEN 'extra_shard' WHEN act_rows IS NULL THEN 'missing_shard' " +
+      "WHEN exp_rows <> act_rows THEN 'count_mismatch' WHEN exp_hash <> act_hash THEN 'hash_mismatch' " +
+      "ELSE 'ok' END AS status FROM exp FULL OUTER JOIN act USING (shard_id)" + OBA))
+
   // TX9 — token-budget sequence packing: docs in id order, pack =
   // floor(exclusive running token sum / 2048) — the batch-prep step
   // between a curated corpus and example concatenation. Spark side is
@@ -1611,6 +1661,7 @@ object DataCatalog {
     "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1,
     "dp2_curation_twophase" -> dp2,
     "out1_shard_manifest" -> out1, "out2_shard_verify" -> out2,
+    "out2b_verify_tamper" -> out2b,
     "tx9_seq_packing" -> tx9,
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "d9_paragraph_dedup" -> d9,
