@@ -95,6 +95,55 @@ object Sharding {
     m
   }
 
+  /** Append a batch to an existing export — the incremental half of the
+    * shard contract, and the reason the manifest hash is a commutative
+    * mod-sum. Assignment is content-stable (md5-mod), so batch rows land
+    * in their deterministic shards as NEW files; existing shard bytes
+    * are never read or rewritten. The manifest updates incrementally:
+    * counts add, hashes combine as (old + delta) mod p. Cost = O(batch),
+    * not O(corpus) — the property that makes a daily top-up of a 100 TB
+    * export affordable. [[verify]] remains the audit that the
+    * incremental arithmetic matches the bytes on disk (pinned in
+    * DataOpsSpec against a full recompute). Returns the merged manifest. */
+  def append(df: DataFrame, key: Column, content: Column, numShards: Int,
+      path: String): DataFrame = {
+    val spark = df.sparkSession
+    assigned(df, key, content, numShards)
+      .repartition(numShards, col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), key)
+      .drop("row_hash")
+      .write.mode("append").partitionBy("shard_id").parquet(s"$path/data")
+    val old = spark.read
+      .schema("shard_id LONG, n_rows LONG, content_hash LONG")
+      .json(s"$path/MANIFEST.json")
+      .withColumnRenamed("n_rows", "old_rows")
+      .withColumnRenamed("content_hash", "old_hash")
+    val delta = manifest(df, key, content, numShards)
+      .withColumnRenamed("n_rows", "d_rows")
+      .withColumnRenamed("content_hash", "d_hash")
+    // materialize BEFORE overwriting the manifest: the merged plan reads
+    // MANIFEST.json lazily, so returning it un-collected would hand the
+    // caller a frame that re-reads the UPDATED file on its next action
+    // and double-counts the delta
+    val rows = old.join(delta, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        (coalesce(col("old_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+        pmod(coalesce(col("old_hash"), lit(0L)) + coalesce(col("d_hash"), lit(0L)),
+          lit(HashMod)).as("content_hash"))
+      .orderBy("shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lines = rows.map { case (sid, n, h) =>
+      s"""{"shard_id":$sid,"n_rows":$n,"content_hash":$h}"""
+    }
+    val manifestPath = new Path(path, "MANIFEST.json")
+    val fs = FileSystem.get(manifestPath.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(manifestPath, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    import spark.implicits._
+    rows.toDF("shard_id", "n_rows", "content_hash")
+  }
+
   /** Per-shard counts + hashes recomputed from the files under
     * `path/data`, trusting nothing but bytes (shard_id rides in as the
     * written layout's partition column). Shared by [[write]] (so the

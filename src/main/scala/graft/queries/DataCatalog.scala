@@ -1345,6 +1345,35 @@ object DataCatalog {
       "WHEN exp_rows <> act_rows THEN 'count_mismatch' WHEN exp_hash <> act_hash THEN 'hash_mismatch' " +
       "ELSE 'ok' END AS status FROM exp FULL OUTER JOIN act USING (shard_id)" + OBA))
 
+  // OUT3 — incremental shard append: export 90% of the corpus, append
+  // the remaining 10% as a second batch — new files only, O(batch)
+  // manifest update (counts add, mod-sum hashes combine; no corpus
+  // re-read) — then run the one-pass verifier. All-ok statuses require
+  // the incremental manifest arithmetic to exactly match the bytes of
+  // BOTH writes; the oracle re-derives the same diff from the final
+  // files + final manifest. The daily-top-up shape of a 100 TB export.
+  private val Out3Dir = "/tmp/graft_out3_shards"
+  val out3 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      Sharding.write(docs.filter(col("doc_id") % 10 =!= 0),
+        col("doc_id"), col("text"), 8, Out3Dir)
+      Sharding.append(docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), 8, Out3Dir)
+      ordered(Sharding.verify(s, Out3Dir, col("doc_id"), col("text")))
+    },
+    Some("WITH exp AS (SELECT shard_id, n_rows AS exp_rows, content_hash AS exp_hash " +
+      s"FROM read_json('$Out3Dir/MANIFEST.json', format = 'newline_delimited', " +
+      "columns = {shard_id: 'BIGINT', n_rows: 'BIGINT', content_hash: 'BIGINT'})), " +
+      "act AS (SELECT CAST(shard_id AS BIGINT) AS shard_id, CAST(count(*) AS BIGINT) AS act_rows, " +
+      "CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT " +
+      "% 1000000007) % 1000000007 AS BIGINT) AS act_hash " +
+      s"FROM read_parquet('$Out3Dir/data/*/*.parquet', hive_partitioning = 1) GROUP BY 1) " +
+      "SELECT shard_id, exp_rows, act_rows, exp_hash, act_hash, " +
+      "CASE WHEN exp_rows IS NULL THEN 'extra_shard' WHEN act_rows IS NULL THEN 'missing_shard' " +
+      "WHEN exp_rows <> act_rows THEN 'count_mismatch' WHEN exp_hash <> act_hash THEN 'hash_mismatch' " +
+      "ELSE 'ok' END AS status FROM exp FULL OUTER JOIN act USING (shard_id)" + OBA))
+
   // OUT2B — the verifier's FAILURE statuses, oracle-gated: export
   // shards, then deterministically tamper the committed MANIFEST.json
   // (drop shard 0's line → extra_shard; bump shard 1's n_rows →
@@ -1661,7 +1690,7 @@ object DataCatalog {
     "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1,
     "dp2_curation_twophase" -> dp2,
     "out1_shard_manifest" -> out1, "out2_shard_verify" -> out2,
-    "out2b_verify_tamper" -> out2b,
+    "out2b_verify_tamper" -> out2b, "out3_incremental_append" -> out3,
     "tx9_seq_packing" -> tx9,
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "d9_paragraph_dedup" -> d9,

@@ -642,6 +642,32 @@ class DataOpsSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("shard append: incremental manifest ≡ full recompute; old files untouched; O(batch)") {
+    import graft.operators.Sharding
+    val dir = java.nio.file.Files.createTempDirectory("shard_append").toString
+    val df = docs
+    val first = df.filter(col("doc_id") % 10 =!= 0)
+    val batch = df.filter(col("doc_id") % 10 === 0)
+    Sharding.write(first, col("doc_id"), col("text"), 4, dir)
+    val filesBefore = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    val incr = Sharding.append(batch, col("doc_id"), col("text"), 4, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // incremental arithmetic == writing the whole corpus at once
+    val fullDir = java.nio.file.Files.createTempDirectory("shard_full").toString
+    val full = Sharding.write(df, col("doc_id"), col("text"), 4, fullDir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(incr == full)
+    // the verifier agrees the manifest matches the appended bytes
+    val status = Sharding.verify(spark, dir, col("doc_id"), col("text"))
+    assert(status.filter(col("status") =!= "ok").count() == 0)
+    // pre-existing shard files were neither rewritten nor deleted
+    filesBefore.foreach { case (p, ts) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && f.lastModified() == ts, s"old shard file touched: $p")
+    }
+  }
+
   test("shard verify: clean export is all ok; a rewritten shard is caught by hash, not count") {
     import graft.operators.Sharding
     val dir = java.nio.file.Files.createTempDirectory("graft_verify_").toString
