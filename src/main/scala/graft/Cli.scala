@@ -20,6 +20,9 @@ import graft.queries._
   *   runMain graft.Cli <sfDir> leadership for-region <uid> [...]
   *   runMain graft.Cli <sfDir> curate | contamination
   *   runMain graft.Cli <sfDir> corpus-prep --checkpoint-dir <dir> --out <dir> [--shards N]
+  *   runMain graft.Cli <sfDir> export --shards N --out <dir>
+  *   runMain graft.Cli <sfDir> export --append --shards N --out <dir>
+  *   runMain graft.Cli <sfDir> export --verify <dir>
   *   runMain graft.Cli <sfDir> query <catalog-entry-name>
   */
 object Cli {
@@ -96,6 +99,12 @@ object Cli {
       // the manifest/diff rows as the JSON result
       case Seq("export", "--shards", n, "--out", dir) =>
         graft.operators.Sharding.write(graft.sources.Tables.documents(spark, d),
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"), n.toInt, dir)
+      // O(batch) top-up of an existing export: new files in content-
+      // stable shards, manifest counts add / mod-sum hashes combine
+      case Seq("export", "--append", "--shards", n, "--out", dir) =>
+        graft.operators.Sharding.append(graft.sources.Tables.documents(spark, d),
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"), n.toInt, dir)
       case Seq("export", "--verify", dir) =>

@@ -34,6 +34,17 @@ class CliSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.col
     val v = Cli.resolve(spark, d, Seq("export", "--verify", dir))
     assert(v.filter(col("status") =!= "ok").count() == 0)
+    // append the same table again as a top-up batch: counts double and
+    // the incrementally-updated manifest still verifies clean. (The
+    // write-returned manifest recomputes from disk lazily — capture its
+    // total BEFORE the append mutates the directory.)
+    import spark.implicits._
+    val firstTotal = m.agg(org.apache.spark.sql.functions.sum("n_rows")).as[Long].head()
+    val a = Cli.resolve(spark, d, Seq("export", "--append", "--shards", "4", "--out", dir))
+    val total = a.agg(org.apache.spark.sql.functions.sum("n_rows")).as[Long].head()
+    assert(total == 2 * firstTotal)
+    val v2 = Cli.resolve(spark, d, Seq("export", "--verify", dir))
+    assert(v2.filter(col("status") =!= "ok").count() == 0)
   }
 
   test("every CLI verb resolves and runs") {
