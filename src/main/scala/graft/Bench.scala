@@ -29,7 +29,7 @@ object Bench {
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
     "tx9_seq_packing", "tx10_chunking", "tx11_pii_scrub", "tx12_repetition",
     "tx13_pack_examples",
-    "sem1_semantic_dedup",
+    "sem1_semantic_dedup", "bpe1_merges",
     "out1_shard_manifest", "mix1_corpus_mixture",
     "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
     "lr2_classifier_gate",

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.CacheScope
+import graft.functions.F
+
+/** In-engine BPE tokenizer training — the corpus job that produces the
+  * tokenizer a pretraining pipeline feeds its packed examples through
+  * (the Sennrich et al. 2016 word-frequency formulation, re-expressed
+  * as DataFrame ops).
+  *
+  * Scale design: the corpus is touched EXACTLY ONCE — the word-frequency
+  * aggregation (one explode + one hash shuffle, persisted). Every merge
+  * iteration after that runs on the VOCABULARY table (distinct words —
+  * orders of magnitude smaller than the corpus, still fully distributed:
+  * pair counting is one hash shuffle over the vocab, the argmax is a
+  * 1-row take). Driver model state is the learned merge list — one
+  * (left, right, count) row per merge, the BPE twin of k-means' k×dim
+  * centroids (Clustering.scala's model-state contract). Nothing else
+  * ever collects.
+  *
+  * Determinism contract (oracle parity): words are lowercased whitespace
+  * tokens (the shingle convention); the merge winner is max count with
+  * lexicographic (left, right) tie-break; merge application is the
+  * doubled-space literal-replace trick — `' l  r '` over a
+  * double-spaced symbol string — so consecutive occurrences each carry
+  * their own boundary spaces and left-to-right non-overlapping replace
+  * behaves identically in Spark and DuckDB with no lookaround regex
+  * (RE2 has none).
+  */
+object Bpe {
+
+  /** Word-frequency vocabulary: (word, freq) over lowercased whitespace
+    * tokens. The ONLY corpus-wide pass in BPE training. */
+  def wordCounts(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(F.tokens(lower(text))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** A word as a spaced symbol string: "low" → "l o w". */
+  private def spacedChars(word: Column): Column =
+    trim(regexp_replace(word, "(.)", "$1 "))
+
+  /** Adjacent-symbol pair counts over the vocab, weighted by word
+    * frequency: (l, r, cnt). One hash shuffle over the vocab table. */
+  private[operators] def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("freq"), split(col("sym"), " ").as("a"))
+      .where(size(col("a")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(a) - 1), i -> named_struct('l', a[i-1], 'r', a[i]))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Apply one learned merge to the symbol column: double the spaces so
+    * every occurrence owns its boundary spaces, literal-replace
+    * `' l  r '` → `' lr '`, squeeze and trim. Pure map. */
+  private def applyMerge(sym: Column, l: String, r: String): Column =
+    trim(regexp_replace(
+      call_function("replace",
+        concat(lit(" "), call_function("replace", sym, lit(" "), lit("  ")), lit(" ")),
+        lit(" " + l + "  " + r + " "),
+        lit(" " + l + r + " ")),
+      " {2,}", " "))
+
+  /** One learned merge: iteration number, the joined pair, its count at
+    * the time it won. */
+  final case class Merge(it: Long, l: String, r: String, cnt: Long)
+
+  /** Learn `n` merges. Returns the merge list (driver model state) and
+    * the final vocab (word, freq, sym) with all merges applied.
+    *
+    * Requires a corpus rich enough to supply `n` distinct adjacent
+    * pairs — training stops early (returns fewer merges) on a
+    * degenerate vocab rather than failing. */
+  def learn(vocab0: DataFrame, n: Int): (Seq[Merge], DataFrame) = {
+    var vocab = CacheScope.persist(
+      vocab0.select(col("word"), col("freq"), spacedChars(col("word")).as("sym")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var it = 1
+    var exhausted = false
+    while (it <= n && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(it.toLong, l, r, c)
+        vocab = vocab.withColumn("sym", applyMerge(col("sym"), l, r))
+        it += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** The trained tokenizer's vocabulary with corpus frequencies:
+    * (token, freq) — every surviving symbol weighted by the word
+    * frequencies it appears in. Runs on the vocab table only. */
+  def tokenVocab(finalVocab: DataFrame): DataFrame =
+    finalVocab.select(explode(split(col("sym"), " ")).as("token"), col("freq"))
+      .groupBy("token").agg(sum(col("freq")).as("freq"))
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Clustering, Contamination, Learning, NearDup, Packing, Sampling, Sharding, Similarity, TextOps}
+import graft.operators.{Bpe, Clustering, Contamination, Learning, NearDup, Packing, Sampling, Sharding, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -1663,6 +1663,71 @@ object DataCatalog {
       "CAST(sum(CASE WHEN score >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality " +
       "FROM q GROUP BY lang, source" + OBA))
 
+  /** Unrolled BPE-training CTE chain (Bpe.learn's oracle twin): word
+    * counts → spaced chars (v0) → n× [pair counts → argmax winner (bᵢ,
+    * count-desc then lexicographic tie-break) → doubled-space literal
+    * merge (vᵢ)]. The doubled-space replace gives left-to-right
+    * non-overlapping merge application identical to Spark's without
+    * lookaround regex (RE2 has none). Every sum is cast to BIGINT (the
+    * tx9 HUGEINT-promotion lesson). */
+  private def bpeBody(n: Int): String = {
+    val base =
+      "btoks AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+        "FROM documents), " +
+        "wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM btoks, " +
+        "unnest(tk) t(w) WHERE len(w) > 0 GROUP BY 1), " +
+        "v0 AS MATERIALIZED (SELECT word, freq, " +
+        "trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym FROM wc)"
+    // Each stage references its predecessor more than once (pair counts
+    // AND the merge rewrite) — MATERIALIZED stops DuckDB's default CTE
+    // inlining from re-evaluating the whole chain exponentially.
+    val iters = (1 to n).map { i =>
+      s"p$i AS (SELECT a[j] AS l, a[j+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt " +
+        s"FROM (SELECT string_split(sym, ' ') AS a, freq FROM v${i - 1}), " +
+        "unnest(range(1, len(a))) u(j) GROUP BY 1, 2), " +
+        s"b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i " +
+        "ORDER BY cnt DESC, l ASC, r ASC LIMIT 1), " +
+        s"v$i AS MATERIALIZED (SELECT word, freq, trim(regexp_replace(replace(" +
+        "' ' || replace(sym, ' ', '  ') || ' ', " +
+        s"' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ', " +
+        s"' ' || (SELECT l || r FROM b$i) || ' '), ' {2,}', ' ', 'g')) AS sym " +
+        s"FROM v${i - 1})"
+    }
+    "WITH " + (base +: iters).mkString(", ")
+  }
+
+  private val BpeMerges = 6
+
+  // BPE1 — tokenizer training: the learned merge list (iteration, pair,
+  // winning count). The corpus is scanned exactly once (word counts);
+  // each merge iteration is one hash shuffle over the vocab table and a
+  // 1-row argmax collect — the merge list is driver model state, the
+  // BPE twin of emb4's centroids.
+  val bpe1 = Q(
+    (s, d) => {
+      import s.implicits._
+      val (merges, _) = Bpe.learn(Bpe.wordCounts(documents(s, d), col("text")), BpeMerges)
+      ordered(s.createDataset(merges).toDF())
+    },
+    Some(bpeBody(BpeMerges) + ", m AS (" +
+      (1 to BpeMerges)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS it, l, r, cnt FROM b$i")
+        .mkString(" UNION ALL ") +
+      ") SELECT it, l, r, cnt FROM m" + OBA))
+
+  // BPE2 — the trained tokenizer's vocabulary with corpus frequencies:
+  // every symbol surviving the merges, weighted by the word counts it
+  // occurs in. Runs on the vocab table only — no second corpus pass.
+  val bpe2 = Q(
+    (s, d) => {
+      val (_, fin) = Bpe.learn(Bpe.wordCounts(documents(s, d), col("text")), BpeMerges)
+      ordered(Bpe.tokenVocab(fin))
+    },
+    Some(bpeBody(BpeMerges) +
+      " SELECT t AS token, CAST(sum(freq) AS BIGINT) AS freq " +
+      s"FROM (SELECT string_split(sym, ' ') AS a, freq FROM v$BpeMerges), " +
+      "unnest(a) u(t) GROUP BY 1" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -1701,5 +1766,6 @@ object DataCatalog {
     "lr1_logreg_weights" -> lr1, "lr2_classifier_gate" -> lr2,
     "tx12_repetition" -> tx12, "tx13_pack_examples" -> tx13,
     "smp4_split" -> smp4,
-    "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1)
+    "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
+    "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2)
 }

@@ -743,4 +743,60 @@ class DataOpsSpec extends AnyFunSuite {
       if (w >= h) assert(ow >= oh) else assert(oh >= ow)
     }
   }
+
+  test("bpe: learned merges match a serial reference implementation") {
+    import graft.operators.Bpe
+    val corpus = Seq(
+      (0L, "low low low low low lower lower newest newest newest"),
+      (1L, "newest newest newest widest widest widest low lowest")
+    ).toDF("doc_id", "text")
+    val (merges, fin) = Bpe.learn(Bpe.wordCounts(corpus, col("text")), 5)
+
+    // independent serial reference: greedy left-to-right merge application
+    def mergeOnce(syms: List[String], l: String, r: String): List[String] = {
+      val b = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.toList
+    }
+    val words0: Map[String, Long] = corpus.as[(Long, String)].collect()
+      .flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    var vocab: Map[String, (List[String], Long)] =
+      words0.map { case (w, f) => w -> (w.map(_.toString).toList, f) }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to 5) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, (syms, f)) <- vocab; Seq(a, b) <- syms.sliding(2) if syms.size >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+      val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      expect += ((l, r, c))
+      vocab = vocab.map { case (w, (syms, f)) => w -> (mergeOnce(syms, l, r), f) }
+    }
+    assert(merges.map(m => (m.l, m.r, m.cnt)) == expect.toSeq)
+    // token vocab totals: every word's frequency × its surviving symbol
+    // count, summed — conservation of token mass
+    val gotTotal = Bpe.tokenVocab(fin).agg(sum("freq")).as[Long].head()
+    val expTotal = vocab.values.map { case (syms, f) => syms.length * f }.sum
+    assert(gotTotal == expTotal)
+    CacheScope.releaseAll()
+  }
+
+  test("bpe: consecutive occurrences merge left-to-right non-overlapping") {
+    import graft.operators.Bpe
+    // "aaaa" with merge (a,a) must become "aa aa", not "aa a a" or "aaa a"
+    val corpus = Seq((0L, "aaaa aaaa")).toDF("doc_id", "text")
+    val (merges, fin) = Bpe.learn(Bpe.wordCounts(corpus, col("text")), 2)
+    assert(merges.head.l == "a" && merges.head.r == "a")
+    // after merge 1: a a a a -> aa aa (left-to-right, not aaa a);
+    // merge 2 then joins the two "aa" symbols
+    assert(merges(1).l == "aa" && merges(1).r == "aa")
+    val syms = fin.select("sym").as[String].head()
+    assert(syms == "aaaa")
+    CacheScope.releaseAll()
+  }
 }

@@ -51,6 +51,27 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe training scans the corpus once; iterations run on the cached vocab") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.Bpe
+    import graft.sources.Tables
+    val (merges, fin) = Bpe.learn(
+      Bpe.wordCounts(Tables.documents(spark, sf), col("text")), 4)
+    assert(merges.size == 4)
+    fin.count()
+    val ns = nodes(fin)
+    // every iteration (and the final vocab) reads the persisted word-
+    // frequency table — the corpus parquet is scanned exactly once, at
+    // vocab build; at 100 TB re-deriving it per merge would be fatal
+    assert(ns.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "bpe vocab must be persisted: iterations may not re-derive it from the corpus")
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "bpe must stay join-free over the vocab")
+    CacheScope.releaseAll()
+  }
+
   test("near-dup pair generation never plans a nested-loop/cartesian join") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec
