@@ -32,7 +32,7 @@ object Bench {
     "sem1_semantic_dedup", "bpe1_merges",
     "out1_shard_manifest", "mix1_corpus_mixture",
     "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
-    "lr2_classifier_gate",
+    "lr2_classifier_gate", "lm1_coverage_gate",
     "dp1_curation_pipeline", "dp2_curation_twophase",
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window",
     "t6_asof_join",

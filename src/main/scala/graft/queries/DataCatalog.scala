@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Clustering, Contamination, Learning, NearDup, Packing, Sampling, Sharding, Similarity, TextOps}
+import graft.operators.{Bpe, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Sampling, Sharding, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -1728,6 +1728,43 @@ object DataCatalog {
       s"FROM (SELECT string_split(sym, ' ') AS a, freq FROM v$BpeMerges), " +
       "unnest(a) u(t) GROUP BY 1" + OBA))
 
+  // LM1 — LM-coverage quality gate: perplexity-style filtering made
+  // exact. The reference model is the top-1000 bigram table of the
+  // high-quality slice (tx2 score ≥ 0.8) — V rows of broadcastable
+  // model state; each doc is scored by BIGINT (hits, total) bigram
+  // counts and kept when hits cover ≥ half its bigram instances.
+  // Integer counts instead of float log-probs: deterministic under any
+  // partitioning, bit-identical to the serial oracle.
+  val lm1 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val ref = LmFilter.refBigrams(docs, col("doc_id"), col("text"), 1000)
+      ordered(LmFilter.coverageGate(docs, col("doc_id"), col("text"), ref))
+    },
+    Some("WITH rtk AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents), " +
+      "qm AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS nw, " +
+      "nc::DOUBLE / len(tk) AS awl, " +
+      "len(list_filter(tk, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(tk) AS sr " +
+      "FROM rtk), " +
+      "hq AS (SELECT doc_id FROM qm WHERE " +
+      "least(1.0, nw::DOUBLE / 50) * 0.5 + least(1.0, sr * 5) * 0.3 + " +
+      "(CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END) >= 0.8), " +
+      "ltk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents), " +
+      "bgs AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg FROM ltk, " +
+      "unnest(range(1, len(tk))) u(i)), " +
+      "ref AS MATERIALIZED (SELECT bg FROM (SELECT bg, CAST(count(*) AS BIGINT) AS c " +
+      "FROM bgs JOIN hq USING (doc_id) GROUP BY 1) " +
+      "ORDER BY c DESC, bg ASC LIMIT 1000), " +
+      "hits AS (SELECT bgs.doc_id, CAST(count(*) AS BIGINT) AS n_hits " +
+      "FROM bgs JOIN ref USING (bg) GROUP BY 1), " +
+      "tot AS (SELECT doc_id, CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams " +
+      "FROM ltk) " +
+      "SELECT t.doc_id, t.n_bigrams, coalesce(h.n_hits, 0) AS n_hits, " +
+      "coalesce(h.n_hits, 0) * 2 >= t.n_bigrams AS kept " +
+      "FROM tot t LEFT JOIN hits h USING (doc_id)" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -1767,5 +1804,6 @@ object DataCatalog {
     "tx12_repetition" -> tx12, "tx13_pack_examples" -> tx13,
     "smp4_split" -> smp4,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
-    "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2)
+    "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
+    "lm1_coverage_gate" -> lm1)
 }

@@ -744,6 +744,29 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lm coverage gate: hits count reference-bigram instances; short docs pass vacuously") {
+    import graft.operators.LmFilter
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat again"),
+      (2L, "zq xv qqq"), // shares no bigram with the reference
+      (3L, "single")     // no bigrams at all
+    ).toDF("doc_id", "text")
+    // hand-built reference: two bigrams
+    val ref = Seq("the cat", "cat sat").toDF("bg")
+    val got = LmFilter.coverageGate(corpus, col("doc_id"), col("text"), ref)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((0L, 5L, 2L, false)))  // 2 of 5 covered → dropped
+    assert(got(1) == ((1L, 3L, 2L, true)))   // 2 of 3 covered → kept
+    assert(got(2) == ((2L, 2L, 0L, false)))
+    assert(got(3) == ((3L, 0L, 0L, true)))   // vacuous pass, zero bigrams
+    // refBigrams tie-break: count desc then lexicographic, stable top-V
+    val r = LmFilter.refBigrams(corpus, col("doc_id"), col("text"), 3, minScore = 0.0)
+      .as[String].collect().toSeq
+    assert(r.size == 3)
+    assert(r.contains("the cat")) // appears twice — must survive any top-3
+  }
+
   test("bpe: learned merges match a serial reference implementation") {
     import graft.operators.Bpe
     val corpus = Seq(

@@ -72,6 +72,23 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("lm coverage scoring joins the corpus against a BROADCAST reference model") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.LmFilter
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val ref = LmFilter.refBigrams(docs, col("doc_id"), col("text"), 1000)
+    val gate = LmFilter.coverageGate(docs, col("doc_id"), col("text"), ref)
+    gate.count()
+    val ns = nodes(gate)
+    // the V-row model must reach every scoring task as a broadcast —
+    // a shuffled join here would reshuffle the whole exploded corpus
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "reference-bigram join must be a broadcast hash join")
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]))
+  }
+
   test("near-dup pair generation never plans a nested-loop/cartesian join") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.joins.CartesianProductExec
