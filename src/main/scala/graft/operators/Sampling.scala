@@ -105,6 +105,16 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Cluster-balanced diversity cap (smp5): keep at most `k` rows per
+    * cluster cell, chosen by content-stable md5 order (key tie-break) —
+    * the diversity-sampling step that stops dense embedding clusters
+    * from dominating a curated sample after sem1-style dedup. Selection
+    * is layout-independent (same rows on any partitioning or rerun) and
+    * oracle-reproducible; cost is [[topKPerGroup]]'s one shuffle on the
+    * cell key with map-side partial top-k. */
+  def diversityCap(df: DataFrame, key: Column, cell: Column, k: Int): DataFrame =
+    topKPerGroup(df, Seq(cell), Seq(md5(key.cast("string")), key), k)
+
   /** Exact top-k per group by an explicit deterministic order — the
     * grouped sibling of the global ORDER BY + LIMIT (W2). The window
     * shuffles once on the group key and the sort does map-side partial

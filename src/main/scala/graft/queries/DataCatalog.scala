@@ -1728,6 +1728,29 @@ object DataCatalog {
       s"FROM (SELECT string_split(sym, ' ') AS a, freq FROM v$BpeMerges), " +
       "unnest(a) u(t) GROUP BY 1" + OBA))
 
+  // SMP5 — cluster-balanced diversity sample: cap every emb4-learned
+  // cell at 20 vectors, picked by content-stable md5 order — dense
+  // clusters stop dominating the curated sample, and the picked set is
+  // identical on any partitioning, rerun, or engine. One shuffle on the
+  // cell key with map-side partial top-k.
+  val smp5 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val cells = Clustering.kmeansAssign(e, 10, 3)
+        .select(col("vec_id"), col("cid").as("cell"))
+      ordered(Sampling.diversityCap(cells, col("vec_id"), col("cell"), 20))
+    },
+    Some(kmeansCtes(3, 10) +
+      ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+      " AS cos FROM embeddings e CROSS JOIN c3 c), " +
+      "asg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
+      "FROM fin) WHERE rn = 1), " +
+      "ranked AS (SELECT vec_id, cell, CAST(row_number() OVER (" +
+      "PARTITION BY cell ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) " +
+      "AS BIGINT) AS rank FROM asg) " +
+      "SELECT vec_id, cell, rank FROM ranked WHERE rank <= 20" + OBA))
+
   // LM1 — LM-coverage quality gate: perplexity-style filtering made
   // exact. The reference model is the top-1000 bigram table of the
   // high-quality slice (tx2 score ≥ 0.8) — V rows of broadcastable
@@ -1805,5 +1828,5 @@ object DataCatalog {
     "smp4_split" -> smp4,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
-    "lm1_coverage_gate" -> lm1)
+    "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5)
 }

@@ -744,6 +744,21 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("diversity cap: per-cell cap enforced, md5-order picks match a serial reference") {
+    import graft.operators.Sampling
+    val rows = (0L until 30L).map(i => (i, i % 3)).toDF("vec_id", "cell")
+    val got = Sampling.diversityCap(rows, col("vec_id"), col("cell"), 4)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(got.size == 12) // 3 cells × cap 4
+    // serial reference: same md5-hex ordering per cell
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes).map("%02x".format(_)).mkString
+    val expect = (0L until 30L).groupBy(_ % 3).flatMap { case (c, ids) =>
+      ids.sortBy(i => (hex(i.toString), i)).take(4).map(i => (i, c))
+    }.toSet
+    assert(got == expect)
+  }
+
   test("lm coverage gate: hits count reference-bigram instances; short docs pass vacuously") {
     import graft.operators.LmFilter
     val corpus = Seq(
