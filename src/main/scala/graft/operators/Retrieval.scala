@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Sparse (lexical) retrieval over the corpus — the BM25 complement to
+  * the embedding ANN family (sim*): an inverted-index artifact and a
+  * deterministic BM25 ranker, the tools a curation pipeline uses for
+  * keyword contamination probes and retrieval-based corpus QA.
+  *
+  * Determinism stances (oracle parity):
+  *  - idf is the RATIO idf `N/df` (the tx8 convention) — no libm log,
+  *    whose rounding differs across engines.
+  *  - per-(query, term, doc) BM25 contributions are computed in double
+  *    (pure per-row arithmetic — bit-identical when the expression tree
+  *    matches the oracle's), rounded ONCE to a fixed-point grid and
+  *    summed as BIGINT (the lr1 gradient trick) — so the per-document
+  *    score is exact under any partitioning and any add order.
+  *
+  * Scale design: everything is equi-joins on `term`/`doc_id` over
+  * term-frequency aggregates — one tokenize pass feeds tf/dl/df. The
+  * posting lists are sharded into fixed doc-id blocks so a stopword's
+  * postings never materialize on one node (the stop-shingle lesson);
+  * corpus-level scalars (N, total length) are 1-row broadcasts.
+  */
+object Retrieval {
+
+  private def toks(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), explode(F.tokens(lower(text))).as("term"))
+
+  /** idx1 — block-sharded inverted index: for every (term, doc-id
+    * block) a postings string `"doc:tf,doc:tf,…"` ordered by doc_id,
+    * with the block's doc count and the term's corpus-wide df. Block
+    * width bounds the per-group row count, so even a term appearing in
+    * every document shuffles as many (term, block) groups of ≤ width
+    * postings — no hot-key group ever exceeds `blockWidth` entries. */
+  def postingsIndex(df: DataFrame, id: Column, text: Column,
+      blockWidth: Int = 256): DataFrame = {
+    require(blockWidth > 0, s"blockWidth must be positive, got $blockWidth")
+    val t = toks(df, id, text)
+    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dft = t.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.withColumn("block", expr(s"doc_id div $blockWidth"))
+      .groupBy("term", "block")
+      .agg(count(lit(1)).as("n_docs_block"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+            s => concat(s.getField("doc_id").cast("string"), lit(":"),
+              s.getField("tf").cast("string"))), ",").as("postings"))
+      .join(dft, Seq("term"))
+  }
+
+  /** ret1 — BM25 top-k retrieval of corpus documents for a query table
+    * `(q_id, q_text)`: score = Σ_t ratio-idf(t) · tf-saturation(t, d),
+    * k1/b the standard 1.2/0.75, contributions fixed-pointed at
+    * `scale` and summed exactly. Output: (q_id, doc_id, score, rank) —
+    * `score` is the BIGINT fixed-point sum. Only documents sharing a
+    * term with the query are scored (sparse retrieval: the candidate
+    * set is the union of the query terms' postings). */
+  def bm25(df: DataFrame, id: Column, text: Column, queries: DataFrame,
+      topK: Int = 5, scale: Double = 1e6): DataFrame = {
+    val t = toks(df, id, text)
+    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dft = t.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = df.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(t.agg(count(lit(1)).as("total_len")))
+    val qt = queries.select(col("q_id"),
+      explode(F.tokens(lower(col("q_text")))).as("term")).distinct()
+    // expression tree mirrored exactly in the oracle SQL: (idf * tfc) * scale
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val idf = col("n_docs").cast("double") / col("df")
+    val tfc = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val contrib = qt.join(tf, Seq("term")).join(dl, Seq("doc_id"))
+      .join(dft, Seq("term")).crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        round(idf * tfc * lit(scale)).cast("long").as("c"))
+    val scored = contrib.groupBy("q_id", "doc_id").agg(sum(col("c")).as("score"))
+    Sampling.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("score").desc, col("doc_id").asc), topK)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Sampling, Sharding, Similarity, TextOps}
+import graft.operators.{Bpe, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Retrieval, Sampling, Sharding, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -1728,6 +1728,66 @@ object DataCatalog {
       s"FROM (SELECT string_split(sym, ' ') AS a, freq FROM v$BpeMerges), " +
       "unnest(a) u(t) GROUP BY 1" + OBA))
 
+  private val Bm25Queries = Seq(
+    (1L, "spark table join"), (2L, "hash merge batch window"),
+    (3L, "slow query filter group"))
+  private val Bm25QueriesSql =
+    "q AS (SELECT CAST(q_id AS BIGINT) AS q_id, q_text FROM (VALUES " +
+      Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ") +
+      ") t(q_id, q_text))"
+
+  // IDX1 — block-sharded inverted index: per (term, 256-doc block) an
+  // ordered postings string plus block count and corpus-wide df. The
+  // block bound is the skew defense: a stopword's postings shuffle as
+  // many small (term, block) groups, never one hot key.
+  val idx1 = Q(
+    (s, d) => ordered(Retrieval.postingsIndex(
+      documents(s, d), col("doc_id"), col("text"))),
+    Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+      "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM " +
+      "(SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1), " +
+      "blk AS (SELECT term, doc_id // 256 AS block, doc_id, tf FROM tf), " +
+      "g AS (SELECT term, block, CAST(count(*) AS BIGINT) AS n_docs_block, " +
+      "string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings " +
+      "FROM blk GROUP BY 1, 2) " +
+      "SELECT g.term, g.block, g.n_docs_block, g.postings, d.df " +
+      "FROM g JOIN dft d USING (term)" + OBA))
+
+  // RET1 — BM25 top-k retrieval for a literal query table: ratio-idf
+  // (tx8's no-libm-log stance) × tf saturation, per-(query, term, doc)
+  // contributions rounded once to a 1e-6 fixed-point grid and summed
+  // as BIGINT (the lr1 trick) — document scores exact under any
+  // partitioning and add order. Candidates = union of the query terms'
+  // postings (sparse retrieval), never a corpus scan per query.
+  val ret1 = Q(
+    (s, d) => {
+      import s.implicits._
+      ordered(Retrieval.bm25(documents(s, d), col("doc_id"), col("text"),
+        Bm25Queries.toDF("q_id", "q_text")))
+    },
+    Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1), " +
+      "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM " +
+      "(SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), " +
+      "tl AS (SELECT CAST(count(*) AS BIGINT) AS total_len FROM toks), " +
+      Bm25QueriesSql + ", " +
+      "qt AS (SELECT DISTINCT q_id, term FROM (SELECT q_id, " +
+      "unnest(regexp_split_to_array(trim(lower(q_text)), '\\s+')) AS term FROM q)), " +
+      "c AS (SELECT qt.q_id, tf.doc_id, CAST(round(" +
+      "(n_docs::DOUBLE / df) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / " +
+      "(total_len::DOUBLE / n_docs)))) * 1000000.0) AS BIGINT) AS c " +
+      "FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dft USING (term) " +
+      "CROSS JOIN n CROSS JOIN tl), " +
+      "s AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score FROM c GROUP BY 1, 2) " +
+      "SELECT q_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) " +
+      "AS rank FROM s) WHERE rank <= 5" + OBA))
+
   // SMP5 — cluster-balanced diversity sample: cap every emb4-learned
   // cell at 20 vectors, picked by content-stable md5 order — dense
   // clusters stop dominating the curated sample, and the picked set is
@@ -1828,5 +1888,6 @@ object DataCatalog {
     "smp4_split" -> smp4,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
-    "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5)
+    "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
+    "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1)
 }

@@ -744,6 +744,53 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25: scores match a serial reference; only query-term-sharing docs are candidates") {
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple apple apple date"),
+      (2L, "banana date elderberry fig grape"),
+      (3L, "no shared terms here at all")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple banana")).toDF("q_id", "q_text")
+    val got = Retrieval.bm25(corpus, col("doc_id"), col("text"), queries)
+      .select("q_id", "doc_id", "score").as[(Long, Long, Long)].collect()
+      .map(r => (r._2, r._3)).toMap
+    assert(!got.contains(3L)) // shares no term → never scored
+    // serial reference with the identical expression tree + fixed-point
+    val docs = Map(0L -> Seq("apple", "banana", "cherry"),
+      1L -> Seq("apple", "apple", "apple", "date"),
+      2L -> Seq("banana", "date", "elderberry", "fig", "grape"),
+      3L -> Seq("no", "shared", "terms", "here", "at", "all"))
+    val nDocs = docs.size.toDouble
+    val avgdl = docs.values.map(_.size).sum.toDouble / docs.size
+    def dfOf(t: String) = docs.values.count(_.contains(t)).toDouble
+    val expect = Seq(0L, 1L, 2L).map { d =>
+      val tks = docs(d)
+      d -> Seq("apple", "banana").flatMap { t =>
+        val tf = tks.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(math.round(
+          (nDocs / dfOf(t)) * ((tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * tks.size / avgdl))) * 1e6))
+      }.sum
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("inverted index: postings ordered and block-bounded, df is corpus-wide") {
+    import graft.operators.Retrieval
+    val corpus = (0L until 6L).map(i => (i, s"common unique$i")).toDF("doc_id", "text")
+    val idx = Retrieval.postingsIndex(corpus, col("doc_id"), col("text"), blockWidth = 2)
+      .as[(String, Long, Long, String, Long)].collect()
+    val common = idx.filter(_._1 == "common").sortBy(_._2)
+    // 6 docs over width-2 blocks → 3 groups of exactly 2: the skew bound
+    assert(common.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 2L, "0:1,1:1"), (1L, 2L, "2:1,3:1"), (2L, 2L, "4:1,5:1")))
+    assert(common.forall(_._5 == 6L)) // df is corpus-wide, not per-block
+    assert(idx.filter(_._1 == "unique3").toSeq == Seq(("unique3", 1L, 1L, "3:1", 1L)))
+  }
+
   test("diversity cap: per-cell cap enforced, md5-order picks match a serial reference") {
     import graft.operators.Sampling
     val rows = (0L until 30L).map(i => (i, i % 3)).toDF("vec_id", "cell")
