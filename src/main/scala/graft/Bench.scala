@@ -27,7 +27,8 @@ object Bench {
     "sim3b_centroid_multiprobe", "sim5_ivfpq_ann",
     "emb4_kmeans", "sim4_learned_ivf",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
-    "tx9_seq_packing", "tx10_chunking", "tx11_pii_scrub", "tx12_repetition",
+    "tx9_seq_packing", "tx10_chunking", "cdc1_content_chunks",
+    "tx11_pii_scrub", "tx12_repetition",
     "tx13_pack_examples",
     "sem1_semantic_dedup", "bpe1_merges",
     "out1_shard_manifest", "mix1_corpus_mixture",

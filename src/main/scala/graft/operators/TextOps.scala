@@ -115,6 +115,43 @@ object TextOps {
         array_join(col("ck"), " ").as("chunk_text"))
   }
 
+  /** Content-defined chunking (cdc1): chunk boundaries fall where the
+    * md5 bucket of the preceding token BIGRAM drops below `permille` —
+    * so an insertion or deletion only moves boundaries inside its own
+    * neighborhood, and every chunk downstream of an edit keeps its
+    * content hash (the property fixed-width [[chunk]] windows lack,
+    * and the reason CDC is the standard prelude to chunk-level dedup:
+    * compose with [[NearDup.exact]] on `chunk_hash`). Expected chunk
+    * length ≈ 1000/permille tokens; a boundary can never split the
+    * first two tokens.
+    *
+    * Pure map + explode, like [[chunk]]: boundary candidates, slicing,
+    * and joining all happen inside one array expression per row — no
+    * token-level shuffle, no window, no state. The bigram hash is the
+    * [[Sampling.bucket]] md5-prefix convention, so boundaries are
+    * content-stable across reruns, layouts, and engines. */
+  def cdcChunk(df: DataFrame, id: Column, text: Column,
+      permille: Int = 125): DataFrame = {
+    require(permille > 0 && permille <= 1000,
+      s"permille must be in (0,1000], got $permille")
+    df.select(id.as("doc_id"), F.tokens(lower(text)).as("tk"))
+      .select(col("doc_id"), col("tk"), expr(
+        // 0-based boundary starts: 0, every s>=2 whose preceding bigram
+        // hashes under the threshold, and n as the terminator
+        s"""concat(array(0),
+             filter(sequence(0, size(tk) - 1), s -> s >= 2 AND
+               pmod(CAST(conv(substring(md5(concat(tk[s-2], ' ', tk[s-1])), 1, 15), 16, 10) AS BIGINT), 1000) < $permille),
+             array(size(tk)))""").as("bnd"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(bnd) - 2), j -> named_struct(
+             'chunk_id', CAST(j AS BIGINT),
+             'ck', slice(tk, bnd[j] + 1, bnd[j+1] - bnd[j])))""")).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        size(col("c.ck")).cast("long").as("n_tokens"),
+        array_join(col("c.ck"), " ").as("chunk_text"),
+        md5(array_join(col("c.ck"), " ")).as("chunk_hash"))
+  }
+
   /** PII patterns for [[scrubPii]] — deliberately RE2-compatible (no
     * backrefs, no lookaround) so the DuckDB oracle and any RE2-based
     * engine apply them identically. */

@@ -1728,6 +1728,27 @@ object DataCatalog {
       s"FROM (SELECT string_split(sym, ' ') AS a, freq FROM v$BpeMerges), " +
       "unnest(a) u(t) GROUP BY 1" + OBA))
 
+  // CDC1 — content-defined chunking: boundaries where the preceding
+  // token bigram's md5 bucket drops under 125‰ (expected ~8-token
+  // chunks on this corpus), so edits only move boundaries in their own
+  // neighborhood and downstream chunk hashes survive — the prelude to
+  // chunk-level dedup that fixed windows (tx10) can't give. Pure map +
+  // explode; boundaries content-stable across engines and layouts.
+  val cdc1 = Q(
+    (s, d) => ordered(TextOps.cdcChunk(documents(s, d), col("doc_id"), col("text"))),
+    Some("WITH tkt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents), " +
+      "bndt AS (SELECT doc_id, tk, list_concat(list_concat([0], " +
+      "list_filter(range(0, len(tk)), s -> s >= 2 AND " +
+      "('0x' || substr(md5(tk[s-1] || ' ' || tk[s]), 1, 15))::BIGINT % 1000 < 125)), " +
+      "[len(tk)]) AS bnd FROM tkt), " +
+      "c AS (SELECT doc_id, j - 1 AS chunk_id, list_slice(tk, bnd[j] + 1, bnd[j+1]) AS ck " +
+      "FROM bndt, unnest(range(1, len(bnd))) u(j)) " +
+      "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
+      "CAST(len(ck) AS BIGINT) AS n_tokens, " +
+      "array_to_string(ck, ' ') AS chunk_text, " +
+      "md5(array_to_string(ck, ' ')) AS chunk_hash FROM c" + OBA))
+
   private val Bm25Queries = Seq(
     (1L, "spark table join"), (2L, "hash merge batch window"),
     (3L, "slow query filter group"))
@@ -1889,5 +1910,6 @@ object DataCatalog {
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
     "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
-    "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1)
+    "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
+    "cdc1_content_chunks" -> cdc1)
 }

@@ -744,6 +744,28 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc chunking: chunks reassemble the doc; an early edit leaves later chunk hashes intact") {
+    val base = (1 to 200).map(i => s"w${i % 37}x${i % 11}").mkString(" ")
+    val edited = "INSERTED " + base
+    val both = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    val chunks = TextOps.cdcChunk(both, col("doc_id"), col("text"))
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_hash")
+      .as[(Long, Long, String, String)].collect()
+    // chunks reassemble each document exactly (lowercased)
+    val re = chunks.groupBy(_._1).map { case (d, cs) =>
+      d -> cs.sortBy(_._2).map(_._3).mkString(" ")
+    }
+    assert(re(0L) == base.toLowerCase)
+    assert(re(1L) == edited.toLowerCase)
+    // content-defined boundaries: the tail of the edited doc re-finds
+    // the original boundaries, so most original chunk hashes survive
+    val h0 = chunks.filter(_._1 == 0L).map(_._4).toSet
+    val h1 = chunks.filter(_._1 == 1L).map(_._4).toSet
+    val survived = h0.intersect(h1).size.toDouble / h0.size
+    assert(survived > 0.7,
+      s"expected most chunk hashes to survive a 1-token prefix edit, got $survived")
+  }
+
   test("bm25: scores match a serial reference; only query-term-sharing docs are candidates") {
     import graft.operators.Retrieval
     val corpus = Seq(
