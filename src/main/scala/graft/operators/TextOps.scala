@@ -115,6 +115,35 @@ object TextOps {
         array_join(col("ck"), " ").as("chunk_text"))
   }
 
+  /** Vocabulary-drift report (qc2): the tokens whose relative frequency
+    * differs most between two corpus strata (side A vs side B) — the
+    * distribution-shift probe run between snapshots, sources, or a
+    * corpus and its curated output. The drift ordering is EXACT: instead
+    * of comparing float ratios cnt_a/tot_a vs cnt_b/tot_b (whose
+    * division rounds differently than any serial oracle), rows rank by
+    * the cross-multiplied integer |cnt_a·tot_b − cnt_b·tot_a| in
+    * DECIMAL(38) — both products fit (each factor ≤ 2⁶³), arithmetic is
+    * exact, and the DuckDB twin is HUGEINT.
+    *
+    * Scale: one tokenize pass, one hash aggregate keyed by token with
+    * map-side partial sums (the two sides are conditional sums, not a
+    * second pass), a 1-row totals broadcast, and a global top-k. */
+  def vocabDrift(df: DataFrame, text: Column, sideA: Column,
+      topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val t = df.select(sideA.as("a"), explode(F.tokens(lower(text))).as("token"))
+    val cnt = t.groupBy("token").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("cnt_b"))
+    val tot = cnt.agg(sum("cnt_a").as("tot_a"), sum("cnt_b").as("tot_b"))
+    cnt.crossJoin(broadcast(tot))
+      .orderBy(abs(col("cnt_a").cast(dec) * col("tot_b").cast(dec) -
+        col("cnt_b").cast(dec) * col("tot_a").cast(dec)).desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("cnt_a"), col("cnt_b"))
+  }
+
   /** Content-defined chunking (cdc1): chunk boundaries fall where the
     * md5 bucket of the preceding token BIGRAM drops below `permille` —
     * so an insertion or deletion only moves boundaries inside its own

@@ -1728,6 +1728,24 @@ object DataCatalog {
       s"FROM (SELECT string_split(sym, ' ') AS a, freq FROM v$BpeMerges), " +
       "unnest(a) u(t) GROUP BY 1" + OBA))
 
+  // QC2 — vocabulary drift between strata (en vs rest): top-10 tokens
+  // by exact cross-multiplied drift |cnt_a·tot_b − cnt_b·tot_a| —
+  // integer arithmetic (Spark DECIMAL(38) / DuckDB HUGEINT), no float
+  // ratio whose rounding could reorder the top-k across engines.
+  val qc2 = Q(
+    (s, d) => ordered(TextOps.vocabDrift(
+      documents(s, d), col("text"), col("lang") === "en")),
+    Some("WITH t AS (SELECT (lang = 'en') AS a, " +
+      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents), " +
+      "c AS (SELECT token, CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a, " +
+      "CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b FROM t GROUP BY 1), " +
+      "tt AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a, " +
+      "CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM c) " +
+      "SELECT token, cnt_a, cnt_b FROM (" +
+      "SELECT token, cnt_a, cnt_b FROM c CROSS JOIN tt " +
+      "ORDER BY abs(cnt_a::HUGEINT * tot_b - cnt_b::HUGEINT * tot_a) DESC, token ASC " +
+      "LIMIT 10)" + OBA))
+
   // CDC1 — content-defined chunking: boundaries where the preceding
   // token bigram's md5 bucket drops under 125‰ (expected ~8-token
   // chunks on this corpus), so edits only move boundaries in their own
@@ -1911,5 +1929,5 @@ object DataCatalog {
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
     "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
-    "cdc1_content_chunks" -> cdc1)
+    "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2)
 }

@@ -744,6 +744,20 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab drift: exact cross-multiplied ranking matches a rational-arithmetic reference") {
+    val corpus = Seq(
+      (true, "x x x x y common common"),
+      (true, "x y common common"),
+      (false, "z z z y common common"),
+      (false, "z y common common")
+    ).toDF("a", "text")
+    val got = TextOps.vocabDrift(corpus, col("text"), col("a"), topK = 2)
+      .select("token").as[String].collect().toSet
+    // reference: tot_a=11, tot_b=10; drifts ×(11·10): x |5·10-0|=50,
+    // z |0-5·11|=55, y |2·10-2·11|=2, common |4·10-4·11|=4 → top2 {z, x}
+    assert(got == Set("z", "x"))
+  }
+
   test("cdc chunking: chunks reassemble the doc; an early edit leaves later chunk hashes intact") {
     val base = (1 to 200).map(i => s"w${i % 37}x${i % 11}").mkString(" ")
     val edited = "INSERTED " + base
