@@ -1752,20 +1752,55 @@ object DataCatalog {
   // neighborhood and downstream chunk hashes survive — the prelude to
   // chunk-level dedup that fixed windows (tx10) can't give. Pure map +
   // explode; boundaries content-stable across engines and layouts.
-  val cdc1 = Q(
-    (s, d) => ordered(TextOps.cdcChunk(documents(s, d), col("doc_id"), col("text"))),
-    Some("WITH tkt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+  /** Shared CDC-chunk oracle CTEs ending in
+    * `cks(doc_id, chunk_id, n_tokens, chunk_text, chunk_hash)` —
+    * the DuckDB twin of TextOps.cdcChunk at 125‰. */
+  private val CdcChunksBody =
+    "tkt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
       "FROM documents), " +
       "bndt AS (SELECT doc_id, tk, list_concat(list_concat([0], " +
       "list_filter(range(0, len(tk)), s -> s >= 2 AND " +
       "('0x' || substr(md5(tk[s-1] || ' ' || tk[s]), 1, 15))::BIGINT % 1000 < 125)), " +
       "[len(tk)]) AS bnd FROM tkt), " +
-      "c AS (SELECT doc_id, j - 1 AS chunk_id, list_slice(tk, bnd[j] + 1, bnd[j+1]) AS ck " +
-      "FROM bndt, unnest(range(1, len(bnd))) u(j)) " +
-      "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, " +
-      "CAST(len(ck) AS BIGINT) AS n_tokens, " +
+      "cc AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_id, " +
+      "list_slice(tk, bnd[j] + 1, bnd[j+1]) AS ck " +
+      "FROM bndt, unnest(range(1, len(bnd))) u(j)), " +
+      "cks AS (SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens, " +
       "array_to_string(ck, ' ') AS chunk_text, " +
-      "md5(array_to_string(ck, ' ')) AS chunk_hash FROM c" + OBA))
+      "md5(array_to_string(ck, ' ')) AS chunk_hash FROM cc)"
+
+  val cdc1 = Q(
+    (s, d) => ordered(TextOps.cdcChunk(documents(s, d), col("doc_id"), col("text"))),
+    Some("WITH " + CdcChunksBody +
+      " SELECT doc_id, chunk_id, n_tokens, chunk_text, chunk_hash FROM cks" + OBA))
+
+  // D10 — chunk-level dedup over CDC chunks: first instance (min
+  // doc_id, then chunk position) of every chunk hash survives, docs
+  // reassemble in order — cross-document boilerplate removal (repeated
+  // headers/footers/license blocks) that document-level dedup can't
+  // see and fixed windows would mis-align. One hash-partitioned window
+  // + one per-doc reassembly agg on top of cdc1's pure map.
+  val d10 = Q(
+    (s, d) => {
+      val ck = TextOps.cdcChunk(documents(s, d), col("doc_id"), col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_id"))
+      ordered(ck.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("n_tokens"),
+          array_join(expr(
+            "transform(array_sort(collect_list(struct(chunk_id, chunk_text))), x -> x.chunk_text)"),
+            " ").as("clean_text")))
+    },
+    Some("WITH " + CdcChunksBody + ", " +
+      "kept AS (SELECT doc_id, chunk_id, n_tokens, chunk_text FROM (" +
+      "SELECT doc_id, chunk_id, n_tokens, chunk_text, " +
+      "row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) AS rn " +
+      "FROM cks) WHERE rn = 1) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+      "string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text " +
+      "FROM kept GROUP BY doc_id" + OBA))
 
   private val Bm25Queries = Seq(
     (1L, "spark table join"), (2L, "hash merge batch window"),
@@ -1929,5 +1964,6 @@ object DataCatalog {
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
     "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
-    "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2)
+    "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
+    "d10_cdc_chunk_dedup" -> d10)
 }

@@ -744,6 +744,23 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc chunk dedup: shared boilerplate survives only in the first doc") {
+    import org.apache.spark.sql.expressions.Window
+    val boiler = (1 to 60).map(i => s"b${i % 13}q${i % 7}").mkString(" ")
+    val corpus = Seq(
+      (0L, boiler + " unique zero content"),
+      (1L, boiler + " totally different tail")
+    ).toDF("doc_id", "text")
+    val ck = TextOps.cdcChunk(corpus, col("doc_id"), col("text"))
+    val w = Window.partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_id"))
+    val kept = ck.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val counts = kept.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    val orig = ck.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // doc 0 keeps everything; doc 1 loses its interior boilerplate chunks
+    assert(counts(0L) == orig(0L))
+    assert(counts(1L) < orig(1L))
+  }
+
   test("vocab drift: exact cross-multiplied ranking matches a rational-arithmetic reference") {
     val corpus = Seq(
       (true, "x x x x y common common"),
