@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Retrieval, Sampling, Sharding, Similarity, TextOps}
+import graft.operators.{Bpe, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Profiling, Retrieval, Sampling, Sharding, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -1728,6 +1728,19 @@ object DataCatalog {
       s"FROM (SELECT string_split(sym, ' ') AS a, freq FROM v$BpeMerges), " +
       "unnest(a) u(t) GROUP BY 1" + OBA))
 
+  // QC3 — table profile: per-column null counts, exact distinct
+  // cardinality, min/max as strings — the before/after data-quality
+  // card of every corpus job. One scan, COLUMNS output rows.
+  val qc3 = Q(
+    (s, d) => ordered(Profiling.profile(documents(s, d),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))),
+    Some(Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"SELECT '$c' AS col_name, CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+        s"CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v " +
+        "FROM documents"
+    }.mkString(" UNION ALL ") + OBA))
+
   // QC2 — vocabulary drift between strata (en vs rest): top-10 tokens
   // by exact cross-multiplied drift |cnt_a·tot_b − cnt_b·tot_a| —
   // integer arithmetic (Spark DECIMAL(38) / DuckDB HUGEINT), no float
@@ -1965,5 +1978,5 @@ object DataCatalog {
     "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
     "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
-    "d10_cdc_chunk_dedup" -> d10)
+    "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3)
 }

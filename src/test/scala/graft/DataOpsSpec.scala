@@ -744,6 +744,18 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("table profile: null counts, exact distincts, native-order min/max") {
+    import graft.operators.Profiling
+    val df = Seq((1L, Option("b"), 10), (2L, None, 9), (3L, Option("a"), 100))
+      .toDF("id", "s", "n")
+    val p = Profiling.profile(df, Seq("s", "n"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(p("s") == ((1L, 2L, "a", "b")))
+    // native numeric order: max is 100, not the lexicographic "9"
+    assert(p("n") == ((0L, 3L, "9", "100")))
+  }
+
   test("cdc chunk dedup: shared boilerplate survives only in the first doc") {
     import org.apache.spark.sql.expressions.Window
     val boiler = (1 to 60).map(i => s"b${i % 13}q${i % 7}").mkString(" ")
