@@ -106,12 +106,53 @@ object DocStream {
       .drop("__exact", "__sigs", "__near")
   }
 
+  /** The lm1 coverage gate as a ROW-LOCAL streaming stage stacked on
+    * [[admit]]: the top-V reference bigram set rides as an IN-set
+    * literal (Catalyst compiles a >10-element isin to a hashed InSet,
+    * so the per-bigram probe is O(1) with no join), hits are counted by
+    * a per-row array filter, and the keep decision is the identical
+    * BIGINT-count rule — so the admitted set is EXACTLY
+    * `admit ∩ LmFilter.coverageGate(kept)` over the same rows, with no
+    * state and no watermark. The batch path keeps the broadcast join
+    * ([[graft.operators.LmFilter.coverageGate]]); this in-row variant
+    * is the streaming-shaped twin of the same model, published alongside
+    * the corpus fingerprint (V strings — a few KB). */
+  def admitWithCoverage(docs: DataFrame, fp: CorpusFingerprint,
+      refBigrams: Seq[String]): DataFrame = {
+    val tk = graft.functions.F.tokens(lower(col("text")))
+    val bgs = when(size(tk) >= 2, expr(
+      "transform(sequence(1, size(__tk) - 1), i -> concat(__tk[i-1], ' ', __tk[i]))"))
+      .otherwise(array().cast("array<string>"))
+    val gated = admit(docs, fp)
+      .withColumn("__tk", tk)
+      .withColumn("__hits", size(filter(bgs, b => b.isin(refBigrams: _*))).cast("long"))
+      .withColumn("__tot", greatest(size(col("__tk")) - 1, lit(0)).cast("long"))
+      .filter(col("__hits") * 2 >= col("__tot"))
+    gated.drop("__tk", "__hits", "__tot")
+  }
+
   /** Drive the admission gate over a parquet directory as a stream
     * (AvailableNow) into a memory sink. */
   def runAdmitAvailableNow(spark: SparkSession, docsDir: String,
       fp: CorpusFingerprint, outName: String): StreamingQuery = {
     val src = spark.readStream.schema(schema).parquet(docsDir)
     val q = admit(src, fp).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Drive the admission + coverage gate over a parquet directory as a
+    * stream (AvailableNow) into a memory sink. */
+  def runAdmitCoverageAvailableNow(spark: SparkSession, docsDir: String,
+      fp: CorpusFingerprint, refBigrams: Seq[String],
+      outName: String): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(docsDir)
+    val q = admitWithCoverage(src, fp, refBigrams).writeStream
       .outputMode("append")
       .format("memory")
       .queryName(outName)

@@ -486,6 +486,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.table("admit_out2").select("doc_id").as[Long].collect().toSet == streamed)
   }
 
+  test("streaming coverage gate: admitted set is exactly admit ∩ batch coverage keeps") {
+    import graft.streaming.DocStream
+    import graft.operators.LmFilter
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 10 >= 2)
+    val batch = docs.filter(col("doc_id") % 10 < 2)
+    val dir = java.nio.file.Files.createTempDirectory("doc_cov")
+    batch.coalesce(1).write.mode("overwrite").parquet(dir.toString + "/in")
+
+    val fp = DocStream.fingerprint(corpus)
+    // topV=450 sits on the fixture's coverage knee (V≤300 rejects all,
+    // V≥600 keeps all) so both gate outcomes are exercised
+    val ref = LmFilter.refBigrams(corpus, col("doc_id"), col("text"), 450,
+      minScore = 0.0)
+    val refSeq = ref.as[String].collect().toSeq
+    DocStream.runAdmitCoverageAvailableNow(
+      spark, dir.toString + "/in", fp, refSeq, "cov_out")
+    val streamed = spark.table("cov_out").select("doc_id").as[Long].collect().toSet
+
+    // batch twin: the plain admission set intersected with the batch
+    // coverage gate's kept rows over the same reference model
+    DocStream.runAdmitAvailableNow(spark, dir.toString + "/in", fp, "cov_admit_ref")
+    val admitted = spark.table("cov_admit_ref").select("doc_id").as[Long].collect().toSet
+    val kept = LmFilter.coverageGate(batch, col("doc_id"), col("text"), ref)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(streamed == admitted.intersect(kept),
+      "stream coverage gate must equal admit ∩ batch coverage keeps, bit-for-bit")
+    assert(streamed.nonEmpty && streamed != admitted,
+      "fixture must exercise the coverage rejection path")
+  }
+
   test("stateful streaming sessionization: closed sessions match batch twin") {
     import graft.sources.Tables
     val ev = Tables.events(spark, sf)
