@@ -52,6 +52,49 @@ object Retrieval {
       .join(dft, Seq("term"))
   }
 
+  /** TF-IDF query ranker — the second scorer for hybrid fusion: score =
+    * Σ_t (tf/dl)·(N/df) over shared terms, fixed-pointed and summed
+    * exactly like [[bm25]]. Same candidate generation (query-term
+    * postings), same determinism contract. */
+  def tfidfRank(df: DataFrame, id: Column, text: Column, queries: DataFrame,
+      topK: Int = 5, scale: Double = 1e6): DataFrame = {
+    val t = toks(df, id, text)
+    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dft = t.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = df.agg(count(lit(1)).as("n_docs"))
+    val qt = queries.select(col("q_id"),
+      explode(F.tokens(lower(col("q_text")))).as("term")).distinct()
+    val contrib = qt.join(tf, Seq("term")).join(dl, Seq("doc_id"))
+      .join(dft, Seq("term")).crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        round((col("tf").cast("double") / col("dl")) *
+          (col("n_docs").cast("double") / col("df")) * lit(scale))
+          .cast("long").as("c"))
+    val scored = contrib.groupBy("q_id", "doc_id").agg(sum(col("c")).as("score"))
+    Sampling.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("score").desc, col("doc_id").asc), topK)
+  }
+
+  /** ret2 — reciprocal-rank fusion of two rankings `(q_id, doc_id,
+    * rank)`: fused score = Σ round(1e9 / (60 + rank)) over the systems
+    * that ranked the pair — the standard hybrid-retrieval combiner
+    * (lexical + dense, or two lexical scorers), integer-exact so the
+    * fused ordering is engine-identical. A full-outer equi-join on
+    * (q_id, doc_id) plus one top-k window; no corpus access at all. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 60, topK: Int = 5): DataFrame = {
+    def part(rank: Column): Column =
+      coalesce(round(lit(1e9) / (lit(k) + rank)).cast("long"), lit(0L))
+    val fused = a.select(col("q_id"), col("doc_id"), col("rank").as("rank_a"))
+      .join(b.select(col("q_id"), col("doc_id"), col("rank").as("rank_b")),
+        Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (part(col("rank_a")) + part(col("rank_b"))).as("score"))
+    Sampling.topKPerGroup(fused, Seq(col("q_id")),
+      Seq(col("score").desc, col("doc_id").asc), topK)
+  }
+
   /** ret1 — BM25 top-k retrieval of corpus documents for a query table
     * `(q_id, q_text)`: score = Σ_t ratio-idf(t) · tf-saturation(t, d),
     * k1/b the standard 1.2/0.75, contributions fixed-pointed at

@@ -1875,6 +1875,55 @@ object DataCatalog {
       "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) " +
       "AS rank FROM s) WHERE rank <= 5" + OBA))
 
+  // RET2 — hybrid retrieval: reciprocal-rank fusion of the BM25 and
+  // TF-IDF rankers over the same query table. Fused score =
+  // Σ round(1e9/(60+rank)) — integer-exact, so the hybrid ordering is
+  // engine-identical; fusion itself never touches the corpus (a
+  // full-outer equi-join of two rank lists + one top-k window).
+  val ret2 = Q(
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val qs = Bm25Queries.toDF("q_id", "q_text")
+      val a = Retrieval.bm25(docs, col("doc_id"), col("text"), qs, topK = 1 << 30)
+      val b = Retrieval.tfidfRank(docs, col("doc_id"), col("text"), qs, topK = 1 << 30)
+      ordered(Retrieval.rrfFuse(a, b))
+    },
+    Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1), " +
+      "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM " +
+      "(SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1), " +
+      "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), " +
+      "tl AS (SELECT CAST(count(*) AS BIGINT) AS total_len FROM toks), " +
+      Bm25QueriesSql + ", " +
+      "qt AS (SELECT DISTINCT q_id, term FROM (SELECT q_id, " +
+      "unnest(regexp_split_to_array(trim(lower(q_text)), '\\s+')) AS term FROM q)), " +
+      "c1 AS (SELECT qt.q_id, tf.doc_id, CAST(round(" +
+      "(n_docs::DOUBLE / df) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / " +
+      "(total_len::DOUBLE / n_docs)))) * 1000000.0) AS BIGINT) AS c " +
+      "FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dft USING (term) " +
+      "CROSS JOIN n CROSS JOIN tl), " +
+      "s1 AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score FROM c1 GROUP BY 1, 2), " +
+      "r1 AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY score DESC, doc_id ASC) AS rank FROM s1), " +
+      "c2 AS (SELECT qt.q_id, tf.doc_id, CAST(round(" +
+      "(tf::DOUBLE / dl) * (n_docs::DOUBLE / df) * 1000000.0) AS BIGINT) AS c " +
+      "FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dft USING (term) " +
+      "CROSS JOIN n), " +
+      "s2 AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score FROM c2 GROUP BY 1, 2), " +
+      "r2 AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id " +
+      "ORDER BY score DESC, doc_id ASC) AS rank FROM s2), " +
+      "f AS (SELECT coalesce(r1.q_id, r2.q_id) AS q_id, " +
+      "coalesce(r1.doc_id, r2.doc_id) AS doc_id, " +
+      "coalesce(CAST(round(1000000000.0 / (60 + r1.rank)) AS BIGINT), 0) + " +
+      "coalesce(CAST(round(1000000000.0 / (60 + r2.rank)) AS BIGINT), 0) AS score " +
+      "FROM r1 FULL OUTER JOIN r2 ON r1.q_id = r2.q_id AND r1.doc_id = r2.doc_id) " +
+      "SELECT q_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) " +
+      "AS rank FROM f) WHERE rank <= 5" + OBA))
+
   // SMP5 — cluster-balanced diversity sample: cap every emb4-learned
   // cell at 20 vectors, picked by content-stable md5 order — dense
   // clusters stop dominating the curated sample, and the picked set is
@@ -1978,5 +2027,6 @@ object DataCatalog {
     "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
     "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
-    "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3)
+    "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3,
+    "ret2_rrf_fusion" -> ret2)
 }

@@ -744,6 +744,19 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rrf fusion: both-system hits beat single-system hits; ranks combine reciprocally") {
+    import graft.operators.Retrieval
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("q_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(a, b)
+      .select("doc_id", "score", "rank").as[(Long, Long, Long)].collect()
+      .sortBy(_._3)
+    def p(r: Long) = math.round(1e9 / (60 + r))
+    // doc 11 ranked by both (2nd + 1st) outranks doc 10 (1st in one only)
+    assert(got.map(_._1).toSeq == Seq(11L, 10L, 12L))
+    assert(got.map(_._2).toSeq == Seq(p(2) + p(1), p(1), p(2)))
+  }
+
   test("table profile: null counts, exact distincts, native-order min/max") {
     import graft.operators.Profiling
     val df = Seq((1L, Option("b"), 10), (2L, None, 9), (3L, Option("a"), 100))
