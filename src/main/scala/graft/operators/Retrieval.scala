@@ -18,16 +18,25 @@ import graft.functions.F
   *    summed as BIGINT (the lr1 gradient trick) — so the per-document
   *    score is exact under any partitioning and any add order.
   *
-  * Scale design: everything is equi-joins on `term`/`doc_id` over
-  * term-frequency aggregates — one tokenize pass feeds tf/dl/df. The
-  * posting lists are sharded into fixed doc-id blocks so a stopword's
-  * postings never materialize on one node (the stop-shingle lesson);
+  * Scale design: the corpus text is tokenized EXACTLY ONCE — the
+  * (doc_id, term, tf) table is persisted and every other statistic
+  * derives from it (dl = Σ tf per doc, df = rows per term, total
+  * length = Σ tf), so no aggregate re-reads the 100 TB text column.
+  * Everything downstream is equi-joins on `term`/`doc_id`. The posting
+  * lists are sharded into fixed doc-id blocks so a stopword's postings
+  * never materialize on one node (the stop-shingle lesson);
   * corpus-level scalars (N, total length) are 1-row broadcasts.
   */
 object Retrieval {
 
   private def toks(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), explode(F.tokens(lower(text))).as("term"))
+
+  /** The persisted one-tokenize-pass term-frequency table — the single
+    * corpus-derived artifact every retrieval statistic reads. */
+  private def tfTable(df: DataFrame, id: Column, text: Column): DataFrame =
+    graft.CacheScope.persist(
+      toks(df, id, text).groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
 
   /** idx1 — block-sharded inverted index: for every (term, doc-id
     * block) a postings string `"doc:tf,doc:tf,…"` ordered by doc_id,
@@ -38,10 +47,8 @@ object Retrieval {
   def postingsIndex(df: DataFrame, id: Column, text: Column,
       blockWidth: Int = 256): DataFrame = {
     require(blockWidth > 0, s"blockWidth must be positive, got $blockWidth")
-    val t = toks(df, id, text)
-    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dft = t.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = tfTable(df, id, text)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.withColumn("block", expr(s"doc_id div $blockWidth"))
       .groupBy("term", "block")
       .agg(count(lit(1)).as("n_docs_block"),
@@ -58,11 +65,9 @@ object Retrieval {
     * postings), same determinism contract. */
   def tfidfRank(df: DataFrame, id: Column, text: Column, queries: DataFrame,
       topK: Int = 5, scale: Double = 1e6): DataFrame = {
-    val t = toks(df, id, text)
-    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dft = t.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = tfTable(df, id, text)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = df.agg(count(lit(1)).as("n_docs"))
     val qt = queries.select(col("q_id"),
       explode(F.tokens(lower(col("q_text")))).as("term")).distinct()
@@ -104,13 +109,11 @@ object Retrieval {
     * set is the union of the query terms' postings). */
   def bm25(df: DataFrame, id: Column, text: Column, queries: DataFrame,
       topK: Int = 5, scale: Double = 1e6): DataFrame = {
-    val t = toks(df, id, text)
-    val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dft = t.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = tfTable(df, id, text)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = df.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(t.agg(count(lit(1)).as("total_len")))
+      .crossJoin(tf.agg(sum(col("tf")).as("total_len")))
     val qt = queries.select(col("q_id"),
       explode(F.tokens(lower(col("q_text")))).as("term")).distinct()
     // expression tree mirrored exactly in the oracle SQL: (idf * tfc) * scale

@@ -72,6 +72,27 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("bm25 statistics derive from one persisted tokenize pass, not repeated text scans") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import graft.operators.Retrieval
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val qs = Seq((1L, "spark table join")).toDF("q_id", "q_text")
+    val ranked = Retrieval.bm25(docs, col("doc_id"), col("text"), qs)
+    ranked.count()
+    val ns = nodes(ranked)
+    assert(ns.count(_.isInstanceOf[InMemoryTableScanExec]) >= 3,
+      "tf/dl/df/total must read the persisted term-frequency table")
+    // the raw text column is tokenized once (inside the cached tf build);
+    // the only other corpus access is the column-pruned n_docs count
+    val textScans = ns.collect { case f: FileSourceScanExec => f }
+      .count(_.schema.fieldNames.contains("text"))
+    assert(textScans == 0,
+      s"no post-cache plan node may rescan the text column, saw $textScans")
+    CacheScope.releaseAll()
+  }
+
   test("lm coverage scoring joins the corpus against a BROADCAST reference model") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
     import graft.operators.LmFilter
