@@ -95,6 +95,21 @@ object Bpe {
     (merges.toSeq, vocab)
   }
 
+  /** Per-document sequence lengths under the trained tokenizer (bpe3):
+    * join each document's words to the final vocab's symbol counts and
+    * sum — the REAL token counts a packing/batching stage (tx9/tx13)
+    * needs once a tokenizer exists, replacing the whitespace proxy.
+    * One corpus tokenize pass + one equi-join against the vocab (AQE
+    * broadcasts it when small) + one per-doc aggregate. */
+  def encodedLengths(df: DataFrame, id: Column, text: Column,
+      finalVocab: DataFrame): DataFrame =
+    df.select(id.as("doc_id"), explode(F.tokens(lower(text))).as("word"))
+      .where(length(col("word")) > 0)
+      .join(finalVocab.select(col("word"),
+        size(split(col("sym"), " ")).cast("long").as("n_syms")), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+
   /** The trained tokenizer's vocabulary with corpus frequencies:
     * (token, freq) — every surviving symbol weighted by the word
     * frequencies it appears in. Runs on the vocab table only. */

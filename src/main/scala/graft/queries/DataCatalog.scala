@@ -1815,6 +1815,25 @@ object DataCatalog {
       "string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text " +
       "FROM kept GROUP BY doc_id" + OBA))
 
+  // BPE3 — per-doc sequence lengths under the trained tokenizer: the
+  // real token counts a packing stage needs once a tokenizer exists
+  // (the whitespace proxy tx9 packs by is the pre-tokenizer stand-in).
+  // Train → vocab → apply, all in-engine.
+  val bpe3 = Q(
+    (s, d) => {
+      val (_, fin) = Bpe.learn(Bpe.wordCounts(documents(s, d), col("text")), BpeMerges)
+      ordered(Bpe.encodedLengths(documents(s, d), col("doc_id"), col("text"), fin))
+    },
+    Some(bpeBody(BpeMerges) +
+      s", nt AS (SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_syms " +
+      s"FROM v$BpeMerges), " +
+      "dw AS (SELECT doc_id, w AS word FROM (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+      "unnest(tk) t(w) WHERE len(w) > 0) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens " +
+      "FROM dw JOIN nt USING (word) GROUP BY doc_id" + OBA))
+
   private val Bm25Queries = Seq(
     (1L, "spark table join"), (2L, "hash merge batch window"),
     (3L, "slow query filter group"))
@@ -2028,5 +2047,5 @@ object DataCatalog {
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
     "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
     "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3,
-    "ret2_rrf_fusion" -> ret2)
+    "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3)
 }

@@ -949,6 +949,22 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("bpe encoded lengths: zero merges = char counts, merges shorten sequences") {
+    import graft.operators.Bpe
+    val corpus = Seq((0L, "low low lower"), (1L, "low")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(corpus, col("text"))
+    val (_, v0) = Bpe.learn(wc, 0)
+    val raw = Bpe.encodedLengths(corpus, col("doc_id"), col("text"), v0)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(raw == Map(0L -> 11L, 1L -> 3L)) // low(3)+low(3)+lower(5); low(3)
+    val (_, v4) = Bpe.learn(wc, 4)
+    val enc = Bpe.encodedLengths(corpus, col("doc_id"), col("text"), v4)
+      .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toMap
+    assert(enc(0L) < raw(0L) && enc(1L) < raw(1L),
+      "learned merges must shorten every doc containing merged words")
+    CacheScope.releaseAll()
+  }
+
   test("bpe: consecutive occurrences merge left-to-right non-overlapping") {
     import graft.operators.Bpe
     // "aaaa" with merge (a,a) must become "aa aa", not "aa a a" or "aaa a"
