@@ -59,6 +59,24 @@ object Retrieval {
       .join(dft, Seq("term"))
   }
 
+  /** idx2 — segment merge: combine per-batch index segments (the
+    * Lucene model — each ingest batch builds its own [[postingsIndex]]
+    * over only its documents, O(batch) work) into the global index
+    * view. Because corpus ingest is append-only with increasing doc
+    * ids, aligning batch boundaries to block boundaries makes segment
+    * (term, block) groups disjoint, so the merge is a UNION plus a
+    * per-term df re-sum (df = Σ n_docs_block over a term's rows — no
+    * stored-df reconciliation). Never re-reads indexed text.
+    *
+    * Contract: segments must cover disjoint doc-id ranges aligned to
+    * `blockWidth` (the out3 append contract); a colliding (term,
+    * block) would silently double a group. */
+  def mergeSegments(segments: Seq[DataFrame]): DataFrame = {
+    require(segments.nonEmpty, "mergeSegments needs at least one segment")
+    val u = segments.map(_.drop("df")).reduce(_.unionByName(_))
+    u.join(u.groupBy("term").agg(sum(col("n_docs_block")).as("df")), Seq("term"))
+  }
+
   /** TF-IDF query ranker — the second scorer for hybrid fusion: score =
     * Σ_t (tf/dl)·(N/df) over shared terms, fixed-pointed and summed
     * exactly like [[bm25]]. Same candidate generation (query-term

@@ -1894,6 +1894,32 @@ object DataCatalog {
       "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) " +
       "AS rank FROM s) WHERE rank <= 5" + OBA))
 
+  // IDX2 — segmented index build ≡ full rebuild: two ingest batches
+  // (split at a block boundary) each build their own O(batch) segment,
+  // the merge is union + per-term df re-sum — and the ORACLE is idx1's
+  // full-rebuild SQL, so the equivalence is proven cross-engine, the
+  // incremental-index twin of out3's append-≡-recompute contract.
+  val idx2 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val seg1 = Retrieval.postingsIndex(
+        docs.filter(col("doc_id") < 256), col("doc_id"), col("text"))
+      val seg2 = Retrieval.postingsIndex(
+        docs.filter(col("doc_id") >= 256), col("doc_id"), col("text"))
+      ordered(Retrieval.mergeSegments(Seq(seg1, seg2)))
+    },
+    Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+      "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM " +
+      "(SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1), " +
+      "blk AS (SELECT term, doc_id // 256 AS block, doc_id, tf FROM tf), " +
+      "g AS (SELECT term, block, CAST(count(*) AS BIGINT) AS n_docs_block, " +
+      "string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings " +
+      "FROM blk GROUP BY 1, 2) " +
+      "SELECT g.term, g.block, g.n_docs_block, g.postings, d.df " +
+      "FROM g JOIN dft d USING (term)" + OBA))
+
   // RET2 — hybrid retrieval: reciprocal-rank fusion of the BM25 and
   // TF-IDF rankers over the same query table. Fused score =
   // Σ round(1e9/(60+rank)) — integer-exact, so the hybrid ordering is
@@ -2047,5 +2073,6 @@ object DataCatalog {
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
     "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
     "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3,
-    "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3)
+    "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3,
+    "idx2_segment_merge" -> idx2)
 }
