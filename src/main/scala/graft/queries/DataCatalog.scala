@@ -16,16 +16,17 @@ object DataCatalog {
 
   /** Shared oracle CTEs: lowercased whitespace tokens and distinct word
     * 3-gram shingles per document (twin of NearDup.shingles). */
-  private val ShinglesBody =
+  private def shinglesBody(src: String): String =
     "toks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
-      "FROM documents), " +
+      s"FROM $src), " +
       "sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
       "FROM toks, unnest(range(1, len(tk) - 1)) u(i))"
+  private val ShinglesBody = shinglesBody("documents")
   private val ShinglesCte = "WITH " + ShinglesBody
 
   /** The full MinHash-LSH pair pipeline as reusable CTE text, ending in
     * `pairs(id_a, id_b, jaccard)` (verified ≥ 0.5). */
-  private val MinhashPairsBody = ShinglesBody + ", " +
+  private def minhashPairsBody(src: String): String = shinglesBody(src) + ", " +
     "mins AS (SELECT doc_id, h, min(((((2*h+1)*2654435761) % 2147483647) * " +
     "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
     "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
@@ -43,6 +44,7 @@ object DataCatalog {
     "FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b " +
     "JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b " +
     "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.5)"
+  private val MinhashPairsBody = minhashPairsBody("documents")
 
   // D1 exact dedup: canonical doc per md5(text), min doc_id survives.
   val d1 = Q(
@@ -1815,6 +1817,40 @@ object DataCatalog {
       "string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text " +
       "FROM kept GROUP BY doc_id" + OBA))
 
+  // DP4 — cross-modal dedup over the aligned (text, embedding) corpus:
+  // a document drops if EITHER its text is a verified MinHash near-dup
+  // OR its embedding is a within-cell cosine near-dup of a smaller-id
+  // doc — union-of-evidence dedup, the multimodal-curation step neither
+  // modality catches alone. Both pair generators are the existing
+  // banded/cell-blocked equi-joins (d2, d5); the union and the final
+  // left-anti are one pass over the joint ids.
+  val dp4 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val e = embeddings(s, d)
+      val joint = docs.join(e, docs("doc_id") === e("vec_id"))
+        .select(col("doc_id"), col("text"), col("lang"), col("embedding"), col("label"))
+      val tDrops = NearDup.minhashLsh(joint, col("doc_id"), col("text"), 0.5)
+        .select(col("id_b").as("doc_id"))
+      val eDrops = Similarity.nearDupPairs(
+        joint.select(col("doc_id").as("vec_id"), col("embedding"), col("label")),
+        "label", 0.9)
+        .select(col("id_b").as("doc_id"))
+      val drops = tDrops.union(eDrops).distinct()
+      ordered(joint.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("label").cast("long").as("label")))
+    },
+    Some("WITH joint AS (SELECT d.doc_id, d.text, d.lang, e.embedding, e.label " +
+      "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id), " +
+      minhashPairsBody("joint") + ", " +
+      "ea AS (SELECT doc_id AS id_a, embedding AS va, label FROM joint), " +
+      "eb AS (SELECT doc_id AS id_b, embedding AS vb, label FROM joint), " +
+      "ep AS (SELECT id_a, id_b FROM ea JOIN eb USING (label) " +
+      "WHERE id_a < id_b AND " + cosSql("va", "vb") + " >= 0.9), " +
+      "drops AS (SELECT id_b AS doc_id FROM pairs UNION SELECT id_b FROM ep) " +
+      "SELECT doc_id, lang, CAST(label AS BIGINT) AS label FROM joint j " +
+      "WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = j.doc_id)" + OBA))
+
   // BPE3 — per-doc sequence lengths under the trained tokenizer: the
   // real token counts a packing stage needs once a tokenizer exists
   // (the whitespace proxy tx9 packs by is the pre-tokenizer stand-in).
@@ -2074,5 +2110,5 @@ object DataCatalog {
     "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
     "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3,
     "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3,
-    "idx2_segment_merge" -> idx2)
+    "idx2_segment_merge" -> idx2, "dp4_crossmodal_dedup" -> dp4)
 }
