@@ -282,4 +282,65 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("cdc chunking: chunks partition the token stream exactly for random docs") {
+    import graft.operators.TextOps
+    forAll(Gen.listOf(docGen).map(_.distinctBy(_._1))) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val got = TextOps.cdcChunk(df, col("doc_id"), col("text"))
+          .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+          .as[(Long, Long, Long, String)].collect()
+          .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+        docs.foreach { case (id, text) =>
+          val toks = text.trim.toLowerCase.split("\\s+").toSeq
+          val chunks = got.getOrElse(id, Array.empty)
+          // concatenated chunks == the token stream, no gap, no overlap
+          assert(chunks.flatMap(_._4.split(" ")).toSeq == toks, s"doc $id")
+          // chunk ids dense from 0; sizes sum to n
+          assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+          assert(chunks.map(_._3).sum == toks.length.toLong)
+        }
+      }
+    }
+  }
+
+  test("bpe: learned merges == serial reference on random corpora") {
+    import graft.operators.Bpe
+    def mergeOnce(syms: List[String], l: String, r: String): List[String] = {
+      val b = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.toList
+    }
+    forAll(Gen.listOf(docGen).map(_.distinctBy(_._1))) { docs =>
+      whenever(docs.exists(_._2.trim.nonEmpty)) {
+        val df = docs.toDF("doc_id", "text")
+        val (merges, _) = Bpe.learn(Bpe.wordCounts(df, col("text")), 4)
+        // serial reference over the same word counts
+        val words = docs.flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+        var vocab = words.map { case (w, f) => w -> (w.map(_.toString).toList, f) }
+        val expect = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = false
+        for (_ <- 1 to 4 if !stop) {
+          val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          for ((_, (syms, f)) <- vocab; Seq(a, b) <- syms.sliding(2) if syms.size >= 2)
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          if (counts.isEmpty) stop = true
+          else {
+            val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+            expect += ((l, r, c))
+            vocab = vocab.map { case (w, (s, f)) => w -> (mergeOnce(s, l, r), f) }
+          }
+        }
+        assert(merges.map(m => (m.l, m.r, m.cnt)) == expect.toSeq)
+        CacheScope.releaseAll()
+      }
+    }
+  }
 }
