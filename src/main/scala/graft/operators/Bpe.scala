@@ -73,8 +73,17 @@ object Bpe {
     *
     * Requires a corpus rich enough to supply `n` distinct adjacent
     * pairs — training stops early (returns fewer merges) on a
-    * degenerate vocab rather than failing. */
-  def learn(vocab0: DataFrame, n: Int): (Seq[Merge], DataFrame) = {
+    * degenerate vocab rather than failing.
+    *
+    * A real tokenizer takes tens of thousands of merges, and each one
+    * stacks a projection on the vocab plan — unbounded lineage would
+    * make Catalyst analysis quadratic and eventually OOM the planner.
+    * Every `checkpointEvery` merges the vocab localCheckpoints (eager),
+    * truncating lineage to the materialized rows, so plan depth is
+    * bounded by the checkpoint interval regardless of merge count. */
+  def learn(vocab0: DataFrame, n: Int,
+      checkpointEvery: Int = 32): (Seq[Merge], DataFrame) = {
+    require(checkpointEvery > 0, s"checkpointEvery must be positive, got $checkpointEvery")
     var vocab = CacheScope.persist(
       vocab0.select(col("word"), col("freq"), spacedChars(col("word")).as("sym")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -89,6 +98,7 @@ object Bpe {
         val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += Merge(it.toLong, l, r, c)
         vocab = vocab.withColumn("sym", applyMerge(col("sym"), l, r))
+        if (it % checkpointEvery == 0) vocab = vocab.localCheckpoint(true)
         it += 1
       }
     }

@@ -949,6 +949,19 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("bpe: checkpointed training (small interval) equals uncheckpointed merges") {
+    import graft.operators.Bpe
+    val corpus = Seq(
+      (0L, "low low low lower lower newest newest newest widest widest"),
+      (1L, "lowest newest low widest wider new")
+    ).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(corpus, col("text"))
+    val (a, _) = Bpe.learn(wc, 12, checkpointEvery = 3)
+    val (b, _) = Bpe.learn(wc, 12, checkpointEvery = 1000)
+    assert(a == b, "lineage checkpointing must not change the learned merges")
+    CacheScope.releaseAll()
+  }
+
   test("bpe encoded lengths: zero merges = char counts, merges shorten sequences") {
     import graft.operators.Bpe
     val corpus = Seq((0L, "low low lower"), (1L, "low")).toDF("doc_id", "text")
