@@ -23,6 +23,7 @@ import graft.queries._
   *   runMain graft.Cli <sfDir> export --shards N --out <dir>
   *   runMain graft.Cli <sfDir> export --append --shards N --out <dir>
   *   runMain graft.Cli <sfDir> export --verify <dir>
+  *   runMain graft.Cli <sfDir> bpe-train --merges N --out <dir>
   *   runMain graft.Cli <sfDir> query <catalog-entry-name>
   */
 object Cli {
@@ -111,6 +112,19 @@ object Cli {
         graft.operators.Sharding.verify(spark, dir,
           org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"))
+      // train a BPE tokenizer on the corpus and persist the artifact:
+      // vocab (word, freq, sym) + token vocabulary parquet under --out,
+      // the learned merge list returned (and printed) as the result
+      case Seq("bpe-train", "--merges", n, "--out", out) =>
+        import org.apache.spark.sql.functions.col
+        val docs = graft.sources.Tables.documents(spark, d)
+        val (merges, fin) = graft.operators.Bpe.learn(
+          graft.operators.Bpe.wordCounts(docs, col("text")), n.toInt)
+        fin.write.mode("overwrite").parquet(s"$out/vocab")
+        graft.operators.Bpe.tokenVocab(fin)
+          .write.mode("overwrite").parquet(s"$out/tokens")
+        import spark.implicits._
+        spark.createDataset(merges).toDF()
       case other =>
         throw new IllegalArgumentException(s"unknown command: ${other.mkString(" ")}")
     }

@@ -47,6 +47,19 @@ class CliSpec extends AnyFunSuite {
     assert(v2.filter(col("status") =!= "ok").count() == 0)
   }
 
+  test("bpe-train writes the vocab artifact and returns the merge list") {
+    val out = java.nio.file.Files.createTempDirectory("bpe_cli").toString
+    val m = Cli.resolve(spark, d, Seq("bpe-train", "--merges", "4", "--out", out))
+    assert(m.count() == 4)
+    assert(m.columns.toSeq == Seq("it", "l", "r", "cnt"))
+    val vocab = spark.read.parquet(s"$out/vocab")
+    assert(vocab.columns.toSeq == Seq("word", "freq", "sym"))
+    assert(vocab.count() > 0)
+    val toks = spark.read.parquet(s"$out/tokens")
+    assert(toks.columns.toSeq == Seq("token", "freq"))
+    assert(toks.count() > 0)
+  }
+
   test("every CLI verb resolves and runs") {
     commands.foreach { cmd =>
       val df = Cli.resolve(spark, d, cmd)
