@@ -71,9 +71,17 @@ object Retrieval {
     * Contract: segments must cover disjoint doc-id ranges aligned to
     * `blockWidth` (the out3 append contract); a colliding (term,
     * block) would silently double a group. */
-  def mergeSegments(segments: Seq[DataFrame]): DataFrame = {
+  def mergeSegments(segments: Seq[DataFrame],
+      validate: Boolean = false): DataFrame = {
     require(segments.nonEmpty, "mergeSegments needs at least one segment")
     val u = segments.map(_.drop("df")).reduce(_.unionByName(_))
+    if (validate) {
+      // one aggregation over the union: any (term, block) contributed by
+      // two segments means the append contract was broken
+      val dup = u.groupBy("term", "block").count().filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty, s"segments overlap on (term, block) ${dup.headOption}: " +
+        "batch doc-id ranges must be disjoint and aligned to blockWidth")
+    }
     u.join(u.groupBy("term").agg(sum(col("n_docs_block")).as("df")), Seq("term"))
   }
 
@@ -126,14 +134,29 @@ object Retrieval {
     * term with the query are scored (sparse retrieval: the candidate
     * set is the union of the query terms' postings). */
   def bm25(df: DataFrame, id: Column, text: Column, queries: DataFrame,
-      topK: Int = 5, scale: Double = 1e6): DataFrame = {
+      topK: Int = 5, scale: Double = 1e6,
+      maxDfRatio: Option[Double] = None): DataFrame = {
     val tf = tfTable(df, id, text)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = df.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(sum(col("tf")).as("total_len")))
-    val qt = queries.select(col("q_id"),
+    val qtAll = queries.select(col("q_id"),
       explode(F.tokens(lower(col("q_text")))).as("term")).distinct()
+    // stopword-query guard: a term in more than maxDfRatio of the corpus
+    // fans its postings into the candidate join for near-zero idf gain —
+    // cap it like d7 caps shingle document frequency. Exact integer
+    // compare (df · 1000 vs ratio‰ · N), no float threshold drift.
+    val qt = maxDfRatio match {
+      case None => qtAll
+      case Some(r) =>
+        require(r > 0 && r <= 1, s"maxDfRatio in (0,1], got $r")
+        val permille = math.round(r * 1000)
+        qtAll.join(dft, Seq("term"), "left")
+          .crossJoin(broadcast(df.agg(count(lit(1)).as("nd"))))
+          .filter(coalesce(col("df"), lit(0L)) * 1000 <= lit(permille) * col("nd"))
+          .select("q_id", "term")
+    }
     // expression tree mirrored exactly in the oracle SQL: (idf * tfc) * scale
     val avgdl = col("total_len").cast("double") / col("n_docs")
     val idf = col("n_docs").cast("double") / col("df")

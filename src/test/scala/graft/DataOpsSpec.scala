@@ -744,6 +744,27 @@ class DataOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 df cap drops stopword query terms; segment merge validation catches overlap") {
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (0L, "stop apple"), (1L, "stop banana"), (2L, "stop cherry"), (3L, "stop date"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "stop apple")).toDF("q_id", "q_text")
+    // "stop" is in 4/4 docs; capped at 50% only "apple" scores → 1 candidate
+    val capped = Retrieval.bm25(corpus, col("doc_id"), col("text"), queries,
+      maxDfRatio = Some(0.5))
+    assert(capped.select("doc_id").as[Long].collect().toSeq == Seq(0L))
+    val uncapped = Retrieval.bm25(corpus, col("doc_id"), col("text"), queries)
+    assert(uncapped.count() == 4)
+    // overlapping segments (same docs twice) must be rejected by validate
+    val seg = Retrieval.postingsIndex(corpus, col("doc_id"), col("text"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mergeSegments(Seq(seg, seg), validate = true).count()
+    }
+    assert(e.getMessage.contains("segments overlap"))
+    CacheScope.releaseAll()
+  }
+
   test("rrf fusion: both-system hits beat single-system hits; ranks combine reciprocally") {
     import graft.operators.Retrieval
     val a = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "doc_id", "rank")
