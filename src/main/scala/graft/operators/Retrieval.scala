@@ -38,6 +38,20 @@ object Retrieval {
     graft.CacheScope.persist(
       toks(df, id, text).groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
 
+  /** The corpus statistics bundle shared by the rankers: build it once
+    * and pass it to both when fusing (ret2), so a hybrid query costs
+    * ONE tokenize pass, not one per scorer. */
+  final case class Stats(tf: DataFrame, dl: DataFrame, dft: DataFrame,
+      nDocs: DataFrame)
+
+  def stats(df: DataFrame, id: Column, text: Column): Stats = {
+    val tf = tfTable(df, id, text)
+    Stats(tf,
+      tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")),
+      tf.groupBy("term").agg(count(lit(1)).as("df")),
+      df.agg(count(lit(1)).as("n_docs")))
+  }
+
   /** idx1 — block-sharded inverted index: for every (term, doc-id
     * block) a postings string `"doc:tf,doc:tf,…"` ordered by doc_id,
     * with the block's doc count and the term's corpus-wide df. Block
@@ -90,15 +104,13 @@ object Retrieval {
     * exactly like [[bm25]]. Same candidate generation (query-term
     * postings), same determinism contract. */
   def tfidfRank(df: DataFrame, id: Column, text: Column, queries: DataFrame,
-      topK: Int = 5, scale: Double = 1e6): DataFrame = {
-    val tf = tfTable(df, id, text)
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = df.agg(count(lit(1)).as("n_docs"))
+      topK: Int = 5, scale: Double = 1e6,
+      shared: Option[Stats] = None): DataFrame = {
+    val st = shared.getOrElse(stats(df, id, text))
     val qt = queries.select(col("q_id"),
       explode(F.tokens(lower(col("q_text")))).as("term")).distinct()
-    val contrib = qt.join(tf, Seq("term")).join(dl, Seq("doc_id"))
-      .join(dft, Seq("term")).crossJoin(broadcast(stats))
+    val contrib = qt.join(st.tf, Seq("term")).join(st.dl, Seq("doc_id"))
+      .join(st.dft, Seq("term")).crossJoin(broadcast(st.nDocs))
       .select(col("q_id"), col("doc_id"),
         round((col("tf").cast("double") / col("dl")) *
           (col("n_docs").cast("double") / col("df")) * lit(scale))
@@ -135,11 +147,13 @@ object Retrieval {
     * set is the union of the query terms' postings). */
   def bm25(df: DataFrame, id: Column, text: Column, queries: DataFrame,
       topK: Int = 5, scale: Double = 1e6,
-      maxDfRatio: Option[Double] = None): DataFrame = {
-    val tf = tfTable(df, id, text)
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = df.agg(count(lit(1)).as("n_docs"))
+      maxDfRatio: Option[Double] = None,
+      shared: Option[Stats] = None): DataFrame = {
+    val st = shared.getOrElse(stats(df, id, text))
+    val tf = st.tf
+    val dl = st.dl
+    val dft = st.dft
+    val statsRow = st.nDocs
       .crossJoin(tf.agg(sum(col("tf")).as("total_len")))
     val qtAll = queries.select(col("q_id"),
       explode(F.tokens(lower(col("q_text")))).as("term")).distinct()
@@ -153,7 +167,7 @@ object Retrieval {
         require(r > 0 && r <= 1, s"maxDfRatio in (0,1], got $r")
         val permille = math.round(r * 1000)
         qtAll.join(dft, Seq("term"), "left")
-          .crossJoin(broadcast(df.agg(count(lit(1)).as("nd"))))
+          .crossJoin(broadcast(st.nDocs.select(col("n_docs").as("nd"))))
           .filter(coalesce(col("df"), lit(0L)) * 1000 <= lit(permille) * col("nd"))
           .select("q_id", "term")
     }
@@ -163,7 +177,7 @@ object Retrieval {
     val tfc = (col("tf") * lit(2.2)) /
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
     val contrib = qt.join(tf, Seq("term")).join(dl, Seq("doc_id"))
-      .join(dft, Seq("term")).crossJoin(broadcast(stats))
+      .join(dft, Seq("term")).crossJoin(broadcast(statsRow))
       .select(col("q_id"), col("doc_id"),
         round(idf * tfc * lit(scale)).cast("long").as("c"))
     val scored = contrib.groupBy("q_id", "doc_id").agg(sum(col("c")).as("score"))

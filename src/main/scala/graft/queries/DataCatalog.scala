@@ -1966,8 +1966,12 @@ object DataCatalog {
       import s.implicits._
       val docs = documents(s, d)
       val qs = Bm25Queries.toDF("q_id", "q_text")
-      val a = Retrieval.bm25(docs, col("doc_id"), col("text"), qs, topK = 1 << 30)
-      val b = Retrieval.tfidfRank(docs, col("doc_id"), col("text"), qs, topK = 1 << 30)
+      // one shared stats bundle → hybrid costs ONE tokenize pass
+      val st = Retrieval.stats(docs, col("doc_id"), col("text"))
+      val a = Retrieval.bm25(docs, col("doc_id"), col("text"), qs,
+        topK = 1 << 30, shared = Some(st))
+      val b = Retrieval.tfidfRank(docs, col("doc_id"), col("text"), qs,
+        topK = 1 << 30, shared = Some(st))
       ordered(Retrieval.rrfFuse(a, b))
     },
     Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
