@@ -118,6 +118,20 @@ object Clustering {
     cents.toDF("cid", "cv")
   }
 
+  /** Cell-quality report (emb6): per learned cell, member count and the
+    * fixed-point sum of member-to-centroid cosines — the inertia-style
+    * diagnostic that tells an ANN operator whether its quantizer is
+    * balanced (skewed cells → skewed sim4/sim5 probe cost) and tight
+    * (low mean cosine → recall loss). Per-row round to the 1e-6 grid,
+    * then BIGINT sum (the lr1 trick): exact under any partitioning, no
+    * float mean whose add-order could drift from the oracle. One
+    * broadcast assign + one hash aggregate. */
+  def cellReport(vectors: DataFrame, cents: DataFrame): DataFrame =
+    assign(vectors, cents)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("cos") * lit(1e6)).cast("long")).as("cos_sum_fp"))
+
   /** Train + final assignment: every vector's learned cell id — the
     * column to partition an ANN corpus on (feeds Similarity.topKIvf /
     * topKMultiProbe / nearDupPairs as their `cellCol`). */

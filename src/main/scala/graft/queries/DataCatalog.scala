@@ -1730,6 +1730,54 @@ object DataCatalog {
       s"FROM (SELECT string_split(sym, ' ') AS a, freq FROM v$BpeMerges), " +
       "unnest(a) u(t) GROUP BY 1" + OBA))
 
+  // EMB6 — quantizer quality report: per learned cell, member count
+  // and fixed-point cosine-to-centroid sum — the balance/tightness
+  // diagnostic for the ANN family (skewed cells → skewed probe cost).
+  // Per-row 1e-6 round then BIGINT sum: exact under any partitioning.
+  val emb6 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      ordered(Clustering.cellReport(e, Clustering.kmeans(e, 10, 3)))
+    },
+    Some(kmeansCtes(3, 10) +
+      ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+      " AS cos FROM embeddings e CROSS JOIN c3 c), " +
+      "asg AS (SELECT vec_id, cid, cos FROM (SELECT vec_id, cid, cos, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
+      "FROM fin) WHERE rn = 1) " +
+      "SELECT cid, CAST(count(*) AS BIGINT) AS n_members, " +
+      "CAST(sum(CAST(round(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS cos_sum_fp " +
+      "FROM asg GROUP BY cid" + OBA))
+
+  // C5 — contamination dataset card: roll the flagged (corpus, bench)
+  // pairs up per benchmark doc — how many corpus docs contaminate it
+  // and the worst overlap hit count. The report a curation run files
+  // next to its decontamination action (c3).
+  val c5 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val f = Contamination.flagged(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        col("doc_id"), col("text"), 0.5)
+      ordered(f.groupBy("bench_id").agg(
+        count(lit(1)).as("n_contaminating"), max(col("hits")).as("max_hits")))
+    },
+    Some("WITH ctoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id % 5 <> 0), " +
+      "csh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      "FROM ctoks, unnest(range(1, len(tk) - 1)) u(i)), " +
+      "btoks AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id % 5 = 0), " +
+      "bsh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh " +
+      "FROM btoks, unnest(range(1, len(tk) - 1)) u(i)), " +
+      "bcnt AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1), " +
+      "h AS (SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, " +
+      "CAST(count(*) AS BIGINT) AS hits FROM csh c JOIN bsh b ON c.sh = b.sh GROUP BY 1, 2), " +
+      "fl AS (SELECT h.bench_id, h.hits FROM h JOIN bcnt n ON n.doc_id = h.bench_id " +
+      "WHERE h.hits::DOUBLE / n.n >= 0.5) " +
+      "SELECT bench_id, CAST(count(*) AS BIGINT) AS n_contaminating, " +
+      "CAST(max(hits) AS BIGINT) AS max_hits FROM fl GROUP BY bench_id" + OBA))
+
   // QC3 — table profile: per-column null counts, exact distinct
   // cardinality, min/max as strings — the before/after data-quality
   // card of every corpus job. One scan, COLUMNS output rows.
@@ -2114,5 +2162,6 @@ object DataCatalog {
     "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
     "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3,
     "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3,
-    "idx2_segment_merge" -> idx2, "dp4_crossmodal_dedup" -> dp4)
+    "idx2_segment_merge" -> idx2, "dp4_crossmodal_dedup" -> dp4,
+    "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5)
 }
