@@ -128,4 +128,39 @@ object Sampling {
       .filter(col("rank") <= k)
       .withColumn("rank", col("rank").cast("long"))
   }
+
+  /** Epoch-based mixture (mix2): replicate OR subsample each stratum to
+    * a target rate expressed as permille-of-copies — the per-source
+    * "epoch count" mixing of LLM pre-training recipes, where an
+    * under-represented domain is seen 2.5× per pass and an over-
+    * represented one 0.4×. `rate = 2500` → every doc twice, plus a
+    * content-stable 50% get a third copy; `rate = 400` → 40% keep, one
+    * copy; unlisted strata → 0 (dropped). Integer arithmetic only:
+    * `copies = rate DIV 1000 + (md5-bucket(key) < rate MOD 1000)`, so
+    * the fractional epoch reuses [[bucket]]'s monotone selection (the
+    * 2.5×-run's third-copy docs are exactly the 2.4×-run's plus more).
+    *
+    * Output = input columns + `epoch` (BIGINT, dense 0..copies-1 per
+    * row). Pure map + explode, zero shuffle; the fan-out per row is the
+    * copy count itself, so output size is the mixture's token budget —
+    * never amplified beyond what the recipe asked for. Downstream
+    * consumers keyed on (key, epoch) stay deterministic. */
+  def epochs(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Long]): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(_ >= 0),
+      "rates must be non-negative permille-of-copies")
+    require(!df.columns.contains("epoch"),
+      "input already has an 'epoch' column; the output would shadow it")
+    val base = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r / 1000)).otherwise(acc)
+    }
+    val frac = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r % 1000)).otherwise(acc)
+    }
+    val nCopies = base + when(bucket(key) < frac, lit(1L)).otherwise(lit(0L))
+    df.withColumn("n_copies", nCopies)
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
 }

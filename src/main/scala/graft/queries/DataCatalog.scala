@@ -1499,6 +1499,24 @@ object DataCatalog {
       "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.rate" +
       OBA))
 
+  // MIX2 — epoch-based upsampling mixture: per-language permille-of-
+  // copies rates (de 2.5×, zh 2.0×, en 1.3×, fr 0.7×; es unlisted →
+  // dropped), each doc exploded into its epoch copies. The fractional
+  // epoch is the same md5-bucket selection as mix1, so the whole recipe
+  // — integer DIV/MOD plus one monotone bucket compare — reproduces
+  // bit-for-bit in the oracle. Pure map + explode, zero shuffle.
+  val mix2 = Q(
+    (s, d) => ordered(Sampling.epochs(
+      documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+      col("doc_id"), col("lang"),
+      Map("en" -> 1300L, "de" -> 2500L, "fr" -> 700L, "zh" -> 2000L))),
+    Some("WITH r(s, rt) AS (VALUES ('en', 1300), ('de', 2500), ('fr', 700), ('zh', 2000)), " +
+      "c AS (SELECT d.doc_id, d.lang, d.source, rt // 1000 + " +
+      "CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 " +
+      "< rt % 1000 THEN 1 ELSE 0 END AS n FROM documents d JOIN r ON r.s = d.lang) " +
+      "SELECT doc_id, lang, source, CAST(u.e AS BIGINT) AS epoch " +
+      "FROM c, unnest(range(0, n)) u(e)" + OBA))
+
   // DP3 — the COMPLETE corpus-prep composition, end to end: dp1's
   // curation (exact dedup → LSH clustering → quality/lang gate →
   // sample) → PII scrub (with the tx11 deterministic-suffix trick so
@@ -2150,6 +2168,7 @@ object DataCatalog {
     "d9_paragraph_dedup" -> d9,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
+    "mix2_epoch_mixture" -> mix2,
     "dp3_corpus_prep" -> dp3, "c3_decontaminate" -> c3,
     "c4_split_leakage" -> c4,
     "lr1_logreg_weights" -> lr1, "lr2_classifier_gate" -> lr2,

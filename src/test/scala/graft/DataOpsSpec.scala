@@ -608,6 +608,44 @@ class DataOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet)
   }
 
+  test("epochs: copy counts hit the permille recipe, epochs dense from 0, monotone in rate") {
+    import graft.operators.Sampling
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val rates = Map("en" -> 1300L, "de" -> 2500L, "fr" -> 700L, "zh" -> 2000L)
+    val out = Sampling.epochs(docs.select("doc_id", "lang"), col("doc_id"), col("lang"), rates)
+    val perDoc = out.groupBy("doc_id", "lang").count().as[(Long, String, Long)].collect()
+    assert(perDoc.nonEmpty)
+    // every doc's copy count is floor(rate/1000) or floor(rate/1000)+1
+    perDoc.foreach { case (id, lang, n) =>
+      val r = rates(lang)
+      assert(n == r / 1000 || n == r / 1000 + 1, s"doc $id ($lang): $n copies under rate $r")
+    }
+    // aggregate copies track the recipe within md5-bucket noise
+    val n0 = docs.filter(col("lang").isin(rates.keys.toSeq: _*))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val copies = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    rates.foreach { case (s, r) =>
+      val expect = n0(s) * r / 1000.0
+      assert(math.abs(copies(s) - expect) <= math.max(5.0, expect * 0.25),
+        s"$s copies=${copies(s)} want≈$expect")
+    }
+    // unlisted stratum dropped; epochs dense 0..n-1 per doc
+    assert(out.filter(col("lang") === "es").isEmpty)
+    val maxE = out.groupBy("doc_id").agg(
+      max("epoch").as("m"), count(lit(1)).as("n"))
+      .filter(col("m") =!= col("n") - 1)
+    assert(maxE.isEmpty, "epoch numbering must be dense from 0")
+    // monotone fractional selection: the 1.3x run's second-copy docs are
+    // a subset of the 1.5x run's (same md5 bucket, higher threshold)
+    def extra(r: Long) = Sampling.epochs(docs.select("doc_id", "lang"),
+        col("doc_id"), col("lang"), Map("zh" -> r))
+      .filter(col("epoch") === 1).select("doc_id").as[Long].collect().toSet
+    val (e13, e15) = (extra(1300L), extra(1500L))
+    assert(e13.subsetOf(e15) && e13.size < e15.size,
+      s"fractional-epoch selection must be monotone in rate (${e13.size} vs ${e15.size})")
+  }
+
   test("pii scrub: emails, phones, and id runs redacted in order; clean text stays clean") {
     val df = Seq(
       (1L, "reach me at jane.doe+spam@corp.example.org or 555-123-4567 thanks"),

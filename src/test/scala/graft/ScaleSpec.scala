@@ -366,6 +366,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, "mixture must plan as a shuffle-free filter")
   }
 
+  test("epoch mixture is a pure map + explode: zero exchanges, fan-out = copy count") {
+    import graft.operators.Sampling
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val out = Sampling.epochs(docs, col("doc_id"), col("lang"),
+      Map("en" -> 1300L, "de" -> 2500L, "fr" -> 700L, "zh" -> 2000L))
+    out.write.format("noop").mode("overwrite").save()
+    val shuffles = nodes(out).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.isEmpty, "epochs must plan as scan + filter + generate, no exchange")
+  }
+
   test("operator-internal persists are released at pipeline end (no cache leak)") {
     import graft.queries.DataCatalog
     val sc = spark.sparkContext
