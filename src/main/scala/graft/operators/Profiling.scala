@@ -38,4 +38,33 @@ object Profiling {
     }.reduce(_.unionAll(_))
     stacked
   }
+
+  /** Corpus snapshot diff (qc4): per-key status between two corpus
+    * versions — `added` (new only), `removed` (old only), `changed`
+    * (both, content hash differs), `unchanged`. The version-over-version
+    * audit card of an evolving corpus: what a refresh actually did,
+    * before anyone trains on it.
+    *
+    * Content is reduced to its md5 AT THE SCAN, so the full-outer join
+    * shuffles `(key, 32-char hash, carry)` — never the document bytes;
+    * at corpus scale the exchange is keys + fingerprints only. `carry`
+    * columns (e.g. source, lang) ride along coalesced new-over-old so
+    * rollups can group the diff without a join back. Null content
+    * hashes to null and compares null-safely: two null-text versions of
+    * a doc are `unchanged`, null↔non-null is `changed`. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      content: String, carry: Seq[String] = Nil): DataFrame = {
+    require((key +: content +: carry).forall(oldDf.columns.contains), "old side missing columns")
+    require((key +: content +: carry).forall(newDf.columns.contains), "new side missing columns")
+    def side(df: DataFrame, tag: String) =
+      df.select(col(key).as("k") +: md5(col(content)).as(s"h_$tag") +:
+        lit(true).as(s"in_$tag") +: carry.map(c => col(c).as(s"${c}_$tag")): _*)
+    val j = side(oldDf, "old").join(side(newDf, "new"), Seq("k"), "full_outer")
+    val status = when(col("in_old").isNull, lit("added"))
+      .when(col("in_new").isNull, lit("removed"))
+      .when(!(col("h_old") <=> col("h_new")), lit("changed"))
+      .otherwise(lit("unchanged"))
+    j.select(col("k").as(key) +: status.as("status") +:
+      carry.map(c => coalesce(col(s"${c}_new"), col(s"${c}_old")).as(c)): _*)
+  }
 }

@@ -1809,6 +1809,34 @@ object DataCatalog {
         "FROM documents"
     }.mkString(" UNION ALL ") + OBA))
 
+  // QC4 — corpus snapshot diff: what a refresh actually did, per
+  // (status, source). Old = md5-bucket < 980; new = bucket >= 30 with
+  // text mutated below bucket 200 — so all four statuses appear:
+  // removed [0,30), changed [30,200), unchanged [200,980), added
+  // [980,1000). Content is hashed at the scan; the full-outer join
+  // shuffles (key, hash, source) only, never the text.
+  val qc4 = Q(
+    (s, d) => {
+      val b = Sampling.bucket(col("doc_id"))
+      val docs = documents(s, d)
+      val oldV = docs.filter(b < 980).select("doc_id", "text", "source")
+      val newV = docs.filter(b >= 30)
+        .withColumn("text", when(b < 200, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select("doc_id", "text", "source")
+      ordered(Profiling.snapshotDiff(oldV, newV, "doc_id", "text", Seq("source"))
+        .groupBy("status", "source").agg(count(lit(1)).cast("long").as("n")))
+    },
+    Some("WITH b AS (SELECT doc_id, source, text, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bk FROM documents), " +
+      "o AS (SELECT doc_id, source, md5(text) AS h FROM b WHERE bk < 980), " +
+      "n AS (SELECT doc_id, source, md5(CASE WHEN bk < 200 THEN text || ' v2' ELSE text END) AS h " +
+      "FROM b WHERE bk >= 30), " +
+      "d AS (SELECT coalesce(n.source, o.source) AS source, " +
+      "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' " +
+      "WHEN o.h IS DISTINCT FROM n.h THEN 'changed' ELSE 'unchanged' END AS status " +
+      "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
+      "SELECT status, source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2" + OBA))
+
   // QC2 — vocabulary drift between strata (en vs rest): top-10 tokens
   // by exact cross-multiplied drift |cnt_a·tot_b − cnt_b·tot_a| —
   // integer arithmetic (Spark DECIMAL(38) / DuckDB HUGEINT), no float
@@ -2180,6 +2208,7 @@ object DataCatalog {
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
     "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
     "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3,
+    "qc4_snapshot_diff" -> qc4,
     "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3,
     "idx2_segment_merge" -> idx2, "dp4_crossmodal_dedup" -> dp4,
     "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5)

@@ -646,6 +646,29 @@ class DataOpsSpec extends AnyFunSuite {
       s"fractional-epoch selection must be monotone in rate (${e13.size} vs ${e15.size})")
   }
 
+  test("snapshotDiff: four statuses, null-safe content compare, carry coalesces new-over-old") {
+    import graft.operators.Profiling
+    val oldV = Seq(
+      (1L, "same text", "web"),        // unchanged
+      (2L, "old text", "web"),         // changed
+      (3L, "gone", "books"),           // removed
+      (5L, null.asInstanceOf[String], "web"),  // null → null: unchanged
+      (6L, null.asInstanceOf[String], "web")   // null → text: changed
+    ).toDF("doc_id", "text", "source")
+    val newV = Seq(
+      (1L, "same text", "web"),
+      (2L, "new text", "wiki"),        // source moved too: carry picks new
+      (4L, "fresh", "wiki"),           // added
+      (5L, null.asInstanceOf[String], "web"),
+      (6L, "now present", "web")
+    ).toDF("doc_id", "text", "source")
+    val got = Profiling.snapshotDiff(oldV, newV, "doc_id", "text", Seq("source"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "unchanged", "web"), (2L, "changed", "wiki"), (3L, "removed", "books"),
+      (4L, "added", "wiki"), (5L, "unchanged", "web"), (6L, "changed", "web")))
+  }
+
   test("pii scrub: emails, phones, and id runs redacted in order; clean text stays clean") {
     val df = Seq(
       (1L, "reach me at jane.doe+spam@corp.example.org or 555-123-4567 thanks"),

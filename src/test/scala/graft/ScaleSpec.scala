@@ -377,6 +377,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, "epochs must plan as scan + filter + generate, no exchange")
   }
 
+  test("snapshot diff shuffles fingerprints, never the document bytes") {
+    import graft.operators.{Profiling, Sampling}
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val b = Sampling.bucket(col("doc_id"))
+    val out = Profiling.snapshotDiff(
+      docs.filter(b < 980).select("doc_id", "text", "source"),
+      docs.filter(b >= 30).select("doc_id", "text", "source"),
+      "doc_id", "text", Seq("source"))
+    out.write.format("noop").mode("overwrite").save()
+    // every exchange's payload is (key, 32-char md5, carry) — the text
+    // column must be projected away before any shuffle
+    val leaky = nodes(out).collect { case s: ShuffleExchangeExec => s }
+      .filter(_.output.exists(_.name == "text"))
+    assert(leaky.isEmpty, "content column crossed an exchange; hash at the scan instead")
+  }
+
   test("operator-internal persists are released at pipeline end (no cache leak)") {
     import graft.queries.DataCatalog
     val sc = spark.sparkContext
