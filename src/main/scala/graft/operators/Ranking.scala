@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Exact distributed global ranking (rank1) — every row's exact
+  * position under a total order `(score, id)`, plus its integer
+  * permille percentile. The curriculum-ordering primitive: rank packs
+  * or documents by a difficulty score (length, lm1 coverage, lr2
+  * classifier margin) and train easy-to-hard — and the same shape
+  * backs exact percentile gates ("drop the bottom 5% by quality").
+  *
+  * The naive plan is `row_number() OVER (ORDER BY score, id)` — one
+  * unpartitioned window that funnels the corpus through a single task.
+  * This is the [[Packing]] two-level prefix sum re-used for COUNTS
+  * instead of token sums:
+  *
+  *   1. order-preserving coarse buckets over the SCORE range (pure
+  *      map; bucket is monotone in score, so bucket-major order is
+  *      global order);
+  *   2. per-bucket row counts — one tiny shuffle, ≤ `buckets` rows;
+  *   3. exclusive prefix (= each bucket's starting rank) and the grand
+  *      total over the ≤ `buckets` rows — the only global window;
+  *   4. per-bucket `row_number() OVER (ORDER BY score, id)` + bucket
+  *      offset, broadcast-joined back — parallel again.
+  *
+  * Ranks are dense, 1-based, and bit-identical to the single-window
+  * formulation. Degenerate case, documented like Packing's id-range
+  * stance: a (near-)constant score column lands every row in one
+  * bucket and the within-bucket window re-serializes — curriculum
+  * scores (lengths, coverage counts) have spread; if yours doesn't,
+  * pre-mix the score (e.g. `score * K + pmod(id, K)`) or rank on a
+  * different key.
+  */
+object Ranking {
+
+  /** Rank every row by `(score, id)` ascending. Output:
+    * `(id, score, rank, pct_permille)` — all BIGINT; `rank` in
+    * [1, N], `pct_permille = (rank-1)*1000 DIV N` in [0, 1000).
+    * `id` must be unique (it is the tie-break that makes the order
+    * total); `score` must cast losslessly to BIGINT — fixed-point
+    * floats per the oracle-parity rules, never raw doubles. */
+  def globalRank(df: DataFrame, id: Column, score: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val base = df.select(id.cast("long").as("id"), score.cast("long").as("score"))
+
+    val bounds = base.agg(min("score"), max("score")).head()
+    if (bounds.isNullAt(0))
+      return base.withColumn("rank", lit(null).cast("long"))
+        .withColumn("pct_permille", lit(null).cast("long"))
+    val (minS, maxS) = (bounds.getLong(0), bounds.getLong(1))
+    // Integer DIV: the bucket function must be exactly order-preserving;
+    // double arithmetic would mis-bucket near 2^53.
+    val width = math.max(1L, (maxS - minS) / buckets + 1)
+    val bucketed = base.withColumn("bkt", expr(s"(score - $minS) DIV $width"))
+
+    val perBucket = bucketed.groupBy("bkt").count()
+    // The one global frame: ≤ `buckets` rows. Starting rank of each
+    // bucket = exclusive prefix count; grand total rides the same frame
+    // so the percentile needs no second corpus pass.
+    val wPrev = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = perBucket.select(col("bkt"),
+      coalesce(sum("count").over(wPrev), lit(0L)).as("bkt_offset"),
+      sum("count").over(wAll).as("total"))
+
+    val wIn = Window.partitionBy("bkt").orderBy("score", "id")
+    bucketed.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("rank", col("bkt_offset") + row_number().over(wIn).cast("long"))
+      .withColumn("pct_permille", expr("((rank - 1) * 1000) DIV total"))
+      .select("id", "score", "rank", "pct_permille")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Profiling, Retrieval, Sampling, Sharding, Similarity, TextOps}
+import graft.operators.{Bpe, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Profiling, Ranking, Retrieval, Sampling, Sharding, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -1837,6 +1837,22 @@ object DataCatalog {
       "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) " +
       "SELECT status, source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2" + OBA))
 
+  // RANK1 — exact global curriculum rank: every doc's exact position
+  // and permille percentile under (n_chars, doc_id) — short-to-long
+  // curriculum ordering. The oracle is the naive single window; the
+  // engine is the two-level prefix COUNT (score-range buckets → tiny
+  // offsets frame → per-bucket row_number), bit-identical by
+  // construction and pinned partitioned in ScaleSpec.
+  val rank1 = Q(
+    (s, d) => ordered(Ranking.globalRank(documents(s, d), col("doc_id"), col("n_chars"))
+      .select(col("id").as("doc_id"), col("score").as("n_chars"),
+        col("rank"), col("pct_permille"))),
+    Some("WITH r AS (SELECT doc_id, n_chars, " +
+      "ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank FROM documents), " +
+      "t AS (SELECT count(*) AS n FROM documents) " +
+      "SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank, " +
+      "CAST(((rank - 1) * 1000) // n AS BIGINT) AS pct_permille FROM r, t" + OBA))
+
   // QC2 — vocabulary drift between strata (en vs rest): top-10 tokens
   // by exact cross-multiplied drift |cnt_a·tot_b − cnt_b·tot_a| —
   // integer arithmetic (Spark DECIMAL(38) / DuckDB HUGEINT), no float
@@ -2208,7 +2224,7 @@ object DataCatalog {
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
     "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
     "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3,
-    "qc4_snapshot_diff" -> qc4,
+    "qc4_snapshot_diff" -> qc4, "rank1_curriculum" -> rank1,
     "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3,
     "idx2_segment_merge" -> idx2, "dp4_crossmodal_dedup" -> dp4,
     "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5)

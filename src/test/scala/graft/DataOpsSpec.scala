@@ -646,6 +646,25 @@ class DataOpsSpec extends AnyFunSuite {
       s"fractional-epoch selection must be monotone in rate (${e13.size} vs ${e15.size})")
   }
 
+  test("globalRank ≡ the naive single window, ties broken by id, percentiles exact") {
+    import graft.operators.Ranking
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties (score = id mod 7) exercise tie-break + bucket boundaries
+    val rows = spark.range(0, 1000)
+      .select(col("id"), pmod(col("id") * 13, lit(7)).as("score"))
+    val got = Ranking.globalRank(rows, col("id"), col("score"), buckets = 16)
+    val naive = rows.select(col("id"), col("score"),
+      row_number().over(Window.orderBy("score", "id")).cast("long").as("rank"))
+      .withColumn("pct_permille", expr("((rank - 1) * 1000) DIV 1000"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "two-level rank must be bit-identical to the single-window formulation")
+    // dense 1..N, percentile bounds
+    val n = got.count()
+    assert(got.agg(min("rank"), max("rank"), countDistinct("rank")).as[(Long, Long, Long)]
+      .head() == ((1L, n, n)))
+    assert(got.agg(min("pct_permille"), max("pct_permille")).as[(Long, Long)].head()._2 < 1000L)
+  }
+
   test("snapshotDiff: four statuses, null-safe content compare, carry coalesces new-over-old") {
     import graft.operators.Profiling
     val oldV = Seq(

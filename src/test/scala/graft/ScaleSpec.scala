@@ -248,6 +248,24 @@ class ScaleSpec extends AnyFunSuite {
       "bucket offsets should broadcast-join back to the corpus")
   }
 
+  test("global rank: corpus window is bucket-partitioned; only the offsets frame is global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.operators.Ranking
+    val rows = spark.range(0, 2000)
+      .select(col("id"), (pmod(col("id") * 31, lit(997))).as("score"))
+    val ranked = Ranking.globalRank(rows, col("id"), col("score"), buckets = 16)
+    ranked.write.format("noop").mode("overwrite").save()
+    val wins = nodes(ranked).collect { case w: WindowExec => w }
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.size == 1,
+      s"exactly one global window (the ≤ buckets offsets frame), got ${global.size}")
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the per-row row_number must be partitioned by score bucket")
+    assert(nodes(ranked).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "bucket offsets should broadcast-join back to the corpus")
+  }
+
   test("shard manifest aggregates map-side (partial agg) and shuffles only shard_id groups") {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     import graft.operators.Sharding
