@@ -22,9 +22,9 @@ object Bench {
     "j12_salted_join", "a1_minpick_dedup", "a6_priority_dedup",
     "a10_stats_agg", "s8_upsert_merge", "s10_retain_gc", "eav2_assembly",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash_pairs", "d4_ngram_jaccard",
-    "d8_incremental_dedup", "d9_paragraph_dedup",
+    "d8_incremental_dedup", "d9_paragraph_dedup", "d11_cluster_sizes",
     "sim1_cosine_topk", "sim2_ivf_ann", "sim3_multiprobe_ann",
-    "sim3b_centroid_multiprobe", "sim5_ivfpq_ann",
+    "sim3b_centroid_multiprobe", "sim5_ivfpq_ann", "eval1_ann_recall",
     "emb4_kmeans", "sim4_learned_ivf",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
     "tx9_seq_packing", "tx10_chunking", "cdc1_content_chunks",

@@ -293,4 +293,25 @@ object Similarity {
     vectors.join(dropIds, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col(cellCol))
   }
+
+  /** ANN recall scorecard (eval1): per-query hit counts of an
+    * approximate result list against exact ground truth — the number
+    * that justifies (or indicts) every IVF/PQ parameter choice before a
+    * corpus-sized run. Both inputs are `(query_id, neighbor_id, …)`
+    * top-k lists (truth from [[topK]] on a query SAMPLE, approximate
+    * from any of the IVF family); output is one row per query:
+    * `(query_id, n_truth, n_hits)` — mean recall = Σhits / Σtruth,
+    * derivable exactly downstream, integer counts only so the card is
+    * deterministic across engines.
+    *
+    * Scale shape: one equi-join of two k-row-per-query lists on
+    * (query_id, neighbor_id) + one query-keyed agg — the corpus is
+    * never touched; cost scales with the query sample, not N. */
+  def annRecall(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
 }

@@ -80,6 +80,32 @@ object DataCatalog {
       "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src) " +
       "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a" + OBA))
 
+  // D11 — duplicate-cluster size distribution: how many clusters of
+  // each size the near-dup graph produced (n_docs = size × clusters
+  // receipt column). THE dedup diagnostics card: a fat tail here means
+  // boilerplate/mirror content is about to dominate survivors, and a
+  // 1-row-per-size output is driver-safe at any corpus. Composes d6;
+  // two tiny aggs on top of the clustering, nothing new at scale.
+  val d11 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
+      ordered(NearDup.dedupClusters(docs, col("doc_id"), pairs)
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).cast("long").as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).cast("long").as("n_docs")))
+    },
+    Some("WITH RECURSIVE " + MinhashPairsBody + ", " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src), " +
+      "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM cl GROUP BY 1) " +
+      "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, " +
+      "CAST(cluster_size * count(*) AS BIGINT) AS n_docs FROM sz GROUP BY cluster_size" + OBA))
+
   // D3 SimHash near-dup pairs: 64-bit token-vote signatures (bits 0..59
   // from the seed-99 hash, 60..63 from the seed-98 hash — every bit is
   // real hash entropy), 16-bit-banded candidates (65,536 keys/band; the
@@ -211,6 +237,37 @@ object DataCatalog {
       "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
       "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
       "FROM ranked WHERE rank <= 5" + OBA))
+
+  // EVAL1 — ANN recall scorecard: the sim1 exact top-5 on the %50 query
+  // sample is ground truth; the cell-restricted IVF answer (sim2's
+  // shape, queries pre-filtered — topKIvfAsym) is scored against it per
+  // query. Integer hit counts only; mean recall derives exactly. The
+  // scorecard join touches two k-row-per-query lists, never the corpus.
+  val eval1 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val truth = Similarity.topK(queries, e, 5)
+      val approx = Similarity.topKIvfAsym(queries, e, "label", 5)
+      ordered(Similarity.annRecall(truth, approx))
+    },
+    Some("WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings " +
+      "WHERE vec_id % 50 = 0), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings), " +
+      "ts AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c ON query_id <> neighbor_id), " +
+      "tr AS (SELECT query_id, neighbor_id, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM ts), " +
+      "truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 5), " +
+      "asc_ AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c USING (label) WHERE query_id <> neighbor_id), " +
+      "ar AS (SELECT query_id, neighbor_id, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM asc_), " +
+      "ann AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= 5) " +
+      "SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth, " +
+      "CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+      "FROM truth t LEFT JOIN ann a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id " +
+      "GROUP BY 1" + OBA))
 
   // SIM2 IVF-style ANN: candidates restricted to the query's coarse cell
   // (label = coarse quantizer cell), the scale path for ANN.
@@ -2183,9 +2240,11 @@ object DataCatalog {
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5, "d6_dedup_clusters" -> d6,
+    "d11_cluster_sizes" -> d11,
     "d7_capped_jaccard" -> d7, "emb1_quantize" -> emb1,
     "sk1_exact_quantiles" -> sk1, "sk2_hist_quantiles" -> sk2,
     "sim1_cosine_topk" -> sim1, "sim2_ivf_ann" -> sim2, "sim3_multiprobe_ann" -> sim3,
+    "eval1_ann_recall" -> eval1,
     "tx1_token_counts" -> tx1, "tx2_quality_score" -> tx2,
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
     "tx5_top_tokens" -> tx5, "tx6_cm_top_tokens" -> tx6,

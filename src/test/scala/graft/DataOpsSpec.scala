@@ -646,6 +646,17 @@ class DataOpsSpec extends AnyFunSuite {
       s"fractional-epoch selection must be monotone in rate (${e13.size} vs ${e15.size})")
   }
 
+  test("annRecall: per-query hit counts against ground truth, misses count zero") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 77L), (2L, 78L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.annRecall(truth, approx)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // query 1: 2/3 hit; query 2: 0/2 (approx returned wrong ids); query 3: 1/1
+    assert(got.toSeq == Seq((1L, 3L, 2L), (2L, 2L, 0L), (3L, 1L, 1L)))
+  }
+
   test("globalRank ≡ the naive single window, ties broken by id, percentiles exact") {
     import graft.operators.Ranking
     import org.apache.spark.sql.expressions.Window
