@@ -162,6 +162,30 @@ object DocStream {
     q
   }
 
+  /** Streaming epoch-mixture fan-out: [[graft.operators.Sampling.epochs]]
+    * applied in-flight — each arriving doc is replicated into its
+    * per-stratum epoch copies as it lands, so ingest emits the training
+    * mixture directly instead of staging a raw corpus and re-exploding
+    * it in batch. The recipe is stateless row-local arithmetic
+    * (integer DIV/MOD + one md5-bucket compare + generate), so stream
+    * output ≡ batch [[graft.operators.Sampling.epochs]] row-for-row at
+    * any trigger cadence, and a replayed micro-batch emits identical
+    * copies (idempotent under at-least-once sources keyed on
+    * (doc_id, epoch)). */
+  def runEpochsAvailableNow(spark: SparkSession, docsDir: String,
+      rates: Map[String, Long], outName: String): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(docsDir)
+    val q = Sampling.epochs(src.select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id"), col("lang"), rates).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Drive the gate over a parquet directory as a stream (AvailableNow)
     * into a memory sink. */
   def runCurateAvailableNow(spark: SparkSession, docsDir: String,

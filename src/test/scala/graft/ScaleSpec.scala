@@ -517,6 +517,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("streaming epoch mixture emits exactly the batch fan-out (stateless, rerun-stable)") {
+    import graft.streaming.DocStream
+    import graft.operators.Sampling
+    val dir = java.nio.file.Files.createTempDirectory("doc_epochs")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val rates = Map("en" -> 1300L, "de" -> 2500L, "fr" -> 700L, "zh" -> 2000L)
+    DocStream.runEpochsAvailableNow(spark, dir.toString, rates, "epochs_out")
+    val streamed = spark.table("epochs_out")
+    val batch = Sampling.epochs(
+      spark.read.schema(DocStream.schema).parquet(dir.toString)
+        .select(col("doc_id"), col("lang"), col("source")),
+      col("doc_id"), col("lang"), rates)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("streaming admission gate: conservative subset of batch d8, no exact dup admitted") {
     import graft.streaming.DocStream
     import graft.operators.NearDup
