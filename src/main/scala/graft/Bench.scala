@@ -39,7 +39,7 @@ object Bench {
     "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
     "lr2_classifier_gate", "lm1_coverage_gate",
     "idx1_inverted_index", "ret1_bm25_topk",
-    "dp1_curation_pipeline", "dp2_curation_twophase",
+    "dp1_curation_pipeline", "dp2_curation_twophase", "dp5_pretrain_prep",
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window",
     "t6_asof_join",
     "m1_multimodal_meta")

@@ -1615,6 +1615,56 @@ object DataCatalog {
       "SELECT CAST(prev // 2048 AS BIGINT) AS pack_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
       "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM run GROUP BY 1" + OBA))
 
+  // DP5 — the pretrain-prep flagship: curation (dp1) → epoch mixture
+  // (mix2; en 1.3×, de 2.5×, fr 0.7× — curated data is en/de/fr only)
+  // → scrub → chunk → pack (CorpusPrep's own body, unit-keyed so each
+  // epoch copy packs independently) → exact curriculum rank of the
+  // packs by token total (rank1's two-level prefix count). The full
+  // chain a pretraining run consumes: what to train on, how often, in
+  // what order — one declarative plan; the final percentiles move if
+  // ANY upstream stage (dedup, gate, mixture, chunking, packing)
+  // shifts a single boundary. unit_id = doc_id*4 + epoch (≤3 copies at
+  // these rates) keeps CorpusPrep's chunk-key total order unique.
+  val dp5 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val curated = docs.join(dp1Curated(s, d).select("doc_id"), Seq("doc_id"), "left_semi")
+      val mixed = Sampling.epochs(curated.select(col("doc_id"), col("lang"), col("text")),
+        col("doc_id"), col("lang"), Map("en" -> 1300L, "de" -> 2500L, "fr" -> 700L))
+      val units = mixed.select((col("doc_id") * 4 + col("epoch")).as("doc_id"), col("text"))
+      val stats = graft.pipeline.CorpusPrep.packStats(
+        graft.pipeline.CorpusPrep.packedChunks(units))
+      ordered(Ranking.globalRank(stats, col("pack_id"), col("n_tokens"))
+        .select(col("id").as("pack_id"), col("score").as("n_tokens"),
+          col("rank"), col("pct_permille")))
+    },
+    Some("WITH RECURSIVE " + Dp1Ctes + ", " +
+      "mr(s2, rt) AS (VALUES ('en', 1300), ('de', 2500), ('fr', 700)), " +
+      "mixu AS (SELECT c.doc_id, c.text, rt // 1000 + " +
+      "CASE WHEN ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 " +
+      "< rt % 1000 THEN 1 ELSE 0 END AS n FROM curated c JOIN mr ON mr.s2 = c.lang), " +
+      "units AS (SELECT doc_id * 4 + u.e AS unit_id, text FROM mixu, unnest(range(0, n)) u(e)), " +
+      "clean AS (SELECT unit_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b', '<PHONE>', 'g'), " +
+      "'\\d{9,}', '<ID>', 'g') AS t FROM units), " +
+      "ctoks AS (SELECT unit_id, regexp_split_to_array(trim(t), '\\s+') AS tk FROM clean), " +
+      "chunks AS (SELECT unit_id, i // 112 AS chunk_id, " +
+      "CAST(len(list_slice(tk, i + 1, i + 128)) AS BIGINT) AS n_tokens " +
+      "FROM ctoks, unnest(range(0, greatest(1, len(tk) - 128 + 112), 112)) u(i)), " +
+      "keyed AS (SELECT unit_id * 1048576 + chunk_id AS ck, n_tokens FROM chunks), " +
+      "run AS (SELECT ck, n_tokens, coalesce(sum(n_tokens) OVER (" +
+      "ORDER BY ck ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM keyed), " +
+      // ps is referenced twice (rank + total); MATERIALIZED stops DuckDB
+      // from inlining — and re-running — the whole upstream chain twice
+      "ps AS MATERIALIZED (SELECT CAST(prev // 2048 AS BIGINT) AS pack_id, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM run GROUP BY 1), " +
+      "rk AS (SELECT pack_id, n_tokens, " +
+      "ROW_NUMBER() OVER (ORDER BY n_tokens, pack_id) AS rank FROM ps), " +
+      "t AS (SELECT count(*) AS n FROM ps) " +
+      "SELECT pack_id, n_tokens, CAST(rank AS BIGINT) AS rank, " +
+      "CAST(((rank - 1) * 1000) // n AS BIGINT) AS pct_permille FROM rk, t" + OBA))
+
   // TX13 — pack-example materialization: the step after tx9 that a
   // trainer actually consumes — each pack's chunks concatenated in
   // chunk-key order into one example text, with count/token receipts.
@@ -2272,7 +2322,8 @@ object DataCatalog {
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
     "mix2_epoch_mixture" -> mix2,
-    "dp3_corpus_prep" -> dp3, "c3_decontaminate" -> c3,
+    "dp3_corpus_prep" -> dp3, "dp5_pretrain_prep" -> dp5,
+    "c3_decontaminate" -> c3,
     "c4_split_leakage" -> c4,
     "lr1_logreg_weights" -> lr1, "lr2_classifier_gate" -> lr2,
     "tx12_repetition" -> tx12, "tx13_pack_examples" -> tx13,
