@@ -28,7 +28,7 @@ object Bench {
     "emb4_kmeans", "sim4_learned_ivf",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
     "tx9_seq_packing", "tx10_chunking", "cdc1_content_chunks",
-    "tx11_pii_scrub", "tx12_repetition",
+    "tx11_pii_scrub", "tx12_repetition", "tx14_boilerplate",
     "tx13_pack_examples",
     "sem1_semantic_dedup", "bpe1_merges", "bpe3_encoded_lengths",
     "d10_cdc_chunk_dedup", "qc2_vocab_drift", "qc3_table_profile",

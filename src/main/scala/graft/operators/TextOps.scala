@@ -273,6 +273,42 @@ object TextOps {
     * reassociation under partitioning would drift from the oracle's
     * serial fold. Scale shape: one hash shuffle onto the (low-
     * cardinality) stratum keys with map-side partials. */
+  /** Frequency-based boilerplate removal (tx14, CCNet-style): drop EVERY
+    * instance of any paragraph that appears in `maxDocFreq`-or-more
+    * DISTINCT documents (nav bars, cookie banners, license footers —
+    * crawl boilerplate that near-dup DOCUMENT dedup never sees because
+    * the surrounding text differs), then reassemble each doc's surviving
+    * paragraphs in order. The complement of d9's paragraphDedup: d9
+    * keeps the FIRST instance of a duplicated paragraph; this drops ALL
+    * instances of corpus-frequent ones while a paragraph repeated only
+    * WITHIN one doc (doc frequency 1) survives intact. Docs whose every
+    * paragraph is boilerplate drop out entirely.
+    *
+    * Scale shape: paragraph doc-frequencies are a map-side-combined
+    * count over md5(para) (hot boilerplate hashes partial-aggregate
+    * before the exchange); the flagged set — DISTINCT paragraphs that
+    * cross the threshold, a tiny fraction of any real corpus — comes
+    * back as a broadcastable left-anti on the hash, so surviving
+    * paragraph text only shuffles once, for the per-doc reassembly
+    * (grouped by doc, bounded by document size). */
+  def boilerplateFilter(docs: DataFrame, id: Column, text: Column,
+      sep: String, maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val paras = docs
+      .select(id.as("doc_id"), posexplode(split(text, java.util.regex.Pattern.quote(sep))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col").as("para"), md5(col("col")).as("h"))
+    val flagged = paras.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= maxDocFreq)
+      .select("h")
+    paras.join(flagged, Seq("h"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        array_join(expr("transform(array_sort(collect_list(struct(idx, para))), x -> x.para)"),
+          sep).as("clean_text"))
+  }
+
   def corpusReport(df: DataFrame, strata: Seq[String], text: Column,
       qualityThreshold: Double = 0.8): DataFrame = {
     val (nChars, nWords, _, _, score) = qualityCols(text)

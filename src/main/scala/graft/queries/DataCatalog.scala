@@ -1665,6 +1665,38 @@ object DataCatalog {
       "SELECT pack_id, n_tokens, CAST(rank AS BIGINT) AS rank, " +
       "CAST(((rank - 1) * 1000) // n AS BIGINT) AS pct_permille FROM rk, t" + OBA))
 
+  // TX14 — frequency-based boilerplate removal over the same
+  // synthesized structure as d9 (shared headers via doc_id%50, shared
+  // footers via doc_id%7): every paragraph in ≥5 distinct docs drops —
+  // all instances — while a doc's own repeated body text (doc freq 1)
+  // survives both copies. The complement of d9's keep-first semantics.
+  val tx14 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val hdr = docs.select(col("doc_id").as("h_id"), upper(col("text")).as("h_text"))
+      val ftr = docs.select(col("doc_id").as("f_id"), reverse(col("text")).as("f_text"))
+      val structured = docs
+        .join(hdr, col("doc_id") % 50 === col("h_id"))
+        .join(ftr, col("doc_id") % 7 === col("f_id"))
+        .select(col("doc_id"), concat(col("text"), lit(" PBRK "), col("h_text"),
+          lit(" PBRK "), col("f_text"), lit(" PBRK "), col("text")).as("text"))
+      ordered(TextOps.boilerplateFilter(structured, col("doc_id"), col("text"), " PBRK ", 5))
+    },
+    Some("WITH hdr AS (SELECT doc_id AS h_id, upper(text) AS h_text FROM documents), " +
+      "ftr AS (SELECT doc_id AS f_id, reverse(text) AS f_text FROM documents), " +
+      "docs2 AS (SELECT d.doc_id, d.text || ' PBRK ' || h.h_text || ' PBRK ' || " +
+      "f.f_text || ' PBRK ' || d.text AS text FROM documents d " +
+      "JOIN hdr h ON h.h_id = d.doc_id % 50 JOIN ftr f ON f.f_id = d.doc_id % 7), " +
+      "sp AS (SELECT doc_id, string_split(text, ' PBRK ') AS p FROM docs2), " +
+      "paras AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, p[i] AS para " +
+      "FROM sp, unnest(range(1, len(p) + 1)) u(i)), " +
+      "flg AS (SELECT md5(para) AS h FROM paras GROUP BY 1 " +
+      "HAVING count(DISTINCT doc_id) >= 5) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras, " +
+      "string_agg(para, ' PBRK ' ORDER BY idx) AS clean_text " +
+      "FROM paras WHERE md5(para) NOT IN (SELECT h FROM flg) " +
+      "GROUP BY doc_id" + OBA))
+
   // TX13 — pack-example materialization: the step after tx9 that a
   // trainer actually consumes — each pack's chunks concatenated in
   // chunk-key order into one example text, with count/token receipts.
@@ -2327,6 +2359,7 @@ object DataCatalog {
     "c4_split_leakage" -> c4,
     "lr1_logreg_weights" -> lr1, "lr2_classifier_gate" -> lr2,
     "tx12_repetition" -> tx12, "tx13_pack_examples" -> tx13,
+    "tx14_boilerplate" -> tx14,
     "smp4_split" -> smp4,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,

@@ -646,6 +646,22 @@ class DataOpsSpec extends AnyFunSuite {
       s"fractional-epoch selection must be monotone in rate (${e13.size} vs ${e15.size})")
   }
 
+  test("boilerplateFilter: corpus-frequent paragraphs drop everywhere, within-doc repeats survive") {
+    val df = Seq(
+      (1L, "COOKIE BANNER|unique one|body body"),
+      (2L, "COOKIE BANNER|unique two"),
+      (3L, "COOKIE BANNER|body body|body body"),   // own repeat: df=2 but doc-freq 2 only via doc 1
+      (4L, "COOKIE BANNER"),                       // all boilerplate → drops out
+      (5L, "COOKIE BANNER|unique five")
+    ).toDF("doc_id", "text")
+    // banner df=5 ≥ 3 → dropped everywhere; "body body" df=2 < 3 → kept (both copies in doc 3)
+    val got = TextOps.boilerplateFilter(df, col("doc_id"), col("text"), "|", 3)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, "unique one|body body"), (2L, 1L, "unique two"),
+      (3L, 2L, "body body|body body"), (5L, 1L, "unique five")))
+  }
+
   test("annRecall: per-query hit counts against ground truth, misses count zero") {
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("query_id", "neighbor_id")
