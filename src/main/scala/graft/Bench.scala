@@ -32,7 +32,7 @@ object Bench {
     "tx13_pack_examples",
     "sem1_semantic_dedup", "bpe1_merges", "bpe3_encoded_lengths",
     "d10_cdc_chunk_dedup", "qc2_vocab_drift", "qc3_table_profile",
-    "qc4_snapshot_diff", "rank1_curriculum",
+    "qc4_snapshot_diff", "qc5_profile_drift", "rank1_curriculum",
     "ret2_rrf_fusion", "idx2_segment_merge", "dp4_crossmodal_dedup",
     "smp5_diversity_cap", "emb6_cell_report", "c5_contamination_card",
     "out1_shard_manifest", "mix1_corpus_mixture", "mix2_epoch_mixture",

@@ -39,6 +39,21 @@ object Profiling {
     stacked
   }
 
+  /** Profile drift (qc5): [[profile]] of two snapshots joined per
+    * column — null counts, distinct cardinalities, and min/max side by
+    * side, old vs new. The column-level companion to the row-level
+    * [[snapshotDiff]]: a refresh that silently nulls a field, collapses
+    * a categorical, or shifts a range shows up here as one row even
+    * when row counts look plausible. Two single-pass profiles + a join
+    * of COLUMNS-sized frames — nothing scales with the corpus. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String]): DataFrame = {
+    def suffixed(df: DataFrame, tag: String) = profile(df, cols).select(
+      col("col_name"), col("n_nulls").as(s"n_nulls_$tag"),
+      col("n_distinct").as(s"n_distinct_$tag"),
+      col("min_v").as(s"min_$tag"), col("max_v").as(s"max_$tag"))
+    suffixed(oldDf, "old").join(suffixed(newDf, "new"), Seq("col_name"))
+  }
+
   /** Corpus snapshot diff (qc4): per-key status between two corpus
     * versions — `added` (new only), `removed` (old only), `changed`
     * (both, content hash differs), `unchanged`. The version-over-version

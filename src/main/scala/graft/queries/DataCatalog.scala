@@ -1992,6 +1992,41 @@ object DataCatalog {
       "SELECT doc_id, n_chars, CAST(rank AS BIGINT) AS rank, " +
       "CAST(((rank - 1) * 1000) // n AS BIGINT) AS pct_permille FROM r, t" + OBA))
 
+  // QC5 — profile drift: qc3's per-column card for the SAME two
+  // snapshots qc4 diffs row-wise, joined old-vs-new per column — the
+  // silent-field-regression detector (a refresh nulling a column shows
+  // here even when row counts look right). Two one-pass profiles, a
+  // COLUMNS-row join; corpus-independent output.
+  val qc5 = Q(
+    (s, d) => {
+      val b = Sampling.bucket(col("doc_id"))
+      val docs = documents(s, d)
+      val oldV = docs.filter(b < 980).select("doc_id", "text", "lang", "source")
+      val newV = docs.filter(b >= 30)
+        .withColumn("text", when(b < 200, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select("doc_id", "text", "lang", "source")
+      ordered(Profiling.profileDrift(oldV, newV, Seq("doc_id", "text", "lang", "source")))
+    },
+    Some {
+      val cols = Seq("doc_id", "text", "lang", "source")
+      def prof(src: String) = cols.map { c =>
+        s"SELECT '$c' AS col_name, CAST(count(*) - count($c) AS BIGINT) AS n_nulls, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v FROM $src"
+      }.mkString(" UNION ALL ")
+      "WITH b AS (SELECT doc_id, text, lang, source, " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS bk FROM documents), " +
+        "o AS (SELECT doc_id, text, lang, source FROM b WHERE bk < 980), " +
+        "n AS (SELECT doc_id, CASE WHEN bk < 200 THEN text || ' v2' ELSE text END AS text, " +
+        "lang, source FROM b WHERE bk >= 30), " +
+        "po AS (" + prof("o") + "), pn AS (" + prof("n") + ") " +
+        "SELECT col_name, po.n_nulls AS n_nulls_old, po.n_distinct AS n_distinct_old, " +
+        "po.min_v AS min_old, po.max_v AS max_old, " +
+        "pn.n_nulls AS n_nulls_new, pn.n_distinct AS n_distinct_new, " +
+        "pn.min_v AS min_new, pn.max_v AS max_new " +
+        "FROM po JOIN pn USING (col_name)" + OBA
+    })
+
   // QC2 — vocabulary drift between strata (en vs rest): top-10 tokens
   // by exact cross-multiplied drift |cnt_a·tot_b − cnt_b·tot_a| —
   // integer arithmetic (Spark DECIMAL(38) / DuckDB HUGEINT), no float
@@ -2367,7 +2402,8 @@ object DataCatalog {
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
     "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
     "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3,
-    "qc4_snapshot_diff" -> qc4, "rank1_curriculum" -> rank1,
+    "qc4_snapshot_diff" -> qc4, "qc5_profile_drift" -> qc5,
+    "rank1_curriculum" -> rank1,
     "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3,
     "idx2_segment_merge" -> idx2, "dp4_crossmodal_dedup" -> dp4,
     "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5)
