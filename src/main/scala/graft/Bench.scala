@@ -41,7 +41,7 @@ object Bench {
     "idx1_inverted_index", "ret1_bm25_topk",
     "dp1_curation_pipeline", "dp2_curation_twophase", "dp5_pretrain_prep",
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window",
-    "t6_asof_join",
+    "t6_asof_join", "t8_interval_merge",
     "m1_multimodal_meta")
 
   private def median(xs: Seq[Double]): Double = {

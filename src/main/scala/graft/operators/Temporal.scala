@@ -59,4 +59,33 @@ object Temporal {
       leftTime: String, startCol: String, endCol: String): DataFrame =
     left.join(right, Seq(key))
       .filter(col(leftTime) >= col(startCol) && col(leftTime) <= col(endCol))
+
+  /** Validity-interval merge (t8, gaps-and-islands): collapse each
+    * key's overlapping-or-touching `[start, end]` intervals into
+    * maximal disjoint spans with a merge-count receipt — timeline
+    * compaction for validity ranges, coverage windows, lease/session
+    * spans. `start == previous end` merges (closed intervals touch);
+    * a gap of 1 unit splits.
+    *
+    * Classic two-window island detection, every frame PARTITIONED BY
+    * the key (one hash shuffle, zero global windows): the running max
+    * of `end` over preceding rows finds island starts (`start` beyond
+    * everything seen = new island), a running sum of those flags
+    * numbers the islands, and one grouped agg emits each island's
+    * span. Equal `(start, end)` duplicates are order-interchangeable
+    * under the running max, so the result is deterministic at any
+    * partitioning. Times must be integer (epoch micros per the
+    * oracle-parity rules), `end >= start` expected. */
+  def mergeIntervals(df: DataFrame, key: Column, start: Column, end: Column): DataFrame = {
+    val base = df.select(key.as("key"),
+      start.cast("long").as("s"), end.cast("long").as("e"))
+    val ord = Window.partitionBy("key").orderBy("s", "e")
+    val prevMax = max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flag = when(col("s") > coalesce(prevMax, lit(Long.MinValue)), 1L).otherwise(0L)
+    base.withColumn("island",
+        sum(flag).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("key", "island")
+      .agg(min("s").as("start"), max("e").as("end"), count(lit(1)).as("n_merged"))
+      .select("key", "start", "end", "n_merged")
+  }
 }

@@ -516,6 +516,31 @@ object DataCatalog {
       "SELECT e.event_id, e.user_id, w.w_id FROM e JOIN w USING (user_id) " +
       "WHERE e.ts >= w.w_start AND e.ts <= w.w_end" + OBA))
 
+  // T8 — validity-interval merge (gaps-and-islands): per-user coverage
+  // intervals derived from events (1-7h spans keyed off event_id)
+  // collapsed into maximal disjoint windows + merge counts. Engine is
+  // the two-window island detection, every frame partitioned by
+  // user_id; the oracle states the identical running-max/flag/island
+  // chain in SQL. Integer micros throughout.
+  val t8 = Q(
+    (s, d) => {
+      val iv = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("s0"),
+        (unix_micros(col("ts")) + (col("event_id") % 7 + 1) * lit(3600000000L)).as("e0"))
+      ordered(graft.operators.Temporal.mergeIntervals(iv, col("user_id"), col("s0"), col("e0"))
+        .select(col("key").as("user_id"), col("start").as("start_us"),
+          col("end").as("end_us"), col("n_merged")))
+    },
+    Some("WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 7 + 1) * 3600000000 AS e FROM events), " +
+      "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), " +
+      "f AS (SELECT user_id, s, e, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS flag FROM m), " +
+      "isl AS (SELECT user_id, s, e, sum(flag) OVER (PARTITION BY user_id ORDER BY s, e " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f) " +
+      "SELECT user_id, CAST(min(s) AS BIGINT) AS start_us, CAST(max(e) AS BIGINT) AS end_us, " +
+      "CAST(count(*) AS BIGINT) AS n_merged FROM isl GROUP BY user_id, island" + OBA))
+
   // J12 salted skew join: identical semantics to the plain equi-join
   // (the oracle), different physical distribution — the hot-key spread
   // pattern for skew beyond AQE's split.
@@ -2369,7 +2394,7 @@ object DataCatalog {
     "e3_sliding_window" -> e3, "e4_correlate" -> e4,
     "a12_bitmap_distinct" -> a12,
     "t6_asof_join" -> t6,
-    "t7_range_join" -> t7, "j12_salted_join" -> j12,
+    "t7_range_join" -> t7, "t8_interval_merge" -> t8, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3, "smp3_fixed_sample" -> smp3,
     "emb3_centroid_assign" -> emb3,

@@ -78,4 +78,19 @@ class TemporalSpec extends AnyFunSuite {
       .select("event_id", "w_id").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 91L), (3L, 92L))) // event 2 outside; keys isolated
   }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, keys isolated, duplicates counted") {
+    val iv = Seq(
+      (7L, 0L, 10L), (7L, 5L, 20L),   // overlap → one island
+      (7L, 20L, 30L),                 // touches previous end → same island
+      (7L, 32L, 40L),                 // gap of 2 → new island
+      (7L, 33L, 35L),                 // contained → same island
+      (8L, 0L, 10L),                  // other key untouched
+      (8L, 0L, 10L)                   // exact duplicate → counted, same island
+    ).toDF("user_id", "s0", "e0")
+    val got = Temporal.mergeIntervals(iv, col("user_id"), col("s0"), col("e0"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (7L, 0L, 30L, 3L), (7L, 32L, 40L, 2L), (8L, 0L, 10L, 2L)))
+  }
 }
