@@ -27,7 +27,7 @@ object Bench {
     "sim3b_centroid_multiprobe", "sim5_ivfpq_ann", "eval1_ann_recall",
     "emb4_kmeans", "sim4_learned_ivf",
     "tx2_quality_score", "tx4_fingerprint", "tx7_normalize", "tx8_tfidf_topterms",
-    "tx9_seq_packing", "tx10_chunking", "cdc1_content_chunks",
+    "tx9_seq_packing", "qc6_pack_efficiency", "tx10_chunking", "cdc1_content_chunks",
     "tx11_pii_scrub", "tx12_repetition", "tx14_boilerplate",
     "tx13_pack_examples",
     "sem1_semantic_dedup", "bpe1_merges", "bpe3_encoded_lengths",

@@ -1525,6 +1525,35 @@ object DataCatalog {
       "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t) " +
       "SELECT doc_id, n_tokens, CAST(prev // 2048 AS BIGINT) AS pack_id FROM s" + OBA))
 
+  // QC6 — pack-efficiency report: the fill-rate distribution of tx9's
+  // packs (per-decile pack counts + exact token totals). The packing QA
+  // card — a mass below decile 9 means the budget is leaking padding;
+  // >1000‰ fill is the documented boundary-straddle of running-sum
+  // packing (the last doc of a pack crosses the line). Composes tx9;
+  // one extra tiny agg on ≤ #packs rows.
+  val qc6 = Q(
+    (s, d) => {
+      val packed = Packing.pack(documents(s, d), col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))),
+        2048)
+      ordered(packed.groupBy("pack_id").agg(sum("n_tokens").as("pack_tokens"))
+        .select(expr("(pack_tokens * 1000 DIV 2048) DIV 100").as("fill_decile"),
+          col("pack_tokens"))
+        .groupBy("fill_decile")
+        .agg(count(lit(1)).cast("long").as("n_packs"),
+          sum("pack_tokens").cast("long").as("n_tokens")))
+    },
+    Some("WITH t AS (SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens " +
+      "FROM documents), " +
+      "s AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (" +
+      "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t), " +
+      "ps AS (SELECT CAST(prev // 2048 AS BIGINT) AS pack_id, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS pack_tokens FROM s GROUP BY 1) " +
+      "SELECT (pack_tokens * 1000 // 2048) // 100 AS fill_decile, " +
+      "CAST(count(*) AS BIGINT) AS n_packs, CAST(sum(pack_tokens) AS BIGINT) AS n_tokens " +
+      "FROM ps GROUP BY 1" + OBA))
+
   // TX10 — context-length chunking: fixed 128-token windows, 16-token
   // overlap (step 112), last chunk short, provenance kept. A pure
   // map+explode — the step between curated docs and context-sized
@@ -2428,6 +2457,7 @@ object DataCatalog {
     "cdc1_content_chunks" -> cdc1, "qc2_vocab_drift" -> qc2,
     "d10_cdc_chunk_dedup" -> d10, "qc3_table_profile" -> qc3,
     "qc4_snapshot_diff" -> qc4, "qc5_profile_drift" -> qc5,
+    "qc6_pack_efficiency" -> qc6,
     "rank1_curriculum" -> rank1,
     "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3,
     "idx2_segment_merge" -> idx2, "dp4_crossmodal_dedup" -> dp4,
