@@ -36,7 +36,8 @@ object Bench {
     "ret2_rrf_fusion", "idx2_segment_merge", "dp4_crossmodal_dedup",
     "smp5_diversity_cap", "emb6_cell_report", "c5_contamination_card",
     "out1_shard_manifest", "mix1_corpus_mixture", "mix2_epoch_mixture",
-    "c1_contamination", "smp2_stratified_sample", "bf1_bloom_semijoin",
+    "c1_contamination", "c6_semantic_contamination",
+    "smp2_stratified_sample", "bf1_bloom_semijoin",
     "lr2_classifier_gate", "lm1_coverage_gate",
     "idx1_inverted_index", "ret1_bm25_topk",
     "dp1_curation_pipeline", "dp2_curation_twophase", "dp5_pretrain_prep",

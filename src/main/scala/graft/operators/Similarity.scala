@@ -294,6 +294,32 @@ object Similarity {
       .select(col("vec_id"), col(cellCol))
   }
 
+  /** Cross-corpus within-cell pairs (c6): every `(corpus, probe)` pair
+    * sharing a coarse cell with cosine ≥ threshold — the BIPARTITE
+    * sibling of [[nearDupPairs]] (which pairs a corpus with itself).
+    * Built for semantic contamination scanning: probe = benchmark
+    * embeddings, corpus = training embeddings; a hit is an eval item
+    * the model will have effectively seen even when no n-gram overlaps
+    * (paraphrase contamination that c1's shingle scan cannot catch).
+    *
+    * Scale shape: both sides assign to the same learned cells (emb4),
+    * so candidates come from one equi-join on the cell id — O(Σ
+    * cell_corpus × cell_probe), never |corpus| × |probe|; the probe
+    * side (benchmarks) is small and broadcasts under AQE. Same
+    * non-zero-norm domain as [[nearDupPairs]]. */
+  def crossCorpusPairs(corpus: DataFrame, probe: DataFrame, cellCol: String,
+      threshold: Double): DataFrame = {
+    val c = withNorm(corpus.select(col("vec_id"),
+      col("embedding").as("cv"), col(cellCol).as("cell")), "vec_id", "cv", "cn")
+    val p = withNorm(probe.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"), col(cellCol).as("cell")), "probe_id", "pv", "pn")
+    c.join(p, Seq("cell"))
+      .select(col("vec_id"), col("probe_id"),
+        (dot(col("cv"), col("pv")) / (col("cn") * col("pn"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id"), col("probe_id"), col("cos").as("cosine"))
+  }
+
   /** ANN recall scorecard (eval1): per-query hit counts of an
     * approximate result list against exact ground truth — the number
     * that justifies (or indicts) every IVF/PQ parameter choice before a

@@ -306,6 +306,33 @@ object DataCatalog {
       "SELECT id_a, id_b, " + cosSql("va", "vb") + " AS cosine " +
       "FROM a JOIN b USING (label) WHERE id_a < id_b AND " + cosSql("va", "vb") + " >= 0.9" + OBA))
 
+  // C6 — semantic contamination scan: benchmark embeddings probed
+  // against the training-side embeddings within shared coarse cells; a
+  // cos ≥ 0.9 hit is paraphrase contamination the n-gram scan (c1)
+  // cannot see. The fixture's %20 split is contamination-free by
+  // construction, so the entry PLANTS it (the tx11/qc4 trick): the
+  // benchmark side also carries exact copies of every %19 corpus
+  // vector under probe ids +1e6 — those must all come back at cosine
+  // 1.0, on top of any genuine cross hits. Bipartite equi-join on the
+  // cell — never |corpus| × |bench|.
+  val c6 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val corpus = e.filter(col("vec_id") % 20 =!= 0)
+      val planted = corpus.filter(col("vec_id") % 19 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+      val bench = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .unionByName(planted)
+      ordered(Similarity.crossCorpusPairs(corpus, bench, "label", 0.9))
+    },
+    Some("WITH c AS (SELECT vec_id, embedding AS cv, label FROM embeddings WHERE vec_id % 20 <> 0), " +
+      "p AS (SELECT vec_id AS probe_id, embedding AS pv, label FROM embeddings WHERE vec_id % 20 = 0 " +
+      "UNION ALL SELECT vec_id + 1000000, embedding, label FROM embeddings " +
+      "WHERE vec_id % 20 <> 0 AND vec_id % 19 = 0) " +
+      "SELECT vec_id, probe_id, " + cosSql("cv", "pv") + " AS cosine " +
+      "FROM c JOIN p USING (label) WHERE " + cosSql("cv", "pv") + " >= 0.9" + OBA))
+
   // TX1 token counting (whitespace + BPE-ish regex segmentation).
   val tx1 = Q(
     (s, d) => ordered(TextOps.tokenCounts(documents(s, d), col("doc_id"), col("text"))),
@@ -2445,7 +2472,7 @@ object DataCatalog {
     "mix2_epoch_mixture" -> mix2,
     "dp3_corpus_prep" -> dp3, "dp5_pretrain_prep" -> dp5,
     "c3_decontaminate" -> c3,
-    "c4_split_leakage" -> c4,
+    "c4_split_leakage" -> c4, "c6_semantic_contamination" -> c6,
     "lr1_logreg_weights" -> lr1, "lr2_classifier_gate" -> lr2,
     "tx12_repetition" -> tx12, "tx13_pack_examples" -> tx13,
     "tx14_boilerplate" -> tx14,
