@@ -395,6 +395,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(shuffles.isEmpty, "epochs must plan as scan + filter + generate, no exchange")
   }
 
+  test("boilerplate filter: doc-freq count partial-aggregates; no cartesian anywhere") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.TextOps
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val out = TextOps.boilerplateFilter(docs, col("doc_id"), col("text"), " ", 5)
+    out.write.format("noop").mode("overwrite").save()
+    val ns = nodes(out)
+    assert(!ns.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      n.isInstanceOf[CartesianProductExec]), "non-equi join in boilerplate plan")
+    // the hot-paragraph doc-freq count must partial-aggregate map-side:
+    // boilerplate hashes are exactly the keys that would otherwise pile
+    // their full row streams onto one reducer
+    val partials = ns.collect { case a: HashAggregateExec => a }
+      .filter(_.aggregateExpressions.exists(_.mode.toString.contains("Partial")))
+    assert(partials.nonEmpty, "doc-freq count lost its map-side partial aggregate")
+  }
+
+  test("cross-corpus contamination pairs plan as a cell equi-join, never a nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+    val pairs = Similarity.crossCorpusPairs(
+      e.filter(col("vec_id") % 20 =!= 0), e.filter(col("vec_id") % 20 === 0), "label", 0.9)
+    pairs.count()
+    val bad = nodes(pairs).collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: CartesianProductExec => j
+    }
+    assert(bad.isEmpty, s"contamination probe must equi-join on the cell: $bad")
+  }
+
   test("snapshot diff shuffles fingerprints, never the document bytes") {
     import graft.operators.{Profiling, Sampling}
     import graft.sources.Tables
