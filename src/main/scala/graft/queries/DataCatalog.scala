@@ -441,6 +441,27 @@ object DataCatalog {
       "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents " +
       "FROM events GROUP BY 1, 2" + OBA))
 
+  // E5 — ordered funnel: users progressing view → click → purchase,
+  // each stage strictly after the user's earliest qualifying previous-
+  // stage event. Depth shuffles on user_id, map-side-combined mins —
+  // never a per-user history sort.
+  val e5 = Q(
+    (s, d) => ordered(graft.streaming.EventStream.funnel(
+      events(s, d), Seq("view", "click", "purchase"))),
+    Some("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events " +
+      "WHERE event_type = 'view' GROUP BY 1), " +
+      "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+      "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t " +
+      "WHERE e.event_type = 'click' GROUP BY 1), " +
+      "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+      "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t " +
+      "WHERE e.event_type = 'purchase' GROUP BY 1) " +
+      "SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users " +
+      "UNION ALL SELECT CAST(2 AS BIGINT), 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2) " +
+      "UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)" +
+      OBA))
+
   // E2 gap-based sessionization (graft.streaming.EventStream.sessionize):
   // a new session starts after a 30-minute silence per user.
   val e2 = Q(
@@ -916,7 +937,7 @@ object DataCatalog {
   /** dp1's curated set, UNORDERED — dp3 composes over this (an ORDER BY
     * feeding a semi-join would be wasted work); dp1 itself wraps it in
     * the catalog's output ordering. */
-  private def dp1Curated(s: org.apache.spark.sql.SparkSession, d: String)
+  private[graft] def dp1Curated(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val docs = documents(s, d)
     // persisted once: five downstream stages consume it (minhash
@@ -1712,9 +1733,22 @@ object DataCatalog {
       val curated = docs.join(dp1Curated(s, d).select("doc_id"), Seq("doc_id"), "left_semi")
       val mixed = Sampling.epochs(curated.select(col("doc_id"), col("lang"), col("text")),
         col("doc_id"), col("lang"), Map("en" -> 1300L, "de" -> 2500L, "fr" -> 700L))
+      // localCheckpoint (lineage TRUNCATION, not just caching) at both
+      // reuse points: downstream of here the plan takes ~7 more driver
+      // actions (pack bounds, offsets, assignment join, stats, rank
+      // bounds, rank join, final collect), and each one re-analyzes the
+      // full logical tree it sits on. With the curation chain's huge
+      // tree underneath, that re-planning alone cost ~5 s PER ACTION
+      // (measured: 34.5 s entry at sf0.1 with plain caching — cached
+      // batches were read fine, the driver was the bottleneck).
+      // Truncating to the materialized RDD makes every later plan small:
+      // 34.5 s → ~8 s. Same stance as Bpe's periodic checkpoint. The
+      // checkpoint RDDs are reclaimed by the ContextCleaner when the
+      // entry's DataFrames go out of scope.
       val units = mixed.select((col("doc_id") * 4 + col("epoch")).as("doc_id"), col("text"))
+        .localCheckpoint()
       val stats = graft.pipeline.CorpusPrep.packStats(
-        graft.pipeline.CorpusPrep.packedChunks(units))
+        graft.pipeline.CorpusPrep.packedChunks(units)).localCheckpoint()
       ordered(Ranking.globalRank(stats, col("pack_id"), col("n_tokens"))
         .select(col("id").as("pack_id"), col("score").as("n_tokens"),
           col("rank"), col("pct_permille")))
@@ -2446,7 +2480,7 @@ object DataCatalog {
     "tx1_token_counts" -> tx1, "tx2_quality_score" -> tx2,
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
     "tx5_top_tokens" -> tx5, "tx6_cm_top_tokens" -> tx6,
-    "e1_event_window_agg" -> e1, "e2_sessionize" -> e2,
+    "e1_event_window_agg" -> e1, "e2_sessionize" -> e2, "e5_funnel" -> e5,
     "e3_sliding_window" -> e3, "e4_correlate" -> e4,
     "a12_bitmap_distinct" -> a12,
     "t6_asof_join" -> t6,

@@ -133,6 +133,35 @@ object EventStream {
   def dedupBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("user_id", "event_type", "ts")
 
+  /** Funnel analysis (e5): how many users progress through `stages` IN
+    * ORDER — a user reaches stage k+1 only via an event strictly after
+    * their earliest qualifying stage-k event (the standard product-
+    * analytics funnel; strict `>` so a single timestamp can't satisfy
+    * two stages). Output: one row per stage, `(stage_idx, stage,
+    * n_users)`.
+    *
+    * Scale shape: stage k's cohort is a per-user 1-row frame
+    * `(user_id, earliest_ts)` — each step is one equi-join of the
+    * events against that cohort plus one user-keyed min aggregate, so
+    * the whole funnel is `depth` hash shuffles on user_id with
+    * map-side-combined mins, never a per-user event-sequence sort or a
+    * collect_list of histories. Funnel depth bounds the plan, not the
+    * event volume. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val cohorts = stages.tail.scanLeft(
+      events.filter(col("event_type") === stages.head)
+        .groupBy("user_id").agg(min("ts").as("t"))) { (prev, stage) =>
+      events.join(prev.select(col("user_id"), col("t").as("t_prev")), Seq("user_id"))
+        .filter(col("event_type") === stage && col("ts") > col("t_prev"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    cohorts.zip(stages).zipWithIndex.map { case ((cohort, stage), i) =>
+      cohort.agg(count(lit(1)).cast("long").as("n_users"))
+        .select(lit(i + 1L).as("stage_idx"), lit(stage).as("stage"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Run the streaming dedup end-to-end over a parquet directory into a
     * memory sink (same shape as runAvailableNow). */
   def runDedupAvailableNow(spark: SparkSession, eventsDir: String,

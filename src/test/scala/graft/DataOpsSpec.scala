@@ -662,6 +662,22 @@ class DataOpsSpec extends AnyFunSuite {
       (3L, 2L, "body body|body body"), (5L, 1L, "unique five")))
   }
 
+  test("funnel: strict in-order progression, same-timestamp events don't double-count") {
+    import graft.streaming.EventStream
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "purchase", ts(10)), // full funnel
+      (2L, "view", ts(0)), (2L, "click", ts(5)),                           // stops at click
+      (3L, "click", ts(0)), (3L, "view", ts(5)), (3L, "purchase", ts(10)), // click BEFORE view → no click stage
+      (4L, "view", ts(0)), (4L, "click", ts(0)),                           // same ts: strict > excludes
+      (5L, "purchase", ts(0))                                              // never viewed
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventStream.funnel(ev, Seq("view", "click", "purchase"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // view: users 1,2,3,4; click after view: 1,2; purchase after that click: 1
+    assert(got.toSeq == Seq((1L, "view", 4L), (2L, "click", 2L), (3L, "purchase", 1L)))
+  }
+
   test("annRecall: per-query hit counts against ground truth, misses count zero") {
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
       .toDF("query_id", "neighbor_id")
