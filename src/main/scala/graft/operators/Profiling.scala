@@ -71,6 +71,7 @@ object Profiling {
       content: String, carry: Seq[String] = Nil): DataFrame = {
     require((key +: content +: carry).forall(oldDf.columns.contains), "old side missing columns")
     require((key +: content +: carry).forall(newDf.columns.contains), "new side missing columns")
+    require(!carry.contains("status"), "'status' is the diff's own output column")
     def side(df: DataFrame, tag: String) =
       df.select(col(key).as("k") +: md5(col(content)).as(s"h_$tag") +:
         lit(true).as(s"in_$tag") +: carry.map(c => col(c).as(s"${c}_$tag")): _*)

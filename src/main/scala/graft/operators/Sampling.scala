@@ -151,6 +151,8 @@ object Sampling {
       "rates must be non-negative permille-of-copies")
     require(!df.columns.contains("epoch"),
       "input already has an 'epoch' column; the output would shadow it")
+    require(!df.columns.contains("n_copies"),
+      "input already has an 'n_copies' column; the internal counter would shadow it")
     val base = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
       when(stratum === s, lit(r / 1000)).otherwise(acc)
     }
