@@ -20,6 +20,7 @@ import graft.queries._
   *   runMain graft.Cli <sfDir> leadership for-region <uid> [...]
   *   runMain graft.Cli <sfDir> curate | contamination
   *   runMain graft.Cli <sfDir> corpus-prep --checkpoint-dir <dir> --out <dir> [--shards N]
+  *   runMain graft.Cli <sfDir> pretrain-prep --checkpoint-dir <dir> --out <dir> [--shards N]
   *   runMain graft.Cli <sfDir> export --shards N --out <dir>
   *   runMain graft.Cli <sfDir> export --append --shards N --out <dir>
   *   runMain graft.Cli <sfDir> export --verify <dir>
@@ -95,6 +96,15 @@ object Cli {
           case _                      => 8
         }
         graft.pipeline.CorpusPrep.run(spark, d, ckpt, out, shards)
+      // the full pretraining prep: corpus-prep's path with the epoch
+      // mixture inserted after curation and the curriculum receipt
+      // (exact pack ranking) returned after the export verifies
+      case Seq("pretrain-prep", "--checkpoint-dir", ckpt, "--out", out, rest @ _*) =>
+        val shards = rest match {
+          case Seq("--shards", n, _*) => n.toInt
+          case _                      => 8
+        }
+        graft.pipeline.CorpusPrep.runPretrain(spark, d, ckpt, out, shards)
       // deterministic shard export of the curated corpus (out1) and the
       // one-pass integrity check of a previous export (out2); both print
       // the manifest/diff rows as the JSON result

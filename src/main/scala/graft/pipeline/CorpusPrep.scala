@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.CacheScope
-import graft.operators.{Packing, Sharding, TextOps}
+import graft.operators.{Packing, Sampling, Sharding, TextOps}
 
 /** End-to-end corpus preparation — dp3's composition as the PRODUCTION
   * pipeline shape: two-phase checkpointed curation (dp2) → PII scrub
@@ -67,5 +67,49 @@ object CorpusPrep {
     require(bad == 0,
       s"corpus-prep export verify failed: $bad shard(s) not ok under $outDir")
     packStats(chunks)
+  }
+
+  /** A unit id (doc copy) per epoch: doc_id × stride + epoch. Fixed at
+    * 4 — shared by [[runPretrain]] and the dp5 catalog entry so the CLI
+    * path and the oracle-gated entry cannot drift — which bounds the
+    * supported rates below 4.0 epochs/doc. */
+  val EpochStride = 4L
+
+  /** The pretrain-prep production path (dp5's composition as a job):
+    * two-phase checkpointed curation → epoch mixture → scrub → chunk →
+    * pack (each epoch copy packs as its own unit) → shard export +
+    * integrity verify → the curriculum receipt: every pack exactly
+    * ranked by token total ([[graft.operators.Ranking.globalRank]]).
+    * What to train on, how often, in what order — with the curated
+    * artifacts checkpointed for crash recovery and the shards verified
+    * before the receipt is returned.
+    *
+    * Lineage is localCheckpoint-truncated at the two reuse points
+    * (units, pack stats): the downstream bounds/join actions would
+    * otherwise re-analyze the curation chain's whole logical tree on
+    * the driver at every action (measured ~5 s per action at sf0.1). */
+  def runPretrain(spark: SparkSession, sfDir: String, checkpointDir: String,
+      outDir: String, numShards: Int = 8,
+      rates: Map[String, Long] = Map("en" -> 1300L, "de" -> 2500L, "fr" -> 700L)): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r < EpochStride * 1000),
+      s"epoch rates must stay below ${EpochStride}.0 epochs/doc (EpochStride)")
+    val curatedIds = Curation.run(spark, sfDir, checkpointDir).select("doc_id")
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .join(curatedIds, Seq("doc_id"), "left_semi")
+    val mixed = Sampling.epochs(docs.select(col("doc_id"), col("lang"), col("text")),
+      col("doc_id"), col("lang"), rates)
+    val units = mixed
+      .select((col("doc_id") * EpochStride + col("epoch")).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val chunks = CacheScope.persist(packedChunks(units))
+    Sharding.write(chunks, col("chunk_key"), col("chunk_text"), numShards, outDir)
+    val status = Sharding.verify(spark, outDir, col("chunk_key"), col("chunk_text"))
+    val bad = status.filter(col("status") =!= "ok").count()
+    require(bad == 0,
+      s"pretrain-prep export verify failed: $bad shard(s) not ok under $outDir")
+    val stats = packStats(chunks).localCheckpoint()
+    graft.operators.Ranking.globalRank(stats, col("pack_id"), col("n_tokens"))
+      .select(col("id").as("pack_id"), col("score").as("n_tokens"),
+        col("rank"), col("pct_permille"))
   }
 }

@@ -1745,7 +1745,9 @@ object DataCatalog {
       // 34.5 s → ~8 s. Same stance as Bpe's periodic checkpoint. The
       // checkpoint RDDs are reclaimed by the ContextCleaner when the
       // entry's DataFrames go out of scope.
-      val units = mixed.select((col("doc_id") * 4 + col("epoch")).as("doc_id"), col("text"))
+      val units = mixed.select(
+          (col("doc_id") * graft.pipeline.CorpusPrep.EpochStride + col("epoch")).as("doc_id"),
+          col("text"))
         .localCheckpoint()
       val stats = graft.pipeline.CorpusPrep.packStats(
         graft.pipeline.CorpusPrep.packedChunks(units)).localCheckpoint()

@@ -87,6 +87,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(status.filter(col("status") =!= "ok").count() == 0)
   }
 
+  test("pretrain-prep Cli verb ≡ the dp5 catalog entry, and the export verifies") {
+    val ckpt = java.nio.file.Files.createTempDirectory("pretrain_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("pretrain_out").toString
+    val cli = graft.queries.Catalog.ordered(Cli.resolve(spark, sf,
+      Seq("pretrain-prep", "--checkpoint-dir", ckpt, "--out", out, "--shards", "4")))
+      .collect().toSeq
+    CacheScope.releaseAll()
+    // reference: the oracle-gated dp5 entry (fused curation; two-phase
+    // ≡ fused is pinned above) — same mixture, stride, packing, rank
+    val entry = graft.queries.DataCatalog.dp5.build(spark, sf).collect().toSeq
+    CacheScope.releaseAll()
+    assert(cli == entry)
+    assert(cli.nonEmpty)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/MANIFEST.json")))
+    val status = graft.operators.Sharding.verify(spark, out,
+      col("chunk_key"), col("chunk_text"))
+    assert(status.count() == 4)
+    assert(status.filter(col("status") =!= "ok").count() == 0)
+  }
+
   test("writeSwap after a driver restart claims a NEW version, never the committed dir") {
     val dir = java.nio.file.Files.createTempDirectory("swap_restart").toString
     val t = "restart_table"
