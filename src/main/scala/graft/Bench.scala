@@ -42,6 +42,7 @@ object Bench {
     "idx1_inverted_index", "ret1_bm25_topk",
     "dp1_curation_pipeline", "dp2_curation_twophase", "dp5_pretrain_prep",
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window", "e5_funnel",
+    "e6_retention",
     "t6_asof_join", "t8_interval_merge",
     "m1_multimodal_meta")
 

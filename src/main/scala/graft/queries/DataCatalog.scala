@@ -462,6 +462,31 @@ object DataCatalog {
       "UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)" +
       OBA))
 
+  // E6 — cohort retention: users grouped by first-activity week, per
+  // (cohort_week, week_offset) distinct active users — the retention
+  // triangle. Both engines truncate weeks to Monday and the offset is
+  // day-diff DIV 7 over already-truncated dates (exact). Two user-
+  // keyed aggs + one user-keyed join; cohort rollup is tiny.
+  val e6 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val first = ev.groupBy("user_id")
+        .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+      val active = ev.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("w")).distinct()
+      ordered(active.join(first, Seq("user_id"))
+        .select(col("cohort_week"),
+          expr("CAST(datediff(w, cohort_week) DIV 7 AS BIGINT)").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).cast("long").as("n_users")))
+    },
+    Some("WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week " +
+      "FROM events GROUP BY 1), " +
+      "a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events) " +
+      "SELECT cohort_week, CAST(datediff('day', cohort_week, w) // 7 AS BIGINT) AS week_offset, " +
+      "CAST(count(*) AS BIGINT) AS n_users " +
+      "FROM a JOIN f USING (user_id) GROUP BY 1, 2" + OBA))
+
   // E2 gap-based sessionization (graft.streaming.EventStream.sessionize):
   // a new session starts after a 30-minute silence per user.
   val e2 = Q(
@@ -2483,6 +2508,7 @@ object DataCatalog {
     "tx3_lang_id" -> tx3, "tx4_fingerprint" -> tx4,
     "tx5_top_tokens" -> tx5, "tx6_cm_top_tokens" -> tx6,
     "e1_event_window_agg" -> e1, "e2_sessionize" -> e2, "e5_funnel" -> e5,
+    "e6_retention" -> e6,
     "e3_sliding_window" -> e3, "e4_correlate" -> e4,
     "a12_bitmap_distinct" -> a12,
     "t6_asof_join" -> t6,
