@@ -156,16 +156,23 @@ object Clustering {
     // concurrent Spark jobs (Lloyd rounds are inherently sequential
     // within one subspace, but nothing orders subspaces against each
     // other); results stay deterministic because each training is, and
-    // the union is by explicit `sub` id, not completion order
-    import scala.concurrent.{Await, Future}
+    // the union is by explicit `sub` id, not completion order. Each
+    // body blocks on Spark collects for its whole training, so it runs
+    // under `blocking { }`: the global ForkJoinPool then spawns
+    // compensation threads instead of letting m long-blocked tasks
+    // saturate its cores-sized parallelism and serialize the intended
+    // overlap (or starve other library code sharing the pool).
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val trained = (0 until m).map { s =>
       Future {
-        val sliced = vectors.select(col("vec_id"),
-          slice(col("embedding"), s * sub + 1, sub).as("embedding"))
-        kmeans(sliced, k, iters, sub)
-          .select(lit(s.toLong).as("sub"), col("cid"), col("cv"))
+        blocking {
+          val sliced = vectors.select(col("vec_id"),
+            slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+          kmeans(sliced, k, iters, sub)
+            .select(lit(s.toLong).as("sub"), col("cid"), col("cv"))
+        }
       }
     }
     trained.map(Await.result(_, Duration.Inf)).reduce(_.unionByName(_))

@@ -30,13 +30,22 @@ object Profiling {
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      one.select(lit(c).as("col_name"), col(s"__nn_$c").as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"), col(s"__mn_$c").as("min_v"),
-        col(s"__mx_$c").as("max_v"))
-    }.reduce(_.unionAll(_))
-    stacked
+    // Materialize the single-row aggregate ONCE and rebuild the card
+    // from its values: the previous shape unioned |cols| selects that
+    // each referenced the aggregate subplan, so "one scan" held only if
+    // Spark's exchange reuse deduped the identical subplans — when it
+    // didn't (plan drift, AQE changes), it silently became |cols| full
+    // corpus scans. Collecting the 1×(4·|cols|) row makes the
+    // single-scan property structural, not optimizer-dependent; the
+    // result frame is pure local literals.
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def optLong(i: Int) = if (row.isNullAt(i)) None else Some(row.getLong(i))
+    val card = cols.zipWithIndex.map { case (c, i) =>
+      (c, optLong(4 * i), optLong(4 * i + 1),
+        Option(row.getString(4 * i + 2)), Option(row.getString(4 * i + 3)))
+    }
+    import df.sparkSession.implicits._
+    card.toDF("col_name", "n_nulls", "n_distinct", "min_v", "max_v")
   }
 
   /** Profile drift (qc5): [[profile]] of two snapshots joined per

@@ -40,7 +40,10 @@ object Ranking {
     * [1, N], `pct_permille = (rank-1)*1000 DIV N` in [0, 1000).
     * `id` must be unique (it is the tie-break that makes the order
     * total); `score` must cast losslessly to BIGINT — fixed-point
-    * floats per the oracle-parity rules, never raw doubles. */
+    * floats per the oracle-parity rules, never raw doubles. Score
+    * ranges wider than Long (min < -2^62 with max > 2^62) take an
+    * overflow-safe bucket formulation: identical ranks, bucket frame
+    * grows by at most 2 rows past `buckets`. */
   def globalRank(df: DataFrame, id: Column, score: Column, buckets: Int = 256): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val base = df.select(id.cast("long").as("id"), score.cast("long").as("score"))
@@ -51,9 +54,22 @@ object Ranking {
         .withColumn("pct_permille", lit(null).cast("long"))
     val (minS, maxS) = (bounds.getLong(0), bounds.getLong(1))
     // Integer DIV: the bucket function must be exactly order-preserving;
-    // double arithmetic would mis-bucket near 2^53.
-    val width = math.max(1L, (maxS - minS) / buckets + 1)
-    val bucketed = base.withColumn("bkt", expr(s"(score - $minS) DIV $width"))
+    // double arithmetic would mis-bucket near 2^53. The span is computed
+    // in BigInt — `maxS - minS` overflows Long when the score range
+    // crosses ±2^62 (plausible for fixed-point scores), which would
+    // silently break the order-preserving bucket property. When the span
+    // fits, the plan is the historical one; when it doesn't, bucket by
+    // plain `score DIV width` (truncating division is monotone
+    // non-decreasing for width > 0, so bucket-major order is still
+    // global order) — no subtraction anywhere, at the cost of at most
+    // two extra buckets around zero.
+    val span = BigInt(maxS) - BigInt(minS)
+    val width = ((span / buckets + 1) max BigInt(1)).toLong // span < 2^64 ⇒ fits
+    val bucketed =
+      if (span.isValidLong)
+        base.withColumn("bkt", expr(s"(score - $minS) DIV $width"))
+      else
+        base.withColumn("bkt", expr(s"score DIV $width"))
 
     val perBucket = bucketed.groupBy("bkt").count()
     // The one global frame: ≤ `buckets` rows. Starting rank of each

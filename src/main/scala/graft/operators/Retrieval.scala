@@ -84,12 +84,16 @@ object Retrieval {
     *
     * Contract: segments must cover disjoint doc-id ranges aligned to
     * `blockWidth` (the out3 append contract); a colliding (term,
-    * block) would silently double a group. */
+    * block) would silently double a group — so `validate` defaults ON
+    * (one cheap LIMIT-1 aggregation over the union when merging more
+    * than one segment). Opt out with `validate = false` only for huge
+    * merges where the caller already guarantees disjointness upstream
+    * (e.g. ranges allocated by the ingest scheduler). */
   def mergeSegments(segments: Seq[DataFrame],
-      validate: Boolean = false): DataFrame = {
+      validate: Boolean = true): DataFrame = {
     require(segments.nonEmpty, "mergeSegments needs at least one segment")
     val u = segments.map(_.drop("df")).reduce(_.unionByName(_))
-    if (validate) {
+    if (validate && segments.size > 1) {
       // one aggregation over the union: any (term, block) contributed by
       // two segments means the append contract was broken
       val dup = u.groupBy("term", "block").count().filter(col("count") > 1).limit(1).collect()

@@ -92,7 +92,33 @@ object Sharding {
     val out = fs.create(manifestPath, true)
     try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    writeShardCount(fs, path, numShards)
     m
+  }
+
+  /** The export's recorded modulus, `path/SHARDS.json` — [[append]]
+    * validates against it: appending under a different shard count
+    * would file batch rows by a different md5-mod modulus AND update
+    * the manifest with that same wrong modulus, so [[verify]] would
+    * still report all-ok while the export silently lost its
+    * content-stable shard-lookup property. The manifest alone can't
+    * carry this (empty shards are absent from it, so max+1
+    * undercounts). */
+  private def writeShardCount(fs: FileSystem, path: String, numShards: Int): Unit = {
+    val p = new Path(path, "SHARDS.json")
+    val out = fs.create(p, true)
+    try out.write(s"""{"num_shards":$numShards}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readShardCount(fs: FileSystem, path: String): Option[Int] = {
+    val p = new Path(path, "SHARDS.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      "\"num_shards\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
   }
 
   /** Append a batch to an existing export — the incremental half of the
@@ -104,10 +130,30 @@ object Sharding {
     * not O(corpus) — the property that makes a daily top-up of a 100 TB
     * export affordable. [[verify]] remains the audit that the
     * incremental arithmetic matches the bytes on disk (pinned in
-    * DataOpsSpec against a full recompute). Returns the merged manifest. */
+    * DataOpsSpec against a full recompute). `numShards` must match the
+    * export's recorded shard count (`SHARDS.json`, written by [[write]])
+    * — validated before any bytes land. Returns the merged manifest. */
   def append(df: DataFrame, key: Column, content: Column, numShards: Int,
       path: String): DataFrame = {
     val spark = df.sparkSession
+    val fsForCheck = FileSystem.get(new Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    // Fail loudly on a modulus mismatch BEFORE writing anything: a wrong
+    // numShards would both misfile the batch and update the manifest
+    // under the same wrong modulus, leaving verify() green.
+    readShardCount(fsForCheck, path) match {
+      case Some(recorded) =>
+        require(recorded == numShards,
+          s"append numShards=$numShards does not match the export's recorded " +
+          s"shard count $recorded ($path/SHARDS.json) — appending under a " +
+          "different md5-mod modulus would silently break content-stable " +
+          "shard lookup")
+      case None =>
+        throw new IllegalArgumentException(
+          s"$path/SHARDS.json not found — append requires an export created " +
+          "by Sharding.write (which records its shard count); cannot safely " +
+          "validate the modulus of a bare data directory")
+    }
     assigned(df, key, content, numShards)
       .repartition(numShards, col("shard_id"))
       .sortWithinPartitions(col("shard_id"), key)

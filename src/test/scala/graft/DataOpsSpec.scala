@@ -708,6 +708,48 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.agg(min("pct_permille"), max("pct_permille")).as[(Long, Long)].head()._2 < 1000L)
   }
 
+  test("globalRank survives a score span wider than Long (overflow-safe bucketing)") {
+    import graft.operators.Ranking
+    // max - min overflows Long here; the raw-subtraction bucket formula
+    // would mis-bucket and break the order-preserving property silently
+    val rows = Seq(
+      (1L, Long.MinValue + 10), (2L, -1000000L), (3L, 0L),
+      (4L, 1000000L), (5L, Long.MaxValue - 10)).toDF("id", "score")
+    val got = Ranking.globalRank(rows, col("id"), col("score"))
+      .select("id", "rank").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)))
+  }
+
+  test("shard append rejects a numShards that disagrees with the export's record") {
+    import graft.operators.Sharding
+    val dir = java.nio.file.Files.createTempDirectory("shard_modulus").toString
+    val big = spark.range(0, 100)
+      .select(col("id").as("doc_id"), concat(lit("doc "), col("id")).as("text"))
+    Sharding.write(big, col("doc_id"), col("text"), 4, dir)
+    val e = intercept[IllegalArgumentException] {
+      Sharding.append(big, col("doc_id"), col("text"), 8, dir)
+    }
+    assert(e.getMessage.contains("recorded"))
+    // a bare data dir (no SHARDS.json) is rejected too — the modulus
+    // cannot be validated, so appending to it is never safe
+    new java.io.File(s"$dir/SHARDS.json").delete()
+    val e2 = intercept[IllegalArgumentException] {
+      Sharding.append(big, col("doc_id"), col("text"), 4, dir)
+    }
+    assert(e2.getMessage.contains("SHARDS.json"))
+  }
+
+  test("mergeSegments validates by default (overlap caught without opting in)") {
+    import graft.operators.Retrieval
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val seg = Retrieval.postingsIndex(corpus, col("doc_id"), col("text"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mergeSegments(Seq(seg, seg)).count()
+    }
+    assert(e.getMessage.contains("segments overlap"))
+    CacheScope.releaseAll()
+  }
+
   test("snapshotDiff: four statuses, null-safe content compare, carry coalesces new-over-old") {
     import graft.operators.Profiling
     val oldV = Seq(
