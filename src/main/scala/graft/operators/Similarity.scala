@@ -201,6 +201,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact re-rank refinement (sim5b) — standard IVF-PQ practice (the
+    * FAISS refine stage): a cheap quantized scan ([[topKIvfPq]]) nominates
+    * top-k′ candidates per query (k′ = a small multiple of k), then ONLY
+    * those (query, candidate) pairs are re-scored against full-precision
+    * vectors and the final top-k emitted. ADC's quantization error can
+    * mis-order near-ties; re-scoring k′ rows per query removes that error
+    * from the final ranking at O(Q·k′) exact-dot cost — never O(Q·N).
+    *
+    * `candidates` = (query_id, neighbor_id) pairs (extra columns
+    * ignored); `vectors` = (vec_id, embedding) full precision. The plan
+    * is two equi-joins pulling each side's embedding by id — the corpus
+    * is touched only at candidate rows (ScaleSpec pins no cartesian and
+    * |rescored| = |candidates|). Ties broken by ascending neighbor id,
+    * same contract as every other ranker here. */
+  def refineTopK(candidates: DataFrame, vectors: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(vectors.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")), "query_id", "qv", "qn")
+    val c = withNorm(vectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv")), "neighbor_id", "cv", "cn")
+    val scored = candidates.select(col("query_id"), col("neighbor_id"))
+      .join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Rank every centroid per vector by [[Clustering.assign]]'s scoring
     * (cosine desc, min-cid tie-break): (vec_id, cid, crank). The cross
     * join is against the BROADCAST k-row centroid model — N×k rows, a

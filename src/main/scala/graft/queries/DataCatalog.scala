@@ -239,35 +239,69 @@ object DataCatalog {
       "FROM ranked WHERE rank <= 5" + OBA))
 
   // EVAL1 — ANN recall scorecard: the sim1 exact top-5 on the %50 query
-  // sample is ground truth; the cell-restricted IVF answer (sim2's
-  // shape, queries pre-filtered — topKIvfAsym) is scored against it per
-  // query. Integer hit counts only; mean recall derives exactly. The
-  // scorecard join touches two k-row-per-query lists, never the corpus.
+  // sample is ground truth; three approximate methods are scored against
+  // it per query — 'ivf' (cell-restricted, sim2's shape, topKIvfAsym),
+  // 'adc' (sim5's IVF-PQ ADC top-5), and 'refined' (sim5b's exact
+  // re-rank of the ADC top-20). The scorecard quantifies what each
+  // stage buys: ADC's quantization loss, and the refine stage winning
+  // it back — the recall-vs-cost evidence behind the IVF-PQ parameters.
+  // Integer hit counts only; mean recall derives exactly. The scorecard
+  // joins touch k-row-per-query lists, never the corpus; the ADC top-20
+  // is computed ONCE (persisted) and feeds both 'adc' (rank ≤ 5) and
+  // 'refined'.
   val eval1 = Q(
     (s, d) => {
-      val e = embeddings(s, d)
+      val (e, cells, cb) = sim5Model(s, d)
       val queries = e.filter(col("vec_id") % 50 === 0)
       val truth = Similarity.topK(queries, e, 5)
-      val approx = Similarity.topKIvfAsym(queries, e, "label", 5)
-      ordered(Similarity.annRecall(truth, approx))
+      val ivf = Similarity.topKIvfAsym(queries, e, "label", 5)
+      val adc20 = graft.CacheScope.persist(Similarity.topKIvfPq(
+        queries.join(cells, Seq("vec_id")), Clustering.pqAssign(e, cb), cb, cells, 20))
+      val methods = Seq(
+        "ivf" -> ivf,
+        "adc" -> adc20.filter(col("rank") <= 5),
+        "refined" -> Similarity.refineTopK(adc20, e, 5))
+      val card = methods.map { case (m, a) =>
+          Similarity.annRecall(truth, a).withColumn("method", lit(m)) }
+        .reduce(_.unionByName(_))
+        .select("method", "query_id", "n_truth", "n_hits")
+      ordered(card)
     },
-    Some("WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings " +
+    Some(sim5Ctes(" WHERE e.vec_id % 50 = 0") +
+      ", q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings " +
       "WHERE vec_id % 50 = 0), " +
       "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings), " +
       "ts AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
       "FROM q JOIN c ON query_id <> neighbor_id), " +
       "tr AS (SELECT query_id, neighbor_id, row_number() OVER (" +
       "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM ts), " +
-      "truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= 5), " +
+      "truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM tr WHERE rank <= 5), " +
       "asc_ AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
       "FROM q JOIN c USING (label) WHERE query_id <> neighbor_id), " +
       "ar AS (SELECT query_id, neighbor_id, row_number() OVER (" +
       "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM asc_), " +
-      "ann AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= 5) " +
-      "SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth, " +
-      "CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
-      "FROM truth t LEFT JOIN ann a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id " +
-      "GROUP BY 1" + OBA))
+      "ann AS (SELECT query_id, neighbor_id FROM ar WHERE rank <= 5), " +
+      // the ADC ranking is referenced twice (top-5 + top-20 candidates):
+      // MATERIALIZED stops DuckDB's CTE inlining from re-running the
+      // whole IVF-PQ chain per reference (the BPE-oracle lesson)
+      "adcr AS MATERIALIZED (SELECT query_id, neighbor_id, rank FROM ranked), " +
+      "adc AS (SELECT query_id, neighbor_id FROM adcr WHERE rank <= 5), " +
+      "cand20 AS (SELECT query_id, neighbor_id FROM adcr WHERE rank <= 20), " +
+      "resc AS (SELECT cd.query_id, cd.neighbor_id, " +
+      cosSql("q2.embedding", "c2.embedding") + " AS cos " +
+      "FROM cand20 cd JOIN embeddings q2 ON q2.vec_id = cd.query_id " +
+      "JOIN embeddings c2 ON c2.vec_id = cd.neighbor_id), " +
+      "rrk AS (SELECT query_id, neighbor_id, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM resc), " +
+      "refined AS (SELECT query_id, neighbor_id FROM rrk WHERE rank <= 5), " +
+      "card AS (" +
+      Seq("ivf" -> "ann", "adc" -> "adc", "refined" -> "refined").map { case (mName, cte) =>
+        s"SELECT '$mName' AS method, t.query_id, CAST(count(*) AS BIGINT) AS n_truth, " +
+          "CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+          s"FROM truth t LEFT JOIN $cte a ON t.query_id = a.query_id " +
+          "AND t.neighbor_id = a.neighbor_id GROUP BY 2"
+      }.mkString(" UNION ALL ") +
+      ") SELECT method, query_id, n_truth, n_hits FROM card" + OBA))
 
   // SIM2 IVF-style ANN: candidates restricted to the query's coarse cell
   // (label = coarse quantizer cell), the scale path for ANN.
@@ -1257,81 +1291,121 @@ object DataCatalog {
   // coarse k-means, the 8 subspace codebooks, the ADC tables, and the
   // ranked cell join; both engines fold the m partial dots in
   // ascending-subspace order, so cosines stay bit-identical.
+  /** sim5's oracle chain up to `ranked` (per-query ADC cosines with
+    * ranks) — shared by sim5 (SELECT rank ≤ 5), sim5b (rank ≤ 20
+    * candidates + exact full-precision re-rank), and eval1 (scorecard
+    * over the %50 query sample — `qFilter` restricts the QUERY side
+    * only; training, codes, and the candidate corpus stay corpus-wide). */
+  private def sim5Ctes(qFilter: String = ""): String = {
+    val (m, sub, k, iters) = (8, 8, 4, 2)
+    val pqBlocks = (0 until m).map { sx =>
+      val (lo, hi) = (sx * sub + 1, (sx + 1) * sub)
+      s"e$sx AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding " +
+        "FROM embeddings), " +
+        kmeansBody(s"e$sx", s"q$sx", iters, k, sub) + ", " +
+        s"pfin$sx AS (SELECT e.vec_id, c.cid, " +
+        cosSqlDim("e.embedding", "c.cv", sub) +
+        s" AS cos FROM e$sx e CROSS JOIN q${sx}c$iters c), " +
+        s"pasg$sx AS (SELECT vec_id, CAST($sx AS BIGINT) AS sub, cid AS code FROM " +
+        "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
+        s"ORDER BY cos DESC, cid ASC) AS rn FROM pfin$sx) WHERE rn = 1)"
+    }
+    kmeansCtes(3, 10) +
+      ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+      " AS cos FROM embeddings e CROSS JOIN c3 c), " +
+      "cellasg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
+      "FROM fin) WHERE rn = 1), " +
+      pqBlocks.mkString(", ") + ", " +
+      "allcodes AS (" + (0 until m).map(sx => s"SELECT * FROM pasg$sx")
+        .mkString(" UNION ALL ") + "), " +
+      "allbook AS (" + (0 until m).map(sx =>
+        s"SELECT CAST($sx AS BIGINT) AS sub, cid, cv FROM q${sx}c$iters")
+        .mkString(" UNION ALL ") + "), " +
+      // per-query ADC table: dot(q_sub, sub-centroid) per (sub, cid)
+      "qdtab AS (" + (0 until m).map(sx =>
+        s"SELECT e.vec_id, CAST($sx AS BIGINT) AS sub, c.cid, " +
+          dotSql("e.embedding", "c.cv", sub) +
+          s" AS qd FROM e$sx e CROSS JOIN q${sx}c$iters c")
+        .mkString(" UNION ALL ") + "), " +
+      // static per-(sub, code) reconstruction norm² + its per-vector sum
+      "cbn AS (SELECT sub, cid, " + dotSql("cv", "cv", sub) +
+      " AS cn2 FROM allbook), " +
+      "rn2tab AS (SELECT a.vec_id, list_reduce(list(n.cn2 ORDER BY a.sub), " +
+      "(x, y) -> x + y) AS rn2 FROM allcodes a " +
+      "JOIN cbn n ON n.sub = a.sub AND n.cid = a.code GROUP BY a.vec_id), " +
+      "qn AS (SELECT vec_id, sqrt(" + dotSql("embedding", "embedding", 64) +
+      ") AS qn FROM embeddings), " +
+      "qside AS (SELECT e.vec_id, g.cell, n.qn FROM embeddings e " +
+      "JOIN cellasg g USING (vec_id) JOIN qn n USING (vec_id)" + qFilter + "), " +
+      "cside AS (SELECT g.vec_id, g.cell, r.rn2 FROM cellasg g " +
+      "JOIN rn2tab r USING (vec_id)), " +
+      "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "q.qn, c.rn2 FROM qside q JOIN cside c USING (cell) " +
+      "WHERE q.vec_id <> c.vec_id), " +
+      "dots AS (SELECT cand.query_id, cand.neighbor_id, cand.qn, cand.rn2, " +
+      "list_reduce(list(t.qd ORDER BY a.sub), (x, y) -> x + y) AS dotsum " +
+      "FROM cand JOIN allcodes a ON a.vec_id = cand.neighbor_id " +
+      "JOIN qdtab t ON t.vec_id = cand.query_id AND t.sub = a.sub AND t.cid = a.code " +
+      "GROUP BY 1, 2, 3, 4), " +
+      "scored AS (SELECT query_id, neighbor_id, " +
+      "dotsum / (qn * sqrt(rn2)) AS cos FROM dots), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)"
+  }
+
+  /** The shared sim5 pipeline: train the coarse quantizer and the PQ
+    * codebooks (independent trainings — overlapped as concurrent Spark
+    * jobs, each internally deterministic; blocking{} so the long
+    * Spark-collect bodies don't pin the global pool's cores-sized
+    * parallelism — pqTrain fans out m more), then ADC top-`k`.
+    * sim5 emits its top-5 directly; sim5b asks for top-20 candidates
+    * and re-ranks them at full precision. */
+  private def sim5Model(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    import scala.concurrent.{Await, Future, blocking}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val e = embeddings(s, d)
+    val cellsF = Future(blocking(Clustering.kmeansAssign(e, 10, 3)
+      .select(col("vec_id"), col("cid").as("cell"))))
+    val cbF = Future(blocking(Clustering.pqTrain(e)))
+    (e, Await.result(cellsF, Duration.Inf), Await.result(cbF, Duration.Inf))
+  }
+
+  private def sim5Adc(s: org.apache.spark.sql.SparkSession, d: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val (e, cells, cb) = sim5Model(s, d)
+    Similarity.topKIvfPq(
+      e.join(cells, Seq("vec_id")), Clustering.pqAssign(e, cb), cb, cells, k)
+  }
+
   val sim5 = Q(
-    (s, d) => {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val e = embeddings(s, d)
-      // coarse quantizer and PQ codebooks are independent trainings —
-      // overlap their Spark jobs (each is internally deterministic)
-      val cellsF = Future(Clustering.kmeansAssign(e, 10, 3)
-        .select(col("vec_id"), col("cid").as("cell")))
-      val cbF = Future(Clustering.pqTrain(e))
-      val (cells, cb) = (Await.result(cellsF, Duration.Inf),
-        Await.result(cbF, Duration.Inf))
-      ordered(Similarity.topKIvfPq(
-        e.join(cells, Seq("vec_id")), Clustering.pqAssign(e, cb), cb, cells, 5))
-    },
-    Some {
-      val (m, sub, k, iters) = (8, 8, 4, 2)
-      val pqBlocks = (0 until m).map { sx =>
-        val (lo, hi) = (sx * sub + 1, (sx + 1) * sub)
-        s"e$sx AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS embedding " +
-          "FROM embeddings), " +
-          kmeansBody(s"e$sx", s"q$sx", iters, k, sub) + ", " +
-          s"pfin$sx AS (SELECT e.vec_id, c.cid, " +
-          cosSqlDim("e.embedding", "c.cv", sub) +
-          s" AS cos FROM e$sx e CROSS JOIN q${sx}c$iters c), " +
-          s"pasg$sx AS (SELECT vec_id, CAST($sx AS BIGINT) AS sub, cid AS code FROM " +
-          "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
-          s"ORDER BY cos DESC, cid ASC) AS rn FROM pfin$sx) WHERE rn = 1)"
-      }
-      kmeansCtes(3, 10) +
-        ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
-        " AS cos FROM embeddings e CROSS JOIN c3 c), " +
-        "cellasg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
-        "FROM fin) WHERE rn = 1), " +
-        pqBlocks.mkString(", ") + ", " +
-        "allcodes AS (" + (0 until m).map(sx => s"SELECT * FROM pasg$sx")
-          .mkString(" UNION ALL ") + "), " +
-        "allbook AS (" + (0 until m).map(sx =>
-          s"SELECT CAST($sx AS BIGINT) AS sub, cid, cv FROM q${sx}c$iters")
-          .mkString(" UNION ALL ") + "), " +
-        // per-query ADC table: dot(q_sub, sub-centroid) per (sub, cid)
-        "qdtab AS (" + (0 until m).map(sx =>
-          s"SELECT e.vec_id, CAST($sx AS BIGINT) AS sub, c.cid, " +
-            dotSql("e.embedding", "c.cv", sub) +
-            s" AS qd FROM e$sx e CROSS JOIN q${sx}c$iters c")
-          .mkString(" UNION ALL ") + "), " +
-        // static per-(sub, code) reconstruction norm² + its per-vector sum
-        "cbn AS (SELECT sub, cid, " + dotSql("cv", "cv", sub) +
-        " AS cn2 FROM allbook), " +
-        "rn2tab AS (SELECT a.vec_id, list_reduce(list(n.cn2 ORDER BY a.sub), " +
-        "(x, y) -> x + y) AS rn2 FROM allcodes a " +
-        "JOIN cbn n ON n.sub = a.sub AND n.cid = a.code GROUP BY a.vec_id), " +
-        "qn AS (SELECT vec_id, sqrt(" + dotSql("embedding", "embedding", 64) +
-        ") AS qn FROM embeddings), " +
-        "qside AS (SELECT e.vec_id, g.cell, n.qn FROM embeddings e " +
-        "JOIN cellasg g USING (vec_id) JOIN qn n USING (vec_id)), " +
-        "cside AS (SELECT g.vec_id, g.cell, r.rn2 FROM cellasg g " +
-        "JOIN rn2tab r USING (vec_id)), " +
-        "cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-        "q.qn, c.rn2 FROM qside q JOIN cside c USING (cell) " +
-        "WHERE q.vec_id <> c.vec_id), " +
-        "dots AS (SELECT cand.query_id, cand.neighbor_id, cand.qn, cand.rn2, " +
-        "list_reduce(list(t.qd ORDER BY a.sub), (x, y) -> x + y) AS dotsum " +
-        "FROM cand JOIN allcodes a ON a.vec_id = cand.neighbor_id " +
-        "JOIN qdtab t ON t.vec_id = cand.query_id AND t.sub = a.sub AND t.cid = a.code " +
-        "GROUP BY 1, 2, 3, 4), " +
-        "scored AS (SELECT query_id, neighbor_id, " +
-        "dotsum / (qn * sqrt(rn2)) AS cos FROM dots), " +
-        "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
-        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
-        "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
-        "FROM ranked WHERE rank <= 5" + OBA
-    })
+    (s, d) => ordered(sim5Adc(s, d, 5)),
+    Some(sim5Ctes() +
+      " SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+      "FROM ranked WHERE rank <= 5" + OBA))
+
+  // SIM5B — IVF-PQ with exact re-rank refinement (the FAISS refine
+  // stage): sim5's ADC scan nominates top-20 candidates per query
+  // (k′ = 4k), ONLY those pairs are re-scored against full-precision
+  // embeddings (two equi-joins by id — the corpus is touched at
+  // candidate rows only, pinned in ScaleSpec), and the exact top-5
+  // emitted. Removes ADC's quantization error from the final ranking
+  // at O(Q·k′) exact-dot cost; eval1 scores the recall gain.
+  val sim5b = Q(
+    (s, d) => ordered(Similarity.refineTopK(sim5Adc(s, d, 20), embeddings(s, d), 5)),
+    Some(sim5Ctes() +
+      ", cand20 AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 20), " +
+      "resc AS (SELECT cd.query_id, cd.neighbor_id, " +
+      cosSql("q.embedding", "c.embedding") + " AS cos " +
+      "FROM cand20 cd JOIN embeddings q ON q.vec_id = cd.query_id " +
+      "JOIN embeddings c ON c.vec_id = cd.neighbor_id), " +
+      "rrk AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM resc) " +
+      "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+      "FROM rrk WHERE rank <= 5" + OBA))
 
   // M3 frame sampling: k evenly-spaced frame indices per media row from
   // the REAL decoded header dims (audio → sample positions, images →
@@ -2530,6 +2604,7 @@ object DataCatalog {
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "d9_paragraph_dedup" -> d9,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
+    "sim5b_refined_ann" -> sim5b,
     "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
     "mix2_epoch_mixture" -> mix2,
     "dp3_corpus_prep" -> dp3, "dp5_pretrain_prep" -> dp5,

@@ -334,6 +334,32 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("sim5b refine: re-score join touches only candidate rows — equi-joins, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+    // a synthetic candidate list (k′ = 3 per query over a %10 sample):
+    // refine must plan id-equi-joins against the full-precision vectors
+    // and score EXACTLY one row per candidate — never a per-cell or
+    // corpus-wide rescan
+    val cands = graft.CacheScope.persist(
+      Similarity.topKIvf(e.withColumn("cell", col("vec_id") % 7), "cell", 3)
+        .select("query_id", "neighbor_id"))
+    val nCands = cands.count()
+    val out = Similarity.refineTopK(cands, e, 2)
+    assert(out.count() > 0)
+    val ns = nodes(out)
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "refine re-score must be equi-joins on (query_id) and (neighbor_id)")
+    // |rescored| = |candidates|: drop the top-k window, count the scored rows
+    val scoredRows = Similarity.refineTopK(cands, e, Int.MaxValue).count()
+    assert(scoredRows == nCands,
+      s"re-score touched $scoredRows rows for $nCands candidates — must be 1:1")
+    graft.CacheScope.releaseAll()
+  }
+
   test("kmeans fast update aggregates map-side: no per-member collect_list") {
     import graft.operators.Clustering
     import graft.sources.Tables
