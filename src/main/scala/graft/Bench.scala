@@ -1,5 +1,8 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
@@ -14,7 +17,21 @@ import org.apache.spark.sql.SparkSession
   * round by multiple seconds (r5: four of five "regressions" vanished
   * on re-run). The per-query min/max spread prints on its own
   * {"metric":"spread",...} line just above the record so a reader can
-  * tell a stable number from a lucky one without bloating the record. */
+  * tell a stable number from a lucky one without bloating the record.
+  *
+  * Durability: the spread + record lines are ALSO written to
+  * target/bench_record.json (override with SPARK_GRAFT_RECORD) — the
+  * driver's bounded stdout-tail capture front-truncated the record in
+  * rounds 5–7, so the file is the authoritative copy.
+  *
+  * Ordering note (r7 drift attribution): e1/e2/e3/t6 run late in the
+  * headline; their r7 medians sat 25–35% above r6 max, but no r7 commit
+  * touched their builders and an isolated-subset run restored e2 within
+  * r6 max (0.80 vs ≤0.98) and e3/t6 minima to within r6 range — session
+  * pressure from the growing headline, not a plan change. The headline
+  * stays APPEND-ONLY so each entry's session position (and thus its
+  * pressure environment) is stable round-over-round. Full evidence in
+  * ARCHITECTURE.md "Bench methodology". */
 object Bench {
   val headline: Seq[String] = Seq(
     "mbr1_members_by_club", "mbr3_members_all", "mh1_membership_history",
@@ -44,7 +61,45 @@ object Bench {
     "e1_event_window_agg", "e2_sessionize", "e3_sliding_window", "e5_funnel",
     "e6_retention",
     "t6_asof_join", "t8_interval_merge",
-    "m1_multimodal_meta")
+    "m1_multimodal_meta",
+    // Full-coverage tail (round 8): every remaining oracle entry, so no
+    // query's perf can silently regress round-over-round. Grouped by
+    // family; each is cheap relative to the flagship block above.
+    // BenchCoverageSpec pins headline ≡ SparkEntry.queries.keySet.
+    "p1_wide_projection", "p2_bool_projection", "p3_coalesce_default",
+    "p4_status_filter", "p5_inlist_filter", "p6_date_window",
+    "p7_null_guard", "p8_point_lookup", "p9_dynamic_inset",
+    "p10_email_validity", "p11_pii_strip",
+    "f1_email_id_hash", "f2_md5_member_id", "f4_split_trim",
+    "f5_cast_family", "f7_enum_decode", "f8_merge_field_render",
+    "f8b_typed_dispatch", "f10_tag_derivation",
+    "j3_multicond_join", "j4_coalesce_key_join", "j5_scope_semijoin",
+    "j6_anti_join", "j8_existence_flags", "j9_broadcast_lookup",
+    "j10_fk_filter", "j11_dual_resolve",
+    "a2_flags_rollup", "a4_distinct", "a5_unique_by", "a7_except",
+    "a8_union_stats", "a9_explode", "a11_keyed_first", "a12_bitmap_distinct",
+    "w2_topk_order_limit", "w3_point_first", "w4_first_sorted",
+    "w5_grouped_topk",
+    "t1_asof_current", "t2_asof_param", "t3_full_history",
+    "t4_rolling_window", "t5_epoch_formats", "t7_range_join",
+    "ldr1_leadership_asof",
+    "s9_composite_upsert", "s12_audience_retain", "s14_schema_diff",
+    "mbr2_members_by_region", "mbr4_members_all_rolling", "mh2_intl_history",
+    "eav1_explode",
+    "d5_embedding_neardup", "d6_dedup_clusters", "d7_capped_jaccard",
+    "emb1_quantize", "emb2_l2_normalize", "emb3_centroid_assign",
+    "emb5_pq_codes",
+    "tx1_token_counts", "tx3_lang_id", "tx5_top_tokens", "tx6_cm_top_tokens",
+    "sk1_exact_quantiles", "sk2_hist_quantiles",
+    "smp1_hash_sample", "smp3_fixed_sample", "smp4_split",
+    "c2_capped_contamination", "c3_decontaminate", "c4_split_leakage",
+    "lr1_logreg_weights", "bpe2_token_vocab",
+    "out2_shard_verify", "out2b_verify_tamper", "out3_incremental_append",
+    "dp3_corpus_prep", "qc1_corpus_report",
+    "e4_correlate", "m2_header_decode", "m3_frame_sample",
+    // round-8 additions (headline is append-only: entries keep their
+    // session position round-over-round — see ARCHITECTURE.md)
+    "sim5b_refined_ann")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -125,8 +180,20 @@ object Bench {
     // stdout, and rounds 5–6 lost the medians block because one huge line
     // (medians+lo+hi) was cut from the front by that tail capture.
     spark.stop()
-    println(f"""{"metric":"spread","lo":$loJ,"hi":$hiJ}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"reps":$reps,"errors":$ej,"sf":"$sfDir"}""")
+    val spreadLine = f"""{"metric":"spread","lo":$loJ,"hi":$hiJ}"""
+    val recordLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"reps":$reps,"errors":$ej,"sf":"$sfDir"}"""
+    // The official record ALSO goes to a file: the driver captures a
+    // bounded tail of stdout, and rounds 5–7 each lost part of the record
+    // to that front-truncation (r7 lost the flagship mbr1 median and the
+    // total). The file is the durable copy — stdout is best-effort.
+    val recPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_RECORD", "target/bench_record.json"))
+    try {
+      Option(recPath.getParent).foreach(Files.createDirectories(_))
+      Files.write(recPath, (spreadLine + "\n" + recordLine + "\n").getBytes(StandardCharsets.UTF_8))
+      System.err.println(s"[bench] record written to $recPath")
+    } catch { case e: Throwable => System.err.println(s"[bench] record file write failed: $e") }
+    println(spreadLine)
+    println(recordLine)
     System.out.flush()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.mkString(", ")}")

@@ -34,6 +34,18 @@ class CatalogMetaSpec extends AnyFunSuite {
     assert(upd.map(_.tag) == Seq("B")) // name changed b → b2
   }
 
+  test("bench headline covers every catalog entry exactly once") {
+    // Round-7 verdict: 23 oracle entries had no bench coverage, so a perf
+    // regression in them was invisible round-over-round. Pin headline ≡
+    // catalog so a new entry can't be added without bench coverage.
+    val dups = Bench.headline.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate headline entries: $dups")
+    val missing = SparkEntry.queries.keySet -- Bench.headline.toSet
+    val stale = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"catalog entries missing from bench headline: ${missing.toSeq.sorted}")
+    assert(stale.isEmpty, s"stale headline names not in catalog: ${stale.toSeq.sorted}")
+  }
+
   test("F9 JSON output contract: null fields skipped (serde skip_serializing_if)") {
     val df = Seq(("x", Some(1)), ("y", None)).toDF("name", "opt")
     val json = df.select(to_json(struct(col("name"), col("opt")),
