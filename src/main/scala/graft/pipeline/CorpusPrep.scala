@@ -36,8 +36,16 @@ object CorpusPrep {
   def packedChunks(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 16,
       budget: Long = 2048): DataFrame = {
     val clean = TextOps.scrubPii(docs, col("doc_id"), col("text"))
-    val chunks = TextOps.chunk(clean, col("doc_id"), col("clean_text"), chunkTokens, overlap)
-      .withColumn("chunk_key", col("doc_id") * lit(ChunkKeyStride) + col("chunk_id"))
+    // Persist the chunk frame: it feeds THREE consumers — Packing.pack's
+    // bounds aggregate, the pack running-sum side, and the chunk side of
+    // the assignment join. Unpersisted, the regex scrub + tokenize map
+    // (the pipeline's hottest CPU) re-evaluates once per consumer
+    // (measured: ~3 full passes per dp3/dp5 run). Same inter-stage
+    // checkpoint stance as dp1Curated's survivor cache; CacheScope
+    // releases it at query end.
+    val chunks = CacheScope.persist(
+      TextOps.chunk(clean, col("doc_id"), col("clean_text"), chunkTokens, overlap)
+        .withColumn("chunk_key", col("doc_id") * lit(ChunkKeyStride) + col("chunk_id")))
     val packed = Packing.pack(chunks, col("chunk_key"), col("n_tokens"), budget)
       .select(col("doc_id").as("chunk_key"), col("pack_id"))
     chunks.join(packed, Seq("chunk_key"))

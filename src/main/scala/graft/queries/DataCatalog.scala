@@ -999,18 +999,37 @@ object DataCatalog {
   private[graft] def dp1Curated(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val docs = documents(s, d)
-    // persisted once: five downstream stages consume it (minhash
-    // signatures, shingle arrays, cluster propagation, the survivor
-    // semi-join, quality) — the inter-stage checkpoint a real corpus
-    // pipeline would write to storage between phases; CacheScope
-    // releases it after the consuming action
-    val exactSurv = graft.CacheScope.persist(docs.join(
+    // localCheckpoint (lineage TRUNCATION, not just caching — the dp5
+    // lesson, same measured disease here: ProfileDp1 shows the fused
+    // entry spending ~7 of 10.4 s in DRIVER plan re-analysis, with
+    // executed jobs totalling ~3 s): five downstream stages consume
+    // this frame (minhash signatures, cluster propagation, the survivor
+    // anti-join, quality, the final projection), and each of their
+    // actions would otherwise re-analyze the scan+dedup tree. This is
+    // the inter-stage checkpoint a real corpus pipeline would write to
+    // storage between phases; the checkpoint RDD is reclaimed by the
+    // ContextCleaner when the frame goes out of scope.
+    val exactSurv = docs.join(
       NearDup.exact(docs, col("doc_id"), col("text")).select("doc_id"),
-      Seq("doc_id"), "left_semi"))
-    val pairs = NearDup.minhashLsh(exactSurv, col("doc_id"), col("text"), 0.5)
-    val reps = NearDup.dedupClusters(exactSurv, col("doc_id"), pairs)
-      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-    val surviving = exactSurv.join(reps, Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi").localCheckpoint()
+    // pairs checkpointed + propagation over the SUBGRAPH nodes only
+    // (≡ corpus-wide dense, PipelineSpec:147): rounds touch |dup nodes|
+    // (the few % with any near-dup edge), not |corpus| — and each
+    // round's plan sits on the tiny checkpointed pairs frame, not the
+    // whole LSH tree. Survivors then come by ANTI-joining the small
+    // non-representative set — NOT by semi-joining a corpus-sized reps
+    // list, and NOT via dedupClustersSparse's corpus-wide singleton
+    // left join, which is lazy and would re-shuffle the full corpus at
+    // every downstream consumer (measured 3× slower than dense here).
+    // Singleton docs survive by construction (they are never
+    // non-representatives).
+    val pairs =
+      NearDup.minhashLsh(exactSurv, col("doc_id"), col("text"), 0.5).localCheckpoint()
+    val nodes = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val nonReps = NearDup.dedupClusters(nodes, col("doc_id"), pairs)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val surviving = exactSurv.join(nonReps, Seq("doc_id"), "left_anti")
     val q = TextOps.quality(surviving, col("doc_id"), col("text"))
       .select(col("doc_id"), col("n_words"), col("quality_score"))
     val filtered = surviving.join(q, Seq("doc_id"))
@@ -1795,6 +1814,11 @@ object DataCatalog {
         .withColumn("text", concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@mail.example.com or 555-123-4567 ref 9"),
           lpad(col("doc_id").cast("string"), 9, "0")))
+        // lineage truncation at the curation boundary — the same stance
+        // (and measured ~5 s/action driver-replanning fix) as dp5's
+        // units checkpoint: every packedChunks/packStats action below
+        // would otherwise re-analyze the whole curation tree
+        .localCheckpoint()
       ordered(graft.pipeline.CorpusPrep.packStats(
         graft.pipeline.CorpusPrep.packedChunks(withPii)))
     },
