@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, NearDup, Similarity}
+import graft.sources.Tables
+
+/** Scaling-curve probe (not a test): deterministically replicate the
+  * sf0.1 documents/embeddings 1×/4×/16× and measure wall-vs-rows
+  * exponents for the shuffle-heavy five (d2, d6, sem1, sim5, dp5) —
+  * the first MEASURED evidence behind the 100 TB scale stances the
+  * ScaleSpec plan pins assert structurally. Results are recorded in
+  * ARCHITECTURE.md ("Measured scaling curves").
+  *
+  * Replication is content-derived and dedup-honest:
+  *  - documents: copy c of a doc gets `doc_id·16 + c` (stride fixed at
+  *    16 across multiplicities so ids are stable) and, for c > 0, every
+  *    whitespace token suffixed `~c` — every shingle differs from every
+  *    other copy, so cross-copy Jaccard is 0 and the corpus's NEAR-DUP
+  *    RATE stays constant as it grows (naive duplication would grow
+  *    pair count quadratically and poison the exponent).
+  *  - embeddings: copy c of a vector gets `vec_id·16 + c` and a
+  *    deterministic ±1 sign mask applied per dimension (c = 0 is all
+  *    +1). Sign-masking preserves norms and all WITHIN-copy cosines
+  *    (cos(m⊙a, m⊙b) = cos(a, b)) while decorrelating copies (the
+  *    masked dot is a random-sign sum ≈ 0), so near-dup structure per
+  *    copy is preserved and no artificial cross-copy dups appear.
+  *  - cells for the blocked similarity ops: `label·mult + c` — cell
+  *    COUNT scales with the corpus while cell SIZE stays constant, the
+  *    IVF discipline the operators document for 100 TB (a fixed cell
+  *    count would make any within-cell scan quadratic by construction).
+  *
+  * sim5 runs with a FIXED query sample (the 1× %50 sample, present at
+  * every multiplicity) against the growing corpus — the production
+  * framing (Q ≪ N, corpus grows); the all-vectors-as-queries catalog
+  * entry is quadratic by design at fixed k and would measure the
+  * fixture, not the engine.
+  */
+object ScalingProbe {
+  private val Stride = 16L
+
+  private def replicate(spark: SparkSession, base: String, dir: String, mult: Int): Unit = {
+    val docs = Tables.documents(spark, base)
+    (0 until mult).map { c =>
+      val text = if (c == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", "$1~" + c)
+      docs.select((col("doc_id") * Stride + c).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val emb = Tables.embeddings(spark, base)
+    val dim = 64
+    (0 until mult).map { c =>
+      // deterministic ±1 mask per (copy, dim); all +1 for copy 0
+      val mask = (0 until dim).map { i =>
+        if (c == 0) 1.0f
+        else { val h = c * 1103515245 + i * 12345 + 541; if (((h >> 7) & 1) == 0) 1.0f else -1.0f }
+      }
+      val maskCol = array(mask.map(lit): _*)
+      emb.select((col("vec_id") * Stride + c).as("vec_id"),
+        zip_with(col("embedding"), maskCol, (x, m) => (x * m).cast("float")).as("embedding"),
+        (col("label") * mult + c).cast("int").as("label"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt.max(1)
+    val mults = Seq(1, 4, 16)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    mults.foreach(m => replicate(spark, base, s"$out/m$m", m))
+
+    // the five shuffle-heavy workloads, each a function of the scaled dir
+    val workloads: Seq[(String, String => DataFrame)] = Seq(
+      "d2_minhash_lsh" -> { d =>
+        NearDup.minhashLsh(Tables.documents(spark, d), col("doc_id"), col("text"), 0.5)
+      },
+      "d6_dedup_clusters" -> { d =>
+        val docs = Tables.documents(spark, d)
+        NearDup.dedupClusters(docs, col("doc_id"),
+          NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5))
+      },
+      "sem1_semantic_dedup" -> { d =>
+        Similarity.semanticDedup(Tables.embeddings(spark, d), "label", 0.9)
+      },
+      "sim5_ivfpq_ann" -> { d =>
+        val e = Tables.embeddings(spark, d)
+        val cells = Clustering.kmeansAssign(e, 10, 3)
+          .select(col("vec_id"), col("cid").as("cell"))
+        val cb = Clustering.pqTrain(e)
+        // fixed query sample: the 1× %50 sample = copy-0 rows whose
+        // original id is %50 == 0, i.e. vec_id % (Stride·50) == 0
+        val queries = e.filter(col("vec_id") % (Stride * 50) === 0)
+        Similarity.topKIvfPq(
+          queries.join(cells, Seq("vec_id")), Clustering.pqAssign(e, cb), cb, cells, 5)
+      },
+      "dp5_pretrain_prep" -> { d =>
+        graft.queries.DataCatalog.dp5.build(spark, d)
+      })
+
+    // warmup: one scan of each replica dir
+    mults.foreach(m => spark.read.parquet(s"$out/m$m/documents.parquet").count())
+
+    val results = scala.collection.mutable.Map.empty[(String, Int), Vector[Double]]
+    for (rep <- 1 to reps; m <- mults; (name, w) <- workloads) {
+      val t0 = System.nanoTime()
+      w(s"$out/m$m").write.format("noop").mode("overwrite").save()
+      val t = (System.nanoTime() - t0) / 1e9
+      CacheScope.releaseAll()
+      results((name, m)) = results.getOrElse((name, m), Vector.empty) :+ t
+      println(f"[scale] rep $rep $name%-22s m$m%-3d $t%8.2f s")
+    }
+
+    println(f"[scale] ${"workload"}%-22s ${"t1"}%8s ${"t4"}%8s ${"t16"}%8s  a(1-16) a(1-4) a(4-16)   (min-of-$reps; a = log T ratio / log rows ratio)")
+    workloads.foreach { case (name, _) =>
+      val t = mults.map(m => results((name, m)).min)
+      def a(i: Int, j: Int) =
+        math.log(t(j) / t(i)) / math.log(mults(j).toDouble / mults(i))
+      println(f"[scale] $name%-22s ${t(0)}%8.2f ${t(1)}%8.2f ${t(2)}%8.2f  ${a(0, 2)}%7.2f ${a(0, 1)}%6.2f ${a(1, 2)}%7.2f")
+    }
+    spark.stop()
+  }
+}
