@@ -573,6 +573,47 @@ object DataCatalog {
     Some("SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
       "FROM events GROUP BY 1" + OBA))
 
+  // HLL1 — HyperLogLog distinct sketch scorecard: per-group HLL estimate
+  // next to the exact count and the permille error, on two grains that
+  // exercise BOTH estimator paths (orders/priority ~1300 distinct
+  // custkeys → raw harmonic path; customer/nation ~60 → linear-counting
+  // path). The estimator is integer-exact (HllSketch scaladoc), so the
+  // oracle recomputes the ESTIMATE itself bit-for-bit in DuckDB — not
+  // just the exact side. At 100 TB this is the distinct-count that fits:
+  // one 256-byte buffer per group crosses the shuffle (a12's bitmap
+  // needs the id space bounded; count-distinct expands the rows).
+  val hll1 = Q(
+    (s, d) => {
+      def card(df: org.apache.spark.sql.DataFrame, grain: String,
+          grp: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+        df.groupBy(grp.cast("string").as("grp"))
+          .agg(graft.plans.HllSketch.estimate(md5(key.cast("string"))).as("est"),
+            countDistinct(key).as("exact_cnt"))
+          .withColumn("grain", lit(grain))
+      val o = card(orders(s, d), "orders_custkey_by_priority",
+        col("o_orderpriority"), col("o_custkey"))
+      val c = card(customer(s, d), "customer_by_nation",
+        col("c_nationkey"), col("c_custkey"))
+      ordered(o.unionByName(c).select(col("grain"), col("grp"), col("est"),
+        col("exact_cnt"), expr("abs(est - exact_cnt) * 1000 div exact_cnt").as("err_permille")))
+    },
+    Some("WITH lc(v, lm) AS (VALUES " + graft.plans.HllSketch.lcValuesSql + "), " +
+      "h1 AS (SELECT o_orderpriority AS grp, md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders), " +
+      graft.plans.HllSketch.estimatorSql("h1", "f1") + ", " +
+      "x1 AS (SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS exact_cnt " +
+      "FROM orders GROUP BY 1), " +
+      "g1 AS (SELECT 'orders_custkey_by_priority' AS grain, f1.grp, f1.est, x1.exact_cnt " +
+      "FROM f1 JOIN x1 USING (grp)), " +
+      "h2 AS (SELECT CAST(c_nationkey AS VARCHAR) AS grp, md5(CAST(c_custkey AS VARCHAR)) AS hx " +
+      "FROM customer), " +
+      graft.plans.HllSketch.estimatorSql("h2", "f2") + ", " +
+      "x2 AS (SELECT CAST(c_nationkey AS VARCHAR) AS grp, count(DISTINCT c_custkey) AS exact_cnt " +
+      "FROM customer GROUP BY 1), " +
+      "g2 AS (SELECT 'customer_by_nation' AS grain, f2.grp, f2.est, x2.exact_cnt " +
+      "FROM f2 JOIN x2 USING (grp)) " +
+      "SELECT grain, grp, est, exact_cnt, abs(est - exact_cnt) * 1000 // exact_cnt AS err_permille " +
+      "FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)" + OBA))
+
   // T6 AS-OF JOIN: every event matched to the latest state version at or
   // before its timestamp (versions = every 7th event, deduped per
   // (user, ts)). Spark side is the union-window forward fill — ONE hash
@@ -2608,7 +2649,7 @@ object DataCatalog {
     "e1_event_window_agg" -> e1, "e2_sessionize" -> e2, "e5_funnel" -> e5,
     "e6_retention" -> e6,
     "e3_sliding_window" -> e3, "e4_correlate" -> e4,
-    "a12_bitmap_distinct" -> a12,
+    "a12_bitmap_distinct" -> a12, "hll1_distinct_sketch" -> hll1,
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "t8_interval_merge" -> t8, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,

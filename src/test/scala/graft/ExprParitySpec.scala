@@ -178,4 +178,27 @@ class ExprParitySpec extends AnyFunSuite {
       lit(0.0), (acc, v) => acc + v)).as[Double].head()
     assert(native == hof) // bit-identical, not approximately
   }
+
+  test("HllSketch: partition-layout-independent, both paths accurate, merge = max") {
+    import graft.plans.HllSketch
+    // n = 5000 distinct (raw harmonic path) and n = 40 (linear counting)
+    def est(n: Int, parts: Int): Long =
+      spark.range(0, n, 1, parts)
+        .agg(HllSketch.estimate(md5(col("id").cast("string")))).as[Long].head()
+    val big = est(5000, 16)
+    assert(big == est(5000, 1), "estimate must not depend on partitioning/merge order")
+    assert(math.abs(big - 5000) < 5000 * 0.20, s"raw-path estimate $big off >20%")
+    val small = est(40, 8)
+    assert(small == est(40, 1))
+    assert(math.abs(small - 40) < 12, s"lc-path estimate $small off") // ~m·ln accuracy
+    // unit-level: estimator is the pure integer function of the registers,
+    // and merging two sketches is the bytewise max of their registers
+    val a = new Array[Byte](HllSketch.M); val b = new Array[Byte](HllSketch.M)
+    a(3) = 7; b(3) = 4; b(9) = 2
+    val merged = a.clone()
+    b.indices.foreach(j => if (b(j) > merged(j)) merged(j) = b(j))
+    assert(merged(3) == 7 && merged(9) == 2)
+    assert(HllSketch.estimateFromRegisters(merged) ==
+      HllSketch.estimateFromRegisters(merged.clone()))
+  }
 }
