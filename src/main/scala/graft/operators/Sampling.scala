@@ -82,6 +82,52 @@ object Sampling {
     df.filter(bucket(key) < rate)
   }
 
+  /** Temperature-weighted mixture (mix3): rebalance strata toward the
+    * flat distribution by sampling proportional to n^α — the standard
+    * multilingual-corpus move (exponent-smoothed sampling à la XLM-R's
+    * α-temperature: high-resource languages downsample, the tail keeps
+    * its share). Same largest-achievable contract as [[mixture]]: the
+    * bottleneck stratum (smallest n, ties to the smallest name — n^(1−α)
+    * is monotone, so smallest-n IS the binding stratum) is kept whole
+    * and every other stratum downsamples to match the n^α targets.
+    *
+    * α is restricted to 2^-halvings (0.5, 0.25, …) so n^α is computed by
+    * REPEATED SQRT — the one power IEEE-754 defines exactly (sqrt is
+    * correctly rounded; pow is not), which is what lets a DuckDB oracle
+    * reproduce the permille rates bit-for-bit. Rate formula, evaluated
+    * in this exact association order on both engines:
+    * `floor((1000.0 · w_s) · n_b / (w_b · n_s))` with w = sqrt^halvings(n)
+    * — every step (int→double widening, ·, /, floor) is exactly
+    * specified by IEEE-754, so engines cannot disagree.
+    *
+    * Per-stratum counts are S rows of driver model state (the k-means
+    * contract); the filter is the same pure [[bucket]] map as mix1. */
+  def temperatureMixture(df: DataFrame, key: Column, stratum: Column,
+      halvings: Int = 1): DataFrame = {
+    require(halvings >= 1 && halvings <= 4,
+      s"halvings in [1,4] (alpha = 0.5 .. 0.0625), got $halvings")
+    val counts = df.groupBy(stratum.as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter { case (_, n) => n > 0 }
+    require(counts.nonEmpty, "no non-empty stratum present in the data")
+    def w(n: Long): Double = {
+      var x = n.toDouble; var i = 0
+      while (i < halvings) { x = Math.sqrt(x); i += 1 }
+      x
+    }
+    val (bs, nb) = counts.minBy { case (s, n) => (n, s) }
+    val wb = w(nb)
+    // the bottleneck is pinned to 1000‰ explicitly: its float ratio is
+    // ~1000 up to rounding, and a floor to 999 would silently drop 0.1%
+    val rates = counts.map { case (s, n) =>
+      s -> (if (s == bs) 1000L else Math.floor((1000.0 * w(n)) * nb / (wb * n)).toLong)
+    }
+    val rate = rates.foldLeft(lit(-1L)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket(key) < rate)
+  }
+
   /** Deterministic train/val/test split (smp4): every row gets a split
     * label from its key's md5 bucket — train = [0, 1000-val-test),
     * val = next `valPermille`, test = the top `testPermille`. The same

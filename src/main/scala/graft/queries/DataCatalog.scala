@@ -1835,6 +1835,27 @@ object DataCatalog {
       "SELECT doc_id, lang, source, CAST(u.e AS BIGINT) AS epoch " +
       "FROM c, unnest(range(0, n)) u(e)" + OBA))
 
+  // MIX3 — temperature-weighted mixture (α = 0.5): strata sampled
+  // proportional to sqrt(n) — the multilingual rebalancing exponent —
+  // with the smallest stratum kept whole. sqrt is the one power IEEE-754
+  // rounds exactly, so the float rate formula (evaluated in the same
+  // association order on both engines: (1000.0·√n_s)·n_b / (√n_b·n_s),
+  // then floor → BIGINT) reproduces bit-for-bit in DuckDB; the filter is
+  // the same pure md5-bucket map as mix1. Rates are S rows of driver
+  // model state; zero shuffle on the corpus side.
+  val mix3 = Q(
+    (s, d) => ordered(Sampling.temperatureMixture(documents(s, d), col("doc_id"),
+        col("lang"), halvings = 1)
+      .select(col("doc_id"), col("lang"), col("source"))),
+    Some("WITH n AS (SELECT lang AS s, count(*) AS n FROM documents GROUP BY 1), " +
+      "b AS (SELECT s AS bs, n AS bn FROM n ORDER BY n, s LIMIT 1), " +
+      "r AS (SELECT n.s, CASE WHEN n.s = b.bs THEN 1000 " +
+      "ELSE CAST(floor((1000.0 * sqrt(CAST(n.n AS DOUBLE))) * b.bn / " +
+      "(sqrt(CAST(b.bn AS DOUBLE)) * n.n)) AS BIGINT) END AS rate FROM n, b) " +
+      "SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r ON r.s = d.lang " +
+      "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.rate" +
+      OBA))
+
   // DP3 — the COMPLETE corpus-prep composition, end to end: dp1's
   // curation (exact dedup → LSH clustering → quality/lang gate →
   // sample) → PII scrub (with the tx11 deterministic-suffix trick so
@@ -2671,7 +2692,7 @@ object DataCatalog {
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "sim5b_refined_ann" -> sim5b,
     "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
-    "mix2_epoch_mixture" -> mix2,
+    "mix2_epoch_mixture" -> mix2, "mix3_temperature_mixture" -> mix3,
     "dp3_corpus_prep" -> dp3, "dp5_pretrain_prep" -> dp5,
     "c3_decontaminate" -> c3,
     "c4_split_leakage" -> c4, "c6_semantic_contamination" -> c6,

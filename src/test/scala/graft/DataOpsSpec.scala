@@ -608,6 +608,30 @@ class DataOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet)
   }
 
+  test("temperatureMixture: bottleneck whole, ratios compressed toward sqrt, monotone in n") {
+    import graft.operators.Sampling
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = Sampling.temperatureMixture(docs, col("doc_id"), col("lang"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val bottleneck = n.keys.minBy(s => (n(s), s))
+    assert(kept(bottleneck) == n(bottleneck), "smallest stratum must be kept whole")
+    // every stratum's kept count tracks sqrt-proportional targets:
+    // kept_s ≈ nb/sqrt(nb) * sqrt(n_s) within md5-bucket noise
+    val unit = n(bottleneck) / math.sqrt(n(bottleneck))
+    n.foreach { case (s, ns) =>
+      val expect = unit * math.sqrt(ns)
+      assert(math.abs(kept(s) - expect) <= math.max(5.0, expect * 0.25),
+        s"$s kept=${kept(s)} want≈$expect")
+      assert(kept(s) <= ns)
+    }
+    // the α < 1 compression property: kept shares are strictly flatter
+    // than raw shares for the largest vs smallest stratum
+    val big = n.keys.maxBy(s => (n(s), s))
+    assert(kept(big).toDouble / kept(bottleneck) < n(big).toDouble / n(bottleneck))
+  }
+
   test("epochs: copy counts hit the permille recipe, epochs dense from 0, monotone in rate") {
     import graft.operators.Sampling
     import graft.sources.Tables
