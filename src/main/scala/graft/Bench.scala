@@ -99,7 +99,8 @@ object Bench {
     "e4_correlate", "m2_header_decode", "m3_frame_sample",
     // round-8 additions (headline is append-only: entries keep their
     // session position round-over-round — see ARCHITECTURE.md)
-    "sim5b_refined_ann", "hll1_distinct_sketch", "mix3_temperature_mixture")
+    "sim5b_refined_ann", "hll1_distinct_sketch", "mix3_temperature_mixture",
+    "emb7_jl_projection")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -815,6 +815,26 @@ object DataCatalog {
       "SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos, embedding[i]::DOUBLE / nrm AS v " +
       "FROM n, unnest(range(1, 65)) u(i)" + OBA))
 
+  // EMB7 — Johnson–Lindenstrauss random projection 64→16 dims: the
+  // Achlioptas ±1 sign matrix derives from the md5-bucket convention
+  // (so the oracle regenerates it from the formula — no RNG, no shipped
+  // state), and components fixed-point to the 1e-6 grid BEFORE summing,
+  // making each output coordinate an exact BIGINT sum — bit-identical
+  // at any partitioning. Pure map + bounded explode (16 rows/vector):
+  // the scan-speed pre-filter that shrinks ANN shuffle bytes 4×.
+  val emb7 = Q(
+    (s, d) => ordered(graft.operators.Projection.jlProject(
+        embeddings(s, d), col("vec_id"), col("embedding"), 64, 16)
+      .withColumnRenamed("id", "vec_id")),
+    Some("WITH q AS (SELECT vec_id, i - 1 AS i, " +
+      "CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv " +
+      "FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)), " +
+      "sg AS (SELECT a.i, b.j, CASE WHEN ('0x' || substr(md5(a.i || '_' || b.j), 1, 15))::BIGINT " +
+      "% 2 = 0 THEN 1 ELSE -1 END AS sgn " +
+      "FROM unnest(range(0, 64)) a(i), unnest(range(0, 16)) b(j)) " +
+      "SELECT q.vec_id, sg.j AS dim, CAST(sum(sg.sgn * q.qv) AS BIGINT) AS value " +
+      "FROM q JOIN sg ON sg.i = q.i GROUP BY 1, 2" + OBA))
+
   // BF1 bloom-pruned semi-join: lineitem rows whose order is URGENT —
   // the probe side is pre-filtered map-side by a driver-built bloom
   // filter over the urgent order keys BEFORE any shuffle, then the
@@ -2679,7 +2699,8 @@ object DataCatalog {
     "emb4_kmeans" -> emb4, "sim4_learned_ivf" -> sim4,
     "sim3b_centroid_multiprobe" -> sim3b,
     "tx7_normalize" -> tx7, "tx8_tfidf_topterms" -> tx8,
-    "emb2_l2_normalize" -> emb2, "bf1_bloom_semijoin" -> bf1,
+    "emb2_l2_normalize" -> emb2, "emb7_jl_projection" -> emb7,
+    "bf1_bloom_semijoin" -> bf1,
     "smp1_hash_sample" -> smp1, "smp2_stratified_sample" -> smp2,
     "w5_grouped_topk" -> w5, "c1_contamination" -> c1,
     "c2_capped_contamination" -> c2, "dp1_curation_pipeline" -> dp1,

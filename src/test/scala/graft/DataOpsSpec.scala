@@ -608,6 +608,38 @@ class DataOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet)
   }
 
+  test("jlProject: shuffle-free pure map, deterministic signs, JL distance preservation") {
+    import graft.operators.Projection
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val proj = Projection.jlProject(e, col("vec_id"), col("embedding"), 64, 16)
+    // pure map + explode: no exchange anywhere in the physical plan
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    // sign matrix is balanced-ish (md5 parity) and stable across calls
+    val signs = for (i <- 0 until 64; j <- 0 until 16) yield Projection.sign(i, j)
+    assert(math.abs(signs.sum) < 200, "signs should be near-balanced")
+    assert(Projection.sign(3, 7) == Projection.sign(3, 7))
+    // JL property: projected distances track original distances within
+    // the sign-matrix tolerance for d_out=16 on a sample of pairs
+    // (ratio = ||Rx - Ry||²/(d_out·||x - y||²) concentrates near 1)
+    val rows = e.limit(20).select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val pm = proj.filter(col("vec_id").isin(rows.map(_._1): _*))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2).toDouble / 1e6)
+      }
+    val ratios = for (a <- rows.indices; b <- 0 until a) yield {
+      val (ia, va) = rows(a); val (ib, vb) = rows(b)
+      val d2 = va.zip(vb).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      val p2 = pm(ia).zip(pm(ib)).map { case (x, y) => (x - y) * (x - y) }.sum
+      p2 / (16.0 * d2)
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distortion $mean out of range")
+  }
+
   test("temperatureMixture: bottleneck whole, ratios compressed toward sqrt, monotone in n") {
     import graft.operators.Sampling
     import graft.sources.Tables
