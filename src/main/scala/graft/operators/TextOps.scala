@@ -309,6 +309,47 @@ object TextOps {
           sep).as("clean_text"))
   }
 
+  /** Blocklist gate (tx15): per-doc count of blocklisted tokens and an
+    * integer-permille keep decision — the C4-style term-filter stage
+    * (C4 dropped any page with a "bad words" hit; Gopher/RefinedWeb use
+    * ratio thresholds). `maxHitPermille = 0` is the C4 any-hit drop;
+    * larger values tolerate incidental mentions. The comparison is the
+    * exact integer cross-multiply `hits·1000 ≤ maxHitPermille·tokens` —
+    * no float ratio, so engines cannot disagree at the boundary.
+    *
+    * Scale shape: the blocklist is a plan literal (driver model state)
+    * and the gate is a PURE MAP over the tokens — zero shuffle, zero
+    * joins, scan speed at any corpus size. Kept rows carry n_hits /
+    * n_tokens so the audit card is free. */
+  def blocklistGate(df: DataFrame, text: Column,
+      blocklist: Seq[String], maxHitPermille: Long = 0L): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    require(maxHitPermille >= 0 && maxHitPermille <= 1000,
+      s"maxHitPermille in [0,1000], got $maxHitPermille")
+    val toks = F.tokens(lower(text))
+    df.withColumn("n_hits", countIn(toks, blocklist).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .filter(col("n_hits") * 1000 <= lit(maxHitPermille) * col("n_tokens"))
+  }
+
+  /** Link-host statistics (url1): extract http(s) URLs from document
+    * text, canonicalize the host (lowercase, strip one leading `www.`),
+    * and aggregate per-host link and document counts — the host-level
+    * frequency card that drives web-corpus curation (domain allowlists,
+    * per-host caps à la C4/RefinedWeb). Pure map + explode on the
+    * matches, then ONE hash agg on the host — no URL table, no join;
+    * host cardinality bounds the agg output, not the corpus. */
+  def linkHosts(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val urls = regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+    df.select(id.as("doc_id"), explode(urls).as("url"))
+      .select(col("doc_id"),
+        regexp_replace(lower(regexp_extract(col("url"), "https?://([^/\\s?#]+)", 1)),
+          "^www\\.", "").as("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("doc_id")).as("n_docs"))
+  }
+
   def corpusReport(df: DataFrame, strata: Seq[String], text: Column,
       qualityThreshold: Double = 0.8): DataFrame = {
     val (nChars, nWords, _, _, score) = qualityCols(text)

@@ -1820,6 +1820,47 @@ object DataCatalog {
       "'\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b', '<PHONE>', 'g'), " +
       "'\\d{9,}', '<ID>', 'g') AS clean_text FROM t" + OBA))
 
+  // TX15 — blocklist gate: the C4-style term filter. Per-doc count of
+  // blocklisted tokens (fixture terms, so the gate really fires) with
+  // a 20‰ tolerance; the keep decision is the exact integer
+  // cross-multiply hits·1000 ≤ 20·tokens — no float ratio at the
+  // boundary. Pure map, blocklist is a plan literal; zero shuffle.
+  val tx15 = Q(
+    (s, d) => ordered(TextOps.blocklistGate(documents(s, d), col("text"),
+        Seq("slow", "stale", "broken"), 20L)
+      .select(col("doc_id"), col("lang"), col("n_hits"), col("n_tokens"))),
+    Some("WITH t AS (SELECT doc_id, lang, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+      "c AS (SELECT doc_id, lang, " +
+      "CAST(len(list_filter(tk, x -> x IN ('slow', 'stale', 'broken'))) AS BIGINT) AS n_hits, " +
+      "CAST(len(tk) AS BIGINT) AS n_tokens FROM t) " +
+      "SELECT doc_id, lang, n_hits, n_tokens FROM c " +
+      "WHERE n_hits * 1000 <= 20 * n_tokens" + OBA))
+
+  // URL1 — link-host statistics: extract http(s) URLs, canonicalize the
+  // host (lowercase, strip one leading www.), count links + docs per
+  // host — the per-domain frequency card behind allowlists and
+  // per-host caps in web-corpus curation. The fixture text carries no
+  // URLs, so the entry appends deterministic doc-id-derived links
+  // (tx11's suffix trick) — 10 hosts, mixed case and schemes, so
+  // canonicalization provably runs. Pure map + explode, one host agg.
+  val url1 = Q(
+    (s, d) => {
+      val withLinks = documents(s, d).withColumn("text",
+        concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
+          lit(".org/p?q="), col("doc_id"),
+          lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
+      ordered(TextOps.linkHosts(withLinks, col("doc_id"), col("text")))
+    },
+    Some("WITH t AS (SELECT doc_id, text || ' see https://WWW.Example' || (doc_id % 7) || " +
+      "'.org/p?q=' || doc_id || ' and http://cdn.example' || (doc_id % 3) || '.net/a#frag' AS text " +
+      "FROM documents), " +
+      "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+      "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s?#]+)', 1)), " +
+      "'^www\\.', '') AS host FROM u) " +
+      "SELECT host, CAST(count(*) AS BIGINT) AS n_links, " +
+      "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM h GROUP BY 1" + OBA))
+
   // MIX1 — deterministic corpus mixing to 5:2:2:1 language proportions
   // (es unweighted → dropped). The bottleneck stratum keeps rate 1000;
   // the others get integer-permille rates from pure integer division,
@@ -2712,7 +2753,8 @@ object DataCatalog {
     "d9_paragraph_dedup" -> d9,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "sim5b_refined_ann" -> sim5b,
-    "tx11_pii_scrub" -> tx11, "mix1_corpus_mixture" -> mix1,
+    "tx11_pii_scrub" -> tx11, "tx15_blocklist_gate" -> tx15,
+    "url1_link_hosts" -> url1, "mix1_corpus_mixture" -> mix1,
     "mix2_epoch_mixture" -> mix2, "mix3_temperature_mixture" -> mix3,
     "dp3_corpus_prep" -> dp3, "dp5_pretrain_prep" -> dp5,
     "c3_decontaminate" -> c3,

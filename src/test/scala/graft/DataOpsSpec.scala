@@ -608,6 +608,37 @@ class DataOpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet)
   }
 
+  test("blocklistGate: exact boundary, any-hit mode, pure map") {
+    import graft.operators.TextOps
+    val df = Seq(
+      (0L, "clean words only here"),                  // 0 hits / 4
+      (1L, "bad one ok ok ok ok ok ok ok ok"),        // 1 hit / 10 = 100‰, boundary
+      (2L, "bad bad bad ok"),                         // 750‰
+      (3L, "ok bad ok ok ok ok ok ok ok ok ok")       // 1/11 < 100‰
+    ).toDF("doc_id", "text")
+    val kept100 = TextOps.blocklistGate(df, col("text"), Seq("bad"), 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept100 == Set(0L, 1L, 3L), "1000·1 == 100·10 must KEEP (<=, not <)")
+    val kept0 = TextOps.blocklistGate(df, col("text"), Seq("bad"), 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept0 == Set(0L), "permille 0 = C4 any-hit drop")
+    val plan = TextOps.blocklistGate(df, col("text"), Seq("bad"), 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "gate must be a pure map")
+  }
+
+  test("linkHosts: canonicalizes case/www, splits on path/query/fragment") {
+    import graft.operators.TextOps
+    val df = Seq(
+      (0L, "x https://WWW.Foo.ORG/a?q=1 y http://foo.org#frag"),
+      (1L, "see http://www.bar.net/p and https://bar.net/q plus https://sub.www.bar.net/")
+    ).toDF("doc_id", "text")
+    val got = TextOps.linkHosts(df, col("doc_id"), col("text"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("foo.org", 2L, 1L), ("bar.net", 2L, 1L), ("sub.www.bar.net", 1L, 1L)),
+      s"got $got") // only a LEADING www. strips; inner labels survive
+  }
+
   test("jlProject: shuffle-free pure map, deterministic signs, JL distance preservation") {
     import graft.operators.Projection
     import graft.sources.Tables
