@@ -115,5 +115,11 @@ object GraftExtensions {
         doubleLit(args(2), "graft_hist_quantile", "binWidth"),
         intLit(args(3), "graft_hist_quantile", "bins"),
         args.drop(4).map(doubleLit(_, "graft_hist_quantile", "prob")))
+    },
+    fn("graft_hll_estimate",
+        "HyperLogLog distinct estimate (m=256, integer-exact estimator) " +
+          "of a 32-char md5-hex key column") { args =>
+      arity("graft_hll_estimate", args, 1 to 1)
+      HllSketch(args.head)
     })
 }

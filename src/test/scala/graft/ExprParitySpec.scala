@@ -124,6 +124,15 @@ class ExprParitySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
     assert(viaSql == viaDf)
     assert(viaSql.keySet == Set(0L, 1L, 2L))
+    // hll via SQL ≡ hll via the DataFrame path
+    val hllSql = ext.sql(
+      "SELECT g, graft_hll_estimate(md5(CAST(v AS STRING))) AS e FROM ext_agg GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hllDf = ext.range(0, 5000, 1, 8)
+      .selectExpr("id % 3 AS g", "id % 517 AS v")
+      .groupBy("g").agg(graft.plans.HllSketch.estimate(md5(col("v").cast("string"))).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hllSql == hllDf)
     // decimal-spelled probs (0.25 parses as DECIMAL in SQL) must work —
     // covered above; a non-literal bins argument must fail at analysis
     val e = intercept[Exception] {

@@ -563,6 +563,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("hll sketch aggregates map-side: partial ObjectHashAggregate below the exchange, no Expand") {
+    import graft.plans.HllSketch
+    val df = spark.range(0, 20000, 1, 8)
+      .selectExpr("id % 7 AS g", "id % 997 AS v")
+      .groupBy("g").agg(HllSketch.estimate(md5(col("v").cast("string"))).as("e"))
+    val plan = df.queryExecution.executedPlan.toString
+    // one partial + one final object-hash aggregate: the 256-byte buffer
+    // crosses the shuffle, not the rows — the property that makes the
+    // sketch 100 TB-shaped (count-distinct would plan an Expand +
+    // two shuffles on (g, v))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_hllsketch") || plan.contains("partial_HllSketch") ||
+      plan.toLowerCase.contains("partial_hll"), s"expected a partial hll stage:\n$plan")
+    assert(!plan.contains("Expand"), "hll must not plan count-distinct's Expand")
+  }
+
+  test("blocklist gate is stateless: streaming keeps ≡ batch (availableNow)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.TextOps
+    import graft.streaming.DocStream
+    val dir = java.nio.file.Files.createTempDirectory("blk_gate")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val batchIn = spark.read.schema(DocStream.schema).parquet(dir.toString)
+    val src = spark.readStream.schema(DocStream.schema).parquet(dir.toString)
+    val q = TextOps.blocklistGate(src, col("text"), Seq("slow", "stale"), 20L)
+      .select("doc_id", "n_hits", "n_tokens")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("blk_gate_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("blk_gate_out")
+    val batch = TextOps.blocklistGate(batchIn, col("text"), Seq("slow", "stale"), 20L)
+      .select("doc_id", "n_hits", "n_tokens")
+    assert(streamed.count() > 0 && streamed.count() < batchIn.count(),
+      "gate should fire on the fixture")
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("streaming curation gate emits exactly the batch result (stateless, rerun-stable)") {
     import graft.streaming.DocStream
     val dir = java.nio.file.Files.createTempDirectory("doc_curate")
