@@ -31,14 +31,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long and truncate to microseconds — exactly
-    * what DuckDB's µs-precision TIMESTAMP does, keeping oracle parity. */
+  /** events.parquet has shipped with either TIMESTAMP(NANOS) (which
+    * Spark's parquet reader rejects — read nanos as long, truncate to
+    * micros like DuckDB's µs TIMESTAMP does) or plain timestamp[us]
+    * (typed, no workaround needed). Adapt to whichever schema the fixture
+    * carries instead of assuming one, so a fixture regeneration can't
+    * break every events-reading query again. */
   def events(s: SparkSession, d: String): DataFrame =
     if (d.startsWith("jdbc:")) t(s, d, "events") // DB timestamps arrive typed
     else {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = t(s, d, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // session tz is UTC everywhere, so ntz→ltz keeps the instant;
+          // ltz is what watermarks and the pre-regression plans expect
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw // already TIMESTAMP (ltz)
+      }
     }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

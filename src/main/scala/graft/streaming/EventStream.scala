@@ -17,13 +17,34 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events file schema: ts arrives as raw nanos (INT64) because the
-    * parquet carries TIMESTAMP(NANOS) and the session reads nanos-as-long
-    * (see Tables.events); converted to µs timestamps on ingest. */
-  val schema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events file schema — the fixture has shipped `ts` both as
+    * TIMESTAMP(NANOS) (Spark reads it as raw INT64 under nanos-as-long;
+    * converted to µs on ingest) and as plain timestamp[us] (typed). The
+    * stream source adapts to whichever the directory carries. */
+  def schemaWithTs(ts: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", ts),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  val schema: StructType = schemaWithTs(LongType)
+
+  /** Schema-adaptive streaming reader over an events parquet directory:
+    * probe the on-disk `ts` type with a batch schema read (driver-side,
+    * footer only), then declare the matching stream schema. Keeps every
+    * streaming runner immune to fixture-schema regeneration. */
+  def streamSource(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(eventsDir).schema("ts").dataType match {
+      case LongType =>
+        spark.readStream.schema(schemaWithTs(LongType)).parquet(eventsDir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case typed =>
+        // watermarks demand TIMESTAMP (ltz); the fixture's timestamp[us]
+        // surfaces as NTZ — cast keeps the instant (session tz is UTC)
+        spark.readStream.schema(schemaWithTs(typed)).parquet(eventsDir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
 
   /** Shared transform: 1-hour tumbling window per event_type with exact
     * cents arithmetic (twin of DataCatalog.e1). */
@@ -41,9 +62,7 @@ object EventStream {
     * production shape swaps source/sink formats, the transform is
     * unchanged). Returns the completed query; results in table `outName`. */
   def runAvailableNow(spark: SparkSession, eventsDir: String, outName: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = streamSource(spark, eventsDir)
     val q = windowedAgg(src).writeStream
       .outputMode("append")
       .format("memory")
@@ -68,9 +87,7 @@ object EventStream {
   def runEnrichAvailableNow(spark: SparkSession, eventsDir: String,
       dim: DataFrame, dimKey: String, nameCol: String,
       outName: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = streamSource(spark, eventsDir)
     val q = enrich(src, dim, dimKey, nameCol).writeStream
       .outputMode("append")
       .format("memory")
@@ -107,9 +124,7 @@ object EventStream {
     * over the same directory) into a memory sink. */
   def runCorrelateAvailableNow(spark: SparkSession, eventsDir: String,
       outName: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = streamSource(spark, eventsDir)
     val q = correlate(src).writeStream
       .outputMode("append")
       .format("memory")
@@ -166,9 +181,7 @@ object EventStream {
     * memory sink (same shape as runAvailableNow). */
   def runDedupAvailableNow(spark: SparkSession, eventsDir: String,
       outName: String): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(schema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = streamSource(spark, eventsDir)
     val q = dedupStream(src).writeStream
       .outputMode("append")
       .format("memory")

@@ -708,9 +708,7 @@ class ScaleSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("ev_sess")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(EventStream.schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = EventStream.streamSource(spark, dir.toString)
     val q = EventStream.sessionizeStream(src, 30).writeStream
       .outputMode("append").format("memory").queryName("sess_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
