@@ -17,6 +17,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Self-describing dump (ADVICE r8): a query that errors leaves no
+    // result dir, so a record built from the dirs alone silently reads
+    // as all-green. Collect every failure and dump errors.json alongside
+    // the results so the gate can see the losses, not just the survivors.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -24,6 +29,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       } finally CacheScope.releaseAll() // operator-internal persists end with the query
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +47,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // rc stays 0 even with errors: the driver compares whatever dirs
+    // exist; failing the JVM here could zero the surviving 140+ entries.
+    // local_verify.py reads errors.json and fails the LOCAL gate instead.
     spark.stop()
   }
 }

@@ -4,8 +4,16 @@ from oracle_sql.json in DuckDB over the testdata parquet tables and diff
 against the Spark result parquet written by graft.Verify.
 
 Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir> [query ...]
+
+Round-exit gate (run with no query filter): besides per-query value
+diffs, this (a) reports any entries from <verifyOutDir>/errors.json
+(queries that errored inside graft.Verify and so left no result dir),
+and (b) checks ADDITIVITY — every query name present in the latest
+committed CORRECTNESS_r*.json must still pass; any loss fails the gate
+loudly. This is the check that would have caught the round-8 events
+regression before handover.
 """
-import json, math, sys
+import glob, json, math, os, re, sys
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -34,6 +42,16 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
+    passed = set()
+    # Queries that errored inside graft.Verify left no result dir; without
+    # this they would be silently absent from the report (ADVICE r8).
+    errs_path = f"{out_dir}/errors.json"
+    verify_errors = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
+    for name, msg in sorted(verify_errors.items()):
+        if only and name not in only:
+            continue
+        print(f"FAIL {name}: errored in graft.Verify: {msg[:200]}")
+        bad += 1
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -80,8 +98,25 @@ def main():
         else:
             print(f"ok   {name} ({len(srws)} rows)")
             ok += 1
-    print(f"\n{ok} ok, {bad} failed")
-    sys.exit(1 if bad else 0)
+            passed.add(name)
+    lost = []
+    if not only:  # additivity only meaningful on a full run
+        recs = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                             "CORRECTNESS_r*.json")),
+                      key=lambda p: int(re.search(r"_r(\d+)", p).group(1)))
+        # prior rounds' union: a query green in ANY earlier round must
+        # still be green (guards against a record that itself lost keys,
+        # as CORRECTNESS_r08 did)
+        prior = set()
+        for p in recs:
+            prior |= set(json.load(open(p)).keys())
+        lost = sorted(prior - passed)
+        for name in lost:
+            print(f"LOST {name}: green in a prior round's CORRECTNESS "
+                  "record but not passing now")
+    print(f"\n{ok} ok, {bad} failed" +
+          (f", {len(lost)} LOST vs prior rounds" if lost else ""))
+    sys.exit(1 if bad or lost else 0)
 
 if __name__ == "__main__":
     main()
