@@ -253,7 +253,9 @@ object DataCatalog {
     (s, d) => {
       val (e, cells, cb) = sim5Model(s, d)
       val queries = e.filter(col("vec_id") % 50 === 0)
-      val truth = Similarity.topK(queries, e, 5)
+      // truth feeds one annRecall join per method — persist or the
+      // brute-force all-pairs top-k subtree recomputes three times
+      val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
       val ivf = Similarity.topKIvfAsym(queries, e, "label", 5)
       val adc20 = graft.CacheScope.persist(Similarity.topKIvfPq(
         queries.join(cells, Seq("vec_id")), Clustering.pqAssign(e, cb), cb, cells, 20))
