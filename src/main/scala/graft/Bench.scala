@@ -100,7 +100,9 @@ object Bench {
     // round-8 additions (headline is append-only: entries keep their
     // session position round-over-round — see ARCHITECTURE.md)
     "sim5b_refined_ann", "hll1_distinct_sketch", "mix3_temperature_mixture",
-    "emb7_jl_projection", "tx15_blocklist_gate", "url1_link_hosts")
+    "emb7_jl_projection", "tx15_blocklist_gate", "url1_link_hosts",
+    // round-9 additions
+    "sim6_sq8_ann")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

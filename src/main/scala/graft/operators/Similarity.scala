@@ -277,6 +277,78 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-dimension scalar-quantizer model (the FAISS SQ8 index's train
+    * step): (mn_d, st_d) with st_d = (max_d - min_d) / 255. Bounded
+    * driver model state (dim rows), like the k-means centroids: the
+    * per-dim min/max aggregate is posexplode + groupBy(dim) — map-side
+    * combined, so the shuffle carries dim rows per input partition at
+    * any corpus size. */
+  def sq8Train(corpus: DataFrame, dim: Int = 64): (Array[Double], Array[Double]) = {
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect()
+    require(stats.length == dim,
+      s"sq8Train saw ${stats.length} dimensions, expected $dim")
+    val mn = new Array[Double](dim)
+    val st = new Array[Double](dim)
+    stats.foreach { r =>
+      val i = r.getInt(0)
+      mn(i) = r.getDouble(1)
+      st(i) = (r.getDouble(2) - mn(i)) / 255.0
+    }
+    (mn, st)
+  }
+
+  /** SQ8 asymmetric-distance ANN (sim6): the scalar-quantization
+    * companion to the PQ path ([[topKIvfPq]]). The corpus is stored as
+    * one int8-range code per DIMENSION — code_d = floor((x_d - mn_d) /
+    * st_d) ∈ [0, 255], an 8× smaller scan/shuffle payload than raw
+    * floats with none of PQ's codebook training — while queries stay
+    * full-precision. Scoring uses the ADC decomposition
+    *
+    *   dot(q, dec(c)) = Σ q_d·mn_d  +  Σ (q_d·st_d)·c_d
+    *
+    * so each query precomputes its offset Σ q_d·mn_d and scaled vector
+    * q_d·st_d ONCE (pure maps), and the per-pair work inside the
+    * cell-restricted join is a single codegen'd array<double>×array<long>
+    * fold ([[graft.plans.CodeDotProduct]]). Candidate generation is the
+    * same equi-join on coarse cell as [[topKIvf]] — never O(N²).
+    * Reconstruction norms (rn2) are computed once per corpus row at
+    * encode time. Every fold is strict left-to-right in DOUBLE, so the
+    * DuckDB oracle reproduces each cosine bit-for-bit. Ties broken by
+    * ascending neighbor id like every ranker here. */
+  def topKIvfSq(vectors: DataFrame, cellCol: String, k: Int, dim: Int = 64): DataFrame = {
+    val (mn, st) = sq8Train(vectors, dim)
+    val mnL = typedLit(mn.toSeq)
+    val stL = typedLit(st.toSeq)
+    val codes = transform(col("embedding"), (x, i) =>
+      when(element_at(stL, i + 1) === 0.0, lit(0L))
+        .otherwise(floor((x.cast("double") - element_at(mnL, i + 1)) /
+          element_at(stL, i + 1)).cast("long")))
+    val dec = transform(col("codes"), (c, i) =>
+      element_at(mnL, i + 1) + c.cast("double") * element_at(stL, i + 1))
+    val c = vectors
+      .select(col("vec_id").as("neighbor_id"), col(cellCol).as("cell"),
+        codes.as("codes"))
+      .withColumn("rn2", aggregate(dec, lit(0.0), (acc, x) => acc + x * x))
+    val q = vectors.select(col("vec_id").as("query_id"), col(cellCol).as("cell"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") * element_at(stL, i + 1)).as("qs"),
+      aggregate(transform(col("embedding"), (x, i) =>
+          x.cast("double") * element_at(mnL, i + 1)),
+        lit(0.0), (acc, x) => acc + x).as("qoff"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        ((col("qoff") + graft.plans.CodeDotProduct.dot(col("qs"), col("codes"))) /
+          (col("qn") * sqrt(col("rn2")))).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) with cosine ≥
     * threshold, blocked by coarse cell to avoid the full cross product. */
   def nearDupPairs(vectors: DataFrame, cellCol: String, threshold: Double): DataFrame = {

@@ -59,3 +59,50 @@ object FloatDotProduct {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Dot product of a precomputed `array<double>` query table against an
+  * `array<long>` code vector — the hot per-pair fold of the SQ8
+  * asymmetric-distance scan (Similarity.topKIvfSq). Same strict
+  * left-to-right double accumulation contract as [[FloatDotProduct]],
+  * so the DuckDB oracle's list_reduce fold reproduces it bit-for-bit;
+  * codegen'd because it runs once per (query, candidate) pair inside
+  * the cell-restricted join, where an interpreted HOF would dominate
+  * (the sim1/sim2 lesson documented above). */
+case class CodeDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getLong(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * (double) $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CodeDotProduct =
+    copy(left = l, right = r)
+}
+
+object CodeDotProduct {
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(CodeDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -1489,6 +1489,44 @@ object DataCatalog {
       "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
       "FROM rrk WHERE rank <= 5" + OBA))
 
+  // SIM6 — SQ8 scalar-quantized ANN (the FAISS SQ index path, PQ's
+  // simpler sibling): per-dimension (min, step) trained over the corpus
+  // (64 rows of driver model state), corpus stored as one 0–255 code
+  // per dimension (8× smaller scan payload than floats), queries
+  // full-precision. Scoring uses the ADC decomposition — per-query
+  // offset Σ q·mn and scaled vector q·st precomputed as pure maps, the
+  // per-pair fold a codegen'd array<double>×array<long> dot
+  // (CodeDotProduct) inside the same cell equi-join as sim2. Every
+  // fold strict left-to-right in DOUBLE → the oracle reproduces each
+  // cosine bit-for-bit.
+  val sim6 = Q(
+    (s, d) => ordered(Similarity.topKIvfSq(embeddings(s, d), "label", 5)),
+    Some("WITH dm AS (SELECT i, min(embedding[i]::DOUBLE) AS mn, " +
+      "(max(embedding[i]::DOUBLE) - min(embedding[i]::DOUBLE)) / 255.0 AS st " +
+      "FROM embeddings, unnest(range(1, 65)) u(i) GROUP BY 1), " +
+      "ml AS (SELECT list(mn ORDER BY i) AS mn, list(st ORDER BY i) AS st FROM dm), " +
+      "enc AS (SELECT vec_id, label, list_transform(range(1, 65), i -> " +
+      "CASE WHEN st[i] = 0.0 THEN 0 " +
+      "ELSE CAST(floor((embedding[i]::DOUBLE - mn[i]) / st[i]) AS BIGINT) END) AS c " +
+      "FROM embeddings, ml), " +
+      "crp AS (SELECT vec_id AS neighbor_id, label, c, " +
+      "list_reduce(list_transform(list_transform(range(1, 65), i -> " +
+      "mn[i] + CAST(c[i] AS DOUBLE) * st[i]), x -> x * x), (a, b) -> a + b) AS rn2 " +
+      "FROM enc, ml), " +
+      "q AS (SELECT vec_id AS query_id, label, " +
+      "list_transform(range(1, 65), i -> embedding[i]::DOUBLE * st[i]) AS qs, " +
+      "list_reduce(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * mn[i]), " +
+      "(a, b) -> a + b) AS qoff, " +
+      "sqrt(" + dotSql("embedding", "embedding") + ") AS qn FROM embeddings, ml), " +
+      "sc AS (SELECT query_id, neighbor_id, " +
+      "(qoff + list_reduce(list_transform(range(1, 65), i -> qs[i] * CAST(c[i] AS DOUBLE)), " +
+      "(a, b) -> a + b)) / (qn * sqrt(rn2)) AS cos " +
+      "FROM q JOIN crp USING (label) WHERE query_id <> neighbor_id), " +
+      "rk AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM sc) " +
+      "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+      "FROM rk WHERE rank <= 5" + OBA))
+
   // M3 frame sampling: k evenly-spaced frame indices per media row from
   // the REAL decoded header dims (audio → sample positions, images →
   // row tiles) — the video-frame-sampling analog, deterministic and
@@ -2754,7 +2792,7 @@ object DataCatalog {
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "d9_paragraph_dedup" -> d9,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
-    "sim5b_refined_ann" -> sim5b,
+    "sim5b_refined_ann" -> sim5b, "sim6_sq8_ann" -> sim6,
     "tx11_pii_scrub" -> tx11, "tx15_blocklist_gate" -> tx15,
     "url1_link_hosts" -> url1, "mix1_corpus_mixture" -> mix1,
     "mix2_epoch_mixture" -> mix2, "mix3_temperature_mixture" -> mix3,

@@ -360,6 +360,33 @@ class ScaleSpec extends AnyFunSuite {
     graft.CacheScope.releaseAll()
   }
 
+  test("sim6 SQ8: cell equi-join over code ints — no cartesian, no corpus floats in scoring") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val out = Similarity.topKIvfSq(Tables.embeddings(spark, sf), "label", 3)
+    assert(out.count() > 0)
+    val ns = nodes(out)
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "sim6 candidate generation must stay an equi-join on cell")
+    // the corpus side of the scoring join carries the SQ8 payload —
+    // code longs + rn2 — never the float vectors it was encoded from
+    // (the 8×-smaller-scan property that makes SQ8 worth having)
+    val plan = out.queryExecution.optimizedPlan
+    val codeSides = plan.collect { case j: Join => j }
+      .flatMap(j => Seq(j.left, j.right))
+      .filter(_.output.exists(_.name == "codes"))
+    assert(codeSides.nonEmpty, "SQ8 scoring join with codes not found")
+    codeSides.foreach { side =>
+      val floats = side.output.filter(_.dataType == ArrayType(FloatType))
+      assert(floats.isEmpty,
+        s"corpus side of the SQ8 scoring join carries float vectors: $floats")
+    }
+  }
+
   test("kmeans fast update aggregates map-side: no per-member collect_list") {
     import graft.operators.Clustering
     import graft.sources.Tables
