@@ -339,16 +339,22 @@ object TextOps {
     * per-host caps à la C4/RefinedWeb). Pure map + explode on the
     * matches, then ONE hash agg on the host — no URL table, no join;
     * host cardinality bounds the agg output, not the corpus. */
-  def linkHosts(df: DataFrame, id: Column, text: Column): DataFrame = {
+  /** Per-document extracted link hosts, one row per link occurrence —
+    * the shared extraction under [[linkHosts]] (aggregation) and the
+    * pr1 host-graph edge list. Pure map + explode. */
+  def docHosts(df: DataFrame, id: Column, text: Column): DataFrame = {
     val urls = regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
     df.select(id.as("doc_id"), explode(urls).as("url"))
       .select(col("doc_id"),
         regexp_replace(lower(regexp_extract(col("url"), "https?://([^/\\s?#]+)", 1)),
           "^www\\.", "").as("host"))
+  }
+
+  def linkHosts(df: DataFrame, id: Column, text: Column): DataFrame =
+    docHosts(df, id, text)
       .groupBy("host")
       .agg(count(lit(1)).as("n_links"),
         count_distinct(col("doc_id")).as("n_docs"))
-  }
 
   def corpusReport(df: DataFrame, strata: Seq[String], text: Column,
       qualityThreshold: Double = 0.8): DataFrame = {

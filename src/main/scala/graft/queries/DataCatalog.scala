@@ -1901,6 +1901,49 @@ object DataCatalog {
       "SELECT host, CAST(count(*) AS BIGINT) AS n_links, " +
       "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM h GROUP BY 1" + OBA))
 
+  // PR1 — host-graph PageRank (integer-exact): edges are (site host →
+  // linked host) from the url1 extraction over the same synthetic
+  // links, each doc's own host a deterministic residue bucket. Ranks
+  // are BIGINT micro-units with truncating-integer-division damping,
+  // so three unrolled iterations reproduce bit-for-bit in the oracle —
+  // the determinism a float PageRank can't give (distributed float Σ
+  // has no defined order). The curation use: per-host authority
+  // weights for source filtering à la CommonCrawl host ranking.
+  val pr1 = Q(
+    (s, d) => {
+      val withLinks = documents(s, d).withColumn("text",
+        concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
+          lit(".org/p?q="), col("doc_id"),
+          lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
+      val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
+        .select(concat(lit("site"), col("doc_id") % 11, lit(".com")).as("src"),
+          col("host").as("dst"))
+      ordered(graft.operators.Graph.pagerank(edges, 3))
+    },
+    Some {
+      val iterSql = (1 to 3).map { t =>
+        s"r$t AS (SELECT nd.host, CAST((SELECT base FROM c0) + " +
+          "(850 * COALESCE(s.cs, 0)) // 1000 AS BIGINT) AS r " +
+          "FROM nd LEFT JOIN (SELECT e.dst AS host, sum(rr.r // dg.deg) AS cs " +
+          s"FROM e JOIN r${t - 1} rr ON rr.host = e.src " +
+          "JOIN dg ON dg.src = e.src GROUP BY 1) s USING (host))"
+      }.mkString(", ")
+      "WITH t AS (SELECT doc_id, text || ' see https://WWW.Example' || (doc_id % 7) || " +
+        "'.org/p?q=' || doc_id || ' and http://cdn.example' || (doc_id % 3) || '.net/a#frag' AS text " +
+        "FROM documents), " +
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s?#]+)', 1)), " +
+        "'^www\\.', '') AS host FROM u), " +
+        "e AS (SELECT DISTINCT 'site' || (doc_id % 11) || '.com' AS src, host AS dst FROM h), " +
+        "nd AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)), " +
+        "c0 AS (SELECT 1000000000000 // count(*) AS init, " +
+        "(150 * (1000000000000 // count(*))) // 1000 AS base FROM nd), " +
+        "dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+        "r0 AS (SELECT host, (SELECT init FROM c0) AS r FROM nd), " +
+        iterSql +
+        " SELECT host, r AS rank_micro FROM r3" + OBA
+    })
+
   // MIX1 — deterministic corpus mixing to 5:2:2:1 language proportions
   // (es unweighted → dropped). The bottleneck stratum keeps rate 1000;
   // the others get integer-permille rates from pure integer division,
@@ -2794,7 +2837,8 @@ object DataCatalog {
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "sim5b_refined_ann" -> sim5b, "sim6_sq8_ann" -> sim6,
     "tx11_pii_scrub" -> tx11, "tx15_blocklist_gate" -> tx15,
-    "url1_link_hosts" -> url1, "mix1_corpus_mixture" -> mix1,
+    "url1_link_hosts" -> url1, "pr1_host_pagerank" -> pr1,
+    "mix1_corpus_mixture" -> mix1,
     "mix2_epoch_mixture" -> mix2, "mix3_temperature_mixture" -> mix3,
     "dp3_corpus_prep" -> dp3, "dp5_pretrain_prep" -> dp5,
     "c3_decontaminate" -> c3,

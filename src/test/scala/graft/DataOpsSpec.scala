@@ -1251,6 +1251,27 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("pagerank: integer-exact, deterministic, in-link authority orders hosts") {
+    import graft.operators.Graph
+    // b has two in-links, a one (from b's whole rank), c none
+    val e = Seq(("a", "b"), ("c", "b"), ("b", "a")).toDF("src", "dst")
+    def run() = Graph.pagerank(e, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r = run()
+    assert(r.keySet == Set("a", "b", "c"))
+    assert(r("b") > r("a") && r("a") > r("c"),
+      s"authority order violated: $r")
+    // dangling c holds exactly the damping base — dropped mass, no noise
+    assert(r("c") > 0L)
+    // bit-for-bit repeatable: integer arithmetic has no ordering freedom
+    assert(r == run())
+    // duplicate edges must not double-count
+    val dup = Seq(("a", "b"), ("a", "b"), ("c", "b"), ("b", "a")).toDF("src", "dst")
+    assert(Graph.pagerank(dup, 3).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap == r)
+    CacheScope.releaseAll()
+  }
+
   test("bpe: consecutive occurrences merge left-to-right non-overlapping") {
     import graft.operators.Bpe
     // "aaaa" with merge (a,a) must become "aa aa", not "aa a a" or "aaa a"
