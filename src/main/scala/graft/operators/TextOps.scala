@@ -339,16 +339,57 @@ object TextOps {
     * per-host caps à la C4/RefinedWeb). Pure map + explode on the
     * matches, then ONE hash agg on the host — no URL table, no join;
     * host cardinality bounds the agg output, not the corpus. */
-  /** Per-document extracted link hosts, one row per link occurrence —
-    * the shared extraction under [[linkHosts]] (aggregation) and the
-    * pr1 host-graph edge list. Pure map + explode. */
-  def docHosts(df: DataFrame, id: Column, text: Column): DataFrame = {
+  /** Per-document extracted URLs, one row per link occurrence — the
+    * shared extraction under [[docHosts]]/[[linkHosts]] (host stats,
+    * pr1 edges) and [[urlDedup]]. Pure map + explode. */
+  def docUrls(df: DataFrame, id: Column, text: Column): DataFrame = {
     val urls = regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
     df.select(id.as("doc_id"), explode(urls).as("url"))
+  }
+
+  /** Per-document extracted link hosts (canonicalized: lowercase, one
+    * leading `www.` stripped), one row per link occurrence. */
+  def docHosts(df: DataFrame, id: Column, text: Column): DataFrame =
+    docUrls(df, id, text)
       .select(col("doc_id"),
         regexp_replace(lower(regexp_extract(col("url"), "https?://([^/\\s?#]+)", 1)),
           "^www\\.", "").as("host"))
+
+  /** URL canonicalization (url2): the WET-pipeline normal form under
+    * which crawl URLs are deduplicated — drop the fragment, lowercase
+    * scheme+host and strip one leading `www.` (path/query case is
+    * significant and kept), remove tracking parameters (utm_*, fbclid,
+    * gclid) with separator repair, drop a trailing slash. Regex-only on
+    * purpose: every step is a single anchored or globally-applied
+    * pattern that evaluates identically in Spark and the DuckDB oracle.
+    * Pure map — canonicalization adds zero shuffle on top of the
+    * dedup's one hash aggregate. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val lowered = concat(
+      regexp_replace(lower(regexp_extract(noFrag, "^(https?://[^/?#]+)", 1)),
+        "^(https?://)www\\.", "$1"),
+      regexp_extract(noFrag, "^https?://[^/?#]+(.*)$", 1))
+    val noTrack = regexp_replace(lowered,
+      "(utm_[^&=]*|fbclid|gclid)=[^&]*&?", "")
+    val noDangle = regexp_replace(
+      regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
+    regexp_replace(noDangle, "([^/])/$", "$1")
   }
+
+  /** url2 — canonical-URL dedup: group link occurrences by
+    * [[canonicalUrl]], report occurrence/document counts and the
+    * min-doc_id keeper (the same min-survivor convention as the text
+    * dedup family). One explode + one hash aggregate keyed by the
+    * canonical URL; output cardinality is the distinct-URL count, never
+    * the corpus. */
+  def urlDedup(df: DataFrame, id: Column, text: Column): DataFrame =
+    docUrls(df, id, text)
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
 
   def linkHosts(df: DataFrame, id: Column, text: Column): DataFrame =
     docHosts(df, id, text)

@@ -1901,6 +1901,36 @@ object DataCatalog {
       "SELECT host, CAST(count(*) AS BIGINT) AS n_links, " +
       "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM h GROUP BY 1" + OBA))
 
+  // URL2 — canonical-URL dedup: two synthetic link variants per doc
+  // that differ only in case/www/tracking-params/fragment collapse to
+  // one canonical form; docs sharing (doc_id % 7, doc_id % 5) residues
+  // share canonicals, so the dedup is real. Regex-only
+  // canonicalization (identical patterns both engines) + one hash agg.
+  val url2 = Q(
+    (s, d) => {
+      val withLinks = documents(s, d).withColumn("text",
+        concat(col("text"),
+          lit(" https://WWW.Example"), col("doc_id") % 7,
+          lit(".org/page/?utm_source=feed&id="), col("doc_id") % 5,
+          lit(" https://example"), col("doc_id") % 7,
+          lit(".org/page/?id="), col("doc_id") % 5, lit("#top")))
+      ordered(TextOps.urlDedup(withLinks, col("doc_id"), col("text")))
+    },
+    Some("WITH t AS (SELECT doc_id, text || ' https://WWW.Example' || (doc_id % 7) || " +
+      "'.org/page/?utm_source=feed&id=' || (doc_id % 5) || " +
+      "' https://example' || (doc_id % 7) || '.org/page/?id=' || (doc_id % 5) || '#top' AS text " +
+      "FROM documents), " +
+      "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+      "nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u), " +
+      "lw AS (SELECT doc_id, regexp_replace(lower(regexp_extract(nf, '^(https?://[^/?#]+)', 1)), " +
+      "'^(https?://)www\\.', '\\1') || regexp_extract(nf, '^https?://[^/?#]+(.*)$', 1) AS lw FROM nf), " +
+      "nt AS (SELECT doc_id, regexp_replace(lw, '(utm_[^&=]*|fbclid|gclid)=[^&]*&?', '', 'g') AS nt FROM lw), " +
+      "nd AS (SELECT doc_id, regexp_replace(regexp_replace(nt, '\\?&', '?'), '[?&]$', '') AS nd FROM nt), " +
+      "c AS (SELECT doc_id, regexp_replace(nd, '([^/])/$', '\\1') AS canonical_url FROM nd) " +
+      "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_links, " +
+      "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS keeper_doc " +
+      "FROM c GROUP BY 1" + OBA))
+
   // PR1 — host-graph PageRank (integer-exact): edges are (site host →
   // linked host) from the url1 extraction over the same synthetic
   // links, each doc's own host a deterministic residue bucket. Ranks
@@ -2837,7 +2867,8 @@ object DataCatalog {
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "sim5b_refined_ann" -> sim5b, "sim6_sq8_ann" -> sim6,
     "tx11_pii_scrub" -> tx11, "tx15_blocklist_gate" -> tx15,
-    "url1_link_hosts" -> url1, "pr1_host_pagerank" -> pr1,
+    "url1_link_hosts" -> url1, "url2_canonical_dedup" -> url2,
+    "pr1_host_pagerank" -> pr1,
     "mix1_corpus_mixture" -> mix1,
     "mix2_epoch_mixture" -> mix2, "mix3_temperature_mixture" -> mix3,
     "dp3_corpus_prep" -> dp3, "dp5_pretrain_prep" -> dp5,

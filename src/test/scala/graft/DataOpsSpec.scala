@@ -1251,6 +1251,24 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("canonicalUrl: fragment, www, host case, tracking params, trailing slash") {
+    val cases = Seq(
+      // host lowered + www stripped, path case KEPT, utm + fragment gone
+      "https://WWW.Example.ORG/Path/?utm_source=x&id=1#frag" ->
+        "https://example.org/Path/?id=1",
+      // bare trailing slash dropped; scheme's // untouched
+      "http://example.com/" -> "http://example.com",
+      // tracking-only query collapses entirely, then the slash drops
+      "https://example.com/a/?utm_a=1" -> "https://example.com/a",
+      // mid-query tracker removed with separator repair
+      "https://example.com/p?x=2&utm_b=3" -> "https://example.com/p?x=2",
+      "https://example.com/p?fbclid=abc&y=1" -> "https://example.com/p?y=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalUrl(col("url")).as("c")).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalUrl($in)") }
+  }
+
   test("pagerank: integer-exact, deterministic, in-link authority orders hosts") {
     import graft.operators.Graph
     // b has two in-links, a one (from b's whole rank), c none
