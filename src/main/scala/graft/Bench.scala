@@ -102,7 +102,8 @@ object Bench {
     "sim5b_refined_ann", "hll1_distinct_sketch", "mix3_temperature_mixture",
     "emb7_jl_projection", "tx15_blocklist_gate", "url1_link_hosts",
     // round-9 additions
-    "sim6_sq8_ann", "pr1_host_pagerank", "url2_canonical_dedup")
+    "sim6_sq8_ann", "pr1_host_pagerank", "url2_canonical_dedup",
+    "e7_window_hll", "shuf1_epoch_shuffle")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -523,6 +523,33 @@ object DataCatalog {
       "CAST(count(*) AS BIGINT) AS n_users " +
       "FROM a JOIN f USING (user_id) GROUP BY 1, 2" + OBA))
 
+  // E7 — windowed approximate distinct users (day × event_type) via the
+  // hll1 sketch: the streaming-dashboard shape where per-window uniques
+  // must come from a mergeable 256-byte register blob, not an exact
+  // distinct (whose state is O(uniques per window)). Same integer-exact
+  // estimator as hll1 so the oracle reproduces the ESTIMATE bit-for-bit;
+  // exact count rides along to score the error. Map-side combined: each
+  // partition contributes one register blob per (day, type) group.
+  val e7 = Q(
+    (s, d) => {
+      val grp = concat(to_date(col("ts")).cast("string"), lit("|"),
+        col("event_type"))
+      ordered(events(s, d).groupBy(grp.as("grp"))
+        .agg(graft.plans.HllSketch.estimate(md5(col("user_id").cast("string"))).as("est"),
+          countDistinct(col("user_id")).as("exact_cnt"))
+        .select(col("grp"), col("est"), col("exact_cnt"),
+          expr("abs(est - exact_cnt) * 1000 div exact_cnt").as("err_permille")))
+    },
+    Some("WITH lc(v, lm) AS (VALUES " + graft.plans.HllSketch.lcValuesSql + "), " +
+      "h1 AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) || '|' || event_type AS grp, " +
+      "md5(CAST(user_id AS VARCHAR)) AS hx FROM events), " +
+      graft.plans.HllSketch.estimatorSql("h1", "f1") + ", " +
+      "x1 AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) || '|' || event_type AS grp, " +
+      "count(DISTINCT user_id) AS exact_cnt FROM events GROUP BY 1) " +
+      "SELECT f1.grp, f1.est, x1.exact_cnt, " +
+      "abs(est - exact_cnt) * 1000 // exact_cnt AS err_permille " +
+      "FROM f1 JOIN x1 USING (grp)" + OBA))
+
   // E2 gap-based sessionization (graft.streaming.EventStream.sessionize):
   // a new session starts after a 30-minute silence per user.
   val e2 = Q(
@@ -1974,6 +2001,32 @@ object DataCatalog {
         " SELECT host, r AS rank_micro FROM r3" + OBA
     })
 
+  // SHUF1 — epoch-seeded deterministic corpus shuffle: each epoch's
+  // data order is the rank of a content-stable 60-bit md5 score of
+  // (doc_id : epoch) — reproducible across reruns and engines (no RNG
+  // state), different per epoch (the seed is in the hash input), and
+  // computed with rank1's two-level prefix-count machinery whose only
+  // global window is the ≤256-row bucket-offsets frame — never a
+  // single-partition sort of the corpus. The training need: per-epoch
+  // example order that any worker can recompute locally from the id.
+  val shuf1 = Q(
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"))
+      ordered(Seq(0, 1).map { ep =>
+        val score = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":" + ep))), 1, 15), 16, 10).cast("long")
+        graft.operators.Ranking.globalRank(docs, col("doc_id"), score)
+          .select(col("id").as("doc_id"), lit(ep.toLong).as("epoch"),
+            col("rank").as("position"))
+      }.reduce(_.unionByName(_)))
+    },
+    Some((0 to 1).map { ep =>
+      "SELECT doc_id, CAST(" + ep + " AS BIGINT) AS epoch, " +
+        "row_number() OVER (ORDER BY " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':" + ep + "'), 1, 15))::BIGINT, " +
+        "doc_id) AS position FROM documents"
+    }.mkString(" UNION ALL ") + OBA))
+
   // MIX1 — deterministic corpus mixing to 5:2:2:1 language proportions
   // (es unweighted → dropped). The bottleneck stratum keeps rate 1000;
   // the others get integer-permille rates from pure integer division,
@@ -2844,6 +2897,7 @@ object DataCatalog {
     "e1_event_window_agg" -> e1, "e2_sessionize" -> e2, "e5_funnel" -> e5,
     "e6_retention" -> e6,
     "e3_sliding_window" -> e3, "e4_correlate" -> e4,
+    "e7_window_hll" -> e7,
     "a12_bitmap_distinct" -> a12, "hll1_distinct_sketch" -> hll1,
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "t8_interval_merge" -> t8, "j12_salted_join" -> j12,
@@ -2868,7 +2922,7 @@ object DataCatalog {
     "sim5b_refined_ann" -> sim5b, "sim6_sq8_ann" -> sim6,
     "tx11_pii_scrub" -> tx11, "tx15_blocklist_gate" -> tx15,
     "url1_link_hosts" -> url1, "url2_canonical_dedup" -> url2,
-    "pr1_host_pagerank" -> pr1,
+    "pr1_host_pagerank" -> pr1, "shuf1_epoch_shuffle" -> shuf1,
     "mix1_corpus_mixture" -> mix1,
     "mix2_epoch_mixture" -> mix2, "mix3_temperature_mixture" -> mix3,
     "dp3_corpus_prep" -> dp3, "dp5_pretrain_prep" -> dp5,
