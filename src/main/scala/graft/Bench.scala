@@ -103,7 +103,8 @@ object Bench {
     "emb7_jl_projection", "tx15_blocklist_gate", "url1_link_hosts",
     // round-9 additions
     "sim6_sq8_ann", "pr1_host_pagerank", "url2_canonical_dedup",
-    "e7_window_hll", "shuf1_epoch_shuffle")
+    "e7_window_hll", "shuf1_epoch_shuffle", "sim7_mutual_knn",
+    "emb8_centroid_drift")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -217,4 +217,36 @@ object Clustering {
       .agg(max(struct(col("cos"), (-col("cid")).as("neg"), col("cid"))).as("pick"))
       .select(col("vec_id"), col("sub"), col("pick.cid").as("code"))
   }
+
+  /** emb8 — embedding-space drift per stratum: cosine between each
+    * stratum's centroid and the global centroid (the monitoring card
+    * for "did this source's embedding distribution move"). Cosine is
+    * scale-invariant, so it is computed between the per-dimension SUM
+    * vectors — and those sums are EXACT: coordinates are fixed-pointed
+    * to integers first (floor(x·1e6 + 0.5)), making the per-(stratum,
+    * dim) aggregation order-independent integer arithmetic. Only the
+    * final 64-element fold runs in DOUBLE, in ascending-dim order both
+    * engines, so the card reproduces bit-for-bit. Shuffle profile: one
+    * map-side-combined hash agg keyed by (stratum, dim) — dims ×
+    * strata rows out, never the corpus. */
+  def centroidDrift(vectors: DataFrame, labelCol: String,
+      scale: Double = 1e6): DataFrame = {
+    val fx = vectors
+      .select(col(labelCol).as("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * scale + 0.5).cast("long").as("v"))
+    val byLabel = fx.groupBy("label", "dim")
+      .agg(sum("v").as("sl"), count(lit(1)).as("n"))
+    val global = fx.groupBy("dim").agg(sum("v").as("sg"))
+    byLabel.join(global, Seq("dim"))
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"), // n is per-label constant across dims
+        sort_array(collect_list(struct(col("dim"), col("sl"), col("sg")))).as("t"))
+      .select(col("label").cast("long").as("label"),
+        col("n_vecs").cast("long").as("n_vecs"),
+        (expr("aggregate(t, 0D, (acc, x) -> acc + CAST(x.sl AS DOUBLE) * CAST(x.sg AS DOUBLE))") /
+          (sqrt(expr("aggregate(t, 0D, (acc, x) -> acc + CAST(x.sl AS DOUBLE) * CAST(x.sl AS DOUBLE))")) *
+           sqrt(expr("aggregate(t, 0D, (acc, x) -> acc + CAST(x.sg AS DOUBLE) * CAST(x.sg AS DOUBLE))"))))
+          .as("drift_cos"))
+  }
 }

@@ -349,6 +349,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** sim7 — mutual-kNN graph: undirected edges (a < b) where each
+    * endpoint is in the OTHER's top-k (the standard kNN-graph
+    * construction under graph clustering and graph-based dedup;
+    * mutuality prunes hub-induced asymmetric edges). The kNN lists are
+    * computed once ([[topKIvf]]) and persisted; mutuality is one
+    * self-equi-join on the (query, neighbor)↔(neighbor, query) pair —
+    * k·N rows a side, never the corpus. Cosine is symmetric and both
+    * directions compute the identical strict fold, so either side's
+    * value is THE value. */
+  def mutualKnn(vectors: DataFrame, cellCol: String, k: Int): DataFrame = {
+    val knn = graft.CacheScope.persist(
+      topKIvf(vectors, cellCol, k)
+        .select(col("query_id"), col("neighbor_id"), col("cosine")))
+    knn.alias("x").join(knn.alias("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id"))
+      .filter(col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
+        col("x.cosine").as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) with cosine ≥
     * threshold, blocked by coarse cell to avoid the full cross product. */
   def nearDupPairs(vectors: DataFrame, cellCol: String, threshold: Double): DataFrame = {

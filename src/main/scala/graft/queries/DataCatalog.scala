@@ -318,6 +318,45 @@ object DataCatalog {
       "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
       "FROM ranked WHERE rank <= 5" + OBA))
 
+  // SIM7 — mutual-kNN graph edges: (a, b) kept iff each is in the
+  // other's within-cell top-5. The knn lists compute once (persisted);
+  // mutuality is a self-equi-join of k·N-row lists. The kNN graph is
+  // the input shape for graph clustering / graph-based semantic dedup.
+  val sim7 = Q(
+    (s, d) => ordered(Similarity.mutualKnn(embeddings(s, d), "label", 5)),
+    Some("WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings), " +
+      "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c USING (label) WHERE query_id <> neighbor_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored), " +
+      "knn AS (SELECT query_id, neighbor_id, cos FROM ranked WHERE rank <= 5) " +
+      "SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.cos AS cosine " +
+      "FROM knn x JOIN knn y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
+      "WHERE x.query_id < x.neighbor_id" + OBA))
+
+  // EMB8 — embedding centroid drift per label: cosine between each
+  // label's centroid and the global centroid, computed on EXACT
+  // fixed-point per-dim sums (cosine is scale-invariant, so sums stand
+  // in for means with no division anywhere); only the final 64-element
+  // fold runs in DOUBLE, ascending-dim both engines → bit-exact.
+  val emb8 = Q(
+    (s, d) => ordered(Clustering.centroidDrift(embeddings(s, d), "label")),
+    Some("WITH fx AS (SELECT label, i AS dim, " +
+      "CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v " +
+      "FROM embeddings, unnest(range(1, 65)) u(i)), " +
+      "l AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS sl, count(*) AS n " +
+      "FROM fx GROUP BY 1, 2), " +
+      "g AS (SELECT dim, CAST(sum(v) AS BIGINT) AS sg FROM fx GROUP BY 1), " +
+      "a AS (SELECT label, max(n) AS n_vecs, " +
+      "list(sl ORDER BY dim) AS sls, list(sg ORDER BY dim) AS sgs " +
+      "FROM (SELECT l.label, l.n, l.dim, l.sl, g.sg FROM l JOIN g USING (dim)) GROUP BY 1) " +
+      "SELECT CAST(label AS BIGINT) AS label, CAST(n_vecs AS BIGINT) AS n_vecs, " +
+      "list_reduce(list_transform(range(1, 65), i -> CAST(sls[i] AS DOUBLE) * CAST(sgs[i] AS DOUBLE)), (x, y) -> x + y) / " +
+      "(sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(sls[i] AS DOUBLE) * CAST(sls[i] AS DOUBLE)), (x, y) -> x + y)) * " +
+      "sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(sgs[i] AS DOUBLE) * CAST(sgs[i] AS DOUBLE)), (x, y) -> x + y))) " +
+      "AS drift_cos FROM a" + OBA))
+
   // SIM3 IVF multi-probe ANN: nprobe=3 over the 10 coarse cells — each
   // query also probes the two ring-adjacent cells, recovering neighbors
   // that fall just across its cell boundary (recall ⊇ sim2 by
@@ -2920,6 +2959,7 @@ object DataCatalog {
     "d9_paragraph_dedup" -> d9,
     "emb5_pq_codes" -> emb5, "sim5_ivfpq_ann" -> sim5,
     "sim5b_refined_ann" -> sim5b, "sim6_sq8_ann" -> sim6,
+    "sim7_mutual_knn" -> sim7, "emb8_centroid_drift" -> emb8,
     "tx11_pii_scrub" -> tx11, "tx15_blocklist_gate" -> tx15,
     "url1_link_hosts" -> url1, "url2_canonical_dedup" -> url2,
     "pr1_host_pagerank" -> pr1, "shuf1_epoch_shuffle" -> shuf1,
