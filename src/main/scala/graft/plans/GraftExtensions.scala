@@ -90,6 +90,12 @@ object GraftExtensions {
       arity("graft_dot", args, 2 to 2)
       FloatDotProduct(args(0), args(1))
     },
+    fn("graft_code_dot",
+        "strict-left-fold dot of a double array against a long code array " +
+          "(the SQ8 ADC scoring fold)") { args =>
+      arity("graft_code_dot", args, 2 to 2)
+      CodeDotProduct(args(0), args(1))
+    },
     fn("graft_normalize",
         "canonicalize text: unicode form (default NFC), lower, collapse whitespace") { args =>
       arity("graft_normalize", args, 1 to 4)

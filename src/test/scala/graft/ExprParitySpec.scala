@@ -133,6 +133,15 @@ class ExprParitySpec extends AnyFunSuite {
       .groupBy("g").agg(graft.plans.HllSketch.estimate(md5(col("v").cast("string"))).as("e"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hllSql == hllDf)
+    // SQ8 ADC fold via SQL ≡ the DataFrame path ≡ hand math
+    val cdSql = ext.sql(
+      "SELECT graft_code_dot(array(0.5D, 2.0D), array(CAST(3 AS BIGINT), CAST(4 AS BIGINT))) AS d")
+      .head().getAs[Double]("d")
+    val cdDf = ext.range(1)
+      .select(graft.plans.CodeDotProduct.dot(
+        typedLit(Seq(0.5, 2.0)), typedLit(Seq(3L, 4L))).as("d"))
+      .head().getAs[Double]("d")
+    assert(cdSql == cdDf && cdSql == 0.5 * 3 + 2.0 * 4)
     // decimal-spelled probs (0.25 parses as DECIMAL in SQL) must work —
     // covered above; a non-literal bins argument must fail at analysis
     val e = intercept[Exception] {
