@@ -73,6 +73,34 @@ object EventStream {
     q
   }
 
+  /** Windowed approximate distinct users (e7's stream twin): per
+    * (1-day tumbling window, event_type), the HLL estimate of unique
+    * user_ids. THE point of the sketch in streaming: the per-group
+    * state crossing micro-batches is the fixed 256-byte register
+    * buffer (HllSketch is a TypedImperativeAggregate — serialize/
+    * merge are the state-store contract), where an exact distinct
+    * would hold every id seen in the window. Batch twin: the same
+    * transform on a batch frame, oracle-gated as e7. */
+  def windowedHll(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(graft.plans.HllSketch.estimate(md5(col("user_id").cast("string"))).as("est"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("est"))
+
+  /** Run the windowed HLL distinct as a stream into a memory sink. */
+  def runWindowHllAvailableNow(spark: SparkSession, eventsDir: String,
+      outName: String): StreamingQuery = {
+    val q = windowedHll(streamSource(spark, eventsDir)).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Stream-static enrichment (J9's streaming form): the event stream
     * joins a static dimension per micro-batch — state-free for inner
     * joins (no watermark needed), dimension broadcast to executors.

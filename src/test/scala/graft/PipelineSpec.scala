@@ -156,6 +156,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(sparse(4L) == 4L && sparse(7L) == 7L) // singletons self-label
   }
 
+  test("streaming windowed HLL distinct (availableNow) matches batch twin") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ev_hll")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    EventStream.runWindowHllAvailableNow(spark, dir.toString, "hll_out")
+    val streamed = spark.table("hll_out")
+      .select("window_start", "event_type", "est")
+    val batch = EventStream.windowedHll(Tables.events(spark, sf))
+      .select("window_start", "event_type", "est")
+    assert(streamed.count() > 0)
+    // the sketch merge is exact (bytewise register max), so every
+    // watermark-closed window's streamed ESTIMATE equals the batch
+    // estimate bit-for-bit — only the un-closed tail may be withheld
+    assert(streamed.except(batch).count() == 0)
+    val cutoff = Tables.events(spark, sf).agg(max(col("ts"))).head().getTimestamp(0)
+    val withheld = batch.except(streamed)
+      .filter(col("window_start") < timestamp_millis(lit(cutoff.getTime - 26L * 3600 * 1000)))
+    assert(withheld.count() == 0)
+  }
+
   test("streaming windowed agg (availableNow) matches batch twin") {
     import graft.sources.Tables
     // stream sources need a directory; stage the single parquet file
