@@ -757,6 +757,41 @@ object DataCatalog {
       "SELECT user_id, CAST(min(s) AS BIGINT) AS start_us, CAST(max(e) AS BIGINT) AS end_us, " +
       "CAST(count(*) AS BIGINT) AS n_merged FROM isl GROUP BY user_id, island" + OBA))
 
+  // T9 — bitemporal as-of: the latest version visible under BOTH time
+  // axes — valid_from ≤ V (valid time) AND recorded_at ≤ T (transaction
+  // time, synthesized as up-to-4h-late arrival) — picked per user by
+  // (valid_from, recorded_at, event_id) DESC. The query a bitemporal
+  // store answers for "what did we believe at T about the state at V";
+  // V/T derive from max(ts) so the entry survives fixture
+  // regeneration. One filter + one keyed window — a single hash
+  // shuffle on user_id, never a pair join.
+  val t9 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def minusDays(n: Long) = java.sql.Timestamp.from(
+        mx.toInstant.minus(java.time.Duration.ofDays(n)))
+      val versions = ev.filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("ts").as("valid_from"),
+          expr("timestampadd(HOUR, CAST(event_id % 5 AS INT), ts)").as("recorded_at"),
+          col("event_type").as("state"), col("event_id"))
+      val visible = versions.filter(
+        col("valid_from") <= lit(minusDays(10)) &&
+          col("recorded_at") <= lit(minusDays(8)))
+      ordered(graft.operators.Dedup.keepOneByKey(visible, Seq(col("user_id")),
+          Seq(col("valid_from").desc, col("recorded_at").desc, col("event_id").desc))
+        .select(col("user_id"), col("valid_from"), col("recorded_at"), col("state")))
+    },
+    Some("WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS valid_from, " +
+      "CAST(ts AS TIMESTAMP) + (event_id % 5) * INTERVAL 1 HOUR AS recorded_at, " +
+      "event_type AS state, event_id FROM events WHERE event_id % 7 = 0), " +
+      "vis AS (SELECT * FROM v " +
+      "WHERE valid_from <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 DAY FROM events) " +
+      "AND recorded_at <= (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 8 DAY FROM events)), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+      "ORDER BY valid_from DESC, recorded_at DESC, event_id DESC) AS rn FROM vis) " +
+      "SELECT user_id, valid_from, recorded_at, state FROM r WHERE rn = 1" + OBA))
+
   // J12 salted skew join: identical semantics to the plain equi-join
   // (the oracle), different physical distribution — the hot-key spread
   // pattern for skew beyond AQE's split.
@@ -2939,7 +2974,8 @@ object DataCatalog {
     "e7_window_hll" -> e7,
     "a12_bitmap_distinct" -> a12, "hll1_distinct_sketch" -> hll1,
     "t6_asof_join" -> t6,
-    "t7_range_join" -> t7, "t8_interval_merge" -> t8, "j12_salted_join" -> j12,
+    "t7_range_join" -> t7, "t8_interval_merge" -> t8,
+    "t9_bitemporal_asof" -> t9, "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3, "smp3_fixed_sample" -> smp3,
     "emb3_centroid_assign" -> emb3,
