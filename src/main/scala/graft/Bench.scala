@@ -104,7 +104,7 @@ object Bench {
     // round-9 additions
     "sim6_sq8_ann", "pr1_host_pagerank", "url2_canonical_dedup",
     "e7_window_hll", "shuf1_epoch_shuffle", "sim7_mutual_knn",
-    "emb8_centroid_drift", "t9_bitemporal_asof")
+    "emb8_centroid_drift", "t9_bitemporal_asof", "d12_minhash_accuracy")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

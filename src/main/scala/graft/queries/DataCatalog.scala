@@ -26,7 +26,8 @@ object DataCatalog {
 
   /** The full MinHash-LSH pair pipeline as reusable CTE text, ending in
     * `pairs(id_a, id_b, jaccard)` (verified ≥ 0.5). */
-  private def minhashPairsBody(src: String): String = shinglesBody(src) + ", " +
+  private def minhashPairsBody(src: String, thresh: String = "0.5"): String =
+    shinglesBody(src) + ", " +
     "mins AS (SELECT doc_id, h, min(((((2*h+1)*2654435761) % 2147483647) * " +
     "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
     "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
@@ -43,7 +44,7 @@ object DataCatalog {
     "coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) AS jaccard " +
     "FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b " +
     "JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b " +
-    "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.5)"
+    s"WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= $thresh)"
   private val MinhashPairsBody = minhashPairsBody("documents")
 
   // D1 exact dedup: canonical doc per md5(text), min doc_id survives.
@@ -61,6 +62,38 @@ object DataCatalog {
   val d2 = Q(
     (s, d) => ordered(NearDup.minhashLsh(documents(s, d), col("doc_id"), col("text"), 0.5)),
     Some("WITH " + MinhashPairsBody + " SELECT id_a, id_b, jaccard FROM pairs" + OBA))
+
+  // D12 — MinHash sketch-accuracy scorecard (eval1's sibling for the
+  // dedup family): every LSH candidate pair scored both ways —
+  // n_match = agreeing minhash positions (the sketch's Jaccard
+  // estimate in sixteenths, exact integer) vs the exact shingle
+  // Jaccard — plus the signed estimate error. The methodology card
+  // that justifies the (16 hashes, 4 bands) parameters: error
+  // concentrates near 0, candidates skew high-similarity. Signature
+  // agreement is one integer fold over the two 16-long arrays; the
+  // exact side reuses d2's verification join on candidates only.
+  val d12 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.0)
+      val sigs = NearDup.minhashSigs(docs, col("doc_id"), col("text"))
+      ordered(pairs
+        .join(sigs.select(col("doc_id").as("id_a"), col("sigs").as("sa")), Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("sigs").as("sb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L)), 0L, (a, b) -> a + b)")
+            .as("n_match"),
+          col("jaccard"))
+        .withColumn("est_err",
+          col("n_match").cast("double") / 16.0 - col("jaccard")))
+    },
+    Some("WITH " + minhashPairsBody("documents", "0.0") + ", " +
+      "m AS (SELECT p.id_a, p.id_b, sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS nm " +
+      "FROM pairs p JOIN mins ma ON ma.doc_id = p.id_a " +
+      "JOIN mins mb ON mb.doc_id = p.id_b AND mb.h = ma.h GROUP BY 1, 2) " +
+      "SELECT p.id_a, p.id_b, CAST(m.nm AS BIGINT) AS n_match, p.jaccard, " +
+      "CAST(m.nm AS DOUBLE) / 16.0 - p.jaccard AS est_err " +
+      "FROM pairs p JOIN m ON p.id_a = m.id_a AND p.id_b = m.id_b" + OBA))
 
   // D6 connected-components dedup clustering: cluster_id = min doc_id
   // reachable through the verified MinHash near-dup graph (canonical-
@@ -2960,7 +2993,7 @@ object DataCatalog {
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
     "d5_embedding_neardup" -> d5, "d6_dedup_clusters" -> d6,
-    "d11_cluster_sizes" -> d11,
+    "d11_cluster_sizes" -> d11, "d12_minhash_accuracy" -> d12,
     "d7_capped_jaccard" -> d7, "emb1_quantize" -> emb1,
     "sk1_exact_quantiles" -> sk1, "sk2_hist_quantiles" -> sk2,
     "sim1_cosine_topk" -> sim1, "sim2_ivf_ann" -> sim2, "sim3_multiprobe_ann" -> sim3,
