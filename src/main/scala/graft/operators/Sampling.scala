@@ -128,6 +128,36 @@ object Sampling {
     df.filter(bucket(key) < rate)
   }
 
+  /** mix5 — token-budget mixture: mixtures are SPECIFIED in tokens, not
+    * documents, so keep-rates derive from per-stratum TOKEN totals: the
+    * budget splits across strata by weight (B_s = budget·w_s DIV Σw),
+    * and each stratum keeps permille rate min(1000, 1000·B_s DIV T_s)
+    * of its docs by the same content-stable md5 bucket as [[mixture]].
+    * The sampled token total hits B_s in expectation (doc sampling
+    * can't hit an exact token count without a serial scan; the permille
+    * rate is the distributed contract). All integer arithmetic — the
+    * oracle reproduces the selection bit-for-bit. Strata with no weight
+    * drop; a stratum under budget keeps everything (rate 1000).
+    * Scale: one map-side-combined token-total agg (S rows of driver
+    * model state) + a pure-map filter. */
+  def tokenBudgetMixture(df: DataFrame, key: Column, stratum: Column,
+      tokens: Column, budget: Long, weights: Map[String, Long]): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    val wSum = weights.values.sum
+    val totals = df.groupBy(stratum.as("s")).agg(sum(tokens).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => totals.getOrElse(s, 0L) > 0 }
+    require(present.nonEmpty, "no weighted stratum present in the data")
+    val rates = present.map { case (s, w) =>
+      s -> math.min(1000L, (1000L * (budget * w / wSum)) / totals(s))
+    }
+    val rate = rates.foldLeft(lit(-1L)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket(key) < rate)
+  }
+
   /** Deterministic train/val/test split (smp4): every row gets a split
     * label from its key's md5 bucket — train = [0, 1000-val-test),
     * val = next `valPermille`, test = the top `testPermille`. The same

@@ -2169,6 +2169,24 @@ object DataCatalog {
       "SELECT doc_id, lang, source, CAST(u.e AS BIGINT) AS epoch " +
       "FROM c, unnest(range(0, n)) u(e)" + OBA))
 
+  // MIX5 — token-budget mixture: the 10k-token budget splits 5:2:2:1
+  // across languages and each stratum's doc keep-rate derives from its
+  // TOKEN total (the unit mixtures are actually specified in), by pure
+  // integer arithmetic over the same md5-bucket selection as mix1.
+  val mix5 = Q(
+    (s, d) => ordered(Sampling.tokenBudgetMixture(documents(s, d), col("doc_id"),
+        col("lang"), size(split(trim(col("text")), "\\s+")).cast("long"), 10000L,
+        Map("en" -> 5L, "de" -> 2L, "fr" -> 2L, "zh" -> 1L))
+      .select(col("doc_id"), col("lang"), col("source"))),
+    Some("WITH w(s, wt) AS (VALUES ('en', 5), ('de', 2), ('fr', 2), ('zh', 1)), " +
+      "tot AS (SELECT lang AS s, sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS t " +
+      "FROM documents GROUP BY 1), " +
+      "j AS (SELECT w.s, w.wt, tot.t FROM w JOIN tot USING (s) WHERE tot.t > 0), " +
+      "r AS (SELECT s, least(1000, (1000 * ((10000 * wt) // 10)) // t) AS rate FROM j) " +
+      "SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r ON r.s = d.lang " +
+      "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.rate" +
+      OBA))
+
   // MIX3 — temperature-weighted mixture (α = 0.5): strata sampled
   // proportional to sqrt(n) — the multilingual rebalancing exponent —
   // with the smallest stratum kept whole. sqrt is the one power IEEE-754
@@ -3034,6 +3052,7 @@ object DataCatalog {
     "pr1_host_pagerank" -> pr1, "shuf1_epoch_shuffle" -> shuf1,
     "mix1_corpus_mixture" -> mix1,
     "mix2_epoch_mixture" -> mix2, "mix3_temperature_mixture" -> mix3,
+    "mix5_token_budget" -> mix5,
     "dp3_corpus_prep" -> dp3, "dp5_pretrain_prep" -> dp5,
     "c3_decontaminate" -> c3,
     "c4_split_leakage" -> c4, "c6_semantic_contamination" -> c6,
