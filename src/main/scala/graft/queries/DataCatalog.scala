@@ -1467,6 +1467,37 @@ object DataCatalog {
       "j -> r.x[j] * w.w[j]), (a, b) -> a + b) AS tt FROM r0 r, w10 w)) " +
       "SELECT vec_id, score FROM sc WHERE score >= 0.5" + OBA))
 
+  // LR3 — classifier calibration card: the trained lr gate's scores
+  // binned into deciles with per-bin count, positives, and an EXACT
+  // fixed-point score sum (mean score per bin derives downstream
+  // without an order-dependent float Σ) — the reliability diagram's
+  // data, the standard check before trusting a quality-classifier
+  // threshold. Training and scores are lr2's bit-exact machinery;
+  // binning adds one floor and one 10-row hash agg.
+  val lr3 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val w = Learning.logregTrain(e, col("embedding"),
+        (col("label") < 5).cast("double"), 64, 10, 2.0)
+      val scored = Learning.classifierGate(e, col("embedding"), col("vec_id"), w, 0.0)
+      ordered(scored
+        .join(e.select(col("vec_id"), (col("label") < 5).cast("long").as("y")),
+          Seq("vec_id"))
+        .groupBy(floor(col("score") * 10.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(floor(col("score") * 1000000.0).cast("long")).as("score_micro_sum")))
+    },
+    Some(logregCtes(10, 64, 2.0) +
+      ", sc AS (SELECT vec_id, 0.5 + 0.5 * tt / (1 + abs(tt)) AS score FROM " +
+      "(SELECT r.vec_id, list_reduce(list_transform(range(1, 66), " +
+      "j -> r.x[j] * w.w[j]), (a, b) -> a + b) AS tt FROM r0 r, w10 w)), " +
+      "yb AS (SELECT sc.vec_id, sc.score, CASE WHEN e.label < 5 THEN 1 ELSE 0 END AS y " +
+      "FROM sc JOIN embeddings e USING (vec_id)) " +
+      "SELECT CAST(floor(score * 10.0) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(y) AS BIGINT) AS n_pos, " +
+      "CAST(sum(CAST(floor(score * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro_sum " +
+      "FROM yb GROUP BY 1" + OBA))
+
   // SIM3B — metric-aware multi-probe on LEARNED centroids: each query
   // probes its 3 NEAREST emb4 centroids (ranked by the quantizer's own
   // cosine/min-cid scoring) instead of sim3's id-ring — the real
@@ -3057,6 +3088,7 @@ object DataCatalog {
     "c3_decontaminate" -> c3,
     "c4_split_leakage" -> c4, "c6_semantic_contamination" -> c6,
     "lr1_logreg_weights" -> lr1, "lr2_classifier_gate" -> lr2,
+    "lr3_calibration" -> lr3,
     "tx12_repetition" -> tx12, "tx13_pack_examples" -> tx13,
     "tx14_boilerplate" -> tx14,
     "smp4_split" -> smp4,
