@@ -103,6 +103,39 @@ object Retrieval {
     u.join(u.groupBy("term").agg(sum(col("n_docs_block")).as("df")), Seq("term"))
   }
 
+  /** idx3 — positional phrase search: exact phrase occurrences via the
+    * positional-index identity — a phrase matches doc d at anchor a iff
+    * for EVERY query position q the doc has that term at a + q. One
+    * term-equi-join of query tokens against the positional postings,
+    * then a (query, doc, anchor) group requiring all query positions
+    * present; counting surviving anchors gives per-doc occurrence
+    * counts. Handles repeated phrase terms and overlapping matches by
+    * construction; negative anchors self-eliminate (position 0's term
+    * can't sit below 0).
+    *
+    * Scale: the positional explode is the positional-index artifact
+    * (built once, persisted); the join touches only the QUERY terms'
+    * postings, and the anchor group is per-document — a stopword query
+    * term fans out by its tf, bounded per doc, never collected to one
+    * node. */
+  def phraseSearch(df: DataFrame, id: Column, text: Column,
+      phrases: DataFrame): DataFrame = {
+    val pos = graft.CacheScope.persist(
+      df.select(id.as("doc_id"),
+        posexplode(F.tokens(lower(text))).as(Seq("pos", "term"))))
+    val qTok = phrases.select(col("q_id"),
+      posexplode(F.tokens(lower(col("q_text")))).as(Seq("qpos", "term")))
+    val qLen = phrases.select(col("q_id"),
+      size(F.tokens(lower(col("q_text")))).cast("long").as("qlen"))
+    val anchors = qTok.join(pos, Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"),
+        (col("pos") - col("qpos")).as("anchor"))
+      .agg(count_distinct(col("qpos")).as("nq"))
+    anchors.join(qLen, Seq("q_id")).filter(col("nq") === col("qlen"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+  }
+
   /** TF-IDF query ranker — the second scorer for hybrid fusion: score =
     * Σ_t (tf/dl)·(N/df) over shared terms, fixed-pointed and summed
     * exactly like [[bm25]]. Same candidate generation (query-term

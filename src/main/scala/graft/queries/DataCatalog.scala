@@ -2842,6 +2842,33 @@ object DataCatalog {
   private val Bm25Queries = Seq(
     (1L, "spark table join"), (2L, "hash merge batch window"),
     (3L, "slow query filter group"))
+
+  // IDX3 — positional phrase search: exact phrase-occurrence counts per
+  // (query, doc) from the positional index — the anchor-alignment
+  // identity (all query positions present at doc position anchor+q),
+  // integer-only, overlapping matches and repeated terms included.
+  private val PhraseQueries = Seq(
+    (1L, "batch window"), (2L, "table part"), (3L, "query key scan"))
+  val idx3 = Q(
+    (s, d) => {
+      import s.implicits._
+      ordered(Retrieval.phraseSearch(documents(s, d), col("doc_id"), col("text"),
+        PhraseQueries.toDF("q_id", "q_text")))
+    },
+    Some("WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents), " +
+      "pos AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term " +
+      "FROM tk, unnest(range(1, len(tk) + 1)) u(i)), " +
+      "q(q_id, q_text) AS (VALUES " +
+      PhraseQueries.map { case (i, t) => s"($i, '$t')" }.mkString(", ") + "), " +
+      "qtk AS (SELECT q_id, regexp_split_to_array(trim(lower(q_text)), '\\s+') AS tk FROM q), " +
+      "qt AS (SELECT q_id, i - 1 AS qpos, tk[i] AS term " +
+      "FROM qtk, unnest(range(1, len(tk) + 1)) u(i)), " +
+      "ql AS (SELECT q_id, len(tk) AS qlen FROM qtk), " +
+      "an AS (SELECT qt.q_id, pos.doc_id, pos.pos - qt.qpos AS anchor, " +
+      "count(DISTINCT qt.qpos) AS nq FROM qt JOIN pos USING (term) GROUP BY 1, 2, 3) " +
+      "SELECT CAST(an.q_id AS BIGINT) AS q_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences " +
+      "FROM an JOIN ql USING (q_id) WHERE nq = qlen GROUP BY 1, 2" + OBA))
   private val Bm25QueriesSql =
     "q AS (SELECT CAST(q_id AS BIGINT) AS q_id, q_text FROM (VALUES " +
       Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ") +
@@ -3102,6 +3129,7 @@ object DataCatalog {
     "qc6_pack_efficiency" -> qc6,
     "rank1_curriculum" -> rank1,
     "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3,
-    "idx2_segment_merge" -> idx2, "dp4_crossmodal_dedup" -> dp4,
+    "idx2_segment_merge" -> idx2, "idx3_phrase_search" -> idx3,
+    "dp4_crossmodal_dedup" -> dp4,
     "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5)
 }

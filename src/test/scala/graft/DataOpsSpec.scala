@@ -1269,6 +1269,20 @@ class DataOpsSpec extends AnyFunSuite {
       assert(g == want, s"canonicalUrl($in)") }
   }
 
+  test("phraseSearch: exact alignment, overlapping matches, repeated terms") {
+    import graft.operators.Retrieval
+    val docs = Seq((0L, "a b a b a"), (1L, "a a a"), (2L, "b b"))
+      .toDF("doc_id", "text")
+    val qs = Seq((1L, "a b"), (2L, "a a")).toDF("q_id", "q_text")
+    val r = Retrieval.phraseSearch(docs, col("doc_id"), col("text"), qs)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r((1L, 0L)) == 2L, "'a b' occurs at anchors 0 and 2 in doc 0")
+    assert(r((2L, 1L)) == 2L, "'a a' overlaps: anchors 0 and 1 in doc 1")
+    assert(!r.contains((2L, 0L)), "doc 0 has no consecutive 'a a'")
+    assert(!r.contains((1L, 2L)), "doc 2 has no 'a' at all")
+    CacheScope.releaseAll()
+  }
+
   test("pagerank: integer-exact, deterministic, in-link authority orders hosts") {
     import graft.operators.Graph
     // b has two in-links, a one (from b's whole rank), c none
