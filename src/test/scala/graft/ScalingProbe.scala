@@ -108,6 +108,26 @@ object ScalingProbe {
       },
       "dp5_pretrain_prep" -> { d =>
         graft.queries.DataCatalog.dp5.build(spark, d)
+      },
+      // round-9 additions: the new shuffle-relevant operators. sim6/sim7
+      // run the catalog framing (cell count scales with the corpus, so
+      // within-cell candidate sets stay constant-size); pr1's edge list
+      // grows linearly with the corpus via the url extraction.
+      "sim6_sq8_ann" -> { d =>
+        Similarity.topKIvfSq(Tables.embeddings(spark, d), "label", 5)
+      },
+      "sim7_mutual_knn" -> { d =>
+        Similarity.mutualKnn(Tables.embeddings(spark, d), "label", 5)
+      },
+      "pr1_host_pagerank" -> { d =>
+        val withLinks = Tables.documents(spark, d).withColumn("text",
+          concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
+            lit(".org/p?q="), col("doc_id"),
+            lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
+        val edges = graft.operators.TextOps.docHosts(withLinks, col("doc_id"), col("text"))
+          .select(concat(lit("site"), col("doc_id") % 11, lit(".com")).as("src"),
+            col("host").as("dst"))
+        graft.operators.Graph.pagerank(edges, 3)
       })
 
     // warmup: one scan of each replica dir
