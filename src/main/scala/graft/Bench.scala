@@ -105,7 +105,8 @@ object Bench {
     "sim6_sq8_ann", "pr1_host_pagerank", "url2_canonical_dedup",
     "e7_window_hll", "shuf1_epoch_shuffle", "sim7_mutual_knn",
     "emb8_centroid_drift", "t9_bitemporal_asof", "d12_minhash_accuracy",
-    "mix5_token_budget", "lr3_calibration", "idx3_phrase_search")
+    "mix5_token_budget", "lr3_calibration", "idx3_phrase_search",
+    "dp6_web_corpus_prep")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

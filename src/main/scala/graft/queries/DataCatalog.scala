@@ -2200,6 +2200,55 @@ object DataCatalog {
       "SELECT doc_id, lang, source, CAST(u.e AS BIGINT) AS epoch " +
       "FROM c, unnest(range(0, n)) u(e)" + OBA))
 
+  // DP6 — web-corpus prep flagship composing the round's new operators:
+  // each doc carries a synthetic source URL (residues give ~30% URL
+  // dups); canonical-URL dedup keeps the min doc per canonical form
+  // (the crawl-dedup first gate), a 20-token length floor drops stubs
+  // (the C4 first filter), the 6k-token budget splits 5:2:2:1 across
+  // languages by mix5's integer rates, and shuf1's epoch-0 hash order
+  // assigns the final training positions. Every stage is an
+  // already-oracle-proven piece; the entry proves they COMPOSE.
+  val dp6 = Q(
+    (s, d) => {
+      val src = documents(s, d).withColumn("url",
+        concat(lit("https://WWW.Example"), col("doc_id") % 7,
+          lit(".org/page/?utm_source=feed&id="), col("doc_id") % 50))
+      val s1 = graft.operators.Dedup.keepOneByKey(src,
+        Seq(TextOps.canonicalUrl(col("url"))), Seq(col("doc_id")))
+      val s2 = s1.filter(size(split(trim(col("text")), "\\s+")) >= 20)
+      val s3 = Sampling.tokenBudgetMixture(s2, col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long"), 6000L,
+        Map("en" -> 5L, "de" -> 2L, "fr" -> 2L, "zh" -> 1L))
+      val score = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":0"))), 1, 15), 16, 10).cast("long")
+      ordered(graft.operators.Ranking.globalRank(s3.select(col("doc_id")),
+          col("doc_id"), score)
+        .select(col("id").as("doc_id"), col("rank").as("position"))
+        .join(s3.select(col("doc_id"), col("lang")), Seq("doc_id")))
+    },
+    Some("WITH src AS (SELECT doc_id, lang, text, " +
+      "'https://WWW.Example' || (doc_id % 7) || '.org/page/?utm_source=feed&id=' || (doc_id % 50) AS url " +
+      "FROM documents), " +
+      "nf AS (SELECT *, regexp_replace(url, '#.*$', '') AS u1 FROM src), " +
+      "lw AS (SELECT *, regexp_replace(lower(regexp_extract(u1, '^(https?://[^/?#]+)', 1)), " +
+      "'^(https?://)www\\.', '\\1') || regexp_extract(u1, '^https?://[^/?#]+(.*)$', 1) AS u2 FROM nf), " +
+      "nt AS (SELECT *, regexp_replace(u2, '(utm_[^&=]*|fbclid|gclid)=[^&]*&?', '', 'g') AS u3 FROM lw), " +
+      "cn AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(u3, '\\?&', '?'), '[?&]$', ''), " +
+      "'([^/])/$', '\\1') AS cu FROM nt), " +
+      "s1 AS (SELECT doc_id, lang, text FROM (SELECT *, row_number() OVER (" +
+      "PARTITION BY cu ORDER BY doc_id) AS rn FROM cn) WHERE rn = 1), " +
+      "s2 AS (SELECT * FROM s1 WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20), " +
+      "w(s, wt) AS (VALUES ('en', 5), ('de', 2), ('fr', 2), ('zh', 1)), " +
+      "tot AS (SELECT lang AS s, sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS t " +
+      "FROM s2 GROUP BY 1), " +
+      "j AS (SELECT w.s, w.wt, tot.t FROM w JOIN tot USING (s) WHERE tot.t > 0), " +
+      "r AS (SELECT s, least(1000, (1000 * ((6000 * wt) // 10)) // t) AS rate FROM j), " +
+      "s3 AS (SELECT d.doc_id, d.lang FROM s2 d JOIN r ON r.s = d.lang " +
+      "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.rate) " +
+      "SELECT doc_id, row_number() OVER (ORDER BY " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))::BIGINT, doc_id) AS position, " +
+      "lang FROM s3" + OBA))
+
   // MIX5 — token-budget mixture: the 10k-token budget splits 5:2:2:1
   // across languages and each stratum's doc keep-rate derives from its
   // TOKEN total (the unit mixtures are actually specified in), by pure
@@ -3110,7 +3159,7 @@ object DataCatalog {
     "pr1_host_pagerank" -> pr1, "shuf1_epoch_shuffle" -> shuf1,
     "mix1_corpus_mixture" -> mix1,
     "mix2_epoch_mixture" -> mix2, "mix3_temperature_mixture" -> mix3,
-    "mix5_token_budget" -> mix5,
+    "mix5_token_budget" -> mix5, "dp6_web_corpus_prep" -> dp6,
     "dp3_corpus_prep" -> dp3, "dp5_pretrain_prep" -> dp5,
     "c3_decontaminate" -> c3,
     "c4_split_leakage" -> c4, "c6_semantic_contamination" -> c6,
