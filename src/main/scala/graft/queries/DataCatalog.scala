@@ -622,6 +622,25 @@ object DataCatalog {
       "abs(est - exact_cnt) * 1000 // exact_cnt AS err_permille " +
       "FROM f1 JOIN x1 USING (grp)" + OBA))
 
+  // E9 — semi-structured JSON prop extraction: the events fixture's
+  // props column is a JSON payload no other query touches; parse it at
+  // scan time (get_json_object — codegen'd path, no UDF) and aggregate
+  // the extracted field per event_type. The ubiquitous telemetry shape:
+  // typed columns + one JSON bag, with the bag's fields pulled into
+  // relational aggregates on demand.
+  val e9 = Q(
+    (s, d) => ordered(events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        count_distinct(col("k")).as("distinct_k"))),
+    Some("WITH x AS (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events) " +
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k, " +
+      "min(k) AS min_k, max(k) AS max_k, CAST(count(DISTINCT k) AS BIGINT) AS distinct_k " +
+      "FROM x GROUP BY 1" + OBA))
+
   // E2 gap-based sessionization (graft.streaming.EventStream.sessionize):
   // a new session starts after a 30-minute silence per user.
   val e2 = Q(
@@ -2532,6 +2551,22 @@ object DataCatalog {
       "SELECT v.vec_id, v.cell FROM v " +
       "WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.vec_id = v.vec_id)" + OBA))
 
+  // QC8 — hierarchical corpus report via ROLLUP(lang, source): the
+  // dataset card with subtotal rows per lang and a grand total in ONE
+  // pass (Catalyst expands grouping sets into a single Expand+agg — no
+  // per-level rescans, the point of the operator at 100 TB). Integer
+  // aggregates only; NULL grouping keys mark subtotal rows identically
+  // in both engines.
+  val qc8 = Q(
+    (s, d) => ordered(documents(s, d)
+      .select(col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tk"))
+      .rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("total_tokens"))),
+    Some("SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens " +
+      "FROM documents GROUP BY ROLLUP (lang, source)" + OBA))
+
   // QC1 — corpus report: the per-(lang, source) "dataset card" emitted
   // before training (doc counts, token/char totals, mean doc length,
   // high-quality share at score ≥ 0.8). Every aggregate is an integer
@@ -3169,6 +3204,7 @@ object DataCatalog {
     "tx14_boilerplate" -> tx14,
     "smp4_split" -> smp4,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
+    "qc8_rollup_report" -> qc8, "e9_props_json" -> e9,
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
     "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
