@@ -158,6 +158,33 @@ object Sampling {
     df.filter(bucket(key) < rate)
   }
 
+  /** smp6 — deterministic weighted sample: fixed-size k with selection
+    * probability scaling in the stratum weight, and NO RNG state — each
+    * row's priority is its content-stable 60-bit md5 hash DIV its
+    * stratum weight (pure integer; a w× heavier stratum compresses its
+    * priority range w×, so it wins proportionally more of the global
+    * smallest-k), and the sample is the k smallest (priority, key)
+    * rows. The batch-deterministic stand-in for weighted reservoir
+    * sampling: reproducible across engines, reruns, and partitionings.
+    * Unweighted strata drop (the [[mixture]] convention).
+    * Scale: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    * local top-k, driver merges k·partitions rows, never a global sort. */
+  def weightedSample(df: DataFrame, key: Column, stratum: Column,
+      weights: Map[String, Long], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    val w = weights.foldLeft(lit(null).cast("long")) { case (acc, (s, wt)) =>
+      when(stratum === s, lit(wt)).otherwise(acc)
+    }
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    df.withColumn("__h", h).withColumn("__w", w)
+      .filter(col("__w").isNotNull)
+      .withColumn("priority", expr("__h DIV __w"))
+      .drop("__h", "__w")
+      .orderBy(col("priority"), key)
+      .limit(k)
+  }
+
   /** Deterministic train/val/test split (smp4): every row gets a split
     * label from its key's md5 bucket — train = [0, 1000-val-test),
     * val = next `valPermille`, test = the top `testPermille`. The same

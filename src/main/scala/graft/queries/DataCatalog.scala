@@ -2219,6 +2219,21 @@ object DataCatalog {
       "SELECT doc_id, lang, source, CAST(u.e AS BIGINT) AS epoch " +
       "FROM c, unnest(range(0, n)) u(e)" + OBA))
 
+  // SMP6 — deterministic weighted sample: global smallest-50 of
+  // (md5hash DIV lang-weight) — selection probability scales in the
+  // stratum weight with zero RNG state; TakeOrderedAndProject keeps
+  // top-k per partition, never a global sort. Unweighted es drops.
+  val smp6 = Q(
+    (s, d) => ordered(Sampling.weightedSample(documents(s, d), col("doc_id"),
+        col("lang"), Map("en" -> 5L, "de" -> 2L, "fr" -> 2L, "zh" -> 1L), 50)
+      .select(col("doc_id"), col("lang"), col("priority"))),
+    Some("WITH w(s, wt) AS (VALUES ('en', 5), ('de', 2), ('fr', 2), ('zh', 1)), " +
+      "p AS (SELECT d.doc_id, d.lang, " +
+      "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT // w.wt AS priority " +
+      "FROM documents d JOIN w ON w.s = d.lang) " +
+      "SELECT doc_id, lang, priority FROM " +
+      "(SELECT * FROM p ORDER BY priority, doc_id LIMIT 50)" + OBA))
+
   // DP6 — web-corpus prep flagship composing the round's new operators:
   // each doc carries a synthetic source URL (residues give ~30% URL
   // dups); canonical-URL dedup keeps the min doc per canonical form
@@ -3202,7 +3217,7 @@ object DataCatalog {
     "lr3_calibration" -> lr3,
     "tx12_repetition" -> tx12, "tx13_pack_examples" -> tx13,
     "tx14_boilerplate" -> tx14,
-    "smp4_split" -> smp4,
+    "smp4_split" -> smp4, "smp6_weighted_sample" -> smp6,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
     "qc8_rollup_report" -> qc8, "e9_props_json" -> e9,
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
