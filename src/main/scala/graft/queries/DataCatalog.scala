@@ -622,6 +622,39 @@ object DataCatalog {
       "abs(est - exact_cnt) * 1000 // exact_cnt AS err_permille " +
       "FROM f1 JOIN x1 USING (grp)" + OBA))
 
+  // QC9 — Tukey-fence outlier card per event_type: q1/q3 via the exact
+  // interpolating percentile (sk1's proven cross-engine parity), IQR
+  // fences at 1.5×, per-group counts below/above. The numeric-cleaning
+  // diagnostic run before trusting a value column; the fence arithmetic
+  // is a handful of float ops in identical order both engines, and the
+  // tiny bounds frame broadcasts — the fact table scans twice, never
+  // shuffles twice.
+  val qc9 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val bounds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, array(0.25, 0.75))").as("qs"))
+        .select(col("event_type"),
+          (element_at(col("qs"), 1) -
+            (element_at(col("qs"), 2) - element_at(col("qs"), 1)) * 1.5).as("lo"),
+          (element_at(col("qs"), 2) +
+            (element_at(col("qs"), 2) - element_at(col("qs"), 1)) * 1.5).as("hi"))
+      ordered(ev.join(broadcast(bounds), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value") < col("lo")).cast("long")).as("n_low"),
+          sum((col("value") > col("hi")).cast("long")).as("n_high"),
+          min(col("lo")).as("lo"), max(col("hi")).as("hi")))
+    },
+    Some("WITH s AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, " +
+      "quantile_cont(value, 0.75) AS q3 FROM events GROUP BY 1), " +
+      "b AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM s) " +
+      "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
+      "CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high, " +
+      "min(b.lo) AS lo, max(b.hi) AS hi " +
+      "FROM events e JOIN b USING (event_type) GROUP BY 1" + OBA))
+
   // E9 — semi-structured JSON prop extraction: the events fixture's
   // props column is a JSON payload no other query touches; parse it at
   // scan time (get_json_object — codegen'd path, no UDF) and aggregate
@@ -3220,6 +3253,7 @@ object DataCatalog {
     "smp4_split" -> smp4, "smp6_weighted_sample" -> smp6,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
     "qc8_rollup_report" -> qc8, "e9_props_json" -> e9,
+    "qc9_outlier_bounds" -> qc9,
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
     "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
