@@ -655,6 +655,21 @@ object DataCatalog {
       "min(b.lo) AS lo, max(b.hi) AS hi " +
       "FROM events e JOIN b USING (event_type) GROUP BY 1" + OBA))
 
+  // QC10 — source×lang cross-tab via pivot(): the wide dataset-card
+  // matrix (one row per lang, one column per source). The explicit
+  // value list keeps Catalyst's pivot ONE aggregation pass (no
+  // distinct-scan to discover columns, no second shuffle); absent
+  // combinations surface as NULL identically in both engines.
+  val qc10 = Q(
+    (s, d) => ordered(documents(s, d).groupBy("lang")
+      .pivot("source", (0 until 20).map("src" + _))
+      .count()),
+    Some("SELECT lang, " +
+      (0 until 20).map(i =>
+        s"CAST(sum(CASE WHEN source = 'src$i' THEN 1 END) AS BIGINT) AS src$i")
+        .mkString(", ") +
+      " FROM documents GROUP BY 1" + OBA))
+
   // E9 — semi-structured JSON prop extraction: the events fixture's
   // props column is a JSON payload no other query touches; parse it at
   // scan time (get_json_object — codegen'd path, no UDF) and aggregate
@@ -3253,7 +3268,7 @@ object DataCatalog {
     "smp4_split" -> smp4, "smp6_weighted_sample" -> smp6,
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
     "qc8_rollup_report" -> qc8, "e9_props_json" -> e9,
-    "qc9_outlier_bounds" -> qc9,
+    "qc9_outlier_bounds" -> qc9, "qc10_pivot_card" -> qc10,
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
     "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
