@@ -387,6 +387,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("smp6 weighted sample plans as TakeOrdered — per-partition top-k, no global sort") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    import graft.operators.Sampling
+    import graft.sources.Tables
+    val out = Sampling.weightedSample(Tables.documents(spark, sf), col("doc_id"),
+      col("lang"), Map("en" -> 5L, "de" -> 2L, "fr" -> 2L, "zh" -> 1L), 50)
+    assert(out.count() == 50)
+    val ns = nodes(out)
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "orderBy+limit must plan as TakeOrderedAndProject")
+    assert(!ns.exists(_.isInstanceOf[SortExec]),
+      "the sample must not materialize a global sort of the corpus")
+  }
+
   test("kmeans fast update aggregates map-side: no per-member collect_list") {
     import graft.operators.Clustering
     import graft.sources.Tables
