@@ -49,6 +49,41 @@ object Temporal {
         col("__filled").as(asOfValueName): _*)
   }
 
+  /** t10 — as-of join WITH TOLERANCE (pandas merge_asof's `tolerance`):
+    * the latest version at-or-before each event counts only if it is at
+    * most `tolSeconds` old — staler state is as good as none (the
+    * staleness contract of feature stores and sensor fusion). Same
+    * union + single-window forward fill as [[asofJoin]] — one hash
+    * shuffle on the key, no pair materialization — with the matched
+    * version's TIME filled alongside its value so the staleness test is
+    * a per-row µs subtraction. `valueCol` must be non-null on version
+    * rows (the fills travel as two parallel columns). */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCol: String,
+      tolSeconds: Long, asOfValueName: String = "asof_value"): DataFrame = {
+    require(tolSeconds > 0, s"tolSeconds must be positive, got $tolSeconds")
+    val leftCols = left.columns
+    val l = left.select(
+      col(key).as("__k") +: col(leftTime).as("__t") +: lit(0).as("__isr") +:
+        lit(null).cast(right.schema(valueCol).dataType).as("__v") +:
+        lit(null).cast(right.schema(rightTime).dataType).as("__vt") +:
+        leftCols.map(c => left(c).as(s"__l_$c")): _*)
+    val r = right.select(
+      col(key).as("__k") +: col(rightTime).as("__t") +: lit(1).as("__isr") +:
+        col(valueCol).as("__v") +: col(rightTime).as("__vt") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__isr").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__vf", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__vtf", last(col("__vt"), ignoreNulls = true).over(w))
+      .filter(col("__isr") === 0)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) :+
+        when(unix_micros(col("__t")) - unix_micros(col("__vtf")) <=
+          tolSeconds * 1000000L, col("__vf")).as(asOfValueName): _*)
+  }
+
   /** Range (interval-containment) join: left rows matched to intervals
     * [startCol, endCol] containing leftTime, on an equality key. The
     * equi-key keeps this a hash join — the interval predicate is a

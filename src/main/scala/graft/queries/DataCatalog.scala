@@ -857,6 +857,34 @@ object DataCatalog {
       "SELECT user_id, CAST(min(s) AS BIGINT) AS start_us, CAST(max(e) AS BIGINT) AS end_us, " +
       "CAST(count(*) AS BIGINT) AS n_merged FROM isl GROUP BY user_id, island" + OBA))
 
+  // T10 — as-of join with tolerance: t6's forward fill, but a matched
+  // version older than 6 hours is as good as none (feature-store /
+  // sensor staleness semantics). Same one-shuffle union-window plan;
+  // the oracle is DuckDB's native ASOF LEFT JOIN with the staleness
+  // CASE on the matched version time.
+  val t10 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val versions = graft.operators.Dedup.keepOneByKey(
+        ev.filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), col("ts").as("valid_from"),
+            col("event_type").as("state"), col("event_id")),
+        Seq(col("user_id"), col("valid_from")), Seq(col("event_id")))
+        .select("user_id", "valid_from", "state")
+      ordered(graft.operators.Temporal.asofJoinTolerance(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        versions, "user_id", "ts", "valid_from", "state", 6L * 3600, "asof_state"))
+    },
+    Some("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "v0 AS (SELECT user_id, ts AS valid_from, event_type AS state, " +
+      "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn " +
+      "FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id " +
+      "FROM events WHERE event_id % 7 = 0)), " +
+      "v AS (SELECT user_id, valid_from, state FROM v0 WHERE rn = 1) " +
+      "SELECT e.event_id, e.user_id, e.ts, " +
+      "CASE WHEN e.ts - v.valid_from <= INTERVAL 6 HOUR THEN v.state END AS asof_state " +
+      "FROM e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.valid_from" + OBA))
+
   // T9 — bitemporal as-of: the latest version visible under BOTH time
   // axes — valid_from ≤ V (valid time) AND recorded_at ≤ T (transaction
   // time, synthesized as up-to-4h-late arrival) — picked per user by
@@ -3231,7 +3259,8 @@ object DataCatalog {
     "a12_bitmap_distinct" -> a12, "hll1_distinct_sketch" -> hll1,
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "t8_interval_merge" -> t8,
-    "t9_bitemporal_asof" -> t9, "j12_salted_join" -> j12,
+    "t9_bitemporal_asof" -> t9, "t10_tolerance_asof" -> t10,
+    "j12_salted_join" -> j12,
     "m1_multimodal_meta" -> m1, "m2_header_decode" -> m2,
     "m3_frame_sample" -> m3, "smp3_fixed_sample" -> smp3,
     "emb3_centroid_assign" -> emb3,
