@@ -655,6 +655,21 @@ object DataCatalog {
       "min(b.lo) AS lo, max(b.hi) AS hi " +
       "FROM events e JOIN b USING (event_type) GROUP BY 1" + OBA))
 
+  // QC11 — metric melt via unpivot(): the long-form twin of qc10's
+  // cross-tab — wide per-doc metric columns become (doc_id, metric,
+  // value) rows, the shape metric stores and plotting layers consume.
+  // Catalyst's Expand again: one pass, fan-out = number of metrics.
+  val qc11 = Q(
+    (s, d) => ordered(TextOps.tokenCounts(documents(s, d), col("doc_id"), col("text"))
+      .unpivot(Array(col("doc_id")),
+        Array(col("ws_tokens"), col("bpe_tokens")), "metric", "n")),
+    Some("WITH t AS (SELECT doc_id, " +
+      "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens, " +
+      "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens " +
+      "FROM documents) " +
+      "SELECT doc_id, 'ws_tokens' AS metric, ws_tokens AS n FROM t " +
+      "UNION ALL SELECT doc_id, 'bpe_tokens', bpe_tokens FROM t" + OBA))
+
   // QC10 — source×lang cross-tab via pivot(): the wide dataset-card
   // matrix (one row per lang, one column per source). The explicit
   // value list keeps Catalyst's pivot ONE aggregation pass (no
@@ -3298,6 +3313,7 @@ object DataCatalog {
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
     "qc8_rollup_report" -> qc8, "e9_props_json" -> e9,
     "qc9_outlier_bounds" -> qc9, "qc10_pivot_card" -> qc10,
+    "qc11_metric_melt" -> qc11,
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
     "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
