@@ -387,6 +387,28 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("pr1 pagerank: iterations read the persisted edge table, never a cartesian") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.{Graph, TextOps}
+    import graft.sources.Tables
+    val withLinks = Tables.documents(spark, sf).withColumn("text",
+      concat(col("text"), lit(" https://h"), col("doc_id") % 5, lit(".org/x")))
+    val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
+      .select(concat(lit("s"), col("doc_id") % 3).as("src"), col("host").as("dst"))
+    val out = Graph.pagerank(edges, 3)
+    assert(out.count() > 0)
+    val ns = nodes(out)
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "every pagerank iteration must stay an equi-join on src")
+    // the edge+degree table is derived from the corpus ONCE and cached;
+    // each of the 3 iterations reads the in-memory copy, not the text
+    assert(ns.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "iterations must reuse the persisted edge table")
+    CacheScope.releaseAll()
+  }
+
   test("smp6 weighted sample plans as TakeOrdered — per-partition top-k, no global sort") {
     import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
     import graft.operators.Sampling
