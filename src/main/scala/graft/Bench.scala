@@ -108,7 +108,7 @@ object Bench {
     "mix5_token_budget", "lr3_calibration", "idx3_phrase_search",
     "dp6_web_corpus_prep", "qc8_rollup_report", "e9_props_json",
     "smp6_weighted_sample", "qc9_outlier_bounds", "qc10_pivot_card",
-    "t10_tolerance_asof", "qc11_metric_melt")
+    "t10_tolerance_asof", "qc11_metric_melt", "qc12_dup_rate")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

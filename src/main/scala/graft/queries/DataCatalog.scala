@@ -655,6 +655,25 @@ object DataCatalog {
       "min(b.lo) AS lo, max(b.hi) AS hi " +
       "FROM events e JOIN b USING (event_type) GROUP BY 1" + OBA))
 
+  // QC12 — per-source duplicate-rate card: which sources are
+  // mirror/boilerplate-heavy, from exact content hashes — n_docs,
+  // distinct texts, and an integer dup-permille. The triage card that
+  // decides where the d-family dedup budget goes. One hash agg on
+  // (source, md5) then one on source.
+  val qc12 = Q(
+    (s, d) => ordered(documents(s, d)
+      .groupBy(col("source"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_unique"),
+        expr("(sum(c) - count(1)) * 1000 DIV sum(c)").as("dup_permille"))),
+    Some("WITH g AS (SELECT source, md5(text) AS h, count(*) AS c " +
+      "FROM documents GROUP BY 1, 2) " +
+      "SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, " +
+      "CAST(count(*) AS BIGINT) AS n_unique, " +
+      "CAST((sum(c) - count(*)) * 1000 // sum(c) AS BIGINT) AS dup_permille " +
+      "FROM g GROUP BY 1" + OBA))
+
   // QC11 — metric melt via unpivot(): the long-form twin of qc10's
   // cross-tab — wide per-doc metric columns become (doc_id, metric,
   // value) rows, the shape metric stores and plotting layers consume.
@@ -3313,7 +3332,7 @@ object DataCatalog {
     "sem1_semantic_dedup" -> sem1, "qc1_corpus_report" -> qc1,
     "qc8_rollup_report" -> qc8, "e9_props_json" -> e9,
     "qc9_outlier_bounds" -> qc9, "qc10_pivot_card" -> qc10,
-    "qc11_metric_melt" -> qc11,
+    "qc11_metric_melt" -> qc11, "qc12_dup_rate" -> qc12,
     "bpe1_merges" -> bpe1, "bpe2_token_vocab" -> bpe2,
     "lm1_coverage_gate" -> lm1, "smp5_diversity_cap" -> smp5,
     "idx1_inverted_index" -> idx1, "ret1_bm25_topk" -> ret1,
