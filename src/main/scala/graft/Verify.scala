@@ -4,6 +4,11 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // extra args = run only these queries (local iteration; driver passes 2)
@@ -30,6 +35,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+        // stale-dir guard (ADVICE r9): overwrite only replaces the dir on
+        // success, so a prior run's green result for a now-failing query
+        // would survive and read as a pass. A failed query must leave NO
+        // readable result dir.
+        rmTree(new java.io.File(s"$outDir/$name"))
       } finally CacheScope.releaseAll() // operator-internal persists end with the query
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -52,6 +52,13 @@ object Graph {
     val ed = graft.CacheScope.persist(
       e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
     var r = nodes.withColumn("r", lit(init))
+    // At most two rank frames stay cached (ADVICE r9): each iteration
+    // materializes the new frame (count() — O(hosts) rows, which the
+    // next iteration's join would have paid anyway), then releases its
+    // predecessor so high-iteration runs don't accumulate cached frames
+    // and the lineage they pin. The final frame stays persisted for the
+    // caller; CacheScope.releaseAll() frees it at pipeline end.
+    var prevRank: DataFrame = null
     for (_ <- 1 to iters) {
       val contrib = ed.join(r.withColumnRenamed("host", "src"), Seq("src"))
         .select(col("dst").as("host"), expr("r DIV deg").as("c"))
@@ -60,6 +67,9 @@ object Graph {
         nodes.join(contrib, Seq("host"), "left")
           .select(col("host"),
             expr(s"$base + ($dampPermille * coalesce(cs, 0L)) DIV 1000").as("r")))
+      r.count()
+      if (prevRank != null) prevRank.unpersist()
+      prevRank = r
     }
     r.select(col("host"), col("r").as("rank_micro"))
   }

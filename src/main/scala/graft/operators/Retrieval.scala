@@ -191,7 +191,7 @@ object Retrieval {
     val dl = st.dl
     val dft = st.dft
     val statsRow = st.nDocs
-      .crossJoin(tf.agg(sum(col("tf")).as("total_len")))
+      .crossJoin(broadcast(tf.agg(sum(col("tf")).as("total_len"))))
     val qtAll = queries.select(col("q_id"),
       explode(F.tokens(lower(col("q_text")))).as("term")).distinct()
     // stopword-query guard: a term in more than maxDfRatio of the corpus

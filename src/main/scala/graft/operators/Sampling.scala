@@ -145,7 +145,13 @@ object Sampling {
     require(budget > 0, s"budget must be positive, got $budget")
     require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
     val wSum = weights.values.sum
-    val totals = df.groupBy(stratum.as("s")).agg(sum(tokens).as("t"))
+    // Hardening (ADVICE r9): cast the stratum to string so a non-string
+    // stratum column can't ClassCastException at collect, and coalesce
+    // the token sum so an all-null stratum reads as 0 (dropped below)
+    // instead of NPEing with an opaque error.
+    val sStr = stratum.cast("string")
+    val totals = df.groupBy(sStr.as("s"))
+      .agg(coalesce(sum(tokens), lit(0L)).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => totals.getOrElse(s, 0L) > 0 }
     require(present.nonEmpty, "no weighted stratum present in the data")
@@ -153,7 +159,7 @@ object Sampling {
       s -> math.min(1000L, (1000L * (budget * w / wSum)) / totals(s))
     }
     val rate = rates.foldLeft(lit(-1L)) { case (acc, (s, r)) =>
-      when(stratum === s, lit(r)).otherwise(acc)
+      when(sStr === s, lit(r)).otherwise(acc)
     }
     df.filter(bucket(key) < rate)
   }

@@ -370,8 +370,12 @@ object TextOps {
       regexp_replace(lower(regexp_extract(noFrag, "^(https?://[^/?#]+)", 1)),
         "^(https?://)www\\.", "$1"),
       regexp_extract(noFrag, "^https?://[^/?#]+(.*)$", 1))
+    // Anchored at a parameter boundary ([?&]) so a param whose name
+    // merely ENDS in a tracked name (?myfbclid=1) is kept intact; the
+    // (...)+ absorbs runs of consecutive tracking params in one match
+    // (the separator the next run needs is restored by $1).
     val noTrack = regexp_replace(lowered,
-      "(utm_[^&=]*|fbclid|gclid)=[^&]*&?", "")
+      "([?&])((?:utm_[^&=]*|fbclid|gclid)=[^&]*&?)+", "$1")
     val noDangle = regexp_replace(
       regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
     regexp_replace(noDangle, "([^/])/$", "$1")

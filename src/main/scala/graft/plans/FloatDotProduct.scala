@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native dot product over two `array<float>` columns, with whole-stage
   * codegen (SURVEY §4: custom `Expression` where built-ins can't express
@@ -21,9 +21,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * only faster.
   */
 case class FloatDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
+
+  // Declared input types (ADVICE r9): without these, a mistyped call —
+  // array<double> where array<float> is expected — reads raw ArrayData
+  // with the wrong accessor and silently returns garbage; with them the
+  // call fails (or coerces) at ANALYSIS time instead.
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -69,9 +75,14 @@ object FloatDotProduct {
   * the cell-restricted join, where an interpreted HOF would dominate
   * (the sim1/sim2 lesson documented above). */
 case class CodeDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
+
+  // Same analysis-time guard as [[FloatDotProduct]]: the ADC fold reads
+  // getDouble/getLong directly, so mismatched element types must be
+  // rejected before execution, not silently misread.
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(LongType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

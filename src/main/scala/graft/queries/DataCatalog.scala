@@ -2218,7 +2218,7 @@ object DataCatalog {
       "nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u), " +
       "lw AS (SELECT doc_id, regexp_replace(lower(regexp_extract(nf, '^(https?://[^/?#]+)', 1)), " +
       "'^(https?://)www\\.', '\\1') || regexp_extract(nf, '^https?://[^/?#]+(.*)$', 1) AS lw FROM nf), " +
-      "nt AS (SELECT doc_id, regexp_replace(lw, '(utm_[^&=]*|fbclid|gclid)=[^&]*&?', '', 'g') AS nt FROM lw), " +
+      "nt AS (SELECT doc_id, regexp_replace(lw, '([?&])((?:utm_[^&=]*|fbclid|gclid)=[^&]*&?)+', '\\1', 'g') AS nt FROM lw), " +
       "nd AS (SELECT doc_id, regexp_replace(regexp_replace(nt, '\\?&', '?'), '[?&]$', '') AS nd FROM nt), " +
       "c AS (SELECT doc_id, regexp_replace(nd, '([^/])/$', '\\1') AS canonical_url FROM nd) " +
       "SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_links, " +
@@ -2376,7 +2376,7 @@ object DataCatalog {
       "nf AS (SELECT *, regexp_replace(url, '#.*$', '') AS u1 FROM src), " +
       "lw AS (SELECT *, regexp_replace(lower(regexp_extract(u1, '^(https?://[^/?#]+)', 1)), " +
       "'^(https?://)www\\.', '\\1') || regexp_extract(u1, '^https?://[^/?#]+(.*)$', 1) AS u2 FROM nf), " +
-      "nt AS (SELECT *, regexp_replace(u2, '(utm_[^&=]*|fbclid|gclid)=[^&]*&?', '', 'g') AS u3 FROM lw), " +
+      "nt AS (SELECT *, regexp_replace(u2, '([?&])((?:utm_[^&=]*|fbclid|gclid)=[^&]*&?)+', '\\1', 'g') AS u3 FROM lw), " +
       "cn AS (SELECT *, regexp_replace(regexp_replace(regexp_replace(u3, '\\?&', '?'), '[?&]$', ''), " +
       "'([^/])/$', '\\1') AS cu FROM nt), " +
       "s1 AS (SELECT doc_id, lang, text FROM (SELECT *, row_number() OVER (" +

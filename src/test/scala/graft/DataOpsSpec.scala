@@ -1262,7 +1262,13 @@ class DataOpsSpec extends AnyFunSuite {
       "https://example.com/a/?utm_a=1" -> "https://example.com/a",
       // mid-query tracker removed with separator repair
       "https://example.com/p?x=2&utm_b=3" -> "https://example.com/p?x=2",
-      "https://example.com/p?fbclid=abc&y=1" -> "https://example.com/p?y=1")
+      "https://example.com/p?fbclid=abc&y=1" -> "https://example.com/p?y=1",
+      // boundary-anchored (ADVICE r9): a param merely ENDING in a tracked
+      // name is NOT a tracker and must survive intact
+      "https://example.com/p?myfbclid=1&x=2" -> "https://example.com/p?myfbclid=1&x=2",
+      // consecutive trackers collapse in one anchored match
+      "https://example.com/p?utm_a=1&utm_b=2&x=3" -> "https://example.com/p?x=3",
+      "https://example.com/p?x=1&utm_a=2&gclid=3" -> "https://example.com/p?x=1")
     val got = cases.map(_._1).toDF("url")
       .select(TextOps.canonicalUrl(col("url")).as("c")).as[String].collect()
     got.zip(cases).foreach { case (g, (in, want)) =>
