@@ -64,6 +64,63 @@ object NearDup {
           sep).as("clean_text"))
   }
 
+  /** dsub1 — exact substring dedup, the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") ExactSubstr operator:
+    * find, per document, every maximal token span whose every position
+    * is covered by a ≥`n`-token run that appears VERBATIM in at least
+    * `minDocs` distinct documents. This is the family member [[exact]] /
+    * [[paragraphDedup]] (d9) / cdc-chunk dedup (d10) cannot see: d1
+    * needs the whole doc duplicated, d9 the whole paragraph, d10 the
+    * whole content-defined chunk — a ≥n-token verbatim overlap that
+    * straddles those boundary units and is embedded in otherwise-unique
+    * text escapes all three. dsub1 is boundary-free by construction.
+    *
+    * Exactness without suffix arrays: a ≥n-token verbatim overlap exists
+    * iff the docs share an aligned n-token window, so stride-1 window
+    * hashes decide membership EXACTLY — the distributed replacement for
+    * Lee et al.'s single-node suffix array. Windows whose hash occurs in
+    * ≥minDocs distinct docs are duplicated coverage; merging them
+    * (half-open ends, so touching windows fuse) yields the maximal
+    * spans a trainer would mask or drop.
+    *
+    * Scale shape: one pure-map window expansion (~1 row per token — 8-16
+    * bytes each, hash + position, never window text), ONE hash shuffle
+    * on the window hash for the distinct-doc count, a semi-join of the
+    * persisted window frame against the (small, duplicate-only) hash
+    * set, and [[Temporal.mergeIntervals]]'s per-doc sort — all linear,
+    * no pair join anywhere. A hash repeated 10⁶ times is one partition's
+    * count, the exact-dedup skew profile. The md5-per-window map cost is
+    * the oracle-parity choice; at 100 TB the same plan runs with the
+    * rolling-hash kernel (graft.plans.TextHashExprs) making window
+    * hashing O(1) per position instead of O(n).
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens, n_windows) —
+    * inclusive 0-based token positions, one row per maximal span. */
+  def exactSubstrSpans(docs: DataFrame, id: Column, text: Column,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"window must be >= 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = docs.select(id.as("doc_id"), graft.functions.F.tokens(text).as("tk"))
+      .filter(size(col("tk")) >= n)
+    val wins = graft.CacheScope.persist(base
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - n),
+        i => conv(substring(md5(array_join(
+          slice(col("tk"), i + 1, lit(n)), " ")), 1, 15), 16, 10).cast("long"))))
+      .select(col("doc_id"), col("pos").cast("long").as("w"), col("col").as("h")))
+    val dup = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val hit = wins.join(dup, Seq("h"), "leftsemi")
+    // half-open [w, w+n): touching windows (next start == prev end) are
+    // contiguous coverage and must fuse into one span
+    Temporal.mergeIntervals(hit, col("doc_id"), col("w"), col("w") + n)
+      .select(col("key").as("doc_id"), col("start").as("span_start"),
+        (col("end") - 1).as("span_end"),
+        (col("end") - col("start")).as("span_tokens"),
+        col("n_merged").as("n_windows"))
+  }
+
   /** Distinct word-`n`-gram shingles per doc, one row each: (doc_id, sh).
     * Used by tests and as the row-per-shingle surface; the LSH pipeline
     * itself uses per-doc shingle ARRAYS (no row explosion). */

@@ -1948,6 +1948,43 @@ object DataCatalog {
       "string_agg(para, ' PBRK ' ORDER BY idx) AS clean_text " +
       "FROM kept GROUP BY doc_id" + OBA))
 
+  // DSUB1 — exact substring dedup (Lee et al. 2022 ExactSubstr): maximal
+  // per-doc token spans covered by ≥8-token runs appearing verbatim in
+  // ≥2 distinct docs. Fixture splices a shared quote (text of doc
+  // doc_id % 25) MID-document between two copies of the doc's own
+  // unique text: the overlap straddles any paragraph/chunk boundary and
+  // is embedded in unique text, so d1/d9/d10 all miss it; quote-source
+  // docs (own text ≡ quote) flag end-to-end, exercising span merging.
+  // Stride-1 window hashes decide membership exactly (a ≥8-token
+  // verbatim overlap ⇔ a shared aligned 8-gram); both engines run the
+  // identical md5-window + distinct-doc-count + island-merge pipeline.
+  val dsub1 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val q = docs.select(col("doc_id").as("q_id"), col("text").as("q_text"))
+      val spliced = docs.join(q, col("doc_id") % 25 === col("q_id"))
+        .select(col("doc_id"), concat(col("text"), lit(" "), col("q_text"),
+          lit(" "), col("text")).as("text"))
+      ordered(NearDup.exactSubstrSpans(spliced, col("doc_id"), col("text"), 8))
+    },
+    Some("WITH q AS (SELECT doc_id AS q_id, text AS q_text FROM documents), " +
+      "src AS (SELECT d.doc_id, d.text || ' ' || q.q_text || ' ' || d.text AS text " +
+      "FROM documents d JOIN q ON q.q_id = d.doc_id % 25), " +
+      "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM src), " +
+      "win AS (SELECT doc_id, CAST(i AS BIGINT) AS w, " +
+      "('0x' || substr(md5(array_to_string(tk[i+1:i+8], ' ')), 1, 15))::BIGINT AS h " +
+      "FROM toks, unnest(range(0, len(tk) - 7)) u(i) WHERE len(tk) >= 8), " +
+      "dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
+      "hit AS (SELECT doc_id, w AS s, w + 8 AS e FROM win WHERE h IN (SELECT h FROM dup)), " +
+      "fl AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER " +
+      "(PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
+      "THEN 1 ELSE 0 END AS f FROM hit), " +
+      "isl AS (SELECT doc_id, s, e, sum(f) OVER (PARTITION BY doc_id ORDER BY s, e " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl) " +
+      "SELECT doc_id, min(s) AS span_start, max(e) - 1 AS span_end, " +
+      "max(e) - min(s) AS span_tokens, CAST(count(*) AS BIGINT) AS n_windows " +
+      "FROM isl GROUP BY doc_id, island" + OBA))
+
   // OUT1 — deterministic corpus shard manifest: content-stable
   // `md5(doc_id) mod 8` shard assignment plus an order-independent
   // per-shard content hash (mod-sum of row hashes). The manifest IS the
@@ -3344,5 +3381,7 @@ object DataCatalog {
     "ret2_rrf_fusion" -> ret2, "bpe3_encoded_lengths" -> bpe3,
     "idx2_segment_merge" -> idx2, "idx3_phrase_search" -> idx3,
     "dp4_crossmodal_dedup" -> dp4,
-    "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5)
+    "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5,
+    // round 10 (append-only: bench session position is stable round-over-round)
+    "dsub1_exact_substring" -> dsub1)
 }

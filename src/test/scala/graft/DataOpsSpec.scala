@@ -22,6 +22,42 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == Set(0L, 2L, 3L, 4L))
   }
 
+  test("exactSubstrSpans: boundary-straddling overlap, threshold, within-doc repeat") {
+    val d = Seq(
+      // A and B share the 5-token run "q1 q2 q3 q4 q5" embedded in
+      // otherwise-unique text, straddling no shared paragraph/chunk —
+      // the case d1/d9/d10 all miss
+      (0L, "u1 u2 u3 q1 q2 q3 q4 q5 v1 v2"),
+      (1L, "w1 w2 q1 q2 q3 q4 q5 x1 x2 x3"),
+      // C and D share only a 4-token run — below the n=5 threshold
+      (2L, "a1 a2 a3 r1 r2 r3 r4 b1 b2 b3"),
+      (3L, "c1 c2 r1 r2 r3 r4 d1 d2 d3 d4"),
+      // E repeats a 5-token run WITHIN itself only — not cross-doc
+      (4L, "s1 s2 s3 s4 s5 e1 s1 s2 s3 s4 s5")
+    ).toDF("doc_id", "text")
+    val got = NearDup.exactSubstrSpans(d, col("doc_id"), col("text"), 5)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((0L, 3L, 7L, 5L), (1L, 2L, 6L, 5L)),
+      s"expected exactly the two 5-token spans, got ${got.toSeq}")
+    CacheScope.releaseAll()
+  }
+
+  test("exactSubstrSpans: touching and overlapping windows fuse into one maximal span") {
+    // docs share a 7-token run: with n=5 the three stride-1 windows
+    // (starts 0,1,2 in doc 0) overlap and must merge to ONE [0,6] span
+    val d = Seq(
+      (0L, "q1 q2 q3 q4 q5 q6 q7 z1 z2"),
+      (1L, "y1 y2 q1 q2 q3 q4 q5 q6 q7")
+    ).toDF("doc_id", "text")
+    val got = NearDup.exactSubstrSpans(d, col("doc_id"), col("text"), 5)
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_windows")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L, 6L, 7L, 3L), (1L, 2L, 8L, 7L, 3L)),
+      s"expected one merged maximal span per doc, got ${got.toSeq}")
+    CacheScope.releaseAll()
+  }
+
   test("minhashLsh finds exact and near dup pairs, skips unrelated") {
     val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -72,6 +72,28 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("exact-substring dedup: one persisted window pass, hash-equi semi-join only, no pair join") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.NearDup
+    import graft.sources.Tables
+    val spans = NearDup.exactSubstrSpans(
+      Tables.documents(spark, sf), col("doc_id"), col("text"), 8)
+    spans.count()
+    val ns = nodes(spans)
+    // the stride-1 window frame feeds BOTH the distinct-doc count and
+    // the coverage semi-join — it must come from the persisted pass, not
+    // a second corpus expansion
+    assert(ns.exists(_.isInstanceOf[InMemoryTableScanExec]),
+      "window frame must be persisted and reused, not re-expanded from the corpus")
+    // membership is decided by shared window hashes; there is no doc-pair
+    // join anywhere — the property that keeps dsub1 linear at 100 TB
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "exact-substring dedup must never form doc pairs")
+    CacheScope.releaseAll()
+  }
+
   test("bm25 statistics derive from one persisted tokenize pass, not repeated text scans") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
