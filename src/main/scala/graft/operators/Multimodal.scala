@@ -162,12 +162,13 @@ object Multimodal {
 
   // ---- fixture synthesis: real minimal containers from doc columns ----
 
-  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+  private def pngBytes(w: Int, h: Int, crc: Int = 0): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(33)
     out.put(PngSig).putInt(13).put("IHDR".getBytes)
       .putInt(w).putInt(h)
       .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
-      .putInt(0) // CRC not validated by the header parser
+      .putInt(crc) // CRC not validated by the header parser; m4's fixture
+                   // uses its last byte as the "one-pixel edit" carrier
     out.array()
   }
 
@@ -216,6 +217,93 @@ object Multimodal {
         MediaRow(id, payload, mime)
       }
   }
+
+  /** All-PNG media fixture for the perceptual-dedup entry (m4): ~each
+    * residue group `doc_id % 251` shares one (w, h) image; within a
+    * group, odd doc_ids carry a 1-byte payload difference (the CRC
+    * field's last byte) that the stub pixel grid renders as a one-cell
+    * edit — the "same picture, tiny edit" shape perceptual hashing
+    * exists to catch. Dims/edit derive from doc_id arithmetic so the
+    * oracle predicts them without parsing bytes. */
+  def syntheticImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val g = (id % 251).toInt
+      MediaRow(id, pngBytes(16 + (g * 37) % 200, 16 + (g * 53) % 150,
+        (id % 2).toInt), "image/png")
+    }
+  }
+
+  /** dHash bit packing over the stub pixel grid. The grid is the
+    * clearly-marked deterministic fake standing in for decode + resize +
+    * grayscale (this container has no image codecs): cell luminance is
+    * the repo's portable 60-bit md5 hash of `w:h:i` (i = r·9 + c, an
+    * 8-row × 9-col grid), plus a single-cell perturbation at (0, 1)
+    * scaled by `tweak` (the last payload byte — a real one-pixel edit
+    * flips exactly the ≤2 bits whose comparisons touch the edited
+    * cell). md5 cells matter: any grid LINEAR in (w, h) reduces every
+    * bit to a threshold on the ratio w/h, collapsing the hash space to
+    * a ~65-step staircase that floods the band join with cross-group
+    * near-collisions (observed: 42 distinct hashes over 500 images).
+    * Hashed cells are iid per (dims, cell), so distinct images land ~32
+    * bits apart — the uniform spread real pixel content gives dHash —
+    * and only true duplicates/edits survive the Hamming gate. The dHash
+    * itself is the REAL algorithm: bit (r·8+c) set iff a(r,c) <
+    * a(r,c+1) — row-wise gradient sign, the brightness-shift-invariant
+    * 64-bit fingerprint. */
+  private[graft] def dHash64(w: Int, h: Int, tweak: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def a(r: Int, c: Int): Long = {
+      val i = r * 9 + c
+      md.reset()
+      val hex = md.digest(s"$w:$h:$i".getBytes("UTF-8"))
+        .take(8).map(b => f"${b & 0xff}%02x").mkString
+      val base = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      if (r == 0 && c == 1) base + tweak.toLong * 2305843009213693952L else base
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (a(r, c) < a(r, c + 1)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** m4 step 1 — perceptual hash per image: REAL container-header decode
+    * (magic-byte sniff + IHDR/SOFn dims), stub pixel grid, real dHash
+    * packing, all inside the one batched mapPartitions pass that scans
+    * each payload once (decode init amortized per partition, the
+    * multimodal execution contract). Non-image payloads drop. Output:
+    * (doc_id, phash) — 8 bytes per image ever leaves the scan. */
+  def imageDHash(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseDims(r.payload) match {
+          case Some((mime, w, h)) if mime.startsWith("image/") =>
+            val tweak = r.payload(r.payload.length - 1) & 0xff
+            Some((r.doc_id, dHash64(w, h, tweak)))
+          case _ => None
+        }
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  /** m4 step 2 — near-duplicate image pairs at Hamming ≤ maxDist: the
+    * EXACT same 4×16-bit banded equi-join as text SimHash (d3) — the
+    * pigeonhole guarantees dist ≤ 3 pairs share a band, so no all-pairs
+    * comparison ever forms. Reuses [[NearDup.simhashPairs]] verbatim:
+    * one perceptual hash is just another 64-bit fingerprint. */
+  def imageDupPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame =
+    NearDup.simhashPairs(
+      hashes.select(col("doc_id"), col("phash").as("simhash")), maxDist)
 
   /** Deterministic frame-sample analog: pick every k-th byte window as a
     * "frame" offset list — stands in for video frame sampling. */

@@ -1825,6 +1825,40 @@ object DataCatalog {
   // the REAL decoded header dims (audio → sample positions, images →
   // row tiles) — the video-frame-sampling analog, deterministic and
   // map-only.
+  // M4 — perceptual image dedup: real PNG header decode → stub pixel
+  // grid (no codecs in this container; the grid derives from header
+  // dims + the last payload byte, so the oracle predicts it from doc
+  // arithmetic) → REAL dHash row-gradient packing → d3's 4×16-bit
+  // banded Hamming equi-join, reused verbatim. Residue groups share an
+  // image; odd ids carry a one-cell edit → Hamming ∈ {0, 1} pairs, and
+  // the pigeonhole (dist ≤ 3 over 4 bands) finds all of them without an
+  // all-pairs comparison.
+  val m4 = Q(
+    (s, d) => ordered(graft.operators.Multimodal.imageDupPairs(
+      graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.syntheticImages(documents(s, d))), 3)),
+    Some("WITH img AS (SELECT doc_id, 16 + ((doc_id % 251) * 37) % 200 AS w, " +
+      "16 + ((doc_id % 251) * 53) % 150 AS h, doc_id % 2 AS tw FROM documents), " +
+      "bits AS (SELECT doc_id, r * 8 + c AS b, CASE WHEN " +
+      "(('0x' || substr(md5(CAST(w AS VARCHAR) || ':' || CAST(h AS VARCHAR) || ':' || " +
+      "CAST(r*9+c AS VARCHAR)), 1, 15))::BIGINT + " +
+      "CASE WHEN r = 0 AND c = 1 THEN tw * 2305843009213693952 ELSE 0 END) < " +
+      "(('0x' || substr(md5(CAST(w AS VARCHAR) || ':' || CAST(h AS VARCHAR) || ':' || " +
+      "CAST(r*9+c+1 AS VARCHAR)), 1, 15))::BIGINT + " +
+      "CASE WHEN r = 0 AND c = 0 THEN tw * 2305843009213693952 ELSE 0 END) " +
+      "THEN 1 ELSE 0 END AS bit " +
+      "FROM img, unnest(range(0, 8)) ur(r), unnest(range(0, 8)) uc(c)), " +
+      "sig AS (SELECT doc_id, CAST(sum(CASE WHEN bit = 0 THEN 0 " +
+      "WHEN b = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << b) END) AS BIGINT) AS phash " +
+      "FROM bits GROUP BY doc_id), " +
+      "banded AS (SELECT doc_id, phash, b AS band, (phash >> (b * 16)) & 65535 AS key " +
+      "FROM sig, unnest(range(0, 4)) u(b)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "a.phash AS sa, b.phash AS sb FROM banded a JOIN banded b " +
+      "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) " +
+      "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand " +
+      "WHERE bit_count(xor(sa, sb)) <= 3" + OBA))
+
   val m3 = Q(
     (s, d) => {
       val feats = graft.operators.Multimodal.extractFeatures(
@@ -3383,5 +3417,5 @@ object DataCatalog {
     "dp4_crossmodal_dedup" -> dp4,
     "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5,
     // round 10 (append-only: bench session position is stable round-over-round)
-    "dsub1_exact_substring" -> dsub1)
+    "dsub1_exact_substring" -> dsub1, "m4_image_phash_dedup" -> m4)
 }

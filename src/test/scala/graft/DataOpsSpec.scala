@@ -22,6 +22,38 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got == Set(0L, 2L, 3L, 4L))
   }
 
+  test("imageDHash: byte-decoded dims, edit locality, unrelated images far apart") {
+    // identical dims + identical payload -> identical hash
+    assert(Multimodal.dHash64(100, 80, 0) == Multimodal.dHash64(100, 80, 0))
+    // a one-cell edit (tweak) flips at most the 2 bits touching cell (0,1)
+    val d01 = java.lang.Long.bitCount(
+      Multimodal.dHash64(100, 80, 0) ^ Multimodal.dHash64(100, 80, 1))
+    assert(d01 <= 2, s"one-pixel edit must stay within Hamming 2, got $d01")
+    // unrelated dims -> hashes ~32 bits apart (the md5-cell guarantee;
+    // a ratio-staircase grid would land these within the band gate)
+    val far = java.lang.Long.bitCount(
+      Multimodal.dHash64(100, 80, 0) ^ Multimodal.dHash64(101, 80, 0))
+    assert(far > 10, s"distinct images must not be near-collisions, got $far")
+    // end-to-end: synthesized PNGs round-trip through the byte parser and
+    // the banded join finds exactly the same-group pairs
+    val docs = Seq.tabulate(6)(i => (i.toLong, "x")).toDF("doc_id", "text")
+    val pairs = Multimodal.imageDupPairs(
+      Multimodal.imageDHash(Multimodal.syntheticImages(docs)), 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // groups are doc_id % 251: all 6 ids distinct groups -> no pairs...
+    // unless two group hashes collide, which md5 cells make untestably rare
+    assert(pairs.isEmpty, s"distinct-dim images must yield no pairs, got ${pairs.toSeq}")
+    val dup = Seq((0L, "x"), (251L, "x"), (502L, "x"), (1L, "x")).toDF("doc_id", "text")
+    val got = Multimodal.imageDupPairs(
+      Multimodal.imageDHash(Multimodal.syntheticImages(dup)), 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 0, 251, 502 share group 0 (251 is the odd-tweak twin); 1 is alone
+    assert(got == Set((0L, 251L), (0L, 502L), (251L, 502L)),
+      s"same-group images must pair up, got $got")
+    CacheScope.releaseAll()
+  }
+
   test("exactSubstrSpans: boundary-straddling overlap, threshold, within-doc repeat") {
     val d = Seq(
       // A and B share the 5-token run "q1 q2 q3 q4 q5" embedded in
