@@ -191,6 +191,24 @@ object Sampling {
       .limit(k)
   }
 
+  /** [[weightedSample]]'s data-derived-weight sibling (dp7): the weight
+    * is a COLUMN the caller joined in (e.g. a host authority rank from
+    * pagerank) instead of a static stratum map — same content-stable
+    * integer priority (60-bit md5 DIV weight), same smallest-k contract,
+    * same TakeOrderedAndProject plan (per-partition top-k, never a
+    * global sort). Rows with null or non-positive weight drop (the
+    * unweighted-stratum convention). */
+  def weightedSampleBy(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    df.withColumn("__h", h).withColumn("__w", weight.cast("long"))
+      .filter(col("__w").isNotNull && col("__w") > 0)
+      .withColumn("priority", expr("__h DIV __w"))
+      .drop("__h", "__w")
+      .orderBy(col("priority"), key)
+      .limit(k)
+  }
+
   /** Deterministic train/val/test split (smp4): every row gets a split
     * label from its key's md5 bucket — train = [0, 1000-val-test),
     * val = next `valPermille`, test = the top `testPermille`. The same

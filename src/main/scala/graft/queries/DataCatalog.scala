@@ -2464,6 +2464,65 @@ object DataCatalog {
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))::BIGINT, doc_id) AS position, " +
       "lang FROM s3" + OBA))
 
+  // DP7 — authority-weighted curation: the composition a CommonCrawl-
+  // style curator actually runs with the graph family. Each doc's host
+  // is a residue bucket; the host graph comes from url1's link
+  // extraction (own host → linked host); pr1's integer-exact PageRank
+  // scores host authority; each doc inherits its host's rank as a
+  // weight; smp6's hash-priority machinery (the data-derived-weight
+  // sibling weightedSampleBy) selects the k docs — high-authority hosts
+  // win proportionally more slots, bit-reproducibly. Corpus-side the
+  // plan is pure map + ONE broadcast join (the 11-row rank frame) + a
+  // TakeOrderedAndProject — the corpus never shuffles; only the
+  // edge-sized graph frames do.
+  val dp7 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val own = docs.select(col("doc_id"),
+        concat(lit("example"), col("doc_id") % 11, lit(".org")).as("host"))
+      val withLinks = docs.withColumn("text", concat(col("text"),
+        lit(" https://example"), col("doc_id") % 7, lit(".org/a"),
+        lit(" https://example"), (col("doc_id") * 3 + 1) % 11, lit(".org/b")))
+      val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
+        .join(own.withColumnRenamed("host", "src"), Seq("doc_id"))
+        .select(col("src"), col("host").as("dst"))
+      val ranks = graft.operators.Graph.pagerank(edges, 3)
+        .select(col("host"),
+          (lit(1L) + expr("rank_micro DIV 50000000000")).as("host_weight"))
+      val weighted = own.join(broadcast(ranks), Seq("host"))
+      ordered(Sampling.weightedSampleBy(weighted, col("doc_id"),
+          col("host_weight"), 100)
+        .select(col("doc_id"), col("host"), col("host_weight"), col("priority")))
+    },
+    Some {
+      val iterSql = (1 to 3).map { t =>
+        s"r$t AS (SELECT nd.host, CAST((SELECT base FROM c0) + " +
+          "(850 * COALESCE(s.cs, 0)) // 1000 AS BIGINT) AS r " +
+          "FROM nd LEFT JOIN (SELECT e.dst AS host, sum(rr.r // dg.deg) AS cs " +
+          s"FROM e JOIN r${t - 1} rr ON rr.host = e.src " +
+          "JOIN dg ON dg.src = e.src GROUP BY 1) s USING (host))"
+      }.mkString(", ")
+      "WITH t AS (SELECT doc_id, text || ' https://example' || (doc_id % 7) || '.org/a' || " +
+        "' https://example' || ((doc_id * 3 + 1) % 11) || '.org/b' AS text FROM documents), " +
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s?#]+)', 1)), " +
+        "'^www\\.', '') AS host FROM u), " +
+        "own AS (SELECT doc_id, 'example' || (doc_id % 11) || '.org' AS host FROM documents), " +
+        "e AS (SELECT DISTINCT o.host AS src, h.host AS dst FROM h JOIN own o USING (doc_id)), " +
+        "nd AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)), " +
+        "c0 AS (SELECT 1000000000000 // count(*) AS init, " +
+        "(150 * (1000000000000 // count(*))) // 1000 AS base FROM nd), " +
+        "dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+        "r0 AS (SELECT host, (SELECT init FROM c0) AS r FROM nd), " +
+        iterSql +
+        ", rk AS (SELECT host, CAST(1 + r // 50000000000 AS BIGINT) AS host_weight FROM r3), " +
+        "p AS (SELECT o.doc_id, o.host, rk.host_weight, " +
+        "('0x' || substr(md5(CAST(o.doc_id AS VARCHAR)), 1, 15))::BIGINT // rk.host_weight AS priority " +
+        "FROM own o JOIN rk USING (host)) " +
+        "SELECT doc_id, host, host_weight, priority FROM " +
+        "(SELECT * FROM p ORDER BY priority, doc_id LIMIT 100)" + OBA
+    })
+
   // MIX5 — token-budget mixture: the 10k-token budget splits 5:2:2:1
   // across languages and each stratum's doc keep-rate derives from its
   // TOKEN total (the unit mixtures are actually specified in), by pure
@@ -3417,5 +3476,6 @@ object DataCatalog {
     "dp4_crossmodal_dedup" -> dp4,
     "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5,
     // round 10 (append-only: bench session position is stable round-over-round)
-    "dsub1_exact_substring" -> dsub1, "m4_image_phash_dedup" -> m4)
+    "dsub1_exact_substring" -> dsub1, "m4_image_phash_dedup" -> m4,
+    "dp7_authority_curation" -> dp7)
 }

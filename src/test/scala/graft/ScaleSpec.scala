@@ -445,6 +445,39 @@ class ScaleSpec extends AnyFunSuite {
       "the sample must not materialize a global sort of the corpus")
   }
 
+  test("dp7 authority curation: rank joins broadcast, corpus top-k takes ordered, no pair join") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.{Graph, Sampling, TextOps}
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val own = docs.select(col("doc_id"),
+      concat(lit("example"), col("doc_id") % 11, lit(".org")).as("host"))
+    val withLinks = docs.withColumn("text", concat(col("text"),
+      lit(" https://example"), col("doc_id") % 7, lit(".org/a")))
+    val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
+      .join(own.withColumnRenamed("host", "src"), Seq("doc_id"))
+      .select(col("src"), col("host").as("dst"))
+    val ranks = Graph.pagerank(edges, 2)
+      .select(col("host"), (lit(1L) + expr("rank_micro DIV 50000000000")).as("host_weight"))
+    val out = Sampling.weightedSampleBy(
+      own.join(broadcast(ranks), Seq("host")), col("doc_id"), col("host_weight"), 20)
+    assert(out.count() == 20)
+    val ns = nodes(out)
+    // the O(hosts) rank frame broadcasts onto the corpus — the corpus
+    // itself never shuffles for the weight join
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "doc←rank weight join must broadcast the host-rank frame")
+    assert(ns.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "weighted selection must plan as TakeOrderedAndProject")
+    assert(!ns.exists(_.isInstanceOf[SortExec]),
+      "the selection must not materialize a global sort of the corpus")
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "dp7 must stay equi-join only")
+    CacheScope.releaseAll()
+  }
+
   test("kmeans fast update aggregates map-side: no per-member collect_list") {
     import graft.operators.Clustering
     import graft.sources.Tables
