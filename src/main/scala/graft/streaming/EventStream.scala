@@ -111,6 +111,58 @@ object EventStream {
       .select(events("event_id"), events("user_id"), events("event_type"),
         dim(nameCol).as("user_name"))
 
+  /** Stream-static AS-OF join with staleness tolerance (t10's streaming
+    * twin — the feature-store SERVING pattern: each event reads the
+    * feature version that was current at its event time, unless that
+    * version is staler than `tolSeconds`).
+    *
+    * The batch t10 formulation (union + per-key window forward fill,
+    * Temporal.asofJoinTolerance) is not streamable — a global per-key
+    * window over a stream is unbounded state. The streaming-legal
+    * rewrite moves ALL the temporal logic to the STATIC side: the
+    * versioned dimension is rewritten once at plan time into disjoint
+    * validity intervals [vt, lead(vt)) (a batch window over the
+    * dimension, O(versions)), and each event then matches AT MOST ONE
+    * interval by equi-key + containment + staleness — a stateless
+    * stream-static left join, append mode, no watermark state, the
+    * interval frame broadcast per micro-batch. ScaleSpec pins this
+    * formulation ≡ asofJoinTolerance on identical batch inputs, and
+    * stream ≡ batch through the memory sink. */
+  def asofEnrich(events: DataFrame, dim: DataFrame, key: String,
+      eventTime: String, versionTime: String, valueCol: String,
+      tolSeconds: Long, asOfValueName: String = "asof_value"): DataFrame = {
+    require(tolSeconds > 0, s"tolSeconds must be positive, got $tolSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dk")).orderBy(col("__vt"))
+    val iv = dim.select(col(key).as("__dk"), col(versionTime).as("__vt"),
+        col(valueCol).as("__v"))
+      .withColumn("__vend", lead(col("__vt"), 1).over(w))
+    events.join(broadcast(iv),
+        events(key) === iv("__dk") &&
+          col(eventTime) >= col("__vt") &&
+          (col("__vend").isNull || col(eventTime) < col("__vend")) &&
+          unix_micros(col(eventTime)) - unix_micros(col("__vt")) <=
+            tolSeconds * 1000000L,
+        "left")
+      .select(events.columns.map(events(_)) :+ col("__v").as(asOfValueName): _*)
+  }
+
+  /** Run the stream-static as-of enrichment into a memory sink. */
+  def runAsofEnrichAvailableNow(spark: SparkSession, eventsDir: String,
+      dim: DataFrame, key: String, versionTime: String, valueCol: String,
+      tolSeconds: Long, outName: String): StreamingQuery = {
+    val src = streamSource(spark, eventsDir)
+    val q = asofEnrich(src, dim, key, "ts", versionTime, valueCol, tolSeconds)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Run the stream-static enrichment end-to-end into a memory sink. */
   def runEnrichAvailableNow(spark: SparkSession, eventsDir: String,
       dim: DataFrame, dimKey: String, nameCol: String,

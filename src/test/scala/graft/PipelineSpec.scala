@@ -177,6 +177,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(withheld.count() == 0)
   }
 
+  test("t10 streaming twin: stream-static as-of ≡ batch ≡ union-window formulation") {
+    import graft.sources.Tables
+    import graft.operators.Temporal
+    val dir = java.nio.file.Files.createTempDirectory("ev_asof")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val ev = Tables.events(spark, sf)
+    // versioned dimension: 4 feature versions per user spread across the
+    // event-time range; tolerance of half a version gap makes staleness
+    // bite (events late in a version's life get NULL, not stale state)
+    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val lo = bounds.getTimestamp(0).getTime
+    val span = bounds.getTimestamp(1).getTime - lo
+    val dim = ev.select(col("user_id")).distinct()
+      .crossJoin(spark.range(4).toDF("k"))
+      .select(col("user_id"),
+        timestamp_millis(lit(lo) + col("k") * lit(span / 4)).as("vt"),
+        (col("user_id") * 10 + col("k")).cast("double").as("feature"))
+    val tol = math.max(span / 8 / 1000, 1L)
+    EventStream.runAsofEnrichAvailableNow(spark, dir.toString, dim,
+      "user_id", "vt", "feature", tol, "asof_out")
+    val streamed = spark.table("asof_out")
+    val batch = EventStream.asofEnrich(ev, dim, "user_id", "ts", "vt", "feature", tol)
+    assert(streamed.count() == ev.count(), "left join must keep every event")
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+    // the interval rewrite IS t10: bit-identical to union + window fill
+    val t10 = Temporal.asofJoinTolerance(ev, dim, "user_id", "ts", "vt", "feature", tol)
+    assert(batch.except(t10).count() == 0 && t10.except(batch).count() == 0)
+    assert(batch.filter(col("asof_value").isNotNull).count() > 0, "some events must match")
+    assert(batch.filter(col("asof_value").isNull).count() > 0, "staleness must bite")
+  }
+
   test("streaming windowed agg (availableNow) matches batch twin") {
     import graft.sources.Tables
     // stream sources need a directory; stage the single parquet file
