@@ -128,6 +128,30 @@ object ScalingProbe {
           .select(concat(lit("site"), col("doc_id") % 11, lit(".com")).as("src"),
             col("host").as("dst"))
         graft.operators.Graph.pagerank(edges, 3)
+      },
+      // round-10 additions: the retrieval family, production framing —
+      // FIXED query set against the growing corpus. Copy-suffixed tokens
+      // mean the fixed queries match only copy-0 postings (candidate
+      // sets constant); what grows linearly is the index/stats side
+      // (tokenize, tf/dl/dft aggregation, postings build) — exactly the
+      // cost a retrieval deployment pays as the corpus grows.
+      "idx1_inverted_index" -> { d =>
+        graft.operators.Retrieval.postingsIndex(
+          Tables.documents(spark, d), col("doc_id"), col("text"))
+      },
+      "ret1_bm25_topk" -> { d =>
+        import spark.implicits._
+        graft.operators.Retrieval.bm25(
+          Tables.documents(spark, d), col("doc_id"), col("text"),
+          Seq((1L, "spark table join"), (2L, "hash merge batch window"),
+            (3L, "slow query filter group")).toDF("q_id", "q_text"))
+      },
+      "idx3_phrase_search" -> { d =>
+        import spark.implicits._
+        graft.operators.Retrieval.phraseSearch(
+          Tables.documents(spark, d), col("doc_id"), col("text"),
+          Seq((1L, "batch window"), (2L, "table part"),
+            (3L, "query key scan")).toDF("q_id", "q_text"))
       })
 
     // warmup: one scan of each replica dir
