@@ -73,4 +73,48 @@ object Graph {
     }
     r.select(col("host"), col("r").as("rank_micro"))
   }
+
+  /** Integer-exact HITS (hits1): unnormalized hub/authority mutual
+    * recursion over BIGINT counts — a_t(v) = Σ_{u→v} h_{t-1}(u),
+    * h_t(u) = Σ_{u→v} a_t(v) — with h_0 = 1. Skipping the usual L2
+    * normalization keeps every value an exact integer (pure sums, no
+    * division anywhere), so the result is order-independent and
+    * reproducible bit-for-bit by any engine; relative ordering, which
+    * is what authority/hub filters consume, is unchanged by the
+    * missing normalization. Unnormalized values grow by at most a
+    * max-degree² factor per round, so iterations are capped at 4 (the
+    * curation sweet spot is 2–3) to keep scores inside BIGINT on any
+    * real host graph; past that, callers should rescale between rounds.
+    *
+    * Scale shape: per round, two equi-joins of the edge list against an
+    * O(hosts) score vector plus two map-side-combined hash aggs — the
+    * same distributed shape as [[pagerank]]. Edges persist once across
+    * rounds; score vectors are O(hosts). Dangling semantics: a node
+    * with no in-edges has authority 0; no out-edges → hub 0.
+    *
+    * Output: `(host, hub, authority)` for every edge endpoint. */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 4,
+      s"iters must be in [1, 4] (unnormalized scores grow ~deg^2/round), got $iters")
+    val e = graft.CacheScope.persist(
+      edges.select(col("src"), col("dst")).distinct())
+    val nodes = e.select(col("src").as("host"))
+      .unionByName(e.select(col("dst").as("host"))).distinct()
+    var h = nodes.withColumn("s", lit(1L))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = nodes.join(
+          e.join(h.withColumnRenamed("host", "src"), Seq("src"))
+            .groupBy(col("dst").as("host")).agg(sum(col("s")).as("sa")),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("sa"), lit(0L)).as("s"))
+      h = nodes.join(
+          e.join(a.withColumnRenamed("host", "dst"), Seq("dst"))
+            .groupBy(col("src").as("host")).agg(sum(col("s")).as("sh")),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("sh"), lit(0L)).as("s"))
+    }
+    h.select(col("host"), col("s").as("hub"))
+      .join(a.select(col("host"), col("s").as("authority")), Seq("host"))
+  }
 }

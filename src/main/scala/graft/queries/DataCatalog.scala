@@ -3404,6 +3404,50 @@ object DataCatalog {
       "coalesce(h.n_hits, 0) * 2 >= t.n_bigrams AS kept " +
       "FROM tot t LEFT JOIN hits h USING (doc_id)" + OBA))
 
+  // HITS1 — hub/authority scores (integer-exact HITS) on the url1 link
+  // graph: Kleinberg's mutual recursion a_t(v)=Σ_{u→v}h_{t-1}(u),
+  // h_t(u)=Σ_{u→v}a_t(v), h_0=1 — run UNNORMALIZED so every score is an
+  // exact BIGINT sum (no division anywhere) and two rounds unroll
+  // bit-for-bit in the oracle; relative order, which authority/hub
+  // filters consume, matches the normalized variant. The curation
+  // reading: authority ranks content hosts (link targets), hub ranks
+  // aggregator hosts (link sources) — the two-sided complement of
+  // pr1's single PageRank score. Per round: two edge-list equi-joins
+  // against an O(hosts) vector + two map-side-combined aggs; edges
+  // persist once across rounds.
+  val hits1 = Q(
+    (s, d) => {
+      val withLinks = documents(s, d).withColumn("text",
+        concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
+          lit(".org/p?q="), col("doc_id"),
+          lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
+      val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
+        .select(concat(lit("site"), col("doc_id") % 11, lit(".com")).as("src"),
+          col("host").as("dst"))
+      ordered(graft.operators.Graph.hits(edges, 2))
+    },
+    Some {
+      val rounds = (1 to 2).map { t =>
+        s"a$t AS (SELECT nd.host, CAST(coalesce(x.s, 0) AS BIGINT) AS s FROM nd " +
+          s"LEFT JOIN (SELECT e.dst AS host, CAST(sum(p.s) AS BIGINT) AS s " +
+          s"FROM e JOIN h${t - 1} p ON p.host = e.src GROUP BY 1) x USING (host)), " +
+          s"h$t AS (SELECT nd.host, CAST(coalesce(x.s, 0) AS BIGINT) AS s FROM nd " +
+          s"LEFT JOIN (SELECT e.src AS host, CAST(sum(p.s) AS BIGINT) AS s " +
+          s"FROM e JOIN a$t p ON p.host = e.dst GROUP BY 1) x USING (host))"
+      }.mkString(", ")
+      "WITH t AS (SELECT doc_id, text || ' see https://WWW.Example' || (doc_id % 7) || " +
+        "'.org/p?q=' || doc_id || ' and http://cdn.example' || (doc_id % 3) || '.net/a#frag' AS text " +
+        "FROM documents), " +
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s?#]+)', 1)), " +
+        "'^www\\.', '') AS host FROM u), " +
+        "e AS (SELECT DISTINCT 'site' || (doc_id % 11) || '.com' AS src, host AS dst FROM h), " +
+        "nd AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)), " +
+        "h0 AS (SELECT host, CAST(1 AS BIGINT) AS s FROM nd), " +
+        rounds +
+        " SELECT h2.host, h2.s AS hub, a2.s AS authority FROM h2 JOIN a2 USING (host)" + OBA
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3477,5 +3521,5 @@ object DataCatalog {
     "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5,
     // round 10 (append-only: bench session position is stable round-over-round)
     "dsub1_exact_substring" -> dsub1, "m4_image_phash_dedup" -> m4,
-    "dp7_authority_curation" -> dp7)
+    "dp7_authority_curation" -> dp7, "hits1_hub_authority" -> hits1)
 }

@@ -1378,6 +1378,26 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("hits: exact hub/authority on a hand-checked graph, dup edges collapse") {
+    import graft.operators.Graph
+    // star-ish graph: a→c, b→c, c→a. Hand-unrolled (h0 = 1):
+    //   a1: c=2 (from a,b), a=1 (from c), b=0
+    //   h1: a=a1(c)=2, b=a1(c)=2, c=a1(a)=1
+    //   a2: c=h1(a)+h1(b)=4, a=h1(c)=1, b=0
+    //   h2: a=a2(c)=4, b=a2(c)=4, c=a2(a)=1
+    val e = Seq(("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    def run() = Graph.hits(e, 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val r = run()
+    assert(r == Map("a" -> (4L, 1L), "b" -> (4L, 0L), "c" -> (1L, 4L)), s"got $r")
+    // bit-for-bit repeatable; duplicate edges must not double-count
+    assert(r == run())
+    val dup = Seq(("a", "c"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    assert(Graph.hits(dup, 2).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap == r)
+    CacheScope.releaseAll()
+  }
+
   test("bpe: consecutive occurrences merge left-to-right non-overlapping") {
     import graft.operators.Bpe
     // "aaaa" with merge (a,a) must become "aa aa", not "aa a a" or "aaa a"
