@@ -414,6 +414,49 @@ object TextOps {
         sum(col("hq")).as("n_high_quality"))
   }
 
+  /** Bigram-association card (tx16): the corpus's top-`k` adjacent
+    * token pairs ranked by an INTEGER PMI proxy — assoc_micro =
+    * scale·c_xy·N DIV (c_x·c_y), the cross-multiplied form of
+    * p(xy)/(p(x)p(y)) with every term an exact BIGINT (log-PMI is
+    * monotone in it, so the ranking is the PMI ranking). The corpus-
+    * stats tool behind collocation mining / tokenizer-merge audits:
+    * high-association pairs are the multi-word units a BPE vocab
+    * should fuse. `minCount` guards the classic PMI pathology (hapax
+    * pairs scoring highest).
+    *
+    * Scale shape: one explode + two hash aggs (map-side combined) build
+    * the unigram and bigram tables; the score join shuffles on the word
+    * keys (the unigram table is vocabulary-sized — NOT broadcast; at
+    * corpus scale vocabularies run to many millions of rows); top-k is
+    * TakeOrderedAndProject, never a global sort. N is a 1-row driver
+    * scalar (model-state convention). BIGINT range: scale·c_xy·N ≤
+    * scale·N², so the default micro scale is exact to ~3·10⁶ corpus
+    * tokens; larger corpora pass a smaller `scale`.
+    *
+    * Output: (w1, w2, c_xy, c_x, c_y, assoc_micro), the k highest by
+    * (assoc_micro desc, w1, w2) — a total order, bigrams are unique. */
+  def bigramAssoc(df: DataFrame, text: Column, minCount: Long = 5L,
+      k: Int = 50, scale: Long = 1000000L): DataFrame = {
+    val toks = df.select(F.tokens(lower(text)).as("tk"))
+    val uni = graft.CacheScope.persist(
+      toks.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+    val n = uni.agg(sum(col("c"))).head.getLong(0)
+    toks.where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        expr(s"($scale" + s"L * c_xy * ${n}L) DIV (c_x * c_y)").as("assoc_micro"))
+      .orderBy(col("assoc_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Document fingerprint: position-weighted polynomial hash of tokens,
     * portable to the DuckDB oracle (sum over tokens of
     * (portableHash60(tok) mod 1000003) * position, as a long). Native

@@ -3448,6 +3448,29 @@ object DataCatalog {
         " SELECT h2.host, h2.s AS hub, a2.s AS authority FROM h2 JOIN a2 USING (host)" + OBA
     })
 
+  // TX16 — bigram-association card: top-50 adjacent token pairs by the
+  // integer PMI proxy assoc_micro = 10⁶·c_xy·N DIV (c_x·c_y) — exact
+  // cross-multiplied p(xy)/(p(x)p(y)), rank-equivalent to log-PMI, so
+  // the collocation ranking reproduces bit-for-bit (no float log). The
+  // tokenizer-audit card: pairs that score high are the multi-word
+  // units a BPE vocab should fuse. min-count 5 kills the hapax-pair
+  // pathology. One explode + two map-side aggs; the vocab-sized
+  // unigram join shuffles on word; top-k is TakeOrderedAndProject.
+  val tx16 = Q(
+    (s, d) => ordered(TextOps.bigramAssoc(documents(s, d), col("text"))),
+    Some("WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents), " +
+      "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM " +
+      "(SELECT unnest(tk) AS w FROM t) GROUP BY 1), " +
+      "n0 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni), " +
+      "bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2, CAST(count(*) AS BIGINT) AS c_xy " +
+      "FROM t, unnest(range(1, len(tk))) u(i) GROUP BY 1, 2 HAVING count(*) >= 5), " +
+      "sc AS (SELECT w1, w2, c_xy, a.c AS c_x, b.c AS c_y, " +
+      "CAST((1000000 * c_xy * n0.n) // (a.c * b.c) AS BIGINT) AS assoc_micro " +
+      "FROM bg JOIN uni a ON a.w = bg.w1 JOIN uni b ON b.w = bg.w2, n0) " +
+      "SELECT * FROM (SELECT * FROM sc ORDER BY assoc_micro DESC, w1, w2 LIMIT 50)" +
+      OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3521,5 +3544,6 @@ object DataCatalog {
     "emb6_cell_report" -> emb6, "c5_contamination_card" -> c5,
     // round 10 (append-only: bench session position is stable round-over-round)
     "dsub1_exact_substring" -> dsub1, "m4_image_phash_dedup" -> m4,
-    "dp7_authority_curation" -> dp7, "hits1_hub_authority" -> hits1)
+    "dp7_authority_curation" -> dp7, "hits1_hub_authority" -> hits1,
+    "tx16_bigram_assoc" -> tx16)
 }
