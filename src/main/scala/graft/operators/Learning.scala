@@ -106,4 +106,35 @@ object Learning {
       w: Seq[Double], threshold: Double): DataFrame =
     df.select(id.as("vec_id"), sigScore(features, array(w.map(lit): _*)).as("score"))
       .filter(col("score") >= threshold)
+
+  /** Threshold yield sweep (lr4): for every decile threshold t/10, how
+    * many documents and tokens a `score ≥ t/10` gate would keep — the
+    * yield curve read before committing to a quality-filter threshold
+    * (the corpus-budget counterpart of lr3's calibration card). Scores
+    * land in decile bins (score 1.0 clamps into bin 9), and each
+    * threshold's keep-set is the running total of bins ≥ t, so the
+    * corpus is scanned ONCE into a ≤10-row bin frame; the sweep itself
+    * is a ≤10×10 broadcast join over card-sized frames — nothing after
+    * the first aggregation scales with the corpus. token_yield_permille
+    * is exact integer arithmetic against the threshold-0 total.
+    *
+    * Output: (thr_decile 0..9, n_docs_kept, n_tokens_kept,
+    * token_yield_permille). */
+  def thresholdSweep(scored: DataFrame, score: Column, tokens: Column): DataFrame = {
+    val bins = scored
+      .select(least(floor(score * 10).cast("long"), lit(9L)).as("bin"),
+        tokens.cast("long").as("tk"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum(col("tk")).as("t"))
+    val spine = scored.sparkSession.range(0, 10)
+      .select(col("id").as("thr_decile"))
+    val swept = broadcast(spine).join(broadcast(bins),
+        col("bin") >= col("thr_decile"), "left")
+      .groupBy("thr_decile")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs_kept"),
+        coalesce(sum(col("t")), lit(0L)).as("n_tokens_kept"))
+    // the unpartitioned window runs over the 10-row card, never the corpus
+    swept.select(col("thr_decile"), col("n_docs_kept"), col("n_tokens_kept"),
+      expr("1000 * n_tokens_kept DIV max(n_tokens_kept) OVER ()")
+        .as("token_yield_permille"))
+  }
 }

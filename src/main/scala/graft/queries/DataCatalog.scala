@@ -3471,6 +3471,34 @@ object DataCatalog {
       "SELECT * FROM (SELECT * FROM sc ORDER BY assoc_micro DESC, w1, w2 LIMIT 50)" +
       OBA))
 
+  // LR4 — threshold yield sweep over the tx2 quality score: docs and
+  // tokens kept at every decile gate, with exact integer permille yield
+  // — the curve read before committing to a filter threshold (lr3
+  // tells you whether to trust the score; lr4 tells you what each
+  // cutoff costs in corpus). One corpus pass into a ≤10-row bin frame;
+  // the sweep is a card-sized broadcast join + a 10-row window.
+  val lr4 = Q(
+    (s, d) => {
+      val q = TextOps.quality(documents(s, d), col("doc_id"), col("text"))
+      ordered(Learning.thresholdSweep(q, col("quality_score"), col("n_words")))
+    },
+    Some("WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents), " +
+      "m AS (SELECT doc_id, n_chars, CAST(len(tk) AS BIGINT) AS nw, " +
+      "n_chars::DOUBLE / len(tk) AS awl, " +
+      "len(list_filter(tk, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(tk) AS sr " +
+      "FROM t), " +
+      "sc AS (SELECT nw, least(1.0, nw::DOUBLE / 50) * 0.5 + least(1.0, sr * 5) * 0.3 + " +
+      "(CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END) AS score FROM m), " +
+      "b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(sum(nw) AS BIGINT) AS tk FROM sc GROUP BY 1), " +
+      "s AS (SELECT g.thr AS thr_decile, CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_docs_kept, " +
+      "CAST(coalesce(sum(b.tk), 0) AS BIGINT) AS n_tokens_kept " +
+      "FROM range(0, 10) g(thr) LEFT JOIN b ON b.bin >= g.thr GROUP BY 1) " +
+      "SELECT thr_decile, n_docs_kept, n_tokens_kept, " +
+      "CAST(1000 * n_tokens_kept // (SELECT max(n_tokens_kept) FROM s) AS BIGINT) " +
+      "AS token_yield_permille FROM s" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3545,5 +3573,5 @@ object DataCatalog {
     // round 10 (append-only: bench session position is stable round-over-round)
     "dsub1_exact_substring" -> dsub1, "m4_image_phash_dedup" -> m4,
     "dp7_authority_curation" -> dp7, "hits1_hub_authority" -> hits1,
-    "tx16_bigram_assoc" -> tx16)
+    "tx16_bigram_assoc" -> tx16, "lr4_threshold_sweep" -> lr4)
 }
