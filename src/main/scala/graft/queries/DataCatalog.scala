@@ -3499,6 +3499,35 @@ object DataCatalog {
       "CAST(1000 * n_tokens_kept // (SELECT max(n_tokens_kept) FROM s) AS BIGINT) " +
       "AS token_yield_permille FROM s" + OBA))
 
+  // E10 — time-decayed activity score per user: each event contributes
+  // 10⁶ halved once per week of age (weight = 1000000 >> age_weeks —
+  // integer half-life decay, EXACT in both engines, where the usual
+  // exp(-λ·age) float sum would reassociate under partitioning). The
+  // engagement-recency score behind churn/activity ranking; the
+  // reference day is max event date, so the score derives purely from
+  // the data. One 1-row agg broadcast + a pure map + one user-keyed
+  // map-side-combined agg — the same shape streams incrementally.
+  val e10 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val ref = ev.agg(max(to_date(col("ts"))).as("ref_day"))
+      ordered(ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .crossJoin(broadcast(ref))
+        .select(col("user_id"), col("day"),
+          expr("shiftright(1000000L, CAST(least(CAST(datediff(ref_day, day) AS BIGINT) DIV 7, 62L) AS INT))")
+            .as("w"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          max(col("day")).as("last_day"),
+          sum(col("w")).as("score_micro")))
+    },
+    Some("WITH r AS (SELECT max(CAST(ts AS DATE)) AS ref_day FROM events), " +
+      "w AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+      "1000000 >> least(datediff('day', CAST(ts AS DATE), r.ref_day) // 7, 62) AS w " +
+      "FROM events, r) " +
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, max(day) AS last_day, " +
+      "CAST(sum(w) AS BIGINT) AS score_micro FROM w GROUP BY 1" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3573,5 +3602,6 @@ object DataCatalog {
     // round 10 (append-only: bench session position is stable round-over-round)
     "dsub1_exact_substring" -> dsub1, "m4_image_phash_dedup" -> m4,
     "dp7_authority_curation" -> dp7, "hits1_hub_authority" -> hits1,
-    "tx16_bigram_assoc" -> tx16, "lr4_threshold_sweep" -> lr4)
+    "tx16_bigram_assoc" -> tx16, "lr4_threshold_sweep" -> lr4,
+    "e10_decay_activity" -> e10)
 }
