@@ -68,6 +68,37 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining (sim8) for contrastive/embedding training:
+    * for each query, the top-k most similar corpus vectors that are
+    * (a) NOT plausibly the same item — cosine < `maxCos` excludes the
+    * near-dup band — and (b) NOT a positive: a different `labelCol`
+    * group (the coarse cell standing in for the supervision signal).
+    * These "close but wrong" rows are the negatives that actually move
+    * a contrastive loss; random negatives are trivially separable.
+    *
+    * Same exact-baseline contract as [[topK]] (O(Q×N) scoring pass,
+    * query side capped); at corpus scale the candidate side restricts
+    * to the query's neighboring cells first (compose with
+    * [[topKMultiProbe]]'s cell machinery). Ties break by ascending
+    * neighbor id. Output: (query_id, neighbor_id, cosine, rank). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, labelCol: String,
+      k: Int, maxCos: Double = 0.9, maxQueries: Int = 10000): DataFrame = {
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"Similarity.hardNegatives is the exact O(Q*N) baseline and its " +
+      s"query side exceeds maxQueries=$maxQueries; restrict candidates " +
+      s"by cell for large query sets, or raise maxQueries deliberately")
+    val q = withNorm(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col(labelCol).as("qlab")), "query_id", "qv", "qn")
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col(labelCol).as("clab")), "neighbor_id", "cv", "cn")
+    val scored = q.join(c, col("qlab") =!= col("clab"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .filter(col("cos") < maxCos)
+    rankTopK(scored, k)
+  }
+
   /** IVF-style ANN: candidates restricted to the query's coarse cell. */
   def topKIvf(vectors: DataFrame, cellCol: String, k: Int): DataFrame = {
     val q = withNorm(vectors.select(col("vec_id").as("query_id"),

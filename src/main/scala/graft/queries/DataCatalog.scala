@@ -3528,6 +3528,30 @@ object DataCatalog {
       "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, max(day) AS last_day, " +
       "CAST(sum(w) AS BIGINT) AS score_micro FROM w GROUP BY 1" + OBA))
 
+  // SIM8 — hard-negative mining: per query (vec_id % 50 = 0), the
+  // top-5 most-similar vectors that are neither near-dups (cosine <
+  // 0.9, the c6 semantic-contamination band) nor positives (different
+  // coarse label) — the "close but wrong" negatives a contrastive
+  // loss needs; random negatives are trivially separable. Exact O(Q×N)
+  // baseline on the query sample (topK's bounded contract); corpus
+  // scale restricts candidates by cell first.
+  val sim8 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      ordered(Similarity.hardNegatives(
+        e.filter(col("vec_id") % 50 === 0), e, "label", 5))
+    },
+    Some("WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql " +
+      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS cl FROM embeddings), " +
+      "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c ON ql <> cl), " +
+      "f AS (SELECT * FROM scored WHERE cos < 0.9), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM f) " +
+      "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+      "FROM ranked WHERE rank <= 5" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3603,5 +3627,5 @@ object DataCatalog {
     "dsub1_exact_substring" -> dsub1, "m4_image_phash_dedup" -> m4,
     "dp7_authority_curation" -> dp7, "hits1_hub_authority" -> hits1,
     "tx16_bigram_assoc" -> tx16, "lr4_threshold_sweep" -> lr4,
-    "e10_decay_activity" -> e10)
+    "e10_decay_activity" -> e10, "sim8_hard_negatives" -> sim8)
 }
