@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.F
 
@@ -394,6 +395,42 @@ object TextOps {
       .agg(count(lit(1)).as("n_links"),
         count_distinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("keeper_doc"))
+
+  /** Markdown link pattern: `[anchor](http…)`, the anchor and URL in
+    * capture groups 1/2. The URL stops at `)` or whitespace. */
+  private val MdLink = "\\[([^\\]]+)\\]\\((https?://[^)\\s]+)\\)"
+
+  /** Anchor-text aggregation (url3): per canonical target host, the
+    * most frequent anchor text pointing at it plus link/anchor counts.
+    * The web-curation signal anchor text carries — what OTHER pages
+    * call a host — feeds query generation, title repair, and authority
+    * features (anchors are the classic external description of a page).
+    * Ties break by ascending anchor text.
+    *
+    * Scale shape: pure map + explode to (host, anchor) pairs, one hash
+    * agg keyed by (host, anchor), then windows over per-host ANCHOR
+    * lists — cardinality is distinct anchors per host, never links or
+    * corpus; everything after the first agg shuffles once on host. */
+  def anchorTexts(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val pairs = df
+      .select(id.as("doc_id"),
+        explode(regexp_extract_all(text, lit(MdLink), lit(0))).as("m"))
+      .select(
+        regexp_replace(lower(regexp_extract(
+            regexp_extract(col("m"), MdLink, 2), "https?://([^/\\s?#]+)", 1)),
+          "^www\\.", "").as("host"),
+        regexp_extract(col("m"), MdLink, 1).as("anchor"))
+    val perAnchor = pairs.groupBy("host", "anchor").agg(count(lit(1)).as("n"))
+    val byHost = Window.partitionBy("host")
+    perAnchor
+      .withColumn("rn", row_number().over(
+        byHost.orderBy(col("n").desc, col("anchor").asc)))
+      .withColumn("n_links", sum(col("n")).over(byHost))
+      .withColumn("n_anchors", count(lit(1)).over(byHost))
+      .where(col("rn") === 1)
+      .select(col("host"), col("anchor").as("top_anchor"),
+        col("n").as("top_anchor_links"), col("n_links"), col("n_anchors"))
+  }
 
   def linkHosts(df: DataFrame, id: Column, text: Column): DataFrame =
     docHosts(df, id, text)

@@ -3552,6 +3552,43 @@ object DataCatalog {
       "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
       "FROM ranked WHERE rank <= 5" + OBA))
 
+  // URL3 — anchor-text aggregation: per canonical target host, the
+  // most frequent anchor text linking to it (+ link/distinct-anchor
+  // counts) — what OTHER pages call a host, the classic external
+  // description feeding query generation and title repair. The fixture
+  // appends two markdown links per doc with residue-derived anchors,
+  // so hosts genuinely receive competing anchors and the top-1 (ties:
+  // ascending anchor) is exercised. Map + explode → one (host, anchor)
+  // agg → windows over per-host anchor lists only.
+  val url3 = Q(
+    (s, d) => {
+      val withLinks = documents(s, d).withColumn("text",
+        concat(col("text"),
+          lit(" [topic "), col("doc_id") % 5,
+          lit("](https://WWW.Example"), col("doc_id") % 7,
+          lit(".org/a/"), col("doc_id"),
+          lit(") [ref "), col("doc_id") % 3,
+          lit("](http://www.example"), col("doc_id") % 7, lit(".org/b)")))
+      ordered(TextOps.anchorTexts(withLinks, col("doc_id"), col("text")))
+    },
+    Some("WITH t AS (SELECT doc_id, text || ' [topic ' || (doc_id % 5) || " +
+      "'](https://WWW.Example' || (doc_id % 7) || '.org/a/' || doc_id || " +
+      "') [ref ' || (doc_id % 3) || '](http://www.example' || (doc_id % 7) || '.org/b)' AS text " +
+      "FROM documents), " +
+      "m AS (SELECT doc_id, unnest(regexp_extract_all(text, " +
+      "'\\[([^\\]]+)\\]\\((https?://[^)\\s]+)\\)', 0)) AS m FROM t), " +
+      "p AS (SELECT regexp_replace(lower(regexp_extract(" +
+      "regexp_extract(m, '\\[([^\\]]+)\\]\\((https?://[^)\\s]+)\\)', 2), " +
+      "'https?://([^/\\s?#]+)', 1)), '^www\\.', '') AS host, " +
+      "regexp_extract(m, '\\[([^\\]]+)\\]\\((https?://[^)\\s]+)\\)', 1) AS anchor FROM m), " +
+      "a AS (SELECT host, anchor, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2), " +
+      "r AS (SELECT host, anchor, n, row_number() OVER (" +
+      "PARTITION BY host ORDER BY n DESC, anchor ASC) AS rn, " +
+      "CAST(sum(n) OVER (PARTITION BY host) AS BIGINT) AS n_links, " +
+      "CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_anchors FROM a) " +
+      "SELECT host, anchor AS top_anchor, n AS top_anchor_links, n_links, n_anchors " +
+      "FROM r WHERE rn = 1" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3627,5 +3664,6 @@ object DataCatalog {
     "dsub1_exact_substring" -> dsub1, "m4_image_phash_dedup" -> m4,
     "dp7_authority_curation" -> dp7, "hits1_hub_authority" -> hits1,
     "tx16_bigram_assoc" -> tx16, "lr4_threshold_sweep" -> lr4,
-    "e10_decay_activity" -> e10, "sim8_hard_negatives" -> sim8)
+    "e10_decay_activity" -> e10, "sim8_hard_negatives" -> sim8,
+    "url3_anchor_texts" -> url3)
 }
