@@ -3589,6 +3589,48 @@ object DataCatalog {
       "SELECT host, anchor AS top_anchor, n AS top_anchor_links, n_links, n_anchors " +
       "FROM r WHERE rn = 1" + OBA))
 
+  // URL4 — host-graph connected components: the d6 min-label
+  // propagation applied to the url1 link graph (site hosts → extracted
+  // target hosts), labeling every host with its component + component
+  // size — the mirror/site-family detector (a component is a set of
+  // hosts transitively linked, the unit crawl dedup and per-FAMILY
+  // caps act on, where per-host caps miss mirrors). The fixture links
+  // partition by residue families, so 4 genuine components of 5 hosts
+  // emerge rather than one giant blob. Propagation shuffles once per
+  // round over the host list (tiny vs the corpus map that built it).
+  val url4 = Q(
+    (s, d) => {
+      val withLinks = documents(s, d).withColumn("text",
+        concat(col("text"), lit(" https://WWW.Example"), (col("doc_id") % 8) % 4,
+          lit("-"), col("doc_id") % 3, lit(".org/x")))
+      val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
+        .select(concat(lit("site"), col("doc_id") % 8, lit(".com")).as("id_a"),
+          col("host").as("id_b")).distinct()
+      val hosts = edges.select(col("id_a").as("host"))
+        .unionByName(edges.select(col("id_b").as("host"))).distinct()
+      val comp = NearDup.dedupClusters(hosts, col("host"), edges)
+        .select(col("doc_id").as("host"), col("cluster_id").as("component_id"))
+      val sz = comp.groupBy("component_id")
+        .agg(count(lit(1)).cast("long").as("component_size"))
+      ordered(comp.join(sz, Seq("component_id"))
+        .select(col("host"), col("component_id"), col("component_size")))
+    },
+    Some("WITH RECURSIVE t AS (SELECT doc_id, text || ' https://WWW.Example' || " +
+      "((doc_id % 8) % 4) || '-' || (doc_id % 3) || '.org/x' AS text FROM documents), " +
+      "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+      "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s?#]+)', 1)), " +
+      "'^www\\.', '') AS host FROM u), " +
+      "e0 AS (SELECT DISTINCT 'site' || (doc_id % 8) || '.com' AS src, host AS dst FROM h), " +
+      "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+      "nd AS (SELECT DISTINCT src AS host FROM e), " +
+      "reach(a, b) AS (SELECT host, host FROM nd " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src), " +
+      "cl AS (SELECT a AS host, min(b) AS component_id FROM reach GROUP BY 1), " +
+      "sz AS (SELECT component_id, CAST(count(*) AS BIGINT) AS component_size " +
+      "FROM cl GROUP BY 1) " +
+      "SELECT cl.host, cl.component_id, sz.component_size " +
+      "FROM cl JOIN sz USING (component_id)" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3665,5 +3707,5 @@ object DataCatalog {
     "dp7_authority_curation" -> dp7, "hits1_hub_authority" -> hits1,
     "tx16_bigram_assoc" -> tx16, "lr4_threshold_sweep" -> lr4,
     "e10_decay_activity" -> e10, "sim8_hard_negatives" -> sim8,
-    "url3_anchor_texts" -> url3)
+    "url3_anchor_texts" -> url3, "url4_host_components" -> url4)
 }
