@@ -123,4 +123,27 @@ object Temporal {
       .agg(min("s").as("start"), max("e").as("end"), count(lit(1)).as("n_merged"))
       .select("key", "start", "end", "n_merged")
   }
+
+  /** SCD2 dimension build (t11): a change log of (key, ts, state) rows
+    * becomes slowly-changing-dimension type-2 validity intervals —
+    * consecutive same-state rows collapse (only CHANGES open a new
+    * version), each version runs [valid_from, next change's ts), and
+    * the open version (valid_to NULL) is flagged current. The inverse
+    * of the as-of family: t1/t6/t10 READ such a table; this builds it
+    * from the raw log. Change detection is null-safe (a state equal to
+    * its predecessor under `<=>` is dropped).
+    *
+    * Input rows must be unique per (key, ts) — pre-dedup with
+    * [[graft.operators.Dedup.keepOneByKey]] — so the window order is
+    * total and the build deterministic. Scale shape: two windows over
+    * the same key partitioning = ONE hash shuffle on key; no joins. */
+  def scd2(changes: DataFrame, key: String, ts: String, state: String): DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(col(ts))
+    changes
+      .withColumn("prev_state", lag(col(state), 1).over(byKey))
+      .where(!(col(state) <=> col("prev_state")))
+      .withColumn("valid_to", lead(col(ts), 1).over(byKey))
+      .select(col(key), col(ts).as("valid_from"), col("valid_to"),
+        col(state).as("state"), col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -3631,6 +3631,36 @@ object DataCatalog {
       "SELECT cl.host, cl.component_id, sz.component_size " +
       "FROM cl JOIN sz USING (component_id)" + OBA))
 
+  // T11 — SCD2 dimension build: the t10 change-log family (event_id %
+  // 7, pre-deduped per (user, ts)) compiled into slowly-changing-
+  // dimension type-2 intervals — consecutive same-state rows collapse,
+  // valid_to = next change, the open version flagged current. The
+  // INVERSE of the as-of reads (t1/t6/t10 consume such a table; this
+  // builds it), i.e. the conformed-store history-table producer. Two
+  // windows on one user_id shuffle, no joins.
+  val t11 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val changes = graft.operators.Dedup.keepOneByKey(
+        ev.filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), col("ts"), col("event_type").as("state"),
+            col("event_id")),
+        Seq(col("user_id"), col("ts")), Seq(col("event_id")))
+        .select("user_id", "ts", "state")
+      ordered(graft.operators.Temporal.scd2(changes, "user_id", "ts", "state"))
+    },
+    Some("WITH v0 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS state, " +
+      "row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP) ORDER BY event_id) AS rn " +
+      "FROM events WHERE event_id % 7 = 0), " +
+      "v AS (SELECT user_id, ts, state FROM v0 WHERE rn = 1), " +
+      "c AS (SELECT user_id, ts, state, " +
+      "lag(state) OVER (PARTITION BY user_id ORDER BY ts) AS ps FROM v), " +
+      "d AS (SELECT user_id, ts, state FROM c WHERE ps IS NULL OR ps <> state), " +
+      "f AS (SELECT user_id, ts AS valid_from, " +
+      "lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to, state FROM d) " +
+      "SELECT user_id, valid_from, valid_to, state, valid_to IS NULL AS is_current " +
+      "FROM f" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3707,5 +3737,6 @@ object DataCatalog {
     "dp7_authority_curation" -> dp7, "hits1_hub_authority" -> hits1,
     "tx16_bigram_assoc" -> tx16, "lr4_threshold_sweep" -> lr4,
     "e10_decay_activity" -> e10, "sim8_hard_negatives" -> sim8,
-    "url3_anchor_texts" -> url3, "url4_host_components" -> url4)
+    "url3_anchor_texts" -> url3, "url4_host_components" -> url4,
+    "t11_scd2_build" -> t11)
 }
