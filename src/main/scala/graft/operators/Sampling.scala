@@ -232,6 +232,26 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** K-fold assignment + balance card (smp7): every row lands in fold
+    * `md5-bucket(key) mod k` — content-stable like [[split]], so a doc
+    * keeps its fold across reruns, engines, and corpus growth (the
+    * no-refold guarantee cross-validation needs to stay leakage-free) —
+    * and the card reports per-fold doc/size totals with an exact
+    * integer share so fold imbalance is visible before training. Folds
+    * are disjoint and exhaustive by construction. One map + one k-row
+    * hash agg; the share window runs over the k-row card only.
+    *
+    * Output: (fold, n_docs, total_size, docs_share_permille). */
+  def kfoldCard(df: DataFrame, key: Column, size: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hash60 = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    df.select(pmod(hash60, lit(k.toLong)).as("fold"), size.cast("long").as("sz"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("total_size"))
+      .select(col("fold"), col("n_docs"), col("total_size"),
+        expr("1000 * n_docs DIV sum(n_docs) OVER ()").as("docs_share_permille"))
+  }
+
   /** Cluster-balanced diversity cap (smp5): keep at most `k` rows per
     * cluster cell, chosen by content-stable md5 order (key tie-break) —
     * the diversity-sampling step that stops dense embedding clusters

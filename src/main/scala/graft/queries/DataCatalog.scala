@@ -3661,6 +3661,24 @@ object DataCatalog {
       "SELECT user_id, valid_from, valid_to, state, valid_to IS NULL AS is_current " +
       "FROM f" + OBA))
 
+  // SMP7 — k-fold assignment + balance card: fold = content-stable md5
+  // bucket mod 5 (smp4's no-refold guarantee extended to cross-
+  // validation: a doc keeps its fold across reruns and corpus growth,
+  // so no eval fold ever leaks into training on a refresh), with
+  // per-fold doc/char totals and exact integer share to surface
+  // imbalance before training. One map + 5-row agg; the share window
+  // runs over the card only.
+  val smp7 = Q(
+    (s, d) => ordered(Sampling.kfoldCard(documents(s, d), col("doc_id"),
+      col("n_chars"), 5)),
+    Some("WITH f AS (SELECT ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5) " +
+      "+ 5) % 5 AS fold, n_chars FROM documents), " +
+      "b AS (SELECT fold, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n_chars) AS BIGINT) AS total_size FROM f GROUP BY 1) " +
+      "SELECT fold, n_docs, total_size, " +
+      "CAST(1000 * n_docs // (SELECT sum(n_docs) FROM b) AS BIGINT) AS docs_share_permille " +
+      "FROM b" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3738,5 +3756,5 @@ object DataCatalog {
     "tx16_bigram_assoc" -> tx16, "lr4_threshold_sweep" -> lr4,
     "e10_decay_activity" -> e10, "sim8_hard_negatives" -> sim8,
     "url3_anchor_texts" -> url3, "url4_host_components" -> url4,
-    "t11_scd2_build" -> t11)
+    "t11_scd2_build" -> t11, "smp7_kfold_card" -> smp7)
 }
