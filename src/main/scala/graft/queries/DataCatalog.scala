@@ -3679,6 +3679,41 @@ object DataCatalog {
       "CAST(1000 * n_docs // (SELECT sum(n_docs) FROM b) AS BIGINT) AS docs_share_permille " +
       "FROM b" + OBA))
 
+  // QC13 — per-stratum score calibration: every doc's exact percentile
+  // of the tx2 quality score WITHIN its language (fixed-point micro
+  // score, ties by doc_id) — the normalization that makes one global
+  // threshold meaningful across languages (a raw cutoff keeps 80% of
+  // en and 20% of zh; per-stratum permille ranks cut each language at
+  // the same quantile). Machinery is rank1's two-level prefix count
+  // run per group (Ranking.groupRank): the only corpus window is
+  // partitioned by (lang, bucket) — never one giant partition per
+  // language, which is what a plain lang-window degenerates to.
+  val qc13 = Q(
+    (s, d) => {
+      val scored = documents(s, d).select(col("lang"), col("doc_id"),
+        floor(TextOps.qualityCols(col("text"))._5 * 1000000.0).cast("long")
+          .as("score_micro"))
+      ordered(Ranking.groupRank(scored, col("lang"), col("doc_id"),
+          col("score_micro"))
+        .select(col("grp").as("lang"), col("id").as("doc_id"),
+          col("score").as("score_micro"), col("rank"), col("pct_permille")))
+    },
+    Some("WITH t AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents), " +
+      "m AS (SELECT doc_id, lang, n_chars, CAST(len(tk) AS BIGINT) AS nw, " +
+      "n_chars::DOUBLE / len(tk) AS awl, " +
+      "len(list_filter(tk, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(tk) AS sr " +
+      "FROM t), " +
+      "s AS (SELECT lang, doc_id, CAST(floor((least(1.0, nw::DOUBLE / 50) * 0.5 + " +
+      "least(1.0, sr * 5) * 0.3 + " +
+      "(CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END)) * 1000000) AS BIGINT) " +
+      "AS score_micro FROM m), " +
+      "r AS (SELECT lang, doc_id, score_micro, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY score_micro, doc_id) AS rank, " +
+      "count(*) OVER (PARTITION BY lang) AS n FROM s) " +
+      "SELECT lang, doc_id, score_micro, CAST(rank AS BIGINT) AS rank, " +
+      "CAST((rank - 1) * 1000 // n AS BIGINT) AS pct_permille FROM r" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3756,5 +3791,6 @@ object DataCatalog {
     "tx16_bigram_assoc" -> tx16, "lr4_threshold_sweep" -> lr4,
     "e10_decay_activity" -> e10, "sim8_hard_negatives" -> sim8,
     "url3_anchor_texts" -> url3, "url4_host_components" -> url4,
-    "t11_scd2_build" -> t11, "smp7_kfold_card" -> smp7)
+    "t11_scd2_build" -> t11, "smp7_kfold_card" -> smp7,
+    "qc13_score_calibration" -> qc13)
 }

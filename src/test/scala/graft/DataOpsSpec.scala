@@ -1398,6 +1398,27 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("groupRank matches the single-window formulation per stratum") {
+    import graft.operators.Ranking
+    import org.apache.spark.sql.expressions.Window
+    // duplicate scores across 3 strata, small bucket count so bucket
+    // boundaries and offsets are genuinely exercised
+    val df = (0 until 200).map(i =>
+      (s"g${i % 3}", i.toLong, ((i * 37) % 41).toLong)).toDF("g", "id", "sc")
+    val got = Ranking.groupRank(df, col("g"), col("id"), col("sc"), buckets = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val w = Window.partitionBy("g").orderBy("sc", "id")
+    val want = df
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("pct", expr("((rank - 1) * 1000) DIV n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(5))).toMap
+    assert(got == want)
+    CacheScope.releaseAll()
+  }
+
   test("bpe: consecutive occurrences merge left-to-right non-overlapping") {
     import graft.operators.Bpe
     // "aaaa" with merge (a,a) must become "aa aa", not "aa a a" or "aaa a"
