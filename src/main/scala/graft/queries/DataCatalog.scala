@@ -3714,6 +3714,25 @@ object DataCatalog {
       "SELECT lang, doc_id, score_micro, CAST(rank AS BIGINT) AS rank, " +
       "CAST((rank - 1) * 1000 // n AS BIGINT) AS pct_permille FROM r" + OBA))
 
+  // E11 — session transcripts: e2's sessions serialized into ordered
+  // event-type strings — interaction logs becoming sequence training
+  // examples (the events-side tx13). Order is the total (ts, event_id)
+  // order via post-aggregate array_sort (collect_list alone is
+  // layout-dependent); DuckDB's ordered string_agg states the same
+  // contract. One user_id shuffle end-to-end.
+  val e11 = Q(
+    (s, d) => ordered(graft.streaming.EventStream.sessionTranscripts(
+      events(s, d), 30)),
+    Some("WITH x AS (SELECT user_id, ts, event_id, event_type, " +
+      "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+      "y AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+      "epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM x), " +
+      "z AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS sess_id FROM y) " +
+      "SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n_events, " +
+      "string_agg(event_type, '->' ORDER BY ts, event_id) AS transcript " +
+      "FROM z GROUP BY user_id, sess_id" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3792,5 +3811,5 @@ object DataCatalog {
     "e10_decay_activity" -> e10, "sim8_hard_negatives" -> sim8,
     "url3_anchor_texts" -> url3, "url4_host_components" -> url4,
     "t11_scd2_build" -> t11, "smp7_kfold_card" -> smp7,
-    "qc13_score_calibration" -> qc13)
+    "qc13_score_calibration" -> qc13, "e11_session_transcripts" -> e11)
 }

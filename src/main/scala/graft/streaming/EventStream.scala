@@ -320,7 +320,16 @@ object EventStream {
     * `mapGroupsWithState` session op): a new session starts when the gap
     * to the previous event exceeds `gapMinutes`. Single shuffle on
     * user_id; the running sum stays inside the same window partition. */
-  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("sess_id")
+
+  /** Gaps-and-islands session ids shared by [[sessionize]] and
+    * [[sessionTranscripts]]: two windows on ONE user_id shuffle. */
+  private def withSessionIds(events: DataFrame, gapMinutes: Int): DataFrame = {
     val gapUs = gapMinutes.toLong * 60 * 1000000
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -331,9 +340,25 @@ object EventStream {
           unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs).cast("int"))
       .withColumn("sess_id", sum(col("new_sess")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("user_id"), col("sess_id"))
-      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"))
-      .drop("sess_id")
   }
+
+  /** Session transcript materialization (e11): each session serialized
+    * into its ordered event-type string — the interaction-log-to-
+    * training-example step (raw event streams become sequence examples
+    * the way tx13 turns packed chunks into trainer text). Order inside
+    * a session is the total (ts, event_id) order, imposed by sorting
+    * the collected struct list AFTER the aggregate — `collect_list`
+    * alone has no order guarantee under partitioned execution, so the
+    * sort is what makes the transcript deterministic on any layout.
+    * Same one-shuffle session machinery as [[sessionize]]; transcripts
+    * are bounded by session length, not corpus size. */
+  def sessionTranscripts(events: DataFrame, gapMinutes: Int): DataFrame =
+    withSessionIds(events, gapMinutes)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        concat_ws("->", expr(
+          "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"))
+          .as("transcript"))
+      .drop("sess_id")
 }
