@@ -275,6 +275,52 @@ object EventStream {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
+  final case class TranscriptOut(user_id: Long,
+      session_start: java.sql.Timestamp, n_events: Long, transcript: String)
+
+  /** Streaming twin of [[sessionTranscripts]] (e11): per user, event
+    * types accumulate in gap-delimited session state; a CLOSED session
+    * emits its ordered transcript, the open session's running type list
+    * stays in state (bounded by session length, the same bound the
+    * batch transcript carries). In-batch order is the total
+    * (us, event_id, event_type) sort — identical to the batch twin's
+    * post-aggregate array_sort, so a closed session's transcript is
+    * bit-equal to the batch row (pinned in ScaleSpec). */
+  def transcriptStream(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val typed = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    def fn(uid: Long, evs: Iterator[(Long, Long, Long, String)],
+        state: GroupState[(Long, Long, Seq[String])]): Iterator[TranscriptOut] = {
+      val sorted = evs.toArray.sortBy(e => (e._2, e._3, e._4))
+      var out = List.empty[TranscriptOut]
+      var cur = state.getOption
+      sorted.foreach { case (_, t, _, ty) =>
+        cur match {
+          case Some((s, e, l)) if t - e <= gapUs => cur = Some((s, t, l :+ ty))
+          case Some((s, e, l)) =>
+            out ::= TranscriptOut(uid, tsOf(s), l.length.toLong, l.mkString("->"))
+            cur = Some((t, t, Seq(ty)))
+          case None => cur = Some((t, t, Seq(ty)))
+        }
+      }
+      cur.foreach(state.update)
+      out.reverseIterator
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /** Stateful streaming sessionization via flatMapGroupsWithState
     * (§2.9 custom-state extension point): per user, events accumulate
     * into gap-delimited sessions; CLOSED sessions are emitted as soon as

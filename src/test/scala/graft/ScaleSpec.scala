@@ -842,4 +842,29 @@ class ScaleSpec extends AnyFunSuite {
     val users = ev.select("user_id").distinct().count()
     assert(batch.count() - streamed.count() == users)
   }
+
+  test("streaming session transcripts: closed sessions match batch twin bit-for-bit") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ev_tr")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val src = EventStream.streamSource(spark, dir.toString)
+    val q = EventStream.transcriptStream(src, 30).writeStream
+      .outputMode("append").format("memory").queryName("tr_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("tr_out")
+      .select("user_id", "session_start", "n_events", "transcript")
+    val batch = EventStream.sessionTranscripts(ev, 30)
+      .select("user_id", "session_start", "n_events", "transcript")
+    // closed-session transcripts are exactly batch rows (order included)…
+    assert(streamed.except(batch).count() == 0)
+    // …one open session per user withheld, and real multi-event
+    // transcripts flowed through the '->' serialization
+    val users = ev.select("user_id").distinct().count()
+    assert(batch.count() - streamed.count() == users)
+    assert(spark.table("tr_out").filter(col("transcript").contains("->")).count() > 0)
+  }
 }
