@@ -3733,6 +3733,43 @@ object DataCatalog {
       "string_agg(event_type, '->' ORDER BY ts, event_id) AS transcript " +
       "FROM z GROUP BY user_id, sess_id" + OBA))
 
+  // EMB9 — truncated-dimension recall card (the matryoshka question):
+  // exact top-5 on prefix slices (16 and 32 of 64 dims) scored per
+  // query against the full-dimension exact top-5 — the integer-hits
+  // evidence for "how much recall does serving a dim-d prefix cost",
+  // which prices the memory/recall trade before a corpus reindex.
+  // eval1's machinery (persisted truth, k-row-per-query recall joins);
+  // slicing is a pure map, the corpus is touched once per dim.
+  val emb9 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val truth = graft.CacheScope.persist(
+        Similarity.topK(e.filter(col("vec_id") % 50 === 0), e, 5))
+      ordered(Seq(16, 32).map { dim =>
+        val sub = e.select(col("vec_id"), slice(col("embedding"), 1, dim).as("embedding"))
+        val approx = Similarity.topK(sub.filter(col("vec_id") % 50 === 0), sub, 5)
+        Similarity.annRecall(truth, approx).withColumn("method", lit(s"dim$dim"))
+      }.reduce(_.unionByName(_)))
+    },
+    Some {
+      def ranked(dim: Int, name: String) =
+        s"$name AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+          "row_number() OVER (PARTITION BY query_id ORDER BY " +
+          cosSqlDim("qv", "cv", dim) + " DESC, neighbor_id ASC) AS rn " +
+          "FROM q JOIN c ON query_id <> neighbor_id) WHERE rn <= 5)"
+      def recall(approx: String, m: String) =
+        "SELECT tr.query_id, CAST(count(*) AS BIGINT) AS n_truth, " +
+          "CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits, " +
+          s"'$m' AS method FROM tr LEFT JOIN $approx a " +
+          "ON a.query_id = tr.query_id AND a.neighbor_id = tr.neighbor_id " +
+          "GROUP BY tr.query_id"
+      "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings " +
+        "WHERE vec_id % 50 = 0), " +
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings), " +
+        ranked(64, "tr") + ", " + ranked(16, "a16") + ", " + ranked(32, "a32") + " " +
+        recall("a16", "dim16") + " UNION ALL " + recall("a32", "dim32") + OBA
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3811,5 +3848,6 @@ object DataCatalog {
     "e10_decay_activity" -> e10, "sim8_hard_negatives" -> sim8,
     "url3_anchor_texts" -> url3, "url4_host_components" -> url4,
     "t11_scd2_build" -> t11, "smp7_kfold_card" -> smp7,
-    "qc13_score_calibration" -> qc13, "e11_session_transcripts" -> e11)
+    "qc13_score_calibration" -> qc13, "e11_session_transcripts" -> e11,
+    "emb9_truncated_recall" -> emb9)
 }
