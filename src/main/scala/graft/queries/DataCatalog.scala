@@ -3770,6 +3770,53 @@ object DataCatalog {
         recall("a16", "dim16") + " UNION ALL " + recall("a32", "dim32") + OBA
     })
 
+  // DP8 — calibrated multilingual curation flagship: qc13's per-
+  // language percentile ranks gate the corpus at the SAME quantile per
+  // language (top 30% of each — a raw global score cutoff would keep
+  // 80% of en and starve zh), then the survivors rebalance to mix1's
+  // 5:2:2:1 target proportions. The fair-multilingual-pipeline
+  // composition: calibrate → cut → mix, each stage already verified
+  // alone (qc13 / mix1); the corpus shuffles once for the rank
+  // machinery, the gate and mixture are maps against card-sized state.
+  val dp8 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val scored = docs.select(col("lang"), col("doc_id"),
+        floor(TextOps.qualityCols(col("text"))._5 * 1000000.0).cast("long")
+          .as("score_micro"))
+      val kept = docs.join(
+        Ranking.groupRank(scored, col("lang"), col("doc_id"), col("score_micro"))
+          .filter(col("pct_permille") >= 700)
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      ordered(Sampling.mixture(kept, col("doc_id"), col("lang"),
+          Map("en" -> 5L, "de" -> 2L, "fr" -> 2L, "zh" -> 1L))
+        .select(col("doc_id"), col("lang"), col("source")))
+    },
+    Some("WITH t AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents), " +
+      "m AS (SELECT doc_id, lang, n_chars, CAST(len(tk) AS BIGINT) AS nw, " +
+      "n_chars::DOUBLE / len(tk) AS awl, " +
+      "len(list_filter(tk, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(tk) AS sr " +
+      "FROM t), " +
+      "s AS (SELECT lang, doc_id, CAST(floor((least(1.0, nw::DOUBLE / 50) * 0.5 + " +
+      "least(1.0, sr * 5) * 0.3 + " +
+      "(CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END)) * 1000000) AS BIGINT) " +
+      "AS score_micro FROM m), " +
+      "r AS (SELECT lang, doc_id, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY score_micro, doc_id) AS rank, " +
+      "count(*) OVER (PARTITION BY lang) AS n FROM s), " +
+      "keep AS (SELECT d.doc_id, d.lang, d.source FROM documents d JOIN " +
+      "(SELECT doc_id FROM r WHERE (rank - 1) * 1000 // n >= 700) f USING (doc_id)), " +
+      "w(s, wt) AS (VALUES ('en', 5), ('de', 2), ('fr', 2), ('zh', 1)), " +
+      "nn AS (SELECT lang AS s, count(*) AS n FROM keep GROUP BY 1), " +
+      "j AS (SELECT w.s, w.wt, nn.n FROM w JOIN nn USING (s) WHERE nn.n > 0), " +
+      "b AS (SELECT s AS bs, wt AS bw, n AS bn FROM j ORDER BY n * 1.0 / wt, s LIMIT 1), " +
+      "rt AS (SELECT j.s, (1000 * j.wt * b.bn) // (b.bw * j.n) AS rate FROM j, b) " +
+      "SELECT k.doc_id, k.lang, k.source FROM keep k JOIN rt ON rt.s = k.lang " +
+      "WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < rt.rate" +
+      OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3849,5 +3896,5 @@ object DataCatalog {
     "url3_anchor_texts" -> url3, "url4_host_components" -> url4,
     "t11_scd2_build" -> t11, "smp7_kfold_card" -> smp7,
     "qc13_score_calibration" -> qc13, "e11_session_transcripts" -> e11,
-    "emb9_truncated_recall" -> emb9)
+    "emb9_truncated_recall" -> emb9, "dp8_calibrated_curation" -> dp8)
 }
