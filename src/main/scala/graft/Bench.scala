@@ -108,7 +108,14 @@ object Bench {
     "mix5_token_budget", "lr3_calibration", "idx3_phrase_search",
     "dp6_web_corpus_prep", "qc8_rollup_report", "e9_props_json",
     "smp6_weighted_sample", "qc9_outlier_bounds", "qc10_pivot_card",
-    "t10_tolerance_asof", "qc11_metric_melt", "qc12_dup_rate")
+    "t10_tolerance_asof", "qc11_metric_melt", "qc12_dup_rate",
+    // round-10 additions
+    "dsub1_exact_substring", "m4_image_phash_dedup", "dp7_authority_curation",
+    "hits1_hub_authority", "tx16_bigram_assoc", "lr4_threshold_sweep",
+    "e10_decay_activity", "sim8_hard_negatives", "url3_anchor_texts",
+    "url4_host_components", "t11_scd2_build", "smp7_kfold_card",
+    "qc13_score_calibration", "e11_session_transcripts",
+    "emb9_truncated_recall", "dp8_calibrated_curation")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
