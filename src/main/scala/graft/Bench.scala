@@ -115,7 +115,8 @@ object Bench {
     "e10_decay_activity", "sim8_hard_negatives", "url3_anchor_texts",
     "url4_host_components", "t11_scd2_build", "smp7_kfold_card",
     "qc13_score_calibration", "e11_session_transcripts",
-    "emb9_truncated_recall", "dp8_calibrated_curation")
+    "emb9_truncated_recall", "dp8_calibrated_curation",
+    "t12_keyless_range_join", "d13_quality_keeper", "ret3_prf_bm25")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -221,4 +221,64 @@ object Retrieval {
     Sampling.topKPerGroup(scored, Seq(col("q_id")),
       Seq(col("score").desc, col("doc_id").asc), topK)
   }
+
+  /** BM25 scoring from an explicit `(q_id, term)` set — [[bm25]]'s
+    * core with the query tokenization factored out, so [[bm25Prf]] can
+    * re-score an EXPANDED term set through the identical expression
+    * tree. */
+  private def bm25FromTerms(st: Stats, qt: DataFrame, topK: Int,
+      scale: Double): DataFrame = {
+    val statsRow = st.nDocs
+      .crossJoin(broadcast(st.tf.agg(sum(col("tf")).as("total_len"))))
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val idf = col("n_docs").cast("double") / col("df")
+    val tfc = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    val contrib = qt.join(st.tf, Seq("term")).join(st.dl, Seq("doc_id"))
+      .join(st.dft, Seq("term")).crossJoin(broadcast(statsRow))
+      .select(col("q_id"), col("doc_id"),
+        round(idf * tfc * lit(scale)).cast("long").as("c"))
+    val scored = contrib.groupBy("q_id", "doc_id").agg(sum(col("c")).as("score"))
+    Sampling.topKPerGroup(scored, Seq(col("q_id")),
+      Seq(col("score").desc, col("doc_id").asc), topK)
+  }
+
+  /** ret3 — BM25 with pseudo-relevance feedback (RM3-lite): a first
+    * BM25 pass retrieves `fbDocs` per query, the `fbTerms` highest
+    * tf-idf-weighted NEW terms of those docs (original query terms
+    * excluded, ties by term) expand the query, and the expanded term
+    * set re-scores through the identical BM25 tree. The classic
+    * recall-repair for vocabulary mismatch — the query says "table",
+    * the relevant docs say "dataframe". Fully deterministic: fixed-
+    * point weights, documented tie-breaks, no RNG.
+    *
+    * Scale shape: corpus stats build once (tf persisted — both passes
+    * and the feedback weighting read it); every join afterwards is an
+    * equi-join keyed on term or doc_id; feedback frames are
+    * queries×fbDocs rows — corpus cost is the two candidate joins,
+    * exactly two ret1 passes. */
+  def bm25Prf(df: DataFrame, id: Column, text: Column, queries: DataFrame,
+      topK: Int = 5, fbDocs: Int = 3, fbTerms: Int = 2,
+      scale: Double = 1e6): DataFrame = {
+    val st0 = stats(df, id, text)
+    val st = st0.copy(tf = graft.CacheScope.persist(st0.tf))
+    val qt = queries.select(col("q_id"),
+      explode(F.tokens(lower(col("q_text")))).as("term")).distinct()
+    val first = bm25FromTerms(st, qt, fbDocs, scale)
+    val fbWeight = first.select(col("q_id"), col("doc_id"))
+      .join(st.tf, Seq("doc_id"))
+      .join(st.dl, Seq("doc_id"))
+      .join(st.dft, Seq("term"))
+      .crossJoin(broadcast(st.nDocs))
+      .select(col("q_id"), col("term"),
+        round((col("tf").cast("double") / col("dl")) *
+          (col("n_docs").cast("double") / col("df")) * lit(scale))
+          .cast("long").as("w"))
+      .groupBy("q_id", "term").agg(sum(col("w")).as("w"))
+      .join(qt, Seq("q_id", "term"), "left_anti")
+    val expansion = Sampling.topKPerGroup(fbWeight, Seq(col("q_id")),
+        Seq(col("w").desc, col("term").asc), fbTerms)
+      .select("q_id", "term")
+    bm25FromTerms(st, qt.unionByName(expansion).distinct(), topK, scale)
+  }
 }

@@ -124,6 +124,45 @@ object Temporal {
       .select("key", "start", "end", "n_merged")
   }
 
+  /** Keyless bucketed range join (t12): probes matched to intervals
+    * CONTAINING them when there is no equi-key to co-group on — the
+    * case [[rangeJoin]] can't take (its key join is what bounds the
+    * pair space). The classic fix: quantize time into buckets at least
+    * as long as the longest interval, explode each interval into the
+    * ≤2 buckets it can touch, equi-join probes on their single bucket,
+    * then post-filter exact containment. Correctness is exhaustive —
+    * an interval of length ≤ bucket can only intersect the bucket of
+    * its start or its end, and a probe inside it shares one of those
+    * two buckets.
+    *
+    * The bucket width is validated against the ACTUAL max interval
+    * length (one tiny agg) — a silent violation would silently drop
+    * matches. Scale shape: pure maps + ONE equi-join shuffled on the
+    * time bucket (interval side ≤ doubles); a naive no-key range join
+    * is a broadcast-nested-loop over the whole probe×interval space.
+    * Hot buckets (many intervals in one window) are the j12 salting
+    * case if they ever dominate. */
+  def rangeJoinBucketed(probes: DataFrame, probeTs: String,
+      intervals: DataFrame, start: String, end: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val iv = intervals
+      .withColumn("__s", unix_micros(col(start)))
+      .withColumn("__e", unix_micros(col(end)))
+    val maxLen = iv.agg(max(col("__e") - col("__s"))).head()
+    if (!maxLen.isNullAt(0))
+      require(maxLen.getLong(0) <= bucketUs,
+        s"rangeJoinBucketed: longest interval (${maxLen.getLong(0)} us) exceeds " +
+        s"bucketUs=$bucketUs — matches would be silently dropped; widen the bucket")
+    val expanded = iv.withColumn("__bkt",
+        explode(sequence(expr(s"__s DIV $bucketUs"), expr(s"__e DIV $bucketUs"))))
+    probes
+      .withColumn("__bkt", expr(s"unix_micros($probeTs) DIV $bucketUs"))
+      .join(expanded, Seq("__bkt"))
+      .filter(unix_micros(col(probeTs)).between(col("__s"), col("__e")))
+      .drop("__bkt", "__s", "__e")
+  }
+
   /** SCD2 dimension build (t11): a change log of (key, ts, state) rows
     * becomes slowly-changing-dimension type-2 validity intervals —
     * consecutive same-state rows collapse (only CHANGES open a new

@@ -3817,6 +3817,126 @@ object DataCatalog {
       "WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < rt.rate" +
       OBA))
 
+  // T12 — KEYLESS bucketed range join: events matched to global 1-2h
+  // maintenance windows with no user key to co-group on — t7's shape
+  // minus its equi-key, which is exactly where a naive plan becomes a
+  // broadcast-nested-loop over probes×windows. The quantize-explode-
+  // equi-join rewrite (bucket ≥ max window length, each window lands
+  // in ≤2 buckets, exact containment post-filtered) makes it ONE
+  // equi-join shuffled on the time bucket; the oracle states the naive
+  // range predicate, so the hash match proves the rewrite exhaustive.
+  val t12 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val wins = ev.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("w_id"), col("ts").as("w_start"),
+          (col("ts") + expr("(event_id % 2 + 1) * INTERVAL 1 HOURS")).as("w_end"))
+      ordered(graft.operators.Temporal.rangeJoinBucketed(
+          ev.select(col("event_id"), col("ts")), "ts",
+          wins, "w_start", "w_end", 7200000000L)
+        .select(col("event_id"), col("w_id")))
+    },
+    Some("WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "w AS (SELECT event_id AS w_id, CAST(ts AS TIMESTAMP) AS w_start, " +
+      "CAST(ts AS TIMESTAMP) + (event_id % 2 + 1) * INTERVAL 1 HOUR AS w_end " +
+      "FROM events WHERE event_id % 97 = 0) " +
+      "SELECT e.event_id, w.w_id FROM e JOIN w " +
+      "ON e.ts >= w.w_start AND e.ts <= w.w_end" + OBA))
+
+  // D13 — quality-aware dedup keeper: d6's clusters re-keyed to keep
+  // the HIGHEST-QUALITY copy (tx2 fixed-point score, doc_id ties)
+  // instead of the min-id — the survivor policy real curation wants
+  // (the canonical copy of a mirrored article is the cleanest one, not
+  // the lowest id). Clustering and scoring are the verified d6/tx2
+  // machinery; the keeper pick is one windowed top-1 per cluster.
+  val d13 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
+      val clusters = NearDup.dedupClusters(docs, col("doc_id"), pairs)
+      val scored = docs.select(col("doc_id"),
+        floor(TextOps.qualityCols(col("text"))._5 * 1000000.0).cast("long")
+          .as("score_micro"))
+      ordered(graft.operators.Dedup.keepOneByKey(
+          clusters.join(scored, Seq("doc_id")),
+          Seq(col("cluster_id")),
+          Seq(col("score_micro").desc, col("doc_id")))
+        .select(col("cluster_id"), col("doc_id").as("keeper_doc"),
+          col("score_micro")))
+    },
+    Some("WITH RECURSIVE " + MinhashPairsBody + ", " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src), " +
+      "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "qt AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+      "regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents), " +
+      "qm AS (SELECT doc_id, n_chars, CAST(len(tk) AS BIGINT) AS nw, " +
+      "n_chars::DOUBLE / len(tk) AS awl, " +
+      "len(list_filter(tk, x -> x IN ('the','a','of','and','to','in')))::DOUBLE / len(tk) AS sr " +
+      "FROM qt), " +
+      "qs AS (SELECT doc_id, CAST(floor((least(1.0, nw::DOUBLE / 50) * 0.5 + " +
+      "least(1.0, sr * 5) * 0.3 + " +
+      "(CASE WHEN awl BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END)) * 1000000) AS BIGINT) " +
+      "AS score_micro FROM qm), " +
+      "j AS (SELECT cl.cluster_id, cl.doc_id, qs.score_micro FROM cl JOIN qs USING (doc_id)), " +
+      "rr AS (SELECT *, row_number() OVER (PARTITION BY cluster_id " +
+      "ORDER BY score_micro DESC, doc_id) AS rn FROM j) " +
+      "SELECT cluster_id, doc_id AS keeper_doc, score_micro FROM rr WHERE rn = 1" + OBA))
+
+  // RET3 — BM25 with pseudo-relevance feedback (RM3-lite): first-pass
+  // top-3 docs per query donate their 2 highest tf-idf NEW terms
+  // (original terms excluded, ties by term), and the expanded term set
+  // re-scores through the identical BM25 tree — the classic recall
+  // repair for vocabulary mismatch, fully deterministic (fixed-point
+  // weights, documented tie-breaks). Corpus cost = exactly two ret1
+  // passes over a persisted tf table; feedback frames are
+  // queries×fbDocs rows.
+  val ret3 = Q(
+    (s, d) => {
+      import s.implicits._
+      ordered(Retrieval.bm25Prf(documents(s, d), col("doc_id"), col("text"),
+        Bm25Queries.toDF("q_id", "q_text")))
+    },
+    Some {
+      def contrib(qtName: String, cName: String) =
+        s"$cName AS (SELECT $qtName.q_id, tf.doc_id, CAST(round(" +
+          "(n_docs::DOUBLE / df) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / " +
+          "(total_len::DOUBLE / n_docs)))) * 1000000.0) AS BIGINT) AS c " +
+          s"FROM $qtName JOIN tf USING (term) JOIN dl USING (doc_id) " +
+          "JOIN dft USING (term) CROSS JOIN n CROSS JOIN tl)"
+      "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1), " +
+        "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM " +
+        "(SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), " +
+        "tl AS (SELECT CAST(count(*) AS BIGINT) AS total_len FROM toks), " +
+        Bm25QueriesSql + ", " +
+        "qt AS (SELECT DISTINCT q_id, term FROM (SELECT q_id, " +
+        "unnest(regexp_split_to_array(trim(lower(q_text)), '\\s+')) AS term FROM q)), " +
+        contrib("qt", "c1") + ", " +
+        "s1 AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score FROM c1 GROUP BY 1, 2), " +
+        "r1 AS (SELECT q_id, doc_id FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank FROM s1) WHERE rank <= 3), " +
+        "fw AS (SELECT r1.q_id, tf.term, CAST(sum(CAST(round((tf.tf::DOUBLE / dl.dl) * " +
+        "(n.n_docs::DOUBLE / dft.df) * 1000000.0) AS BIGINT)) AS BIGINT) AS w " +
+        "FROM r1 JOIN tf USING (doc_id) JOIN dl USING (doc_id) " +
+        "JOIN dft ON dft.term = tf.term CROSS JOIN n " +
+        "WHERE NOT EXISTS (SELECT 1 FROM qt WHERE qt.q_id = r1.q_id AND qt.term = tf.term) " +
+        "GROUP BY 1, 2), " +
+        "ex AS (SELECT q_id, term FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY w DESC, term ASC) AS rn FROM fw) WHERE rn <= 2), " +
+        "qt2 AS (SELECT q_id, term FROM qt UNION SELECT q_id, term FROM ex), " +
+        contrib("qt2", "c2") + ", " +
+        "s2 AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score FROM c2 GROUP BY 1, 2) " +
+        "SELECT q_id, doc_id, score, CAST(rank AS BIGINT) AS rank FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) " +
+        "AS rank FROM s2) WHERE rank <= 5" + OBA
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -3896,5 +4016,7 @@ object DataCatalog {
     "url3_anchor_texts" -> url3, "url4_host_components" -> url4,
     "t11_scd2_build" -> t11, "smp7_kfold_card" -> smp7,
     "qc13_score_calibration" -> qc13, "e11_session_transcripts" -> e11,
-    "emb9_truncated_recall" -> emb9, "dp8_calibrated_curation" -> dp8)
+    "emb9_truncated_recall" -> emb9, "dp8_calibrated_curation" -> dp8,
+    "t12_keyless_range_join" -> t12, "d13_quality_keeper" -> d13,
+    "ret3_prf_bm25" -> ret3)
 }

@@ -152,6 +152,23 @@ object ScalingProbe {
           Tables.documents(spark, d), col("doc_id"), col("text"),
           Seq((1L, "batch window"), (2L, "table part"),
             (3L, "query key scan")).toDF("q_id", "q_text"))
+      },
+      // round-10 additions: corpus-stat aggregation workloads. tx16's
+      // vocab-keyed join grows on BOTH sides (bigram table and unigram
+      // table scale with the corpus — copy-suffixed tokens mean vocab
+      // grows too, the worst case for the word-keyed shuffle); qc13
+      // exercises the grouped two-level rank whose only corpus window
+      // partitions by (lang, bucket).
+      "tx16_bigram_assoc" -> { d =>
+        graft.operators.TextOps.bigramAssoc(Tables.documents(spark, d), col("text"))
+      },
+      "qc13_score_calibration" -> { d =>
+        val docs = Tables.documents(spark, d)
+        val scored = docs.select(col("lang"), col("doc_id"),
+          floor(graft.operators.TextOps.qualityCols(col("text"))._5 * 1000000.0)
+            .cast("long").as("score_micro"))
+        graft.operators.Ranking.groupRank(scored, col("lang"), col("doc_id"),
+          col("score_micro"))
       })
 
     // warmup: one scan of each replica dir
