@@ -843,6 +843,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(batch.count() - streamed.count() == users)
   }
 
+  test("keyless bucketed range join is streaming-legal: stream-static ≡ batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Tables
+    import graft.operators.Temporal
+    // the rewrite is WHY this streams: a naive range join against a
+    // keyless interval set is an unbounded stream-side state problem,
+    // while quantize+explode+equi-join is a stateless map plus a
+    // stream-static join — append mode, no watermark, no state store.
+    val ev = Tables.events(spark, sf)
+    val wins = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("w_id"), col("ts").as("w_start"),
+        (col("ts") + expr("(event_id % 2 + 1) * INTERVAL 1 HOURS")).as("w_end"))
+    val dir = java.nio.file.Files.createTempDirectory("ev_rj")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val src = EventStream.streamSource(spark, dir.toString)
+    val q = Temporal.rangeJoinBucketed(src.select(col("event_id"), col("ts")),
+        "ts", wins, "w_start", "w_end", 7200000000L)
+      .select("event_id", "w_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rj_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("rj_out")
+    val batch = Temporal.rangeJoinBucketed(
+        ev.select(col("event_id"), col("ts")), "ts",
+        wins, "w_start", "w_end", 7200000000L)
+      .select("event_id", "w_id")
+    assert(streamed.count() > 0, "fixture must produce matches")
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("streaming session transcripts: closed sessions match batch twin bit-for-bit") {
     import graft.sources.Tables
     val ev = Tables.events(spark, sf)

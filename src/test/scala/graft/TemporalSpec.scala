@@ -79,6 +79,37 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Set((1L, 91L), (3L, 92L))) // event 2 outside; keys isolated
   }
 
+  test("rangeJoinBucketed ≡ naive range join; oversized interval fails loudly") {
+    // windows up to 1h, probes scattered across bucket boundaries —
+    // including a probe in a bucket the window only REACHES via its end
+    val probes = Seq(
+      (1L, ts("2024-01-01 10:59:00")), (2L, ts("2024-01-01 11:01:00")),
+      (3L, ts("2024-01-01 12:30:00")), (4L, ts("2024-01-01 09:00:00")))
+      .toDF("event_id", "ts")
+    val wins = Seq(
+      (91L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:15:00")),
+      (92L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")),
+      (93L, ts("2024-01-01 12:30:00"), ts("2024-01-01 12:30:00")))
+      .toDF("w_id", "w_start", "w_end")
+    val got = Temporal.rangeJoinBucketed(probes, "ts", wins,
+        "w_start", "w_end", 3600000000L)
+      .select("event_id", "w_id").as[(Long, Long)].collect().toSet
+    val naive = probes.join(wins,
+        col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      .select("event_id", "w_id").as[(Long, Long)].collect().toSet
+    assert(got == naive && got ==
+      Set((1L, 91L), (2L, 91L), (2L, 92L), (3L, 93L)))
+    // a window longer than the bucket would silently drop matches —
+    // the operator must refuse it instead
+    val tooLong = Seq((99L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:30:00")))
+      .toDF("w_id", "w_start", "w_end")
+    val err = intercept[IllegalArgumentException] {
+      Temporal.rangeJoinBucketed(probes, "ts", tooLong,
+        "w_start", "w_end", 3600000000L).collect()
+    }
+    assert(err.getMessage.contains("exceeds"))
+  }
+
   test("mergeIntervals: overlap and touch merge, gaps split, keys isolated, duplicates counted") {
     val iv = Seq(
       (7L, 0L, 10L), (7L, 5L, 20L),   // overlap → one island
