@@ -116,7 +116,8 @@ object Bench {
     "url4_host_components", "t11_scd2_build", "smp7_kfold_card",
     "qc13_score_calibration", "e11_session_transcripts",
     "emb9_truncated_recall", "dp8_calibrated_curation",
-    "t12_keyless_range_join", "d13_quality_keeper", "ret3_prf_bm25")
+    "t12_keyless_range_join", "d13_quality_keeper", "ret3_prf_bm25",
+    "w6_winsorize_card", "e12_gap_percentiles")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -3937,6 +3937,73 @@ object DataCatalog {
         "AS rank FROM s2) WHERE rank <= 5" + OBA
     })
 
+  // W6 — winsorization card: the ACTION step qc9's fences exist for —
+  // values clamped into [lo, hi] per event_type (Tukey 1.5×IQR from
+  // the exact interpolating percentile, qc9's proven-parity bounds),
+  // with clamp counts and exact cents sums before/after so the
+  // outlier correction is auditable. Broadcast bounds join + one
+  // map-side-combined agg; the fact table scans twice, shuffles once.
+  val w6 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val iqr = element_at(col("qs"), 2) - element_at(col("qs"), 1)
+      val bounds = ev.groupBy("event_type")
+        .agg(expr("percentile(value, array(0.25, 0.75))").as("qs"))
+        .select(col("event_type"),
+          (element_at(col("qs"), 1) - iqr * 1.5).as("lo"),
+          (element_at(col("qs"), 2) + iqr * 1.5).as("hi"))
+      ordered(ev.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_type"), col("value"), col("lo"), col("hi"),
+          least(greatest(col("value"), col("lo")), col("hi")).as("wv"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("value") < col("lo")).cast("long")).as("n_clamped_lo"),
+          sum((col("value") > col("hi")).cast("long")).as("n_clamped_hi"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_cents_raw"),
+          sum(round(col("wv") * 100, 0).cast("long")).as("sum_cents_winsorized")))
+    },
+    Some("WITH s AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, " +
+      "quantile_cont(value, 0.75) AS q3 FROM events GROUP BY 1), " +
+      "b AS (SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM s), " +
+      "w AS (SELECT e.event_type, e.value, b.lo, b.hi, " +
+      "least(greatest(e.value, b.lo), b.hi) AS wv FROM events e JOIN b USING (event_type)) " +
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo, " +
+      "CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi, " +
+      "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents_raw, " +
+      "CAST(sum(CAST(round(wv * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents_winsorized " +
+      "FROM w GROUP BY 1" + OBA))
+
+  // E12 — inter-event gap card: per event_type, the median and p95 of
+  // the gap (µs) from the user's previous event — the cadence numbers
+  // behind session-gap and staleness-tolerance choices (e2's 30 min
+  // and t10's 6 h stop being guesses once this card exists). One lag
+  // window on the user shuffle + one per-type percentile agg (sk1's
+  // proven exact-interpolation parity).
+  val e12 = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = ev
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .where(col("gap_us").isNotNull)
+      ordered(gaps.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_gaps"),
+          expr("percentile(gap_us, array(0.5, 0.95))").as("qs"))
+        .select(col("event_type"), col("n_gaps"),
+          element_at(col("qs"), 1).as("p50_us"),
+          element_at(col("qs"), 2).as("p95_us")))
+    },
+    Some("WITH g AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) - " +
+      "lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id " +
+      "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us FROM events) " +
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, " +
+      "quantile_cont(gap_us, 0.5) AS p50_us, quantile_cont(gap_us, 0.95) AS p95_us " +
+      "FROM g WHERE gap_us IS NOT NULL GROUP BY 1" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4018,5 +4085,6 @@ object DataCatalog {
     "qc13_score_calibration" -> qc13, "e11_session_transcripts" -> e11,
     "emb9_truncated_recall" -> emb9, "dp8_calibrated_curation" -> dp8,
     "t12_keyless_range_join" -> t12, "d13_quality_keeper" -> d13,
-    "ret3_prf_bm25" -> ret3)
+    "ret3_prf_bm25" -> ret3, "w6_winsorize_card" -> w6,
+    "e12_gap_percentiles" -> e12)
 }
