@@ -288,6 +288,63 @@ class ScaleSpec extends AnyFunSuite {
       "bucket offsets should broadcast-join back to the corpus")
   }
 
+  test("grouped rank: corpus window partitions by (grp, bucket); only the offsets frame is global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.operators.Ranking
+    val rows = spark.range(0, 2000)
+      .select(concat(lit("g"), pmod(col("id"), lit(3))).as("g"), col("id"),
+        (pmod(col("id") * 31, lit(997))).as("score"))
+    val ranked = Ranking.groupRank(rows, col("g"), col("id"), col("score"),
+      buckets = 16)
+    ranked.write.format("noop").mode("overwrite").save()
+    val wins = nodes(ranked).collect { case w: WindowExec => w }
+    // NO unpartitioned window anywhere: even the offsets frame
+    // partitions by grp (≤ groups×buckets rows), and the per-row
+    // row_number partitions by (grp, bucket) — a plain per-language
+    // window would show a partitionSpec of just the group column over
+    // corpus rows, which is exactly the degenerate shape this operator
+    // exists to avoid.
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "every window must be partitioned")
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "the per-row row_number must partition by (grp, bucket)")
+    assert(nodes(ranked).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "bounds/offsets frames should broadcast-join back to the corpus")
+  }
+
+  test("keyless bucketed range join: one bucket equi-join, no cartesian, no nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.sources.Tables
+    import graft.operators.Temporal
+    val ev = Tables.events(spark, sf)
+    val wins = ev.filter(col("event_id") % 97 === 0)
+      .select(col("event_id").as("w_id"), col("ts").as("w_start"),
+        (col("ts") + expr("(event_id % 2 + 1) * INTERVAL 1 HOURS")).as("w_end"))
+    val out = Temporal.rangeJoinBucketed(ev.select(col("event_id"), col("ts")),
+      "ts", wins, "w_start", "w_end", 7200000000L)
+    assert(out.count() > 0, "fixture must produce matches")
+    val ns = nodes(out)
+    assert(ns.collect { case c: CartesianProductExec => c }.isEmpty &&
+      ns.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "the rewrite's whole point: the naive probes×intervals nested loop must not appear")
+  }
+
+  test("bigram association: vocab joins are equi-joins, top-k takes ordered, no global sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.TextOps
+    import graft.sources.Tables
+    val out = TextOps.bigramAssoc(Tables.documents(spark, sf), col("text"),
+      minCount = 1L)
+    assert(out.count() > 0)
+    val ns = nodes(out)
+    assert(ns.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-k must plan as TakeOrderedAndProject, never a global sort of the bigram table")
+    assert(ns.collect { case c: CartesianProductExec => c }.isEmpty &&
+      ns.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty)
+  }
+
   test("shard manifest aggregates map-side (partial agg) and shuffles only shard_id groups") {
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     import graft.operators.Sharding
