@@ -296,6 +296,75 @@ object Multimodal {
     }.toDF("doc_id", "phash")
   }
 
+  /** All-WAV media fixture for the audio-dedup entry (m5): each residue
+    * group `doc_id % 97` shares one (sample_rate, channels) pair;
+    * within a group, odd doc_ids carry a trailing tweak byte the energy
+    * grid renders as a one-window edit — the "same clip, tiny edit"
+    * shape audio fingerprinting exists to catch. Params derive from
+    * doc_id arithmetic so the oracle predicts them without parsing. */
+  def syntheticAudio(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val g = (id % 97).toInt
+      val payload = wavBytes(8000 + (g * 441) % 40000, 1 + g % 2) ++
+        Array((id % 2).toByte)
+      MediaRow(id, payload, "audio/wav")
+    }
+  }
+
+  /** Audio fingerprint over the stub energy sequence — the 1-D analog
+    * of [[dHash64]] and the shape chromaprint-style fingerprints take:
+    * 65 "frame energy" windows (the deterministic md5 stand-in for
+    * decode + FFT energy, keyed by the REAL header-parsed
+    * (sample_rate, channels)), bit i = [e(i) < e(i+1)] — gradient sign
+    * over time, loudness-shift invariant exactly like dHash is
+    * brightness-shift invariant. The tweak byte perturbs window 1, so
+    * a one-window edit flips ≤2 bits (the comparisons touching it). */
+  private[graft] def audioFp64(sr: Int, ch: Int, tweak: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def e(i: Int): Long = {
+      md.reset()
+      val hex = md.digest(s"$sr:$ch:$i".getBytes("UTF-8"))
+        .take(8).map(b => f"${b & 0xff}%02x").mkString
+      val base = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      if (i == 1) base + tweak.toLong * 2305843009213693952L else base
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) < e(i + 1)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** m5 step 1 — fingerprint per audio row: real WAV header parse
+    * (RIFF chunk walk → sample_rate/channels), stub energy grid, real
+    * gradient-sign packing, in one batched mapPartitions pass (decode
+    * init amortized per partition). Non-audio payloads drop. */
+  def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseDims(r.payload) match {
+          case Some((mime, sr, ch)) if mime == "audio/wav" =>
+            val tweak = r.payload(r.payload.length - 1) & 0xff
+            Some((r.doc_id, audioFp64(sr, ch, tweak)))
+          case _ => None
+        }
+      }
+    }.toDF("doc_id", "afp")
+  }
+
+  /** m5 step 2 — near-duplicate audio pairs at Hamming ≤ maxDist via
+    * the d3/m4 4×16-bit banded equi-join: an audio fingerprint is just
+    * another 64-bit signature. */
+  def audioDupPairs(fps: DataFrame, maxDist: Int = 3): DataFrame =
+    NearDup.simhashPairs(
+      fps.select(col("doc_id"), col("afp").as("simhash")), maxDist)
+
   /** m4 step 2 — near-duplicate image pairs at Hamming ≤ maxDist: the
     * EXACT same 4×16-bit banded equi-join as text SimHash (d3) — the
     * pigeonhole guarantees dist ≤ 3 pairs share a band, so no all-pairs

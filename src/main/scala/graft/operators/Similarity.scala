@@ -99,6 +99,49 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** 60-bit SIGN sketch per embedding (emb10): bit i = [vec[i+1] > 0]
+    * — the 1-bit-per-dimension binary embedding (sign quantization,
+    * the extreme point of the emb1/SQ8/PQ compression ladder: 64
+    * floats → 8 bytes, 32× smaller than SQ8). Cosine-similar vectors
+    * agree in most sign bits, so Hamming distance on the sketch is the
+    * cheap similarity proxy binary-embedding retrieval runs on. 60
+    * bits (not 64) keeps the packed value clear of the Long sign bit —
+    * shift arithmetic stays ANSI-safe and identical in the oracle.
+    * Pure map, one codegen'd fold per row. */
+  def signHash(vectors: DataFrame, dims: Int = 60): DataFrame = {
+    require(dims >= 1 && dims <= 60, s"dims in [1, 60], got $dims")
+    vectors.select(col("vec_id"), expr(
+      s"aggregate(sequence(1, $dims), 0L, (acc, i) -> acc + " +
+        "CASE WHEN element_at(embedding, i) > 0D THEN shiftleft(1L, i - 1) ELSE 0L END)")
+      .as("sig"))
+  }
+
+  /** Banded Hamming near-dup pairs over [[signHash]] sketches: 4×15-bit
+    * band keys generate candidates by equi-join (pigeonhole-exact for
+    * maxDist ≤ 3: a pair within distance 3 agrees on ≥1 of 4 bands),
+    * then the exact popcount-of-xor filter keeps true close pairs —
+    * d3's SimHash machinery applied to sign-quantized embeddings, so
+    * embedding near-dup candidates cost an equi-join on 32k-key bands
+    * instead of any vector math. Output: (id_a, id_b, hamming). */
+  def signHammingPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"maxDist in [0, 3] (pigeonhole bound for 4 bands), got $maxDist")
+    val banded = sigs.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("k", expr("shiftright(sig, band * 15)") bitwiseAND lit(32767L))
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.k") === col("b.k") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("vec_id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+      .join(sigs.select(col("vec_id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa") bitwiseXOR col("sb")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** IVF-style ANN: candidates restricted to the query's coarse cell. */
   def topKIvf(vectors: DataFrame, cellCol: String, k: Int): DataFrame = {
     val q = withNorm(vectors.select(col("vec_id").as("query_id"),

@@ -4004,6 +4004,104 @@ object DataCatalog {
       "quantile_cont(gap_us, 0.5) AS p50_us, quantile_cont(gap_us, 0.95) AS p95_us " +
       "FROM g WHERE gap_us IS NOT NULL GROUP BY 1" + OBA))
 
+  // EMB10 — binary-embedding near-dup (sign quantization + banded
+  // Hamming): each vector's 60-bit sign sketch, candidates from d3's
+  // 4×15-bit band equi-join (pigeonhole-exact at dist ≤ 3), exact
+  // popcount verify — the 1-bit end of the compression ladder (emb1 →
+  // SQ8 → PQ → sign), where near-dup candidates cost ZERO vector math.
+  // The fixture unions 20 perturbed copies (two deterministic sign
+  // flips each) so real ≤3-bit pairs exist and the band join provably
+  // recovers them. Map + band equi-join; no cartesian anywhere.
+  val emb10 = Q(
+    (s, d) => {
+      val e0 = embeddings(s, d)
+      val pert = e0.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), expr(
+          "transform(sequence(1, 64), i -> CASE WHEN i - 1 = vec_id % 60 " +
+            "OR i - 1 = (vec_id * 7 + 13) % 60 THEN -element_at(embedding, i) " +
+            "ELSE element_at(embedding, i) END)").as("embedding"))
+      val allE = e0.select(col("vec_id"), col("embedding")).unionByName(pert)
+      ordered(Similarity.signHammingPairs(Similarity.signHash(allE)))
+    },
+    Some("WITH pert AS (SELECT vec_id + 100000 AS vec_id, " +
+      "list_transform(range(1, 65), i -> CASE WHEN i - 1 = vec_id % 60 " +
+      "OR i - 1 = (vec_id * 7 + 13) % 60 THEN -embedding[i] ELSE embedding[i] END) AS embedding " +
+      "FROM embeddings WHERE vec_id % 25 = 0), " +
+      "all_e AS (SELECT vec_id, embedding FROM embeddings " +
+      "UNION ALL SELECT vec_id, embedding FROM pert), " +
+      "s AS (SELECT vec_id, CAST(list_sum(list_transform(range(1, 61), " +
+      "i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS sig " +
+      "FROM all_e), " +
+      "b AS (SELECT vec_id, sig, u.b AS band, (sig >> (u.b * 15)) & 32767 AS k " +
+      "FROM s, unnest(range(0, 4)) u(b)), " +
+      "c AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b FROM b a " +
+      "JOIN b bb ON a.band = bb.band AND a.k = bb.k AND a.vec_id < bb.vec_id), " +
+      "p AS (SELECT c.id_a, c.id_b, CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming " +
+      "FROM c JOIN s sa ON sa.vec_id = c.id_a JOIN s sb ON sb.vec_id = c.id_b) " +
+      "SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3" + OBA))
+
+  // E13 — event-type transition matrix: per (prev_type, next_type)
+  // counts + integer permille row-normalization — the first-order
+  // Markov card of user behavior (which transitions dominate, which
+  // never happen), the aggregate complement of e11's per-session
+  // transcripts. One lag window on the user shuffle + one agg; the
+  // permille window runs over the ≤ types² card.
+  val e13 = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cnt = ev.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      ordered(cnt.withColumn("permille",
+        expr("n * 1000 DIV sum(n) OVER (PARTITION BY prev_type)")))
+    },
+    Some("WITH t AS (SELECT event_type, lag(event_type) OVER (" +
+      "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+      "c AS (SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n " +
+      "FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+      "SELECT prev_type, next_type, n, " +
+      "CAST(n * 1000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS permille " +
+      "FROM c" + OBA))
+
+  // M5 — audio near-dup (the m4 story for sound): real WAV header
+  // parse → stub frame-energy sequence (md5 windows keyed by the
+  // parsed params) → REAL gradient-sign fingerprint packing (the
+  // chromaprint shape: bit i = energy rising at window i, loudness-
+  // shift invariant) → d3's 4×16-bit banded Hamming join. Residue
+  // groups share (sample_rate, channels) and odd docs carry a one-
+  // window tweak, so "same clip, tiny edit" pairs exist and survive
+  // the ≤3-bit gate. Fingerprinting rides the one batched decode
+  // pass; pair search never forms all-pairs.
+  val m5 = Q(
+    (s, d) => ordered(graft.operators.Multimodal.audioDupPairs(
+      graft.operators.Multimodal.audioFingerprint(
+        graft.operators.Multimodal.syntheticAudio(documents(s, d))), 3)),
+    Some("WITH a AS (SELECT doc_id, 8000 + ((doc_id % 97) * 441) % 40000 AS sr, " +
+      "1 + (doc_id % 97) % 2 AS ch, doc_id % 2 AS tw FROM documents), " +
+      "bits AS (SELECT doc_id, i AS b, CASE WHEN " +
+      "(('0x' || substr(md5(CAST(sr AS VARCHAR) || ':' || CAST(ch AS VARCHAR) || ':' || " +
+      "CAST(i AS VARCHAR)), 1, 15))::BIGINT + " +
+      "CASE WHEN i = 1 THEN tw * 2305843009213693952 ELSE 0 END) < " +
+      "(('0x' || substr(md5(CAST(sr AS VARCHAR) || ':' || CAST(ch AS VARCHAR) || ':' || " +
+      "CAST(i + 1 AS VARCHAR)), 1, 15))::BIGINT + " +
+      "CASE WHEN i = 0 THEN tw * 2305843009213693952 ELSE 0 END) " +
+      "THEN 1 ELSE 0 END AS bit FROM a, unnest(range(0, 64)) u(i)), " +
+      "sig AS (SELECT doc_id, CAST(sum(CASE WHEN bit = 0 THEN 0 " +
+      "WHEN b = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << b) END) AS BIGINT) AS afp " +
+      "FROM bits GROUP BY doc_id), " +
+      "banded AS (SELECT doc_id, afp, b AS band, (afp >> (b * 16)) & 65535 AS key " +
+      "FROM sig, unnest(range(0, 4)) u(b)), " +
+      "cand AS (SELECT DISTINCT a2.doc_id AS id_a, b2.doc_id AS id_b, " +
+      "a2.afp AS sa, b2.afp AS sb FROM banded a2 JOIN banded b2 " +
+      "ON a2.band = b2.band AND a2.key = b2.key AND a2.doc_id < b2.doc_id) " +
+      "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand " +
+      "WHERE bit_count(xor(sa, sb)) <= 3" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4086,5 +4184,6 @@ object DataCatalog {
     "emb9_truncated_recall" -> emb9, "dp8_calibrated_curation" -> dp8,
     "t12_keyless_range_join" -> t12, "d13_quality_keeper" -> d13,
     "ret3_prf_bm25" -> ret3, "w6_winsorize_card" -> w6,
-    "e12_gap_percentiles" -> e12)
+    "e12_gap_percentiles" -> e12, "emb10_sign_ann" -> emb10,
+    "e13_transition_matrix" -> e13, "m5_audio_fp_dedup" -> m5)
 }
