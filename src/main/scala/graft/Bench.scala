@@ -118,7 +118,8 @@ object Bench {
     "emb9_truncated_recall", "dp8_calibrated_curation",
     "t12_keyless_range_join", "d13_quality_keeper", "ret3_prf_bm25",
     "w6_winsorize_card", "e12_gap_percentiles",
-    "emb10_sign_ann", "e13_transition_matrix", "m5_audio_fp_dedup")
+    "emb10_sign_ann", "e13_transition_matrix", "m5_audio_fp_dedup",
+    "e14_props_keys", "smp8_cluster_weighted")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -252,6 +252,29 @@ object Sampling {
         expr("1000 * n_docs DIV sum(n_docs) OVER ()").as("docs_share_permille"))
   }
 
+  /** Row-weighted deterministic sample (smp8): [[weightedSample]]'s
+    * priority scheme with the weight coming from a COLUMN instead of a
+    * stratum map — priority = content-stable 60-bit md5 DIV row
+    * weight, sample = global smallest-k by (priority, key). This is
+    * the dedup-aware downsampling shape: weight rows by inverse
+    * near-dup-cluster size and boilerplate families stop dominating
+    * the sample while unique content keeps full probability mass.
+    * Rows with null/non-positive weight drop (the mixture convention).
+    * Same plan as smp6: pure map + TakeOrderedAndProject, no RNG, no
+    * global sort. Output: (key, weight, priority). */
+  def weightedSampleByColumn(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(key.as("key"), weight.cast("long").as("weight"),
+        conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+          .as("__h"))
+      .filter(col("weight").isNotNull && col("weight") > 0)
+      .withColumn("priority", expr("__h DIV weight"))
+      .drop("__h")
+      .orderBy(col("priority"), col("key"))
+      .limit(k)
+  }
+
   /** Cluster-balanced diversity cap (smp5): keep at most `k` rows per
     * cluster cell, chosen by content-stable md5 order (key tie-break) —
     * the diversity-sampling step that stops dense embedding clusters

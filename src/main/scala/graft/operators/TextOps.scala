@@ -478,7 +478,8 @@ object TextOps {
     val uni = graft.CacheScope.persist(
       toks.select(explode(col("tk")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("c")))
-    val n = uni.agg(sum(col("c"))).head.getLong(0)
+    // coalesce: an empty corpus sums to NULL — read 0, not an NPE
+    val n = uni.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
     toks.where(size(col("tk")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))

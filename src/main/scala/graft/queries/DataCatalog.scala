@@ -4102,6 +4102,71 @@ object DataCatalog {
       "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand " +
       "WHERE bit_count(xor(sa, sb)) <= 3" + OBA))
 
+  // E14 — props key-coverage card: which keys the semi-structured JSON
+  // bag actually carries and how often — the schema-discovery step
+  // before e9-style typed extraction is even possible (you can't write
+  // get_json_object paths for keys you don't know exist). The fixture
+  // widens the single-key bag with residue-dependent device/geo keys
+  // so coverage genuinely varies. One map + keys explode + one tiny
+  // agg; the total broadcast is 1 row.
+  val e14 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val bag = ev.select(col("event_id"), concat(
+        lit("{\"k\": "), get_json_object(col("props"), "$.k"),
+        when(col("event_id") % 3 === 0, lit(", \"device\": \"mobile\""))
+          .when(col("event_id") % 3 === 1, lit(", \"geo\": \"eu\", \"device\": \"web\""))
+          .otherwise(lit("")),
+        lit("}")).as("props"))
+      val total = ev.agg(count(lit(1)).as("total"))
+      ordered(bag.select(explode(expr("json_object_keys(props)")).as("prop_key"))
+        .groupBy("prop_key").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("prop_key"), col("n"),
+          expr("n * 1000 DIV total").as("coverage_permille")))
+    },
+    Some("WITH bag AS (SELECT event_id, '{\"k\": ' || (props->>'$.k') || " +
+      "CASE WHEN event_id % 3 = 0 THEN ', \"device\": \"mobile\"' " +
+      "WHEN event_id % 3 = 1 THEN ', \"geo\": \"eu\", \"device\": \"web\"' " +
+      "ELSE '' END || '}' AS props FROM events), " +
+      "k AS (SELECT unnest(json_keys(props)) AS prop_key FROM bag), " +
+      "c AS (SELECT prop_key, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY 1) " +
+      "SELECT prop_key, n, CAST(n * 1000 // (SELECT count(*) FROM events) AS BIGINT) " +
+      "AS coverage_permille FROM c" + OBA))
+
+  // SMP8 — dedup-aware weighted sample: row weight = 1000 DIV its d6
+  // near-dup cluster size (min 1), sample = smp6's content-stable
+  // smallest-k priorities — boilerplate families' probability mass
+  // splits across their copies instead of multiplying, so the sample
+  // stops over-representing mirrored content. Clustering is the
+  // verified d6 machinery; the sample itself is a pure map +
+  // TakeOrderedAndProject.
+  val smp8 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
+      val cl = NearDup.dedupClusters(docs, col("doc_id"), pairs)
+      val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
+      val withW = cl.join(sz, Seq("cluster_id"))
+        .select(col("doc_id"), expr("greatest(1000L DIV csz, 1L)").as("w"))
+      ordered(Sampling.weightedSampleByColumn(withW, col("doc_id"), col("w"), 50)
+        .select(col("key").as("doc_id"), col("weight"), col("priority")))
+    },
+    Some("WITH RECURSIVE " + MinhashPairsBody + ", " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src), " +
+      "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "sz AS (SELECT cluster_id, count(*) AS csz FROM cl GROUP BY 1), " +
+      "ww AS (SELECT cl.doc_id, greatest(1000 // sz.csz, 1) AS weight FROM cl " +
+      "JOIN sz USING (cluster_id)), " +
+      "p AS (SELECT doc_id, CAST(weight AS BIGINT) AS weight, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT // weight AS priority " +
+      "FROM ww) " +
+      "SELECT doc_id, weight, priority FROM " +
+      "(SELECT * FROM p ORDER BY priority, doc_id LIMIT 50)" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4185,5 +4250,6 @@ object DataCatalog {
     "t12_keyless_range_join" -> t12, "d13_quality_keeper" -> d13,
     "ret3_prf_bm25" -> ret3, "w6_winsorize_card" -> w6,
     "e12_gap_percentiles" -> e12, "emb10_sign_ann" -> emb10,
-    "e13_transition_matrix" -> e13, "m5_audio_fp_dedup" -> m5)
+    "e13_transition_matrix" -> e13, "m5_audio_fp_dedup" -> m5,
+    "e14_props_keys" -> e14, "smp8_cluster_weighted" -> smp8)
 }
