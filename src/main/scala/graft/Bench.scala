@@ -119,7 +119,8 @@ object Bench {
     "t12_keyless_range_join", "d13_quality_keeper", "ret3_prf_bm25",
     "w6_winsorize_card", "e12_gap_percentiles",
     "emb10_sign_ann", "e13_transition_matrix", "m5_audio_fp_dedup",
-    "e14_props_keys", "smp8_cluster_weighted")
+    "e14_props_keys", "smp8_cluster_weighted",
+    "qc15_syndication_matrix", "d14_dedup_impact")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -4167,6 +4167,72 @@ object DataCatalog {
       "SELECT doc_id, weight, priority FROM " +
       "(SELECT * FROM p ORDER BY priority, doc_id LIMIT 50)" + OBA))
 
+  // QC15 — cross-source syndication matrix: d2's VERIFIED near-dup
+  // pairs rolled up by unordered source pair — which sources carry
+  // each other's content (mirrors, syndication, scraped re-posts).
+  // qc12 says how duplicated each source is internally; qc15 says who
+  // shares with WHOM, the card that picks which source to drop when a
+  // family is redundant. Pair list is the d2 machinery; the rollup is
+  // two k-row joins + one tiny agg.
+  val qc15 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      ordered(pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), Seq("id_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).cast("long").as("n_pairs")))
+    },
+    Some("WITH " + MinhashPairsBody + " " +
+      "SELECT least(da.source, db.source) AS source_a, " +
+      "greatest(da.source, db.source) AS source_b, CAST(count(*) AS BIGINT) AS n_pairs " +
+      "FROM pairs JOIN documents da ON da.doc_id = pairs.id_a " +
+      "JOIN documents db ON db.doc_id = pairs.id_b GROUP BY 1, 2" + OBA))
+
+  // D14 — dedup-impact receipt: docs and tokens each dedup family
+  // would remove (exact d1 vs near-dup d6 clustering, min-id keepers
+  // both) — the budget card deciding whether the expensive near pass
+  // buys anything over the cheap exact one on a given corpus. Keepers
+  // come from the verified d1/d6 machinery; the receipt is two
+  // anti-joins + 1-row aggs. Near keeper = the cluster label itself
+  // (labels ARE the min member by construction).
+  val d14 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tk"))
+      val exactKeep = NearDup.exact(docs, col("doc_id"), col("text"))
+        .select("doc_id")
+      val cl = NearDup.dedupClusters(docs, col("doc_id"),
+        NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5))
+      val nearKeep = cl.select(col("cluster_id").as("doc_id")).distinct()
+      ordered(Seq("exact" -> exactKeep, "near" -> nearKeep).map { case (m, keep) =>
+        toks.join(keep, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("docs_dropped"),
+            coalesce(sum(col("tk")), lit(0L)).as("tokens_dropped"))
+          .select(lit(m).as("method"), col("docs_dropped"), col("tokens_dropped"))
+      }.reduce(_.unionByName(_)))
+    },
+    Some("WITH RECURSIVE " + MinhashPairsBody + ", " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src), " +
+      "cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a), " +
+      "tk AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tk " +
+      "FROM documents), " +
+      "exk AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (" +
+      "PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1) " +
+      "SELECT 'exact' AS method, CAST(count(*) AS BIGINT) AS docs_dropped, " +
+      "CAST(coalesce(sum(tk), 0) AS BIGINT) AS tokens_dropped FROM tk " +
+      "WHERE doc_id NOT IN (SELECT doc_id FROM exk) " +
+      "UNION ALL " +
+      "SELECT 'near', CAST(count(*) AS BIGINT), CAST(coalesce(sum(tk), 0) AS BIGINT) FROM tk " +
+      "WHERE doc_id NOT IN (SELECT DISTINCT cluster_id FROM cl)" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4251,5 +4317,6 @@ object DataCatalog {
     "ret3_prf_bm25" -> ret3, "w6_winsorize_card" -> w6,
     "e12_gap_percentiles" -> e12, "emb10_sign_ann" -> emb10,
     "e13_transition_matrix" -> e13, "m5_audio_fp_dedup" -> m5,
-    "e14_props_keys" -> e14, "smp8_cluster_weighted" -> smp8)
+    "e14_props_keys" -> e14, "smp8_cluster_weighted" -> smp8,
+    "qc15_syndication_matrix" -> qc15, "d14_dedup_impact" -> d14)
 }
