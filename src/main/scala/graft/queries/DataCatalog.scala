@@ -4233,6 +4233,103 @@ object DataCatalog {
       "SELECT 'near', CAST(count(*) AS BIGINT), CAST(coalesce(sum(tk), 0) AS BIGINT) FROM tk " +
       "WHERE doc_id NOT IN (SELECT DISTINCT cluster_id FROM cl)" + OBA))
 
+  // RET4 — retrieval eval card (the retrieval family's eval1): BM25,
+  // TF-IDF, and PRF-BM25 each scored against a deterministic
+  // relevance oracle — "doc carries every query term with tf ≥ 3"
+  // (12–32 relevant docs per query on the fixture: strict enough that
+  // rank-1 hits are not free) — reporting hit@5 and an integer MRR
+  // proxy (Σ 10⁶ DIV first-relevant-rank). The numbers that justify
+  // ret3's second pass before anyone pays for it corpus-wide. Rank
+  // lists are the verified ret1/ret2/ret3 machinery; the scorecard
+  // joins touch k-row-per-query lists + the rel set only.
+  val ret4 = Q(
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d)
+      val queries = Bm25Queries.toDF("q_id", "q_text")
+      val st = Retrieval.stats(docs, col("doc_id"), col("text"))
+      val qt = queries.select(col("q_id"),
+        explode(split(trim(lower(col("q_text"))), "\\s+")).as("term")).distinct()
+      val qn = qt.groupBy("q_id").agg(count(lit(1)).as("nq"))
+      val rel = graft.CacheScope.persist(
+        qt.join(st.tf.filter(col("tf") >= 3), Seq("term"))
+          .groupBy("q_id", "doc_id").agg(count(lit(1)).as("m"))
+          .join(qn, Seq("q_id")).filter(col("m") === col("nq"))
+          .select("q_id", "doc_id"))
+      val systems = Seq(
+        "bm25" -> Retrieval.bm25(docs, col("doc_id"), col("text"), queries,
+          shared = Some(st)),
+        "tfidf" -> Retrieval.tfidfRank(docs, col("doc_id"), col("text"), queries,
+          shared = Some(st)),
+        "prf" -> Retrieval.bm25Prf(docs, col("doc_id"), col("text"), queries))
+      ordered(systems.map { case (m, res) =>
+        val fr = res.join(rel, Seq("q_id", "doc_id"), "left_semi")
+          .groupBy("q_id").agg(min(col("rank")).as("fr"))
+        queries.select("q_id").join(fr, Seq("q_id"), "left")
+          .agg(count(lit(1)).cast("long").as("n_queries"),
+            count(col("fr")).cast("long").as("n_hit5"),
+            coalesce(sum(expr("1000000 DIV fr")), lit(0L)).as("rr_micro_sum"))
+          .select(lit(m).as("method"), col("n_queries"), col("n_hit5"),
+            col("rr_micro_sum"))
+      }.reduce(_.unionByName(_)))
+    },
+    Some {
+      def bm25c(qtName: String) = s"SELECT $qtName.q_id, tf.doc_id, CAST(round(" +
+        "(n_docs::DOUBLE / df) * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / " +
+        "(total_len::DOUBLE / n_docs)))) * 1000000.0) AS BIGINT) AS c " +
+        s"FROM $qtName JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dft USING (term) " +
+        "CROSS JOIN n CROSS JOIN tl"
+      def rollup(rname: String, m: String) =
+        s"SELECT '$m' AS method, (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries, " +
+          "CAST(count(fr.fr) AS BIGINT) AS n_hit5, " +
+          "CAST(coalesce(sum(1000000 // fr.fr), 0) AS BIGINT) AS rr_micro_sum " +
+          s"FROM q LEFT JOIN (SELECT q_id, min(rank) AS fr FROM $rname " +
+          "JOIN rel USING (q_id, doc_id) GROUP BY 1) fr USING (q_id)"
+      "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1), " +
+        "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM " +
+        "(SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents), " +
+        "tl AS (SELECT CAST(count(*) AS BIGINT) AS total_len FROM toks), " +
+        Bm25QueriesSql + ", " +
+        "qt AS (SELECT DISTINCT q_id, term FROM (SELECT q_id, " +
+        "unnest(regexp_split_to_array(trim(lower(q_text)), '\\s+')) AS term FROM q)), " +
+        "cb AS (" + bm25c("qt") + "), " +
+        "sb AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score FROM cb GROUP BY 1, 2), " +
+        "rb AS (SELECT q_id, doc_id, rank FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank FROM sb) WHERE rank <= 5), " +
+        "ct AS (SELECT qt.q_id, tf.doc_id, CAST(round(" +
+        "(tf::DOUBLE / dl) * (n_docs::DOUBLE / df) * 1000000.0) AS BIGINT) AS c " +
+        "FROM qt JOIN tf USING (term) JOIN dl USING (doc_id) JOIN dft USING (term) " +
+        "CROSS JOIN n), " +
+        "st2 AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score FROM ct GROUP BY 1, 2), " +
+        "rt AS (SELECT q_id, doc_id, rank FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank FROM st2) WHERE rank <= 5), " +
+        "rb3 AS (SELECT q_id, doc_id FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank FROM sb) WHERE rank <= 3), " +
+        "fw AS (SELECT rb3.q_id, tf.term, CAST(sum(CAST(round((tf.tf::DOUBLE / dl.dl) * " +
+        "(n.n_docs::DOUBLE / dft.df) * 1000000.0) AS BIGINT)) AS BIGINT) AS w " +
+        "FROM rb3 JOIN tf USING (doc_id) JOIN dl USING (doc_id) " +
+        "JOIN dft ON dft.term = tf.term CROSS JOIN n " +
+        "WHERE NOT EXISTS (SELECT 1 FROM qt WHERE qt.q_id = rb3.q_id AND qt.term = tf.term) " +
+        "GROUP BY 1, 2), " +
+        "ex AS (SELECT q_id, term FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY w DESC, term ASC) AS rn FROM fw) WHERE rn <= 2), " +
+        "qt2 AS (SELECT q_id, term FROM qt UNION SELECT q_id, term FROM ex), " +
+        "cp AS (" + bm25c("qt2") + "), " +
+        "sp AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score FROM cp GROUP BY 1, 2), " +
+        "rp AS (SELECT q_id, doc_id, rank FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank FROM sp) WHERE rank <= 5), " +
+        "qn AS (SELECT q_id, count(*) AS nq FROM qt GROUP BY 1), " +
+        "rel AS (SELECT qt.q_id, tf.doc_id FROM qt JOIN tf USING (term) " +
+        "JOIN qn USING (q_id) WHERE tf.tf >= 3 " +
+        "GROUP BY qt.q_id, tf.doc_id, qn.nq HAVING count(*) = qn.nq) " +
+        rollup("rb", "bm25") + " UNION ALL " + rollup("rt", "tfidf") +
+        " UNION ALL " + rollup("rp", "prf") + OBA
+    })
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4318,5 +4415,6 @@ object DataCatalog {
     "e12_gap_percentiles" -> e12, "emb10_sign_ann" -> emb10,
     "e13_transition_matrix" -> e13, "m5_audio_fp_dedup" -> m5,
     "e14_props_keys" -> e14, "smp8_cluster_weighted" -> smp8,
-    "qc15_syndication_matrix" -> qc15, "d14_dedup_impact" -> d14)
+    "qc15_syndication_matrix" -> qc15, "d14_dedup_impact" -> d14,
+    "ret4_retrieval_eval" -> ret4)
 }
