@@ -278,6 +278,41 @@ object EventStream {
   final case class TranscriptOut(user_id: Long,
       session_start: java.sql.Timestamp, n_events: Long, transcript: String)
 
+  final case class TransitionOut(user_id: Long, prev_type: String,
+      next_type: String)
+
+  /** Streaming twin of the e13 transition matrix's pair extraction:
+    * per user, each event emits (prev_type, next_type) against the
+    * last event held in state — O(1) state per user (the last (us,
+    * event_id, type) triple), vs the batch lag window's full-history
+    * shuffle. The downstream matrix is a plain streaming aggregation
+    * over the emitted pairs. In-batch order is the same total
+    * (us, event_id) order as the batch window, so the emitted pair
+    * multiset ≡ batch (pinned in ScaleSpec). */
+  def transitionStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    def fn(uid: Long, evs: Iterator[(Long, Long, Long, String)],
+        state: GroupState[(Long, Long, String)]): Iterator[TransitionOut] = {
+      val sorted = evs.toArray.sortBy(e => (e._2, e._3))
+      var out = List.empty[TransitionOut]
+      var cur = state.getOption
+      sorted.foreach { case (_, us, eid, ty) =>
+        cur.foreach { case (_, _, pt) => out ::= TransitionOut(uid, pt, ty) }
+        cur = Some((us, eid, ty))
+      }
+      cur.foreach(state.update)
+      out.reverseIterator
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   /** Streaming twin of [[sessionTranscripts]] (e11): per user, event
     * types accumulate in gap-delimited session state; a CLOSED session
     * emits its ordered transcript, the open session's running type list

@@ -931,6 +931,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("streaming transitions: emitted pair multiset equals the batch lag window") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.Tables
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ev_trn")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val src = EventStream.streamSource(spark, dir.toString)
+    val q = EventStream.transitionStream(src).writeStream
+      .outputMode("append").format("memory").queryName("trn_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("trn_out")
+      .groupBy("user_id", "prev_type", "next_type").count()
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val batch = ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy("user_id", "prev_type", "next_type").count()
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "per-user transition counts must match the batch lag window exactly")
+  }
+
   test("streaming session transcripts: closed sessions match batch twin bit-for-bit") {
     import graft.sources.Tables
     val ev = Tables.events(spark, sf)
