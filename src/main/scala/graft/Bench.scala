@@ -120,7 +120,8 @@ object Bench {
     "w6_winsorize_card", "e12_gap_percentiles",
     "emb10_sign_ann", "e13_transition_matrix", "m5_audio_fp_dedup",
     "e14_props_keys", "smp8_cluster_weighted",
-    "qc15_syndication_matrix", "d14_dedup_impact", "ret4_retrieval_eval")
+    "qc15_syndication_matrix", "d14_dedup_impact", "ret4_retrieval_eval",
+    "dp9_refresh_receipt")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -4330,6 +4330,56 @@ object DataCatalog {
         " UNION ALL " + rollup("rp", "prf") + OBA
     })
 
+  // DP9 — corpus-refresh funnel receipt: the d8 incremental-admission
+  // pipeline reported as the one-row audit a refresh run files —
+  // batch size → exact-unique within the batch → novel vs the corpus
+  // hash index → admitted after the near-dup gate. Every stage is
+  // d8's verified machinery; the receipt makes the attrition at each
+  // gate (the number ops teams actually watch) a first-class output
+  // instead of something grep'd from logs. Four 1-row aggs cross-
+  // joined; costs one d8 run + two cheap hash passes.
+  val dp9 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 10 >= 2)
+      val batch = docs.filter(col("doc_id") % 10 < 2)
+      val exactB = NearDup.exact(batch, col("doc_id"), col("text"))
+      val novel = exactB.join(
+        corpus.select(md5(col("text")).as("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      val admitted = NearDup.incremental(corpus, batch,
+        col("doc_id"), col("text"), 0.5)
+      ordered(batch.agg(count(lit(1)).cast("long").as("n_batch"))
+        .crossJoin(exactB.agg(count(lit(1)).cast("long").as("n_exact_unique")))
+        .crossJoin(novel.agg(count(lit(1)).cast("long").as("n_novel_exact")))
+        .crossJoin(admitted.agg(count(lit(1)).cast("long").as("n_admitted"))))
+    },
+    Some("WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2), " +
+      "batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 2), " +
+      "bex AS (SELECT doc_id, content_hash FROM (SELECT doc_id, md5(text) AS content_hash, " +
+      "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM batch) WHERE rn = 1), " +
+      "s0 AS (SELECT b.doc_id, b.content_hash FROM bex b " +
+      "WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE md5(c.text) = b.content_hash)), " +
+      "bsrc AS (SELECT t.doc_id, t.text FROM batch t JOIN s0 ON s0.doc_id = t.doc_id), " +
+      minhashSigsBody("bsrc", "b") + ", " +
+      minhashSigsBody("corpus", "c") + ", " +
+      "cand AS (SELECT DISTINCT a.doc_id AS bid, c2.doc_id AS cid FROM bsigs a " +
+      "JOIN csigs c2 ON a.band = c2.band AND a.sig = c2.sig), " +
+      "bcnt AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1), " +
+      "ccnt AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1), " +
+      "inter AS (SELECT cand.bid, cand.cid, count(*) AS i FROM cand " +
+      "JOIN bsh ON bsh.doc_id = cand.bid " +
+      "JOIN csh ON csh.doc_id = cand.cid AND csh.sh = bsh.sh GROUP BY 1, 2), " +
+      "ver AS (SELECT DISTINCT i.bid FROM inter i " +
+      "JOIN bcnt bn ON bn.doc_id = i.bid JOIN ccnt cn ON cn.doc_id = i.cid " +
+      "WHERE i.i::DOUBLE / (bn.n + cn.n - i.i) >= 0.5) " +
+      "SELECT (SELECT CAST(count(*) AS BIGINT) FROM batch) AS n_batch, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM bex) AS n_exact_unique, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_novel_exact, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM s0 " +
+      "WHERE NOT EXISTS (SELECT 1 FROM ver WHERE ver.bid = s0.doc_id)) AS n_admitted" +
+      OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4416,5 +4466,5 @@ object DataCatalog {
     "e13_transition_matrix" -> e13, "m5_audio_fp_dedup" -> m5,
     "e14_props_keys" -> e14, "smp8_cluster_weighted" -> smp8,
     "qc15_syndication_matrix" -> qc15, "d14_dedup_impact" -> d14,
-    "ret4_retrieval_eval" -> ret4)
+    "ret4_retrieval_eval" -> ret4, "dp9_refresh_receipt" -> dp9)
 }
