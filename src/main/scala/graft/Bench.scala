@@ -121,7 +121,10 @@ object Bench {
     "emb10_sign_ann", "e13_transition_matrix", "m5_audio_fp_dedup",
     "e14_props_keys", "smp8_cluster_weighted",
     "qc15_syndication_matrix", "d14_dedup_impact", "ret4_retrieval_eval",
-    "dp9_refresh_receipt")
+    "dp9_refresh_receipt",
+    // wave 6
+    "e15_audience_overlap", "e16_burst_detection", "fs1_training_features",
+    "emb11_dim_covariance", "sim9_range_search", "g1_degree_card")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

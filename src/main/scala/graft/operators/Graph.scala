@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Host-graph analytics for corpus curation: web-scale pretraining
@@ -116,5 +116,25 @@ object Graph {
     }
     h.select(col("host"), col("s").as("hub"))
       .join(a.select(col("host"), col("s").as("authority")), Seq("host"))
+  }
+
+  /** Degree-distribution card (g1): for each degree value, how many
+    * nodes have it — out-degrees over edge sources, in-degrees over
+    * destinations, stacked long-form under a `direction` label. The
+    * sanity card read BEFORE pr1/hits1/url4 spend a shuffle per
+    * iteration: a power-law tail here says "expect skew — salt or cap",
+    * a spike at degree 1 says the extraction produced a star, and a
+    * max-degree outlier is the future hot key by name.
+    *
+    * Shape: duplicate edges collapse once (DISTINCT), then two hash
+    * aggs per direction — nodes-sized intermediate, degrees-sized
+    * output. Nothing scales with raw corpus rows. */
+  def degreeCard(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    def hist(end: Column, dir: String) =
+      e.groupBy(end.as("node")).agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_hosts"))
+        .select(lit(dir).as("direction"), col("degree"), col("n_hosts"))
+    hist(col("src"), "out").unionByName(hist(col("dst"), "in"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling (qc3): the per-column data-quality card a pipeline
@@ -91,5 +91,33 @@ object Profiling {
       .otherwise(lit("unchanged"))
     j.select(col("k").as(key) +: status.as("status") +:
       carry.map(c => coalesce(col(s"${c}_new"), col(s"${c}_old")).as(c)): _*)
+  }
+
+  /** Audience-overlap matrix (e15): for every unordered pair of `tag`
+    * values (event types, feature flags, source labels), the count of
+    * entities carrying BOTH plus an integer-permille Jaccard — the
+    * "which segments share users" card behind cross-sell, cohort-merge,
+    * and event-taxonomy decisions (two types with Jaccard ≈ 1000 are
+    * one behavior wearing two names).
+    *
+    * Shape at 100 TB: one distinct shuffle to (tag, entity), then a
+    * SELF equi-join on entity whose fan-out is bounded by the per-entity
+    * distinct-tag count (≤ T, the taxonomy size — never a row-count
+    * blow-up), and an aggregate onto ≤ T² keys. The per-tag totals are
+    * a T-row frame broadcast onto the result. Includes the diagonal
+    * (tag_a = tag_b, Jaccard 1000) so per-tag audience sizes read off
+    * the same card. */
+  def audienceOverlap(df: DataFrame, entity: Column, tag: Column): DataFrame = {
+    val u = df.select(tag.as("t"), entity.as("e")).distinct()
+    val counts = u.groupBy("t").agg(count(lit(1)).as("n"))
+    val a = u.select(col("t").as("ta"), col("e"))
+    val b = u.select(col("t").as("tb"), col("e"))
+    a.join(b, Seq("e")).filter(col("ta") <= col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("shared"))
+      .join(broadcast(counts.select(col("t").as("ta"), col("n").as("n_a"))), Seq("ta"))
+      .join(broadcast(counts.select(col("t").as("tb"), col("n").as("n_b"))), Seq("tb"))
+      .select(col("ta").as("tag_a"), col("tb").as("tag_b"),
+        col("shared").as("shared_entities"), col("n_a"), col("n_b"),
+        expr("shared * 1000 DIV (n_a + n_b - shared)").as("jaccard_permille"))
   }
 }

@@ -68,6 +68,34 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Radius (range) search — FAISS `range_search`'s semantics: ALL
+    * corpus vectors within cosine ≥ `threshold` of each query, not a
+    * fixed k. The shape retrieval wants when the question is "everything
+    * this similar" (dedup sweeps, recall-complete candidate pools)
+    * rather than "the best k".
+    *
+    * Same exact-baseline contract as [[topK]] (O(Q×N) scoring pass with
+    * the query side capped and broadcast — the corpus is scanned once,
+    * never shuffled); at corpus scale restrict the candidate side to
+    * neighboring cells first ([[nearDupPairs]] is that shape for the
+    * self-join case). Output: (query_id, neighbor_id, cosine) — no rank
+    * column, because a radius result has no k to rank within. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, threshold: Double,
+      maxQueries: Int = 10000): DataFrame = {
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"Similarity.rangeSearch is the exact O(Q*N) baseline and its query " +
+      s"side exceeds maxQueries=$maxQueries; block by cell for large query sets")
+    val q = withNorm(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")), "query_id", "qv", "qn")
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv")), "neighbor_id", "cv", "cn")
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Hard-negative mining (sim8) for contrastive/embedding training:
     * for each query, the top-k most similar corpus vectors that are
     * (a) NOT plausibly the same item — cosine < `maxCos` excludes the

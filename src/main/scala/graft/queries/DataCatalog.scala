@@ -4380,6 +4380,188 @@ object DataCatalog {
       "WHERE NOT EXISTS (SELECT 1 FROM ver WHERE ver.bid = s0.doc_id)) AS n_admitted" +
       OBA))
 
+  // E15 — audience-overlap matrix: for every unordered pair of event
+  // types, the users doing BOTH plus integer-permille Jaccard — the
+  // taxonomy-health card (two types with Jaccard ≈ 1000 are one
+  // behavior wearing two names; a zero cell is a funnel that never
+  // converts). Shape: one distinct to (type, user), a SELF equi-join
+  // on user whose fan-out is bounded by the 5-type taxonomy, ≤ T²
+  // output keys; per-type totals broadcast.
+  val e15 = Q(
+    (s, d) => ordered(graft.operators.Profiling.audienceOverlap(
+        events(s, d), col("user_id"), col("event_type"))
+      .withColumnRenamed("tag_a", "type_a").withColumnRenamed("tag_b", "type_b")
+      .withColumnRenamed("shared_entities", "shared_users")),
+    Some("WITH u AS (SELECT DISTINCT event_type AS t, user_id AS e FROM events), " +
+      "c AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1), " +
+      "p AS (SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS shared_users " +
+      "FROM u a JOIN u b ON a.e = b.e AND a.t <= b.t GROUP BY 1, 2) " +
+      "SELECT type_a, type_b, shared_users, ca.n AS n_a, cb.n AS n_b, " +
+      "CAST(shared_users * 1000 // (ca.n + cb.n - shared_users) AS BIGINT) AS jaccard_permille " +
+      "FROM p JOIN c ca ON ca.t = type_a JOIN c cb ON cb.t = type_b" + OBA))
+
+  // E16 — burst detection: each (type, day) daily count against the
+  // LOWER MEDIAN of its own trailing 1–7 days (≥ 4 required), flagged
+  // when count ≥ 2.5× median — integer-exact (n·10 ≥ med·25), so both
+  // engines agree bit-for-bit where a float z-score would drift. The
+  // median-not-mean choice is the point: one prior spike inflates a
+  // mean baseline and masks the next burst; the median shrugs it off.
+  // Shape: the corpus collapses to a (types × days) card FIRST; the
+  // window and its ≤7-element sort run over the card only.
+  val e16 = Q(
+    (s, d) => {
+      val cnt = events(s, d).groupBy(col("event_type").as("t"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      ordered(cnt.selectExpr("t", "day", "n",
+          "collect_list(n) OVER (PARTITION BY t ORDER BY day " +
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS l")
+        .filter(size(col("l")) >= 4)
+        .select(col("t").as("event_type"), col("day"), col("n"),
+          expr("sort_array(l)[CAST((size(l) + 1) DIV 2 AS INT) - 1]").as("med7"))
+        .withColumn("burst", col("n") * 10 >= col("med7") * 25))
+    },
+    Some("WITH c AS (SELECT event_type AS t, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+      "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+      "w AS (SELECT t, day, n, list(n) OVER (PARTITION BY t ORDER BY day " +
+      "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS l FROM c) " +
+      "SELECT t AS event_type, day, n, list_sort(l)[(len(l) + 1) // 2] AS med7, " +
+      "n * 10 >= list_sort(l)[(len(l) + 1) // 2] * 25 AS burst " +
+      "FROM w WHERE len(l) >= 4" + OBA))
+
+  // FS1 — point-in-time training-set materialization (the feature-store
+  // contract): every purchase event becomes a training row carrying (a)
+  // the user's state under t6's as-of semantics — the version valid AT
+  // the event, never a later one (the leakage as-of exists to prevent)
+  // — and (b) the user's strictly-prior event count from a running
+  // window. Both features shuffle on the SAME key (user_id), so the
+  // window's partitioning is reusable by the as-of union; no pair
+  // materialization anywhere.
+  val fs1 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val versions = graft.operators.Dedup.keepOneByKey(
+        ev.filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), col("ts").as("valid_from"),
+            col("event_type").as("state"), col("event_id")),
+        Seq(col("user_id"), col("valid_from")), Seq(col("event_id")))
+        .select("user_id", "valid_from", "state")
+      val probes = ev.selectExpr("event_id", "user_id", "ts", "event_type", "value",
+          "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prior_events")
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value", "prior_events")
+      ordered(graft.operators.Temporal.asofJoin(
+        probes, versions, "user_id", "ts", "valid_from", "state", "state_at"))
+    },
+    Some("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+      "event_type, value FROM events), " +
+      "p0 AS (SELECT event_id, user_id, ts, value, event_type, " +
+      "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prior_events FROM e), " +
+      "p AS (SELECT event_id, user_id, ts, value, prior_events FROM p0 " +
+      "WHERE event_type = 'purchase'), " +
+      "v0 AS (SELECT user_id, ts AS valid_from, event_type AS state, " +
+      "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn " +
+      "FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id " +
+      "FROM events WHERE event_id % 7 = 0)), " +
+      "v AS (SELECT user_id, valid_from, state FROM v0 WHERE rn = 1) " +
+      "SELECT p.event_id, p.user_id, p.ts, p.value, p.prior_events, " +
+      "v.state AS state_at " +
+      "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.valid_from" + OBA))
+
+  // EMB11 — dimension second-moment card: per dim pair (i ≤ j), exact
+  // integer sums over milli-quantized coordinates (⌊x·1000⌋) — n, Σqᵢ,
+  // Σqⱼ, Σqᵢqⱼ, and the covariance numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ. The
+  // diagnosis card behind emb7/emb9's dimension-reduction choices: a
+  // near-zero cov row says the pair is independent (truncation-safe), a
+  // dominant diagonal says variance concentrates in few dims. Shape:
+  // per-row pair fan-out is the FIXED d(d+1)/2 = 2080, absorbed by
+  // map-side combine onto 2080 keys — the shuffle never scales with N;
+  // marginals are a 64-row broadcast.
+  val emb11 = Q(
+    (s, d) => {
+      val q = embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      val pairs = q.select(explode(expr(
+          "flatten(transform(sequence(0, size(q) - 1), i -> " +
+          "transform(sequence(i, size(q) - 1), j -> " +
+          "named_struct('i', i, 'j', j, 'p', q[i] * q[j]))))")).as("s"))
+        .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
+      val ag = pairs.groupBy("i", "j")
+        .agg(count(lit(1)).as("n_vecs"), sum("p").as("s_ij"))
+      val mg = q.select(posexplode(col("q")).as(Seq("i", "qi")))
+        .groupBy("i").agg(sum("qi").as("s"))
+      ordered(ag
+        .join(broadcast(mg.select(col("i"), col("s").as("s_i"))), Seq("i"))
+        .join(broadcast(mg.select(col("i").as("j"), col("s").as("s_j"))), Seq("j"))
+        .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+          col("n_vecs"), col("s_ij"), col("s_i"), col("s_j"),
+          (col("n_vecs") * col("s_ij") - col("s_i") * col("s_j")).as("cov_num")))
+    },
+    Some("WITH q AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(floor(x::DOUBLE * 1000) AS BIGINT)) AS q FROM embeddings), " +
+      "pr AS (SELECT i, j, q[i + 1] * q[j + 1] AS p FROM q, " +
+      "unnest(range(0, 64)) a(i), unnest(range(0, 64)) b(j) WHERE j >= i), " +
+      "ag AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      "CAST(sum(p) AS BIGINT) AS s_ij FROM pr GROUP BY 1, 2), " +
+      "mg AS (SELECT i, CAST(sum(q[i + 1]) AS BIGINT) AS s FROM q, " +
+      "unnest(range(0, 64)) a(i) GROUP BY 1) " +
+      "SELECT CAST(ag.i AS BIGINT) AS dim_i, CAST(ag.j AS BIGINT) AS dim_j, " +
+      "n_vecs, s_ij, mi.s AS s_i, mj.s AS s_j, " +
+      "n_vecs * s_ij - mi.s * mj.s AS cov_num " +
+      "FROM ag JOIN mg mi ON mi.i = ag.i JOIN mg mj ON mj.i = ag.j" + OBA))
+
+  // SIM9 — radius (range) search: ALL corpus vectors within cosine ≥
+  // 0.25 of each query — FAISS range_search semantics, the
+  // recall-complete shape dedup sweeps want where top-k would truncate
+  // (a query inside a dense clique needs all its neighbors, not 5).
+  // Exact baseline: queries broadcast, corpus scanned once, no rank.
+  val sim9 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      ordered(Similarity.rangeSearch(e.filter(col("vec_id") % 50 === 0), e, 0.25))
+    },
+    Some("WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings " +
+      "WHERE vec_id % 50 = 0), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings) " +
+      "SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cosine " +
+      "FROM q JOIN c ON query_id <> neighbor_id " +
+      "WHERE " + cosSql("qv", "cv") + " >= 0.25" + OBA))
+
+  // G1 — degree-distribution card over the pr1 host graph: per degree
+  // value, how many hosts have it, out- and in-side stacked long-form.
+  // The pre-flight skew card for the iterative graph family (pr1,
+  // hits1, url4): a power-law tail here names the future hot key
+  // before any per-iteration shuffle pays for it. Two hash aggs per
+  // direction over the deduped edge list; output is degrees-sized.
+  val g1 = Q(
+    (s, d) => {
+      val withLinks = documents(s, d).withColumn("text",
+        concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
+          lit(".org/p?q="), col("doc_id"),
+          lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag"),
+          when(col("doc_id") % 22 < 4, lit(" http://hub.example.net/h"))
+            .otherwise(lit(""))))
+      val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
+        .select(concat(lit("site"), col("doc_id") % 11, lit(".com")).as("src"),
+          col("host").as("dst"))
+      ordered(graft.operators.Graph.degreeCard(edges))
+    },
+    Some("WITH t AS (SELECT doc_id, text || ' see https://WWW.Example' || (doc_id % 7) || " +
+      "'.org/p?q=' || doc_id || ' and http://cdn.example' || (doc_id % 3) || '.net/a#frag' || " +
+      "CASE WHEN doc_id % 22 < 4 THEN ' http://hub.example.net/h' ELSE '' END AS text " +
+      "FROM documents), " +
+      "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+      "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s?#]+)', 1)), " +
+      "'^www\\.', '') AS host FROM u), " +
+      "e AS (SELECT DISTINCT 'site' || (doc_id % 11) || '.com' AS src, host AS dst FROM h), " +
+      "od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1), " +
+      "idg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY 1) " +
+      "SELECT 'out' AS direction, degree, CAST(count(*) AS BIGINT) AS n_hosts FROM od GROUP BY 2 " +
+      "UNION ALL " +
+      "SELECT 'in' AS direction, degree, CAST(count(*) AS BIGINT) AS n_hosts FROM idg GROUP BY 2" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4466,5 +4648,8 @@ object DataCatalog {
     "e13_transition_matrix" -> e13, "m5_audio_fp_dedup" -> m5,
     "e14_props_keys" -> e14, "smp8_cluster_weighted" -> smp8,
     "qc15_syndication_matrix" -> qc15, "d14_dedup_impact" -> d14,
-    "ret4_retrieval_eval" -> ret4, "dp9_refresh_receipt" -> dp9)
+    "ret4_retrieval_eval" -> ret4, "dp9_refresh_receipt" -> dp9,
+    "e15_audience_overlap" -> e15, "e16_burst_detection" -> e16,
+    "fs1_training_features" -> fs1, "emb11_dim_covariance" -> emb11,
+    "sim9_range_search" -> sim9, "g1_degree_card" -> g1)
 }

@@ -981,4 +981,86 @@ class ScaleSpec extends AnyFunSuite {
     assert(batch.count() - streamed.count() == users)
     assert(spark.table("tr_out").filter(col("transcript").contains("->")).count() > 0)
   }
+
+  test("audience overlap: self equi-join on entity, totals broadcast, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.sources.Tables
+    val card = graft.operators.Profiling.audienceOverlap(
+      Tables.events(spark, sf), col("user_id"), col("event_type"))
+    card.count()
+    val ns = nodes(card)
+    assert(ns.collect { case c: CartesianProductExec => c }.isEmpty &&
+      ns.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "overlap matrix must stay an equi-join — T² via pairs of tags, never rows")
+    assert(ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      "per-tag totals should broadcast onto the T²-row card")
+  }
+
+  test("range search: corpus is scanned, queries broadcast — corpus never shuffles") {
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+    val res = graft.operators.Similarity.rangeSearch(
+      e.filter(col("vec_id") % 50 === 0), e, 0.25)
+    res.count()
+    val ns = nodes(res)
+    assert(ns.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      "radius search must not shuffle the corpus — the query side broadcasts")
+    assert(ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      "query side must be the broadcast build side")
+  }
+
+  test("dim-covariance card: pair fan-out partial-aggregates map-side; marginals broadcast") {
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import graft.sources.Tables
+    // the catalog's emb11 body, minus the output sort
+    val q = Tables.embeddings(spark, sf).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+    val pairs = q.select(explode(expr(
+        "flatten(transform(sequence(0, size(q) - 1), i -> " +
+        "transform(sequence(i, size(q) - 1), j -> " +
+        "named_struct('i', i, 'j', j, 'p', q[i] * q[j]))))")).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
+    val ag = pairs.groupBy("i", "j").agg(count(lit(1)).as("n"), sum("p").as("s_ij"))
+    ag.count()
+    val ns = nodes(ag)
+    assert(ns.collect { case c: CartesianProductExec => c }.isEmpty)
+    // partial aggregate must sit BELOW the exchange so the shuffle carries
+    // ≤ d(d+1)/2 keys per partition, not the d²/2-per-row fan-out
+    val aggs = ns.collect { case h: HashAggregateExec => h }
+    assert(aggs.size >= 2, "expected partial+final hash aggregate pair")
+    val shuffles = ns.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size == 1, s"one pair-key shuffle expected, got ${shuffles.size}")
+  }
+
+  test("point-in-time feature join: both features shuffle on user_id only, no pair join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val versions = graft.operators.Dedup.keepOneByKey(
+      ev.filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("ts").as("valid_from"),
+          col("event_type").as("state"), col("event_id")),
+      Seq(col("user_id"), col("valid_from")), Seq(col("event_id")))
+      .select("user_id", "valid_from", "state")
+    val probes = ev.selectExpr("event_id", "user_id", "ts", "event_type", "value",
+        "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prior_events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value", "prior_events")
+    val fs = graft.operators.Temporal.asofJoin(
+      probes, versions, "user_id", "ts", "valid_from", "state", "state_at")
+    fs.count()
+    val ns = nodes(fs)
+    assert(ns.collect { case c: CartesianProductExec => c }.isEmpty &&
+      ns.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "PIT assembly must never materialize event×version pairs")
+    // every window is keyed — no single-partition global window anywhere
+    assert(ns.collect { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      "all windows must partition by user_id")
+  }
 }
