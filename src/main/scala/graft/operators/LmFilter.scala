@@ -61,4 +61,40 @@ object LmFilter {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("kept", col("n_hits") * 2 >= col("n_bigrams"))
   }
+
+  /** Unigram familiarity score (lm2) — the graded cousin of [[coverageGate]]'s
+    * binary hit test: every reference-vocab token carries a weight 0–9,
+    * its frequency DECILE in the reference slice (decile of the exact
+    * global rank under (count, md5-id) — a surprisal proxy: rare tokens
+    * weigh 0, the corpus workhorses weigh 9), and a document scores the
+    * mean weight of its token instances in integer micro units
+    * (Σw · 10⁶ DIV (9 · n_tokens); unseen tokens weigh 0). This is the
+    * deterministic analog of CCNet's LM-perplexity prior: integer
+    * arithmetic end-to-end, so any partitioning and the DuckDB oracle
+    * agree bit-for-bit where a float log-prob sum would reassociate.
+    *
+    * Scale shape: vocab build is one slice aggregation; the decile comes
+    * from [[Ranking.globalRank]]'s two-level prefix count — the only
+    * global window is the ≤256-row bucket-offsets frame, never a
+    * one-partition sort of the vocabulary; scoring is a token equi-join
+    * + one (doc_id) agg. Output: (doc_id, n_tokens, familiarity_micro). */
+  def familiarityScore(df: DataFrame, id: Column, text: Column,
+      isRef: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), isRef.as("is_ref"),
+      explode(F.tokens(lower(text))).as("term"))
+    val vocab = toks.filter(col("is_ref"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .select(col("term"),
+        conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long").as("tid"),
+        col("cnt"))
+    val ranked = Ranking.globalRank(vocab, col("tid"), col("cnt"))
+    val weights = vocab
+      .join(ranked.select(col("id").as("tid"), col("pct_permille")), Seq("tid"))
+      .select(col("term"), expr("pct_permille DIV 100").as("w"))
+    toks.join(weights, Seq("term"), "left")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum("w"), lit(0L)).as("sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("sw * 1000000 DIV (9 * n_tokens)").as("familiarity_micro"))
+  }
 }

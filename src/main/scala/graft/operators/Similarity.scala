@@ -96,6 +96,45 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Late-interaction MaxSim rerank (sim10) — ColBERT's scoring rule
+    * over multi-vector representations: a query GROUP of vectors scores
+    * a document GROUP as Σ over query vectors of the max cosine against
+    * any document vector. Each per-(query-vector, doc-group) max is
+    * floor-quantized to micro units BEFORE the sum, so the group score
+    * is an order-independent BIGINT sum — bit-identical on any
+    * partitioning (a float Σ of maxes would reassociate).
+    *
+    * Exact-baseline contract like [[topK]]: the query groups broadcast
+    * and the corpus is scanned once (Q·N scoring pass, query side
+    * capped); at corpus scale the doc-group side restricts to candidate
+    * groups nominated by a first-stage retriever (ret1/sim2) — MaxSim
+    * is the RE-RANKER, not the candidate generator. Ties break by
+    * ascending doc group. Output: (q_group, d_group, maxsim_micro,
+    * rank ≤ k). */
+  def maxSimRerank(queries: DataFrame, corpus: DataFrame, qGroup: String,
+      dGroup: String, k: Int, maxQueryVecs: Int = 10000): DataFrame = {
+    val nq = queries.limit(maxQueryVecs + 1).count()
+    require(nq <= maxQueryVecs,
+      s"Similarity.maxSimRerank is the exact O(Q*N) baseline and its query " +
+      s"side exceeds maxQueryVecs=$maxQueryVecs; rerank retriever candidates instead")
+    val q = withNorm(queries.select(col(qGroup).as("q_group"),
+      col("vec_id").as("q_id"), col("embedding").as("qv")), "q_id", "qv", "qn")
+    val c = withNorm(corpus.select(col(dGroup).as("d_group"),
+      col("vec_id").as("d_id"), col("embedding").as("cv")), "d_id", "cv", "cn")
+    val best = c.join(broadcast(q), lit(true))
+      .select(col("q_group"), col("q_id"), col("d_group"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .groupBy("q_group", "q_id", "d_group").agg(max(col("cos")).as("mc"))
+      .select(col("q_group"), col("d_group"),
+        floor(col("mc") * 1000000.0).cast("long").as("mc_micro"))
+    val scores = best.groupBy("q_group", "d_group")
+      .agg(sum("mc_micro").as("maxsim_micro"))
+    val w = Window.partitionBy("q_group")
+      .orderBy(col("maxsim_micro").desc, col("d_group").asc)
+    scores.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Hard-negative mining (sim8) for contrastive/embedding training:
     * for each query, the top-k most similar corpus vectors that are
     * (a) NOT plausibly the same item — cosine < `maxCos` excludes the

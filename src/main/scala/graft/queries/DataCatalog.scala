@@ -4562,6 +4562,126 @@ object DataCatalog {
       "UNION ALL " +
       "SELECT 'in' AS direction, degree, CAST(count(*) AS BIGINT) AS n_hosts FROM idg GROUP BY 2" + OBA))
 
+  // QC16 — calendar coverage gaps: the expected (type × every day in
+  // the observed span) grid anti-joined with what actually arrived —
+  // each output row is a (type, day) HOLE, the operational page that
+  // fires before anyone trusts a daily aggregate built on it (e16
+  // flags too-much; qc16 flags missing-entirely). Fixture drops two
+  // synthetic residue slices so the holes are real. Shape: the corpus
+  // collapses to one distinct (type, day) pass; grid and bounds are
+  // card-sized broadcasts; the anti-join runs card-vs-card.
+  val qc16 = Q(
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), to_date(col("ts")).as("day"),
+          dayofmonth(col("ts")).as("dom"))
+        .filter(!(col("event_type") === "error" && col("dom") % 5 === 0) &&
+          !(col("event_type") === "purchase" && col("dom") % 13 === 2))
+      val bounds = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val types = ev.select("event_type").distinct()
+      val grid = broadcast(types).crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val present = ev.select("event_type", "day").distinct()
+      ordered(grid.join(present, Seq("event_type", "day"), "left_anti"))
+    },
+    Some("WITH ev AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day " +
+      "FROM events WHERE NOT (event_type = 'error' AND day(CAST(ts AS TIMESTAMP)) % 5 = 0) " +
+      "AND NOT (event_type = 'purchase' AND day(CAST(ts AS TIMESTAMP)) % 13 = 2)), " +
+      "b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev), " +
+      "ty AS (SELECT DISTINCT event_type FROM ev), " +
+      "grid AS (SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day " +
+      "FROM ty, b), " +
+      "pres AS (SELECT DISTINCT event_type, day FROM ev) " +
+      "SELECT g.event_type, g.day FROM grid g WHERE NOT EXISTS " +
+      "(SELECT 1 FROM pres p WHERE p.event_type = g.event_type AND p.day = g.day)" + OBA))
+
+  // T13 — daily snapshot resampling: the sparse change log (t11's
+  // input) densified into one state row per (user, calendar day)
+  // between the user's first and last change — the "as-of every
+  // midnight" table BI tools and offline feature backfills join
+  // against. Last change of each day wins (ts desc, event_id desc);
+  // days between changes forward-fill through the same union-window
+  // as-of as t6 — one shuffle on user_id, no pair join; the grid
+  // explode is bounded by per-user day span.
+  val t13 = Q(
+    (s, d) => {
+      val ch = events(s, d).filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+          col("event_type").as("state"), col("event_id"))
+      val daily = graft.operators.Dedup.keepOneByKey(ch,
+          Seq(col("user_id"), col("day")),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("day").as("chg_day"), col("state"))
+      val grid = daily.groupBy("user_id")
+        .agg(min("chg_day").as("d0"), max("chg_day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      ordered(graft.operators.Temporal.asofJoin(
+        grid, daily, "user_id", "day", "chg_day", "state", "state"))
+    },
+    Some("WITH ch AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, " +
+      "CAST(ts AS TIMESTAMP) AS ts, event_type AS state, event_id " +
+      "FROM events WHERE event_id % 7 = 0), " +
+      "dd0 AS (SELECT user_id, day, state, " +
+      "row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn " +
+      "FROM ch), " +
+      "dd AS (SELECT user_id, day AS chg_day, state FROM dd0 WHERE rn = 1), " +
+      "b AS (SELECT user_id, min(chg_day) AS d0, max(chg_day) AS d1 FROM dd GROUP BY 1), " +
+      "grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day " +
+      "FROM b) " +
+      "SELECT g.user_id, g.day, dd.state " +
+      "FROM grid g ASOF LEFT JOIN dd ON g.user_id = dd.user_id AND g.day >= dd.chg_day" + OBA))
+
+  // SIM10 — late-interaction MaxSim rerank (ColBERT's scoring rule):
+  // the %50 query vectors, grouped by label, score every label group
+  // of the corpus as Σ over query vectors of the max cosine against
+  // the group — each max floor-quantized to micro units BEFORE the
+  // sum, so group scores are order-independent BIGINT sums. Sanity
+  // built into the fixture: a group containing its own query vector
+  // scores it at cos = 1, so self-retrieval ranks first. Top-3 per
+  // query group, ties by ascending doc group.
+  val sim10 = Q(
+    (s, d) => {
+      val e = embeddings(s, d).withColumn("label", col("label").cast("long"))
+      ordered(Similarity.maxSimRerank(
+        e.filter(col("vec_id") % 50 === 0), e, "label", "label", 3))
+    },
+    Some("WITH q AS (SELECT CAST(label AS BIGINT) AS q_group, vec_id AS q_id, " +
+      "embedding AS qv FROM embeddings WHERE vec_id % 50 = 0), " +
+      "c AS (SELECT CAST(label AS BIGINT) AS d_group, embedding AS cv FROM embeddings), " +
+      "m AS (SELECT q_group, q_id, d_group, " +
+      "CAST(floor(max(" + cosSql("qv", "cv") + ") * 1000000) AS BIGINT) AS mc " +
+      "FROM q CROSS JOIN c GROUP BY 1, 2, 3), " +
+      "sc AS (SELECT q_group, d_group, CAST(sum(mc) AS BIGINT) AS maxsim_micro " +
+      "FROM m GROUP BY 1, 2), " +
+      "r AS (SELECT q_group, d_group, maxsim_micro, CAST(row_number() OVER (" +
+      "PARTITION BY q_group ORDER BY maxsim_micro DESC, d_group ASC) AS BIGINT) AS rank " +
+      "FROM sc) " +
+      "SELECT q_group, d_group, maxsim_micro, rank FROM r WHERE rank <= 3" + OBA))
+
+  // LM2 — unigram familiarity score: every reference-vocab token weighs
+  // its frequency DECILE (0–9, exact global rank under (count, md5-id)
+  // via the two-level prefix count); docs score the mean weight of
+  // their token instances in micro units. The graded cousin of lm1's
+  // binary coverage and the deterministic analog of CCNet's perplexity
+  // prior — integer end-to-end where a float log-prob sum would
+  // reassociate. Reference slice = even doc_ids; all docs scored.
+  val lm2 = Q(
+    (s, d) => ordered(LmFilter.familiarityScore(documents(s, d),
+      col("doc_id"), col("text"), col("doc_id") % 2 === 0)),
+    Some("WITH toks AS (SELECT doc_id, " +
+      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+      "vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks " +
+      "WHERE doc_id % 2 = 0 GROUP BY 1), " +
+      "vid AS (SELECT term, cnt, ('0x' || substr(md5(term), 1, 15))::BIGINT AS tid FROM vocab), " +
+      "r AS (SELECT term, row_number() OVER (ORDER BY cnt, tid) AS rank, " +
+      "count(*) OVER () AS n FROM vid), " +
+      "w AS (SELECT term, ((rank - 1) * 1000 // n) // 100 AS w FROM r), " +
+      "sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "coalesce(sum(w.w), 0) AS sw FROM toks t LEFT JOIN w USING (term) GROUP BY 1) " +
+      "SELECT doc_id, n_tokens, CAST(sw * 1000000 // (9 * n_tokens) AS BIGINT) " +
+      "AS familiarity_micro FROM sc" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4651,5 +4771,7 @@ object DataCatalog {
     "ret4_retrieval_eval" -> ret4, "dp9_refresh_receipt" -> dp9,
     "e15_audience_overlap" -> e15, "e16_burst_detection" -> e16,
     "fs1_training_features" -> fs1, "emb11_dim_covariance" -> emb11,
-    "sim9_range_search" -> sim9, "g1_degree_card" -> g1)
+    "sim9_range_search" -> sim9, "g1_degree_card" -> g1,
+    "qc16_coverage_gaps" -> qc16, "t13_daily_snapshots" -> t13,
+    "sim10_maxsim_rerank" -> sim10, "lm2_familiarity_score" -> lm2)
 }

@@ -1063,4 +1063,54 @@ class ScaleSpec extends AnyFunSuite {
       .forall(_.partitionSpec.nonEmpty),
       "all windows must partition by user_id")
   }
+
+  test("maxsim rerank: query groups broadcast; no unhinted cartesian; quantize-then-sum") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+      .withColumn("label", col("label").cast("long"))
+    val res = graft.operators.Similarity.maxSimRerank(
+      e.filter(col("vec_id") % 50 === 0), e, "label", "label", 3)
+    res.count()
+    val ns = nodes(res)
+    assert(ns.collect { case c: CartesianProductExec => c }.isEmpty,
+      "the Q×N pass must ride the broadcast build side, never a shuffled cartesian")
+    assert(ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]),
+      "query vectors must broadcast")
+    // self-retrieval sanity: a group containing its own query vector ranks itself first
+    val top = res.filter(col("rank") === 1)
+    assert(top.filter(col("q_group") === col("d_group")).count() == top.count())
+  }
+
+  test("daily snapshots: grid explode + keyed as-of windows, no pair join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import graft.sources.Tables
+    val ch = Tables.events(spark, sf).filter(col("event_id") % 7 === 0)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_type").as("state"), col("event_id"))
+    val daily = graft.operators.Dedup.keepOneByKey(ch,
+        Seq(col("user_id"), col("day")),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("day").as("chg_day"), col("state"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("chg_day").as("d0"), max("chg_day").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val snap = graft.operators.Temporal.asofJoin(
+      grid, daily, "user_id", "day", "chg_day", "state", "state")
+    val n = snap.count()
+    val ns = nodes(snap)
+    assert(ns.collect { case c: CartesianProductExec => c }.isEmpty &&
+      ns.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "densification must never pair-join grid×changes")
+    assert(ns.collect { case w: WindowExec => w }.forall(_.partitionSpec.nonEmpty),
+      "as-of and last-change-of-day windows must partition by user/day keys")
+    // the grid is dense: one row per user-day across each user's span
+    val spans = daily.groupBy("user_id")
+      .agg((datediff(max("chg_day"), min("chg_day")) + 1).as("s"))
+      .agg(sum("s")).head().getLong(0)
+    assert(n == spans, s"expected $spans dense user-days, got $n")
+  }
 }
