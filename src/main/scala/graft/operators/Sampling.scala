@@ -335,4 +335,38 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
       .drop("n_copies")
   }
+
+  /** mix6 — deterministic weighted interleave (weighted-fair-queuing
+    * order): the final TRAINING ORDER of a mixed corpus, with strata
+    * interleaved smoothly in proportion to their weights instead of
+    * concatenated in blocks (block order makes the last training epoch
+    * see one source only — the classic mixture bug interleaving fixes).
+    * Each row gets a content-stable rank within its stratum (md5
+    * priority, [[Ranking.groupRank]]'s per-(group, bucket) windows),
+    * a virtual time rank·1000 DIV weight — a w× heavier stratum
+    * advances its clock w× slower, so its rows appear w× as often —
+    * and the global position is the exact rank of (vt, id) via
+    * [[Ranking.globalRank]]'s two-level prefix count. Integer-exact,
+    * RNG-free, reproducible on any engine; no global sort anywhere.
+    * Unweighted strata get `defaultWeight`. Output: (stratum, id, vt,
+    * position). */
+  def interleavedOrder(df: DataFrame, stratum: Column, id: Column,
+      weights: Map[String, Long], defaultWeight: Long = 1L): DataFrame = {
+    require(weights.values.forall(_ > 0) && defaultWeight > 0,
+      "weights must be positive")
+    val prio = conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+    val ranked = Ranking.groupRank(
+      df.select(stratum.as("grp"), id.as("id"), prio.as("prio")),
+      col("grp"), col("id"), col("prio"))
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+      when(col("grp") === s, lit(wt)).otherwise(acc)
+    }
+    val withVt = ranked.withColumn("w", w)
+      .select(col("grp").as("stratum"), col("id"),
+        expr("(rank * 1000) DIV w").as("vt"))
+    Ranking.globalRank(withVt, col("id"), col("vt"))
+      .select(col("id"), col("score").as("vt"), col("rank").as("position"))
+      .join(withVt.select(col("id"), col("stratum")), Seq("id"))
+      .select(col("stratum"), col("id"), col("vt"), col("position"))
+  }
 }

@@ -4682,6 +4682,54 @@ object DataCatalog {
       "SELECT doc_id, n_tokens, CAST(sw * 1000000 // (9 * n_tokens) AS BIGINT) " +
       "AS familiarity_micro FROM sc" + OBA))
 
+  // E17 — arrival-decay engagement score: each event adds 10⁶ micro-
+  // points after the user's score right-shifts one notch per whole
+  // week since their previous event — the decayed-counter freshness
+  // feature with EVENT-TIME semantics (e10's decay anchors on a global
+  // reference day; e17's anchors on each user's own gaps, which is
+  // what an online feature store actually maintains). Because shifts
+  // compose, batch is two keyed windows + one agg (no fold operator),
+  // and the streaming twin needs three longs of state per user
+  // (stream ≡ batch pinned in ScaleSpec). Integer end-to-end.
+  val e17 = Q(
+    (s, d) => ordered(graft.streaming.EventStream.decayScore(events(s, d))),
+    Some("WITH e AS (SELECT user_id, event_id, " +
+      "CAST(datediff('day', DATE '1970-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS di " +
+      "FROM events), " +
+      "g AS (SELECT user_id, event_id, di, " +
+      "(di - coalesce(lag(di) OVER (PARTITION BY user_id ORDER BY di, event_id), di)) // 7 AS gw " +
+      "FROM e), " +
+      "c AS (SELECT user_id, di, " +
+      "sum(gw) OVER (PARTITION BY user_id ORDER BY di, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "sum(gw) OVER (PARTITION BY user_id) AS total FROM g), " +
+      "w AS (SELECT user_id, di, 1000000 >> least(total - cum, 62) AS w FROM c) " +
+      "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+      "DATE '1970-01-01' + CAST(max(di) AS INT) AS last_day, " +
+      "CAST(sum(w) AS BIGINT) AS score_micro FROM w GROUP BY 1" + OBA))
+
+  // MIX6 — deterministic weighted interleave: the final training ORDER
+  // of the language mixture (en weight 4, others 1), strata interleaved
+  // smoothly by weighted fair queuing — virtual time = within-stratum
+  // content-stable rank · 1000 DIV weight — instead of concatenated in
+  // blocks (block order ends training on one source; shuf1 randomizes
+  // but ignores weights; mix6 is the weighted data-order contract).
+  // Both ranks are the two-level prefix-count machinery: no global
+  // sort, no RNG, bit-reproducible.
+  val mix6 = Q(
+    (s, d) => ordered(Sampling.interleavedOrder(documents(s, d), col("lang"),
+        col("doc_id"), Map("en" -> 4L))
+      .select(col("stratum").as("lang"), col("id").as("doc_id"),
+        col("vt"), col("position"))),
+    Some("WITH p AS (SELECT doc_id, lang, " +
+      "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS prio FROM documents), " +
+      "r AS (SELECT doc_id, lang, " +
+      "row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS rank FROM p), " +
+      "v AS (SELECT doc_id, lang, CAST(rank * 1000 // " +
+      "(CASE WHEN lang = 'en' THEN 4 ELSE 1 END) AS BIGINT) AS vt FROM r) " +
+      "SELECT lang, doc_id, vt, " +
+      "CAST(row_number() OVER (ORDER BY vt, doc_id) AS BIGINT) AS position FROM v" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4773,5 +4821,6 @@ object DataCatalog {
     "fs1_training_features" -> fs1, "emb11_dim_covariance" -> emb11,
     "sim9_range_search" -> sim9, "g1_degree_card" -> g1,
     "qc16_coverage_gaps" -> qc16, "t13_daily_snapshots" -> t13,
-    "sim10_maxsim_rerank" -> sim10, "lm2_familiarity_score" -> lm2)
+    "sim10_maxsim_rerank" -> sim10, "lm2_familiarity_score" -> lm2,
+    "e17_arrival_decay" -> e17, "mix6_interleaved_order" -> mix6)
 }

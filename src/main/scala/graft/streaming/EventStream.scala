@@ -278,6 +278,8 @@ object EventStream {
   final case class TranscriptOut(user_id: Long,
       session_start: java.sql.Timestamp, n_events: Long, transcript: String)
 
+  final case class DecayOut(user_id: Long, n_events: Long, last_di: Long,
+    score_micro: Long)
   final case class TransitionOut(user_id: Long, prev_type: String,
       next_type: String)
 
@@ -307,6 +309,75 @@ object EventStream {
       }
       cur.foreach(state.update)
       out.reverseIterator
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** Arrival-decay engagement score (e17), batch side: each event adds
+    * 10⁶ micro-points to its user's score AFTER the existing score
+    * decays by one right-shift per whole week since the user's previous
+    * event — the decayed-counter feature (CTR/engagement freshness)
+    * with event-time semantics. Closed form: right-shifts compose
+    * (a≫x≫y = a≫(x+y) for per-step shifts < 64), so event i finally
+    * contributes 10⁶ ≫ min(Σ later gap-weeks, 62) — a SUFFIX sum of
+    * lag-gaps, i.e. two keyed windows + one agg, no fold operator
+    * needed in batch. Integer end-to-end: any partitioning, the DuckDB
+    * oracle, and the O(1)-state streaming twin agree bit-for-bit
+    * (contrast e10, whose decay anchors on a global reference day).
+    * Output: (user_id, n_events, last_day, score_micro). */
+  def decayScore(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), col("event_id"),
+      datediff(to_date(col("ts")),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("di"))
+    base.selectExpr("user_id", "event_id", "di",
+        "(di - coalesce(lag(di) OVER (PARTITION BY user_id ORDER BY di, event_id), di)) DIV 7 AS gw")
+      .selectExpr("user_id", "di",
+        "sum(gw) OVER (PARTITION BY user_id ORDER BY di, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+        "sum(gw) OVER (PARTITION BY user_id) AS total")
+      .select(col("user_id"), col("di"),
+        expr("shiftright(1000000L, CAST(least(total - cum, 62L) AS INT))").as("w"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_events"), max("di").as("ldi"),
+        sum("w").as("score_micro"))
+      .select(col("user_id"), col("n_events"),
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          col("ldi").cast("int")).as("last_day"),
+        col("score_micro"))
+  }
+
+  /** Streaming twin of [[decayScore]]: per-user state is THREE longs —
+    * (count, last day index, running score) — updated per event as
+    * score = (score ≫ min(gap-weeks, 62)) + 10⁶. Because per-step
+    * shifts compose exactly into the batch suffix-sum form, the emitted
+    * per-user row is bit-equal to the batch aggregate (pinned in
+    * ScaleSpec), while the batch side's full-history windows become a
+    * 24-byte value per user in the state store. In-batch order is the
+    * same (di, event_id) total order as the batch windows. */
+  def decayStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("di"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+    def fn(uid: Long, evs: Iterator[(Long, Long, Long)],
+        state: GroupState[(Long, Long, Long)]): Iterator[DecayOut] = {
+      val sorted = evs.toArray.sortBy(e => (e._2, e._3))
+      var (cnt, last, score) = state.getOption.getOrElse((0L, 0L, 0L))
+      sorted.foreach { case (_, di, _) =>
+        val gap = if (cnt == 0) 0L else math.min((di - last) / 7, 62L)
+        score = (score >> gap.toInt) + 1000000L
+        cnt += 1
+        last = di
+      }
+      state.update((cnt, last, score))
+      if (cnt == 0) Iterator.empty
+      else Iterator.single(DecayOut(uid, cnt, last, score))
     }
     typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)

@@ -1113,4 +1113,71 @@ class ScaleSpec extends AnyFunSuite {
       .agg(sum("s")).head().getLong(0)
     assert(n == spans, s"expected $spans dense user-days, got $n")
   }
+
+  test("partitioned layout: a day-equality predicate prunes to one partition at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("part_ev").toString
+    Bucketing.writePartitioned(
+      Tables.events(spark, sf)
+        .withColumn("day", to_date(col("ts")).cast("string")),
+      dir, "day")
+    val days = spark.read.parquet(dir).select("day").distinct().count()
+    assert(days > 1, "fixture must span multiple partition directories")
+    val one = spark.read.parquet(dir).filter(col("day") === "2024-01-03")
+    one.count()
+    val scans = nodes(one).collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a V1 parquet scan")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "the day predicate must reach the scan as a PARTITION filter, not a row filter")
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
+      "exactly one partition directory must survive pruning")
+  }
+
+  test("arrival-decay score: streaming O(1)-state twin ≡ batch suffix-shift windows") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("ev_decay")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val src = EventStream.streamSource(spark, dir.toString)
+    val q = EventStream.decayStream(src).writeStream
+      .outputMode("append").format("memory").queryName("decay_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("decay_out")
+    val batch = EventStream.decayScore(ev)
+      .select(col("user_id"), col("n_events"),
+        datediff(col("last_day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("last_di"),
+        col("score_micro"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "per-user decayed scores must be bit-equal between 24-byte stream state and batch windows")
+  }
+
+  test("interleaved mixture order: dense positions, weighted strata lead, no global sort window") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val ord = graft.operators.Sampling.interleavedOrder(
+      docs, col("lang"), col("doc_id"), Map("en" -> 4L))
+    val n = ord.count()
+    assert(n == docs.count(), "every doc gets a position")
+    assert(ord.agg(min("position"), max("position")).head() ==
+      org.apache.spark.sql.Row(1L, n), "positions are a dense 1..N permutation")
+    // weighted fair queuing: within the first 100 positions the weight-4
+    // stratum supplies roughly 4/(4+k-1) of rows — at least double its
+    // unweighted share
+    val enShare = ord.filter(col("position") <= 100)
+      .filter(col("stratum") === "en").count()
+    assert(enShare >= 40, s"en (weight 4) supplied only $enShare of the first 100")
+    // the only unpartitioned windows are the two ≤256-row bucket-offset
+    // frames of the rank machinery (grouped + global)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globalWins = nodes(ord).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWins.size <= 2,
+      s"expected only the bucket-offset frames unpartitioned, got ${globalWins.size}")
+  }
 }
