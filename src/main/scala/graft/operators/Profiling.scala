@@ -93,6 +93,71 @@ object Profiling {
       carry.map(c => coalesce(col(s"${c}_new"), col(s"${c}_old")).as(c)): _*)
   }
 
+  /** Functional-dependency discovery (qc17): for every ordered column
+    * pair (a, b), does a → b hold — i.e. `count(distinct a) ==
+    * count(distinct (a, b))` — plus each column's key candidacy
+    * (`n_a == n_rows` when paired). The schema-archaeology card run
+    * before trusting an undocumented table: discovered keys drive
+    * dedup/upsert key choice, discovered FDs reveal denormalized
+    * columns safe to drop from a projection. Columns must be non-null
+    * (engines disagree on null-tuple distinct semantics — the card's
+    * contract, require()d).
+    *
+    * Shape: ONE scan — all 2·P distinct-counts compute in a single
+    * aggregate (Spark expands multi-distinct via Expand, factor ~2·P;
+    * the documented alternative at extreme width is per-pair passes or
+    * sketches), the result is a 1×wide row collected like [[profile]],
+    * and the card is P rows of driver literals. */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.forall(df.columns.contains),
+      s"unknown columns: ${cols.filterNot(df.columns.contains).mkString(", ")}")
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    val aggs = count(lit(1)).as("n_rows") +:
+      (cols.map(c => count_distinct(col(c)).as(s"__d_$c")) ++
+        pairs.map { case (a, b) =>
+          count_distinct(col(a), col(b)).as(s"__p_${a}_$b")
+        })
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val nRows = row.getLong(0)
+    val dCol = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(1 + i) }.toMap
+    val card = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val nAb = row.getLong(1 + cols.size + i)
+      (a, b, dCol(a), nAb, nRows, dCol(a) == nAb)
+    }
+    import df.sparkSession.implicits._
+    card.toDF("col_a", "col_b", "n_a", "n_ab", "n_rows", "fd_holds")
+  }
+
+  /** Histogram drift (qc18): fixed-width bucket shares of a numeric
+    * column in two snapshots, side by side with the per-bucket absolute
+    * permille difference — the DISTRIBUTION-shape companion to [[profileDrift]]
+    * (which only sees min/max/distinct move; a refresh that doubles the
+    * short-doc mass while preserving the range is invisible there and a
+    * loud row here). Σ|Δ| over the card is the integer L1 drift — the
+    * deterministic stand-in for PSI, whose log term floats. Two
+    * map-side-combined aggs onto bucket keys + a buckets-sized outer
+    * join; nothing scales with the snapshots. */
+  def histogramDrift(oldDf: DataFrame, newDf: DataFrame, value: Column,
+      width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    def side(df: DataFrame, tag: String) = {
+      val b = df.select(value.cast("long").as("v"))
+        .select(expr(s"v DIV $width").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(s"n_$tag"))
+      val t = b.agg(sum(s"n_$tag").as(s"t_$tag"))
+      b.crossJoin(broadcast(t))
+    }
+    side(oldDf, "old").join(side(newDf, "new"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(expr("n_old * 1000 DIV t_old"), lit(0L)).as("share_old_permille"),
+        coalesce(expr("n_new * 1000 DIV t_new"), lit(0L)).as("share_new_permille"))
+      .withColumn("abs_diff_permille",
+        abs(col("share_old_permille") - col("share_new_permille")))
+  }
+
   /** Audience-overlap matrix (e15): for every unordered pair of `tag`
     * values (event types, feature flags, source labels), the count of
     * entities carrying BOTH plus an integer-permille Jaccard — the

@@ -4730,6 +4730,66 @@ object DataCatalog {
       "SELECT lang, doc_id, vt, " +
       "CAST(row_number() OVER (ORDER BY vt, doc_id) AS BIGINT) AS position FROM v" + OBA))
 
+  // QC17 — functional-dependency discovery over orders: for every
+  // ordered column pair, does a → b hold (count distinct a = count
+  // distinct (a, b)) plus key candidacy (n_a = n_rows) — the schema-
+  // archaeology card run before trusting an undocumented table:
+  // discovered keys drive dedup/upsert key choice, discovered FDs name
+  // denormalized columns. One scan (single multi-distinct aggregate),
+  // card is P rows of driver literals. The fixture proves both
+  // directions: o_orderkey is a key (all its FDs hold), nothing else's
+  // do.
+  private val Qc17Cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_orderpriority")
+  val qc17 = Q(
+    (s, d) => ordered(graft.operators.Profiling.fdDiscovery(
+      orders(s, d), Qc17Cols)),
+    Some {
+      val pairs = for (a <- Qc17Cols; b <- Qc17Cols if a != b) yield (a, b)
+      val meas = "CAST(count(*) AS BIGINT) AS n_rows, " +
+        Qc17Cols.map(c => s"CAST(count(DISTINCT $c) AS BIGINT) AS d_$c")
+          .mkString(", ") + ", " +
+        pairs.map { case (a, b) =>
+          s"CAST(count(DISTINCT ($a, $b)) AS BIGINT) AS p_${a}_$b"
+        }.mkString(", ")
+      "WITH agg AS (SELECT " + meas + " FROM orders) " +
+        pairs.map { case (a, b) =>
+          s"SELECT '$a' AS col_a, '$b' AS col_b, d_$a AS n_a, " +
+            s"p_${a}_$b AS n_ab, n_rows, d_$a = p_${a}_$b AS fd_holds FROM agg"
+        }.mkString(" UNION ALL ") + OBA
+    })
+
+  // QC18 — histogram drift: fixed-width n_chars bucket shares of two
+  // corpus snapshots side by side with per-bucket |Δ| permille — the
+  // distribution-SHAPE companion to qc5 (min/max/distinct can all hold
+  // while the mass moves; this card is where that shows). Σ|Δ| is the
+  // integer L1 drift, the deterministic stand-in for PSI (whose log
+  // floats). Fixture drift is real: the "new" snapshot drops long docs
+  // from a third of the corpus. Two map-side-combined aggs onto bucket
+  // keys + a buckets-sized outer join.
+  val qc18 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      ordered(graft.operators.Profiling.histogramDrift(docs,
+        docs.filter(col("doc_id") % 3 =!= 0 || col("n_chars") < 300),
+        col("n_chars"), 50))
+    },
+    Some("WITH o AS (SELECT n_chars // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_old " +
+      "FROM documents GROUP BY 1), " +
+      "ot AS (SELECT sum(n_old) AS t_old FROM o), " +
+      "nn AS (SELECT n_chars // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_new " +
+      "FROM documents WHERE doc_id % 3 != 0 OR n_chars < 300 GROUP BY 1), " +
+      "nt AS (SELECT sum(n_new) AS t_new FROM nn), " +
+      "j AS (SELECT coalesce(o.bucket, nn.bucket) AS bucket, " +
+      "coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new, " +
+      "(SELECT t_old FROM ot) AS t_old, (SELECT t_new FROM nt) AS t_new " +
+      "FROM o FULL JOIN nn ON o.bucket = nn.bucket) " +
+      "SELECT bucket, n_old, n_new, " +
+      "CAST(coalesce(n_old * 1000 // t_old, 0) AS BIGINT) AS share_old_permille, " +
+      "CAST(coalesce(n_new * 1000 // t_new, 0) AS BIGINT) AS share_new_permille, " +
+      "CAST(abs(coalesce(n_old * 1000 // t_old, 0) - coalesce(n_new * 1000 // t_new, 0)) AS BIGINT) " +
+      "AS abs_diff_permille FROM j" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4822,5 +4882,6 @@ object DataCatalog {
     "sim9_range_search" -> sim9, "g1_degree_card" -> g1,
     "qc16_coverage_gaps" -> qc16, "t13_daily_snapshots" -> t13,
     "sim10_maxsim_rerank" -> sim10, "lm2_familiarity_score" -> lm2,
-    "e17_arrival_decay" -> e17, "mix6_interleaved_order" -> mix6)
+    "e17_arrival_decay" -> e17, "mix6_interleaved_order" -> mix6,
+    "qc17_fd_discovery" -> qc17, "qc18_histogram_drift" -> qc18)
 }

@@ -64,6 +64,18 @@ object ScalingProbe {
         (col("label") * mult + c).cast("int").as("label"))
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // events: copy c offsets both ids by the fixed stride — USER COUNT
+    // scales with the corpus while every user's history (span, gaps,
+    // per-day shape) stays byte-identical, the growth mode an event
+    // pipeline actually sees; timestamps/types/values are untouched.
+    val ev = Tables.events(spark, base)
+    (0 until mult).map { c =>
+      ev.select((col("event_id") * Stride + c).as("event_id"), col("ts"),
+        (col("user_id") * Stride + c).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -169,6 +181,51 @@ object ScalingProbe {
             .cast("long").as("score_micro"))
         graft.operators.Ranking.groupRank(scored, col("lang"), col("doc_id"),
           col("score_micro"))
+      },
+      // round-10 third-session additions. The events family gets its
+      // first measured exponents: user count scales, per-user history is
+      // constant, so the self-join fan-out (e15), grid explode (t13),
+      // and keyed windows (e17) all grow linearly in users with
+      // constant per-key work — the stance the catalog scaladocs claim.
+      "e15_audience_overlap" -> { d =>
+        graft.operators.Profiling.audienceOverlap(
+          Tables.events(spark, d), col("user_id"), col("event_type"))
+      },
+      "t13_daily_snapshots" -> { d =>
+        val ch = Tables.events(spark, d).filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+            col("event_type").as("state"), col("event_id"))
+        val daily = graft.operators.Dedup.keepOneByKey(ch,
+            Seq(col("user_id"), col("day")),
+            Seq(col("ts").desc, col("event_id").desc))
+          .select(col("user_id"), col("day").as("chg_day"), col("state"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("chg_day").as("d0"), max("chg_day").as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        graft.operators.Temporal.asofJoin(
+          grid, daily, "user_id", "day", "chg_day", "state", "state")
+      },
+      "e17_arrival_decay" -> { d =>
+        graft.streaming.EventStream.decayScore(Tables.events(spark, d))
+      },
+      // lm2 joins the corpus tokens against a vocabulary that GROWS with
+      // the corpus (copy-suffixed tokens) — tx16's word-shuffle worst
+      // case plus the two-level vocab rank; mix6 runs the grouped +
+      // global rank pair over the growing doc set; sim10 scores a FIXED
+      // query-group sample against the growing corpus (Q ≪ N framing).
+      "lm2_familiarity" -> { d =>
+        graft.operators.LmFilter.familiarityScore(Tables.documents(spark, d),
+          col("doc_id"), col("text"), col("doc_id") % 2 === 0)
+      },
+      "mix6_interleaved" -> { d =>
+        graft.operators.Sampling.interleavedOrder(Tables.documents(spark, d),
+          col("lang"), col("doc_id"), Map("en" -> 4L))
+      },
+      "sim10_maxsim" -> { d =>
+        val e = Tables.embeddings(spark, d).withColumn("label", col("label").cast("long"))
+        Similarity.maxSimRerank(
+          e.filter(col("vec_id") % (Stride * 50) === 0), e, "label", "label", 3)
       })
 
     // warmup: one scan of each replica dir
