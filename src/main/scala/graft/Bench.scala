@@ -127,7 +127,8 @@ object Bench {
     "emb11_dim_covariance", "sim9_range_search", "g1_degree_card",
     "qc16_coverage_gaps", "t13_daily_snapshots", "sim10_maxsim_rerank",
     "lm2_familiarity_score", "e17_arrival_decay", "mix6_interleaved_order",
-    "qc17_fd_discovery", "qc18_histogram_drift")
+    "qc17_fd_discovery", "qc18_histogram_drift",
+    "d15_lsh_band_sweep", "fs2_staleness_audit")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

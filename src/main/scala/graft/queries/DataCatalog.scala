@@ -4790,6 +4790,112 @@ object DataCatalog {
       "CAST(abs(coalesce(n_old * 1000 // t_old, 0) - coalesce(n_new * 1000 // t_new, 0)) AS BIGINT) " +
       "AS abs_diff_permille FROM j" + OBA))
 
+  // D15 — LSH banding sweep: candidate volume, verified pairs, and
+  // precision permille for rows-per-band ∈ {2, 4, 8} over the SAME 16
+  // minhashes — the tuning receipt behind d2's (16, 4) choice (d12
+  // grades the fixed config's per-pair accuracy; d15 shows the
+  // structural trade: fewer rows/band → recall-greedy candidate blowup,
+  // more → precision-greedy misses). Signatures and shingle arrays are
+  // computed ONCE and persisted; each config re-bands the 16-long sig
+  // vectors and re-verifies only its own candidates.
+  val d15 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val sigs = graft.CacheScope.persist(
+        NearDup.minhashSigs(docs, col("doc_id"), col("text")))
+      sigs.count()
+      val sh = graft.CacheScope.persist(
+        NearDup.shingleArrays(docs, col("doc_id"), col("text")))
+      sh.count()
+      ordered(Seq(2, 4, 8).map { r =>
+        val cand = NearDup.candidates(NearDup.bands(sigs, 16, r))
+        val ver = NearDup.jaccardPairs(cand, sh).filter(col("jaccard") >= 0.5)
+        cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+          .crossJoin(ver.agg(count(lit(1)).cast("long").as("n_verified")))
+          .select(lit(r.toLong).as("rows_per_band"),
+            lit((16 / r).toLong).as("n_bands"),
+            col("n_candidates"), col("n_verified"),
+            expr("CASE WHEN n_candidates = 0 THEN 0L ELSE " +
+              "n_verified * 1000 DIV n_candidates END").as("precision_permille"))
+      }.reduce(_.unionByName(_)))
+    },
+    Some {
+      def cfg(r: Int) =
+        s"sigs$r AS (SELECT doc_id, h // $r AS band, " +
+          s"string_agg(mh::VARCHAR, ',' ORDER BY h) AS sig FROM mins GROUP BY doc_id, h // $r), " +
+        s"cand$r AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs$r a " +
+          s"JOIN sigs$r b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+        s"inter$r AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand$r c " +
+          "JOIN sh sa ON sa.doc_id = c.id_a " +
+          "JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh GROUP BY 1, 2), " +
+        s"ver$r AS (SELECT i.id_a FROM inter$r i " +
+          "JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b " +
+          "WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.5)"
+      def row(r: Int) =
+        s"SELECT CAST($r AS BIGINT) AS rows_per_band, CAST(${16 / r} AS BIGINT) AS n_bands, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM cand$r) AS n_candidates, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM ver$r) AS n_verified, " +
+          s"CASE WHEN (SELECT count(*) FROM cand$r) = 0 THEN 0 " +
+          s"ELSE CAST((SELECT count(*) FROM ver$r) * 1000 // " +
+          s"(SELECT count(*) FROM cand$r) AS BIGINT) END AS precision_permille"
+      ShinglesCte + ", " +
+        "mins AS (SELECT doc_id, h, min(((((2*h+1)*2654435761) % 2147483647) * " +
+        "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
+        "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
+        "FROM sh, unnest(range(0, 16)) t(h) GROUP BY doc_id, h), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        Seq(2, 4, 8).map(cfg).mkString(", ") + " " +
+        Seq(2, 4, 8).map(row).mkString(" UNION ALL ") + OBA
+    })
+
+  // FS2 — feature-staleness audit: for every event matched by t6's
+  // as-of, how OLD the matched state version was at event time —
+  // per-day count + p50/p95 age (µs, percentile() ≡ quantile_cont per
+  // the sk1 parity precedent). The serving-health card a feature store
+  // files next to fs1's training set: a rising p95 here means models
+  // are training on fresher state than serving sees (or vice versa),
+  // the silent skew t10's tolerance gate exists to cap. Same
+  // union-window as-of (value = the version's own timestamp), then a
+  // days-sized card agg.
+  val fs2 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val versions = graft.operators.Dedup.keepOneByKey(
+        ev.filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), col("ts").as("valid_from"),
+            col("event_type").as("state"), col("event_id")),
+        Seq(col("user_id"), col("valid_from")), Seq(col("event_id")))
+        .select(col("user_id"), col("valid_from"))
+        .withColumn("vtime", col("valid_from"))
+      val matched = graft.operators.Temporal.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        versions, "user_id", "ts", "valid_from", "vtime", "matched_from")
+      val aged = matched.filter(col("matched_from").isNotNull)
+        .select(to_date(col("ts")).as("day"),
+          (unix_micros(col("ts")) - unix_micros(col("matched_from"))).as("age_us"))
+      ordered(aged.groupBy("day")
+        .agg(count(lit(1)).cast("long").as("n_matched"),
+          expr("percentile(age_us, array(0.5, 0.95))").as("qs"))
+        .select(col("day"), col("n_matched"), posexplode(col("qs")))
+        .toDF("day", "n_matched", "pos", "age_us_q")
+        .select(col("day"), col("n_matched"), col("pos").cast("long").as("pos"),
+          col("age_us_q")))
+    },
+    Some("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "v0 AS (SELECT user_id, ts AS valid_from, " +
+      "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn " +
+      "FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id " +
+      "FROM events WHERE event_id % 7 = 0)), " +
+      "v AS (SELECT user_id, valid_from FROM v0 WHERE rn = 1), " +
+      "m AS (SELECT e.event_id, e.ts, v.valid_from FROM e " +
+      "ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.valid_from), " +
+      "a AS (SELECT CAST(ts AS DATE) AS day, " +
+      "epoch_us(ts) - epoch_us(valid_from) AS age_us FROM m WHERE valid_from IS NOT NULL), " +
+      "g AS (SELECT day, CAST(count(*) AS BIGINT) AS n_matched, " +
+      "quantile_cont(age_us, [0.5, 0.95]) AS qs FROM a GROUP BY 1) " +
+      "SELECT day, n_matched, CAST(i AS BIGINT) AS pos, qs[i + 1] AS age_us_q " +
+      "FROM g, unnest(range(0, 2)) u(i)" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4883,5 +4989,6 @@ object DataCatalog {
     "qc16_coverage_gaps" -> qc16, "t13_daily_snapshots" -> t13,
     "sim10_maxsim_rerank" -> sim10, "lm2_familiarity_score" -> lm2,
     "e17_arrival_decay" -> e17, "mix6_interleaved_order" -> mix6,
-    "qc17_fd_discovery" -> qc17, "qc18_histogram_drift" -> qc18)
+    "qc17_fd_discovery" -> qc17, "qc18_histogram_drift" -> qc18,
+    "d15_lsh_band_sweep" -> d15, "fs2_staleness_audit" -> fs2)
 }
