@@ -128,7 +128,8 @@ object Bench {
     "qc16_coverage_gaps", "t13_daily_snapshots", "sim10_maxsim_rerank",
     "lm2_familiarity_score", "e17_arrival_decay", "mix6_interleaved_order",
     "qc17_fd_discovery", "qc18_histogram_drift",
-    "d15_lsh_band_sweep", "fs2_staleness_audit")
+    "d15_lsh_band_sweep", "fs2_staleness_audit",
+    "e18_path_trigrams", "m6_video_frame_dedup")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -400,6 +400,53 @@ object Multimodal {
         floor(col("i") * col("n_frames") / lit(k)).cast("long").as("frame_offset"))
   }
 
+  /** m6 step 1 — per-frame perceptual hashes for "videos": k
+    * evenly-spaced frame indices per video (frameSampleMeta's
+    * offset_i = ⌊i·n_frames/k⌋ contract), each frame fingerprinted with
+    * the SAME real dHash packing as m4's images (the decode is the
+    * documented stub — frame pixel grids derive from the video's
+    * decoded dims + frame offset; a real decoder drops into the same
+    * per-frame slot). Synthetic fixture: dims/frame-count key off
+    * doc_id % 40 so residue families are true re-encodes of one
+    * "video", and a (doc_id DIV 40)-parity tweak re-renders the LAST
+    * sampled frame only — the partial-overlap case (3 of 4 frames
+    * match) a trailer/re-cut actually produces. Map-only; 8 bytes per
+    * (video, frame) leave the scan. */
+  def videoFrameHashes(docs: DataFrame, k: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].flatMap { id =>
+      val m = (id % 40).toInt
+      val w = 16 + m * 37 % 200
+      val hgt = 16 + m * 53 % 150
+      val nf = 24 + (m % 5) * 8
+      val tw = ((id / 40) % 2).toInt
+      (0 until k).map { i =>
+        val off = i * nf / k
+        val hv = hgt + off * 1000 + (if (tw == 1 && i == k - 1) 7777 else 0)
+        (id, i.toLong, dHash64(w, hv, 0))
+      }
+    }.toDF("doc_id", "frame_idx", "fhash")
+  }
+
+  /** m6 step 2 — video near-dup pairs: two videos are near-dups when at
+    * least `minFrames` ALIGNED frames (same sample index) land within
+    * `maxDist` Hamming bits. Frames ride m4/d3's banded-Hamming
+    * machinery via pseudo-ids (doc_id·16 + frame_idx, so the band join
+    * also aligns frames for free), then one (pair) aggregate counts
+    * matched frames. Same shape as every banded dedup: equi-join on
+    * (band, key16), candidates-only Hamming, no pair matrix. */
+  def videoDupPairs(frames: DataFrame, maxDist: Int = 3,
+      minFrames: Int = 3): DataFrame =
+    NearDup.simhashPairs(
+        frames.select((col("doc_id") * 16 + col("frame_idx")).as("doc_id"),
+          col("fhash").as("simhash")), maxDist)
+      .filter(expr("id_a % 16 = id_b % 16"))
+      .select(expr("id_a DIV 16").as("id_a"), expr("id_b DIV 16").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast("long").as("n_matched_frames"))
+      .filter(col("n_matched_frames") >= minFrames)
+
   /** Resize plumbing: aspect-preserving fit into a maxDim bounding box —
     * the metadata contract a real resize kernel satisfies (never
     * upscales; floor semantics; at scale the pixel work runs inside the

@@ -4896,6 +4896,64 @@ object DataCatalog {
       "SELECT day, n_matched, CAST(i AS BIGINT) AS pos, qs[i + 1] AS age_us_q " +
       "FROM g, unnest(range(0, 2)) u(i)" + OBA))
 
+  // E18 — path trigrams: counts of every 3-step event-type sequence
+  // along each user's timeline — the sequence-mining step up from
+  // e13's bigram transition matrix (a funnel hypothesis generator:
+  // high-count view→click→purchase paths ARE the funnels worth
+  // defining in e5). Two leads over the user-keyed window (same
+  // single shuffle as every temporal op), aggregate onto ≤ |types|³
+  // keys.
+  val e18 = Q(
+    (s, d) => ordered(events(s, d).selectExpr("user_id", "event_type AS t1",
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2",
+        "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3")
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).cast("long").as("n"))),
+    Some("WITH s AS (SELECT user_id, event_type AS t1, " +
+      "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t2, " +
+      "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t3 " +
+      "FROM events) " +
+      "SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM s " +
+      "WHERE t3 IS NOT NULL GROUP BY 1, 2, 3" + OBA))
+
+  // M6 — video-frame perceptual dedup, completing the multimodal trio
+  // (m4 image dHash, m5 audio fingerprint, m6 video): 4 evenly-spaced
+  // frames per video (frameSampleMeta's offset contract), each dHash-
+  // fingerprinted, two videos near-dup when ≥ 3 ALIGNED frames land
+  // within Hamming 3 — the re-encode/re-cut detector (the fixture's
+  // parity tweak re-renders exactly one frame, producing the 3-of-4
+  // partial match a trailer or re-cut gives). Frames ride the banded-
+  // Hamming machinery via pseudo-ids (the band join aligns frames for
+  // free); one pair aggregate counts matches. No pair matrix anywhere.
+  val m6 = Q(
+    (s, d) => ordered(graft.operators.Multimodal.videoDupPairs(
+      graft.operators.Multimodal.videoFrameHashes(documents(s, d)), 3, 3)),
+    Some("WITH img AS (SELECT doc_id, doc_id % 40 AS m, (doc_id // 40) % 2 AS tw " +
+      "FROM documents), " +
+      "dm AS (SELECT doc_id, 16 + (m * 37) % 200 AS w, 16 + (m * 53) % 150 AS hgt, " +
+      "24 + (m % 5) * 8 AS nf, tw FROM img), " +
+      "fr AS (SELECT doc_id, i, w, hgt + ((i * nf) // 4) * 1000 + " +
+      "CASE WHEN tw = 1 AND i = 3 THEN 7777 ELSE 0 END AS hv " +
+      "FROM dm, unnest(range(0, 4)) u(i)), " +
+      "bits AS (SELECT doc_id, i, r * 8 + c AS b2, CASE WHEN " +
+      "('0x' || substr(md5(CAST(w AS VARCHAR) || ':' || CAST(hv AS VARCHAR) || ':' || " +
+      "CAST(r*9+c AS VARCHAR)), 1, 15))::BIGINT < " +
+      "('0x' || substr(md5(CAST(w AS VARCHAR) || ':' || CAST(hv AS VARCHAR) || ':' || " +
+      "CAST(r*9+c+1 AS VARCHAR)), 1, 15))::BIGINT " +
+      "THEN 1 ELSE 0 END AS bit FROM fr, unnest(range(0, 8)) ur(r), unnest(range(0, 8)) uc(c)), " +
+      "sig AS (SELECT doc_id, i, CAST(sum(CASE WHEN bit = 0 THEN 0 " +
+      "WHEN b2 = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << b2) END) AS BIGINT) AS fh " +
+      "FROM bits GROUP BY 1, 2), " +
+      "banded AS (SELECT doc_id, i, fh, b, (fh >> (b * 16)) & 65535 AS key " +
+      "FROM sig, unnest(range(0, 4)) u(b)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS i, " +
+      "a.fh AS fa, b.fh AS fb FROM banded a JOIN banded b " +
+      "ON a.i = b.i AND a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id), " +
+      "mt AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matched_frames FROM cand " +
+      "WHERE bit_count(xor(fa, fb)) <= 3 GROUP BY 1, 2) " +
+      "SELECT id_a, id_b, n_matched_frames FROM mt WHERE n_matched_frames >= 3" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -4990,5 +5048,6 @@ object DataCatalog {
     "sim10_maxsim_rerank" -> sim10, "lm2_familiarity_score" -> lm2,
     "e17_arrival_decay" -> e17, "mix6_interleaved_order" -> mix6,
     "qc17_fd_discovery" -> qc17, "qc18_histogram_drift" -> qc18,
-    "d15_lsh_band_sweep" -> d15, "fs2_staleness_audit" -> fs2)
+    "d15_lsh_band_sweep" -> d15, "fs2_staleness_audit" -> fs2,
+    "e18_path_trigrams" -> e18, "m6_video_frame_dedup" -> m6)
 }

@@ -1114,6 +1114,25 @@ class ScaleSpec extends AnyFunSuite {
     assert(n == spans, s"expected $spans dense user-days, got $n")
   }
 
+  test("video frame dedup: banded equi-join only, frames align in the join key, partial matches survive") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.sources.Tables
+    val frames = graft.operators.Multimodal.videoFrameHashes(
+      Tables.documents(spark, sf))
+    val pairs = graft.operators.Multimodal.videoDupPairs(frames, 3, 3)
+    pairs.count()
+    val ns = nodes(pairs)
+    assert(ns.collect { case c: CartesianProductExec => c }.isEmpty &&
+      ns.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "video pair generation must ride the banded equi-join, never a pair matrix")
+    // the fixture's one-frame re-render produces true PARTIAL matches:
+    // both 3-of-4 and 4-of-4 pairs must exist
+    val dist = pairs.groupBy("n_matched_frames").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.keySet == Set(3L, 4L),
+      s"expected 3-of-4 and 4-of-4 match classes, got $dist")
+  }
+
   test("partitioned layout: a day-equality predicate prunes to one partition at planning time") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import graft.sources.Tables
