@@ -4954,6 +4954,65 @@ object DataCatalog {
       "WHERE bit_count(xor(fa, fb)) <= 3 GROUP BY 1, 2) " +
       "SELECT id_a, id_b, n_matched_frames FROM mt WHERE n_matched_frames >= 3" + OBA))
 
+  // DP10 — feature-pipeline receipt: the one-row audit a training-set
+  // materialization files — probes (purchases + prior-event window
+  // feature), as-of state attach, t10-style freshness gate (state ≤ 14
+  // days old at event time), label mass in exact cents. The as-of
+  // carries state AND version time in ONE union-window pass (the value
+  // is a struct), so the gate costs a per-row subtraction, not a second
+  // as-of. Composition proof for the fs family the way dp6 is for the
+  // url family.
+  val dp10 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      val versions = graft.operators.Dedup.keepOneByKey(
+        ev.filter(col("event_id") % 7 === 0)
+          .select(col("user_id"), col("ts").as("valid_from"),
+            col("event_type").as("state"), col("event_id")),
+        Seq(col("user_id"), col("valid_from")), Seq(col("event_id")))
+        .select(col("user_id"), col("valid_from"),
+          struct(col("state"), col("valid_from").as("vfrom")).as("sv"))
+      val probes = ev.selectExpr("event_id", "user_id", "ts", "event_type", "value",
+          "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prior_events")
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value", "prior_events")
+      val joined = graft.operators.Temporal.asofJoin(
+        probes, versions, "user_id", "ts", "valid_from", "sv", "sv")
+      ordered(joined.agg(
+        count(lit(1)).cast("long").as("n_probes"),
+        count(col("sv.state")).cast("long").as("n_with_state"),
+        sum(when(col("sv.state").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("sv.vfrom")) <=
+              lit(14L * 86400L * 1000000L), 1L).otherwise(0L))
+          .as("n_fresh"),
+        count_distinct(col("user_id")).cast("long").as("n_users"),
+        sum(floor(col("value") * 100).cast("long")).as("label_cents_sum"),
+        sum(col("prior_events")).as("prior_events_sum")))
+    },
+    Some("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+      "event_type, value FROM events), " +
+      "p0 AS (SELECT event_id, user_id, ts, value, event_type, " +
+      "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS prior_events FROM e), " +
+      "p AS (SELECT event_id, user_id, ts, value, prior_events FROM p0 " +
+      "WHERE event_type = 'purchase'), " +
+      "v0 AS (SELECT user_id, ts AS valid_from, event_type AS state, " +
+      "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn " +
+      "FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id " +
+      "FROM events WHERE event_id % 7 = 0)), " +
+      "v AS (SELECT user_id, valid_from, state FROM v0 WHERE rn = 1), " +
+      "j AS (SELECT p.user_id, p.ts, p.value, p.prior_events, v.state, v.valid_from " +
+      "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.valid_from) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_probes, " +
+      "CAST(count(state) AS BIGINT) AS n_with_state, " +
+      "CAST(coalesce(sum(CASE WHEN state IS NOT NULL AND " +
+      "epoch_us(ts) - epoch_us(valid_from) <= CAST(14 AS BIGINT) * 86400 * 1000000 " +
+      "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fresh, " +
+      "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+      "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS label_cents_sum, " +
+      "CAST(sum(prior_events) AS BIGINT) AS prior_events_sum FROM j" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -5049,5 +5108,6 @@ object DataCatalog {
     "e17_arrival_decay" -> e17, "mix6_interleaved_order" -> mix6,
     "qc17_fd_discovery" -> qc17, "qc18_histogram_drift" -> qc18,
     "d15_lsh_band_sweep" -> d15, "fs2_staleness_audit" -> fs2,
-    "e18_path_trigrams" -> e18, "m6_video_frame_dedup" -> m6)
+    "e18_path_trigrams" -> e18, "m6_video_frame_dedup" -> m6,
+    "dp10_feature_pipeline" -> dp10)
 }
