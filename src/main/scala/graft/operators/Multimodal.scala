@@ -254,20 +254,30 @@ object Multimodal {
     * 64-bit fingerprint. */
   private[graft] def dHash64(w: Int, h: Int, tweak: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def a(r: Int, c: Int): Long = {
-      val i = r * 9 + c
+    // One digest per grid cell (72), parsed straight from the digest
+    // bytes: the first 15 hex chars of an MD5 are its first 8 bytes
+    // read big-endian >>> 4 — bit-identical to the oracle's
+    // ('0x' || substr(md5(s), 1, 15))::BIGINT, without per-byte string
+    // formatting (the original formatted 128 digests per hash and
+    // dominated the m4/m6 scan cost).
+    val grid = new Array[Long](72)
+    var i = 0
+    while (i < 72) {
       md.reset()
-      val hex = md.digest(s"$w:$h:$i".getBytes("UTF-8"))
-        .take(8).map(b => f"${b & 0xff}%02x").mkString
-      val base = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      if (r == 0 && c == 1) base + tweak.toLong * 2305843009213693952L else base
+      val d = md.digest(s"$w:$h:$i".getBytes("UTF-8"))
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      grid(i) = v >>> 4
+      i += 1
     }
+    grid(1) += tweak.toLong * 2305843009213693952L
     var hash = 0L
     var r = 0
     while (r < 8) {
       var c = 0
       while (c < 8) {
-        if (a(r, c) < a(r, c + 1)) hash |= 1L << (r * 8 + c)
+        if (grid(r * 9 + c) < grid(r * 9 + c + 1)) hash |= 1L << (r * 8 + c)
         c += 1
       }
       r += 1
@@ -323,15 +333,23 @@ object Multimodal {
     * a one-window edit flips ≤2 bits (the comparisons touching it). */
   private[graft] def audioFp64(sr: Int, ch: Int, tweak: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def e(i: Int): Long = {
-      md.reset()
-      val hex = md.digest(s"$sr:$ch:$i".getBytes("UTF-8"))
-        .take(8).map(b => f"${b & 0xff}%02x").mkString
-      val base = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      if (i == 1) base + tweak.toLong * 2305843009213693952L else base
-    }
-    var hash = 0L
+    // One digest per energy window (65), parsed straight from digest
+    // bytes (first 15 hex chars = first 8 bytes big-endian >>> 4) —
+    // same parity-preserving rewrite as [[dHash64]]'s grid.
+    val e = new Array[Long](65)
     var i = 0
+    while (i < 65) {
+      md.reset()
+      val d = md.digest(s"$sr:$ch:$i".getBytes("UTF-8"))
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      e(i) = v >>> 4
+      i += 1
+    }
+    e(1) += tweak.toLong * 2305843009213693952L
+    var hash = 0L
+    i = 0
     while (i < 64) {
       if (e(i) < e(i + 1)) hash |= 1L << i
       i += 1
@@ -407,24 +425,28 @@ object Multimodal {
     * documented stub — frame pixel grids derive from the video's
     * decoded dims + frame offset; a real decoder drops into the same
     * per-frame slot). Synthetic fixture: dims/frame-count key off
-    * doc_id % 40 so residue families are true re-encodes of one
-    * "video", and a (doc_id DIV 40)-parity tweak re-renders the LAST
-    * sampled frame only — the partial-overlap case (3 of 4 frames
-    * match) a trailer/re-cut actually produces. Map-only; 8 bytes per
-    * (video, frame) leave the scan. */
+    * doc_id DIV 10 — CONSTANT-size families of 10 re-encodes of one
+    * "video" (the family id rides inside the hash input, so families
+    * never collide and the corpus's dup-pair count grows LINEARLY with
+    * it — the dedup-honest fixture discipline the ScalingProbe
+    * documents; a residue-keyed family would grow quadratically) — and
+    * a doc-parity tweak re-renders the LAST sampled frame only: the
+    * partial-overlap case (3 of 4 frames match) a trailer/re-cut
+    * actually produces. Map-only; 8 bytes per (video, frame) leave the
+    * scan. */
   def videoFrameHashes(docs: DataFrame, k: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].flatMap { id =>
-      val m = (id % 40).toInt
-      val w = 16 + m * 37 % 200
-      val hgt = 16 + m * 53 % 150
-      val nf = 24 + (m % 5) * 8
-      val tw = ((id / 40) % 2).toInt
+      val fam = id / 10
+      val wh = (16 + fam % 184 + fam * 1000).toInt
+      val hgt = (16 + fam % 134).toInt
+      val nf = (24 + (fam % 5) * 8).toInt
+      val tw = (id % 2).toInt
       (0 until k).map { i =>
         val off = i * nf / k
         val hv = hgt + off * 1000 + (if (tw == 1 && i == k - 1) 7777 else 0)
-        (id, i.toLong, dHash64(w, hv, 0))
+        (id, i.toLong, dHash64(wh, hv, 0))
       }
     }.toDF("doc_id", "frame_idx", "fhash")
   }

@@ -4929,10 +4929,11 @@ object DataCatalog {
   val m6 = Q(
     (s, d) => ordered(graft.operators.Multimodal.videoDupPairs(
       graft.operators.Multimodal.videoFrameHashes(documents(s, d)), 3, 3)),
-    Some("WITH img AS (SELECT doc_id, doc_id % 40 AS m, (doc_id // 40) % 2 AS tw " +
+    Some("WITH img AS (SELECT doc_id, doc_id // 10 AS fam, doc_id % 2 AS tw " +
       "FROM documents), " +
-      "dm AS (SELECT doc_id, 16 + (m * 37) % 200 AS w, 16 + (m * 53) % 150 AS hgt, " +
-      "24 + (m % 5) * 8 AS nf, tw FROM img), " +
+      "dm AS (SELECT doc_id, CAST(16 + fam % 184 + fam * 1000 AS BIGINT) AS w, " +
+      "16 + fam % 134 AS hgt, " +
+      "24 + (fam % 5) * 8 AS nf, tw FROM img), " +
       "fr AS (SELECT doc_id, i, w, hgt + ((i * nf) // 4) * 1000 + " +
       "CASE WHEN tw = 1 AND i = 3 THEN 7777 ELSE 0 END AS hv " +
       "FROM dm, unnest(range(0, 4)) u(i)), " +
