@@ -52,26 +52,34 @@ object Graph {
     val ed = graft.CacheScope.persist(
       e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
     var r = nodes.withColumn("r", lit(init))
-    // At most two rank frames stay cached (ADVICE r9): each iteration
-    // materializes the new frame (count() — O(hosts) rows, which the
-    // next iteration's join would have paid anyway), then releases its
-    // predecessor so high-iteration runs don't accumulate cached frames
-    // and the lineage they pin. The final frame stays persisted for the
-    // caller; CacheScope.releaseAll() frees it at pipeline end.
-    var prevRank: DataFrame = null
-    for (_ <- 1 to iters) {
+    // Lineage/cache bound WITHOUT a per-iteration job: the loop builds
+    // a lazy chain (plan depth grows linearly — fine for the small
+    // constant iteration counts the catalog uses), and only every
+    // `ckptEvery` iterations cuts it once with an eager persist+count,
+    // releasing the previous cut. That keeps at most one O(hosts)
+    // checkpoint frame cached for high-iteration runs (ADVICE r9)
+    // while paying ZERO extra actions for iters < ckptEvery — the r10
+    // per-iteration count() cost one full job per iteration and was
+    // the suite's worst bench regression. The final frame is persisted
+    // lazily; the caller's first action materializes it and
+    // CacheScope.releaseAll() frees it at pipeline end.
+    val ckptEvery = 8
+    var prevCkpt: DataFrame = null
+    for (i <- 1 to iters) {
       val contrib = ed.join(r.withColumnRenamed("host", "src"), Seq("src"))
         .select(col("dst").as("host"), expr("r DIV deg").as("c"))
         .groupBy("host").agg(sum(col("c")).as("cs"))
-      r = graft.CacheScope.persist(
-        nodes.join(contrib, Seq("host"), "left")
-          .select(col("host"),
-            expr(s"$base + ($dampPermille * coalesce(cs, 0L)) DIV 1000").as("r")))
-      r.count()
-      if (prevRank != null) prevRank.unpersist()
-      prevRank = r
+      r = nodes.join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          expr(s"$base + ($dampPermille * coalesce(cs, 0L)) DIV 1000").as("r"))
+      if (i % ckptEvery == 0 && i < iters) {
+        r = graft.CacheScope.persist(r)
+        r.count()
+        if (prevCkpt != null) prevCkpt.unpersist()
+        prevCkpt = r
+      }
     }
-    r.select(col("host"), col("r").as("rank_micro"))
+    graft.CacheScope.persist(r.select(col("host"), col("r").as("rank_micro")))
   }
 
   /** Integer-exact HITS (hits1): unnormalized hub/authority mutual

@@ -252,7 +252,7 @@ object Multimodal {
     * itself is the REAL algorithm: bit (r·8+c) set iff a(r,c) <
     * a(r,c+1) — row-wise gradient sign, the brightness-shift-invariant
     * 64-bit fingerprint. */
-  private[graft] def dHash64(w: Int, h: Int, tweak: Int): Long = {
+  private[graft] def dHash64(w: Long, h: Long, tweak: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     // One digest per grid cell (72), parsed straight from the digest
     // bytes: the first 15 hex chars of an MD5 are its first 8 bytes
@@ -439,13 +439,16 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].flatMap { id =>
       val fam = id / 10
-      val wh = (16 + fam % 184 + fam * 1000).toInt
-      val hgt = (16 + fam % 134).toInt
+      // Dims stay Long end-to-end: an Int wh would wrap/alias for
+      // fam >= ~2.15M (doc_id >= ~21.5M) and diverge from the oracle's
+      // BIGINT w — the hash input must match at ANY doc_id.
+      val wh = 16 + fam % 184 + fam * 1000
+      val hgt = 16 + fam % 134
       val nf = (24 + (fam % 5) * 8).toInt
       val tw = (id % 2).toInt
       (0 until k).map { i =>
         val off = i * nf / k
-        val hv = hgt + off * 1000 + (if (tw == 1 && i == k - 1) 7777 else 0)
+        val hv = hgt + off * 1000L + (if (tw == 1 && i == k - 1) 7777L else 0L)
         (id, i.toLong, dHash64(wh, hv, 0))
       }
     }.toDF("doc_id", "frame_idx", "fhash")
@@ -459,15 +462,28 @@ object Multimodal {
     * matched frames. Same shape as every banded dedup: equi-join on
     * (band, key16), candidates-only Hamming, no pair matrix. */
   def videoDupPairs(frames: DataFrame, maxDist: Int = 3,
-      minFrames: Int = 3): DataFrame =
+      minFrames: Int = 3, stride: Long = 16L): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    // The stride IS the encoding: frame_idx >= stride would alias into
+    // a neighboring doc_id's pseudo-id space and silently produce wrong
+    // pairs, so the guard fails LOUDLY in-plan (codegen'd conditional,
+    // no extra action) — callers sampling k > 16 frames pass a wider
+    // stride.
+    val guarded = when(col("frame_idx") >= 0 && col("frame_idx") < stride,
+        col("frame_idx"))
+      .otherwise(raise_error(concat(
+        lit("videoDupPairs: frame_idx "), col("frame_idx").cast("string"),
+        lit(s" outside [0, $stride) — pass a stride > max frame_idx"))))
     NearDup.simhashPairs(
-        frames.select((col("doc_id") * 16 + col("frame_idx")).as("doc_id"),
+        frames.select((col("doc_id") * stride + guarded).as("doc_id"),
           col("fhash").as("simhash")), maxDist)
-      .filter(expr("id_a % 16 = id_b % 16"))
-      .select(expr("id_a DIV 16").as("id_a"), expr("id_b DIV 16").as("id_b"))
+      .filter(expr(s"id_a % $stride = id_b % $stride"))
+      .select(expr(s"id_a DIV $stride").as("id_a"),
+        expr(s"id_b DIV $stride").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("long").as("n_matched_frames"))
       .filter(col("n_matched_frames") >= minFrames)
+  }
 
   /** Resize plumbing: aspect-preserving fit into a maxDim bounding box —
     * the metadata contract a real resize kernel satisfies (never

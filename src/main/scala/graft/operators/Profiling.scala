@@ -100,8 +100,10 @@ object Profiling {
     * before trusting an undocumented table: discovered keys drive
     * dedup/upsert key choice, discovered FDs reveal denormalized
     * columns safe to drop from a projection. Columns must be non-null
-    * (engines disagree on null-tuple distinct semantics — the card's
-    * contract, require()d).
+    * (engines disagree on null-tuple distinct semantics — Spark's
+    * count_distinct(a, b) drops null tuples where DuckDB counts them);
+    * the contract is require()d inside the same single-scan aggregate
+    * (count(c) == count(*) per column — zero extra passes).
     *
     * Shape: ONE scan — all 2·P distinct-counts compute in a single
     * aggregate (Spark expands multi-distinct via Expand, factor ~2·P;
@@ -117,9 +119,15 @@ object Profiling {
       (cols.map(c => count_distinct(col(c)).as(s"__d_$c")) ++
         pairs.map { case (a, b) =>
           count_distinct(col(a), col(b)).as(s"__p_${a}_$b")
-        })
+        } ++ cols.map(c => count(col(c)).as(s"__nn_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val nRows = row.getLong(0)
+    val nnBase = 1 + cols.size + pairs.size
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(row.getLong(nnBase + i) == nRows,
+        s"fdDiscovery: column $c contains nulls — null-tuple distinct " +
+          "semantics differ across engines; exclude or fill nulls first")
+    }
     val dCol = cols.zipWithIndex.map { case (c, i) => c -> row.getLong(1 + i) }.toMap
     val card = pairs.zipWithIndex.map { case ((a, b), i) =>
       val nAb = row.getLong(1 + cols.size + i)

@@ -361,9 +361,14 @@ object Sampling {
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
       when(col("grp") === s, lit(wt)).otherwise(acc)
     }
-    val withVt = ranked.withColumn("w", w)
+    // Persisted (the d15/NearDup multi-consumer pattern): globalRank
+    // reads withVt twice (its eager bounds action + the rank pass) and
+    // the stratum join reads it a third time — without the persist the
+    // whole two-level groupRank subtree recomputes per consumer.
+    // Released by the pipeline's CacheScope.releaseAll().
+    val withVt = graft.CacheScope.persist(ranked.withColumn("w", w)
       .select(col("grp").as("stratum"), col("id"),
-        expr("(rank * 1000) DIV w").as("vt"))
+        expr("(rank * 1000) DIV w").as("vt")))
     Ranking.globalRank(withVt, col("id"), col("vt"))
       .select(col("id"), col("score").as("vt"), col("rank").as("position"))
       .join(withVt.select(col("id"), col("stratum")), Seq("id"))

@@ -370,7 +370,15 @@ object EventStream {
       val sorted = evs.toArray.sortBy(e => (e._2, e._3))
       var (cnt, last, score) = state.getOption.getOrElse((0L, 0L, 0L))
       sorted.foreach { case (_, di, _) =>
-        val gap = if (cnt == 0) 0L else math.min((di - last) / 7, 62L)
+        // Clamp the gap non-negative: an event arriving in a LATER
+        // micro-batch with di < state.last would otherwise feed a
+        // negative shift count (Scala's >> masks mod 64 and silently
+        // corrupts the score). Late data thus decays by 0 weeks —
+        // stream ≡ batch still holds for in-order arrival, and
+        // out-of-order arrival degrades gracefully instead of
+        // corrupting state.
+        val gap = if (cnt == 0) 0L
+          else math.min(math.max(di - last, 0L) / 7, 62L)
         score = (score >> gap.toInt) + 1000000L
         cnt += 1
         last = di
