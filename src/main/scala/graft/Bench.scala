@@ -129,7 +129,9 @@ object Bench {
     "lm2_familiarity_score", "e17_arrival_decay", "mix6_interleaved_order",
     "qc17_fd_discovery", "qc18_histogram_drift",
     "d15_lsh_band_sweep", "fs2_staleness_audit",
-    "e18_path_trigrams", "m6_video_frame_dedup", "dp10_feature_pipeline")
+    "e18_path_trigrams", "m6_video_frame_dedup", "dp10_feature_pipeline",
+    // round-11 additions
+    "dsub2_substring_mask")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -121,6 +121,42 @@ object NearDup {
         col("n_merged").as("n_windows"))
   }
 
+  /** dsub2 — the ACTION step for [[exactSubstrSpans]] (Lee et al. 2022
+    * cut the duplicated substring and train on the rest): drop every
+    * token position covered by a duplicated span and reassemble the
+    * survivors in original order. Output: (doc_id, n_tokens, n_removed,
+    * clean_text), one row for EVERY input document — span-free docs pass
+    * through with n_removed = 0, a fully-covered doc emits an empty
+    * clean_text (the husk a downstream filter drops; kept here so the
+    * receipt's token counts sum to the corpus).
+    *
+    * Scale shape: spans aggregate to ONE mask array per span-bearing doc
+    * (span rows only — a small fraction of the corpus under any sane
+    * duplication rate), the mask frame broadcasts to the document scan,
+    * and token removal is a pure map over each doc's token array
+    * (filter-with-index + exists over that doc's own ≤S spans). Document
+    * TEXT never shuffles: the only shuffles in the whole plan are
+    * dsub1's window-hash aggregate and the span aggregation, both
+    * narrow hash/position frames (pinned in ScaleSpec). If a degenerate
+    * corpus ever pushed the mask frame past the broadcast threshold,
+    * the same plan falls back to one doc_id equi-join — text then
+    * shuffles once on its primary key, still never a pair join. */
+  def exactSubstrMask(docs: DataFrame, id: Column, text: Column,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    val masks = exactSubstrSpans(docs, id, text, n, minDocs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("mask"))
+    docs.select(id.as("doc_id"), graft.functions.F.tokens(text).as("tk"))
+      .join(broadcast(masks), Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        expr("filter(tk, (t, i) -> mask IS NULL OR " +
+          "NOT exists(mask, m -> i >= m.s AND i <= m.e))").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** Distinct word-`n`-gram shingles per doc, one row each: (doc_id, sh).
     * Used by tests and as the row-per-shingle surface; the LSH pipeline
     * itself uses per-doc shingle ARRAYS (no row explosion). */

@@ -2019,6 +2019,50 @@ object DataCatalog {
       "max(e) - min(s) AS span_tokens, CAST(count(*) AS BIGINT) AS n_windows " +
       "FROM isl GROUP BY doc_id, island" + OBA))
 
+  // DSUB2 — the action step for dsub1 (Lee et al. cut the duplicated
+  // substring and train on the rest): every token position covered by a
+  // duplicated span is dropped, survivors reassemble in order, and the
+  // receipt carries per-doc (n_tokens, n_removed) so the removal sums
+  // to the corpus. Same spliced fixture as dsub1; both engines run the
+  // identical window→dup→island→mask→reassemble pipeline, the oracle
+  // masking by an anti-join of token positions against exploded span
+  // ranges.
+  val dsub2 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val q = docs.select(col("doc_id").as("q_id"), col("text").as("q_text"))
+      val spliced = docs.join(q, col("doc_id") % 25 === col("q_id"))
+        .select(col("doc_id"), concat(col("text"), lit(" "), col("q_text"),
+          lit(" "), col("text")).as("text"))
+      ordered(NearDup.exactSubstrMask(spliced, col("doc_id"), col("text"), 8))
+    },
+    Some("WITH q AS (SELECT doc_id AS q_id, text AS q_text FROM documents), " +
+      "src AS (SELECT d.doc_id, d.text || ' ' || q.q_text || ' ' || d.text AS text " +
+      "FROM documents d JOIN q ON q.q_id = d.doc_id % 25), " +
+      "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM src), " +
+      "win AS (SELECT doc_id, CAST(i AS BIGINT) AS w, " +
+      "('0x' || substr(md5(array_to_string(tk[i+1:i+8], ' ')), 1, 15))::BIGINT AS h " +
+      "FROM toks, unnest(range(0, len(tk) - 7)) u(i) WHERE len(tk) >= 8), " +
+      "dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2), " +
+      "hit AS (SELECT doc_id, w AS s, w + 8 AS e FROM win WHERE h IN (SELECT h FROM dup)), " +
+      "fl AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER " +
+      "(PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
+      "THEN 1 ELSE 0 END AS f FROM hit), " +
+      "isl AS (SELECT doc_id, s, e, sum(f) OVER (PARTITION BY doc_id ORDER BY s, e " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl), " +
+      "spans AS (SELECT doc_id, min(s) AS ss, max(e) AS ee FROM isl GROUP BY doc_id, island), " +
+      "rem AS (SELECT DISTINCT doc_id, i FROM spans, unnest(range(ss, ee)) u(i)), " +
+      "tokpos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, tk[i] AS tok " +
+      "FROM toks, unnest(range(1, len(tk) + 1)) u(i)), " +
+      "kept AS (SELECT t.doc_id, t.idx, t.tok FROM tokpos t " +
+      "LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.i = t.idx WHERE r.i IS NULL) " +
+      "SELECT o.doc_id, o.n_tokens, " +
+      "o.n_tokens - CAST(count(k.idx) AS BIGINT) AS n_removed, " +
+      "coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text " +
+      "FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks) o " +
+      "LEFT JOIN kept k ON k.doc_id = o.doc_id " +
+      "GROUP BY o.doc_id, o.n_tokens" + OBA))
+
   // OUT1 — deterministic corpus shard manifest: content-stable
   // `md5(doc_id) mod 8` shard assignment plus an order-independent
   // per-shard content hash (mod-sum of row hashes). The manifest IS the
@@ -5110,5 +5154,7 @@ object DataCatalog {
     "qc17_fd_discovery" -> qc17, "qc18_histogram_drift" -> qc18,
     "d15_lsh_band_sweep" -> d15, "fs2_staleness_audit" -> fs2,
     "e18_path_trigrams" -> e18, "m6_video_frame_dedup" -> m6,
-    "dp10_feature_pipeline" -> dp10)
+    "dp10_feature_pipeline" -> dp10,
+    // round 11
+    "dsub2_substring_mask" -> dsub2)
 }

@@ -90,6 +90,30 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("exactSubstrMask: covered tokens drop, clean docs pass through, full coverage empties") {
+    val d = Seq(
+      // A and B share "q1 q2 q3 q4 q5" — those 5 tokens drop from both
+      (0L, "u1 u2 u3 q1 q2 q3 q4 q5 v1 v2"),
+      (1L, "w1 w2 q1 q2 q3 q4 q5 x1 x2 x3"),
+      // C shares nothing ≥5 tokens — passes through untouched
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      // D and E are verbatim duplicates — fully covered, empty husks
+      (3L, "z1 z2 z3 z4 z5 z6"),
+      (4L, "z1 z2 z3 z4 z5 z6")
+    ).toDF("doc_id", "text")
+    val got = NearDup.exactSubstrMask(d, col("doc_id"), col("text"), 5)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 10L, 5L, "u1 u2 u3 v1 v2"),
+      (1L, 10L, 5L, "w1 w2 x1 x2 x3"),
+      (2L, 10L, 0L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (3L, 6L, 6L, ""),
+      (4L, 6L, 6L, "")),
+      s"masked corpus mismatch: ${got.toSeq}")
+    CacheScope.releaseAll()
+  }
+
   test("minhashLsh finds exact and near dup pairs, skips unrelated") {
     val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -94,6 +94,30 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("substring mask: document text never rides a shuffle — masks broadcast to the scan") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.NearDup
+    import graft.sources.Tables
+    val masked = NearDup.exactSubstrMask(
+      Tables.documents(spark, sf), col("doc_id"), col("text"), 8)
+    masked.count()
+    val ns = nodes(masked)
+    // the mask frame (span-bearing docs only) broadcasts; the doc scan
+    // applies it map-side — the property that keeps dsub2's text path
+    // shuffle-free at 100 TB
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the per-doc mask must broadcast-join to the document scan")
+    val textThroughShuffle = ns.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.output.exists(a =>
+        a.name == "tk" || a.name == "text" || a.name == "kept" || a.name == "clean_text"))
+    assert(textThroughShuffle.isEmpty,
+      s"document text/token arrays must never shuffle, got: $textThroughShuffle")
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "substring mask must never form doc pairs")
+    CacheScope.releaseAll()
+  }
+
   test("bm25 statistics derive from one persisted tokenize pass, not repeated text scans") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
