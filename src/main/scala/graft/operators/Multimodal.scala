@@ -285,10 +285,14 @@ object Multimodal {
     hash
   }
 
-  /** m4 step 1 — perceptual hash per image: REAL container-header decode
-    * (magic-byte sniff + IHDR/SOFn dims), stub pixel grid, real dHash
-    * packing, all inside the one batched mapPartitions pass that scans
-    * each payload once (decode init amortized per partition, the
+  /** m4 step 1 — perceptual hash per image. For PNG payloads with pixel
+    * data the path is REAL end-to-end: [[PngCodec.decodeGray]] (IDAT
+    * inflate + unfilter + luma) feeds [[PngCodec.dHashPixels]] (area
+    * resize + gradient sign). Payloads the pure-JVM codec can't decode
+    * (JPEG entropy coding, header-only fixtures) fall back to the
+    * header-dims md5-lattice stub — same banded machinery downstream
+    * either way. All inside the one batched mapPartitions pass that
+    * scans each payload once (decode init amortized per partition, the
     * multimodal execution contract). Non-image payloads drop. Output:
     * (doc_id, phash) — 8 bytes per image ever leaves the scan. */
   def imageDHash(media: Dataset[MediaRow]): DataFrame = {
@@ -296,14 +300,44 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        parseDims(r.payload) match {
-          case Some((mime, w, h)) if mime.startsWith("image/") =>
-            val tweak = r.payload(r.payload.length - 1) & 0xff
-            Some((r.doc_id, dHash64(w, h, tweak)))
-          case _ => None
+        PngCodec.decodeGray(r.payload) match {
+          case Some((w, h, gray)) if w >= 9 && h >= 8 =>
+            Some((r.doc_id, PngCodec.dHashPixels(w, h, gray)))
+          case _ => parseDims(r.payload) match {
+            case Some((mime, w, h)) if mime.startsWith("image/") =>
+              val tweak = r.payload(r.payload.length - 1) & 0xff
+              Some((r.doc_id, dHash64(w, h, tweak)))
+            case _ => None
+          }
         }
       }
     }.toDF("doc_id", "phash")
+  }
+
+  /** All-PNG fixture with REAL pixel data for the end-to-end pixel path
+    * (m4b): each residue group `doc_id % 251` is one image of
+    * group-seeded noise (java.util.Random — the JLS-specified LCG, so
+    * pixels are platform-deterministic), encoded through
+    * [[PngCodec.encodeGray]] with scanline filters cycling 0–4 (every
+    * unfilter branch runs on every image). Odd doc_ids flip one pixel
+    * by +128 — a real one-pixel edit, which moves one resize cell's
+    * mean and therefore at most 2 dHash bits: in-group pairs stay
+    * within any Hamming gate ≥ 2 while iid noise puts cross-group
+    * hashes ~32 bits apart. The PAIR SET is thus predictable from
+    * doc_id arithmetic alone, which is what lets a SQL oracle gate a
+    * genuine pixel pipeline. */
+  def syntheticPixelImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val g = (id % 251).toInt
+      val w = 16 + (g * 37) % 200
+      val h = 16 + (g * 53) % 150
+      val rnd = new java.util.Random(g * 2654435761L)
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      if (id % 2 == 1) gray(w + 1) = (gray(w + 1) + 128) % 256
+      MediaRow(id, PngCodec.encodeGray(w, h, gray, y => y % 5), "image/png")
+    }
   }
 
   /** All-WAV media fixture for the audio-dedup entry (m5): each residue

@@ -1,0 +1,235 @@
+package graft.operators
+
+/** Pure-JVM PNG codec — no image libraries in this container, but PNG's
+  * pixel path needs none: IDAT is one zlib stream (`java.util.zip`) and
+  * the five scanline filters are byte arithmetic. This makes m4's
+  * perceptual hash REAL end-to-end for PNG payloads: decode → grayscale
+  * → area-resize → gradient-sign dHash, with the md5-lattice stub left
+  * only for formats that genuinely need a codec (JPEG entropy decode).
+  *
+  * Scope: 8-bit, non-interlaced, color types 0 (gray), 2 (RGB),
+  * 4 (gray+alpha), 6 (RGBA) — the overwhelming majority of real PNGs.
+  * Palette (3), 16-bit, and Adam7 return None and the caller falls back
+  * to its stub path; decode failures never throw (a corrupt payload in
+  * a 100 TB corpus must degrade, not kill the task).
+  *
+  * Scale shape: decode runs inside the caller's mapPartitions batch
+  * (one pass over payload bytes, no shuffle); output is w·h ints that
+  * immediately reduce to a 72-cell grid — pixels never leave the task.
+  */
+object PngCodec {
+
+  private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def beU32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** Decode to a grayscale raster: (width, height, luminance 0..255 per
+    * pixel, row-major). Luminance is the integer ITU-R 601 luma
+    * (299·R + 587·G + 114·B) / 1000; alpha is ignored (perceptual
+    * hashing compares content, not transparency). */
+  def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    try {
+      if (b.length < 45 || !b.startsWith(Sig)) return None
+      // IHDR must be the first chunk
+      if (beU32(b, 8) != 13L || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+        return None
+      val w = beU32(b, 16).toInt
+      val h = beU32(b, 20).toInt
+      val bitDepth = b(24) & 0xff
+      val colorType = b(25) & 0xff
+      val interlace = b(28) & 0xff
+      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      val ch = colorType match {
+        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case _ => return None
+      }
+      // guard the decompressed size before allocating (a crafted header
+      // must not OOM the task): 64 MPix is far past any fixture
+      if (w.toLong * h.toLong > 64L * 1024 * 1024) return None
+
+      // concatenate IDAT chunk payloads (one zlib stream split across chunks)
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 33 // past IHDR (8 sig + 4 len + 4 type + 13 data + 4 crc)
+      var sawEnd = false
+      while (!sawEnd && i + 8 <= b.length) {
+        val len = beU32(b, i)
+        if (len > Int.MaxValue - 12 || i + 12L + len > b.length.toLong) return None
+        val t = new String(b, i + 4, 4, "US-ASCII")
+        if (t == "IDAT") idat.write(b, i + 8, len.toInt)
+        else if (t == "IEND") sawEnd = true
+        i += 12 + len.toInt
+      }
+      val comp = idat.toByteArray
+      if (comp.isEmpty) return None
+
+      val stride = 1 + w * ch
+      val raw = new Array[Byte](stride * h)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(comp)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      inf.end()
+      if (off != raw.length) return None
+
+      // unfilter in place, scanline by scanline (left/up/avg/Paeth use
+      // RECONSTRUCTED bytes, so order matters)
+      var y = 0
+      while (y < h) {
+        val row = y * stride
+        val filter = raw(row) & 0xff
+        if (filter > 4) return None
+        var x = 1
+        while (x <= w * ch) {
+          val cur = raw(row + x) & 0xff
+          val left = if (x > ch) raw(row + x - ch) & 0xff else 0
+          val up = if (y > 0) raw(row - stride + x) & 0xff else 0
+          val ul = if (y > 0 && x > ch) raw(row - stride + x - ch) & 0xff else 0
+          val rec = filter match {
+            case 0 => cur
+            case 1 => cur + left
+            case 2 => cur + up
+            case 3 => cur + (left + up) / 2
+            case 4 => // Paeth predictor
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+              cur + pred
+          }
+          raw(row + x) = (rec & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+
+      val gray = new Array[Int](w * h)
+      y = 0
+      while (y < h) {
+        val row = y * stride + 1
+        var x = 0
+        while (x < w) {
+          val o = row + x * ch
+          gray(y * w + x) = ch match {
+            case 1 | 2 => raw(o) & 0xff
+            case _ =>
+              (299 * (raw(o) & 0xff) + 587 * (raw(o + 1) & 0xff) +
+                114 * (raw(o + 2) & 0xff)) / 1000
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, gray))
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    }
+  }
+
+  /** Encode a grayscale raster as a real PNG (color type 0, 8-bit,
+    * non-interlaced) — the fixture generator for the real-pixel path.
+    * `filterForRow` chooses each scanline's filter (0–4), so a fixture
+    * can exercise every unfilter branch in one image; filtering is
+    * computed against reconstructed bytes exactly as the spec demands,
+    * so any conforming decoder round-trips it. */
+  def encodeGray(w: Int, h: Int, gray: Array[Int], filterForRow: Int => Int): Array[Byte] = {
+    require(gray.length == w * h, s"raster must be w*h=${w * h}, got ${gray.length}")
+    val stride = 1 + w
+    val raw = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val f = filterForRow(y)
+      require(f >= 0 && f <= 4, s"filter must be 0..4, got $f")
+      raw(y * stride) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = gray(y * w + x) & 0xff
+        val left = if (x > 0) gray(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) gray((y - 1) * w + x) & 0xff else 0
+        val ul = if (y > 0 && x > 0) gray((y - 1) * w + x - 1) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            cur - pred
+        }
+        raw(y * stride + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val idat = out.toByteArray
+
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** REAL perceptual dHash over a decoded raster: area-average the
+    * luminance into the canonical 9-column × 8-row grid (the resize
+    * step), then bit (r·8+c) = mean(r,c) < mean(r,c+1) — row-wise
+    * gradient sign. Means are exact fixed-point (sum·1000 DIV area), so
+    * the hash is integer-deterministic on any platform, and adding a
+    * constant k to every pixel shifts every mean by exactly k·1000
+    * (adding k·n commutes with DIV n) — the brightness-shift invariance
+    * that makes dHash a perceptual hash. Needs w ≥ 9, h ≥ 8 (one pixel
+    * per cell); callers fall back below that. */
+  def dHashPixels(w: Int, h: Int, gray: Array[Int]): Long = {
+    require(w >= 9 && h >= 8, s"grid needs w >= 9 and h >= 8, got ${w}x$h")
+    val mean = new Array[Long](72)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += gray(y * w + x); x += 1 }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        mean(r * 9 + c) = s * 1000 / n
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (mean(r * 9 + c) < mean(r * 9 + c + 1)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+}

@@ -2019,6 +2019,27 @@ object DataCatalog {
       "max(e) - min(s) AS span_tokens, CAST(count(*) AS BIGINT) AS n_windows " +
       "FROM isl GROUP BY doc_id, island" + OBA))
 
+  // M4B — perceptual image dedup with the REAL pixel path: the fixture
+  // encodes group-seeded noise rasters as genuine PNGs (zlib IDAT,
+  // scanline filters cycling 0-4), and the operator decodes them
+  // (inflate + unfilter + luma), area-resizes, and packs the gradient
+  // dHash — no stub anywhere. A SQL oracle can't run inflate, so the
+  // fixture is designed to make the PAIR SET predictable from doc_id
+  // arithmetic alone: same group ⇒ pixels differ by ≤1 edited pixel ⇒
+  // hamming ≤ 2 ⇒ ≥2 of 4 bands collide and the gate passes; different
+  // groups ⇒ iid noise ⇒ ~32 bits apart, band collision + hamming ≤ 3
+  // together vanishingly impossible. The oracle is the closed form of
+  // that design; matching it proves decode, unfilter, resize, hash,
+  // banding, and gate end-to-end on real bytes.
+  val m4b = Q(
+    (s, d) => ordered(graft.operators.Multimodal.imageDupPairs(
+      graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.syntheticPixelImages(documents(s, d))), 3)
+      .select(col("id_a"), col("id_b"))),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
+      "JOIN documents b ON a.doc_id % 251 = b.doc_id % 251 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   // DSUB2 — the action step for dsub1 (Lee et al. cut the duplicated
   // substring and train on the rest): every token position covered by a
   // duplicated span is dropped, survivors reassemble in order, and the
@@ -5156,5 +5177,5 @@ object DataCatalog {
     "e18_path_trigrams" -> e18, "m6_video_frame_dedup" -> m6,
     "dp10_feature_pipeline" -> dp10,
     // round 11
-    "dsub2_substring_mask" -> dsub2)
+    "dsub2_substring_mask" -> dsub2, "m4b_real_pixel_dedup" -> m4b)
 }

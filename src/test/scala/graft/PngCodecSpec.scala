@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.PngCodec
+
+/** Kernel tests for the pure-JVM PNG codec and the real pixel dHash —
+  * the ExprParity-style pins for the unfilter/resize arithmetic. */
+class PngCodecSpec extends AnyFunSuite {
+
+  private def noise(w: Int, h: Int, seed: Long): Array[Int] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(w * h)(rnd.nextInt(256))
+  }
+
+  test("round trip: every scanline filter type reconstructs the exact raster") {
+    val (w, h) = (23, 17)
+    val px = noise(w, h, 42L)
+    for (f <- 0 to 4) {
+      val decoded = PngCodec.decodeGray(PngCodec.encodeGray(w, h, px, _ => f))
+      assert(decoded.isDefined, s"filter $f must decode")
+      val (dw, dh, gray) = decoded.get
+      assert((dw, dh) == (w, h))
+      assert(gray.sameElements(px), s"filter $f round trip must be exact")
+    }
+    // mixed filters (the fixture's y % 5 cycle) — all branches in one image
+    val (dw, dh, gray) = PngCodec.decodeGray(
+      PngCodec.encodeGray(w, h, px, y => y % 5)).get
+    assert((dw, dh) == (w, h) && gray.sameElements(px))
+  }
+
+  test("decode degrades to None on non-PNG, truncated, and unsupported payloads") {
+    assert(PngCodec.decodeGray("not a png at all, just text bytes".getBytes).isEmpty)
+    val ok = PngCodec.encodeGray(9, 8, noise(9, 8, 1L), _ => 0)
+    assert(PngCodec.decodeGray(ok.take(40)).isEmpty, "truncated IDAT must not decode")
+    assert(PngCodec.decodeGray(ok.take(33)).isEmpty, "header-only (m4 fixture shape) must fall back")
+  }
+
+  test("RGB and RGBA payloads decode via the luma path") {
+    // hand-build a 2x2 color-type-2 PNG: scanlines [filter 0, RGB RGB]
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t.getBytes).put(data)
+      val crc = new java.util.zip.CRC32(); crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256); val o = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def ihdr(colorType: Int) = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    // pixels: (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    val rgbRaw = Array[Int](0, 255,0,0, 0,255,0, 0, 0,0,255, 255,255,255).map(_.toByte)
+    val rgb = sig ++ chunk("IHDR", ihdr(2)) ++ chunk("IDAT", deflate(rgbRaw)) ++
+      chunk("IEND", Array.empty[Byte])
+    val Some((2, 2, luma)) = PngCodec.decodeGray(rgb)
+    // ITU-R 601 integer luma: r*299+g*587+b*114 over 1000
+    assert(luma.toSeq == Seq(299 * 255 / 1000, 587 * 255 / 1000, 114 * 255 / 1000, 255))
+    // RGBA: same pixels with alpha, alpha must be ignored
+    val rgbaRaw = Array[Int](0, 255,0,0,9, 0,255,0,9, 0, 0,0,255,9, 255,255,255,9).map(_.toByte)
+    val rgba = sig ++ chunk("IHDR", ihdr(6)) ++ chunk("IDAT", deflate(rgbaRaw)) ++
+      chunk("IEND", Array.empty[Byte])
+    val Some((2, 2, luma2)) = PngCodec.decodeGray(rgba)
+    assert(luma2.toSeq == luma.toSeq)
+  }
+
+  test("dHashPixels: brightness-shift invariant, one-pixel edit flips at most 2 bits") {
+    val (w, h) = (40, 30)
+    val px = noise(w, h, 7L)
+    val base = PngCodec.dHashPixels(w, h, px)
+    // +25 to every pixel (clipping avoided: regenerate in 0..200 range)
+    val px2 = px.map(v => v % 200)
+    val b2 = PngCodec.dHashPixels(w, h, px2)
+    assert(PngCodec.dHashPixels(w, h, px2.map(_ + 25)) == b2,
+      "adding constant brightness must not change the hash")
+    // one-pixel edit moves one resize cell -> at most 2 gradient bits
+    val edited = px.clone(); edited(w + 1) = (edited(w + 1) + 128) % 256
+    val he = PngCodec.dHashPixels(w, h, edited)
+    assert(java.lang.Long.bitCount(base ^ he) <= 2,
+      s"one-pixel edit flipped ${java.lang.Long.bitCount(base ^ he)} bits")
+  }
+
+  test("fixture pipeline: real-pixel images pair within groups only") {
+    // mirrors the m4b oracle's closed form on a tiny in-memory corpus
+    val sparkless = Seq(0L, 1L, 251L, 252L, 502L)
+    // encode + decode + hash without Spark: group 0 = {0, 251, 502}, group 1 = {1, 252}
+    def hashOf(id: Long): Long = {
+      val g = (id % 251).toInt
+      val w = 16 + (g * 37) % 200; val h = 16 + (g * 53) % 150
+      val rnd = new java.util.Random(g * 2654435761L)
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      if (id % 2 == 1) gray(w + 1) = (gray(w + 1) + 128) % 256
+      val Some((dw, dh, dec)) = PngCodec.decodeGray(
+        PngCodec.encodeGray(w, h, gray, y => y % 5))
+      PngCodec.dHashPixels(dw, dh, dec)
+    }
+    val hs = sparkless.map(id => id -> hashOf(id)).toMap
+    assert(java.lang.Long.bitCount(hs(0L) ^ hs(502L)) == 0, "even twins decode identical")
+    assert(java.lang.Long.bitCount(hs(0L) ^ hs(251L)) <= 2, "edited twin within gate")
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(252L)) <= 2, "edited twin within gate")
+    assert(java.lang.Long.bitCount(hs(0L) ^ hs(1L)) > 3, "cross-group far apart")
+  }
+}
