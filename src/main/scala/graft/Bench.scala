@@ -131,7 +131,7 @@ object Bench {
     "d15_lsh_band_sweep", "fs2_staleness_audit",
     "e18_path_trigrams", "m6_video_frame_dedup", "dp10_feature_pipeline",
     // round-11 additions
-    "dsub2_substring_mask", "m4b_real_pixel_dedup")
+    "dsub2_substring_mask", "m4b_real_pixel_dedup", "sim11_graph_walk")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -600,4 +600,59 @@ object Similarity {
       .groupBy("query_id")
       .agg(count(lit(1)).cast("long").as("n_truth"),
         sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+
+  /** sim11 — graph-walk ANN (the NSW/HNSW-shaped complement to the IVF
+    * family): greedy beam search over a prebuilt kNN graph
+    * ([[mutualKnn]] or any `(id_a, id_b)` edge frame). Each query seeds
+    * at its OWN graph node (queries are corpus members, the self-query
+    * shape of every sim entry); each hop expands the frontier one edge
+    * outward, scores the newly reached nodes with the exact strict-fold
+    * cosine, folds them into the visited set, and keeps the best `beam`
+    * visited nodes (cos DESC, node ASC — deterministic) as the next
+    * frontier. After `hops` expansions the best k visited non-self
+    * nodes are the answer. Fixed hop count instead of
+    * walk-until-converged keeps the operator engine-replicable (an
+    * oracle states H hops as H CTE blocks) and the plan depth bounded.
+    *
+    * Scale shape: adjacency and vectors persist once; each hop is one
+    * equi-join of the O(Q·beam) frontier against the adjacency list,
+    * one id-equi-join to fetch candidate vectors, and a per-query
+    * top-beam rank over O(Q·beam·k) rows — never a cross product, and
+    * the corpus is touched only through id-equi-joins (pinned in
+    * ScaleSpec). Per-hop visited frames persist lazily (multi-consumer:
+    * next hop's union + frontier rank); no eager action anywhere — the
+    * pagerank lesson. */
+  def graphWalk(vectors: DataFrame, graph: DataFrame, queries: DataFrame,
+      k: Int, beam: Int = 8, hops: Int = 3): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 1,
+      s"k/beam/hops must be >= 1, got $k/$beam/$hops")
+    val adj = graft.CacheScope.persist(
+      graph.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(graph.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val v = graft.CacheScope.persist(withNorm(
+      vectors.select(col("vec_id").as("node_id"), col("embedding").as("nv")),
+      "node_id", "nv", "nn"))
+    val q = graft.CacheScope.persist(withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv", "qn"))
+    var visited = q.select(col("query_id"), col("query_id").as("node_id"),
+      lit(1.0).as("cos"))
+    var frontier = visited.select("query_id", "node_id")
+    for (_ <- 1 to hops) {
+      val reached = frontier.join(adj, col("node_id") === col("src"))
+        .select(col("query_id"), col("dst").as("node_id")).distinct()
+      val scoredHop = reached.join(v, Seq("node_id")).join(q, Seq("query_id"))
+        .select(col("query_id"), col("node_id"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      visited = graft.CacheScope.persist(
+        visited.unionByName(scoredHop)
+          .groupBy("query_id", "node_id").agg(max("cos").as("cos")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("node_id").asc)
+      frontier = visited.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam).select("query_id", "node_id")
+    }
+    rankTopK(visited.filter(col("query_id") =!= col("node_id"))
+      .select(col("query_id"), col("node_id").as("neighbor_id"), col("cos")), k)
+  }
 }

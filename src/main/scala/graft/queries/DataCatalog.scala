@@ -2019,6 +2019,67 @@ object DataCatalog {
       "max(e) - min(s) AS span_tokens, CAST(count(*) AS BIGINT) AS n_windows " +
       "FROM isl GROUP BY doc_id, island" + OBA))
 
+  // SIM11 — graph-walk ANN (NSW/HNSW-shaped): 3-hop beam search over
+  // the mutual-kNN graph (k=10, beam 8), seeded at each query's own
+  // node, scored as a recall card against the exact brute-force top-5
+  // truth (eval1's protocol). The oracle states the walk as three
+  // identical hop CTE blocks — expand frontier along adj, score new
+  // nodes, fold into visited, keep best-8 — exactly the iterated
+  // equi-join loop the operator runs; integer recall counts make the
+  // card engine-exact even though the walk ranks on doubles.
+  private def sim11Hop(i: Int): String =
+    s"e$i AS (SELECT DISTINCT f.query_id, a.dst AS node_id " +
+      s"FROM f${i - 1} f JOIN adj a ON f.node_id = a.src), " +
+      s"s$i AS (SELECT e.query_id, e.node_id, " + cosSql("qv", "nv") +
+      s" AS cos FROM e$i e JOIN qq ON qq.query_id = e.query_id " +
+      "JOIN vv ON vv.node_id = e.node_id), " +
+      s"v$i AS MATERIALIZED (SELECT query_id, node_id, max(cos) AS cos FROM " +
+      s"(SELECT * FROM v${i - 1} UNION ALL SELECT * FROM s$i) GROUP BY 1, 2), " +
+      s"f$i AS (SELECT query_id, node_id FROM (SELECT query_id, node_id, cos, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id ASC) AS rn " +
+      s"FROM v$i) WHERE rn <= 8)"
+  val sim11 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      // truth and walk both consume the query frame; truth persists so
+      // the brute-force subtree computes once (eval1's pattern)
+      val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
+      val walk = Similarity.graphWalk(e,
+        Similarity.mutualKnn(e, "label", 10), queries, 5)
+      ordered(Similarity.annRecall(truth, walk))
+    },
+    Some("WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings), " +
+      "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c USING (label) WHERE query_id <> neighbor_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored), " +
+      "knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10), " +
+      "mut AS (SELECT x.query_id AS id_a, x.neighbor_id AS id_b FROM knn x JOIN knn y " +
+      "ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
+      "WHERE x.query_id < x.neighbor_id), " +
+      "adj AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mut " +
+      "UNION ALL SELECT id_b, id_a FROM mut), " +
+      "qq AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv " +
+      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      "vv AS (SELECT vec_id AS node_id, embedding AS nv FROM embeddings), " +
+      "v0 AS (SELECT query_id, query_id AS node_id, 1.0 AS cos FROM qq), " +
+      "f0 AS (SELECT query_id, node_id FROM v0), " +
+      sim11Hop(1) + ", " + sim11Hop(2) + ", " + sim11Hop(3) + ", " +
+      "walk AS (SELECT query_id, node_id AS neighbor_id FROM (SELECT query_id, node_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id ASC) AS rn " +
+      "FROM v3 WHERE node_id <> query_id) WHERE rn <= 5), " +
+      "tsc AS (SELECT qq.query_id, c.neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM qq JOIN c ON qq.query_id <> c.neighbor_id), " +
+      "truth AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn " +
+      "FROM tsc) WHERE rn <= 5) " +
+      "SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth, " +
+      "CAST(sum(CASE WHEN w.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+      "FROM truth t LEFT JOIN walk w ON w.query_id = t.query_id " +
+      "AND w.neighbor_id = t.neighbor_id GROUP BY t.query_id" + OBA))
+
   // M4B — perceptual image dedup with the REAL pixel path: the fixture
   // encodes group-seeded noise rasters as genuine PNGs (zlib IDAT,
   // scanline filters cycling 0-4), and the operator decodes them
@@ -5177,5 +5238,6 @@ object DataCatalog {
     "e18_path_trigrams" -> e18, "m6_video_frame_dedup" -> m6,
     "dp10_feature_pipeline" -> dp10,
     // round 11
-    "dsub2_substring_mask" -> dsub2, "m4b_real_pixel_dedup" -> m4b)
+    "dsub2_substring_mask" -> dsub2, "m4b_real_pixel_dedup" -> m4b,
+    "sim11_graph_walk" -> sim11)
 }

@@ -90,6 +90,28 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("graphWalk: beam search reaches multi-hop neighbors, respects beam and hop limits") {
+    import graft.operators.Similarity
+    // unit vectors fanning out by 0.2 rad per node: cosine to node 0
+    // strictly decreases with node id, so ranks are unambiguous
+    def v(i: Int) = Array(math.cos(i * 0.2).toFloat, math.sin(i * 0.2).toFloat)
+    val vecs = (0 to 4).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val q = vecs.filter(col("vec_id") === 0)
+    val got = Similarity.graphWalk(vecs, chain, q, k = 3, beam = 2, hops = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    // beam 2 keeps {0, 1} as frontier every hop, so node 2 (two hops
+    // out) is reached but 3 and 4 are not: the walk returns exactly {1, 2}
+    assert(got.toSeq == Seq((0L, 1L, 1L), (0L, 2L, 2L)),
+      s"expected the two-hop beam frontier, got ${got.toSeq}")
+    // wider beam lets the frontier advance: node 3 becomes reachable
+    val wide = Similarity.graphWalk(vecs, chain, q, k = 4, beam = 3, hops = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(wide == Set(1L, 2L, 3L), s"beam 3 must reach three hops, got $wide")
+    CacheScope.releaseAll()
+  }
+
   test("exactSubstrMask: covered tokens drop, clean docs pass through, full coverage empties") {
     val d = Seq(
       // A and B share "q1 q2 q3 q4 q5" — those 5 tokens drop from both

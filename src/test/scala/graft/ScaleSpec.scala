@@ -94,6 +94,25 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("graph-walk ANN: hops are equi-joins on the adjacency list, never a pair scan") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+    val walk = Similarity.graphWalk(e,
+      Similarity.mutualKnn(e, "label", 10),
+      e.filter(col("vec_id") % 50 === 0), 5)
+    walk.count()
+    val ns = nodes(walk)
+    // frontier × adjacency and candidate-vector fetches are id
+    // equi-joins; the corpus is never crossed with itself — the
+    // property that separates a graph walk from brute force at 100 TB
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "graph walk must never form a cross/nested-loop product")
+    CacheScope.releaseAll()
+  }
+
   test("substring mask: document text never rides a shuffle — masks broadcast to the scan") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
     import graft.operators.NearDup
