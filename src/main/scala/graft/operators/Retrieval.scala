@@ -103,6 +103,27 @@ object Retrieval {
     u.join(u.groupBy("term").agg(sum(col("n_docs_block")).as("df")), Seq("term"))
   }
 
+  /** [[mergeSegments]] over a segment TABLE — segments stacked in one
+    * frame under a `segment_id` column, the on-disk shape the streaming
+    * indexer ([[graft.streaming.DocStream.runIndexSegmentsAvailableNow]])
+    * appends. Validation checks the same append contract ((term, block)
+    * owned by exactly ONE segment) with one LIMIT-1 aggregation; the
+    * merge drops per-segment df and re-sums corpus-wide. Reading the
+    * table and merging never re-reads indexed text — the global index
+    * view costs O(segments' postings), not O(corpus). */
+  def mergeSegmentTable(segTable: DataFrame, validate: Boolean = true): DataFrame = {
+    val u = segTable.drop("df")
+    if (validate) {
+      val dup = u.groupBy("term", "block")
+        .agg(count_distinct(col("segment_id")).as("ns"))
+        .filter(col("ns") > 1).limit(1).collect()
+      require(dup.isEmpty, s"segments overlap on (term, block) ${dup.headOption}: " +
+        "batch doc-id ranges must be disjoint and aligned to blockWidth")
+    }
+    val bare = u.drop("segment_id")
+    bare.join(bare.groupBy("term").agg(sum(col("n_docs_block")).as("df")), Seq("term"))
+  }
+
   /** idx3 — positional phrase search: exact phrase occurrences via the
     * positional-index identity — a phrase matches doc d at anchor a iff
     * for EVERY query position q the doc has that term at a + q. One

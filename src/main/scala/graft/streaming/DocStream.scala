@@ -186,6 +186,43 @@ object DocStream {
     q
   }
 
+  /** Streaming twin of idx2 — incremental indexing (the Lucene ingest
+    * model): each micro-batch builds a [[graft.operators.Retrieval
+    * .postingsIndex]] segment over ONLY its own documents (O(batch)
+    * tokenize + aggregate — the corpus is never re-read) and APPENDS it
+    * under a `segment_id` column to the segment table at `segDir` — the
+    * out3 append contract: new files only, prior segments untouched.
+    * The global index view at any point is
+    * [[graft.operators.Retrieval.mergeSegmentTable]] over the
+    * accumulated table, which the batch side already proves ≡ a full
+    * rebuild (segment-union + df re-sum; pinned in ScaleSpec).
+    *
+    * Contract (same as mergeSegments): micro-batches must cover
+    * disjoint doc-id ranges aligned to `blockWidth` — the natural shape
+    * of append-only ingest where the scheduler allocates id ranges.
+    * The merge's validator catches violations. Aggregation happens
+    * per-batch inside foreachBatch, so no watermark/state machinery is
+    * involved and a replayed batch rewrites the same segment rows
+    * (idempotent under AvailableNow's exactly-once file tracking). */
+  def runIndexSegmentsAvailableNow(spark: SparkSession, docsDir: String,
+      segDir: String, blockWidth: Int = 256): StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(docsDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Retrieval
+          .postingsIndex(batch, col("doc_id"), col("text"), blockWidth)
+          .withColumn("segment_id", lit(batchId))
+          .write.mode("append").parquet(segDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Drive the gate over a parquet directory as a stream (AvailableNow)
     * into a memory sink. */
   def runCurateAvailableNow(spark: SparkSession, docsDir: String,

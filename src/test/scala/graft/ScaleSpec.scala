@@ -820,6 +820,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("streaming incremental index: appended segments merge to exactly the batch rebuild") {
+    import graft.streaming.DocStream
+    import graft.operators.Retrieval
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(DocStream.schema.fieldNames.map(col): _*)
+    // ingest lands as block-aligned files (the scheduler-allocated
+    // id-range shape): three files covering disjoint multiples of 256
+    val dir = java.nio.file.Files.createTempDirectory("idx_stream")
+    val segDir = java.nio.file.Files.createTempDirectory("idx_segs").toString + "/segs"
+    Seq(0L, 1L, 2L).foreach { part =>
+      docs.filter(col("doc_id") >= part * 128 && col("doc_id") < (part + 1) * 128)
+        .coalesce(1).write.mode("append").parquet(dir.toString + s"/f$part")
+    }
+    // flatten the per-range dirs into one source dir of single files
+    val srcDir = java.nio.file.Files.createTempDirectory("idx_src")
+    Seq(0, 1, 2).foreach { part =>
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(dir.toString, s"f$part"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(f, srcDir.resolve(s"part$part.parquet"))
+    }
+    DocStream.runIndexSegmentsAvailableNow(spark, srcDir.toString, segDir,
+      blockWidth = 128)
+    val segTable = spark.read.parquet(segDir)
+    assert(segTable.select("segment_id").distinct().count() == 3,
+      "maxFilesPerTrigger=1 must produce one segment per ingest file")
+    val merged = Retrieval.mergeSegmentTable(segTable)
+      .select("term", "block", "n_docs_block", "postings", "df")
+    val rebuilt = Retrieval.postingsIndex(
+      spark.read.parquet(srcDir.toString), col("doc_id"), col("text"), 128)
+      .select("term", "block", "n_docs_block", "postings", "df")
+    assert(merged.count() > 0)
+    assert(merged.except(rebuilt).count() == 0 && rebuilt.except(merged).count() == 0,
+      "segment-table merge must equal the full batch rebuild")
+    CacheScope.releaseAll()
+  }
+
   test("streaming curation gate emits exactly the batch result (stateless, rerun-stable)") {
     import graft.streaming.DocStream
     val dir = java.nio.file.Files.createTempDirectory("doc_curate")
