@@ -280,9 +280,11 @@ object Retrieval {
     * exactly two ret1 passes. */
   def bm25Prf(df: DataFrame, id: Column, text: Column, queries: DataFrame,
       topK: Int = 5, fbDocs: Int = 3, fbTerms: Int = 2,
-      scale: Double = 1e6): DataFrame = {
-    val st0 = stats(df, id, text)
-    val st = st0.copy(tf = graft.CacheScope.persist(st0.tf))
+      scale: Double = 1e6, shared: Option[Stats] = None): DataFrame = {
+    // a shared Stats (ret4's three-arm scorecard) means ONE tokenize
+    // pass feeds bm25, tfidf AND both PRF passes; tfTable already
+    // persists tf, so no extra persist when sharing
+    val st = shared.getOrElse(stats(df, id, text))
     val qt = queries.select(col("q_id"),
       explode(F.tokens(lower(col("q_text")))).as("term")).distinct()
     val first = bm25FromTerms(st, qt, fbDocs, scale)

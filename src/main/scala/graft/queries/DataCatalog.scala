@@ -4387,7 +4387,8 @@ object DataCatalog {
           shared = Some(st)),
         "tfidf" -> Retrieval.tfidfRank(docs, col("doc_id"), col("text"), queries,
           shared = Some(st)),
-        "prf" -> Retrieval.bm25Prf(docs, col("doc_id"), col("text"), queries))
+        "prf" -> Retrieval.bm25Prf(docs, col("doc_id"), col("text"), queries,
+          shared = Some(st)))
       ordered(systems.map { case (m, res) =>
         val fr = res.join(rel, Seq("q_id", "doc_id"), "left_semi")
           .groupBy("q_id").agg(min(col("rank")).as("fr"))

@@ -226,13 +226,60 @@ object ScalingProbe {
         val e = Tables.embeddings(spark, d).withColumn("label", col("label").cast("long"))
         Similarity.maxSimRerank(
           e.filter(col("vec_id") % (Stride * 50) === 0), e, "label", "label", 3)
+      },
+      // round-11 additions: the two newest shuffle shapes. dsub1's
+      // splice joins each doc against its COPY-LOCAL quote (base id %
+      // 25 within the same copy), so duplicated-span structure per copy
+      // is exactly the catalog fixture's and the corpus-wide dup RATE
+      // stays constant as copies multiply — the window expansion (the
+      // repo's biggest map fan-out), the window-hash shuffle, and the
+      // semi-join all grow linearly by construction; this measures it.
+      "dsub1_substring" -> { d =>
+        val docs = Tables.documents(spark, d)
+        val q = docs.select(col("doc_id").as("q_id"), col("text").as("q_text"))
+        val spliced = docs.join(q,
+          (expr("doc_id DIV 16") % 25) * 16 + col("doc_id") % 16 === col("q_id"))
+          .select(col("doc_id"),
+            concat(col("text"), lit(" "), col("q_text"), lit(" "), col("text")).as("text"))
+        NearDup.exactSubstrSpans(spliced, col("doc_id"), col("text"), 8)
+      },
+      // m4/m6 pair joins: replicated ids are re-densified
+      // (base·mult + copy) so the DIV-10 family fixture keeps families
+      // CONSTANT-size while family count scales — the banded-Hamming
+      // join's honest growth mode (a mod-keyed family would grow
+      // quadratically and measure the fixture, not the join).
+      "m4_phash_pairs" -> { d =>
+        import spark.implicits._
+        val m = d.substring(d.lastIndexOf("/m") + 2).toInt
+        val hashes = Tables.documents(spark, d)
+          .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
+          .as[Long].map { dense =>
+            val fam = dense / 10
+            (dense, graft.operators.Multimodal.dHash64(
+              16 + fam % 184 + fam * 1000, 16 + fam % 134, (dense % 2).toInt))
+          }.toDF("doc_id", "phash")
+        graft.operators.Multimodal.imageDupPairs(hashes, 3)
+      },
+      "m6_video_pairs" -> { d =>
+        val m = d.substring(d.lastIndexOf("/m") + 2).toInt
+        val dense = Tables.documents(spark, d)
+          .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
+        graft.operators.Multimodal.videoDupPairs(
+          graft.operators.Multimodal.videoFrameHashes(dense, 4), 3, 3)
       })
+
+    // dev-only subset (comma-separated workload names) for measuring
+    // newly added rows without re-running the whole matrix
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) workloads else workloads.filter(w => only(w._1))
 
     // warmup: one scan of each replica dir
     mults.foreach(m => spark.read.parquet(s"$out/m$m/documents.parquet").count())
 
     val results = scala.collection.mutable.Map.empty[(String, Int), Vector[Double]]
-    for (rep <- 1 to reps; m <- mults; (name, w) <- workloads) {
+    for (rep <- 1 to reps; m <- mults; (name, w) <- selected) {
       val t0 = System.nanoTime()
       w(s"$out/m$m").write.format("noop").mode("overwrite").save()
       val t = (System.nanoTime() - t0) / 1e9
@@ -242,7 +289,7 @@ object ScalingProbe {
     }
 
     println(f"[scale] ${"workload"}%-22s ${"t1"}%8s ${"t4"}%8s ${"t16"}%8s  a(1-16) a(1-4) a(4-16)   (min-of-$reps; a = log T ratio / log rows ratio)")
-    workloads.foreach { case (name, _) =>
+    selected.foreach { case (name, _) =>
       val t = mults.map(m => results((name, m)).min)
       def a(i: Int, j: Int) =
         math.log(t(j) / t(i)) / math.log(mults(j).toDouble / mults(i))
