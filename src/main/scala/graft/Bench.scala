@@ -131,7 +131,9 @@ object Bench {
     "d15_lsh_band_sweep", "fs2_staleness_audit",
     "e18_path_trigrams", "m6_video_frame_dedup", "dp10_feature_pipeline",
     // round-11 additions
-    "dsub2_substring_mask", "m4b_real_pixel_dedup", "sim11_graph_walk")
+    "dsub2_substring_mask", "m4b_real_pixel_dedup", "sim11_graph_walk",
+    "pr2_personalized_pagerank", "dp11_substring_cut_receipt",
+    "bpe4_roundtrip_card", "qc19_correlation_card")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -126,4 +126,24 @@ object Bpe {
   def tokenVocab(finalVocab: DataFrame): DataFrame =
     finalVocab.select(explode(split(col("sym"), " ")).as("token"), col("freq"))
       .groupBy("token").agg(sum(col("freq")).as("freq"))
+
+  /** bpe4 — tokenizer round-trip integrity card: detokenizing every
+    * vocab word's learned symbol sequence (concatenate the symbols =
+    * strip the single separator spaces) must reproduce the word
+    * byte-exactly — the invariant every BPE merge preserves by
+    * construction, so ANY violation convicts the merge machinery (a
+    * symbol-boundary bug in [[applyMerge]]'s double-space trick, or a
+    * corrupt vocab ingest) before an encoded corpus ships to a trainer.
+    * Grouped by first character so the card has inspectable rows;
+    * all-integer columns (count, ok-count, total symbols, freq-weighted
+    * symbol count) keep it engine-exact. Runs on the vocab table only —
+    * never the corpus. */
+  def roundTripCard(finalVocab: DataFrame): DataFrame =
+    finalVocab.groupBy(substring(col("word"), 1, 1).as("prefix"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(when(regexp_replace(col("sym"), " ", "") === col("word"), 1L)
+          .otherwise(0L)).cast("long").as("n_roundtrip_ok"),
+        sum(size(split(col("sym"), " "))).cast("long").as("n_symbols"),
+        sum(size(split(col("sym"), " ")).cast("long") * col("freq"))
+          .cast("long").as("n_corpus_tokens"))
 }

@@ -82,6 +82,67 @@ object Graph {
     graft.CacheScope.persist(r.select(col("host"), col("r").as("rank_micro")))
   }
 
+  /** Integer-exact PERSONALIZED PageRank (pr2, topic-sensitive PR):
+    * teleport mass goes only to a SEED host set — the curation question
+    * "how authoritative is this host relative to a trusted list"
+    * (seed = known-good domains; high scores mark the quality
+    * neighborhood, the Common-Crawl-curation complement to global
+    * PageRank's popularity). Same integer semantics as [[pagerank]]
+    * (BIGINT micro-units, truncating DIV, dangling mass dropped,
+    * DISTINCT edges) with two changes: r₀ = scale/|S| on seeds and 0
+    * elsewhere, and the damping base is paid only to seeds — so all
+    * rank in the graph flows FROM the seed set. Seeds not present as
+    * edge endpoints are ignored (semi-join), matching the oracle's
+    * IN-list over graph nodes.
+    *
+    * Scale shape: identical to [[pagerank]] — per iteration one edge ⋈
+    * rank equi-join plus one map-combined hash agg, lazy chain with
+    * lineage cut every 8 iterations; the seed frame is O(|S|) and
+    * joins as a broadcast flag onto the O(hosts) rank vector. */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampPermille: Long = 850L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampPermille >= 0 && dampPermille <= 1000,
+      s"dampPermille must be in [0, 1000], got $dampPermille")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = graft.CacheScope.persist(
+      e.select(col("src").as("host"))
+        .unionByName(e.select(col("dst").as("host"))).distinct())
+    val sd = graft.CacheScope.persist(
+      seeds.select(col("host")).distinct()
+        .join(nodes, Seq("host"), "leftsemi"))
+    val ns = sd.count()
+    require(ns > 0, "personalizedPagerank needs at least one seed present in the graph")
+    val init = scale / ns
+    val base = (1000L - dampPermille) * init / 1000L
+    val ed = graft.CacheScope.persist(
+      e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src")))
+    // every iteration re-reads the seed-flagged node vector (O(hosts))
+    val flagged = graft.CacheScope.persist(
+      nodes.join(broadcast(sd.withColumn("is_seed", lit(1L))),
+        Seq("host"), "left"))
+    var r = flagged.select(col("host"),
+      when(col("is_seed").isNotNull, lit(init)).otherwise(lit(0L)).as("r"))
+    val ckptEvery = 8
+    var prevCkpt: DataFrame = null
+    for (i <- 1 to iters) {
+      val contrib = ed.join(r.withColumnRenamed("host", "src"), Seq("src"))
+        .select(col("dst").as("host"), expr("r DIV deg").as("c"))
+        .groupBy("host").agg(sum(col("c")).as("cs"))
+      r = flagged.join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          (when(col("is_seed").isNotNull, lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampPermille * coalesce(cs, 0L)) DIV 1000")).as("r"))
+      if (i % ckptEvery == 0 && i < iters) {
+        r = graft.CacheScope.persist(r)
+        r.count()
+        if (prevCkpt != null) prevCkpt.unpersist()
+        prevCkpt = r
+      }
+    }
+    graft.CacheScope.persist(r.select(col("host"), col("r").as("rank_micro")))
+  }
+
   /** Integer-exact HITS (hits1): unnormalized hub/authority mutual
     * recursion over BIGINT counts — a_t(v) = Σ_{u→v} h_{t-1}(u),
     * h_t(u) = Σ_{u→v} a_t(v) — with h_0 = 1. Skipping the usual L2

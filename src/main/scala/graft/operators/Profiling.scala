@@ -166,6 +166,47 @@ object Profiling {
         abs(col("share_old_permille") - col("share_new_permille")))
   }
 
+  /** qc19 — exact correlation sufficient-statistics card: for each
+    * ordered column pair, the integer moment sums (n, Σx, Σy, Σx²,
+    * Σy², Σxy) from which Pearson r (or covariance, or a regression
+    * slope) is derivable downstream to any precision. Publishing the
+    * SUMS instead of the ratio is the determinism move used across the
+    * repo (cents-as-BIGINT, fixed-point scores): the sums are exact
+    * integers any engine reproduces bit-for-bit, while r itself floats.
+    * Columns are cast to BIGINT first — callers pre-scale fractional
+    * inputs to fixed-point. Overflow stance: Σxy fits BIGINT while
+    * n·max|x|·max|y| < 2⁶³ (e.g. 10¹² rows of 10⁵-unit values); past
+    * that, pre-scale down — the card fails loudly in testing rather
+    * than silently wrapping because DuckDB's HUGEINT sum would diverge
+    * from a wrapped Spark sum.
+    *
+    * Shape: ONE map-side-combined scan computes every pair's six sums;
+    * the card is pairs-sized driver literals (the [[fdDiscovery]]
+    * collect contract). */
+  def corrCard(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one column pair")
+    val cols = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    require(cols.forall(df.columns.contains),
+      s"unknown columns: ${cols.filterNot(df.columns.contains).mkString(", ")}")
+    val base = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+    val aggs = count(lit(1)).as("n") +:
+      pairs.zipWithIndex.flatMap { case ((x, y), i) =>
+        Seq(sum(col(x)).as(s"__sx_$i"), sum(col(y)).as(s"__sy_$i"),
+          sum(col(x) * col(x)).as(s"__sxx_$i"),
+          sum(col(y) * col(y)).as(s"__syy_$i"),
+          sum(col(x) * col(y)).as(s"__sxy_$i"))
+      }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getLong(0)
+    val card = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val o = 1 + i * 5
+      (x, y, n, row.getLong(o), row.getLong(o + 1), row.getLong(o + 2),
+        row.getLong(o + 3), row.getLong(o + 4))
+    }
+    import df.sparkSession.implicits._
+    card.toDF("col_x", "col_y", "n", "sx", "sy", "sxx", "syy", "sxy")
+  }
+
   /** Audience-overlap matrix (e15): for every unordered pair of `tag`
     * values (event types, feature flags, source labels), the count of
     * entities carrying BOTH plus an integer-permille Jaccard — the

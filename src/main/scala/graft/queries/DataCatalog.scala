@@ -2109,16 +2109,19 @@ object DataCatalog {
   // identical window→dup→island→mask→reassemble pipeline, the oracle
   // masking by an anti-join of token positions against exploded span
   // ranges.
-  val dsub2 = Q(
-    (s, d) => {
-      val docs = documents(s, d)
-      val q = docs.select(col("doc_id").as("q_id"), col("text").as("q_text"))
-      val spliced = docs.join(q, col("doc_id") % 25 === col("q_id"))
-        .select(col("doc_id"), concat(col("text"), lit(" "), col("q_text"),
-          lit(" "), col("text")).as("text"))
-      ordered(NearDup.exactSubstrMask(spliced, col("doc_id"), col("text"), 8))
-    },
-    Some("WITH q AS (SELECT doc_id AS q_id, text AS q_text FROM documents), " +
+  /** The spliced fixture shared by dsub1/dsub2/dp11 (Spark side). */
+  private def splicedDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = documents(s, d)
+    val q = docs.select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    docs.join(q, col("doc_id") % 25 === col("q_id"))
+      .select(col("doc_id"), concat(col("text"), lit(" "), col("q_text"),
+        lit(" "), col("text")).as("text"))
+  }
+
+  /** The window→dup→island→mask oracle chain shared by dsub2 and dp11,
+    * ending in `kept(doc_id, idx, tok)` + `toks`. */
+  private val SubstrMaskCtes =
+    "WITH q AS (SELECT doc_id AS q_id, text AS q_text FROM documents), " +
       "src AS (SELECT d.doc_id, d.text || ' ' || q.q_text || ' ' || d.text AS text " +
       "FROM documents d JOIN q ON q.q_id = d.doc_id % 25), " +
       "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM src), " +
@@ -2137,13 +2140,54 @@ object DataCatalog {
       "tokpos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, tk[i] AS tok " +
       "FROM toks, unnest(range(1, len(tk) + 1)) u(i)), " +
       "kept AS (SELECT t.doc_id, t.idx, t.tok FROM tokpos t " +
-      "LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.i = t.idx WHERE r.i IS NULL) " +
-      "SELECT o.doc_id, o.n_tokens, " +
+      "LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.i = t.idx WHERE r.i IS NULL)"
+
+  val dsub2 = Q(
+    (s, d) => ordered(NearDup.exactSubstrMask(
+      splicedDocs(s, d), col("doc_id"), col("text"), 8)),
+    Some(SubstrMaskCtes +
+      " SELECT o.doc_id, o.n_tokens, " +
       "o.n_tokens - CAST(count(k.idx) AS BIGINT) AS n_removed, " +
       "coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text " +
       "FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks) o " +
       "LEFT JOIN kept k ON k.doc_id = o.doc_id " +
       "GROUP BY o.doc_id, o.n_tokens" + OBA))
+
+  // DP11 — substring-cut corpus receipt: the dedup-cut pipeline's
+  // before/after accounting, composing dsub2's mask into the three
+  // numbers a training run signs off on — raw corpus size, tokens cut
+  // as cross-doc duplicated spans, and the surviving clean corpus
+  // (docs whose every token was duplicated drop out entirely — the
+  // quote-source docs in this fixture). One persisted mask frame feeds
+  // all three stage aggregates.
+  val dp11 = Q(
+    (s, d) => {
+      val masked = graft.CacheScope.persist(NearDup.exactSubstrMask(
+        splicedDocs(s, d), col("doc_id"), col("text"), 8))
+      def stage(name: String, src: org.apache.spark.sql.DataFrame,
+          tok: org.apache.spark.sql.Column) =
+        src.agg(count(lit(1)).cast("long").as("n_docs"),
+          coalesce(sum(tok), lit(0L)).cast("long").as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      ordered(stage("raw", masked, col("n_tokens"))
+        .unionByName(stage("cut", masked.filter(col("n_removed") > 0),
+          col("n_removed")))
+        .unionByName(stage("clean",
+          masked.filter(col("n_tokens") > col("n_removed")),
+          col("n_tokens") - col("n_removed"))))
+    },
+    Some(SubstrMaskCtes +
+      ", msk AS (SELECT o.doc_id, o.n_tokens, " +
+      "o.n_tokens - CAST(count(k.idx) AS BIGINT) AS n_removed " +
+      "FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks) o " +
+      "LEFT JOIN kept k ON k.doc_id = o.doc_id GROUP BY o.doc_id, o.n_tokens) " +
+      "SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM msk " +
+      "UNION ALL SELECT 'cut', CAST(count(*) AS BIGINT), " +
+      "CAST(coalesce(sum(n_removed), 0) AS BIGINT) FROM msk WHERE n_removed > 0 " +
+      "UNION ALL SELECT 'clean', CAST(count(*) AS BIGINT), " +
+      "CAST(coalesce(sum(n_tokens - n_removed), 0) AS BIGINT) FROM msk " +
+      "WHERE n_tokens > n_removed" + OBA))
 
   // OUT1 — deterministic corpus shard manifest: content-stable
   // `md5(doc_id) mod 8` shard assignment plus an order-independent
@@ -2461,6 +2505,53 @@ object DataCatalog {
         "(150 * (1000000000000 // count(*))) // 1000 AS base FROM nd), " +
         "dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
         "r0 AS (SELECT host, (SELECT init FROM c0) AS r FROM nd), " +
+        iterSql +
+        " SELECT host, r AS rank_micro FROM r3" + OBA
+    })
+
+  // PR2 — personalized (topic-sensitive) PageRank on the pr1 link
+  // graph: teleport mass restricted to a 3-host trusted seed list, so
+  // scores measure authority RELATIVE to the seeds (the quality-
+  // neighborhood curation signal) instead of global popularity. Same
+  // integer-exact iteration as pr1 with seed-only r0 and seed-only
+  // damping base; both engines run the identical 3-iteration chain.
+  val pr2 = Q(
+    (s, d) => {
+      import s.implicits._
+      val withLinks = documents(s, d).withColumn("text",
+        concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
+          lit(".org/p?q="), col("doc_id"),
+          lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
+      val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
+        .select(concat(lit("site"), col("doc_id") % 11, lit(".com")).as("src"),
+          col("host").as("dst"))
+      val seeds = Seq("site0.com", "site5.com", "site7.com").toDF("host")
+      ordered(graft.operators.Graph.personalizedPagerank(edges, seeds, 3))
+    },
+    Some {
+      val iterSql = (1 to 3).map { t =>
+        s"r$t AS (SELECT nd.host, CAST(CASE WHEN sd.host IS NOT NULL THEN " +
+          "(SELECT base FROM c0) ELSE 0 END + " +
+          "(850 * COALESCE(s.cs, 0)) // 1000 AS BIGINT) AS r " +
+          "FROM nd LEFT JOIN sd ON sd.host = nd.host " +
+          "LEFT JOIN (SELECT e.dst AS host, sum(rr.r // dg.deg) AS cs " +
+          s"FROM e JOIN r${t - 1} rr ON rr.host = e.src " +
+          "JOIN dg ON dg.src = e.src GROUP BY 1) s ON s.host = nd.host)"
+      }.mkString(", ")
+      "WITH t AS (SELECT doc_id, text || ' see https://WWW.Example' || (doc_id % 7) || " +
+        "'.org/p?q=' || doc_id || ' and http://cdn.example' || (doc_id % 3) || '.net/a#frag' AS text " +
+        "FROM documents), " +
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s?#]+)', 1)), " +
+        "'^www\\.', '') AS host FROM u), " +
+        "e AS (SELECT DISTINCT 'site' || (doc_id % 11) || '.com' AS src, host AS dst FROM h), " +
+        "nd AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)), " +
+        "sd AS (SELECT host FROM nd WHERE host IN ('site0.com', 'site5.com', 'site7.com')), " +
+        "c0 AS (SELECT 1000000000000 // count(*) AS init, " +
+        "(150 * (1000000000000 // count(*))) // 1000 AS base FROM sd), " +
+        "dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+        "r0 AS (SELECT nd.host, CASE WHEN sd.host IS NOT NULL THEN (SELECT init FROM c0) " +
+        "ELSE 0 END AS r FROM nd LEFT JOIN sd ON sd.host = nd.host), " +
         iterSql +
         " SELECT host, r AS rank_micro FROM r3" + OBA
     })
@@ -3303,6 +3394,23 @@ object DataCatalog {
       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
       "CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens " +
       "FROM dw JOIN nt USING (word) GROUP BY doc_id" + OBA))
+
+  // BPE4 — tokenizer round-trip integrity card: detokenize(encode(w))
+  // must equal w for every vocab word (the merge-preserving invariant);
+  // grouped by first character, all-integer columns. Catches symbol-
+  // boundary corruption in the merge rewrite before an encoded corpus
+  // ships. Runs on the trained vocab table only.
+  val bpe4 = Q(
+    (s, d) => {
+      val (_, fin) = Bpe.learn(Bpe.wordCounts(documents(s, d), col("text")), BpeMerges)
+      ordered(Bpe.roundTripCard(fin))
+    },
+    Some(bpeBody(BpeMerges) +
+      " SELECT substr(word, 1, 1) AS prefix, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(CASE WHEN replace(sym, ' ', '') = word THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok, " +
+      "CAST(sum(len(string_split(sym, ' '))) AS BIGINT) AS n_symbols, " +
+      "CAST(sum(len(string_split(sym, ' ')) * freq) AS BIGINT) AS n_corpus_tokens " +
+      s"FROM v$BpeMerges GROUP BY 1" + OBA))
 
   private val Bm25Queries = Seq(
     (1L, "spark table join"), (2L, "hash merge batch window"),
@@ -4917,6 +5025,39 @@ object DataCatalog {
       "CAST(abs(coalesce(n_old * 1000 // t_old, 0) - coalesce(n_new * 1000 // t_new, 0)) AS BIGINT) " +
       "AS abs_diff_permille FROM j" + OBA))
 
+  // QC19 — exact correlation card: integer moment sums (n, Σx, Σy,
+  // Σx², Σy², Σxy) for length/token/vocabulary column pairs — Pearson
+  // r derivable downstream to any precision, while the published sums
+  // stay bit-exact across engines (the cents-as-BIGINT discipline
+  // applied to second moments). One map-combined scan for all pairs.
+  val qc19 = Q(
+    (s, d) => {
+      val tk = graft.functions.F.tokens(col("text"))
+      val base = documents(s, d).select(
+        col("n_chars").cast("long").as("n_chars"),
+        size(tk).cast("long").as("n_tok"),
+        size(array_distinct(tk)).cast("long").as("n_uniq"))
+      ordered(graft.operators.Profiling.corrCard(base,
+        Seq("n_chars" -> "n_tok", "n_chars" -> "n_uniq", "n_tok" -> "n_uniq")))
+    },
+    Some("WITH b AS (SELECT CAST(n_chars AS BIGINT) AS n_chars, " +
+      "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok, " +
+      "CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_uniq " +
+      "FROM documents), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(n_chars) AS BIGINT) AS s_c, CAST(sum(n_tok) AS BIGINT) AS s_t, " +
+      "CAST(sum(n_uniq) AS BIGINT) AS s_u, " +
+      "CAST(sum(n_chars * n_chars) AS BIGINT) AS s_cc, " +
+      "CAST(sum(n_tok * n_tok) AS BIGINT) AS s_tt, " +
+      "CAST(sum(n_uniq * n_uniq) AS BIGINT) AS s_uu, " +
+      "CAST(sum(n_chars * n_tok) AS BIGINT) AS s_ct, " +
+      "CAST(sum(n_chars * n_uniq) AS BIGINT) AS s_cu, " +
+      "CAST(sum(n_tok * n_uniq) AS BIGINT) AS s_tu FROM b) " +
+      "SELECT 'n_chars' AS col_x, 'n_tok' AS col_y, n, s_c AS sx, s_t AS sy, " +
+      "s_cc AS sxx, s_tt AS syy, s_ct AS sxy FROM m " +
+      "UNION ALL SELECT 'n_chars', 'n_uniq', n, s_c, s_u, s_cc, s_uu, s_cu FROM m " +
+      "UNION ALL SELECT 'n_tok', 'n_uniq', n, s_t, s_u, s_tt, s_uu, s_tu FROM m" + OBA))
+
   // D15 — LSH banding sweep: candidate volume, verified pairs, and
   // precision permille for rows-per-band ∈ {2, 4, 8} over the SAME 16
   // minhashes — the tuning receipt behind d2's (16, 4) choice (d12
@@ -5240,5 +5381,7 @@ object DataCatalog {
     "dp10_feature_pipeline" -> dp10,
     // round 11
     "dsub2_substring_mask" -> dsub2, "m4b_real_pixel_dedup" -> m4b,
-    "sim11_graph_walk" -> sim11)
+    "sim11_graph_walk" -> sim11, "pr2_personalized_pagerank" -> pr2,
+    "dp11_substring_cut_receipt" -> dp11, "bpe4_roundtrip_card" -> bpe4,
+    "qc19_correlation_card" -> qc19)
 }

@@ -90,6 +90,26 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("personalizedPagerank: rank flows only from seeds, deterministic, seeds semi-joined") {
+    import graft.operators.Graph
+    val e = Seq(("a", "b"), ("b", "c"), ("d", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "zz-not-in-graph").toDF("host")
+    def run() = Graph.personalizedPagerank(e, seeds, 3)
+      .as[(String, Long)].collect().toMap
+    val r = run()
+    assert(r == run(), "integer-exact PPR must be bit-deterministic")
+    // d has no in-edges and is not a seed: zero rank at every iteration
+    assert(r("d") == 0L, s"unreachable non-seed must stay 0, got ${r("d")}")
+    assert(r("a") > 0L && r("b") > 0L && r("c") > 0L,
+      s"seed neighborhood must accumulate rank, got $r")
+    // after 3 iterations on the a→b→c→a cycle the seed holds the most
+    // mass (teleport base + the cycle's return flow): a > b > c exactly
+    assert(r("a") > r("b") && r("b") > r("c"),
+      s"seed neighborhood ordering broken: $r")
+    CacheScope.releaseAll()
+  }
+
   test("graphWalk: beam search reaches multi-hop neighbors, respects beam and hop limits") {
     import graft.operators.Similarity
     // unit vectors fanning out by 0.2 rad per node: cosine to node 0
