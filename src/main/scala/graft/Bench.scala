@@ -133,7 +133,8 @@ object Bench {
     // round-11 additions
     "dsub2_substring_mask", "m4b_real_pixel_dedup", "sim11_graph_walk",
     "pr2_personalized_pagerank", "dp11_substring_cut_receipt",
-    "bpe4_roundtrip_card", "qc19_correlation_card")
+    "bpe4_roundtrip_card", "qc19_correlation_card",
+    "c7_substring_contam", "c8_surgical_decontam")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

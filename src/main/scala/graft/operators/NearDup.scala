@@ -96,29 +96,86 @@ object NearDup {
     *
     * Output: (doc_id, span_start, span_end, span_tokens, n_windows) —
     * inclusive 0-based token positions, one row per maximal span. */
-  def exactSubstrSpans(docs: DataFrame, id: Column, text: Column,
-      n: Int, minDocs: Int = 2): DataFrame = {
-    require(n >= 2, s"window must be >= 2 tokens, got $n")
-    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = docs.select(id.as("doc_id"), graft.functions.F.tokens(text).as("tk"))
+  /** Stride-1 n-token window hashes: (doc_id, w, h) — one row per token
+    * position, 16 bytes each, never window text. The shared carrier of
+    * the exact-substring family (dsub1 within-corpus, c7 vs benchmark). */
+  private def windowHashes(docs: DataFrame, id: Column, text: Column,
+      n: Int): DataFrame =
+    docs.select(id.as("doc_id"), graft.functions.F.tokens(text).as("tk"))
       .filter(size(col("tk")) >= n)
-    val wins = graft.CacheScope.persist(base
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("tk")) - n),
         i => conv(substring(md5(array_join(
           slice(col("tk"), i + 1, lit(n)), " ")), 1, 15), 16, 10).cast("long"))))
-      .select(col("doc_id"), col("pos").cast("long").as("w"), col("col").as("h")))
-    val dup = wins.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs).select("h")
-    val hit = wins.join(dup, Seq("h"), "leftsemi")
-    // half-open [w, w+n): touching windows (next start == prev end) are
-    // contiguous coverage and must fuse into one span
+      .select(col("doc_id"), col("pos").cast("long").as("w"), col("col").as("h"))
+
+  /** Fuse covered windows into maximal per-doc spans: half-open
+    * [w, w+n), so touching windows (next start == prev end) merge. */
+  private def windowsToSpans(hit: DataFrame, n: Int): DataFrame =
     Temporal.mergeIntervals(hit, col("doc_id"), col("w"), col("w") + n)
       .select(col("key").as("doc_id"), col("start").as("span_start"),
         (col("end") - 1).as("span_end"),
         (col("end") - col("start")).as("span_tokens"),
         col("n_merged").as("n_windows"))
+
+  def exactSubstrSpans(docs: DataFrame, id: Column, text: Column,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"window must be >= 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // persisted: the window frame feeds BOTH the distinct-doc count and
+    // the coverage semi-join
+    val wins = graft.CacheScope.persist(windowHashes(docs, id, text, n))
+    val dup = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    windowsToSpans(wins.join(dup, Seq("h"), "leftsemi"), n)
+  }
+
+  /** c7 — exact-substring CONTAMINATION scan (the Lee-2022 semantics
+    * pointed across sets): per corpus document, every maximal token
+    * span covered by a ≥`n`-token run appearing VERBATIM anywhere in
+    * the benchmark. The complement to the shingle-overlap scan
+    * (Contamination.flagged): c1 asks "how much of this eval item leaks
+    * into this doc" (whole-doc score, pairwise), c7 asks "WHERE exactly
+    * does benchmark text sit in the corpus" — span positions, so the
+    * fix can be surgical ([[maskSpans]]) instead of dropping whole
+    * documents that merely quote one benchmark sentence.
+    *
+    * Scale shape: corpus windows are the dsub1 map fan-out (once, no
+    * persist — single consumer); the benchmark's distinct window-hash
+    * set is benchmark-sized (eval suites are MBs against a 100 TB
+    * corpus) and BROADCASTS, so the scan is one map-side semi-join —
+    * the corpus never shuffles at all; only the per-doc interval merge
+    * shuffles span-bearing (doc, window) rows on doc_id. */
+  def benchSubstrSpans(corpus: DataFrame, bench: DataFrame, id: Column,
+      text: Column, n: Int): DataFrame = {
+    require(n >= 2, s"window must be >= 2 tokens, got $n")
+    val bh = windowHashes(bench, id, text, n).select("h").distinct()
+    val hit = windowHashes(corpus, id, text, n)
+      .join(broadcast(bh), Seq("h"), "leftsemi")
+    windowsToSpans(hit, n)
+  }
+
+  /** Apply a span frame `(doc_id, span_start, span_end, …)` to the
+    * corpus as a token mask — the reusable action step behind
+    * [[exactSubstrMask]] (dsub2, corpus-internal spans) and the
+    * surgical decontamination entry (c8, [[benchSubstrSpans]] spans).
+    * Output and scale shape as documented on [[exactSubstrMask]]:
+    * masks aggregate per span-bearing doc and broadcast; text never
+    * shuffles. */
+  def maskSpans(docs: DataFrame, id: Column, text: Column,
+      spans: DataFrame): DataFrame = {
+    val masks = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("mask"))
+    docs.select(id.as("doc_id"), graft.functions.F.tokens(text).as("tk"))
+      .join(broadcast(masks), Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        expr("filter(tk, (t, i) -> mask IS NULL OR " +
+          "NOT exists(mask, m -> i >= m.s AND i <= m.e))").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
   }
 
   /** dsub2 — the ACTION step for [[exactSubstrSpans]] (Lee et al. 2022
@@ -142,20 +199,8 @@ object NearDup {
     * the same plan falls back to one doc_id equi-join — text then
     * shuffles once on its primary key, still never a pair join. */
   def exactSubstrMask(docs: DataFrame, id: Column, text: Column,
-      n: Int, minDocs: Int = 2): DataFrame = {
-    val masks = exactSubstrSpans(docs, id, text, n, minDocs)
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("span_start").as("s"),
-        col("span_end").as("e"))).as("mask"))
-    docs.select(id.as("doc_id"), graft.functions.F.tokens(text).as("tk"))
-      .join(broadcast(masks), Seq("doc_id"), "left")
-      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
-        expr("filter(tk, (t, i) -> mask IS NULL OR " +
-          "NOT exists(mask, m -> i >= m.s AND i <= m.e))").as("kept"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
-        array_join(col("kept"), " ").as("clean_text"))
-  }
+      n: Int, minDocs: Int = 2): DataFrame =
+    maskSpans(docs, id, text, exactSubstrSpans(docs, id, text, n, minDocs))
 
   /** Distinct word-`n`-gram shingles per doc, one row each: (doc_id, sh).
     * Used by tests and as the row-per-shingle surface; the LSH pipeline

@@ -2153,6 +2153,79 @@ object DataCatalog {
       "LEFT JOIN kept k ON k.doc_id = o.doc_id " +
       "GROUP BY o.doc_id, o.n_tokens" + OBA))
 
+  /** Shared oracle text for the cross-set substring scan (c7/c8):
+    * spliced corpus + benchmark (doc_id % 50 = 0) windows, hits =
+    * corpus windows whose hash appears anywhere in the benchmark,
+    * fused into maximal islands. */
+  private val BenchSubstrCtes = {
+    def winSql(name: String, toksName: String) =
+      s"$name AS (SELECT doc_id, CAST(i AS BIGINT) AS w, " +
+        "('0x' || substr(md5(array_to_string(tk[i+1:i+8], ' ')), 1, 15))::BIGINT AS h " +
+        s"FROM $toksName, unnest(range(0, len(tk) - 7)) u(i) WHERE len(tk) >= 8)"
+    "WITH q AS (SELECT doc_id AS q_id, text AS q_text FROM documents), " +
+      "src AS (SELECT d.doc_id, d.text || ' ' || q.q_text || ' ' || d.text AS text " +
+      "FROM documents d JOIN q ON q.q_id = d.doc_id % 25), " +
+      "toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM src), " +
+      "btoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id % 50 = 0), " +
+      winSql("cwin", "toks") + ", " + winSql("bwin0", "btoks") + ", " +
+      "bwin AS (SELECT DISTINCT h FROM bwin0), " +
+      "hit AS (SELECT doc_id, w AS s, w + 8 AS e FROM cwin " +
+      "WHERE h IN (SELECT h FROM bwin)), " +
+      "fl AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER " +
+      "(PARTITION BY doc_id ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
+      "THEN 1 ELSE 0 END AS f FROM hit), " +
+      "isl AS (SELECT doc_id, s, e, sum(f) OVER (PARTITION BY doc_id ORDER BY s, e " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl), " +
+      "spans AS (SELECT doc_id, min(s) AS ss, max(e) AS ee, " +
+      "CAST(count(*) AS BIGINT) AS nw FROM isl GROUP BY doc_id, island)"
+  }
+
+  // C7 — exact-substring contamination scan: WHERE does benchmark text
+  // sit in the corpus, as maximal ≥8-token verbatim spans (Lee-2022
+  // semantics pointed across sets). The complement to c1's shingle
+  // score: span positions enable the surgical fix (c8) instead of
+  // dropping every doc that quotes one benchmark sentence. The
+  // benchmark window-hash set broadcasts (eval suites are MBs against
+  // 100 TB), so the corpus-side scan is map-only. Fixture: bench =
+  // docs ≡ 0 (mod 50); spliced corpus docs quoting a bench member
+  // flag with mid-document spans, bench members' own spliced rows
+  // flag end-to-end.
+  val c7 = Q(
+    (s, d) => {
+      val bench = documents(s, d).filter(col("doc_id") % 50 === 0)
+      ordered(NearDup.benchSubstrSpans(splicedDocs(s, d), bench,
+        col("doc_id"), col("text"), 8))
+    },
+    Some(BenchSubstrCtes +
+      " SELECT doc_id, ss AS span_start, ee - 1 AS span_end, " +
+      "ee - ss AS span_tokens, nw AS n_windows FROM spans" + OBA))
+
+  // C8 — surgical decontamination: c7's spans applied as a token mask
+  // (dsub2's machinery, reused via maskSpans) — the corpus keeps every
+  // document, minus exactly the verbatim benchmark spans; per-doc
+  // removed-token counts make the cut auditable. Contrast c3, which
+  // drops whole flagged documents.
+  val c8 = Q(
+    (s, d) => {
+      val corpus = splicedDocs(s, d)
+      val bench = documents(s, d).filter(col("doc_id") % 50 === 0)
+      ordered(NearDup.maskSpans(corpus, col("doc_id"), col("text"),
+        NearDup.benchSubstrSpans(corpus, bench, col("doc_id"), col("text"), 8)))
+    },
+    Some(BenchSubstrCtes +
+      ", rem AS (SELECT DISTINCT doc_id, i FROM spans, unnest(range(ss, ee)) u(i)), " +
+      "tokpos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, tk[i] AS tok " +
+      "FROM toks, unnest(range(1, len(tk) + 1)) u(i)), " +
+      "kept AS (SELECT t.doc_id, t.idx, t.tok FROM tokpos t " +
+      "LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.i = t.idx WHERE r.i IS NULL) " +
+      "SELECT o.doc_id, o.n_tokens, " +
+      "o.n_tokens - CAST(count(k.idx) AS BIGINT) AS n_removed, " +
+      "coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text " +
+      "FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks) o " +
+      "LEFT JOIN kept k ON k.doc_id = o.doc_id " +
+      "GROUP BY o.doc_id, o.n_tokens" + OBA))
+
   // DP11 — substring-cut corpus receipt: the dedup-cut pipeline's
   // before/after accounting, composing dsub2's mask into the three
   // numbers a training run signs off on — raw corpus size, tokens cut
@@ -5383,5 +5456,6 @@ object DataCatalog {
     "dsub2_substring_mask" -> dsub2, "m4b_real_pixel_dedup" -> m4b,
     "sim11_graph_walk" -> sim11, "pr2_personalized_pagerank" -> pr2,
     "dp11_substring_cut_receipt" -> dp11, "bpe4_roundtrip_card" -> bpe4,
-    "qc19_correlation_card" -> qc19)
+    "qc19_correlation_card" -> qc19, "c7_substring_contam" -> c7,
+    "c8_surgical_decontam" -> c8)
 }

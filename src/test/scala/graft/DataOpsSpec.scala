@@ -90,6 +90,35 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("benchSubstrSpans: benchmark runs located in corpus docs, corpus-internal dups ignored") {
+    import graft.operators.NearDup
+    val corpus = Seq(
+      // embeds the benchmark's 5-token run mid-document
+      (0L, "u1 u2 b1 b2 b3 b4 b5 u3 u4"),
+      // repeats short runs internally and shares tokens with doc 0 but
+      // no ≥5-token run with the BENCHMARK — must pass through clean
+      (1L, "u1 u2 v1 v2 v3 w1 w2 u3 u4 u1 u2 w3 w4 w5 w6 u3"),
+      // clean
+      (2L, "x1 x2 x3 x4 x5 x6 x7")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "pre b1 b2 b3 b4 b5 post")).toDF("doc_id", "text")
+    val got = NearDup.benchSubstrSpans(corpus, bench, col("doc_id"), col("text"), 5)
+      .select("doc_id", "span_start", "span_end", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((0L, 2L, 6L, 5L)),
+      s"expected only the benchmark span in doc 0, got ${got.toSeq}")
+    // the surgical mask removes exactly that span
+    val masked = NearDup.maskSpans(corpus, col("doc_id"), col("text"),
+      NearDup.benchSubstrSpans(corpus, bench, col("doc_id"), col("text"), 5))
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(masked.toSeq == Seq((0L, 5L, "u1 u2 u3 u4"),
+      (1L, 0L, "u1 u2 v1 v2 v3 w1 w2 u3 u4 u1 u2 w3 w4 w5 w6 u3"),
+      (2L, 0L, "x1 x2 x3 x4 x5 x6 x7")),
+      s"surgical mask mismatch: ${masked.toSeq}")
+    CacheScope.releaseAll()
+  }
+
   test("personalizedPagerank: rank flows only from seeds, deterministic, seeds semi-joined") {
     import graft.operators.Graph
     val e = Seq(("a", "b"), ("b", "c"), ("d", "c"), ("c", "a"))
