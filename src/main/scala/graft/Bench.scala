@@ -134,7 +134,8 @@ object Bench {
     "dsub2_substring_mask", "m4b_real_pixel_dedup", "sim11_graph_walk",
     "pr2_personalized_pagerank", "dp11_substring_cut_receipt",
     "bpe4_roundtrip_card", "qc19_correlation_card",
-    "c7_substring_contam", "c8_surgical_decontam")
+    "c7_substring_contam", "c8_surgical_decontam", "m7_media_dims_card",
+    "e19_conversion_lag", "tx17_freq_spectrum")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -519,6 +519,37 @@ object Multimodal {
       .filter(col("n_matched_frames") >= minFrames)
   }
 
+  /** m7 — media geometry distribution card: per (mime, orientation)
+    * counts, dimension extrema, and total pixel volume from REAL header
+    * parses ([[parseDims]] byte readers) — the corpus-profiling card a
+    * resize/training job reads before picking batch shapes and bucket
+    * boundaries (a corpus that is 90% portrait wants a different crop
+    * policy than one that is 90% landscape; total_px is the decode
+    * budget). Payloads whose container no parser recognizes are counted
+    * under mime 'unknown' with zero dims — unparseable media is a
+    * number the card must surface, not silently drop. Map-only parse
+    * (payload bytes never shuffle) + one card-sized aggregate. */
+  def mediaDimsCard(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        parseDims(r.payload) match {
+          case Some((mime, w, h)) => (mime, w.toLong, h.toLong)
+          case None => ("unknown", 0L, 0L)
+        }
+      }
+    }.toDF("mime", "w", "h")
+      .groupBy(col("mime"),
+        when(col("w") > col("h"), "landscape")
+          .when(col("w") < col("h"), "portrait")
+          .otherwise("square").as("orientation"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min("w").as("min_w"), max("w").as("max_w"),
+        min("h").as("min_h"), max("h").as("max_h"),
+        sum(col("w") * col("h")).cast("long").as("total_px"))
+  }
+
   /** Resize plumbing: aspect-preserving fit into a maxDim bounding box —
     * the metadata contract a real resize kernel satisfies (never
     * upscales; floor semantics; at scale the pixel work runs inside the

@@ -503,4 +503,27 @@ object TextOps {
   def fingerprint(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"),
       graft.plans.TextHashExprs.tokenFingerprint(text).as("fingerprint"))
+
+  /** tx17 — word-frequency spectrum (Zipf) card: for corpus frequency
+    * f ∈ 1..cap (and one `cap+1` bucket for everything beyond), how
+    * many distinct words occur exactly f times and how many corpus
+    * tokens they account for. The vocabulary-health card read before
+    * tokenizer training and after every dedup pass: the hapax count
+    * (bucket 1) is the OCR-garbage / boilerplate-explosion alarm, the
+    * spectrum's decay is the Zipf sanity check (integer counts — the
+    * log-log slope floats, its SHAPE doesn't), and a dedup run that
+    * doesn't shrink the high-f tail didn't remove what it claimed.
+    *
+    * Shape: one tokenize pass → word-keyed count (map-side combined) →
+    * a ≤cap+1-row aggregate. The word count table is vocabulary-sized,
+    * the card constant. */
+  def freqSpectrum(df: DataFrame, text: Column, cap: Int = 10): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    df.select(explode(F.tokens(lower(text))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .groupBy(least(col("freq"), lit(cap.toLong + 1)).as("freq_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum("freq").cast("long").as("n_tokens"))
+  }
 }

@@ -5098,6 +5098,65 @@ object DataCatalog {
       "CAST(abs(coalesce(n_old * 1000 // t_old, 0) - coalesce(n_new * 1000 // t_new, 0)) AS BIGINT) " +
       "AS abs_diff_permille FROM j" + OBA))
 
+  // M7 — media geometry card over REAL header parses (the m2 fixture's
+  // genuine PNG/JPEG/WAV bytes): per (mime, orientation) counts, dim
+  // extrema, and pixel volume. The oracle predicts every value from the
+  // doc-column arithmetic the fixture encodes, so a hash match proves
+  // the byte readers agree with the synthesis on every payload.
+  val m7 = Q(
+    (s, d) => ordered(graft.operators.Multimodal.mediaDimsCard(
+      graft.operators.Multimodal.syntheticMedia(documents(s, d)))),
+    Some("WITH dims AS (SELECT CASE doc_id % 3 WHEN 0 THEN 'image/png' " +
+      "WHEN 1 THEN 'audio/wav' ELSE 'image/jpeg' END AS mime, " +
+      "CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 640 " +
+      "WHEN 1 THEN 8000 + (doc_id % 5) * 8820 ELSE 1 + doc_id % 1024 END AS w, " +
+      "CASE doc_id % 3 WHEN 0 THEN 1 + n_chars % 480 " +
+      "WHEN 1 THEN 1 + doc_id % 2 ELSE 1 + n_chars % 768 END AS h FROM documents) " +
+      "SELECT mime, CASE WHEN w > h THEN 'landscape' WHEN w < h THEN 'portrait' " +
+      "ELSE 'square' END AS orientation, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(min(w) AS BIGINT) AS min_w, CAST(max(w) AS BIGINT) AS max_w, " +
+      "CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h, " +
+      "CAST(sum(w * h) AS BIGINT) AS total_px FROM dims GROUP BY 1, 2" + OBA))
+
+  // E19 — conversion-lag deciles: exact integer-microsecond decile
+  // values of the first-view→first-later-purchase lag per converted
+  // user, picked by rank under the total order (lag, user_id) via the
+  // two-level prefix-count rank (no global window over users).
+  val e19 = Q(
+    (s, d) => ordered(graft.streaming.EventStream.conversionLagDeciles(
+      events(s, d), "view", "purchase")),
+    Some("WITH a AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS ta " +
+      "FROM events WHERE event_type = 'view' GROUP BY 1), " +
+      "l AS (SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) - " +
+      "any_value(a.ta) AS lag_us FROM events e JOIN a ON e.user_id = a.user_id " +
+      "WHERE e.event_type = 'purchase' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > a.ta " +
+      "GROUP BY e.user_id), " +
+      "r AS (SELECT user_id, lag_us, row_number() OVER (ORDER BY lag_us, user_id) AS rank " +
+      "FROM l), n AS (SELECT count(*) AS c FROM l) " +
+      "SELECT CAST(t.d AS BIGINT) AS decile, r.lag_us FROM range(0, 11) t(d), n " +
+      "JOIN r ON r.rank = 1 + ((n.c - 1) * t.d) // 10" + OBA))
+
+  // TX17 — word-frequency spectrum (Zipf/hapax card): distinct-word and
+  // token counts per exact corpus frequency 1..10 plus an 11+ bucket —
+  // the vocabulary-health card (hapax alarm, Zipf-shape sanity, dedup
+  // effectiveness) in pure integers. The base fixture's 31-word vocab
+  // is all high-frequency, so the entry widens it with a doc-residue
+  // token suffix (~3k words, frequencies spanning every bucket
+  // including hapaxes) — the fixture-spreading move lm2/tx16 use.
+  val tx17 = Q(
+    (s, d) => {
+      val spread = documents(s, d).select(regexp_replace(col("text"),
+        lit("(\\S+)"), concat(lit("$1~"), col("doc_id") % 97)).as("text"))
+      ordered(TextOps.freqSpectrum(spread, col("text")))
+    },
+    Some("WITH sp AS (SELECT regexp_replace(text, '(\\S+)', " +
+      "'\\1~' || (doc_id % 97), 'g') AS text FROM documents), " +
+      "wc AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq " +
+      "FROM (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM sp), " +
+      "unnest(tk) t(w) WHERE len(w) > 0 GROUP BY 1) " +
+      "SELECT least(freq, 11) AS freq_bucket, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(freq) AS BIGINT) AS n_tokens FROM wc GROUP BY 1" + OBA))
+
   // QC19 — exact correlation card: integer moment sums (n, Σx, Σy,
   // Σx², Σy², Σxy) for length/token/vocabulary column pairs — Pearson
   // r derivable downstream to any precision, while the published sums
@@ -5457,5 +5516,6 @@ object DataCatalog {
     "sim11_graph_walk" -> sim11, "pr2_personalized_pagerank" -> pr2,
     "dp11_substring_cut_receipt" -> dp11, "bpe4_roundtrip_card" -> bpe4,
     "qc19_correlation_card" -> qc19, "c7_substring_contam" -> c7,
-    "c8_surgical_decontam" -> c8)
+    "c8_surgical_decontam" -> c8, "m7_media_dims_card" -> m7,
+    "e19_conversion_lag" -> e19, "tx17_freq_spectrum" -> tx17)
 }

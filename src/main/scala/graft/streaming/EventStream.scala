@@ -327,6 +327,42 @@ object EventStream {
     * oracle, and the O(1)-state streaming twin agree bit-for-bit
     * (contrast e10, whose decay anchors on a global reference day).
     * Output: (user_id, n_events, last_day, score_micro). */
+  /** e19 — conversion-lag decile card: for every user whose first
+    * `toType` event follows their first `fromType` event, the lag in
+    * microseconds; the card reports the EXACT decile values (d = 0..10,
+    * element at 1-based rank 1 + (n−1)·d DIV 10 under the total order
+    * (lag, user_id)) — min, median, max and the shape between, integer
+    * microseconds, engine-exact where an approximate percentile or a
+    * float interpolation would not be. The product question behind it:
+    * how long does signup→activation actually take, tail included.
+    *
+    * Scale shape: two type-filtered scans aggregate per user (map-side
+    * combined), one user-keyed equi-join; the decile pick runs on
+    * [[graft.operators.Ranking.globalRank]]'s two-level prefix-count
+    * machinery — no global window over converted users (the qc13/mix6
+    * discipline), and the 11-row decile frame joins against the ranked
+    * frame on rank. */
+  def conversionLagDeciles(events: DataFrame, fromType: String,
+      toType: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val firstA = events.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min(us).as("ta"))
+    val lags = events.filter(col("event_type") === toType)
+      .select(col("user_id"), us.as("tb"))
+      .join(firstA, Seq("user_id")).filter(col("tb") > col("ta"))
+      .groupBy(col("user_id"), col("ta"))
+      .agg((min(col("tb")) - col("ta")).as("lag_us"))
+      .select("user_id", "lag_us")
+    val ranked = graft.CacheScope.persist(
+      graft.operators.Ranking.globalRank(lags, col("user_id"), col("lag_us")))
+    val n = ranked.agg(count(lit(1)).as("c"))
+    events.sparkSession.range(0, 11).select(col("id").as("decile"))
+      .crossJoin(broadcast(n))
+      .select(col("decile"), expr("1 + ((c - 1) * decile) DIV 10").as("pick"))
+      .join(ranked, col("pick") === col("rank"))
+      .select(col("decile"), col("score").as("lag_us"))
+  }
+
   def decayScore(events: DataFrame): DataFrame = {
     val base = events.select(col("user_id"), col("event_id"),
       datediff(to_date(col("ts")),
