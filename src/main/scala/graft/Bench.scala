@@ -135,7 +135,8 @@ object Bench {
     "pr2_personalized_pagerank", "dp11_substring_cut_receipt",
     "bpe4_roundtrip_card", "qc19_correlation_card",
     "c7_substring_contam", "c8_surgical_decontam", "m7_media_dims_card",
-    "e19_conversion_lag", "tx17_freq_spectrum")
+    "e19_conversion_lag", "tx17_freq_spectrum",
+    "lm3_bigram_familiarity", "idx4_compaction_plan")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -97,4 +97,50 @@ object LmFilter {
       .select(col("doc_id"), col("n_tokens"),
         expr("sw * 1000000 DIV (9 * n_tokens)").as("familiarity_micro"))
   }
+
+  /** lm3 — BIGRAM familiarity (the CCNet perplexity prior at order 2):
+    * each document bigram (w₁, w₂) scores the reference slice's
+    * conditional-frequency proxy c_ref(w₁ w₂)·10⁶ DIV c_ref(w₁) — "how
+    * expected is w₂ after w₁" — and a document scores the mean over its
+    * bigrams, integer micro units. This catches what [[familiarityScore]]
+    * (lm2, unigram) structurally cannot: word salad built from common
+    * words scores high at order 1 but near zero here, because its
+    * TRANSITIONS never occur in the reference. Unseen bigrams and
+    * bigrams whose head is out-of-vocab weigh 0; documents with < 2
+    * tokens emit n_bigrams = 0 with score 0 (guarded DIV).
+    *
+    * Integer end-to-end (counts, one DIV per bigram type, one DIV per
+    * doc) — bit-reproducible by any engine, where a log-prob float sum
+    * would reassociate across partitions.
+    *
+    * Scale shape: reference bigram/unigram counts are two map-combined
+    * hash aggs; the conditional table joins them on the head word
+    * (vocabulary-sized, the tx16 shuffle class); scoring is one
+    * bigram-keyed equi-join + a doc agg. No windows, no pair joins. */
+  def bigramFamiliarity(df: DataFrame, id: Column, text: Column,
+      isRef: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), isRef.as("is_ref"),
+      F.tokens(lower(text)).as("tk"))
+    val bigrams = base.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("is_ref"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("is_ref"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val refBi = bigrams.filter(col("is_ref"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val refUni = base.filter(col("is_ref"))
+      .select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_x"))
+    val cond = refBi.join(refUni, Seq("w1"))
+      .select(col("w1"), col("w2"), expr("c_xy * 1000000 DIV c_x").as("cond_micro"))
+    base.select(col("doc_id"), greatest(size(col("tk")) - 1, lit(0))
+        .cast("long").as("n_bigrams"))
+      .join(bigrams.join(cond, Seq("w1", "w2"))
+          .groupBy("doc_id").agg(sum("cond_micro").as("s")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("CASE WHEN n_bigrams = 0 THEN 0L ELSE coalesce(s, 0L) DIV n_bigrams END")
+          .as("bigram_familiarity_micro"))
+  }
 }

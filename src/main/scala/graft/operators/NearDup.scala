@@ -99,7 +99,7 @@ object NearDup {
   /** Stride-1 n-token window hashes: (doc_id, w, h) — one row per token
     * position, 16 bytes each, never window text. The shared carrier of
     * the exact-substring family (dsub1 within-corpus, c7 vs benchmark). */
-  private def windowHashes(docs: DataFrame, id: Column, text: Column,
+  private[graft] def windowHashes(docs: DataFrame, id: Column, text: Column,
       n: Int): DataFrame =
     docs.select(id.as("doc_id"), graft.functions.F.tokens(text).as("tk"))
       .filter(size(col("tk")) >= n)

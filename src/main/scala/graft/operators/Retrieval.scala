@@ -124,6 +124,31 @@ object Retrieval {
     bare.join(bare.groupBy("term").agg(sum(col("n_docs_block")).as("df")), Seq("term"))
   }
 
+  /** idx4 — tiered compaction plan over a segment table (the Lucene
+    * merge-policy decision as a card): segments group into size TIERS
+    * by decimal digit count of their postings-row count (an integer,
+    * engine-portable stand-in for log-bucketing), and a tier holding ≥
+    * `minMerge` segments is planned for merge — the policy that keeps
+    * segment count logarithmic in corpus size, so the incremental
+    * indexer's per-batch appends never degrade the read path into
+    * thousands of tiny segments. Same-size-class merging is what keeps
+    * compaction write amplification O(log N) total (merging a tiny
+    * segment into a huge one repeatedly is the quadratic anti-pattern).
+    * Output: (tier, n_segments, n_rows, action) — the card a compaction
+    * scheduler executes with [[mergeSegmentTable]] per merge group.
+    *
+    * Shape: one segment-keyed count (segments-sized, tiny) + a
+    * tiers-sized agg. Never touches postings content. */
+  def compactionPlan(segTable: DataFrame, minMerge: Int = 2): DataFrame = {
+    require(minMerge >= 2, s"minMerge must be >= 2, got $minMerge")
+    segTable.groupBy("segment_id").agg(count(lit(1)).as("seg_rows"))
+      .groupBy(length(col("seg_rows").cast("string")).cast("long").as("tier"))
+      .agg(count(lit(1)).cast("long").as("n_segments"),
+        sum("seg_rows").cast("long").as("n_rows"))
+      .withColumn("action",
+        when(col("n_segments") >= minMerge, "merge").otherwise("keep"))
+  }
+
   /** idx3 — positional phrase search: exact phrase occurrences via the
     * positional-index identity — a phrase matches doc d at anchor a iff
     * for EVERY query position q the doc has that term at a + q. One

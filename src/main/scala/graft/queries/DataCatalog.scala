@@ -5098,6 +5098,61 @@ object DataCatalog {
       "CAST(abs(coalesce(n_old * 1000 // t_old, 0) - coalesce(n_new * 1000 // t_new, 0)) AS BIGINT) " +
       "AS abs_diff_permille FROM j" + OBA))
 
+  // LM3 — bigram familiarity: the CCNet-style quality prior at order 2
+  // (conditional-frequency proxy c(w1 w2)·1e6 DIV c(w1), doc mean in
+  // integer micros). Catches common-word salad that unigram
+  // familiarity (lm2) scores high. Reference slice = even doc_ids,
+  // scored over the whole corpus.
+  val lm3 = Q(
+    (s, d) => ordered(LmFilter.bigramFamiliarity(documents(s, d),
+      col("doc_id"), col("text"), col("doc_id") % 2 === 0)),
+    Some("WITH base AS (SELECT doc_id, doc_id % 2 = 0 AS is_ref, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+      "bg AS (SELECT doc_id, is_ref, tk[i] AS w1, tk[i+1] AS w2 " +
+      "FROM base, unnest(range(1, len(tk))) u(i) WHERE len(tk) >= 2), " +
+      "rb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bg " +
+      "WHERE is_ref GROUP BY 1, 2), " +
+      "ru AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS c_x FROM base, " +
+      "unnest(tk) t(w) WHERE is_ref GROUP BY 1), " +
+      "cond AS (SELECT rb.w1, rb.w2, c_xy * 1000000 // c_x AS cm " +
+      "FROM rb JOIN ru ON rb.w1 = ru.w1), " +
+      "ds AS (SELECT doc_id, CAST(sum(cm) AS BIGINT) AS s FROM bg " +
+      "JOIN cond ON bg.w1 = cond.w1 AND bg.w2 = cond.w2 GROUP BY 1), " +
+      "nb AS (SELECT doc_id, CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams FROM base) " +
+      "SELECT nb.doc_id, nb.n_bigrams, CAST(CASE WHEN nb.n_bigrams = 0 THEN 0 " +
+      "ELSE coalesce(ds.s, 0) // nb.n_bigrams END AS BIGINT) AS bigram_familiarity_micro " +
+      "FROM nb LEFT JOIN ds ON ds.doc_id = nb.doc_id" + OBA))
+
+  // IDX4 — tiered compaction plan: segments built over four doc-id
+  // ranges (three block-aligned small ones + one 4-block large one)
+  // group into digit-count size tiers; tiers holding >= 2 segments are
+  // planned for merge — the Lucene merge-policy decision that keeps
+  // the incremental indexer's segment count logarithmic. The oracle
+  // re-derives per-segment postings-row counts as distinct (term,
+  // block) pairs per range.
+  val idx4 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val segs = Seq((0L, 0L, 64L), (1L, 64L, 128L), (2L, 128L, 192L),
+        (3L, 192L, 448L)).map { case (sid, lo, hi) =>
+          Retrieval.postingsIndex(
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            col("doc_id"), col("text"), 64)
+            .withColumn("segment_id", lit(sid))
+        }.reduce(_.unionByName(_))
+      ordered(Retrieval.compactionPlan(segs))
+    },
+    Some("WITH seg AS (SELECT CASE WHEN doc_id < 64 THEN 0 WHEN doc_id < 128 THEN 1 " +
+      "WHEN doc_id < 192 THEN 2 ELSE 3 END AS segment_id, doc_id // 64 AS block, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+      "FROM documents WHERE doc_id < 448), " +
+      "pb AS (SELECT DISTINCT segment_id, w AS term, block FROM seg, unnest(tk) t(w)), " +
+      "sz AS (SELECT segment_id, CAST(count(*) AS BIGINT) AS seg_rows FROM pb GROUP BY 1) " +
+      "SELECT CAST(len(seg_rows::VARCHAR) AS BIGINT) AS tier, " +
+      "CAST(count(*) AS BIGINT) AS n_segments, CAST(sum(seg_rows) AS BIGINT) AS n_rows, " +
+      "CASE WHEN count(*) >= 2 THEN 'merge' ELSE 'keep' END AS action " +
+      "FROM sz GROUP BY 1" + OBA))
+
   // M7 — media geometry card over REAL header parses (the m2 fixture's
   // genuine PNG/JPEG/WAV bytes): per (mime, orientation) counts, dim
   // extrema, and pixel volume. The oracle predicts every value from the
@@ -5517,5 +5572,6 @@ object DataCatalog {
     "dp11_substring_cut_receipt" -> dp11, "bpe4_roundtrip_card" -> bpe4,
     "qc19_correlation_card" -> qc19, "c7_substring_contam" -> c7,
     "c8_surgical_decontam" -> c8, "m7_media_dims_card" -> m7,
-    "e19_conversion_lag" -> e19, "tx17_freq_spectrum" -> tx17)
+    "e19_conversion_lag" -> e19, "tx17_freq_spectrum" -> tx17,
+    "lm3_bigram_familiarity" -> lm3, "idx4_compaction_plan" -> idx4)
 }

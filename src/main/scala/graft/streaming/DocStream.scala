@@ -186,6 +186,63 @@ object DocStream {
     q
   }
 
+  /** Broadcastable benchmark fingerprint for streaming decontamination:
+    * a bloom over the benchmark's stride-1 `n`-token window hashes
+    * (c7's hash carrier). Eval suites are MBs, so the bloom is KBs —
+    * the artifact a batch job publishes so ingest can gate against
+    * every benchmark without joining anything. */
+  def benchFingerprint(bench: DataFrame, n: Int,
+      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter =
+    graft.plans.BloomJoin.buildFilter(
+      graft.operators.NearDup.windowHashes(bench, col("doc_id"), col("text"), n),
+      col("h"), fpp)
+
+  /** Streaming contamination gate — the stream twin of the c7 scan's
+    * KEEP/DROP decision: a document is dropped when ANY of its stride-1
+    * n-token window hashes might be in the benchmark bloom. Pure
+    * per-row map (window hashes computed row-local, probed against the
+    * broadcast bloom) — no state, no watermark, rerun-stable, so the
+    * identical plan runs batch or streaming and stream ≡ batch holds
+    * exactly (pinned in ScaleSpec). Semantics vs batch c7/c8, by
+    * construction: no truly contaminated doc is ever admitted (blooms
+    * have no false negatives); ~fpp of clean docs over-drop — the
+    * conservative direction for decontamination. Surgical span masking
+    * (c8) stays a batch job over the admitted sink, the same
+    * inline-gate vs scheduled-compaction split as [[admit]]. */
+  def contamGate(docs: DataFrame, fp: org.apache.spark.util.sketch.BloomFilter,
+      n: Int): DataFrame = {
+    import graft.plans.BloomJoin
+    // same tokenization as the batch scan (NearDup.windowHashes): raw
+    // trim-split, no lowercasing — verbatim means verbatim
+    val tk = graft.functions.F.tokens(col("text"))
+    val wins = when(size(col("__tk")) >= n, expr(
+      s"transform(sequence(0, size(__tk) - $n), i -> " +
+        s"CAST(conv(substring(md5(array_join(slice(__tk, i + 1, $n), ' ')), 1, 15), 16, 10) AS LONG))"))
+      .otherwise(array().cast("array<long>"))
+    docs
+      .withColumn("__tk", tk)
+      .withColumn("__hit",
+        exists(wins, w => BloomJoin.mightContain(w, fp)))
+      .filter(!col("__hit"))
+      .drop("__tk", "__hit")
+  }
+
+  /** Drive the contamination gate over a parquet directory as a stream
+    * (AvailableNow) into a memory sink. */
+  def runContamGateAvailableNow(spark: SparkSession, docsDir: String,
+      fp: org.apache.spark.util.sketch.BloomFilter, n: Int,
+      outName: String): StreamingQuery = {
+    val src = spark.readStream.schema(schema).parquet(docsDir)
+    val q = contamGate(src, fp, n).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming twin of idx2 — incremental indexing (the Lucene ingest
     * model): each micro-batch builds a [[graft.operators.Retrieval
     * .postingsIndex]] segment over ONLY its own documents (O(batch)

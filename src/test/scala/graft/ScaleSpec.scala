@@ -820,6 +820,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("streaming contamination gate emits exactly the batch result, never admits contaminated") {
+    import graft.streaming.DocStream
+    import graft.operators.NearDup
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("doc_contam")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val fp = DocStream.benchFingerprint(bench, 8)
+    DocStream.runContamGateAvailableNow(spark, dir.toString, fp, 8, "contam_out")
+    val streamed = spark.table("contam_out")
+    val batchIn = spark.read.schema(DocStream.schema).parquet(dir.toString)
+    val batch = DocStream.contamGate(batchIn, fp, 8)
+    assert(streamed.count() < batchIn.count(), "gate should fire on the fixture")
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "stream must equal batch exactly (stateless gate)")
+    // no truly contaminated doc admitted: every admitted doc has zero
+    // exact c7 spans (blooms have no false negatives)
+    val admittedSpans = NearDup.benchSubstrSpans(
+      streamed.select(col("doc_id"), col("text")), bench,
+      col("doc_id"), col("text"), 8)
+    assert(admittedSpans.count() == 0,
+      "an admitted document carried a verbatim benchmark span")
+    CacheScope.releaseAll()
+  }
+
   test("streaming incremental index: appended segments merge to exactly the batch rebuild") {
     import graft.streaming.DocStream
     import graft.operators.Retrieval
