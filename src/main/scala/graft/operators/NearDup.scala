@@ -273,6 +273,43 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** d17 — containment pairs (asymmetric near-dup): for band-collision
+    * candidates, the integer-permille CONTAINMENT in each direction —
+    * |A∩B|·1000 DIV |A| and DIV |B| over distinct shingle sets — kept
+    * when either side is ≥ `minPermille` contained. Symmetric Jaccard
+    * misses the quote-plus-wrapper shape (a doc fully containing
+    * another scores low when their sizes differ); containment names the
+    * CONTAINED side, which is the copy a dedup pass should drop.
+    *
+    * Scope, honestly: candidates come from the same symmetric LSH band
+    * join as d2, so a TINY doc inside a HUGE one (symmetric Jaccard
+    * too low to band-collide) is out of reach here — that case belongs
+    * to the window-hash route (dsub1/c7). This operator targets the
+    * high-overlap asymmetric pairs LSH does surface.
+    *
+    * Shape: d2's machinery end-to-end (persisted 16-long sigs, banded
+    * equi-join, candidates-only verification); the only new work is
+    * two distinct-counts and one intersect per candidate. */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+      minPermille: Long = 800L): DataFrame = {
+    require(minPermille >= 0 && minPermille <= 1000,
+      s"minPermille must be in [0, 1000], got $minPermille")
+    val sigs = graft.CacheScope.persist(minhashSigs(docs, id, text))
+    sigs.count()
+    val sh = shingleArrays(docs, id, text)
+    candidates(bands(sigs))
+      .join(sh.select(col("doc_id").as("id_a"), col("sh_arr").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh_arr").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("n_shared"),
+        size(array_distinct(col("sa"))).cast("long").as("n_a"),
+        size(array_distinct(col("sb"))).cast("long").as("n_b"))
+      .withColumn("contain_a_permille", expr("n_shared * 1000 DIV n_a"))
+      .withColumn("contain_b_permille", expr("n_shared * 1000 DIV n_b"))
+      .filter(greatest(col("contain_a_permille"), col("contain_b_permille"))
+        >= minPermille)
+  }
+
   /** Cross-set candidate pairs: batch docs sharing any (band, sig) with
     * a corpus doc. Same high-cardinality equi-join as [[candidates]],
     * but between two frames — no ordering constraint, since sides are

@@ -336,6 +336,43 @@ object Sampling {
       .drop("n_copies")
   }
 
+  /** mix7 — mixture cooldown schedule: per (epoch, stratum), the
+    * linearly interpolated weight between a start and an end mixture
+    * and the planned document draw — the "anneal the data mix" recipe
+    * (pretrain-heavy early, high-quality-heavy late; the cooldown
+    * phase every modern pretraining run ends with) as an integer-exact
+    * card the epoch fan-out executes. w_e = (w₀·(E−1−e) + w₁·e) DIV
+    * (E−1) in permille; planned = n_s · w_e DIV 1000. Endpoints land
+    * exactly on the start/end mixtures; integer interpolation is
+    * monotone between them, reproducible anywhere.
+    *
+    * Shape: one stratum count agg (strata-sized) crossed with the
+    * E-row epoch frame — two card frames, the documented allowed
+    * cross shape; nothing scales with the corpus. */
+  def cooldownSchedule(df: DataFrame, stratum: Column,
+      startPermille: Map[String, Long], endPermille: Map[String, Long],
+      epochs: Int): DataFrame = {
+    require(epochs >= 2, s"need >= 2 epochs to interpolate, got $epochs")
+    val strata = (startPermille.keySet ++ endPermille.keySet).toSeq.sorted
+    require(strata.nonEmpty, "need at least one stratum weight")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = strata.map(s => (s, startPermille.getOrElse(s, 0L),
+        endPermille.getOrElse(s, 0L)))
+      .toDF("stratum", "w0", "w1")
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val ep = spark.range(0, epochs).select(col("id").as("epoch"))
+    w.join(counts, Seq("stratum"), "left")
+      .na.fill(0L, Seq("n_docs"))
+      .crossJoin(ep)
+      .select(col("epoch"), col("stratum"),
+        expr(s"(w0 * (${epochs - 1} - epoch) + w1 * epoch) DIV ${epochs - 1}")
+          .as("weight_permille"),
+        col("n_docs"))
+      .withColumn("planned_docs", expr("n_docs * weight_permille DIV 1000"))
+  }
+
   /** mix6 — deterministic weighted interleave (weighted-fair-queuing
     * order): the final TRAINING ORDER of a mixed corpus, with strata
     * interleaved smoothly in proportion to their weights instead of

@@ -124,6 +124,40 @@ object Temporal {
       .select("key", "start", "end", "n_merged")
   }
 
+  /** t14 — interval integrity audit: per key, how many intervals
+    * OVERLAP a predecessor and how much uncovered GAP time the
+    * timeline holds — the data-quality gate run before trusting any
+    * validity-interval table (an SCD2 build, a session table, the
+    * as-of dimension every fs operator joins): overlapping versions
+    * make "the value current at t" ambiguous (two rows match — the
+    * silent poison in a point-in-time join), gaps make it undefined.
+    * Detection is exact including NON-adjacent overlaps: under the
+    * (s, e) sort, interval i overlaps iff s_i < running-max(e) of its
+    * predecessors — [[mergeIntervals]]' island flag read for its
+    * other meaning. Gap total = span − merged coverage, both from the
+    * same pass. Output: (key, n_intervals, n_overlapping, gap_total)
+    * in the interval's own integer time unit.
+    *
+    * Shape: one per-key window (the mergeIntervals shuffle) + a keyed
+    * agg; nothing scales past the interval table itself. */
+  def intervalAudit(df: DataFrame, key: Column, start: Column,
+      end: Column): DataFrame = {
+    val base = df.select(key.as("key"),
+      start.cast("long").as("s"), end.cast("long").as("e"))
+    val ord = Window.partitionBy("key").orderBy("s", "e")
+    val prevMax = max("e").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    base
+      .withColumn("pm", prevMax)
+      .withColumn("ov", when(col("s") < coalesce(col("pm"), lit(Long.MinValue)),
+        1L).otherwise(0L))
+      .withColumn("gap", greatest(col("s") -
+        coalesce(col("pm"), col("s")), lit(0L)))
+      .groupBy("key")
+      .agg(count(lit(1)).cast("long").as("n_intervals"),
+        sum("ov").cast("long").as("n_overlapping"),
+        sum("gap").cast("long").as("gap_total"))
+  }
+
   /** Keyless bucketed range join (t12): probes matched to intervals
     * CONTAINING them when there is no equi-key to co-group on — the
     * case [[rangeJoin]] can't take (its key join is what bounds the

@@ -5098,6 +5098,70 @@ object DataCatalog {
       "CAST(abs(coalesce(n_old * 1000 // t_old, 0) - coalesce(n_new * 1000 // t_new, 0)) AS BIGINT) " +
       "AS abs_diff_permille FROM j" + OBA))
 
+  // D17 — containment pairs: asymmetric overlap in integer permille
+  // over distinct shingle sets, both directions, for LSH band
+  // candidates — names the CONTAINED copy (the quote-plus-wrapper
+  // shape symmetric Jaccard under-scores). Spliced fixture: quoting
+  // docs fully contain their quote doc's text.
+  val d17 = Q(
+    (s, d) => ordered(NearDup.containmentPairs(splicedDocs(s, d),
+      col("doc_id"), col("text"), 800L)),
+    Some("WITH q2 AS (SELECT doc_id AS q_id, text AS q_text FROM documents), " +
+      "src2 AS (SELECT d.doc_id, d.text || ' ' || q2.q_text || ' ' || d.text AS text " +
+      "FROM documents d JOIN q2 ON q2.q_id = d.doc_id % 25), " +
+      minhashPairsBody("src2") +
+      " SELECT c.id_a, c.id_b, CAST(coalesce(i.i, 0) AS BIGINT) AS n_shared, " +
+      "CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b, " +
+      "CAST(coalesce(i.i, 0) * 1000 // ca.n AS BIGINT) AS contain_a_permille, " +
+      "CAST(coalesce(i.i, 0) * 1000 // cb.n AS BIGINT) AS contain_b_permille " +
+      "FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b " +
+      "JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b " +
+      "WHERE greatest(coalesce(i.i, 0) * 1000 // ca.n, " +
+      "coalesce(i.i, 0) * 1000 // cb.n) >= 800" + OBA))
+
+  // T14 — interval integrity audit over the t8 interval fixture: per
+  // user, counts of overlapping intervals (exact, non-adjacent
+  // included, via the running-max-end flag) and total uncovered gap —
+  // the ambiguity/undefinedness gate run before any as-of join trusts
+  // a validity-interval table.
+  val t14 = Q(
+    (s, d) => {
+      val iv = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("s0"),
+        (unix_micros(col("ts")) + (col("event_id") % 7 + 1) * lit(3600000000L))
+          .as("e0"))
+      ordered(graft.operators.Temporal.intervalAudit(iv,
+        col("user_id"), col("s0"), col("e0")))
+    },
+    Some("WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 7 + 1) * 3600000000 AS e FROM events), " +
+      "x AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv) " +
+      "SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_intervals, " +
+      "CAST(sum(CASE WHEN pm IS NOT NULL AND s < pm THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapping, " +
+      "CAST(sum(CASE WHEN pm IS NOT NULL AND s > pm THEN s - pm ELSE 0 END) AS BIGINT) AS gap_total " +
+      "FROM x GROUP BY 1" + OBA))
+
+  // MIX7 — mixture cooldown schedule: per (epoch, stratum) the
+  // linearly interpolated permille weight between a pretrain-heavy
+  // start mix and a quality-heavy end mix, plus the planned draw —
+  // the anneal-the-data-mix recipe as an integer-exact card.
+  val mix7 = Q(
+    (s, d) => ordered(Sampling.cooldownSchedule(documents(s, d), col("lang"),
+      Map("en" -> 700L, "de" -> 100L, "es" -> 50L, "fr" -> 100L, "zh" -> 50L),
+      Map("en" -> 350L, "de" -> 100L, "es" -> 50L, "fr" -> 100L, "zh" -> 400L), 4)),
+    Some("WITH c AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs " +
+      "FROM documents GROUP BY 1), " +
+      "w(stratum, w0, w1) AS (VALUES ('de', 100, 100), ('en', 700, 350), " +
+      "('es', 50, 50), ('fr', 100, 100), ('zh', 50, 400)), " +
+      "e AS (SELECT CAST(i AS BIGINT) AS epoch FROM range(0, 4) t(i)) " +
+      "SELECT e.epoch, w.stratum, " +
+      "CAST((w.w0 * (3 - e.epoch) + w.w1 * e.epoch) // 3 AS BIGINT) AS weight_permille, " +
+      "CAST(coalesce(c.n_docs, 0) AS BIGINT) AS n_docs, " +
+      "CAST(coalesce(c.n_docs, 0) * ((w.w0 * (3 - e.epoch) + w.w1 * e.epoch) // 3) " +
+      "// 1000 AS BIGINT) AS planned_docs " +
+      "FROM w LEFT JOIN c ON c.stratum = w.stratum CROSS JOIN e" + OBA))
+
   // LM3 — bigram familiarity: the CCNet-style quality prior at order 2
   // (conditional-frequency proxy c(w1 w2)·1e6 DIV c(w1), doc mean in
   // integer micros). Catches common-word salad that unigram
@@ -5573,5 +5637,7 @@ object DataCatalog {
     "qc19_correlation_card" -> qc19, "c7_substring_contam" -> c7,
     "c8_surgical_decontam" -> c8, "m7_media_dims_card" -> m7,
     "e19_conversion_lag" -> e19, "tx17_freq_spectrum" -> tx17,
-    "lm3_bigram_familiarity" -> lm3, "idx4_compaction_plan" -> idx4)
+    "lm3_bigram_familiarity" -> lm3, "idx4_compaction_plan" -> idx4,
+    "d17_containment_pairs" -> d17, "t14_interval_audit" -> t14,
+    "mix7_cooldown_schedule" -> mix7)
 }
