@@ -84,6 +84,44 @@ class PngCodecSpec extends AnyFunSuite {
       s"one-pixel edit flipped ${java.lang.Long.bitCount(base ^ he)} bits")
   }
 
+  test("property: round trip is exact for random rasters, dims, and per-row filters") {
+    for (seed <- 1 to 25) {
+      val rnd = new java.util.Random(seed * 7919L)
+      val w = 9 + rnd.nextInt(40)
+      val h = 8 + rnd.nextInt(32)
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val Some((dw, dh, dec)) = PngCodec.decodeGray(
+        PngCodec.encodeGray(w, h, px, y => filters(y)))
+      assert((dw, dh) == (w, h) && dec.sameElements(px),
+        s"seed $seed (${w}x$h) round trip broke")
+    }
+  }
+
+  test("property: brightness-shift invariance holds exactly for any raster and shift") {
+    for (seed <- 1 to 25) {
+      val rnd = new java.util.Random(seed * 104729L)
+      val w = 9 + rnd.nextInt(30)
+      val h = 8 + rnd.nextInt(24)
+      val px = Array.fill(w * h)(rnd.nextInt(200)) // headroom for the shift
+      val k = rnd.nextInt(56)
+      assert(PngCodec.dHashPixels(w, h, px) ==
+        PngCodec.dHashPixels(w, h, px.map(_ + k)),
+        s"seed $seed: +$k brightness changed the hash")
+    }
+  }
+
+  test("property: decode never throws on arbitrary garbage bytes") {
+    for (seed <- 1 to 50) {
+      val rnd = new java.util.Random(seed * 31L)
+      val b = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      PngCodec.decodeGray(b) // must return (None or Some), never throw
+      // adversarial: valid signature + random tail
+      val sigged = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++ b
+      PngCodec.decodeGray(sigged)
+    }
+  }
+
   test("fixture pipeline: real-pixel images pair within groups only") {
     // mirrors the m4b oracle's closed form on a tiny in-memory corpus
     val sparkless = Seq(0L, 1L, 251L, 252L, 502L)

@@ -343,4 +343,79 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val intervalsGen: Gen[List[(Int, Long, Long)]] =
+    Gen.listOf(for {
+      key <- Gen.choose(0, 4)
+      s <- Gen.choose(0L, 200L)
+      len <- Gen.choose(1L, 60L)
+    } yield (key, s, s + len))
+
+  test("intervalAudit ⟂ mergeIntervals: per key, gap_total == span − merged coverage") {
+    import graft.operators.Temporal
+    forAll(intervalsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("key", "s", "e")
+        val audit = Temporal.intervalAudit(df, col("key"), col("s"), col("e"))
+          .as[(Int, Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+        val islands = Temporal.mergeIntervals(df, col("key"), col("s"), col("e"))
+          .as[(Int, Long, Long, Long)].collect().groupBy(_._1)
+        val byKey = rows.groupBy(_._1)
+        byKey.foreach { case (k, rs) =>
+          val (nInt, nOv, gap) = audit(k)
+          assert(nInt == rs.size)
+          val span = rs.map(_._3).max - rs.map(_._2).min
+          val coverage = islands(k).map(i => i._3 - i._2).sum
+          assert(gap == span - coverage,
+            s"key $k: gap $gap != span $span - coverage $coverage")
+          assert(nOv >= 0 && nOv <= nInt - islands(k).size,
+            s"key $k: overlap count $nOv out of range")
+        }
+        CacheScope.releaseAll()
+      }
+    }
+  }
+
+  private val smallDocsGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(8, for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.choose(0, 5).map(i => s"w$i"))
+    } yield ws.mkString(" ")).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("containmentPairs: bounds hold — shared ≤ min side, permilles ≤ 1000, a < b") {
+    import graft.operators.NearDup
+    forAll(smallDocsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val got = NearDup.containmentPairs(rows.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), 0L)
+          .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+        got.foreach { case (a, b, sh, na, nb, ca, cb) =>
+          assert(a < b, s"pair order broken: $a, $b")
+          assert(sh <= math.min(na, nb), s"shared $sh exceeds a side ($na, $nb)")
+          assert(ca <= 1000 && cb <= 1000 && ca >= 0 && cb >= 0)
+          assert(ca == sh * 1000 / na && cb == sh * 1000 / nb)
+        }
+        CacheScope.releaseAll()
+      }
+    }
+  }
+
+  test("cooldownSchedule: endpoints hit the start/end mixes exactly, plans bounded") {
+    import graft.operators.Sampling
+    val docs = (0 until 60).map(i => (i.toLong, s"l${i % 3}")).toDF("doc_id", "lang")
+    val start = Map("l0" -> 900L, "l1" -> 100L, "l2" -> 0L)
+    val end = Map("l0" -> 100L, "l1" -> 500L, "l2" -> 400L)
+    val got = Sampling.cooldownSchedule(docs, col("lang"), start, end, 5)
+      .as[(Long, String, Long, Long, Long)].collect()
+    got.foreach { case (ep, st, w, n, planned) =>
+      if (ep == 0) assert(w == start(st), s"epoch 0 $st: $w != ${start(st)}")
+      if (ep == 4) assert(w == end(st), s"epoch 4 $st: $w != ${end(st)}")
+      assert(w >= math.min(start(st), end(st)) && w <= math.max(start(st), end(st)),
+        s"interpolated weight $w outside endpoints for $st")
+      assert(planned == n * w / 1000 && planned <= n)
+    }
+    assert(got.length == 15, s"expected 5 epochs x 3 strata, got ${got.length}")
+    CacheScope.releaseAll()
+  }
 }

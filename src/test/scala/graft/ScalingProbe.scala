@@ -266,6 +266,34 @@ object ScalingProbe {
           .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
         graft.operators.Multimodal.videoDupPairs(
           graft.operators.Multimodal.videoFrameHashes(dense, 4), 3, 3)
+      },
+      // round-11 second wave. sim11 runs the production framing (fixed
+      // 1×-sample query set, graph over the growing corpus — cell count
+      // scales so within-cell kNN lists stay constant-size); c7 scans
+      // the growing corpus against a FIXED benchmark (bench = the 1×
+      // %50 sample), the decontamination deployment shape — the corpus
+      // window expansion is the linear cost, the bench hash set
+      // broadcasts; dsub2 measures the mask application on top of the
+      // dsub1 shape (same splice, plus the broadcast mask re-join).
+      "sim11_graph_walk" -> { d =>
+        val e = Tables.embeddings(spark, d)
+        Similarity.graphWalk(e, Similarity.mutualKnn(e, "label", 5),
+          e.filter(col("vec_id") % (Stride * 50) === 0), 5)
+      },
+      "c7_substring_contam" -> { d =>
+        val docs = Tables.documents(spark, d)
+        NearDup.benchSubstrSpans(docs,
+          docs.filter(col("doc_id") % (Stride * 50) === 0),
+          col("doc_id"), col("text"), 8)
+      },
+      "dsub2_substring_mask" -> { d =>
+        val docs = Tables.documents(spark, d)
+        val q = docs.select(col("doc_id").as("q_id"), col("text").as("q_text"))
+        val spliced = docs.join(q,
+          (expr("doc_id DIV 16") % 25) * 16 + col("doc_id") % 16 === col("q_id"))
+          .select(col("doc_id"),
+            concat(col("text"), lit(" "), col("q_text"), lit(" "), col("text")).as("text"))
+        NearDup.exactSubstrMask(spliced, col("doc_id"), col("text"), 8)
       })
 
     // dev-only subset (comma-separated workload names) for measuring
