@@ -98,15 +98,14 @@ object NearDup {
     * inclusive 0-based token positions, one row per maximal span. */
   /** Stride-1 n-token window hashes: (doc_id, w, h) — one row per token
     * position, 16 bytes each, never window text. The shared carrier of
-    * the exact-substring family (dsub1 within-corpus, c7 vs benchmark). */
+    * the exact-substring family (dsub1 within-corpus, c7 vs benchmark).
+    * Hashing runs in ONE native per-row call (TextHashExprs.WindowHashSigs
+    * — direct md5-byte parse, no per-window hex-string round trip); docs
+    * with < n tokens hash to null and posexplode drops them. */
   private[graft] def windowHashes(docs: DataFrame, id: Column, text: Column,
       n: Int): DataFrame =
-    docs.select(id.as("doc_id"), graft.functions.F.tokens(text).as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("tk")) - n),
-        i => conv(substring(md5(array_join(
-          slice(col("tk"), i + 1, lit(n)), " ")), 1, 15), 16, 10).cast("long"))))
+    docs.select(id.as("doc_id"), TextHashExprs.windowHashes(text, n).as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")))
       .select(col("doc_id"), col("pos").cast("long").as("w"), col("col").as("h"))
 
   /** Fuse covered windows into maximal per-doc spans: half-open

@@ -74,6 +74,11 @@ object GraftExtensions {
         if (args.length > 1) intLit(args(1), "graft_minhash_sigs", "numHashes") else 16,
         if (args.length > 2) intLit(args(2), "graft_minhash_sigs", "n") else 3)
     },
+    fn("graft_window_hashes",
+        "stride-1 n-token window hash array (exact-substring carrier)") { args =>
+      arity("graft_window_hashes", args, 2 to 2)
+      WindowHashSigs(args.head, intLit(args(1), "graft_window_hashes", "n"))
+    },
     fn("graft_simhash64", "64-bit SimHash signature over whitespace tokens") { args =>
       arity("graft_simhash64", args, 1 to 1)
       SimHashSig64(args.head, 99, 98)

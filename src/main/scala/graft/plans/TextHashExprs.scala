@@ -141,6 +141,28 @@ object TextHash {
     }
   }
 
+  /** Stride-1 n-token window hashes (the exact-substring family's
+    * carrier: dsub1/dsub2/c7/c8): hash i = 60-bit md5 prefix of
+    * tokens[i..i+n-1] joined by single spaces — bit-identical to the
+    * oracle's ('0x'||substr(md5(...),1,15))::BIGINT — computed in ONE
+    * per-row loop. The HOF formulation (slice + array_join + md5 +
+    * substring + conv PER WINDOW) built a hex string and re-parsed it
+    * for every position; this digests bytes directly (the dHash64
+    * lesson). Deliberately UNCACHED: window strings are near-unique
+    * (position-shifted), so the Zipfian token cache would only churn.
+    * Docs with < n tokens → null (posexplode drops them, matching the
+    * composed version's size filter). */
+  def windowHashKernel(input: UTF8String, n: Int): ArrayData = {
+    val sh = shingles(input.toString, n)
+    if (sh.isEmpty) null
+    else {
+      val out = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) { out(i) = md5Prefix60(sh(i)); i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
   /** SimHash: every token (with multiplicity) votes ±1 per bit position
     * of its hash; bit b of the result is 1 iff the vote sum is positive. */
   def simhashKernel(input: UTF8String, bits: Int, seed: Int): Long = {
@@ -312,9 +334,29 @@ case class TokenFingerprint(child: Expression)
   override protected def withNewChildInternal(c: Expression): TokenFingerprint = copy(child = c)
 }
 
+/** Stride-1 n-token window hash array (see TextHash.windowHashKernel). */
+case class WindowHashSigs(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // < n tokens → null
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.windowHashKernel(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"""
+       |${ev.value} = graft.plans.TextHash.windowHashKernel($in, $n);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): WindowHashSigs = copy(child = c)
+}
+
 object TextHashExprs {
   def tokenFingerprint(text: Column): Column =
     ColumnBridge.column(TokenFingerprint(ColumnBridge.expression(text)))
+  def windowHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WindowHashSigs(ColumnBridge.expression(text), n))
   def minhashSigs(text: Column, numHashes: Int = 16, n: Int = 3): Column =
     ColumnBridge.column(MinHashSigs(ColumnBridge.expression(text), numHashes, n))
   def simhashSig(text: Column, bits: Int = 32, seed: Int = 99): Column =

@@ -212,19 +212,16 @@ object DocStream {
   def contamGate(docs: DataFrame, fp: org.apache.spark.util.sketch.BloomFilter,
       n: Int): DataFrame = {
     import graft.plans.BloomJoin
-    // same tokenization as the batch scan (NearDup.windowHashes): raw
-    // trim-split, no lowercasing — verbatim means verbatim
-    val tk = graft.functions.F.tokens(col("text"))
-    val wins = when(size(col("__tk")) >= n, expr(
-      s"transform(sequence(0, size(__tk) - $n), i -> " +
-        s"CAST(conv(substring(md5(array_join(slice(__tk, i + 1, $n), ' ')), 1, 15), 16, 10) AS LONG))"))
-      .otherwise(array().cast("array<long>"))
+    // the same native window-hash kernel as the batch scan
+    // (TextHashExprs.WindowHashSigs — raw trim-split tokens, no
+    // lowercasing: verbatim means verbatim). A doc with < n tokens
+    // hashes to null = no windows = cannot be contaminated → kept.
+    val wins = graft.plans.TextHashExprs.windowHashes(col("text"), n)
     docs
-      .withColumn("__tk", tk)
       .withColumn("__hit",
-        exists(wins, w => BloomJoin.mightContain(w, fp)))
+        coalesce(exists(wins, w => BloomJoin.mightContain(w, fp)), lit(false)))
       .filter(!col("__hit"))
-      .drop("__tk", "__hit")
+      .drop("__hit")
   }
 
   /** Drive the contamination gate over a parquet directory as a stream
