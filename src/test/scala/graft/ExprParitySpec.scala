@@ -45,6 +45,29 @@ class ExprParitySpec extends AnyFunSuite {
     assert(!native.contains(2L)) // <3 tokens → no signature
   }
 
+  test("WindowHashSigs == composed slice/join/md5/conv per position") {
+    val docs = Seq(
+      (0L, "a b c d e f g"),
+      (1L, "x y z"),
+      (2L, "under"), // < n tokens → null
+      (3L, "  padded   tokens  here  with   runs ")
+    ).toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+        graft.plans.TextHashExprs.windowHashes(col("text"), 3).as("ws"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    val composed = docs
+      .select(col("doc_id"), graft.functions.F.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        when(size(col("tk")) >= 3, expr(
+          "transform(sequence(0, size(tk) - 3), i -> " +
+            "CAST(conv(substring(md5(array_join(slice(tk, i + 1, 3), ' ')), 1, 15), 16, 10) AS LONG))"))
+          .as("ws"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(native == composed)
+    assert(native(2L).isEmpty, "< n tokens must yield null")
+    assert(native(0L).get.length == 5)
+  }
+
   test("NormalizeText: composed/decomposed unify, NFKC folds compatibility forms") {
     import graft.plans.TextNormExpr.normalize
     val composed = "caf\u00e9"    // \u00e9 precomposed
