@@ -550,6 +550,44 @@ object Multimodal {
         sum(col("w") * col("h")).cast("long").as("total_px"))
   }
 
+  /** m8 — broadcastable corpus IMAGE fingerprint: a bloom over the
+    * corpus phashes' 4×16-bit band keys (the same banding as the
+    * [[imageDupPairs]] join, key = band·2¹⁶ + bits). KBs per million
+    * images — the artifact a batch job publishes so ingest can gate
+    * incoming images against a 100 TB visual corpus without joining
+    * anything. */
+  def imageFingerprint(hashes: DataFrame,
+      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter =
+    graft.plans.BloomJoin.buildFilter(
+      hashes.select(explode(array((0 until 4).map(b =>
+        expr(s"CAST($b AS BIGINT) * 65536 + " +
+          s"(shiftrightunsigned(phash, ${16 * b}) & 65535)")): _*)).as("k")),
+      col("k"), fpp)
+
+  /** m8 — visual-dup admission gate (d8's admit pattern transplanted to
+    * images): admit only images sharing NO phash band with the corpus
+    * fingerprint. Pure per-row map — decode + dHash ([[imageDHash]]'s
+    * real-PNG-else-lattice path) + 4 bloom probes — so the identical
+    * plan runs batch or streaming (stateless, rerun-stable; stream ≡
+    * batch pinned in ScaleSpec). Conservative by construction: an exact
+    * or ≤2-bit-edit duplicate ALWAYS shares ≥2 bands (no false
+    * negatives from the bloom), so no true visual dup is ever admitted;
+    * band-candidate rejection skips the Hamming verify (row-local
+    * decision), over-rejecting ~fpp plus genuine band collisions —
+    * the same trade the text admission gate documents. Intra-batch
+    * dups pass (stateless); they belong to the scheduled m4 compaction.
+    * Output: admitted (doc_id, phash). */
+  def imageAdmit(media: Dataset[MediaRow],
+      fp: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    import graft.plans.BloomJoin
+    val hit = (0 until 4).map(b =>
+        BloomJoin.mightContain(expr(s"CAST($b AS BIGINT) * 65536 + " +
+          s"(shiftrightunsigned(phash, ${16 * b}) & 65535)"), fp))
+      .reduce(_ || _)
+    imageDHash(media).withColumn("__hit", hit)
+      .filter(!col("__hit")).drop("__hit")
+  }
+
   /** Resize plumbing: aspect-preserving fit into a maxDim bounding box —
     * the metadata contract a real resize kernel satisfies (never
     * upscales; floor semantics; at scale the pixel work runs inside the

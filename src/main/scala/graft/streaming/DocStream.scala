@@ -240,6 +240,29 @@ object DocStream {
     q
   }
 
+  /** Drive the visual-dup admission gate
+    * ([[graft.operators.Multimodal.imageAdmit]]) over a parquet
+    * directory of media rows (doc_id, payload, mime) as a stream
+    * (AvailableNow) into a memory sink. */
+  def runImageAdmitAvailableNow(spark: SparkSession, mediaDir: String,
+      fp: org.apache.spark.util.sketch.BloomFilter,
+      outName: String): StreamingQuery = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+    val mediaSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType), StructField("mime", StringType)))
+    val src = spark.readStream.schema(mediaSchema).parquet(mediaDir)
+    import spark.implicits._
+    val q = graft.operators.Multimodal.imageAdmit(
+        src.as[graft.operators.Multimodal.MediaRow], fp).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming twin of idx2 — incremental indexing (the Lucene ingest
     * model): each micro-batch builds a [[graft.operators.Retrieval
     * .postingsIndex]] segment over ONLY its own documents (O(batch)

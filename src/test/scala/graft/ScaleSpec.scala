@@ -820,6 +820,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("streaming image admission: stream ≡ batch, no visual dup of the corpus admitted") {
+    import graft.streaming.DocStream
+    import graft.operators.Multimodal
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    // the pixel fixture keys content on doc_id % 251, so the group
+    // RESIDUE decides novelty: corpus = groups < 126, batch = all —
+    // batch members in groups < 126 are visual dups (identical or
+    // one-pixel-edited re-encodes) and must reject; groups >= 126 are
+    // genuinely new images and must (mostly) admit
+    val corpus = Multimodal.syntheticPixelImages(
+      docs.filter(col("doc_id") % 251 < 126))
+    val fp = Multimodal.imageFingerprint(Multimodal.imageDHash(corpus))
+    val batchMedia = Multimodal.syntheticPixelImages(docs)
+    val dir = java.nio.file.Files.createTempDirectory("img_admit")
+    batchMedia.toDF().coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    DocStream.runImageAdmitAvailableNow(spark, dir.toString, fp, "img_admit_out")
+    val streamed = spark.table("img_admit_out")
+    val batch = Multimodal.imageAdmit(batchMedia, fp)
+    assert(streamed.count() > 0 && streamed.count() < batchMedia.count(),
+      "gate should admit the new groups and reject the corpus twins")
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "stream must equal batch exactly (stateless gate)")
+    // no admitted image pairs with the corpus under the m4 gate
+    val cross = graft.operators.NearDup.simhashPairs(
+      Multimodal.imageDHash(corpus).select(col("doc_id"), col("phash").as("simhash"))
+        .unionByName(streamed.select(col("doc_id") + 1000000, col("phash").as("simhash"))
+          .toDF("doc_id", "simhash")), 3)
+      .filter((col("id_a") < 1000000) =!= (col("id_b") < 1000000))
+    assert(cross.count() == 0, "an admitted image is a visual dup of the corpus")
+    CacheScope.releaseAll()
+  }
+
   test("streaming contamination gate emits exactly the batch result, never admits contaminated") {
     import graft.streaming.DocStream
     import graft.operators.NearDup
