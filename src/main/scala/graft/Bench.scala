@@ -137,7 +137,8 @@ object Bench {
     "c7_substring_contam", "c8_surgical_decontam", "m7_media_dims_card",
     "e19_conversion_lag", "tx17_freq_spectrum",
     "lm3_bigram_familiarity", "idx4_compaction_plan",
-    "d17_containment_pairs", "t14_interval_audit", "mix7_cooldown_schedule")
+    "d17_containment_pairs", "t14_interval_audit", "mix7_cooldown_schedule",
+    "d19_char_ngram_dedup")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

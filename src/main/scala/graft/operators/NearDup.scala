@@ -272,6 +272,33 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-doc CHARACTER-shingle arrays (multiset, document order) — the
+    * verification carrier for the char-level LSH. */
+  def charShingleArrays(docs: DataFrame, id: Column, text: Column,
+      n: Int = 4): DataFrame =
+    docs.select(id.as("doc_id"), TextHashExprs.charShingles(lower(text), n).as("sh_arr"))
+
+  /** d19 — char-n-gram MinHash-LSH near-dup pairs: d2's pipeline with
+    * CHARACTER n-grams as the shingle unit — the variant space-free
+    * scripts need (CJK text whitespace-tokenizes into whole clauses, so
+    * word-shingle Jaccard reads any two different sentences as
+    * disjoint and any shared clause as identical; char n-grams restore
+    * the graded overlap signal). Same 16 affine-permuted md5 minhashes,
+    * same (16, 4) banding, same exact-Jaccard verify — only the
+    * shingle unit changes, so every scale property of d2 carries over
+    * unchanged (signatures are a pure map, one band-key shuffle,
+    * verification on candidates only). */
+  def minhashLshChar(docs: DataFrame, id: Column, text: Column,
+      threshold: Double, n: Int = 4): DataFrame = {
+    val sigs = graft.CacheScope.persist(
+      docs.select(id.as("doc_id"),
+          TextHashExprs.minhashCharSigs(lower(text), 16, n).as("sigs"))
+        .filter(col("sigs").isNotNull))
+    sigs.count()
+    jaccardPairs(candidates(bands(sigs)), charShingleArrays(docs, id, text, n))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** d17 — containment pairs (asymmetric near-dup): for band-collision
     * candidates, the integer-permille CONTAINMENT in each direction —
     * |A∩B|·1000 DIV |A| and DIV |B| over distinct shingle sets — kept

@@ -74,6 +74,18 @@ object GraftExtensions {
         if (args.length > 1) intLit(args(1), "graft_minhash_sigs", "numHashes") else 16,
         if (args.length > 2) intLit(args(2), "graft_minhash_sigs", "n") else 3)
     },
+    fn("graft_char_shingles",
+        "character n-gram shingles by code point (space-free scripts)") { args =>
+      arity("graft_char_shingles", args, 2 to 2)
+      CharShingles(args.head, intLit(args(1), "graft_char_shingles", "n"))
+    },
+    fn("graft_minhash_char_sigs",
+        "MinHash signature array over character n-grams") { args =>
+      arity("graft_minhash_char_sigs", args, 1 to 3)
+      MinHashCharSigs(args.head,
+        if (args.length > 1) intLit(args(1), "graft_minhash_char_sigs", "numHashes") else 16,
+        if (args.length > 2) intLit(args(2), "graft_minhash_char_sigs", "n") else 4)
+    },
     fn("graft_window_hashes",
         "stride-1 n-token window hash array (exact-substring carrier)") { args =>
       arity("graft_window_hashes", args, 2 to 2)

@@ -104,6 +104,26 @@ object TextHash {
     }
   }
 
+  /** Sliding CHARACTER n-grams by Unicode code point — the shingle unit
+    * for space-free scripts (CJK), where whitespace word shingles
+    * collapse whole clauses into one token and near-dups become
+    * invisible. Code-point (not UTF-16 code-unit) stepping matches
+    * DuckDB's substr character semantics for any plane. Fewer than n
+    * code points → empty. */
+  def charShingles(text: String, n: Int): Array[String] = {
+    val cps = text.codePoints().toArray
+    if (cps.length < n) Array.empty
+    else {
+      val out = new Array[String](cps.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        out(i) = new String(cps, i, n)
+        i += 1
+      }
+      out
+    }
+  }
+
   // ---- static per-row kernels, called from generated code ----
 
   /** Shingle array as Catalyst ArrayData (WordShingles kernel). */
@@ -122,6 +142,41 @@ object TextHash {
     * hash-function version was the dominant CPU cost of the bench). */
   def minhashKernel(input: UTF8String, numHashes: Int, n: Int): ArrayData = {
     val sh = shingles(input.toString, n)
+    if (sh.isEmpty) null
+    else {
+      val p = MersenneP
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < sh.length) {
+        val x = baseHash60(sh(i)) % p
+        var h = 0
+        while (h < numHashes) {
+          val v = (permA(h) * x + permB(h)) % p
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+    }
+  }
+
+  /** Char-shingle array as Catalyst ArrayData (distinct NOT applied —
+    * multiset in document order, the [[shingleKernel]] contract). */
+  def charShingleKernel(input: UTF8String, n: Int): ArrayData = {
+    val sh = charShingles(input.toString, n)
+    val out = new Array[Any](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = UTF8String.fromString(sh(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** MinHash signature over CHARACTER n-grams — [[minhashKernel]] with
+    * the char shingle unit; same affine permutations and md5 base, so
+    * the DuckDB oracle formula carries over verbatim. Null for texts
+    * with < n code points. */
+  def minhashCharKernel(input: UTF8String, numHashes: Int, n: Int): ArrayData = {
+    val sh = charShingles(input.toString, n)
     if (sh.isEmpty) null
     else {
       val p = MersenneP
@@ -334,6 +389,39 @@ case class TokenFingerprint(child: Expression)
   override protected def withNewChildInternal(c: Expression): TokenFingerprint = copy(child = c)
 }
 
+/** Character n-gram shingles by code point (see TextHash.charShingles). */
+case class CharShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.charShingleKernel(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.TextHash.charShingleKernel($in, $n);")
+
+  override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
+}
+
+/** MinHash signature over character n-grams (space-free-script LSH). */
+case class MinHashCharSigs(child: Expression, numHashes: Int, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // < n code points → null
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.minhashCharKernel(input.asInstanceOf[UTF8String], numHashes, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => s"""
+       |${ev.value} = graft.plans.TextHash.minhashCharKernel($in, $numHashes, $n);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinHashCharSigs = copy(child = c)
+}
+
 /** Stride-1 n-token window hash array (see TextHash.windowHashKernel). */
 case class WindowHashSigs(child: Expression, n: Int)
     extends UnaryExpression {
@@ -357,6 +445,10 @@ object TextHashExprs {
     ColumnBridge.column(TokenFingerprint(ColumnBridge.expression(text)))
   def windowHashes(text: Column, n: Int): Column =
     ColumnBridge.column(WindowHashSigs(ColumnBridge.expression(text), n))
+  def charShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(CharShingles(ColumnBridge.expression(text), n))
+  def minhashCharSigs(text: Column, numHashes: Int = 16, n: Int = 4): Column =
+    ColumnBridge.column(MinHashCharSigs(ColumnBridge.expression(text), numHashes, n))
   def minhashSigs(text: Column, numHashes: Int = 16, n: Int = 3): Column =
     ColumnBridge.column(MinHashSigs(ColumnBridge.expression(text), numHashes, n))
   def simhashSig(text: Column, bits: Int = 32, seed: Int = 99): Column =

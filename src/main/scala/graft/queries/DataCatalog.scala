@@ -5119,6 +5119,44 @@ object DataCatalog {
       "WHERE greatest(coalesce(i.i, 0) * 1000 // ca.n, " +
       "coalesce(i.i, 0) * 1000 // cb.n) >= 800" + OBA))
 
+  // D19 — char-n-gram MinHash-LSH near-dup pairs: d2's pipeline with
+  // CHARACTER 4-grams, the variant space-free scripts need (CJK
+  // whitespace-tokenizes into whole clauses). Fixture: every zh doc
+  // gains a one-char-appended twin (id + 10000) — the char-level
+  // near-dup word shingles cannot see; natural cross-doc char overlaps
+  // in the shared-vocab corpus exercise the verify gate.
+  val d19 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val twins = docs.filter(col("lang") === "zh")
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit("之")).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(twins)
+      ordered(NearDup.minhashLshChar(corpus, col("doc_id"), col("text"), 0.6))
+    },
+    Some("WITH src3 AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 10000, text || '之' FROM documents WHERE lang = 'zh'), " +
+      "lt AS (SELECT doc_id, lower(text) AS text FROM src3), " +
+      "sh AS (SELECT DISTINCT doc_id, substr(text, i, 4) AS sh FROM lt, " +
+      "unnest(range(1, len(text) - 2)) u(i)), " +
+      "mins AS (SELECT doc_id, h, min(((((2*h+1)*2654435761) % 2147483647) * " +
+      "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
+      "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
+      "FROM sh, unnest(range(0, 16)) t(h) GROUP BY doc_id, h), " +
+      "sigs AS (SELECT doc_id, h // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY h) AS sig " +
+      "FROM mins GROUP BY doc_id, h // 4), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b " +
+      "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+      "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand c " +
+      "JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b " +
+      "AND sb.sh = sa.sh GROUP BY c.id_a, c.id_b) " +
+      "SELECT c.id_a, c.id_b, " +
+      "coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) AS jaccard " +
+      "FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b " +
+      "JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b " +
+      "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.6" + OBA))
+
   // T14 — interval integrity audit over the t8 interval fixture: per
   // user, counts of overlapping intervals (exact, non-adjacent
   // included, via the running-max-end flag) and total uncovered gap —
@@ -5639,5 +5677,5 @@ object DataCatalog {
     "e19_conversion_lag" -> e19, "tx17_freq_spectrum" -> tx17,
     "lm3_bigram_familiarity" -> lm3, "idx4_compaction_plan" -> idx4,
     "d17_containment_pairs" -> d17, "t14_interval_audit" -> t14,
-    "mix7_cooldown_schedule" -> mix7)
+    "mix7_cooldown_schedule" -> mix7, "d19_char_ngram_dedup" -> d19)
 }

@@ -68,6 +68,41 @@ class ExprParitySpec extends AnyFunSuite {
     assert(native(0L).get.length == 5)
   }
 
+  test("CharShingles: code-point stepping matches substring semantics incl. non-ASCII") {
+    val docs = Seq((0L, "abcde"), (1L, "汉字测试文"), (2L, "xy")).toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+        graft.plans.TextHashExprs.charShingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native(0L) == Seq("abc", "bcd", "cde"))
+    assert(native(1L) == Seq("汉字测", "字测试", "测试文"))
+    assert(native(2L) == Seq.empty, "< n code points must yield empty")
+    // the composed substring formulation agrees (DuckDB substr twin)
+    val composed = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))").as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(composed.forall { case (k, v) => native(k) == v })
+  }
+
+  test("MinHashCharSigs == groupBy-min of affine-permuted base hash over char shingles") {
+    val docs = Seq((0L, "the quick brown"), (1L, "汉字测试文本内容")).toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+        graft.plans.TextHashExprs.minhashCharSigs(lower(col("text")), 4, 4).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val p = TextHash.MersenneP
+    def perm(h: Int) = {
+      val base = conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long") % p
+      (lit(TextHash.permA(h)) * base + lit(TextHash.permB(h))) % p
+    }
+    val sh = docs.select(col("doc_id"),
+        explode(graft.plans.TextHashExprs.charShingles(lower(col("text")), 4)).as("sh"))
+    val sqlWay = sh.groupBy(col("doc_id"))
+      .agg(min(perm(0)).as("m0"), (1 until 4).map(h => min(perm(h)).as(s"m$h")): _*)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    assert(native == sqlWay)
+  }
+
   test("NormalizeText: composed/decomposed unify, NFKC folds compatibility forms") {
     import graft.plans.TextNormExpr.normalize
     val composed = "caf\u00e9"    // \u00e9 precomposed
