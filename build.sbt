@@ -56,4 +56,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${resolvedHeapMb}m",
+  // The bench session runs 250+ whole-stage-codegen queries in one JVM;
+  // the JDK default 240 MB reserved code cache fills late in the
+  // session, forcing flushes/interpreted fallbacks — the measured
+  // "session-position drift" where late-headline queries run 1.3-1.5x
+  // their isolated medians (ARCHITECTURE.md). 512 MB keeps the whole
+  // suite's generated code resident.
+  "-XX:ReservedCodeCacheSize=512m",
 )

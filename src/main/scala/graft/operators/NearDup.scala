@@ -283,19 +283,26 @@ object NearDup {
     * scripts need (CJK text whitespace-tokenizes into whole clauses, so
     * word-shingle Jaccard reads any two different sentences as
     * disjoint and any shared clause as identical; char n-grams restore
-    * the graded overlap signal). Same 16 affine-permuted md5 minhashes,
-    * same (16, 4) banding, same exact-Jaccard verify — only the
-    * shingle unit changes, so every scale property of d2 carries over
-    * unchanged (signatures are a pure map, one band-key shuffle,
-    * verification on candidates only). */
+    * the graded overlap signal). Same 16 affine-permuted md5 minhashes
+    * and exact-Jaccard verify — the shingle unit changes, and the
+    * BANDING narrows to (2 bands × 8 rows): char n-grams share
+    * incidental interior grams across any same-language corpus (base
+    * similarity ~0.3–0.5 where word shingles sit near 0), so d2's
+    * (4 × 4) banding floods the candidate join at char level
+    * (measured: 159k candidates on 1.5k docs); 8-row bands keep
+    * P(collision) = J⁸ — negligible at base similarity, ~0.98 for the
+    * ≥0.9-J re-encode/one-char-edit regime this variant hunts. Every
+    * other scale property of d2 carries over (map-only signatures, one
+    * band-key shuffle, candidates-only verification). */
   def minhashLshChar(docs: DataFrame, id: Column, text: Column,
-      threshold: Double, n: Int = 4): DataFrame = {
+      threshold: Double, n: Int = 4, rowsPerBand: Int = 8): DataFrame = {
     val sigs = graft.CacheScope.persist(
       docs.select(id.as("doc_id"),
           TextHashExprs.minhashCharSigs(lower(text), 16, n).as("sigs"))
         .filter(col("sigs").isNotNull))
     sigs.count()
-    jaccardPairs(candidates(bands(sigs)), charShingleArrays(docs, id, text, n))
+    jaccardPairs(candidates(bands(sigs, 16, rowsPerBand)),
+        charShingleArrays(docs, id, text, n))
       .filter(col("jaccard") >= threshold)
   }
 

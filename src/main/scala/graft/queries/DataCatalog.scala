@@ -5121,21 +5121,26 @@ object DataCatalog {
 
   // D19 — char-n-gram MinHash-LSH near-dup pairs: d2's pipeline with
   // CHARACTER 4-grams, the variant space-free scripts need (CJK
-  // whitespace-tokenizes into whole clauses). Fixture: every zh doc
-  // gains a one-char-appended twin (id + 10000) — the char-level
-  // near-dup word shingles cannot see; natural cross-doc char overlaps
-  // in the shared-vocab corpus exercise the verify gate.
+  // whitespace-tokenizes into whole clauses). Fixture: zh docs with
+  // residue-suffixed tokens (the tx17 vocabulary spread — the base
+  // corpus's 31-word vocab makes ALL docs char-similar, which floods
+  // the band join; the suffix bounds candidate classes to same-residue
+  // docs), each gaining a one-char-appended twin (id + 10000) — the
+  // char-level near-dup word shingles cannot see.
   val d19 = Q(
     (s, d) => {
-      val docs = documents(s, d)
-      val twins = docs.filter(col("lang") === "zh")
-        .select((col("doc_id") + 10000).as("doc_id"),
-          concat(col("text"), lit("之")).as("text"))
-      val corpus = docs.select(col("doc_id"), col("text")).unionByName(twins)
-      ordered(NearDup.minhashLshChar(corpus, col("doc_id"), col("text"), 0.6))
+      val zh = documents(s, d).filter(col("lang") === "zh")
+        .select(col("doc_id"), regexp_replace(col("text"),
+          lit("(\\S+)"), concat(lit("$1~"), col("doc_id") % 97)).as("text"))
+      val twins = zh.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit("之")).as("text"))
+      ordered(NearDup.minhashLshChar(zh.unionByName(twins),
+        col("doc_id"), col("text"), 0.9))
     },
-    Some("WITH src3 AS (SELECT doc_id, text FROM documents UNION ALL " +
-      "SELECT doc_id + 10000, text || '之' FROM documents WHERE lang = 'zh'), " +
+    Some("WITH zh AS (SELECT doc_id, regexp_replace(text, '(\\S+)', " +
+      "'\\1~' || (doc_id % 97), 'g') AS text FROM documents WHERE lang = 'zh'), " +
+      "src3 AS (SELECT doc_id, text FROM zh UNION ALL " +
+      "SELECT doc_id + 10000, text || '之' FROM zh), " +
       "lt AS (SELECT doc_id, lower(text) AS text FROM src3), " +
       "sh AS (SELECT DISTINCT doc_id, substr(text, i, 4) AS sh FROM lt, " +
       "unnest(range(1, len(text) - 2)) u(i)), " +
@@ -5143,8 +5148,8 @@ object DataCatalog {
       "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
       "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
       "FROM sh, unnest(range(0, 16)) t(h) GROUP BY doc_id, h), " +
-      "sigs AS (SELECT doc_id, h // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY h) AS sig " +
-      "FROM mins GROUP BY doc_id, h // 4), " +
+      "sigs AS (SELECT doc_id, h // 8 AS band, string_agg(mh::VARCHAR, ',' ORDER BY h) AS sig " +
+      "FROM mins GROUP BY doc_id, h // 8), " +
       "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b " +
       "ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
       "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
@@ -5155,7 +5160,7 @@ object DataCatalog {
       "coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) AS jaccard " +
       "FROM cand c LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b " +
       "JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b " +
-      "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.6" + OBA))
+      "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.9" + OBA))
 
   // T14 — interval integrity audit over the t8 interval fixture: per
   // user, counts of overlapping intervals (exact, non-adjacent
