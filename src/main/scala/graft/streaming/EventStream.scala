@@ -257,6 +257,65 @@ object EventStream {
     }.reduce(_.unionAll(_))
   }
 
+  /** Streaming twin of [[funnel]] (e5): per-user state is one Long per
+    * stage — the earliest time the user reached it under the batch
+    * funnel's chained-min rule (stage k's time = min ts of stage-k
+    * events STRICTLY after the final stage-(k−1) time). A single pass
+    * over time-sorted events computes that rule exactly: processing
+    * ascending (ts, event_id), each stage time is final the moment it
+    * is set (no earlier event remains), so a stage-k event qualifies
+    * iff its predecessor's final time is already set and smaller — the
+    * identical quantifier the batch chain evaluates, including the
+    * strict-inequality tie case in either processing order. Emits the
+    * user's highest reached stage per micro-batch (latest row wins);
+    * per-stage counts over the final rows ≡ the batch funnel card
+    * (pinned in ScaleSpec). Cross-batch LATE data degrades gracefully:
+    * a late stage-k event can only lower t(k) — never un-reach a
+    * stage — and the in-order contract is the same one the decay twin
+    * documents. */
+  def funnelStream(events: DataFrame, stages: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageArr = stages.toArray
+    val typed = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+    def fn(uid: Long, evs: Iterator[(Long, Long, Long, String)],
+        state: GroupState[Seq[Long]]): Iterator[FunnelOut] = {
+      val sorted = evs.toArray.sortBy(e => (e._2, e._3))
+      val t = state.getOption.getOrElse(Seq.fill(stageArr.length)(Long.MaxValue)).toArray
+      sorted.foreach { case (_, us, _, typ) =>
+        val k = stageArr.indexOf(typ)
+        if (k == 0) { if (us < t(0)) t(0) = us }
+        else if (k > 0 && t(k - 1) != Long.MaxValue && us > t(k - 1) && us < t(k))
+          t(k) = us
+      }
+      state.update(t.toSeq)
+      val reached = t.lastIndexWhere(_ != Long.MaxValue) + 1L
+      Iterator.single(FunnelOut(uid, reached))
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
+  /** Drive the funnel twin over a parquet directory as a stream
+    * (AvailableNow) into a memory sink. */
+  def runFunnelAvailableNow(spark: SparkSession, eventsDir: String,
+      stages: Seq[String], outName: String): StreamingQuery = {
+    val src = streamSource(spark, eventsDir)
+    val q = funnelStream(src, stages).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Run the streaming dedup end-to-end over a parquet directory into a
     * memory sink (same shape as runAvailableNow). */
   def runDedupAvailableNow(spark: SparkSession, eventsDir: String,
@@ -277,6 +336,8 @@ object EventStream {
 
   final case class TranscriptOut(user_id: Long,
       session_start: java.sql.Timestamp, n_events: Long, transcript: String)
+
+  final case class FunnelOut(user_id: Long, stage_reached: Long)
 
   final case class DecayOut(user_id: Long, n_events: Long, last_di: Long,
     score_micro: Long)

@@ -820,6 +820,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("streaming funnel: per-stage counts over emitted rows equal the batch funnel card") {
+    import graft.streaming.EventStream
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("ev_funnel")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stages = Seq("view", "click", "purchase")
+    EventStream.runFunnelAvailableNow(spark, dir.toString, stages, "funnel_out")
+    // latest emitted row per user is the final state (single batch here)
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("stage_reached").as("stage_reached"))
+    val streamCounts = stages.indices.map { i =>
+      streamed.filter(col("stage_reached") >= i + 1).count()
+    }
+    val batch = EventStream.funnel(Tables.events(spark, sf), stages)
+      .orderBy("stage_idx").select("n_users").as[Long].collect().toSeq
+    assert(streamCounts.map(_.toLong) == batch,
+      s"stream funnel $streamCounts != batch $batch")
+    assert(batch.head > 0 && batch.last > 0, "fixture should convert through all stages")
+    CacheScope.releaseAll()
+  }
+
   test("streaming image admission: stream ≡ batch, no visual dup of the corpus admitted") {
     import graft.streaming.DocStream
     import graft.operators.Multimodal
