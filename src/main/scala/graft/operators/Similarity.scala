@@ -209,6 +209,44 @@ object Similarity {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** sim12 — two-stage BINARY ANN (the compression ladder composed end
+    * to end): stage 1 nominates candidates from the 60-bit sign
+    * sketches — banded equi-join (4×15-bit keys) then a Hamming cap —
+    * touching 8 bytes per corpus vector; stage 2 re-scores ONLY the
+    * survivors with the exact strict-fold cosine and ranks top-k. The
+    * binary-embedding retrieval pattern: the full-precision corpus is
+    * read only for candidate ids (an id-equi fetch), so the scan-side
+    * payload is 32× smaller than SQ8 and the expensive math runs on a
+    * candidate set, not N. Recall is graded against exact truth by the
+    * catalog entry (eval1 protocol).
+    *
+    * Scale shape: sign sketches are a pure map; candidates come from a
+    * band equi-join + popcount filter (never a cross product — pinned);
+    * rerank joins are id-equi against the vector table. */
+  def topKSignRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      maxHamming: Int = 20): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 60, s"maxHamming in [0, 60], got $maxHamming")
+    def banded(sigs: DataFrame, idc: String, sc: String) =
+      sigs.select(col(idc), col(sc), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bk", expr(s"shiftright($sc, band * 15)") bitwiseAND lit(32767L))
+    val qs = signHash(queries).select(col("vec_id").as("query_id"), col("sig").as("qsig"))
+    val cs = signHash(corpus).select(col("vec_id").as("neighbor_id"), col("sig").as("csig"))
+    val cand = banded(qs, "query_id", "qsig")
+      .join(banded(cs, "neighbor_id", "csig"), Seq("band", "bk"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qsig", "csig").distinct()
+      .filter(bit_count(col("qsig") bitwiseXOR col("csig")) <= maxHamming)
+      .select("query_id", "neighbor_id")
+    val q = withNorm(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")), "query_id", "qv", "qn")
+    val c = withNorm(corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv")), "neighbor_id", "cv", "cn")
+    val scored = cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** IVF-style ANN: candidates restricted to the query's coarse cell. */
   def topKIvf(vectors: DataFrame, cellCol: String, k: Int): DataFrame = {
     val q = withNorm(vectors.select(col("vec_id").as("query_id"),

@@ -2080,6 +2080,67 @@ object DataCatalog {
       "FROM truth t LEFT JOIN walk w ON w.query_id = t.query_id " +
       "AND w.neighbor_id = t.neighbor_id GROUP BY t.query_id" + OBA))
 
+  // SIM12 — two-stage binary ANN recall card: sign-sketch band
+  // candidates (Hamming ≤ 20) exactly reranked, graded against
+  // brute-force truth — the compression ladder's cheapest index
+  // composed with exact scoring, scored by the eval1 protocol.
+  // Queries are emb10's 2-dim sign-perturbed twins (the regime binary
+  // banding serves: a Hamming-2 twin ALWAYS shares ≥ 2 of 4 bands, so
+  // stage 1 must nominate it and stage 2 must rank it by exact cosine);
+  // the base fixture's decorrelated vectors give banding near-zero
+  // candidates (measured: 2 corpus-wide), which would leave the rerank
+  // unexercised.
+  val sim12 = Q(
+    (s, d) => {
+      val e0 = embeddings(s, d)
+      val pert = e0.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), expr(
+          "transform(sequence(1, 64), i -> CASE WHEN i - 1 = vec_id % 60 " +
+            "OR i - 1 = (vec_id * 7 + 13) % 60 THEN -element_at(embedding, i) " +
+            "ELSE element_at(embedding, i) END)").as("embedding"))
+      val corpus = e0.select(col("vec_id"), col("embedding")).unionByName(pert)
+      val truth = graft.CacheScope.persist(Similarity.topK(pert, corpus, 5))
+      ordered(Similarity.annRecall(truth,
+        Similarity.topKSignRerank(pert, corpus, 5)))
+    },
+    Some("WITH pert AS (SELECT vec_id + 100000 AS vec_id, " +
+      "list_transform(range(1, 65), i -> CASE WHEN i - 1 = vec_id % 60 " +
+      "OR i - 1 = (vec_id * 7 + 13) % 60 THEN -embedding[i] ELSE embedding[i] END) AS embedding " +
+      "FROM embeddings WHERE vec_id % 25 = 0), " +
+      "all_e AS (SELECT vec_id, embedding FROM embeddings " +
+      "UNION ALL SELECT vec_id, embedding FROM pert), " +
+      "qq AS (SELECT vec_id AS query_id, embedding AS qv FROM pert), " +
+      "cc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM all_e), " +
+      "sg AS (SELECT vec_id, CAST(list_sum(list_transform(range(1, 61), " +
+      "i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS sig " +
+      "FROM all_e), " +
+      "qb AS (SELECT q.query_id, sg.sig AS qsig, u.b AS band, " +
+      "(sg.sig >> (u.b * 15)) & 32767 AS bk FROM qq q " +
+      "JOIN sg ON sg.vec_id = q.query_id, unnest(range(0, 4)) u(b)), " +
+      "cb AS (SELECT c.neighbor_id, sg.sig AS csig, u.b AS band, " +
+      "(sg.sig >> (u.b * 15)) & 32767 AS bk FROM cc c " +
+      "JOIN sg ON sg.vec_id = c.neighbor_id, unnest(range(0, 4)) u(b)), " +
+      "cand AS (SELECT DISTINCT query_id, neighbor_id FROM " +
+      "(SELECT qb.query_id, cb.neighbor_id, qb.qsig, cb.csig FROM qb " +
+      "JOIN cb ON qb.band = cb.band AND qb.bk = cb.bk " +
+      "WHERE qb.query_id <> cb.neighbor_id) " +
+      "WHERE bit_count(xor(qsig, csig)) <= 20), " +
+      "sc AS (SELECT cand.query_id, cand.neighbor_id, " + cosSql("qv", "cv") +
+      " AS cos FROM cand JOIN qq ON qq.query_id = cand.query_id " +
+      "JOIN cc ON cc.neighbor_id = cand.neighbor_id), " +
+      "appr AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn " +
+      "FROM sc) WHERE rn <= 5), " +
+      "tsc AS (SELECT qq.query_id, cc.neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM qq JOIN cc ON qq.query_id <> cc.neighbor_id), " +
+      "truth AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn " +
+      "FROM tsc) WHERE rn <= 5) " +
+      "SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth, " +
+      "CAST(sum(CASE WHEN w.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+      "FROM truth t LEFT JOIN appr w ON w.query_id = t.query_id " +
+      "AND w.neighbor_id = t.neighbor_id GROUP BY t.query_id" + OBA))
+
   // M4B — perceptual image dedup with the REAL pixel path: the fixture
   // encodes group-seeded noise rasters as genuine PNGs (zlib IDAT,
   // scanline filters cycling 0-4), and the operator decodes them
@@ -5682,5 +5743,6 @@ object DataCatalog {
     "e19_conversion_lag" -> e19, "tx17_freq_spectrum" -> tx17,
     "lm3_bigram_familiarity" -> lm3, "idx4_compaction_plan" -> idx4,
     "d17_containment_pairs" -> d17, "t14_interval_audit" -> t14,
-    "mix7_cooldown_schedule" -> mix7, "d19_char_ngram_dedup" -> d19)
+    "mix7_cooldown_schedule" -> mix7, "d19_char_ngram_dedup" -> d19,
+    "sim12_sign_rerank" -> sim12)
 }
