@@ -4839,6 +4839,58 @@ object DataCatalog {
       "v.state AS state_at " +
       "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.valid_from" + OBA))
 
+  // FS3 — wide point-in-time training matrix: label events as-of join
+  // TWO independently-versioned feature groups (categorical state +
+  // cents-exact numeric score), with a per-row feature-coverage count —
+  // the leakage-free multi-group materialization a trainer actually
+  // consumes (fs1 proves one group; real feature stores join many,
+  // each with its OWN version timeline, and the null mask per group is
+  // part of the matrix). Each group is one asofJoin pass (union +
+  // per-user window, never a pair join); composition is columnar, so
+  // adding a group adds one pass, not a rewrite.
+  val fs3 = Q(
+    (s, d) => {
+      val ev = events(s, d)
+      def versions(mod: Int, valCol: org.apache.spark.sql.Column, name: String) =
+        graft.operators.Dedup.keepOneByKey(
+          ev.filter(col("event_id") % mod === 0)
+            .select(col("user_id"), col("ts").as("valid_from"),
+              valCol.as(name), col("event_id")),
+          Seq(col("user_id"), col("valid_from")), Seq(col("event_id")))
+          .select("user_id", "valid_from", name)
+      val stateV = versions(7, col("event_type"), "state")
+      val scoreV = versions(5, round(col("value") * 100).cast("long"), "score_cents")
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("label_cents"))
+      val m1 = graft.operators.Temporal.asofJoin(
+        probes, stateV, "user_id", "ts", "valid_from", "state", "state_at")
+      val m2 = graft.operators.Temporal.asofJoin(
+        m1, scoreV, "user_id", "ts", "valid_from", "score_cents", "score_at_cents")
+      ordered(m2.withColumn("n_features_present",
+        col("state_at").isNotNull.cast("long") +
+          col("score_at_cents").isNotNull.cast("long")))
+    },
+    Some("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, " +
+      "event_type, value FROM events), " +
+      "p AS (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS label_cents " +
+      "FROM e WHERE event_type = 'purchase'), " +
+      "sv0 AS (SELECT user_id, ts AS valid_from, event_type AS state, " +
+      "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn " +
+      "FROM e WHERE event_id % 7 = 0), " +
+      "sv AS (SELECT user_id, valid_from, state FROM sv0 WHERE rn = 1), " +
+      "cv0 AS (SELECT user_id, ts AS valid_from, CAST(round(value * 100) AS BIGINT) AS score_cents, " +
+      "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn " +
+      "FROM e WHERE event_id % 5 = 0), " +
+      "cv AS (SELECT user_id, valid_from, score_cents FROM cv0 WHERE rn = 1), " +
+      "m1 AS (SELECT p.*, sv.state AS state_at FROM p ASOF LEFT JOIN sv " +
+      "ON p.user_id = sv.user_id AND p.ts >= sv.valid_from), " +
+      "m2 AS (SELECT m1.*, cv.score_cents AS score_at_cents FROM m1 ASOF LEFT JOIN cv " +
+      "ON m1.user_id = cv.user_id AND m1.ts >= cv.valid_from) " +
+      "SELECT event_id, user_id, ts, label_cents, state_at, score_at_cents, " +
+      "CAST((state_at IS NOT NULL)::INT + (score_at_cents IS NOT NULL)::INT AS BIGINT) " +
+      "AS n_features_present FROM m2" + OBA))
+
   // EMB11 — dimension second-moment card: per dim pair (i ≤ j), exact
   // integer sums over milli-quantized coordinates (⌊x·1000⌋) — n, Σqᵢ,
   // Σqⱼ, Σqᵢqⱼ, and the covariance numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ. The
@@ -5744,5 +5796,5 @@ object DataCatalog {
     "lm3_bigram_familiarity" -> lm3, "idx4_compaction_plan" -> idx4,
     "d17_containment_pairs" -> d17, "t14_interval_audit" -> t14,
     "mix7_cooldown_schedule" -> mix7, "d19_char_ngram_dedup" -> d19,
-    "sim12_sign_rerank" -> sim12)
+    "sim12_sign_rerank" -> sim12, "fs3_feature_matrix" -> fs3)
 }
