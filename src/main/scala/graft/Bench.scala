@@ -138,7 +138,8 @@ object Bench {
     "e19_conversion_lag", "tx17_freq_spectrum",
     "lm3_bigram_familiarity", "idx4_compaction_plan",
     "d17_containment_pairs", "t14_interval_audit", "mix7_cooldown_schedule",
-    "d19_char_ngram_dedup", "sim12_sign_rerank", "fs3_feature_matrix")
+    "d19_char_ngram_dedup", "sim12_sign_rerank", "fs3_feature_matrix",
+    "url5_domain_rollup")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

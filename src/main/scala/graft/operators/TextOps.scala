@@ -356,6 +356,24 @@ object TextOps {
         regexp_replace(lower(regexp_extract(col("url"), "https?://([^/\\s?#]+)", 1)),
           "^www\\.", "").as("host"))
 
+  /** url5 — registrable-domain rollup: hosts collapse to their last two
+    * labels (the heuristic registrable domain — a production deployment
+    * swaps in the Public Suffix List, which is a broadcast data file,
+    * not a different plan) and the card counts distinct subdomains,
+    * links, and docs per domain — the "who owns this traffic"
+    * aggregation above url1's host stats (cdn.example.net and
+    * www.example.net are one operator's inventory, and pr1/pr2's
+    * authority signals aggregate naturally at this grain). Map-only
+    * extraction + one hash agg onto domain keys. */
+  def domainRollup(df: DataFrame, id: Column, text: Column): DataFrame =
+    docHosts(df, id, text)
+      .select(col("doc_id"), col("host"),
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"))
+      .groupBy("domain")
+      .agg(count_distinct(col("host")).as("n_hosts"),
+        count(lit(1)).cast("long").as("n_links"),
+        count_distinct(col("doc_id")).as("n_docs"))
+
   /** URL canonicalization (url2): the WET-pipeline normal form under
     * which crawl URLs are deduplicated — drop the fragment, lowercase
     * scheme+host and strip one leading `www.` (path/query case is

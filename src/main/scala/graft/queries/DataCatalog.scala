@@ -2570,6 +2570,28 @@ object DataCatalog {
       "SELECT host, CAST(count(*) AS BIGINT) AS n_links, " +
       "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM h GROUP BY 1" + OBA))
 
+  // URL5 — registrable-domain rollup on url1's link fixture: hosts
+  // collapse to last-two-labels domains (PSL-swappable heuristic),
+  // counting distinct subdomains, links, and docs per domain.
+  val url5 = Q(
+    (s, d) => {
+      val withLinks = documents(s, d).withColumn("text",
+        concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
+          lit(".org/p?q="), col("doc_id"),
+          lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
+      ordered(TextOps.domainRollup(withLinks, col("doc_id"), col("text")))
+    },
+    Some("WITH t AS (SELECT doc_id, text || ' see https://WWW.Example' || (doc_id % 7) || " +
+      "'.org/p?q=' || doc_id || ' and http://cdn.example' || (doc_id % 3) || '.net/a#frag' AS text " +
+      "FROM documents), " +
+      "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+      "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s?#]+)', 1)), " +
+      "'^www\\.', '') AS host FROM u), " +
+      "dm AS (SELECT doc_id, host, regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain FROM h) " +
+      "SELECT domain, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts, " +
+      "CAST(count(*) AS BIGINT) AS n_links, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+      "FROM dm GROUP BY 1" + OBA))
+
   // URL2 — canonical-URL dedup: two synthetic link variants per doc
   // that differ only in case/www/tracking-params/fragment collapse to
   // one canonical form; docs sharing (doc_id % 7, doc_id % 5) residues
@@ -5796,5 +5818,6 @@ object DataCatalog {
     "lm3_bigram_familiarity" -> lm3, "idx4_compaction_plan" -> idx4,
     "d17_containment_pairs" -> d17, "t14_interval_audit" -> t14,
     "mix7_cooldown_schedule" -> mix7, "d19_char_ngram_dedup" -> d19,
-    "sim12_sign_rerank" -> sim12, "fs3_feature_matrix" -> fs3)
+    "sim12_sign_rerank" -> sim12, "fs3_feature_matrix" -> fs3,
+    "url5_domain_rollup" -> url5)
 }
