@@ -588,6 +588,28 @@ object Multimodal {
       .filter(!col("__hit")).drop("__hit")
   }
 
+  /** m9 — payload integrity card: declared mime vs byte-sniffed
+    * container, counted per (declared, sniffed) cell — the trust-bytes
+    * audit run at media ingest. A mislabeled payload routed by its
+    * label hits the wrong decoder (a task-killer at best, a parser
+    * exploit at worst); this repo's parsers already trust bytes over
+    * labels, and the card QUANTIFIES how often the two disagree so the
+    * labeling upstream can be fixed rather than silently tolerated.
+    * Unrecognized containers sniff as 'unknown'. Map-only sniff
+    * (payloads never shuffle) + a card-sized aggregate. */
+  def mimeIntegrityCard(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        (r.mime, parseDims(r.payload).map(_._1).getOrElse("unknown"))
+      }
+    }.toDF("declared_mime", "sniffed_mime")
+      .groupBy("declared_mime", "sniffed_mime")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("mimes_match", col("declared_mime") === col("sniffed_mime"))
+  }
+
   /** Resize plumbing: aspect-preserving fit into a maxDim bounding box —
     * the metadata contract a real resize kernel satisfies (never
     * upscales; floor semantics; at scale the pixel work runs inside the

@@ -2592,6 +2592,57 @@ object DataCatalog {
       "CAST(count(*) AS BIGINT) AS n_links, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
       "FROM dm GROUP BY 1" + OBA))
 
+  // M9 — payload integrity card on a deliberately mislabeled fixture
+  // (every 11th payload declares image/png regardless of its bytes):
+  // per (declared, sniffed) counts — the trust-bytes ingest audit.
+  val m9 = Q(
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val media = graft.operators.Multimodal.syntheticMedia(documents(s, d))
+        .map(r => if (r.doc_id % 11 == 0) r.copy(mime = "image/png") else r)
+      ordered(graft.operators.Multimodal.mimeIntegrityCard(media))
+    },
+    Some("WITH d0 AS (SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image/png' " +
+      "WHEN 1 THEN 'audio/wav' ELSE 'image/jpeg' END AS true_mime FROM documents), " +
+      "d1 AS (SELECT CASE WHEN doc_id % 11 = 0 THEN 'image/png' ELSE true_mime END " +
+      "AS declared_mime, true_mime AS sniffed_mime FROM d0) " +
+      "SELECT declared_mime, sniffed_mime, CAST(count(*) AS BIGINT) AS n, " +
+      "declared_mime = sniffed_mime AS mimes_match FROM d1 GROUP BY 1, 2" + OBA))
+
+  // DP12 — corpus release manifest: the one-frame receipt a dataset
+  // release ships — total docs, exact-unique docs, total whitespace
+  // tokens, shard count, and the order-independent corpus content hash
+  // (out1's mod-sum) — five families' numbers cross-checked in a
+  // single oracle-gated artifact. Each metric is one aggregate over
+  // the corpus or a survivors frame; nothing quadratic anywhere.
+  val dp12 = Q(
+    (s, d) => {
+      val docs = graft.CacheScope.persist(documents(s, d))
+      def row(metric: String, v: org.apache.spark.sql.DataFrame) =
+        v.select(lit(metric).as("metric"), col("v").cast("long").as("value"))
+      val total = row("docs_total", docs.agg(count(lit(1)).as("v")))
+      val uniq = row("docs_exact_unique",
+        NearDup.exact(docs, col("doc_id"), col("text")).agg(count(lit(1)).as("v")))
+      val toks = row("tokens_total", docs.agg(
+        sum(size(graft.functions.F.tokens(col("text")))).as("v")))
+      val hash = row("corpus_content_hash", docs.agg(
+        pmod(sum(pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("text"))), 1, 15), 16, 10).cast("long"),
+          lit(1000000007L))), lit(1000000007L)).as("v")))
+      ordered(total.unionByName(uniq).unionByName(toks).unionByName(hash))
+    },
+    Some("WITH u AS (SELECT count(*) AS v FROM (SELECT doc_id FROM " +
+      "(SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn " +
+      "FROM documents) WHERE rn = 1)), " +
+      "t AS (SELECT sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS v FROM documents), " +
+      "h AS (SELECT sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT " +
+      "% 1000000007) % 1000000007 AS v FROM documents) " +
+      "SELECT 'docs_total' AS metric, CAST(count(*) AS BIGINT) AS value FROM documents " +
+      "UNION ALL SELECT 'docs_exact_unique', CAST(v AS BIGINT) FROM u " +
+      "UNION ALL SELECT 'tokens_total', CAST(v AS BIGINT) FROM t " +
+      "UNION ALL SELECT 'corpus_content_hash', CAST(v AS BIGINT) FROM h" + OBA))
+
   // URL2 — canonical-URL dedup: two synthetic link variants per doc
   // that differ only in case/www/tracking-params/fragment collapse to
   // one canonical form; docs sharing (doc_id % 7, doc_id % 5) residues
@@ -5819,5 +5870,6 @@ object DataCatalog {
     "d17_containment_pairs" -> d17, "t14_interval_audit" -> t14,
     "mix7_cooldown_schedule" -> mix7, "d19_char_ngram_dedup" -> d19,
     "sim12_sign_rerank" -> sim12, "fs3_feature_matrix" -> fs3,
-    "url5_domain_rollup" -> url5)
+    "url5_domain_rollup" -> url5, "m9_mime_integrity" -> m9,
+    "dp12_release_manifest" -> dp12)
 }
