@@ -139,7 +139,8 @@ object Bench {
     "lm3_bigram_familiarity", "idx4_compaction_plan",
     "d17_containment_pairs", "t14_interval_audit", "mix7_cooldown_schedule",
     "d19_char_ngram_dedup", "sim12_sign_rerank", "fs3_feature_matrix",
-    "url5_domain_rollup", "m9_mime_integrity", "dp12_release_manifest")
+    "url5_domain_rollup", "m9_mime_integrity", "dp12_release_manifest",
+    "e21_activity_heatmap")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -2592,6 +2592,32 @@ object DataCatalog {
       "CAST(count(*) AS BIGINT) AS n_links, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
       "FROM dm GROUP BY 1" + OBA))
 
+  // E21 — activity seasonality heatmap: events per (ISO day-of-week,
+  // hour) cell with integer permille of total — the load-shape card
+  // behind batch-window scheduling and anomaly baselines (e16's burst
+  // detector needs to know Monday 9am is ALWAYS a burst). Both engines
+  // compute ISO dow (Mon=1) and UTC hour from the same cast.
+  val e21 = Q(
+    (s, d) => {
+      val ev = events(s, d).select(
+        dayofweek(col("ts")).as("dw_sun1"), hour(col("ts")).as("hour"))
+        // Spark dayofweek is Sun=1..Sat=7; normalize to ISO Mon=1..Sun=7
+        .select(((col("dw_sun1") + 5) % 7 + 1).cast("long").as("dow"),
+          col("hour").cast("long"))
+      val total = ev.agg(count(lit(1)).as("t"))
+      ordered(ev.groupBy("dow", "hour").agg(count(lit(1)).cast("long").as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("dow"), col("hour"), col("n"),
+          expr("n * 1000 DIV t").as("permille")))
+    },
+    Some("WITH e AS (SELECT isodow(CAST(ts AS TIMESTAMP)) AS dow, " +
+      "hour(CAST(ts AS TIMESTAMP)) AS hour FROM events), " +
+      "t AS (SELECT count(*) AS t FROM e) " +
+      "SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(count(*) * 1000 // (SELECT t FROM t) AS BIGINT) AS permille " +
+      "FROM e GROUP BY 1, 2" + OBA))
+
   // M9 — payload integrity card on a deliberately mislabeled fixture
   // (every 11th payload declares image/png regardless of its bytes):
   // per (declared, sniffed) counts — the trust-bytes ingest audit.
@@ -5871,5 +5897,5 @@ object DataCatalog {
     "mix7_cooldown_schedule" -> mix7, "d19_char_ngram_dedup" -> d19,
     "sim12_sign_rerank" -> sim12, "fs3_feature_matrix" -> fs3,
     "url5_domain_rollup" -> url5, "m9_mime_integrity" -> m9,
-    "dp12_release_manifest" -> dp12)
+    "dp12_release_manifest" -> dp12, "e21_activity_heatmap" -> e21)
 }
