@@ -155,20 +155,40 @@ object NearDup {
     windowsToSpans(hit, n)
   }
 
+  /** Broadcast the per-doc mask frame only up to this many span-bearing
+    * docs. Each mask row is a doc_id plus a handful of (s, e) long pairs
+    * (~100 bytes); 10M rows ≈ 1 GB — comfortably under Spark's 8 GB
+    * broadcast hard limit with headroom for executor-side copies. Above
+    * it the corpus is in the high-duplication regime (raw web crawls can
+    * put spans in 10–20% of docs) where forcing a broadcast would OOM
+    * the driver; a doc_id equi-join — text shuffling once on its
+    * primary key — is the honest plan there. */
+  private[graft] val MaskBroadcastMaxDocs = 10L * 1000 * 1000
+
   /** Apply a span frame `(doc_id, span_start, span_end, …)` to the
     * corpus as a token mask — the reusable action step behind
     * [[exactSubstrMask]] (dsub2, corpus-internal spans) and the
     * surgical decontamination entry (c8, [[benchSubstrSpans]] spans).
     * Output and scale shape as documented on [[exactSubstrMask]]:
-    * masks aggregate per span-bearing doc and broadcast; text never
-    * shuffles. */
+    * masks aggregate per span-bearing doc and — when the frame is small
+    * enough (`broadcastMaxDocs`, counted on the aggregated frame, one
+    * row per span-bearing doc) — broadcast, so text never shuffles.
+    * On a high-duplication corpus whose mask frame exceeds the cap, the
+    * SAME plan degrades to one un-hinted doc_id equi-join: text shuffles
+    * once on its primary key, still never a pair join, and the driver
+    * never materializes an oversized broadcast. The count that picks the
+    * strategy is one extra job over the persisted mask frame — noise
+    * next to the window-hash pass that produced the spans. */
   def maskSpans(docs: DataFrame, id: Column, text: Column,
-      spans: DataFrame): DataFrame = {
-    val masks = spans.groupBy("doc_id")
+      spans: DataFrame,
+      broadcastMaxDocs: Long = MaskBroadcastMaxDocs): DataFrame = {
+    val masks = graft.CacheScope.persist(spans.groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"),
-        col("span_end").as("e"))).as("mask"))
+        col("span_end").as("e"))).as("mask")))
+    val maskSide =
+      if (masks.count() <= broadcastMaxDocs) broadcast(masks) else masks
     docs.select(id.as("doc_id"), graft.functions.F.tokens(text).as("tk"))
-      .join(broadcast(masks), Seq("doc_id"), "left")
+      .join(maskSide, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
         expr("filter(tk, (t, i) -> mask IS NULL OR " +
           "NOT exists(mask, m -> i >= m.s AND i <= m.e))").as("kept"))
@@ -193,10 +213,12 @@ object NearDup {
     * (filter-with-index + exists over that doc's own ≤S spans). Document
     * TEXT never shuffles: the only shuffles in the whole plan are
     * dsub1's window-hash aggregate and the span aggregation, both
-    * narrow hash/position frames (pinned in ScaleSpec). If a degenerate
-    * corpus ever pushed the mask frame past the broadcast threshold,
-    * the same plan falls back to one doc_id equi-join — text then
-    * shuffles once on its primary key, still never a pair join. */
+    * narrow hash/position frames (pinned in ScaleSpec). If a
+    * high-duplication corpus pushes the mask frame past
+    * [[maskSpans]]'s `broadcastMaxDocs` cap, the same plan falls back
+    * to one un-hinted doc_id equi-join — text then shuffles once on its
+    * primary key, still never a pair join (the guard is a real count on
+    * the aggregated mask frame, pinned both ways in ScaleSpec). */
   def exactSubstrMask(docs: DataFrame, id: Column, text: Column,
       n: Int, minDocs: Int = 2): DataFrame =
     maskSpans(docs, id, text, exactSubstrSpans(docs, id, text, n, minDocs))

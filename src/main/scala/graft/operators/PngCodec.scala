@@ -66,15 +66,24 @@ object PngCodec {
 
       val stride = 1 + w * ch
       val raw = new Array[Byte](stride * h)
+      // try/finally so end() releases the native zlib buffer on EVERY
+      // exit (early None, DataFormatException) — this decode runs per
+      // payload inside mapPartitions, so leaking until finalization
+      // accumulates native memory on a corrupt-heavy corpus
       val inf = new java.util.zip.Inflater()
-      inf.setInput(comp)
       var off = 0
-      while (off < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
-        off += n
-      }
-      inf.end()
+      try {
+        inf.setInput(comp)
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          // any zero-progress return bails: truncated stream
+          // (needsInput), preset-dictionary FDICT stream
+          // (needsDictionary — inflate would return 0 forever), or a
+          // stalled stream. Spinning here would hang the executor task.
+          if (n == 0) return None
+          off += n
+        }
+      } finally inf.end()
       if (off != raw.length) return None
 
       // unfilter in place, scanline by scanline (left/up/avg/Paeth use

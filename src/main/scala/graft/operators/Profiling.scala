@@ -189,7 +189,13 @@ object Profiling {
     require(cols.forall(df.columns.contains),
       s"unknown columns: ${cols.filterNot(df.columns.contains).mkString(", ")}")
     val base = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
-    val aggs = count(lit(1)).as("n") +:
+    // per-column non-null counts ride the same single scan: n is
+    // count(*) while sum() skips nulls, so a nullable column would
+    // silently pair a too-large n with null-skipping moment sums and
+    // poison every downstream r. Same explicit contract as
+    // [[fdDiscovery]]: fail loudly, don't publish inconsistent stats.
+    val aggs = (count(lit(1)).as("n") +:
+      cols.map(c => count(col(c)).as(s"__nn_$c"))) ++
       pairs.zipWithIndex.flatMap { case ((x, y), i) =>
         Seq(sum(col(x)).as(s"__sx_$i"), sum(col(y)).as(s"__sy_$i"),
           sum(col(x) * col(x)).as(s"__sxx_$i"),
@@ -198,8 +204,15 @@ object Profiling {
       }
     val row = base.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(0)
+    cols.zipWithIndex.foreach { case (c, j) =>
+      require(row.getLong(1 + j) == n,
+        s"corrCard requires non-null inputs: column '$c' has " +
+          s"${n - row.getLong(1 + j)} null cells of $n rows — " +
+          "coalesce or filter upstream so the moment sums and n agree")
+    }
+    val statsOff = 1 + cols.length
     val card = pairs.zipWithIndex.map { case ((x, y), i) =>
-      val o = 1 + i * 5
+      val o = statsOff + i * 5
       (x, y, n, row.getLong(o), row.getLong(o + 1), row.getLong(o + 2),
         row.getLong(o + 3), row.getLong(o + 4))
     }

@@ -137,6 +137,43 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("substring mask size-guard: oversized mask frame degrades to an un-hinted doc_id join; small frame still broadcasts") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.operators.NearDup
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val spans = NearDup.exactSubstrSpans(docs, col("doc_id"), col("text"), 8)
+    // Disable BOTH auto-broadcast thresholds so the only way a broadcast
+    // hash join appears is via maskSpans' explicit hint — this isolates
+    // the guard: with the cap exceeded the hint must be ABSENT (the
+    // fallback the scaladoc promises), under the cap it must be present.
+    val savedStatic = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    def restore(key: String, v: Option[String]): Unit =
+      v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val big = NearDup.maskSpans(docs, col("doc_id"), col("text"), spans,
+        broadcastMaxDocs = 0L) // every non-empty mask frame exceeds the cap
+      val small = NearDup.maskSpans(docs, col("doc_id"), col("text"), spans)
+      val bigRows = big.count(); val smallRows = small.count()
+      assert(bigRows == smallRows,
+        "both join strategies must produce the same masked corpus")
+      assert(!nodes(big).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "over the cap, the mask join must NOT be forced to broadcast " +
+          "(this is the OOM path on a high-duplication corpus)")
+      assert(nodes(small).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "under the cap, the mask frame must still broadcast to the scan")
+      assert(big.exceptAll(small).isEmpty && small.exceptAll(big).isEmpty,
+        "fallback join must be value-identical to the broadcast plan")
+    } finally {
+      restore("spark.sql.autoBroadcastJoinThreshold", savedStatic)
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAqe)
+      CacheScope.releaseAll()
+    }
+  }
+
   test("bm25 statistics derive from one persisted tokenize pass, not repeated text scans") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
