@@ -340,31 +340,127 @@ object Multimodal {
     }
   }
 
-  /** All-WAV media fixture for the audio-dedup entry (m5): each residue
-    * group `doc_id % 97` shares one (sample_rate, channels) pair;
-    * within a group, odd doc_ids carry a trailing tweak byte the energy
-    * grid renders as a one-window edit — the "same clip, tiny edit"
-    * shape audio fingerprinting exists to catch. Params derive from
-    * doc_id arithmetic so the oracle predicts them without parsing. */
+  /** Full WAV container (16-bit PCM, little-endian, interleaved
+    * channels) — the fixture encoder for the real audio path, the
+    * [[graft.operators.PngCodec.encodeGray]] move for sound. */
+  private[graft] def wavBytesPcm(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    out.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(byteRate).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { out.putShort(samples(i)); i += 1 }
+    out.array()
+  }
+
+  /** All-WAV media fixture with REAL PCM for the audio-dedup entry
+    * (m5): each residue group `doc_id % 97` is one clip of group-seeded
+    * noise (java.util.Random — the JLS-specified LCG, so samples are
+    * platform-deterministic), 65 windows × 64 frames, (sample_rate,
+    * channels) from group arithmetic. Odd doc_ids halve window 1's
+    * samples — a real one-window loudness edit that moves exactly one
+    * frame energy and therefore at most the 2 gradient bits comparing
+    * it: in-group pairs stay within any Hamming gate ≥ 2 while
+    * cross-group iid noise puts fingerprints ~32 bits apart. As with
+    * the PNG twin ([[syntheticPixelImages]]), the PAIR SET is
+    * predictable from doc_id arithmetic alone, which is what lets a SQL
+    * oracle gate a genuine decode → energy → fingerprint pipeline. */
   def syntheticAudio(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
       val g = (id % 97).toInt
-      val payload = wavBytes(8000 + (g * 441) % 40000, 1 + g % 2) ++
-        Array((id % 2).toByte)
-      MediaRow(id, payload, "audio/wav")
+      val ch = 1 + g % 2
+      val winFrames = 64
+      val rnd = new java.util.Random(g * 2654435761L + 17)
+      val pcm = Array.fill(65 * winFrames * ch)((rnd.nextInt(2048) - 1024).toShort)
+      if (id % 2 == 1) {
+        var i = winFrames * ch // window 1's frames, all channels
+        while (i < 2 * winFrames * ch) { pcm(i) = (pcm(i) / 2).toShort; i += 1 }
+      }
+      MediaRow(id, wavBytesPcm(8000 + (g * 441) % 40000, ch, pcm), "audio/wav")
     }
   }
 
-  /** Audio fingerprint over the stub energy sequence — the 1-D analog
-    * of [[dHash64]] and the shape chromaprint-style fingerprints take:
-    * 65 "frame energy" windows (the deterministic md5 stand-in for
-    * decode + FFT energy, keyed by the REAL header-parsed
-    * (sample_rate, channels)), bit i = [e(i) < e(i+1)] — gradient sign
-    * over time, loudness-shift invariant exactly like dHash is
-    * brightness-shift invariant. The tweak byte perturbs window 1, so
-    * a one-window edit flips ≤2 bits (the comparisons touching it). */
+  /** Decode a 16-bit PCM WAV payload to `nWin` frame energies — REAL
+    * byte arithmetic, no codec needed (WAV is RIFF + raw samples):
+    * RIFF walk to `fmt ` (must be PCM format 1, 16-bit) and `data`,
+    * then energy_i = Σ s² over window i's frames across all channels
+    * (windows split the clip evenly; a trailing remainder shorter than
+    * one window is ignored, as any fixed-grid fingerprint does).
+    * Returns None — degrade, never throw — for non-PCM/ non-16-bit
+    * streams, truncated data, or clips shorter than `nWin` frames. */
+  private[graft] def wavPcmEnergies(b: Array[Byte], nWin: Int): Option[Array[Long]] = {
+    if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var fmtOk = false
+    var channels = 0
+    var dataOff = -1
+    var dataLen = 0L
+    var i = 12
+    while (i + 8 <= b.length && !(fmtOk && dataOff >= 0)) {
+      val size = leU32(b, i + 4) // u32 as Long: never negative
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        if (leU16(b, i + 8) != 1 || leU16(b, i + 22) != 16) return None // PCM, 16-bit
+        channels = leU16(b, i + 10)
+        if (channels < 1) return None
+        fmtOk = true
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataOff = i + 8
+        dataLen = math.min(size, (b.length - dataOff).toLong)
+      }
+      val next = i.toLong + 8L + size + (size & 1L) // chunks are word-aligned
+      if (next <= i || next > b.length.toLong) {
+        if (fmtOk && dataOff >= 0) i = b.length else return None
+      } else i = next.toInt
+    }
+    if (!fmtOk || dataOff < 0) return None
+    val frames = dataLen / (2L * channels)
+    if (frames < nWin) return None
+    val winFrames = (frames / nWin).toInt
+    val e = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var acc = 0L
+      var s = dataOff + w * winFrames * channels * 2
+      val end = s + winFrames * channels * 2
+      while (s < end) {
+        val v = ((b(s + 1) << 8) | (b(s) & 0xff)).toLong // s16 LE
+        acc += v * v
+        s += 2
+      }
+      e(w) = acc
+      w += 1
+    }
+    Some(e)
+  }
+
+  /** Gradient-sign packing shared by the real and stub energy paths —
+    * the 1-D analog of [[dHash64]] and the shape chromaprint-style
+    * fingerprints take: bit i = [e(i) < e(i+1)], loudness-shift
+    * invariant exactly like dHash is brightness-shift invariant. */
+  private def packGradientSign(e: Array[Long]): Long = {
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) < e(i + 1)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Stub energy fingerprint for WAVs without a decodable PCM payload
+    * (header-only fixtures, compressed formats): 65 md5 "energies"
+    * keyed by the REAL header-parsed (sample_rate, channels), the
+    * trailing payload byte perturbing window 1. Kept only as the
+    * degrade path — the m5 pipeline runs [[wavPcmEnergies]]. */
   private[graft] def audioFp64(sr: Int, ch: Int, tweak: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     // One digest per energy window (65), parsed straight from digest
@@ -382,29 +478,28 @@ object Multimodal {
       i += 1
     }
     e(1) += tweak.toLong * 2305843009213693952L
-    var hash = 0L
-    i = 0
-    while (i < 64) {
-      if (e(i) < e(i + 1)) hash |= 1L << i
-      i += 1
-    }
-    hash
+    packGradientSign(e)
   }
 
-  /** m5 step 1 — fingerprint per audio row: real WAV header parse
-    * (RIFF chunk walk → sample_rate/channels), stub energy grid, real
-    * gradient-sign packing, in one batched mapPartitions pass (decode
-    * init amortized per partition). Non-audio payloads drop. */
+  /** m5 step 1 — fingerprint per audio row: REAL WAV PCM decode
+    * ([[wavPcmEnergies]] — RIFF walk, s16 samples, per-window Σs²) →
+    * gradient-sign packing, in one batched mapPartitions pass. WAVs
+    * whose payload carries no decodable PCM (header-only, compressed)
+    * degrade to the md5 energy stub keyed by the header params — the
+    * same never-kill contract as the image path. Non-audio rows drop. */
   def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        parseDims(r.payload) match {
-          case Some((mime, sr, ch)) if mime == "audio/wav" =>
-            val tweak = r.payload(r.payload.length - 1) & 0xff
-            Some((r.doc_id, audioFp64(sr, ch, tweak)))
-          case _ => None
+        wavPcmEnergies(r.payload, 65) match {
+          case Some(e) => Some((r.doc_id, packGradientSign(e)))
+          case None => parseDims(r.payload) match {
+            case Some((mime, sr, ch)) if mime == "audio/wav" =>
+              val tweak = r.payload(r.payload.length - 1) & 0xff
+              Some((r.doc_id, audioFp64(sr, ch, tweak)))
+            case _ => None
+          }
         }
       }
     }.toDF("doc_id", "afp")

@@ -4535,39 +4535,28 @@ object DataCatalog {
       "CAST(n * 1000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS permille " +
       "FROM c" + OBA))
 
-  // M5 — audio near-dup (the m4 story for sound): real WAV header
-  // parse → stub frame-energy sequence (md5 windows keyed by the
-  // parsed params) → REAL gradient-sign fingerprint packing (the
-  // chromaprint shape: bit i = energy rising at window i, loudness-
-  // shift invariant) → d3's 4×16-bit banded Hamming join. Residue
-  // groups share (sample_rate, channels) and odd docs carry a one-
-  // window tweak, so "same clip, tiny edit" pairs exist and survive
-  // the ≤3-bit gate. Fingerprinting rides the one batched decode
-  // pass; pair search never forms all-pairs.
+  // M5 — audio near-dup with the REAL PCM path (the m4b story for
+  // sound): the fixture encodes group-seeded noise clips as genuine
+  // 16-bit PCM WAVs, and the operator decodes them (RIFF walk → s16
+  // samples → per-window Σs² energies) and packs the gradient-sign
+  // fingerprint (chromaprint shape: bit i = energy rising at window i,
+  // loudness-shift invariant) → d3's 4×16-bit banded Hamming join. No
+  // stub anywhere. A SQL oracle can't replay the LCG sample stream, so
+  // — as with m4b — the fixture makes the PAIR SET predictable from
+  // doc_id arithmetic alone: same group ⇒ clips differ by one halved
+  // window ⇒ ≤2 gradient bits flip ⇒ ≥2 of 4 bands collide and the
+  // ≤3-bit gate passes; different groups ⇒ iid noise energies ⇒ ~32
+  // bits apart, band collision + hamming ≤ 3 together vanishingly
+  // impossible. Matching the closed form proves decode, windowing,
+  // energy, packing, banding, and gate end-to-end on real bytes.
   val m5 = Q(
     (s, d) => ordered(graft.operators.Multimodal.audioDupPairs(
       graft.operators.Multimodal.audioFingerprint(
-        graft.operators.Multimodal.syntheticAudio(documents(s, d))), 3)),
-    Some("WITH a AS (SELECT doc_id, 8000 + ((doc_id % 97) * 441) % 40000 AS sr, " +
-      "1 + (doc_id % 97) % 2 AS ch, doc_id % 2 AS tw FROM documents), " +
-      "bits AS (SELECT doc_id, i AS b, CASE WHEN " +
-      "(('0x' || substr(md5(CAST(sr AS VARCHAR) || ':' || CAST(ch AS VARCHAR) || ':' || " +
-      "CAST(i AS VARCHAR)), 1, 15))::BIGINT + " +
-      "CASE WHEN i = 1 THEN tw * 2305843009213693952 ELSE 0 END) < " +
-      "(('0x' || substr(md5(CAST(sr AS VARCHAR) || ':' || CAST(ch AS VARCHAR) || ':' || " +
-      "CAST(i + 1 AS VARCHAR)), 1, 15))::BIGINT + " +
-      "CASE WHEN i = 0 THEN tw * 2305843009213693952 ELSE 0 END) " +
-      "THEN 1 ELSE 0 END AS bit FROM a, unnest(range(0, 64)) u(i)), " +
-      "sig AS (SELECT doc_id, CAST(sum(CASE WHEN bit = 0 THEN 0 " +
-      "WHEN b = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << b) END) AS BIGINT) AS afp " +
-      "FROM bits GROUP BY doc_id), " +
-      "banded AS (SELECT doc_id, afp, b AS band, (afp >> (b * 16)) & 65535 AS key " +
-      "FROM sig, unnest(range(0, 4)) u(b)), " +
-      "cand AS (SELECT DISTINCT a2.doc_id AS id_a, b2.doc_id AS id_b, " +
-      "a2.afp AS sa, b2.afp AS sb FROM banded a2 JOIN banded b2 " +
-      "ON a2.band = b2.band AND a2.key = b2.key AND a2.doc_id < b2.doc_id) " +
-      "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand " +
-      "WHERE bit_count(xor(sa, sb)) <= 3" + OBA))
+        graft.operators.Multimodal.syntheticAudio(documents(s, d))), 3)
+      .select(col("id_a"), col("id_b"))),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
+      "JOIN documents b ON a.doc_id % 97 = b.doc_id % 97 " +
+      "AND a.doc_id < b.doc_id" + OBA))
 
   // E14 — props key-coverage card: which keys the semi-structured JSON
   // bag actually carries and how often — the schema-discovery step

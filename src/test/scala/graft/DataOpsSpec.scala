@@ -526,6 +526,56 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Multimodal.parseDims(jpegFill) == Some(("image/jpeg", 34, 12)))
   }
 
+  test("wav pcm kernel: encode→decode energies equal the direct sum of squares; malformed degrades to None") {
+    import graft.operators.Multimodal
+    // known samples, 2 windows × 3 frames, stereo: energies computable by hand
+    val samples = Array[Short](1, 2, 3, -4, 5, 6, 7, 8, -9, 10, 11, 12)
+    val wav = Multimodal.wavBytesPcm(8000, 2, samples)
+    val e = Multimodal.wavPcmEnergies(wav, 2).get
+    assert(e(0) == (1 + 4 + 9 + 16 + 25 + 36).toLong)
+    assert(e(1) == (49 + 64 + 81 + 100 + 121 + 144).toLong)
+    // remainder frames shorter than a window are ignored (fixed grid)
+    val e3 = Multimodal.wavPcmEnergies(wav, 4) // 6 frames / 4 → 1-frame windows
+    assert(e3.get.length == 4 && e3.get(0) == (1 + 4).toLong)
+    // negative samples round-trip as signed s16 (energy is sign-free)
+    val neg = Multimodal.wavBytesPcm(8000, 1, Array[Short](-32768, 32767))
+    assert(Multimodal.wavPcmEnergies(neg, 2).get.toSeq ==
+      Seq(32768L * 32768L, 32767L * 32767L))
+    // degrade paths: header-only (no data), truncated, non-PCM, too short
+    assert(Multimodal.wavPcmEnergies(wav.take(44), 2) == None)
+    assert(Multimodal.wavPcmEnergies(wav.take(20), 2) == None)
+    assert(Multimodal.wavPcmEnergies(wav, 7) == None) // 6 frames < 7 windows
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // audioFormat = 3 (float)
+    assert(Multimodal.wavPcmEnergies(nonPcm, 2) == None)
+  }
+
+  test("audio fingerprint: real-PCM fixture pairs are exactly the same-group set; header-only WAVs fall back to the stub") {
+    import graft.operators.Multimodal
+    val ids = spark.range(0, 300).select(col("id").as("doc_id"))
+    val fps = Multimodal.audioFingerprint(Multimodal.syntheticAudio(ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.size == 300, "every PCM WAV must fingerprint")
+    // in-group even/odd differ by the halved window 1 ⇒ hamming ≤ 2
+    // (bits 0 and 1 are the only comparisons touching e(1))
+    for (g <- 0 until 97; if g + 194 < 300) {
+      val d = java.lang.Long.bitCount(fps(g.toLong) ^ fps(g + 97L))
+      assert(d <= 2, s"group $g even/odd hamming $d > 2")
+      assert(fps(g.toLong) == fps(g + 194L), s"group $g same-parity fingerprints must match")
+    }
+    // cross-group iid noise sits far outside the gate
+    val cross = for (g <- 0 until 96) yield
+      java.lang.Long.bitCount(fps(g.toLong) ^ fps(g + 1L))
+    assert(cross.forall(_ > 3), s"cross-group hamming must exceed the gate, min ${cross.min}")
+    // a header-only WAV (no data chunk payload) still fingerprints via
+    // the md5 stub keyed by header params — degrade, never drop
+    import spark.implicits._
+    val headerOnly = Multimodal.syntheticMedia(
+      spark.range(1, 2).select(col("id").as("doc_id"), lit(40L).as("n_chars")))
+      .filter(_.mime == "audio/wav")
+    val stubFps = Multimodal.audioFingerprint(headerOnly).collect()
+    assert(stubFps.length == 1)
+  }
+
   test("frame sampling: k evenly-spaced offsets inside the decoded frame count") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(
       docs.withColumn("n_chars", length(col("text")).cast("long"))))
