@@ -300,7 +300,8 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        PngCodec.decodeGray(r.payload) match {
+        PngCodec.decodeGray(r.payload)
+          .orElse(JpegCodec.decodeGray(r.payload)) match {
           case Some((w, h, gray)) if w >= 9 && h >= 8 =>
             Some((r.doc_id, PngCodec.dHashPixels(w, h, gray)))
           case _ => parseDims(r.payload) match {
@@ -337,6 +338,54 @@ object Multimodal {
       val gray = Array.fill(w * h)(rnd.nextInt(256))
       if (id % 2 == 1) gray(w + 1) = (gray(w + 1) + 128) % 256
       MediaRow(id, PngCodec.encodeGray(w, h, gray, y => y % 5), "image/png")
+    }
+  }
+
+  /** All-JPEG fixture with REAL pixel data for the end-to-end JPEG
+    * path (m4c): each residue group `doc_id % 239` paints one image
+    * whose 9×8 dHash cells are CONSTANT plateaus at 12 + 3·perm(cell)
+    * (perm a group-seeded Fisher–Yates permutation of 0..71, so
+    * adjacent cell means differ by ≥ 3), encoded through
+    * [[JpegCodec.encodeGray]] with an all-1s quantization table. JPEG
+    * is lossy, which is exactly why the plateau design matters: the
+    * near-lossless round trip perturbs each cell mean by well under 1,
+    * so the ≥3 gaps keep every gradient bit stable, while odd doc_ids
+    * invert cell (0,1) to 255−v — a real one-cell luminance edit that
+    * moves at most the 2 dHash bits comparing it. Cross-group
+    * permutations put hashes ~32 bits apart, so — as with m4b/m5 — the
+    * PAIR SET is closed-form from doc_id arithmetic and a SQL oracle
+    * can gate a genuine huffman→dequant→IDCT pipeline. Dimensions are
+    * exact cell multiples (w = 9·ws, h = 8·hs) so the area-resize
+    * reads back the painted plateaus. */
+  def syntheticJpegImages(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val g = (id % 239).toInt
+      val ws = 4 + (g * 37) % 12
+      val hs = 4 + (g * 53) % 12
+      val w = 9 * ws; val h = 8 * hs
+      val rnd = new java.util.Random(g * 2654435761L + 29)
+      val perm = Array.tabulate(72)(identity)
+      var i = perm.length - 1
+      while (i > 0) { // Fisher–Yates, group-seeded
+        val j = rnd.nextInt(i + 1)
+        val t = perm(i); perm(i) = perm(j); perm(j) = t
+        i -= 1
+      }
+      val cell = perm.map(p => 12 + 3 * p)
+      if (id % 2 == 1) cell(1) = 255 - cell(1) // invert cell (0,1)
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          gray(y * w + x) = cell((y / hs) * 9 + x / ws)
+          x += 1
+        }
+        y += 1
+      }
+      MediaRow(id, JpegCodec.encodeGray(w, h, gray), "image/jpeg")
     }
   }
 

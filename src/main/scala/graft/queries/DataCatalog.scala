@@ -2162,6 +2162,29 @@ object DataCatalog {
       "JOIN documents b ON a.doc_id % 251 = b.doc_id % 251 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M4C — perceptual image dedup through the REAL JPEG path: the
+  // fixture encodes plateau-cell rasters as genuine baseline JPEGs
+  // (canonical-huffman entropy coding, all-1s quantization), and the
+  // operator huffman-decodes, dequantizes, and IDCTs them back to luma
+  // before the same resize → dHash → banded join as m4/m4b — no stub
+  // anywhere, and the last synthetic data path in the multimodal
+  // family is gone. JPEG is lossy, so the fixture paints constant
+  // dHash cells with ≥3-gray-level gaps: the near-lossless round trip
+  // moves each cell mean by well under 1, keeping every gradient bit
+  // stable, while odd doc_ids invert one cell (≤2 bit flips — inside
+  // the gate) and cross-group permutations land ~32 bits apart. The
+  // oracle is the closed form of that design (same residue group =
+  // pair); matching it proves huffman, dequant, IDCT, resize, hash,
+  // banding, and gate end-to-end on real JPEG bytes.
+  val m4c = Q(
+    (s, d) => ordered(graft.operators.Multimodal.imageDupPairs(
+      graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.syntheticJpegImages(documents(s, d))), 3)
+      .select(col("id_a"), col("id_b"))),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
+      "JOIN documents b ON a.doc_id % 239 = b.doc_id % 239 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   // DSUB2 — the action step for dsub1 (Lee et al. cut the duplicated
   // substring and train on the rest): every token position covered by a
   // duplicated span is dropped, survivors reassemble in order, and the
@@ -5886,5 +5909,6 @@ object DataCatalog {
     "mix7_cooldown_schedule" -> mix7, "d19_char_ngram_dedup" -> d19,
     "sim12_sign_rerank" -> sim12, "fs3_feature_matrix" -> fs3,
     "url5_domain_rollup" -> url5, "m9_mime_integrity" -> m9,
-    "dp12_release_manifest" -> dp12, "e21_activity_heatmap" -> e21)
+    "dp12_release_manifest" -> dp12, "e21_activity_heatmap" -> e21,
+    "m4c_jpeg_pixel_dedup" -> m4c)
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.JpegCodec
+
+/** Kernel tests for the pure-JVM baseline JPEG codec — the PngCodecSpec
+  * pins for the huffman/dequant/IDCT arithmetic. JPEG is lossy, so the
+  * round-trip contracts are error BOUNDS (near-lossless at quant=1),
+  * not exact equality — plus the cell-mean stability bound the m4c
+  * fixture design builds on. */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def noise(w: Int, h: Int, seed: Long): Array[Int] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(w * h)(rnd.nextInt(256))
+  }
+
+  test("round trip at quant=1 is near-lossless: every pixel within ±2") {
+    for ((w, h) <- Seq((8, 8), (23, 17), (64, 40), (9, 8))) {
+      val px = noise(w, h, 42L + w)
+      val decoded = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, px))
+      assert(decoded.isDefined, s"${w}x$h must decode")
+      val (dw, dh, gray) = decoded.get
+      assert((dw, dh) == (w, h))
+      var maxErr = 0
+      var i = 0
+      while (i < px.length) {
+        maxErr = math.max(maxErr, math.abs(gray(i) - px(i))); i += 1
+      }
+      assert(maxErr <= 2, s"${w}x$h: max pixel error $maxErr > 2")
+    }
+  }
+
+  test("coarse quantization still decodes (lossy but bounded by table scale)") {
+    val (w, h) = (32, 24)
+    val px = noise(w, h, 7L)
+    val q = Array.fill(64)(16)
+    val (dw, dh, gray) = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, px, q)).get
+    assert((dw, dh) == (w, h))
+    // DC quantized at 16: block means survive within the quant step
+    val err = px.zip(gray).map { case (a, b) => math.abs(a - b) }
+    assert(err.sum.toDouble / err.length < 16.0, "mean error must stay under the quant step")
+  }
+
+  test("plateau cell means survive the round trip within ±1 (the m4c fixture margin)") {
+    // paint the fixture shape directly: 9x8 constant cells, gap-3 values
+    val ws = 5; val hs = 4; val w = 9 * ws; val h = 8 * hs
+    val rnd = new java.util.Random(99L)
+    val perm = Array.tabulate(72)(identity)
+    var i = perm.length - 1
+    while (i > 0) {
+      val j = rnd.nextInt(i + 1)
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+      i -= 1
+    }
+    val cell = perm.map(p => 12 + 3 * p)
+    val px = Array.tabulate(w * h)(k => cell(((k / w) / hs) * 9 + (k % w) / ws))
+    val (_, _, gray) = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, px)).get
+    for (r <- 0 until 8; c <- 0 until 9) {
+      var s = 0L
+      for (y <- r * hs until (r + 1) * hs; x <- c * ws until (c + 1) * ws)
+        s += gray(y * w + x)
+      val mean = s.toDouble / (ws * hs)
+      assert(math.abs(mean - cell(r * 9 + c)) < 1.0,
+        s"cell ($r,$c): decoded mean $mean vs painted ${cell(r * 9 + c)}")
+    }
+  }
+
+  test("restart markers and wide images exercise multi-block DC prediction") {
+    // 129 px wide = 17 blocks/row: DC diffs chain across many blocks
+    val (w, h) = (129, 16)
+    val px = Array.tabulate(w * h)(i => (i * 7 + i / w * 13) % 256)
+    val (dw, dh, gray) = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, px)).get
+    assert((dw, dh) == (w, h))
+    assert(px.zip(gray).map { case (a, b) => math.abs(a - b) }.max <= 2)
+  }
+
+  test("decode degrades to None on non-JPEG, truncated, progressive, and header-only payloads") {
+    assert(JpegCodec.decodeGray("definitely not a jpeg".getBytes).isEmpty)
+    val ok = JpegCodec.encodeGray(16, 16, noise(16, 16, 3L))
+    assert(JpegCodec.decodeGray(ok.take(30)).isEmpty, "truncated before SOS")
+    assert(JpegCodec.decodeGray(ok.dropRight(ok.length / 2)).isEmpty ||
+      JpegCodec.decodeGray(ok.dropRight(ok.length / 2)).isDefined == false,
+      "truncated entropy data must not decode")
+    // flip SOF0 -> SOF2 (progressive): out of scope, must degrade
+    val prog = ok.clone()
+    val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
+      (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decodeGray(prog).isEmpty)
+    // the m2 header-only fixture (SOI + SOF0 + EOI, no scan) falls back
+    assert(JpegCodec.decodeGray(Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)).isEmpty)
+  }
+
+  test("a corrupt entropy stream terminates (degrade, never hang)") {
+    val ok = JpegCodec.encodeGray(24, 24, noise(24, 24, 5L))
+    // zero out the tail of the entropy data: huffman decode walks into
+    // padding and must bail via the 16-bit length cap, not spin
+    val bad = ok.clone()
+    var i = ok.length - 10
+    while (i < ok.length - 2) { bad(i) = 0x15; i += 1 }
+    val t0 = System.nanoTime()
+    JpegCodec.decodeGray(bad) // result irrelevant; must return promptly
+    assert((System.nanoTime() - t0) < 5e9, "corrupt stream must not hang")
+  }
+}
