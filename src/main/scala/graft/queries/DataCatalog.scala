@@ -5386,6 +5386,83 @@ object DataCatalog {
       "JOIN cnt ca ON ca.doc_id = c.id_a JOIN cnt cb ON cb.doc_id = c.id_b " +
       "WHERE coalesce(i.i, 0)::DOUBLE / (ca.n + cb.n - coalesce(i.i, 0)) >= 0.9" + OBA))
 
+  // D20 — char-LSH banding sweep: d15's tuning receipt for the CHAR
+  // shingle regime — candidate volume, verified pairs (J ≥ 0.9), and
+  // precision permille for rows-per-band ∈ {4, 8, 16} over the SAME 16
+  // char minhashes on the d19 fixture. This is the measured lesson
+  // behind d19's (2 × 8) choice as an oracle-gated artifact, not a
+  // commit message: char n-grams carry high base similarity (incidental
+  // interior grams), so 4-row bands flood the candidate join
+  // (P = J⁴ per band × 4 bands is material at J ≈ 0.4), 8-row bands
+  // collapse the flood while holding the ≥0.9-J twins (J⁸ ≈ 0.43/band),
+  // and the single 16-row band starts shedding true twins (J¹⁶ ≈ 0.19).
+  // Signatures and char-shingle arrays compute ONCE and persist; each
+  // config re-bands the 16-long vectors and verifies only its own
+  // candidates — the d15 shape exactly.
+  val d20 = Q(
+    (s, d) => {
+      val zh = documents(s, d).filter(col("lang") === "zh")
+        .select(col("doc_id"), regexp_replace(col("text"),
+          lit("(\\S+)"), concat(lit("$1~"), col("doc_id") % 97)).as("text"))
+      val twins = zh.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit("之")).as("text"))
+      val src = zh.unionByName(twins)
+      val sigs = graft.CacheScope.persist(
+        src.select(col("doc_id"),
+            graft.plans.TextHashExprs.minhashCharSigs(lower(col("text")), 16, 4)
+              .as("sigs"))
+          .filter(col("sigs").isNotNull))
+      sigs.count()
+      val sh = graft.CacheScope.persist(
+        NearDup.charShingleArrays(src, col("doc_id"), col("text"), 4))
+      sh.count()
+      ordered(Seq(4, 8, 16).map { r =>
+        val cand = NearDup.candidates(NearDup.bands(sigs, 16, r))
+        val ver = NearDup.jaccardPairs(cand, sh).filter(col("jaccard") >= 0.9)
+        cand.agg(count(lit(1)).cast("long").as("n_candidates"))
+          .crossJoin(ver.agg(count(lit(1)).cast("long").as("n_verified")))
+          .select(lit(r.toLong).as("rows_per_band"),
+            lit((16 / r).toLong).as("n_bands"),
+            col("n_candidates"), col("n_verified"),
+            expr("CASE WHEN n_candidates = 0 THEN 0L ELSE " +
+              "n_verified * 1000 DIV n_candidates END").as("precision_permille"))
+      }.reduce(_.unionByName(_)))
+    },
+    Some {
+      def cfg(r: Int) =
+        s"sigs$r AS (SELECT doc_id, h // $r AS band, " +
+          s"string_agg(mh::VARCHAR, ',' ORDER BY h) AS sig FROM mins GROUP BY doc_id, h // $r), " +
+        s"cand$r AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs$r a " +
+          s"JOIN sigs$r b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), " +
+        s"inter$r AS (SELECT c.id_a, c.id_b, count(*) AS i FROM cand$r c " +
+          "JOIN sh sa ON sa.doc_id = c.id_a " +
+          "JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh GROUP BY 1, 2), " +
+        s"ver$r AS (SELECT i.id_a FROM inter$r i " +
+          "JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b " +
+          "WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.9)"
+      def row(r: Int) =
+        s"SELECT CAST($r AS BIGINT) AS rows_per_band, CAST(${16 / r} AS BIGINT) AS n_bands, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM cand$r) AS n_candidates, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM ver$r) AS n_verified, " +
+          s"CASE WHEN (SELECT count(*) FROM cand$r) = 0 THEN 0 " +
+          s"ELSE CAST((SELECT count(*) FROM ver$r) * 1000 // " +
+          s"(SELECT count(*) FROM cand$r) AS BIGINT) END AS precision_permille"
+      "WITH zh AS (SELECT doc_id, regexp_replace(text, '(\\S+)', " +
+        "'\\1~' || (doc_id % 97), 'g') AS text FROM documents WHERE lang = 'zh'), " +
+        "src3 AS (SELECT doc_id, text FROM zh UNION ALL " +
+        "SELECT doc_id + 10000, text || '之' FROM zh), " +
+        "lt AS (SELECT doc_id, lower(text) AS text FROM src3), " +
+        "sh AS (SELECT DISTINCT doc_id, substr(text, i, 4) AS sh FROM lt, " +
+        "unnest(range(1, len(text) - 2)) u(i)), " +
+        "mins AS (SELECT doc_id, h, min(((((2*h+1)*2654435761) % 2147483647) * " +
+        "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
+        "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
+        "FROM sh, unnest(range(0, 16)) t(h) GROUP BY doc_id, h), " +
+        "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        cfg(4) + ", " + cfg(8) + ", " + cfg(16) + " " +
+        row(4) + " UNION ALL " + row(8) + " UNION ALL " + row(16) + OBA
+    })
+
   // T14 — interval integrity audit over the t8 interval fixture: per
   // user, counts of overlapping intervals (exact, non-adjacent
   // included, via the running-max-end flag) and total uncovered gap —
@@ -5910,5 +5987,5 @@ object DataCatalog {
     "sim12_sign_rerank" -> sim12, "fs3_feature_matrix" -> fs3,
     "url5_domain_rollup" -> url5, "m9_mime_integrity" -> m9,
     "dp12_release_manifest" -> dp12, "e21_activity_heatmap" -> e21,
-    "m4c_jpeg_pixel_dedup" -> m4c)
+    "m4c_jpeg_pixel_dedup" -> m4c, "d20_char_band_sweep" -> d20)
 }

@@ -294,6 +294,21 @@ object ScalingProbe {
           .select(col("doc_id"),
             concat(col("text"), lit(" "), col("q_text"), lit(" "), col("text")).as("text"))
         NearDup.exactSubstrMask(spliced, col("doc_id"), col("text"), 8)
+      },
+      // round-12 addition: the char-signature kernel (d19). The catalog
+      // fixture transform applies per replicated id (residue suffix
+      // decorrelates within a copy, copy suffixes ~c decorrelate across
+      // copies at word level; char-level cross-copy similarity is
+      // nonzero but sits far below the 8-row band's collision knee, so
+      // candidate classes stay same-residue and the measured cost is
+      // the map-side char-shingle minhash + one band-key shuffle.
+      "d19_char_lsh" -> { d =>
+        val zh = Tables.documents(spark, d).filter(col("lang") === "zh")
+          .select(col("doc_id"), regexp_replace(col("text"),
+            lit("(\\S+)"), concat(lit("$1~"), col("doc_id") % 97)).as("text"))
+        val twins = zh.select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit("之")).as("text"))
+        NearDup.minhashLshChar(zh.unionByName(twins), col("doc_id"), col("text"), 0.9)
       })
 
     // dev-only subset (comma-separated workload names) for measuring
