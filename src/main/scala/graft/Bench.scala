@@ -140,7 +140,8 @@ object Bench {
     "d17_containment_pairs", "t14_interval_audit", "mix7_cooldown_schedule",
     "d19_char_ngram_dedup", "sim12_sign_rerank", "fs3_feature_matrix",
     "url5_domain_rollup", "m9_mime_integrity", "dp12_release_manifest",
-    "e21_activity_heatmap", "m4c_jpeg_pixel_dedup", "d20_char_band_sweep")
+    "e21_activity_heatmap", "m4c_jpeg_pixel_dedup", "d20_char_band_sweep",
+    "sim11b_seeded_walk")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -664,17 +664,75 @@ object Similarity {
       k: Int, beam: Int = 8, hops: Int = 3): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 1,
       s"k/beam/hops must be >= 1, got $k/$beam/$hops")
-    val adj = graft.CacheScope.persist(
-      graph.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(graph.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    val v = graft.CacheScope.persist(withNorm(
-      vectors.select(col("vec_id").as("node_id"), col("embedding").as("nv")),
-      "node_id", "nv", "nn"))
-    val q = graft.CacheScope.persist(withNorm(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      "query_id", "qv", "qn"))
-    var visited = q.select(col("query_id"), col("query_id").as("node_id"),
+    val (adj, v, q) = walkFrames(vectors, graph, queries)
+    val visited0 = q.select(col("query_id"), col("query_id").as("node_id"),
       lit(1.0).as("cos"))
+    walkLoop(adj, v, q, visited0, k, beam, hops)
+  }
+
+  /** sim11b — graph-walk ANN seeded from the coarse quantizer (the
+    * HNSW-shaped entry-point discipline): [[graphWalk]]'s self-seed
+    * frames the query as a GRAPH MEMBER, but a production query is
+    * not in the graph — it has no node to start from. This variant
+    * routes each query to its nearest emb4 centroid (the same
+    * broadcast rank as IVF) and seeds the beam at that cell's
+    * `nSeeds` members closest to the centroid — graph nodes that
+    * exist regardless of the query, playing the role of HNSW's
+    * per-layer entry points. The walk itself (hop loop, beam rank,
+    * final top-k) is [[graphWalk]]'s verbatim.
+    *
+    * Scale shape on top of graphWalk's: centroid routing is one
+    * broadcast k-row rank per query (the sim3b move); the seed table
+    * is ≤ cells·nSeeds rows built from ONE corpus assignment pass
+    * (already paid if the IVF index exists) and joins the query frame
+    * on cell id. `nSeeds` must be ≤ `beam` or hop-1's rank would
+    * discard seeds before they expand. */
+  def graphWalkSeeded(vectors: DataFrame, graph: DataFrame,
+      queries: DataFrame, cents: DataFrame, k: Int, beam: Int = 8,
+      hops: Int = 3, nSeeds: Int = 8): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 1,
+      s"k/beam/hops must be >= 1, got $k/$beam/$hops")
+    require(nSeeds >= 1 && nSeeds <= beam,
+      s"nSeeds must be in [1, beam=$beam], got $nSeeds")
+    val (adj, v, q) = walkFrames(vectors, graph, queries)
+    val asg = graft.CacheScope.persist(Clustering.assign(vectors, cents))
+    val sw = Window.partitionBy(col("cid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val seeds = asg.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= nSeeds)
+      .select(col("cid").as("cell"), col("vec_id").as("node_id"))
+    val qCell = Clustering.assign(queries, cents)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val visited0 = qCell.join(seeds, Seq("cell"))
+      .select(col("query_id"), col("node_id"))
+      .join(v, Seq("node_id")).join(q, Seq("query_id"))
+      .select(col("query_id"), col("node_id"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    walkLoop(adj, v, q, visited0, k, beam, hops)
+  }
+
+  /** The persisted frames every walk variant shares: symmetrized
+    * adjacency, normed corpus vectors, normed queries. */
+  private def walkFrames(vectors: DataFrame, graph: DataFrame,
+      queries: DataFrame): (DataFrame, DataFrame, DataFrame) = (
+    graft.CacheScope.persist(
+      graph.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(graph.select(col("id_b").as("src"), col("id_a").as("dst")))),
+    graft.CacheScope.persist(withNorm(
+      vectors.select(col("vec_id").as("node_id"), col("embedding").as("nv")),
+      "node_id", "nv", "nn")),
+    graft.CacheScope.persist(withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv", "qn")))
+
+  /** The shared hop loop: expand frontier along adj, exact-score the
+    * newly reached nodes, fold into visited, keep the best `beam` as
+    * the next frontier; after `hops` rounds the best k visited
+    * non-self nodes are the answer. The initial frontier is ALL of
+    * `visited0`'s nodes (callers keep seed counts ≤ beam). */
+  private def walkLoop(adj: DataFrame, v: DataFrame, q: DataFrame,
+      visited0: DataFrame, k: Int, beam: Int, hops: Int): DataFrame = {
+    var visited = visited0
     var frontier = visited.select("query_id", "node_id")
     for (_ <- 1 to hops) {
       val reached = frontier.join(adj, col("node_id") === col("src"))

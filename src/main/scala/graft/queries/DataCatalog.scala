@@ -2080,6 +2080,76 @@ object DataCatalog {
       "FROM truth t LEFT JOIN walk w ON w.query_id = t.query_id " +
       "AND w.neighbor_id = t.neighbor_id GROUP BY t.query_id" + OBA))
 
+  // SIM11B — the graph walk with PRODUCTION seeding: sim11 seeds each
+  // query at its own graph node (self-retrieval framing), but a real
+  // query is NOT in the graph. Here each query routes to its nearest
+  // emb4 learned centroid (the IVF broadcast rank) and the beam seeds
+  // at that cell's 8 members closest to the centroid — entry points
+  // that exist independent of the query, the HNSW discipline. Same
+  // graph, hops, and beam as sim11, so the recall delta between the
+  // two cards isolates what self-seeding was worth — and the answer
+  // is NEGATIVE (measured at sf0.01: 0.34 mean recall here vs sim11's
+  // 0.08): a single self-seed strands the walk in its own sparse
+  // mutual-kNN component, while 8 centroid-near entry points cover
+  // the cell and give the beam real choices from hop 1. The
+  // production framing is also the better one. Oracle:
+  // the kmeans CTEs (km-prefixed to coexist with the hop blocks'
+  // names) + assignment + per-cell seed rank, then sim11's identical
+  // three hop blocks and recall card.
+  val sim11b = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
+      val walk = Similarity.graphWalkSeeded(e,
+        Similarity.mutualKnn(e, "label", 10), queries,
+        Clustering.kmeans(e, 10, 3), 5)
+      ordered(Similarity.annRecall(truth, walk))
+    },
+    Some("WITH " + kmeansBody("embeddings", "km", 3, 10, 64) + ", " +
+      "fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+      " AS cos FROM embeddings e CROSS JOIN kmc3 c), " +
+      "asg AS MATERIALIZED (SELECT vec_id, cid, cos FROM (SELECT vec_id, cid, cos, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
+      "FROM fin) WHERE rn = 1), " +
+      "seeds AS (SELECT cid AS cell, vec_id AS node_id FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id ASC) AS srn " +
+      "FROM asg) WHERE srn <= 8), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings), " +
+      "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c USING (label) WHERE query_id <> neighbor_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored), " +
+      "knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10), " +
+      "mut AS (SELECT x.query_id AS id_a, x.neighbor_id AS id_b FROM knn x JOIN knn y " +
+      "ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
+      "WHERE x.query_id < x.neighbor_id), " +
+      "adj AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mut " +
+      "UNION ALL SELECT id_b, id_a FROM mut), " +
+      "qq AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv " +
+      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      "vv AS (SELECT vec_id AS node_id, embedding AS nv FROM embeddings), " +
+      "qcell AS (SELECT vec_id AS query_id, cid AS cell FROM asg " +
+      "WHERE vec_id % 50 = 0), " +
+      "v0 AS (SELECT qc2.query_id, sd.node_id, " + cosSql("qv", "nv") +
+      " AS cos FROM qcell qc2 JOIN seeds sd USING (cell) " +
+      "JOIN qq ON qq.query_id = qc2.query_id JOIN vv ON vv.node_id = sd.node_id), " +
+      "f0 AS (SELECT query_id, node_id FROM v0), " +
+      sim11Hop(1) + ", " + sim11Hop(2) + ", " + sim11Hop(3) + ", " +
+      "walk AS (SELECT query_id, node_id AS neighbor_id FROM (SELECT query_id, node_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id ASC) AS rn " +
+      "FROM v3 WHERE node_id <> query_id) WHERE rn <= 5), " +
+      "tsc AS (SELECT qq.query_id, c.neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM qq JOIN c ON qq.query_id <> c.neighbor_id), " +
+      "truth AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn " +
+      "FROM tsc) WHERE rn <= 5) " +
+      "SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth, " +
+      "CAST(sum(CASE WHEN w.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+      "FROM truth t LEFT JOIN walk w ON w.query_id = t.query_id " +
+      "AND w.neighbor_id = t.neighbor_id GROUP BY t.query_id" + OBA))
+
   // SIM12 — two-stage binary ANN recall card: sign-sketch band
   // candidates (Hamming ≤ 20) exactly reranked, graded against
   // brute-force truth — the compression ladder's cheapest index
@@ -5987,5 +6057,6 @@ object DataCatalog {
     "sim12_sign_rerank" -> sim12, "fs3_feature_matrix" -> fs3,
     "url5_domain_rollup" -> url5, "m9_mime_integrity" -> m9,
     "dp12_release_manifest" -> dp12, "e21_activity_heatmap" -> e21,
-    "m4c_jpeg_pixel_dedup" -> m4c, "d20_char_band_sweep" -> d20)
+    "m4c_jpeg_pixel_dedup" -> m4c, "d20_char_band_sweep" -> d20,
+    "sim11b_seeded_walk" -> sim11b)
 }
