@@ -473,12 +473,15 @@ object EventStream {
         // corrupts the score). Late data thus decays by 0 weeks —
         // stream ≡ batch still holds for in-order arrival, and
         // out-of-order arrival degrades gracefully instead of
-        // corrupting state.
+        // corrupting state. `last` is a running MAX (batch last_day =
+        // max(di)), so a late event can neither rewind the reported
+        // last day nor inflate the NEXT in-order event's gap — the
+        // degradation contract PropertySpec pins cross-batch.
         val gap = if (cnt == 0) 0L
           else math.min(math.max(di - last, 0L) / 7, 62L)
         score = (score >> gap.toInt) + 1000000L
         cnt += 1
-        last = di
+        last = math.max(last, di)
       }
       state.update((cnt, last, score))
       if (cnt == 0) Iterator.empty

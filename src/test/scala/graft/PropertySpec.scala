@@ -418,4 +418,93 @@ class PropertySpec extends AnyFunSuite {
     assert(got.length == 15, s"expected 5 epochs x 3 strata, got ${got.length}")
     CacheScope.releaseAll()
   }
+
+  // ---- cross-batch LATE-DATA contracts for the stateful stream twins.
+  // The stream ≡ batch pins in ScaleSpec cover in-order arrival; these
+  // cases feed genuinely out-of-order micro-batches through a
+  // checkpointed AvailableNow restart and assert the DOCUMENTED
+  // degradation — not silence, not corruption.
+
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, Long, Long, String)]): Unit =
+    rows.map { case (eid, sec, uid, typ) =>
+      (eid, new java.sql.Timestamp(sec * 1000L), uid, typ, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  /** Run one AvailableNow pass over `dir` with persistent state in
+    * `ckpt`, draining the transform's output through foreachBatch into
+    * the returned buffer of (batchId, row). A later call with the same
+    * checkpoint resumes the state store and reads only NEW files —
+    * a real cross-batch boundary, not an in-batch reorder. */
+  private def drainStream(dir: String, ckpt: String)
+      (xf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Seq[(Long, org.apache.spark.sql.Row)] = {
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, org.apache.spark.sql.Row)]()
+    val q = xf(graft.streaming.EventStream.streamSource(spark, dir))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.collect().foreach(r => out.add((id, r))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    out.asScala.toSeq
+  }
+
+  test("funnelStream late data: a late predecessor never retro-qualifies an already-processed stage, and stages never un-reach") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files.createTempDirectory("late_funnel").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("late_funnel_ck").toString
+    val stages = Seq("A", "B")
+    // batch 1 — user 1: B alone (no A yet → reached 0);
+    //           user 2: A@100 then B@200 (reached 2)
+    writeEvents(dir, Seq((1L, 50L, 1L, "B"), (2L, 100L, 2L, "A"), (3L, 200L, 2L, "B")))
+    val b1 = drainStream(dir, ckpt)(EventStream.funnelStream(_, stages))
+    val r1 = b1.map { case (_, r) => r.getLong(0) -> r.getLong(1) }.toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 2L), s"in-order batch 1 must match batch semantics, got $r1")
+    // batch 2 — user 1: the LATE stage-A event (t=10 < the processed
+    // B@50). Batch recompute over all four events reaches stage 2 for
+    // user 1; the stream's documented contract is weaker: the B event
+    // is gone, so user 1 reaches exactly stage 1 — never 2, never 0.
+    // user 2: a late B@150 lowers t(B) but must NOT lower the reached
+    // stage.
+    writeEvents(dir, Seq((4L, 10L, 1L, "A"), (5L, 150L, 2L, "B")))
+    val b2 = drainStream(dir, ckpt)(EventStream.funnelStream(_, stages))
+    val r2 = b2.map { case (_, r) => r.getLong(0) -> r.getLong(1) }.toMap
+    assert(r2(1L) == 1L,
+      s"late predecessor must count itself but not resurrect the lost B, got ${r2(1L)}")
+    assert(r2(2L) == 2L, s"late stage event must never un-reach, got ${r2(2L)}")
+    // monotonicity across batches: no user's reached stage decreased
+    r2.foreach { case (u, s2) => assert(s2 >= r1(u),
+      s"user $u regressed from ${r1(u)} to $s2 across batches") }
+  }
+
+  test("decayStream late data: gap clamps to zero and last-day is a running max (a late event cannot inflate the next gap)") {
+    import graft.streaming.EventStream
+    val dir = java.nio.file.Files.createTempDirectory("late_decay").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("late_decay_ck").toString
+    val day = 86400L
+    // batch 1 — user 7: day 0 then day 70 (10-week gap):
+    // score = (10^6 >> 10) + 10^6 = 1000976, last day index 70
+    writeEvents(dir, Seq((1L, 0L, 7L, "x"), (2L, 70 * day, 7L, "x")))
+    val b1 = drainStream(dir, ckpt)(EventStream.decayStream(_))
+    val r1 = b1.map(_._2).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(r1 == ((2L, 70L, 1000976L)), s"in-order batch 1 state wrong: $r1")
+    // batch 2 — a LATE day-7 event plus an in-order day-77 event in the
+    // same micro-batch. Documented degradation: the late event decays
+    // by 0 weeks (clamped gap) and must NOT rewind last-day, so the
+    // day-77 event's gap is measured from 70 (1 week), not from 7
+    // (10 weeks): score = ((1000976 + 10^6) >> 1) + 10^6 = 2000488.
+    writeEvents(dir, Seq((3L, 7 * day, 7L, "x"), (4L, 77 * day, 7L, "x")))
+    val b2 = drainStream(dir, ckpt)(EventStream.decayStream(_))
+    val r2 = b2.map(_._2).map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(r2._1 == 4L, s"all four events counted, got ${r2._1}")
+    assert(r2._2 == 77L,
+      s"last day must be the running max (77), not the late event's day, got ${r2._2}")
+    assert(r2._3 == 2000488L,
+      s"late event must not inflate the next in-order gap: expected 2000488, got ${r2._3}")
+  }
 }
