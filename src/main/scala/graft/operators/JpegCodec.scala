@@ -387,6 +387,152 @@ object JpegCodec {
   private def category(v: Int): Int =
     if (v == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(v))
 
+  /** Fill `block` with level-shifted samples from `plane` (w×h) at
+    * block position (bxi, byi), edge-padded by clamping. */
+  private def fillBlock(plane: Array[Int], w: Int, h: Int, bxi: Int,
+      byi: Int, block: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(byi * 8 + y, h - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(bxi * 8 + x, w - 1)
+        block(y * 8 + x) = plane(sy * w + sx) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Separable FDCT + quantize into zigzag-ordered coefficients. */
+  private def fdctQuant(block: Array[Double], quant: Array[Int],
+      coef: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += Cos(u * 8 + x) * block(yy * 8 + x); x += 1 }
+        tmp(yy * 8 + u) = s
+        yy += 1
+      }
+      u += 1
+    }
+    var k = 0
+    while (k < 64) {
+      val nu = Zigzag(k) % 8; val nv = Zigzag(k) / 8
+      var s = 0.0; var yy = 0
+      while (yy < 8) { s += Cos(nv * 8 + yy) * tmp(yy * 8 + nu); yy += 1 }
+      coef(k) = math.round(s / quant(Zigzag(k))).toInt
+      k += 1
+    }
+  }
+
+  /** Huffman-encode one zigzag coefficient block against `pred`;
+    * returns the block's DC (the next predictor). */
+  private def writeBlock(bw: BitWriter, coef: Array[Int], pred: Int): Int = {
+    val diff = coef(0) - pred
+    val dcCat = category(diff)
+    val (dcCode, dcLen) = DcCodes(dcCat)
+    bw.put(dcCode, dcLen)
+    if (dcCat > 0) bw.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
+    var lastNz = 63
+    while (lastNz > 0 && coef(lastNz) == 0) lastNz -= 1
+    var k = 1
+    while (k <= lastNz) {
+      var run = 0
+      while (coef(k) == 0) { run += 1; k += 1 }
+      while (run >= 16) {
+        val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); run -= 16
+      }
+      val v = coef(k)
+      val cat = category(v)
+      val (c2, l2) = AcCodes((run << 4) | cat)
+      bw.put(c2, l2)
+      bw.put(if (v < 0) v + (1 << cat) - 1 else v, cat)
+      k += 1
+    }
+    if (lastNz < 63) { val (ec, el) = AcCodes(0x00); bw.put(ec, el) }
+    coef(0)
+  }
+
+  /** Shared header + MCU-loop encoder: `planes` are full-resolution
+    * w×h sample planes, one per component (1 = grayscale, 3 = YCbCr
+    * 4:4:4, all 1×1 sampling so an MCU is one block per component).
+    * `restartInterval` > 0 emits DRI and an RSTn every that many MCUs
+    * (byte-aligned, predictors reset) — the fixture knob that makes
+    * the decoder's restart path testable. */
+  private def encodePlanes(w: Int, h: Int, planes: Seq[Array[Int]],
+      quant: Array[Int], restartInterval: Int): Array[Byte] = {
+    require(planes.nonEmpty && planes.size <= 3 && planes.size != 2,
+      s"1 (gray) or 3 (YCbCr) components, got ${planes.size}")
+    planes.foreach(p => require(p.length == w * h,
+      s"each plane must be w*h=${w * h}, got ${p.length}"))
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 values in 1..255")
+    require(restartInterval >= 0 && restartInterval <= 65535,
+      s"restart interval must fit u16, got $restartInterval")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    val nc = planes.size
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 65); out.write(0x00) // DQT table 0, 8-bit
+    var k = 0
+    while (k < 64) { out.write(quant(Zigzag(k))); k += 1 }
+    marker(0xc0); u16(8 + 3 * nc) // SOF0
+    out.write(8); u16(h); u16(w); out.write(nc)
+    var ci = 0
+    while (ci < nc) { // ids 1..nc, 1x1 sampling, qtable 0
+      out.write(ci + 1); out.write(0x11); out.write(0); ci += 1
+    }
+    def dht(tc: Int, counts: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); out.write(tc << 4)
+      counts.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, DcCounts, DcVals)
+    dht(1, AcCounts, AcVals)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xda); u16(6 + 2 * nc) // SOS
+    out.write(nc)
+    ci = 0
+    while (ci < nc) { // every component: DC slot 0, AC slot 0
+      out.write(ci + 1); out.write(0x00); ci += 1
+    }
+    out.write(0); out.write(63); out.write(0) // Ss, Se, Ah/Al
+
+    val bw = new BitWriter(out)
+    val blocksX = (w + 7) / 8
+    val blocksY = (h + 7) / 8
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    val preds = new Array[Int](nc)
+    var rst = 0
+    var mcu = 0
+    val nMcus = blocksX * blocksY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush() // byte-align the entropy data before the marker
+        marker(0xd0 + rst)
+        rst = (rst + 1) % 8
+        java.util.Arrays.fill(preds, 0)
+      }
+      val bxi = mcu % blocksX; val byi = mcu / blocksX
+      ci = 0
+      while (ci < nc) {
+        fillBlock(planes(ci), w, h, bxi, byi, block)
+        fdctQuant(block, quant, coef)
+        preds(ci) = writeBlock(bw, coef, preds(ci))
+        ci += 1
+      }
+      mcu += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Encode a grayscale raster as baseline JPEG (SOF0, one component,
     * 1×1 sampling). `quant` is the 64-entry quantization table in
     * natural order (all-1s ≈ near-lossless: round-trip error is DCT
@@ -394,102 +540,17 @@ object JpegCodec {
     * within ±1 — the margin [[graft.operators.Multimodal.syntheticJpegImages]]
     * builds on). Edge blocks pad by clamping. */
   def encodeGray(w: Int, h: Int, gray: Array[Int],
-      quant: Array[Int] = Array.fill(64)(1)): Array[Byte] = {
-    require(gray.length == w * h, s"raster must be w*h=${w * h}, got ${gray.length}")
-    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
-      "quant table must be 64 values in 1..255")
-    val out = new java.io.ByteArrayOutputStream()
-    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    marker(0xd8) // SOI
-    marker(0xdb); u16(2 + 65); out.write(0x00) // DQT table 0, 8-bit
-    var k = 0
-    while (k < 64) { out.write(quant(Zigzag(k))); k += 1 }
-    marker(0xc0); u16(8 + 3) // SOF0
-    out.write(8); u16(h); u16(w); out.write(1)
-    out.write(1); out.write(0x11); out.write(0) // id 1, 1x1, qtable 0
-    def dht(tc: Int, counts: Array[Int], vals: Array[Int]): Unit = {
-      marker(0xc4); u16(2 + 1 + 16 + vals.length); out.write(tc << 4)
-      counts.foreach(out.write); vals.foreach(out.write)
-    }
-    dht(0, DcCounts, DcVals)
-    dht(1, AcCounts, AcVals)
-    marker(0xda); u16(6 + 2) // SOS
-    out.write(1); out.write(1); out.write(0x00) // comp 1: DC slot 0, AC slot 0
-    out.write(0); out.write(63); out.write(0)   // Ss, Se, Ah/Al
+      quant: Array[Int] = Array.fill(64)(1),
+      restartInterval: Int = 0): Array[Byte] =
+    encodePlanes(w, h, Seq(gray), quant, restartInterval)
 
-    val bw = new BitWriter(out)
-    val blocksX = (w + 7) / 8
-    val blocksY = (h + 7) / 8
-    val block = new Array[Double](64)
-    val coef = new Array[Int](64)
-    var pred = 0
-    var byi = 0
-    while (byi < blocksY) {
-      var bxi = 0
-      while (bxi < blocksX) {
-        var y = 0
-        while (y < 8) {
-          val sy = math.min(byi * 8 + y, h - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bxi * 8 + x, w - 1)
-            block(y * 8 + x) = gray(sy * w + sx) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        // separable FDCT + quantize into zigzag order
-        val tmp = new Array[Double](64)
-        var u = 0
-        while (u < 8) {
-          var yy = 0
-          while (yy < 8) {
-            var s = 0.0; var x = 0
-            while (x < 8) { s += Cos(u * 8 + x) * block(yy * 8 + x); x += 1 }
-            tmp(yy * 8 + u) = s
-            yy += 1
-          }
-          u += 1
-        }
-        k = 0
-        while (k < 64) {
-          val nu = Zigzag(k) % 8; val nv = Zigzag(k) / 8
-          var s = 0.0; var yy = 0
-          while (yy < 8) { s += Cos(nv * 8 + yy) * tmp(yy * 8 + nu); yy += 1 }
-          coef(k) = math.round(s / quant(Zigzag(k))).toInt
-          k += 1
-        }
-        // entropy-encode the block
-        val diff = coef(0) - pred
-        pred = coef(0)
-        val dcCat = category(diff)
-        val (dcCode, dcLen) = DcCodes(dcCat)
-        bw.put(dcCode, dcLen)
-        if (dcCat > 0) bw.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
-        var lastNz = 63
-        while (lastNz > 0 && coef(lastNz) == 0) lastNz -= 1
-        k = 1
-        while (k <= lastNz) {
-          var run = 0
-          while (coef(k) == 0) { run += 1; k += 1 }
-          while (run >= 16) {
-            val (zc, zl) = AcCodes(0xf0); bw.put(zc, zl); run -= 16
-          }
-          val v = coef(k)
-          val cat = category(v)
-          val (c2, l2) = AcCodes((run << 4) | cat)
-          bw.put(c2, l2)
-          bw.put(if (v < 0) v + (1 << cat) - 1 else v, cat)
-          k += 1
-        }
-        if (lastNz < 63) { val (ec, el) = AcCodes(0x00); bw.put(ec, el) }
-        bxi += 1
-      }
-      byi += 1
-    }
-    bw.flush()
-    marker(0xd9) // EOI
-    out.toByteArray
-  }
+  /** Encode a YCbCr 4:4:4 color baseline JPEG (three components, 1×1
+    * sampling, shared tables) — the fixture generator that makes the
+    * decoder's THREE-component path testable: a conforming decoder
+    * must entropy-decode every chroma block to stay in sync even
+    * though [[decodeGray]] only IDCTs luma. */
+  def encodeYcc444(w: Int, h: Int, y: Array[Int], cb: Array[Int],
+      cr: Array[Int], quant: Array[Int] = Array.fill(64)(1),
+      restartInterval: Int = 0): Array[Byte] =
+    encodePlanes(w, h, Seq(y, cb, cr), quant, restartInterval)
 }

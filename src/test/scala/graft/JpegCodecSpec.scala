@@ -73,6 +73,44 @@ class JpegCodecSpec extends AnyFunSuite {
     val (dw, dh, gray) = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, px)).get
     assert((dw, dh) == (w, h))
     assert(px.zip(gray).map { case (a, b) => math.abs(a - b) }.max <= 2)
+    // real DRI stream: RSTn every 5 MCUs (34 blocks → 6 restarts, the
+    // n-mod-8 cycle and predictor resets both exercised)
+    val withDri = JpegCodec.encodeGray(w, h, px, restartInterval = 5)
+    assert(withDri.sliding(2).exists(s =>
+      (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xd2), "DRI stream must carry RSTn markers")
+    val (rw, rh, rgray) = JpegCodec.decodeGray(withDri).get
+    assert((rw, rh) == (w, h))
+    assert(px.zip(rgray).map { case (a, b) => math.abs(a - b) }.max <= 2,
+      "restart-interval stream must round-trip like the plain one")
+    // a WRONG restart ordinal must degrade, not desync silently
+    val bad = withDri.clone()
+    val at = bad.indices.find(i => (bad(i) & 0xff) == 0xff &&
+      (bad(i + 1) & 0xff) == 0xd0).get
+    bad(at + 1) = 0xd5.toByte // out-of-sequence RST
+    assert(JpegCodec.decodeGray(bad).isEmpty)
+  }
+
+  test("three-component 4:4:4 decode: luma is the Y plane; chroma blocks are consumed but never steer the output") {
+    val (w, h) = (40, 24)
+    val y = noise(w, h, 11L)
+    val cb = noise(w, h, 22L)
+    val cr = noise(w, h, 33L)
+    val (dw, dh, gray) = JpegCodec.decodeGray(
+      JpegCodec.encodeYcc444(w, h, y, cb, cr)).get
+    assert((dw, dh) == (w, h))
+    assert(y.zip(gray).map { case (a, b) => math.abs(a - b) }.max <= 2,
+      "decoded luma must track the Y plane")
+    // different chroma, same luma ⇒ identical output (chroma blocks
+    // only advance the entropy stream — if the skip logic desynced,
+    // the luma blocks after the first MCU would diverge wildly)
+    val (_, _, gray2) = JpegCodec.decodeGray(
+      JpegCodec.encodeYcc444(w, h, y, noise(w, h, 44L), noise(w, h, 55L))).get
+    assert(gray.sameElements(gray2),
+      "chroma content must not leak into the luma output")
+    // color + restart markers together (3 preds reset per RST)
+    val (_, _, gray3) = JpegCodec.decodeGray(
+      JpegCodec.encodeYcc444(w, h, y, cb, cr, restartInterval = 3)).get
+    assert(y.zip(gray3).map { case (a, b) => math.abs(a - b) }.max <= 2)
   }
 
   test("decode degrades to None on non-JPEG, truncated, progressive, and header-only payloads") {
