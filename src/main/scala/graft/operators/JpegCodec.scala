@@ -457,18 +457,24 @@ object JpegCodec {
     coef(0)
   }
 
-  /** Shared header + MCU-loop encoder: `planes` are full-resolution
-    * w×h sample planes, one per component (1 = grayscale, 3 = YCbCr
-    * 4:4:4, all 1×1 sampling so an MCU is one block per component).
+  /** One encoder component: its sample plane (pw×ph) and sampling
+    * factors. The luma plane is full-resolution; a subsampled chroma
+    * plane carries ceil(w·h/hmax) × ceil(h·v/vmax) samples. */
+  private final case class EncComp(plane: Array[Int], pw: Int, ph: Int,
+      hs: Int, vs: Int)
+
+  /** Shared header + MCU-loop encoder over arbitrary per-component
+    * sampling (1 = grayscale, 3 = YCbCr; an MCU holds hs×vs blocks per
+    * component, interleaved in component order per T.81).
     * `restartInterval` > 0 emits DRI and an RSTn every that many MCUs
     * (byte-aligned, predictors reset) — the fixture knob that makes
     * the decoder's restart path testable. */
-  private def encodePlanes(w: Int, h: Int, planes: Seq[Array[Int]],
+  private def encodePlanes(w: Int, h: Int, comps: Seq[EncComp],
       quant: Array[Int], restartInterval: Int): Array[Byte] = {
-    require(planes.nonEmpty && planes.size <= 3 && planes.size != 2,
-      s"1 (gray) or 3 (YCbCr) components, got ${planes.size}")
-    planes.foreach(p => require(p.length == w * h,
-      s"each plane must be w*h=${w * h}, got ${p.length}"))
+    require(comps.nonEmpty && comps.size <= 3 && comps.size != 2,
+      s"1 (gray) or 3 (YCbCr) components, got ${comps.size}")
+    comps.foreach(c => require(c.plane.length == c.pw * c.ph,
+      s"plane must be ${c.pw}x${c.ph}=${c.pw * c.ph}, got ${c.plane.length}"))
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
       "quant table must be 64 values in 1..255")
     require(restartInterval >= 0 && restartInterval <= 65535,
@@ -476,7 +482,7 @@ object JpegCodec {
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    val nc = planes.size
+    val nc = comps.size
     marker(0xd8) // SOI
     marker(0xdb); u16(2 + 65); out.write(0x00) // DQT table 0, 8-bit
     var k = 0
@@ -484,8 +490,9 @@ object JpegCodec {
     marker(0xc0); u16(8 + 3 * nc) // SOF0
     out.write(8); u16(h); u16(w); out.write(nc)
     var ci = 0
-    while (ci < nc) { // ids 1..nc, 1x1 sampling, qtable 0
-      out.write(ci + 1); out.write(0x11); out.write(0); ci += 1
+    while (ci < nc) { // ids 1..nc, sampling factors, qtable 0
+      out.write(ci + 1); out.write((comps(ci).hs << 4) | comps(ci).vs)
+      out.write(0); ci += 1
     }
     def dht(tc: Int, counts: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16(2 + 1 + 16 + vals.length); out.write(tc << 4)
@@ -503,14 +510,16 @@ object JpegCodec {
     out.write(0); out.write(63); out.write(0) // Ss, Se, Ah/Al
 
     val bw = new BitWriter(out)
-    val blocksX = (w + 7) / 8
-    val blocksY = (h + 7) / 8
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
     val preds = new Array[Int](nc)
     var rst = 0
     var mcu = 0
-    val nMcus = blocksX * blocksY
+    val nMcus = mcusX * mcusY
     while (mcu < nMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         bw.flush() // byte-align the entropy data before the marker
@@ -518,12 +527,21 @@ object JpegCodec {
         rst = (rst + 1) % 8
         java.util.Arrays.fill(preds, 0)
       }
-      val bxi = mcu % blocksX; val byi = mcu / blocksX
+      val mx = mcu % mcusX; val my = mcu / mcusX
       ci = 0
       while (ci < nc) {
-        fillBlock(planes(ci), w, h, bxi, byi, block)
-        fdctQuant(block, quant, coef)
-        preds(ci) = writeBlock(bw, coef, preds(ci))
+        val c = comps(ci)
+        var by = 0
+        while (by < c.vs) {
+          var bx = 0
+          while (bx < c.hs) {
+            fillBlock(c.plane, c.pw, c.ph, mx * c.hs + bx, my * c.vs + by, block)
+            fdctQuant(block, quant, coef)
+            preds(ci) = writeBlock(bw, coef, preds(ci))
+            bx += 1
+          }
+          by += 1
+        }
         ci += 1
       }
       mcu += 1
@@ -542,7 +560,7 @@ object JpegCodec {
   def encodeGray(w: Int, h: Int, gray: Array[Int],
       quant: Array[Int] = Array.fill(64)(1),
       restartInterval: Int = 0): Array[Byte] =
-    encodePlanes(w, h, Seq(gray), quant, restartInterval)
+    encodePlanes(w, h, Seq(EncComp(gray, w, h, 1, 1)), quant, restartInterval)
 
   /** Encode a YCbCr 4:4:4 color baseline JPEG (three components, 1×1
     * sampling, shared tables) — the fixture generator that makes the
@@ -552,5 +570,20 @@ object JpegCodec {
   def encodeYcc444(w: Int, h: Int, y: Array[Int], cb: Array[Int],
       cr: Array[Int], quant: Array[Int] = Array.fill(64)(1),
       restartInterval: Int = 0): Array[Byte] =
-    encodePlanes(w, h, Seq(y, cb, cr), quant, restartInterval)
+    encodePlanes(w, h, Seq(EncComp(y, w, h, 1, 1), EncComp(cb, w, h, 1, 1),
+      EncComp(cr, w, h, 1, 1)), quant, restartInterval)
+
+  /** Encode a YCbCr 4:2:0 color baseline JPEG — luma at 2×2 sampling,
+    * chroma planes at half resolution (ceil(w/2) × ceil(h/2)), the
+    * layout virtually every camera and web JPEG ships. An MCU is four
+    * Y blocks + one Cb + one Cr, which makes this the fixture that
+    * exercises the decoder's multi-block-per-MCU luma placement and
+    * interleaved chroma skip at realistic geometry. */
+  def encodeYcc420(w: Int, h: Int, y: Array[Int], cb: Array[Int],
+      cr: Array[Int], quant: Array[Int] = Array.fill(64)(1),
+      restartInterval: Int = 0): Array[Byte] = {
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    encodePlanes(w, h, Seq(EncComp(y, w, h, 2, 2), EncComp(cb, cw, ch, 1, 1),
+      EncComp(cr, cw, ch, 1, 1)), quant, restartInterval)
+  }
 }

@@ -113,6 +113,31 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(y.zip(gray3).map { case (a, b) => math.abs(a - b) }.max <= 2)
   }
 
+  test("4:2:0 subsampled decode: four-Y-block MCUs place luma correctly at non-multiple-of-16 geometry") {
+    // 40x24: mcusX = 3 (last MCU half outside the image), mcusY = 2 —
+    // exercises MCU padding crop plus the (mx*2+bx, my*2+by) luma
+    // placement that only multi-block sampling reaches
+    val (w, h) = (40, 24)
+    val y = noise(w, h, 66L)
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val (dw, dh, gray) = JpegCodec.decodeGray(
+      JpegCodec.encodeYcc420(w, h, y, noise(cw, ch, 77L), noise(cw, ch, 88L))).get
+    assert((dw, dh) == (w, h))
+    assert(y.zip(gray).map { case (a, b) => math.abs(a - b) }.max <= 2,
+      "4:2:0 luma must track the Y plane (misplacement would scramble blocks)")
+    // odd dimensions: chroma ceil-division and edge clamp together
+    val (w2, h2) = (17, 9)
+    val y2 = noise(w2, h2, 99L)
+    val (d2w, d2h, g2) = JpegCodec.decodeGray(JpegCodec.encodeYcc420(
+      w2, h2, y2, noise(9, 5, 111L), noise(9, 5, 222L))).get
+    assert((d2w, d2h) == (w2, h2))
+    assert(y2.zip(g2).map { case (a, b) => math.abs(a - b) }.max <= 2)
+    // 4:2:0 with restarts: 6 MCUs at interval 2 → markers mid-scan
+    val (_, _, g3) = JpegCodec.decodeGray(JpegCodec.encodeYcc420(
+      w, h, y, noise(cw, ch, 77L), noise(cw, ch, 88L), restartInterval = 2)).get
+    assert(y.zip(g3).map { case (a, b) => math.abs(a - b) }.max <= 2)
+  }
+
   test("decode degrades to None on non-JPEG, truncated, progressive, and header-only payloads") {
     assert(JpegCodec.decodeGray("definitely not a jpeg".getBytes).isEmpty)
     val ok = JpegCodec.encodeGray(16, 16, noise(16, 16, 3L))
