@@ -5466,9 +5466,16 @@ object DataCatalog {
   // (P = J⁴ per band × 4 bands is material at J ≈ 0.4), 8-row bands
   // collapse the flood while holding the ≥0.9-J twins (J⁸ ≈ 0.43/band),
   // and the single 16-row band starts shedding true twins (J¹⁶ ≈ 0.19).
-  // Signatures and char-shingle arrays compute ONCE and persist; each
-  // config re-bands the 16-long vectors and verifies only its own
-  // candidates — the d15 shape exactly.
+  // Signatures and char-shingle arrays compute ONCE and persist — and
+  // so do the candidates and the exact verify, because the three
+  // configs NEST: a 16-row band collision is all 16 minhashes equal ⇒
+  // both 8-row bands match ⇒ all four 4-row bands match, so
+  // cand16 ⊆ cand8 ⊆ cand4. One flood band join (r = 4, the sweep's
+  // expensive point by design) and one exact-Jaccard pass over it;
+  // the tighter configs are slice-equality flags on those rows —
+  // identical semantics to per-config band joins (the oracle states
+  // them as such), at a third of the join work and one verify instead
+  // of three.
   val d20 = Q(
     (s, d) => {
       val zh = documents(s, d).filter(col("lang") === "zh")
@@ -5486,17 +5493,40 @@ object DataCatalog {
       val sh = graft.CacheScope.persist(
         NearDup.charShingleArrays(src, col("doc_id"), col("text"), 4))
       sh.count()
-      ordered(Seq(4, 8, 16).map { r =>
-        val cand = NearDup.candidates(NearDup.bands(sigs, 16, r))
-        val ver = NearDup.jaccardPairs(cand, sh).filter(col("jaccard") >= 0.9)
-        cand.agg(count(lit(1)).cast("long").as("n_candidates"))
-          .crossJoin(ver.agg(count(lit(1)).cast("long").as("n_verified")))
-          .select(lit(r.toLong).as("rows_per_band"),
-            lit((16 / r).toLong).as("n_bands"),
-            col("n_candidates"), col("n_verified"),
-            expr("CASE WHEN n_candidates = 0 THEN 0L ELSE " +
-              "n_verified * 1000 DIV n_candidates END").as("precision_permille"))
-      }.reduce(_.unionByName(_)))
+      val cand4 = graft.CacheScope.persist(
+        NearDup.candidates(NearDup.bands(sigs, 16, 4)))
+      val bandFlags = Seq(
+        expr("slice(sa, 1, 8) = slice(sb, 1, 8) OR slice(sa, 9, 8) = slice(sb, 9, 8)")
+          .as("b8"),
+        (col("sa") === col("sb")).as("b16"))
+      val withSigs = graft.CacheScope.persist(cand4
+        .join(sigs.select(col("doc_id").as("id_a"), col("sigs").as("sa")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sigs").as("sb")), "id_b")
+        .select(Seq(col("id_a"), col("id_b")) ++ bandFlags: _*))
+      // persisted: the 3-row card references the verify result three
+      // times (one per config row) — without the barrier the exact
+      // Jaccard pass over the flood candidates would run per row
+      val verSigs = graft.CacheScope.persist(
+        NearDup.jaccardPairs(cand4, sh)
+          .filter(col("jaccard") >= 0.9)
+          .join(withSigs, Seq("id_a", "id_b")))
+      val counts = withSigs.agg(
+        count(lit(1)).as("c4"),
+        sum(when(col("b8"), 1L).otherwise(0L)).as("c8"),
+        sum(when(col("b16"), 1L).otherwise(0L)).as("c16"))
+        .crossJoin(verSigs.agg(
+          count(lit(1)).as("v4"),
+          sum(when(col("b8"), 1L).otherwise(0L)).as("v8"),
+          sum(when(col("b16"), 1L).otherwise(0L)).as("v16")))
+      ordered(Seq((4L, "c4", "v4"), (8L, "c8", "v8"), (16L, "c16", "v16"))
+        .map { case (r, cc, vv) =>
+          counts.select(lit(r).as("rows_per_band"),
+            lit(16L / r).as("n_bands"),
+            col(cc).cast("long").as("n_candidates"),
+            col(vv).cast("long").as("n_verified"),
+            expr(s"CASE WHEN $cc = 0 THEN 0L ELSE " +
+              s"$vv * 1000 DIV $cc END").as("precision_permille"))
+        }.reduce(_.unionByName(_)))
     },
     Some {
       def cfg(r: Int) =
