@@ -445,7 +445,10 @@ object Multimodal {
     * one window is ignored, as any fixed-grid fingerprint does).
     * Returns None — degrade, never throw — for non-PCM/ non-16-bit
     * streams, truncated data, or clips shorter than `nWin` frames. */
-  private[graft] def wavPcmEnergies(b: Array[Byte], nWin: Int): Option[Array[Long]] = {
+  /** RIFF walk to the PCM payload: (channels, data offset, frame
+    * count) for a 16-bit PCM WAV, None otherwise — the shared parse
+    * under [[wavPcmEnergies]] and [[wavPcmMono]]. */
+  private def wavPcmLayout(b: Array[Byte]): Option[(Int, Int, Long)] = {
     if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
     if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
     var fmtOk = false
@@ -471,7 +474,35 @@ object Multimodal {
       } else i = next.toInt
     }
     if (!fmtOk || dataOff < 0) return None
-    val frames = dataLen / (2L * channels)
+    Some((channels, dataOff, dataLen / (2L * channels)))
+  }
+
+  /** Channel-averaged mono samples of a 16-bit PCM WAV (doubles, one
+    * per frame) — the spectral path's input. */
+  private[graft] def wavPcmMono(b: Array[Byte]): Option[Array[Double]] =
+    wavPcmLayout(b).map { case (channels, dataOff, framesL) =>
+      val frames = framesL.toInt
+      val mono = new Array[Double](frames)
+      var f = 0
+      while (f < frames) {
+        var acc = 0.0
+        var c = 0
+        while (c < channels) {
+          val s = dataOff + (f * channels + c) * 2
+          acc += ((b(s + 1) << 8) | (b(s) & 0xff)).toDouble // s16 LE
+          c += 1
+        }
+        mono(f) = acc / channels
+        f += 1
+      }
+      mono
+    }
+
+  private[graft] def wavPcmEnergies(b: Array[Byte], nWin: Int): Option[Array[Long]] = {
+    val (channels, dataOff, frames) = wavPcmLayout(b) match {
+      case Some(l) => l
+      case None => return None
+    }
     if (frames < nWin) return None
     val winFrames = (frames / nWin).toInt
     val e = new Array[Long](nWin)
@@ -560,6 +591,110 @@ object Multimodal {
   def audioDupPairs(fps: DataFrame, maxDist: Int = 3): DataFrame =
     NearDup.simhashPairs(
       fps.select(col("doc_id"), col("afp").as("simhash")), maxDist)
+
+  /** Iterative radix-2 FFT in place (re/im must be a power-of-2
+    * length) — plain Cooley–Tukey over doubles, deterministic on any
+    * JVM. Fixture-scale tool for the spectral fingerprint; a 100 TB
+    * run swaps in a vectorized kernel behind the same seam. */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0, s"radix-2 needs 2^k, got $n")
+    // bit-reversal permutation
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = blk + k; val b = blk + k + len / 2
+          val xr = re(b) * cr - im(b) * ci
+          val xi = re(b) * ci + im(b) * cr
+          re(b) = re(a) - xr; im(b) = im(a) - xi
+          re(a) += xr; im(a) += xi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** m5b — SPECTRAL audio fingerprint over real PCM (the chromaprint
+    * shape proper, where m5's time-energy path is its 1-band
+    * degenerate case): 16 rectangular windows of 256 samples, FFT per
+    * window, energy in 4 log-spaced bands (bins [1,4), [4,16),
+    * [16,64), [64,128)), bit (t·4 + b) = E(b,t) < E(b,t+1) — gradient
+    * sign over TIME per band, 60 bits. Loudness-shift invariant like
+    * m5 AND tone-content sensitive (a same-energy pitch change moves
+    * band energies m5's Σs² cannot see). Time-major bit order puts a
+    * one-window edit's ≤4 flipped bits (the t = 0 comparisons) inside
+    * ONE 16-bit simhash band, so the banded join still guarantees the
+    * fixture's in-group pairs at Hamming ≤ 4. Needs ≥ 4096 frames;
+    * shorter or undecodable payloads return no row (m5 is the
+    * fallback fingerprint, not a stub here). */
+  private[graft] def audioSpectralFp(mono: Array[Double]): Option[Long] = {
+    val winLen = 256; val nWin = 16
+    if (mono.length < winLen * nWin) return None
+    val bands = Array((1, 4), (4, 16), (16, 64), (64, 128))
+    val e = Array.ofDim[Double](bands.length, nWin)
+    val re = new Array[Double](winLen); val im = new Array[Double](winLen)
+    var t = 0
+    while (t < nWin) {
+      var k = 0
+      while (k < winLen) { re(k) = mono(t * winLen + k); im(k) = 0.0; k += 1 }
+      fft(re, im)
+      var b = 0
+      while (b < bands.length) {
+        val (lo, hi) = bands(b)
+        var s = 0.0
+        k = lo
+        while (k < hi) { s += re(k) * re(k) + im(k) * im(k); k += 1 }
+        e(b)(t) = s
+        b += 1
+      }
+      t += 1
+    }
+    var hash = 0L
+    t = 0
+    while (t < nWin - 1) {
+      var b = 0
+      while (b < bands.length) {
+        if (e(b)(t) < e(b)(t + 1)) hash |= 1L << (t * 4 + b)
+        b += 1
+      }
+      t += 1
+    }
+    Some(hash)
+  }
+
+  /** m5b step 1 — spectral fingerprint per audio row, one batched
+    * decode+FFT pass; rows without ≥4096 decodable PCM frames drop. */
+  def audioSpectralFingerprint(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        wavPcmMono(r.payload).flatMap(audioSpectralFp)
+          .map(fp => (r.doc_id, fp))
+      }
+    }.toDF("doc_id", "afp")
+  }
 
   /** m4 step 2 — near-duplicate image pairs at Hamming ≤ maxDist: the
     * EXACT same 4×16-bit banded equi-join as text SimHash (d3) — the

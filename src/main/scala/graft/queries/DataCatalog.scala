@@ -4651,6 +4651,26 @@ object DataCatalog {
       "JOIN documents b ON a.doc_id % 97 = b.doc_id % 97 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M5B — SPECTRAL audio near-dup over the same real-PCM fixture: 16
+  // FFT windows × 4 log-spaced frequency bands, bit (t·4+b) = band
+  // energy rising at window t — the chromaprint shape proper, where
+  // m5's time-energy grid is the 1-band degenerate case. Tone-content
+  // sensitive where m5 is only loudness-shape sensitive. The fixture's
+  // one-window loudness edit perturbs exactly FFT window 0 (frames
+  // 64..127 ⊂ samples 0..255), so ≤4 bits flip — all inside simhash
+  // band 0 by the time-major bit order — and in-group pairs always
+  // survive the banded Hamming ≤ 4 gate while cross-group noise
+  // spectra sit ~30 bits apart: the same closed-form pair oracle as
+  // m5, now proving decode → FFT → band energies → packing → banding.
+  val m5b = Q(
+    (s, d) => ordered(graft.operators.Multimodal.audioDupPairs(
+      graft.operators.Multimodal.audioSpectralFingerprint(
+        graft.operators.Multimodal.syntheticAudio(documents(s, d))), 4)
+      .select(col("id_a"), col("id_b"))),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
+      "JOIN documents b ON a.doc_id % 97 = b.doc_id % 97 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   // E14 — props key-coverage card: which keys the semi-structured JSON
   // bag actually carries and how often — the schema-discovery step
   // before e9-style typed extraction is even possible (you can't write
@@ -6088,5 +6108,5 @@ object DataCatalog {
     "url5_domain_rollup" -> url5, "m9_mime_integrity" -> m9,
     "dp12_release_manifest" -> dp12, "e21_activity_heatmap" -> e21,
     "m4c_jpeg_pixel_dedup" -> m4c, "d20_char_band_sweep" -> d20,
-    "sim11b_seeded_walk" -> sim11b)
+    "sim11b_seeded_walk" -> sim11b, "m5b_spectral_dedup" -> m5b)
 }

@@ -576,6 +576,54 @@ class DataOpsSpec extends AnyFunSuite {
     assert(stubFps.length == 1)
   }
 
+  test("fft kernel: impulse, pure tone, and Parseval all check out") {
+    import graft.operators.Multimodal
+    val n = 256
+    // impulse at 0 → flat spectrum (every bin re=1, im=0)
+    val re = new Array[Double](n); val im = new Array[Double](n)
+    re(0) = 1.0
+    Multimodal.fft(re, im)
+    assert(re.forall(v => math.abs(v - 1.0) < 1e-9) && im.forall(v => math.abs(v) < 1e-9))
+    // cosine at bin 8 → energy only at bins 8 and n-8 (each N/2)
+    val re2 = Array.tabulate(n)(i => math.cos(2 * math.Pi * 8 * i / n))
+    val im2 = new Array[Double](n)
+    Multimodal.fft(re2, im2)
+    val mag = re2.indices.map(k => re2(k) * re2(k) + im2(k) * im2(k))
+    assert(math.abs(mag(8) - n * n / 4.0) < 1e-6 && math.abs(mag(n - 8) - n * n / 4.0) < 1e-6)
+    (0 until n).filter(k => k != 8 && k != n - 8)
+      .foreach(k => assert(mag(k) < 1e-9, s"leakage at bin $k: ${mag(k)}"))
+    // Parseval on noise: Σ|x|² = (1/N)·Σ|X|²
+    val rnd = new java.util.Random(5L)
+    val x = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val re3 = x.clone(); val im3 = new Array[Double](n)
+    Multimodal.fft(re3, im3)
+    val tEnergy = x.map(v => v * v).sum
+    val fEnergy = re3.indices.map(k => re3(k) * re3(k) + im3(k) * im3(k)).sum / n
+    assert(math.abs(tEnergy - fEnergy) < 1e-6 * tEnergy)
+  }
+
+  test("spectral audio fingerprint: in-group edits stay inside simhash band 0; cross-group spectra are far") {
+    import graft.operators.Multimodal
+    val ids = spark.range(0, 291).select(col("id").as("doc_id"))
+    val fps = Multimodal.audioSpectralFingerprint(Multimodal.syntheticAudio(ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.size == 291, "every 4160-frame PCM clip must fingerprint")
+    for (g <- 0 until 97) {
+      val x = fps(g.toLong) ^ fps(g + 97L)
+      assert(java.lang.Long.bitCount(x) <= 4,
+        s"group $g even/odd spectral hamming ${java.lang.Long.bitCount(x)} > 4")
+      assert((x & ~0xfL) == 0L,
+        s"group $g: the window-0 edit may only move bits 0..3, got ${x.toBinaryString}")
+    }
+    val cross = for (g <- 0 until 96) yield
+      java.lang.Long.bitCount(fps(g.toLong) ^ fps(g + 1L))
+    assert(cross.forall(_ > 4), s"cross-group spectral hamming min ${cross.min} must exceed the gate")
+    // a clip shorter than 4096 frames yields no spectral row (m5's
+    // time-energy path is the fallback fingerprint, not a stub)
+    val short = Multimodal.wavBytesPcm(8000, 1, Array.fill(1000)(7.toShort))
+    assert(Multimodal.wavPcmMono(short).flatMap(Multimodal.audioSpectralFp(_)).isEmpty)
+  }
+
   test("frame sampling: k evenly-spaced offsets inside the decoded frame count") {
     val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(
       docs.withColumn("n_chars", length(col("text")).cast("long"))))

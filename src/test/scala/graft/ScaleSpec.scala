@@ -113,6 +113,31 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("seeded graph walk: centroid routing is a broadcast rank; seeding adds no pair scan") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.{Clustering, Similarity}
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+    val walk = Similarity.graphWalkSeeded(e,
+      Similarity.mutualKnn(e, "label", 10),
+      e.filter(col("vec_id") % 50 === 0),
+      Clustering.kmeans(e, 10, 3), 5)
+    walk.count()
+    val ns = nodes(walk)
+    // the only legal cartesian in the whole plan is the k-row centroid
+    // frame crossed against queries/corpus for assignment (the IVF
+    // broadcast rank); a corpus-sized cross product must never appear
+    val cross = ns.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    cross.foreach { n =>
+      assert(n.output.exists(a => a.name == "cid" || a.name == "cv"),
+        s"non-centroid cross product in the seeded walk: ${n.nodeName}")
+    }
+    CacheScope.releaseAll()
+  }
+
   test("substring mask: document text never rides a shuffle — masks broadcast to the scan") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
     import graft.operators.NearDup
