@@ -309,6 +309,18 @@ object ScalingProbe {
         val twins = zh.select((col("doc_id") + 10000000L).as("doc_id"),
           concat(col("text"), lit("之")).as("text"))
         NearDup.minhashLshChar(zh.unionByName(twins), col("doc_id"), col("text"), 0.9)
+      },
+      // sim11b runs sim11's production framing (fixed 1×-sample query
+      // set) plus the quantizer train/route: kmeans' per-iteration cost
+      // is corpus-linear (assign map + cell-keyed mean), the seed rank
+      // is one window over the corpus-sized assignment, and the walk
+      // itself is sim11's — so the whole entry should track the corpus
+      // linearly with a bigger constant than sim11.
+      "sim11b_seeded_walk" -> { d =>
+        val e = Tables.embeddings(spark, d)
+        Similarity.graphWalkSeeded(e, Similarity.mutualKnn(e, "label", 5),
+          e.filter(col("vec_id") % (Stride * 50) === 0),
+          Clustering.kmeans(e, 10, 3), 5)
       })
 
     // dev-only subset (comma-separated workload names) for measuring
