@@ -767,6 +767,148 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "fhash")
   }
 
+  /** Minimal MJPEG-in-AVI container (RIFF 'AVI ': hdrl with avih +
+    * one 'vids'/'MJPG' stream, then a movi LIST of '00dc' frames) —
+    * the fixture encoder for the real video path. AVI is RIFF and
+    * MJPEG frames are baseline JPEGs, so the repo's existing byte
+    * walkers and [[JpegCodec]] decode it with no new codec. */
+  private[graft] def aviMjpegBytes(w: Int, h: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1 // chunks are word-aligned
+      val bb = java.nio.ByteBuffer.allocate(8 + data.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+      bb.array()
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40000).putInt(0).putInt(0).putInt(0)        // usec/frame, rate, pad, flags
+      .putInt(frames.length).putInt(0).putInt(1).putInt(0) // total, initial, streams, buf
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val strh = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("vids".getBytes).put("MJPG".getBytes)
+      .putInt(0).putInt(0).putInt(0)                      // flags, prio, initial
+      .putInt(1).putInt(25).putInt(0).putInt(frames.length) // scale, rate, start, length
+      .putInt(0).putInt(-1).putInt(0)                     // buf, quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      .array()
+    val strf = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put("MJPG".getBytes).putInt(w * h * 3).putInt(0).putInt(0).putInt(0).putInt(0)
+      .array()
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(body.length).put(body)
+    bb.array()
+  }
+
+  /** Extract MJPEG frame payloads from an AVI container: RIFF walk to
+    * the movi LIST, collect '00dc'/'00db' chunk bodies ('rec ' sublists
+    * descended). Degrade-never-throw like every parser here: None for
+    * non-AVI, truncated, or frameless payloads; the same overflow
+    * guards as [[parseWav]] (u32 sizes held in Long). */
+  private[graft] def aviMjpegFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = { // false = malformed
+      var i = from
+      while (i + 8 <= to) {
+        val size = leU32(b, i + 4)
+        val dataEnd = i.toLong + 8L + size
+        if (dataEnd > to.toLong) return false
+        val isList = b(i) == 'L' && b(i + 1) == 'I' && b(i + 2) == 'S' && b(i + 3) == 'T'
+        if (isList && size >= 4) {
+          val lt = new String(b, i + 8, 4, "US-ASCII")
+          if (!walk(i + 12, dataEnd.toInt,
+            inMovi || lt == "movi" || (inMovi && lt == "rec "))) return false
+        } else if (inMovi && b(i + 2) == 'd' && (b(i + 3) == 'c' || b(i + 3) == 'b')) {
+          frames += java.util.Arrays.copyOfRange(b, i + 8, dataEnd.toInt)
+        }
+        val next = dataEnd + (size & 1L) // word-aligned
+        if (next <= i) return false
+        i = next.toInt
+      }
+      true
+    }
+    if (!walk(12, b.length, inMovi = false)) return None
+    val out = frames.result()
+    if (out.isEmpty) None else Some(out)
+  }
+
+  /** All-AVI fixture with REAL MJPEG frames for the end-to-end video
+    * path (m6b): each residue group `doc_id % 151` is one 4-frame
+    * clip of m4c-style plateau-cell rasters (36×32, the 9×8 dHash
+    * cells constant at gap-3 gray levels, permutation seeded per
+    * (group, frame)). Odd doc_ids re-render frame 0 from a DIFFERENT
+    * permutation — the re-cut/retitled-first-frame shape — so an
+    * even/odd pair aligns exactly 3 of 4 frames while same-parity
+    * pairs align all 4, and cross-group clips align none: the
+    * n_matched_frames column itself has a closed form a SQL oracle
+    * states. */
+  def syntheticMjpegVideos(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val g = (id % 151).toInt
+      val ws = 4; val hs = 4; val w = 9 * ws; val h = 8 * hs
+      val frames = (0 until 4).map { fi =>
+        val seed = (g * 4L + fi) * 2654435761L +
+          (if (id % 2 == 1 && fi == 0) 977L else 41L)
+        val rnd = new java.util.Random(seed)
+        val perm = Array.tabulate(72)(identity)
+        var i = perm.length - 1
+        while (i > 0) {
+          val j = rnd.nextInt(i + 1)
+          val t = perm(i); perm(i) = perm(j); perm(j) = t
+          i -= 1
+        }
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            gray(y * w + x) = 12 + 3 * perm((y / hs) * 9 + x / ws)
+            x += 1
+          }
+          y += 1
+        }
+        JpegCodec.encodeGray(w, h, gray)
+      }
+      MediaRow(id, aviMjpegBytes(w, h, frames), "video/avi")
+    }
+  }
+
+  /** m6b step 1 — REAL per-frame perceptual hashes: parse the AVI,
+    * decode each MJPEG frame ([[JpegCodec]]), dHash its pixels — the
+    * decode slot [[videoFrameHashes]]'s scaladoc promised, filled. One
+    * batched mapPartitions pass; payloads that aren't decodable AVI
+    * drop (8 bytes per (video, frame) leave the scan). */
+  def videoFrameHashesReal(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        aviMjpegFrames(r.payload).toSeq.flatMap { frames =>
+          frames.iterator.zipWithIndex.flatMap { case (f, i) =>
+            JpegCodec.decodeGray(f) match {
+              case Some((w, h, gray)) if w >= 9 && h >= 8 =>
+                Some((r.doc_id, i.toLong, PngCodec.dHashPixels(w, h, gray)))
+              case _ => None
+            }
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "fhash")
+  }
+
   /** m6 step 2 — video near-dup pairs: two videos are near-dups when at
     * least `minFrames` ALIGNED frames (same sample index) land within
     * `maxDist` Hamming bits. Frames ride m4/d3's banded-Hamming

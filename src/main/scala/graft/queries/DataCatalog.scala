@@ -4651,6 +4651,28 @@ object DataCatalog {
       "JOIN documents b ON a.doc_id % 97 = b.doc_id % 97 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M6B — video near-dup with the REAL frame path: the fixture wraps
+  // genuine baseline JPEGs in a genuine MJPEG AVI container (AVI is
+  // RIFF, so the repo's existing byte walkers carry over), and the
+  // operator parses the movi list, JPEG-decodes every frame, dHashes
+  // its pixels, and runs the m6 aligned-frame vote — the decode slot
+  // m6's scaladoc documented as the stub boundary, now filled. Odd
+  // doc_ids re-render frame 0 from a different plateau permutation
+  // (the re-cut/retitled-first-frame shape), so even/odd pairs align
+  // exactly 3 of 4 frames, same-parity pairs all 4, cross-group none —
+  // n_matched_frames itself has a closed form the oracle states,
+  // which pins container parse, frame extraction, JPEG decode, hash,
+  // banding, alignment, and the ≥3-of-4 gate in one row set.
+  val m6b = Q(
+    (s, d) => ordered(graft.operators.Multimodal.videoDupPairs(
+      graft.operators.Multimodal.videoFrameHashesReal(
+        graft.operators.Multimodal.syntheticMjpegVideos(documents(s, d))), 3, 3)),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(CASE WHEN a.doc_id % 2 = b.doc_id % 2 THEN 4 ELSE 3 END AS BIGINT) " +
+      "AS n_matched_frames FROM documents a " +
+      "JOIN documents b ON a.doc_id % 151 = b.doc_id % 151 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   // M5B — SPECTRAL audio near-dup over the same real-PCM fixture: 16
   // FFT windows × 4 log-spaced frequency bands, bit (t·4+b) = band
   // energy rising at window t — the chromaprint shape proper, where
@@ -6108,5 +6130,6 @@ object DataCatalog {
     "url5_domain_rollup" -> url5, "m9_mime_integrity" -> m9,
     "dp12_release_manifest" -> dp12, "e21_activity_heatmap" -> e21,
     "m4c_jpeg_pixel_dedup" -> m4c, "d20_char_band_sweep" -> d20,
-    "sim11b_seeded_walk" -> sim11b, "m5b_spectral_dedup" -> m5b)
+    "sim11b_seeded_walk" -> sim11b, "m5b_spectral_dedup" -> m5b,
+    "m6b_real_frame_dedup" -> m6b)
 }

@@ -576,6 +576,31 @@ class DataOpsSpec extends AnyFunSuite {
     assert(stubFps.length == 1)
   }
 
+  test("avi mjpeg container: frames round-trip byte-exact; malformed payloads degrade to None") {
+    import graft.operators.{JpegCodec, Multimodal}
+    val rnd = new java.util.Random(13L)
+    val frames = (0 until 3).map { _ =>
+      JpegCodec.encodeGray(16, 16, Array.fill(256)(rnd.nextInt(256)))
+    }
+    val avi = Multimodal.aviMjpegBytes(16, 16, frames)
+    val back = Multimodal.aviMjpegFrames(avi).get
+    assert(back.size == 3)
+    back.zip(frames).foreach { case (a, b) =>
+      assert(a.sameElements(b), "movi chunk payloads must round-trip byte-exact")
+    }
+    // every extracted frame is itself a decodable JPEG
+    back.foreach(f => assert(JpegCodec.decodeGray(f).isDefined))
+    // odd-length frame payloads exercise the word-alignment pad
+    val odd = Multimodal.aviMjpegBytes(16, 16, Seq(Array[Byte](1, 2, 3)))
+    assert(Multimodal.aviMjpegFrames(odd).get.head.sameElements(Array[Byte](1, 2, 3)))
+    // degrade paths: WAV is RIFF but not AVI; truncated movi; no frames
+    assert(Multimodal.aviMjpegFrames(Multimodal.wavBytesPcm(8000, 1,
+      Array.fill(100)(5.toShort))).isEmpty)
+    assert(Multimodal.aviMjpegFrames(avi.take(avi.length / 2)).isEmpty)
+    assert(Multimodal.aviMjpegFrames(avi.take(20)).isEmpty)
+    assert(Multimodal.aviMjpegFrames("RIFFxxxxAVI ".getBytes).isEmpty)
+  }
+
   test("fft kernel: impulse, pure tone, and Parseval all check out") {
     import graft.operators.Multimodal
     val n = 256
