@@ -133,12 +133,39 @@ object Multimodal {
     None
   }
 
+  /** AVI: RIFF with form type 'AVI '; frame dimensions live in the
+    * avih header (LIST hdrl → avih: dwWidth/dwHeight at offsets 32/36
+    * of the chunk body). Same guarded walk as [[parseWav]]. */
+  private def parseAvi(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = leU32(b, i + 4)
+      val isList = b(i) == 'L' && b(i + 1) == 'I' && b(i + 2) == 'S' && b(i + 3) == 'T'
+      if (isList && size >= 4 && i + 12 <= b.length &&
+        b(i + 8) == 'h' && b(i + 9) == 'd' && b(i + 10) == 'r' && b(i + 11) == 'l') {
+        // first child must be avih; dims at body offsets 32/36
+        val c = i + 12
+        if (c + 8 > b.length || !(b(c) == 'a' && b(c + 1) == 'v' &&
+          b(c + 2) == 'i' && b(c + 3) == 'h')) return None
+        if (leU32(b, c + 4) < 40 || c + 8 + 40 > b.length) return None
+        return Some((leU32(b, c + 8 + 32).toInt, leU32(b, c + 8 + 36).toInt))
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > b.length.toLong) return None
+      i = next.toInt
+    }
+    None
+  }
+
   /** Sniff the container by magic bytes (trusting bytes over any declared
     * mime) and read the real dimensions from the header. */
   def parseDims(payload: Array[Byte]): Option[(String, Int, Int)] =
     parsePng(payload).map { case (w, h) => ("image/png", w, h) }
       .orElse(parseJpeg(payload).map { case (w, h) => ("image/jpeg", w, h) })
       .orElse(parseWav(payload).map { case (r, c) => ("audio/wav", r, c) })
+      .orElse(parseAvi(payload).map { case (w, h) => ("video/avi", w, h) })
 
   /** Batched feature extraction over partitions: REAL header dimensions
     * for recognized containers (PNG IHDR / JPEG SOFn / WAV fmt — pure

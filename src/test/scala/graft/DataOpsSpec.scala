@@ -599,6 +599,11 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Multimodal.aviMjpegFrames(avi.take(avi.length / 2)).isEmpty)
     assert(Multimodal.aviMjpegFrames(avi.take(20)).isEmpty)
     assert(Multimodal.aviMjpegFrames("RIFFxxxxAVI ".getBytes).isEmpty)
+    // the container sniffer reads avih dims (and never confuses the
+    // two RIFF forms)
+    assert(Multimodal.parseDims(avi) == Some(("video/avi", 16, 16)))
+    assert(Multimodal.parseDims(Multimodal.wavBytesPcm(8000, 2,
+      Array.fill(10)(1.toShort))).get._1 == "audio/wav")
   }
 
   test("fft kernel: impulse, pure tone, and Parseval all check out") {
