@@ -141,7 +141,8 @@ object Bench {
     "d19_char_ngram_dedup", "sim12_sign_rerank", "fs3_feature_matrix",
     "url5_domain_rollup", "m9_mime_integrity", "dp12_release_manifest",
     "e21_activity_heatmap", "m4c_jpeg_pixel_dedup", "d20_char_band_sweep",
-    "sim11b_seeded_walk", "m5b_spectral_dedup", "m6b_real_frame_dedup")
+    "sim11b_seeded_walk", "m5b_spectral_dedup", "m6b_real_frame_dedup",
+    "dp13_multimodal_manifest")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

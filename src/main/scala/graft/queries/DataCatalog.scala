@@ -2762,6 +2762,55 @@ object DataCatalog {
       "UNION ALL SELECT 'tokens_total', CAST(v AS BIGINT) FROM t " +
       "UNION ALL SELECT 'corpus_content_hash', CAST(v AS BIGINT) FROM h" + OBA))
 
+  // DP13 — multimodal release manifest (dp12's receipt for media): per
+  // modality, payload count, fingerprinted count, and near-dup pair
+  // count — computed by running the REAL pipelines end-to-end (PNG
+  // decode → dHash → banded join; WAV PCM → energy fingerprint → join;
+  // AVI parse → MJPEG frame decode → aligned-frame vote). The oracle
+  // is the closed form every fixture was DESIGNED to have (same-group
+  // residue pairs, counted as Σ C(group_size, 2) per modality's
+  // modulus), so one hash-matched card certifies three decode
+  // pipelines, three fingerprint kernels, and three pair joins at
+  // once — the receipt a multimodal dataset release ships.
+  val dp13 = Q(
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val docs = documents(s, d)
+      def modality(name: String, nPayloads: org.apache.spark.sql.DataFrame,
+          fps: org.apache.spark.sql.DataFrame, nFpCol: String,
+          pairs: org.apache.spark.sql.DataFrame) =
+        nPayloads.agg(count(lit(1)).cast("long").as("n_payloads"))
+          .crossJoin(fps.agg(count(lit(1)).cast("long").as("n_fingerprinted")))
+          .crossJoin(pairs.agg(count(lit(1)).cast("long").as("n_dup_pairs")))
+          .select(lit(name).as("modality"), col("n_payloads"),
+            col("n_fingerprinted"), col("n_dup_pairs"))
+      val M = graft.operators.Multimodal
+      val imgFp = graft.CacheScope.persist(
+        M.imageDHash(M.syntheticPixelImages(docs)))
+      val audFp = graft.CacheScope.persist(
+        M.audioFingerprint(M.syntheticAudio(docs)))
+      val vidFrames = graft.CacheScope.persist(
+        M.videoFrameHashesReal(M.syntheticMjpegVideos(docs)))
+      ordered(
+        modality("image/png", docs, imgFp, "n", M.imageDupPairs(imgFp, 3))
+          .unionByName(modality("audio/wav", docs, audFp, "n",
+            M.audioDupPairs(audFp, 3)))
+          .unionByName(modality("video/avi", docs,
+            vidFrames.select("doc_id").distinct(),
+            "n", M.videoDupPairs(vidFrames, 3, 3))))
+    },
+    Some {
+      def pairs(m: Int) =
+        s"(SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) FROM " +
+          s"(SELECT count(*) AS c FROM documents GROUP BY doc_id % $m))"
+      "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents) " +
+        s"SELECT 'image/png' AS modality, nd AS n_payloads, nd AS n_fingerprinted, " +
+        s"${pairs(251)} AS n_dup_pairs FROM n " +
+        s"UNION ALL SELECT 'audio/wav', nd, nd, ${pairs(97)} FROM n " +
+        s"UNION ALL SELECT 'video/avi', nd, nd, ${pairs(151)} FROM n" + OBA
+    })
+
   // URL2 — canonical-URL dedup: two synthetic link variants per doc
   // that differ only in case/www/tracking-params/fragment collapse to
   // one canonical form; docs sharing (doc_id % 7, doc_id % 5) residues
@@ -6131,5 +6180,5 @@ object DataCatalog {
     "dp12_release_manifest" -> dp12, "e21_activity_heatmap" -> e21,
     "m4c_jpeg_pixel_dedup" -> m4c, "d20_char_band_sweep" -> d20,
     "sim11b_seeded_walk" -> sim11b, "m5b_spectral_dedup" -> m5b,
-    "m6b_real_frame_dedup" -> m6b)
+    "m6b_real_frame_dedup" -> m6b, "dp13_multimodal_manifest" -> dp13)
 }
