@@ -270,7 +270,10 @@ object JpegCodec {
                 if (k > 63) return None
                 val bits = r.receive(size)
                 if (bits == Int.MinValue) return None
-                if (isLuma) zz(Zigzag(k)) = extend(bits, size) * qt(comp.tq)(k)
+                // qt is natural-ordered; k walks zigzag order, so the
+                // coefficient at zigzag k dequantizes by qt[Zigzag(k)]
+                // (indexing by k is only right for uniform tables)
+                if (isLuma) zz(Zigzag(k)) = extend(bits, size) * qt(comp.tq)(Zigzag(k))
                 k += 1
               }
             }

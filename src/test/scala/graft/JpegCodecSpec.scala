@@ -42,6 +42,22 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(err.sum.toDouble / err.length < 16.0, "mean error must stay under the quant step")
   }
 
+  test("NON-uniform quantization round-trips: dequant must read the table at the zigzag position") {
+    // a uniform table cannot tell qt[k] from qt[Zigzag(k)]; this
+    // frequency-dependent one (real-world tables all are) can — a
+    // mismatched index multiplies coefficients by the wrong step and
+    // scrambles the raster far past any honest quantization loss
+    val (w, h) = (32, 24)
+    val px = noise(w, h, 21L)
+    val q = Array.tabulate(64)(i => 1 + (i % 8) + (i / 8)) // 1..15, position-dependent
+    val (dw, dh, gray) = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, px, q)).get
+    assert((dw, dh) == (w, h))
+    val err = px.zip(gray).map { case (a, b) => math.abs(a - b) }
+    assert(err.max <= 40 && err.sum.toDouble / err.length < 10.0,
+      s"non-uniform table: max ${err.max}, mean ${err.sum.toDouble / err.length} — " +
+        "a zigzag/natural index mismatch blows far past these bounds")
+  }
+
   test("plateau cell means survive the round trip within ±1 (the m4c fixture margin)") {
     // paint the fixture shape directly: 9x8 constant cells, gap-3 values
     val ws = 5; val hs = 4; val w = 9 * ws; val h = 8 * hs
