@@ -2778,7 +2778,7 @@ object DataCatalog {
       import spark.implicits._
       val docs = documents(s, d)
       def modality(name: String, nPayloads: org.apache.spark.sql.DataFrame,
-          fps: org.apache.spark.sql.DataFrame, nFpCol: String,
+          fps: org.apache.spark.sql.DataFrame,
           pairs: org.apache.spark.sql.DataFrame) =
         nPayloads.agg(count(lit(1)).cast("long").as("n_payloads"))
           .crossJoin(fps.agg(count(lit(1)).cast("long").as("n_fingerprinted")))
@@ -2793,12 +2793,12 @@ object DataCatalog {
       val vidFrames = graft.CacheScope.persist(
         M.videoFrameHashesReal(M.syntheticMjpegVideos(docs)))
       ordered(
-        modality("image/png", docs, imgFp, "n", M.imageDupPairs(imgFp, 3))
-          .unionByName(modality("audio/wav", docs, audFp, "n",
+        modality("image/png", docs, imgFp, M.imageDupPairs(imgFp, 3))
+          .unionByName(modality("audio/wav", docs, audFp,
             M.audioDupPairs(audFp, 3)))
           .unionByName(modality("video/avi", docs,
             vidFrames.select("doc_id").distinct(),
-            "n", M.videoDupPairs(vidFrames, 3, 3))))
+            M.videoDupPairs(vidFrames, 3, 3))))
     },
     Some {
       def pairs(m: Int) =
