@@ -54,8 +54,12 @@ def main():
     if not os.path.exists(rec_path):
         sys.exit("[round-exit] FAIL: no target/bench_record.json — run graft.Bench "
                  "AFTER the last catalog commit")
-    rec = json.load(open(rec_path))
-    benched = set(rec.get("queries", {}).keys())
+    # the record is NDJSON: one spread line + one total line
+    benched = set()
+    for line in open(rec_path):
+        d = json.loads(line)
+        if d.get("metric") == "total":
+            benched = set(d.get("queries", {}).keys())
     missing = sorted(catalog_keys - benched)
     if missing:
         sys.exit(f"[round-exit] FAIL: bench record misses {len(missing)} catalog "
