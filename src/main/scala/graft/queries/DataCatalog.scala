@@ -2440,6 +2440,12 @@ object DataCatalog {
   // entry cross-checks the written bytes, the manifest contract, and the
   // verifier's status semantics. The path must be a literal: the oracle
   // string is static SQL the driver replays after the Spark run.
+  // SEQUENCING CONTRACT for out2/out2b/out3: the oracle reads these
+  // fixed scratch dirs from disk, so the DuckDB replay must run with
+  // nothing between it and the Spark dump — any interleaved run at a
+  // different SF (e.g. a concurrent bench) rewrites the dirs and the
+  // replay grades the wrong bytes. The driver's gate and
+  // tools/round_exit.py are both sequential; keep them that way.
   private val Out2Dir = "/tmp/graft_out2_shards"
   val out2 = Q(
     (s, d) => {

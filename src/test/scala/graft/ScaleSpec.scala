@@ -199,6 +199,35 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("real media pipelines: payload bytes never ride a shuffle — only fingerprints leave the decode tasks") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.Multimodal
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val plans = Seq(
+      "m4c" -> Multimodal.imageDupPairs(Multimodal.imageDHash(
+        Multimodal.syntheticJpegImages(docs)), 3),
+      "m5b" -> Multimodal.audioDupPairs(Multimodal.audioSpectralFingerprint(
+        Multimodal.syntheticAudio(docs)), 4),
+      "m6b" -> Multimodal.videoDupPairs(Multimodal.videoFrameHashesReal(
+        Multimodal.syntheticMjpegVideos(docs)), 3, 3))
+    plans.foreach { case (name, df) =>
+      df.count()
+      val ns = nodes(df)
+      // decode runs inside the scan's mapPartitions; the only rows that
+      // shuffle are 8-byte fingerprints + ids — the property that makes
+      // a 100 TB media corpus dedupable without moving the media
+      val payloadShuffles = ns.collect { case s: ShuffleExchangeExec => s }
+        .filter(_.output.exists(_.name == "payload"))
+      assert(payloadShuffles.isEmpty,
+        s"$name: media payloads must never shuffle, got $payloadShuffles")
+      assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+        n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        s"$name: banded pair search must never form a cross product")
+    }
+    CacheScope.releaseAll()
+  }
+
   test("bm25 statistics derive from one persisted tokenize pass, not repeated text scans") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
