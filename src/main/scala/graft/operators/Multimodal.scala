@@ -845,7 +845,12 @@ object Multimodal {
     if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
     if (!(b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')) return None
     val frames = Vector.newBuilder[Array[Byte]]
-    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = { // false = malformed
+    // depth-capped: real AVIs nest ≤ 3 (RIFF → movi → rec ); a crafted
+    // payload nesting LISTs thousands deep would otherwise blow the
+    // task's stack — an Error no flatMap catches, i.e. a kill, which
+    // the degrade contract forbids
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Boolean = {
+      if (depth > 8) return false
       var i = from
       while (i + 8 <= to) {
         val size = leU32(b, i + 4)
@@ -855,7 +860,7 @@ object Multimodal {
         if (isList && size >= 4) {
           val lt = new String(b, i + 8, 4, "US-ASCII")
           if (!walk(i + 12, dataEnd.toInt,
-            inMovi || lt == "movi" || (inMovi && lt == "rec "))) return false
+            inMovi || lt == "movi", depth + 1)) return false
         } else if (inMovi && b(i + 2) == 'd' && (b(i + 3) == 'c' || b(i + 3) == 'b')) {
           frames += java.util.Arrays.copyOfRange(b, i + 8, dataEnd.toInt)
         }
@@ -865,7 +870,7 @@ object Multimodal {
       }
       true
     }
-    if (!walk(12, b.length, inMovi = false)) return None
+    if (!walk(12, b.length, inMovi = false, depth = 0)) return None
     val out = frames.result()
     if (out.isEmpty) None else Some(out)
   }

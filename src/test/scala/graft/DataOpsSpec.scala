@@ -604,6 +604,19 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Multimodal.parseDims(avi) == Some(("video/avi", 16, 16)))
     assert(Multimodal.parseDims(Multimodal.wavBytesPcm(8000, 2,
       Array.fill(10)(1.toShort))).get._1 == "audio/wav")
+    // a crafted payload nesting LISTs thousands deep (sizes all
+    // consistent, so the walk genuinely descends) must degrade — a
+    // stack overflow would KILL the task, not degrade it
+    def u32le(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    var nested = Array.empty[Byte]
+    (0 until 4000).foreach { _ =>
+      nested = "LIST".getBytes ++ u32le(4 + nested.length) ++
+        "movi".getBytes ++ nested
+    }
+    val deep = "RIFF".getBytes ++ u32le(4 + nested.length) ++
+      "AVI ".getBytes ++ nested
+    assert(Multimodal.aviMjpegFrames(deep).isEmpty)
   }
 
   test("fft kernel: impulse, pure tone, and Parseval all check out") {
