@@ -127,6 +127,7 @@ object JpegCodec {
     var comps: Array[Comp] = null
     var scanDc: Array[Int] = null
     var scanAc: Array[Int] = null
+    var scanOrder: Array[Int] = null // SOF comp indices in SOS listing order
     var w = 0; var h = 0
     var restartInterval = 0
     var scanStart = -1
@@ -193,11 +194,19 @@ object JpegCodec {
           if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return None
           scanDc = new Array[Int](comps.length)
           scanAc = new Array[Int](comps.length)
+          // T.81 interleaves MCU data in SCAN-HEADER order, which may
+          // differ from SOF order — record it and walk it in the MCU
+          // loop (decoding in SOF order would silently scramble the
+          // block layout of a conforming reordered stream)
+          scanOrder = new Array[Int](ns)
           var c = 0
           while (c < ns) {
             val cid = b(seg + 1 + 2 * c) & 0xff
             val ix = comps.indexWhere(_.id == cid)
             if (ix < 0) return None
+            var dup = 0
+            while (dup < c) { if (scanOrder(dup) == ix) return None; dup += 1 }
+            scanOrder(c) = ix
             scanDc(ix) = (b(seg + 2 + 2 * c) >> 4) & 0xf
             scanAc(ix) = b(seg + 2 + 2 * c) & 0xf
             c += 1
@@ -229,7 +238,12 @@ object JpegCodec {
     while (mcu < nMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         r.align()
-        val p = r.pos
+        // T.81 permits any number of 0xFF fill bytes before a marker
+        // (B.1.1.2) — skip them like the header walk does, or padded
+        // streams from conforming encoders would degrade to None
+        var p = r.pos
+        while (p + 1 < b.length && (b(p) & 0xff) == 0xff &&
+          (b(p + 1) & 0xff) == 0xff) p += 1
         if (p + 1 >= b.length || (b(p) & 0xff) != 0xff ||
           (b(p + 1) & 0xff) != 0xd0 + rstExpect) return None
         r.pos = p + 2
@@ -237,8 +251,9 @@ object JpegCodec {
         java.util.Arrays.fill(preds, 0)
       }
       val mx = mcu % mcusX; val my = mcu / mcusX
-      var ci = 0
-      while (ci < comps.length) {
+      var so = 0
+      while (so < scanOrder.length) {
+        val ci = scanOrder(so)
         val comp = comps(ci)
         var by = 0
         while (by < comp.v) {
@@ -311,7 +326,7 @@ object JpegCodec {
           }
           by += 1
         }
-        ci += 1
+        so += 1
       }
       mcu += 1
     }
@@ -471,9 +486,13 @@ object JpegCodec {
     * component, interleaved in component order per T.81).
     * `restartInterval` > 0 emits DRI and an RSTn every that many MCUs
     * (byte-aligned, predictors reset) — the fixture knob that makes
-    * the decoder's restart path testable. */
+    * the decoder's restart path testable. `scanOrder` (a permutation
+    * of component indices; empty = SOF order) lists — and interleaves
+    * — the scan in a different order than SOF, the T.81-legal layout
+    * that makes the decoder's SOS-order walk testable. */
   private def encodePlanes(w: Int, h: Int, comps: Seq[EncComp],
-      quant: Array[Int], restartInterval: Int): Array[Byte] = {
+      quant: Array[Int], restartInterval: Int,
+      scanOrder: Seq[Int] = Nil): Array[Byte] = {
     require(comps.nonEmpty && comps.size <= 3 && comps.size != 2,
       s"1 (gray) or 3 (YCbCr) components, got ${comps.size}")
     comps.foreach(c => require(c.plane.length == c.pw * c.ph,
@@ -482,6 +501,9 @@ object JpegCodec {
       "quant table must be 64 values in 1..255")
     require(restartInterval >= 0 && restartInterval <= 65535,
       s"restart interval must fit u16, got $restartInterval")
+    val order = if (scanOrder.isEmpty) comps.indices else scanOrder
+    require(order.sorted == comps.indices,
+      s"scanOrder must be a permutation of 0..${comps.size - 1}, got $scanOrder")
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -504,11 +526,10 @@ object JpegCodec {
     dht(0, DcCounts, DcVals)
     dht(1, AcCounts, AcVals)
     if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
-    marker(0xda); u16(6 + 2 * nc) // SOS
+    marker(0xda); u16(6 + 2 * nc) // SOS: components in scan order
     out.write(nc)
-    ci = 0
-    while (ci < nc) { // every component: DC slot 0, AC slot 0
-      out.write(ci + 1); out.write(0x00); ci += 1
+    order.foreach { ci => // every component: DC slot 0, AC slot 0
+      out.write(ci + 1); out.write(0x00)
     }
     out.write(0); out.write(63); out.write(0) // Ss, Se, Ah/Al
 
@@ -531,8 +552,7 @@ object JpegCodec {
         java.util.Arrays.fill(preds, 0)
       }
       val mx = mcu % mcusX; val my = mcu / mcusX
-      ci = 0
-      while (ci < nc) {
+      order.foreach { ci =>
         val c = comps(ci)
         var by = 0
         while (by < c.vs) {
@@ -545,7 +565,6 @@ object JpegCodec {
           }
           by += 1
         }
-        ci += 1
       }
       mcu += 1
     }
@@ -572,9 +591,9 @@ object JpegCodec {
     * though [[decodeGray]] only IDCTs luma. */
   def encodeYcc444(w: Int, h: Int, y: Array[Int], cb: Array[Int],
       cr: Array[Int], quant: Array[Int] = Array.fill(64)(1),
-      restartInterval: Int = 0): Array[Byte] =
+      restartInterval: Int = 0, scanOrder: Seq[Int] = Nil): Array[Byte] =
     encodePlanes(w, h, Seq(EncComp(y, w, h, 1, 1), EncComp(cb, w, h, 1, 1),
-      EncComp(cr, w, h, 1, 1)), quant, restartInterval)
+      EncComp(cr, w, h, 1, 1)), quant, restartInterval, scanOrder)
 
   /** Encode a YCbCr 4:2:0 color baseline JPEG — luma at 2×2 sampling,
     * chroma planes at half resolution (ceil(w/2) × ceil(h/2)), the

@@ -150,7 +150,14 @@ object Multimodal {
         if (c + 8 > b.length || !(b(c) == 'a' && b(c + 1) == 'v' &&
           b(c + 2) == 'i' && b(c + 3) == 'h')) return None
         if (leU32(b, c + 4) < 40 || c + 8 + 40 > b.length) return None
-        return Some((leU32(b, c + 8 + 32).toInt, leU32(b, c + 8 + 36).toInt))
+        // dims are u32 on the wire; a crafted header can carry values
+        // ≥ 2³¹ whose .toInt goes negative and would flow into
+        // mediaDimsCard's orientation/extrema/total_px aggregates —
+        // reject anything outside (0, 64 MP], mirroring JpegCodec's cap
+        val aw = leU32(b, c + 8 + 32)
+        val ah = leU32(b, c + 8 + 36)
+        if (aw <= 0 || ah <= 0 || aw * ah > 64L * 1024 * 1024) return None
+        return Some((aw.toInt, ah.toInt))
       }
       val next = i.toLong + 8L + size + (size & 1L)
       if (next <= i || next > b.length.toLong) return None
@@ -354,13 +361,14 @@ object Multimodal {
     * hashes ~32 bits apart. The PAIR SET is thus predictable from
     * doc_id arithmetic alone, which is what lets a SQL oracle gate a
     * genuine pixel pipeline. */
-  def syntheticPixelImages(docs: DataFrame): Dataset[MediaRow] = {
+  def syntheticPixelImages(docs: DataFrame,
+      group: Long => Long = _ % 251): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
-      val g = (id % 251).toInt
-      val w = 16 + (g * 37) % 200
-      val h = 16 + (g * 53) % 150
+      val g = group(id)
+      val w = (16 + (g * 37) % 200).toInt
+      val h = (16 + (g * 53) % 150).toInt
       val rnd = new java.util.Random(g * 2654435761L)
       val gray = Array.fill(w * h)(rnd.nextInt(256))
       if (id % 2 == 1) gray(w + 1) = (gray(w + 1) + 128) % 256
@@ -383,14 +391,22 @@ object Multimodal {
     * PAIR SET is closed-form from doc_id arithmetic and a SQL oracle
     * can gate a genuine huffman→dequant→IDCT pipeline. Dimensions are
     * exact cell multiples (w = 9·ws, h = 8·hs) so the area-resize
-    * reads back the painted plateaus. */
-  def syntheticJpegImages(docs: DataFrame): Dataset[MediaRow] = {
+    * reads back the painted plateaus.
+    *
+    * `group` keys which docs share an image (default: the catalog's
+    * residue fixture). The ScalingProbe passes a DIV-family instead so
+    * family COUNT scales with the corpus while family SIZE stays
+    * constant — the dedup-honest replication a residue key can't give
+    * (its family sizes grow with the corpus and the pair count grows
+    * quadratically, measuring the fixture instead of the engine). */
+  def syntheticJpegImages(docs: DataFrame,
+      group: Long => Long = _ % 239): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
-      val g = (id % 239).toInt
-      val ws = 4 + (g * 37) % 12
-      val hs = 4 + (g * 53) % 12
+      val g = group(id)
+      val ws = (4 + (g * 37) % 12).toInt
+      val hs = (4 + (g * 53) % 12).toInt
       val w = 9 * ws; val h = 8 * hs
       val rnd = new java.util.Random(g * 2654435761L + 29)
       val perm = Array.tabulate(72)(identity)
@@ -446,13 +462,16 @@ object Multimodal {
     * cross-group iid noise puts fingerprints ~32 bits apart. As with
     * the PNG twin ([[syntheticPixelImages]]), the PAIR SET is
     * predictable from doc_id arithmetic alone, which is what lets a SQL
-    * oracle gate a genuine decode → energy → fingerprint pipeline. */
-  def syntheticAudio(docs: DataFrame): Dataset[MediaRow] = {
+    * oracle gate a genuine decode → energy → fingerprint pipeline.
+    * `group` keys clip families (see [[syntheticJpegImages]] — the
+    * ScalingProbe's dedup-honest DIV-family hook). */
+  def syntheticAudio(docs: DataFrame,
+      group: Long => Long = _ % 97): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
-      val g = (id % 97).toInt
-      val ch = 1 + g % 2
+      val g = group(id)
+      val ch = (1 + g % 2).toInt
       val winFrames = 64
       val rnd = new java.util.Random(g * 2654435761L + 17)
       val pcm = Array.fill(65 * winFrames * ch)((rnd.nextInt(2048) - 1024).toShort)
@@ -460,7 +479,7 @@ object Multimodal {
         var i = winFrames * ch // window 1's frames, all channels
         while (i < 2 * winFrames * ch) { pcm(i) = (pcm(i) / 2).toShort; i += 1 }
       }
-      MediaRow(id, wavBytesPcm(8000 + (g * 441) % 40000, ch, pcm), "audio/wav")
+      MediaRow(id, wavBytesPcm((8000 + (g * 441) % 40000).toInt, ch, pcm), "audio/wav")
     }
   }
 
@@ -672,9 +691,11 @@ object Multimodal {
     * band energies m5's Σs² cannot see). Time-major bit order puts a
     * one-window edit's ≤4 flipped bits (the t = 0 comparisons) inside
     * ONE 16-bit simhash band, so the banded join still guarantees the
-    * fixture's in-group pairs at Hamming ≤ 4. Needs ≥ 4096 frames;
-    * shorter or undecodable payloads return no row (m5 is the
-    * fallback fingerprint, not a stub here). */
+    * fixture's in-group pairs at Hamming ≤ 4. Needs ≥ 4096 PCM frames
+    * — i.e. `mono.length >= 16·256` channel-averaged samples, one per
+    * frame, which is exactly what the guard below checks; shorter or
+    * undecodable payloads return no row (m5 is the fallback
+    * fingerprint, not a stub here). */
   private[graft] def audioSpectralFp(mono: Array[Double]): Option[Long] = {
     val winLen = 256; val nWin = 16
     if (mono.length < winLen * nWin) return None
@@ -861,7 +882,12 @@ object Multimodal {
           val lt = new String(b, i + 8, 4, "US-ASCII")
           if (!walk(i + 12, dataEnd.toInt,
             inMovi || lt == "movi", depth + 1)) return false
-        } else if (inMovi && b(i + 2) == 'd' && (b(i + 3) == 'c' || b(i + 3) == 'b')) {
+        } else if (inMovi && b(i) == '0' && b(i + 1) == '0' &&
+          b(i + 2) == 'd' && (b(i + 3) == 'c' || b(i + 3) == 'b')) {
+          // stream 00 only: a multi-stream AVI ('01dc' second video,
+          // '01wb' audio) would otherwise interleave foreign frames
+          // into the frame_idx sequence and misalign videoDupPairs'
+          // aligned-frame vote
           frames += java.util.Arrays.copyOfRange(b, i + 8, dataEnd.toInt)
         }
         val next = dataEnd + (size & 1L) // word-aligned
@@ -884,12 +910,14 @@ object Multimodal {
     * even/odd pair aligns exactly 3 of 4 frames while same-parity
     * pairs align all 4, and cross-group clips align none: the
     * n_matched_frames column itself has a closed form a SQL oracle
-    * states. */
-  def syntheticMjpegVideos(docs: DataFrame): Dataset[MediaRow] = {
+    * states. `group` keys clip families (see [[syntheticJpegImages]] —
+    * the ScalingProbe's dedup-honest DIV-family hook). */
+  def syntheticMjpegVideos(docs: DataFrame,
+      group: Long => Long = _ % 151): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
-      val g = (id % 151).toInt
+      val g = group(id)
       val ws = 4; val hs = 4; val w = 9 * ws; val h = 8 * hs
       val frames = (0 until 4).map { fi =>
         val seed = (g * 4L + fi) * 2654435761L +
@@ -922,15 +950,32 @@ object Multimodal {
     * decode each MJPEG frame ([[JpegCodec]]), dHash its pixels — the
     * decode slot [[videoFrameHashes]]'s scaladoc promised, filled. One
     * batched mapPartitions pass; payloads that aren't decodable AVI
-    * drop (8 bytes per (video, frame) leave the scan). */
-  def videoFrameHashesReal(media: Dataset[MediaRow]): DataFrame = {
+    * drop (8 bytes per (video, frame) leave the scan).
+    *
+    * Frame sampling: at most `k` frames per video. A clip with ≤ k
+    * frames emits every frame at its natural index (the fixture
+    * regime); a longer clip emits the k evenly-spaced frames at
+    * offsets ⌊i·n/k⌋ ([[frameSampleMeta]]'s contract) under SAMPLE
+    * index i — so frame_idx is always < k ≤ [[videoDupPairs]]'s
+    * default stride and a real-world clip (25 frames/second) can
+    * never trip that operator's in-plan aliasing guard: an oversized
+    * payload degrades to a bounded sample, it does not kill the job.
+    * Sampling also bounds the decode CPU per row — k JPEG decodes per
+    * video regardless of clip length, the budget cap a 100 TB video
+    * corpus needs anyway. */
+  def videoFrameHashesReal(media: Dataset[MediaRow], k: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         aviMjpegFrames(r.payload).toSeq.flatMap { frames =>
-          frames.iterator.zipWithIndex.flatMap { case (f, i) =>
-            JpegCodec.decodeGray(f) match {
+          val n = frames.length
+          val picks: IndexedSeq[(Int, Int)] = // (sample idx, frame offset)
+            if (n <= k) (0 until n).map(i => (i, i))
+            else (0 until k).map(i => (i, (i.toLong * n / k).toInt))
+          picks.iterator.flatMap { case (i, off) =>
+            JpegCodec.decodeGray(frames(off)) match {
               case Some((w, h, gray)) if w >= 9 && h >= 8 =>
                 Some((r.doc_id, i.toLong, PngCodec.dHashPixels(w, h, gray)))
               case _ => None

@@ -619,6 +619,79 @@ class DataOpsSpec extends AnyFunSuite {
     assert(Multimodal.aviMjpegFrames(deep).isEmpty)
   }
 
+  test("long clips sample 16 evenly-spaced frames: frame_idx stays under videoDupPairs' stride, no in-plan abort") {
+    import graft.operators.{JpegCodec, Multimodal}
+    // a 1-second real-world clip: 25 frames > the 16-frame cap that
+    // previously pushed frame_idx past videoDupPairs' stride guard and
+    // ABORTED the job (raise_error in-plan) — the degrade contract says
+    // bounded sample, never kill
+    val nF = 25
+    def clip(seed: Long): Array[Byte] = {
+      val frames = (0 until nF).map { fi =>
+        val rnd = new java.util.Random(seed * 1000 + fi)
+        JpegCodec.encodeGray(18, 16, Array.fill(18 * 16)(rnd.nextInt(256)))
+      }
+      Multimodal.aviMjpegBytes(18, 16, frames)
+    }
+    val media = Seq((0L, clip(7L), "video/avi"), (1L, clip(7L), "video/avi"),
+      (2L, clip(8L), "video/avi"))
+      .map { case (id, p, m) => Multimodal.MediaRow(id, p, m) }
+      .toDS()
+    val hashes = Multimodal.videoFrameHashesReal(media)
+    val rows = hashes.as[(Long, Long, Long)].collect()
+    assert(rows.count(_._1 == 0L) == 16, "a 25-frame clip must emit exactly 16 sampled frames")
+    assert(rows.forall(_._2 < 16L), "sample indices must stay under the default stride")
+    // offsets are frameSampleMeta's floor(i·n/k): identical clips sample
+    // identical frames, so the pair survives with all 16 aligned
+    val pairs = Multimodal.videoDupPairs(hashes, 3, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L, 16L)),
+      s"identical long clips must pair on all 16 sampled frames, got $pairs")
+    // ≤ 16 frames keeps the old exact behavior (natural indices)
+    val short = Seq(Multimodal.MediaRow(9L, Multimodal.aviMjpegBytes(18, 16,
+      (0 until 4).map { fi =>
+        val rnd = new java.util.Random(fi)
+        JpegCodec.encodeGray(18, 16, Array.fill(18 * 16)(rnd.nextInt(256)))
+      }), "video/avi")).toDS()
+    assert(Multimodal.videoFrameHashesReal(short).as[(Long, Long, Long)]
+      .collect().map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    CacheScope.releaseAll()
+  }
+
+  test("multi-stream AVIs keep only stream 00; crafted ≥2³¹ avih dims degrade to None") {
+    import graft.operators.Multimodal
+    val f0 = Array[Byte](1, 2, 3, 4)
+    val f1 = Array[Byte](5, 6, 7, 8)
+    val avi = Multimodal.aviMjpegBytes(16, 16, Seq(f0, f1))
+    // patch the SECOND frame chunk's id '00dc' -> '01dc' (a second
+    // video stream): its frames must not interleave into stream 00's
+    // frame_idx sequence
+    def findChunk(b: Array[Byte], payload: Array[Byte]): Int =
+      b.indices.find(i => i + 8 + payload.length <= b.length &&
+        b(i) == '0' && b(i + 1) == '0' && b(i + 2) == 'd' && b(i + 3) == 'c' &&
+        payload.indices.forall(j => b(i + 8 + j) == payload(j))).get
+    val multi = avi.clone()
+    multi(findChunk(multi, f1) + 1) = '1'
+    val got = Multimodal.aviMjpegFrames(multi).get
+    assert(got.size == 1 && got.head.sameElements(f0),
+      "stream-01 chunks must be excluded from the frame sequence")
+    // '00wb' (audio in stream 00) is likewise not a video frame chunk
+    val audio = avi.clone()
+    val at = findChunk(audio, f1)
+    audio(at + 2) = 'w'; audio(at + 3) = 'b'
+    val gotA = Multimodal.aviMjpegFrames(audio).get
+    assert(gotA.size == 1 && gotA.head.sameElements(f0))
+    // crafted avih dims ≥ 2³¹ (u32 on the wire) would go negative via
+    // toInt and poison mediaDimsCard's orientation/extrema aggregates
+    val huge = avi.clone()
+    val avihAt = huge.indices.find(i => huge(i) == 'a' && huge(i + 1) == 'v' &&
+      huge(i + 2) == 'i' && huge(i + 3) == 'h').get
+    java.util.Arrays.fill(huge, avihAt + 8 + 32, avihAt + 8 + 36, 0xff.toByte)
+    assert(Multimodal.parseDims(huge).isEmpty,
+      "out-of-range dims must degrade (unknown), not flow negative into cards")
+    CacheScope.releaseAll()
+  }
+
   test("fft kernel: impulse, pure tone, and Parseval all check out") {
     import graft.operators.Multimodal
     val n = 256

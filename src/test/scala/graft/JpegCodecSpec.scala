@@ -154,6 +154,50 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(y.zip(g3).map { case (a, b) => math.abs(a - b) }.max <= 2)
   }
 
+  test("SOS component order differing from SOF order decodes correctly (T.81 interleaves in scan order)") {
+    val (w, h) = (40, 24)
+    val y = noise(w, h, 123L)
+    val cb = noise(w, h, 234L)
+    val cr = noise(w, h, 345L)
+    val normal = JpegCodec.encodeYcc444(w, h, y, cb, cr)
+    val reordered = JpegCodec.encodeYcc444(w, h, y, cb, cr,
+      scanOrder = Seq(2, 0, 1)) // Cr, Y, Cb in the scan header AND entropy data
+    assert(!normal.sameElements(reordered), "the reordered stream must differ on the wire")
+    val (dw, dh, gray) = JpegCodec.decodeGray(reordered).get
+    assert((dw, dh) == (w, h))
+    assert(y.zip(gray).map { case (a, b) => math.abs(a - b) }.max <= 2,
+      "a SOF-order walk would entropy-decode chroma blocks as luma and scramble the raster")
+    // reordered + restart markers: predictors reset across all three
+    // components while the MCU loop runs in scan order
+    val (_, _, g2) = JpegCodec.decodeGray(JpegCodec.encodeYcc444(
+      w, h, y, cb, cr, restartInterval = 2, scanOrder = Seq(1, 2, 0))).get
+    assert(y.zip(g2).map { case (a, b) => math.abs(a - b) }.max <= 2)
+  }
+
+  test("0xFF fill bytes before a restart marker are skipped (T.81 B.1.1.2 padding)") {
+    val (w, h) = (129, 16)
+    val px = Array.tabulate(w * h)(i => (i * 7 + i / w * 13) % 256)
+    val withDri = JpegCodec.encodeGray(w, h, px, restartInterval = 5)
+    // pad every RSTn with a fill byte: FF Dn -> FF FF Dn. Entropy data
+    // can't contain a bare FF Dn (stuffing writes FF 00), so a byte
+    // scan finds exactly the markers.
+    val out = Array.newBuilder[Byte]
+    var i = 0
+    while (i < withDri.length) {
+      val m = i + 1 < withDri.length && (withDri(i) & 0xff) == 0xff &&
+        (withDri(i + 1) & 0xff) >= 0xd0 && (withDri(i + 1) & 0xff) <= 0xd7
+      if (m) out += 0xff.toByte
+      out += withDri(i)
+      i += 1
+    }
+    val padded = out.result()
+    assert(padded.length > withDri.length, "fixture must actually insert fill bytes")
+    val (dw, dh, gray) = JpegCodec.decodeGray(padded).get
+    assert((dw, dh) == (w, h))
+    assert(px.zip(gray).map { case (a, b) => math.abs(a - b) }.max <= 2,
+      "a padded conforming stream must decode, not degrade to None")
+  }
+
   test("decode degrades to None on non-JPEG, truncated, progressive, and header-only payloads") {
     assert(JpegCodec.decodeGray("definitely not a jpeg".getBytes).isEmpty)
     val ok = JpegCodec.encodeGray(16, 16, noise(16, 16, 3L))
