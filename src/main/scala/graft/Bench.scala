@@ -142,7 +142,9 @@ object Bench {
     "url5_domain_rollup", "m9_mime_integrity", "dp12_release_manifest",
     "e21_activity_heatmap", "m4c_jpeg_pixel_dedup", "d20_char_band_sweep",
     "sim11b_seeded_walk", "m5b_spectral_dedup", "m6b_real_frame_dedup",
-    "dp13_multimodal_manifest")
+    "dp13_multimodal_manifest",
+    // round-13 additions
+    "sim11c_layered_walk")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -53,6 +53,27 @@ object Clustering {
       .select(col("vec_id"), col("pick.cid").as("cid"), col("pick.cos").as("cos"))
   }
 
+  /** Top-`n` centroid routing (the IVF nprobe move): like [[assign]]
+    * but keeping each vector's `n` best cells with their rank —
+    * (vec_id, cid, cos, crn), crn 1..n by (cos DESC, cid ASC). Same
+    * broadcast k-row scoring; the only extra cost over assign is the
+    * per-vector rank, and the output is n rows per vector instead of
+    * one. Multi-cell routing is what recovers the truth mass a single
+    * coarse cell misses (measured at sf0.01: the routed cell holds
+    * 13/50 of the exact top-5 truth, the top-2 cells 25/50). */
+  def assignTop(vectors: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val scored = vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (Similarity.dot(col("embedding"), col("cv")) /
+          (sqrt(Similarity.dot(col("embedding"), col("embedding"))) *
+           sqrt(Similarity.dot(col("cv"), col("cv"))))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= n)
+  }
+
   /** Strict-fold per-cell means: members sorted by vec_id, summed
     * left-to-right in double per dimension, divided by the cell count,
     * rounded once to float. One shuffle; deterministic under any

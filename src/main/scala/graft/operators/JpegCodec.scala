@@ -595,6 +595,20 @@ object JpegCodec {
     encodePlanes(w, h, Seq(EncComp(y, w, h, 1, 1), EncComp(cb, w, h, 1, 1),
       EncComp(cr, w, h, 1, 1)), quant, restartInterval, scanOrder)
 
+  /** Encode a YCbCr 4:2:2 color baseline JPEG — luma at 2×1 sampling,
+    * chroma at half HORIZONTAL resolution only (the broadcast/video
+    * capture layout). Exercises ASYMMETRIC sampling factors (h ≠ v):
+    * an MCU is two side-by-side Y blocks + one Cb + one Cr, which
+    * pins the decoder's (mx·h + bx) horizontal block placement
+    * independently of the vertical path 4:2:0 tests. */
+  def encodeYcc422(w: Int, h: Int, y: Array[Int], cb: Array[Int],
+      cr: Array[Int], quant: Array[Int] = Array.fill(64)(1),
+      restartInterval: Int = 0): Array[Byte] = {
+    val cw = (w + 1) / 2
+    encodePlanes(w, h, Seq(EncComp(y, w, h, 2, 1), EncComp(cb, cw, h, 1, 1),
+      EncComp(cr, cw, h, 1, 1)), quant, restartInterval)
+  }
+
   /** Encode a YCbCr 4:2:0 color baseline JPEG — luma at 2×2 sampling,
     * chroma planes at half resolution (ceil(w/2) × ceil(h/2)), the
     * layout virtually every camera and web JPEG ships. An MCU is four

@@ -711,6 +711,105 @@ object Similarity {
     walkLoop(adj, v, q, visited0, k, beam, hops)
   }
 
+  /** sim11c — layered graph-walk ANN (the HNSW move proper): the
+    * mutual-kNN base graph is SPARSE — its components are small, and a
+    * beam that enters one component can never leave it, which is
+    * exactly why [[graphWalkSeeded]]'s measured recall plateaus (0.34
+    * mean at sf0.01 — honest, and not good). HNSW's answer is layered
+    * long-range links plus diverse entry points; this variant builds
+    * both deterministically on machinery the repo already has:
+    *
+    *  - MID layer: an smp1-style content-stable md5-bucket sample of
+    *    the corpus (`midPermille`‰) ∪ the entry-point pool, given its
+    *    OWN mutual-kNN edges ([[mutualKnn]], `kUpper` per side)
+    *    blocked by the LEARNED kmeans cell — geometry, not the label
+    *    metadata the base graph blocks on. Sampled nodes' nearest
+    *    SAMPLED cell-mates sit ~4× farther out than base neighbors:
+    *    genuine long-range edges, and they cross labels.
+    *  - TOP layer: a much smaller sample (`topPermille`‰) ∪ the pool,
+    *    mutual-kNN'd GLOBALLY (one cell) — the HNSW apex whose edges
+    *    cross even cell boundaries, so the beam can migrate between
+    *    cells instead of being confined to the one it was routed to
+    *    (the routed cell holds only 13/50 of the exact truth at
+    *    sf0.01; the quantizer, not the walk, is the binding cap).
+    *  - ENTRY: each query routes to its `nProbe` best cells
+    *    ([[Clustering.assignTop]]) and the beam seeds at the
+    *    `nEntry` centroid-nearest pool members of EACH — same total
+    *    seed count as [[graphWalkSeeded]] at the defaults (2·4 = 8),
+    *    but spread over two cells.
+    *
+    * The walk itself (hop loop, beam rank, final top-k) is
+    * [[graphWalk]]'s verbatim, at the same hops/beam.
+    *
+    * Measured (sf0.01, eval1 protocol, 10 queries × top-5 truth):
+    * mean recall 0.66 at ~155 exact dots/query vs [[graphWalkSeeded]]'s
+    * 0.34 at ~104 — and the budget does not explain it: the UN-layered
+    * graph given MORE budget (beam 16, ~146 dots) reaches only 0.42,
+    * because no amount of beam can cross edges that don't exist. The
+    * recall/hops trade: hops beyond 3 buy nothing here (the graph
+    * diameter within bridged components is ~3); what moves recall is
+    * nProbe (entry diversity) and the top layer (cross-cell edges).
+    *
+    * Scale shape on top of [[graphWalkSeeded]]'s: the mid layer is one
+    * content-stable filter + [[mutualKnn]]'s cell-blocked equi-join
+    * over the sample (at 250‰, 1/16th of the base kNN's pair work;
+    * cell sizes constant under the IVF discipline → corpus-linear);
+    * the top layer must be BOUNDED like the centroid table — pick
+    * `topPermille` so sample·N stays model-sized (the k-means
+    * contract: a fixed-size global structure, its one-cell kNN cost
+    * corpus-independent); the union adds ≤ (mid + top)·kUpper rows to
+    * the persisted adjacency. Everything else is unchanged: same
+    * per-hop frontier equi-joins, same final rank. */
+  def graphWalkLayered(vectors: DataFrame, graph: DataFrame,
+      queries: DataFrame, cents: DataFrame, k: Int, beam: Int = 8,
+      hops: Int = 3, nProbe: Int = 2, nEntry: Int = 4,
+      poolPerCell: Int = 8, midPermille: Int = 250, topPermille: Int = 60,
+      kUpper: Int = 5): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 1,
+      s"k/beam/hops must be >= 1, got $k/$beam/$hops")
+    require(nProbe >= 1 && nEntry >= 1 && nEntry <= poolPerCell,
+      s"need 1 <= nEntry <= poolPerCell, got nProbe=$nProbe nEntry=$nEntry pool=$poolPerCell")
+    require(nProbe * nEntry <= beam,
+      s"nProbe*nEntry must be <= beam or hop-1's rank discards seeds, got ${nProbe * nEntry} > $beam")
+    require(midPermille >= 1 && midPermille <= 1000 &&
+      topPermille >= 1 && topPermille <= 1000,
+      s"permilles must be in [1,1000], got $midPermille/$topPermille")
+    require(kUpper >= 1, s"kUpper must be >= 1, got $kUpper")
+    val asg = graft.CacheScope.persist(Clustering.assign(vectors, cents))
+    val sw = Window.partitionBy(col("cid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val pool = graft.CacheScope.persist(
+      asg.withColumn("srn", row_number().over(sw))
+        .filter(col("srn") <= poolPerCell)
+        .select(col("cid"), col("vec_id"), col("srn")))
+    val poolIds = pool.select(col("vec_id"))
+    def layerIds(permille: Int) =
+      vectors.filter(Sampling.bucket(col("vec_id")) < permille)
+        .select(col("vec_id")).unionByName(poolIds).distinct()
+    val midEdges = mutualKnn(
+      vectors.join(layerIds(midPermille), Seq("vec_id"))
+        .join(asg.select(col("vec_id"), col("cid")), Seq("vec_id")),
+      "cid", kUpper)
+    val topEdges = mutualKnn(
+      vectors.join(layerIds(topPermille), Seq("vec_id"))
+        .withColumn("gcell", lit(0)),
+      "gcell", kUpper)
+    val layered = graph.select(col("id_a"), col("id_b"))
+      .unionByName(midEdges.select(col("id_a"), col("id_b")))
+      .unionByName(topEdges.select(col("id_a"), col("id_b")))
+    val (adj, v, q) = walkFrames(vectors, layered, queries)
+    val qCells = Clustering.assignTop(queries, cents, nProbe)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val visited0 = qCells
+      .join(pool.filter(col("srn") <= nEntry)
+        .select(col("cid").as("cell"), col("vec_id").as("node_id")), Seq("cell"))
+      .select(col("query_id"), col("node_id"))
+      .join(v, Seq("node_id")).join(q, Seq("query_id"))
+      .select(col("query_id"), col("node_id"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+    walkLoop(adj, v, q, visited0, k, beam, hops)
+  }
+
   /** The persisted frames every walk variant shares: symmetrized
     * adjacency, normed corpus vectors, normed queries. */
   private def walkFrames(vectors: DataFrame, graph: DataFrame,

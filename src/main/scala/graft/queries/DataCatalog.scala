@@ -2150,6 +2150,122 @@ object DataCatalog {
       "FROM truth t LEFT JOIN walk w ON w.query_id = t.query_id " +
       "AND w.neighbor_id = t.neighbor_id GROUP BY t.query_id" + OBA))
 
+  // SIM11C — the LAYERED graph walk (HNSW's long-range-link move,
+  // the round-12 verdict's ask): sim11b's centroid-seeded beam is
+  // honest but strands at mean recall 0.34 for two structural
+  // reasons the card itself exposes — the base mutual-kNN graph
+  // blocks on the LABEL column, which is metadata, not geometry
+  // (only 4/50 exact-truth neighbors share their query's label), and
+  // the k=10 coarse quantizer routes each query to one cell holding
+  // only 13/50 of the truth. The fix is layered long-range links
+  // plus diverse entries, all on verified machinery: a MID layer
+  // (md5-bucket 250‰ sample ∪ the seed pool, own mutual-kNN k=5
+  // blocked by the LEARNED kmeans cell — geometric edges that cross
+  // labels), a TOP layer (60‰ sample ∪ pool, mutual-kNN k=5 GLOBAL —
+  // apex edges that cross even cells), and nprobe-2 entry (top-4
+  // seeds of each query's 2 best cells — same 8-seed count as
+  // sim11b). Same hops/beam; measured mean recall 0.66 at ~155 exact
+  // dots/query vs sim11b's 0.34 at ~104 — and budget doesn't explain
+  // it: sim11b widened to beam 16 (~146 dots) reaches only 0.42,
+  // because no beam can cross edges that don't exist. Oracle:
+  // sim11b's kmeans/base-knn CTEs + the two layer chains, adj the
+  // three-way union; the hop blocks are sim11's verbatim.
+  val sim11c = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
+      val walk = Similarity.graphWalkLayered(e,
+        Similarity.mutualKnn(e, "label", 10), queries,
+        Clustering.kmeans(e, 10, 3), 5)
+      ordered(Similarity.annRecall(truth, walk))
+    },
+    Some("WITH " + kmeansBody("embeddings", "km", 3, 10, 64) + ", " +
+      "fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+      " AS cos FROM embeddings e CROSS JOIN kmc3 c), " +
+      "asg AS MATERIALIZED (SELECT vec_id, cid, cos FROM (SELECT vec_id, cid, cos, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
+      "FROM fin) WHERE rn = 1), " +
+      "pool AS MATERIALIZED (SELECT cid, vec_id, srn FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id ASC) AS srn " +
+      "FROM asg) WHERE srn <= 8), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings), " +
+      "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c USING (label) WHERE query_id <> neighbor_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored), " +
+      "knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10), " +
+      "mut AS (SELECT x.query_id AS id_a, x.neighbor_id AS id_b FROM knn x JOIN knn y " +
+      "ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
+      "WHERE x.query_id < x.neighbor_id), " +
+      // MID layer: 250‰ md5 sample ∪ pool, mutual-kNN k=5 within the
+      // LEARNED kmeans cell
+      "mids AS (SELECT DISTINCT vec_id FROM (SELECT vec_id FROM embeddings " +
+      "WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 250 " +
+      "UNION ALL SELECT vec_id FROM pool)), " +
+      "mv AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e " +
+      "JOIN mids USING (vec_id) JOIN asg a ON a.vec_id = e.vec_id), " +
+      "mq AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM mv), " +
+      "mc AS (SELECT vec_id AS neighbor_id, embedding AS cv, cid FROM mv), " +
+      "mscored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM mq JOIN mc USING (cid) WHERE query_id <> neighbor_id), " +
+      "mranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM mscored), " +
+      "mknn AS MATERIALIZED (SELECT query_id, neighbor_id FROM mranked WHERE rank <= 5), " +
+      "mmut AS (SELECT x.query_id AS id_a, x.neighbor_id AS id_b FROM mknn x JOIN mknn y " +
+      "ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
+      "WHERE x.query_id < x.neighbor_id), " +
+      // TOP layer: 60‰ md5 sample ∪ pool, mutual-kNN k=5 GLOBAL
+      "tids AS (SELECT DISTINCT vec_id FROM (SELECT vec_id FROM embeddings " +
+      "WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 60 " +
+      "UNION ALL SELECT vec_id FROM pool)), " +
+      "tpq AS (SELECT e.vec_id AS query_id, e.embedding AS qv FROM embeddings e " +
+      "JOIN tids USING (vec_id)), " +
+      "tpc AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv FROM embeddings e " +
+      "JOIN tids USING (vec_id)), " +
+      "tpscored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM tpq JOIN tpc ON query_id <> neighbor_id), " +
+      "tpranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM tpscored), " +
+      "tpknn AS MATERIALIZED (SELECT query_id, neighbor_id FROM tpranked WHERE rank <= 5), " +
+      "tpmut AS (SELECT x.query_id AS id_a, x.neighbor_id AS id_b FROM tpknn x JOIN tpknn y " +
+      "ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
+      "WHERE x.query_id < x.neighbor_id), " +
+      "adj AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mut " +
+      "UNION ALL SELECT id_b, id_a FROM mut " +
+      "UNION ALL SELECT id_a, id_b FROM mmut " +
+      "UNION ALL SELECT id_b, id_a FROM mmut " +
+      "UNION ALL SELECT id_a, id_b FROM tpmut " +
+      "UNION ALL SELECT id_b, id_a FROM tpmut), " +
+      "qq AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv " +
+      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      "vv AS (SELECT vec_id AS node_id, embedding AS nv FROM embeddings), " +
+      // ENTRY: top-2 cells per query (cos DESC, cid ASC), top-4 pool
+      // members of each
+      "qcells AS (SELECT query_id, cell FROM (SELECT vec_id AS query_id, " +
+      "cid AS cell, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY cos DESC, cid ASC) AS crn FROM fin WHERE vec_id % 50 = 0) " +
+      "WHERE crn <= 2), " +
+      "v0 AS (SELECT qc2.query_id, sd.node_id, " + cosSql("qv", "nv") +
+      " AS cos FROM qcells qc2 JOIN (SELECT cid AS cell, vec_id AS node_id " +
+      "FROM pool WHERE srn <= 4) sd USING (cell) " +
+      "JOIN qq ON qq.query_id = qc2.query_id JOIN vv ON vv.node_id = sd.node_id), " +
+      "f0 AS (SELECT query_id, node_id FROM v0), " +
+      sim11Hop(1) + ", " + sim11Hop(2) + ", " + sim11Hop(3) + ", " +
+      "walk AS (SELECT query_id, node_id AS neighbor_id FROM (SELECT query_id, node_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id ASC) AS rn " +
+      "FROM v3 WHERE node_id <> query_id) WHERE rn <= 5), " +
+      "tsc AS (SELECT qq.query_id, c.neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM qq JOIN c ON qq.query_id <> c.neighbor_id), " +
+      "truth AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn " +
+      "FROM tsc) WHERE rn <= 5) " +
+      "SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth, " +
+      "CAST(sum(CASE WHEN w.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+      "FROM truth t LEFT JOIN walk w ON w.query_id = t.query_id " +
+      "AND w.neighbor_id = t.neighbor_id GROUP BY t.query_id" + OBA))
+
   // SIM12 — two-stage binary ANN recall card: sign-sketch band
   // candidates (Hamming ≤ 20) exactly reranked, graded against
   // brute-force truth — the compression ladder's cheapest index
@@ -5563,6 +5679,9 @@ object DataCatalog {
   // (P = J⁴ per band × 4 bands is material at J ≈ 0.4), 8-row bands
   // collapse the flood while holding the ≥0.9-J twins (J⁸ ≈ 0.43/band),
   // and the single 16-row band starts shedding true twins (J¹⁶ ≈ 0.19).
+  // Measured on the 500‰-sampled slice at sf0.01: 4-row 746 candidates
+  // / 67‰ precision, 8-row 86 / 534‰ holding all 46 sampled twins,
+  // 16-row sheds 5 — the flood and the trade both survive the gate.
   // Signatures and char-shingle arrays compute ONCE and persist — and
   // so do the candidates and the exact verify, because the three
   // configs NEST: a 16-row band collision is all 16 minhashes equal ⇒
@@ -5575,7 +5694,14 @@ object DataCatalog {
   // of three.
   val d20 = Q(
     (s, d) => {
-      val zh = documents(s, d).filter(col("lang") === "zh")
+      // SAMPLE-GATED like d15 (the round-12 verdict's ask): the 4-row
+      // flood band is the sweep's deliberately expensive point and its
+      // candidate volume grows superlinearly with the slice — cap the
+      // BASE slice with the smp1 content-stable md5 bucket (500‰)
+      // before twins/signatures, so each kept doc keeps its twin and
+      // the receipt stays runnable at any corpus size.
+      val zh = Sampling.bernoulli(
+          documents(s, d).filter(col("lang") === "zh"), col("doc_id"), 500)
         .select(col("doc_id"), regexp_replace(col("text"),
           lit("(\\S+)"), concat(lit("$1~"), col("doc_id") % 97)).as("text"))
       val twins = zh.select((col("doc_id") + 10000).as("doc_id"),
@@ -5645,7 +5771,8 @@ object DataCatalog {
           s"ELSE CAST((SELECT count(*) FROM ver$r) * 1000 // " +
           s"(SELECT count(*) FROM cand$r) AS BIGINT) END AS precision_permille"
       "WITH zh AS (SELECT doc_id, regexp_replace(text, '(\\S+)', " +
-        "'\\1~' || (doc_id % 97), 'g') AS text FROM documents WHERE lang = 'zh'), " +
+        "'\\1~' || (doc_id % 97), 'g') AS text FROM documents WHERE lang = 'zh' " +
+        "AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 500), " +
         "src3 AS (SELECT doc_id, text FROM zh UNION ALL " +
         "SELECT doc_id + 10000, text || '之' FROM zh), " +
         "lt AS (SELECT doc_id, lower(text) AS text FROM src3), " +
@@ -5858,9 +5985,18 @@ object DataCatalog {
   // more → precision-greedy misses). Signatures and shingle arrays are
   // computed ONCE and persisted; each config re-bands the 16-long sig
   // vectors and re-verifies only its own candidates.
+  //
+  // SAMPLE-GATED (the round-12 verdict's ask): a tuning receipt must be
+  // runnable on a 100 TB corpus, and the flood row's candidate volume
+  // grows superlinearly with the input — so the input is capped by an
+  // smp1-style content-stable md5-bucket sample (500‰ here; the knob a
+  // deployment turns down as the corpus grows) BEFORE signatures. The
+  // banding trade the card measures is a per-pair property, so sampling
+  // shrinks the numbers, not the lesson — and both engines state the
+  // same sample, eval1's query-sample discipline applied to tuning.
   val d15 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = Sampling.bernoulli(documents(s, d), col("doc_id"), 500)
       val sigs = graft.CacheScope.persist(
         NearDup.minhashSigs(docs, col("doc_id"), col("text")))
       sigs.count()
@@ -5898,7 +6034,8 @@ object DataCatalog {
           s"CASE WHEN (SELECT count(*) FROM cand$r) = 0 THEN 0 " +
           s"ELSE CAST((SELECT count(*) FROM ver$r) * 1000 // " +
           s"(SELECT count(*) FROM cand$r) AS BIGINT) END AS precision_permille"
-      ShinglesCte + ", " +
+      "WITH " + shinglesBody("(SELECT * FROM documents WHERE " +
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 500)") + ", " +
         "mins AS (SELECT doc_id, h, min(((((2*h+1)*2654435761) % 2147483647) * " +
         "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647) + " +
         "((h*40503+12345) % 2147483647)) % 2147483647) AS mh " +
@@ -6186,5 +6323,7 @@ object DataCatalog {
     "dp12_release_manifest" -> dp12, "e21_activity_heatmap" -> e21,
     "m4c_jpeg_pixel_dedup" -> m4c, "d20_char_band_sweep" -> d20,
     "sim11b_seeded_walk" -> sim11b, "m5b_spectral_dedup" -> m5b,
-    "m6b_real_frame_dedup" -> m6b, "dp13_multimodal_manifest" -> dp13)
+    "m6b_real_frame_dedup" -> m6b, "dp13_multimodal_manifest" -> dp13,
+    // round 13
+    "sim11c_layered_walk" -> sim11c)
 }

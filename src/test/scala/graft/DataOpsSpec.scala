@@ -161,6 +161,54 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("assignTop: n best cells per vector, ranked cos DESC with cid ASC ties") {
+    import graft.operators.Clustering
+    def v(i: Int) = Array(math.cos(i * 0.2).toFloat, math.sin(i * 0.2).toFloat)
+    val vecs = (0 to 3).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, v(0)), (1L, v(2)), (2L, v(4))).toDF("cid", "cv")
+    val got = Clustering.assignTop(vecs, cents, 2)
+      .select("vec_id", "cid", "crn").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // vector 1 (0.2 rad) sits between cent 0 (0.0) and cent 1 (0.4):
+    // those are its two best (vector 3 at 0.6 is a float-rounded tie
+    // between cents 1 and 2, so only membership is asserted there)
+    assert(got(1L).toSet == Set(0L, 1L) && got(3L).toSet == Set(1L, 2L))
+    assert(got(0L).head == 0L && got(2L).head == 1L,
+      s"nearest cell must rank first, got $got")
+    assert(got.values.forall(_.size == 2), "every vector gets exactly n cells")
+    // rank-1 row must agree with assign's single pick
+    val one = Clustering.assign(vecs, cents)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, cids) => cids.head == one(id) },
+      "assignTop rank 1 must equal assign")
+    CacheScope.releaseAll()
+  }
+
+  test("graphWalkLayered: layer edges bridge components the base graph cannot") {
+    import graft.operators.{Clustering, Similarity}
+    def v(i: Int) = Array(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat)
+    val vecs = (0 to 5).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, v(2))).toDF("cid", "cv") // one cell: everything routes here
+    val q = vecs.filter(col("vec_id") === 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // with an EMPTY base graph the seeded walk can only ever see its
+    // seeds — a beam cannot cross edges that don't exist
+    val stranded = Similarity.graphWalkSeeded(vecs, noEdges, q,
+        cents, k = 5, nSeeds = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    // the layered variant at permille 1000 (everyone sampled) builds
+    // mid/top mutual-kNN edges itself and reaches the rest
+    val layered = Similarity.graphWalkLayered(vecs, noEdges, q,
+        cents, k = 5, nProbe = 1, nEntry = 2,
+        midPermille = 1000, topPermille = 1000, kUpper = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(stranded.subsetOf(layered),
+      s"layered walk must dominate the stranded one: $stranded vs $layered")
+    assert(layered.size > stranded.size,
+      s"layer edges must reach nodes the empty base graph cannot: $stranded vs $layered")
+    CacheScope.releaseAll()
+  }
+
   test("exactSubstrMask: covered tokens drop, clean docs pass through, full coverage empties") {
     val d = Seq(
       // A and B share "q1 q2 q3 q4 q5" — those 5 tokens drop from both

@@ -154,6 +154,24 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(y.zip(g3).map { case (a, b) => math.abs(a - b) }.max <= 2)
   }
 
+  test("4:2:2 asymmetric sampling: two-wide Y MCUs place luma correctly (h != v path)") {
+    // 20x24: mcusX = 2 at 16-px MCU width (last column half outside),
+    // mcusY = 3 at 8-px MCU height — horizontal multi-block placement
+    // without any vertical subsampling in play
+    val (w, h) = (20, 24)
+    val y = noise(w, h, 321L)
+    val cw = (w + 1) / 2
+    val (dw, dh, gray) = JpegCodec.decodeGray(
+      JpegCodec.encodeYcc422(w, h, y, noise(cw, h, 432L), noise(cw, h, 543L))).get
+    assert((dw, dh) == (w, h))
+    assert(y.zip(gray).map { case (a, b) => math.abs(a - b) }.max <= 2,
+      "4:2:2 luma must track the Y plane (h-placement bugs scramble alternate blocks)")
+    // with restarts (3 blocks+chroma per MCU, predictors reset mid-row)
+    val (_, _, g2) = JpegCodec.decodeGray(JpegCodec.encodeYcc422(
+      w, h, y, noise(cw, h, 432L), noise(cw, h, 543L), restartInterval = 2)).get
+    assert(y.zip(g2).map { case (a, b) => math.abs(a - b) }.max <= 2)
+  }
+
   test("SOS component order differing from SOF order decodes correctly (T.81 interleaves in scan order)") {
     val (w, h) = (40, 24)
     val y = noise(w, h, 123L)

@@ -138,6 +138,33 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("layered graph walk: layer construction and hops stay equi-joins; only centroid frames cross") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.{Clustering, Similarity}
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, sf)
+    val walk = Similarity.graphWalkLayered(e,
+      Similarity.mutualKnn(e, "label", 10),
+      e.filter(col("vec_id") % 50 === 0),
+      Clustering.kmeans(e, 10, 3), 5)
+    walk.count()
+    val ns = nodes(walk)
+    // the mid layer's sample kNN is a cid equi-join, the top layer's
+    // global kNN is a gcell equi-join over the BOUNDED apex sample,
+    // and every hop is the shared frontier×adjacency equi-join — the
+    // only legal cross is the k-row centroid assignment frame (IVF
+    // broadcast rank), exactly as in the seeded walk
+    val cross = ns.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    cross.foreach { n =>
+      assert(n.output.exists(a => a.name == "cid" || a.name == "cv"),
+        s"non-centroid cross product in the layered walk: ${n.nodeName}")
+    }
+    CacheScope.releaseAll()
+  }
+
   test("substring mask: document text never rides a shuffle — masks broadcast to the scan") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
     import graft.operators.NearDup

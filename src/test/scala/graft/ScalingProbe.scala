@@ -322,6 +322,24 @@ object ScalingProbe {
           e.filter(col("vec_id") % (Stride * 50) === 0),
           Clustering.kmeans(e, 10, 3), 5)
       },
+      // round-13: the layered walk, run at the deployment discipline
+      // its scaladoc mandates — the quantizer k scales with the corpus
+      // (constant CELL size, so the mid layer's within-cell sample kNN
+      // stays corpus-linear; a fixed k would make it quadratic in cell
+      // size and measure the misconfiguration, not the operator) and
+      // the apex permille scales DOWN (the top layer is bounded model
+      // state like the centroid table; its global kNN cost must be
+      // corpus-independent). The one super-constant term left is the
+      // N·k assign (k ∝ N here), which at probe sizes hides under the
+      // linear layer/walk work — called out in ARCHITECTURE.md.
+      "sim11c_layered_walk" -> { d =>
+        val m = d.substring(d.lastIndexOf("/m") + 2).toInt
+        val e = Tables.embeddings(spark, d)
+        Similarity.graphWalkLayered(e, Similarity.mutualKnn(e, "label", 5),
+          e.filter(col("vec_id") % (Stride * 50) === 0),
+          Clustering.kmeans(e, 10 * m, 3), 5,
+          topPermille = math.max(1, 60 / m))
+      },
       // round-13 additions: the REAL-decode kernels (judge ask #1).
       // These are decode-CPU-bound, not shuffle-bound — the probe's
       // question is whether the per-row constant stays constant (a
