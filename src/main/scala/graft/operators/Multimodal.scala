@@ -913,14 +913,14 @@ object Multimodal {
     * states. `group` keys clip families (see [[syntheticJpegImages]] —
     * the ScalingProbe's dedup-honest DIV-family hook). */
   def syntheticMjpegVideos(docs: DataFrame,
-      group: Long => Long = _ % 151): Dataset[MediaRow] = {
+      group: Long => Long = _ % 151, nFrames: Int = 4): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
       val g = group(id)
       val ws = 4; val hs = 4; val w = 9 * ws; val h = 8 * hs
-      val frames = (0 until 4).map { fi =>
-        val seed = (g * 4L + fi) * 2654435761L +
+      val frames = (0 until nFrames).map { fi =>
+        val seed = (g * nFrames + fi) * 2654435761L +
           (if (id % 2 == 1 && fi == 0) 977L else 41L)
         val rnd = new java.util.Random(seed)
         val perm = Array.tabulate(72)(identity)

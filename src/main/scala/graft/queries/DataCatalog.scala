@@ -4844,6 +4844,36 @@ object DataCatalog {
       "JOIN documents b ON a.doc_id % 151 = b.doc_id % 151 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M6C — LONG-clip video dedup through the frame-sampling contract
+  // (the round-13 hardening, oracle-gated): 25-frame clips (a real
+  // 1-second 25 fps shape) exceed videoFrameHashesReal's k=16 cap, so
+  // the operator degrades each clip to the 16 evenly-spaced frames at
+  // offsets ⌊i·25/16⌋ under SAMPLE index i — which keeps frame_idx
+  // under videoDupPairs' stride guard (before the fix, any >16-frame
+  // clip raised in-plan and killed the job) and bounds decode CPU at
+  // 16 decodes/clip no matter how long the clip. Offset 0 is always
+  // sampled, so the fixture's odd-id frame-0 re-render lands at
+  // sample index 0: even/odd pairs align exactly 15 of 16 sampled
+  // frames, same-parity pairs all 16 — the same closed-form
+  // n_matched_frames shape as m6b, now certifying parse → sample →
+  // decode → hash → align → vote on clips LONGER than the cap. The
+  // input is smp1-gated (200‰) — the m6-family cards' own sampling
+  // discipline applied to the heaviest per-row fixture in the repo
+  // (25 JPEG frames per clip).
+  val m6c = Q(
+    (s, d) => ordered(graft.operators.Multimodal.videoDupPairs(
+      graft.operators.Multimodal.videoFrameHashesReal(
+        graft.operators.Multimodal.syntheticMjpegVideos(
+          Sampling.bernoulli(documents(s, d), col("doc_id"), 200),
+          nFrames = 25)), 3, 15)),
+    Some("WITH s AS (SELECT doc_id FROM documents " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 200) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(CASE WHEN a.doc_id % 2 = b.doc_id % 2 THEN 16 ELSE 15 END AS BIGINT) " +
+      "AS n_matched_frames FROM s a " +
+      "JOIN s b ON a.doc_id % 151 = b.doc_id % 151 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   // M5B — SPECTRAL audio near-dup over the same real-PCM fixture: 16
   // FFT windows × 4 log-spaced frequency bands, bit (t·4+b) = band
   // energy rising at window t — the chromaprint shape proper, where
@@ -6325,5 +6355,5 @@ object DataCatalog {
     "sim11b_seeded_walk" -> sim11b, "m5b_spectral_dedup" -> m5b,
     "m6b_real_frame_dedup" -> m6b, "dp13_multimodal_manifest" -> dp13,
     // round 13
-    "sim11c_layered_walk" -> sim11c)
+    "sim11c_layered_walk" -> sim11c, "m6c_long_clip_dedup" -> m6c)
 }
