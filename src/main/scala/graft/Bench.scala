@@ -144,7 +144,8 @@ object Bench {
     "sim11b_seeded_walk", "m5b_spectral_dedup", "m6b_real_frame_dedup",
     "dp13_multimodal_manifest",
     // round-13 additions
-    "sim11c_layered_walk", "m6c_long_clip_dedup")
+    "sim11c_layered_walk", "m6c_long_clip_dedup",
+    "m7b_jpeg_sof_card", "out4_partition_prune")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

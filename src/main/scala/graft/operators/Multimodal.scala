@@ -432,6 +432,101 @@ object Multimodal {
     }
   }
 
+  /** First-SOF classifier for JPEG payloads — the coverage axis of the
+    * m7b receipt. Walks the marker stream from SOI the same way
+    * [[JpegCodec.decodeGray]]'s header loop does (0xFF fill bytes
+    * skipped, length-delimited segments stepped over) and buckets the
+    * FIRST SOFn marker: baseline/extended (the codec's decodable
+    * scope), progressive, arithmetic, lossless, differential — or
+    * 'none' when EOI/SOS/corruption arrives before any frame header.
+    * Real web corpora are ~10–20% progressive, so a release manifest
+    * must count WHY payloads degraded per SOF family, not just that
+    * some did. */
+  private[graft] def jpegSofClass(b: Array[Byte]): String = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return "none"
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return "none"
+      var j = i // T.81 B.1.1.2: any number of 0xFF fill bytes precede a marker
+      while (j + 1 < b.length && (b(j + 1) & 0xff) == 0xff) j += 1
+      if (j + 1 >= b.length) return "none"
+      val marker = b(j + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return "none" // EOI / scan before SOF
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 2
+      else {
+        if (j + 3 >= b.length) return "none"
+        val len = ((b(j + 2) & 0xff) << 8) | (b(j + 3) & 0xff)
+        if (len < 2 || j + 2 + len > b.length) return "none"
+        marker match {
+          case 0xc0 => return "sof0_baseline"
+          case 0xc1 => return "sof1_extended"
+          case 0xc2 => return "sof2_progressive"
+          case 0xc9 | 0xca | 0xcd | 0xce => return "sof_arithmetic"
+          case 0xc3 | 0xc7 | 0xcb | 0xcf => return "sof_lossless"
+          case 0xc5 | 0xc6 => return "sof_differential"
+          case _ => i = j + 2 + len
+        }
+      }
+    }
+    "none"
+  }
+
+  /** m7b — per-SOF decode-coverage card: the m9-style counted degrade
+    * bucket for the JPEG real-pixel pipeline. One row per
+    * (sof_class, decoded) with payload counts, where sof_class comes
+    * from [[jpegSofClass]]'s REAL marker walk and decoded is whether
+    * [[JpegCodec.decodeGray]] actually produced pixels. dp13's
+    * manifest says THAT payloads degraded; this card says WHY (which
+    * SOF family) and HOW MANY — the number a corpus owner reads
+    * before trusting m4c's real-pixel dedup coverage on a web corpus.
+    * Map-only classify+decode (payload bytes never shuffle) + one
+    * card-sized aggregate. */
+  def jpegSofCard(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        (jpegSofClass(r.payload), JpegCodec.decodeGray(r.payload).isDefined)
+      }
+    }.toDF("sof_class", "decoded")
+      .groupBy("sof_class", "decoded")
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  /** m7b fixture — [[syntheticJpegImages]] with a deterministic SOF
+    * mix: doc_id % 7 == 3 re-marks the single SOF0 header as SOF2
+    * (progressive) and % 7 == 5 as SOF9 (arithmetic sequential), by
+    * walking the length-delimited header segments and patching the
+    * marker byte. Only the frame-header MARKER changes — the entropy
+    * stream is untouched — so the patched payloads pin that the
+    * classifier reads the real marker and that the decoder takes the
+    * degrade path (decodeGray → None, never a kill) for out-of-scope
+    * SOF families, while every untouched baseline payload must
+    * actually decode. */
+  def syntheticJpegSofMix(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticJpegImages(docs).map { r =>
+      val mk = r.doc_id % 7 match {
+        case 3 => 0xc2
+        case 5 => 0xc9
+        case _ => 0
+      }
+      if (mk == 0) r
+      else {
+        val p = r.payload.clone()
+        var i = 2 // after SOI; every header segment here is FF marker len
+        var done = false
+        while (!done && i + 3 < p.length) {
+          if ((p(i) & 0xff) != 0xff) done = true
+          else if ((p(i + 1) & 0xff) == 0xc0) { p(i + 1) = mk.toByte; done = true }
+          else i += 2 + (((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff))
+        }
+        r.copy(payload = p)
+      }
+    }
+  }
+
   /** Full WAV container (16-bit PCM, little-endian, interleaved
     * channels) — the fixture encoder for the real audio path, the
     * [[graft.operators.PngCodec.encodeGray]] move for sound. */

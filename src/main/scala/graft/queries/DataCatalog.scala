@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Profiling, Ranking, Retrieval, Sampling, Sharding, Similarity, TextOps}
+import graft.operators.{Bpe, Bucketing, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Profiling, Ranking, Retrieval, Sampling, Sharding, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -2608,6 +2608,49 @@ object DataCatalog {
       "CASE WHEN exp_rows IS NULL THEN 'extra_shard' WHEN act_rows IS NULL THEN 'missing_shard' " +
       "WHEN exp_rows <> act_rows THEN 'count_mismatch' WHEN exp_hash <> act_hash THEN 'hash_mismatch' " +
       "ELSE 'ok' END AS status FROM exp FULL OUTER JOIN act USING (shard_id)" + OBA))
+
+  // OUT4 — hive-partitioned day layout, cross-engine-checked.
+  // writePartitioned lays events out as day=YYYY-MM-DD/ directories;
+  // the entry reads the layout BACK through Spark's
+  // partition-discovering scan with a literal min-day predicate —
+  // planning-time directory pruning, the lever every date-ranged query
+  // assumes at 100 TB (ScaleSpec pins selectedPartitions == 1 for
+  // exactly this layout+predicate shape) — and cards the pruned day's
+  // content next to the layout's partition count. The oracle reads the
+  // SAME directories via DuckDB hive_partitioning, so the
+  // value→directory→value round trip and the pruned slice are
+  // cross-engine-checked, not just plan-pinned. The min-day collect is
+  // one bounded driver scalar (a partition VALUE, k-means contract).
+  private val Out4Dir = "/tmp/graft_out4_partitioned"
+  val out4 = Q(
+    (s, d) => {
+      Bucketing.writePartitioned(
+        events(s, d).withColumn("day", to_date(col("ts")).cast("string"))
+          .select(col("event_id"), col("user_id"), col("value"), col("day")),
+        Out4Dir, "day")
+      val back = s.read.parquet(Out4Dir)
+        .withColumn("day", col("day").cast("string"))
+      val minDay = back.agg(min(col("day"))).collect()(0).getString(0)
+      val pruned = s.read.parquet(Out4Dir)
+        .filter(col("day") === lit(minDay)) // literal on the partition column → planning-time prune
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("user_id")).cast("long").as("user_sum"),
+          sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+        .withColumn("day", lit(minDay))
+      val layout = back.select("day").distinct()
+        .agg(count(lit(1)).cast("long").as("n_days"))
+      ordered(pruned.crossJoin(layout))
+    },
+    Some("WITH rb AS (SELECT event_id, user_id, value, CAST(day AS VARCHAR) AS day " +
+      s"FROM read_parquet('$Out4Dir/*/*.parquet', hive_partitioning = 1)), " +
+      "md AS (SELECT min(day) AS day FROM rb), " +
+      "pruned AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(sum(user_id) AS BIGINT) AS user_sum, " +
+      "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents " +
+      "FROM rb, md WHERE rb.day = md.day), " +
+      "layout AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM rb) " +
+      "SELECT md.day, pruned.n_rows, pruned.user_sum, pruned.value_cents, layout.n_days " +
+      "FROM md, pruned, layout" + OBA))
 
   // OUT2B — the verifier's FAILURE statuses, oracle-gated: export
   // shards, then deterministically tamper the committed MANIFEST.json
@@ -5935,6 +5978,25 @@ object DataCatalog {
       "CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h, " +
       "CAST(sum(w * h) AS BIGINT) AS total_px FROM dims GROUP BY 1, 2" + OBA))
 
+  // M7B — per-SOF decode-coverage receipt: the m9-style counted
+  // degrade bucket for the JPEG real-pixel path. The fixture re-marks
+  // doc_id%7==3 payloads as SOF2 (progressive) and %7==5 as SOF9
+  // (arithmetic) — real web corpora are ~10–20% progressive, and m4c
+  // silently degrades those to the stub hash, so a release manifest
+  // must COUNT the degrades per SOF family. The Spark side classifies
+  // from the real marker walk and decodes with the real codec; the
+  // oracle's doc_id arithmetic gates both directions — every baseline
+  // payload must genuinely decode (huffman→dequant→IDCT succeeds) and
+  // every re-marked payload must take the counted degrade path.
+  val m7b = Q(
+    (s, d) => ordered(graft.operators.Multimodal.jpegSofCard(
+      graft.operators.Multimodal.syntheticJpegSofMix(documents(s, d)))),
+    Some("SELECT CASE WHEN doc_id % 7 = 3 THEN 'sof2_progressive' " +
+      "WHEN doc_id % 7 = 5 THEN 'sof_arithmetic' " +
+      "ELSE 'sof0_baseline' END AS sof_class, " +
+      "doc_id % 7 NOT IN (3, 5) AS decoded, " +
+      "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2" + OBA))
+
   // E19 — conversion-lag deciles: exact integer-microsecond decile
   // values of the first-view→first-later-purchase lag per converted
   // user, picked by rank under the total order (lag, user_id) via the
@@ -6276,6 +6338,7 @@ object DataCatalog {
     "dp2_curation_twophase" -> dp2,
     "out1_shard_manifest" -> out1, "out2_shard_verify" -> out2,
     "out2b_verify_tamper" -> out2b, "out3_incremental_append" -> out3,
+    "out4_partition_prune" -> out4,
     "tx9_seq_packing" -> tx9,
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "d9_paragraph_dedup" -> d9,
@@ -6344,6 +6407,7 @@ object DataCatalog {
     "dp11_substring_cut_receipt" -> dp11, "bpe4_roundtrip_card" -> bpe4,
     "qc19_correlation_card" -> qc19, "c7_substring_contam" -> c7,
     "c8_surgical_decontam" -> c8, "m7_media_dims_card" -> m7,
+    "m7b_jpeg_sof_card" -> m7b,
     "e19_conversion_lag" -> e19, "tx17_freq_spectrum" -> tx17,
     "lm3_bigram_familiarity" -> lm3, "idx4_compaction_plan" -> idx4,
     "d17_containment_pairs" -> d17, "t14_interval_audit" -> t14,

@@ -622,6 +622,36 @@ class DataOpsSpec extends AnyFunSuite {
       .filter(_.mime == "audio/wav")
     val stubFps = Multimodal.audioFingerprint(headerOnly).collect()
     assert(stubFps.length == 1)
+    // precedence: a decodable PCM WAV also has parseable header params,
+    // so BOTH fingerprint paths could run — pin that the real-PCM
+    // energies win over the header-keyed stub (the fallback ORDER
+    // audioFingerprint's scaladoc states)
+    val clip0 = Multimodal.syntheticAudio(
+      spark.range(0, 1).select(col("id").as("doc_id"))).collect()(0)
+    val stub0 = Multimodal.audioFp64(8000, 1, clip0.payload(clip0.payload.length - 1) & 0xff)
+    assert(fps(0L) != stub0,
+      "real-PCM fingerprint must win over the header stub when both paths can run")
+  }
+
+  test("jpeg SOF coverage card: baseline payloads all decode; re-marked SOF2/arithmetic payloads take the counted degrade path") {
+    import graft.operators.{JpegCodec, Multimodal}
+    val ids = spark.range(0, 140).select(col("id").as("doc_id"))
+    val card = Multimodal.jpegSofCard(Multimodal.syntheticJpegSofMix(ids))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    // 140 docs: doc_id%7==3 → 20 progressive, %7==5 → 20 arithmetic,
+    // 100 untouched baseline — and decoded must track the SOF family
+    // exactly (every baseline really decodes, every re-mark degrades)
+    assert(card == Map(
+      ("sof0_baseline", true) -> 100L,
+      ("sof2_progressive", false) -> 20L,
+      ("sof_arithmetic", false) -> 20L), s"got $card")
+    // classifier unit edges: fill bytes before the marker are legal
+    // (B.1.1.2); a non-JPEG container and a scan-before-SOF are 'none'
+    val base = JpegCodec.encodeGray(16, 16, Array.fill(256)(128))
+    val padded = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ base.drop(2)
+    assert(Multimodal.jpegSofClass(base) == "sof0_baseline")
+    assert(Multimodal.jpegSofClass(padded) == "sof0_baseline")
+    assert(Multimodal.jpegSofClass(Multimodal.wavBytesPcm(8000, 1, Array.fill(8)(1.toShort))) == "none")
   }
 
   test("avi mjpeg container: frames round-trip byte-exact; malformed payloads degrade to None") {
