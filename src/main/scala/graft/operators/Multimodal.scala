@@ -1064,22 +1064,32 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        aviMjpegFrames(r.payload).toSeq.flatMap { frames =>
-          val n = frames.length
-          val picks: IndexedSeq[(Int, Int)] = // (sample idx, frame offset)
-            if (n <= k) (0 until n).map(i => (i, i))
-            else (0 until k).map(i => (i, (i.toLong * n / k).toInt))
-          picks.iterator.flatMap { case (i, off) =>
-            JpegCodec.decodeGray(frames(off)) match {
-              case Some((w, h, gray)) if w >= 9 && h >= 8 =>
-                Some((r.doc_id, i.toLong, PngCodec.dHashPixels(w, h, gray)))
-              case _ => None
-            }
-          }
+        sampledFrameHashes(r.payload, k).iterator.map {
+          case (i, fh) => (r.doc_id, i.toLong, fh)
         }
       }
     }.toDF("doc_id", "frame_idx", "fhash")
   }
+
+  /** Row-local slice of [[videoFrameHashesReal]]: container walk →
+    * ≤k evenly-spaced sampled frames (⌊i·n/k⌋, the frameSampleMeta
+    * contract) → real JPEG decode → dHash, as (sample idx, hash)
+    * pairs with undecodable picks dropped. Shared with [[videoAdmit]]
+    * so the admission gate and the batch dedup see IDENTICAL frames. */
+  private[graft] def sampledFrameHashes(payload: Array[Byte], k: Int): Seq[(Int, Long)] =
+    aviMjpegFrames(payload).toSeq.flatMap { frames =>
+      val n = frames.length
+      val picks: IndexedSeq[(Int, Int)] = // (sample idx, frame offset)
+        if (n <= k) (0 until n).map(i => (i, i))
+        else (0 until k).map(i => (i, (i.toLong * n / k).toInt))
+      picks.flatMap { case (i, off) =>
+        JpegCodec.decodeGray(frames(off)) match {
+          case Some((w, h, gray)) if w >= 9 && h >= 8 =>
+            Some((i, PngCodec.dHashPixels(w, h, gray)))
+          case _ => None
+        }
+      }
+    }
 
   /** m6 step 2 — video near-dup pairs: two videos are near-dups when at
     * least `minFrames` ALIGNED frames (same sample index) land within
@@ -1179,6 +1189,75 @@ object Multimodal {
       .reduce(_ || _)
     imageDHash(media).withColumn("__hit", hit)
       .filter(!col("__hit")).drop("__hit")
+  }
+
+  /** m8b — broadcastable corpus AUDIO fingerprint: a bloom over the
+    * corpus audio fingerprints' 4×16-bit band keys (the same banding
+    * as the [[audioDupPairs]] join, key = band·2¹⁶ + bits). KBs per
+    * million clips — the published-artifact pattern of
+    * [[imageFingerprint]], for sound. */
+  def audioCorpusFingerprint(fps: DataFrame,
+      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter =
+    imageFingerprint(fps.select(col("afp").as("phash")), fpp)
+
+  /** m8b — audio-dup admission gate (the visual gate transplanted to
+    * sound): admit only clips sharing NO fingerprint band with the
+    * corpus bloom. Pure per-row map — REAL PCM decode → energy
+    * fingerprint ([[audioFingerprint]]'s real-else-header-stub path) +
+    * 4 bloom probes — so the identical plan runs batch or streaming
+    * (stateless, rerun-stable; stream ≡ batch pinned in ScaleSpec).
+    * Conservative by construction: an exact or ≤2-bit-edit duplicate
+    * always shares ≥2 of the 4 bands, so no true audio dup of the
+    * corpus is ever admitted; band-collision rejection over-rejects
+    * ~fpp plus genuine collisions — the same trade the image and text
+    * gates document. Intra-batch dups pass (stateless); they belong to
+    * the scheduled m5 compaction. Output: admitted (doc_id, afp). */
+  def audioAdmit(media: Dataset[MediaRow],
+      fp: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    import graft.plans.BloomJoin
+    val hit = (0 until 4).map(b =>
+        BloomJoin.mightContain(expr(s"CAST($b AS BIGINT) * 65536 + " +
+          s"(shiftrightunsigned(afp, ${16 * b}) & 65535)"), fp))
+      .reduce(_ || _)
+    audioFingerprint(media).withColumn("__hit", hit)
+      .filter(!col("__hit")).drop("__hit")
+  }
+
+  /** m8c — broadcastable corpus VIDEO-FRAME fingerprint: a bloom over
+    * the corpus clips' real sampled-frame dHashes'
+    * ([[videoFrameHashesReal]]) band keys — frame-level because video
+    * dups are detected frame-wise: a re-cut sharing ANY frame with the
+    * corpus must be caught, so the artifact indexes frames, not
+    * clips. */
+  def videoCorpusFingerprint(frames: DataFrame,
+      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter =
+    imageFingerprint(frames.select(col("fhash").as("phash")), fpp)
+
+  /** m8c — video admission gate: a clip is admitted only if NONE of
+    * its ≤16 sampled decoded frames shares a dHash band with the
+    * corpus frame bloom. Row-local decision: container walk + frame
+    * decode + dHash ([[sampledFrameHashes]], the exact frames m6b's
+    * batch dedup sees) + 4 band probes per frame, all inside one
+    * mapPartitions pass — no shuffle, no state — so the identical plan
+    * runs batch or streaming (stream ≡ batch pinned in ScaleSpec).
+    * Conservative two ways: an aligned ≤2-bit-edited frame always
+    * shares ≥2 bands with its corpus twin, so a clip sharing any frame
+    * with the corpus is never admitted; and clips yielding NO decodable
+    * frames are rejected — don't admit unverifiable media, the safe
+    * ingest default (the counted-degrade story stays with m7b/m9).
+    * Output: admitted (doc_id, n_frames sampled-and-decoded). */
+  def videoAdmit(media: Dataset[MediaRow],
+      fp: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val hs = sampledFrameHashes(r.payload, 16).map(_._2)
+        val hit = hs.exists(h => (0 until 4).exists(b =>
+          fp.mightContainLong(b.toLong * 65536L + ((h >>> (16 * b)) & 0xffffL))))
+        if (hs.isEmpty || hit) None else Some((r.doc_id, hs.length.toLong))
+      }
+    }.toDF("doc_id", "n_frames")
   }
 
   /** m9 — payload integrity card: declared mime vs byte-sniffed

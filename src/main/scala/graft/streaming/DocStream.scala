@@ -263,6 +263,53 @@ object DocStream {
     q
   }
 
+  /** Drive the audio-dup admission gate
+    * ([[graft.operators.Multimodal.audioAdmit]]) over a parquet
+    * directory of media rows as a stream (AvailableNow) into a memory
+    * sink — the [[runImageAdmitAvailableNow]] shape for sound. */
+  def runAudioAdmitAvailableNow(spark: SparkSession, mediaDir: String,
+      fp: org.apache.spark.util.sketch.BloomFilter,
+      outName: String): StreamingQuery = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+    val mediaSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType), StructField("mime", StringType)))
+    val src = spark.readStream.schema(mediaSchema).parquet(mediaDir)
+    import spark.implicits._
+    val q = graft.operators.Multimodal.audioAdmit(
+        src.as[graft.operators.Multimodal.MediaRow], fp).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  /** Drive the video admission gate
+    * ([[graft.operators.Multimodal.videoAdmit]]) over a parquet
+    * directory of media rows as a stream (AvailableNow) into a memory
+    * sink — per-clip container walk, frame decode, and frame-bloom
+    * probes all row-local, so the streaming plan is the batch plan. */
+  def runVideoAdmitAvailableNow(spark: SparkSession, mediaDir: String,
+      fp: org.apache.spark.util.sketch.BloomFilter,
+      outName: String): StreamingQuery = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
+    val mediaSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType), StructField("mime", StringType)))
+    val src = spark.readStream.schema(mediaSchema).parquet(mediaDir)
+    import spark.implicits._
+    val q = graft.operators.Multimodal.videoAdmit(
+        src.as[graft.operators.Multimodal.MediaRow], fp).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Streaming twin of idx2 — incremental indexing (the Lucene ingest
     * model): each micro-batch builds a [[graft.operators.Retrieval
     * .postingsIndex]] segment over ONLY its own documents (O(batch)

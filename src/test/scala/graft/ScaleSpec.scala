@@ -993,6 +993,77 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("streaming audio admission: stream ≡ batch, no audio dup of the corpus admitted") {
+    import graft.streaming.DocStream
+    import graft.operators.Multimodal
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    // clip content keys on doc_id % 97: corpus = groups < 49 — batch
+    // members of those groups are the same or window-1-halved clips
+    // (fingerprints ≤2 bits apart ⇒ ≥2 shared bands) and must reject;
+    // groups >= 49 are genuinely new sound and must (mostly) admit
+    val corpus = Multimodal.syntheticAudio(docs.filter(col("doc_id") % 97 < 49))
+    val fp = Multimodal.audioCorpusFingerprint(Multimodal.audioFingerprint(corpus))
+    val batchMedia = Multimodal.syntheticAudio(docs)
+    val dir = java.nio.file.Files.createTempDirectory("aud_admit")
+    batchMedia.toDF().coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    DocStream.runAudioAdmitAvailableNow(spark, dir.toString, fp, "aud_admit_out")
+    val streamed = spark.table("aud_admit_out")
+    val batch = Multimodal.audioAdmit(batchMedia, fp)
+    assert(streamed.count() > 0 && streamed.count() < batchMedia.count(),
+      "gate should admit the new groups and reject the corpus twins")
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "stream must equal batch exactly (stateless gate)")
+    // no admitted clip pairs with the corpus under the m5 gate
+    val cross = graft.operators.NearDup.simhashPairs(
+      Multimodal.audioFingerprint(corpus).select(col("doc_id"), col("afp").as("simhash"))
+        .unionByName(streamed.select(col("doc_id") + 1000000, col("afp").as("simhash"))
+          .toDF("doc_id", "simhash")), 3)
+      .filter((col("id_a") < 1000000) =!= (col("id_b") < 1000000))
+    assert(cross.count() == 0, "an admitted clip is an audio dup of the corpus")
+    CacheScope.releaseAll()
+  }
+
+  test("streaming video admission: stream ≡ batch, no clip sharing a frame with the corpus admitted") {
+    import graft.streaming.DocStream
+    import graft.operators.Multimodal
+    import graft.sources.Tables
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    // clip frames key on doc_id % 151: corpus = groups < 76 — batch
+    // members of those groups share ≥3 byte-identical frames (odd ids
+    // only re-render frame 0) so ANY-frame-hit must reject them;
+    // groups >= 76 are new clips and must (mostly) admit
+    val corpus = Multimodal.syntheticMjpegVideos(docs.filter(col("doc_id") % 151 < 76))
+    val fp = Multimodal.videoCorpusFingerprint(Multimodal.videoFrameHashesReal(corpus))
+    val batchMedia = Multimodal.syntheticMjpegVideos(docs)
+    val dir = java.nio.file.Files.createTempDirectory("vid_admit")
+    batchMedia.toDF().coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    DocStream.runVideoAdmitAvailableNow(spark, dir.toString, fp, "vid_admit_out")
+    val streamed = spark.table("vid_admit_out")
+    val batch = Multimodal.videoAdmit(batchMedia, fp)
+    assert(streamed.count() > 0 && streamed.count() < batchMedia.count(),
+      "gate should admit the new groups and reject the corpus twins")
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "stream must equal batch exactly (stateless gate)")
+    // every admitted clip decoded its full 4-frame fixture
+    assert(streamed.filter(col("n_frames") =!= 4).count() == 0,
+      "fixture clips must decode all sampled frames")
+    // frame-level cross-check under the m6 gate: admitted clips'
+    // real frames never pair with any corpus frame
+    val admittedMedia = batchMedia.toDF()
+      .join(streamed.select("doc_id"), "doc_id")
+      .as[Multimodal.MediaRow]
+    val cross = graft.operators.NearDup.simhashPairs(
+      Multimodal.videoFrameHashesReal(corpus)
+        .select(col("doc_id").as("doc_id"), col("fhash").as("simhash"))
+        .unionByName(Multimodal.videoFrameHashesReal(admittedMedia)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("fhash").as("simhash"))), 3)
+      .filter((col("id_a") < 1000000) =!= (col("id_b") < 1000000))
+    assert(cross.count() == 0, "an admitted clip shares a frame with the corpus")
+    CacheScope.releaseAll()
+  }
+
   test("streaming contamination gate emits exactly the batch result, never admits contaminated") {
     import graft.streaming.DocStream
     import graft.operators.NearDup
