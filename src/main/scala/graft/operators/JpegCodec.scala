@@ -7,16 +7,20 @@ package graft.operators
   * family: m4's perceptual hash now runs on REAL pixels for JPEG
   * payloads too (decode → luma → area-resize → gradient-sign dHash).
   *
-  * Scope: baseline and extended sequential DCT (SOF0/SOF1), 8-bit,
-  * 1 or 3 components, any sampling factors, restart markers. The luma
-  * output IS the Y channel — chroma blocks are entropy-decoded (the
-  * bitstream demands it) but never dequantized or IDCT'd, because the
-  * perceptual hash compares luminance only; that skips two thirds of
-  * the IDCT work on 4:4:4 images. Progressive (SOF2), arithmetic
-  * coding, 12-bit, and hierarchical return None and the caller falls
-  * back to its stub path; decode failures never throw or spin (every
-  * loop bails on zero progress — a corrupt payload in a 100 TB corpus
-  * must degrade, not kill or hang the task).
+  * Scope: baseline and extended sequential DCT (SOF0/SOF1) plus
+  * progressive DCT (SOF2 — real web corpora are ~10–20% progressive),
+  * 8-bit, 1 or 3 components, any sampling factors, restart markers.
+  * The luma output IS the Y channel — in sequential frames chroma
+  * blocks are entropy-decoded (the bitstream demands it) but never
+  * dequantized or IDCT'd, and in progressive frames chroma-only scans
+  * are stepped over entirely (their entropy data is self-delimiting —
+  * the next true marker bounds it), because the perceptual hash
+  * compares luminance only; that skips two thirds of the IDCT work on
+  * 4:4:4 images. Arithmetic coding, 12-bit, and hierarchical return
+  * None and the caller falls back to its stub path; decode failures
+  * never throw or spin (every loop bails on zero progress — a corrupt
+  * payload in a 100 TB corpus must degrade, not kill or hang the
+  * task).
   *
   * Scale shape: decode runs inside the caller's mapPartitions batch
   * (one pass over payload bytes, no shuffle); pixels reduce to a
@@ -116,6 +120,56 @@ object JpegCodec {
 
   private final case class Comp(id: Int, h: Int, v: Int, tq: Int)
 
+  /** Separable 8×8 IDCT of natural-order dequantized coefficients into
+    * the luma plane at (px0, py0) — shared by the sequential MCU loop
+    * and the progressive end-of-frame pass. */
+  private def idctBlock(zz: Array[Int], plane: Array[Int], planeW: Int,
+      px0: Int, py0: Int): Unit = {
+    val tmp = new Array[Double](64)
+    var yy = 0
+    while (yy < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += Cos(u * 8 + x) * zz(yy * 8 + u); u += 1 }
+        tmp(yy * 8 + x) = s
+        x += 1
+      }
+      yy += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yv = 0
+      while (yv < 8) {
+        var s = 0.0; var v = 0
+        while (v < 8) { s += Cos(v * 8 + yv) * tmp(v * 8 + x); v += 1 }
+        val p = math.round(s + 128.0).toInt
+        plane((py0 + yv) * planeW + px0 + x) =
+          if (p < 0) 0 else if (p > 255) 255 else p
+        yv += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Crop the padded luma plane to image dims, nearest-neighbor if the
+    * luma is subsampled relative to hmax/vmax (legal but rare). */
+  private def cropLuma(plane: Array[Int], planeW: Int, w: Int, h: Int,
+      ch: Int, cv: Int, hmax: Int, vmax: Int): Array[Int] = {
+    val gray = new Array[Int](w * h)
+    var yv = 0
+    while (yv < h) {
+      val sy = yv * cv / vmax
+      var x = 0
+      while (x < w) {
+        gray(yv * w + x) = plane(sy * planeW + x * ch / hmax)
+        x += 1
+      }
+      yv += 1
+    }
+    gray
+  }
+
   /** Decode to a grayscale raster: (width, height, luma 0..255,
     * row-major). The Y channel is the luma (chroma never touches the
     * output). None for anything outside the documented scope. */
@@ -129,21 +183,292 @@ object JpegCodec {
     var scanAc: Array[Int] = null
     var scanOrder: Array[Int] = null // SOF comp indices in SOS listing order
     var w = 0; var h = 0
+    var hmax = 1; var vmax = 1
+    var mcusX = 0; var mcusY = 0
     var restartInterval = 0
     var scanStart = -1
+    // progressive (SOF2) state: a frame is many scans, each delivering
+    // a spectral band and/or a precision slice of every block, so the
+    // LUMA coefficients must be buffered until EOI (chroma scans are
+    // skipped structurally — see progScan). Buffer is zigzag-ordered
+    // per block on the MCU-padded luma grid bwB×bhB.
+    var progressive = false
+    var coefY: Array[Int] = null
+    var bwB = 0; var bhB = 0
+    var sawLumaScan = false
+
+    /** Start of the next true marker at/after `from`: steps over
+      * entropy bytes, 0xFF00 stuffing, 0xFF fill bytes, and RSTn.
+      * -1 when the stream ends first. */
+    def nextMarker(from: Int): Int = {
+      var p = from
+      while (p < b.length) {
+        if ((b(p) & 0xff) != 0xff) p += 1
+        else {
+          if (p + 1 >= b.length) return -1
+          val m = b(p + 1) & 0xff
+          if (m == 0x00) p += 2
+          else if (m == 0xff) p += 1
+          else if (m >= 0xd0 && m <= 0xd7) p += 2
+          else return p
+        }
+      }
+      -1
+    }
+
+    /** Luma's own (non-MCU-padded) block grid width/height — the walk
+      * order of non-interleaved progressive scans (T.81 A.2.2). */
+    def lumaBlocksW: Int = ((w * comps(0).h + hmax - 1) / hmax + 7) / 8
+    def lumaBlocksH: Int = ((h * comps(0).v + vmax - 1) / vmax + 7) / 8
+
+    /** One progressive scan (T.81 G.2): DC first/refine (interleaved or
+      * single-component), AC first/refine (always single-component).
+      * Returns the next marker position, or -1 to degrade. */
+    def progScan(sIdx: Array[Int], sDc: Array[Int], sAc: Array[Int],
+        ss: Int, se: Int, ah: Int, al: Int, dataStart: Int): Int = {
+      // scans that never touch luma carry no information this decoder
+      // outputs — step over their entropy bytes without decoding (the
+      // separability progressive scans have and sequential ones lack)
+      if (!sIdx.contains(0)) return nextMarker(dataStart)
+      sawLumaScan = true
+      val r = new BitReader(b, dataStart)
+      var eobrun = 0
+      var rstExpect = 0
+      var sinceRestart = 0
+      val preds = new Array[Int](comps.length)
+      val p1 = 1 << al
+      val m1 = -p1
+
+      def restartDue(): Boolean = {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          r.align()
+          var p = r.pos
+          while (p + 1 < b.length && (b(p) & 0xff) == 0xff &&
+            (b(p + 1) & 0xff) == 0xff) p += 1
+          if (p + 1 >= b.length || (b(p) & 0xff) != 0xff ||
+            (b(p + 1) & 0xff) != 0xd0 + rstExpect) return false
+          r.pos = p + 2
+          rstExpect = (rstExpect + 1) % 8
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+          sinceRestart = 0
+        }
+        true
+      }
+
+      /** DC for one block: first scan accumulates diffs at reduced
+        * precision (coef = pred·2^Al); refine ORs in bit Al. `off` < 0
+        * discards (chroma inside an interleaved DC scan — the bits
+        * must be consumed to stay in sync). */
+      def dcOne(so: Int, ci: Int, off: Int): Boolean = {
+        if (ah == 0) {
+          val tab = dcTabs(sDc(so)); if (tab == null) return false
+          val t = tab.decode(r)
+          if (t == Int.MinValue || t > 15) return false
+          val bits = r.receive(t); if (bits == Int.MinValue) return false
+          preds(ci) += extend(bits, t)
+          if (off >= 0) coefY(off) = preds(ci) * p1
+        } else {
+          val bit = r.nextBit(); if (bit < 0) return false
+          if (bit == 1 && off >= 0) coefY(off) |= p1
+        }
+        true
+      }
+
+      /** AC first scan for one luma block (T.81 G.1.2.2): run/size with
+        * ZRL and EOBn end-of-band runs, values at 2^Al precision. */
+      def acFirst(acTab: Huff, off: Int): Boolean = {
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        while (k <= se) {
+          val rs = acTab.decode(r)
+          if (rs == Int.MinValue) return false
+          val run = (rs >> 4) & 0xf; val s = rs & 0xf
+          if (s == 0) {
+            if (run == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << run) - 1
+              if (run > 0) {
+                val extra = r.receive(run); if (extra == Int.MinValue) return false
+                eobrun += extra
+              }
+              return true
+            }
+          } else {
+            k += run
+            if (k > se) return false
+            val bits = r.receive(s); if (bits == Int.MinValue) return false
+            coefY(off + k) = extend(bits, s) * p1
+            k += 1
+          }
+        }
+        true
+      }
+
+      /** AC refinement scan for one luma block (T.81 G.1.2.3):
+        * correction bits for already-nonzero coefficients interleaved
+        * with newly-significant ±2^Al insertions; EOB runs still carry
+        * correction bits for every nonzero coefficient they cover. */
+      def acRefine(acTab: Huff, off: Int): Boolean = {
+        def correct(k: Int): Boolean = {
+          val bit = r.nextBit(); if (bit < 0) return false
+          if (bit == 1) {
+            val cur = coefY(off + k)
+            if ((cur & p1) == 0)
+              coefY(off + k) = if (cur >= 0) cur + p1 else cur + m1
+          }
+          true
+        }
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (!done && k <= se) {
+            val rs = acTab.decode(r)
+            if (rs == Int.MinValue) return false
+            var run = (rs >> 4) & 0xf
+            val s = rs & 0xf
+            var newVal = 0
+            if (s == 0) {
+              if (run < 15) {
+                eobrun = 1 << run
+                if (run > 0) {
+                  val extra = r.receive(run); if (extra == Int.MinValue) return false
+                  eobrun += extra
+                }
+                done = true
+              } // run == 15: ZRL — skip 16 zero-history positions below
+            } else {
+              if (s != 1) return false // refinement inserts only ±1·2^Al
+              val bit = r.nextBit(); if (bit < 0) return false
+              newVal = if (bit == 1) p1 else m1
+            }
+            if (!done) {
+              var placed = false
+              while (!placed && k <= se) {
+                if (coefY(off + k) != 0) {
+                  if (!correct(k)) return false
+                  k += 1
+                } else if (run == 0) placed = true
+                else { run -= 1; k += 1 }
+              }
+              if (newVal != 0) {
+                if (!placed) return false // ran off the band: corrupt
+                coefY(off + k) = newVal
+                k += 1
+              } else if (placed) k += 1 // ZRL's 16th zero position
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            if (coefY(off + k) != 0) { if (!correct(k)) return false }
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+
+      if (ss == 0) {
+        if (sIdx.length > 1) {
+          // interleaved DC scan: MCU walk, every listed component
+          var mcu = 0
+          val n = mcusX * mcusY
+          while (mcu < n) {
+            if (!restartDue()) return -1
+            val mx = mcu % mcusX; val my = mcu / mcusX
+            var so = 0
+            while (so < sIdx.length) {
+              val ci = sIdx(so)
+              val comp = comps(ci)
+              var by = 0
+              while (by < comp.v) {
+                var bx = 0
+                while (bx < comp.h) {
+                  val off =
+                    if (ci == 0) ((my * comp.v + by) * bwB + (mx * comp.h + bx)) * 64
+                    else -1
+                  if (!dcOne(so, ci, off)) return -1
+                  bx += 1
+                }
+                by += 1
+              }
+              so += 1
+            }
+            sinceRestart += 1
+            mcu += 1
+          }
+        } else {
+          // single-component DC scan over luma's own block grid
+          val cw = lumaBlocksW; val chb = lumaBlocksH
+          var blk = 0
+          val n = cw * chb
+          while (blk < n) {
+            if (!restartDue()) return -1
+            val off = ((blk / cw) * bwB + (blk % cw)) * 64
+            if (!dcOne(0, 0, off)) return -1
+            sinceRestart += 1
+            blk += 1
+          }
+        }
+      } else {
+        // AC scan: single-component (validated), luma (others skipped)
+        val acTab = acTabs(sAc(0)); if (acTab == null) return -1
+        val cw = lumaBlocksW; val chb = lumaBlocksH
+        var blk = 0
+        val n = cw * chb
+        while (blk < n) {
+          if (!restartDue()) return -1
+          val off = ((blk / cw) * bwB + (blk % cw)) * 64
+          if (ah == 0) { if (!acFirst(acTab, off)) return -1 }
+          else { if (!acRefine(acTab, off)) return -1 }
+          sinceRestart += 1
+          blk += 1
+        }
+      }
+      nextMarker(r.pos)
+    }
+
+    /** EOI in a progressive frame: every luma block dequantizes and
+      * IDCTs once, from the accumulated coefficients. */
+    def progressiveOutput(): (Int, Int, Array[Int]) = {
+      val comp = comps(0)
+      val planeW = bwB * 8
+      val plane = new Array[Int](planeW * bhB * 8)
+      val zz = new Array[Int](64)
+      val q = qt(comp.tq)
+      var br = 0
+      while (br < bhB) {
+        var bc = 0
+        while (bc < bwB) {
+          val off = (br * bwB + bc) * 64
+          var k = 0
+          while (k < 64) { zz(Zigzag(k)) = coefY(off + k) * q(Zigzag(k)); k += 1 }
+          idctBlock(zz, plane, planeW, bc * 8, br * 8)
+          bc += 1
+        }
+        br += 1
+      }
+      (w, h, cropLuma(plane, planeW, w, h, comp.h, comp.v, hmax, vmax))
+    }
 
     var i = 2
     while (scanStart < 0) {
       // marker walk: skip 0xFF fill bytes, read marker + length
       while (i < b.length && (b(i) & 0xff) == 0xff && i + 1 < b.length &&
         (b(i + 1) & 0xff) == 0xff) i += 1
-      if (i + 3 >= b.length || (b(i) & 0xff) != 0xff) return None
+      if (i + 1 >= b.length || (b(i) & 0xff) != 0xff) return None
       val marker = b(i + 1) & 0xff
-      if (marker == 0xd9) return None // EOI before any scan
+      if (marker == 0xd9) { // EOI: the progressive frame's finish line
+        if (progressive && sawLumaScan) return Some(progressiveOutput())
+        return None // sequential: EOI before any scan
+      }
+      if (i + 3 >= b.length) return None
       val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
       if (len < 2 || i + 2 + len > b.length) return None
       val seg = i + 4
       val segEnd = i + 2 + len
+      var next = segEnd
       marker match {
         case 0xdb => // DQT: one or more tables
           var p = seg
@@ -154,7 +479,9 @@ object JpegCodec {
             while (k < 64) { qt(tq)(Zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
             p += 65
           }
-        case 0xc0 | 0xc1 => // SOF0/SOF1: baseline / extended sequential
+        case 0xc0 | 0xc1 | 0xc2 => // baseline / extended sequential / progressive
+          if (comps != null) return None // one frame header per stream
+          progressive = marker == 0xc2
           if (seg + 6 > segEnd || (b(seg) & 0xff) != 8) return None
           h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
           w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
@@ -169,8 +496,22 @@ object JpegCodec {
               return None
             comp
           }
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // progressive / lossless / arithmetic / hierarchical
+          hmax = comps.map(_.h).max
+          vmax = comps.map(_.v).max
+          mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          if (progressive) {
+            // the coefficient buffer is the price of progressive:
+            // 4 bytes/sample until EOI. Cap it harder than the 64 MP
+            // pixel cap so one payload can't balloon a task (larger
+            // progressive payloads degrade to the caller's stub path)
+            if (w.toLong * h.toLong > 16L * 1024 * 1024) return None
+            bwB = mcusX * comps(0).h
+            bhB = mcusY * comps(0).v
+            coefY = new Array[Int](bwB * bhB * 64)
+          }
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // lossless / arithmetic / differential-hierarchical
         case 0xc4 => // DHT: one or more tables
           var p = seg
           while (p < segEnd) {
@@ -191,40 +532,61 @@ object JpegCodec {
         case 0xda => // SOS
           if (comps == null || seg + 1 > segEnd) return None
           val ns = b(seg) & 0xff
-          if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return None
-          scanDc = new Array[Int](comps.length)
-          scanAc = new Array[Int](comps.length)
+          if (ns < 1 || seg + 1 + 2 * ns + 3 > segEnd) return None
+          val sIdx = new Array[Int](ns)
+          val sDc = new Array[Int](ns)
+          val sAc = new Array[Int](ns)
           // T.81 interleaves MCU data in SCAN-HEADER order, which may
           // differ from SOF order — record it and walk it in the MCU
           // loop (decoding in SOF order would silently scramble the
           // block layout of a conforming reordered stream)
-          scanOrder = new Array[Int](ns)
           var c = 0
           while (c < ns) {
             val cid = b(seg + 1 + 2 * c) & 0xff
             val ix = comps.indexWhere(_.id == cid)
             if (ix < 0) return None
             var dup = 0
-            while (dup < c) { if (scanOrder(dup) == ix) return None; dup += 1 }
-            scanOrder(c) = ix
-            scanDc(ix) = (b(seg + 2 + 2 * c) >> 4) & 0xf
-            scanAc(ix) = b(seg + 2 + 2 * c) & 0xf
+            while (dup < c) { if (sIdx(dup) == ix) return None; dup += 1 }
+            sIdx(c) = ix
+            sDc(c) = (b(seg + 2 + 2 * c) >> 4) & 0xf
+            sAc(c) = b(seg + 2 + 2 * c) & 0xf
             c += 1
           }
-          scanStart = segEnd
+          if (!progressive) {
+            if (ns != comps.length) return None
+            scanOrder = sIdx
+            scanDc = new Array[Int](comps.length)
+            scanAc = new Array[Int](comps.length)
+            var c2 = 0
+            while (c2 < ns) {
+              scanDc(sIdx(c2)) = sDc(c2); scanAc(sIdx(c2)) = sAc(c2); c2 += 1
+            }
+            scanStart = segEnd // exit to the sequential MCU loop below
+          } else {
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val aa = b(seg + 3 + 2 * ns) & 0xff
+            val ah = (aa >> 4) & 0xf; val al = aa & 0xf
+            // T.81 progressive scan-header legality; note a BASELINE
+            // scan header under an SOF2 marker (Ss=0, Se=63) fails the
+            // DC-scan rule — a re-marked stream degrades, it does not
+            // entropy-decode baseline data as progressive garbage
+            if (se > 63 || al > 13 || (ah != 0 && ah != al + 1)) return None
+            if (ss == 0) { if (se != 0) return None }
+            else { if (se < ss || ns != 1) return None }
+            val p = progScan(sIdx, sDc, sAc, ss, se, ah, al, segEnd)
+            if (p < 0) return None
+            next = p
+          }
         case _ => // APPn / COM / others: skip by length
       }
       if (scanStart < 0) {
-        if (segEnd <= i) return None // zero progress would spin forever
-        i = segEnd
+        if (next <= i) return None // zero progress would spin forever
+        i = next
       }
     }
 
-    // ---- scan decode ----
-    val hmax = comps.map(_.h).max
-    val vmax = comps.map(_.v).max
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // ---- sequential scan decode ----
     val y0 = comps(0) // luma: the single component, or Y of YCbCr
     val planeW = mcusX * y0.h * 8 // padded Y plane
     val planeH = mcusY * y0.v * 8
@@ -292,36 +654,9 @@ object JpegCodec {
                 k += 1
               }
             }
-            if (isLuma) {
-              // separable IDCT: rows then columns
-              val tmp = new Array[Double](64)
-              var yy = 0
-              while (yy < 8) {
-                var x = 0
-                while (x < 8) {
-                  var s = 0.0; var u = 0
-                  while (u < 8) { s += Cos(u * 8 + x) * zz(yy * 8 + u); u += 1 }
-                  tmp(yy * 8 + x) = s
-                  x += 1
-                }
-                yy += 1
-              }
-              val px0 = (mx * comp.h + bx) * 8
-              val py0 = (my * comp.v + by) * 8
-              var x = 0
-              while (x < 8) {
-                var yv = 0
-                while (yv < 8) {
-                  var s = 0.0; var v = 0
-                  while (v < 8) { s += Cos(v * 8 + yv) * tmp(v * 8 + x); v += 1 }
-                  val p = math.round(s + 128.0).toInt
-                  plane((py0 + yv) * planeW + px0 + x) =
-                    if (p < 0) 0 else if (p > 255) 255 else p
-                  yv += 1
-                }
-                x += 1
-              }
-            }
+            if (isLuma)
+              idctBlock(zz, plane, planeW,
+                (mx * comp.h + bx) * 8, (my * comp.v + by) * 8)
             bx += 1
           }
           by += 1
@@ -331,20 +666,7 @@ object JpegCodec {
       mcu += 1
     }
 
-    // crop the padded plane to image dims, nearest-neighbor if the luma
-    // is subsampled relative to hmax/vmax (legal but vanishingly rare)
-    val gray = new Array[Int](w * h)
-    var yv = 0
-    while (yv < h) {
-      val sy = yv * y0.v / vmax
-      var x = 0
-      while (x < w) {
-        gray(yv * w + x) = plane(sy * planeW + x * y0.h / hmax)
-        x += 1
-      }
-      yv += 1
-    }
-    Some((w, h, gray))
+    Some((w, h, cropLuma(plane, planeW, w, h, y0.h, y0.v, hmax, vmax)))
   }
 
   // ---- grayscale baseline encoder (the fixture generator) ----
@@ -583,6 +905,214 @@ object JpegCodec {
       quant: Array[Int] = Array.fill(64)(1),
       restartInterval: Int = 0): Array[Byte] =
     encodePlanes(w, h, Seq(EncComp(gray, w, h, 1, 1)), quant, restartInterval)
+
+  // ---- grayscale progressive encoder (the SOF2 fixture generator) ----
+
+  /** Progressive AC table: the baseline (run,size) symbols plus the 14
+    * EOBn symbols (r = 1..14, size 0) progressive end-of-band runs
+    * need, all at one 8-bit code length (176 < 255 keeps the canonical
+    * construction valid). */
+  private val ProgAcVals: Array[Int] = AcVals ++ Array.tabulate(14)(r => (r + 1) << 4)
+  private val ProgAcCounts = { val c = new Array[Int](16); c(7) = ProgAcVals.length; c }
+  private lazy val ProgAcCodes = codesFor(ProgAcCounts, ProgAcVals)
+
+  /** libjpeg's default-shaped scan script (Ss, Se, Ah, Al): a first DC
+    * pass at reduced precision, two spectral-selection AC passes, then
+    * successive-approximation refinements down to full precision —
+    * exercising every decoder path (DC first/refine, AC first/refine,
+    * ZRL, EOB runs) while reconstructing the coefficients EXACTLY, so
+    * progressive and baseline round trips must pixel-match. */
+  val DefaultProgScans: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 0, 1), (1, 5, 0, 2), (6, 63, 0, 2),
+    (1, 63, 2, 1), (0, 0, 1, 0), (1, 63, 1, 0))
+
+  /** Encode a grayscale raster as progressive JPEG (SOF2, one
+    * component, Huffman, spectral selection + successive
+    * approximation). The default script restores full coefficient
+    * precision, so [[decodeGray]] of the result is bit-identical to
+    * the baseline encode of the same raster — the round-trip oracle
+    * the progressive decoder is tested against. `restartInterval` > 0
+    * emits DRI and an RSTn every that many blocks in every scan
+    * (non-interleaved, so the interval counts blocks per T.81). */
+  def encodeGrayProgressive(w: Int, h: Int, gray: Array[Int],
+      quant: Array[Int] = Array.fill(64)(1),
+      scans: Seq[(Int, Int, Int, Int)] = DefaultProgScans,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      s"raster must be ${w}x$h=${w * h}, got ${gray.length}")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
+      "quant table must be 64 values in 1..255")
+    require(restartInterval >= 0 && restartInterval <= 65535,
+      s"restart interval must fit u16, got $restartInterval")
+    require(scans.nonEmpty, "at least one scan")
+    scans.foreach { case (ss, se, ah, al) =>
+      require(ss >= 0 && se <= 63 && al >= 0 && al <= 13 &&
+        (if (ss == 0) se == 0 else se >= ss) && (ah == 0 || ah == al + 1),
+        s"illegal progressive scan header ($ss,$se,$ah,$al)")
+    }
+    // every block's zigzag coefficients, computed once
+    val cw = (w + 7) / 8; val ch = (h + 7) / 8
+    val blocks = Array.ofDim[Int](cw * ch, 64)
+    locally {
+      val block = new Array[Double](64)
+      var bi = 0
+      while (bi < cw * ch) {
+        fillBlock(gray, w, h, bi % cw, bi / cw, block)
+        fdctQuant(block, quant, blocks(bi))
+        bi += 1
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + 65); out.write(0x00)
+    var k = 0
+    while (k < 64) { out.write(quant(Zigzag(k))); k += 1 }
+    marker(0xc2); u16(8 + 3) // SOF2, one component
+    out.write(8); u16(h); u16(w); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(tc: Int, counts: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); out.write(tc << 4)
+      counts.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, DcCounts, DcVals)
+    dht(1, ProgAcCounts, ProgAcVals)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+
+    scans.foreach { case (ss, se, ah, al) =>
+      marker(0xda); u16(6 + 2)
+      out.write(1); out.write(1); out.write(0x00) // one component, DC 0 / AC 0
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+      val bw = new BitWriter(out)
+      var rst = 0
+      var pred = 0
+      // lazily-flushed end-of-band run shared across blocks; in
+      // refinement scans the covered blocks' correction bits ride
+      // after the EOBn symbol in block order (the order the decoder's
+      // eobrun branch consumes them)
+      var eobCnt = 0
+      val pendingBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEob(): Unit = while (eobCnt > 0) {
+        var r = 31 - Integer.numberOfLeadingZeros(eobCnt)
+        if (r > 14) r = 14
+        val covered = math.min(eobCnt, (1 << (r + 1)) - 1)
+        val (c0, l0) = ProgAcCodes(r << 4)
+        bw.put(c0, l0)
+        if (r > 0) bw.put(covered - (1 << r), r)
+        pendingBits.foreach(bit => bw.put(bit, 1))
+        pendingBits.clear()
+        eobCnt -= covered
+      }
+      var bi = 0
+      var sinceRestart = 0
+      while (bi < cw * ch) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          flushEob()
+          bw.flush()
+          marker(0xd0 + rst)
+          rst = (rst + 1) % 8
+          pred = 0
+          sinceRestart = 0
+        }
+        val coef = blocks(bi)
+        if (ss == 0) {
+          if (ah == 0) { // DC first at 2^Al precision (arithmetic shift)
+            val v = coef(0) >> al
+            val diff = v - pred; pred = v
+            val cat = category(diff)
+            val (dc, dl) = DcCodes(cat)
+            bw.put(dc, dl)
+            if (cat > 0) bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+          } else { // DC refine: bit Al of the two's-complement value
+            bw.put((coef(0) >> al) & 1, 1)
+          }
+        } else if (ah == 0) { // AC first: run/size over the band at 2^Al
+          var anyNz = false
+          var kk = ss
+          while (kk <= se && !anyNz) {
+            if ((math.abs(coef(kk)) >> al) != 0) anyNz = true else kk += 1
+          }
+          if (!anyNz) eobCnt += 1
+          else {
+            flushEob()
+            var run = 0
+            kk = ss
+            while (kk <= se) {
+              val mag = math.abs(coef(kk)) >> al
+              if (mag == 0) run += 1
+              else {
+                while (run >= 16) {
+                  val (zc, zl) = ProgAcCodes(0xf0); bw.put(zc, zl); run -= 16
+                }
+                val tv = if (coef(kk) < 0) -mag else mag
+                val cat = category(tv)
+                val (ac, alen) = ProgAcCodes((run << 4) | cat)
+                bw.put(ac, alen)
+                bw.put(if (tv < 0) tv + (1 << cat) - 1 else tv, cat)
+                run = 0
+              }
+              kk += 1
+            }
+            if (run > 0) eobCnt += 1 // trailing zeros: band joins an EOB run
+          }
+        } else { // AC refine: insert ±2^Al, correct already-significant.
+          // Symbol/bit order must mirror the decoder's traversal (T.81
+          // G.1.2.3): a ZRL is emitted on ARRIVAL at any nonzero
+          // coefficient once >15 zero-HISTORY positions accumulate —
+          // unless the rest of the band folds into the EOB run (no
+          // newly-significant coefficient remains) — and each emitted
+          // symbol carries exactly the correction bits buffered since
+          // the previous one, because that is the span the decoder
+          // traverses (reading a bit at every nonzero-history
+          // position) before it stops at the symbol's target zero.
+          val mags = new Array[Int](64)
+          var lastNew = ss - 1 // last newly-significant index: the EOB fold bound
+          var kk = ss
+          while (kk <= se) {
+            mags(kk) = math.abs(coef(kk)) >> al
+            if (mags(kk) == 1) lastNew = kk
+            kk += 1
+          }
+          val corrBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var run = 0
+          kk = ss
+          while (kk <= se) {
+            val mag = mags(kk)
+            if (mag == 0) run += 1
+            else {
+              while (run > 15 && kk <= lastNew) {
+                flushEob()
+                val (zc, zl) = ProgAcCodes(0xf0); bw.put(zc, zl); run -= 16
+                corrBits.foreach(bit => bw.put(bit, 1)); corrBits.clear()
+              }
+              if (mag > 1) corrBits += (mag & 1)
+              else { // newly significant at this precision: sign only
+                flushEob()
+                val (ac, alen) = ProgAcCodes((run << 4) | 1)
+                bw.put(ac, alen)
+                bw.put(if (coef(kk) > 0) 1 else 0, 1)
+                corrBits.foreach(bit => bw.put(bit, 1)); corrBits.clear()
+                run = 0
+              }
+            }
+            kk += 1
+          }
+          if (run > 0 || corrBits.nonEmpty) {
+            eobCnt += 1
+            pendingBits ++= corrBits
+          }
+          if (eobCnt == 32767) flushEob() // single-symbol flushes keep bit order exact
+        }
+        sinceRestart += 1
+        bi += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
 
   /** Encode a YCbCr 4:4:4 color baseline JPEG (three components, 1×1
     * sampling, shared tables) — the fixture generator that makes the

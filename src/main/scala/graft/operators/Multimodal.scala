@@ -432,6 +432,27 @@ object Multimodal {
     }
   }
 
+  /** [[syntheticJpegImages]] with every doc_id % 3 == 1 payload
+    * re-encoded as a REAL progressive (SOF2) stream — the m4c fixture
+    * upgrade that makes the dedup oracle gate the progressive decoder
+    * end-to-end. The successive-approximation script delivers every
+    * coefficient bit, so the progressive re-encode decodes to pixels
+    * IDENTICAL to the baseline payload's decode and the dHash — hence
+    * the residue-group pair set the SQL oracle predicts — is unchanged;
+    * a pair whose members mix SOF0 and SOF2 payloads only matches if
+    * BOTH decode paths produce the same luma raster. */
+  def syntheticJpegProgressiveMix(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticJpegImages(docs).map { r =>
+      if (r.doc_id % 3 != 1) r
+      else {
+        val (w, h, px) = JpegCodec.decodeGray(r.payload).get
+        r.copy(payload = JpegCodec.encodeGrayProgressive(w, h, px))
+      }
+    }
+  }
+
   /** First-SOF classifier for JPEG payloads — the coverage axis of the
     * m7b receipt. Walks the marker stream from SOI the same way
     * [[JpegCodec.decodeGray]]'s header loop does (0xFF fill bytes
@@ -494,14 +515,22 @@ object Multimodal {
   }
 
   /** m7b fixture — [[syntheticJpegImages]] with a deterministic SOF
-    * mix: doc_id % 7 == 3 re-marks the single SOF0 header as SOF2
-    * (progressive) and % 7 == 5 as SOF9 (arithmetic sequential), by
-    * walking the length-delimited header segments and patching the
-    * marker byte. Only the frame-header MARKER changes — the entropy
-    * stream is untouched — so the patched payloads pin that the
-    * classifier reads the real marker and that the decoder takes the
-    * degrade path (decodeGray → None, never a kill) for out-of-scope
-    * SOF families, while every untouched baseline payload must
+    * mix covering BOTH directions of progressive coverage:
+    * doc_id % 7 == 1 re-encodes the payload as a REAL progressive
+    * (SOF2) stream — decode the baseline raster, re-emit it through
+    * [[JpegCodec.encodeGrayProgressive]]'s successive-approximation
+    * script — which the codec must genuinely decode (scan-by-scan
+    * coefficient assembly, not a header trick); % 7 == 3 re-marks the
+    * SOF0 header byte as SOF2 while leaving the baseline entropy
+    * stream in place, a corrupt stream whose sequential scan header
+    * (Ss=0, Se=63) is illegal in a progressive frame and must take
+    * the counted degrade path (None, never a kill or a garbage
+    * decode); % 7 == 5 re-marks as SOF9 (arithmetic sequential), a
+    * family the codec never decodes. The card therefore shows
+    * 'sof2_progressive' in BOTH decoded buckets — true for conforming
+    * streams, false for corrupt ones — which is exactly the coverage
+    * split a corpus owner needs before trusting m4c's real-pixel
+    * dedup on a web corpus. Untouched baseline payloads must all
     * actually decode. */
   def syntheticJpegSofMix(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
@@ -512,7 +541,10 @@ object Multimodal {
         case 5 => 0xc9
         case _ => 0
       }
-      if (mk == 0) r
+      if (r.doc_id % 7 == 1) {
+        val (w, h, px) = JpegCodec.decodeGray(r.payload).get
+        r.copy(payload = JpegCodec.encodeGrayProgressive(w, h, px))
+      } else if (mk == 0) r
       else {
         val p = r.payload.clone()
         var i = 2 // after SOI; every header segment here is FF marker len

@@ -2349,23 +2349,28 @@ object DataCatalog {
       "AND a.doc_id < b.doc_id" + OBA))
 
   // M4C — perceptual image dedup through the REAL JPEG path: the
-  // fixture encodes plateau-cell rasters as genuine baseline JPEGs
-  // (canonical-huffman entropy coding, all-1s quantization), and the
-  // operator huffman-decodes, dequantizes, and IDCTs them back to luma
-  // before the same resize → dHash → banded join as m4/m4b — no stub
-  // anywhere, and the last synthetic data path in the multimodal
-  // family is gone. JPEG is lossy, so the fixture paints constant
-  // dHash cells with ≥3-gray-level gaps: the near-lossless round trip
-  // moves each cell mean by well under 1, keeping every gradient bit
-  // stable, while odd doc_ids invert one cell (≤2 bit flips — inside
-  // the gate) and cross-group permutations land ~32 bits apart. The
-  // oracle is the closed form of that design (same residue group =
-  // pair); matching it proves huffman, dequant, IDCT, resize, hash,
-  // banding, and gate end-to-end on real JPEG bytes.
+  // fixture encodes plateau-cell rasters as genuine JPEGs — baseline
+  // (canonical-huffman entropy coding, all-1s quantization) with every
+  // third payload re-encoded as a REAL progressive (SOF2) stream, the
+  // ~10–20% a web corpus carries — and the operator huffman-decodes,
+  // dequantizes, and IDCTs them back to luma (assembling progressive
+  // frames scan by scan to EOI) before the same resize → dHash →
+  // banded join as m4/m4b — no stub anywhere, and the last synthetic
+  // data path in the multimodal family is gone. JPEG is lossy, so the
+  // fixture paints constant dHash cells with ≥3-gray-level gaps: the
+  // near-lossless round trip moves each cell mean by well under 1,
+  // keeping every gradient bit stable, while odd doc_ids invert one
+  // cell (≤2 bit flips — inside the gate) and cross-group permutations
+  // land ~32 bits apart; the progressive re-encode restores every
+  // coefficient bit, so mixed SOF0/SOF2 pairs only match if BOTH
+  // decode paths agree on the raster. The oracle is the closed form of
+  // that design (same residue group = pair); matching it proves
+  // huffman, dequant, IDCT — sequential AND progressive — resize,
+  // hash, banding, and gate end-to-end on real JPEG bytes.
   val m4c = Q(
     (s, d) => ordered(graft.operators.Multimodal.imageDupPairs(
       graft.operators.Multimodal.imageDHash(
-        graft.operators.Multimodal.syntheticJpegImages(documents(s, d))), 3)
+        graft.operators.Multimodal.syntheticJpegProgressiveMix(documents(s, d))), 3)
       .select(col("id_a"), col("id_b"))),
     Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
       "JOIN documents b ON a.doc_id % 239 = b.doc_id % 239 " +
@@ -5979,19 +5984,23 @@ object DataCatalog {
       "CAST(sum(w * h) AS BIGINT) AS total_px FROM dims GROUP BY 1, 2" + OBA))
 
   // M7B — per-SOF decode-coverage receipt: the m9-style counted
-  // degrade bucket for the JPEG real-pixel path. The fixture re-marks
-  // doc_id%7==3 payloads as SOF2 (progressive) and %7==5 as SOF9
-  // (arithmetic) — real web corpora are ~10–20% progressive, and m4c
-  // silently degrades those to the stub hash, so a release manifest
-  // must COUNT the degrades per SOF family. The Spark side classifies
-  // from the real marker walk and decodes with the real codec; the
-  // oracle's doc_id arithmetic gates both directions — every baseline
-  // payload must genuinely decode (huffman→dequant→IDCT succeeds) and
-  // every re-marked payload must take the counted degrade path.
+  // degrade bucket for the JPEG real-pixel path. Real web corpora are
+  // ~10–20% progressive, so the fixture covers SOF2 in BOTH
+  // directions: doc_id%7==1 payloads are re-encoded as REAL
+  // progressive streams the codec must genuinely decode (scan-by-scan
+  // coefficient assembly to EOI), %7==3 are baseline streams re-marked
+  // SOF2 — corrupt, since a sequential scan header is illegal in a
+  // progressive frame — that must take the counted degrade path, and
+  // %7==5 are re-marked SOF9 (arithmetic), a family the codec never
+  // decodes. The Spark side classifies from the real marker walk and
+  // decodes with the real codec; the oracle's doc_id arithmetic gates
+  // every bucket — baseline and conforming-progressive payloads must
+  // genuinely decode (huffman→dequant→IDCT succeeds) and every
+  // re-marked payload must degrade, never kill.
   val m7b = Q(
     (s, d) => ordered(graft.operators.Multimodal.jpegSofCard(
       graft.operators.Multimodal.syntheticJpegSofMix(documents(s, d)))),
-    Some("SELECT CASE WHEN doc_id % 7 = 3 THEN 'sof2_progressive' " +
+    Some("SELECT CASE WHEN doc_id % 7 IN (1, 3) THEN 'sof2_progressive' " +
       "WHEN doc_id % 7 = 5 THEN 'sof_arithmetic' " +
       "ELSE 'sof0_baseline' END AS sof_class, " +
       "doc_id % 7 NOT IN (3, 5) AS decoded, " +

@@ -633,16 +633,19 @@ class DataOpsSpec extends AnyFunSuite {
       "real-PCM fingerprint must win over the header stub when both paths can run")
   }
 
-  test("jpeg SOF coverage card: baseline payloads all decode; re-marked SOF2/arithmetic payloads take the counted degrade path") {
+  test("jpeg SOF coverage card: baseline and real-progressive payloads decode; re-marked payloads take the counted degrade path") {
     import graft.operators.{JpegCodec, Multimodal}
     val ids = spark.range(0, 140).select(col("id").as("doc_id"))
     val card = Multimodal.jpegSofCard(Multimodal.syntheticJpegSofMix(ids))
       .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
-    // 140 docs: doc_id%7==3 → 20 progressive, %7==5 → 20 arithmetic,
-    // 100 untouched baseline — and decoded must track the SOF family
-    // exactly (every baseline really decodes, every re-mark degrades)
+    // 140 docs: doc_id%7==1 → 20 REAL progressive (must decode),
+    // %7==3 → 20 re-marked SOF2 over a baseline scan (corrupt — must
+    // degrade), %7==5 → 20 re-marked arithmetic (must degrade),
+    // 80 untouched baseline — decoded tracks conformance, not just
+    // the SOF family
     assert(card == Map(
-      ("sof0_baseline", true) -> 100L,
+      ("sof0_baseline", true) -> 80L,
+      ("sof2_progressive", true) -> 20L,
       ("sof2_progressive", false) -> 20L,
       ("sof_arithmetic", false) -> 20L), s"got $card")
     // classifier unit edges: fill bytes before the marker are legal

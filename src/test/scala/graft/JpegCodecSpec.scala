@@ -216,14 +216,17 @@ class JpegCodecSpec extends AnyFunSuite {
       "a padded conforming stream must decode, not degrade to None")
   }
 
-  test("decode degrades to None on non-JPEG, truncated, progressive, and header-only payloads") {
+  test("decode degrades to None on non-JPEG, truncated, re-marked, and header-only payloads") {
     assert(JpegCodec.decodeGray("definitely not a jpeg".getBytes).isEmpty)
     val ok = JpegCodec.encodeGray(16, 16, noise(16, 16, 3L))
     assert(JpegCodec.decodeGray(ok.take(30)).isEmpty, "truncated before SOS")
     assert(JpegCodec.decodeGray(ok.dropRight(ok.length / 2)).isEmpty ||
       JpegCodec.decodeGray(ok.dropRight(ok.length / 2)).isDefined == false,
       "truncated entropy data must not decode")
-    // flip SOF0 -> SOF2 (progressive): out of scope, must degrade
+    // flip SOF0 -> SOF2 without touching the scan: the baseline SOS
+    // header (Ss=0, Se=63, one pass) is illegal under a progressive
+    // frame, so the m7b re-marked fixture still takes the counted
+    // degrade path rather than entropy-decoding garbage
     val prog = ok.clone()
     val sofAt = prog.indices.find(i => (prog(i) & 0xff) == 0xff &&
       (prog(i + 1) & 0xff) == 0xc0).get
@@ -232,6 +235,96 @@ class JpegCodecSpec extends AnyFunSuite {
     // the m2 header-only fixture (SOI + SOF0 + EOI, no scan) falls back
     assert(JpegCodec.decodeGray(Array[Byte](0xff.toByte, 0xd8.toByte,
       0xff.toByte, 0xd9.toByte)).isEmpty)
+  }
+
+  test("progressive: default successive-approximation script round-trips pixel-identical to baseline") {
+    val rnd = new java.util.Random(101L)
+    for ((w, h) <- Seq((16, 16), (24, 17), (9, 8), (37, 29))) {
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      val base = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, gray)).get
+      val prog = JpegCodec.decodeGray(JpegCodec.encodeGrayProgressive(w, h, gray))
+      assert(prog.isDefined, s"progressive ${w}x$h must decode")
+      // the script restores every coefficient bit, so the IDCT inputs
+      // are identical and the rasters must match EXACTLY
+      assert(prog.get._3.sameElements(base._3), s"${w}x$h pixel mismatch")
+    }
+  }
+
+  test("progressive: spectral-selection-only script, EOB runs over smooth rasters, restart markers") {
+    val rnd = new java.util.Random(77L)
+    val w = 64; val h = 64
+    // constant raster → every AC band empty → one EOBn spans all 64
+    // blocks (the multi-block end-of-band run path)
+    val flat = Array.fill(w * h)(130)
+    val spectral = Seq((0, 0, 0, 0), (1, 9, 0, 0), (10, 63, 0, 0))
+    val bf = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, flat)).get
+    val pf = JpegCodec.decodeGray(JpegCodec.encodeGrayProgressive(w, h, flat, scans = spectral))
+    assert(pf.isDefined && pf.get._3.sameElements(bf._3))
+    val gray = Array.fill(w * h)(rnd.nextInt(256))
+    val b2 = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, gray)).get
+    val p2 = JpegCodec.decodeGray(JpegCodec.encodeGrayProgressive(w, h, gray, scans = spectral))
+    assert(p2.isDefined && p2.get._3.sameElements(b2._3), "spectral-only script must round-trip")
+    val p3 = JpegCodec.decodeGray(JpegCodec.encodeGrayProgressive(w, h, gray, restartInterval = 5))
+    assert(p3.isDefined && p3.get._3.sameElements(b2._3), "restart-marker progressive must round-trip")
+  }
+
+  test("progressive: plateau rasters (long zero-history runs + correction bits) round-trip under every script shape") {
+    // the m4c fixture shape — large flat cells → AC bands full of
+    // zero-history runs interleaved with already-significant
+    // coefficients. This is the raster family that catches a refine
+    // encoder whose ZRL emission point or correction-bit flush order
+    // deviates from the decoder's T.81 traversal (noise rasters,
+    // having few long runs, never exercise it).
+    for (g <- Seq(0L, 1L, 5L, 9L)) {
+      val ws = (4 + (g * 37) % 12).toInt; val hs = (4 + (g * 53) % 12).toInt
+      val w = 9 * ws; val h = 8 * hs
+      val rnd = new java.util.Random(g * 2654435761L + 29)
+      val perm = Array.tabulate(72)(identity)
+      var i = perm.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = perm(i); perm(i) = perm(j); perm(j) = t; i -= 1
+      }
+      val cell = perm.map(p => 12 + 3 * p)
+      val gray = Array.tabulate(w * h)(p => cell(((p / w) / hs) * 9 + (p % w) / ws))
+      val px = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, gray)).get._3
+      for ((tag, scans) <- Seq(
+        "spectral" -> Seq((0, 0, 0, 0), (1, 63, 0, 0)),
+        "dcSA" -> Seq((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 0)),
+        "acSA" -> Seq((0, 0, 0, 0), (1, 63, 0, 1), (1, 63, 1, 0)),
+        "default" -> JpegCodec.DefaultProgScans)) {
+        val p = JpegCodec.decodeGray(JpegCodec.encodeGrayProgressive(w, h, gray, scans = scans))
+        assert(p.isDefined && p.get._3.sameElements(px), s"g=$g ${w}x$h $tag")
+      }
+      // the fixture path: a re-encode of DECODED pixels must decode too
+      assert(JpegCodec.decodeGray(JpegCodec.encodeGrayProgressive(w, h, px)).isDefined)
+    }
+  }
+
+  test("progressive: malformed and truncated streams degrade to None, never throw or hang") {
+    val gray = noise(16, 16, 9L)
+    val prog = JpegCodec.encodeGrayProgressive(16, 16, gray)
+    assert(JpegCodec.decodeGray(prog).isDefined)
+    // truncations at every prefix must degrade cleanly
+    var n = 2
+    while (n < prog.length) {
+      JpegCodec.decodeGray(prog.take(n)) // any Option; no exception
+      n += 5
+    }
+    // single-byte corruptions must neither throw nor hang
+    val rnd = new java.util.Random(5L)
+    val t0 = System.nanoTime()
+    for (_ <- 0 until 300) {
+      val c = prog.clone()
+      c(2 + rnd.nextInt(c.length - 2)) = rnd.nextInt(256).toByte
+      JpegCodec.decodeGray(c)
+    }
+    assert((System.nanoTime() - t0) < 30e9, "corrupted progressive streams must decode or bail promptly")
+    // an illegal scan header (Ah != Al+1) degrades
+    assert(JpegCodec.decodeGray(
+      JpegCodec.encodeGrayProgressive(16, 16, gray,
+        scans = Seq((0, 0, 0, 0), (1, 63, 0, 0))) // legal: full precision in one go
+    ).isDefined)
   }
 
   test("a corrupt entropy stream terminates (degrade, never hang)") {
