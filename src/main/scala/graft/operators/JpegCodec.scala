@@ -938,30 +938,100 @@ object JpegCodec {
       quant: Array[Int] = Array.fill(64)(1),
       scans: Seq[(Int, Int, Int, Int)] = DefaultProgScans,
       restartInterval: Int = 0): Array[Byte] = {
-    require(w > 0 && h > 0 && gray.length == w * h,
+    require(gray.length == w * h,
       s"raster must be ${w}x$h=${w * h}, got ${gray.length}")
+    encodeProgressivePlanes(w, h, Seq(EncComp(gray, w, h, 1, 1)), quant,
+      scans.map(s => Seq(0) -> s), restartInterval)
+  }
+
+  /** Encode a YCbCr color progressive JPEG (SOF2, three components) —
+    * the fixture generator for the decoder paths a GRAYSCALE
+    * progressive stream can never reach: chroma-only AC scans placed
+    * MID-FRAME that the decoder must step over via their
+    * self-delimiting entropy segments, and interleaved progressive DC
+    * scans whose MCU walk spans hs×vs luma blocks per MCU when
+    * `lumaSampling` is (2,2) (the 4:2:0 layout web JPEGs ship).
+    * Chroma planes must be ceil(w/hs) × ceil(h/vs). The script
+    * restores luma to full precision, so [[decodeGray]] of the result
+    * pixel-matches the baseline encode of the same Y plane. */
+  def encodeYccProgressive(w: Int, h: Int, y: Array[Int], cb: Array[Int],
+      cr: Array[Int], lumaSampling: (Int, Int) = (1, 1),
+      quant: Array[Int] = Array.fill(64)(1),
+      restartInterval: Int = 0): Array[Byte] = {
+    val (hs, vs) = lumaSampling
+    require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2,
+      s"luma sampling must be 1..2, got ${lumaSampling}")
+    val cw = (w + hs - 1) / hs; val ch = (h + vs - 1) / vs
+    encodeProgressivePlanes(w, h,
+      Seq(EncComp(y, w, h, hs, vs), EncComp(cb, cw, ch, 1, 1),
+        EncComp(cr, cw, ch, 1, 1)),
+      quant,
+      Seq( // luma precision chain: DC 1→0, AC 2→1→0; chroma mid-frame
+        Seq(0, 1, 2) -> ((0, 0, 0, 1)),
+        Seq(0) -> ((1, 5, 0, 2)),
+        Seq(1) -> ((1, 63, 0, 0)), // Cb: one full-precision AC scan
+        Seq(0) -> ((6, 63, 0, 2)),
+        Seq(0, 1, 2) -> ((0, 0, 1, 0)),
+        Seq(2) -> ((1, 63, 0, 0)), // Cr: between two luma refinements
+        Seq(0) -> ((1, 63, 2, 1)),
+        Seq(0) -> ((1, 63, 1, 0))),
+      restartInterval)
+  }
+
+  /** Shared progressive (SOF2) encoder over arbitrary per-component
+    * sampling: each `script` entry is (component indices, (Ss, Se,
+    * Ah, Al)) — DC scans (Ss=0) may interleave several components in
+    * MCU order, AC scans are single-component over that component's
+    * own block grid (T.81 A.2.2). Restart intervals count MCUs in
+    * interleaved scans and blocks otherwise. Coefficients live on the
+    * MCU-padded per-component grids so DC and AC walks agree with the
+    * decoder's buffer layout. */
+  private def encodeProgressivePlanes(w: Int, h: Int, comps: Seq[EncComp],
+      quant: Array[Int],
+      script: Seq[(Seq[Int], (Int, Int, Int, Int))],
+      restartInterval: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    require(comps.nonEmpty && comps.size <= 3 && comps.size != 2,
+      s"1 (gray) or 3 (YCbCr) components, got ${comps.size}")
+    comps.foreach(c => require(c.plane.length == c.pw * c.ph,
+      s"plane must be ${c.pw}x${c.ph}=${c.pw * c.ph}, got ${c.plane.length}"))
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
       "quant table must be 64 values in 1..255")
     require(restartInterval >= 0 && restartInterval <= 65535,
       s"restart interval must fit u16, got $restartInterval")
-    require(scans.nonEmpty, "at least one scan")
-    scans.foreach { case (ss, se, ah, al) =>
+    require(script.nonEmpty, "at least one scan")
+    script.foreach { case (sc, (ss, se, ah, al)) =>
+      require(sc.nonEmpty && sc.distinct == sc && sc.forall(comps.indices.contains),
+        s"scan components must be distinct indices of 0..${comps.size - 1}, got $sc")
       require(ss >= 0 && se <= 63 && al >= 0 && al <= 13 &&
-        (if (ss == 0) se == 0 else se >= ss) && (ah == 0 || ah == al + 1),
-        s"illegal progressive scan header ($ss,$se,$ah,$al)")
+        (if (ss == 0) se == 0 else se >= ss && sc.size == 1) &&
+        (ah == 0 || ah == al + 1),
+        s"illegal progressive scan header ($ss,$se,$ah,$al) over $sc")
     }
-    // every block's zigzag coefficients, computed once
-    val cw = (w + 7) / 8; val ch = (h + 7) / 8
-    val blocks = Array.ofDim[Int](cw * ch, 64)
-    locally {
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component coefficients on the MCU-padded grid, computed once
+    val cwP = comps.map(c => mcusX * c.hs)
+    val chP = comps.map(c => mcusY * c.vs)
+    val blocks: IndexedSeq[Array[Array[Int]]] = comps.indices.map { ci =>
+      val c = comps(ci)
       val block = new Array[Double](64)
-      var bi = 0
-      while (bi < cw * ch) {
-        fillBlock(gray, w, h, bi % cw, bi / cw, block)
-        fdctQuant(block, quant, blocks(bi))
-        bi += 1
+      Array.tabulate(cwP(ci) * chP(ci)) { bi =>
+        val coef = new Array[Int](64)
+        fillBlock(c.plane, c.pw, c.ph, bi % cwP(ci), bi / cwP(ci), block)
+        fdctQuant(block, quant, coef)
+        coef
       }
     }
+    // a component's own (non-MCU-padded) block grid — the walk order
+    // of non-interleaved scans (T.81 A.2.2); mirrors the decoder's
+    // lumaBlocksW/H
+    def ownW(ci: Int) = ((w * comps(ci).hs + hmax - 1) / hmax + 7) / 8
+    def ownH(ci: Int) = ((h * comps(ci).vs + vmax - 1) / vmax + 7) / 8
+
+    val nc = comps.size
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -969,9 +1039,12 @@ object JpegCodec {
     marker(0xdb); u16(2 + 65); out.write(0x00)
     var k = 0
     while (k < 64) { out.write(quant(Zigzag(k))); k += 1 }
-    marker(0xc2); u16(8 + 3) // SOF2, one component
-    out.write(8); u16(h); u16(w); out.write(1)
-    out.write(1); out.write(0x11); out.write(0)
+    marker(0xc2); u16(8 + 3 * nc) // SOF2
+    out.write(8); u16(h); u16(w); out.write(nc)
+    comps.indices.foreach { ci =>
+      out.write(ci + 1); out.write((comps(ci).hs << 4) | comps(ci).vs)
+      out.write(0)
+    }
     def dht(tc: Int, counts: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16(2 + 1 + 16 + vals.length); out.write(tc << 4)
       counts.foreach(out.write); vals.foreach(out.write)
@@ -980,13 +1053,14 @@ object JpegCodec {
     dht(1, ProgAcCounts, ProgAcVals)
     if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
 
-    scans.foreach { case (ss, se, ah, al) =>
-      marker(0xda); u16(6 + 2)
-      out.write(1); out.write(1); out.write(0x00) // one component, DC 0 / AC 0
+    script.foreach { case (scomps, (ss, se, ah, al)) =>
+      marker(0xda); u16(6 + 2 * scomps.size)
+      out.write(scomps.size)
+      scomps.foreach { ci => out.write(ci + 1); out.write(0x00) }
       out.write(ss); out.write(se); out.write((ah << 4) | al)
       val bw = new BitWriter(out)
       var rst = 0
-      var pred = 0
+      val preds = new Array[Int](nc)
       // lazily-flushed end-of-band run shared across blocks; in
       // refinement scans the covered blocks' correction bits ride
       // after the EOBn symbol in block order (the order the decoder's
@@ -1004,108 +1078,147 @@ object JpegCodec {
         pendingBits.clear()
         eobCnt -= covered
       }
-      var bi = 0
       var sinceRestart = 0
-      while (bi < cw * ch) {
-        if (restartInterval > 0 && sinceRestart == restartInterval) {
-          flushEob()
-          bw.flush()
-          marker(0xd0 + rst)
-          rst = (rst + 1) % 8
-          pred = 0
-          sinceRestart = 0
+      def restart(): Unit = {
+        flushEob()
+        bw.flush()
+        marker(0xd0 + rst)
+        rst = (rst + 1) % 8
+        java.util.Arrays.fill(preds, 0)
+        sinceRestart = 0
+      }
+
+      def dcOne(ci: Int, coef: Array[Int]): Unit = {
+        if (ah == 0) { // DC first at 2^Al precision (arithmetic shift)
+          val v = coef(0) >> al
+          val diff = v - preds(ci); preds(ci) = v
+          val cat = category(diff)
+          val (dc, dl) = DcCodes(cat)
+          bw.put(dc, dl)
+          if (cat > 0) bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
+        } else { // DC refine: bit Al of the two's-complement value
+          bw.put((coef(0) >> al) & 1, 1)
         }
-        val coef = blocks(bi)
-        if (ss == 0) {
-          if (ah == 0) { // DC first at 2^Al precision (arithmetic shift)
-            val v = coef(0) >> al
-            val diff = v - pred; pred = v
-            val cat = category(diff)
-            val (dc, dl) = DcCodes(cat)
-            bw.put(dc, dl)
-            if (cat > 0) bw.put(if (diff < 0) diff + (1 << cat) - 1 else diff, cat)
-          } else { // DC refine: bit Al of the two's-complement value
-            bw.put((coef(0) >> al) & 1, 1)
-          }
-        } else if (ah == 0) { // AC first: run/size over the band at 2^Al
-          var anyNz = false
-          var kk = ss
-          while (kk <= se && !anyNz) {
-            if ((math.abs(coef(kk)) >> al) != 0) anyNz = true else kk += 1
-          }
-          if (!anyNz) eobCnt += 1
-          else {
-            flushEob()
-            var run = 0
-            kk = ss
-            while (kk <= se) {
-              val mag = math.abs(coef(kk)) >> al
-              if (mag == 0) run += 1
-              else {
-                while (run >= 16) {
-                  val (zc, zl) = ProgAcCodes(0xf0); bw.put(zc, zl); run -= 16
-                }
-                val tv = if (coef(kk) < 0) -mag else mag
-                val cat = category(tv)
-                val (ac, alen) = ProgAcCodes((run << 4) | cat)
-                bw.put(ac, alen)
-                bw.put(if (tv < 0) tv + (1 << cat) - 1 else tv, cat)
-                run = 0
-              }
-              kk += 1
-            }
-            if (run > 0) eobCnt += 1 // trailing zeros: band joins an EOB run
-          }
-        } else { // AC refine: insert ±2^Al, correct already-significant.
-          // Symbol/bit order must mirror the decoder's traversal (T.81
-          // G.1.2.3): a ZRL is emitted on ARRIVAL at any nonzero
-          // coefficient once >15 zero-HISTORY positions accumulate —
-          // unless the rest of the band folds into the EOB run (no
-          // newly-significant coefficient remains) — and each emitted
-          // symbol carries exactly the correction bits buffered since
-          // the previous one, because that is the span the decoder
-          // traverses (reading a bit at every nonzero-history
-          // position) before it stops at the symbol's target zero.
-          val mags = new Array[Int](64)
-          var lastNew = ss - 1 // last newly-significant index: the EOB fold bound
-          var kk = ss
-          while (kk <= se) {
-            mags(kk) = math.abs(coef(kk)) >> al
-            if (mags(kk) == 1) lastNew = kk
-            kk += 1
-          }
-          val corrBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      }
+
+      def acFirstBlock(coef: Array[Int]): Unit = {
+        var anyNz = false
+        var kk = ss
+        while (kk <= se && !anyNz) {
+          if ((math.abs(coef(kk)) >> al) != 0) anyNz = true else kk += 1
+        }
+        if (!anyNz) eobCnt += 1
+        else {
+          flushEob()
           var run = 0
           kk = ss
           while (kk <= se) {
-            val mag = mags(kk)
+            val mag = math.abs(coef(kk)) >> al
             if (mag == 0) run += 1
             else {
-              while (run > 15 && kk <= lastNew) {
-                flushEob()
+              while (run >= 16) {
                 val (zc, zl) = ProgAcCodes(0xf0); bw.put(zc, zl); run -= 16
-                corrBits.foreach(bit => bw.put(bit, 1)); corrBits.clear()
               }
-              if (mag > 1) corrBits += (mag & 1)
-              else { // newly significant at this precision: sign only
-                flushEob()
-                val (ac, alen) = ProgAcCodes((run << 4) | 1)
-                bw.put(ac, alen)
-                bw.put(if (coef(kk) > 0) 1 else 0, 1)
-                corrBits.foreach(bit => bw.put(bit, 1)); corrBits.clear()
-                run = 0
-              }
+              val tv = if (coef(kk) < 0) -mag else mag
+              val cat = category(tv)
+              val (ac, alen) = ProgAcCodes((run << 4) | cat)
+              bw.put(ac, alen)
+              bw.put(if (tv < 0) tv + (1 << cat) - 1 else tv, cat)
+              run = 0
             }
             kk += 1
           }
-          if (run > 0 || corrBits.nonEmpty) {
-            eobCnt += 1
-            pendingBits ++= corrBits
-          }
-          if (eobCnt == 32767) flushEob() // single-symbol flushes keep bit order exact
+          if (run > 0) eobCnt += 1 // trailing zeros: band joins an EOB run
         }
-        sinceRestart += 1
-        bi += 1
+      }
+
+      // AC refine: insert ±2^Al, correct already-significant. Symbol/
+      // bit order must mirror the decoder's traversal (T.81 G.1.2.3):
+      // a ZRL is emitted on ARRIVAL at any nonzero coefficient once
+      // >15 zero-HISTORY positions accumulate — unless the rest of the
+      // band folds into the EOB run (no newly-significant coefficient
+      // remains) — and each emitted symbol carries exactly the
+      // correction bits buffered since the previous one, because that
+      // is the span the decoder traverses (reading a bit at every
+      // nonzero-history position) before it stops at the symbol's
+      // target zero.
+      def acRefineBlock(coef: Array[Int]): Unit = {
+        val mags = new Array[Int](64)
+        var lastNew = ss - 1 // last newly-significant index: the EOB fold bound
+        var kk = ss
+        while (kk <= se) {
+          mags(kk) = math.abs(coef(kk)) >> al
+          if (mags(kk) == 1) lastNew = kk
+          kk += 1
+        }
+        val corrBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var run = 0
+        kk = ss
+        while (kk <= se) {
+          val mag = mags(kk)
+          if (mag == 0) run += 1
+          else {
+            while (run > 15 && kk <= lastNew) {
+              flushEob()
+              val (zc, zl) = ProgAcCodes(0xf0); bw.put(zc, zl); run -= 16
+              corrBits.foreach(bit => bw.put(bit, 1)); corrBits.clear()
+            }
+            if (mag > 1) corrBits += (mag & 1)
+            else { // newly significant at this precision: sign only
+              flushEob()
+              val (ac, alen) = ProgAcCodes((run << 4) | 1)
+              bw.put(ac, alen)
+              bw.put(if (coef(kk) > 0) 1 else 0, 1)
+              corrBits.foreach(bit => bw.put(bit, 1)); corrBits.clear()
+              run = 0
+            }
+          }
+          kk += 1
+        }
+        if (run > 0 || corrBits.nonEmpty) {
+          eobCnt += 1
+          pendingBits ++= corrBits
+        }
+        if (eobCnt == 32767) flushEob() // single-symbol flushes keep bit order exact
+      }
+
+      if (ss == 0 && scomps.size > 1) {
+        // interleaved DC scan: MCU walk, hs×vs blocks per component
+        var mcu = 0
+        val n = mcusX * mcusY
+        while (mcu < n) {
+          if (restartInterval > 0 && sinceRestart == restartInterval) restart()
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          scomps.foreach { ci =>
+            val c = comps(ci)
+            var by = 0
+            while (by < c.vs) {
+              var bx = 0
+              while (bx < c.hs) {
+                dcOne(ci, blocks(ci)((my * c.vs + by) * cwP(ci) + (mx * c.hs + bx)))
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          sinceRestart += 1
+          mcu += 1
+        }
+      } else {
+        // single-component scan over the component's own block grid
+        val ci = scomps.head
+        val ow = ownW(ci)
+        val n = ow * ownH(ci)
+        var blk = 0
+        while (blk < n) {
+          if (restartInterval > 0 && sinceRestart == restartInterval) restart()
+          val coef = blocks(ci)((blk / ow) * cwP(ci) + (blk % ow))
+          if (ss == 0) dcOne(ci, coef)
+          else if (ah == 0) acFirstBlock(coef)
+          else acRefineBlock(coef)
+          sinceRestart += 1
+          blk += 1
+        }
       }
       flushEob()
       bw.flush()

@@ -441,10 +441,11 @@ object Multimodal {
     * the residue-group pair set the SQL oracle predicts — is unchanged;
     * a pair whose members mix SOF0 and SOF2 payloads only matches if
     * BOTH decode paths produce the same luma raster. */
-  def syntheticJpegProgressiveMix(docs: DataFrame): Dataset[MediaRow] = {
+  def syntheticJpegProgressiveMix(docs: DataFrame,
+      group: Long => Long = _ % 239): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    syntheticJpegImages(docs).map { r =>
+    syntheticJpegImages(docs, group).map { r =>
       if (r.doc_id % 3 != 1) r
       else {
         val (w, h, px) = JpegCodec.decodeGray(r.payload).get
@@ -519,7 +520,10 @@ object Multimodal {
     * doc_id % 7 == 1 re-encodes the payload as a REAL progressive
     * (SOF2) stream — decode the baseline raster, re-emit it through
     * [[JpegCodec.encodeGrayProgressive]]'s successive-approximation
-    * script — which the codec must genuinely decode (scan-by-scan
+    * script, or for the % 14 == 1 half through
+    * [[JpegCodec.encodeYccProgressive]] as COLOR 4:2:0 progressive
+    * (interleaved DC MCUs + mid-frame chroma scans stepped over) —
+    * which the codec must genuinely decode (scan-by-scan
     * coefficient assembly, not a header trick); % 7 == 3 re-marks the
     * SOF0 header byte as SOF2 while leaving the baseline entropy
     * stream in place, a corrupt stream whose sequential scan header
@@ -543,7 +547,17 @@ object Multimodal {
       }
       if (r.doc_id % 7 == 1) {
         val (w, h, px) = JpegCodec.decodeGray(r.payload).get
-        r.copy(payload = JpegCodec.encodeGrayProgressive(w, h, px))
+        // alternate grayscale and COLOR 4:2:0 progressive re-encodes:
+        // the color half forces the decoder through interleaved
+        // progressive DC MCUs and mid-frame chroma-scan step-over,
+        // with doc-seeded flat chroma planes (luma output unaffected)
+        if (r.doc_id % 14 == 1) {
+          val cw = (w + 1) / 2; val ch = (h + 1) / 2
+          val cb = Array.fill(cw * ch)((r.doc_id % 256).toInt)
+          val cr = Array.fill(cw * ch)(((r.doc_id * 31) % 256).toInt)
+          r.copy(payload = JpegCodec.encodeYccProgressive(
+            w, h, px, cb, cr, lumaSampling = (2, 2)))
+        } else r.copy(payload = JpegCodec.encodeGrayProgressive(w, h, px))
       } else if (mk == 0) r
       else {
         val p = r.payload.clone()

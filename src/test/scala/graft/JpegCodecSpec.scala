@@ -301,6 +301,45 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive color: chroma-only scans step over mid-frame; interleaved DC walks 4:2:0 MCUs") {
+    val rnd = new java.util.Random(202L)
+    // 4:4:4 — chroma AC scans placed BETWEEN luma scans: the decoder
+    // must step over their entropy data via the next-marker walk or
+    // every later luma scan desyncs
+    for ((w, h) <- Seq((16, 16), (37, 29))) {
+      val y = Array.fill(w * h)(rnd.nextInt(256))
+      val cb = Array.fill(w * h)(rnd.nextInt(256))
+      val cr = Array.fill(w * h)(rnd.nextInt(256))
+      val base = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, y)).get
+      val prog = JpegCodec.decodeGray(JpegCodec.encodeYccProgressive(w, h, y, cb, cr))
+      assert(prog.isDefined, s"4:4:4 progressive ${w}x$h must decode")
+      assert(prog.get._3.sameElements(base._3),
+        s"${w}x$h: chroma scans must not desync the luma assembly")
+    }
+    // 4:2:0 — the interleaved progressive DC scan walks 4 luma blocks
+    // per MCU; a wrong (mx·h+bx) placement scrambles block DC levels
+    for ((w, h) <- Seq((32, 32), (40, 24), (17, 19))) {
+      val y = Array.fill(w * h)(rnd.nextInt(256))
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val cb = Array.fill(cw * ch)(rnd.nextInt(256))
+      val cr = Array.fill(cw * ch)(rnd.nextInt(256))
+      val base = JpegCodec.decodeGray(JpegCodec.encodeGray(w, h, y)).get
+      val prog = JpegCodec.decodeGray(
+        JpegCodec.encodeYccProgressive(w, h, y, cb, cr, lumaSampling = (2, 2)))
+      assert(prog.isDefined, s"4:2:0 progressive ${w}x$h must decode")
+      assert(prog.get._3.sameElements(base._3), s"4:2:0 ${w}x$h luma mismatch")
+    }
+    // restart markers through interleaved DC + chroma + refine scans
+    val y = Array.fill(24 * 24)(rnd.nextInt(256))
+    val cb = Array.fill(12 * 12)(rnd.nextInt(256))
+    val cr = Array.fill(12 * 12)(rnd.nextInt(256))
+    val base = JpegCodec.decodeGray(JpegCodec.encodeGray(24, 24, y)).get
+    val prog = JpegCodec.decodeGray(JpegCodec.encodeYccProgressive(
+      24, 24, y, cb, cr, lumaSampling = (2, 2), restartInterval = 2))
+    assert(prog.isDefined && prog.get._3.sameElements(base._3),
+      "restart markers must reset predictors in every progressive scan type")
+  }
+
   test("progressive: malformed and truncated streams degrade to None, never throw or hang") {
     val gray = noise(16, 16, 9L)
     val prog = JpegCodec.encodeGrayProgressive(16, 16, gray)

@@ -355,8 +355,11 @@ object ScalingProbe {
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
         val dense = Tables.documents(spark, d)
           .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
+        // the catalog's m4c kernel: every third payload a REAL
+        // progressive re-encode, so the probe times the sequential AND
+        // the scan-assembly decode paths in the production mix
         Multimodal.imageDupPairs(Multimodal.imageDHash(
-          Multimodal.syntheticJpegImages(dense, _ / 10)), 3)
+          Multimodal.syntheticJpegProgressiveMix(dense, _ / 10)), 3)
       },
       "m5b_audio_fft" -> { d =>
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
