@@ -550,6 +550,9 @@ object JpegCodec {
             sIdx(c) = ix
             sDc(c) = (b(seg + 2 + 2 * c) >> 4) & 0xf
             sAc(c) = b(seg + 2 + 2 * c) & 0xf
+            // table slots are 0..3 (T.81 B.2.3); a corrupt nibble must
+            // degrade, not index past the 4-slot table arrays
+            if (sDc(c) > 3 || sAc(c) > 3) return None
             c += 1
           }
           if (!progressive) {

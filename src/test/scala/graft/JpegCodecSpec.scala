@@ -364,6 +364,25 @@ class JpegCodecSpec extends AnyFunSuite {
       JpegCodec.encodeGrayProgressive(16, 16, gray,
         scans = Seq((0, 0, 0, 0), (1, 63, 0, 0))) // legal: full precision in one go
     ).isDefined)
+    // color progressive: same truncation/corruption discipline — the
+    // mid-frame chroma-scan step-over and interleaved DC walk must
+    // bail cleanly too, never throw or spin
+    val cb = noise(8, 8, 10L); val cr = noise(8, 8, 11L)
+    val cprog = JpegCodec.encodeYccProgressive(16, 16, gray, cb, cr,
+      lumaSampling = (2, 2))
+    assert(JpegCodec.decodeGray(cprog).isDefined)
+    n = 2
+    while (n < cprog.length) {
+      JpegCodec.decodeGray(cprog.take(n))
+      n += 5
+    }
+    val t1 = System.nanoTime()
+    for (_ <- 0 until 300) {
+      val c = cprog.clone()
+      c(2 + rnd.nextInt(c.length - 2)) = rnd.nextInt(256).toByte
+      JpegCodec.decodeGray(c)
+    }
+    assert((System.nanoTime() - t1) < 30e9, "corrupted color-progressive streams must bail promptly")
   }
 
   test("a corrupt entropy stream terminates (degrade, never hang)") {
