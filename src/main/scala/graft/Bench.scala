@@ -145,7 +145,8 @@ object Bench {
     "dp13_multimodal_manifest",
     // round-13 additions
     "sim11c_layered_walk", "m6c_long_clip_dedup",
-    "m7b_jpeg_sof_card", "out4_partition_prune")
+    "m7b_jpeg_sof_card", "out4_partition_prune",
+    "m4d_exif_oriented_dedup")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

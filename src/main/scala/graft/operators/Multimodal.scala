@@ -432,6 +432,232 @@ object Multimodal {
     }
   }
 
+  /** EXIF orientation (tag 0x0112) from a JPEG's APP1 Exif segment —
+    * the metadata that makes plain perceptual hashing miss real dups:
+    * a photo stored rotated with the flag set displays identically to
+    * its upright twin but permutes every dHash cell. Walks the marker
+    * segments from SOI to the first APP1 whose payload starts
+    * "Exif\0\0", then the TIFF IFD0 entries under either byte order
+    * (II little / MM big). Returns 1..8; missing, malformed, or
+    * truncated metadata degrades to 1 (upright) — orientation is a
+    * HINT, never a reason to drop or kill a payload. */
+  private[graft] def exifOrientation(b: Array[Byte]): Int = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return 1
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return 1
+      val m = b(i + 1) & 0xff
+      if (m == 0xff) i += 1 // fill byte
+      else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else if (m == 0xd9 || m == 0xda) return 1 // EOI / scan: no APP1
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return 1
+        if (m == 0xe1 && len >= 2 + 6 + 8 + 2 + 12 + 4 &&
+          b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
+          b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
+          val t = i + 10 // TIFF header
+          val end = i + 2 + len
+          val le = b(t) == 'I' && b(t + 1) == 'I'
+          if (!le && !(b(t) == 'M' && b(t + 1) == 'M')) return 1
+          def u16(p: Int): Int =
+            if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+            else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+          def u32(p: Int): Long =
+            if (le) (u16(p) & 0xffffL) | ((u16(p + 2) & 0xffffL) << 16)
+            else ((u16(p) & 0xffffL) << 16) | (u16(p + 2) & 0xffffL)
+          if (u16(t + 2) != 42) return 1
+          val ifd = u32(t + 4)
+          if (ifd < 8 || ifd > end - t - 2L) return 1
+          val ip = t + ifd.toInt
+          val n = u16(ip)
+          var e = 0
+          while (e < n) {
+            val ep = ip + 2 + 12 * e
+            if (ep + 12 > end) return 1
+            if (u16(ep) == 0x0112) {
+              // SHORT (type 3), count 1: value lives inline
+              if (u16(ep + 2) != 3 || u32(ep + 4) != 1L) return 1
+              val v = u16(ep + 8)
+              return if (v >= 1 && v <= 8) v else 1
+            }
+            e += 1
+          }
+          return 1 // IFD0 present, no orientation tag
+        }
+        i += 2 + len
+      }
+    }
+    1
+  }
+
+  /** Store an upright raster in EXIF orientation `o`'s stored form —
+    * the fixture half of the pair; [[orientNormalize]] is the exact
+    * inverse (property-pinned for all 8). Orientations 5–8 swap the
+    * stored dims. */
+  private[graft] def orientStore(uw: Int, uh: Int, u: Array[Int],
+      o: Int): (Int, Int, Array[Int]) = {
+    val swap = o >= 5
+    val sw = if (swap) uh else uw
+    val sh = if (swap) uw else uh
+    val s = new Array[Int](sw * sh)
+    var y = 0
+    while (y < uh) {
+      var x = 0
+      while (x < uw) {
+        val (sx, sy) = storedPos(sw, sh, x, y, o)
+        s(sy * sw + sx) = u(y * uw + x)
+        x += 1
+      }
+      y += 1
+    }
+    (sw, sh, s)
+  }
+
+  /** Normalize a stored raster to upright per its EXIF orientation —
+    * the viewer transform (TIFF 6.0 orientation semantics: 2 mirror-H,
+    * 3 rot-180, 4 mirror-V, 5 transpose, 6 rot-90-CW-to-display,
+    * 7 transverse, 8 rot-270-CW-to-display). Unknown o degrades to
+    * identity. */
+  private[graft] def orientNormalize(sw: Int, sh: Int, s: Array[Int],
+      o: Int): (Int, Int, Array[Int]) = {
+    if (o <= 1 || o > 8) return (sw, sh, s)
+    val swap = o >= 5
+    val uw = if (swap) sh else sw
+    val uh = if (swap) sw else sh
+    val u = new Array[Int](uw * uh)
+    var y = 0
+    while (y < uh) {
+      var x = 0
+      while (x < uw) {
+        val (sx, sy) = storedPos(sw, sh, x, y, o)
+        u(y * uw + x) = s(sy * sw + sx)
+        x += 1
+      }
+      y += 1
+    }
+    (uw, uh, u)
+  }
+
+  /** Stored-raster position of upright pixel (x, y) under EXIF
+    * orientation o, given stored dims (sw, sh). */
+  private def storedPos(sw: Int, sh: Int, x: Int, y: Int, o: Int): (Int, Int) =
+    o match {
+      case 2 => (sw - 1 - x, y)
+      case 3 => (sw - 1 - x, sh - 1 - y)
+      case 4 => (x, sh - 1 - y)
+      case 5 => (y, x)
+      case 6 => (y, sh - 1 - x)
+      case 7 => (sw - 1 - y, sh - 1 - x)
+      case 8 => (sw - 1 - y, x)
+      case _ => (x, y)
+    }
+
+  /** Splice a minimal APP1 Exif segment (TIFF header + one-entry IFD0
+    * carrying orientation `o`) right after SOI — the fixture encoder
+    * for the EXIF-aware dedup path, in either byte order. */
+  private[graft] def withExifOrientation(jpeg: Array[Byte], o: Int,
+      bigEndian: Boolean = false): Array[Byte] = {
+    require(o >= 1 && o <= 8, s"orientation must be 1..8, got $o")
+    val seg = new Array[Byte](2 + 2 + 6 + 26) // FF E1 len Exif00 TIFF
+    def p16(at: Int, v: Int, be: Boolean): Unit = {
+      if (be) { seg(at) = (v >> 8).toByte; seg(at + 1) = v.toByte }
+      else { seg(at) = v.toByte; seg(at + 1) = (v >> 8).toByte }
+    }
+    seg(0) = 0xff.toByte; seg(1) = 0xe1.toByte
+    p16(2, seg.length - 2, be = true) // segment length is always BE
+    "Exif".getBytes.copyToArray(seg, 4) // then two NUL pad bytes
+    val t = 10
+    val mark = if (bigEndian) 'M' else 'I'
+    seg(t) = mark.toByte; seg(t + 1) = mark.toByte
+    p16(t + 2, 42, bigEndian)
+    // IFD0 offset 8 as a full u32 in the chosen order
+    if (bigEndian) p16(t + 6, 8, be = true) else p16(t + 4, 8, be = false)
+    p16(t + 8, 1, bigEndian) // one entry
+    p16(t + 10, 0x0112, bigEndian); p16(t + 12, 3, bigEndian) // tag, SHORT
+    if (bigEndian) p16(t + 16, 1, bigEndian) else p16(t + 14, 1, bigEndian) // count 1 (u32)
+    p16(t + 18, o, bigEndian) // value in the first 2 of 4 bytes
+    // trailing next-IFD offset (4 bytes) stays 0
+    val out = new Array[Byte](jpeg.length + seg.length)
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    seg.copyToArray(out, 2)
+    System.arraycopy(jpeg, 2, out, 2 + seg.length, jpeg.length - 2)
+    out
+  }
+
+  /** m4d — EXIF-orientation-normalized perceptual hash: decode JPEG
+    * luma, read the APP1 orientation, [[orientNormalize]] to upright,
+    * THEN dHash. Plain [[imageDHash]] misses the commonest real-world
+    * near-dup — the same photo stored rotated with the flag set
+    * (phones do this on every portrait shot) — because rotation
+    * permutes every hash cell. Same map-only scale shape as m4/m4c:
+    * decode + normalize ride mapPartitions, payloads never shuffle. */
+  def imageDHashOriented(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        JpegCodec.decodeGray(r.payload) match {
+          case Some((w, h, px)) =>
+            val (uw, uh, u) = orientNormalize(w, h, px, exifOrientation(r.payload))
+            if (uw >= 9 && uh >= 8) Some((r.doc_id, PngCodec.dHashPixels(uw, uh, u)))
+            else None
+          case None => None
+        }
+      }
+    }.toDF("doc_id", "phash")
+  }
+
+  /** m4d fixture — every member of residue group `doc_id % 241` is the
+    * SAME upright plateau raster (the m4c cell construction) stored
+    * under its own EXIF orientation `1 + (doc_id DIV 241) % 8` via
+    * [[orientStore]] + [[withExifOrientation]] (byte order alternating
+    * II/MM by member parity), with odd doc_ids inverting cell (0,1)
+    * BEFORE storing (≤2 dHash bits — inside the gate). Only
+    * orientation NORMALIZATION makes in-group pairs collide: a rotated
+    * member's un-normalized hash permutes every cell (~32 bits away),
+    * so the closed-form oracle (same group = pair) passes iff the
+    * APP1 parse, the 8-way inverse transforms, and the decode all
+    * compose correctly on real bytes. */
+  def syntheticJpegExifImages(docs: DataFrame,
+      group: Long => Long = _ % 241,
+      member: Long => Long = _ / 241): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val g = group(id)
+      val ws = (4 + (g * 37) % 12).toInt
+      val hs = (4 + (g * 53) % 12).toInt
+      val w = 9 * ws; val h = 8 * hs
+      val rnd = new java.util.Random(g * 2654435761L + 41)
+      val perm = Array.tabulate(72)(identity)
+      var i = perm.length - 1
+      while (i > 0) { // Fisher–Yates, group-seeded
+        val j = rnd.nextInt(i + 1)
+        val t = perm(i); perm(i) = perm(j); perm(j) = t
+        i -= 1
+      }
+      val cell = perm.map(p => 12 + 3 * p)
+      if (id % 2 == 1) cell(1) = 255 - cell(1) // invert cell (0,1)
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          gray(y * w + x) = cell((y / hs) * 9 + x / ws)
+          x += 1
+        }
+        y += 1
+      }
+      val mi = member(id)
+      val o = (1 + mi % 8).toInt
+      val (sw, sh, stored) = orientStore(w, h, gray, o)
+      MediaRow(id, withExifOrientation(
+        JpegCodec.encodeGray(sw, sh, stored), o, bigEndian = mi % 2 == 0),
+        "image/jpeg")
+    }
+  }
+
   /** [[syntheticJpegImages]] with every doc_id % 3 == 1 payload
     * re-encoded as a REAL progressive (SOF2) stream — the m4c fixture
     * upgrade that makes the dedup oracle gate the progressive decoder

@@ -2376,6 +2376,29 @@ object DataCatalog {
       "JOIN documents b ON a.doc_id % 239 = b.doc_id % 239 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M4D — EXIF-orientation-normalized perceptual dedup: the commonest
+  // real-world near-dup a plain perceptual hash misses is the SAME
+  // photo stored rotated with the orientation flag set (phones write
+  // exactly this on every portrait shot) — rotation permutes every
+  // dHash cell, so m4/m4c land such twins ~32 bits apart. The pipeline
+  // reads the APP1 Exif TIFF IFD (both byte orders), inverts the 8-way
+  // orientation transform on the decoded luma, and only THEN hashes.
+  // The fixture stores one upright plateau raster per residue group
+  // under each member's own orientation (II/MM alternating), so the
+  // closed-form oracle (same group = pair) passes iff the APP1 parse,
+  // the inverse transforms, and the JPEG decode compose on real bytes;
+  // a unit test pins the converse (without normalization the rotated
+  // twin does NOT collide). Map-only + the shared banded join, same
+  // scale shape as m4c.
+  val m4d = Q(
+    (s, d) => ordered(graft.operators.Multimodal.imageDupPairs(
+      graft.operators.Multimodal.imageDHashOriented(
+        graft.operators.Multimodal.syntheticJpegExifImages(documents(s, d))), 3)
+      .select(col("id_a"), col("id_b"))),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
+      "JOIN documents b ON a.doc_id % 241 = b.doc_id % 241 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   // DSUB2 — the action step for dsub1 (Lee et al. cut the duplicated
   // substring and train on the rest): every token position covered by a
   // duplicated span is dropped, survivors reassemble in order, and the
@@ -6428,5 +6451,6 @@ object DataCatalog {
     "sim11b_seeded_walk" -> sim11b, "m5b_spectral_dedup" -> m5b,
     "m6b_real_frame_dedup" -> m6b, "dp13_multimodal_manifest" -> dp13,
     // round 13
-    "sim11c_layered_walk" -> sim11c, "m6c_long_clip_dedup" -> m6c)
+    "sim11c_layered_walk" -> sim11c, "m6c_long_clip_dedup" -> m6c,
+    "m4d_exif_oriented_dedup" -> m4d)
 }

@@ -50,6 +50,10 @@ class CodecFuzzSpec extends AnyFunSuite {
         lumaSampling = (2, 2)),
       "jpeg_prog_420_rst" -> JpegCodec.encodeYccProgressive(24, 24, y, c12, c12,
         lumaSampling = (2, 2), restartInterval = 2),
+      "jpeg_exif_ii" -> Multimodal.withExifOrientation(
+        JpegCodec.encodeGray(24, 24, y), 6, bigEndian = false),
+      "jpeg_exif_mm" -> Multimodal.withExifOrientation(
+        JpegCodec.encodeGray(24, 24, y), 8, bigEndian = true),
       "png" -> PngCodec.encodeGray(24, 24, y, r => r % 5),
       "wav" -> Multimodal.wavBytesPcm(8000, 2,
         Array.tabulate(520)(i => ((i * 977) % 8191).toShort)),
@@ -66,6 +70,7 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.wavPcmEnergies(b, 65)
     Multimodal.aviMjpegFrames(b)
     Multimodal.jpegSofClass(b)
+    Multimodal.exifOrientation(b)
   }
 
   test("every decoder returns on every truncation prefix of every encoder variant") {

@@ -633,6 +633,49 @@ class DataOpsSpec extends AnyFunSuite {
       "real-PCM fingerprint must win over the header stub when both paths can run")
   }
 
+  test("exif orientation: 8-way store/normalize inverse, II/MM parse, degrade-to-upright edges") {
+    import graft.operators.{JpegCodec, Multimodal}
+    // store∘normalize is the identity for every orientation on a
+    // non-square raster (5-8 swap dims)
+    val u = Array.tabulate(7 * 5)(identity)
+    for (o <- 1 to 8) {
+      val (sw, sh, s) = Multimodal.orientStore(7, 5, u, o)
+      val (uw, uh, back) = Multimodal.orientNormalize(sw, sh, s, o)
+      assert((uw, uh) == ((7, 5)) && back.sameElements(u), s"o=$o")
+      if (o >= 5) assert((sw, sh) == ((5, 7)), s"o=$o must swap stored dims")
+    }
+    // APP1 parse in both byte orders; absence and corruption degrade to 1
+    val jpeg = JpegCodec.encodeGray(16, 16, Array.fill(256)(128))
+    for (o <- 1 to 8; be <- Seq(false, true)) {
+      val tagged = Multimodal.withExifOrientation(jpeg, o, be)
+      assert(Multimodal.exifOrientation(tagged) == o, s"o=$o be=$be")
+      assert(JpegCodec.decodeGray(tagged).isDefined, "APP1 must not break decode")
+    }
+    assert(Multimodal.exifOrientation(jpeg) == 1, "no APP1 → upright")
+    val t6 = Multimodal.withExifOrientation(jpeg, 6)
+    assert(Multimodal.exifOrientation(t6.take(12)) == 1, "truncated APP1 → upright")
+    val corrupt = t6.clone(); corrupt(10) = 'X' // break the TIFF byte-order mark
+    assert(Multimodal.exifOrientation(corrupt) == 1, "corrupt TIFF → upright")
+
+    // end-to-end: a physically rotated copy with the flag set hashes
+    // IDENTICAL to its upright twin through the oriented pipeline —
+    // and ~32 bits away through the plain one (the real-world miss)
+    val ids = spark.range(0, 16).select(col("id").as("doc_id"))
+    val media = Multimodal.syntheticJpegExifImages(ids, _ % 4, _ / 4)
+    val oriented = Multimodal.imageDHashOriented(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oriented.size == 16, "every fixture payload must decode")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (g <- 0 until 4; m <- 1 until 4)
+      assert(ham(oriented(g.toLong), oriented((g + 4 * m).toLong)) <= 2,
+        s"group $g member $m must collide after normalization")
+    val plain = Multimodal.imageDHash(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // member 1 of group 0 carries orientation 2 (mirror): plain hash far off
+    assert(ham(plain(0L), plain(4L)) > 8,
+      "without normalization the rotated twin must NOT collide (else the fixture proves nothing)")
+  }
+
   test("jpeg SOF coverage card: baseline and real-progressive payloads decode; re-marked payloads take the counted degrade path") {
     import graft.operators.{JpegCodec, Multimodal}
     val ids = spark.range(0, 140).select(col("id").as("doc_id"))

@@ -234,6 +234,8 @@ class ScaleSpec extends AnyFunSuite {
     val plans = Seq(
       "m4c" -> Multimodal.imageDupPairs(Multimodal.imageDHash(
         Multimodal.syntheticJpegImages(docs)), 3),
+      "m4d" -> Multimodal.imageDupPairs(Multimodal.imageDHashOriented(
+        Multimodal.syntheticJpegExifImages(docs)), 3),
       "m5b" -> Multimodal.audioDupPairs(Multimodal.audioSpectralFingerprint(
         Multimodal.syntheticAudio(docs)), 4),
       "m6b" -> Multimodal.videoDupPairs(Multimodal.videoFrameHashesReal(
