@@ -2584,17 +2584,23 @@ object DataCatalog {
   // entry cross-checks the written bytes, the manifest contract, and the
   // verifier's status semantics. The path must be a literal: the oracle
   // string is static SQL the driver replays after the Spark run.
-  // SEQUENCING CONTRACT for out2/out2b/out3: the oracle reads these
-  // fixed scratch dirs from disk, so the DuckDB replay must run with
-  // nothing between it and the Spark dump — any interleaved run at a
-  // different SF (e.g. a concurrent bench) rewrites the dirs and the
-  // replay grades the wrong bytes. The driver's gate and
-  // tools/round_exit.py are both sequential; keep them that way.
-  private val Out2Dir = "/tmp/graft_out2_shards"
+  // The scratch dirs are SF-KEYED (<base>_<sf-basename>) with the
+  // oracle pinned to the driver's verify SF (sf0.01): a bench, probe,
+  // or dev run at any OTHER SF writes elsewhere and can never clobber
+  // the bytes the DuckDB replay grades — the round-12 "sequencing
+  // contract" (nothing may interleave between the Spark dump and the
+  // replay) survives only for same-SF interleaving, which nothing
+  // does. A verify at a non-sf0.01 dir goes loudly red on the path
+  // mismatch instead of silently grading another run's bytes.
+  private def sfScratch(base: String, d: String): String =
+    base + "_" + new java.io.File(d).getName
+  private val Out2Base = "/tmp/graft_out2_shards"
+  private val Out2Dir = Out2Base + "_sf0.01" // the oracle's static path
   val out2 = Q(
     (s, d) => {
-      Sharding.write(documents(s, d), col("doc_id"), col("text"), 8, Out2Dir)
-      ordered(Sharding.verify(s, Out2Dir, col("doc_id"), col("text")))
+      val dir = sfScratch(Out2Base, d)
+      Sharding.write(documents(s, d), col("doc_id"), col("text"), 8, dir)
+      ordered(Sharding.verify(s, dir, col("doc_id"), col("text")))
     },
     Some("WITH exp AS (SELECT shard_id, n_rows AS exp_rows, content_hash AS exp_hash " +
       s"FROM read_json('$Out2Dir/MANIFEST.json', format = 'newline_delimited', " +
@@ -2615,15 +2621,17 @@ object DataCatalog {
   // the incremental manifest arithmetic to exactly match the bytes of
   // BOTH writes; the oracle re-derives the same diff from the final
   // files + final manifest. The daily-top-up shape of a 100 TB export.
-  private val Out3Dir = "/tmp/graft_out3_shards"
+  private val Out3Base = "/tmp/graft_out3_shards"
+  private val Out3Dir = Out3Base + "_sf0.01" // the oracle's static path
   val out3 = Q(
     (s, d) => {
+      val dir = sfScratch(Out3Base, d)
       val docs = documents(s, d)
       Sharding.write(docs.filter(col("doc_id") % 10 =!= 0),
-        col("doc_id"), col("text"), 8, Out3Dir)
+        col("doc_id"), col("text"), 8, dir)
       Sharding.append(docs.filter(col("doc_id") % 10 === 0),
-        col("doc_id"), col("text"), 8, Out3Dir)
-      ordered(Sharding.verify(s, Out3Dir, col("doc_id"), col("text")))
+        col("doc_id"), col("text"), 8, dir)
+      ordered(Sharding.verify(s, dir, col("doc_id"), col("text")))
     },
     Some("WITH exp AS (SELECT shard_id, n_rows AS exp_rows, content_hash AS exp_hash " +
       s"FROM read_json('$Out3Dir/MANIFEST.json', format = 'newline_delimited', " +
@@ -2649,17 +2657,19 @@ object DataCatalog {
   // value→directory→value round trip and the pruned slice are
   // cross-engine-checked, not just plan-pinned. The min-day collect is
   // one bounded driver scalar (a partition VALUE, k-means contract).
-  private val Out4Dir = "/tmp/graft_out4_partitioned"
+  private val Out4Base = "/tmp/graft_out4_partitioned"
+  private val Out4Dir = Out4Base + "_sf0.01" // the oracle's static path
   val out4 = Q(
     (s, d) => {
+      val dir = sfScratch(Out4Base, d)
       Bucketing.writePartitioned(
         events(s, d).withColumn("day", to_date(col("ts")).cast("string"))
           .select(col("event_id"), col("user_id"), col("value"), col("day")),
-        Out4Dir, "day")
-      val back = s.read.parquet(Out4Dir)
+        dir, "day")
+      val back = s.read.parquet(dir)
         .withColumn("day", col("day").cast("string"))
       val minDay = back.agg(min(col("day"))).collect()(0).getString(0)
-      val pruned = s.read.parquet(Out4Dir)
+      val pruned = s.read.parquet(dir)
         .filter(col("day") === lit(minDay)) // literal on the partition column → planning-time prune
         .agg(count(lit(1)).cast("long").as("n_rows"),
           sum(col("user_id")).cast("long").as("user_sum"),
@@ -2688,11 +2698,13 @@ object DataCatalog {
   // SAME tampered file against the same written bytes, so every status
   // branch of the verifier is hash-checked cross-engine — out2 alone
   // only ever exercises the all-ok path.
-  private val Out2bDir = "/tmp/graft_out2b_shards"
+  private val Out2bBase = "/tmp/graft_out2b_shards"
+  private val Out2bDir = Out2bBase + "_sf0.01" // the oracle's static path
   val out2b = Q(
     (s, d) => {
-      Sharding.write(documents(s, d), col("doc_id"), col("text"), 8, Out2bDir)
-      val p = java.nio.file.Paths.get(Out2bDir, "MANIFEST.json")
+      val dir = sfScratch(Out2bBase, d)
+      Sharding.write(documents(s, d), col("doc_id"), col("text"), 8, dir)
+      val p = java.nio.file.Paths.get(dir, "MANIFEST.json")
       import scala.jdk.CollectionConverters._
       val nRowsRe = """"n_rows":(\d+)""".r
       val hashRe = """"content_hash":(\d+)""".r
@@ -2709,14 +2721,14 @@ object DataCatalog {
       // rewrite through the Hadoop FS (not java.nio): the writer left a
       // .MANIFEST.json.crc sidecar, and a raw rewrite would leave it
       // stale — Spark's checksummed local FS then fails the read
-      val mp = new org.apache.hadoop.fs.Path(Out2bDir, "MANIFEST.json")
+      val mp = new org.apache.hadoop.fs.Path(dir, "MANIFEST.json")
       val fs = org.apache.hadoop.fs.FileSystem.get(mp.toUri,
         s.sparkContext.hadoopConfiguration)
       val out = fs.create(mp, true)
       try out.write((tampered.mkString("\n") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      ordered(Sharding.verify(s, Out2bDir, col("doc_id"), col("text")))
+      ordered(Sharding.verify(s, dir, col("doc_id"), col("text")))
     },
     Some("WITH exp AS (SELECT shard_id, n_rows AS exp_rows, content_hash AS exp_hash " +
       s"FROM read_json('$Out2bDir/MANIFEST.json', format = 'newline_delimited', " +
