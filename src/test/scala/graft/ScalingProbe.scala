@@ -361,6 +361,15 @@ object ScalingProbe {
         Multimodal.imageDupPairs(Multimodal.imageDHash(
           Multimodal.syntheticJpegProgressiveMix(dense, _ / 10)), 3)
       },
+      "m4d_exif_oriented" -> { d =>
+        val m = d.substring(d.lastIndexOf("/m") + 2).toInt
+        val dense = Tables.documents(spark, d)
+          .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
+        // DIV-10 families; member index = the id's copy slot, so all 8
+        // orientations appear inside every replicated family
+        Multimodal.imageDupPairs(Multimodal.imageDHashOriented(
+          Multimodal.syntheticJpegExifImages(dense, _ / 10, _ % 10)), 3)
+      },
       "m5b_audio_fft" -> { d =>
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
         val dense = Tables.documents(spark, d)
