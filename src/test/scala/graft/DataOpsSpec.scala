@@ -657,6 +657,34 @@ class DataOpsSpec extends AnyFunSuite {
     val corrupt = t6.clone(); corrupt(10) = 'X' // break the TIFF byte-order mark
     assert(Multimodal.exifOrientation(corrupt) == 1, "corrupt TIFF → upright")
 
+    // real-world APP1 shapes the fixture writer never emits: the
+    // orientation tag NOT first in a multi-entry IFD0, and an APP0
+    // (JFIF) segment preceding the APP1 — both byte orders
+    for (be <- Seq(false, true)) {
+      def p16(a: Array[Byte], at: Int, v: Int, asBe: Boolean): Unit =
+        if (asBe) { a(at) = (v >> 8).toByte; a(at + 1) = v.toByte }
+        else { a(at) = v.toByte; a(at + 1) = (v >> 8).toByte }
+      val tiff = new Array[Byte](8 + 2 + 24 + 4) // 2-entry IFD0
+      val mk = if (be) 'M' else 'I'
+      tiff(0) = mk.toByte; tiff(1) = mk.toByte
+      p16(tiff, 2, 42, be)
+      if (be) p16(tiff, 6, 8, be) else p16(tiff, 4, 8, be) // IFD0 at 8
+      p16(tiff, 8, 2, be) // two entries
+      p16(tiff, 10, 0x0110, be); p16(tiff, 12, 2, be) // Model, ASCII
+      if (be) p16(tiff, 16, 4, be) else p16(tiff, 14, 4, be)
+      p16(tiff, 22, 0x0112, be); p16(tiff, 24, 3, be) // Orientation 2nd
+      if (be) p16(tiff, 28, 1, be) else p16(tiff, 26, 1, be)
+      p16(tiff, 30, 7, be)
+      val app1 = Array[Byte](0xff.toByte, 0xe1.toByte, 0, 0) ++
+        "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff
+      app1(2) = ((app1.length - 2) >> 8).toByte; app1(3) = (app1.length - 2).toByte
+      val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 7, 'J', 'F', 'I', 'F', 0)
+      val shaped = jpeg.take(2) ++ app0 ++ app1 ++ jpeg.drop(2)
+      assert(Multimodal.exifOrientation(shaped) == 7,
+        s"be=$be: tag-not-first behind APP0 must parse")
+      assert(JpegCodec.decodeGray(shaped).isDefined)
+    }
+
     // end-to-end: a physically rotated copy with the flag set hashes
     // IDENTICAL to its upright twin through the oriented pipeline —
     // and ~32 bits away through the plain one (the real-world miss)
