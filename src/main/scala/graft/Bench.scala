@@ -146,7 +146,9 @@ object Bench {
     // round-13 additions
     "sim11c_layered_walk", "m6c_long_clip_dedup",
     "m7b_jpeg_sof_card", "out4_partition_prune",
-    "m4d_exif_oriented_dedup")
+    "m4d_exif_oriented_dedup",
+    // round-14 additions
+    "m4e_exif_progressive_dedup", "m7c_orientation_card")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -28,6 +28,13 @@ package graft.operators
   */
 object JpegCodec {
 
+  /** Progressive decode's coefficient buffer holds 4 bytes/sample until
+    * EOI, so progressive frames are capped harder (16 MP) than the 64 MP
+    * sequential pixel cap — a conforming larger progressive payload
+    * DEGRADES (None). Public so the m7b-family coverage cards can bucket
+    * "degraded for size" separately from "corrupt". */
+  val ProgressivePixelCap: Long = 16L * 1024 * 1024
+
   private val Zigzag = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
@@ -505,7 +512,7 @@ object JpegCodec {
             // 4 bytes/sample until EOI. Cap it harder than the 64 MP
             // pixel cap so one payload can't balloon a task (larger
             // progressive payloads degrade to the caller's stub path)
-            if (w.toLong * h.toLong > 16L * 1024 * 1024) return None
+            if (w.toLong * h.toLong > ProgressivePixelCap) return None
             bwB = mcusX * comps(0).h
             bhB = mcusY * comps(0).v
             coefY = new Array[Int](bwB * bhB * 64)

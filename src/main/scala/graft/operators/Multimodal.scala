@@ -442,53 +442,65 @@ object Multimodal {
     * truncated metadata degrades to 1 (upright) — orientation is a
     * HINT, never a reason to drop or kill a payload. */
   private[graft] def exifOrientation(b: Array[Byte]): Int = {
-    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return 1
+    val raw = exifOrientationRaw(b)
+    if (raw >= 1) raw else 1
+  }
+
+  /** [[exifOrientation]]'s underlying walk with the degrade REASON kept
+    * (the m7c coverage axis): 1..8 = a well-formed APP1 orientation;
+    * 0 = no usable orientation present (no APP1-Exif segment, or a
+    * well-formed IFD0 without the tag); -1 = an APP1-Exif segment IS
+    * present but its TIFF structure or tag encoding is malformed — the
+    * counted degrade a corpus owner wants separated from true
+    * uprights. */
+  private[graft] def exifOrientationRaw(b: Array[Byte]): Int = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return 0
     var i = 2
     while (i + 3 < b.length) {
-      if ((b(i) & 0xff) != 0xff) return 1
+      if ((b(i) & 0xff) != 0xff) return 0
       val m = b(i + 1) & 0xff
       if (m == 0xff) i += 1 // fill byte
       else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2
-      else if (m == 0xd9 || m == 0xda) return 1 // EOI / scan: no APP1
+      else if (m == 0xd9 || m == 0xda) return 0 // EOI / scan: no APP1
       else {
         val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-        if (len < 2 || i + 2 + len > b.length) return 1
+        if (len < 2 || i + 2 + len > b.length) return 0
         if (m == 0xe1 && len >= 2 + 6 + 8 + 2 + 12 + 4 &&
           b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
           b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0) {
           val t = i + 10 // TIFF header
           val end = i + 2 + len
           val le = b(t) == 'I' && b(t + 1) == 'I'
-          if (!le && !(b(t) == 'M' && b(t + 1) == 'M')) return 1
+          if (!le && !(b(t) == 'M' && b(t + 1) == 'M')) return -1
           def u16(p: Int): Int =
             if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
             else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
           def u32(p: Int): Long =
             if (le) (u16(p) & 0xffffL) | ((u16(p + 2) & 0xffffL) << 16)
             else ((u16(p) & 0xffffL) << 16) | (u16(p + 2) & 0xffffL)
-          if (u16(t + 2) != 42) return 1
+          if (u16(t + 2) != 42) return -1
           val ifd = u32(t + 4)
-          if (ifd < 8 || ifd > end - t - 2L) return 1
+          if (ifd < 8 || ifd > end - t - 2L) return -1
           val ip = t + ifd.toInt
           val n = u16(ip)
           var e = 0
           while (e < n) {
             val ep = ip + 2 + 12 * e
-            if (ep + 12 > end) return 1
+            if (ep + 12 > end) return -1
             if (u16(ep) == 0x0112) {
               // SHORT (type 3), count 1: value lives inline
-              if (u16(ep + 2) != 3 || u32(ep + 4) != 1L) return 1
+              if (u16(ep + 2) != 3 || u32(ep + 4) != 1L) return -1
               val v = u16(ep + 8)
-              return if (v >= 1 && v <= 8) v else 1
+              return if (v >= 1 && v <= 8) v else -1
             }
             e += 1
           }
-          return 1 // IFD0 present, no orientation tag
+          return 0 // IFD0 well-formed, no orientation tag
         }
         i += 2 + len
       }
     }
-    1
+    0
   }
 
   /** Store an upright raster in EXIF orientation `o`'s stored form —
@@ -658,6 +670,102 @@ object Multimodal {
     }
   }
 
+  /** m4e fixture — [[syntheticJpegExifImages]] with every doc_id % 3
+    * == 1 payload re-encoded as a REAL progressive (SOF2) stream with
+    * its APP1 Exif segment RE-SPLICED (same orientation, same byte
+    * order): the composition real phone photos increasingly ship —
+    * progressive AND EXIF-rotated — and the one the m4d fixture
+    * (baseline-only) couldn't exercise. The re-encode starts from the
+    * STORED raster decode, so progressive decode + APP1 parse +
+    * inverse orientation must all compose for the m4d closed form
+    * (same residue group = pair) to survive the mix. */
+  def syntheticJpegExifProgressiveMix(docs: DataFrame,
+      group: Long => Long = _ % 241,
+      member: Long => Long = _ / 241): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticJpegExifImages(docs, group, member).map { r =>
+      if (r.doc_id % 3 != 1) r
+      else {
+        val (sw, sh, stored) = decodeFixtureGray(r)
+        val mi = member(r.doc_id)
+        val o = (1 + mi % 8).toInt
+        r.copy(payload = withExifOrientation(
+          JpegCodec.encodeGrayProgressive(sw, sh, stored), o,
+          bigEndian = mi % 2 == 0))
+      }
+    }
+  }
+
+  /** m7c fixture — [[syntheticJpegExifImages]] stretched across the
+    * orientation-coverage axes: doc_id % 5 == 3 members have their
+    * APP1 segment STRIPPED (a clean no-metadata payload → 'missing'),
+    * % 5 == 4 members keep the segment but with the TIFF magic
+    * zeroed (metadata present but unparseable → 'malformed', the
+    * counted degrade), % 5 == 2 members re-encode as REAL progressive
+    * with the APP1 re-spliced (the phone-photo composition — must
+    * still classify 'ok' AND decode), and the rest stay baseline+EXIF
+    * ('ok'). The fixture's own splice layout makes strip/corrupt
+    * byte-exact: [[withExifOrientation]] always emits a 36-byte APP1
+    * at offset 2 (FF E1 + len + "Exif\0\0" + 26-byte TIFF), so the
+    * segment occupies bytes [2, 38) and its TIFF magic bytes sit at
+    * absolute offsets 14–15. */
+  def syntheticJpegExifCoverageMix(docs: DataFrame,
+      group: Long => Long = _ % 241,
+      member: Long => Long = _ / 241): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticJpegExifImages(docs, group, member).map { r =>
+      r.doc_id % 5 match {
+        case 3 => // strip the spliced APP1: bytes [2, 38) out
+          val p = r.payload
+          val out = new Array[Byte](p.length - 36)
+          out(0) = p(0); out(1) = p(1)
+          System.arraycopy(p, 38, out, 2, p.length - 38)
+          r.copy(payload = out)
+        case 4 => // zero the TIFF byte-order-independent magic (42)
+          val p = r.payload.clone()
+          p(14) = 0; p(15) = 0
+          r.copy(payload = p)
+        case 2 =>
+          val (sw, sh, stored) = decodeFixtureGray(r)
+          val mi = member(r.doc_id)
+          val o = (1 + mi % 8).toInt
+          r.copy(payload = withExifOrientation(
+            JpegCodec.encodeGrayProgressive(sw, sh, stored), o,
+            bigEndian = mi % 2 == 0))
+        case _ => r
+      }
+    }
+  }
+
+  /** m7c — EXIF orientation-coverage receipt (the m9-style card for
+    * the m4d path): one row per (exif_class, orientation, decoded)
+    * with payload counts, where exif_class separates true uprights
+    * from silent degrades — 'ok' (well-formed APP1 orientation 1..8),
+    * 'missing' (no usable orientation), 'malformed' (APP1 present,
+    * TIFF unparseable — [[exifOrientationRaw]] < 0, the class
+    * [[imageDHashOriented]] silently normalizes as upright) — and
+    * decoded is a REAL [[JpegCodec.decodeGray]] attempt. The number a
+    * corpus owner reads before trusting m4d's oriented dedup coverage:
+    * how much of the corpus carried a usable flag, and how much was
+    * hashed upright because its metadata was broken. Map-only
+    * classify+decode (payloads never shuffle) + one card-sized agg. */
+  def jpegOrientationCard(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val raw = exifOrientationRaw(r.payload)
+        val cls = if (raw >= 1) "ok" else if (raw == 0) "missing" else "malformed"
+        val o = (if (raw >= 1) raw else 1).toLong
+        (cls, o, JpegCodec.decodeGray(r.payload).isDefined)
+      }
+    }.toDF("exif_class", "orientation", "decoded")
+      .groupBy("exif_class", "orientation", "decoded")
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** [[syntheticJpegImages]] with every doc_id % 3 == 1 payload
     * re-encoded as a REAL progressive (SOF2) stream — the m4c fixture
     * upgrade that makes the dedup oracle gate the progressive decoder
@@ -674,11 +782,22 @@ object Multimodal {
     syntheticJpegImages(docs, group).map { r =>
       if (r.doc_id % 3 != 1) r
       else {
-        val (w, h, px) = JpegCodec.decodeGray(r.payload).get
+        val (w, h, px) = decodeFixtureGray(r)
         r.copy(payload = JpegCodec.encodeGrayProgressive(w, h, px))
       }
     }
   }
+
+  /** Decode a fixture-generated baseline payload, failing LOUDLY on the
+    * impossible: fixture generators may assume their own encoder's
+    * output decodes (tests pin it), but a bare `.get` would surface a
+    * future encoder regression as a NoSuchElementException killing the
+    * task — the exact failure mode the degrade-never-kill contract
+    * exists to avoid, and far harder to diagnose than a named error. */
+  private def decodeFixtureGray(r: MediaRow): (Int, Int, Array[Int]) =
+    JpegCodec.decodeGray(r.payload).getOrElse(throw new IllegalStateException(
+      s"fixture invariant violated: synthetic baseline JPEG for doc_id=" +
+        s"${r.doc_id} failed to decode — the fixture encoder regressed"))
 
   /** First-SOF classifier for JPEG payloads — the coverage axis of the
     * m7b receipt. Walks the marker stream from SOI the same way
@@ -708,7 +827,18 @@ object Multimodal {
         marker match {
           case 0xc0 => return "sof0_baseline"
           case 0xc1 => return "sof1_extended"
-          case 0xc2 => return "sof2_progressive"
+          case 0xc2 =>
+            // a conforming progressive frame past the coefficient-buffer
+            // cap degrades for SIZE, not corruption — a distinct bucket,
+            // so the card's "why payloads degraded" story stays honest
+            // (dims sit at fixed offsets in the SOF segment: P, H16, W16)
+            if (len >= 2 + 5) {
+              val fh = ((b(j + 5) & 0xff) << 8) | (b(j + 6) & 0xff)
+              val fw = ((b(j + 7) & 0xff) << 8) | (b(j + 8) & 0xff)
+              if (fw.toLong * fh.toLong > JpegCodec.ProgressivePixelCap)
+                return "sof2_progressive_oversize"
+            }
+            return "sof2_progressive"
           case 0xc9 | 0xca | 0xcd | 0xce => return "sof_arithmetic"
           case 0xc3 | 0xc7 | 0xcb | 0xcf => return "sof_lossless"
           case 0xc5 | 0xc6 => return "sof_differential"
@@ -772,7 +902,7 @@ object Multimodal {
         case _ => 0
       }
       if (r.doc_id % 7 == 1) {
-        val (w, h, px) = JpegCodec.decodeGray(r.payload).get
+        val (w, h, px) = decodeFixtureGray(r)
         // alternate grayscale and COLOR 4:2:0 progressive re-encodes:
         // the color half forces the decoder through interleaved
         // progressive DC MCUs and mid-frame chroma-scan step-over,
@@ -1517,14 +1647,19 @@ object Multimodal {
     * with the corpus is never admitted; and clips yielding NO decodable
     * frames are rejected — don't admit unverifiable media, the safe
     * ingest default (the counted-degrade story stays with m7b/m9).
-    * Output: admitted (doc_id, n_frames sampled-and-decoded). */
+    * Output: admitted (doc_id, n_frames sampled-and-decoded).
+    *
+    * `k` is the frame-sample cap and MUST match the one the corpus
+    * fingerprint was built with ([[videoFrameHashesReal]]'s k): the
+    * gate's guarantee is that it probes the IDENTICAL frames batch
+    * dedup hashed, and a mismatched k samples different offsets. */
   def videoAdmit(media: Dataset[MediaRow],
-      fp: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+      fp: org.apache.spark.util.sketch.BloomFilter, k: Int = 16): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val hs = sampledFrameHashes(r.payload, 16).map(_._2)
+        val hs = sampledFrameHashes(r.payload, k).map(_._2)
         val hit = hs.exists(h => (0 until 4).exists(b =>
           fp.mightContainLong(b.toLong * 65536L + ((h >>> (16 * b)) & 0xffffL))))
         if (hs.isEmpty || hit) None else Some((r.doc_id, hs.length.toLong))

@@ -24,10 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The raw 60-bit md5-prefix priority — the content-stable per-row
+    * rank that [[bucket]] reduces mod 1000 and [[weightedSample]] divides
+    * by the stratum weight. Exposed for fixed-COUNT selections (smallest-k
+    * by priority): the engine-portable twin of DuckDB's
+    * `('0x' || substr(md5(k), 1, 15))::BIGINT`. */
+  def hashPriority(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** 60-bit md5-prefix bucket in [0, 1000): the engine-portable twin of
     * DuckDB's `('0x' || substr(md5(k), 1, 15))::BIGINT % 1000`. */
-  def bucket(key: Column): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"), lit(1000))
+  def bucket(key: Column): Column = pmod(hashPriority(key), lit(1000))
 
   /** Keep rows whose key-bucket falls below `permille` (‰ keep rate). */
   def bernoulli(df: DataFrame, key: Column, permille: Int): DataFrame = {

@@ -549,6 +549,35 @@ object Similarity {
         col("x.cosine").as("cosine"))
   }
 
+  /** [[mutualKnn]] for a BOUNDED, model-sized frame (a fixed-count node
+    * set like [[graphWalkLayered]]'s apex layer): identical mutual-top-k
+    * semantics, but scored by one broadcast-nested-loop pass instead of a
+    * cell equi-join — the [[topK]] shape. The caller owns the bound: this
+    * is K² pair work for a K-row frame, correct only when K is a fixed
+    * COUNT independent of the corpus (the k-means contract — centroid
+    * tables, apex layers, never a corpus sample at a rate). Crucially it
+    * contains NO constant-key equi-join: a `lit(0)` cell column would
+    * funnel every pair through one shuffle key, where the broadcast pass
+    * parallelizes over the probe side (ScaleSpec pins the absence of
+    * foldable join keys in the layered walk's plan). */
+  def mutualKnnBounded(vectors: DataFrame, k: Int): DataFrame = {
+    val q = withNorm(vectors.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv")), "query_id", "qv", "qn")
+    val c = withNorm(vectors.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv")), "neighbor_id", "cv", "cn")
+    val scored = q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val knn = graft.CacheScope.persist(
+      rankTopK(scored, k).select(col("query_id"), col("neighbor_id"), col("cosine")))
+    knn.alias("x").join(knn.alias("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id"))
+      .filter(col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
+        col("x.cosine").as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) with cosine ≥
     * threshold, blocked by coarse cell to avoid the full cross product. */
   def nearDupPairs(vectors: DataFrame, cellCol: String, threshold: Double): DataFrame = {
@@ -726,12 +755,17 @@ object Similarity {
     *    metadata the base graph blocks on. Sampled nodes' nearest
     *    SAMPLED cell-mates sit ~4× farther out than base neighbors:
     *    genuine long-range edges, and they cross labels.
-    *  - TOP layer: a much smaller sample (`topPermille`‰) ∪ the pool,
-    *    mutual-kNN'd GLOBALLY (one cell) — the HNSW apex whose edges
-    *    cross even cell boundaries, so the beam can migrate between
-    *    cells instead of being confined to the one it was routed to
-    *    (the routed cell holds only 13/50 of the exact truth at
-    *    sf0.01; the quantizer, not the walk, is the binding cap).
+    *  - TOP layer: a FIXED-COUNT node set — the `topCount` smallest
+    *    corpus ids by content-stable md5 priority
+    *    ([[Sampling.hashPriority]], smp6's machinery; a
+    *    TakeOrderedAndProject, never a global sort) ∪ the pool —
+    *    mutual-kNN'd over the whole bounded frame
+    *    ([[mutualKnnBounded]], one broadcast pass, no cell key). The
+    *    HNSW apex whose edges cross even cell boundaries, so the beam
+    *    can migrate between cells instead of being confined to the one
+    *    it was routed to (the routed cell holds only 13/50 of the
+    *    exact truth at sf0.01; the quantizer, not the walk, is the
+    *    binding cap).
     *  - ENTRY: each query routes to its `nProbe` best cells
     *    ([[Clustering.assignTop]]) and the beam seeds at the
     *    `nEntry` centroid-nearest pool members of EACH — same total
@@ -742,7 +776,7 @@ object Similarity {
     * [[graphWalk]]'s verbatim, at the same hops/beam.
     *
     * Measured (sf0.01, eval1 protocol, 10 queries × top-5 truth):
-    * mean recall 0.66 at ~155 exact dots/query vs [[graphWalkSeeded]]'s
+    * mean recall 0.68 at ~163 exact dots/query vs [[graphWalkSeeded]]'s
     * 0.34 at ~104 — and the budget does not explain it: the UN-layered
     * graph given MORE budget (beam 16, ~146 dots) reaches only 0.42,
     * because no amount of beam can cross edges that don't exist. The
@@ -754,16 +788,18 @@ object Similarity {
     * content-stable filter + [[mutualKnn]]'s cell-blocked equi-join
     * over the sample (at 250‰, 1/16th of the base kNN's pair work;
     * cell sizes constant under the IVF discipline → corpus-linear);
-    * the top layer must be BOUNDED like the centroid table — pick
-    * `topPermille` so sample·N stays model-sized (the k-means
-    * contract: a fixed-size global structure, its one-cell kNN cost
-    * corpus-independent); the union adds ≤ (mid + top)·kUpper rows to
+    * the top layer is BOUNDED like the centroid table — `topCount` is
+    * a fixed COUNT, not a rate, so its kNN is K² work on a model-sized
+    * frame regardless of the corpus (the k-means contract), done by
+    * [[mutualKnnBounded]]'s broadcast pass with NO constant-key
+    * equi-join anywhere (ScaleSpec pins no foldable join key survives
+    * into the plan); the union adds ≤ (mid + top)·kUpper rows to
     * the persisted adjacency. Everything else is unchanged: same
     * per-hop frontier equi-joins, same final rank. */
   def graphWalkLayered(vectors: DataFrame, graph: DataFrame,
       queries: DataFrame, cents: DataFrame, k: Int, beam: Int = 8,
       hops: Int = 3, nProbe: Int = 2, nEntry: Int = 4,
-      poolPerCell: Int = 8, midPermille: Int = 250, topPermille: Int = 60,
+      poolPerCell: Int = 8, midPermille: Int = 250, topCount: Int = 64,
       kUpper: Int = 5): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 1,
       s"k/beam/hops must be >= 1, got $k/$beam/$hops")
@@ -771,9 +807,9 @@ object Similarity {
       s"need 1 <= nEntry <= poolPerCell, got nProbe=$nProbe nEntry=$nEntry pool=$poolPerCell")
     require(nProbe * nEntry <= beam,
       s"nProbe*nEntry must be <= beam or hop-1's rank discards seeds, got ${nProbe * nEntry} > $beam")
-    require(midPermille >= 1 && midPermille <= 1000 &&
-      topPermille >= 1 && topPermille <= 1000,
-      s"permilles must be in [1,1000], got $midPermille/$topPermille")
+    require(midPermille >= 1 && midPermille <= 1000,
+      s"midPermille must be in [1,1000], got $midPermille")
+    require(topCount >= 1, s"topCount must be >= 1, got $topCount")
     require(kUpper >= 1, s"kUpper must be >= 1, got $kUpper")
     val asg = graft.CacheScope.persist(Clustering.assign(vectors, cents))
     val sw = Window.partitionBy(col("cid"))
@@ -783,17 +819,19 @@ object Similarity {
         .filter(col("srn") <= poolPerCell)
         .select(col("cid"), col("vec_id"), col("srn")))
     val poolIds = pool.select(col("vec_id"))
-    def layerIds(permille: Int) =
-      vectors.filter(Sampling.bucket(col("vec_id")) < permille)
-        .select(col("vec_id")).unionByName(poolIds).distinct()
+    val midIds = vectors.filter(Sampling.bucket(col("vec_id")) < midPermille)
+      .select(col("vec_id")).unionByName(poolIds).distinct()
     val midEdges = mutualKnn(
-      vectors.join(layerIds(midPermille), Seq("vec_id"))
+      vectors.join(midIds, Seq("vec_id"))
         .join(asg.select(col("vec_id"), col("cid")), Seq("vec_id")),
       "cid", kUpper)
-    val topEdges = mutualKnn(
-      vectors.join(layerIds(topPermille), Seq("vec_id"))
-        .withColumn("gcell", lit(0)),
-      "gcell", kUpper)
+    // apex node set: smallest-topCount by content-stable priority —
+    // a TakeOrderedAndProject over the corpus, then a model-sized frame
+    val topIds = vectors
+      .select(col("vec_id"), Sampling.hashPriority(col("vec_id")).as("pri"))
+      .orderBy(col("pri"), col("vec_id")).limit(topCount)
+      .select(col("vec_id")).unionByName(poolIds).distinct()
+    val topEdges = mutualKnnBounded(vectors.join(topIds, Seq("vec_id")), kUpper)
     val layered = graph.select(col("id_a"), col("id_b"))
       .unionByName(midEdges.select(col("id_a"), col("id_b")))
       .unionByName(topEdges.select(col("id_a"), col("id_b")))

@@ -2161,10 +2161,13 @@ object DataCatalog {
   // plus diverse entries, all on verified machinery: a MID layer
   // (md5-bucket 250‰ sample ∪ the seed pool, own mutual-kNN k=5
   // blocked by the LEARNED kmeans cell — geometric edges that cross
-  // labels), a TOP layer (60‰ sample ∪ pool, mutual-kNN k=5 GLOBAL —
-  // apex edges that cross even cells), and nprobe-2 entry (top-4
+  // labels), a TOP layer (the FIXED-COUNT apex: the 64 smallest ids
+  // by content-stable md5 priority ∪ pool, mutual-kNN k=5 over the
+  // whole bounded frame — apex edges that cross even cells; a COUNT,
+  // not a rate, so the apex kNN is corpus-independent model-sized
+  // work with no constant-key equi-join), and nprobe-2 entry (top-4
   // seeds of each query's 2 best cells — same 8-seed count as
-  // sim11b). Same hops/beam; measured mean recall 0.66 at ~155 exact
+  // sim11b). Same hops/beam; measured mean recall 0.68 at ~163 exact
   // dots/query vs sim11b's 0.34 at ~104 — and budget doesn't explain
   // it: sim11b widened to beam 16 (~146 dots) reaches only 0.42,
   // because no beam can cross edges that don't exist. Oracle:
@@ -2216,10 +2219,12 @@ object DataCatalog {
       "mmut AS (SELECT x.query_id AS id_a, x.neighbor_id AS id_b FROM mknn x JOIN mknn y " +
       "ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
       "WHERE x.query_id < x.neighbor_id), " +
-      // TOP layer: 60‰ md5 sample ∪ pool, mutual-kNN k=5 GLOBAL
-      "tids AS (SELECT DISTINCT vec_id FROM (SELECT vec_id FROM embeddings " +
-      "WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 60 " +
-      "UNION ALL SELECT vec_id FROM pool)), " +
+      // TOP layer: fixed-count apex (64 smallest md5 priorities) ∪
+      // pool, mutual-kNN k=5 over the bounded frame
+      "tids AS (SELECT DISTINCT vec_id FROM (SELECT vec_id FROM (" +
+      "SELECT vec_id FROM embeddings " +
+      "ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id " +
+      "LIMIT 64) UNION ALL SELECT vec_id FROM pool)), " +
       "tpq AS (SELECT e.vec_id AS query_id, e.embedding AS qv FROM embeddings e " +
       "JOIN tids USING (vec_id)), " +
       "tpc AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv FROM embeddings e " +
@@ -2394,6 +2399,26 @@ object DataCatalog {
     (s, d) => ordered(graft.operators.Multimodal.imageDupPairs(
       graft.operators.Multimodal.imageDHashOriented(
         graft.operators.Multimodal.syntheticJpegExifImages(documents(s, d))), 3)
+      .select(col("id_a"), col("id_b"))),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
+      "JOIN documents b ON a.doc_id % 241 = b.doc_id % 241 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
+  // M4E — progressive + EXIF composed (the r13 verdict's one named
+  // fixture gap): real phone photos increasingly ship progressive AND
+  // orientation-flagged, and m4d's fixture was baseline-only. Every
+  // doc_id % 3 == 1 member of the m4d fixture re-encodes as a REAL
+  // SOF2 stream with its APP1 re-spliced (same orientation, same byte
+  // order), so a pair whose members mix baseline and progressive
+  // storage only collides if progressive decode, APP1 parse, and the
+  // 8-way inverse transform all compose on real bytes — the two
+  // newest decoders certified END-TO-END in one dedup. Same closed
+  // form and scale shape as m4d (map-only decode+normalize, banded
+  // Hamming join).
+  val m4e = Q(
+    (s, d) => ordered(graft.operators.Multimodal.imageDupPairs(
+      graft.operators.Multimodal.imageDHashOriented(
+        graft.operators.Multimodal.syntheticJpegExifProgressiveMix(documents(s, d))), 3)
       .select(col("id_a"), col("id_b"))),
     Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
       "JOIN documents b ON a.doc_id % 241 = b.doc_id % 241 " +
@@ -2970,13 +2995,17 @@ object DataCatalog {
   // DP13 — multimodal release manifest (dp12's receipt for media): per
   // modality, payload count, fingerprinted count, and near-dup pair
   // count — computed by running the REAL pipelines end-to-end (PNG
-  // decode → dHash → banded join; WAV PCM → energy fingerprint → join;
-  // AVI parse → MJPEG frame decode → aligned-frame vote). The oracle
-  // is the closed form every fixture was DESIGNED to have (same-group
-  // residue pairs, counted as Σ C(group_size, 2) per modality's
-  // modulus), so one hash-matched card certifies three decode
-  // pipelines, three fingerprint kernels, and three pair joins at
-  // once — the receipt a multimodal dataset release ships.
+  // decode → dHash → banded join; JPEG decode → EXIF APP1 parse →
+  // orientation-inverse → dHash → banded join; WAV PCM → energy
+  // fingerprint → join; AVI parse → MJPEG frame decode →
+  // aligned-frame vote). The image/jpeg row rides the ORIENTED path
+  // (r13 verdict: a manifest fingerprinting rotated phone photos
+  // through the plain hash undercounts image dups by exactly the m4d
+  // class). The oracle is the closed form every fixture was DESIGNED
+  // to have (same-group residue pairs, counted as Σ C(group_size, 2)
+  // per modality's modulus), so one hash-matched card certifies four
+  // decode pipelines, four fingerprint kernels, and four pair joins
+  // at once — the receipt a multimodal dataset release ships.
   val dp13 = Q(
     (s, d) => {
       val spark = s
@@ -2993,12 +3022,16 @@ object DataCatalog {
       val M = graft.operators.Multimodal
       val imgFp = graft.CacheScope.persist(
         M.imageDHash(M.syntheticPixelImages(docs)))
+      val jpgFp = graft.CacheScope.persist(
+        M.imageDHashOriented(M.syntheticJpegExifImages(docs)))
       val audFp = graft.CacheScope.persist(
         M.audioFingerprint(M.syntheticAudio(docs)))
       val vidFrames = graft.CacheScope.persist(
         M.videoFrameHashesReal(M.syntheticMjpegVideos(docs)))
       ordered(
         modality("image/png", docs, imgFp, M.imageDupPairs(imgFp, 3))
+          .unionByName(modality("image/jpeg", docs, jpgFp,
+            M.imageDupPairs(jpgFp, 3)))
           .unionByName(modality("audio/wav", docs, audFp,
             M.audioDupPairs(audFp, 3)))
           .unionByName(modality("video/avi", docs,
@@ -3012,6 +3045,7 @@ object DataCatalog {
       "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents) " +
         s"SELECT 'image/png' AS modality, nd AS n_payloads, nd AS n_fingerprinted, " +
         s"${pairs(251)} AS n_dup_pairs FROM n " +
+        s"UNION ALL SELECT 'image/jpeg', nd, nd, ${pairs(241)} FROM n " +
         s"UNION ALL SELECT 'audio/wav', nd, nd, ${pairs(97)} FROM n " +
         s"UNION ALL SELECT 'video/avi', nd, nd, ${pairs(151)} FROM n" + OBA
     })
@@ -6041,6 +6075,30 @@ object DataCatalog {
       "doc_id % 7 NOT IN (3, 5) AS decoded, " +
       "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2" + OBA))
 
+  // M7C — EXIF orientation-coverage receipt (the r13 verdict ask):
+  // m7b says which SOF families decoded; this card says which
+  // payloads carried a USABLE orientation flag — per (exif_class,
+  // orientation, decoded) counts where 'malformed' separates
+  // broken-APP1 payloads (which imageDHashOriented silently hashes
+  // upright) from true uprights, the coverage number behind m4d's
+  // dedup guarantee. Fixture stretches the m4d corpus across the
+  // axes: %5==3 APP1 stripped ('missing'), %5==4 TIFF magic zeroed
+  // ('malformed' — parse degrades, decode still succeeds), %5==2
+  // progressive re-encode with APP1 re-spliced ('ok' AND decoded —
+  // the phone-photo composition), rest baseline+EXIF ('ok'). Every
+  // payload must decode; the oracle's doc_id arithmetic states each
+  // bucket.
+  val m7c = Q(
+    (s, d) => ordered(graft.operators.Multimodal.jpegOrientationCard(
+      graft.operators.Multimodal.syntheticJpegExifCoverageMix(documents(s, d)))),
+    Some("WITH c AS (SELECT CASE doc_id % 5 WHEN 3 THEN 'missing' " +
+      "WHEN 4 THEN 'malformed' ELSE 'ok' END AS exif_class, " +
+      "CAST(CASE WHEN doc_id % 5 IN (3, 4) THEN 1 " +
+      "ELSE 1 + (doc_id // 241) % 8 END AS BIGINT) AS orientation, " +
+      "TRUE AS decoded FROM documents) " +
+      "SELECT exif_class, orientation, decoded, " +
+      "CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2, 3" + OBA))
+
   // E19 — conversion-lag deciles: exact integer-microsecond decile
   // values of the first-view→first-later-purchase lag per converted
   // user, picked by rank under the total order (lag, user_id) via the
@@ -6464,5 +6522,7 @@ object DataCatalog {
     "m6b_real_frame_dedup" -> m6b, "dp13_multimodal_manifest" -> dp13,
     // round 13
     "sim11c_layered_walk" -> sim11c, "m6c_long_clip_dedup" -> m6c,
-    "m4d_exif_oriented_dedup" -> m4d)
+    "m4d_exif_oriented_dedup" -> m4d,
+    // round-14 additions
+    "m4e_exif_progressive_dedup" -> m4e, "m7c_orientation_card" -> m7c)
 }

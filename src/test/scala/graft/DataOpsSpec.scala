@@ -196,11 +196,12 @@ class DataOpsSpec extends AnyFunSuite {
     val stranded = Similarity.graphWalkSeeded(vecs, noEdges, q,
         cents, k = 5, nSeeds = 2)
       .select("neighbor_id").as[Long].collect().toSet
-    // the layered variant at permille 1000 (everyone sampled) builds
-    // mid/top mutual-kNN edges itself and reaches the rest
+    // the layered variant with everyone sampled (mid permille 1000,
+    // topCount ≥ corpus) builds mid/top mutual-kNN edges itself and
+    // reaches the rest
     val layered = Similarity.graphWalkLayered(vecs, noEdges, q,
         cents, k = 5, nProbe = 1, nEntry = 2,
-        midPermille = 1000, topPermille = 1000, kUpper = 2)
+        midPermille = 1000, topCount = 100, kUpper = 2)
       .select("neighbor_id").as[Long].collect().toSet
     assert(stranded.subsetOf(layered),
       s"layered walk must dominate the stranded one: $stranded vs $layered")
@@ -702,6 +703,60 @@ class DataOpsSpec extends AnyFunSuite {
     // member 1 of group 0 carries orientation 2 (mirror): plain hash far off
     assert(ham(plain(0L), plain(4L)) > 8,
       "without normalization the rotated twin must NOT collide (else the fixture proves nothing)")
+  }
+
+  test("exif coverage: raw classes separate ok/missing/malformed; progressive+EXIF composes; oversize SOF2 gets its own bucket") {
+    import graft.operators.{JpegCodec, Multimodal}
+    val jpeg = JpegCodec.encodeGray(16, 16, Array.fill(256)(128))
+    // raw classifier: the three classes the m7c card counts
+    assert(Multimodal.exifOrientationRaw(Multimodal.withExifOrientation(jpeg, 6)) == 6)
+    assert(Multimodal.exifOrientationRaw(jpeg) == 0, "no APP1 → missing")
+    val corrupt = Multimodal.withExifOrientation(jpeg, 6).clone()
+    corrupt(14) = 0; corrupt(15) = 0 // zero the TIFF magic (both orders)
+    assert(Multimodal.exifOrientationRaw(corrupt) == -1, "bad TIFF magic → malformed")
+    assert(Multimodal.exifOrientation(corrupt) == 1, "…and the hint still degrades upright")
+
+    // m4e composition: progressive members (id%3==1) re-encode SOF2
+    // with the APP1 re-spliced — oriented hashes still collide in-group
+    val ids = spark.range(0, 16).select(col("id").as("doc_id"))
+    val mix = Multimodal.syntheticJpegExifProgressiveMix(ids, _ % 4, _ / 4)
+    val byId = mix.collect().map(r => r.doc_id -> r.payload).toMap
+    for (id <- byId.keys if id % 3 == 1) {
+      assert(Multimodal.jpegSofClass(byId(id)) == "sof2_progressive", s"id=$id")
+      assert(Multimodal.exifOrientation(byId(id)) == 1 + (id / 4) % 8,
+        s"id=$id: APP1 must survive the progressive re-encode")
+    }
+    val oriented = Multimodal.imageDHashOriented(mix)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oriented.size == 16, "every mixed payload must decode")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (g <- 0 until 4; m <- 1 until 4)
+      assert(ham(oriented(g.toLong), oriented((g + 4 * m).toLong)) <= 2,
+        s"group $g member $m must collide across baseline/progressive storage")
+
+    // m7c card closed form on the coverage mix (group %4, member /4)
+    val card = Multimodal.jpegOrientationCard(
+        Multimodal.syntheticJpegExifCoverageMix(
+          spark.range(0, 40).select(col("id").as("doc_id")), _ % 4, _ / 4))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)) -> r.getLong(3))
+      .toMap
+    val expect = (0L until 40L).groupBy { id =>
+      val cls = (id % 5) match { case 3 => "missing"; case 4 => "malformed"; case _ => "ok" }
+      val o = if (id % 5 == 3 || id % 5 == 4) 1L else 1L + (id / 4) % 8
+      (cls, o, true)
+    }.map { case (k, v) => k -> v.size.toLong }
+    assert(card == expect, s"card=$card expect=$expect")
+
+    // a conforming progressive frame past the coefficient-buffer cap
+    // buckets as oversize (degraded for SIZE, not corruption)
+    val big = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xc2.toByte,
+      0, 11, 8, 0x10, 0x01, 0x10, 0, 1, 1, 0x11, 0) // 4097h × 4096w, 1 comp
+    assert(Multimodal.jpegSofClass(big) == "sof2_progressive_oversize")
+    assert(JpegCodec.decodeGray(big).isEmpty, "oversize progressive must degrade")
+    assert(Multimodal.jpegSofClass(
+      Multimodal.syntheticJpegSofMix(ids).filter(col("doc_id") === 1)
+        .collect()(0).payload) == "sof2_progressive",
+      "in-cap progressive keeps the plain bucket")
   }
 
   test("jpeg SOF coverage card: baseline and real-progressive payloads decode; re-marked payloads take the counted degrade path") {

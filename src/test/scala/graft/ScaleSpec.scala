@@ -138,8 +138,9 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
-  test("layered graph walk: layer construction and hops stay equi-joins; only centroid frames cross") {
-    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+  test("layered graph walk: no constant-key equi-join; every cross is a bounded frame") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
     import graft.operators.{Clustering, Similarity}
     import graft.sources.Tables
     val e = Tables.embeddings(spark, sf)
@@ -148,19 +149,40 @@ class ScaleSpec extends AnyFunSuite {
       e.filter(col("vec_id") % 50 === 0),
       Clustering.kmeans(e, 10, 3), 5)
     walk.count()
+    // the r13 apex funnelled a corpus-proportional sample through a
+    // `gcell = lit(0)` equi-join — all pair work on ONE shuffle key, and
+    // quadratic in the corpus at a fixed permille. The r14 contract:
+    // (a) no synthetic constant cell column anywhere in the plan,
+    assert(!walk.queryExecution.analyzed.toString.contains("gcell"),
+      "a constant synthetic cell column is back in the layered walk")
+    // (b) no equi-join keyed on a foldable (constant) expression,
     val ns = nodes(walk)
-    // the mid layer's sample kNN is a cid equi-join, the top layer's
-    // global kNN is a gcell equi-join over the BOUNDED apex sample,
-    // and every hop is the shared frontier×adjacency equi-join — the
-    // only legal cross is the k-row centroid assignment frame (IVF
-    // broadcast rank), exactly as in the seeded walk
+    val eqKeys = ns.flatMap {
+      case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+      case _ => Nil
+    }
+    assert(!eqKeys.exists(_.foldable),
+      s"constant-literal equi-join key in the layered walk: " +
+        eqKeys.filter(_.foldable).mkString(", "))
+    // (c) every cross/NLJ is bounded: either the k-row centroid
+    // assignment frame (IVF broadcast rank — outputs cid) or the
+    // fixed-COUNT apex kNN, whose subtree carries the topCount limit
+    // (TakeOrderedAndProject/GlobalLimit) that makes it model-sized
     val cross = ns.collect {
       case c: CartesianProductExec => c
       case b: BroadcastNestedLoopJoinExec => b
     }
     cross.foreach { n =>
-      assert(n.output.exists(a => a.name == "cid" || a.name == "cv"),
-        s"non-centroid cross product in the layered walk: ${n.nodeName}")
+      val centroid = n.output.exists(_.name == "cid")
+      val bounded = flatten(n).exists {
+        case _: TakeOrderedAndProjectExec => true
+        case _: GlobalLimitExec => true
+        case _ => false
+      }
+      assert(centroid || bounded,
+        s"unbounded cross product in the layered walk: ${n.nodeName}")
     }
     CacheScope.releaseAll()
   }

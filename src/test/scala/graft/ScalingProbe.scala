@@ -322,23 +322,25 @@ object ScalingProbe {
           e.filter(col("vec_id") % (Stride * 50) === 0),
           Clustering.kmeans(e, 10, 3), 5)
       },
-      // round-13: the layered walk, run at the deployment discipline
-      // its scaladoc mandates — the quantizer k scales with the corpus
-      // (constant CELL size, so the mid layer's within-cell sample kNN
-      // stays corpus-linear; a fixed k would make it quadratic in cell
-      // size and measure the misconfiguration, not the operator) and
-      // the apex permille scales DOWN (the top layer is bounded model
-      // state like the centroid table; its global kNN cost must be
-      // corpus-independent). The one super-constant term left is the
-      // N·k assign (k ∝ N here), which at probe sizes hides under the
-      // linear layer/walk work — called out in ARCHITECTURE.md.
+      // round-13 (re-pinned round-14): the layered walk, run at the
+      // deployment discipline its scaladoc mandates — the quantizer k
+      // scales with the corpus (constant CELL size, so the mid layer's
+      // within-cell sample kNN stays corpus-linear; a fixed k would
+      // make it quadratic in cell size and measure the
+      // misconfiguration, not the operator). The apex is now a fixed
+      // COUNT by construction (round-14 fix: topCount, default 64 —
+      // bounded model state like the centroid table, its kNN
+      // corpus-independent), so no parameter scaling is needed: the
+      // default IS the deployment discipline. The one super-constant
+      // term left is the N·k assign (k ∝ N here), which at probe sizes
+      // hides under the linear layer/walk work — called out in
+      // ARCHITECTURE.md.
       "sim11c_layered_walk" -> { d =>
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
         val e = Tables.embeddings(spark, d)
         Similarity.graphWalkLayered(e, Similarity.mutualKnn(e, "label", 5),
           e.filter(col("vec_id") % (Stride * 50) === 0),
-          Clustering.kmeans(e, 10 * m, 3), 5,
-          topPermille = math.max(1, 60 / m))
+          Clustering.kmeans(e, 10 * m, 3), 5)
       },
       // round-13 additions: the REAL-decode kernels (judge ask #1).
       // These are decode-CPU-bound, not shuffle-bound — the probe's
@@ -370,6 +372,16 @@ object ScalingProbe {
         Multimodal.imageDupPairs(Multimodal.imageDHashOriented(
           Multimodal.syntheticJpegExifImages(dense, _ / 10, _ % 10)), 3)
       },
+      // round-14: m4d's mix with every third member stored progressive
+      // (APP1 re-spliced) — times the scan-assembly decode AND the
+      // orientation path in the phone-photo production mix
+      "m4e_exif_progressive" -> { d =>
+        val m = d.substring(d.lastIndexOf("/m") + 2).toInt
+        val dense = Tables.documents(spark, d)
+          .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
+        Multimodal.imageDupPairs(Multimodal.imageDHashOriented(
+          Multimodal.syntheticJpegExifProgressiveMix(dense, _ / 10, _ % 10)), 3)
+      },
       "m5b_audio_fft" -> { d =>
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
         val dense = Tables.documents(spark, d)
@@ -384,9 +396,11 @@ object ScalingProbe {
         Multimodal.videoDupPairs(Multimodal.videoFrameHashesReal(
           Multimodal.syntheticMjpegVideos(dense, _ / 10)), 3, 3)
       },
-      // dp13's composition: all three modality pipelines + the 3-row
+      // dp13's composition: all four modality pipelines + the 4-row
       // manifest card, probe-grouped like the rows above (PNG pixel
-      // path + WAV energy path + AVI/JPEG frame path in one entry)
+      // path + JPEG/EXIF oriented path + WAV energy path + AVI/JPEG
+      // frame path in one entry — r14 added the oriented modality to
+      // the catalog card, so the probe times the same composition)
       "dp13_manifest" -> { d =>
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
         val dense = Tables.documents(spark, d)
@@ -400,11 +414,16 @@ object ScalingProbe {
               col("n_fingerprinted"), col("n_dup_pairs"))
         val imgFp = graft.CacheScope.persist(
           Multimodal.imageDHash(Multimodal.syntheticPixelImages(dense, _ / 10)))
+        val jpgFp = graft.CacheScope.persist(
+          Multimodal.imageDHashOriented(
+            Multimodal.syntheticJpegExifImages(dense, _ / 10, _ % 10)))
         val audFp = graft.CacheScope.persist(
           Multimodal.audioFingerprint(Multimodal.syntheticAudio(dense, _ / 10)))
         val vidFrames = graft.CacheScope.persist(
           Multimodal.videoFrameHashesReal(Multimodal.syntheticMjpegVideos(dense, _ / 10)))
         modality("image/png", dense, imgFp, Multimodal.imageDupPairs(imgFp, 3))
+          .unionByName(modality("image/jpeg", dense, jpgFp,
+            Multimodal.imageDupPairs(jpgFp, 3)))
           .unionByName(modality("audio/wav", dense, audFp,
             Multimodal.audioDupPairs(audFp, 3)))
           .unionByName(modality("video/avi", dense,
