@@ -149,7 +149,8 @@ object Bench {
     "m7b_jpeg_sof_card", "out4_partition_prune",
     "m4d_exif_oriented_dedup",
     // round-14 additions
-    "m4e_exif_progressive_dedup", "m7c_orientation_card")
+    "m4e_exif_progressive_dedup", "m7c_orientation_card",
+    "m6d_mixed_container_dedup")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -1,0 +1,310 @@
+package graft.operators
+
+/** Minimal ISO Base Media File Format (MP4) container support for the
+  * Motion-JPEG video path — the MP4 twin of [[Multimodal.aviMjpegBytes]]
+  * / `aviMjpegFrames`. Real video corpora overwhelmingly ship ISO BMFF
+  * (`.mp4`/`.mov`), not AVI: phone captures, web scrapes, and archive
+  * dumps all mux into boxes, so a video dedup that only walks RIFF
+  * leaves the dominant container on the floor. This is a clean-room
+  * box walker over the PUBLIC ISO/IEC 14496-12 structures (box =
+  * 32-bit big-endian size + fourcc, `moov/trak/mdia/minf/stbl` sample
+  * tables, `stsd/stsz/stsc/stco` addressing), the exact inverse of the
+  * fixture muxer below — nothing here decodes video: frames come out
+  * as the stored JPEG sample bytes and ride the repo's own
+  * [[JpegCodec]], the same composition AVI uses.
+  *
+  * Scope, stated honestly: SAMPLE ENTRIES WITH FOURCC `jpeg` — the
+  * QuickTime-style Motion-JPEG shape, where each sample is one
+  * self-contained baseline/progressive JPEG. Inter-coded codecs
+  * (`avc1`/`hvc1`/`vp09`) and ESDS-wrapped `mp4v` need a real motion
+  * decoder this repo does not claim to have; such tracks parse as
+  * containers (dims come out for the m7-family cards) but frame
+  * extraction degrades to None and the payload is COUNTED as
+  * non-decodable, never mis-decoded.
+  *
+  * Degrade-never-kill like every parser in this repo: truncated boxes,
+  * 64-bit `largesize` overflow, `stco` offsets past EOF, sample-table
+  * inconsistencies, and crafted deep nesting all return None (the box
+  * walk is depth-capped for the same stack-blow reason as the AVI
+  * LIST walk). All u32 sizes are held in Long before any arithmetic. */
+object Mp4Codec {
+
+  private def beU16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def beU32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def beU64(b: Array[Byte], o: Int): Long = {
+    val v = (beU32(b, o) << 32) | beU32(b, o + 4)
+    if (v < 0) -1L else v // a >2^63 size is corrupt on any real file
+  }
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  /** Cheap sniff for the m9-style routing: ISO BMFF files open with a
+    * box whose fourcc (bytes 4..7) is `ftyp`. */
+  def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** One box in `[from, to)`: (fourcc, payloadStart, payloadEnd,
+    * nextBoxStart), or None when the header is truncated/corrupt.
+    * Handles the three BMFF size encodings: normal u32, `size == 1`
+    * (64-bit largesize follows the fourcc), `size == 0` (box runs to
+    * the end of the enclosing space). */
+  private def boxAt(b: Array[Byte], from: Int, to: Int):
+      Option[(String, Int, Long, Long)] = {
+    if (from + 8 > to) return None
+    val size32 = beU32(b, from)
+    val fc = fourcc(b, from + 4)
+    val (payload, end) =
+      if (size32 == 1L) {
+        if (from + 16 > to) return None
+        val ls = beU64(b, from + 8)
+        if (ls < 16) return None
+        (from + 16, from.toLong + ls)
+      } else if (size32 == 0L) (from + 8, to.toLong)
+      else {
+        if (size32 < 8) return None
+        (from + 8, from.toLong + size32)
+      }
+    if (end > to || payload > end) None else Some((fc, payload, end, end))
+  }
+
+  /** First child box named `fc` inside `[from, to)`:
+    * (payloadStart, payloadEnd). Iterative — only [[findPath]] below
+    * recurses, and it is depth-capped by the fixed path length. */
+  private def findBox(b: Array[Byte], from: Int, to: Int,
+      fc: String): Option[(Int, Int)] = {
+    var i = from
+    var guard = 0
+    while (i + 8 <= to && guard < 4096) { // a real moov has dozens of children
+      boxAt(b, i, to) match {
+        case Some((f, p, e, n)) =>
+          if (f == fc) return Some((p, e.toInt))
+          if (n <= i) return None // non-advancing size: corrupt
+          i = n.toInt
+        case None => return None
+      }
+      guard += 1
+    }
+    None
+  }
+
+  /** Descend a fixed fourcc path (e.g. moov → trak → mdia). The path
+    * length bounds recursion — no crafted payload can deepen it. */
+  private def findPath(b: Array[Byte], from: Int, to: Int,
+      path: List[String]): Option[(Int, Int)] = path match {
+    case Nil => Some((from, to))
+    case fc :: rest =>
+      findBox(b, from, to, fc).flatMap { case (p, e) =>
+        findPath(b, p, e, rest)
+      }
+  }
+
+  /** The first `vide`-handler track's sample-table box, or None. Walks
+    * every trak (files interleave audio/video/metadata tracks in any
+    * order) and takes the FIRST video one — the same single-stream
+    * discipline as the AVI walker's stream-00 rule, so a multi-track
+    * file cannot interleave foreign samples into the frame_idx
+    * sequence. */
+  private def videoStbl(b: Array[Byte]): Option[(Int, Int)] = {
+    val (moovFrom, moovTo) = findBox(b, 0, b.length, "moov").getOrElse(return None)
+    var i = moovFrom
+    var guard = 0
+    while (i + 8 <= moovTo && guard < 4096) {
+      boxAt(b, i, moovTo) match {
+        case Some((f, p, e, n)) =>
+          if (f == "trak") {
+            val mdia = findBox(b, p, e.toInt, "mdia")
+            val isVide = mdia.flatMap { case (mp, me) =>
+              findBox(b, mp, me, "hdlr").map { case (hp, he) =>
+                he - hp >= 12 && fourcc(b, hp + 8) == "vide"
+              }
+            }.getOrElse(false)
+            if (isVide)
+              return mdia.flatMap { case (mp, me) =>
+                findPath(b, mp, me, List("minf", "stbl"))
+              }
+          }
+          if (n <= i) return None
+          i = n.toInt
+        case None => return None
+      }
+      guard += 1
+    }
+    None
+  }
+
+  /** Frame dimensions of the first video track, for the m7-family
+    * geometry cards: the `stsd` VisualSampleEntry's width/height
+    * (u16s at entry offsets 32/34 — after the 6+2 data-reference
+    * preamble and the 16 pre_defined/reserved bytes). Dims parse for
+    * ANY video sample entry (a corpus card must size `avc1` tracks it
+    * cannot decode); only frame EXTRACTION is jpeg-gated. */
+  def dims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (!isMp4(b)) return None
+    val (sp, se) = videoStbl(b).getOrElse(return None)
+    val (dp, de) = findBox(b, sp, se, "stsd").getOrElse(return None)
+    // stsd: version/flags (4) + entry_count (4), then entries
+    if (dp + 8 > de || beU32(b, dp + 4) < 1) return None
+    boxAt(b, dp + 8, de).flatMap { case (_, ep, ee, _) =>
+      // VisualSampleEntry payload: 6 reserved + 2 data_ref_idx +
+      // 2 + 2 + 12 pre_defined/reserved, then width/height
+      if (ep + 28 > ee) None
+      else {
+        val w = beU16(b, ep + 24); val h = beU16(b, ep + 26)
+        if (w < 1 || h < 1) None else Some((w, h))
+      }
+    }
+  }
+
+  /** The stored JPEG sample bytes of the first video track, in sample
+    * order — [[Multimodal.aviMjpegFrames]]'s contract for ISO BMFF.
+    * None unless the track's sample entry is `jpeg` (scope note above)
+    * and the whole `stsz`/`stsc`/`stco` addressing resolves inside the
+    * file. */
+  def mjpegFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (!isMp4(b)) return None
+    val (sp, se) = videoStbl(b).getOrElse(return None)
+    // codec gate: first stsd entry must be 'jpeg'
+    val (dp, de) = findBox(b, sp, se, "stsd").getOrElse(return None)
+    if (dp + 8 > de || beU32(b, dp + 4) < 1) return None
+    val jpegEntry = boxAt(b, dp + 8, de).exists(_._1 == "jpeg")
+    if (!jpegEntry) return None
+    // stsz: fixed size or per-sample table
+    val (zp, ze) = findBox(b, sp, se, "stsz").getOrElse(return None)
+    if (zp + 12 > ze) return None
+    val fixedSize = beU32(b, zp + 4)
+    val nSamples = beU32(b, zp + 8)
+    if (nSamples < 1 || nSamples > Int.MaxValue / 8) return None
+    val n = nSamples.toInt
+    val sizes = new Array[Long](n)
+    if (fixedSize != 0L) java.util.Arrays.fill(sizes, fixedSize)
+    else {
+      if (zp + 12 + 4L * n > ze) return None
+      var i = 0
+      while (i < n) { sizes(i) = beU32(b, zp + 12 + 4 * i); i += 1 }
+    }
+    // chunk offsets: stco (u32) or co64 (u64)
+    val offsets: Array[Long] = findBox(b, sp, se, "stco") match {
+      case Some((cp, ce)) =>
+        if (cp + 8 > ce) return None
+        val nc = beU32(b, cp + 4)
+        if (nc < 1 || cp + 8 + 4L * nc > ce) return None
+        Array.tabulate(nc.toInt)(i => beU32(b, cp + 8 + 4 * i))
+      case None => findBox(b, sp, se, "co64") match {
+        case Some((cp, ce)) =>
+          if (cp + 8 > ce) return None
+          val nc = beU32(b, cp + 4)
+          if (nc < 1 || cp + 8 + 8L * nc > ce) return None
+          val a = Array.tabulate(nc.toInt)(i => beU64(b, cp + 8 + 8 * i))
+          if (a.exists(_ < 0)) return None
+          a
+        case None => return None
+      }
+    }
+    // stsc: (first_chunk, samples_per_chunk, _) runs
+    val (cp, ce) = findBox(b, sp, se, "stsc").getOrElse(return None)
+    if (cp + 8 > ce) return None
+    val nRuns = beU32(b, cp + 4)
+    if (nRuns < 1 || cp + 8 + 12L * nRuns > ce) return None
+    val runs = Array.tabulate(nRuns.toInt) { i =>
+      (beU32(b, cp + 8 + 12 * i), beU32(b, cp + 12 + 12 * i))
+    }
+    if (runs.head._1 != 1L ||
+      runs.exists { case (fcN, spcN) => fcN < 1 || spcN < 1 } ||
+      runs.sliding(2).exists { case Array(a, c) => c._1 <= a._1; case _ => false })
+      return None
+    // walk chunks in order, laying samples consecutively from each
+    // chunk offset, until all stsz samples are placed
+    val frames = Vector.newBuilder[Array[Byte]]
+    var sample = 0
+    var run = 0
+    var chunk = 1L
+    while (sample < n && chunk <= offsets.length) {
+      while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
+      var off = offsets(chunk.toInt - 1)
+      var inChunk = 0L
+      while (sample < n && inChunk < runs(run)._2) {
+        val sz = sizes(sample)
+        if (sz < 1 || off < 0 || off + sz > b.length) return None
+        frames += java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
+        off += sz
+        inChunk += 1
+        sample += 1
+      }
+      chunk += 1
+    }
+    if (sample < n) return None // stco ran out before stsz did
+    Some(frames.result())
+  }
+
+  // ---- fixture muxer ------------------------------------------------
+
+  private def box(fc: String, parts: Array[Byte]*): Array[Byte] = {
+    val len = 8 + parts.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(len) // BE is ByteBuffer's default
+    bb.putInt(len).put(fc.getBytes("US-ASCII"))
+    parts.foreach(bb.put)
+    bb.array()
+  }
+  private def beInts(vs: Long*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(v => bb.putInt(v.toInt))
+    bb.array()
+  }
+  private def beShorts(vs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(2 * vs.length)
+    vs.foreach(v => bb.putShort(v.toShort))
+    bb.array()
+  }
+
+  /** Minimal MJPEG-in-MP4: `ftyp` + `mdat` (the JPEG sample bytes,
+    * back to back) + trailing `moov` (the capture-device layout —
+    * readers must find the sample tables BEHIND the media, which is
+    * exactly what the walker above does). One track, one chunk, `jpeg`
+    * VisualSampleEntry, 25 fps timescale. The fixture encoder for the
+    * real MP4 video path, byte-inverse of [[mjpegFrames]]. */
+  def encodeMjpeg(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeMjpeg needs at least one frame")
+    require(w >= 1 && w <= 0xffff && h >= 1 && h <= 0xffff,
+      s"dims must fit a VisualSampleEntry u16, got ${w}x$h")
+    val ftyp = box("ftyp", "isom".getBytes, beInts(0x200),
+      "isom".getBytes, "mp41".getBytes)
+    val mdat = box("mdat", frames.toArray.flatten)
+    val n = frames.length
+    val firstSample = ftyp.length + 8L // mdat payload starts after its header
+    val unityMatrix = beInts(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val mvhd = box("mvhd", beInts(0, 0, 0, 1000, n * 40L, 0x10000),
+      Array[Byte](0x01, 0x00, 0, 0), beInts(0, 0), unityMatrix,
+      beInts(0, 0, 0, 0, 0, 0), beInts(2))
+    val tkhd = box("tkhd", beInts(3, 0, 0, 1, 0, n * 40L, 0, 0),
+      beInts(0, 0), unityMatrix, beInts(w.toLong << 16, h.toLong << 16))
+    val mdhd = box("mdhd", beInts(0, 0, 0, 25, n.toLong),
+      Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    val hdlr = box("hdlr", beInts(0, 0), "vide".getBytes,
+      beInts(0, 0, 0), "GraftMJPEG".getBytes :+ 0.toByte)
+    // VisualSampleEntry: 6 reserved + data_ref_idx, 2+2+12
+    // pre_defined/reserved, width/height, 72 dpi resolutions,
+    // reserved, frame_count 1, 32-byte compressorname, depth 24,
+    // pre_defined -1 (ISO 14496-12 §12.1.3)
+    val entry = box("jpeg", new Array[Byte](6), beShorts(1),
+      beShorts(0, 0), beInts(0, 0, 0), beShorts(w, h),
+      beInts(0x480000, 0x480000, 0), beShorts(1),
+      new Array[Byte](32), beShorts(24, -1))
+    val stsd = box("stsd", beInts(0, 1), entry)
+    val stts = box("stts", beInts(0, 1, n.toLong, 1))
+    val stsc = box("stsc", beInts(0, 1, 1, n.toLong, 1))
+    val stsz = box("stsz", beInts((0L +: 0L +: n.toLong +:
+      frames.map(_.length.toLong)): _*))
+    val stco = box("stco", beInts(0, 1, firstSample))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val vmhd = box("vmhd", beInts(1, 0, 0))
+    val dinf = box("dinf", box("dref", beInts(0, 1), box("url ", beInts(1))))
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+}

@@ -173,6 +173,7 @@ object Multimodal {
       .orElse(parseJpeg(payload).map { case (w, h) => ("image/jpeg", w, h) })
       .orElse(parseWav(payload).map { case (r, c) => ("audio/wav", r, c) })
       .orElse(parseAvi(payload).map { case (w, h) => ("video/avi", w, h) })
+      .orElse(Mp4Codec.dims(payload).map { case (w, h) => ("video/mp4", w, h) })
 
   /** Batched feature extraction over partitions: REAL header dimensions
     * for recognized containers (PNG IHDR / JPEG SOFn / WAV fmt — pure
@@ -1398,6 +1399,17 @@ object Multimodal {
     if (out.isEmpty) None else Some(out)
   }
 
+  /** Container-transparent frame extraction: the stored JPEG frame
+    * bytes whether the clip arrived as RIFF AVI or ISO BMFF MP4 — the
+    * single seam through which [[videoFrameHashesReal]] and
+    * [[videoAdmit]] see BOTH real-world containers, so batch dedup and
+    * the streaming admission gate stay container-blind by
+    * construction. The two sniffs are disjoint (RIFF magic at offset 0
+    * vs `ftyp` fourcc at offset 4), so order is immaterial; each
+    * parser degrades to None on foreign bytes. */
+  private[graft] def containerFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] =
+    aviMjpegFrames(b).orElse(Mp4Codec.mjpegFrames(b))
+
   /** All-AVI fixture with REAL MJPEG frames for the end-to-end video
     * path (m6b): each residue group `doc_id % 151` is one 4-frame
     * clip of m4c-style plateau-cell rasters (36×32, the 9×8 dHash
@@ -1414,32 +1426,66 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
-      val g = group(id)
-      val ws = 4; val hs = 4; val w = 9 * ws; val h = 8 * hs
-      val frames = (0 until nFrames).map { fi =>
-        val seed = (g * nFrames + fi) * 2654435761L +
-          (if (id % 2 == 1 && fi == 0) 977L else 41L)
-        val rnd = new java.util.Random(seed)
-        val perm = Array.tabulate(72)(identity)
-        var i = perm.length - 1
-        while (i > 0) {
-          val j = rnd.nextInt(i + 1)
-          val t = perm(i); perm(i) = perm(j); perm(j) = t
-          i -= 1
-        }
-        val gray = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            gray(y * w + x) = 12 + 3 * perm((y / hs) * 9 + x / ws)
-            x += 1
-          }
-          y += 1
-        }
-        JpegCodec.encodeGray(w, h, gray)
-      }
+      val (w, h, frames) = plateauClipFrames(id, group(id), nFrames)
       MediaRow(id, aviMjpegBytes(w, h, frames), "video/avi")
+    }
+  }
+
+  /** The plateau-cell clip generator [[syntheticMjpegVideos]] has
+    * always encoded, factored out so container fixtures share the
+    * exact frame BYTES: (36×32, JPEG-encoded per frame; odd ids
+    * re-render frame 0 from a different permutation — the
+    * re-cut-first-frame dup shape whose closed form the m6-family
+    * oracles state). */
+  private[graft] def plateauClipFrames(id: Long, g: Long,
+      nFrames: Int): (Int, Int, IndexedSeq[Array[Byte]]) = {
+    val ws = 4; val hs = 4; val w = 9 * ws; val h = 8 * hs
+    val frames = (0 until nFrames).map { fi =>
+      val seed = (g * nFrames + fi) * 2654435761L +
+        (if (id % 2 == 1 && fi == 0) 977L else 41L)
+      val rnd = new java.util.Random(seed)
+      val perm = Array.tabulate(72)(identity)
+      var i = perm.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = perm(i); perm(i) = perm(j); perm(j) = t
+        i -= 1
+      }
+      val gray = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          gray(y * w + x) = 12 + 3 * perm((y / hs) * 9 + x / ws)
+          x += 1
+        }
+        y += 1
+      }
+      JpegCodec.encodeGray(w, h, gray)
+    }
+    (w, h, frames)
+  }
+
+  /** m6d fixture — the m6b clip corpus under MIXED real-world storage:
+    * every third doc_id muxes its clip into ISO BMFF
+    * ([[Mp4Codec.encodeMjpeg]] — ftyp/mdat/trailing-moov, the
+    * capture-device layout) instead of RIFF AVI, with the frame BYTES
+    * identical by construction ([[plateauClipFrames]]). The m4e move
+    * applied to video: a mixed-storage dup pair only collides if BOTH
+    * container walks compose with the shared JPEG decode + dHash +
+    * aligned-frame vote, so m6b's closed-form oracle carries over
+    * unchanged — pair structure is doc_id arithmetic, storage is
+    * incidental, exactly what a dedup must guarantee on a corpus
+    * whose videos arrive in whatever container the crawler found. */
+  def syntheticMixedContainerVideos(docs: DataFrame,
+      group: Long => Long = _ % 151, nFrames: Int = 4): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val (w, h, frames) = plateauClipFrames(id, group(id), nFrames)
+      if (id % 3 == 1)
+        MediaRow(id, Mp4Codec.encodeMjpeg(w, h, frames), "video/mp4")
+      else MediaRow(id, aviMjpegBytes(w, h, frames), "video/avi")
     }
   }
 
@@ -1479,7 +1525,7 @@ object Multimodal {
     * pairs with undecodable picks dropped. Shared with [[videoAdmit]]
     * so the admission gate and the batch dedup see IDENTICAL frames. */
   private[graft] def sampledFrameHashes(payload: Array[Byte], k: Int): Seq[(Int, Long)] =
-    aviMjpegFrames(payload).toSeq.flatMap { frames =>
+    containerFrames(payload).toSeq.flatMap { frames =>
       val n = frames.length
       val picks: IndexedSeq[(Int, Int)] = // (sample idx, frame offset)
         if (n <= k) (0 until n).map(i => (i, i))

@@ -4991,6 +4991,37 @@ object DataCatalog {
       "JOIN s b ON a.doc_id % 151 = b.doc_id % 151 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M6D — video dedup across MIXED real-world containers (the m4e
+  // move applied to video): real corpora don't arrive in one
+  // container — phone captures and web scrapes mux ISO BMFF MP4, not
+  // the RIFF AVI the m6 family has exercised so far — and a dedup
+  // keyed on decoded frames must be BLIND to storage or every
+  // re-muxed upload survives as a "unique" video. The fixture stores
+  // every third clip of the m6b corpus as MJPEG-in-MP4
+  // (Mp4Codec.encodeMjpeg: ftyp/mdat/trailing-moov, the
+  // capture-device layout; frame BYTES identical by construction) and
+  // the operator path is UNCHANGED — videoFrameHashesReal now walks
+  // boxes or RIFF through one containerFrames seam — so a mixed
+  // AVI↔MP4 pair only collides if the BMFF sample-table walk
+  // (stsd 'jpeg' gate, stsz/stsc/stco addressing) composes with the
+  // shared JPEG decode, dHash, banding, and the aligned-frame vote.
+  // m6b's closed form carries over verbatim: pair structure is doc_id
+  // arithmetic, storage is incidental — which is the exact guarantee
+  // a 100 TB crawl needs. smp1-gated at 500‰ (the d15/d20 bench
+  // discipline for re-runs of an already-certified kernel family).
+  val m6d = Q(
+    (s, d) => ordered(graft.operators.Multimodal.videoDupPairs(
+      graft.operators.Multimodal.videoFrameHashesReal(
+        graft.operators.Multimodal.syntheticMixedContainerVideos(
+          Sampling.bernoulli(documents(s, d), col("doc_id"), 500))), 3, 3)),
+    Some("WITH s AS (SELECT doc_id FROM documents " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 500) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(CASE WHEN a.doc_id % 2 = b.doc_id % 2 THEN 4 ELSE 3 END AS BIGINT) " +
+      "AS n_matched_frames FROM s a " +
+      "JOIN s b ON a.doc_id % 151 = b.doc_id % 151 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   // M5B — SPECTRAL audio near-dup over the same real-PCM fixture: 16
   // FFT windows × 4 log-spaced frequency bands, bit (t·4+b) = band
   // energy rising at window t — the chromaprint shape proper, where
@@ -6524,5 +6555,6 @@ object DataCatalog {
     "sim11c_layered_walk" -> sim11c, "m6c_long_clip_dedup" -> m6c,
     "m4d_exif_oriented_dedup" -> m4d,
     // round-14 additions
-    "m4e_exif_progressive_dedup" -> m4e, "m7c_orientation_card" -> m7c)
+    "m4e_exif_progressive_dedup" -> m4e, "m7c_orientation_card" -> m7c,
+    "m6d_mixed_container_dedup" -> m6d)
 }

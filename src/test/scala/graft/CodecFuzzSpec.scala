@@ -58,7 +58,9 @@ class CodecFuzzSpec extends AnyFunSuite {
       "wav" -> Multimodal.wavBytesPcm(8000, 2,
         Array.tabulate(520)(i => ((i * 977) % 8191).toShort)),
       "avi_mjpeg" -> Multimodal.aviMjpegBytes(16, 16,
-        (0 until 3).map(i => JpegCodec.encodeGray(16, 16, raster(16, 16, 10L + i)))))
+        (0 until 3).map(i => JpegCodec.encodeGray(16, 16, raster(16, 16, 10L + i)))),
+      "mp4_mjpeg" -> graft.operators.Mp4Codec.encodeMjpeg(16, 16,
+        (0 until 3).map(i => JpegCodec.encodeGray(16, 16, raster(16, 16, 20L + i)))))
   }
 
   /** Every decoder that accepts raw payload bytes. */
@@ -69,6 +71,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.wavPcmMono(b)
     Multimodal.wavPcmEnergies(b, 65)
     Multimodal.aviMjpegFrames(b)
+    graft.operators.Mp4Codec.mjpegFrames(b)
+    graft.operators.Mp4Codec.dims(b)
     Multimodal.jpegSofClass(b)
     Multimodal.exifOrientation(b)
   }

@@ -1088,6 +1088,29 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("video admission is container-blind: an MP4 re-mux neither evades nor trips the AVI-built gate") {
+    import graft.operators.Multimodal
+    import graft.sources.Tables
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .filter(col("doc_id") < 3000) // gate behavior, not throughput
+    // fingerprint built from ALL-AVI storage (yesterday's corpus)...
+    val corpus = Multimodal.syntheticMjpegVideos(docs.filter(col("doc_id") % 151 < 76))
+    val fp = Multimodal.videoCorpusFingerprint(Multimodal.videoFrameHashesReal(corpus))
+    // ...gating today's arrivals in whatever container the crawler
+    // found: every third clip re-muxed as ISO BMFF, same frame bytes
+    val avi = Multimodal.syntheticMjpegVideos(docs)
+    val mixed = Multimodal.syntheticMixedContainerVideos(docs)
+    val a = Multimodal.videoAdmit(avi, fp).orderBy("doc_id").collect()
+    val m = Multimodal.videoAdmit(mixed, fp).orderBy("doc_id").collect()
+    assert(a.nonEmpty, "the new groups must admit")
+    assert(a.sameElements(m),
+      "admission must depend on decoded frames only — a re-muxed dup that " +
+        "slips the gate re-pollutes the corpus; a re-muxed original that " +
+        "trips it starves ingest")
+    CacheScope.releaseAll()
+  }
+
   test("streaming contamination gate emits exactly the batch result, never admits contaminated") {
     import graft.streaming.DocStream
     import graft.operators.NearDup

@@ -396,6 +396,17 @@ object ScalingProbe {
         Multimodal.videoDupPairs(Multimodal.videoFrameHashesReal(
           Multimodal.syntheticMjpegVideos(dense, _ / 10)), 3, 3)
       },
+      // round-14: m6b's corpus under mixed AVI/MP4 storage — times the
+      // ISO BMFF sample-table walk against the RIFF walk on a third of
+      // the clips; same frame bytes, same decode, so any exponent gap
+      // vs m6b is container-walk cost and nothing else
+      "m6d_mixed_container" -> { d =>
+        val m = d.substring(d.lastIndexOf("/m") + 2).toInt
+        val dense = Tables.documents(spark, d)
+          .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
+        Multimodal.videoDupPairs(Multimodal.videoFrameHashesReal(
+          Multimodal.syntheticMixedContainerVideos(dense, _ / 10)), 3, 3)
+      },
       // dp13's composition: all four modality pipelines + the 4-row
       // manifest card, probe-grouped like the rows above (PNG pixel
       // path + JPEG/EXIF oriented path + WAV energy path + AVI/JPEG
