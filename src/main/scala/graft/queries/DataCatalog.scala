@@ -2997,15 +2997,21 @@ object DataCatalog {
   // count — computed by running the REAL pipelines end-to-end (PNG
   // decode → dHash → banded join; JPEG decode → EXIF APP1 parse →
   // orientation-inverse → dHash → banded join; WAV PCM → energy
-  // fingerprint → join; AVI parse → MJPEG frame decode →
-  // aligned-frame vote). The image/jpeg row rides the ORIENTED path
-  // (r13 verdict: a manifest fingerprinting rotated phone photos
-  // through the plain hash undercounts image dups by exactly the m4d
-  // class). The oracle is the closed form every fixture was DESIGNED
-  // to have (same-group residue pairs, counted as Σ C(group_size, 2)
-  // per modality's modulus), so one hash-matched card certifies four
-  // decode pipelines, four fingerprint kernels, and four pair joins
-  // at once — the receipt a multimodal dataset release ships.
+  // fingerprint → join; AVI or MP4 container walk → MJPEG frame
+  // decode → aligned-frame vote). The image/jpeg row rides the
+  // ORIENTED path (r13 verdict: a manifest fingerprinting rotated
+  // phone photos through the plain hash undercounts image dups by
+  // exactly the m4d class), and the video row rides the
+  // CONTAINER-BLIND path over mixed AVI/MP4 storage (the same
+  // manifest honesty: a release whose videos arrive re-muxed must
+  // count a re-muxed dup as a dup — the m6d class). The oracle is the
+  // closed form every fixture was DESIGNED to have (same-group
+  // residue pairs, counted as Σ C(group_size, 2) per modality's
+  // modulus — storage is incidental to the closed form because the
+  // frame bytes are container-independent by construction), so one
+  // hash-matched card certifies four decode pipelines, four
+  // fingerprint kernels, and four pair joins at once — the receipt a
+  // multimodal dataset release ships.
   val dp13 = Q(
     (s, d) => {
       val spark = s
@@ -3027,14 +3033,14 @@ object DataCatalog {
       val audFp = graft.CacheScope.persist(
         M.audioFingerprint(M.syntheticAudio(docs)))
       val vidFrames = graft.CacheScope.persist(
-        M.videoFrameHashesReal(M.syntheticMjpegVideos(docs)))
+        M.videoFrameHashesReal(M.syntheticMixedContainerVideos(docs)))
       ordered(
         modality("image/png", docs, imgFp, M.imageDupPairs(imgFp, 3))
           .unionByName(modality("image/jpeg", docs, jpgFp,
             M.imageDupPairs(jpgFp, 3)))
           .unionByName(modality("audio/wav", docs, audFp,
             M.audioDupPairs(audFp, 3)))
-          .unionByName(modality("video/avi", docs,
+          .unionByName(modality("video", docs,
             vidFrames.select("doc_id").distinct(),
             M.videoDupPairs(vidFrames, 3, 3))))
     },
@@ -3047,7 +3053,7 @@ object DataCatalog {
         s"${pairs(251)} AS n_dup_pairs FROM n " +
         s"UNION ALL SELECT 'image/jpeg', nd, nd, ${pairs(241)} FROM n " +
         s"UNION ALL SELECT 'audio/wav', nd, nd, ${pairs(97)} FROM n " +
-        s"UNION ALL SELECT 'video/avi', nd, nd, ${pairs(151)} FROM n" + OBA
+        s"UNION ALL SELECT 'video', nd, nd, ${pairs(151)} FROM n" + OBA
     })
 
   // URL2 — canonical-URL dedup: two synthetic link variants per doc

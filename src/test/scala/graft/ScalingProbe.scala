@@ -409,9 +409,10 @@ object ScalingProbe {
       },
       // dp13's composition: all four modality pipelines + the 4-row
       // manifest card, probe-grouped like the rows above (PNG pixel
-      // path + JPEG/EXIF oriented path + WAV energy path + AVI/JPEG
-      // frame path in one entry — r14 added the oriented modality to
-      // the catalog card, so the probe times the same composition)
+      // path + JPEG/EXIF oriented path + WAV energy path + mixed
+      // AVI/MP4 frame path in one entry — r14 routed the card through
+      // the oriented AND container-blind paths, so the probe times
+      // the same composition)
       "dp13_manifest" -> { d =>
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
         val dense = Tables.documents(spark, d)
@@ -431,13 +432,14 @@ object ScalingProbe {
         val audFp = graft.CacheScope.persist(
           Multimodal.audioFingerprint(Multimodal.syntheticAudio(dense, _ / 10)))
         val vidFrames = graft.CacheScope.persist(
-          Multimodal.videoFrameHashesReal(Multimodal.syntheticMjpegVideos(dense, _ / 10)))
+          Multimodal.videoFrameHashesReal(
+            Multimodal.syntheticMixedContainerVideos(dense, _ / 10)))
         modality("image/png", dense, imgFp, Multimodal.imageDupPairs(imgFp, 3))
           .unionByName(modality("image/jpeg", dense, jpgFp,
             Multimodal.imageDupPairs(jpgFp, 3)))
           .unionByName(modality("audio/wav", dense, audFp,
             Multimodal.audioDupPairs(audFp, 3)))
-          .unionByName(modality("video/avi", dense,
+          .unionByName(modality("video", dense,
             vidFrames.select("doc_id").distinct(),
             Multimodal.videoDupPairs(vidFrames, 3, 3)))
       })
