@@ -261,7 +261,9 @@ class ScaleSpec extends AnyFunSuite {
       "m5b" -> Multimodal.audioDupPairs(Multimodal.audioSpectralFingerprint(
         Multimodal.syntheticAudio(docs)), 4),
       "m6b" -> Multimodal.videoDupPairs(Multimodal.videoFrameHashesReal(
-        Multimodal.syntheticMjpegVideos(docs)), 3, 3))
+        Multimodal.syntheticMjpegVideos(docs)), 3, 3),
+      "m6d" -> Multimodal.videoDupPairs(Multimodal.videoFrameHashesReal(
+        Multimodal.syntheticMixedContainerVideos(docs)), 3, 3))
     plans.foreach { case (name, df) =>
       df.count()
       val ns = nodes(df)
