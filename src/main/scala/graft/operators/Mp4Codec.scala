@@ -13,14 +13,16 @@ package graft.operators
   * as the stored JPEG sample bytes and ride the repo's own
   * [[JpegCodec]], the same composition AVI uses.
   *
-  * Scope, stated honestly: SAMPLE ENTRIES WITH FOURCC `jpeg` — the
-  * QuickTime-style Motion-JPEG shape, where each sample is one
-  * self-contained baseline/progressive JPEG. Inter-coded codecs
-  * (`avc1`/`hvc1`/`vp09`) and ESDS-wrapped `mp4v` need a real motion
-  * decoder this repo does not claim to have; such tracks parse as
-  * containers (dims come out for the m7-family cards) but frame
-  * extraction degrades to None and the payload is COUNTED as
-  * non-decodable, never mis-decoded.
+  * Scope, stated honestly: MOTION-JPEG TRACKS ONLY, in both
+  * real-world spellings — fourcc `jpeg` (the QuickTime shape) and
+  * fourcc `mp4v` whose ESDS DecoderConfigDescriptor declares
+  * objectTypeIndication 0x6C / JPEG (the ffmpeg `.mp4` shape). Each
+  * sample is then one self-contained baseline/progressive JPEG.
+  * Inter-coded codecs (`avc1`/`hvc1`/`vp09`, mp4v with a real MPEG-4
+  * OTI) need a motion decoder this repo does not claim to have; such
+  * tracks parse as containers (dims come out for the m7-family cards)
+  * but frame extraction degrades to None and the payload is COUNTED
+  * as non-decodable, never mis-decoded.
   *
   * Degrade-never-kill like every parser in this repo: truncated boxes,
   * 64-bit `largesize` overflow, `stco` offsets past EOF, sample-table
@@ -158,6 +160,40 @@ object Mp4Codec {
     }
   }
 
+  /** The objectTypeIndication byte of an `esds` box's
+    * DecoderConfigDescriptor, or None when the descriptor stream is
+    * malformed. MPEG-4 descriptors (ISO 14496-1 §8.3.3): tag byte,
+    * then a size in 1–4 continuation-bit bytes, then the payload —
+    * the ES_Descriptor (tag 0x03) carries ES_ID + a flags byte whose
+    * top three bits gate optional fields, then the
+    * DecoderConfigDescriptor (tag 0x04) whose first payload byte is
+    * the OTI. Bounds-checked at every step like the box walk. */
+  private def esdsObjectType(b: Array[Byte], from: Int, to: Int): Option[Int] = {
+    var i = from + 4 // skip the full-box version/flags
+    def u8(): Int = { val v = b(i) & 0xff; i += 1; v }
+    def varSize(): Long = {
+      var n = 0; var v = 0L
+      while (n < 4 && i < to) {
+        val c = u8(); v = (v << 7) | (c & 0x7f); n += 1
+        if ((c & 0x80) == 0) return v
+      }
+      -1L
+    }
+    if (i >= to || u8() != 0x03) return None
+    if (varSize() < 0 || i + 3 > to) return None
+    i += 2 // ES_ID
+    val flags = u8()
+    if ((flags & 0x80) != 0) i += 2 // dependsOn_ES_ID
+    if ((flags & 0x40) != 0) { // URL: length-prefixed string
+      if (i >= to) return None
+      val len = u8(); i += len
+    }
+    if ((flags & 0x20) != 0) i += 2 // OCR_ES_ID
+    if (i >= to || u8() != 0x04) return None
+    if (varSize() < 0 || i >= to) return None
+    Some(u8())
+  }
+
   /** The stored JPEG sample bytes of the first video track, in sample
     * order — [[Multimodal.aviMjpegFrames]]'s contract for ISO BMFF.
     * None unless the track's sample entry is `jpeg` (scope note above)
@@ -169,7 +205,20 @@ object Mp4Codec {
     // codec gate: first stsd entry must be 'jpeg'
     val (dp, de) = findBox(b, sp, se, "stsd").getOrElse(return None)
     if (dp + 8 > de || beU32(b, dp + 4) < 1) return None
-    val jpegEntry = boxAt(b, dp + 8, de).exists(_._1 == "jpeg")
+    val jpegEntry = boxAt(b, dp + 8, de).exists {
+      case ("jpeg", _, _, _) => true // QuickTime-style Motion-JPEG
+      case ("mp4v", ep, ee, _) =>
+        // ffmpeg muxes MJPEG into .mp4 as an MPEG-4 visual entry whose
+        // ESDS declares the codec: walk the entry's child boxes (they
+        // start after the 78-byte VisualSampleEntry fields) to `esds`
+        // and accept objectTypeIndication 0x6C (ISO 14496-1 "Visual
+        // 10918-1", i.e. JPEG). Anything else is a real MPEG-4 stream
+        // this repo does not claim to decode.
+        findBox(b, ep + 78, ee.toInt, "esds").exists { case (p, e) =>
+          esdsObjectType(b, p, e).contains(0x6c)
+        }
+      case _ => false
+    }
     if (!jpegEntry) return None
     // stsz: fixed size or per-sample table
     val (zp, ze) = findBox(b, sp, se, "stsz").getOrElse(return None)

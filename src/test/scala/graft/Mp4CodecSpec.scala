@@ -141,6 +141,63 @@ class Mp4CodecSpec extends AnyFunSuite {
       .getOrElse(-1)
   }
 
+  test("mp4v sample entry: ESDS OTI 0x6C (JPEG) extracts, real MPEG-4 visual degrades") {
+    // ffmpeg's MJPEG-in-.mp4 shape: fourcc mp4v, codec declared by the
+    // ESDS DecoderConfigDescriptor's objectTypeIndication
+    def esds(oti: Int): Array[Byte] = box("esds", be(0),
+      Array[Byte](0x03, 18, 0, 0, 0, 0x04, 13, oti.toByte,
+        0x11, 0x01, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    def mp4vFile(oti: Int): Array[Byte] = {
+      val f = frame(12L)
+      val good = Mp4Codec.encodeMjpeg(16, 16, Seq(f))
+      // rebuild the stsd with an mp4v entry carrying the esds
+      val entry = box("mp4v", new Array[Byte](6), be16(1), be16(0, 0),
+        be(0, 0, 0), be16(16, 16), be(0x480000, 0x480000, 0), be16(1),
+        new Array[Byte](32), be16(24, -1), esds(oti))
+      val oldStsd = {
+        val at = indexOfFourcc(good, "stsd")
+        java.util.Arrays.copyOfRange(good, at - 4,
+          at - 4 + java.nio.ByteBuffer.wrap(good, at - 4, 4).getInt)
+      }
+      val newStsd = box("stsd", be(0, 1), entry)
+      // splice, then fix every enclosing box size (moov/trak/mdia/minf/stbl)
+      val at = indexOfFourcc(good, "stsd") - 4
+      val delta = newStsd.length - oldStsd.length
+      val out = java.util.Arrays.copyOfRange(good, 0, at) ++ newStsd ++
+        java.util.Arrays.copyOfRange(good, at + oldStsd.length, good.length)
+      for (fc <- Seq("moov", "trak", "mdia", "minf", "stbl")) {
+        val p = indexOfFourcc(out, fc) - 4
+        java.nio.ByteBuffer.wrap(out, p, 4)
+          .putInt(java.nio.ByteBuffer.wrap(out, p, 4).getInt + delta)
+      }
+      out
+    }
+    val jpegInMp4v = Mp4Codec.mjpegFrames(mp4vFile(0x6c))
+    assert(jpegInMp4v.isDefined && jpegInMp4v.get.length == 1 &&
+      java.util.Arrays.equals(jpegInMp4v.get.head, frame(12L)),
+      "mp4v + OTI 0x6C is MJPEG and must extract")
+    assert(Mp4Codec.mjpegFrames(mp4vFile(0x20)).isEmpty,
+      "mp4v + OTI 0x20 is real MPEG-4 visual and must degrade")
+    assert(Mp4Codec.dims(mp4vFile(0x20)).contains((16, 16)),
+      "undecodable codecs still size for the cards")
+    // the descriptor walk is fresh parse surface: truncations and
+    // seeded corruptions must return, never throw (the CodecFuzzSpec
+    // battery fuzzes the 'jpeg'-entry shape; this covers the esds one)
+    val base = mp4vFile(0x6c)
+    var n = 1
+    while (n < base.length) {
+      Mp4Codec.mjpegFrames(base.take(n)); Mp4Codec.dims(base.take(n))
+      n += 3
+    }
+    val rnd = new java.util.Random(6L)
+    for (i <- 0 until 400) {
+      val c = base.clone()
+      var m = 0
+      while (m <= i % 3) { c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte; m += 1 }
+      Mp4Codec.mjpegFrames(c); Mp4Codec.dims(c)
+    }
+  }
+
   test("degrade battery: malformed addressing returns None, never throws") {
     val good = Mp4Codec.encodeMjpeg(16, 16, Seq(frame(3L), frame(4L)))
     def mut(f: Array[Byte] => Unit): Array[Byte] = {
