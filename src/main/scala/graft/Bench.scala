@@ -150,7 +150,7 @@ object Bench {
     "m4d_exif_oriented_dedup",
     // round-14 additions
     "m4e_exif_progressive_dedup", "m7c_orientation_card",
-    "m6d_mixed_container_dedup")
+    "m6d_mixed_container_dedup", "m5c_mixed_storage_dedup")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -174,6 +174,7 @@ object Multimodal {
       .orElse(parseWav(payload).map { case (r, c) => ("audio/wav", r, c) })
       .orElse(parseAvi(payload).map { case (w, h) => ("video/avi", w, h) })
       .orElse(Mp4Codec.dims(payload).map { case (w, h) => ("video/mp4", w, h) })
+      .orElse(FlacCodec.info(payload).map { case (r, c, _, _) => ("audio/flac", r, c) })
 
   /** Batched feature extraction over partitions: REAL header dimensions
     * for recognized containers (PNG IHDR / JPEG SOFn / WAV fmt — pure
@@ -968,16 +969,47 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
-      val g = group(id)
-      val ch = (1 + g % 2).toInt
-      val winFrames = 64
-      val rnd = new java.util.Random(g * 2654435761L + 17)
-      val pcm = Array.fill(65 * winFrames * ch)((rnd.nextInt(2048) - 1024).toShort)
-      if (id % 2 == 1) {
-        var i = winFrames * ch // window 1's frames, all channels
-        while (i < 2 * winFrames * ch) { pcm(i) = (pcm(i) / 2).toShort; i += 1 }
-      }
-      MediaRow(id, wavBytesPcm((8000 + (g * 441) % 40000).toInt, ch, pcm), "audio/wav")
+      val (rate, ch, pcm) = noiseClipSamples(id, group(id))
+      MediaRow(id, wavBytesPcm(rate, ch, pcm), "audio/wav")
+    }
+  }
+
+  /** The group-seeded noise-clip generator [[syntheticAudio]] has
+    * always encoded, factored out so storage fixtures share the exact
+    * SAMPLES: (sample rate, channels, interleaved s16; odd ids halve
+    * window 1 — the one-window loudness edit whose closed form the
+    * m5-family oracles state). */
+  private[graft] def noiseClipSamples(id: Long, g: Long): (Int, Int, Array[Short]) = {
+    val ch = (1 + g % 2).toInt
+    val winFrames = 64
+    val rnd = new java.util.Random(g * 2654435761L + 17)
+    val pcm = Array.fill(65 * winFrames * ch)((rnd.nextInt(2048) - 1024).toShort)
+    if (id % 2 == 1) {
+      var i = winFrames * ch // window 1's frames, all channels
+      while (i < 2 * winFrames * ch) { pcm(i) = (pcm(i) / 2).toShort; i += 1 }
+    }
+    ((8000 + (g * 441) % 40000).toInt, ch, pcm)
+  }
+
+  /** m5c fixture — the m5 clip corpus under MIXED real-world storage:
+    * every third doc_id stores its clip FLAC-compressed
+    * ([[FlacCodec.encodeVerbatim]] — real stream structure, verified
+    * CRCs) instead of raw WAV, with the SAMPLES identical by
+    * construction ([[noiseClipSamples]]). FLAC is lossless, so the
+    * decoded s16 stream is bit-equal and every integer fingerprint
+    * downstream is EQUAL across storage — m5's closed-form pair oracle
+    * carries over verbatim, and a mixed WAV↔FLAC pair only collides
+    * if the whole FLAC decode (frame headers, CRCs, subframes, rice
+    * residuals) composes with the shared energy fingerprint. */
+  def syntheticMixedStorageAudio(docs: DataFrame,
+      group: Long => Long = _ % 97): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val (rate, ch, pcm) = noiseClipSamples(id, group(id))
+      if (id % 3 == 1)
+        MediaRow(id, FlacCodec.encodeVerbatim(rate, ch, pcm), "audio/flac")
+      else MediaRow(id, wavBytesPcm(rate, ch, pcm), "audio/wav")
     }
   }
 
@@ -1066,6 +1098,57 @@ object Multimodal {
     Some(e)
   }
 
+  /** Storage-blind PCM seam for the audio family — the audio analog of
+    * [[containerFrames]]: window energies whether the clip arrived as
+    * raw RIFF WAV or FLAC-compressed ([[FlacCodec.decodeS16]]). FLAC
+    * is lossless, so the decoded s16 samples are bit-identical to the
+    * WAV twin's and the integer Σs² energies (hence every fingerprint
+    * downstream) are EQUAL, not merely close — which is what lets the
+    * m5c closed form carry over across storage. The sniffs are
+    * disjoint (RIFF vs fLaC magic). */
+  private[graft] def pcmEnergiesAny(b: Array[Byte], nWin: Int): Option[Array[Long]] =
+    wavPcmEnergies(b, nWin).orElse(FlacCodec.decodeS16(b).flatMap {
+      case (_, ch, samples) => samplesEnergies(samples, ch, nWin)
+    })
+
+  /** The same per-window Σs² as [[wavPcmEnergies]], over decoded
+    * interleaved samples (identical window math: nWin equal windows of
+    * ⌊frames/nWin⌋ frames, trailing remainder ignored). */
+  private[graft] def samplesEnergies(samples: Array[Short], channels: Int,
+      nWin: Int): Option[Array[Long]] = {
+    if (channels < 1) return None
+    val frames = samples.length / channels
+    if (frames < nWin) return None
+    val winFrames = frames / nWin
+    val e = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      var acc = 0L
+      var s = w * winFrames * channels
+      val end = s + winFrames * channels
+      while (s < end) { val v = samples(s).toLong; acc += v * v; s += 1 }
+      e(w) = acc
+      w += 1
+    }
+    Some(e)
+  }
+
+  /** [[wavPcmMono]]'s storage-blind twin for the spectral path. */
+  private[graft] def pcmMonoAny(b: Array[Byte]): Option[Array[Double]] =
+    wavPcmMono(b).orElse(FlacCodec.decodeS16(b).map { case (_, ch, samples) =>
+      val frames = samples.length / ch
+      val mono = new Array[Double](frames)
+      var f = 0
+      while (f < frames) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) { acc += samples(f * ch + c); c += 1 }
+        mono(f) = acc / ch
+        f += 1
+      }
+      mono
+    })
+
   /** Gradient-sign packing shared by the real and stub energy paths —
     * the 1-D analog of [[dHash64]] and the shape chromaprint-style
     * fingerprints take: bit i = [e(i) < e(i+1)], loudness-shift
@@ -1105,21 +1188,23 @@ object Multimodal {
     packGradientSign(e)
   }
 
-  /** m5 step 1 — fingerprint per audio row: REAL WAV PCM decode
-    * ([[wavPcmEnergies]] — RIFF walk, s16 samples, per-window Σs²) →
-    * gradient-sign packing, in one batched mapPartitions pass. WAVs
-    * whose payload carries no decodable PCM (header-only, compressed)
-    * degrade to the md5 energy stub keyed by the header params — the
-    * same never-kill contract as the image path. Non-audio rows drop. */
+  /** m5 step 1 — fingerprint per audio row: REAL PCM decode through
+    * the storage-blind seam ([[pcmEnergiesAny]] — RIFF byte-read or
+    * FLAC decode, per-window Σs²) → gradient-sign packing, in one
+    * batched mapPartitions pass. Audio whose payload carries no
+    * decodable PCM (header-only fixtures, unsupported bit depths,
+    * CRC-failing FLAC frames) degrades to the md5 energy stub keyed by
+    * the header params — the same never-kill contract as the image
+    * path. Non-audio rows drop. */
   def audioFingerprint(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        wavPcmEnergies(r.payload, 65) match {
+        pcmEnergiesAny(r.payload, 65) match {
           case Some(e) => Some((r.doc_id, packGradientSign(e)))
           case None => parseDims(r.payload) match {
-            case Some((mime, sr, ch)) if mime == "audio/wav" =>
+            case Some((mime, sr, ch)) if mime == "audio/wav" || mime == "audio/flac" =>
               val tweak = r.payload(r.payload.length - 1) & 0xff
               Some((r.doc_id, audioFp64(sr, ch, tweak)))
             case _ => None
@@ -1236,7 +1321,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        wavPcmMono(r.payload).flatMap(audioSpectralFp)
+        pcmMonoAny(r.payload).flatMap(audioSpectralFp)
           .map(fp => (r.doc_id, fp))
       }
     }.toDF("doc_id", "afp")

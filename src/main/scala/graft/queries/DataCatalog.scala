@@ -5039,6 +5039,30 @@ object DataCatalog {
   // survive the banded Hamming ≤ 4 gate while cross-group noise
   // spectra sit ~30 bits apart: the same closed-form pair oracle as
   // m5, now proving decode → FFT → band energies → packing → banding.
+  // M5C — audio dedup across MIXED real-world storage (the m6d move
+  // for sound): real corpora ship audio losslessly COMPRESSED — FLAC,
+  // not the raw WAV the m5 family has exercised — and an
+  // energy-fingerprint dedup keyed on decoded samples must be blind
+  // to storage or every FLAC re-encode of a WAV clip survives as
+  // "unique". The fixture stores every third clip of the m5 corpus
+  // FLAC-compressed (FlacCodec.encodeVerbatim — real stream
+  // structure, verified header CRC-8 and frame CRC-16) with SAMPLES
+  // identical by construction; FLAC is lossless so the decoded s16
+  // stream is bit-equal and the integer window energies are EQUAL
+  // across storage, not merely close — m5's closed-form pair oracle
+  // carries over verbatim, and a mixed WAV↔FLAC pair only collides
+  // if the whole FLAC decode (frame sync, CRCs, subframes, rice
+  // residuals) composes with the shared Σs² fingerprint through the
+  // pcmEnergiesAny seam.
+  val m5c = Q(
+    (s, d) => ordered(graft.operators.Multimodal.audioDupPairs(
+      graft.operators.Multimodal.audioFingerprint(
+        graft.operators.Multimodal.syntheticMixedStorageAudio(documents(s, d))), 3)
+      .select(col("id_a"), col("id_b"))),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
+      "JOIN documents b ON a.doc_id % 97 = b.doc_id % 97 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   val m5b = Q(
     (s, d) => ordered(graft.operators.Multimodal.audioDupPairs(
       graft.operators.Multimodal.audioSpectralFingerprint(
@@ -6562,5 +6586,5 @@ object DataCatalog {
     "m4d_exif_oriented_dedup" -> m4d,
     // round-14 additions
     "m4e_exif_progressive_dedup" -> m4e, "m7c_orientation_card" -> m7c,
-    "m6d_mixed_container_dedup" -> m6d)
+    "m6d_mixed_container_dedup" -> m6d, "m5c_mixed_storage_dedup" -> m5c)
 }

@@ -60,7 +60,9 @@ class CodecFuzzSpec extends AnyFunSuite {
       "avi_mjpeg" -> Multimodal.aviMjpegBytes(16, 16,
         (0 until 3).map(i => JpegCodec.encodeGray(16, 16, raster(16, 16, 10L + i)))),
       "mp4_mjpeg" -> graft.operators.Mp4Codec.encodeMjpeg(16, 16,
-        (0 until 3).map(i => JpegCodec.encodeGray(16, 16, raster(16, 16, 20L + i)))))
+        (0 until 3).map(i => JpegCodec.encodeGray(16, 16, raster(16, 16, 20L + i)))),
+      "flac" -> graft.operators.FlacCodec.encodeVerbatim(8000, 2,
+        Array.tabulate(1040)(i => ((i * 977) % 8191).toShort), blockSize = 256))
   }
 
   /** Every decoder that accepts raw payload bytes. */
@@ -73,6 +75,8 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.aviMjpegFrames(b)
     graft.operators.Mp4Codec.mjpegFrames(b)
     graft.operators.Mp4Codec.dims(b)
+    graft.operators.FlacCodec.decodeS16(b)
+    graft.operators.FlacCodec.info(b)
     Multimodal.jpegSofClass(b)
     Multimodal.exifOrientation(b)
   }

@@ -263,7 +263,9 @@ class ScaleSpec extends AnyFunSuite {
       "m6b" -> Multimodal.videoDupPairs(Multimodal.videoFrameHashesReal(
         Multimodal.syntheticMjpegVideos(docs)), 3, 3),
       "m6d" -> Multimodal.videoDupPairs(Multimodal.videoFrameHashesReal(
-        Multimodal.syntheticMixedContainerVideos(docs)), 3, 3))
+        Multimodal.syntheticMixedContainerVideos(docs)), 3, 3),
+      "m5c" -> Multimodal.audioDupPairs(Multimodal.audioFingerprint(
+        Multimodal.syntheticMixedStorageAudio(docs)), 3))
     plans.foreach { case (name, df) =>
       df.count()
       val ns = nodes(df)
@@ -1110,6 +1112,27 @@ class ScaleSpec extends AnyFunSuite {
       "admission must depend on decoded frames only — a re-muxed dup that " +
         "slips the gate re-pollutes the corpus; a re-muxed original that " +
         "trips it starves ingest")
+    CacheScope.releaseAll()
+  }
+
+  test("audio admission is storage-blind: a FLAC re-encode neither evades nor trips the WAV-built gate") {
+    import graft.operators.Multimodal
+    import graft.sources.Tables
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .filter(col("doc_id") < 3000)
+    // fingerprint built from ALL-WAV storage (yesterday's corpus)...
+    val corpus = Multimodal.syntheticAudio(docs.filter(col("doc_id") % 97 < 49))
+    val fp = Multimodal.audioCorpusFingerprint(Multimodal.audioFingerprint(corpus))
+    // ...gating arrivals whose dups may have been FLAC-compressed in
+    // transit: lossless decode → identical samples → identical verdict
+    val wav = Multimodal.syntheticAudio(docs)
+    val mixed = Multimodal.syntheticMixedStorageAudio(docs)
+    val a = Multimodal.audioAdmit(wav, fp).orderBy("doc_id").collect()
+    val m = Multimodal.audioAdmit(mixed, fp).orderBy("doc_id").collect()
+    assert(a.nonEmpty, "the new groups must admit")
+    assert(a.sameElements(m),
+      "admission must depend on decoded samples only, not storage")
     CacheScope.releaseAll()
   }
 

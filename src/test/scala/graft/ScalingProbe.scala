@@ -389,6 +389,18 @@ object ScalingProbe {
         Multimodal.audioDupPairs(Multimodal.audioSpectralFingerprint(
           Multimodal.syntheticAudio(dense, _ / 10)), 4)
       },
+      // round-14: the m5 corpus under mixed WAV/FLAC storage — times
+      // the full FLAC decode (frame sync, CRCs, subframes, rice) on a
+      // third of the clips against the byte-direct RIFF read; same
+      // samples, same fingerprints, so any exponent gap vs the m5
+      // family is decompression cost and nothing else
+      "m5c_mixed_storage" -> { d =>
+        val m = d.substring(d.lastIndexOf("/m") + 2).toInt
+        val dense = Tables.documents(spark, d)
+          .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
+        Multimodal.audioDupPairs(Multimodal.audioFingerprint(
+          Multimodal.syntheticMixedStorageAudio(dense, _ / 10)), 3)
+      },
       "m6b_video_decode" -> { d =>
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
         val dense = Tables.documents(spark, d)
