@@ -150,7 +150,9 @@ object Bench {
     "m4d_exif_oriented_dedup",
     // round-14 additions
     "m4e_exif_progressive_dedup", "m7c_orientation_card",
-    "m6d_mixed_container_dedup", "m5c_mixed_storage_dedup")
+    "m6d_mixed_container_dedup", "m5c_mixed_storage_dedup",
+    // round-15 additions
+    "m4f_png_storage_dedup", "m7d_png_coverage_card")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -184,9 +186,19 @@ object Bench {
     // cross-round records honest about box state. Benchmark-only —
     // correctness runs don't care where shuffle bytes land.
     val shm = new java.io.File("/dev/shm")
-    if (sys.env.get("SPARK_LOCAL_DIRS").isEmpty && shm.isDirectory && shm.canWrite)
+    val tmpfsShuffle =
+      sys.env.get("SPARK_LOCAL_DIRS").isEmpty && shm.isDirectory && shm.canWrite
+    if (tmpfsShuffle)
       builder.config("spark.local.dir", "/dev/shm/graft-shuffle")
     val spark = builder.getOrCreate()
+    // The record states its shuffle-placement conditions explicitly
+    // (r15, per the r14 advice): calib_* hints at box state, but a
+    // reader comparing headline totals across rounds needs to know
+    // whether this record ran with tmpfs shuffle dirs or disk-backed
+    // ones without reverse-engineering it from latencies.
+    val localDirEff =
+      sys.env.getOrElse("SPARK_LOCAL_DIRS",
+        spark.conf.getOption("spark.local.dir").getOrElse("<spark-default>"))
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/session init, not query work. The
     // flagship runs once at the BENCH scale factor — the rep loop is
@@ -270,7 +282,7 @@ object Bench {
     // (medians+lo+hi) was cut from the front by that tail capture.
     spark.stop()
     val spreadLine = f"""{"metric":"spread","lo":$loJ,"hi":$hiJ}"""
-    val recordLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"reps":$reps,"errors":$ej,"sf":"$sfDir","calib_shuffle_ms":$shuffleMs%.1f,"calib_map_ms":$mapMs%.1f}"""
+    val recordLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"reps":$reps,"errors":$ej,"sf":"$sfDir","calib_shuffle_ms":$shuffleMs%.1f,"calib_map_ms":$mapMs%.1f,"shuffle_tmpfs":$tmpfsShuffle,"local_dir":"$localDirEff"}"""
     // The official record ALSO goes to a file: the driver captures a
     // bounded tail of stdout, and rounds 5–7 each lost part of the record
     // to that front-truncation (r7 lost the flagship mbr1 median and the

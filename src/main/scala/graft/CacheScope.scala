@@ -31,6 +31,7 @@ import org.apache.spark.sql.DataFrame
   */
 object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val hooks = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
   /** Persist `df` and track it for end-of-pipeline release. */
   def persist(df: DataFrame): DataFrame = {
@@ -39,15 +40,25 @@ object CacheScope {
     df
   }
 
-  /** Unpersist every tracked intermediate. Idempotent; must run only at
-    * a quiesced point (see the concurrency contract above). Non-blocking:
-    * the RDDs leave the session's persistent-RDD map immediately, block
-    * cleanup proceeds asynchronously. */
+  /** Register a STANDING release hook, run on every [[releaseAll]] —
+    * for caches that memoize their persisted frames outside the `live`
+    * queue (DrupalFixture's base-table cache) and therefore need to
+    * evict their own bookkeeping alongside the unpersist. Hooks stay
+    * registered for the life of the process; register once per cache,
+    * not once per frame. */
+  def onRelease(hook: () => Unit): Unit = hooks.add(hook)
+
+  /** Unpersist every tracked intermediate and run the standing hooks.
+    * Idempotent; must run only at a quiesced point (see the concurrency
+    * contract above). Non-blocking: the RDDs leave the session's
+    * persistent-RDD map immediately, block cleanup proceeds
+    * asynchronously. */
   def releaseAll(): Unit = {
     var df = live.poll()
     while (df != null) {
       df.unpersist(blocking = false)
       df = live.poll()
     }
+    hooks.forEach(h => h())
   }
 }

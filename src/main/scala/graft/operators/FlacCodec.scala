@@ -225,6 +225,18 @@ object FlacCodec {
             Array(l, rr)
           case _ => chans
         }
+        // Output budget, checked BEFORE the emit loop and independent
+        // of STREAMINFO total_samples (0 = "unknown" is spec-legal and
+        // attacker-controlled): constant subframes emit up to 65536
+        // samples from ~35 input bytes, a ~30000× amplification into
+        // the builder, so an nOut bound keyed only on `total` is no
+        // bound at all. 2^26 interleaved s16s (128 MiB, ~12 min of
+        // stereo 44.1 kHz) is far beyond any clip this engine
+        // fingerprints and still caps the task; breach degrades to
+        // None per the module contract. A declared total is also
+        // enforced as it accrues, not just at EOF.
+        if ((nOut + blockSize) * nCh > (1L << 26) ||
+          (total > 0 && nOut + blockSize > total)) return None
         var i = 0
         while (i < blockSize) {
           var cc = 0

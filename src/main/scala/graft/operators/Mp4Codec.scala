@@ -225,7 +225,12 @@ object Mp4Codec {
     if (zp + 12 > ze) return None
     val fixedSize = beU32(b, zp + 4)
     val nSamples = beU32(b, zp + 8)
-    if (nSamples < 1 || nSamples > Int.MaxValue / 8) return None
+    // Every sample is ≥1 byte of mdat, so a sample count beyond the
+    // file length is corrupt — and rejecting it BEFORE the table
+    // allocation keeps a crafted stsz (count near 2^32) from reserving
+    // gigabytes on the degrade path. Applies to the fixed-size shape
+    // too, which carries no per-sample table to implicitly bound it.
+    if (nSamples < 1 || nSamples > b.length) return None
     val n = nSamples.toInt
     val sizes = new Array[Long](n)
     if (fixedSize != 0L) java.util.Arrays.fill(sizes, fixedSize)
@@ -270,6 +275,7 @@ object Mp4Codec {
     var sample = 0
     var run = 0
     var chunk = 1L
+    var copied = 0L // overlapping stco chunks may not amplify past the file
     while (sample < n && chunk <= offsets.length) {
       while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
       var off = offsets(chunk.toInt - 1)
@@ -277,6 +283,12 @@ object Mp4Codec {
       while (sample < n && inChunk < runs(run)._2) {
         val sz = sizes(sample)
         if (sz < 1 || off < 0 || off + sz > b.length) return None
+        copied += sz
+        // Legit sample tables address disjoint mdat ranges, so total
+        // sample bytes never exceed the file; a table that does is
+        // crafted aliasing (chunks pointing at the same bytes) whose
+        // extraction would be O(n × file) memory — degrade, not OOM.
+        if (copied > b.length) return None
         frames += java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
         off += sz
         inChunk += 1

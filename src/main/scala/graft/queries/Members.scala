@@ -39,6 +39,19 @@ object DrupalFixture {
     * changes the at-scale plan. */
   private val baseCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // Lifecycle (r15): the cache participates in CacheScope's release —
+  // releaseAll() unpersists AND evicts every base frame, so a
+  // long-lived driver iterating many fixture dirs cannot accumulate
+  // pinned frames. The next query over the same dir re-reads and
+  // re-persists (one parquet scan per query, still eliding the ~13
+  // within-query rescans the cache exists for).
+  graft.CacheScope.onRelease { () =>
+    val it = baseCache.entrySet().iterator()
+    while (it.hasNext) {
+      it.next().getValue.unpersist(blocking = false)
+      it.remove()
+    }
+  }
   private def cachedBase(s: SparkSession, d: String, name: String): DataFrame =
     baseCache.computeIfAbsent((s, d, name), _ =>
       Tables.t(s, d, name).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
