@@ -378,6 +378,120 @@ object Multimodal {
     }
   }
 
+  /** Decode a fixture-generated PNG payload, failing LOUDLY on the
+    * impossible — the PNG twin of [[decodeFixtureGray]]'s contract:
+    * a fixture generator may assume its own encoder's output decodes
+    * (tests pin it), but a bare `.get` would surface an encoder
+    * regression as an anonymous NoSuchElementException. */
+  private def decodeFixturePng(r: MediaRow): (Int, Int, Array[Int]) =
+    PngCodec.decodeGray(r.payload).getOrElse(throw new IllegalStateException(
+      s"fixture invariant violated: synthetic PNG for doc_id=" +
+        s"${r.doc_id} failed to decode — the fixture encoder regressed"))
+
+  /** [[syntheticPixelImages]] re-stored across the three PNG storage
+    * forms — the m4f fixture (the r14 verdict's ask): every
+    * doc_id % 5 == 0 payload re-encodes as a REAL Adam7-interlaced
+    * stream, every remaining % 3 == 0 as a REAL paletted (color type
+    * 3) stream whose PLTE is a non-identity permutation of the gray
+    * levels, the rest stay baseline grayscale. PNG is lossless in all
+    * three forms, so every member of a residue group still decodes to
+    * the SAME raster (± the odd-id one-pixel edit) and the m4b
+    * closed-form pair oracle carries over verbatim — but a pair whose
+    * members mix storages now only collides if the PLTE lookup and
+    * the 7-pass de-interlace genuinely reconstruct the raster the
+    * baseline path reads. Palette PNGs (charts, icons, screenshots)
+    * and interlaced PNGs are the slice of real web corpora that
+    * r14-and-earlier hashed through the md5 stub; this entry retires
+    * that fallback on the common formats. */
+  def syntheticPngStorageMix(docs: DataFrame,
+      group: Long => Long = _ % 251): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticPixelImages(docs, group).map { r =>
+      if (r.doc_id % 5 == 0) {
+        val (w, h, px) = decodeFixturePng(r)
+        r.copy(payload = PngCodec.encodeAdam7(w, h, px, y => y % 5))
+      } else if (r.doc_id % 3 == 0) {
+        val (w, h, px) = decodeFixturePng(r)
+        r.copy(payload = PngCodec.encodePaletted(w, h, px, y => y % 5))
+      } else r
+    }
+  }
+
+  /** m7d fixture — [[syntheticPixelImages]] stretched across the PNG
+    * coverage axes the way [[syntheticJpegSofMix]] stretches SOF
+    * families: doc_id % 7 == 1 re-encodes paletted, % 7 == 3
+    * re-encodes Adam7 (both REAL streams the codec must genuinely
+    * decode), % 7 == 5 rewrites the IHDR bit-depth byte to 16 — a
+    * format the codec honestly scopes out, which must take the
+    * counted degrade path (header dims still parse for the stub
+    * hash), never kill. The rest stay baseline grayscale and must all
+    * actually decode. */
+  def syntheticPngCoverageMix(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticPixelImages(docs).map { r =>
+      r.doc_id % 7 match {
+        case 1 =>
+          val (w, h, px) = decodeFixturePng(r)
+          r.copy(payload = PngCodec.encodePaletted(w, h, px, y => y % 5))
+        case 3 =>
+          val (w, h, px) = decodeFixturePng(r)
+          r.copy(payload = PngCodec.encodeAdam7(w, h, px, y => y % 5))
+        case 5 =>
+          val p = r.payload.clone()
+          p(24) = 16 // IHDR bit depth — 16-bit is scoped out, must degrade
+          r.copy(payload = p)
+        case _ => r
+      }
+    }
+  }
+
+  /** Storage-class classifier for PNG payloads — the coverage axis of
+    * the m7d receipt, [[jpegSofClass]]'s move for the container the
+    * image pipeline decodes natively. Reads the IHDR fields the
+    * decoder itself gates on (bit depth, color type, interlace) and
+    * buckets: `gray8`/`rgb8`/`palette8`/`gray_alpha8`/`rgba8`, with
+    * `_adam7` appended for interlaced streams, `depth<N>` for
+    * non-8-bit depths (the codec's one honest scope-out), `reserved`
+    * for unknown color types, `not_png` otherwise. */
+  private[graft] def pngClass(b: Array[Byte]): String = {
+    if (b.length < 29 || (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' ||
+      b(3) != 'G' || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return "not_png"
+    val depth = b(24) & 0xff
+    val ct = b(25) & 0xff
+    val il = b(28) & 0xff
+    if (depth != 8) return s"depth$depth"
+    val base = ct match {
+      case 0 => "gray8"; case 2 => "rgb8"; case 3 => "palette8"
+      case 4 => "gray_alpha8"; case 6 => "rgba8"
+      case _ => return "reserved"
+    }
+    if (il == 1) base + "_adam7" else base
+  }
+
+  /** m7d — PNG storage-coverage card: the m7b-style counted degrade
+    * bucket for the PNG real-pixel pipeline. One row per
+    * (png_class, decoded) with payload counts, where png_class comes
+    * from [[pngClass]]'s header read and decoded is whether
+    * [[PngCodec.decodeGray]] actually produced pixels — the number a
+    * corpus owner reads before trusting m4b/m4f's real-pixel dedup:
+    * which storage classes rode the real path and which were hashed
+    * through the md5 stub. Map-only classify+decode (payload bytes
+    * never shuffle) + one card-sized aggregate. */
+  def pngFormatCard(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        (pngClass(r.payload), PngCodec.decodeGray(r.payload).isDefined)
+      }
+    }.toDF("png_class", "decoded")
+      .groupBy("png_class", "decoded")
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** All-JPEG fixture with REAL pixel data for the end-to-end JPEG
     * path (m4c): each residue group `doc_id % 239` paints one image
     * whose 9×8 dHash cells are CONSTANT plateaus at 12 + 3·perm(cell)

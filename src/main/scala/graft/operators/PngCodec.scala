@@ -7,11 +7,14 @@ package graft.operators
   * → area-resize → gradient-sign dHash, with the md5-lattice stub left
   * only for formats that genuinely need a codec (JPEG entropy decode).
   *
-  * Scope: 8-bit, non-interlaced, color types 0 (gray), 2 (RGB),
-  * 4 (gray+alpha), 6 (RGBA) — the overwhelming majority of real PNGs.
-  * Palette (3), 16-bit, and Adam7 return None and the caller falls back
-  * to its stub path; decode failures never throw (a corrupt payload in
-  * a 100 TB corpus must degrade, not kill the task).
+  * Scope: 8-bit, color types 0 (gray), 2 (RGB), 3 (palette, PLTE
+  * lookup), 4 (gray+alpha), 6 (RGBA), in BOTH interlace modes (none
+  * and Adam7) — palette and interlaced PNGs are a large slice of real
+  * web image corpora (charts, icons, screenshots), so as of r15 they
+  * ride the real pixel path instead of the md5-lattice stub. 16-bit
+  * returns None and the caller falls back to its stub path; decode
+  * failures never throw (a corrupt payload in a 100 TB corpus must
+  * degrade, not kill the task).
   *
   * Scale shape: decode runs inside the caller's mapPartitions batch
   * (one pass over payload bytes, no shuffle); output is w·h ints that
@@ -25,10 +28,20 @@ object PngCodec {
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
 
+  // Adam7 pass geometry (PNG spec §8.2 — the fixed 8×8 interleave
+  // lattice): per-pass start offsets and steps over the full raster.
+  private val A7X0 = Array(0, 4, 0, 2, 0, 1, 0)
+  private val A7Y0 = Array(0, 0, 4, 0, 2, 0, 1)
+  private val A7DX = Array(8, 8, 4, 4, 2, 2, 1)
+  private val A7DY = Array(8, 8, 8, 4, 4, 2, 2)
+
   /** Decode to a grayscale raster: (width, height, luminance 0..255 per
     * pixel, row-major). Luminance is the integer ITU-R 601 luma
     * (299·R + 587·G + 114·B) / 1000; alpha is ignored (perceptual
-    * hashing compares content, not transparency). */
+    * hashing compares content, not transparency). Palette images go
+    * through the PLTE lookup before the luma; Adam7 streams decode
+    * pass by pass (each sub-image unfilters against its OWN previous
+    * scanline) and scatter into the full raster. */
   def decodeGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     try {
       if (b.length < 45 || !b.startsWith(Sig)) return None
@@ -40,17 +53,20 @@ object PngCodec {
       val bitDepth = b(24) & 0xff
       val colorType = b(25) & 0xff
       val interlace = b(28) & 0xff
-      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace > 1) return None
       val ch = colorType match {
-        case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+        case 0 | 3 => 1 // palette = one index byte per pixel
+        case 2 => 3; case 4 => 2; case 6 => 4
         case _ => return None
       }
       // guard the decompressed size before allocating (a crafted header
       // must not OOM the task): 64 MPix is far past any fixture
       if (w.toLong * h.toLong > 64L * 1024 * 1024) return None
 
-      // concatenate IDAT chunk payloads (one zlib stream split across chunks)
+      // concatenate IDAT chunk payloads (one zlib stream split across
+      // chunks); capture PLTE for the palette path
       val idat = new java.io.ByteArrayOutputStream()
+      var plte: Array[Byte] = null
       var i = 33 // past IHDR (8 sig + 4 len + 4 type + 13 data + 4 crc)
       var sawEnd = false
       while (!sawEnd && i + 8 <= b.length) {
@@ -58,14 +74,32 @@ object PngCodec {
         if (len > Int.MaxValue - 12 || i + 12L + len > b.length.toLong) return None
         val t = new String(b, i + 4, 4, "US-ASCII")
         if (t == "IDAT") idat.write(b, i + 8, len.toInt)
-        else if (t == "IEND") sawEnd = true
+        else if (t == "PLTE") {
+          // exactly one PLTE of 1..256 RGB triples, before any IDAT
+          // (spec §11.2.3) — a violation is corrupt, degrade
+          if (plte != null || len == 0 || len % 3 != 0 || len > 768 ||
+            idat.size() > 0) return None
+          plte = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len.toInt)
+        } else if (t == "IEND") sawEnd = true
         i += 12 + len.toInt
       }
+      if (colorType == 3 && plte == null) return None
       val comp = idat.toByteArray
       if (comp.isEmpty) return None
 
-      val stride = 1 + w * ch
-      val raw = new Array[Byte](stride * h)
+      // pass layout: one identity pass when non-interlaced, the seven
+      // Adam7 sub-images otherwise (passes empty at this geometry drop
+      // out — they contribute NO scanlines, not even a filter byte)
+      val passes: Array[(Int, Int, Int, Int, Int, Int)] =
+        if (interlace == 0) Array((0, 0, 1, 1, w, h))
+        else (0 until 7).iterator.map { p =>
+          val pw = if (w > A7X0(p)) (w - A7X0(p) + A7DX(p) - 1) / A7DX(p) else 0
+          val ph = if (h > A7Y0(p)) (h - A7Y0(p) + A7DY(p) - 1) / A7DY(p) else 0
+          (A7X0(p), A7Y0(p), A7DX(p), A7DY(p), pw, ph)
+        }.filter(t => t._5 > 0 && t._6 > 0).toArray
+      val rawLen = passes.map(t => (1L + t._5.toLong * ch) * t._6).sum
+      if (rawLen > Int.MaxValue) return None
+      val raw = new Array[Byte](rawLen.toInt)
       // try/finally so end() releases the native zlib buffer on EVERY
       // exit (early None, DataFormatException) — this decode runs per
       // payload inside mapPartitions, so leaking until finalization
@@ -86,52 +120,69 @@ object PngCodec {
       } finally inf.end()
       if (off != raw.length) return None
 
-      // unfilter in place, scanline by scanline (left/up/avg/Paeth use
-      // RECONSTRUCTED bytes, so order matters)
-      var y = 0
-      while (y < h) {
-        val row = y * stride
-        val filter = raw(row) & 0xff
-        if (filter > 4) return None
-        var x = 1
-        while (x <= w * ch) {
-          val cur = raw(row + x) & 0xff
-          val left = if (x > ch) raw(row + x - ch) & 0xff else 0
-          val up = if (y > 0) raw(row - stride + x) & 0xff else 0
-          val ul = if (y > 0 && x > ch) raw(row - stride + x - ch) & 0xff else 0
-          val rec = filter match {
-            case 0 => cur
-            case 1 => cur + left
-            case 2 => cur + up
-            case 3 => cur + (left + up) / 2
-            case 4 => // Paeth predictor
-              val p = left + up - ul
-              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
-              val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
-              cur + pred
-          }
-          raw(row + x) = (rec & 0xff).toByte
-          x += 1
-        }
-        y += 1
-      }
-
       val gray = new Array[Int](w * h)
-      y = 0
-      while (y < h) {
-        val row = y * stride + 1
-        var x = 0
-        while (x < w) {
-          val o = row + x * ch
-          gray(y * w + x) = ch match {
-            case 1 | 2 => raw(o) & 0xff
-            case _ =>
-              (299 * (raw(o) & 0xff) + 587 * (raw(o + 1) & 0xff) +
-                114 * (raw(o + 2) & 0xff)) / 1000
+      var base = 0
+      var pi = 0
+      while (pi < passes.length) {
+        val (x0, y0, dx, dy, pw, ph) = passes(pi)
+        val stride = 1 + pw * ch
+        // unfilter the pass in place, scanline by scanline (left/up/
+        // avg/Paeth use RECONSTRUCTED bytes of the SAME pass, so order
+        // matters and passes never see each other)
+        var y = 0
+        while (y < ph) {
+          val row = base + y * stride
+          val filter = raw(row) & 0xff
+          if (filter > 4) return None
+          var x = 1
+          while (x <= pw * ch) {
+            val cur = raw(row + x) & 0xff
+            val left = if (x > ch) raw(row + x - ch) & 0xff else 0
+            val up = if (y > 0) raw(row - stride + x) & 0xff else 0
+            val ul = if (y > 0 && x > ch) raw(row - stride + x - ch) & 0xff else 0
+            val rec = filter match {
+              case 0 => cur
+              case 1 => cur + left
+              case 2 => cur + up
+              case 3 => cur + (left + up) / 2
+              case 4 => // Paeth predictor
+                val p = left + up - ul
+                val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+                val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+                cur + pred
+            }
+            raw(row + x) = (rec & 0xff).toByte
+            x += 1
           }
-          x += 1
+          y += 1
         }
-        y += 1
+        // luma per pixel, scattered to the pass's lattice positions
+        y = 0
+        while (y < ph) {
+          val row = base + y * stride + 1
+          var x = 0
+          while (x < pw) {
+            val o = row + x * ch
+            val lum = colorType match {
+              case 0 | 4 => raw(o) & 0xff
+              case 3 =>
+                val e = (raw(o) & 0xff) * 3
+                // an index past the palette is corrupt (spec §11.2.3):
+                // degrade rather than guess a color
+                if (e + 2 >= plte.length) return None
+                (299 * (plte(e) & 0xff) + 587 * (plte(e + 1) & 0xff) +
+                  114 * (plte(e + 2) & 0xff)) / 1000
+              case _ =>
+                (299 * (raw(o) & 0xff) + 587 * (raw(o + 1) & 0xff) +
+                  114 * (raw(o + 2) & 0xff)) / 1000
+            }
+            gray((y0 + y * dy) * w + (x0 + x * dx)) = lum
+            x += 1
+          }
+          y += 1
+        }
+        base += stride * ph
+        pi += 1
       }
       Some((w, h, gray))
     } catch {
@@ -176,26 +227,138 @@ object PngCodec {
       }
       y += 1
     }
+    val idat = deflate(raw)
+    Sig ++ chunk("IHDR", ihdr(w, h, colorType = 0, interlace = 0)) ++
+      chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val buf = new Array[Byte](raw.length + 64)
     val out = new java.io.ByteArrayOutputStream()
     while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
     defl.end()
-    val idat = out.toByteArray
+    out.toByteArray
+  }
 
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
-      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
-      val crc = new java.util.zip.CRC32()
-      crc.update(bb.array(), 4, 4 + data.length)
-      bb.putInt(crc.getValue.toInt)
-      bb.array()
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bb.array(), 4, 4 + data.length)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def ihdr(w: Int, h: Int, colorType: Int, interlace: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
+
+  /** Filter one single-channel (sub-)image into the raw scanline
+    * stream: per row, the filter byte from `filterForRow(rowIndex)`
+    * then the filtered bytes, computed against reconstructed
+    * neighbors exactly as [[encodeGray]] does — shared by the palette
+    * and Adam7 fixture encoders (their streams are also one byte per
+    * pixel: index bytes and gray bytes filter identically, the PNG
+    * filters being semantics-blind byte predictors). `rowBase` keeps
+    * the filter cycle position global across Adam7 passes so one
+    * image still exercises every branch. */
+  private def filterRows1(w: Int, h: Int, px: Array[Int],
+      filterForRow: Int => Int, rowBase: Int): Array[Byte] = {
+    val stride = 1 + w
+    val raw = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val f = filterForRow(rowBase + y)
+      require(f >= 0 && f <= 4, s"filter must be 0..4, got $f")
+      raw(y * stride) = f.toByte
+      var x = 0
+      while (x < w) {
+        val cur = px(y * w + x) & 0xff
+        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
+        val ul = if (y > 0 && x > 0) px((y - 1) * w + x - 1) & 0xff else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            cur - pred
+        }
+        raw(y * stride + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
     }
-    val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
-    Sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
+    raw
+  }
+
+  /** Encode a grayscale raster as a PALETTED PNG (color type 3, 8-bit,
+    * non-interlaced) — the palette-path fixture generator. The palette
+    * is a NON-identity permutation of the 256 gray levels (entry
+    * `(v·131+7) mod 256` holds gray v, 131 being odd so the map is a
+    * bijection), so a decoder that read index bytes as luminance
+    * instead of running the PLTE lookup would reconstruct a scrambled
+    * raster and fail any closed-form oracle — decode(encode(g)) == g
+    * proves the lookup genuinely runs. */
+  def encodePaletted(w: Int, h: Int, gray: Array[Int],
+      filterForRow: Int => Int): Array[Byte] = {
+    require(gray.length == w * h, s"raster must be w*h=${w * h}, got ${gray.length}")
+    val plte = new Array[Byte](768)
+    var v = 0
+    while (v < 256) {
+      val j = (v * 131 + 7) & 0xff
+      plte(3 * j) = v.toByte; plte(3 * j + 1) = v.toByte; plte(3 * j + 2) = v.toByte
+      v += 1
+    }
+    val idx = gray.map(g => (((g & 0xff) * 131 + 7) & 0xff))
+    val idat = deflate(filterRows1(w, h, idx, filterForRow, 0))
+    Sig ++ chunk("IHDR", ihdr(w, h, colorType = 3, interlace = 0)) ++
+      chunk("PLTE", plte) ++ chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Encode a grayscale raster as an ADAM7-INTERLACED PNG (color type
+    * 0, 8-bit) — the interlace-path fixture generator. The seven pass
+    * sub-images are extracted on the spec lattice and filtered
+    * independently (each against its own previous scanline), with the
+    * filter cycle position carried ACROSS passes so every unfilter
+    * branch runs somewhere in the image. Byte-inverse of the decoder's
+    * interlaced path: decode(encode(g)) == g for any raster. */
+  def encodeAdam7(w: Int, h: Int, gray: Array[Int],
+      filterForRow: Int => Int): Array[Byte] = {
+    require(gray.length == w * h, s"raster must be w*h=${w * h}, got ${gray.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    var rowBase = 0
+    var p = 0
+    while (p < 7) {
+      val pw = if (w > A7X0(p)) (w - A7X0(p) + A7DX(p) - 1) / A7DX(p) else 0
+      val ph = if (h > A7Y0(p)) (h - A7Y0(p) + A7DY(p) - 1) / A7DY(p) else 0
+      if (pw > 0 && ph > 0) {
+        val sub = new Array[Int](pw * ph)
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            sub(y * pw + x) = gray((A7Y0(p) + y * A7DY(p)) * w + A7X0(p) + x * A7DX(p))
+            x += 1
+          }
+          y += 1
+        }
+        out.write(filterRows1(pw, ph, sub, filterForRow, rowBase),
+          0, (1 + pw) * ph)
+        rowBase += ph
+      }
+      p += 1
+    }
+    val idat = deflate(out.toByteArray)
+    Sig ++ chunk("IHDR", ihdr(w, h, colorType = 0, interlace = 1)) ++
+      chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
   }
 
   /** REAL perceptual dHash over a decoded raster: area-average the

@@ -122,6 +122,95 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("palette round trip: PLTE lookup reconstructs the exact raster") {
+    val (w, h) = (23, 17)
+    val px = noise(w, h, 99L)
+    for (f <- 0 to 4) {
+      val Some((dw, dh, dec)) = PngCodec.decodeGray(
+        PngCodec.encodePaletted(w, h, px, _ => f))
+      assert((dw, dh) == (w, h) && dec.sameElements(px),
+        s"palette filter $f round trip must be exact")
+    }
+    val enc = PngCodec.encodePaletted(w, h, px, y => y % 5)
+    val Some((_, _, dec)) = PngCodec.decodeGray(enc)
+    assert(dec.sameElements(px))
+    // the palette is a NON-identity permutation: a decoder that read
+    // index bytes as luminance would get a scrambled raster, so the
+    // exactness above proves the PLTE lookup genuinely runs
+    assert((0 * 131 + 7) % 256 != 0)
+  }
+
+  test("Adam7 round trip: every pass geometry reconstructs exactly") {
+    // spans empty passes (w or h < 8), single-pixel, exact-8 lattice,
+    // odd dims, and fixture-scale rasters
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 2), (5, 3), (7, 5), (8, 8),
+        (9, 8), (16, 16), (23, 17), (40, 30), (216, 69))) {
+      val px = noise(w, h, w * 1000L + h)
+      val Some((dw, dh, dec)) = PngCodec.decodeGray(
+        PngCodec.encodeAdam7(w, h, px, y => y % 5))
+      assert((dw, dh) == (w, h) && dec.sameElements(px),
+        s"Adam7 ${w}x$h round trip broke")
+    }
+  }
+
+  test("palette/Adam7 degrades: missing PLTE, short palette, 16-bit all return None") {
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t.getBytes).put(data)
+      val crc = new java.util.zip.CRC32(); crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256); val o = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def ihdr3 = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(8.toByte).put(3.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val idat = deflate(Array[Int](0, 0, 1, 0, 1, 0).map(_.toByte))
+    // color type 3 with no PLTE chunk at all
+    val noPlte = sig ++ chunk("IHDR", ihdr3) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(PngCodec.decodeGray(noPlte).isEmpty, "missing PLTE must degrade")
+    // 2-entry PLTE but an index byte of 5 — past the palette, corrupt
+    val shortPlte = sig ++ chunk("IHDR", ihdr3) ++
+      chunk("PLTE", Array[Byte](0, 0, 0, 40, 40, 40)) ++
+      chunk("IDAT", deflate(Array[Int](0, 0, 5, 0, 1, 0).map(_.toByte))) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(PngCodec.decodeGray(shortPlte).isEmpty, "out-of-range index must degrade")
+    // in-range indexes over the same 2-entry palette decode fine
+    val okPlte = sig ++ chunk("IHDR", ihdr3) ++
+      chunk("PLTE", Array[Byte](0, 0, 0, 40, 40, 40)) ++
+      chunk("IDAT", deflate(Array[Int](0, 0, 1, 0, 1, 0).map(_.toByte))) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(PngCodec.decodeGray(okPlte).map(_._3.toSeq).contains(Seq(0, 40, 40, 0)))
+    // 16-bit depth: the codec's honest scope-out (m7d's degrade bucket)
+    val deep = PngCodec.encodePaletted(9, 8, noise(9, 8, 3L), _ => 0)
+    deep(24) = 16
+    assert(PngCodec.decodeGray(deep).isEmpty, "16-bit must degrade to the stub path")
+  }
+
+  test("mixed-storage equivalence: gray, palette, and Adam7 hash identically (m4f)") {
+    for (seed <- 1 to 10) {
+      val rnd = new java.util.Random(seed * 6151L)
+      val w = 9 + rnd.nextInt(60); val h = 8 + rnd.nextInt(40)
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      def hashVia(enc: Array[Byte]): Long = {
+        val Some((dw, dh, dec)) = PngCodec.decodeGray(enc)
+        assert((dw, dh) == (w, h))
+        PngCodec.dHashPixels(dw, dh, dec)
+      }
+      val hGray = hashVia(PngCodec.encodeGray(w, h, px, y => y % 5))
+      val hPal = hashVia(PngCodec.encodePaletted(w, h, px, y => y % 5))
+      val hA7 = hashVia(PngCodec.encodeAdam7(w, h, px, y => y % 5))
+      assert(hGray == hPal && hGray == hA7,
+        s"seed $seed: storage form changed the perceptual hash")
+    }
+  }
+
   test("fixture pipeline: real-pixel images pair within groups only") {
     // mirrors the m4b oracle's closed form on a tiny in-memory corpus
     val sparkless = Seq(0L, 1L, 251L, 252L, 502L)
