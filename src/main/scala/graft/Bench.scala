@@ -152,7 +152,8 @@ object Bench {
     "m4e_exif_progressive_dedup", "m7c_orientation_card",
     "m6d_mixed_container_dedup", "m5c_mixed_storage_dedup",
     // round-15 additions
-    "m4f_png_storage_dedup", "m7d_png_coverage_card")
+    "m4f_png_storage_dedup", "m7d_png_coverage_card",
+    "m5d_legacy_storage_dedup")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

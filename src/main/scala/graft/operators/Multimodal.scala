@@ -1127,6 +1127,105 @@ object Multimodal {
     }
   }
 
+  /** WAV container for G.711 code bytes (fmt 7 = µ-law, 6 = A-law,
+    * 8 bits/sample, mono) — the legacy-telephony fixture encoder. */
+  private[graft] def wavBytesG711(rate: Int, codes: Array[Byte],
+      mulaw: Boolean): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(46 + codes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // non-PCM fmt chunks carry cbSize (0 here): size 18
+    out.put("RIFF".getBytes).putInt(38 + codes.length).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(18)
+      .putShort(if (mulaw) 7 else 6).putShort(1).putInt(rate)
+      .putInt(rate).putShort(1).putShort(8).putShort(0)
+      .put("data".getBytes).putInt(codes.length)
+      .put(codes)
+    out.array()
+  }
+
+  /** WAV container for mono IMA-ADPCM blocks (fmt 0x11, 4 bits/sample,
+    * fmt extension carrying wSamplesPerBlock) — the legacy-archive
+    * fixture encoder, byte-inverse of [[wavLegacyDecodeS16]]'s 0x11
+    * arm. */
+  private[graft] def wavBytesImaAdpcm(rate: Int, blocks: Array[Byte],
+      samplesPerBlock: Int): Array[Byte] = {
+    val ba = ImaAdpcm.blockAlign(samplesPerBlock)
+    val out = java.nio.ByteBuffer.allocate(48 + blocks.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(40 + blocks.length).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(20)
+      .putShort(0x11).putShort(1).putInt(rate)
+      .putInt((rate.toLong * ba / samplesPerBlock).toInt).putShort(ba.toShort)
+      .putShort(4).putShort(2).putShort(samplesPerBlock.toShort)
+      .put("data".getBytes).putInt(blocks.length)
+      .put(blocks)
+    out.array()
+  }
+
+  /** m5d fixture — the m5 clip corpus under LEGACY lossy storage
+    * (µ-law / A-law / IMA-ADPCM WAV, the telephony and old-rip formats
+    * the r14 verdict named): mono clips of group-seeded noise, 65
+    * energy windows × 129 frames, group `doc_id % 97`, odd ids halving
+    * window 1 — the m5 closed form verbatim. Each group compresses
+    * through ONE legacy codec (group % 3: µ-law / A-law / IMA), and
+    * the exactness that lets a SQL oracle gate a LOSSY pipeline is by
+    * construction, not tolerance:
+    *
+    *   - members with doc_id % 3 == 1 store the CODED stream; all
+    *     others store, as raw PCM, the exact decoded projection of
+    *     that stream — so cross-storage twins decode to IDENTICAL s16
+    *     samples and every integer fingerprint downstream is EQUAL.
+    *   - G.711 is memoryless and idempotent (enc∘dec∘enc = enc, pinned
+    *     exhaustively in G711Spec), so the projection is per-sample
+    *     and the odd-id edit stays confined to window 1's samples.
+    *   - IMA-ADPCM is stateful, so the fixture aligns one CODEC BLOCK
+    *     per energy window (samplesPerBlock = winFrames = 129, block
+    *     headers self-reset) — block-local decode state means the
+    *     window-1 edit changes window 1's projection ONLY, keeping the
+    *     in-group Hamming at ≤ 2 bits exactly like m5.
+    *
+    * A mixed PCM↔coded pair therefore only collides if the real
+    * legacy decoder (table companding or nibble reconstruction + block
+    * framing) composes with the shared energy fingerprint — which is
+    * the m5c proof obligation extended to the lossy half of the WAV
+    * world. */
+  def syntheticLegacyAudio(docs: DataFrame,
+      group: Long => Long = _ % 97,
+      allPcm: Boolean = false): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val winFrames = 129
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val g = group(id)
+      val rate = 8000
+      val rnd = new java.util.Random(g * 2654435761L + 23)
+      val raw = Array.fill(65 * winFrames)((rnd.nextInt(2048) - 1024).toShort)
+      if (id % 2 == 1) {
+        var i = winFrames // window 1, mono
+        while (i < 2 * winFrames) { raw(i) = (raw(i) / 2).toShort; i += 1 }
+      }
+      // allPcm stores EVERY member as PCM of its projection — the
+      // storage-blindness control twin for the m8b admission pin
+      val coded = !allPcm && id % 3 == 1
+      val payload = g % 3 match {
+        case 0 =>
+          val codes = raw.map(s => G711.mulawEncode(s.toInt).toByte)
+          if (coded) wavBytesG711(rate, codes, mulaw = true)
+          else wavBytesPcm(rate, 1, codes.map(c => G711.mulawDecode(c & 0xff).toShort))
+        case 1 =>
+          val codes = raw.map(s => G711.alawEncode(s.toInt).toByte)
+          if (coded) wavBytesG711(rate, codes, mulaw = false)
+          else wavBytesPcm(rate, 1, codes.map(c => G711.alawDecode(c & 0xff).toShort))
+        case _ =>
+          val blocks = ImaAdpcm.encodeBlocksMono(raw, winFrames)
+          if (coded) wavBytesImaAdpcm(rate, blocks, winFrames)
+          else wavBytesPcm(rate, 1,
+            ImaAdpcm.decodeBlocksMono(blocks, 0, 65, winFrames))
+      }
+      MediaRow(id, payload, "audio/wav")
+    }
+  }
+
   /** Decode a 16-bit PCM WAV payload to `nWin` frame energies — REAL
     * byte arithmetic, no codec needed (WAV is RIFF + raw samples):
     * RIFF walk to `fmt ` (must be PCM format 1, 16-bit) and `data`,
@@ -1212,16 +1311,80 @@ object Multimodal {
     Some(e)
   }
 
+  /** RIFF walk + decode for the LEGACY WAV codecs (r15): µ-law (fmt 7),
+    * A-law (fmt 6), IMA ADPCM (fmt 0x11, mono) — the one-byte- and
+    * four-bit-per-sample formats telephony dumps and old rips arrive
+    * in, which previously took the header-stub degrade path. Returns
+    * (rate, channels, interleaved s16) like [[FlacCodec.decodeS16]];
+    * None — degrade, never throw — for any other format tag, malformed
+    * block geometry, or truncation. Decoded output is bounded by
+    * construction (≤ 2 samples per payload byte), so no crafted header
+    * can amplify. */
+  private[graft] def wavLegacyDecodeS16(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var fmt = -1; var channels = 0; var rate = 0; var blockAlign = 0
+    var bits = 0; var spb = 0
+    var dataOff = -1; var dataLen = 0L
+    var i = 12
+    while (i + 8 <= b.length && !(fmt >= 0 && dataOff >= 0)) {
+      val size = leU32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        fmt = leU16(b, i + 8)
+        channels = leU16(b, i + 10)
+        rate = leU32(b, i + 12).toInt
+        blockAlign = leU16(b, i + 20)
+        bits = leU16(b, i + 22)
+        // IMA fmt extension: cbSize + wSamplesPerBlock
+        if (size >= 20 && i + 8 + 20 <= b.length) spb = leU16(b, i + 26)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
+        dataOff = i + 8
+        dataLen = math.min(size, (b.length - dataOff).toLong)
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > b.length.toLong) {
+        if (fmt >= 0 && dataOff >= 0) i = b.length else return None
+      } else i = next.toInt
+    }
+    if (dataOff < 0 || channels < 1 || rate < 1) return None
+    fmt match {
+      case 6 | 7 => // G.711: one code byte per sample, any channel count
+        if (bits != 8 || dataLen < 1) return None
+        val n = dataLen.toInt
+        val out = new Array[Short](n)
+        var j = 0
+        if (fmt == 7) while (j < n) { out(j) = G711.mulawDecode(b(dataOff + j) & 0xff).toShort; j += 1 }
+        else while (j < n) { out(j) = G711.alawDecode(b(dataOff + j) & 0xff).toShort; j += 1 }
+        Some((rate, channels, out))
+      case 0x11 => // IMA ADPCM, mono scope (telephony's shape)
+        if (bits != 4 || channels != 1 || blockAlign < 5) return None
+        val samplesPerBlock =
+          if (spb >= 3 && spb % 2 == 1) spb else (blockAlign - 4) * 2 + 1
+        if (ImaAdpcm.blockAlign(samplesPerBlock) != blockAlign) return None
+        val nBlocks = (dataLen / blockAlign).toInt
+        if (nBlocks < 1) return None
+        Some((rate, 1, ImaAdpcm.decodeBlocksMono(b, dataOff, nBlocks, samplesPerBlock)))
+      case _ => None
+    }
+  }
+
   /** Storage-blind PCM seam for the audio family — the audio analog of
     * [[containerFrames]]: window energies whether the clip arrived as
-    * raw RIFF WAV or FLAC-compressed ([[FlacCodec.decodeS16]]). FLAC
-    * is lossless, so the decoded s16 samples are bit-identical to the
-    * WAV twin's and the integer Σs² energies (hence every fingerprint
-    * downstream) are EQUAL, not merely close — which is what lets the
-    * m5c closed form carry over across storage. The sniffs are
-    * disjoint (RIFF vs fLaC magic). */
+    * raw RIFF WAV, FLAC-compressed ([[FlacCodec.decodeS16]]), or in a
+    * legacy WAV codec ([[wavLegacyDecodeS16]] — µ-law/A-law/IMA
+    * ADPCM). FLAC is lossless, so the decoded s16 samples are
+    * bit-identical to the WAV twin's; the legacy codecs are lossy but
+    * DETERMINISTIC projections, and the m5d fixture stores each coded
+    * clip's exact decoded projection as its PCM twin — either way the
+    * integer Σs² energies (hence every fingerprint downstream) are
+    * EQUAL across storage, not merely close, which is what lets the
+    * m5c/m5d closed forms carry over. The sniffs are disjoint (PCM
+    * fmt 1 vs fLaC magic vs fmt 6/7/0x11). */
   private[graft] def pcmEnergiesAny(b: Array[Byte], nWin: Int): Option[Array[Long]] =
     wavPcmEnergies(b, nWin).orElse(FlacCodec.decodeS16(b).flatMap {
+      case (_, ch, samples) => samplesEnergies(samples, ch, nWin)
+    }).orElse(wavLegacyDecodeS16(b).flatMap {
       case (_, ch, samples) => samplesEnergies(samples, ch, nWin)
     })
 
@@ -1249,19 +1412,23 @@ object Multimodal {
 
   /** [[wavPcmMono]]'s storage-blind twin for the spectral path. */
   private[graft] def pcmMonoAny(b: Array[Byte]): Option[Array[Double]] =
-    wavPcmMono(b).orElse(FlacCodec.decodeS16(b).map { case (_, ch, samples) =>
-      val frames = samples.length / ch
-      val mono = new Array[Double](frames)
-      var f = 0
-      while (f < frames) {
-        var acc = 0.0
-        var c = 0
-        while (c < ch) { acc += samples(f * ch + c); c += 1 }
-        mono(f) = acc / ch
-        f += 1
-      }
-      mono
-    })
+    wavPcmMono(b)
+      .orElse(FlacCodec.decodeS16(b).map(t => monoAverage(t._2, t._3)))
+      .orElse(wavLegacyDecodeS16(b).map(t => monoAverage(t._2, t._3)))
+
+  private def monoAverage(ch: Int, samples: Array[Short]): Array[Double] = {
+    val frames = samples.length / ch
+    val mono = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      var acc = 0.0
+      var c = 0
+      while (c < ch) { acc += samples(f * ch + c); c += 1 }
+      mono(f) = acc / ch
+      f += 1
+    }
+    mono
+  }
 
   /** Gradient-sign packing shared by the real and stub energy paths —
     * the 1-D analog of [[dHash64]] and the shape chromaprint-style

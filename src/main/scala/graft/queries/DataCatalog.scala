@@ -5113,6 +5113,31 @@ object DataCatalog {
       "JOIN documents b ON a.doc_id % 97 = b.doc_id % 97 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M5D — audio dedup across LEGACY LOSSY storage (the r14 verdict's
+  // ask): m5c made the audio path storage-blind across WAV↔FLAC (both
+  // lossless); real archives also carry µ-law/A-law (telephony) and
+  // IMA-ADPCM (old rips) WAVs, which previously took the header-stub
+  // degrade path. The fixture compresses each residue group through
+  // one legacy codec and stores every doc_id % 3 == 1 member as the
+  // CODED stream, the rest as raw PCM of that stream's exact decoded
+  // projection — exactness by construction (G.711 idempotency; IMA
+  // blocks aligned one-per-energy-window so decode state is window-
+  // local), so m5's closed-form pair oracle carries over verbatim and
+  // a mixed PCM↔coded pair only collides if the real companding /
+  // nibble-reconstruction decoder composes with the shared energy
+  // fingerprint. Same scale shape as m5: map-only decode+fingerprint,
+  // banded Hamming join. The m8b streaming admission gate rides the
+  // same pcmEnergiesAny seam, so it is storage-blind over these
+  // formats by the same code path (spec-pinned).
+  val m5d = Q(
+    (s, d) => ordered(graft.operators.Multimodal.audioDupPairs(
+      graft.operators.Multimodal.audioFingerprint(
+        graft.operators.Multimodal.syntheticLegacyAudio(documents(s, d))), 3)
+      .select(col("id_a"), col("id_b"))),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
+      "JOIN documents b ON a.doc_id % 97 = b.doc_id % 97 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   val m5b = Q(
     (s, d) => ordered(graft.operators.Multimodal.audioDupPairs(
       graft.operators.Multimodal.audioSpectralFingerprint(
@@ -6656,5 +6681,6 @@ object DataCatalog {
     "m4e_exif_progressive_dedup" -> m4e, "m7c_orientation_card" -> m7c,
     "m6d_mixed_container_dedup" -> m6d, "m5c_mixed_storage_dedup" -> m5c,
     // round-15 additions
-    "m4f_png_storage_dedup" -> m4f, "m7d_png_coverage_card" -> m7d)
+    "m4f_png_storage_dedup" -> m4f, "m7d_png_coverage_card" -> m7d,
+    "m5d_legacy_storage_dedup" -> m5d)
 }

@@ -55,8 +55,20 @@ class CodecFuzzSpec extends AnyFunSuite {
       "jpeg_exif_mm" -> Multimodal.withExifOrientation(
         JpegCodec.encodeGray(24, 24, y), 8, bigEndian = true),
       "png" -> PngCodec.encodeGray(24, 24, y, r => r % 5),
+      "png_palette" -> PngCodec.encodePaletted(24, 24, y, r => r % 5),
+      "png_adam7" -> PngCodec.encodeAdam7(24, 24, y, r => r % 5),
+      "png_adam7_small" -> PngCodec.encodeAdam7(5, 3, raster(5, 3, 8L), r => r % 5),
       "wav" -> Multimodal.wavBytesPcm(8000, 2,
         Array.tabulate(520)(i => ((i * 977) % 8191).toShort)),
+      "wav_mulaw" -> Multimodal.wavBytesG711(8000,
+        Array.tabulate(520)(i => graft.operators.G711
+          .mulawEncode((i * 977) % 8191).toByte), mulaw = true),
+      "wav_alaw" -> Multimodal.wavBytesG711(8000,
+        Array.tabulate(520)(i => graft.operators.G711
+          .alawEncode((i * 977) % 8191).toByte), mulaw = false),
+      "wav_ima" -> Multimodal.wavBytesImaAdpcm(8000,
+        graft.operators.ImaAdpcm.encodeBlocksMono(
+          Array.tabulate(645)(i => ((i * 977) % 8191).toShort), 129), 129),
       "avi_mjpeg" -> Multimodal.aviMjpegBytes(16, 16,
         (0 until 3).map(i => JpegCodec.encodeGray(16, 16, raster(16, 16, 10L + i)))),
       "mp4_mjpeg" -> graft.operators.Mp4Codec.encodeMjpeg(16, 16,
@@ -72,6 +84,10 @@ class CodecFuzzSpec extends AnyFunSuite {
     Multimodal.parseDims(b)
     Multimodal.wavPcmMono(b)
     Multimodal.wavPcmEnergies(b, 65)
+    Multimodal.wavLegacyDecodeS16(b)
+    Multimodal.pcmEnergiesAny(b, 65)
+    Multimodal.pcmMonoAny(b)
+    Multimodal.pngClass(b)
     Multimodal.aviMjpegFrames(b)
     graft.operators.Mp4Codec.mjpegFrames(b)
     graft.operators.Mp4Codec.dims(b)

@@ -1136,6 +1136,30 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("audio admission is storage-blind over LEGACY codecs: mu-law/A-law/ADPCM neither evade nor trip the gate (m8b ⊇ m5d)") {
+    import graft.operators.Multimodal
+    import graft.sources.Tables
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id")
+      .filter(col("doc_id") < 3000)
+    // fingerprint built from half the groups, in whatever storage the
+    // fixture assigned (mixed coded/PCM)...
+    val corpus = Multimodal.syntheticLegacyAudio(docs.filter(col("doc_id") % 97 < 49))
+    val fp = Multimodal.audioCorpusFingerprint(Multimodal.audioFingerprint(corpus))
+    // ...gating the same arrivals stored all-PCM vs legacy-coded: the
+    // projections are identical by construction, so the verdicts must
+    // be too — a coded dup that slips the gate re-pollutes the corpus,
+    // a coded original that trips it starves ingest
+    val pcm = Multimodal.syntheticLegacyAudio(docs, allPcm = true)
+    val mixed = Multimodal.syntheticLegacyAudio(docs)
+    val a = Multimodal.audioAdmit(pcm, fp).orderBy("doc_id").collect()
+    val m = Multimodal.audioAdmit(mixed, fp).orderBy("doc_id").collect()
+    assert(a.nonEmpty, "the new groups must admit")
+    assert(a.sameElements(m),
+      "admission must depend on decoded samples only, not legacy storage")
+    CacheScope.releaseAll()
+  }
+
   test("streaming contamination gate emits exactly the batch result, never admits contaminated") {
     import graft.streaming.DocStream
     import graft.operators.NearDup
