@@ -801,6 +801,62 @@ object Similarity {
       hops: Int = 3, nProbe: Int = 2, nEntry: Int = 4,
       poolPerCell: Int = 8, midPermille: Int = 250, topCount: Int = 64,
       kUpper: Int = 5): DataFrame = {
+    val (adj, v, q, visited0) = layeredPrep(vectors, graph, queries, cents,
+      k, beam, hops, nProbe, nEntry, poolPerCell, midPermille, topCount, kUpper)
+    walkLoop(adj, v, q, visited0, k, beam, hops)
+  }
+
+  /** sim11d — [[graphWalkLayered]] plus its EXACT-DOT cost accounting:
+    * returns (walk top-k, per-query dots) where dots counts every
+    * exact-cosine scoring event the walk performs — seeds plus each
+    * hop's newly reached frontier expansion, duplicates across hops
+    * included, exactly as the loop spends them. The cost axis of the
+    * recall/cost frontier card: recall alone rewards unbounded budget,
+    * so the sweep grades configs on BOTH. Same plan shape as the
+    * un-carded walk (the per-hop reached frame is persisted because two
+    * consumers read it — the scorer and the counter). */
+  def graphWalkLayeredCarded(vectors: DataFrame, graph: DataFrame,
+      queries: DataFrame, cents: DataFrame, k: Int, beam: Int = 8,
+      hops: Int = 3, nProbe: Int = 2, nEntry: Int = 4,
+      poolPerCell: Int = 8, midPermille: Int = 250, topCount: Int = 64,
+      kUpper: Int = 5): (DataFrame, DataFrame) = {
+    val (adj, v, q, visited0) = layeredPrep(vectors, graph, queries, cents,
+      k, beam, hops, nProbe, nEntry, poolPerCell, midPermille, topCount, kUpper)
+    var dotsEvents = visited0.select(col("query_id"), col("node_id"))
+    var visited = visited0
+    var frontier = visited.select("query_id", "node_id")
+    for (_ <- 1 to hops) {
+      val reached = graft.CacheScope.persist(
+        frontier.join(adj, col("node_id") === col("src"))
+          .select(col("query_id"), col("dst").as("node_id")).distinct())
+      dotsEvents = dotsEvents.unionByName(reached)
+      val scoredHop = reached.join(v, Seq("node_id")).join(q, Seq("query_id"))
+        .select(col("query_id"), col("node_id"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      visited = graft.CacheScope.persist(
+        visited.unionByName(scoredHop)
+          .groupBy("query_id", "node_id").agg(max("cos").as("cos")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("node_id").asc)
+      frontier = visited.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= beam).select("query_id", "node_id")
+    }
+    val walk = rankTopK(visited.filter(col("query_id") =!= col("node_id"))
+      .select(col("query_id"), col("node_id").as("neighbor_id"), col("cos")), k)
+    val dots = dotsEvents.groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_dots"))
+    (walk, dots)
+  }
+
+  /** The layered walk's shared preparation: build the three-layer
+    * adjacency, the normed frames, and the nProbe×nEntry seed set —
+    * everything up to the hop loop (see [[graphWalkLayered]]'s scaladoc
+    * for the full design and scale story). */
+  private def layeredPrep(vectors: DataFrame, graph: DataFrame,
+      queries: DataFrame, cents: DataFrame, k: Int, beam: Int,
+      hops: Int, nProbe: Int, nEntry: Int, poolPerCell: Int,
+      midPermille: Int, topCount: Int, kUpper: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(k >= 1 && beam >= 1 && hops >= 1,
       s"k/beam/hops must be >= 1, got $k/$beam/$hops")
     require(nProbe >= 1 && nEntry >= 1 && nEntry <= poolPerCell,
@@ -845,7 +901,7 @@ object Similarity {
       .join(v, Seq("node_id")).join(q, Seq("query_id"))
       .select(col("query_id"), col("node_id"),
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
-    walkLoop(adj, v, q, visited0, k, beam, hops)
+    (adj, v, q, visited0)
   }
 
   /** The persisted frames every walk variant shares: symmetrized

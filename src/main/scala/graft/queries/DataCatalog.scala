@@ -2299,6 +2299,177 @@ object DataCatalog {
       "FROM truth t LEFT JOIN walk w ON w.query_id = t.query_id " +
       "AND w.neighbor_id = t.neighbor_id GROUP BY t.query_id" + OBA))
 
+  /** One sim11d config's oracle CTE chain (prefix `p`): the sim11c
+    * layered-walk SQL parameterized by (kUpper, nProbe, beam,
+    * topCount, midPermille), all hops = 3, plus the config's dots
+    * accounting (seed rows + each hop's reached rows, duplicates
+    * included — exactly the scoring events the Spark loop spends) and
+    * its recall card. Shares the unprefixed CTEs (kmeans/fin/asg/pool,
+    * base graph, qq/vv, truth) defined once in the entry. */
+  private def sim11dCfg(p: String, kU: Int, np: Int, beam: Int,
+      tc: Int, mp: Int): String = {
+    def hop(i: Int): String =
+      s"${p}e$i AS (SELECT DISTINCT f.query_id, a.dst AS node_id " +
+        s"FROM ${p}f${i - 1} f JOIN ${p}adj a ON f.node_id = a.src), " +
+        s"${p}s$i AS (SELECT e.query_id, e.node_id, " + cosSql("qv", "nv") +
+        s" AS cos FROM ${p}e$i e JOIN qq ON qq.query_id = e.query_id " +
+        "JOIN vv ON vv.node_id = e.node_id), " +
+        s"${p}v$i AS MATERIALIZED (SELECT query_id, node_id, max(cos) AS cos FROM " +
+        s"(SELECT * FROM ${p}v${i - 1} UNION ALL SELECT * FROM ${p}s$i) GROUP BY 1, 2), " +
+        s"${p}f$i AS (SELECT query_id, node_id FROM (SELECT query_id, node_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id ASC) AS rn " +
+        s"FROM ${p}v$i) WHERE rn <= $beam)"
+    s"${p}mids AS (SELECT DISTINCT vec_id FROM (SELECT vec_id FROM embeddings " +
+      s"WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < $mp " +
+      "UNION ALL SELECT vec_id FROM pool)), " +
+      s"${p}mv AS (SELECT e.vec_id, e.embedding, a.cid FROM embeddings e " +
+      s"JOIN ${p}mids USING (vec_id) JOIN asg a ON a.vec_id = e.vec_id), " +
+      s"${p}mq AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM ${p}mv), " +
+      s"${p}mc AS (SELECT vec_id AS neighbor_id, embedding AS cv, cid FROM ${p}mv), " +
+      s"${p}msc AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      s"FROM ${p}mq JOIN ${p}mc USING (cid) WHERE query_id <> neighbor_id), " +
+      s"${p}mrk AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      s"PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM ${p}msc), " +
+      s"${p}mknn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ${p}mrk WHERE rank <= $kU), " +
+      s"${p}mmut AS (SELECT x.query_id AS id_a, x.neighbor_id AS id_b FROM ${p}mknn x " +
+      s"JOIN ${p}mknn y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
+      "WHERE x.query_id < x.neighbor_id), " +
+      s"${p}tids AS (SELECT DISTINCT vec_id FROM (SELECT vec_id FROM (" +
+      "SELECT vec_id FROM embeddings " +
+      "ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id " +
+      s"LIMIT $tc) UNION ALL SELECT vec_id FROM pool)), " +
+      s"${p}tpq AS (SELECT e.vec_id AS query_id, e.embedding AS qv FROM embeddings e " +
+      s"JOIN ${p}tids USING (vec_id)), " +
+      s"${p}tpc AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv FROM embeddings e " +
+      s"JOIN ${p}tids USING (vec_id)), " +
+      s"${p}tpsc AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      s"FROM ${p}tpq JOIN ${p}tpc ON query_id <> neighbor_id), " +
+      s"${p}tprk AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      s"PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM ${p}tpsc), " +
+      s"${p}tpknn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ${p}tprk WHERE rank <= $kU), " +
+      s"${p}tpmut AS (SELECT x.query_id AS id_a, x.neighbor_id AS id_b FROM ${p}tpknn x " +
+      s"JOIN ${p}tpknn y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
+      "WHERE x.query_id < x.neighbor_id), " +
+      s"${p}adj AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mut " +
+      "UNION ALL SELECT id_b, id_a FROM mut " +
+      s"UNION ALL SELECT id_a, id_b FROM ${p}mmut " +
+      s"UNION ALL SELECT id_b, id_a FROM ${p}mmut " +
+      s"UNION ALL SELECT id_a, id_b FROM ${p}tpmut " +
+      s"UNION ALL SELECT id_b, id_a FROM ${p}tpmut), " +
+      s"${p}qcells AS (SELECT query_id, cell FROM (SELECT vec_id AS query_id, " +
+      "cid AS cell, row_number() OVER (PARTITION BY vec_id " +
+      "ORDER BY cos DESC, cid ASC) AS crn FROM fin WHERE vec_id % 50 = 0) " +
+      s"WHERE crn <= $np), " +
+      s"${p}v0 AS (SELECT qc2.query_id, sd.node_id, " + cosSql("qv", "nv") +
+      s" AS cos FROM ${p}qcells qc2 JOIN (SELECT cid AS cell, vec_id AS node_id " +
+      "FROM pool WHERE srn <= 4) sd USING (cell) " +
+      "JOIN qq ON qq.query_id = qc2.query_id JOIN vv ON vv.node_id = sd.node_id), " +
+      s"${p}f0 AS (SELECT query_id, node_id FROM ${p}v0), " +
+      hop(1) + ", " + hop(2) + ", " + hop(3) + ", " +
+      s"${p}walk AS (SELECT query_id, node_id AS neighbor_id FROM (SELECT query_id, node_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id ASC) AS rn " +
+      s"FROM ${p}v3 WHERE node_id <> query_id) WHERE rn <= 5), " +
+      s"${p}dots AS (SELECT CAST(count(*) AS BIGINT) AS n_dots FROM (" +
+      s"SELECT query_id, node_id FROM ${p}v0 " +
+      s"UNION ALL SELECT query_id, node_id FROM ${p}e1 " +
+      s"UNION ALL SELECT query_id, node_id FROM ${p}e2 " +
+      s"UNION ALL SELECT query_id, node_id FROM ${p}e3)), " +
+      s"${p}card AS (SELECT CAST(count(*) AS BIGINT) AS n_truth, " +
+      "CAST(sum(CASE WHEN w.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits " +
+      s"FROM truth t LEFT JOIN ${p}walk w ON w.query_id = t.query_id " +
+      "AND w.neighbor_id = t.neighbor_id)"
+  }
+
+  // SIM11D — the layered-walk RECALL/COST FRONTIER (the r14 verdict's
+  // ask: push graph-ANN recall toward HNSW parity, as a d15-style
+  // oracle-gated sweep under a carded dots/query budget): three
+  // configs of graphWalkLayered — sim11c's baseline, a denser-graph
+  // middle, and a wide-entry/denser-layer config — each graded by the
+  // eval1 protocol against the SAME brute-force truth AND charged its
+  // exact-dot budget (seed scorings + every hop's frontier-expansion
+  // scorings, the events the walk actually spends). Measured at
+  // sf0.01: a_base 0.68 recall, b_denser 0.76, c_wide 0.92 — the
+  // ≥0.9 point the ask named, reached by entry DIVERSITY (nProbe 6)
+  // plus denser mid/apex layers (kUpper 12, topCount 256, mid 400‰),
+  // NOT by widening the beam on the old graph (sim11c's scaladoc
+  // showed budget alone strands at 0.42). The apex stays a FIXED
+  // COUNT at every config (256 is a count, not a rate — the k-means
+  // contract), so the sweep inherits sim11c's scale story; the sweep
+  // itself is the d15/d20 shape (same machinery, parameter axis,
+  // closed-form card per point).
+  val sim11d = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
+      val base = Similarity.mutualKnn(e, "label", 10)
+      val cents = Clustering.kmeans(e, 10, 3)
+      val configs = Seq(
+        ("a_base", 5, 2, 8, 64, 250),
+        ("b_denser", 12, 3, 12, 64, 250),
+        ("c_wide", 12, 6, 24, 256, 400))
+      val cards = configs.map { case (name, kU, np, beam, tc, mp) =>
+        val (walk, dots) = Similarity.graphWalkLayeredCarded(e, base, queries,
+          cents, 5, beam = beam, hops = 3, nProbe = np, nEntry = 4,
+          midPermille = mp, topCount = tc, kUpper = kU)
+        // Each config's card collapses to ONE row; localCheckpoint it
+        // eagerly so the three walks execute sequentially and the
+        // union's logical plan is three flat scans — one lazy plan
+        // holding three complete layered walks (adjacency builds + hop
+        // loops + persists) blows the 8g driver during optimization.
+        // The checkpointed RDDs are 1 row each: model-sized residue.
+        Similarity.annRecall(truth, walk)
+          .agg(sum("n_truth").cast("long").as("n_truth"),
+            sum("n_hits").cast("long").as("n_hits"))
+          .crossJoin(dots.agg(sum("n_dots").cast("long").as("n_dots")))
+          .select(lit(name).as("config"), lit(kU.toLong).as("k_upper"),
+            lit(np.toLong).as("n_probe"), lit(beam.toLong).as("beam"),
+            lit(tc.toLong).as("top_count"), lit(mp.toLong).as("mid_permille"),
+            col("n_truth"), col("n_hits"), col("n_dots"))
+          .localCheckpoint(true)
+      }
+      ordered(cards.reduce(_.unionByName(_)))
+    },
+    Some("WITH " + kmeansBody("embeddings", "km", 3, 10, 64) + ", " +
+      "fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
+      " AS cos FROM embeddings e CROSS JOIN kmc3 c), " +
+      "asg AS MATERIALIZED (SELECT vec_id, cid, cos FROM (SELECT vec_id, cid, cos, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn " +
+      "FROM fin) WHERE rn = 1), " +
+      "pool AS MATERIALIZED (SELECT cid, vec_id, srn FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id ASC) AS srn " +
+      "FROM asg) WHERE srn <= 8), " +
+      "q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings), " +
+      "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c USING (label) WHERE query_id <> neighbor_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored), " +
+      "knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10), " +
+      "mut AS (SELECT x.query_id AS id_a, x.neighbor_id AS id_b FROM knn x JOIN knn y " +
+      "ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
+      "WHERE x.query_id < x.neighbor_id), " +
+      "qq AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv " +
+      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      "vv AS (SELECT vec_id AS node_id, embedding AS nv FROM embeddings), " +
+      "tsc AS (SELECT qq.query_id, c.neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM qq JOIN c ON qq.query_id <> c.neighbor_id), " +
+      "truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn " +
+      "FROM tsc) WHERE rn <= 5), " +
+      sim11dCfg("a", 5, 2, 8, 64, 250) + ", " +
+      sim11dCfg("b", 12, 3, 12, 64, 250) + ", " +
+      sim11dCfg("g", 12, 6, 24, 256, 400) + " " +
+      "SELECT * FROM (" +
+      "SELECT 'a_base' AS config, CAST(5 AS BIGINT) AS k_upper, " +
+      "CAST(2 AS BIGINT) AS n_probe, CAST(8 AS BIGINT) AS beam, " +
+      "CAST(64 AS BIGINT) AS top_count, CAST(250 AS BIGINT) AS mid_permille, " +
+      "c.n_truth, c.n_hits, d.n_dots FROM acard c, adots d " +
+      "UNION ALL SELECT 'b_denser', 12, 3, 12, 64, 250, " +
+      "c.n_truth, c.n_hits, d.n_dots FROM bcard c, bdots d " +
+      "UNION ALL SELECT 'c_wide', 12, 6, 24, 256, 400, " +
+      "c.n_truth, c.n_hits, d.n_dots FROM gcard c, gdots d)" + OBA))
+
   // SIM12 — two-stage binary ANN recall card: sign-sketch band
   // candidates (Hamming ≤ 20) exactly reranked, graded against
   // brute-force truth — the compression ladder's cheapest index
@@ -6682,5 +6853,5 @@ object DataCatalog {
     "m6d_mixed_container_dedup" -> m6d, "m5c_mixed_storage_dedup" -> m5c,
     // round-15 additions
     "m4f_png_storage_dedup" -> m4f, "m7d_png_coverage_card" -> m7d,
-    "m5d_legacy_storage_dedup" -> m5d)
+    "m5d_legacy_storage_dedup" -> m5d, "sim11d_recall_frontier" -> sim11d)
 }
