@@ -153,7 +153,8 @@ object Bench {
     "m6d_mixed_container_dedup", "m5c_mixed_storage_dedup",
     // round-15 additions
     "m4f_png_storage_dedup", "m7d_png_coverage_card",
-    "m5d_legacy_storage_dedup", "sim11d_recall_frontier")
+    "m5d_legacy_storage_dedup", "sim11d_recall_frontier",
+    "warc1_record_manifest", "dp6w_warc_corpus_prep")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -3481,25 +3481,29 @@ object DataCatalog {
   // languages by mix5's integer rates, and shuf1's epoch-0 hash order
   // assigns the final training positions. Every stage is an
   // already-oracle-proven piece; the entry proves they COMPOSE.
-  val dp6 = Q(
-    (s, d) => {
-      val src = documents(s, d).withColumn("url",
-        concat(lit("https://WWW.Example"), col("doc_id") % 7,
-          lit(".org/page/?utm_source=feed&id="), col("doc_id") % 50))
-      val s1 = graft.operators.Dedup.keepOneByKey(src,
-        Seq(TextOps.canonicalUrl(col("url"))), Seq(col("doc_id")))
-      val s2 = s1.filter(size(split(trim(col("text")), "\\s+")) >= 20)
-      val s3 = Sampling.tokenBudgetMixture(s2, col("doc_id"), col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long"), 6000L,
-        Map("en" -> 5L, "de" -> 2L, "fr" -> 2L, "zh" -> 1L))
-      val score = conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":0"))), 1, 15), 16, 10).cast("long")
-      ordered(graft.operators.Ranking.globalRank(s3.select(col("doc_id")),
-          col("doc_id"), score)
-        .select(col("id").as("doc_id"), col("rank").as("position"))
-        .join(s3.select(col("doc_id"), col("lang")), Seq("doc_id")))
-    },
-    Some("WITH src AS (SELECT doc_id, lang, text, " +
+  /** dp6's pipeline over any (doc_id, lang, text) frame — factored out
+    * so dp6w can run the IDENTICAL composition from the WARC source
+    * and grade against the same oracle. */
+  private def dp6Pipeline(src0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val src = src0.withColumn("url",
+      concat(lit("https://WWW.Example"), col("doc_id") % 7,
+        lit(".org/page/?utm_source=feed&id="), col("doc_id") % 50))
+    val s1 = graft.operators.Dedup.keepOneByKey(src,
+      Seq(TextOps.canonicalUrl(col("url"))), Seq(col("doc_id")))
+    val s2 = s1.filter(size(split(trim(col("text")), "\\s+")) >= 20)
+    val s3 = Sampling.tokenBudgetMixture(s2, col("doc_id"), col("lang"),
+      size(split(trim(col("text")), "\\s+")).cast("long"), 6000L,
+      Map("en" -> 5L, "de" -> 2L, "fr" -> 2L, "zh" -> 1L))
+    val score = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":0"))), 1, 15), 16, 10).cast("long")
+    ordered(graft.operators.Ranking.globalRank(s3.select(col("doc_id")),
+        col("doc_id"), score)
+      .select(col("id").as("doc_id"), col("rank").as("position"))
+      .join(s3.select(col("doc_id"), col("lang")), Seq("doc_id")))
+  }
+  /** dp6's oracle, shared verbatim by dp6w (the WARC round trip must
+    * reproduce the exact pre-extracted result). */
+  private val Dp6OracleSql: String = ("WITH src AS (SELECT doc_id, lang, text, " +
       "'https://WWW.Example' || (doc_id % 7) || '.org/page/?utm_source=feed&id=' || (doc_id % 50) AS url " +
       "FROM documents), " +
       "nf AS (SELECT *, regexp_replace(url, '#.*$', '') AS u1 FROM src), " +
@@ -3520,7 +3524,69 @@ object DataCatalog {
       "WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < r.rate) " +
       "SELECT doc_id, row_number() OVER (ORDER BY " +
       "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15))::BIGINT, doc_id) AS position, " +
-      "lang FROM s3" + OBA))
+      "lang FROM s3" + OBA)
+  val dp6 = Q((s, d) => dp6Pipeline(documents(s, d)), Some(Dp6OracleSql))
+
+  // WARC1 — WARC/WET ingest source round trip (the r14 verdict's ask:
+  // web corpora enter as crawl files, not parquet): the entry writes a
+  // deterministic WET fixture from the documents table (4 files,
+  // warcinfo-led, ISO 28500 record framing), reads it back through
+  // the DISTRIBUTED record reader (Hadoop record-delimiter splits —
+  // one multi-GB crawl file parallelizes across tasks), filters to
+  // conversion records, and manifests each: doc_id parsed from the
+  // record id, target URI, Content-Length (UTF-8 BYTES, so multi-byte
+  // text pins the byte-vs-char accounting), and the body md5. The
+  // oracle derives the identical manifest from the pre-extracted twin
+  // (the documents table itself), so a hash match proves the muxer,
+  // the record splitter, the header parse, the Content-Length body
+  // cut, and the type filter compose losslessly on real record bytes.
+  val warc1 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeWet(docs, dir, 4)
+      val recs = graft.sources.WarcSource.readWet(s, dir + "/wet-*.warc")
+      ordered(recs.filter(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"),
+          col("content_length").as("content_len"),
+          md5(col("body").cast("binary")).as("body_md5")))
+    },
+    Some("SELECT doc_id, 'https://example' || (doc_id % 7) || '.org/doc/' || doc_id " +
+      "AS target_uri, CAST(octet_length(encode(text)) AS BIGINT) AS content_len, " +
+      "md5(text) AS body_md5 FROM documents" + OBA))
+
+  // DP6W — dp6's web-corpus prep run END-TO-END FROM THE WARC FIXTURE
+  // (the ask's second half): the corpus enters as WET records — text
+  // from the record body, lang from the WARC-Identified-Content-
+  // Language header (the field real WET files carry), doc_id from the
+  // record id — and the IDENTICAL dp6 pipeline (canonical-URL dedup,
+  // length floor, token-budget mixture, epoch-order rank) must
+  // reproduce dp6's oracle verbatim. One entry pins that the ingest
+  // source is a drop-in for the pre-extracted table: same rows, same
+  // hashes, no parquet anywhere on the input path.
+  val dp6w = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc", d)
+      // self-contained: (re)write the fixture — entries may run alone
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeWet(docs, dir, 4)
+      val fromWarc = graft.sources.WarcSource.readWet(s, dir + "/wet-*.warc")
+        .filter(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("content_lang").as("lang"),
+          col("body").as("text"))
+      dp6Pipeline(fromWarc)
+    },
+    Some(Dp6OracleSql))
 
   // DP7 — authority-weighted curation: the composition a CommonCrawl-
   // style curator actually runs with the graph family. Each doc's host
@@ -6853,5 +6919,6 @@ object DataCatalog {
     "m6d_mixed_container_dedup" -> m6d, "m5c_mixed_storage_dedup" -> m5c,
     // round-15 additions
     "m4f_png_storage_dedup" -> m4f, "m7d_png_coverage_card" -> m7d,
-    "m5d_legacy_storage_dedup" -> m5d, "sim11d_recall_frontier" -> sim11d)
+    "m5d_legacy_storage_dedup" -> m5d, "sim11d_recall_frontier" -> sim11d,
+    "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w)
 }

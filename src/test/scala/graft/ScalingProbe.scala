@@ -382,6 +382,17 @@ object ScalingProbe {
         Multimodal.imageDupPairs(Multimodal.imageDHashOriented(
           Multimodal.syntheticJpegExifProgressiveMix(dense, _ / 10, _ % 10)), 3)
       },
+      // round-15: m4b's rasters across the three PNG storage forms —
+      // times the PLTE lookup + Adam7 per-pass de-interlace against
+      // the baseline unfilter on the same pixels; any exponent gap vs
+      // the m4 family is storage-decode cost and nothing else
+      "m4f_png_storage" -> { d =>
+        val m = d.substring(d.lastIndexOf("/m") + 2).toInt
+        val dense = Tables.documents(spark, d)
+          .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
+        Multimodal.imageDupPairs(Multimodal.imageDHash(
+          Multimodal.syntheticPngStorageMix(dense, _ / 10)), 3)
+      },
       "m5b_audio_fft" -> { d =>
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
         val dense = Tables.documents(spark, d)
@@ -400,6 +411,18 @@ object ScalingProbe {
           .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
         Multimodal.audioDupPairs(Multimodal.audioFingerprint(
           Multimodal.syntheticMixedStorageAudio(dense, _ / 10)), 3)
+      },
+      // round-15: the m5 shape under LEGACY lossy storage — times the
+      // G.711 table companding and the IMA nibble reconstruction (a
+      // third of the clips coded) against the PCM byte read; same
+      // projections, same fingerprints, so any exponent gap vs the m5
+      // family is legacy-decode cost and nothing else
+      "m5d_legacy_storage" -> { d =>
+        val m = d.substring(d.lastIndexOf("/m") + 2).toInt
+        val dense = Tables.documents(spark, d)
+          .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
+        Multimodal.audioDupPairs(Multimodal.audioFingerprint(
+          Multimodal.syntheticLegacyAudio(dense, _ / 10)), 3)
       },
       "m6b_video_decode" -> { d =>
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
