@@ -52,9 +52,26 @@ object DrupalFixture {
       it.remove()
     }
   }
-  private def cachedBase(s: SparkSession, d: String, name: String): DataFrame =
-    baseCache.computeIfAbsent((s, d, name), _ =>
+  // Storage override for variant entries (mbr1b): inside `withBases`,
+  // the named base frames replace the parquet scans — every fixture
+  // projection, and therefore the whole assemble plan, rides the
+  // caller's storage (pre-bucketed tables) without forking any query
+  // code. Builder-scoped and thread-local: entries construct plans on
+  // one driver thread, and the returned lazy plan embeds the override
+  // frames permanently, so laziness is safe. Overridden bases are NOT
+  // persisted — exposing the storage's own scan partitioning is the
+  // point.
+  private val baseOverride = new ThreadLocal[Map[String, DataFrame]]
+  def withBases[T](bases: Map[String, DataFrame])(f: => T): T = {
+    baseOverride.set(bases)
+    try f finally baseOverride.remove()
+  }
+  private def cachedBase(s: SparkSession, d: String, name: String): DataFrame = {
+    val o = baseOverride.get()
+    if (o != null && o.contains(name)) o(name)
+    else baseCache.computeIfAbsent((s, d, name), _ =>
       Tables.t(s, d, name).persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY))
+  }
   private def ordersB(s: SparkSession, d: String): DataFrame = cachedBase(s, d, "orders")
   private def customerB(s: SparkSession, d: String): DataFrame = cachedBase(s, d, "customer")
   private def nationB(s: SparkSession, d: String): DataFrame = cachedBase(s, d, "nation")
@@ -684,6 +701,36 @@ object MembersCatalog {
     (s, d) => Catalog.ordered(Members.byClub(s, d, 7L)),
     Some(membersSql(Some(7L), None)))
 
+  // MBR1B — the by-club flagship on PRE-BUCKETED storage (the r14
+  // verdict's ask: the 100×-scale answer to the flagship's remaining
+  // fact-side shuffles). The orders base lays out bucketed by
+  // o_orderkey (so the 4-way EAV assembly join on
+  // paragraph_id/entity_id plans with ZERO ShuffleExchange —
+  // ScaleSpec pins it) and the customer base by c_custkey (so the
+  // wide assembly's uid joins co-partition with the flags rollup's
+  // hash output and the bucketed scans). Same query code — assemble
+  // runs verbatim through DrupalFixture.withBases — same oracle as
+  // mbr1, so the correctness gate proves the bucketed layout is a
+  // pure storage change. The one-time layout write happens at entry
+  // build (once per session), the ingest-side cost a nightly-sync
+  // deployment amortizes across every downstream query.
+  val mbr1b = Q(
+    (s, d) => {
+      import graft.sources.{BucketedStore, Tables}
+      val tag = BucketedStore.sfTag(d)
+      val orders = BucketedStore.ensure(s, s"graft_orders_bykey_$tag",
+        Tables.t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        "o_orderkey", 32)
+      val customer = BucketedStore.ensure(s, s"graft_customer_byuid_$tag",
+        Tables.t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        "c_custkey", 32)
+      DrupalFixture.withBases(Map("orders" -> orders, "customer" -> customer)) {
+        Catalog.ordered(Members.byClub(s, d, 7L))
+      }
+    },
+    Some(membersSql(Some(7L), None)))
+
   val mbr2 = Q(
     (s, d) => Catalog.ordered(Members.byRegion(s, d, 2L)),
     Some(membersSql(None, Some(2L))))
@@ -706,6 +753,7 @@ object MembersCatalog {
 
   val entries: Seq[(String, Q)] = Seq(
     "mbr1_members_by_club" -> mbr1,
+    "mbr1b_bucketed_by_club" -> mbr1b,
     "mbr2_members_by_region" -> mbr2,
     "mbr3_members_all" -> mbr3,
     "mbr4_members_all_rolling" -> mbr4,

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Pre-bucketed table storage — the 100×-scale answer to the EAV
+  * flagship's fact-side shuffles: a table written `bucketBy(n, key)`
+  * exposes `HashPartitioning(key, n)` straight from the scan, so every
+  * equi-join and aggregation ON that key across co-bucketed tables
+  * plans with NO ShuffleExchange (ScaleSpec pins it on the assembly
+  * join). At 100 TB that converts the assembly's per-query
+  * multi-terabyte shuffles into a one-time layout cost paid at ingest,
+  * exactly the trade a nightly-sync deployment wants.
+  *
+  * Mechanics: bucketing requires the table catalog (`saveAsTable`);
+  * tables land in the session catalog over the warehouse directory,
+  * names SF-tagged so scale factors coexist. The writer repartitions
+  * by the bucket key first, so each bucket is ONE file — which also
+  * makes the `sortBy` metadata usable at read (Spark trusts per-bucket
+  * sortedness only for single-file buckets, eliding the sort under
+  * sort-merge joins). */
+object BucketedStore {
+
+  /** Ensure `table` exists as a bucketed+sorted managed table holding
+    * `df` (built only when absent); returns the table frame. One write
+    * per (session, table): the in-memory catalog is session-scoped, so
+    * a fresh session lays the table out once and every later query in
+    * the session reads the bucketed files. */
+  def ensure(s: SparkSession, table: String, df: => DataFrame, key: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    if (!s.catalog.tableExists(table)) {
+      df.repartition(nBuckets, col(key))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, key).sortBy(key)
+        .saveAsTable(table)
+    }
+    s.table(table)
+  }
+
+  /** SF tag for table names (identifiers can't carry dots/slashes). */
+  def sfTag(d: String): String =
+    new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+}

@@ -51,6 +51,53 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("mbr1b: the bucketed EAV assembly join plans with ZERO ShuffleExchange") {
+    import graft.queries.DrupalFixture
+    import graft.sources.{BucketedStore, Tables}
+    val table = "graft_orders_bykey_" + BucketedStore.sfTag(sf)
+    val orders = BucketedStore.ensure(spark, table,
+      Tables.t(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+      "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force SMJ: at 100 TB none of these fact-side frames broadcasts,
+      // so the pin models the at-scale plan, not the fixture's
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def acpOf(): org.apache.spark.sql.DataFrame = {
+        val p = DrupalFixture.paragraphs(spark, sf)
+          .filter(col("status") === "1" && col("ptype") === "membership")
+        val pc = DrupalFixture.paraClub(spark, sf).filter(col("deleted") === "0")
+          .select(col("entity_id"), col("club_target"))
+        val fjd = DrupalFixture.paraJoin(spark, sf).filter(col("deleted") === "0")
+          .select(col("entity_id"), col("join_dt"))
+        val fld = DrupalFixture.paraLeave(spark, sf).filter(col("deleted") === "0")
+          .select(col("entity_id"), col("leave_dt"))
+        p.join(pc, col("paragraph_id") === pc("entity_id")).drop("entity_id")
+          .join(fjd, col("paragraph_id") === fjd("entity_id"), "left").drop("entity_id")
+          .join(fld, col("paragraph_id") === fld("entity_id"), "left").drop("entity_id")
+      }
+      // the flagship's acp subtree over the PRE-BUCKETED base: every
+      // projection inherits HashPartitioning(o_orderkey) from the scan
+      // (alias-aware), so the 4-way join needs no exchange at all
+      val bucketed = DrupalFixture.withBases(Map("orders" -> orders))(acpOf())
+      assert(bucketed.count() > 0)
+      val shuffles = nodes(bucketed).collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        "the pre-bucketed assembly join must plan shuffle-free — at 100 TB " +
+          "these are the flagship's multi-terabyte fact exchanges")
+      // non-vacuity: the SAME subtree on plain storage does shuffle
+      val plain = acpOf()
+      plain.count()
+      assert(nodes(plain).collect { case s: ShuffleExchangeExec => s }.nonEmpty,
+        "control: the unbucketed assembly join should shuffle under SMJ")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      CacheScope.releaseAll()
+    }
+  }
+
   test("bpe training scans the corpus once; iterations run on the cached vocab") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
