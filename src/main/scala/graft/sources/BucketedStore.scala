@@ -30,6 +30,16 @@ object BucketedStore {
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     if (!s.catalog.tableExists(table)) {
+      // The in-memory catalog is session-scoped but the warehouse
+      // DIRECTORY is not: a previous session's layout survives on disk
+      // with no catalog entry, and saveAsTable refuses a managed table
+      // whose location already exists (LOCATION_ALREADY_EXISTS). The
+      // location is ours by construction — same name, same derivation
+      // — so clear it and lay the table out fresh.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       df.repartition(nBuckets, col(key))
         .write.mode("overwrite").format("parquet")
         .bucketBy(nBuckets, key).sortBy(key)
