@@ -155,7 +155,7 @@ object Bench {
     "m4f_png_storage_dedup", "m7d_png_coverage_card",
     "m5d_legacy_storage_dedup", "sim11d_recall_frontier",
     "warc1_record_manifest", "dp6w_warc_corpus_prep",
-    "mbr1b_bucketed_by_club")
+    "mbr1b_bucketed_by_club", "warc2_http_responses")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

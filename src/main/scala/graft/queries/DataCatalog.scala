@@ -3560,6 +3560,38 @@ object DataCatalog {
       "AS target_uri, CAST(octet_length(encode(text)) AS BIGINT) AS content_len, " +
       "md5(text) AS body_md5 FROM documents" + OBA))
 
+  // WARC2 — full-WARC `response` records (the raw-crawl shape, BEFORE
+  // text extraction): each record body is a complete HTTP/1.1 response
+  // whose header block must be split from the HTML payload — the step
+  // every WARC consumer runs before any text pipeline. The split is
+  // pure column arithmetic (locate the blank line, substring — no UDF),
+  // and the manifest grades status-line parse, header/body split, and
+  // byte-exact payload against the closed form on the pre-extracted
+  // twin. With warc1 (WET) this covers both record shapes crawls ship.
+  val warc2 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_resp", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeResponses(docs, dir, 4)
+      val recs = graft.sources.WarcSource.readWet(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+      val payload = col("body").substr(
+        locate("\r\n\r\n", col("body")) + lit(4), length(col("body")))
+      ordered(recs.select(
+        regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("body"), "^HTTP/1\\.1 (\\d+)", 1)
+          .cast("long").as("http_status"),
+        octet_length(payload).cast("long").as("payload_len"),
+        md5(payload.cast("binary")).as("payload_md5")))
+    },
+    Some("SELECT doc_id, CAST(200 AS BIGINT) AS http_status, " +
+      "CAST(octet_length(encode('<html><body><p>' || text || '</p></body></html>')) AS BIGINT) AS payload_len, " +
+      "md5('<html><body><p>' || text || '</p></body></html>') AS payload_md5 " +
+      "FROM documents" + OBA))
+
   // DP6W — dp6's web-corpus prep run END-TO-END FROM THE WARC FIXTURE
   // (the ask's second half): the corpus enters as WET records — text
   // from the record body, lang from the WARC-Identified-Content-
@@ -6920,5 +6952,6 @@ object DataCatalog {
     // round-15 additions
     "m4f_png_storage_dedup" -> m4f, "m7d_png_coverage_card" -> m7d,
     "m5d_legacy_storage_dedup" -> m5d, "sim11d_recall_frontier" -> sim11d,
-    "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w)
+    "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w,
+    "warc2_http_responses" -> warc2)
 }

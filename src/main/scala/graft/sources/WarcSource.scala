@@ -52,7 +52,40 @@ object WarcSource {
     * sorted by doc_id, a warcinfo record leading each file). Each
     * bucket hash-routes to exactly one partition, so every file is
     * written by one task. */
-  def writeWet(docs: DataFrame, dir: String, nFiles: Int): Unit = {
+  def writeWet(docs: DataFrame, dir: String, nFiles: Int): Unit =
+    writeRecords(docs, dir, nFiles, "wet", r =>
+      record(Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> r.getString(1),
+        "WARC-Record-ID" -> s"<urn:graft:doc:${r.getLong(0)}>",
+        "WARC-Identified-Content-Language" -> r.getString(2),
+        "Content-Type" -> "text/plain"),
+        r.getString(3).getBytes("UTF-8")))
+
+  /** Write a deterministic FULL-WARC fixture of `response` records —
+    * the shape a raw crawl ships BEFORE text extraction: each record's
+    * body is a complete HTTP/1.1 response (status line, headers, blank
+    * line, HTML payload wrapping the doc text). Same file layout as
+    * [[writeWet]]. The HTTP header/body split downstream is plain
+    * column arithmetic (warc2), no custom reader needed. */
+  def writeResponses(docs: DataFrame, dir: String, nFiles: Int): Unit =
+    writeRecords(docs, dir, nFiles, "warc", { r =>
+      val html = "<html><body><p>" + r.getString(3) + "</p></body></html>"
+      val payload = html.getBytes("UTF-8")
+      val http = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++ payload
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> r.getString(1),
+        "WARC-Record-ID" -> s"<urn:graft:doc:${r.getLong(0)}>",
+        "WARC-Identified-Content-Language" -> r.getString(2),
+        "Content-Type" -> "application/http; msgtype=response"),
+        http)
+    })
+
+  private def writeRecords(docs: DataFrame, dir: String, nFiles: Int,
+      stem: String, mk: Row => Array[Byte]): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val d = new java.io.File(dir)
     d.mkdirs()
@@ -66,22 +99,14 @@ object WarcSource {
         val byFile = rows.toVector.groupBy(r => (r.getLong(0) % nFiles).toInt)
         byFile.foreach { case (f, rs) =>
           val out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(new java.io.File(dir, f"wet-$f%05d.warc")))
+            new java.io.FileOutputStream(new java.io.File(dir, f"$stem-$f%05d.warc")))
           try {
             out.write(record(Seq(
               "WARC-Type" -> "warcinfo",
               "WARC-Record-ID" -> s"<urn:graft:warcinfo:$f>",
               "Content-Type" -> "application/warc-fields"),
               "software: graft-wet-fixture\r\n".getBytes("UTF-8")))
-            rs.foreach { r =>
-              out.write(record(Seq(
-                "WARC-Type" -> "conversion",
-                "WARC-Target-URI" -> r.getString(1),
-                "WARC-Record-ID" -> s"<urn:graft:doc:${r.getLong(0)}>",
-                "WARC-Identified-Content-Language" -> r.getString(2),
-                "Content-Type" -> "text/plain"),
-                r.getString(3).getBytes("UTF-8")))
-            }
+            rs.foreach(r => out.write(mk(r)))
           } finally out.close()
         }
       }
