@@ -812,9 +812,15 @@ object Similarity {
     * hop's newly reached frontier expansion, duplicates across hops
     * included, exactly as the loop spends them. The cost axis of the
     * recall/cost frontier card: recall alone rewards unbounded budget,
-    * so the sweep grades configs on BOTH. Same plan shape as the
-    * un-carded walk (the per-hop reached frame is persisted because two
-    * consumers read it — the scorer and the counter). */
+    * so the sweep grades configs on BOTH. Same join shapes as the
+    * un-carded walk — whose ScaleSpec plan pins therefore cover this
+    * construction — but lineage is CUT per hop with lazy
+    * localCheckpoints: three configs' growing hop plans otherwise
+    * spend more wall time in repeated optimization/codegen than in
+    * the Q·beam-bounded data, and the checkpointed frames double as
+    * the shared cache for the two consumers of each hop's reached set
+    * (the scorer and the dot counter). Checkpoint residue is
+    * Q·beam-row RDDs, freed with the session. */
   def graphWalkLayeredCarded(vectors: DataFrame, graph: DataFrame,
       queries: DataFrame, cents: DataFrame, k: Int, beam: Int = 8,
       hops: Int = 3, nProbe: Int = 2, nEntry: Int = 4,
@@ -822,20 +828,27 @@ object Similarity {
       kUpper: Int = 5): (DataFrame, DataFrame) = {
     val (adj, v, q, visited0) = layeredPrep(vectors, graph, queries, cents,
       k, beam, hops, nProbe, nEntry, poolPerCell, midPermille, topCount, kUpper)
+    // Lineage is CUT per hop with lazy localCheckpoints instead of
+    // persists (the Graph.scala iterative-operator move): each hop's
+    // frame otherwise carries the whole layer-build tree below it, and
+    // with the sweep running THREE configs the repeated optimization /
+    // codegen of those growing plans dominated the entry's wall time
+    // (the data per hop is beam-bounded and tiny). The checkpointed
+    // frames are Q·beam-row residues, freed with the session.
     var dotsEvents = visited0.select(col("query_id"), col("node_id"))
-    var visited = visited0
+    var visited = visited0.localCheckpoint(false)
     var frontier = visited.select("query_id", "node_id")
     for (_ <- 1 to hops) {
-      val reached = graft.CacheScope.persist(
-        frontier.join(adj, col("node_id") === col("src"))
-          .select(col("query_id"), col("dst").as("node_id")).distinct())
+      val reached = frontier.join(adj, col("node_id") === col("src"))
+        .select(col("query_id"), col("dst").as("node_id")).distinct()
+        .localCheckpoint(false)
       dotsEvents = dotsEvents.unionByName(reached)
       val scoredHop = reached.join(v, Seq("node_id")).join(q, Seq("query_id"))
         .select(col("query_id"), col("node_id"),
           (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
-      visited = graft.CacheScope.persist(
-        visited.unionByName(scoredHop)
-          .groupBy("query_id", "node_id").agg(max("cos").as("cos")))
+      visited = visited.unionByName(scoredHop)
+        .groupBy("query_id", "node_id").agg(max("cos").as("cos"))
+        .localCheckpoint(false)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("node_id").asc)
       frontier = visited.withColumn("rn", row_number().over(w))
@@ -922,7 +935,16 @@ object Similarity {
     * newly reached nodes, fold into visited, keep the best `beam` as
     * the next frontier; after `hops` rounds the best k visited
     * non-self nodes are the answer. The initial frontier is ALL of
-    * `visited0`'s nodes (callers keep seed counts ≤ beam). */
+    * `visited0`'s nodes (callers keep seed counts ≤ beam).
+    *
+    * The loop persists per hop and keeps the FULL lineage — this is
+    * deliberate: the ScaleSpec plan pins (no constant-key equi-join,
+    * bounded crosses, no pair scan) read the final plan, and cutting
+    * lineage here would turn the hop/layer subtrees into opaque RDD
+    * scans and make every pin vacuous. The carded sweep variant
+    * ([[graphWalkLayeredCarded]]), which runs the same join shapes
+    * three configs at a time, cuts lineage for wall-time and is
+    * covered by THESE pins through the shared construction. */
   private def walkLoop(adj: DataFrame, v: DataFrame, q: DataFrame,
       visited0: DataFrame, k: Int, beam: Int, hops: Int): DataFrame = {
     var visited = visited0

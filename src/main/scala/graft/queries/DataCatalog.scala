@@ -2358,7 +2358,8 @@ object DataCatalog {
       s"UNION ALL SELECT id_b, id_a FROM ${p}tpmut), " +
       s"${p}qcells AS (SELECT query_id, cell FROM (SELECT vec_id AS query_id, " +
       "cid AS cell, row_number() OVER (PARTITION BY vec_id " +
-      "ORDER BY cos DESC, cid ASC) AS crn FROM fin WHERE vec_id % 50 = 0) " +
+      "ORDER BY cos DESC, cid ASC) AS crn FROM fin " +
+      "WHERE vec_id % 50 = 0 AND vec_id < 500) " +
       s"WHERE crn <= $np), " +
       s"${p}v0 AS (SELECT qc2.query_id, sd.node_id, " + cosSql("qv", "nv") +
       s" AS cos FROM ${p}qcells qc2 JOIN (SELECT cid AS cell, vec_id AS node_id " +
@@ -2400,7 +2401,14 @@ object DataCatalog {
   val sim11d = Q(
     (s, d) => {
       val e = embeddings(s, d)
-      val queries = e.filter(col("vec_id") % 50 === 0)
+      // FIXED query panel (the eval-protocol framing, and the same
+      // discipline as ScalingProbe's fixed 1×-sample query set): a
+      // recall benchmark grades a fixed panel against the growing
+      // index — corpus-proportional queries would multiply three
+      // walks by the corpus and measure the fixture, not the index.
+      // At the verify SF the panel IS the full %50 set (all vec_ids
+      // < 500), so the oracle results are unchanged.
+      val queries = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
       val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
       val base = Similarity.mutualKnn(e, "label", 10)
       val cents = Clustering.kmeans(e, 10, 3)
@@ -2450,7 +2458,7 @@ object DataCatalog {
       "ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id " +
       "WHERE x.query_id < x.neighbor_id), " +
       "qq AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qv " +
-      "FROM embeddings WHERE vec_id % 50 = 0), " +
+      "FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 500), " +
       "vv AS (SELECT vec_id AS node_id, embedding AS nv FROM embeddings), " +
       "tsc AS (SELECT qq.query_id, c.neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
       "FROM qq JOIN c ON qq.query_id <> c.neighbor_id), " +
