@@ -155,7 +155,10 @@ object Bench {
     "m4f_png_storage_dedup", "m7d_png_coverage_card",
     "m5d_legacy_storage_dedup", "sim11d_recall_frontier",
     "warc1_record_manifest", "dp6w_warc_corpus_prep",
-    "mbr1b_bucketed_by_club", "warc2_http_responses")
+    "mbr1b_bucketed_by_club", "warc2_http_responses",
+    // round-16 additions
+    "warc3_gzip_members", "sim13_incremental_knn",
+    "mbr2b_bucketed_by_region", "mbr3b_bucketed_all")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -283,6 +286,7 @@ object Bench {
     // goes on its own earlier line: the driver captures a bounded tail of
     // stdout, and rounds 5–6 lost the medians block because one huge line
     // (medians+lo+hi) was cut from the front by that tail capture.
+    CacheScope.releaseSession() // cross-query caches (fixture bases) end with the run
     spark.stop()
     val spreadLine = f"""{"metric":"spread","lo":$loJ,"hi":$hiJ}"""
     val recordLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qj,"reps":$reps,"errors":$ej,"sf":"$sfDir","calib_shuffle_ms":$shuffleMs%.1f,"calib_map_ms":$mapMs%.1f,"shuffle_tmpfs":$tmpfsShuffle,"local_dir":"$localDirEff"}"""

@@ -42,11 +42,35 @@ object CacheScope {
 
   /** Register a STANDING release hook, run on every [[releaseAll]] —
     * for caches that memoize their persisted frames outside the `live`
-    * queue (DrupalFixture's base-table cache) and therefore need to
-    * evict their own bookkeeping alongside the unpersist. Hooks stay
-    * registered for the life of the process; register once per cache,
-    * not once per frame. */
+    * queue and therefore need to evict their own bookkeeping alongside
+    * the unpersist. Hooks stay registered for the life of the process;
+    * register once per cache, not once per frame.
+    *
+    * Granularity warning (the r15 lesson): per-query drivers call
+    * [[releaseAll]] after EVERY query, so a hook that evicts a cache
+    * meant to amortize ACROSS queries (DrupalFixture's base tables)
+    * regresses the whole family it serves — mbr4 ran 2.03× for one
+    * round. Cross-query caches belong on [[onSessionRelease]] and must
+    * bound their own memory (keyed LRU); [[onRelease]] is only for
+    * state that really is per-query. */
   def onRelease(hook: () => Unit): Unit = hooks.add(hook)
+
+  private val sessionHooks = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Register a SESSION-END release hook: run only by [[releaseSession]]
+    * (which Bench/Verify/Cli call once, after their last query), never by
+    * the per-query [[releaseAll]]. For caches that amortize across
+    * queries — they stay warm through a whole driver run and still leave
+    * nothing pinned when the run ends. */
+  def onSessionRelease(hook: () => Unit): Unit = sessionHooks.add(hook)
+
+  /** End-of-run release: everything [[releaseAll]] does, plus the
+    * session-tier hooks. Call once per driver run, after the last
+    * query's action completes. */
+  def releaseSession(): Unit = {
+    releaseAll()
+    sessionHooks.forEach(h => h())
+  }
 
   /** Unpersist every tracked intermediate and run the standing hooks.
     * Idempotent; must run only at a quiesced point (see the concurrency

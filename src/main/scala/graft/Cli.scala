@@ -152,7 +152,7 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
     val df = resolve(spark, args.head, args.tail.toSeq)
     try JsonOut.print(Catalog.ordered(df))
-    finally CacheScope.releaseAll() // operator-internal persists end with the query
+    finally CacheScope.releaseSession() // one-query run: query + session caches end together
     spark.stop()
   }
 }

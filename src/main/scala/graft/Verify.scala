@@ -63,6 +63,7 @@ object Verify {
     // rc stays 0 even with errors: the driver compares whatever dirs
     // exist; failing the JVM here could zero the surviving 140+ entries.
     // local_verify.py reads errors.json and fails the LOCAL gate instead.
+    CacheScope.releaseSession() // cross-query caches (fixture bases) end with the run
     spark.stop()
   }
 }

@@ -549,6 +549,69 @@ object Similarity {
         col("x.cosine").as("cosine"))
   }
 
+  /** sim13 — INCREMENTAL mutual-kNN graph maintenance (the serving
+    * deployment's move: a corpus admits a batch without rebuilding the
+    * index from scratch — d8/idx2/out3's incremental contract for the
+    * ANN family). Given the standing corpus `base` and an arriving
+    * `batch` (both (vec_id, embedding, cellCol)), produce the mutual-
+    * kNN graph of base ∪ batch EXACTLY equal to a full [[mutualKnn]]
+    * rebuild, while touching only O(batch · cell) new pairs:
+    *
+    *  1. the stored index — base's within-cell kNN lists WITH scores —
+    *     is what the deployment already holds (recomputed here so the
+    *     operator is self-contained; its cost is the standing index's,
+    *     not the insert's);
+    *  2. each batch node scores against every current node in its cell
+    *     (old + other new) — the only NEW pair work, O(batch · cell);
+    *  3. old nodes' lists update by MERGE, not rescan: only a new node
+    *     can displace a stored top-k entry (any old-vs-old pair outside
+    *     the stored list is dominated by k stored pairs), so
+    *     top-k(stored ∪ transposed-batch-scores) = top-k(full rebuild).
+    *     The transpose is exact: the strict-left dot fold and the norm
+    *     product both commute bit-for-bit, so cos(new, old) IS
+    *     cos(old, new);
+    *  4. mutuality is the usual self-equi-join of the merged k·N lists.
+    *
+    * Equivalence to the rebuild is oracle-gated (sim13 grades against
+    * sim7's full-rebuild SQL verbatim), not asserted. */
+  def knnInsertMutual(base: DataFrame, batch: DataFrame, cellCol: String,
+      k: Int): DataFrame = {
+    val stored = topKIvf(base, cellCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("cos"))
+    val q = withNorm(batch.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"), col(cellCol).as("cell")), "query_id", "qv", "qn")
+    val cAll = withNorm(
+      base.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+          col(cellCol).as("cell"), lit(false).as("is_new"))
+        .unionByName(batch.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"), col(cellCol).as("cell"),
+          lit(true).as("is_new"))),
+      "neighbor_id", "cv", "cn")
+    // batch-side scores feed BOTH the new nodes' own lists and the old
+    // nodes' merge (transposed) — persist the O(batch · cell) frame once
+    val scored = graft.CacheScope.persist(
+      q.join(cAll, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("is_new"),
+          (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos")))
+    val batchKnn = rankTopK(scored.select(col("query_id"), col("neighbor_id"),
+      col("cos")), k)
+    // transpose only new-vs-OLD rows: new-vs-new pairs already appear in
+    // both directions within `scored` and must not duplicate
+    val oldVsNew = scored.filter(!col("is_new")).select(
+      col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"),
+      col("cos"))
+    val updatedOld = rankTopK(stored.unionByName(oldVsNew), k)
+    val knn = graft.CacheScope.persist(
+      updatedOld.unionByName(batchKnn)
+        .select(col("query_id"), col("neighbor_id"), col("cosine")))
+    knn.alias("x").join(knn.alias("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id"))
+      .filter(col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
+        col("x.cosine").as("cosine"))
+  }
+
   /** [[mutualKnn]] for a BOUNDED, model-sized frame (a fixed-count node
     * set like [[graphWalkLayered]]'s apex layer): identical mutual-top-k
     * semantics, but scored by one broadcast-nested-loop pass instead of a

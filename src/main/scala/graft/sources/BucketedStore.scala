@@ -29,13 +29,20 @@ object BucketedStore {
   def ensure(s: SparkSession, table: String, df: => DataFrame, key: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // The recursive stale-location delete below is scoped to OUR
+    // namespace: in a shared or user-configured warehouse dir a bare
+    // name collision with pre-existing data must never be silently
+    // destroyed, so ensure() only manages graft_-prefixed tables.
+    require(table.toLowerCase.startsWith("graft_"),
+      s"BucketedStore.ensure manages only graft_-prefixed tables, got '$table'")
     if (!s.catalog.tableExists(table)) {
       // The in-memory catalog is session-scoped but the warehouse
       // DIRECTORY is not: a previous session's layout survives on disk
       // with no catalog entry, and saveAsTable refuses a managed table
       // whose location already exists (LOCATION_ALREADY_EXISTS). The
-      // location is ours by construction — same name, same derivation
-      // — so clear it and lay the table out fresh.
+      // location is ours by construction — graft_ prefix enforced
+      // above, same name, same derivation — so clear it and lay the
+      // table out fresh.
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,29 +16,48 @@ import org.apache.spark.sql.functions._
   * format splits large files at block boundaries and resynchronizes at
   * the next record header, so one multi-GB WARC file parallelizes
   * across tasks with NO driver-side parsing and no whole-file
-  * buffering (the `binaryFile` trap). Header block parses until the
-  * blank line; the body is taken by Content-Length BYTES (re-encoded,
-  * so multi-byte UTF-8 is counted the way the header states);
-  * truncated or malformed records degrade to no row, never a throw.
+  * buffering (the `binaryFile` trap). Parsing is BYTE-level end to end
+  * (r16): the Text value's raw bytes are taken as-is (never toString,
+  * which would U+FFFD-mangle any non-UTF-8 body before the charset is
+  * even known), the header block decodes as ISO-8859-1 (the grammar is
+  * ASCII; latin-1 is the lossless byte→char view), and the body is cut
+  * by Content-Length BYTES. Truncated or malformed records degrade to
+  * no row, never a throw.
   *
-  * Scope, stated honestly: UNCOMPRESSED WET-shaped records (text
-  * bodies — `conversion` records plus whatever other types the file
-  * carries, surfaced via `warc_type` for the caller to filter). Real
-  * crawls also ship per-record-gzip `.warc.gz`, whose member-boundary
-  * splitting needs a custom InputFormat — that variant belongs behind
-  * this same seam and is out of scope this round. A text body that
-  * itself contains the record delimiter would split early and degrade
-  * (both halves fail the Content-Length check); Content-Length-driven
-  * re-sync closes that for the gzip variant.
+  * Compressed path: real crawls ship `.warc.gz` with ONE GZIP MEMBER
+  * PER RECORD (the CommonCrawl convention, ISO 28500-2 annex) so that
+  * readers can split inside a file. [[readWetGz]] reads that shape
+  * through [[WarcGzInputFormat]] — a splittable FileInputFormat whose
+  * record reader scans its byte range for gzip member magic, inflates,
+  * and accepts only members that decompress to a "WARC/1.0\r\n" record
+  * (false magic inside compressed payloads is rejected by that check
+  * and scanning resumes one byte later). A member that STARTS in
+  * [split.start, split.end) belongs to the split and may finish past
+  * `end` — the same ownership rule Hadoop's line reader uses — so a
+  * multi-GB .warc.gz parallelizes across tasks with no driver parsing.
+  *
+  * HTTP `response` records ([[readResponses]]) additionally split the
+  * body's HTTP envelope at byte level and decode the payload by the
+  * Content-Type charset parameter: utf-8 and iso-8859-1/us-ascii
+  * families decode directly; an unknown or unsupported charset falls
+  * back to latin-1 (lossless bytes→chars) with `charset_ok = false` —
+  * a COUNTED degrade, never a garble (the m9 convention). A body with
+  * no blank line or no parseable status line keeps its record row with
+  * NULL http fields, so malformed-envelope counts stay observable.
   *
   * Write path: the fixture muxer buckets docs `doc_id % nFiles`, one
   * file per bucket, records sorted by doc_id behind a leading
   * `warcinfo` record (readers must step over non-conversion types).
-  * Local-FS writer — fixture tooling; a production export writes the
-  * same bytes through the cluster's DFS client. */
+  * Writes stream the sorted iterator — partitions are sorted (bucket,
+  * doc_id) and the writer switches files on bucket change, so memory
+  * is O(1 record) at any scale factor. Local-FS writer — fixture
+  * tooling; a production export writes the same bytes through the
+  * cluster's DFS client. */
 object WarcSource {
 
   private val Delim = "WARC/1.0\r\n"
+  private[graft] val DelimBytes = Delim.getBytes(UTF_8)
+  private val Crlf2 = "\r\n\r\n".getBytes(UTF_8)
 
   /** One record's bytes: version line, named headers, Content-Length,
     * blank line, body, record terminator (two CRLFs). */
@@ -44,7 +65,7 @@ object WarcSource {
     val sb = new StringBuilder(Delim)
     headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
     sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
-    sb.toString.getBytes("UTF-8") ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+    sb.toString.getBytes(UTF_8) ++ body ++ "\r\n\r\n".getBytes(UTF_8)
   }
 
   /** Write a deterministic WET fixture from (doc_id, uri, lang, text)
@@ -53,106 +74,271 @@ object WarcSource {
     * bucket hash-routes to exactly one partition, so every file is
     * written by one task. */
   def writeWet(docs: DataFrame, dir: String, nFiles: Int): Unit =
-    writeRecords(docs, dir, nFiles, "wet", r =>
-      record(Seq(
-        "WARC-Type" -> "conversion",
-        "WARC-Target-URI" -> r.getString(1),
-        "WARC-Record-ID" -> s"<urn:graft:doc:${r.getLong(0)}>",
-        "WARC-Identified-Content-Language" -> r.getString(2),
-        "Content-Type" -> "text/plain"),
-        r.getString(3).getBytes("UTF-8")))
+    writeRecords(docs, dir, nFiles, "wet", ".warc", identity, wetRecord)
+
+  /** [[writeWet]]'s per-record-gzip twin: the same records, each
+    * compressed as its OWN gzip member (the `.warc.gz` convention),
+    * concatenated per file. Byte-deterministic: fixed gzip header
+    * (mtime 0, OS 255), fixed deflate level. */
+  def writeWetGz(docs: DataFrame, dir: String, nFiles: Int): Unit =
+    writeRecords(docs, dir, nFiles, "wet", ".warc.gz", gzipMember, wetRecord)
+
+  private def wetRecord(r: Row): Array[Byte] =
+    record(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> r.getString(1),
+      "WARC-Record-ID" -> s"<urn:graft:doc:${r.getLong(0)}>",
+      "WARC-Identified-Content-Language" -> r.getString(2),
+      "Content-Type" -> "text/plain"),
+      r.getString(3).getBytes(UTF_8))
+
+  /** The accent fragment injected into every response fixture payload:
+    * latin-1-representable non-ASCII chars, so the charset slices below
+    * genuinely differ on disk (UTF-8 docs carry 2-byte sequences,
+    * latin-1 docs 1-byte) and a reader that ignores the declared
+    * charset garbles the hash. */
+  private[graft] val AccentFragment = "<p>déjà vu à côté ®</p>"
 
   /** Write a deterministic FULL-WARC fixture of `response` records —
     * the shape a raw crawl ships BEFORE text extraction: each record's
     * body is a complete HTTP/1.1 response (status line, headers, blank
-    * line, HTML payload wrapping the doc text). Same file layout as
-    * [[writeWet]]. The HTTP header/body split downstream is plain
-    * column arithmetic (warc2), no custom reader needed. */
+    * line, HTML payload wrapping the doc text plus [[AccentFragment]]).
+    * Same file layout as [[writeWet]]. Charset slices (r16): doc_id %
+    * 3 == 0 encodes the payload ISO-8859-1 with a truthful charset
+    * param; doc_id % 7 == 0 (and % 3 != 0) encodes ISO-8859-1 but
+    * DECLARES `x-unknown` (exercising the reader's latin-1 fallback
+    * path); everything else is UTF-8. Both HTTP Content-Length and the
+    * WARC Content-Length count the actual encoded bytes, so the slices
+    * also differ in byte accounting. */
   def writeResponses(docs: DataFrame, dir: String, nFiles: Int): Unit =
-    writeRecords(docs, dir, nFiles, "warc", { r =>
-      val html = "<html><body><p>" + r.getString(3) + "</p></body></html>"
-      val payload = html.getBytes("UTF-8")
+    writeRecords(docs, dir, nFiles, "warc", ".warc", identity, { r =>
+      val id = r.getLong(0)
+      val html = "<html><body><p>" + r.getString(3) + "</p>" + AccentFragment + "</body></html>"
+      val (cs, declared) =
+        if (id % 3 == 0) (ISO_8859_1, "iso-8859-1")
+        else if (id % 7 == 0) (ISO_8859_1, "x-unknown")
+        else (UTF_8, "utf-8")
+      val payload = html.getBytes(cs)
       val http = ("HTTP/1.1 200 OK\r\n" +
-        "Content-Type: text/html; charset=utf-8\r\n" +
-        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("UTF-8") ++ payload
+        s"Content-Type: text/html; charset=$declared\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1) ++ payload
       record(Seq(
         "WARC-Type" -> "response",
         "WARC-Target-URI" -> r.getString(1),
-        "WARC-Record-ID" -> s"<urn:graft:doc:${r.getLong(0)}>",
+        "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
         "WARC-Identified-Content-Language" -> r.getString(2),
         "Content-Type" -> "application/http; msgtype=response"),
         http)
     })
 
   private def writeRecords(docs: DataFrame, dir: String, nFiles: Int,
-      stem: String, mk: Row => Array[Byte]): Unit = {
+      stem: String, suffix: String, wrap: Array[Byte] => Array[Byte],
+      mk: Row => Array[Byte]): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val d = new java.io.File(dir)
     d.mkdirs()
     // clean slate: stale files from a previous run would double-read
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".warc")).foreach(_.delete())
+      .filter(_.getName.endsWith(suffix)).foreach(_.delete())
     docs.select(col("doc_id").cast("long"), col("uri"), col("lang"), col("text"))
       .repartition(nFiles, pmod(col("doc_id"), lit(nFiles)))
-      .sortWithinPartitions(col("doc_id"))
+      // bucket-major, id-minor: a partition can hold several buckets
+      // (hash(bucket) % nFiles collisions), so the streaming writer
+      // below needs each bucket's rows contiguous to switch files on
+      // bucket change without buffering the partition.
+      .sortWithinPartitions(pmod(col("doc_id"), lit(nFiles)), col("doc_id"))
       .foreachPartition { rows: Iterator[Row] =>
-        val byFile = rows.toVector.groupBy(r => (r.getLong(0) % nFiles).toInt)
-        byFile.foreach { case (f, rs) =>
-          val out = new java.io.BufferedOutputStream(
-            new java.io.FileOutputStream(new java.io.File(dir, f"$stem-$f%05d.warc")))
-          try {
-            out.write(record(Seq(
-              "WARC-Type" -> "warcinfo",
-              "WARC-Record-ID" -> s"<urn:graft:warcinfo:$f>",
-              "Content-Type" -> "application/warc-fields"),
-              "software: graft-wet-fixture\r\n".getBytes("UTF-8")))
-            rs.foreach(r => out.write(mk(r)))
-          } finally out.close()
-        }
+        var cur = -1
+        var out: java.io.BufferedOutputStream = null
+        def close(): Unit = if (out != null) { out.close(); out = null }
+        try {
+          rows.foreach { r =>
+            val f = (r.getLong(0) % nFiles).toInt
+            if (f != cur) {
+              close()
+              out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+                new java.io.File(dir, f"$stem-$f%05d$suffix")))
+              out.write(wrap(record(Seq(
+                "WARC-Type" -> "warcinfo",
+                "WARC-Record-ID" -> s"<urn:graft:warcinfo:$f>",
+                "Content-Type" -> "application/warc-fields"),
+                "software: graft-wet-fixture\r\n".getBytes(UTF_8))))
+              cur = f
+            }
+            out.write(wrap(mk(r)))
+          }
+        } finally close()
       }
   }
 
-  /** Parse one delimiter-split chunk (everything AFTER a "WARC/1.0\r\n"
-    * up to the next): (warc_type, target_uri, record_id, content_lang,
-    * content_length, body), or None for the empty pre-first-record
-    * chunk and any malformed/truncated record — degrade, never throw. */
-  private[graft] def parseRecord(chunk: String):
-      Option[(String, String, String, String, Long, String)] = {
-    val hEnd = chunk.indexOf("\r\n\r\n")
+  /** One deterministic gzip member wrapping `data`: fixed 10-byte
+    * header (no flags, MTIME 0, XFL 0, OS 255 = unknown), raw deflate,
+    * CRC32 + ISIZE trailer (RFC 1952). */
+  private[graft] def gzipMember(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    bos.write(Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x00, 0, 0, 0, 0, 0x00, 0xff.toByte))
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    defl.setInput(data); defl.finish()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    def le32(v: Long): Unit = (0 until 4).foreach(i => bos.write(((v >>> (8 * i)) & 0xff).toInt))
+    le32(crc.getValue)
+    le32(data.length.toLong)
+    bos.toByteArray
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse one delimiter-split record chunk (everything AFTER a
+    * "WARC/1.0\r\n" up to the next) at BYTE level: (warc_type,
+    * target_uri, record_id, content_lang, content_length, bodyBytes),
+    * or None for the empty pre-first-record chunk and any malformed /
+    * truncated record — degrade, never throw. Headers decode as
+    * ISO-8859-1 and split on the FIRST ':' with value trim (spec-legal
+    * 'Content-Length:42' / 'Content-Length:  42' both parse); the body
+    * is the next Content-Length BYTES after the blank line. */
+  private[graft] def parseRecordBytes(chunk: Array[Byte]):
+      Option[(String, String, String, String, Long, Array[Byte])] = {
+    val hEnd = indexOf(chunk, Crlf2, 0)
     if (hEnd < 0) return None
-    val headers = chunk.substring(0, hEnd).split("\r\n").iterator
-      .map(_.split(": ", 2)).collect { case Array(k, v) => (k, v) }.toMap
+    val headers = new String(chunk, 0, hEnd, ISO_8859_1).split("\r\n").iterator
+      .map(_.split(":", 2)).collect { case Array(k, v) => (k.trim, v.trim) }.toMap
     val len = headers.get("Content-Length")
-      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(-1L)
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
     if (len < 0 || len > Int.MaxValue) return None
-    val bodyBytes = chunk.substring(hEnd + 4).getBytes("UTF-8")
-    if (bodyBytes.length < len) return None // truncated record
+    if (chunk.length - (hEnd + 4) < len) return None // truncated record
     Some((
       headers.getOrElse("WARC-Type", ""),
       headers.getOrElse("WARC-Target-URI", ""),
       headers.getOrElse("WARC-Record-ID", ""),
       headers.getOrElse("WARC-Identified-Content-Language", ""),
       len,
-      new String(bodyBytes, 0, len.toInt, "UTF-8")))
+      java.util.Arrays.copyOfRange(chunk, hEnd + 4, hEnd + 4 + len.toInt)))
   }
 
-  /** Distributed WET record scan over `glob`: one row per parseable
-    * record — (warc_type, target_uri, record_id, content_lang,
-    * content_length, body). Block-split parallel via the Hadoop
-    * record-delimiter reader (see the object scaladoc). */
-  def readWet(spark: SparkSession, glob: String): DataFrame = {
+  /** String-input shim over [[parseRecordBytes]] (UTF-8 text records —
+    * the WET shape; kept for kernel tests): body returned as a UTF-8
+    * string. */
+  private[graft] def parseRecord(chunk: String):
+      Option[(String, String, String, String, Long, String)] =
+    parseRecordBytes(chunk.getBytes(UTF_8)).map { case (t, u, r, l, n, b) =>
+      (t, u, r, l, n, new String(b, UTF_8))
+    }
+
+  /** Split an HTTP response envelope out of a record body at byte
+    * level: (status, declared_charset, charset_ok, payload_text). None
+    * = no CRLFCRLF blank line or unparseable status line — the caller
+    * degrades to NULL http fields. Payload decoding: utf-8/us-ascii/
+    * iso-8859-1 families decode as declared (charset_ok = true); a
+    * missing charset param reports "none" and decodes latin-1 (the
+    * lossless byte→char view — HTTP/1.1's own default for text); any
+    * other declaration falls back to latin-1 with charset_ok = FALSE,
+    * the counted degrade bucket. */
+  private[graft] def parseHttp(body: Array[Byte]):
+      Option[(Long, String, Boolean, String)] = {
+    val hEnd = indexOf(body, Crlf2, 0)
+    if (hEnd < 0) return None
+    val lines = new String(body, 0, hEnd, ISO_8859_1).split("\r\n")
+    val status = "^HTTP/1\\.[01] (\\d{3})".r.findFirstMatchIn(lines.head)
+      .map(_.group(1).toLong)
+    if (status.isEmpty) return None
+    val hdrs = lines.iterator.drop(1)
+      .map(_.split(":", 2)).collect { case Array(k, v) => (k.trim.toLowerCase, v.trim) }
+      .toMap
+    val declared = hdrs.get("content-type")
+      .flatMap(ct => "(?i)charset=\"?([^;\\s\"]+)".r.findFirstMatchIn(ct))
+      .map(_.group(1).toLowerCase)
+    val (cs, name, ok) = declared match {
+      case Some(c @ ("utf-8" | "utf8")) => (UTF_8, c, true)
+      case Some(c @ ("iso-8859-1" | "latin-1" | "latin1" | "us-ascii" | "ascii")) =>
+        (ISO_8859_1, c, true)
+      case Some(c) => (ISO_8859_1, c, false) // unsupported → lossless fallback, counted
+      case None => (ISO_8859_1, "none", true)
+    }
+    Some((status.get, name, ok,
+      new String(body, hEnd + 4, body.length - hEnd - 4, cs)))
+  }
+
+  /** Raw record chunks (bytes AFTER each "WARC/1.0\r\n") from the
+    * uncompressed files under `glob`, block-split parallel via the
+    * Hadoop record-delimiter reader. Raw BYTES — Text.toString would
+    * mangle non-UTF-8 bodies. */
+  private def rawChunks(spark: SparkSession, glob: String) = {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
-    import spark.implicits._
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", Delim)
     spark.sparkContext
       .newAPIHadoopFile(glob, classOf[TextInputFormat],
         classOf[LongWritable], classOf[Text], conf)
-      .map(_._2.toString)
-      .flatMap(parseRecord)
+      .map(_._2.copyBytes())
+  }
+
+  private def wetDf(spark: SparkSession,
+      chunks: org.apache.spark.rdd.RDD[Array[Byte]]): DataFrame = {
+    import spark.implicits._
+    chunks.flatMap(parseRecordBytes)
+      .map { case (t, u, r, l, n, b) => (t, u, r, l, n, new String(b, UTF_8)) }
       .toDF("warc_type", "target_uri", "record_id", "content_lang",
         "content_length", "body")
+  }
+
+  /** Distributed WET record scan over `glob`: one row per parseable
+    * record — (warc_type, target_uri, record_id, content_lang,
+    * content_length, body). Block-split parallel via the Hadoop
+    * record-delimiter reader (see the object scaladoc). */
+  def readWet(spark: SparkSession, glob: String): DataFrame =
+    wetDf(spark, rawChunks(spark, glob))
+
+  /** [[readWet]] for per-record-gzip `.warc.gz` files — the shape real
+    * crawls ship. Same output schema; splittable member-resync read
+    * via [[WarcGzInputFormat]]. */
+  def readWetGz(spark: SparkSession, glob: String): DataFrame = {
+    import org.apache.hadoop.io.{BytesWritable, LongWritable}
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val members = spark.sparkContext
+      .newAPIHadoopFile(glob, classOf[WarcGzInputFormat],
+        classOf[LongWritable], classOf[BytesWritable], conf)
+      .map(_._2.copyBytes())
+    wetDf(spark, members.flatMap { m =>
+      // each member is one full record INCLUDING the version line
+      if (m.length > DelimBytes.length)
+        Some(java.util.Arrays.copyOfRange(m, DelimBytes.length, m.length))
+      else None
+    })
+  }
+
+  /** Distributed `response`-record scan with the HTTP envelope split
+    * and charset-decoded (see [[parseHttp]]): (warc_type, target_uri,
+    * record_id, content_lang, content_length, http_status, charset,
+    * charset_ok, payload). Records whose body is not a parseable HTTP
+    * response keep their row with NULL http fields. */
+  def readResponses(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    rawChunks(spark, glob).flatMap(parseRecordBytes)
+      .map { case (t, u, r, l, n, body) =>
+        parseHttp(body) match {
+          case Some((st, cs, ok, payload)) =>
+            (t, u, r, l, n, Some(st), Some(cs), Some(ok), Some(payload))
+          case None => (t, u, r, l, n, None, None, None, None)
+        }
+      }
+      .toDF("warc_type", "target_uri", "record_id", "content_lang",
+        "content_length", "http_status", "charset", "charset_ok", "payload")
   }
 }
