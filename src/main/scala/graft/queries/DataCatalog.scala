@@ -359,7 +359,7 @@ object DataCatalog {
     * oracle, shared VERBATIM by sim13 so the incremental-maintenance
     * path is graded against the rebuild it must equal (the idx2/out3
     * equivalence-oracle pattern). */
-  private val MutualKnnRebuildSql: String =
+  private lazy val MutualKnnRebuildSql: String =
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings), " +
       "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings), " +
       "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
@@ -1487,14 +1487,13 @@ object DataCatalog {
     (init +: rounds).mkString(", ")
   }
 
-  private def kmeansCtes(iters: Int, k: Int): String =
-    "WITH " + kmeansBody("embeddings", "", iters, k, 64)
-
-  /** [[kmeansCtes]] with the derived-k seed (kMin 10, cell target 50 —
-    * the entry-side `max(10, ceil(N / 50))` contract); drop-in for
-    * `kmeansCtes(3, 10)` at the verify SF (500 vectors derive exactly
-    * k=10) while staying honest at any other scale factor. */
-  private val KmeansCtesDerived: String =
+  /** Unprefixed corpus k-means CTEs with the derived-k seed (kMin 10,
+    * cell target 50 — the entry-side `max(10, ceil(N / 50))` contract):
+    * every oracle training a coarse quantizer on the full embeddings
+    * corpus uses this (r16 sweep), so cell count scales with the corpus
+    * on BOTH engines; at the verify SF (500 vectors) it derives exactly
+    * the formerly pinned k=10, so results are unchanged there. */
+  private lazy val KmeansCtesDerived: String =
     "WITH " + kmeansBodyDerivedK("embeddings", "", 3, 10, 50, 64)
 
   /** The entry-side twin of [[KmeansCtesDerived]]'s seed bound: the
@@ -1526,13 +1525,16 @@ object DataCatalog {
   // hash-checked.
   val emb4 = Q(
     (s, d) => {
-      val cents = Clustering.kmeans(embeddings(s, d), 10, 3)
+      val e = embeddings(s, d)
+      // derived k (r16): the trained model itself scales cell count with
+      // the corpus (constant-cell-size contract); verify SF derives k=10.
+      val cents = Clustering.kmeans(e, derivedKCells(e), 3)
       ordered(cents.select(col("cid"), posexplode(col("cv")))
         .toDF("cid", "pos", "vf")
         .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
           col("vf").cast("double").as("v")))
     },
-    Some(kmeansCtes(3, 10) +
+    Some(KmeansCtesDerived +
       " SELECT cid, CAST(i AS BIGINT) AS dim, cv[i]::DOUBLE AS v " +
       "FROM c3, unnest(range(1, 65)) u(i)" + OBA))
 
@@ -1576,13 +1578,13 @@ object DataCatalog {
   val sim4 = Q(
     (s, d) => {
       val e = embeddings(s, d)
-      val cells = Clustering.kmeansAssign(e, 10, 3)
+      val cells = Clustering.kmeansAssign(e, derivedKCells(e), 3)
         .select(col("vec_id"), col("cid").as("cell"))
       ordered(Similarity.topKIvf(
         e.join(cells, Seq("vec_id"))
           .select(col("vec_id"), col("embedding"), col("cell")), "cell", 5))
     },
-    Some(kmeansCtes(3, 10) +
+    Some(KmeansCtesDerived +
       ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
       " AS cos FROM embeddings e CROSS JOIN c3 c), " +
       "asg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
@@ -1747,7 +1749,7 @@ object DataCatalog {
         "(SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id " +
         s"ORDER BY cos DESC, cid ASC) AS rn FROM pfin$sx) WHERE rn = 1)"
     }
-    kmeansCtes(3, 10) +
+    KmeansCtesDerived +
       ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
       " AS cos FROM embeddings e CROSS JOIN c3 c), " +
       "cellasg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
@@ -1805,7 +1807,7 @@ object DataCatalog {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val e = embeddings(s, d)
-    val cellsF = Future(blocking(Clustering.kmeansAssign(e, 10, 3)
+    val cellsF = Future(blocking(Clustering.kmeansAssign(e, derivedKCells(e), 3)
       .select(col("vec_id"), col("cid").as("cell"))))
     val cbF = Future(blocking(Clustering.pqTrain(e)))
     (e, Await.result(cellsF, Duration.Inf), Await.result(cbF, Duration.Inf))
@@ -2164,10 +2166,10 @@ object DataCatalog {
       val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
       val walk = Similarity.graphWalkSeeded(e,
         Similarity.mutualKnn(e, "label", 10), queries,
-        Clustering.kmeans(e, 10, 3), 5)
+        Clustering.kmeans(e, derivedKCells(e), 3), 5)
       ordered(Similarity.annRecall(truth, walk))
     },
-    Some("WITH " + kmeansBody("embeddings", "km", 3, 10, 64) + ", " +
+    Some("WITH " + kmeansBodyDerivedK("embeddings", "km", 3, 10, 50, 64) + ", " +
       "fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
       " AS cos FROM embeddings e CROSS JOIN kmc3 c), " +
       "asg AS MATERIALIZED (SELECT vec_id, cid, cos FROM (SELECT vec_id, cid, cos, " +
@@ -4043,13 +4045,13 @@ object DataCatalog {
   val sem1 = Q(
     (s, d) => {
       val e = embeddings(s, d)
-      val cells = Clustering.kmeansAssign(e, 10, 3)
+      val cells = Clustering.kmeansAssign(e, derivedKCells(e), 3)
         .select(col("vec_id"), col("cid").as("cell"))
       ordered(Similarity.semanticDedup(
         e.join(cells, Seq("vec_id"))
           .select(col("vec_id"), col("embedding"), col("cell")), "cell", 0.4))
     },
-    Some(kmeansCtes(3, 10) +
+    Some(KmeansCtesDerived +
       ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
       " AS cos FROM embeddings e CROSS JOIN c3 c), " +
       "asg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +
@@ -4627,11 +4629,11 @@ object DataCatalog {
   val smp5 = Q(
     (s, d) => {
       val e = embeddings(s, d)
-      val cells = Clustering.kmeansAssign(e, 10, 3)
+      val cells = Clustering.kmeansAssign(e, derivedKCells(e), 3)
         .select(col("vec_id"), col("cid").as("cell"))
       ordered(Sampling.diversityCap(cells, col("vec_id"), col("cell"), 20))
     },
-    Some(kmeansCtes(3, 10) +
+    Some(KmeansCtesDerived +
       ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
       " AS cos FROM embeddings e CROSS JOIN c3 c), " +
       "asg AS (SELECT vec_id, cid AS cell FROM (SELECT vec_id, cid, " +

@@ -210,6 +210,27 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("knnInsertMutual: incremental batch insert equals the full rebuild exactly") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val incremental = edges(Similarity.knnInsertMutual(base, batch, "label", 5))
+    val rebuild = edges(Similarity.mutualKnn(e, "label", 5))
+    assert(incremental == rebuild,
+      "merge-maintained graph must equal the full rebuild bit-for-bit")
+    // non-vacuity: the batch must genuinely DISPLACE stored entries —
+    // if the final graph equalled the base-only graph the merge path
+    // would be untested
+    val baseOnly = edges(Similarity.mutualKnn(base, "label", 5))
+    assert(incremental != baseOnly,
+      "fixture must exercise displacement: inserting the batch should change old edges")
+    CacheScope.releaseAll()
+  }
+
   test("exactSubstrMask: covered tokens drop, clean docs pass through, full coverage empties") {
     val d = Seq(
       // A and B share "q1 q2 q3 q4 q5" — those 5 tokens drop from both

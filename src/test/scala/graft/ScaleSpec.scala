@@ -98,6 +98,90 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("mbr bucketed storage: FULL flagship plan exchange count vs documented lower bound") {
+    // r16 (the r15 verdict's ask #5): the acp-subtree pin above proves
+    // the EAV assembly goes exchange-free; this pin counts exchanges on
+    // the WHOLE byClub plan. Measured under forced SMJ at 4 shuffle
+    // partitions: PLAIN storage = 20 exchanges; BUCKETED (orders by
+    // o_orderkey, customer by c_custkey) = 11. The 9 eliminated are the
+    // 4-way EAV assembly (paragraph_id + entity_id ×3) and the
+    // customer-derived frames' uid-side shuffles (md/pm/pu/pp) — at
+    // 100 TB these are the multi-terabyte fact exchanges. The remaining
+    // exchanges are the documented LOWER BOUND: every one is an
+    // algorithmic RE-KEY no single bucketing per table can avoid —
+    //   email            (the dedupe_members window key)
+    //   partner_user_id  (partner self-joins re-key uid → partner)
+    //   uid              (flags rollup re-keys acp from paragraph_id;
+    //                     partition-count alignment with the 32-bucket
+    //                     customer scan can add a width-change echo)
+    //   (uid, pid) ×3    (flag-link joins on the composite key)
+    //   ap_pid           (active-pick re-keys flags onto paragraphs)
+    //   o_custkey        (brns re-keys orders from o_orderkey)
+    // Sharp claim, pinned by KEY: the bucketed plan has NO exchange on
+    // a bare assembly key (paragraph_id / entity_id); the plain plan
+    // has 4 (the control that keeps the pin non-vacuous).
+    import graft.queries.{DrupalFixture, Members, MembersCatalog}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Seq[ShuffleExchangeExec] = {
+        df.count()
+        nodes(df).collect { case s: ShuffleExchangeExec => s }
+      }
+      def bareAssemblyKeys(xs: Seq[ShuffleExchangeExec]): Seq[String] = xs
+        .map(_.outputPartitioning)
+        .collect {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+              if h.expressions.size == 1 => h.expressions.head.references.map(_.name).toSeq
+        }
+        .flatten.filter(n => n == "paragraph_id" || n == "entity_id")
+      val plain = exchanges(Members.byClub(spark, sf, 7L))
+      val bucketed = exchanges(
+        DrupalFixture.withBases(MembersCatalog.bucketedBases(spark, sf)) {
+          Members.byClub(spark, sf, 7L)
+        })
+      assert(bareAssemblyKeys(bucketed).isEmpty,
+        s"bucketed full plan must not shuffle on bare assembly keys, got ${bareAssemblyKeys(bucketed)}")
+      assert(bareAssemblyKeys(plain).size >= 4,
+        "control: plain storage should shuffle the 4-way assembly")
+      assert(bucketed.size <= 12,
+        s"bucketed full plan regressed past the documented bound: ${bucketed.size} exchanges")
+      assert(plain.size - bucketed.size >= 8,
+        s"bucketing must eliminate the assembly + customer-side exchanges " +
+          s"(plain ${plain.size}, bucketed ${bucketed.size})")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      CacheScope.releaseAll()
+    }
+  }
+
+  test("DrupalFixture base cache is a one-dir LRU: alternating dirs never pin both") {
+    // r16 (the r15 verdict's ask #1): the r15 standing hook closed the
+    // many-dirs leak by evicting on EVERY per-query releaseAll, which
+    // cost the mbr/mh bench family its cross-query cache (mbr4 2.03×).
+    // The leak's actual grain is the DIR: requesting a different
+    // fixture dir evicts the previous dir's frames, so (a) two dirs
+    // alternating leave at most one dir's frames pinned, and (b) a
+    // per-query releaseAll no longer touches the cache at all.
+    import graft.queries.DrupalFixture
+    val d1 = "/root/testdata/sf0.001"
+    val d2 = "/root/testdata/sf0.01"
+    CacheScope.releaseSession() // reset whatever earlier suites pinned
+    DrupalFixture.paragraphs(spark, d1).count()
+    assert(DrupalFixture.pinnedBaseDirs == Set(d1))
+    CacheScope.releaseAll() // per-query release must NOT evict the dir's bases
+    assert(DrupalFixture.pinnedBaseDirs == Set(d1),
+      "per-query releaseAll must not drop the fixture base cache (the r15 mbr4 regression)")
+    DrupalFixture.paragraphs(spark, d2).count()
+    assert(DrupalFixture.pinnedBaseDirs == Set(d2),
+      "switching dirs must evict the previous dir's frames (the leak bound)")
+    DrupalFixture.paragraphs(spark, d1).count()
+    assert(DrupalFixture.pinnedBaseDirs == Set(d1))
+    CacheScope.releaseSession()
+    assert(DrupalFixture.pinnedBaseDirs.isEmpty,
+      "session release must leave nothing pinned")
+  }
+
   test("bpe training scans the corpus once; iterations run on the cached vocab") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}

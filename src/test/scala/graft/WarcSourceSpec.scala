@@ -54,4 +54,106 @@ class WarcSourceSpec extends AnyFunSuite {
       WarcSource.parseRecord(s)
     }
   }
+
+  test("parseRecord accepts spec-legal header spacing (no/extra space after colon)") {
+    // WARC/HTTP grammar allows 'Content-Length:42' and spaced variants;
+    // the r15 parser split on the exact ': ' and silently dropped these.
+    for (sep <- Seq(":", ": ", ":  ", ":\t")) {
+      val out = WarcSource.parseRecord(
+        s"WARC-Type${sep}conversion\r\nContent-Length${sep}4\r\n\r\nbody")
+      assert(out.exists(r => r._1 == "conversion" && r._6 == "body"),
+        s"separator '$sep' must parse")
+    }
+  }
+
+  test("parseHttp: charset dispatch, latin-1 fallback degrade, malformed envelope") {
+    def http(charset: String, payload: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$charset\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++ payload
+    val text = "déjà vu à côté ®"
+    // utf-8 declared, utf-8 bytes
+    val u = WarcSource.parseHttp(http("utf-8", text.getBytes("UTF-8")))
+    assert(u.contains((200L, "utf-8", true, text)))
+    // latin-1 declared, latin-1 bytes — 1-byte encoding, decoded exactly
+    val l = WarcSource.parseHttp(http("iso-8859-1", text.getBytes("ISO-8859-1")))
+    assert(l.contains((200L, "iso-8859-1", true, text)))
+    // bogus declaration → latin-1 fallback recovers latin-1 bytes, counted NOT ok
+    val b = WarcSource.parseHttp(http("x-klingon", text.getBytes("ISO-8859-1")))
+    assert(b.contains((200L, "x-klingon", false, text)))
+    // a UTF-8-only reader WOULD have garbled the latin-1 slice: the raw
+    // bytes are not valid UTF-8
+    assert(new String(text.getBytes("ISO-8859-1"), "UTF-8") != text)
+    // no charset param → reported "none", latin-1 (lossless) decode
+    val n = WarcSource.parseHttp(
+      ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\nx").getBytes("ISO-8859-1"))
+    assert(n.contains((404L, "none", true, "x")))
+    // malformed: no blank line / no status line → None (caller degrades)
+    assert(WarcSource.parseHttp("HTTP/1.1 200 OK\r\n".getBytes("ISO-8859-1")).isEmpty)
+    assert(WarcSource.parseHttp("not-http\r\n\r\nbody".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("gzipMember emits a valid deterministic RFC 1952 member") {
+    val data = "WARC/1.0\r\npayload bytes".getBytes("UTF-8")
+    val m1 = WarcSource.gzipMember(data)
+    val m2 = WarcSource.gzipMember(data)
+    assert(java.util.Arrays.equals(m1, m2), "member bytes must be deterministic")
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(m1))
+    val out = in.readAllBytes()
+    assert(java.util.Arrays.equals(out, data))
+  }
+
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf(n: Int) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("https://example.org/"), col("id")).as("uri"),
+      lit("en").as("lang"),
+      concat(lit("text body of doc "), col("id"), lit(" with words")).as("text"))
+  }
+
+  test("readWetGz over the gzip twin equals readWet over the plain fixture") {
+    val plain = "/tmp/graft_warcspec_plain"
+    val gz = "/tmp/graft_warcspec_gz"
+    WarcSource.writeWet(docsDf(97), plain, 3)
+    WarcSource.writeWetGz(docsDf(97), gz, 3)
+    val a = WarcSource.readWet(spark, plain + "/wet-*.warc").collect().toSet
+    val b = WarcSource.readWetGz(spark, gz + "/wet-*.warc.gz").collect().toSet
+    assert(a.nonEmpty && a == b,
+      "gzip member read must be a drop-in for the uncompressed read")
+  }
+
+  test("WarcGzInputFormat: forced multi-split read is exactly-once") {
+    val gz = "/tmp/graft_warcspec_split"
+    WarcSource.writeWetGz(docsDf(211), gz, 1) // one file → splits cut INSIDE it
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val prev = Option(hc.get(key))
+    try {
+      hc.set(key, "2048") // force many splits across the single file
+      val rows = WarcSource.readWetGz(spark, gz + "/wet-*.warc.gz")
+        .filter(org.apache.spark.sql.functions.col("warc_type") === "conversion")
+        .select("record_id").collect().map(_.getString(0)).toVector
+      assert(rows.size == 211, s"lost or duplicated records: got ${rows.size}")
+      assert(rows.toSet.size == 211, "duplicate records across splits")
+    } finally prev.fold(hc.unset(key))(v => hc.set(key, v))
+  }
+
+  test("WarcGzInputFormat resyncs past garbage and false gzip magic") {
+    val dir = new java.io.File("/tmp/graft_warcspec_resync")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "junk-00000.warc.gz")
+    val rec = (id: Int) => WarcSource.gzipMember(
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:graft:doc:$id>\r\n" +
+        "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8"))
+    val junk = Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x42, 1, 2, 3) // fake magic, bad FLG
+    val out = new java.io.FileOutputStream(f)
+    try { out.write(junk); out.write(rec(1)); out.write(junk); out.write(rec(2)) }
+    finally out.close()
+    val got = WarcSource.readWetGz(spark, f.getPath)
+      .select("record_id").collect().map(_.getString(0)).toSet
+    assert(got == Set("<urn:graft:doc:1>", "<urn:graft:doc:2>"),
+      "reader must resync past garbage between members")
+  }
 }
