@@ -418,15 +418,52 @@ object Multimodal {
     }
   }
 
+  /** [[syntheticPixelImages]] re-stored across BIT DEPTHS — the m4g
+    * fixture (the m5d storage-blindness move for images): every
+    * doc_id % 2 == 0 payload re-encodes as a REAL 16-bit grayscale
+    * stream holding the exact v·257 upscale of its raster (big-endian
+    * sample pairs, bpp=2 byte filters), every remaining % 3 == 0 as a
+    * paletted stream, % 5 == 0 of the rest as Adam7. The 16-bit
+    * upscale is exactly invertible (v·257·255/65535 = v), so every
+    * member of a residue group still decodes to the SAME raster and
+    * the m4b closed-form pair oracle carries over verbatim — but a
+    * pair whose members mix 8-bit and 16-bit storage only collides if
+    * the two-byte unfilter reach and the 16→8 reduction genuinely
+    * reconstruct the raster the baseline path reads. 16-bit PNGs
+    * (medical scans, scientific plots, RAW exports) were the last
+    * depth family r15 stub-hashed; this entry retires that fallback
+    * entirely. */
+  def syntheticPngDepthMix(docs: DataFrame,
+      group: Long => Long = _ % 251): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticPixelImages(docs, group).map { r =>
+      if (r.doc_id % 2 == 0) {
+        val (w, h, px) = decodeFixturePng(r)
+        r.copy(payload = PngCodec.encodeGray16(w, h, px.map(_ * 257), y => y % 5))
+      } else if (r.doc_id % 3 == 0) {
+        val (w, h, px) = decodeFixturePng(r)
+        r.copy(payload = PngCodec.encodePaletted(w, h, px, y => y % 5))
+      } else if (r.doc_id % 5 == 0) {
+        val (w, h, px) = decodeFixturePng(r)
+        r.copy(payload = PngCodec.encodeAdam7(w, h, px, y => y % 5))
+      } else r
+    }
+  }
+
   /** m7d fixture — [[syntheticPixelImages]] stretched across the PNG
     * coverage axes the way [[syntheticJpegSofMix]] stretches SOF
-    * families: doc_id % 7 == 1 re-encodes paletted, % 7 == 3
-    * re-encodes Adam7 (both REAL streams the codec must genuinely
-    * decode), % 7 == 5 rewrites the IHDR bit-depth byte to 16 — a
-    * format the codec honestly scopes out, which must take the
-    * counted degrade path (header dims still parse for the stub
-    * hash), never kill. The rest stay baseline grayscale and must all
-    * actually decode. */
+    * families, as of r16 covering every depth family the codec
+    * decodes: doc_id % 7 == 1 re-encodes paletted (8-bit PLTE
+    * permutation), % 7 == 2 as REAL 4-bit grayscale (the raster
+    * quantized to its 16-level grid — sub-byte unpack must run),
+    * % 7 == 3 as Adam7, % 7 == 4 as REAL 4-bit PALETTED (sub-byte
+    * index unpack + PLTE lookup compose), % 7 == 5 as REAL 16-bit
+    * grayscale (the exact v·257 upscale, big-endian pairs + bpp=2
+    * filters), % 7 == 6 TRUNCATES the stream mid-IDAT — the counted
+    * degrade path (header classifies, decode must fail cleanly,
+    * never kill). The rest stay baseline 8-bit grayscale and must
+    * all actually decode. */
   def syntheticPngCoverageMix(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -435,13 +472,22 @@ object Multimodal {
         case 1 =>
           val (w, h, px) = decodeFixturePng(r)
           r.copy(payload = PngCodec.encodePaletted(w, h, px, y => y % 5))
+        case 2 =>
+          val (w, h, px) = decodeFixturePng(r)
+          r.copy(payload = PngCodec.encodeGraySub(w, h, 4, px.map(_ >> 4), y => y % 5))
         case 3 =>
           val (w, h, px) = decodeFixturePng(r)
           r.copy(payload = PngCodec.encodeAdam7(w, h, px, y => y % 5))
+        case 4 =>
+          val (w, h, px) = decodeFixturePng(r)
+          r.copy(payload = PngCodec.encodePalettedSub(w, h, 4, px.map(_ >> 4), y => y % 5))
         case 5 =>
-          val p = r.payload.clone()
-          p(24) = 16 // IHDR bit depth — 16-bit is scoped out, must degrade
-          r.copy(payload = p)
+          val (w, h, px) = decodeFixturePng(r)
+          r.copy(payload = PngCodec.encodeGray16(w, h, px.map(_ * 257), y => y % 5))
+        case 6 =>
+          // stream cut mid-IDAT: the IHDR still classifies (gray8) but
+          // inflate starves — decoded=false is the card's degrade row
+          r.copy(payload = java.util.Arrays.copyOf(r.payload, r.payload.length - 20))
         case _ => r
       }
     }
@@ -451,10 +497,12 @@ object Multimodal {
     * the m7d receipt, [[jpegSofClass]]'s move for the container the
     * image pipeline decodes natively. Reads the IHDR fields the
     * decoder itself gates on (bit depth, color type, interlace) and
-    * buckets: `gray8`/`rgb8`/`palette8`/`gray_alpha8`/`rgba8`, with
-    * `_adam7` appended for interlaced streams, `depth<N>` for
-    * non-8-bit depths (the codec's one honest scope-out), `reserved`
-    * for unknown color types, `not_png` otherwise. */
+    * buckets `<base><depth>` (`gray16`, `palette4`, `rgba8`, …) with
+    * `_adam7` appended for interlaced streams — as of r16 every legal
+    * depth × color-type combo is a REAL decode path, so the class
+    * names carry the depth rather than flagging it. Illegal combos
+    * (spec §11.2.2) bucket `illegal`, unknown color types `reserved`,
+    * non-PNG bytes `not_png`. */
   private[graft] def pngClass(b: Array[Byte]): String = {
     if (b.length < 29 || (b(0) & 0xff) != 0x89 || b(1) != 'P' || b(2) != 'N' ||
       b(3) != 'G' || b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
@@ -462,13 +510,18 @@ object Multimodal {
     val depth = b(24) & 0xff
     val ct = b(25) & 0xff
     val il = b(28) & 0xff
-    if (depth != 8) return s"depth$depth"
     val base = ct match {
-      case 0 => "gray8"; case 2 => "rgb8"; case 3 => "palette8"
-      case 4 => "gray_alpha8"; case 6 => "rgba8"
+      case 0 => "gray"; case 2 => "rgb"; case 3 => "palette"
+      case 4 => "gray_alpha"; case 6 => "rgba"
       case _ => return "reserved"
     }
-    if (il == 1) base + "_adam7" else base
+    val legal = ct match {
+      case 0 => Set(1, 2, 4, 8, 16)
+      case 3 => Set(1, 2, 4, 8)
+      case _ => Set(8, 16)
+    }
+    if (!legal(depth)) return "illegal"
+    if (il == 1) s"$base${depth}_adam7" else s"$base$depth"
   }
 
   /** m7d — PNG storage-coverage card: the m7b-style counted degrade

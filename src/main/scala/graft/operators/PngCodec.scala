@@ -7,13 +7,16 @@ package graft.operators
   * → area-resize → gradient-sign dHash, with the md5-lattice stub left
   * only for formats that genuinely need a codec (JPEG entropy decode).
   *
-  * Scope: 8-bit, color types 0 (gray), 2 (RGB), 3 (palette, PLTE
-  * lookup), 4 (gray+alpha), 6 (RGBA), in BOTH interlace modes (none
-  * and Adam7) — palette and interlaced PNGs are a large slice of real
-  * web image corpora (charts, icons, screenshots), so as of r15 they
-  * ride the real pixel path instead of the md5-lattice stub. 16-bit
-  * returns None and the caller falls back to its stub path; decode
-  * failures never throw (a corrupt payload in a 100 TB corpus must
+  * Scope (r16: EVERY legal PNG pixel format, spec §11.2.2): color
+  * types 0 (gray, depths 1/2/4/8/16), 2 (RGB, 8/16), 3 (palette,
+  * 1/2/4/8 with PLTE lookup), 4 (gray+alpha, 8/16), 6 (RGBA, 8/16),
+  * in BOTH interlace modes (none and Adam7). Sub-byte depths unpack
+  * MSB-first within each scanline byte; 16-bit samples are big-endian
+  * and reduce to 8-bit luminance by the exact `v·255 / 65535`
+  * proportion (so a 16-bit sample `v8·257` maps back to exactly `v8`
+  * — lossless cross-depth storage is BY CONSTRUCTION testable).
+  * Illegal depth/color-type combos and decode failures return None
+  * and never throw (a corrupt payload in a 100 TB corpus must
   * degrade, not kill the task).
   *
   * Scale shape: decode runs inside the caller's mapPartitions batch
@@ -53,12 +56,25 @@ object PngCodec {
       val bitDepth = b(24) & 0xff
       val colorType = b(25) & 0xff
       val interlace = b(28) & 0xff
-      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace > 1) return None
-      val ch = colorType match {
-        case 0 | 3 => 1 // palette = one index byte per pixel
-        case 2 => 3; case 4 => 2; case 6 => 4
-        case _ => return None
+      if (w <= 0 || h <= 0 || interlace > 1) return None
+      // legal depth × color-type combos, spec §11.2.2 — anything else
+      // is corrupt and degrades
+      val legalDepth = colorType match {
+        case 0 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+          bitDepth == 8 || bitDepth == 16
+        case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
+        case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
+        case _ => false
       }
+      if (!legalDepth) return None
+      val ch = colorType match {
+        case 0 | 3 => 1 // palette = one index per pixel
+        case 2 => 3; case 4 => 2; case _ => 4
+      }
+      // filter "left" reach in whole bytes (spec §9.2: sub-byte
+      // depths round up to 1 — the previous BYTE, not pixel)
+      val bpp = math.max(1, ch * bitDepth / 8)
+      val maxV = (1 << bitDepth) - 1 // full-scale sample value
       // guard the decompressed size before allocating (a crafted header
       // must not OOM the task): 64 MPix is far past any fixture
       if (w.toLong * h.toLong > 64L * 1024 * 1024) return None
@@ -97,7 +113,8 @@ object PngCodec {
           val ph = if (h > A7Y0(p)) (h - A7Y0(p) + A7DY(p) - 1) / A7DY(p) else 0
           (A7X0(p), A7Y0(p), A7DX(p), A7DY(p), pw, ph)
         }.filter(t => t._5 > 0 && t._6 > 0).toArray
-      val rawLen = passes.map(t => (1L + t._5.toLong * ch) * t._6).sum
+      val rawLen = passes.map(t =>
+        (1L + (t._5.toLong * ch * bitDepth + 7) / 8) * t._6).sum
       if (rawLen > Int.MaxValue) return None
       val raw = new Array[Byte](rawLen.toInt)
       // try/finally so end() releases the native zlib buffer on EVERY
@@ -125,7 +142,8 @@ object PngCodec {
       var pi = 0
       while (pi < passes.length) {
         val (x0, y0, dx, dy, pw, ph) = passes(pi)
-        val stride = 1 + pw * ch
+        val sbw = (pw * ch * bitDepth + 7) / 8 // scanline bytes, sans filter
+        val stride = 1 + sbw
         // unfilter the pass in place, scanline by scanline (left/up/
         // avg/Paeth use RECONSTRUCTED bytes of the SAME pass, so order
         // matters and passes never see each other)
@@ -135,11 +153,11 @@ object PngCodec {
           val filter = raw(row) & 0xff
           if (filter > 4) return None
           var x = 1
-          while (x <= pw * ch) {
+          while (x <= sbw) {
             val cur = raw(row + x) & 0xff
-            val left = if (x > ch) raw(row + x - ch) & 0xff else 0
+            val left = if (x > bpp) raw(row + x - bpp) & 0xff else 0
             val up = if (y > 0) raw(row - stride + x) & 0xff else 0
-            val ul = if (y > 0 && x > ch) raw(row - stride + x - ch) & 0xff else 0
+            val ul = if (y > 0 && x > bpp) raw(row - stride + x - bpp) & 0xff else 0
             val rec = filter match {
               case 0 => cur
               case 1 => cur + left
@@ -156,25 +174,37 @@ object PngCodec {
           }
           y += 1
         }
-        // luma per pixel, scattered to the pass's lattice positions
+        // luma per pixel, scattered to the pass's lattice positions.
+        // Channel samples read at the stream's own depth (MSB-first
+        // within a byte for sub-byte depths, big-endian pairs for 16)
+        // and reduce to 8-bit by the exact v·255/maxV proportion —
+        // identity at depth 8, so the common path is the special case.
         y = 0
         while (y < ph) {
           val row = base + y * stride + 1
+          // channel c of pixel x within this scanline
+          def sample(x: Int, c: Int): Int = {
+            val bit = (x * ch + c) * bitDepth
+            val o = row + (bit >> 3)
+            if (bitDepth == 16) ((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)
+            else if (bitDepth == 8) raw(o) & 0xff
+            else ((raw(o) & 0xff) >> (8 - bitDepth - (bit & 7))) & maxV
+          }
           var x = 0
           while (x < pw) {
-            val o = row + x * ch
             val lum = colorType match {
-              case 0 | 4 => raw(o) & 0xff
+              case 0 | 4 => sample(x, 0) * 255 / maxV
               case 3 =>
-                val e = (raw(o) & 0xff) * 3
+                val e = sample(x, 0) * 3 // palette INDEX — never scaled
                 // an index past the palette is corrupt (spec §11.2.3):
                 // degrade rather than guess a color
                 if (e + 2 >= plte.length) return None
                 (299 * (plte(e) & 0xff) + 587 * (plte(e + 1) & 0xff) +
                   114 * (plte(e + 2) & 0xff)) / 1000
               case _ =>
-                (299 * (raw(o) & 0xff) + 587 * (raw(o + 1) & 0xff) +
-                  114 * (raw(o + 2) & 0xff)) / 1000
+                (299 * (sample(x, 0) * 255 / maxV) +
+                  587 * (sample(x, 1) * 255 / maxV) +
+                  114 * (sample(x, 2) * 255 / maxV)) / 1000
             }
             gray((y0 + y * dy) * w + (x0 + x * dx)) = lum
             x += 1
@@ -232,6 +262,126 @@ object PngCodec {
       chunk("IDAT", idat) ++ chunk("IEND", Array.empty[Byte])
   }
 
+  /** Encode a 16-BIT grayscale raster (color type 0, depth 16,
+    * non-interlaced) — the cross-depth fixture generator. Samples are
+    * 0..65535 big-endian; filters run at the byte level with the
+    * spec's bpp=2 left reach, cycling through `filterForRow` so every
+    * unfilter branch runs against two-byte neighbors. A raster of
+    * `v8 · 257` values decodes back to exactly `v8` per pixel (the
+    * decoder's v·255/65535 reduction), which is what makes 8-vs-16-bit
+    * storage of the same image losslessly comparable by construction. */
+  def encodeGray16(w: Int, h: Int, g16: Array[Int], filterForRow: Int => Int): Array[Byte] = {
+    require(g16.length == w * h, s"raster must be w*h=${w * h}, got ${g16.length}")
+    val sbw = 2 * w
+    val stride = 1 + sbw
+    val raw = new Array[Byte](stride * h)
+    // reconstructed scanline bytes (the filters predict from these)
+    val rec = new Array[Int](h * sbw)
+    var y = 0
+    while (y < h) {
+      var i = 0
+      while (i < w) {
+        val v = g16(y * w + i) & 0xffff
+        rec(y * sbw + 2 * i) = v >> 8
+        rec(y * sbw + 2 * i + 1) = v & 0xff
+        i += 1
+      }
+      val f = filterForRow(y)
+      require(f >= 0 && f <= 4, s"filter must be 0..4, got $f")
+      raw(y * stride) = f.toByte
+      var x = 0
+      while (x < sbw) {
+        val cur = rec(y * sbw + x)
+        val left = if (x >= 2) rec(y * sbw + x - 2) else 0
+        val up = if (y > 0) rec((y - 1) * sbw + x) else 0
+        val ul = if (y > 0 && x >= 2) rec((y - 1) * sbw + x - 2) else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            cur - pred
+        }
+        raw(y * stride + 1 + x) = (enc & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Sig ++ chunk("IHDR", ihdrDepth(w, h, 16, colorType = 0, interlace = 0)) ++
+      chunk("IDAT", deflate(raw)) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Encode a SUB-BYTE grayscale raster (color type 0, depth 1/2/4,
+    * non-interlaced). Sample values must already live on the depth's
+    * grid (0..2^d−1); they pack MSB-first with zero-padded row tails
+    * exactly as §7.2 lays scanlines out, then filter at the byte level
+    * (bpp=1). The decoder's v·255/(2^d−1) reduction maps full-scale to
+    * 255 exactly. */
+  def encodeGraySub(w: Int, h: Int, depth: Int, px: Array[Int],
+      filterForRow: Int => Int): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"sub-byte depth 1/2/4, got $depth")
+    require(px.length == w * h, s"raster must be w*h=${w * h}, got ${px.length}")
+    val packed = packBits(w, h, depth, px)
+    val sbw = (w * depth + 7) / 8
+    val raw = filterRows1(sbw, h, packed, filterForRow, 0)
+    Sig ++ chunk("IHDR", ihdrDepth(w, h, depth, colorType = 0, interlace = 0)) ++
+      chunk("IDAT", deflate(raw)) ++ chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Encode a SUB-BYTE paletted raster (color type 3, depth 1/2/4):
+    * indices pack MSB-first, the PLTE holds 2^d gray entries under a
+    * non-identity permutation (entry `(v·(2^d−3)+1) mod 2^d` holds
+    * level v — the multiplier is odd for every d, so it's a bijection)
+    * scaled to full 8-bit range, proving the lookup genuinely runs at
+    * sub-byte depths too. `px` values are gray LEVELS 0..2^d−1. */
+  def encodePalettedSub(w: Int, h: Int, depth: Int, px: Array[Int],
+      filterForRow: Int => Int): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"sub-byte depth 1/2/4, got $depth")
+    require(px.length == w * h, s"raster must be w*h=${w * h}, got ${px.length}")
+    val n = 1 << depth
+    val mul = n - 3 // odd for d=1 (-1≡1 mod 2), 2, 4 → bijective
+    val plte = new Array[Byte](3 * n)
+    var v = 0
+    while (v < n) {
+      val j = ((v * mul + 1) % n + n) % n
+      val g8 = v * 255 / (n - 1)
+      plte(3 * j) = g8.toByte; plte(3 * j + 1) = g8.toByte; plte(3 * j + 2) = g8.toByte
+      v += 1
+    }
+    val idx = px.map(p => (((p & (n - 1)) * mul + 1) % n + n) % n)
+    val packed = packBits(w, h, depth, idx)
+    val sbw = (w * depth + 7) / 8
+    val raw = filterRows1(sbw, h, packed, filterForRow, 0)
+    Sig ++ chunk("IHDR", ihdrDepth(w, h, depth, colorType = 3, interlace = 0)) ++
+      chunk("PLTE", plte) ++ chunk("IDAT", deflate(raw)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Pack per-pixel sub-byte samples into scanline bytes, MSB-first,
+    * rows padded to whole bytes (§7.2) — returns one Int per BYTE so
+    * [[filterRows1]] can treat the packed rows as a 1-channel image of
+    * width ceil(w·d/8). */
+  private def packBits(w: Int, h: Int, depth: Int, px: Array[Int]): Array[Int] = {
+    val sbw = (w * depth + 7) / 8
+    val out = new Array[Int](sbw * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val bit = x * depth
+        out(y * sbw + (bit >> 3)) |=
+          (px(y * w + x) & ((1 << depth) - 1)) << (8 - depth - (bit & 7))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   private def deflate(raw: Array[Byte]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
@@ -252,8 +402,12 @@ object PngCodec {
   }
 
   private def ihdr(w: Int, h: Int, colorType: Int, interlace: Int): Array[Byte] =
+    ihdrDepth(w, h, 8, colorType, interlace)
+
+  private def ihdrDepth(w: Int, h: Int, depth: Int, colorType: Int,
+      interlace: Int): Array[Byte] =
     java.nio.ByteBuffer.allocate(13)
-      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .putInt(w).putInt(h).put(depth.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(interlace.toByte).array()
 
   /** Filter one single-channel (sub-)image into the raw scanline

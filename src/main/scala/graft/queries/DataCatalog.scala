@@ -6609,22 +6609,46 @@ object DataCatalog {
       "CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2, 3" + OBA))
 
   // M7D — PNG storage-coverage receipt (the m7b move for the
-  // container the pipeline decodes natively, asked alongside m4f):
-  // per (png_class, decoded) counts over a fixture stretched across
-  // the coverage axes — paletted and Adam7 payloads are REAL streams
-  // that must genuinely decode (PLTE lookup, 7-pass de-interlace),
-  // 16-bit payloads are the codec's one honest scope-out and must
-  // take the counted degrade path (stub-hashed, never killed), the
-  // baseline rest must all decode. The number a corpus owner reads
-  // before trusting m4b/m4f coverage: which PNG storage classes rode
-  // the real pixel path and how many were stub-hashed.
+  // container the pipeline decodes natively, asked alongside m4f),
+  // r16: the card now spans EVERY depth family the codec decodes —
+  // paletted-8, 4-bit grayscale (sub-byte unpack), Adam7, 4-bit
+  // PALETTED (sub-byte indices + PLTE lookup composed), 16-bit
+  // grayscale (big-endian pairs, bpp=2 filters) are all REAL streams
+  // that must genuinely decode; the one degrade row is a stream
+  // TRUNCATED mid-IDAT, which must classify (gray8) yet fail decode
+  // cleanly — proving the card still counts failures now that no
+  // legal format is scoped out. The number a corpus owner reads
+  // before trusting m4b/m4f/m4g coverage.
   val m7d = Q(
     (s, d) => ordered(graft.operators.Multimodal.pngFormatCard(
       graft.operators.Multimodal.syntheticPngCoverageMix(documents(s, d)))),
     Some("SELECT CASE doc_id % 7 WHEN 1 THEN 'palette8' " +
-      "WHEN 3 THEN 'gray8_adam7' WHEN 5 THEN 'depth16' " +
-      "ELSE 'gray8' END AS png_class, doc_id % 7 <> 5 AS decoded, " +
+      "WHEN 2 THEN 'gray4' WHEN 3 THEN 'gray8_adam7' " +
+      "WHEN 4 THEN 'palette4' WHEN 5 THEN 'gray16' " +
+      "ELSE 'gray8' END AS png_class, doc_id % 7 <> 6 AS decoded, " +
       "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2" + OBA))
+
+  // M4G — perceptual image dedup across PNG BIT DEPTHS (r16 — the m5d
+  // storage-blindness move for images, retiring the codec's last
+  // depth scope-out): the m4b fixture re-stored with every second
+  // payload a REAL 16-bit grayscale stream holding the exact v·257
+  // upscale of its raster, every remaining third paletted, every
+  // remaining fifth Adam7. The upscale is exactly invertible
+  // (v·257·255/65535 = v), so the m4b closed form (same residue group
+  // = pair) carries over verbatim; matching it proves the two-byte
+  // unfilter reach and the 16→8 reduction reconstruct the raster the
+  // 8-bit path reads — cross-depth twins (RAW exports, scientific
+  // plots stored deep) now collide instead of landing ~32 bits apart
+  // in the stub lattice. Same scale shape as m4b/m4f: map-only
+  // decode+hash, banded Hamming join.
+  val m4g = Q(
+    (s, d) => ordered(graft.operators.Multimodal.imageDupPairs(
+      graft.operators.Multimodal.imageDHash(
+        graft.operators.Multimodal.syntheticPngDepthMix(documents(s, d))), 3)
+      .select(col("id_a"), col("id_b"))),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
+      "JOIN documents b ON a.doc_id % 251 = b.doc_id % 251 " +
+      "AND a.doc_id < b.doc_id" + OBA))
 
   // E19 — conversion-lag deciles: exact integer-microsecond decile
   // values of the first-view→first-later-purchase lag per converted
@@ -7055,6 +7079,7 @@ object DataCatalog {
     "m6d_mixed_container_dedup" -> m6d, "m5c_mixed_storage_dedup" -> m5c,
     // round-15 additions
     "m4f_png_storage_dedup" -> m4f, "m7d_png_coverage_card" -> m7d,
+    "m4g_png_depth_dedup" -> m4g,
     "m5d_legacy_storage_dedup" -> m5d, "sim11d_recall_frontier" -> sim11d,
     "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w,
     "warc2_http_responses" -> warc2, "warc3_gzip_members" -> warc3,

@@ -187,10 +187,101 @@ class PngCodecSpec extends AnyFunSuite {
       chunk("IDAT", deflate(Array[Int](0, 0, 1, 0, 1, 0).map(_.toByte))) ++
       chunk("IEND", Array.empty[Byte])
     assert(PngCodec.decodeGray(okPlte).map(_._3.toSeq).contains(Seq(0, 40, 40, 0)))
-    // 16-bit depth: the codec's honest scope-out (m7d's degrade bucket)
+    // 16-bit PALETTE is illegal (spec §11.2.2 — palette caps at 8):
+    // the depth gate must reject the combo even now that legal 16-bit
+    // streams decode for real
     val deep = PngCodec.encodePaletted(9, 8, noise(9, 8, 3L), _ => 0)
     deep(24) = 16
-    assert(PngCodec.decodeGray(deep).isEmpty, "16-bit must degrade to the stub path")
+    assert(PngCodec.decodeGray(deep).isEmpty, "16-bit palette is illegal, must degrade")
+  }
+
+  test("16-bit gray round trip: v*257 upscale decodes back to the exact 8-bit raster") {
+    val (w, h) = (23, 17)
+    val px = noise(w, h, 1234L)
+    for (f <- 0 to 4) {
+      val Some((dw, dh, dec)) = PngCodec.decodeGray(
+        PngCodec.encodeGray16(w, h, px.map(_ * 257), _ => f))
+      assert((dw, dh) == (w, h) && dec.sameElements(px),
+        s"16-bit filter $f must reconstruct the 8-bit raster exactly")
+    }
+    // arbitrary 16-bit samples reduce by the exact v*255/65535 proportion
+    val rnd = new java.util.Random(5L)
+    val deep = Array.fill(w * h)(rnd.nextInt(65536))
+    val Some((_, _, dec)) = PngCodec.decodeGray(
+      PngCodec.encodeGray16(w, h, deep, y => y % 5))
+    assert(dec.sameElements(deep.map(v => v * 255 / 65535)),
+      "16-bit reduction must be the exact integer proportion")
+  }
+
+  test("sub-byte gray round trips: depths 1/2/4 unpack MSB-first with row padding") {
+    for (depth <- Seq(1, 2, 4); (w, h) <- Seq((9, 8), (23, 17), (16, 16))) {
+      val maxV = (1 << depth) - 1
+      val rnd = new java.util.Random(depth * 1000L + w)
+      val px = Array.fill(w * h)(rnd.nextInt(maxV + 1))
+      val Some((dw, dh, dec)) = PngCodec.decodeGray(
+        PngCodec.encodeGraySub(w, h, depth, px, y => y % 5))
+      assert((dw, dh) == (w, h), s"depth $depth ${w}x$h dims")
+      assert(dec.sameElements(px.map(v => v * 255 / maxV)),
+        s"depth $depth ${w}x$h must scale samples to the exact 8-bit grid")
+    }
+  }
+
+  test("sub-byte palette round trip: 4-bit indices run the PLTE lookup") {
+    val (w, h) = (23, 17)
+    val rnd = new java.util.Random(77L)
+    val levels = Array.fill(w * h)(rnd.nextInt(16))
+    val Some((dw, dh, dec)) = PngCodec.decodeGray(
+      PngCodec.encodePalettedSub(w, h, 4, levels, y => y % 5))
+    assert((dw, dh) == (w, h))
+    assert(dec.sameElements(levels.map(v => v * 255 / 15)),
+      "4-bit palette must map levels through the permuted PLTE exactly")
+    // non-identity permutation: misreading indices as gray scrambles
+    assert((0 * 13 + 1) % 16 != 0)
+  }
+
+  test("cross-depth equivalence: 8-bit and 16-bit storage hash identically (m4g)") {
+    for (seed <- 1 to 10) {
+      val rnd = new java.util.Random(seed * 9973L)
+      val w = 9 + rnd.nextInt(60); val h = 8 + rnd.nextInt(40)
+      val px = Array.fill(w * h)(rnd.nextInt(256))
+      def hashVia(enc: Array[Byte]): Long = {
+        val Some((dw, dh, dec)) = PngCodec.decodeGray(enc)
+        assert((dw, dh) == (w, h))
+        PngCodec.dHashPixels(dw, dh, dec)
+      }
+      assert(hashVia(PngCodec.encodeGray(w, h, px, y => y % 5)) ==
+        hashVia(PngCodec.encodeGray16(w, h, px.map(_ * 257), y => y % 5)),
+        s"seed $seed: bit depth changed the perceptual hash")
+    }
+  }
+
+  test("16-bit RGB decodes via the scaled luma path") {
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t.getBytes).put(data)
+      val crc = new java.util.zip.CRC32(); crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](256); val o = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(1).put(16.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    // 1 scanline, 2 pixels: (65535,0,0) and (257*100, 257*50, 257*25)
+    def be(v: Int) = Seq((v >> 8).toByte, (v & 0xff).toByte)
+    val raw = (Seq(0.toByte) ++ be(65535) ++ be(0) ++ be(0) ++
+      be(257 * 100) ++ be(257 * 50) ++ be(257 * 25)).toArray
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflate(raw)) ++
+      chunk("IEND", Array.empty[Byte])
+    val Some((2, 1, luma)) = PngCodec.decodeGray(png)
+    assert(luma.toSeq == Seq(299 * 255 / 1000,
+      (299 * 100 + 587 * 50 + 114 * 25) / 1000),
+      "16-bit channels must reduce to 8-bit before the ITU-R 601 luma")
   }
 
   test("mixed-storage equivalence: gray, palette, and Adam7 hash identically (m4f)") {
