@@ -55,7 +55,7 @@ import org.apache.spark.sql.functions._
   * cluster's DFS client. */
 object WarcSource {
 
-  private val Delim = "WARC/1.0\r\n"
+  private[graft] val Delim = "WARC/1.0\r\n"
   private[graft] val DelimBytes = Delim.getBytes(UTF_8)
   private val Crlf2 = "\r\n\r\n".getBytes(UTF_8)
 

@@ -1357,6 +1357,39 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("streaming WARC ingest emits exactly the batch record scan; curation composes in flight") {
+    import graft.streaming.{DocStream, WarcStream}
+    import graft.sources.{Tables, WarcSource}
+    val dir = java.nio.file.Files.createTempDirectory("warc_stream").toString
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"),
+      col("text"), concat(lit("https://example"), col("doc_id") % 7,
+        lit(".org/doc/"), col("doc_id")).as("uri"))
+    WarcSource.writeWet(docs, dir, 4)
+    // record scan: the text file-stream source splits each file at the
+    // record delimiter and the stream runs the SAME parse kernel — the
+    // row set must equal the batch reader's exactly
+    WarcStream.runWetAvailableNow(spark, dir + "/wet-*.warc", "warc_stream_out")
+    val streamed = spark.table("warc_stream_out")
+    val batch = WarcSource.readWet(spark, dir + "/wet-*.warc")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "streaming record scan must equal the batch reader row-for-row")
+    // crawl -> curated corpus in flight: the composed stream gate must
+    // equal batch curation over the batch-extracted docs
+    WarcStream.runCuratedAvailableNow(spark, dir + "/wet-*.warc",
+      Seq("en", "de", "fr"), 20, 0.6, 800, "warc_curate_out")
+    val curStream = spark.table("warc_curate_out")
+    val batchDocs = batch.filter(col("warc_type") === "conversion").select(
+      regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long").as("doc_id"),
+      col("content_lang").as("lang"), col("body").as("text"),
+      col("target_uri").as("source"))
+    val curBatch = DocStream.curate(batchDocs, Seq("en", "de", "fr"), 20, 0.6, 800)
+    assert(curStream.count() > 0)
+    assert(curStream.except(curBatch).count() == 0 &&
+      curBatch.except(curStream).count() == 0,
+      "in-flight curation must equal the batch pipeline")
+  }
+
   test("streaming curation gate emits exactly the batch result (stateless, rerun-stable)") {
     import graft.streaming.DocStream
     val dir = java.nio.file.Files.createTempDirectory("doc_curate")
