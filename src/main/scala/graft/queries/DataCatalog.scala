@@ -355,13 +355,14 @@ object DataCatalog {
   // other's within-cell top-5. The knn lists compute once (persisted);
   // mutuality is a self-equi-join of k·N-row lists. The kNN graph is
   // the input shape for graph clustering / graph-based semantic dedup.
-  /** The full mutual-kNN REBUILD over the whole corpus (k=5) — sim7's
-    * oracle, shared VERBATIM by sim13 so the incremental-maintenance
-    * path is graded against the rebuild it must equal (the idx2/out3
-    * equivalence-oracle pattern). */
-  private lazy val MutualKnnRebuildSql: String =
-    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings), " +
-      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings), " +
+  /** The full mutual-kNN REBUILD (k=5) over `embeddings` restricted by
+    * `where` — sim7's oracle, shared VERBATIM by sim13 (insert, empty
+    * filter) and sim14 (delete, survivor filter) so each incremental-
+    * maintenance path is graded against the rebuild it must equal (the
+    * idx2/out3 equivalence-oracle pattern). */
+  private def mutualKnnRebuildSql(where: String): String =
+    s"WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings$where), " +
+      s"c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings$where), " +
       "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
       "FROM q JOIN c USING (label) WHERE query_id <> neighbor_id), " +
       "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
@@ -373,7 +374,7 @@ object DataCatalog {
 
   val sim7 = Q(
     (s, d) => ordered(Similarity.mutualKnn(embeddings(s, d), "label", 5)),
-    Some(MutualKnnRebuildSql))
+    Some(mutualKnnRebuildSql("")))
 
   // SIM13 — incremental ANN graph maintenance (the r15 verdict's ask
   // #6): a standing corpus (90% of the vectors) admits a batch (the
@@ -394,7 +395,30 @@ object DataCatalog {
         e.filter(col("vec_id") % 10 =!= 0),
         e.filter(col("vec_id") % 10 === 0), "label", 5))
     },
-    Some(MutualKnnRebuildSql))
+    Some(mutualKnnRebuildSql("")))
+
+  // SIM14 — incremental DELETE maintenance for the ANN graph (sim13's
+  // other half — the serving deployment that admits batches also
+  // retires vectors: GDPR erasure, takedowns, re-curation): the
+  // standing corpus's mutual-kNN graph drops the vec_id%10 slice by
+  // MERGE — deleted nodes' lists drop, survivors whose remaining list
+  // referenced a deleted neighbor rescore within their cell
+  // (O(affected·cell) — a slot opened, a new candidate may enter), and
+  // EVERY OTHER survivor keeps its stored list verbatim (a proof: the
+  // stored k were best over a superset of the survivors and are all
+  // still present, same deterministic order — removing non-list
+  // candidates cannot change a top-k). The ORACLE is sim7's rebuild
+  // SQL over the survivor corpus verbatim, so delete ≡ rebuild is
+  // proven cross-engine on every edge and cosine. At 100 TB: an
+  // O(affected·cell) repair instead of an O(corpus·cell) rebuild per
+  // retirement batch.
+  val sim14 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      ordered(Similarity.knnDeleteMutual(
+        e, e.filter(col("vec_id") % 10 === 0).select(col("vec_id")), "label", 5))
+    },
+    Some(mutualKnnRebuildSql(" WHERE vec_id % 10 <> 0")))
 
   // EMB8 — embedding centroid drift per label: cosine between each
   // label's centroid and the global centroid, computed on EXACT
@@ -7083,5 +7107,5 @@ object DataCatalog {
     "m5d_legacy_storage_dedup" -> m5d, "sim11d_recall_frontier" -> sim11d,
     "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w,
     "warc2_http_responses" -> warc2, "warc3_gzip_members" -> warc3,
-    "sim13_incremental_knn" -> sim13)
+    "sim13_incremental_knn" -> sim13, "sim14_knn_delete" -> sim14)
 }

@@ -231,6 +231,38 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("knnDeleteMutual: incremental delete equals the survivor rebuild exactly") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val del = e.filter(col("vec_id") % 10 === 0).select(col("vec_id"))
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    val incremental = edges(Similarity.knnDeleteMutual(e, del, "label", 5))
+    val rebuild = edges(Similarity.mutualKnn(
+      e.filter(col("vec_id") % 10 =!= 0), "label", 5))
+    assert(incremental == rebuild,
+      "delete-maintained graph must equal the survivor rebuild bit-for-bit")
+    // non-vacuity 1: some survivor list must have referenced a deleted
+    // neighbor (otherwise the rescore path never runs)
+    val stored = Similarity.topKIvf(e, "label", 5)
+    val affected = stored
+      .filter(col("query_id") % 10 =!= 0 && col("neighbor_id") % 10 === 0)
+      .count()
+    assert(affected > 0, "fixture must exercise the rescore path")
+    // non-vacuity 2: a REPLACEMENT neighbor must enter some rescored
+    // list — dropping deleted edges alone must not reproduce the
+    // rebuild (else the superset-domination proof is untested)
+    val dropOnly = stored
+      .filter(col("query_id") % 10 =!= 0 && col("neighbor_id") % 10 =!= 0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rebuiltLists = Similarity.topKIvf(e.filter(col("vec_id") % 10 =!= 0),
+      "label", 5).select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(dropOnly != rebuiltLists,
+      "fixture must exercise replacement: a slot must refill after delete")
+    CacheScope.releaseAll()
+  }
+
   test("exactSubstrMask: covered tokens drop, clean docs pass through, full coverage empties") {
     val d = Seq(
       // A and B share "q1 q2 q3 q4 q5" — those 5 tokens drop from both
