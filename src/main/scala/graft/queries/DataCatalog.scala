@@ -3718,6 +3718,44 @@ object DataCatalog {
       "AS target_uri, CAST(octet_length(encode(text)) AS BIGINT) AS content_len, " +
       "md5(text) AS body_md5 FROM documents" + OBA))
 
+  // WARC4 — revisit-record resolution (the crawl-side dedup shape
+  // CommonCrawl actually ships: a refetch whose payload digest matches
+  // a prior capture writes a `revisit` record with WARC-Refers-To
+  // instead of re-storing the body — ISO 28500-1 §6.7.2): the fixture
+  // turns every doc_id % 5 == 4 record into a revisit referencing the
+  // doc_id − 4 response, and the consumer MATERIALIZES the corpus by
+  // resolving each revisit to its referent's payload — one equi-join
+  // on record id, bodies never read twice. The manifest grades, for
+  // every record, the resolved payload's md5 against the closed form
+  // (a revisit must hash to its REFERENT's html, a response to its
+  // own), so a reader that dropped revisits, fabricated payloads, or
+  // mis-joined the back-reference hash-mismatches. Dangling referents
+  // degrade to no row, never a fabricated payload.
+  val warc4 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_rv", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeResponsesWithRevisits(docs, dir, 4)
+      val resolved = graft.sources.WarcSource.resolveRevisits(
+        graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc"))
+      ordered(resolved.select(
+        regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("was_revisit"),
+        col("http_status"),
+        md5(col("payload").cast("binary")).as("payload_md5")))
+    },
+    Some("WITH h AS (SELECT doc_id, '<html><body><p>' || text || " +
+      s"'</p>${graft.sources.WarcSource.AccentFragment}</body></html>' AS html " +
+      "FROM documents) " +
+      "SELECT d.doc_id, d.doc_id % 5 = 4 AS was_revisit, " +
+      "CAST(200 AS BIGINT) AS http_status, " +
+      "md5(CASE WHEN d.doc_id % 5 = 4 THEN h2.html ELSE h1.html END) AS payload_md5 " +
+      "FROM documents d JOIN h h1 ON h1.doc_id = d.doc_id " +
+      "LEFT JOIN h h2 ON h2.doc_id = d.doc_id - 4" + OBA))
+
   // DP6W — dp6's web-corpus prep run END-TO-END FROM THE WARC FIXTURE
   // (the ask's second half): the corpus enters as WET records — text
   // from the record body, lang from the WARC-Identified-Content-
@@ -7107,5 +7145,6 @@ object DataCatalog {
     "m5d_legacy_storage_dedup" -> m5d, "sim11d_recall_frontier" -> sim11d,
     "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w,
     "warc2_http_responses" -> warc2, "warc3_gzip_members" -> warc3,
+    "warc4_revisit_resolution" -> warc4,
     "sim13_incremental_knn" -> sim13, "sim14_knn_delete" -> sim14)
 }

@@ -111,25 +111,29 @@ object WarcSource {
     * WARC Content-Length count the actual encoded bytes, so the slices
     * also differ in byte accounting. */
   def writeResponses(docs: DataFrame, dir: String, nFiles: Int): Unit =
-    writeRecords(docs, dir, nFiles, "warc", ".warc", identity, { r =>
-      val id = r.getLong(0)
-      val html = "<html><body><p>" + r.getString(3) + "</p>" + AccentFragment + "</body></html>"
-      val (cs, declared) =
-        if (id % 3 == 0) (ISO_8859_1, "iso-8859-1")
-        else if (id % 7 == 0) (ISO_8859_1, "x-unknown")
-        else (UTF_8, "utf-8")
-      val payload = html.getBytes(cs)
-      val http = ("HTTP/1.1 200 OK\r\n" +
-        s"Content-Type: text/html; charset=$declared\r\n" +
-        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1) ++ payload
-      record(Seq(
-        "WARC-Type" -> "response",
-        "WARC-Target-URI" -> r.getString(1),
-        "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
-        "WARC-Identified-Content-Language" -> r.getString(2),
-        "Content-Type" -> "application/http; msgtype=response"),
-        http)
-    })
+    writeRecords(docs, dir, nFiles, "warc", ".warc", identity, responseRecord)
+
+  /** One `response` record's bytes from a (doc_id, uri, lang, text)
+    * row — shared by [[writeResponses]] and the revisit fixture. */
+  private def responseRecord(r: Row): Array[Byte] = {
+    val id = r.getLong(0)
+    val html = "<html><body><p>" + r.getString(3) + "</p>" + AccentFragment + "</body></html>"
+    val (cs, declared) =
+      if (id % 3 == 0) (ISO_8859_1, "iso-8859-1")
+      else if (id % 7 == 0) (ISO_8859_1, "x-unknown")
+      else (UTF_8, "utf-8")
+    val payload = html.getBytes(cs)
+    val http = ("HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: text/html; charset=$declared\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1) ++ payload
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> r.getString(1),
+      "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+      "WARC-Identified-Content-Language" -> r.getString(2),
+      "Content-Type" -> "application/http; msgtype=response"),
+      http)
+  }
 
   private def writeRecords(docs: DataFrame, dir: String, nFiles: Int,
       stem: String, suffix: String, wrap: Array[Byte] => Array[Byte],
@@ -204,14 +208,16 @@ object WarcSource {
 
   /** Parse one delimiter-split record chunk (everything AFTER a
     * "WARC/1.0\r\n" up to the next) at BYTE level: (warc_type,
-    * target_uri, record_id, content_lang, content_length, bodyBytes),
-    * or None for the empty pre-first-record chunk and any malformed /
-    * truncated record — degrade, never throw. Headers decode as
-    * ISO-8859-1 and split on the FIRST ':' with value trim (spec-legal
-    * 'Content-Length:42' / 'Content-Length:  42' both parse); the body
-    * is the next Content-Length BYTES after the blank line. */
+    * target_uri, record_id, content_lang, refers_to, content_length,
+    * bodyBytes), or None for the empty pre-first-record chunk and any
+    * malformed / truncated record — degrade, never throw. Headers
+    * decode as ISO-8859-1 and split on the FIRST ':' with value trim
+    * (spec-legal 'Content-Length:42' / 'Content-Length:  42' both
+    * parse); the body is the next Content-Length BYTES after the blank
+    * line; `refers_to` carries WARC-Refers-To (the revisit-record
+    * back-reference, empty on other types). */
   private[graft] def parseRecordBytes(chunk: Array[Byte]):
-      Option[(String, String, String, String, Long, Array[Byte])] = {
+      Option[(String, String, String, String, String, Long, Array[Byte])] = {
     val hEnd = indexOf(chunk, Crlf2, 0)
     if (hEnd < 0) return None
     val headers = new String(chunk, 0, hEnd, ISO_8859_1).split("\r\n").iterator
@@ -225,17 +231,18 @@ object WarcSource {
       headers.getOrElse("WARC-Target-URI", ""),
       headers.getOrElse("WARC-Record-ID", ""),
       headers.getOrElse("WARC-Identified-Content-Language", ""),
+      headers.getOrElse("WARC-Refers-To", ""),
       len,
       java.util.Arrays.copyOfRange(chunk, hEnd + 4, hEnd + 4 + len.toInt)))
   }
 
   /** String-input shim over [[parseRecordBytes]] (UTF-8 text records —
-    * the WET shape; kept for kernel tests): body returned as a UTF-8
-    * string. */
+    * the WET shape; the streaming twin's kernel and the kernel tests'
+    * surface): body returned as a UTF-8 string. */
   private[graft] def parseRecord(chunk: String):
-      Option[(String, String, String, String, Long, String)] =
-    parseRecordBytes(chunk.getBytes(UTF_8)).map { case (t, u, r, l, n, b) =>
-      (t, u, r, l, n, new String(b, UTF_8))
+      Option[(String, String, String, String, String, Long, String)] =
+    parseRecordBytes(chunk.getBytes(UTF_8)).map { case (t, u, r, l, rt, n, b) =>
+      (t, u, r, l, rt, n, new String(b, UTF_8))
     }
 
   /** Split an HTTP response envelope out of a record body at byte
@@ -292,9 +299,9 @@ object WarcSource {
       chunks: org.apache.spark.rdd.RDD[Array[Byte]]): DataFrame = {
     import spark.implicits._
     chunks.flatMap(parseRecordBytes)
-      .map { case (t, u, r, l, n, b) => (t, u, r, l, n, new String(b, UTF_8)) }
+      .map { case (t, u, r, l, rt, n, b) => (t, u, r, l, rt, n, new String(b, UTF_8)) }
       .toDF("warc_type", "target_uri", "record_id", "content_lang",
-        "content_length", "body")
+        "refers_to", "content_length", "body")
   }
 
   /** Distributed WET record scan over `glob`: one row per parseable
@@ -331,14 +338,66 @@ object WarcSource {
   def readResponses(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
     rawChunks(spark, glob).flatMap(parseRecordBytes)
-      .map { case (t, u, r, l, n, body) =>
+      .map { case (t, u, r, l, rt, n, body) =>
         parseHttp(body) match {
           case Some((st, cs, ok, payload)) =>
-            (t, u, r, l, n, Some(st), Some(cs), Some(ok), Some(payload))
-          case None => (t, u, r, l, n, None, None, None, None)
+            (t, u, r, l, rt, n, Some(st), Some(cs), Some(ok), Some(payload))
+          case None => (t, u, r, l, rt, n, None, None, None, None)
         }
       }
       .toDF("warc_type", "target_uri", "record_id", "content_lang",
-        "content_length", "http_status", "charset", "charset_ok", "payload")
+        "refers_to", "content_length", "http_status", "charset",
+        "charset_ok", "payload")
+  }
+
+  /** Write the [[writeResponses]] fixture WITH REVISIT records — the
+    * crawl-side dedup shape CommonCrawl actually ships (a refetch whose
+    * payload digest matches a prior capture writes a `revisit` record
+    * pointing at it instead of re-storing the body): every doc_id % 5
+    * == 4 record becomes WARC-Type `revisit` with `WARC-Refers-To` the
+    * doc_id − 4 response (always a response: (d−4) % 5 == 0), an
+    * identical-payload-digest profile header, and an EMPTY body; all
+    * other records keep the response shape (charset slices included). */
+  def writeResponsesWithRevisits(docs: DataFrame, dir: String, nFiles: Int): Unit =
+    writeRecords(docs, dir, nFiles, "warc", ".warc", identity, { r =>
+      val id = r.getLong(0)
+      if (id % 5 == 4)
+        record(Seq(
+          "WARC-Type" -> "revisit",
+          "WARC-Target-URI" -> r.getString(1),
+          "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+          "WARC-Refers-To" -> s"<urn:graft:doc:${id - 4}>",
+          "WARC-Profile" -> "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+          Array.emptyByteArray)
+      else responseRecord(r)
+    })
+
+  /** Resolve revisit records against their referred responses — the
+    * materialization step every consumer of a deduplicated crawl runs
+    * before any text pipeline: each `revisit` row takes the payload,
+    * status, and charset accounting of the response its WARC-Refers-To
+    * names (one equi-join on record id — shuffles only the record-id
+    * key space, never re-reads bodies twice); `response` rows pass
+    * through. Output = [[readResponses]]'s columns minus `refers_to`
+    * plus `was_revisit`. A revisit whose referent is missing (a
+    * truncated or cross-file-set read) drops — degrade, never a
+    * fabricated payload. */
+  def resolveRevisits(recs: DataFrame): DataFrame = {
+    val resp = recs.filter(col("warc_type") === "response")
+    val direct = resp
+      .select(col("target_uri"), col("record_id"), col("content_lang"),
+        col("content_length"), col("http_status"), col("charset"),
+        col("charset_ok"), col("payload"), lit(false).as("was_revisit"))
+    val referred = resp.select(col("record_id").as("ref_id"),
+      col("content_length").as("ref_len"), col("http_status").as("ref_status"),
+      col("charset").as("ref_charset"), col("charset_ok").as("ref_ok"),
+      col("payload").as("ref_payload"))
+    val revisits = recs.filter(col("warc_type") === "revisit")
+      .join(referred, col("refers_to") === col("ref_id"))
+      .select(col("target_uri"), col("record_id"), col("content_lang"),
+        col("ref_len").as("content_length"), col("ref_status").as("http_status"),
+        col("ref_charset").as("charset"), col("ref_ok").as("charset_ok"),
+        col("ref_payload").as("payload"), lit(true).as("was_revisit"))
+    direct.unionByName(revisits)
   }
 }

@@ -44,7 +44,7 @@ object WarcStream {
       .as[String]
       .flatMap(WarcSource.parseRecord _)
       .toDF("warc_type", "target_uri", "record_id", "content_lang",
-        "content_length", "body")
+        "refers_to", "content_length", "body")
   }
 
   /** Drive [[wetRecords]] over everything currently under `glob`

@@ -20,7 +20,7 @@ class WarcSourceSpec extends AnyFunSuite {
     val body = "héllo wörld — ünïcode body" // multi-byte: bytes > chars
     val out = WarcSource.parseRecord(rec("conversion", "https://x.org/1", "de", body))
     assert(out.isDefined)
-    val (typ, uri, rid, lang, len, b) = out.get
+    val (typ, uri, rid, lang, _, len, b) = out.get
     assert(typ == "conversion" && uri == "https://x.org/1" && lang == "de")
     assert(rid == "<urn:graft:doc:7>")
     assert(len == body.getBytes("UTF-8").length && len > body.length,
@@ -43,7 +43,7 @@ class WarcSourceSpec extends AnyFunSuite {
     // trailing bytes before the next delimiter are cut by the length
     val long = WarcSource.parseRecord(
       "WARC-Type: x\r\nContent-Length: 4\r\n\r\nbodyTRAILER")
-    assert(long.exists(_._6 == "body"))
+    assert(long.exists(_._7 == "body"))
   }
 
   test("parseRecord never throws on garbage chunks") {
@@ -61,9 +61,33 @@ class WarcSourceSpec extends AnyFunSuite {
     for (sep <- Seq(":", ": ", ":  ", ":\t")) {
       val out = WarcSource.parseRecord(
         s"WARC-Type${sep}conversion\r\nContent-Length${sep}4\r\n\r\nbody")
-      assert(out.exists(r => r._1 == "conversion" && r._6 == "body"),
+      assert(out.exists(r => r._1 == "conversion" && r._7 == "body"),
         s"separator '$sep' must parse")
     }
+  }
+
+  test("resolveRevisits: revisits take the referent payload, dangling referents drop") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val recs = Seq(
+      // (warc_type, target_uri, record_id, content_lang, refers_to,
+      //  content_length, http_status, charset, charset_ok, payload)
+      ("response", "https://x.org/a", "<urn:r:1>", "en", "", 100L,
+        Some(200L), Some("utf-8"), Some(true), Some("PAYLOAD-A")),
+      ("revisit", "https://x.org/a2", "<urn:r:2>", "", "<urn:r:1>", 0L,
+        None: Option[Long], None: Option[String], None: Option[Boolean], None: Option[String]),
+      ("revisit", "https://x.org/a3", "<urn:r:3>", "", "<urn:r:999>", 0L,
+        None, None, None, None) // dangling referent — must degrade to no row
+    ).toDF("warc_type", "target_uri", "record_id", "content_lang", "refers_to",
+      "content_length", "http_status", "charset", "charset_ok", "payload")
+    val out = graft.sources.WarcSource.resolveRevisits(recs)
+      .select("record_id", "payload", "was_revisit")
+      .as[(String, String, Boolean)].collect().toSet
+    assert(out == Set(
+      ("<urn:r:1>", "PAYLOAD-A", false),
+      ("<urn:r:2>", "PAYLOAD-A", true)),
+      "revisit must inherit its referent's payload; dangling must drop")
   }
 
   test("parseHttp: charset dispatch, latin-1 fallback degrade, malformed envelope") {
