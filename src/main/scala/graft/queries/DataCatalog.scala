@@ -3021,6 +3021,63 @@ object DataCatalog {
       "SELECT md.day, pruned.n_rows, pruned.user_sum, pruned.value_cents, layout.n_days " +
       "FROM md, pruned, layout" + OBA))
 
+  // OUT5 — Z-ORDER layout with a pruning receipt (r16 — the
+  // multi-dimensional clustering lever behind lakehouse OPTIMIZE
+  // ZORDER BY): docs lay out across 32 files twice — clustered by the
+  // Morton interleave of (length bucket, host bucket), and by the 1-D
+  // length sort as the control — and the entry cards every file's
+  // min/max envelope plus the planner's read/skip decision for a
+  // rectangle predicate (x∈[2,3] AND y∈[2,3]). Both layouts WRITE to
+  // disk and read back through the hive partition column; the oracle
+  // replays the ENTIRE pipeline closed-form (the bit interleave is
+  // generated by the same index loop as the Spark column, rank =
+  // row_number over (key, id), file = (rank−1)·32 DIV N), so layout
+  // assignment, envelope stats, and pruning decisions are all
+  // hash-gated cross-engine. The z layout's touched-file count is
+  // strictly below the control's (DataOpsSpec pins the inequality) —
+  // at 100 TB that is reading a few files instead of a full-dimension
+  // stripe. Rank is the two-level prefix-count globalRank, never a
+  // single-partition window; the sort exchange IS the algorithm.
+  private val Out5Base = "/tmp/graft_out5_zorder"
+  val out5 = Q(
+    (s, d) => {
+      import graft.operators.Zorder
+      val dir = sfScratch(Out5Base, d)
+      val base = documents(s, d).select(col("doc_id").as("id"),
+        expr("least(CAST(15 AS BIGINT), CAST(length(text) AS BIGINT) DIV 64)").as("x"),
+        (col("doc_id") % 11).as("y"))
+      Zorder.writeLayout(base, col("id"), col("x"), col("y"), 32, 4,
+        zorder = true, dir + "/zorder")
+      Zorder.writeLayout(base, col("id"), col("x"), col("y"), 32, 4,
+        zorder = false, dir + "/linear")
+      val card = Zorder.withTouched(
+        Zorder.manifestCard(s, dir + "/zorder").withColumn("layout", lit("zorder"))
+          .unionByName(
+            Zorder.manifestCard(s, dir + "/linear").withColumn("layout", lit("linear"))),
+        2, 3, 2, 3)
+      ordered(card.select(col("layout"), col("file_id"), col("n_rows"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"), col("touched")))
+    },
+    Some("WITH b AS (SELECT doc_id AS id, " +
+      "least(CAST(15 AS BIGINT), CAST(len(text) AS BIGINT) // 64) AS x, " +
+      "doc_id % 11 AS y FROM documents), " +
+      "nn AS (SELECT count(*) AS n FROM b), " +
+      "z AS (SELECT id, x, y, " +
+      graft.operators.Zorder.zValueSql("x", "y", 4) + " AS k FROM b), " +
+      "rz AS (SELECT id, x, y, row_number() OVER (ORDER BY k, id) AS rk FROM z), " +
+      "az AS (SELECT x, y, ((rk - 1) * 32) // n AS file_id FROM rz, nn), " +
+      "rl AS (SELECT id, x, y, row_number() OVER (ORDER BY x, id) AS rk FROM b), " +
+      "al AS (SELECT x, y, ((rk - 1) * 32) // n AS file_id FROM rl, nn), " +
+      "m AS (SELECT 'zorder' AS layout, file_id, CAST(count(*) AS BIGINT) AS n_rows, " +
+      "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
+      "FROM az GROUP BY 2 UNION ALL " +
+      "SELECT 'linear' AS layout, file_id, CAST(count(*) AS BIGINT) AS n_rows, " +
+      "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y " +
+      "FROM al GROUP BY 2) " +
+      "SELECT layout, CAST(file_id AS BIGINT) AS file_id, n_rows, " +
+      "min_x, max_x, min_y, max_y, " +
+      "(max_x >= 2 AND min_x <= 3 AND max_y >= 2 AND min_y <= 3) AS touched FROM m" + OBA))
+
   // OUT2B — the verifier's FAILURE statuses, oracle-gated: export
   // shards, then deterministically tamper the committed MANIFEST.json
   // (drop shard 0's line → extra_shard; bump shard 1's n_rows →
@@ -7053,7 +7110,7 @@ object DataCatalog {
     "dp2_curation_twophase" -> dp2,
     "out1_shard_manifest" -> out1, "out2_shard_verify" -> out2,
     "out2b_verify_tamper" -> out2b, "out3_incremental_append" -> out3,
-    "out4_partition_prune" -> out4,
+    "out4_partition_prune" -> out4, "out5_zorder_layout" -> out5,
     "tx9_seq_packing" -> tx9,
     "tx10_chunking" -> tx10, "d8_incremental_dedup" -> d8,
     "d9_paragraph_dedup" -> d9,

@@ -263,6 +263,33 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("zValue interleaves bits; z-order layout prunes strictly more files than 1-D sort") {
+    import graft.operators.Zorder
+    import graft.sources.Tables
+    // known interleaves: z(x=3, y=1) = x bits at 0,2 + y bit at 1 = 7;
+    // z(0, 3) = y bits at 1,3 = 10; z(15, 0) = 1+4+16+64 = 85
+    val probe = Seq((3L, 1L), (0L, 3L), (15L, 0L)).toDF("x", "y")
+      .select(Zorder.zValue(col("x"), col("y"), 4).as("z")).as[Long].collect().toSeq
+    assert(probe == Seq(7L, 10L, 85L), s"interleave broke: $probe")
+    // the pruning claim the out5 card carries: for a 2-D rectangle
+    // predicate, the z layout's file envelopes overlap strictly fewer
+    // files than the 1-D control's (which clusters x but scatters y)
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"),
+        expr("least(CAST(15 AS BIGINT), CAST(length(text) AS BIGINT) DIV 64)").as("x"),
+        (col("doc_id") % 11).as("y"))
+    def touched(zorder: Boolean): Long = Zorder.withTouched(
+      Zorder.assignFiles(base, col("id"), col("x"), col("y"), 32, 4, zorder)
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y")),
+      2, 3, 2, 3).filter(col("touched")).count()
+    val (zT, lT) = (touched(true), touched(false))
+    assert(zT < lT, s"z-order must touch fewer files: zorder=$zT linear=$lT")
+    CacheScope.releaseAll()
+  }
+
   test("exactSubstrMask: covered tokens drop, clean docs pass through, full coverage empties") {
     val d = Seq(
       // A and B share "q1 q2 q3 q4 q5" — those 5 tokens drop from both
