@@ -247,4 +247,38 @@ object Profiling {
         col("shared").as("shared_entities"), col("n_a"), col("n_b"),
         expr("shared * 1000 DIV (n_a + n_b - shared)").as("jaccard_permille"))
   }
+
+  /** k-ANONYMITY release gate (qc20) — the aggregate-publication
+    * hygiene every data release runs: per-group aggregates go out ONLY
+    * for quasi-identifier groups of at least `k` members; smaller
+    * groups would re-identify individuals, so they collapse into ONE
+    * residual row (key columns NULL) that preserves their total counts
+    * and sums — the release still reconciles to the corpus, but no
+    * published row describes fewer than k people. The residual also
+    * carries how many groups were suppressed (the transparency number
+    * reviewers ask for); it is omitted entirely when nothing was
+    * suppressed. `suppressed_groups` is 0 on released rows.
+    *
+    * Shape at 100 TB: one map-combined aggregate to the QI key space,
+    * then a filter split and a card-sized re-aggregate of the small
+    * tail — nothing touches raw rows twice. */
+  def kAnonymityRelease(df: DataFrame, keys: Seq[Column], metric: Column,
+      k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = df.groupBy(keys: _*)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(metric).cast("long").as("metric_sum"))
+    val keyNames = g.columns.dropRight(2)
+    val released = g.filter(col("n_rows") >= k)
+      .withColumn("suppressed_groups", lit(0L))
+    val residual = g.filter(col("n_rows") < k)
+      .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+        sum(col("metric_sum")).cast("long").as("metric_sum"),
+        count(lit(1)).cast("long").as("suppressed_groups"))
+      .filter(col("suppressed_groups") > 0)
+    val nulledResidual = keyNames.foldLeft(residual) { (acc, kn) =>
+      acc.withColumn(kn, lit(null).cast(g.schema(kn).dataType))
+    }.select(g.columns.map(col) :+ col("suppressed_groups"): _*)
+    released.unionByName(nulledResidual)
+  }
 }

@@ -6841,6 +6841,36 @@ object DataCatalog {
       "UNION ALL SELECT 'n_chars', 'n_uniq', n, s_c, s_u, s_cc, s_uu, s_cu FROM m " +
       "UNION ALL SELECT 'n_tok', 'n_uniq', n, s_t, s_u, s_tt, s_uu, s_tu FROM m" + OBA))
 
+  // QC20 — k-ANONYMITY release gate (r16 — aggregate-publication
+  // hygiene: no published row may describe fewer than k people): the
+  // per-(user, week) activity release goes out only for groups of
+  // ≥ 10 events; the sub-k tail collapses into ONE residual row (keys
+  // NULL) preserving total counts and cents sums — the release still
+  // reconciles to the corpus — plus the suppressed-group count (the
+  // transparency number a privacy review asks for). The (user, week)
+  // QI keeps its released/suppressed mix SF-stable (users scale with
+  // the corpus), so both branches are genuinely exercised at every
+  // scale. One map-combined aggregate to the QI key space + a
+  // card-sized tail re-aggregate; raw rows are touched once.
+  val qc20 = Q(
+    (s, d) => ordered(graft.operators.Profiling.kAnonymityRelease(
+      events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) DIV 604800000000").as("week"),
+        round(col("value") * 100, 0).cast("long").as("cents")),
+      Seq(col("user_id"), col("week")), col("cents"), 10)),
+    Some("WITH g AS (SELECT user_id, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week, " +
+      "CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS metric_sum " +
+      "FROM events GROUP BY 1, 2), " +
+      "rel AS (SELECT user_id, week, n_rows, metric_sum, " +
+      "CAST(0 AS BIGINT) AS suppressed_groups FROM g WHERE n_rows >= 10), " +
+      "sup AS (SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS week, " +
+      "CAST(sum(n_rows) AS BIGINT) AS n_rows, CAST(sum(metric_sum) AS BIGINT) AS metric_sum, " +
+      "CAST(count(*) AS BIGINT) AS suppressed_groups FROM g WHERE n_rows < 10 " +
+      "HAVING count(*) > 0) " +
+      "SELECT * FROM rel UNION ALL SELECT * FROM sup" + OBA))
+
   // D15 — LSH banding sweep: candidate volume, verified pairs, and
   // precision permille for rows-per-band ∈ {2, 4, 8} over the SAME 16
   // minhashes — the tuning receipt behind d2's (16, 4) choice (d12
@@ -7177,7 +7207,8 @@ object DataCatalog {
     "dsub2_substring_mask" -> dsub2, "m4b_real_pixel_dedup" -> m4b,
     "sim11_graph_walk" -> sim11, "pr2_personalized_pagerank" -> pr2,
     "dp11_substring_cut_receipt" -> dp11, "bpe4_roundtrip_card" -> bpe4,
-    "qc19_correlation_card" -> qc19, "c7_substring_contam" -> c7,
+    "qc19_correlation_card" -> qc19, "qc20_k_anonymity" -> qc20,
+    "c7_substring_contam" -> c7,
     "c8_surgical_decontam" -> c8, "m7_media_dims_card" -> m7,
     "m7b_jpeg_sof_card" -> m7b,
     "e19_conversion_lag" -> e19, "tx17_freq_spectrum" -> tx17,

@@ -263,6 +263,28 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("kAnonymityRelease: no row under k, residual reconciles, suppressed counted") {
+    import graft.operators.Profiling
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 1L, 20L), ("a", 1L, 30L), // group (a,1): n=3 released at k=3
+      ("b", 2L, 5L), ("b", 2L, 7L), //                   group (b,2): n=2 suppressed
+      ("c", 3L, 100L) //                                 group (c,3): n=1 suppressed
+    ).toDF("qi1", "qi2", "v")
+    val out = Profiling.kAnonymityRelease(df, Seq(col("qi1"), col("qi2")), col("v"), 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set(
+      (Some("a"), 3L, 60L, 0L), // released verbatim
+      (None, 3L, 112L, 2L)), // residual: 2 groups, totals preserved
+      s"got $out")
+    // total reconciliation: released + residual = corpus
+    val rel = Profiling.kAnonymityRelease(df, Seq(col("qi1"), col("qi2")), col("v"), 3)
+    assert(rel.agg(sum("n_rows"), sum("metric_sum")).as[(Long, Long)].head() == ((6L, 172L)))
+    // k=1 releases everything — no residual row appears
+    assert(Profiling.kAnonymityRelease(df, Seq(col("qi1"), col("qi2")), col("v"), 1)
+      .filter(col("qi1").isNull).count() == 0)
+  }
+
   test("zValue interleaves bits; z-order layout prunes strictly more files than 1-D sort") {
     import graft.operators.Zorder
     import graft.sources.Tables
