@@ -418,4 +418,39 @@ object Sampling {
       .join(withVt.select(col("id"), col("stratum")), Seq("id"))
       .select(col("stratum"), col("id"), col("vt"), col("position"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer `budget`
+    * across keys proportional to `weight` — the crawl-ops allocator
+    * (url6): a fetch budget splits across hosts by authority such that
+    * Σ quota == budget EXACTLY and every quota is within one unit of
+    * its exact proportional share. Floor shares `(B·w) DIV T` first;
+    * the `B − Σfloor` leftover units go one each to the keys with the
+    * largest remainders `(B·w) MOD T`, ties broken by the portable
+    * md5 key hash — all integer arithmetic, so a SQL oracle replays
+    * the split bit-for-bit.
+    *
+    * Shape at 100 TB: weights arrive pre-aggregated (an O(keys)
+    * frame); the remainder rank is [[Ranking.globalRank]]'s two-level
+    * prefix-count rank — millions of hosts never funnel through a
+    * single-partition window; the two scalars (total, leftover) ride
+    * 1-row broadcast frames. */
+  def apportionBudget(df: DataFrame, key: Column, weight: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = df.select(key.as("key"), weight.cast("long").as("w"))
+      .withColumn("hid", conv(substring(md5(col("key").cast("string")), 1, 15), 16, 10)
+        .cast("long"))
+    val tot = base.agg(sum("w").cast("long").as("t"))
+    val scored = graft.CacheScope.persist(base.crossJoin(broadcast(tot))
+      .withColumn("q", expr(s"($budget * w) DIV t"))
+      .withColumn("rem", expr(s"($budget * w) % t")))
+    val leftover = scored.agg((lit(budget) - sum("q")).cast("long").as("leftover"))
+    val ranked = Ranking.globalRank(scored, col("hid"), -col("rem"))
+      .select(col("id").as("hid"), col("rank"))
+    scored.join(ranked, Seq("hid"))
+      .crossJoin(broadcast(leftover))
+      .select(col("key"), col("w").as("weight"),
+        (col("q") + when(col("rank") <= col("leftover"), 1L).otherwise(0L))
+          .cast("long").as("quota"))
+  }
 }

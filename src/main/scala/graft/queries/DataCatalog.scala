@@ -3278,6 +3278,44 @@ object DataCatalog {
       "CAST(count(*) AS BIGINT) AS n_links, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
       "FROM dm GROUP BY 1" + OBA))
 
+  // URL6 — crawl-budget apportionment (r16 — the crawl-ops allocator:
+  // a refetch budget splits across hosts proportional to authority):
+  // url1's link fixture yields per-host inbound link counts, and a
+  // 100,000-fetch budget apportions by the largest-remainder (Hamilton)
+  // method — floor shares first, the leftover units one each to the
+  // largest remainders, md5-hash tie-break — so Σ quota == budget
+  // EXACTLY and every host sits within one fetch of its proportional
+  // share. All integer arithmetic; the oracle replays floor, remainder
+  // rank, and top-up bit-for-bit. The remainder rank is the two-level
+  // prefix-count globalRank — a million-host frame never funnels
+  // through one partition.
+  val url6 = Q(
+    (s, d) => {
+      val withLinks = documents(s, d).withColumn("text",
+        concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
+          lit(".org/p?q="), col("doc_id"),
+          lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
+      val hosts = TextOps.linkHosts(withLinks, col("doc_id"), col("text"))
+        .select(col("host"), col("n_links"))
+      ordered(Sampling.apportionBudget(hosts, col("host"), col("n_links"), 100000L)
+        .select(col("key").as("host"), col("weight"), col("quota")))
+    },
+    Some("WITH t AS (SELECT doc_id, text || ' see https://WWW.Example' || (doc_id % 7) || " +
+      "'.org/p?q=' || doc_id || ' and http://cdn.example' || (doc_id % 3) || '.net/a#frag' AS text " +
+      "FROM documents), " +
+      "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+      "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s?#]+)', 1)), " +
+      "'^www\\.', '') AS host FROM u), " +
+      "g AS (SELECT host, CAST(count(*) AS BIGINT) AS w FROM h GROUP BY 1), " +
+      "tt AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM g), " +
+      "s AS (SELECT host, w, (100000 * w) // t AS q, (100000 * w) % t AS rem, " +
+      "('0x' || substr(md5(host), 1, 15))::BIGINT AS hid FROM g, tt), " +
+      "l AS (SELECT 100000 - sum(q) AS leftover FROM s), " +
+      "r AS (SELECT host, w, q, row_number() OVER (ORDER BY rem DESC, hid ASC) AS rk FROM s) " +
+      "SELECT host, w AS weight, " +
+      "CAST(q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota " +
+      "FROM r, l" + OBA))
+
   // E21 — activity seasonality heatmap: events per (ISO day-of-week,
   // hour) cell with integer permille of total — the load-shape card
   // behind batch-window scheduling and anomaly baselines (e16's burst
@@ -7216,7 +7254,8 @@ object DataCatalog {
     "d17_containment_pairs" -> d17, "t14_interval_audit" -> t14,
     "mix7_cooldown_schedule" -> mix7, "d19_char_ngram_dedup" -> d19,
     "sim12_sign_rerank" -> sim12, "fs3_feature_matrix" -> fs3,
-    "url5_domain_rollup" -> url5, "m9_mime_integrity" -> m9,
+    "url5_domain_rollup" -> url5, "url6_crawl_budget" -> url6,
+    "m9_mime_integrity" -> m9,
     "dp12_release_manifest" -> dp12, "e21_activity_heatmap" -> e21,
     "m4c_jpeg_pixel_dedup" -> m4c, "d20_char_band_sweep" -> d20,
     "sim11b_seeded_walk" -> sim11b, "m5b_spectral_dedup" -> m5b,

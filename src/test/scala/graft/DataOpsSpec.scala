@@ -263,6 +263,30 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("apportionBudget: quotas sum to the budget exactly, each within one of its share") {
+    import graft.operators.Sampling
+    val w = Seq(("a", 7L), ("b", 13L), ("c", 1L), ("d", 29L), ("e", 3L))
+    val df = w.toDF("k", "n")
+    for (budget <- Seq(0L, 1L, 100L, 99999L)) {
+      val out = Sampling.apportionBudget(df, col("k"), col("n"), budget)
+        .select("key", "weight", "quota").as[(String, Long, Long)].collect()
+      assert(out.map(_._3).sum == budget, s"budget $budget must apportion exactly")
+      val t = w.map(_._2).sum
+      out.foreach { case (k, wt, q) =>
+        val lo = budget * wt / t
+        assert(q == lo || q == lo + 1, s"$k at budget $budget: quota $q not in {$lo, ${lo + 1}}")
+      }
+    }
+    // deterministic: same input twice = same quotas
+    val a = Sampling.apportionBudget(df, col("k"), col("n"), 17L)
+      .select("key", "quota").as[(String, Long)].collect().toSet
+    CacheScope.releaseAll()
+    val b = Sampling.apportionBudget(df, col("k"), col("n"), 17L)
+      .select("key", "quota").as[(String, Long)].collect().toSet
+    assert(a == b)
+    CacheScope.releaseAll()
+  }
+
   test("kAnonymityRelease: no row under k, residual reconciles, suppressed counted") {
     import graft.operators.Profiling
     val df = Seq(
