@@ -158,7 +158,11 @@ object Bench {
     "mbr1b_bucketed_by_club", "warc2_http_responses",
     // round-16 additions
     "warc3_gzip_members", "sim13_incremental_knn",
-    "mbr2b_bucketed_by_region", "mbr3b_bucketed_all")
+    "mbr2b_bucketed_by_region", "mbr3b_bucketed_all",
+    // round-16 additions
+    "m4g_png_depth_dedup", "warc4_revisit_resolution",
+    "sim14_knn_delete", "out5_zorder_layout", "qc20_k_anonymity",
+    "url6_crawl_budget")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -393,6 +393,27 @@ object ScalingProbe {
         Multimodal.imageDupPairs(Multimodal.imageDHash(
           Multimodal.syntheticPngStorageMix(dense, _ / 10)), 3)
       },
+      // round-16: m4b's rasters across BIT DEPTHS — every second
+      // payload a 16-bit stream (2 bytes/sample, bpp=2 filters), so
+      // the exponent gap vs m4f is the deep-decode byte cost and
+      // nothing else; same pixels, same hashes, same banded join
+      "m4g_png_depth" -> { d =>
+        val m = d.substring(d.lastIndexOf("/m") + 2).toInt
+        val dense = Tables.documents(spark, d)
+          .select(expr(s"(doc_id DIV $Stride) * $m + doc_id % $Stride").as("doc_id"))
+        Multimodal.imageDupPairs(Multimodal.imageDHash(
+          Multimodal.syntheticPngDepthMix(dense, _ / 10)), 3)
+      },
+      // round-16: delete maintenance at the deployment framing — the
+      // standing graph's stored-list build is the sim7 cost (cell
+      // count scales, cell size constant), the repair rescored only
+      // for survivors whose list hit the ~10% delete slice; the
+      // exponent should track sim7's with the same constant class
+      "sim14_knn_delete" -> { d =>
+        val e = Tables.embeddings(spark, d)
+        Similarity.knnDeleteMutual(e,
+          e.filter(col("vec_id") % 10 === 0).select(col("vec_id")), "label", 5)
+      },
       "m5b_audio_fft" -> { d =>
         val m = d.substring(d.lastIndexOf("/m") + 2).toInt
         val dense = Tables.documents(spark, d)
