@@ -103,6 +103,62 @@ object Retrieval {
     u.join(u.groupBy("term").agg(sum(col("n_docs_block")).as("df")), Seq("term"))
   }
 
+  /** idx5 — postings DELETE maintenance: remove a doc-id set from a
+    * standing [[postingsIndex]] WITHOUT re-reading any indexed text —
+    * the other half of the idx2 append contract (a serving index also
+    * retires documents: erasure requests, re-curation, takedowns).
+    *
+    *  1. only blocks that CONTAIN a deleted id are touched — the
+    *     delete set maps to its block set (`id DIV blockWidth`,
+    *     O(batch) rows) and every other (term, block) row passes
+    *     through with its packed postings VERBATIM (block
+    *     disjointness: a block without deleted docs cannot change);
+    *  2. affected rows explode, drop deleted entries, and re-pack in
+    *     the builder's exact (doc_id-sorted) format — empty groups
+    *     vanish;
+    *  3. df repairs by SUBTRACTION: the removed (term, deleted-doc)
+    *     pairs come out of the affected postings themselves (never
+    *     the raw corpus), and every surviving row of a hit term —
+    *     untouched blocks included — adjusts by the same delta; terms
+    *     whose df reaches 0 drop entirely.
+    *
+    * Work is O(affected blocks + one df-keyed join); equivalence to
+    * the survivor rebuild is oracle-gated (idx5 grades against idx1's
+    * rebuild SQL over the survivor corpus). */
+  def deleteFromIndex(index: DataFrame, deleteIds: DataFrame,
+      blockWidth: Int = 256): DataFrame = {
+    require(blockWidth > 0, s"blockWidth must be positive, got $blockWidth")
+    val del = deleteIds.select(deleteIds.columns.head)
+      .toDF("del_id").select(col("del_id").cast("long").as("del_id"))
+    val delBlocks = del.select(expr(s"del_id DIV $blockWidth").as("block")).distinct()
+    val idx = graft.CacheScope.persist(index)
+    val affected = idx.join(broadcast(delBlocks), Seq("block"), "left_semi")
+    val untouched = idx.join(broadcast(delBlocks), Seq("block"), "left_anti")
+    val exploded = affected.select(col("term"), col("block"),
+      explode(split(col("postings"), ",")).as("p"))
+      .select(col("term"), col("block"),
+        split(col("p"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("p"), ":").getItem(1).cast("long").as("tf"))
+    val kept = exploded.join(del, col("doc_id") === col("del_id"), "left_anti")
+    // removed (term, doc) pairs — read from the index itself, never
+    // from raw text; tf rows are already distinct per (term, doc)
+    val dfDelta = graft.CacheScope.persist(
+      exploded.join(del, col("doc_id") === col("del_id"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).cast("long").as("removed_df")))
+    val rebuilt = kept.groupBy("term", "block")
+      .agg(count(lit(1)).cast("long").as("n_docs_block"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+            s => concat(s.getField("doc_id").cast("string"), lit(":"),
+              s.getField("tf").cast("string"))), ",").as("postings"))
+      .join(affected.select("term", "df").distinct(), Seq("term"))
+    Seq(untouched, rebuilt).map { part =>
+      part.join(dfDelta, Seq("term"), "left")
+        .select(col("term"), col("block"), col("n_docs_block"), col("postings"),
+          (col("df") - coalesce(col("removed_df"), lit(0L))).cast("long").as("df"))
+    }.reduce(_.unionByName(_)).filter(col("df") > 0)
+  }
+
   /** [[mergeSegments]] over a segment TABLE — segments stacked in one
     * frame under a `segment_id` column, the on-disk shape the streaming
     * indexer ([[graft.streaming.DocStream.runIndexSegmentsAvailableNow]])

@@ -4725,6 +4725,37 @@ object DataCatalog {
       "SELECT g.term, g.block, g.n_docs_block, g.postings, d.df " +
       "FROM g JOIN dft d USING (term)" + OBA))
 
+  // IDX5 — postings DELETE maintenance (r16 — the idx2 append
+  // contract's other half, completing the incremental story across
+  // families: d8 dedup, idx2 index append, out3 shards, sim13/sim14
+  // ANN insert/delete): the standing index drops the doc_id % 10 == 0
+  // slice WITHOUT re-reading any text — only blocks containing a
+  // deleted id re-pack (block disjointness passes every other packed
+  // postings string through verbatim), and df repairs by subtracting
+  // the removed (term, doc) pairs read from the affected postings
+  // themselves. The ORACLE is idx1's rebuild SQL over the survivor
+  // corpus, so delete ≡ rebuild is hash-gated on every term, block,
+  // packed string, and df. At 100 TB: O(affected blocks) + one
+  // df-keyed join instead of a full re-tokenize.
+  val idx5 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      ordered(Retrieval.deleteFromIndex(
+        Retrieval.postingsIndex(docs, col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))))
+    },
+    Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
+      "FROM documents WHERE doc_id % 10 <> 0), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
+      "dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM " +
+      "(SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1), " +
+      "blk AS (SELECT term, doc_id // 256 AS block, doc_id, tf FROM tf), " +
+      "g AS (SELECT term, block, CAST(count(*) AS BIGINT) AS n_docs_block, " +
+      "string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings " +
+      "FROM blk GROUP BY 1, 2) " +
+      "SELECT g.term, g.block, g.n_docs_block, g.postings, d.df " +
+      "FROM g JOIN dft d USING (term)" + OBA))
+
   // RET2 — hybrid retrieval: reciprocal-rank fusion of the BM25 and
   // TF-IDF rankers over the same query table. Fused score =
   // Σ round(1e9/(60+rank)) — integer-exact, so the hybrid ordering is
@@ -7251,6 +7282,7 @@ object DataCatalog {
     "m7b_jpeg_sof_card" -> m7b,
     "e19_conversion_lag" -> e19, "tx17_freq_spectrum" -> tx17,
     "lm3_bigram_familiarity" -> lm3, "idx4_compaction_plan" -> idx4,
+    "idx5_postings_delete" -> idx5,
     "d17_containment_pairs" -> d17, "t14_interval_audit" -> t14,
     "mix7_cooldown_schedule" -> mix7, "d19_char_ngram_dedup" -> d19,
     "sim12_sign_rerank" -> sim12, "fs3_feature_matrix" -> fs3,

@@ -263,6 +263,34 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("deleteFromIndex: incremental delete equals the survivor rebuild exactly") {
+    import graft.operators.Retrieval
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val del = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "block", "n_docs_block", "postings", "df")
+        .as[(String, Long, Long, String, Long)].collect().toSet
+    val full = Retrieval.postingsIndex(docs, col("doc_id"), col("text"))
+    val incremental = rows(Retrieval.deleteFromIndex(full, del))
+    val rebuild = rows(Retrieval.postingsIndex(
+      docs.filter(col("doc_id") % 10 =!= 0), col("doc_id"), col("text")))
+    assert(incremental == rebuild,
+      "delete-maintained index must equal the survivor rebuild bit-for-bit")
+    // non-vacuity 1: some affected block must RETAIN other docs (the
+    // re-pack path runs on mixed blocks, not just whole-block drops)
+    val mixedBlocks = rebuild.exists { case (_, block, n, _, _) => block == 0L && n > 0 }
+    assert(mixedBlocks, "fixture must exercise partial-block re-pack")
+    // non-vacuity 2: some term's df must CHANGE while it keeps rows —
+    // the subtraction path genuinely repairs denormalized df
+    val fullDf = rows(full).groupBy(_._1).map { case (t, rs) => t -> rs.head._5 }
+    val changed = rebuild.exists { case (t, _, _, _, df) =>
+      fullDf.get(t).exists(old => old != df)
+    }
+    assert(changed, "fixture must exercise the df repair path")
+    CacheScope.releaseAll()
+  }
+
   test("apportionBudget: quotas sum to the budget exactly, each within one of its share") {
     import graft.operators.Sampling
     val w = Seq(("a", 7L), ("b", 13L), ("c", 1L), ("d", 29L), ("e", 3L))
