@@ -868,6 +868,46 @@ object DataCatalog {
       "SELECT grain, grp, est, exact_cnt, abs(est - exact_cnt) * 1000 // exact_cnt AS err_permille " +
       "FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)" + OBA))
 
+  // CMS1 — Count-Min heavy-hitter scorecard (r16 — the frequency
+  // sketch that fits where exact token counting doesn't): a 4×256-cell
+  // sketch builds in one scan over the tx17-spread vocabulary (~3k
+  // words, so cell collisions are REAL), and the card reads the true
+  // top-20 tokens' exact counts next to their sketch estimates and
+  // overcounts. The estimator is integer-exact (md5-seeded row hashes,
+  // min over 4 cells), so the oracle recomputes the ESTIMATE itself
+  // bit-for-bit — the hll1 discipline: the sketch is graded, not just
+  // the exact side. estimate ≥ true always (collisions only add;
+  // DataOpsSpec pins the one-sided error plus batch-mergeability). At
+  // 100 TB: the only shuffle is onto ≤ 1024 cell keys, and the built
+  // frame is broadcastable state a stream gate can merge by summing.
+  val cms1 = Q(
+    (s, d) => {
+      val spread = documents(s, d).select(regexp_replace(col("text"),
+        lit("(\\S+)"), concat(lit("$1~"), col("doc_id") % 97)).as("text"))
+      val toks = spread.select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      val sk = graft.CacheScope.persist(
+        graft.operators.CountMin.sketch(toks, col("term"), 4, 256))
+      val top = toks.groupBy("term")
+        .agg(count(lit(1)).cast("long").as("true_count"))
+        .orderBy(col("true_count").desc, col("term").asc).limit(20)
+      ordered(graft.operators.CountMin.estimate(sk, top, col("term"), 4, 256)
+        .select(col("term"), col("true_count"), col("estimate"),
+          (col("estimate") - col("true_count")).cast("long").as("overcount")))
+    },
+    Some("WITH sp AS (SELECT regexp_replace(text, '(\\S+)', " +
+      "'\\1~' || (doc_id % 97), 'g') AS text FROM documents), " +
+      "toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM sp), " +
+      "cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS true_count FROM toks GROUP BY 1), " +
+      "top AS (SELECT term, true_count FROM cnt ORDER BY true_count DESC, term ASC LIMIT 20), " +
+      "cells AS (SELECT i AS rr, ('0x' || substr(md5(i || '|' || term), 1, 15))::BIGINT % 256 AS cc, " +
+      "CAST(count(*) AS BIGINT) AS n FROM toks, range(0, 4) t(i) GROUP BY 1, 2), " +
+      "q AS (SELECT term, i AS rr, ('0x' || substr(md5(i || '|' || term), 1, 15))::BIGINT % 256 AS cc " +
+      "FROM top, range(0, 4) t(i)), " +
+      "e AS (SELECT term, CAST(min(coalesce(cells.n, 0)) AS BIGINT) AS estimate " +
+      "FROM q LEFT JOIN cells USING (rr, cc) GROUP BY 1) " +
+      "SELECT t.term, t.true_count, e.estimate, " +
+      "e.estimate - t.true_count AS overcount FROM top t JOIN e USING (term)" + OBA))
+
   // T6 AS-OF JOIN: every event matched to the latest state version at or
   // before its timestamp (versions = every 7th event, deduped per
   // (user, ts)). Spark side is the union-window forward fill — ONE hash
@@ -7191,6 +7231,7 @@ object DataCatalog {
     "e3_sliding_window" -> e3, "e4_correlate" -> e4,
     "e7_window_hll" -> e7,
     "a12_bitmap_distinct" -> a12, "hll1_distinct_sketch" -> hll1,
+    "cms1_heavy_hitters" -> cms1,
     "t6_asof_join" -> t6,
     "t7_range_join" -> t7, "t8_interval_merge" -> t8,
     "t9_bitemporal_asof" -> t9, "t10_tolerance_asof" -> t10,

@@ -263,6 +263,38 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("CountMin: estimate never undercounts, batch sketches merge by cell sum") {
+    import graft.operators.CountMin
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1~"), col("doc_id") % 97)).as("text"), col("doc_id"))
+    val toks = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val (d, w) = (4, 256)
+    val sk = CacheScope.persist(CountMin.sketch(toks, col("term"), d, w))
+    val truth = toks.groupBy("term").agg(count(lit(1)).cast("long").as("true_count"))
+    val est = CountMin.estimate(sk, truth, col("term"), d, w)
+      .select("term", "true_count", "estimate")
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (t, tc, e) =>
+      assert(e >= tc, s"CMS must never undercount: $t true=$tc est=$e")
+    }
+    // collisions must be real at this vocab/width (else one-sidedness
+    // is vacuously exact and the min-over-rows path is untested)
+    assert(est.exists { case (_, tc, e) => e > tc },
+      "fixture must produce at least one colliding overcount")
+    // mergeability: sketch(A) + sketch(B) cell-wise == sketch(A ∪ B)
+    val a = CountMin.sketch(toks.filter(col("doc_id") % 2 === 0), col("term"), d, w)
+    val b = CountMin.sketch(toks.filter(col("doc_id") % 2 =!= 0), col("term"), d, w)
+    val merged = a.unionByName(b).groupBy("rr", "cc")
+      .agg(sum(col("n")).cast("long").as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val whole = sk.as[(Long, Long, Long)].collect().toSet
+    assert(merged == whole, "cell-wise sum of batch sketches must equal the full sketch")
+    CacheScope.releaseAll()
+  }
+
   test("deleteFromIndex: incremental delete equals the survivor rebuild exactly") {
     import graft.operators.Retrieval
     import graft.sources.Tables
