@@ -349,6 +349,33 @@ object DocStream {
 
   /** Drive the gate over a parquet directory as a stream (AvailableNow)
     * into a memory sink. */
+  /** Streaming Count-Min sketch — the op whose DISTRIBUTED design is
+    * literally "mergeable state": each arriving doc's tokens fan out
+    * to their d cells and a stateful aggregate keeps the ≤ d·w cell
+    * counters (complete mode: the sink always holds the full, current
+    * sketch). Because cell-wise sum IS the batch construction
+    * (DataOpsSpec pins merge ≡ whole), the streamed sketch equals the
+    * batch sketch exactly at any trigger cadence — pinned in
+    * ScaleSpec. State is bounded by d·w regardless of corpus size. */
+  def runCmsAvailableNow(spark: SparkSession, docsDir: String,
+      outName: String, d: Int = 4, w: Int = 256): StreamingQuery = {
+    import graft.operators.CountMin
+    val src = spark.readStream.schema(schema).parquet(docsDir)
+    val toks = src.select(explode(split(trim(col("text")), "\\s+")).as("term"))
+    val cells = toks.select(posexplode(array((0 until d).map(i =>
+        CountMin.cell(col("term"), i, w)): _*)).as(Seq("rr", "cc")))
+      .groupBy(col("rr").cast("long").as("rr"), col("cc"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val q = cells.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   def runCurateAvailableNow(spark: SparkSession, docsDir: String,
       outName: String, langs: Seq[String] = Seq("en", "de", "fr"),
       minWords: Long = 20, minQuality: Double = 0.6,

@@ -1357,6 +1357,22 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("streaming Count-Min sketch equals the batch sketch (bounded mergeable state)") {
+    import graft.streaming.DocStream
+    import graft.operators.CountMin
+    val dir = java.nio.file.Files.createTempDirectory("doc_cms")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    DocStream.runCmsAvailableNow(spark, dir.toString, "cms_out")
+    val streamed = spark.table("cms_out").as[(Long, Long, Long)].collect().toSet
+    val batch = CountMin.sketch(
+      spark.read.schema(DocStream.schema).parquet(dir.toString)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term")),
+      col("term"), 4, 256).as[(Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, "streamed sketch cells must equal the batch sketch exactly")
+  }
+
   test("streaming WARC ingest emits exactly the batch record scan; curation composes in flight") {
     import graft.streaming.{DocStream, WarcStream}
     import graft.sources.{Tables, WarcSource}
