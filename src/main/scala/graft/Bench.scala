@@ -162,7 +162,8 @@ object Bench {
     // round-16 additions
     "m4g_png_depth_dedup", "warc4_revisit_resolution",
     "sim14_knn_delete", "out5_zorder_layout", "qc20_k_anonymity",
-    "url6_crawl_budget", "idx5_postings_delete", "cms1_heavy_hitters")
+    "url6_crawl_budget", "idx5_postings_delete", "cms1_heavy_hitters",
+    "dp6g_gzip_corpus_prep")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

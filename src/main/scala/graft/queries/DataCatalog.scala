@@ -3919,6 +3919,34 @@ object DataCatalog {
     },
     Some(Dp6OracleSql))
 
+  // DP6G — dp6's web-corpus prep END-TO-END FROM THE COMPRESSED CRAWL
+  // (r16 — dp6w's move for the `.warc.gz` path): the corpus enters as
+  // per-record-gzip members through WarcGzInputFormat (byte-range
+  // splits, member-magic resync, CRC-verified inflate) and the
+  // IDENTICAL dp6 pipeline must reproduce dp6's oracle verbatim — so
+  // the compression layer, the split-resync reader, and the record
+  // parse compose losslessly under the full curation stack, proving
+  // the gzip path is a drop-in for plain WET exactly as dp6w proved
+  // WET is a drop-in for parquet.
+  val dp6g = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_gz", d)
+      // self-contained: (re)write the gzip fixture — entries may run alone
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeWetGz(docs, dir, 4)
+      val fromGz = graft.sources.WarcSource.readWetGz(s, dir + "/wet-*.warc.gz")
+        .filter(col("warc_type") === "conversion")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("content_lang").as("lang"),
+          col("body").as("text"))
+      dp6Pipeline(fromGz)
+    },
+    Some(Dp6OracleSql))
+
   // DP7 — authority-weighted curation: the composition a CommonCrawl-
   // style curator actually runs with the graph family. Each doc's host
   // is a residue bucket; the host graph comes from url1's link
@@ -7344,6 +7372,7 @@ object DataCatalog {
     "m4g_png_depth_dedup" -> m4g,
     "m5d_legacy_storage_dedup" -> m5d, "sim11d_recall_frontier" -> sim11d,
     "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w,
+    "dp6g_gzip_corpus_prep" -> dp6g,
     "warc2_http_responses" -> warc2, "warc3_gzip_members" -> warc3,
     "warc4_revisit_resolution" -> warc4,
     "sim13_incremental_knn" -> sim13, "sim14_knn_delete" -> sim14)
