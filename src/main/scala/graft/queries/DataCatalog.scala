@@ -420,6 +420,33 @@ object DataCatalog {
     },
     Some(mutualKnnRebuildSql(" WHERE vec_id % 10 <> 0")))
 
+  // SIM15 — FILTERED ANN (r16 — the metadata-restricted search every
+  // vector deployment serves: ACL scopes, language slices, dedup
+  // tiers): top-k by cosine among ONLY the vectors passing a
+  // predicate (vec_id % 3 == 0 stands in for the allowed set). The
+  // semantics are PRE-filter — the predicate restricts the candidate
+  // side BEFORE the cell join, so every query still fills k from the
+  // allowed set; the naive post-filter (top-k over everything, then
+  // filter) silently under-fills whenever disallowed vectors crowd
+  // the global top-k — DataOpsSpec pins both that under-fill happens
+  // on this fixture and that pre-filter ≡ brute-force-over-allowed.
+  // Scale: the filter prunes the corpus scan before the equi-join;
+  // candidate work per query shrinks with selectivity.
+  val sim15 = Q(
+    (s, d) => {
+      val e = embeddings(s, d)
+      ordered(Similarity.topKIvfAsym(e, e.filter(col("vec_id") % 3 === 0), "label", 5))
+    },
+    Some("WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings), " +
+      "c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings " +
+      "WHERE vec_id % 3 = 0), " +
+      "scored AS (SELECT query_id, neighbor_id, " + cosSql("qv", "cv") + " AS cos " +
+      "FROM q JOIN c USING (label) WHERE query_id <> neighbor_id), " +
+      "ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (" +
+      "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored) " +
+      "SELECT query_id, neighbor_id, cos AS cosine, CAST(rank AS BIGINT) AS rank " +
+      "FROM ranked WHERE rank <= 5" + OBA))
+
   // EMB8 — embedding centroid drift per label: cosine between each
   // label's centroid and the global centroid, computed on EXACT
   // fixed-point per-dim sums (cosine is scale-invariant, so sums stand
@@ -7375,5 +7402,6 @@ object DataCatalog {
     "dp6g_gzip_corpus_prep" -> dp6g,
     "warc2_http_responses" -> warc2, "warc3_gzip_members" -> warc3,
     "warc4_revisit_resolution" -> warc4,
-    "sim13_incremental_knn" -> sim13, "sim14_knn_delete" -> sim14)
+    "sim13_incremental_knn" -> sim13, "sim14_knn_delete" -> sim14,
+    "sim15_filtered_ann" -> sim15)
 }

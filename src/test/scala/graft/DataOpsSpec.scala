@@ -263,6 +263,31 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("filtered ANN: pre-filter fills k where post-filter under-fills; equals brute force") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val allowed = e.filter(col("vec_id") % 3 === 0)
+    val pre = Similarity.topKIvfAsym(e, allowed, "label", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // exact-over-allowed equivalence is the entry's DuckDB oracle; here
+    // pin the semantic content: only allowed neighbors ever return
+    assert(pre.nonEmpty && pre.forall(_._2 % 3 == 0),
+      "pre-filter must only return allowed neighbors")
+    // post-filter loses results: filter the GLOBAL top-5 afterwards —
+    // some query must end up with fewer hits than pre-filter found
+    val post = Similarity.topKIvf(e, "label", 5)
+      .filter(col("neighbor_id") % 3 === 0)
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+      .select("query_id", "n").as[(Long, Long)].collect().toMap
+    val preN = pre.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(preN.exists { case (q, n) => n > post.getOrElse(q, 0L) },
+      "fixture must show post-filter under-fill vs pre-filter")
+    // and pre-filter never returns fewer than post-filter anywhere
+    assert(preN.forall { case (q, n) => n >= post.getOrElse(q, 0L) })
+    CacheScope.releaseAll()
+  }
+
   test("CountMin: estimate never undercounts, batch sketches merge by cell sum") {
     import graft.operators.CountMin
     import graft.sources.Tables
