@@ -1117,6 +1117,32 @@ object Multimodal {
     out.array()
   }
 
+  /** [[wavBytesPcm]] under a WAVE_FORMAT_EXTENSIBLE header (fmt
+    * 0xFFFE, 40-byte fmt chunk: cbSize 22, wValidBits 16, channel
+    * mask, KSDATAFORMAT_SUBTYPE_PCM GUID) — the header modern
+    * multichannel and pro-audio WAVs actually ship; same samples, so
+    * decode must be header-blind. */
+  private[graft] def wavBytesPcmExtensible(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(68 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * 2
+    out.put("RIFF".getBytes).putInt(60 + dataLen).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(40)
+      .putShort(0xFFFE.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(byteRate).putShort((channels * 2).toShort).putShort(16)
+      .putShort(22) // cbSize
+      .putShort(16) // wValidBitsPerSample
+      .putInt(if (channels == 2) 3 else 4) // dwChannelMask (FL|FR / FC)
+      .putShort(1) // GUID bytes 0-1: the wrapped classic tag (PCM)
+      .put(KsGuidTail) // GUID bytes 2-15: the KSDATAFORMAT base
+    out.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { out.putShort(samples(i)); i += 1 }
+    out.array()
+  }
+
   /** All-WAV media fixture with REAL PCM for the audio-dedup entry
     * (m5): each residue group `doc_id % 97` is one clip of group-seeded
     * noise (java.util.Random — the JLS-specified LCG, so samples are
@@ -1168,6 +1194,23 @@ object Multimodal {
     * carries over verbatim, and a mixed WAV↔FLAC pair only collides
     * if the whole FLAC decode (frame headers, CRCs, subframes, rice
     * residuals) composes with the shared energy fingerprint. */
+  /** [[syntheticAudio]] with every third clip under a
+    * WAVE_FORMAT_EXTENSIBLE header — the m5e fixture: same samples,
+    * same energies, so the m5 closed-form pair oracle carries over
+    * verbatim; a pair whose members mix header layouts only collides
+    * if the GUID resolution genuinely reads the wrapped PCM tag. */
+  def syntheticExtensibleAudio(docs: DataFrame,
+      group: Long => Long = _ % 97): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val (rate, ch, pcm) = noiseClipSamples(id, group(id))
+      if (id % 3 == 1)
+        MediaRow(id, wavBytesPcmExtensible(rate, ch, pcm), "audio/wav")
+      else MediaRow(id, wavBytesPcm(rate, ch, pcm), "audio/wav")
+    }
+  }
+
   def syntheticMixedStorageAudio(docs: DataFrame,
       group: Long => Long = _ % 97): Dataset[MediaRow] = {
     val spark = docs.sparkSession
@@ -1287,9 +1330,39 @@ object Multimodal {
     * one window is ignored, as any fixed-grid fingerprint does).
     * Returns None — degrade, never throw — for non-PCM/ non-16-bit
     * streams, truncated data, or clips shorter than `nWin` frames. */
+  /** The KSDATAFORMAT GUID tail (bytes 2–15): every registered WAVE
+    * subtype is the classic u16 format tag followed by this fixed
+    * base, so WAVE_FORMAT_EXTENSIBLE resolves to its wrapped tag by
+    * reading GUID bytes 0–1 once the tail verifies. */
+  private val KsGuidTail = Array[Int](0, 0, 0, 0, 0x10, 0, 0x80, 0, 0, 0xAA,
+    0, 0x38, 0x9B, 0x71).map(_.toByte)
+
+  /** Resolve a fmt chunk's EFFECTIVE format tag: the tag itself, or —
+    * for WAVE_FORMAT_EXTENSIBLE (0xFFFE, the header modern multichannel
+    * and pro-audio WAVs actually ship) — the SubFormat GUID's wrapped
+    * classic tag, provided the chunk carries the full 22-byte extension
+    * and the GUID sits on the KSDATAFORMAT base. −1 = malformed
+    * extensible header (degrade). `i` is the chunk's RIFF offset
+    * (header included). */
+  private def wavEffectiveFmt(b: Array[Byte], i: Int, size: Long): Int = {
+    val tag = leU16(b, i + 8)
+    if (tag != 0xFFFE) return tag
+    // 16 base + cbSize u16 + wValidBits u16 + dwChannelMask u32 + GUID
+    if (size < 40 || i + 8 + 40 > b.length) return -1
+    if (leU16(b, i + 24) < 22) return -1 // cbSize must cover the extension
+    val guid = i + 8 + 24
+    var j = 0
+    while (j < KsGuidTail.length) {
+      if (b(guid + 2 + j) != KsGuidTail(j)) return -1
+      j += 1
+    }
+    leU16(b, guid)
+  }
+
   /** RIFF walk to the PCM payload: (channels, data offset, frame
-    * count) for a 16-bit PCM WAV, None otherwise — the shared parse
-    * under [[wavPcmEnergies]] and [[wavPcmMono]]. */
+    * count) for a 16-bit PCM WAV — classic fmt 1 or an extensible
+    * header whose SubFormat wraps PCM — None otherwise; the shared
+    * parse under [[wavPcmEnergies]] and [[wavPcmMono]]. */
   private def wavPcmLayout(b: Array[Byte]): Option[(Int, Int, Long)] = {
     if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
     if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
@@ -1302,7 +1375,8 @@ object Multimodal {
       val size = leU32(b, i + 4) // u32 as Long: never negative
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
         if (size < 16 || i + 8 + 16 > b.length) return None
-        if (leU16(b, i + 8) != 1 || leU16(b, i + 22) != 16) return None // PCM, 16-bit
+        if (wavEffectiveFmt(b, i, size) != 1 || leU16(b, i + 22) != 16)
+          return None // PCM (direct or extensible-wrapped), 16-bit
         channels = leU16(b, i + 10)
         if (channels < 1) return None
         fmtOk = true
@@ -1384,13 +1458,15 @@ object Multimodal {
       val size = leU32(b, i + 4)
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
         if (size < 16 || i + 8 + 16 > b.length) return None
-        fmt = leU16(b, i + 8)
+        fmt = wavEffectiveFmt(b, i, size) // extensible headers resolve to the wrapped tag
         channels = leU16(b, i + 10)
         rate = leU32(b, i + 12).toInt
         blockAlign = leU16(b, i + 20)
         bits = leU16(b, i + 22)
-        // IMA fmt extension: cbSize + wSamplesPerBlock
-        if (size >= 20 && i + 8 + 20 <= b.length) spb = leU16(b, i + 26)
+        // IMA fmt extension: cbSize + wSamplesPerBlock (classic header
+        // only — the extensible layout puts the GUID there instead)
+        if (leU16(b, i + 8) != 0xFFFE && size >= 20 && i + 8 + 20 <= b.length)
+          spb = leU16(b, i + 26)
       } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
         dataOff = i + 8
         dataLen = math.min(size, (b.length - dataOff).toLong)

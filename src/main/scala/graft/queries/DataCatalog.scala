@@ -5769,6 +5769,25 @@ object DataCatalog {
       "JOIN documents b ON a.doc_id % 97 = b.doc_id % 97 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M5E — audio dedup across WAV HEADER LAYOUTS (r16 — the header gap
+  // left after m5c/m5d covered codecs: modern multichannel and
+  // pro-audio WAVs ship WAVE_FORMAT_EXTENSIBLE, fmt 0xFFFE with the
+  // real tag wrapped in a KSDATAFORMAT SubFormat GUID, and a reader
+  // that only accepts classic fmt 1 stub-hashes them all): every third
+  // clip re-stores under an extensible header — SAME samples, so the
+  // m5 closed form carries over verbatim, and a mixed-header pair only
+  // collides if the GUID tail verifies and the wrapped PCM tag
+  // resolves. The resolution also extends the legacy decoder (an
+  // extensible header can wrap µ-law/A-law), unit-pinned.
+  val m5e = Q(
+    (s, d) => ordered(graft.operators.Multimodal.audioDupPairs(
+      graft.operators.Multimodal.audioFingerprint(
+        graft.operators.Multimodal.syntheticExtensibleAudio(documents(s, d))), 3)
+      .select(col("id_a"), col("id_b"))),
+    Some("SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a " +
+      "JOIN documents b ON a.doc_id % 97 = b.doc_id % 97 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   // M5D — audio dedup across LEGACY LOSSY storage (the r14 verdict's
   // ask): m5c made the audio path storage-blind across WAV↔FLAC (both
   // lossless); real archives also carry µ-law/A-law (telephony) and
@@ -7397,7 +7416,8 @@ object DataCatalog {
     // round-15 additions
     "m4f_png_storage_dedup" -> m4f, "m7d_png_coverage_card" -> m7d,
     "m4g_png_depth_dedup" -> m4g,
-    "m5d_legacy_storage_dedup" -> m5d, "sim11d_recall_frontier" -> sim11d,
+    "m5d_legacy_storage_dedup" -> m5d, "m5e_extensible_header_dedup" -> m5e,
+    "sim11d_recall_frontier" -> sim11d,
     "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w,
     "dp6g_gzip_corpus_prep" -> dp6g,
     "warc2_http_responses" -> warc2, "warc3_gzip_members" -> warc3,

@@ -103,6 +103,45 @@ class LegacyAudioSpec extends AnyFunSuite {
       ImaAdpcm.decodeBlocksMono(blocks, 0, 65, 129)))
   }
 
+  test("WAVE_FORMAT_EXTENSIBLE resolves the wrapped tag; corrupt GUIDs degrade") {
+    val rnd = new java.util.Random(19L)
+    val raw = Array.fill(65 * 64 * 2)((rnd.nextInt(2048) - 1024).toShort)
+    // extensible PCM decodes identically to the classic header
+    val classic = Multimodal.wavPcmEnergies(Multimodal.wavBytesPcm(8000, 2, raw), 65)
+    val ext = Multimodal.wavPcmEnergies(
+      Multimodal.wavBytesPcmExtensible(8000, 2, raw), 65)
+    assert(classic.isDefined && ext.isDefined)
+    assert(classic.get.sameElements(ext.get),
+      "extensible header must be energy-identical to classic PCM")
+    // an extensible header can wrap a LEGACY tag: rewrite a µ-law file's
+    // fmt chunk to the extensible layout and the legacy reader must
+    // still decode it
+    val codes = raw.take(400).map(s => G711.mulawEncode(s.toInt).toByte)
+    val muExt = {
+      val out = java.nio.ByteBuffer.allocate(68 + codes.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(60 + codes.length).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(40)
+        .putShort(0xFFFE.toShort).putShort(1).putInt(8000)
+        .putInt(8000).putShort(1).putShort(8)
+        .putShort(22).putShort(8).putInt(4)
+        .putShort(7) // GUID wraps the µ-law tag
+        .put(Array[Int](0, 0, 0, 0, 0x10, 0, 0x80, 0, 0, 0xAA,
+          0, 0x38, 0x9B, 0x71).map(_.toByte))
+        .put("data".getBytes).putInt(codes.length).put(codes)
+      out.array()
+    }
+    val dec = Multimodal.wavLegacyDecodeS16(muExt)
+    assert(dec.isDefined && java.util.Arrays.equals(dec.get._3,
+      codes.map(c => G711.mulawDecode(c & 0xff).toShort)),
+      "extensible-wrapped mu-law must decode through the GUID resolution")
+    // corrupting the GUID base must degrade, never misread
+    val bad = Multimodal.wavBytesPcmExtensible(8000, 2, raw)
+    bad(20 + 26 + 5) = 0x55 // a byte inside the GUID tail
+    assert(Multimodal.wavPcmEnergies(bad, 65).isEmpty,
+      "a non-KSDATAFORMAT GUID must degrade")
+  }
+
   test("legacy reader degrades: PCM fmt, truncation, bad block geometry, stereo ADPCM") {
     val rnd = new java.util.Random(13L)
     val raw = Array.fill(400)((rnd.nextInt(2048) - 1024).toShort)
