@@ -1184,6 +1184,87 @@ object Multimodal {
     ((8000 + (g * 441) % 40000).toInt, ch, pcm)
   }
 
+  /** Storage-class classifier for audio payloads — the coverage axis
+    * of the m7e receipt, [[pngClass]]'s move for the audio family.
+    * Reads the container magic and the fmt tag the decoders themselves
+    * gate on (extensible headers resolve through the GUID, `_ext`
+    * suffixed): `pcm16` / `pcm16_ext` / `mulaw` / `alaw` / `ima_adpcm`
+    * / `flac`, `wav_other` for unhandled tags, `not_audio` otherwise. */
+  private[graft] def audioClass(b: Array[Byte]): String = {
+    if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      return "flac"
+    if (b.length < 12 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+      !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return "not_audio"
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = leU32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return "not_audio"
+        val ext = leU16(b, i + 8) == 0xFFFE
+        val suffix = if (ext) "_ext" else ""
+        return wavEffectiveFmt(b, i, size) match {
+          case 1 if leU16(b, i + 22) == 16 => s"pcm16$suffix"
+          case 7 => s"mulaw$suffix"
+          case 6 => s"alaw$suffix"
+          case 0x11 => s"ima_adpcm$suffix"
+          case _ => "wav_other"
+        }
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      if (next <= i || next > b.length.toLong) return "not_audio"
+      i = next.toInt
+    }
+    "not_audio"
+  }
+
+  /** m7e fixture — [[syntheticAudio]] stretched across the audio
+    * coverage axes the way [[syntheticPngCoverageMix]] stretches PNG:
+    * doc_id % 7 == 1 re-stores under an EXTENSIBLE PCM header, % 7 ==
+    * 2 FLAC-compressed, % 7 == 3 as µ-law (real companded codes), % 7
+    * == 4 as A-law, % 7 == 5 as mono IMA-ADPCM blocks, % 7 == 6
+    * TRUNCATES the stream mid-data (classifies, must fail decode
+    * cleanly — the counted degrade row); the rest stay classic 16-bit
+    * PCM and must all decode. */
+  def syntheticAudioCoverageMix(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val g = id % 97
+      val (rate, ch, pcm) = noiseClipSamples(id, g)
+      def mono: Array[Short] =
+        Array.tabulate(pcm.length / ch)(f => pcm(f * ch)) // channel 0
+      val payload = id % 7 match {
+        case 1 => wavBytesPcmExtensible(rate, ch, pcm)
+        case 2 => FlacCodec.encodeVerbatim(rate, ch, pcm)
+        case 3 => wavBytesG711(8000, mono.map(s => G711.mulawEncode(s.toInt).toByte), mulaw = true)
+        case 4 => wavBytesG711(8000, mono.map(s => G711.alawEncode(s.toInt).toByte), mulaw = false)
+        case 5 => wavBytesImaAdpcm(8000, ImaAdpcm.encodeBlocksMono(mono, 129), 129)
+        case 6 =>
+          val full = wavBytesPcm(rate, ch, pcm)
+          java.util.Arrays.copyOf(full, 44 + 40) // data cut far short of one window
+        case _ => wavBytesPcm(rate, ch, pcm)
+      }
+      MediaRow(id, payload, "audio/wav")
+    }
+  }
+
+  /** m7e — audio storage-coverage card: per (audio_class, decoded)
+    * counts, where audio_class comes from [[audioClass]]'s header read
+    * and decoded is whether [[pcmEnergiesAny]] actually produced
+    * window energies — the number a corpus owner reads before trusting
+    * m5/m5c/m5d/m5e coverage: which storage classes rode the real
+    * decode path and how many degraded. Map-only classify+decode
+    * (payloads never shuffle) + one card-sized aggregate. */
+  def audioFormatCard(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => (audioClass(r.payload), pcmEnergiesAny(r.payload, 65).isDefined))
+    }.toDF("audio_class", "decoded")
+      .groupBy("audio_class", "decoded")
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** m5c fixture — the m5 clip corpus under MIXED real-world storage:
     * every third doc_id stores its clip FLAC-compressed
     * ([[FlacCodec.encodeVerbatim]] — real stream structure, verified

@@ -5788,6 +5788,22 @@ object DataCatalog {
       "JOIN documents b ON a.doc_id % 97 = b.doc_id % 97 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M7E — audio storage-coverage card (r16 — the m7d move for the
+  // audio family, closing the coverage-receipt set across all three
+  // natively decoded modalities): per (audio_class, decoded) counts
+  // over a fixture spanning every storage the audio path decodes —
+  // classic PCM, extensible-header PCM, FLAC, µ-law, A-law, IMA-ADPCM
+  // — plus one stream truncated mid-data that must classify yet fail
+  // decode cleanly (the counted degrade row). The number a corpus
+  // owner reads before trusting m5/m5c/m5d/m5e dedup coverage.
+  val m7e = Q(
+    (s, d) => ordered(graft.operators.Multimodal.audioFormatCard(
+      graft.operators.Multimodal.syntheticAudioCoverageMix(documents(s, d)))),
+    Some("SELECT CASE doc_id % 7 WHEN 1 THEN 'pcm16_ext' WHEN 2 THEN 'flac' " +
+      "WHEN 3 THEN 'mulaw' WHEN 4 THEN 'alaw' WHEN 5 THEN 'ima_adpcm' " +
+      "ELSE 'pcm16' END AS audio_class, doc_id % 7 <> 6 AS decoded, " +
+      "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2" + OBA))
+
   // M5D — audio dedup across LEGACY LOSSY storage (the r14 verdict's
   // ask): m5c made the audio path storage-blind across WAV↔FLAC (both
   // lossless); real archives also carry µ-law/A-law (telephony) and
@@ -7417,6 +7433,7 @@ object DataCatalog {
     "m4f_png_storage_dedup" -> m4f, "m7d_png_coverage_card" -> m7d,
     "m4g_png_depth_dedup" -> m4g,
     "m5d_legacy_storage_dedup" -> m5d, "m5e_extensible_header_dedup" -> m5e,
+    "m7e_audio_coverage_card" -> m7e,
     "sim11d_recall_frontier" -> sim11d,
     "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w,
     "dp6g_gzip_corpus_prep" -> dp6g,
