@@ -164,7 +164,8 @@ object Bench {
     "sim14_knn_delete", "out5_zorder_layout", "qc20_k_anonymity",
     "url6_crawl_budget", "idx5_postings_delete", "cms1_heavy_hitters",
     "dp6g_gzip_corpus_prep", "sim15_filtered_ann",
-    "m5e_extensible_header_dedup", "m7e_audio_coverage_card")
+    "m5e_extensible_header_dedup", "m7e_audio_coverage_card",
+    "m6e_fragmented_mp4_dedup")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

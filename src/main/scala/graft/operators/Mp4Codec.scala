@@ -300,6 +300,110 @@ object Mp4Codec {
     Some(frames.result())
   }
 
+  /** Whether the first video track's `stsd` declares a JPEG codec
+    * (QuickTime `jpeg` entry, or ffmpeg's `mp4v` with an ESDS
+    * objectTypeIndication of 0x6C) — the codec gate shared by the
+    * plain and fragmented readers. */
+  private def hasJpegEntry(b: Array[Byte], sp: Int, se: Int): Boolean = {
+    val (dp, de) = findBox(b, sp, se, "stsd").getOrElse(return false)
+    if (dp + 8 > de || beU32(b, dp + 4) < 1) return false
+    boxAt(b, dp + 8, de).exists {
+      case ("jpeg", _, _, _) => true
+      case ("mp4v", ep, ee, _) =>
+        findBox(b, ep + 78, ee.toInt, "esds").exists { case (p, e) =>
+          esdsObjectType(b, p, e).contains(0x6c)
+        }
+      case _ => false
+    }
+  }
+
+  /** The stored JPEG sample bytes of a FRAGMENTED MP4 (fMP4 — the
+    * DASH/CMAF/HLS segment shape streaming services actually publish:
+    * an `stbl`-empty `moov` up front, then `moof`+`mdat` fragments
+    * each carrying its own `tfhd`/`trun` sample table). Fragments walk
+    * in file order; per fragment the first `traf`'s trun(s) resolve
+    * sample sizes (per-sample, or the tfhd default) and the data
+    * offset relative to the moof start (the default-base-is-moof
+    * convention; an explicit base-data-offset is honored when inside
+    * the file). None — degrade, never throw — for a non-JPEG codec,
+    * a trun without a data offset, unresolved sizes, or any addressing
+    * that escapes the file; the same copied-bytes amplification guard
+    * as [[mjpegFrames]] caps crafted aliasing. */
+  def mjpegFramesFragmented(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (!isMp4(b)) return None
+    val (sp, se) = videoStbl(b).getOrElse(return None)
+    if (!hasJpegEntry(b, sp, se)) return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    var sawFragment = false
+    var copied = 0L
+    // top-level walk tracking each box's START offset (the trun base)
+    var i = 0
+    var guard = 0
+    while (i + 8 <= b.length && guard < 65536) {
+      guard += 1
+      val size = beU32(b, i)
+      if (size < 8 || i + size > b.length) return None
+      if (fourcc(b, i + 4) == "moof") {
+        sawFragment = true
+        val moofStart = i
+        val (tp, te) = findBox(b, i + 8, (i + size).toInt, "traf").getOrElse(return None)
+        // tfhd: version/flags u32, track_id u32, then optional fields
+        val (hp, he) = findBox(b, tp, te, "tfhd").getOrElse(return None)
+        if (hp + 8 > he) return None
+        val hFlags = beU32(b, hp) & 0xffffff
+        var o = hp + 8
+        var base = moofStart.toLong // default-base-is-moof / v1 default
+        if ((hFlags & 0x01) != 0) { base = beU64(b, o); o += 8 }
+        if ((hFlags & 0x02) != 0) o += 4 // sample_description_index
+        if ((hFlags & 0x08) != 0) o += 4 // default_sample_duration
+        var defaultSize = -1L
+        if ((hFlags & 0x10) != 0) { defaultSize = beU32(b, o); o += 4 }
+        if (base < 0 || base > b.length) return None
+        // every trun in this traf, in order
+        var tIdx = tp
+        var sawTrun = false
+        while (tIdx + 8 <= te) {
+          boxAt(b, tIdx, te) match {
+            case Some(("trun", rp, re, next)) =>
+              sawTrun = true
+              if (rp + 8 > re) return None
+              val rFlags = beU32(b, rp) & 0xffffff
+              val nSamples = beU32(b, rp + 4)
+              if (nSamples < 1 || nSamples > b.length) return None
+              var ro = rp + 8
+              if ((rFlags & 0x01) == 0) return None // data offset required
+              val dataOff = beU32(b, ro).toInt // i32, fixture keeps it positive
+              ro += 4
+              if ((rFlags & 0x04) != 0) ro += 4 // first_sample_flags
+              val perSize = (rFlags & 0x200) != 0
+              if (!perSize && defaultSize < 1) return None
+              var off = base + dataOff
+              var s = 0L
+              while (s < nSamples) {
+                var sz = defaultSize
+                if ((rFlags & 0x100) != 0) ro += 4 // duration
+                if (perSize) { sz = beU32(b, ro); ro += 4 }
+                if ((rFlags & 0x400) != 0) ro += 4 // sample flags
+                if ((rFlags & 0x800) != 0) ro += 4 // cts offset
+                if (ro > re || sz < 1 || off < 0 || off + sz > b.length) return None
+                copied += sz
+                if (copied > b.length) return None // crafted aliasing
+                frames += java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
+                off += sz
+                s += 1
+              }
+              tIdx = next.toInt
+            case Some((_, _, _, next)) => tIdx = next.toInt
+            case None => tIdx = te
+          }
+        }
+        if (!sawTrun) return None
+      }
+      i += size.toInt
+    }
+    if (!sawFragment) None else Some(frames.result())
+  }
+
   // ---- fixture muxer ------------------------------------------------
 
   private def box(fc: String, parts: Array[Byte]*): Array[Byte] = {
@@ -367,5 +471,68 @@ object Mp4Codec {
     val trak = box("trak", tkhd, mdia)
     val moov = box("moov", mvhd, trak)
     ftyp ++ mdat ++ moov
+  }
+
+  /** FRAGMENTED MJPEG-in-MP4 — the DASH/CMAF segment shape: `ftyp` +
+    * an `stbl`-EMPTY `moov` (sample tables all zero-entry; `mvex/trex`
+    * declares the track's fragment defaults, the marker players use to
+    * expect moofs) + one `moof`+`mdat` pair per `framesPerFrag`
+    * frames, each moof's `tfhd`(default-base-is-moof)/`trun`(data
+    * offset + per-sample sizes) addressing its own mdat payload.
+    * Byte-inverse of [[mjpegFramesFragmented]]; [[mjpegFrames]]
+    * returns None on it (empty stsz), which is exactly how the
+    * storage-blind seam dispatches. */
+  def encodeMjpegFragmented(w: Int, h: Int, frames: Seq[Array[Byte]],
+      framesPerFrag: Int = 2): Array[Byte] = {
+    require(frames.nonEmpty, "encodeMjpegFragmented needs at least one frame")
+    require(framesPerFrag >= 1, s"framesPerFrag must be >= 1, got $framesPerFrag")
+    require(w >= 1 && w <= 0xffff && h >= 1 && h <= 0xffff,
+      s"dims must fit a VisualSampleEntry u16, got ${w}x$h")
+    val ftyp = box("ftyp", "iso5".getBytes, beInts(0x200),
+      "iso5".getBytes, "iso6".getBytes)
+    val n = frames.length
+    val unityMatrix = beInts(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val mvhd = box("mvhd", beInts(0, 0, 0, 1000, 0, 0x10000),
+      Array[Byte](0x01, 0x00, 0, 0), beInts(0, 0), unityMatrix,
+      beInts(0, 0, 0, 0, 0, 0), beInts(2))
+    val tkhd = box("tkhd", beInts(3, 0, 0, 1, 0, 0, 0, 0),
+      beInts(0, 0), unityMatrix, beInts(w.toLong << 16, h.toLong << 16))
+    val mdhd = box("mdhd", beInts(0, 0, 0, 25, 0),
+      Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    val hdlr = box("hdlr", beInts(0, 0), "vide".getBytes,
+      beInts(0, 0, 0), "GraftFMP4".getBytes :+ 0.toByte)
+    val entry = box("jpeg", new Array[Byte](6), beShorts(1),
+      beShorts(0, 0), beInts(0, 0, 0), beShorts(w, h),
+      beInts(0x480000, 0x480000, 0), beShorts(1),
+      new Array[Byte](32), beShorts(24, -1))
+    val stsd = box("stsd", beInts(0, 1), entry)
+    // zero-entry sample tables: all media lives in fragments
+    val stbl = box("stbl", stsd, box("stts", beInts(0, 0)),
+      box("stsc", beInts(0, 0)), box("stsz", beInts(0, 0, 0)),
+      box("stco", beInts(0, 0)))
+    val vmhd = box("vmhd", beInts(1, 0, 0))
+    val dinf = box("dinf", box("dref", beInts(0, 1), box("url ", beInts(1))))
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    // trex: track 1, sample-description 1, default duration/size/flags
+    val mvex = box("mvex", box("trex", beInts(0, 1, 1, 1, 0, 0)))
+    val moov = box("moov", mvhd, trak, mvex)
+    val frags = frames.grouped(framesPerFrag).zipWithIndex.map { case (fs, fi) =>
+      val trunFixed = 8 + 4 // version/flags + count, then data_offset
+      val trunLen = 8 + trunFixed + 4 * fs.length
+      val tfhd = box("tfhd", beInts(0x020000, 1)) // default-base-is-moof
+      val tfdt = box("tfdt", beInts(0, fi.toLong * framesPerFrag))
+      // moof = 8 + mfhd(16) + traf(8 + tfhd(16) + tfdt(16) + trun)
+      val moofLen = 8 + 16 + 8 + 16 + 16 + trunLen
+      val dataOffset = moofLen + 8L // first byte of the mdat payload
+      val trun = box("trun", beInts((0x000201L +: fs.length.toLong +:
+        dataOffset +: fs.map(_.length.toLong)): _*))
+      val traf = box("traf", tfhd, tfdt, trun)
+      val moof = box("moof", box("mfhd", beInts(0, fi + 1L)), traf)
+      assert(moof.length == moofLen, s"moof layout drifted: ${moof.length} vs $moofLen")
+      moof ++ box("mdat", fs.toArray.flatten)
+    }.toSeq
+    (ftyp +: moov +: frags).reduce(_ ++ _)
   }
 }

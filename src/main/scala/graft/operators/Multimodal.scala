@@ -1985,6 +1985,7 @@ object Multimodal {
     * parser degrades to None on foreign bytes. */
   private[graft] def containerFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] =
     aviMjpegFrames(b).orElse(Mp4Codec.mjpegFrames(b))
+      .orElse(Mp4Codec.mjpegFramesFragmented(b))
 
   /** All-AVI fixture with REAL MJPEG frames for the end-to-end video
     * path (m6b): each residue group `doc_id % 151` is one 4-frame
@@ -2060,6 +2061,27 @@ object Multimodal {
     docs.select(col("doc_id").cast("long")).as[Long].map { id =>
       val (w, h, frames) = plateauClipFrames(id, group(id), nFrames)
       if (id % 3 == 1)
+        MediaRow(id, Mp4Codec.encodeMjpeg(w, h, frames), "video/mp4")
+      else MediaRow(id, aviMjpegBytes(w, h, frames), "video/avi")
+    }
+  }
+
+  /** [[syntheticMixedContainerVideos]] widened to the THIRD container
+    * real distribution ships (m6e): every doc_id % 3 == 2 clip stores
+    * as a FRAGMENTED MP4 (DASH/CMAF segments — stbl-empty moov, one
+    * moof+mdat per two frames), % 3 == 1 as plain MP4, the rest AVI.
+    * Same frames in all three, so m6b's closed form carries over
+    * verbatim; a mixed pair only collides if the moof/trun fragment
+    * walk reconstructs the exact sample bytes the stbl walk reads. */
+  def syntheticFragmentedVideos(docs: DataFrame,
+      group: Long => Long = _ % 151, nFrames: Int = 4): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val (w, h, frames) = plateauClipFrames(id, group(id), nFrames)
+      if (id % 3 == 2)
+        MediaRow(id, Mp4Codec.encodeMjpegFragmented(w, h, frames), "video/mp4")
+      else if (id % 3 == 1)
         MediaRow(id, Mp4Codec.encodeMjpeg(w, h, frames), "video/mp4")
       else MediaRow(id, aviMjpegBytes(w, h, frames), "video/avi")
     }

@@ -5734,6 +5734,30 @@ object DataCatalog {
       "JOIN s b ON a.doc_id % 151 = b.doc_id % 151 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M6E — video dedup across FRAGMENTED MP4 storage (r16 — the
+  // DASH/CMAF segment shape streaming services actually publish, and
+  // the third container the distribution ships after m6d's AVI/MP4:
+  // an stbl-empty moov up front, then moof+mdat fragments each
+  // carrying its own tfhd/trun sample table): every third clip stores
+  // fragmented, every other third plain MP4, the rest AVI — SAME
+  // frames, so m6b's closed-form n_matched_frames oracle carries over
+  // verbatim, and a mixed pair only collides if the fragment walk
+  // (default-base-is-moof offsets, per-sample trun sizes) reconstructs
+  // the exact JPEG bytes the stbl and movi walks read. Same sample
+  // gate and scale shape as m6d.
+  val m6e = Q(
+    (s, d) => ordered(graft.operators.Multimodal.videoDupPairs(
+      graft.operators.Multimodal.videoFrameHashesReal(
+        graft.operators.Multimodal.syntheticFragmentedVideos(
+          Sampling.bernoulli(documents(s, d), col("doc_id"), 500))), 3, 3)),
+    Some("WITH s AS (SELECT doc_id FROM documents " +
+      "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 500) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+      "CAST(CASE WHEN a.doc_id % 2 = b.doc_id % 2 THEN 4 ELSE 3 END AS BIGINT) " +
+      "AS n_matched_frames FROM s a " +
+      "JOIN s b ON a.doc_id % 151 = b.doc_id % 151 " +
+      "AND a.doc_id < b.doc_id" + OBA))
+
   // M5B — SPECTRAL audio near-dup over the same real-PCM fixture: 16
   // FFT windows × 4 log-spaced frequency bands, bit (t·4+b) = band
   // energy rising at window t — the chromaprint shape proper, where
@@ -7434,6 +7458,7 @@ object DataCatalog {
     "m4g_png_depth_dedup" -> m4g,
     "m5d_legacy_storage_dedup" -> m5d, "m5e_extensible_header_dedup" -> m5e,
     "m7e_audio_coverage_card" -> m7e,
+    "m6e_fragmented_mp4_dedup" -> m6e,
     "sim11d_recall_frontier" -> sim11d,
     "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w,
     "dp6g_gzip_corpus_prep" -> dp6g,

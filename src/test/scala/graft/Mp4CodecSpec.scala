@@ -31,6 +31,58 @@ class Mp4CodecSpec extends AnyFunSuite {
     assert(Multimodal.parseDims(mp4).contains(("video/mp4", 36, 32)))
   }
 
+  test("fragmented round-trip: moof/trun walk returns the exact frames in order") {
+    for (fpf <- Seq(1, 2, 3, 7)) {
+      val frames = (0 until 5).map(i => frame(200L + i))
+      val fmp4 = Mp4Codec.encodeMjpegFragmented(16, 16, frames, fpf)
+      val out = Mp4Codec.mjpegFramesFragmented(fmp4)
+      assert(out.isDefined, s"framesPerFrag=$fpf must parse")
+      assert(out.get.length == 5, s"framesPerFrag=$fpf count")
+      for (i <- 0 until 5)
+        assert(java.util.Arrays.equals(out.get(i), frames(i)),
+          s"framesPerFrag=$fpf frame $i differs")
+      // dispatch is unambiguous: the stbl walker sees an empty stsz
+      // and degrades; the fragment walker ignores plain files
+      assert(Mp4Codec.mjpegFrames(fmp4).isEmpty,
+        "plain walker must degrade on fMP4 (empty stsz)")
+    }
+    val plain = Mp4Codec.encodeMjpeg(16, 16, Seq(frame(1L)))
+    assert(Mp4Codec.mjpegFramesFragmented(plain).isEmpty,
+      "fragment walker must degrade on a plain file (no moof)")
+    // the storage-blind seam reads all three container shapes
+    assert(Multimodal.containerFrames(
+      Mp4Codec.encodeMjpegFragmented(16, 16, Seq(frame(2L)))).exists(_.length == 1))
+  }
+
+  test("fragmented degrades: truncation, oversized trun counts, garbage never throw") {
+    val frames = (0 until 4).map(i => frame(300L + i))
+    val fmp4 = Mp4Codec.encodeMjpegFragmented(16, 16, frames, 2)
+    for (cut <- Seq(20, 200, fmp4.length / 2, fmp4.length - 3))
+      Mp4Codec.mjpegFramesFragmented(fmp4.take(cut)) // must return, never throw
+    // a trun sample count far past the file must degrade before allocating
+    val bad = fmp4.clone()
+    val moofAt = {
+      var i = 0; var at = -1
+      while (at < 0 && i + 8 <= bad.length) {
+        if (new String(bad, i + 4, 4, "US-ASCII") == "moof") at = i
+        else i += java.nio.ByteBuffer.wrap(bad, i, 4).getInt
+      }
+      at
+    }
+    assert(moofAt > 0)
+    // trun sits at a fixed offset inside the fixture moof: mfhd(16) +
+    // traf header(8) + tfhd(16) + tfdt(16); count at payload + 4
+    val trunCount = moofAt + 8 + 16 + 8 + 16 + 16 + 8 + 4
+    java.nio.ByteBuffer.wrap(bad, trunCount, 4).putInt(0x7fffffff)
+    assert(Mp4Codec.mjpegFramesFragmented(bad).isEmpty,
+      "a crafted trun count must degrade, not allocate")
+    val rnd = new java.util.Random(5L)
+    for (_ <- 1 to 30) {
+      val junk = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      Mp4Codec.mjpegFramesFragmented(fmp4.take(16) ++ junk)
+    }
+  }
+
   // ---- hand-built layouts the muxer never emits ----------------------
 
   private def be(vs: Long*): Array[Byte] = {
