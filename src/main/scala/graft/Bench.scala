@@ -165,7 +165,7 @@ object Bench {
     "url6_crawl_budget", "idx5_postings_delete", "cms1_heavy_hitters",
     "dp6g_gzip_corpus_prep", "sim15_filtered_ann",
     "m5e_extensible_header_dedup", "m7e_audio_coverage_card",
-    "m6e_fragmented_mp4_dedup")
+    "m6e_fragmented_mp4_dedup", "m7f_video_coverage_card")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -317,6 +317,41 @@ object Mp4Codec {
     }
   }
 
+  /** The first video track's declared codec class for coverage cards:
+    * Some("jpeg") for QuickTime `jpeg` or ffmpeg's JPEG-in-`mp4v`
+    * (ESDS OTI 0x6C), Some(fourcc) for anything else the stsd names
+    * (e.g. "avc1" — the inter-coded formats this repo scopes out),
+    * None when no entry resolves. */
+  def stsdCodecClass(b: Array[Byte]): Option[String] = {
+    if (!isMp4(b)) return None
+    val (sp, se) = videoStbl(b).getOrElse(return None)
+    val (dp, de) = findBox(b, sp, se, "stsd").getOrElse(return None)
+    if (dp + 8 > de || beU32(b, dp + 4) < 1) return None
+    boxAt(b, dp + 8, de).map {
+      case ("jpeg", _, _, _) => "jpeg"
+      case ("mp4v", ep, ee, _) =>
+        if (findBox(b, ep + 78, ee.toInt, "esds").exists { case (p, e) =>
+          esdsObjectType(b, p, e).contains(0x6c)
+        }) "jpeg" else "mp4v"
+      case (fc, _, _, _) => fc
+    }
+  }
+
+  /** Whether any top-level `moof` box exists — the fragmented-layout
+    * marker (coverage cards split plain vs segment storage on it). */
+  def hasTopLevelMoof(b: Array[Byte]): Boolean = {
+    var i = 0
+    var guard = 0
+    while (i + 8 <= b.length && guard < 65536) {
+      guard += 1
+      val size = beU32(b, i)
+      if (size < 8 || i + size > b.length) return false
+      if (fourcc(b, i + 4) == "moof") return true
+      i += size.toInt
+    }
+    false
+  }
+
   /** The stored JPEG sample bytes of a FRAGMENTED MP4 (fMP4 — the
     * DASH/CMAF/HLS segment shape streaming services actually publish:
     * an `stbl`-empty `moov` up front, then `moof`+`mdat` fragments

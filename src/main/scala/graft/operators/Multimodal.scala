@@ -2087,6 +2087,91 @@ object Multimodal {
     }
   }
 
+  /** Storage-class classifier for video payloads — the coverage axis
+    * of the m7f receipt: `avi_mjpeg` for RIFF-AVI, `mp4_jpeg` /
+    * `mp4_jpeg_frag` for plain/fragmented JPEG-coded ISO BMFF,
+    * `mp4_<fourcc>` for codecs the pipeline scopes out (avc1/hvc1 —
+    * the honest degrade classes), `mp4_other` when no entry resolves,
+    * `not_video` otherwise. */
+  private[graft] def videoClass(b: Array[Byte]): String = {
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ') return "avi_mjpeg"
+    if (!Mp4Codec.isMp4(b)) return "not_video"
+    Mp4Codec.stsdCodecClass(b) match {
+      case Some("jpeg") =>
+        if (Mp4Codec.hasTopLevelMoof(b)) "mp4_jpeg_frag" else "mp4_jpeg"
+      case Some(fc) => s"mp4_$fc"
+      case None => "mp4_other"
+    }
+  }
+
+  /** m7f fixture — [[syntheticMjpegVideos]] stretched across the video
+    * coverage axes: doc_id % 7 == 1 re-stores plain MP4, % 7 == 2
+    * FRAGMENTED MP4, % 7 == 3 rewrites the sample entry to `avc1` —
+    * the inter-coded codec the repo scopes out, which must take the
+    * counted degrade path (classifies, never decodes, never kills) —
+    * % 7 == 4 TRUNCATES a fragmented clip inside its last mdat (the
+    * layout classifies off the intact first fragment, decode must fail
+    * cleanly); the rest stay AVI and must all decode. */
+  def syntheticVideoCoverageMix(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val (w, h, frames) = plateauClipFrames(id, id % 151, 4)
+      val payload = id % 7 match {
+        case 1 => Mp4Codec.encodeMjpeg(w, h, frames)
+        case 2 => Mp4Codec.encodeMjpegFragmented(w, h, frames)
+        case 3 =>
+          // patch the stsd entry fourcc to avc1. The moov trails the
+          // media in this layout, so the LAST "stsd" is the real box
+          // (a frame payload byte-coinciding with the string would sit
+          // earlier) and the next "jpeg" is its VisualSampleEntry.
+          val b = Mp4Codec.encodeMjpeg(w, h, frames)
+          var s = -1
+          var probe = indexOfAscii(b, "stsd")
+          while (probe >= 0) { s = probe; probe = indexOfAscii(b, "stsd", probe + 1) }
+          val j = if (s < 0) -1 else indexOfAscii(b, "jpeg", s)
+          if (j >= 0) { b(j) = 'a'; b(j + 1) = 'v'; b(j + 2) = 'c'; b(j + 3) = '1' }
+          b
+        case 4 =>
+          val full = Mp4Codec.encodeMjpegFragmented(w, h, frames)
+          java.util.Arrays.copyOf(full, full.length - frames.last.length / 2)
+        case _ => aviMjpegBytes(w, h, frames)
+      }
+      MediaRow(id, payload, "video/mp4")
+    }
+  }
+
+  private def indexOfAscii(b: Array[Byte], s: String, from: Int = 0): Int = {
+    val n = s.getBytes("US-ASCII")
+    var i = math.max(from, 0)
+    while (i <= b.length - n.length) {
+      var j = 0
+      while (j < n.length && b(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** m7f — video storage-coverage card: per (video_class, decoded)
+    * counts, where video_class comes from [[videoClass]]'s header read
+    * and decoded is whether [[containerFrames]] actually extracted
+    * frames — the receipt naming which container/codec classes rode
+    * the real frame path and which (inter-coded avc1, truncated
+    * segments) took the counted degrade. Map-only classify+decode +
+    * one card-sized aggregate. */
+  def videoFormatCard(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => (videoClass(r.payload),
+        containerFrames(r.payload).exists(_.nonEmpty)))
+    }.toDF("video_class", "decoded")
+      .groupBy("video_class", "decoded")
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
   /** m6b step 1 — REAL per-frame perceptual hashes: parse the AVI,
     * decode each MJPEG frame ([[JpegCodec]]), dHash its pixels — the
     * decode slot [[videoFrameHashes]]'s scaladoc promised, filled. One

@@ -5758,6 +5758,26 @@ object DataCatalog {
       "JOIN s b ON a.doc_id % 151 = b.doc_id % 151 " +
       "AND a.doc_id < b.doc_id" + OBA))
 
+  // M7F — video storage-coverage card (r16 — completing the coverage
+  // receipts across all four media families: m7b/m7c JPEG, m7d PNG,
+  // m7e audio, m7f video): per (video_class, decoded) counts over a
+  // fixture spanning AVI, plain MP4, and FRAGMENTED MP4 — all REAL
+  // streams that must decode — plus the two degrade rows that make
+  // the card honest: an `avc1` sample entry (the inter-coded codec the
+  // repo scopes out, which must classify and cleanly not decode) and a
+  // fragmented clip truncated inside its last mdat (same class as the
+  // healthy fragments, decoded=false — the card splits a CLASS by
+  // outcome, not just by header). The receipt a corpus owner reads
+  // before trusting m6-family dedup coverage.
+  val m7f = Q(
+    (s, d) => ordered(graft.operators.Multimodal.videoFormatCard(
+      graft.operators.Multimodal.syntheticVideoCoverageMix(documents(s, d)))),
+    Some("SELECT CASE doc_id % 7 WHEN 1 THEN 'mp4_jpeg' " +
+      "WHEN 2 THEN 'mp4_jpeg_frag' WHEN 3 THEN 'mp4_avc1' " +
+      "WHEN 4 THEN 'mp4_jpeg_frag' ELSE 'avi_mjpeg' END AS video_class, " +
+      "doc_id % 7 NOT IN (3, 4) AS decoded, " +
+      "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2" + OBA))
+
   // M5B — SPECTRAL audio near-dup over the same real-PCM fixture: 16
   // FFT windows × 4 log-spaced frequency bands, bit (t·4+b) = band
   // energy rising at window t — the chromaprint shape proper, where
@@ -7459,6 +7479,7 @@ object DataCatalog {
     "m5d_legacy_storage_dedup" -> m5d, "m5e_extensible_header_dedup" -> m5e,
     "m7e_audio_coverage_card" -> m7e,
     "m6e_fragmented_mp4_dedup" -> m6e,
+    "m7f_video_coverage_card" -> m7f,
     "sim11d_recall_frontier" -> sim11d,
     "warc1_record_manifest" -> warc1, "dp6w_warc_corpus_prep" -> dp6w,
     "dp6g_gzip_corpus_prep" -> dp6g,
