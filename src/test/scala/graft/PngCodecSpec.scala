@@ -255,6 +255,53 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("16-bit ADAM7 stream decodes: interlaced passes at bpp=2 reconstruct exactly") {
+    // hand-assembled (the fixture encoder is 8-bit-only): a 5x3
+    // depth-16 gray image, Adam7 — passes 1 (1x1), 2 (1x1), 4 (1x2),
+    // 6 (2x3 lattice cols 1,3), 7 (5x1 row 1) are non-empty at this
+    // geometry; all filters 0, samples v*257 so the reduction is exact
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t.getBytes).put(data)
+      val crc = new java.util.zip.CRC32(); crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val buf = new Array[Byte](512); val o = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    val (w, h) = (5, 3)
+    val px = Array.tabulate(w * h)(i => (i * 17) % 256) // target 8-bit raster
+    def be16(v: Int) = Seq((v >> 8).toByte, (v & 0xff).toByte)
+    // non-empty Adam7 passes at 5x3, in spec order (pass 3 — y0=4 —
+    // is empty): p1 (0,0); p2 (4,0); p4 (2,0); p5 row 2 cols 0,2,4;
+    // p6 cols 1,3 x rows 0,2 (two scanlines); p7 row 1 full
+    val raw = new java.io.ByteArrayOutputStream()
+    def scanline(coords: Seq[(Int, Int)]): Unit = {
+      raw.write(0) // filter None
+      coords.foreach { case (x, y) => be16(px(y * w + x) * 257).foreach(raw.write(_)) }
+    }
+    scanline(Seq((0, 0)))
+    scanline(Seq((4, 0)))
+    scanline(Seq((2, 0)))
+    scanline(Seq((0, 2), (2, 2), (4, 2)))
+    scanline(Seq((1, 0), (3, 0)))
+    scanline(Seq((1, 2), (3, 2)))
+    scanline((0 until 5).map(x => (x, 1)))
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(16.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(1.toByte).array() // interlace 1
+    val png = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", deflate(raw.toByteArray)) ++ chunk("IEND", Array.empty[Byte])
+    val Some((dw, dh, dec)) = PngCodec.decodeGray(png)
+    assert((dw, dh) == (w, h))
+    assert(dec.sameElements(px),
+      s"16-bit Adam7 must reconstruct exactly: ${dec.toSeq} vs ${px.toSeq}")
+  }
+
   test("16-bit RGB decodes via the scaled luma path") {
     def chunk(t: String, data: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(12 + data.length)

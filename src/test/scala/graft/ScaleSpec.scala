@@ -1357,6 +1357,45 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("z-order assignment: the only unpartitioned window is the card-sized bucket frame") {
+    import graft.operators.Zorder
+    import graft.sources.Tables
+    import org.apache.spark.sql.execution.window.WindowExec
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"),
+        expr("least(CAST(15 AS BIGINT), CAST(length(text) AS BIGINT) DIV 64)").as("x"),
+        (col("doc_id") % 11).as("y"))
+    val assigned = Zorder.assignFiles(base, col("id"), col("x"), col("y"), 32, 4,
+      zorder = true)
+    assigned.write.format("noop").mode("overwrite").save()
+    // the global order rides the two-level prefix-count rank: the ONLY
+    // unpartitioned window allowed is globalRank's bucket-frame pass —
+    // its input is the per-bucket COUNT aggregate (<= 256 rows by
+    // construction), never corpus rows. Any unpartitioned window whose
+    // subtree lacks that grouping aggregate would be the corpus
+    // through one task at 100 TB.
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val planNodes = nodes(assigned)
+    val unpartitioned = planNodes.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.nonEmpty, "globalRank's bucket frame must exist (vacuity guard)")
+    unpartitioned.foreach { w =>
+      val grouped = flatten(w.child).exists {
+        case a: HashAggregateExec => a.groupingExpressions.nonEmpty
+        case a: ObjectHashAggregateExec => a.groupingExpressions.nonEmpty
+        case a: SortAggregateExec => a.groupingExpressions.nonEmpty
+        case _ => false
+      }
+      assert(grouped,
+        "an unpartitioned window must sit above the bucket-count " +
+          "aggregate (card-sized frame), never over corpus rows")
+    }
+    // vacuity guard: the assignment genuinely ran over the corpus
+    assert(assigned.count() == base.count())
+    CacheScope.releaseAll()
+  }
+
   test("streaming Count-Min sketch equals the batch sketch (bounded mergeable state)") {
     import graft.streaming.DocStream
     import graft.operators.CountMin
