@@ -1357,6 +1357,32 @@ class ScaleSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("DrupalFixture base cache: per-query release leaves bases pinned, session end empties") {
+    // the r15 verdict's lifecycle contract: a per-query releaseAll()
+    // must NOT drop the base frames the mbr/mh/eav bench family
+    // amortizes (the r15 regression), while visiting a DIFFERENT
+    // fixture dir evicts the previous dir's frames (the leak the r15
+    // hook was closing) and session end releases everything
+    import graft.queries.DrupalFixture
+    val d1 = "/root/testdata/sf0.001"
+    val d2 = "/root/testdata/sf0.01"
+    CacheScope.releaseSession() // clean slate
+    DrupalFixture.paragraphs(spark, d1).count()
+    assert(DrupalFixture.pinnedBaseDirs == Set(d1))
+    CacheScope.releaseAll()
+    assert(DrupalFixture.pinnedBaseDirs == Set(d1),
+      "per-query release must leave the base cache pinned (r15 regression)")
+    DrupalFixture.paragraphs(spark, d2).count()
+    assert(DrupalFixture.pinnedBaseDirs == Set(d2),
+      "a new fixture dir must evict the previous dir's frames (the leak bound)")
+    DrupalFixture.paragraphs(spark, d1).count()
+    assert(DrupalFixture.pinnedBaseDirs == Set(d1),
+      "alternating dirs must pin at most ONE dir's frames")
+    CacheScope.releaseSession()
+    assert(DrupalFixture.pinnedBaseDirs.isEmpty,
+      "session end must release every base frame")
+  }
+
   test("z-order assignment: the only unpartitioned window is the card-sized bucket frame") {
     import graft.operators.Zorder
     import graft.sources.Tables
