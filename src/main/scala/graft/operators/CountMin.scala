@@ -47,9 +47,18 @@ object CountMin {
   /** Point estimates for the `term` column of `queries` against a
     * built sketch: min over the d cells; `queries` keeps its other
     * columns. Missing cells (possible only for terms the sketch never
-    * saw) read as 0. */
+    * saw) read as 0.
+    *
+    * Contract: `queries` rows must be DISTINCT (the probe fan-out is
+    * undone by grouping on all query columns, so duplicate rows
+    * collapse to one) and must not carry columns named `rr`/`cc`/`n`
+    * (the probe/join names) — both enforced loudly rather than
+    * silently changing cardinality or mis-joining. */
   def estimate(sk: DataFrame, queries: DataFrame, term: Column,
       d: Int, w: Int): DataFrame = {
+    val reserved = queries.columns.toSet.intersect(Set("rr", "cc", "n"))
+    require(reserved.isEmpty,
+      s"queries must not carry the probe columns ${reserved.mkString(", ")}")
     val probes = queries
       .withColumn("__cells", array((0 until d).map(i =>
         struct(lit(i.toLong).as("rr"), cell(term, i, w).as("cc"))): _*))

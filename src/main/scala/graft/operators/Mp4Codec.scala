@@ -388,11 +388,17 @@ object Mp4Codec {
         val hFlags = beU32(b, hp) & 0xffffff
         var o = hp + 8
         var base = moofStart.toLong // default-base-is-moof / v1 default
-        if ((hFlags & 0x01) != 0) { base = beU64(b, o); o += 8 }
+        if ((hFlags & 0x01) != 0) {
+          if (o + 8 > he) return None
+          base = beU64(b, o); o += 8
+        }
         if ((hFlags & 0x02) != 0) o += 4 // sample_description_index
         if ((hFlags & 0x08) != 0) o += 4 // default_sample_duration
         var defaultSize = -1L
-        if ((hFlags & 0x10) != 0) { defaultSize = beU32(b, o); o += 4 }
+        if ((hFlags & 0x10) != 0) {
+          if (o + 4 > he) return None
+          defaultSize = beU32(b, o); o += 4
+        }
         if (base < 0 || base > b.length) return None
         // every trun in this traf, in order
         var tIdx = tp
@@ -407,11 +413,20 @@ object Mp4Codec {
               if (nSamples < 1 || nSamples > b.length) return None
               var ro = rp + 8
               if ((rFlags & 0x01) == 0) return None // data offset required
-              val dataOff = beU32(b, ro).toInt // i32, fixture keeps it positive
+              if (ro + 4 > re) return None
+              val dataOff = beU32(b, ro).toInt // i32 (negative = mdat-first layouts)
               ro += 4
               if ((rFlags & 0x04) != 0) ro += 4 // first_sample_flags
               val perSize = (rFlags & 0x200) != 0
               if (!perSize && defaultSize < 1) return None
+              // every per-sample field row must fit INSIDE the trun —
+              // bounded up front so no read in the loop can escape the
+              // box (the degrade-never-throw contract)
+              val fieldBytes = (if ((rFlags & 0x100) != 0) 4 else 0) +
+                (if (perSize) 4 else 0) +
+                (if ((rFlags & 0x400) != 0) 4 else 0) +
+                (if ((rFlags & 0x800) != 0) 4 else 0)
+              if (ro + nSamples * fieldBytes.toLong > re) return None
               var off = base + dataOff
               var s = 0L
               while (s < nSamples) {
@@ -420,7 +435,7 @@ object Mp4Codec {
                 if (perSize) { sz = beU32(b, ro); ro += 4 }
                 if ((rFlags & 0x400) != 0) ro += 4 // sample flags
                 if ((rFlags & 0x800) != 0) ro += 4 // cts offset
-                if (ro > re || sz < 1 || off < 0 || off + sz > b.length) return None
+                if (sz < 1 || off < 0 || off + sz > b.length) return None
                 copied += sz
                 if (copied > b.length) return None // crafted aliasing
                 frames += java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
@@ -436,6 +451,10 @@ object Mp4Codec {
       }
       i += size.toInt
     }
+    // the box-count guard exists to bound a crafted walk; exhausting it
+    // with bytes still unread means the frame list is INCOMPLETE —
+    // degrade rather than return silently truncated media
+    if (i + 8 <= b.length && guard >= 65536) return None
     if (!sawFragment) None else Some(frames.result())
   }
 

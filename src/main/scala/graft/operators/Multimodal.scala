@@ -1544,10 +1544,13 @@ object Multimodal {
         rate = leU32(b, i + 12).toInt
         blockAlign = leU16(b, i + 20)
         bits = leU16(b, i + 22)
-        // IMA fmt extension: cbSize + wSamplesPerBlock (classic header
-        // only — the extensible layout puts the GUID there instead)
-        if (leU16(b, i + 8) != 0xFFFE && size >= 20 && i + 8 + 20 <= b.length)
-          spb = leU16(b, i + 26)
+        // wSamplesPerBlock: the classic IMA extension's field at +26,
+        // which in WAVE_FORMAT_EXTENSIBLE is the SAME offset — the
+        // Samples union (wValidBitsPerSample / wSamplesPerBlock) sits
+        // right after cbSize, ahead of the channel mask and GUID — so
+        // one read covers both layouts (the union member only matters
+        // on the 0x11 branch below)
+        if (size >= 20 && i + 8 + 20 <= b.length) spb = leU16(b, i + 26)
       } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
         dataOff = i + 8
         dataLen = math.min(size, (b.length - dataOff).toLong)

@@ -2340,7 +2340,7 @@ object DataCatalog {
       // driver scalar, the same class as kmeans' own model collect.
       // The oracle derives the identical k inside the SQL
       // (kmeansBodyDerivedK), so the entry matches at ANY SF.
-      val kCells = math.max(10L, (e.count() + 49) / 50).toInt
+      val kCells = derivedKCells(e)
       val queries = e.filter(col("vec_id") % 50 === 0)
       val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
       val walk = Similarity.graphWalkLayered(e,
@@ -2554,7 +2554,7 @@ object DataCatalog {
       // the verify SF (500 vectors) this is exactly the former pinned
       // k=10, so oracle results are unchanged, and the oracle derives
       // the identical k in SQL (kmeansBodyDerivedK).
-      val kCells = math.max(10L, (e.count() + 49) / 50).toInt
+      val kCells = derivedKCells(e)
       val cents = Clustering.kmeans(e, kCells, 3)
       val configs = Seq(
         ("a_base", 5, 2, 8, 64, 250),

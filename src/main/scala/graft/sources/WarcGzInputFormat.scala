@@ -78,9 +78,12 @@ private[sources] class WarcGzRecordReader
     if (bufOff + bufLen >= tgt) return bufOff + bufLen
     val need = (tgt - bufOff).toInt
     if (need > buf.length) {
-      var n = buf.length
-      while (n < need) n <<= 1
-      buf = java.util.Arrays.copyOf(buf, n)
+      // Long doubling: the Int shift overflowed to an infinite loop
+      // once a (crafted) member demanded a >2^30 window; the input cap
+      // in tryMember bounds real growth, this keeps the math total
+      var n = buf.length.toLong
+      while (n < need) n *= 2
+      buf = java.util.Arrays.copyOf(buf, n.toInt)
     }
     val readLen = (tgt - (bufOff + bufLen)).toInt
     in.readFully(bufOff + bufLen, buf, bufLen, readLen)
@@ -151,6 +154,11 @@ private[sources] class WarcGzRecordReader
         var fed = 0L
         while (!inf.finished()) {
           if (inf.needsInput()) {
+            // input-side twin of the zip-bomb cap: a member may not
+            // CONSUME more than MaxMember compressed bytes either — a
+            // crafted stream of empty non-final blocks would otherwise
+            // grow the window without ever producing output
+            if (fed > MaxMember) return None
             val absFrom = q + fed
             val have = fillTo(absFrom + 8192)
             val n = (have - absFrom).toInt

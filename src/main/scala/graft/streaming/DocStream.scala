@@ -362,10 +362,9 @@ object DocStream {
     import graft.operators.CountMin
     val src = spark.readStream.schema(schema).parquet(docsDir)
     val toks = src.select(explode(split(trim(col("text")), "\\s+")).as("term"))
-    val cells = toks.select(posexplode(array((0 until d).map(i =>
-        CountMin.cell(col("term"), i, w)): _*)).as(Seq("rr", "cc")))
-      .groupBy(col("rr").cast("long").as("rr"), col("cc"))
-      .agg(count(lit(1)).cast("long").as("n"))
+    // the SAME construction as the batch sketch — one definition, so
+    // the stream ≡ batch pin can never drift from a forked copy
+    val cells = CountMin.sketch(toks, col("term"), d, w)
     val q = cells.writeStream
       .outputMode("complete")
       .format("memory")

@@ -135,6 +135,31 @@ class LegacyAudioSpec extends AnyFunSuite {
     assert(dec.isDefined && java.util.Arrays.equals(dec.get._3,
       codes.map(c => G711.mulawDecode(c & 0xff).toShort)),
       "extensible-wrapped mu-law must decode through the GUID resolution")
+    // an extensible header can wrap IMA-ADPCM too: the Samples union
+    // at +26 is wSamplesPerBlock there (same offset as the classic
+    // extension), so block geometry must resolve and decode
+    val imaRaw = raw.take(65 * 129)
+    val blocks = ImaAdpcm.encodeBlocksMono(imaRaw, 129)
+    val imaExt = {
+      val ba = ImaAdpcm.blockAlign(129)
+      val out = java.nio.ByteBuffer.allocate(68 + blocks.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes).putInt(60 + blocks.length).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(40)
+        .putShort(0xFFFE.toShort).putShort(1).putInt(8000)
+        .putInt(8000 * ba / 129).putShort(ba.toShort).putShort(4)
+        .putShort(22).putShort(129) // cbSize; Samples union = wSamplesPerBlock
+        .putInt(4)
+        .putShort(0x11) // GUID wraps the IMA-ADPCM tag
+        .put(Array[Int](0, 0, 0, 0, 0x10, 0, 0x80, 0, 0, 0xAA,
+          0, 0x38, 0x9B, 0x71).map(_.toByte))
+        .put("data".getBytes).putInt(blocks.length).put(blocks)
+      out.array()
+    }
+    val imaDec = Multimodal.wavLegacyDecodeS16(imaExt)
+    assert(imaDec.isDefined && java.util.Arrays.equals(imaDec.get._3,
+      ImaAdpcm.decodeBlocksMono(blocks, 0, 65, 129)),
+      "extensible-wrapped IMA-ADPCM must decode (Samples union = wSamplesPerBlock)")
     // corrupting the GUID base must degrade, never misread
     val bad = Multimodal.wavBytesPcmExtensible(8000, 2, raw)
     bad(20 + 26 + 5) = 0x55 // a byte inside the GUID tail
