@@ -49,11 +49,13 @@ object CountMin {
     * columns. Missing cells (possible only for terms the sketch never
     * saw) read as 0.
     *
-    * Contract: `queries` rows must be DISTINCT (the probe fan-out is
-    * undone by grouping on all query columns, so duplicate rows
-    * collapse to one) and must not carry columns named `rr`/`cc`/`n`
-    * (the probe/join names) — both enforced loudly rather than
-    * silently changing cardinality or mis-joining. */
+    * Contract: `queries` must not carry columns named `rr`/`cc`/`n`
+    * (the probe/join names) — enforced loudly below. `queries` rows
+    * should be DISTINCT: the probe fan-out is undone by grouping on
+    * all query columns, so duplicate rows COLLAPSE TO ONE silently
+    * (no distributed check can flag it without an extra pass) — a
+    * caller that needs per-row output carries its own unique tag
+    * column, which rides the groupBy and keeps cardinality. */
   def estimate(sk: DataFrame, queries: DataFrame, term: Column,
       d: Int, w: Int): DataFrame = {
     val reserved = queries.columns.toSet.intersect(Set("rr", "cc", "n"))

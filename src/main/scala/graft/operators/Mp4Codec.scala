@@ -109,7 +109,13 @@ object Mp4Codec {
     * discipline as the AVI walker's stream-00 rule, so a multi-track
     * file cannot interleave foreign samples into the frame_idx
     * sequence. */
-  private def videoStbl(b: Array[Byte]): Option[(Int, Int)] = {
+  private def videoStbl(b: Array[Byte]): Option[(Int, Int)] =
+    videoTrak(b).flatMap { case (p, e) =>
+      findPath(b, p, e, List("mdia", "minf", "stbl"))
+    }
+
+  /** The first `vide`-handler trak's payload bounds, or None. */
+  private def videoTrak(b: Array[Byte]): Option[(Int, Int)] = {
     val (moovFrom, moovTo) = findBox(b, 0, b.length, "moov").getOrElse(return None)
     var i = moovFrom
     var guard = 0
@@ -117,16 +123,12 @@ object Mp4Codec {
       boxAt(b, i, moovTo) match {
         case Some((f, p, e, n)) =>
           if (f == "trak") {
-            val mdia = findBox(b, p, e.toInt, "mdia")
-            val isVide = mdia.flatMap { case (mp, me) =>
+            val isVide = findBox(b, p, e.toInt, "mdia").flatMap { case (mp, me) =>
               findBox(b, mp, me, "hdlr").map { case (hp, he) =>
                 he - hp >= 12 && fourcc(b, hp + 8) == "vide"
               }
             }.getOrElse(false)
-            if (isVide)
-              return mdia.flatMap { case (mp, me) =>
-                findPath(b, mp, me, List("minf", "stbl"))
-              }
+            if (isVide) return Some((p, e.toInt))
           }
           if (n <= i) return None
           i = n.toInt
@@ -136,6 +138,23 @@ object Mp4Codec {
     }
     None
   }
+
+  /** The video trak's `tkhd` track_ID — the key a fragmented file's
+    * `tfhd` boxes name their traf with. Track ID sits after the
+    * version/flags word and two timestamps: payload +12 for tkhd v0,
+    * +20 for v1 (64-bit timestamps). None on a missing/truncated
+    * tkhd — fragmented extraction then degrades rather than guessing
+    * which traf is video. */
+  private def videoTrackId(b: Array[Byte]): Option[Long] =
+    videoTrak(b).flatMap { case (p, e) =>
+      findBox(b, p, e, "tkhd").flatMap { case (hp, he) =>
+        if (hp >= he) None
+        else {
+          val off = if ((b(hp) & 0xff) == 1) 20 else 12
+          if (hp + off + 4 > he) None else Some(beU32(b, hp + off))
+        }
+      }
+    }
 
   /** Frame dimensions of the first video track, for the m7-family
     * geometry cards: the `stsd` VisualSampleEntry's width/height
@@ -352,22 +371,55 @@ object Mp4Codec {
     false
   }
 
+  /** The traf in `[from, to)` (a moof payload) whose `tfhd` names
+    * `trackId` — tfhd layout: version/flags u32, then track_ID u32.
+    * None when no traf matches (an audio-only fragment, or a crafted
+    * moof with no usable tfhd) — the caller degrades. */
+  private def findVideoTraf(b: Array[Byte], from: Int, to: Int,
+      trackId: Long): Option[(Int, Int)] = {
+    var i = from
+    var guard = 0
+    while (i + 8 <= to && guard < 4096) {
+      boxAt(b, i, to) match {
+        case Some((f, p, e, n)) =>
+          if (f == "traf") {
+            val matches = findBox(b, p, e.toInt, "tfhd").exists { case (hp, he) =>
+              hp + 8 <= he && beU32(b, hp + 4) == trackId
+            }
+            if (matches) return Some((p, e.toInt))
+          }
+          if (n <= i) return None
+          i = n.toInt
+        case None => return None
+      }
+      guard += 1
+    }
+    None
+  }
+
   /** The stored JPEG sample bytes of a FRAGMENTED MP4 (fMP4 — the
     * DASH/CMAF/HLS segment shape streaming services actually publish:
     * an `stbl`-empty `moov` up front, then `moof`+`mdat` fragments
     * each carrying its own `tfhd`/`trun` sample table). Fragments walk
-    * in file order; per fragment the first `traf`'s trun(s) resolve
-    * sample sizes (per-sample, or the tfhd default) and the data
-    * offset relative to the moof start (the default-base-is-moof
-    * convention; an explicit base-data-offset is honored when inside
-    * the file). None — degrade, never throw — for a non-JPEG codec,
-    * a trun without a data offset, unresolved sizes, or any addressing
-    * that escapes the file; the same copied-bytes amplification guard
-    * as [[mjpegFrames]] caps crafted aliasing. */
+    * in file order; per fragment the traf whose `tfhd` track_id names
+    * the VIDEO track (tkhd's track_ID — a muxed file interleaves
+    * audio/video trafs in one moof) has its trun(s) resolve sample
+    * sizes (per-sample, or the tfhd default) and the data offset
+    * relative to the moof start (the default-base-is-moof convention;
+    * an explicit base-data-offset is honored when inside the file).
+    * None — degrade, never throw — for a non-JPEG codec, a moof with
+    * no video traf, a trun without a data offset, unresolved sizes, or
+    * any addressing that escapes the file; the same copied-bytes
+    * amplification guard as [[mjpegFrames]] caps crafted aliasing. */
   def mjpegFramesFragmented(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
     if (!isMp4(b)) return None
     val (sp, se) = videoStbl(b).getOrElse(return None)
     if (!hasJpegEntry(b, sp, se)) return None
+    // the tfhd match key: a muxed fMP4 interleaves audio/video trafs in
+    // one moof, and taking "the first traf" would return the wrong
+    // track's sample bytes as frames — only the traf whose tfhd names
+    // the VIDEO track's tkhd id carries this walk's samples
+    val videoId = videoTrackId(b).getOrElse(return None)
     val frames = Vector.newBuilder[Array[Byte]]
     var sawFragment = false
     var copied = 0L
@@ -381,8 +433,9 @@ object Mp4Codec {
       if (fourcc(b, i + 4) == "moof") {
         sawFragment = true
         val moofStart = i
-        val (tp, te) = findBox(b, i + 8, (i + size).toInt, "traf").getOrElse(return None)
-        // tfhd: version/flags u32, track_id u32, then optional fields
+        // every traf in this moof, in order; exactly the video one runs
+        val (tp, te) = findVideoTraf(b, i + 8, (i + size).toInt, videoId)
+          .getOrElse(return None)
         val (hp, he) = findBox(b, tp, te, "tfhd").getOrElse(return None)
         if (hp + 8 > he) return None
         val hFlags = beU32(b, hp) & 0xffffff
@@ -535,21 +588,31 @@ object Mp4Codec {
     * offset + per-sample sizes) addressing its own mdat payload.
     * Byte-inverse of [[mjpegFramesFragmented]]; [[mjpegFrames]]
     * returns None on it (empty stsz), which is exactly how the
-    * storage-blind seam dispatches. */
+    * storage-blind seam dispatches. `withAudioTraf` muxes a decoy
+    * PCM audio track whose traf LEADS every moof and renumbers the
+    * video track to 3 — the multi-track shape that pins the reader's
+    * tfhd-vs-tkhd track matching. */
   def encodeMjpegFragmented(w: Int, h: Int, frames: Seq[Array[Byte]],
-      framesPerFrag: Int = 2): Array[Byte] = {
+      framesPerFrag: Int = 2, withAudioTraf: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "encodeMjpegFragmented needs at least one frame")
     require(framesPerFrag >= 1, s"framesPerFrag must be >= 1, got $framesPerFrag")
     require(w >= 1 && w <= 0xffff && h >= 1 && h <= 0xffff,
       s"dims must fit a VisualSampleEntry u16, got ${w}x$h")
+    // the muxed-multi-track shape (withAudioTraf): an AUDIO traf leads
+    // every moof and the video track id is deliberately NOT 1, so a
+    // reader that takes "the first traf" or assumes track 1 returns
+    // audio bytes as frames — the r16-advice regression this muxer
+    // mode exists to pin
+    val videoId = if (withAudioTraf) 3L else 1L
+    val audioId = 2L
     val ftyp = box("ftyp", "iso5".getBytes, beInts(0x200),
       "iso5".getBytes, "iso6".getBytes)
     val n = frames.length
     val unityMatrix = beInts(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
     val mvhd = box("mvhd", beInts(0, 0, 0, 1000, 0, 0x10000),
       Array[Byte](0x01, 0x00, 0, 0), beInts(0, 0), unityMatrix,
-      beInts(0, 0, 0, 0, 0, 0), beInts(2))
-    val tkhd = box("tkhd", beInts(3, 0, 0, 1, 0, 0, 0, 0),
+      beInts(0, 0, 0, 0, 0, 0), beInts(videoId + 1))
+    val tkhd = box("tkhd", beInts(3, 0, 0, videoId, 0, 0, 0, 0),
       beInts(0, 0), unityMatrix, beInts(w.toLong << 16, h.toLong << 16))
     val mdhd = box("mdhd", beInts(0, 0, 0, 25, 0),
       Array[Byte](0x55, 0xc4.toByte, 0, 0))
@@ -561,31 +624,65 @@ object Mp4Codec {
       new Array[Byte](32), beShorts(24, -1))
     val stsd = box("stsd", beInts(0, 1), entry)
     // zero-entry sample tables: all media lives in fragments
-    val stbl = box("stbl", stsd, box("stts", beInts(0, 0)),
+    def emptyTables(sd: Array[Byte]) = box("stbl", sd, box("stts", beInts(0, 0)),
       box("stsc", beInts(0, 0)), box("stsz", beInts(0, 0, 0)),
       box("stco", beInts(0, 0)))
     val vmhd = box("vmhd", beInts(1, 0, 0))
     val dinf = box("dinf", box("dref", beInts(0, 1), box("url ", beInts(1))))
-    val minf = box("minf", vmhd, dinf, stbl)
+    val minf = box("minf", vmhd, dinf, emptyTables(stsd))
     val mdia = box("mdia", mdhd, hdlr, minf)
     val trak = box("trak", tkhd, mdia)
-    // trex: track 1, sample-description 1, default duration/size/flags
-    val mvex = box("mvex", box("trex", beInts(0, 1, 1, 1, 0, 0)))
-    val moov = box("moov", mvhd, trak, mvex)
+    val audioTrak = if (!withAudioTraf) Array.emptyByteArray else {
+      val atkhd = box("tkhd", beInts(3, 0, 0, audioId, 0, 0, 0, 0),
+        beInts(0, 0x01000000), unityMatrix, beInts(0, 0))
+      val amdhd = box("mdhd", beInts(0, 0, 0, 8000, 0),
+        Array[Byte](0x55, 0xc4.toByte, 0, 0))
+      val ahdlr = box("hdlr", beInts(0, 0), "soun".getBytes,
+        beInts(0, 0, 0), "GraftPCM".getBytes :+ 0.toByte)
+      // AudioSampleEntry: 6 reserved + data_ref_idx, 8 reserved,
+      // channels/bits, pre_defined/reserved, samplerate 8000<<16
+      val aentry = box("sowt", new Array[Byte](6), beShorts(1),
+        beInts(0, 0), beShorts(1, 16), beShorts(0, 0), beInts(8000L << 16))
+      val astsd = box("stsd", beInts(0, 1), aentry)
+      val aminf = box("minf", box("smhd", beInts(0, 0)), dinf, emptyTables(astsd))
+      box("trak", atkhd, box("mdia", amdhd, ahdlr, aminf))
+    }
+    // trex: one per track — sample-description 1, default duration/size/flags
+    val mvex =
+      if (withAudioTraf)
+        box("mvex", box("trex", beInts(0, videoId, 1, 1, 0, 0)),
+          box("trex", beInts(0, audioId, 1, 1, 0, 0)))
+      else box("mvex", box("trex", beInts(0, videoId, 1, 1, 0, 0)))
+    val moov =
+      if (withAudioTraf) box("moov", mvhd, audioTrak, trak, mvex)
+      else box("moov", mvhd, trak, mvex)
     val frags = frames.grouped(framesPerFrag).zipWithIndex.map { case (fs, fi) =>
+      // deterministic per-fragment audio payload, mdat-first
+      val audio: Array[Byte] =
+        if (withAudioTraf) Array.tabulate(37)(i => ((fi * 31 + i) & 0xff).toByte)
+        else Array.emptyByteArray
       val trunFixed = 8 + 4 // version/flags + count, then data_offset
       val trunLen = 8 + trunFixed + 4 * fs.length
-      val tfhd = box("tfhd", beInts(0x020000, 1)) // default-base-is-moof
       val tfdt = box("tfdt", beInts(0, fi.toLong * framesPerFrag))
-      // moof = 8 + mfhd(16) + traf(8 + tfhd(16) + tfdt(16) + trun)
-      val moofLen = 8 + 16 + 8 + 16 + 16 + trunLen
-      val dataOffset = moofLen + 8L // first byte of the mdat payload
+      // audio traf (leading): tfhd(16) + tfdt(16) + trun(1 sample, 24)
+      val audioTrafLen = if (withAudioTraf) 8 + 16 + 16 + 24 else 0
+      // moof = 8 + mfhd(16) + [audio traf] + traf(8 + tfhd(16) + tfdt(16) + trun)
+      val moofLen = 8 + 16 + audioTrafLen + 8 + 16 + 16 + trunLen
+      val audioTraf = if (!withAudioTraf) Array.emptyByteArray else {
+        val atfhd = box("tfhd", beInts(0x020000, audioId))
+        val atrun = box("trun", beInts(0x000201, 1, moofLen + 8L, audio.length.toLong))
+        box("traf", atfhd, tfdt, atrun)
+      }
+      val dataOffset = moofLen + 8L + audio.length // first VIDEO byte of the mdat payload
+      val tfhd = box("tfhd", beInts(0x020000, videoId)) // default-base-is-moof
       val trun = box("trun", beInts((0x000201L +: fs.length.toLong +:
         dataOffset +: fs.map(_.length.toLong)): _*))
       val traf = box("traf", tfhd, tfdt, trun)
-      val moof = box("moof", box("mfhd", beInts(0, fi + 1L)), traf)
+      val moof =
+        if (withAudioTraf) box("moof", box("mfhd", beInts(0, fi + 1L)), audioTraf, traf)
+        else box("moof", box("mfhd", beInts(0, fi + 1L)), traf)
       assert(moof.length == moofLen, s"moof layout drifted: ${moof.length} vs $moofLen")
-      moof ++ box("mdat", fs.toArray.flatten)
+      moof ++ box("mdat", audio ++ fs.toArray.flatten)
     }.toSeq
     (ftyp +: moov +: frags).reduce(_ ++ _)
   }

@@ -89,6 +89,48 @@ object Ranking {
       .select("id", "score", "rank", "pct_permille")
   }
 
+  /** [[globalRank]] keeping EVERY input column — for frames whose
+    * natural key is not a long (apportionBudget's host strings): rank
+    * under the total order `(score, ties…)` ascending, appended as a
+    * `rank` column, with no join-back anywhere (the r16 advice's
+    * hash-collision fix: a 60-bit tie-break hash stays ORDERING state
+    * and can no longer duplicate rows through an id equi-join). Same
+    * two-level prefix-count shape: score-range buckets, a ≤ `buckets`-
+    * row offsets frame, and a per-bucket window ordered by
+    * `(score, ties…)`. `score` must cast losslessly to BIGINT; the
+    * ties chain must make the order total (the last tie unique) for
+    * the rank to be deterministic. Input columns named `rank` or the
+    * internal `__gr_*` names are rejected loudly. */
+  def rankRows(df: DataFrame, score: Column, ties: Seq[Column],
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val clash = df.columns.toSet
+      .intersect(Set("rank", "__gr_score", "__gr_bkt", "__gr_off"))
+    require(clash.isEmpty,
+      s"input must not carry the rank columns ${clash.mkString(", ")}")
+    val base = df.withColumn("__gr_score", score.cast("long"))
+    val bounds = base.agg(min("__gr_score"), max("__gr_score")).head()
+    if (bounds.isNullAt(0))
+      return base.drop("__gr_score").withColumn("rank", lit(null).cast("long"))
+    val (minS, maxS) = (bounds.getLong(0), bounds.getLong(1))
+    val span = BigInt(maxS) - BigInt(minS)
+    val width = ((span / buckets + 1) max BigInt(1)).toLong
+    val bucketed =
+      if (span.isValidLong)
+        base.withColumn("__gr_bkt", expr(s"(__gr_score - $minS) DIV $width"))
+      else
+        base.withColumn("__gr_bkt", expr(s"__gr_score DIV $width"))
+    val offsets = bucketed.groupBy("__gr_bkt").count()
+      .select(col("__gr_bkt"),
+        coalesce(sum("count").over(Window.orderBy("__gr_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__gr_off"))
+    val wIn = Window.partitionBy("__gr_bkt")
+      .orderBy(col("__gr_score") +: ties: _*)
+    bucketed.join(broadcast(offsets), Seq("__gr_bkt"))
+      .withColumn("rank", col("__gr_off") + row_number().over(wIn).cast("long"))
+      .drop("__gr_bkt", "__gr_off", "__gr_score")
+  }
+
   /** Exact rank + percentile WITHIN each stratum (qc13) — the same
     * two-level prefix-count machinery as [[globalRank]], run per group:
     * score-range buckets are computed per stratum (a broadcast-joined

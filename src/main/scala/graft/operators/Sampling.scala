@@ -426,8 +426,12 @@ object Sampling {
     * its exact proportional share. Floor shares `(B·w) DIV T` first;
     * the `B − Σfloor` leftover units go one each to the keys with the
     * largest remainders `(B·w) MOD T`, ties broken by the portable
-    * md5 key hash — all integer arithmetic, so a SQL oracle replays
-    * the split bit-for-bit.
+    * md5 key hash (then the key itself, keeping the order total even
+    * under a hash collision) — all integer arithmetic, so a SQL
+    * oracle replays the split bit-for-bit. Degenerate input: a zero
+    * (or empty) total weight short-circuits every quota to 0 — there
+    * is no proportional share to apportion — so Σ quota == budget
+    * holds exactly whenever Σ weight > 0.
     *
     * Shape at 100 TB: weights arrive pre-aggregated (an O(keys)
     * frame); the remainder rank is [[Ranking.globalRank]]'s two-level
@@ -440,15 +444,22 @@ object Sampling {
     val base = df.select(key.as("key"), weight.cast("long").as("w"))
       .withColumn("hid", conv(substring(md5(col("key").cast("string")), 1, 15), 16, 10)
         .cast("long"))
-    val tot = base.agg(sum("w").cast("long").as("t"))
+    // t coalesced to 0 on an empty frame; a zero/NULL total short-
+    // circuits every share to 0 (documented: Σ quota == budget only
+    // when Σ weight > 0) instead of dividing by zero into NULL quotas
+    val tot = base.agg(coalesce(sum("w"), lit(0L)).cast("long").as("t"))
     val scored = graft.CacheScope.persist(base.crossJoin(broadcast(tot))
-      .withColumn("q", expr(s"($budget * w) DIV t"))
-      .withColumn("rem", expr(s"($budget * w) % t")))
-    val leftover = scored.agg((lit(budget) - sum("q")).cast("long").as("leftover"))
-    val ranked = Ranking.globalRank(scored, col("hid"), -col("rem"))
-      .select(col("id").as("hid"), col("rank"))
-    scored.join(ranked, Seq("hid"))
-      .crossJoin(broadcast(leftover))
+      .withColumn("q", expr(s"IF(t <= 0, 0L, ($budget * w) DIV t)"))
+      .withColumn("rem", expr(s"IF(t <= 0, 0L, ($budget * w) % t)")))
+    val leftover = scored.agg(
+      when(coalesce(max("t"), lit(0L)) <= 0L, lit(0L))
+        .otherwise(lit(budget) - sum("q")).cast("long").as("leftover"))
+    // rank carried IN the frame (rankRows keeps every column): the hid
+    // hash is ordering state only — ties break (rem DESC, hid, key) —
+    // so a 60-bit hash collision between two keys can no longer
+    // duplicate rows through a join-back on hid
+    val ranked = Ranking.rankRows(scored, -col("rem"), Seq(col("hid"), col("key")))
+    ranked.crossJoin(broadcast(leftover))
       .select(col("key"), col("w").as("weight"),
         (col("q") + when(col("rank") <= col("leftover"), 1L).otherwise(0L))
           .cast("long").as("quota"))

@@ -43,6 +43,11 @@ private[sources] class WarcGzRecordReader
     extends RecordReader[LongWritable, BytesWritable] {
 
   private val MaxMember = 1 << 28 // 256 MiB decompressed cap per member
+  // RFC 1952 header allowance: FEXTRA is u16-bounded, FNAME/FCOMMENT are
+  // path-sized strings in any real member — a header whose zero-
+  // terminated strings run past this is crafted, and unbounded scanning
+  // would grow the window (and the doubling buffer) without limit
+  private val MaxHeader = 1 << 16
 
   private var in: FSDataInputStream = _
   private var start = 0L
@@ -83,7 +88,11 @@ private[sources] class WarcGzRecordReader
       // in tryMember bounds real growth, this keeps the math total
       var n = buf.length.toLong
       while (n < need) n *= 2
-      buf = java.util.Arrays.copyOf(buf, n.toInt)
+      // clamp: under the header + fed caps `need` stays well below
+      // 2^30, but a clamped copy keeps n.toInt from ever going
+      // negative (NegativeArraySizeException would KILL the task —
+      // tryMember's degrade catch covers index errors, not VM errors)
+      buf = java.util.Arrays.copyOf(buf, math.min(n, (Int.MaxValue - 8).toLong).toInt)
     }
     val readLen = (tgt - (bufOff + bufLen)).toInt
     in.readFully(bufOff + bufLen, buf, bufLen, readLen)
@@ -138,6 +147,10 @@ private[sources] class WarcGzRecordReader
       def skipZstr(): Boolean = {
         var going = true
         while (going) {
+          // bound the header scan: a crafted FNAME/FCOMMENT with no
+          // terminator would otherwise push q to EOF, buffering the
+          // rest of the file before the member could fail
+          if (q - p > MaxHeader) return false
           if (fillTo(q + 1) < q + 1) return false
           val v = b(q); q += 1
           if (v == 0) going = false
@@ -187,6 +200,10 @@ private[sources] class WarcGzRecordReader
       case _: java.util.zip.DataFormatException => None
       case _: java.io.IOException => None
       case _: IndexOutOfBoundsException => None
+      // belt-and-braces for the buffer clamp above: if a crafted
+      // header still drives an allocation-size error, degrade the
+      // member rather than kill the task
+      case _: NegativeArraySizeException => None
     }
   }
 

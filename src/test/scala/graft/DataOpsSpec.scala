@@ -372,6 +372,23 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("apportionBudget degenerate inputs: zero total weight and empty frame never yield NULLs") {
+    import graft.operators.Sampling
+    // all-zero weights: no proportional share exists — every quota is
+    // exactly 0 (the documented short-circuit), never NULL
+    val zeros = Seq(("a", 0L), ("b", 0L), ("c", 0L)).toDF("k", "n")
+    val out = Sampling.apportionBudget(zeros, col("k"), col("n"), 10L)
+      .select("key", "weight", "quota").collect()
+    assert(out.length == 3)
+    assert(out.forall(r => !r.isNullAt(2) && r.getLong(2) == 0L),
+      s"zero-weight quotas must be 0, got ${out.mkString(", ")}")
+    CacheScope.releaseAll()
+    // empty frame: empty result, no divide-by-zero
+    val empty = Seq.empty[(String, Long)].toDF("k", "n")
+    assert(Sampling.apportionBudget(empty, col("k"), col("n"), 5L).count() == 0L)
+    CacheScope.releaseAll()
+  }
+
   test("kAnonymityRelease: no row under k, residual reconciles, suppressed counted") {
     import graft.operators.Profiling
     val df = Seq(

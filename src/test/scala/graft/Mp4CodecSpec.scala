@@ -54,6 +54,40 @@ class Mp4CodecSpec extends AnyFunSuite {
       Mp4Codec.encodeMjpegFragmented(16, 16, Seq(frame(2L)))).exists(_.length == 1))
   }
 
+  test("fragmented multi-track: audio traf leads, video frames still come from the video traf") {
+    val frames = (0 until 5).map(i => frame(400L + i))
+    val fmp4 = Mp4Codec.encodeMjpegFragmented(16, 16, frames, 2, withAudioTraf = true)
+    val out = Mp4Codec.mjpegFramesFragmented(fmp4)
+    assert(out.isDefined, "muxed multi-track fMP4 must parse")
+    assert(out.get.length == 5)
+    for (i <- 0 until 5)
+      assert(java.util.Arrays.equals(out.get(i), frames(i)),
+        s"frame $i must be the VIDEO sample, not the leading audio traf's bytes")
+    // dims still resolve with an audio trak listed first in moov
+    assert(Mp4Codec.dims(fmp4).contains((16, 16)))
+  }
+
+  test("fragmented degrades to None when no traf names the video track") {
+    // patch every tfhd's track_id away from the video track: a file
+    // whose fragments are audio-only for this walker must degrade,
+    // never return another track's bytes
+    val fmp4 = Mp4Codec.encodeMjpegFragmented(16, 16, Seq(frame(7L), frame(8L)), 2)
+    val bad = fmp4.clone()
+    var i = 0
+    while (i + 8 <= bad.length) {
+      val size = java.nio.ByteBuffer.wrap(bad, i, 4).getInt
+      if (new String(bad, i + 4, 4, "US-ASCII") == "moof") {
+        // fixture moof: mfhd(16) + traf hdr(8) + tfhd hdr(8) +
+        // version/flags(4) → track_id
+        val tid = i + 8 + 16 + 8 + 8 + 4
+        java.nio.ByteBuffer.wrap(bad, tid, 4).putInt(2)
+      }
+      i += size
+    }
+    assert(Mp4Codec.mjpegFramesFragmented(bad).isEmpty,
+      "a moof with no video traf must degrade to None")
+  }
+
   test("fragmented degrades: truncation, oversized trun counts, garbage never throw") {
     val frames = (0 until 4).map(i => frame(300L + i))
     val fmp4 = Mp4Codec.encodeMjpegFragmented(16, 16, frames, 2)

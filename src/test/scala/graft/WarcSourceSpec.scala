@@ -164,6 +164,32 @@ class WarcSourceSpec extends AnyFunSuite {
     } finally prev.fold(hc.unset(key))(v => hc.set(key, v))
   }
 
+  test("WarcGzInputFormat bounds a crafted unterminated FNAME header") {
+    // gzip magic + FLG=FNAME, then megabytes of name bytes with no
+    // terminator (the r16 advice hole): the header scan must give up at
+    // the allowance — not buffer toward EOF or overflow the doubling
+    // window — and a real member AFTER the garbage must still read.
+    val dir = new java.io.File("/tmp/graft_warcspec_fname")
+    dir.mkdirs()
+    val f = new java.io.File(dir, "crafted-00000.warc.gz")
+    val crafted = Array[Byte](0x1f, 0x8b.toByte, 0x08, 0x08, 0, 0, 0, 0,
+      0x00, 0xff.toByte) ++ Array.fill(3 << 20)('A'.toByte)
+    val real = WarcSource.gzipMember(
+      ("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:graft:doc:9>\r\n" +
+        "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8"))
+    val out = new java.io.FileOutputStream(f)
+    try { out.write(crafted); out.write(real) } finally out.close()
+    val got = WarcSource.readWetGz(spark, f.getPath)
+      .select("record_id").collect().map(_.getString(0)).toSet
+    assert(got == Set("<urn:graft:doc:9>"),
+      "reader must degrade the crafted header and still read the real member")
+    // crafted header running to EOF: zero records, no task kill
+    val f2 = new java.io.File(dir, "crafted-eof-00000.warc.gz")
+    val out2 = new java.io.FileOutputStream(f2)
+    try out2.write(crafted) finally out2.close()
+    assert(WarcSource.readWetGz(spark, f2.getPath).count() == 0L)
+  }
+
   test("WarcGzInputFormat resyncs past garbage and false gzip magic") {
     val dir = new java.io.File("/tmp/graft_warcspec_resync")
     dir.mkdirs()
