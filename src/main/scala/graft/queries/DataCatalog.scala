@@ -3974,6 +3974,82 @@ object DataCatalog {
     },
     Some(Dp6OracleSql))
 
+  // EXT1 — HTML → text extraction (the WET-production step, r17 — the
+  // r16 verdict's top ask): the one transform between warc2's raw
+  // `response` payloads and the plain text every curation stage
+  // consumes. The fixture is a REALISTIC page per doc — doctype, head
+  // with title/script/style whose content carries decoy markup, a
+  // comment, the doc's text split across two <p> blocks — with five
+  // entity/charset slices (named entities, &lt;…&gt; whose decoded '<'
+  // must NOT re-trigger tag stripping, a raw-accent ISO-8859-1 page,
+  // decimal and hex numerics; see WarcSource.writeHtmlResponses). The
+  // expected extracted text is a CLOSED FORM on the documents table
+  // (first-token transform, blocks joined by \n), so the manifest
+  // hash-gates body scoping, comment/script/style dropping, tag
+  // stripping, block boundaries, entity decoding, and whitespace
+  // collapse in one row per doc. Extraction itself is a native
+  // codegen'd expression — one scan per document, pure map, zero
+  // shuffle (plans/HtmlTextExpr.scala).
+  val ext1 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+      ordered(recs
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          graft.plans.HtmlTextExpr.htmlToText(col("payload")).as("x"))
+        .select(col("doc_id"),
+          octet_length(col("x")).cast("long").as("text_len"),
+          md5(col("x").cast("binary")).as("text_md5")))
+    },
+    Some("WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t " +
+      "FROM documents), " +
+      "e AS (SELECT doc_id, len(t) AS n, (len(t)+1)//2 AS h, t FROM tk), " +
+      "f AS (SELECT doc_id, n, h, t, CASE doc_id % 5 " +
+      "WHEN 0 THEN '\"' || t[1] || '\"' WHEN 1 THEN '<' || t[1] || '>' " +
+      "WHEN 2 THEN t[1] || 'é' ELSE t[1] END AS f1 FROM e), " +
+      "x AS (SELECT doc_id, f1 || CASE WHEN h > 1 THEN ' ' || " +
+      "array_to_string(t[2:h], ' ') ELSE '' END || CASE WHEN n > h THEN " +
+      "chr(10) || array_to_string(t[h+1:n], ' ') ELSE '' END AS xt FROM f) " +
+      "SELECT doc_id, CAST(octet_length(encode(xt)) AS BIGINT) AS text_len, " +
+      "md5(xt) AS text_md5 FROM x" + OBA))
+
+  // DP6R — dp6's web-corpus prep END-TO-END FROM RAW `response` RECORDS
+  // (ext1's second half — the chain real corpus owners actually run:
+  // crawl → HTML → text → curation; dp6w/dp6g started from
+  // pre-extracted WET text): the corpus enters as full HTML pages
+  // through the WARC response reader, ext1's extraction produces the
+  // text, and the IDENTICAL dp6 pipeline must reproduce dp6's oracle
+  // VERBATIM. That holds because extraction is token-preserving on
+  // this fixture by construction (the first-token entity transforms
+  // keep token COUNT, and dp6's stages consume only token counts +
+  // doc_id/lang) — so one entry pins that raw-crawl ingest + extraction
+  // is a drop-in for the pre-extracted table: same rows, same hashes.
+  val dp6r = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      // self-contained: (re)write the fixture — entries may run alone
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      val fromHtml = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("content_lang").as("lang"),
+          graft.plans.HtmlTextExpr.htmlToText(col("payload")).as("text"))
+      dp6Pipeline(fromHtml)
+    },
+    Some(Dp6OracleSql))
+
   // DP7 — authority-weighted curation: the composition a CommonCrawl-
   // style curator actually runs with the graph family. Each doc's host
   // is a residue bucket; the host graph comes from url1's link
@@ -7486,5 +7562,6 @@ object DataCatalog {
     "warc2_http_responses" -> warc2, "warc3_gzip_members" -> warc3,
     "warc4_revisit_resolution" -> warc4,
     "sim13_incremental_knn" -> sim13, "sim14_knn_delete" -> sim14,
-    "sim15_filtered_ann" -> sim15)
+    "sim15_filtered_ann" -> sim15,
+    "ext1_html_extraction" -> ext1, "dp6r_raw_crawl_prep" -> dp6r)
 }

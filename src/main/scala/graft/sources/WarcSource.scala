@@ -135,6 +135,79 @@ object WarcSource {
       http)
   }
 
+  /** Write the REALISTIC-HTML response fixture the extraction entries
+    * (ext1/dp6r) run from: each record's payload is a full HTML page —
+    * doctype, head with title/script/style (whose content includes
+    * decoy markup like `"</p>"` in a script string), a comment, and the
+    * doc's text split across two `<p>` blocks at the token midpoint —
+    * so producing the doc's text back requires genuine body scoping,
+    * comment/script/style dropping, tag stripping, block joining, and
+    * entity decoding. Per-doc entity/charset slices (doc_id % 5):
+    *   0: first token wrapped in `&quot;…&quot;` (named entities;
+    *      decoded text gains literal quotes);
+    *   1: first token wrapped in `&lt;…&gt;` (the decoded `<` must NOT
+    *      re-trigger tag stripping — the double-decode hole);
+    *   2: first token gains a raw `é` and the page encodes ISO-8859-1,
+    *      truthfully declared (charset × extraction composition);
+    *   3: every `a` written as `&#97;` (decimal numerics, invisible
+    *      after decode);
+    *   4: every `e` written as `&#x65;` (hex numerics, invisible).
+    * The expected extracted text is therefore a CLOSED FORM on the
+    * documents table: first-token transform + tokens joined ` ` within
+    * blocks and `\n` between them. */
+  def writeHtmlResponses(docs: DataFrame, dir: String, nFiles: Int): Unit =
+    writeRecords(docs, dir, nFiles, "warc", ".warc", identity, htmlResponseRecord)
+
+  /** The two entity-encoded blocks of a doc's fixture page — the
+    * write-side twin of the oracle's closed form (see
+    * [[writeHtmlResponses]]). */
+  private[graft] def encodeBlocks(id: Long, text: String): (String, String) = {
+    val toks = text.trim.split("\\s+")
+    val h = (toks.length + 1) / 2
+    val mark = math.floorMod(id, 5L)
+    val enc = toks.zipWithIndex.map { case (t0, ix) =>
+      val t = mark match {
+        case 3 => t0.replace("a", "&#97;")
+        case 4 => t0.replace("e", "&#x65;")
+        case _ => t0
+      }
+      if (ix == 0) mark match {
+        case 0 => "&quot;" + t + "&quot;"
+        case 1 => "&lt;" + t + "&gt;"
+        case 2 => t + "é"
+        case _ => t
+      } else t
+    }
+    (enc.take(h).mkString(" "), enc.drop(h).mkString(" "))
+  }
+
+  private def htmlResponseRecord(r: Row): Array[Byte] = {
+    val id = r.getLong(0)
+    val (b1, b2) = encodeBlocks(id, r.getString(3))
+    val html = "<!DOCTYPE html>\n<html><head>\n" +
+      s"<title>graft fixture doc $id</title>\n" +
+      "<script type=\"text/javascript\">var gate = 1 < 2; " +
+      "var decoy = \"</p> not a closer\";</script>\n" +
+      "<style>p > .main { quotes: '\\201C'; content: \"</span>\"; }</style>\n" +
+      "</head>\n<body class=\"doc\">\n" +
+      "<!-- crawler boilerplate: <p>not text</p> -->\n" +
+      s"<div id=\"main\"><p> $b1 </p>\n<p>$b2</p></div>\n" +
+      "</body></html>"
+    val (cs, declared) =
+      if (id % 5 == 2) (ISO_8859_1, "iso-8859-1") else (UTF_8, "utf-8")
+    val payload = html.getBytes(cs)
+    val http = ("HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: text/html; charset=$declared\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1) ++ payload
+    record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> r.getString(1),
+      "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+      "WARC-Identified-Content-Language" -> r.getString(2),
+      "Content-Type" -> "application/http; msgtype=response"),
+      http)
+  }
+
   private def writeRecords(docs: DataFrame, dir: String, nFiles: Int,
       stem: String, suffix: String, wrap: Array[Byte] => Array[Byte],
       mk: Row => Array[Byte]): Unit = {
