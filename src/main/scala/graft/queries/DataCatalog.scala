@@ -3787,6 +3787,18 @@ object DataCatalog {
   // (the documents table itself), so a hash match proves the muxer,
   // the record splitter, the header parse, the Content-Length body
   // cut, and the type filter compose losslessly on real record bytes.
+  /** The warc2/warc4 fixture's expected DECODED payload as a shared
+    * oracle CTE — the per-doc html with the charset slices'
+    * windows-1252 fragment appended (one builder, so the two oracles
+    * cannot drift from the writer's [[graft.sources.WarcSource]]
+    * residues). */
+  private val ResponseHtmlCte: String =
+    "WITH h AS (SELECT doc_id, '<html><body><p>' || text || " +
+      s"'</p>${graft.sources.WarcSource.AccentFragment}' || " +
+      "CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 <> 0 AND doc_id % 11 = 5 " +
+      s"THEN '${graft.sources.WarcSource.Cp1252Fragment}' ELSE '' END || " +
+      "'</body></html>' AS html FROM documents)"
+
   val warc1 = Q(
     (s, d) => {
       val dir = sfScratch("/tmp/graft_warc", d)
@@ -3821,6 +3833,15 @@ object DataCatalog {
   // slices and hash-mismatches). The manifest grades status parse,
   // charset dispatch, fallback accounting, and the decoded payload's
   // re-encoded bytes against the closed form on the pre-extracted twin.
+  // r17 grows the fixture two ways (verdict asks #2 and #5): TRANSFER
+  // slices — chunked (with a chunk extension), gzip, gzip-then-chunked,
+  // an unsupported `br` declaration and a MALFORMED chunk stream (the
+  // two counted degrade rows: encoding_ok = false, NULL payload — a
+  // reader without de-chunking would pass size lines off as corpus
+  // text) — and a WINDOWS-1252 slice whose bytes sit in 0x80–0x9F, the
+  // range the HTML5 rule maps to real punctuation and actual latin-1
+  // maps to invisible C1 controls (the whole latin-1 label family now
+  // decodes as cp1252, so the pre-r17 slices are byte-identical).
   val warc2 = Q(
     (s, d) => {
       val dir = sfScratch("/tmp/graft_warc_resp", d)
@@ -3836,18 +3857,26 @@ object DataCatalog {
         col("http_status"),
         col("charset"),
         col("charset_ok"),
+        col("encoding"),
+        col("encoding_ok"),
         octet_length(col("payload")).cast("long").as("payload_len"),
         md5(col("payload").cast("binary")).as("payload_md5")))
     },
-    Some("WITH h AS (SELECT doc_id, '<html><body><p>' || text || " +
-      s"'</p>${graft.sources.WarcSource.AccentFragment}</body></html>' AS html " +
-      "FROM documents) " +
-      "SELECT doc_id, CAST(200 AS BIGINT) AS http_status, " +
+    Some(ResponseHtmlCte +
+      " SELECT doc_id, CAST(200 AS BIGINT) AS http_status, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'iso-8859-1' " +
-      "WHEN doc_id % 7 = 0 THEN 'x-unknown' ELSE 'utf-8' END AS charset, " +
+      "WHEN doc_id % 7 = 0 THEN 'x-unknown' " +
+      "WHEN doc_id % 11 = 5 THEN 'windows-1252' ELSE 'utf-8' END AS charset, " +
       "(doc_id % 3 = 0 OR doc_id % 7 <> 0) AS charset_ok, " +
-      "CAST(octet_length(encode(html)) AS BIGINT) AS payload_len, " +
-      "md5(html) AS payload_md5 FROM h" + OBA))
+      "CASE WHEN doc_id % 13 IN (2, 11) THEN 'chunked' " +
+      "WHEN doc_id % 13 = 4 THEN 'chunked+gzip' " +
+      "WHEN doc_id % 13 = 6 THEN 'gzip' " +
+      "WHEN doc_id % 13 = 9 THEN 'br' ELSE 'identity' END AS encoding, " +
+      "doc_id % 13 NOT IN (9, 11) AS encoding_ok, " +
+      "CASE WHEN doc_id % 13 IN (9, 11) THEN NULL " +
+      "ELSE CAST(octet_length(encode(html)) AS BIGINT) END AS payload_len, " +
+      "CASE WHEN doc_id % 13 IN (9, 11) THEN NULL " +
+      "ELSE md5(html) END AS payload_md5 FROM h" + OBA))
 
   // WARC3 — per-record-gzip `.warc.gz` ingest (the r15 verdict's ask
   // #2: the compression real crawls actually ship — one gzip member
@@ -3909,12 +3938,15 @@ object DataCatalog {
         col("http_status"),
         md5(col("payload").cast("binary")).as("payload_md5")))
     },
-    Some("WITH h AS (SELECT doc_id, '<html><body><p>' || text || " +
-      s"'</p>${graft.sources.WarcSource.AccentFragment}</body></html>' AS html " +
-      "FROM documents) " +
-      "SELECT d.doc_id, d.doc_id % 5 = 4 AS was_revisit, " +
+    Some(ResponseHtmlCte +
+      " SELECT d.doc_id, d.doc_id % 5 = 4 AS was_revisit, " +
       "CAST(200 AS BIGINT) AS http_status, " +
-      "md5(CASE WHEN d.doc_id % 5 = 4 THEN h2.html ELSE h1.html END) AS payload_md5 " +
+      // a transfer-degraded EFFECTIVE record (the referent, for a
+      // revisit) resolves to a NULL payload — never a fabricated one
+      "CASE WHEN d.doc_id % 5 = 4 THEN " +
+      "(CASE WHEN (d.doc_id - 4) % 13 IN (9, 11) THEN NULL ELSE md5(h2.html) END) " +
+      "ELSE (CASE WHEN d.doc_id % 13 IN (9, 11) THEN NULL ELSE md5(h1.html) END) " +
+      "END AS payload_md5 " +
       "FROM documents d JOIN h h1 ON h1.doc_id = d.doc_id " +
       "LEFT JOIN h h2 ON h2.doc_id = d.doc_id - 4" + OBA))
 

@@ -37,13 +37,19 @@ import org.apache.spark.sql.functions._
   * multi-GB .warc.gz parallelizes across tasks with no driver parsing.
   *
   * HTTP `response` records ([[readResponses]]) additionally split the
-  * body's HTTP envelope at byte level and decode the payload by the
-  * Content-Type charset parameter: utf-8 and iso-8859-1/us-ascii
-  * families decode directly; an unknown or unsupported charset falls
-  * back to latin-1 (lossless bytes→chars) with `charset_ok = false` —
-  * a COUNTED degrade, never a garble (the m9 convention). A body with
-  * no blank line or no parseable status line keeps its record row with
-  * NULL http fields, so malformed-envelope counts stay observable.
+  * body's HTTP envelope at byte level, undo the payload's transfer and
+  * content encodings (`Transfer-Encoding: chunked` de-chunks,
+  * `Content-Encoding: gzip` inflates — BEFORE any charset decode;
+  * unsupported codings and malformed chunk streams are a counted
+  * degrade, `encoding_ok = false` + NULL payload), and decode by the
+  * Content-Type charset parameter under the HTML5 rules: utf-8 as
+  * itself; the whole latin-1 label family as WINDOWS-1252 (what
+  * browsers actually do — 0x80–0x9F become real punctuation, not C1
+  * controls); unknown labels fall back to cp1252 with
+  * `charset_ok = false` — a COUNTED degrade, never a garble (the m9
+  * convention). A body with no blank line or no parseable status line
+  * keeps its record row with NULL http fields, so malformed-envelope
+  * counts stay observable.
   *
   * Write path: the fixture muxer buckets docs `doc_id % nFiles`, one
   * file per bucket, records sorted by doc_id behind a leading
@@ -57,7 +63,17 @@ object WarcSource {
 
   private[graft] val Delim = "WARC/1.0\r\n"
   private[graft] val DelimBytes = Delim.getBytes(UTF_8)
+  private val Crlf = "\r\n".getBytes(UTF_8)
   private val Crlf2 = "\r\n\r\n".getBytes(UTF_8)
+  /** windows-1252 — the HTML5 decode for every latin-1-family label
+    * and for unknown charsets: cp1252 is a superset of ISO-8859-1's
+    * printable range that additionally maps 0x80–0x9F to the
+    * punctuation real legacy pages actually use (€, curly quotes,
+    * dashes), which latin-1 would turn into invisible C1 controls. */
+  private val CP1252 = java.nio.charset.Charset.forName("windows-1252")
+  /** Decoded/de-chunked payload cap — same zip-bomb stance as
+    * WarcGzInputFormat's member cap. */
+  private val MaxPayload = 1 << 28
 
   /** One record's bytes: version line, named headers, Content-Length,
     * blank line, body, record terminator (two CRLFs). */
@@ -103,36 +119,99 @@ object WarcSource {
     * the shape a raw crawl ships BEFORE text extraction: each record's
     * body is a complete HTTP/1.1 response (status line, headers, blank
     * line, HTML payload wrapping the doc text plus [[AccentFragment]]).
-    * Same file layout as [[writeWet]]. Charset slices (r16): doc_id %
-    * 3 == 0 encodes the payload ISO-8859-1 with a truthful charset
-    * param; doc_id % 7 == 0 (and % 3 != 0) encodes ISO-8859-1 but
-    * DECLARES `x-unknown` (exercising the reader's latin-1 fallback
-    * path); everything else is UTF-8. Both HTTP Content-Length and the
-    * WARC Content-Length count the actual encoded bytes, so the slices
-    * also differ in byte accounting. */
+    * Same file layout as [[writeWet]]. Charset slices: see
+    * [[responseRecord]] (ISO-8859-1 truthful / `x-unknown` fallback /
+    * windows-1252 with 0x80–0x9F bytes / UTF-8); transfer slices: see
+    * [[httpWrap]] (chunked / gzip / gzip-then-chunked / unsupported br
+    * / malformed chunking — the last two the counted degrade rows). */
   def writeResponses(docs: DataFrame, dir: String, nFiles: Int): Unit =
     writeRecords(docs, dir, nFiles, "warc", ".warc", identity, responseRecord)
 
+  /** The windows-1252-only fragment (r17, the cp1252 fixture slice):
+    * every char's cp1252 byte sits in 0x80–0x9F — the range ISO-8859-1
+    * maps to invisible C1 controls — so a reader that decodes the
+    * latin-1 family as actual latin-1 (instead of HTML5's cp1252 rule)
+    * garbles these docs and hash-mismatches. */
+  private[graft] val Cp1252Fragment = " €“q”–"
+
+  /** Chunk `data` as a Transfer-Encoding: chunked body (RFC 9112
+    * §7.1): 256-byte chunks, lowercase-hex size lines — the FIRST
+    * carrying a chunk extension (`;x=graft`), which spec-correct
+    * parsers must ignore — and the terminating 0-chunk. */
+  private[graft] def chunkEncode(data: Array[Byte], chunkSize: Int = 256): Array[Byte] = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    val out = new java.io.ByteArrayOutputStream(data.length + 64)
+    var i = 0
+    var first = true
+    while (i < data.length) {
+      val n = math.min(chunkSize, data.length - i)
+      val ext = if (first) ";x=graft" else ""
+      out.write((Integer.toHexString(n) + ext + "\r\n").getBytes(ISO_8859_1))
+      out.write(data, i, n)
+      out.write('\r'); out.write('\n')
+      i += n
+      first = false
+    }
+    out.write("0\r\n\r\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** Wrap an encoded-HTML payload as a full HTTP/1.1 response with the
+    * doc's TRANSFER slices (doc_id % 13): 2 = chunked, 4 = gzip then
+    * chunked (the on-the-wire composition), 6 = gzip, and — only when
+    * `degradeSlices` (warc2/warc4's fixture; the extraction fixture
+    * keeps every doc decodable) — 9 = an unsupported `br` declaration
+    * and 11 = a MALFORMED chunk stream, the two counted degrade rows.
+    * Chunked responses omit Content-Length (RFC 9112 §6.2). */
+  private[graft] def httpWrap(id: Long, payload: Array[Byte],
+      declaredCharset: String, degradeSlices: Boolean): Array[Byte] = {
+    val m = math.floorMod(id, 13L)
+    val (body, extraHdrs) = m match {
+      case 2 => (chunkEncode(payload), Seq("Transfer-Encoding: chunked"))
+      case 4 => (chunkEncode(gzipMember(payload)),
+        Seq("Transfer-Encoding: chunked", "Content-Encoding: gzip"))
+      case 6 => (gzipMember(payload), Seq("Content-Encoding: gzip"))
+      case 9 if degradeSlices => (payload, Seq("Content-Encoding: br"))
+      case 11 if degradeSlices =>
+        ("zz;bogus\r\n".getBytes(ISO_8859_1) ++ payload,
+          Seq("Transfer-Encoding: chunked"))
+      case _ => (payload, Seq.empty[String])
+    }
+    val lenHdr =
+      if (extraHdrs.exists(_.startsWith("Transfer-Encoding"))) Seq.empty[String]
+      else Seq(s"Content-Length: ${body.length}")
+    ((s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$declaredCharset" +:
+      (extraHdrs ++ lenHdr)).mkString("", "\r\n", "\r\n\r\n"))
+      .getBytes(ISO_8859_1) ++ body
+  }
+
   /** One `response` record's bytes from a (doc_id, uri, lang, text)
-    * row — shared by [[writeResponses]] and the revisit fixture. */
+    * row — shared by [[writeResponses]] and the revisit fixture.
+    * Charset slices (priority order, mirrored by the warc2/warc4
+    * oracles): doc_id % 3 == 0 ISO-8859-1 truthfully declared; else
+    * % 7 == 0 ISO-8859-1 under a bogus `x-unknown` label (the
+    * cp1252-fallback degrade, charset_ok = false — same text either
+    * way since every accent byte is ≥ 0xA0); else % 11 == 5
+    * WINDOWS-1252 truthfully declared with [[Cp1252Fragment]] appended
+    * (bytes in 0x80–0x9F — the slice that catches a latin-1 decoder);
+    * else UTF-8. Transfer slices ride [[httpWrap]]. */
   private def responseRecord(r: Row): Array[Byte] = {
     val id = r.getLong(0)
-    val html = "<html><body><p>" + r.getString(3) + "</p>" + AccentFragment + "</body></html>"
+    val frag = if (id % 3 != 0 && id % 7 != 0 && id % 11 == 5) Cp1252Fragment else ""
+    val html = "<html><body><p>" + r.getString(3) + "</p>" + AccentFragment +
+      frag + "</body></html>"
     val (cs, declared) =
       if (id % 3 == 0) (ISO_8859_1, "iso-8859-1")
       else if (id % 7 == 0) (ISO_8859_1, "x-unknown")
+      else if (id % 11 == 5) (CP1252, "windows-1252")
       else (UTF_8, "utf-8")
-    val payload = html.getBytes(cs)
-    val http = ("HTTP/1.1 200 OK\r\n" +
-      s"Content-Type: text/html; charset=$declared\r\n" +
-      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1) ++ payload
     record(Seq(
       "WARC-Type" -> "response",
       "WARC-Target-URI" -> r.getString(1),
       "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
       "WARC-Identified-Content-Language" -> r.getString(2),
       "Content-Type" -> "application/http; msgtype=response"),
-      http)
+      httpWrap(id, html.getBytes(cs), declared, degradeSlices = true))
   }
 
   /** Write the REALISTIC-HTML response fixture the extraction entries
@@ -195,17 +274,15 @@ object WarcSource {
       "</body></html>"
     val (cs, declared) =
       if (id % 5 == 2) (ISO_8859_1, "iso-8859-1") else (UTF_8, "utf-8")
-    val payload = html.getBytes(cs)
-    val http = ("HTTP/1.1 200 OK\r\n" +
-      s"Content-Type: text/html; charset=$declared\r\n" +
-      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(ISO_8859_1) ++ payload
     record(Seq(
       "WARC-Type" -> "response",
       "WARC-Target-URI" -> r.getString(1),
       "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
       "WARC-Identified-Content-Language" -> r.getString(2),
       "Content-Type" -> "application/http; msgtype=response"),
-      http)
+      // transfer slices ride too (chunked/gzip/both — every doc stays
+      // decodable), so extraction composes with payload decodings
+      httpWrap(id, html.getBytes(cs), declared, degradeSlices = false))
   }
 
   private def writeRecords(docs: DataFrame, dir: String, nFiles: Int,
@@ -318,17 +395,81 @@ object WarcSource {
       (t, u, r, l, rt, n, new String(b, UTF_8))
     }
 
+  /** De-chunk a `Transfer-Encoding: chunked` body starting at `from`
+    * (RFC 9112 §7.1): hex chunk-size line (extensions after `;`
+    * ignored), CRLF, chunk bytes, CRLF, repeated until the 0-chunk;
+    * trailer fields after the last chunk are ignored. None on any
+    * malformed size line, short chunk, or missing CRLF — WITHOUT
+    * de-chunking, the size lines would enter the corpus as text. */
+  private[graft] def dechunk(b: Array[Byte], from: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(b.length - from, 16))
+    var i = from
+    while (i <= b.length) {
+      val lineEnd = indexOf(b, Crlf, i)
+      if (lineEnd < 0) return None
+      val sizeStr = new String(b, i, lineEnd - i, ISO_8859_1)
+        .split(";", 2)(0).trim
+      if (sizeStr.isEmpty || sizeStr.length > 7 ||
+        !sizeStr.forall(c => Character.digit(c, 16) >= 0)) return None
+      val size = Integer.parseInt(sizeStr, 16)
+      i = lineEnd + 2
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (i + size + 2 > b.length) return None // short chunk
+      out.write(b, i, size)
+      if (out.size > MaxPayload) return None
+      i += size
+      if (b(i) != '\r' || b(i + 1) != '\n') return None
+      i += 2
+    }
+    None
+  }
+
+  /** Inflate a `Content-Encoding: gzip` body (bounded — [[MaxPayload]]
+    * cap, the zip-bomb stance); None on any malformed stream. */
+  private[graft] def gunzip(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(b.length * 2 + 64)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > MaxPayload) return None
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => None
+      case _: java.util.zip.ZipException => None
+    }
+
   /** Split an HTTP response envelope out of a record body at byte
-    * level: (status, declared_charset, charset_ok, payload_text). None
-    * = no CRLFCRLF blank line or unparseable status line — the caller
-    * degrades to NULL http fields. Payload decoding: utf-8/us-ascii/
-    * iso-8859-1 families decode as declared (charset_ok = true); a
-    * missing charset param reports "none" and decodes latin-1 (the
-    * lossless byte→char view — HTTP/1.1's own default for text); any
-    * other declaration falls back to latin-1 with charset_ok = FALSE,
-    * the counted degrade bucket. */
+    * level: (status, declared_charset, charset_ok, encoding,
+    * encoding_ok, payload_text). None = no CRLFCRLF blank line or
+    * unparseable status line — the caller degrades to NULL http
+    * fields.
+    *
+    * Payload ENCODINGS (r17 — the r16 verdict's ask #2) run before any
+    * charset decode, on bytes: `Transfer-Encoding: chunked` bodies
+    * de-chunk (size lines would otherwise enter the corpus as text),
+    * then `Content-Encoding: gzip` bodies inflate. `encoding` reports
+    * the declared chain (`identity`, `chunked`, `gzip`,
+    * `chunked+gzip`, or the unsupported coding's own name);
+    * `encoding_ok = false` with a None payload for an unsupported
+    * coding (br, deflate, …) or a malformed chunk stream — a COUNTED
+    * degrade (the m9 convention), never garbled text.
+    *
+    * Charset dispatch follows the HTML5 encoding rules: utf-8 decodes
+    * as itself; every latin-1-family label (iso-8859-1, latin-1,
+    * us-ascii, windows-1252, cp1252) decodes as WINDOWS-1252 — the
+    * superset browsers actually use, mapping 0x80–0x9F to real
+    * punctuation — with charset_ok = true; a missing charset reports
+    * "none" and decodes cp1252 (the legacy default); any other label
+    * falls back to cp1252 with charset_ok = FALSE, the counted
+    * charset-degrade bucket. */
   private[graft] def parseHttp(body: Array[Byte]):
-      Option[(Long, String, Boolean, String)] = {
+      Option[(Long, String, Boolean, String, Boolean, Option[String])] = {
     val hEnd = indexOf(body, Crlf2, 0)
     if (hEnd < 0) return None
     val lines = new String(body, 0, hEnd, ISO_8859_1).split("\r\n")
@@ -338,18 +479,36 @@ object WarcSource {
     val hdrs = lines.iterator.drop(1)
       .map(_.split(":", 2)).collect { case Array(k, v) => (k.trim.toLowerCase, v.trim) }
       .toMap
+    val chunked = hdrs.get("transfer-encoding")
+      .exists(_.toLowerCase.contains("chunked"))
+    val ceName = hdrs.get("content-encoding").map(_.toLowerCase.trim)
+      .filter(c => c.nonEmpty && c != "identity")
+    val encoding = (if (chunked) "chunked" else "") +
+      (if (chunked && ceName.nonEmpty) "+" else "") + ceName.getOrElse("") match {
+        case "" => "identity"
+        case e => e
+      }
+    val raw0: Option[Array[Byte]] =
+      if (chunked) dechunk(body, hEnd + 4)
+      else Some(java.util.Arrays.copyOfRange(body, hEnd + 4, body.length))
+    val rawBytes: Option[Array[Byte]] = ceName match {
+      case None => raw0
+      case Some("gzip") | Some("x-gzip") => raw0.flatMap(gunzip)
+      case Some(_) => None // unsupported coding: counted degrade
+    }
     val declared = hdrs.get("content-type")
       .flatMap(ct => "(?i)charset=\"?([^;\\s\"]+)".r.findFirstMatchIn(ct))
       .map(_.group(1).toLowerCase)
     val (cs, name, ok) = declared match {
       case Some(c @ ("utf-8" | "utf8")) => (UTF_8, c, true)
-      case Some(c @ ("iso-8859-1" | "latin-1" | "latin1" | "us-ascii" | "ascii")) =>
-        (ISO_8859_1, c, true)
-      case Some(c) => (ISO_8859_1, c, false) // unsupported → lossless fallback, counted
-      case None => (ISO_8859_1, "none", true)
+      case Some(c @ ("windows-1252" | "cp1252" | "x-cp1252" | "iso-8859-1" |
+          "latin-1" | "latin1" | "us-ascii" | "ascii")) =>
+        (CP1252, c, true) // HTML5: the latin-1 family IS cp1252
+      case Some(c) => (CP1252, c, false) // unknown label → cp1252, counted
+      case None => (CP1252, "none", true)
     }
-    Some((status.get, name, ok,
-      new String(body, hEnd + 4, body.length - hEnd - 4, cs)))
+    Some((status.get, name, ok, encoding, rawBytes.nonEmpty,
+      rawBytes.map(new String(_, cs))))
   }
 
   /** Raw record chunks (bytes AFTER each "WARC/1.0\r\n") from the
@@ -403,24 +562,29 @@ object WarcSource {
     })
   }
 
-  /** Distributed `response`-record scan with the HTTP envelope split
-    * and charset-decoded (see [[parseHttp]]): (warc_type, target_uri,
-    * record_id, content_lang, content_length, http_status, charset,
-    * charset_ok, payload). Records whose body is not a parseable HTTP
-    * response keep their row with NULL http fields. */
+  /** Distributed `response`-record scan with the HTTP envelope split,
+    * transfer/content decodings applied, and the payload
+    * charset-decoded (see [[parseHttp]]): (warc_type, target_uri,
+    * record_id, content_lang, refers_to, content_length, http_status,
+    * charset, charset_ok, encoding, encoding_ok, payload). Records
+    * whose body is not a parseable HTTP response keep their row with
+    * NULL http fields; an unsupported or malformed payload encoding
+    * keeps the envelope fields with `encoding_ok = false` and a NULL
+    * payload — degrade buckets stay countable. */
   def readResponses(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
     rawChunks(spark, glob).flatMap(parseRecordBytes)
       .map { case (t, u, r, l, rt, n, body) =>
         parseHttp(body) match {
-          case Some((st, cs, ok, payload)) =>
-            (t, u, r, l, rt, n, Some(st), Some(cs), Some(ok), Some(payload))
-          case None => (t, u, r, l, rt, n, None, None, None, None)
+          case Some((st, cs, ok, enc, encOk, payload)) =>
+            (t, u, r, l, rt, n, Some(st), Some(cs), Some(ok),
+              Some(enc), Some(encOk), payload)
+          case None => (t, u, r, l, rt, n, None, None, None, None, None, None)
         }
       }
       .toDF("warc_type", "target_uri", "record_id", "content_lang",
         "refers_to", "content_length", "http_status", "charset",
-        "charset_ok", "payload")
+        "charset_ok", "encoding", "encoding_ok", "payload")
   }
 
   /** Write the [[writeResponses]] fixture WITH REVISIT records — the

@@ -90,30 +90,74 @@ class WarcSourceSpec extends AnyFunSuite {
       "revisit must inherit its referent's payload; dangling must drop")
   }
 
-  test("parseHttp: charset dispatch, latin-1 fallback degrade, malformed envelope") {
+  test("parseHttp: charset dispatch (HTML5 cp1252 rules), fallback degrade, malformed envelope") {
     def http(charset: String, payload: Array[Byte]): Array[Byte] =
       (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$charset\r\n" +
         s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++ payload
     val text = "déjà vu à côté ®"
     // utf-8 declared, utf-8 bytes
     val u = WarcSource.parseHttp(http("utf-8", text.getBytes("UTF-8")))
-    assert(u.contains((200L, "utf-8", true, text)))
-    // latin-1 declared, latin-1 bytes — 1-byte encoding, decoded exactly
+    assert(u.contains((200L, "utf-8", true, "identity", true, Some(text))))
+    // latin-1 declared, latin-1 bytes ≥ 0xA0 — cp1252 decodes them identically
     val l = WarcSource.parseHttp(http("iso-8859-1", text.getBytes("ISO-8859-1")))
-    assert(l.contains((200L, "iso-8859-1", true, text)))
-    // bogus declaration → latin-1 fallback recovers latin-1 bytes, counted NOT ok
+    assert(l.contains((200L, "iso-8859-1", true, "identity", true, Some(text))))
+    // the HTML5 rule: a latin-1 LABEL with 0x80–0x9F bytes decodes as
+    // cp1252 punctuation, not C1 controls
+    val smart = "€ “q” – x"
+    val w = WarcSource.parseHttp(http("iso-8859-1", smart.getBytes("windows-1252")))
+    assert(w.contains((200L, "iso-8859-1", true, "identity", true, Some(smart))))
+    val w2 = WarcSource.parseHttp(http("windows-1252", smart.getBytes("windows-1252")))
+    assert(w2.contains((200L, "windows-1252", true, "identity", true, Some(smart))))
+    // bogus declaration → cp1252 fallback recovers the bytes, counted NOT ok
     val b = WarcSource.parseHttp(http("x-klingon", text.getBytes("ISO-8859-1")))
-    assert(b.contains((200L, "x-klingon", false, text)))
+    assert(b.contains((200L, "x-klingon", false, "identity", true, Some(text))))
     // a UTF-8-only reader WOULD have garbled the latin-1 slice: the raw
     // bytes are not valid UTF-8
     assert(new String(text.getBytes("ISO-8859-1"), "UTF-8") != text)
-    // no charset param → reported "none", latin-1 (lossless) decode
+    // no charset param → reported "none", cp1252 (legacy default) decode
     val n = WarcSource.parseHttp(
       ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\nx").getBytes("ISO-8859-1"))
-    assert(n.contains((404L, "none", true, "x")))
+    assert(n.contains((404L, "none", true, "identity", true, Some("x"))))
     // malformed: no blank line / no status line → None (caller degrades)
     assert(WarcSource.parseHttp("HTTP/1.1 200 OK\r\n".getBytes("ISO-8859-1")).isEmpty)
     assert(WarcSource.parseHttp("not-http\r\n\r\nbody".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("parseHttp: chunked, gzip, chunked+gzip, unsupported and malformed encodings") {
+    val text = "chunk me — déjà vu " * 40 // > one 256-byte chunk
+    val payload = text.getBytes("UTF-8")
+    def http(extra: Seq[String], body: Array[Byte]): Array[Byte] =
+      (("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +: extra)
+        .mkString("", "\r\n", "\r\n\r\n")).getBytes("ISO-8859-1") ++ body
+    // chunked (multi-chunk, extension on the first size line)
+    val c = WarcSource.parseHttp(http(Seq("Transfer-Encoding: chunked"),
+      WarcSource.chunkEncode(payload)))
+    assert(c.contains((200L, "utf-8", true, "chunked", true, Some(text))),
+      "de-chunk must reassemble the payload (size lines are NOT text)")
+    // gzip
+    val g = WarcSource.parseHttp(http(Seq("Content-Encoding: gzip"),
+      WarcSource.gzipMember(payload)))
+    assert(g.contains((200L, "utf-8", true, "gzip", true, Some(text))))
+    // gzip then chunked — the on-the-wire composition, undone in order
+    val cg = WarcSource.parseHttp(http(
+      Seq("Transfer-Encoding: chunked", "Content-Encoding: gzip"),
+      WarcSource.chunkEncode(WarcSource.gzipMember(payload))))
+    assert(cg.contains((200L, "utf-8", true, "chunked+gzip", true, Some(text))))
+    // unsupported coding: counted degrade, NULL payload, envelope kept
+    val br = WarcSource.parseHttp(http(Seq("Content-Encoding: br"), payload))
+    assert(br.contains((200L, "utf-8", true, "br", false, None)))
+    // malformed chunk stream: degrade, never size-lines-as-text
+    val m = WarcSource.parseHttp(http(Seq("Transfer-Encoding: chunked"),
+      "zz;bogus\r\n".getBytes("ISO-8859-1") ++ payload))
+    assert(m.contains((200L, "utf-8", true, "chunked", false, None)))
+    // truncated chunk + corrupt gzip: degrade, never throw
+    val tr = WarcSource.parseHttp(http(Seq("Transfer-Encoding: chunked"),
+      WarcSource.chunkEncode(payload).dropRight(20)))
+    assert(tr.exists(t => !t._5 && t._6.isEmpty))
+    val cz = WarcSource.gzipMember(payload)
+    cz(cz.length / 2) = (cz(cz.length / 2) ^ 0x55).toByte
+    val bz = WarcSource.parseHttp(http(Seq("Content-Encoding: gzip"), cz))
+    assert(bz.exists(t => !t._5 && t._6.isEmpty))
   }
 
   test("gzipMember emits a valid deterministic RFC 1952 member") {
