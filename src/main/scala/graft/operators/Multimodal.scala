@@ -337,7 +337,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         PngCodec.decodeGray(r.payload)
-          .orElse(JpegCodec.decodeGray(r.payload)) match {
+          .orElse(JpegCodec.decodeGray(r.payload))
+          .orElse(GifCodec.decodeGray(r.payload)) match {
           case Some((w, h, gray)) if w >= 9 && h >= 8 =>
             Some((r.doc_id, PngCodec.dHashPixels(w, h, gray)))
           case _ => parseDims(r.payload) match {
@@ -451,24 +452,60 @@ object Multimodal {
     }
   }
 
-  /** m7d fixture — [[syntheticPixelImages]] stretched across the PNG
+  /** [[syntheticPixelImages]] re-stored across CONTAINERS — the m4h
+    * fixture (r17, the m4f/m4g move applied to GIF): every
+    * doc_id % 4 == 0 payload re-encodes as a REAL interlaced GIF
+    * (4-pass row lattice, global identity-gray palette), every
+    * % 4 == 2 as a REAL non-interlaced GIF with a LOCAL color table
+    * whose entries are a non-identity permutation of the gray levels
+    * (an indices-as-pixels shortcut garbles), odd doc_ids stay PNG.
+    * GIF is lossless for 8-bit gray rasters, so every member of a
+    * residue group still decodes to the SAME raster and the m4b
+    * closed-form pair oracle carries over verbatim — but a pair whose
+    * members mix PNG and GIF storage only collides if the real LZW
+    * decode, the palette lookup, and the de-interlace reconstruct the
+    * raster the PNG path reads. GIFs (icons, charts, memes — the web's
+    * oldest still-everywhere format) were the last common image
+    * container on the md5-stub path; this retires it. */
+  def syntheticGifStorageMix(docs: DataFrame,
+      group: Long => Long = _ % 251): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    syntheticPixelImages(docs, group).map { r =>
+      if (r.doc_id % 4 == 0) {
+        val (w, h, px) = decodeFixturePng(r)
+        r.copy(payload = GifCodec.encodeGray(w, h, px, interlaced = true),
+          mime = "image/gif")
+      } else if (r.doc_id % 4 == 2) {
+        val (w, h, px) = decodeFixturePng(r)
+        r.copy(payload = GifCodec.encodeGray(w, h, px, localPalette = true),
+          mime = "image/gif")
+      } else r
+    }
+  }
+
+  /** m7d fixture — [[syntheticPixelImages]] stretched across the IMAGE
     * coverage axes the way [[syntheticJpegSofMix]] stretches SOF
-    * families, as of r16 covering every depth family the codec
-    * decodes: doc_id % 7 == 1 re-encodes paletted (8-bit PLTE
-    * permutation), % 7 == 2 as REAL 4-bit grayscale (the raster
-    * quantized to its 16-level grid — sub-byte unpack must run),
-    * % 7 == 3 as Adam7, % 7 == 4 as REAL 4-bit PALETTED (sub-byte
-    * index unpack + PLTE lookup compose), % 7 == 5 as REAL 16-bit
-    * grayscale (the exact v·257 upscale, big-endian pairs + bpp=2
-    * filters), % 7 == 6 TRUNCATES the stream mid-IDAT — the counted
-    * degrade path (header classifies, decode must fail cleanly,
-    * never kill). The rest stay baseline 8-bit grayscale and must
-    * all actually decode. */
+    * families, covering every depth family the codec decodes:
+    * doc_id % 8 == 1 re-encodes paletted (8-bit PLTE permutation),
+    * % 8 == 2 as REAL 4-bit grayscale (the raster quantized to its
+    * 16-level grid — sub-byte unpack must run), % 8 == 3 as Adam7,
+    * % 8 == 4 as REAL 4-bit PALETTED (sub-byte index unpack + PLTE
+    * lookup compose), % 8 == 5 as REAL 16-bit grayscale (the exact
+    * v·257 upscale, big-endian pairs + bpp=2 filters), % 8 == 6
+    * TRUNCATES the stream mid-IDAT — the counted degrade path (header
+    * classifies, decode must fail cleanly, never kill), and — r17 —
+    * % 8 == 7 re-stores as a REAL GIF (LZW + palette), putting the
+    * third natively decoded container on the same card. The rest stay
+    * baseline 8-bit grayscale and must all actually decode. */
   def syntheticPngCoverageMix(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     syntheticPixelImages(docs).map { r =>
-      r.doc_id % 7 match {
+      r.doc_id % 8 match {
+        case 7 => // r17: the GIF container joins the image coverage card
+          val (w, h, px) = decodeFixturePng(r)
+          r.copy(payload = GifCodec.encodeGray(w, h, px), mime = "image/gif")
         case 1 =>
           val (w, h, px) = decodeFixturePng(r)
           r.copy(payload = PngCodec.encodePaletted(w, h, px, y => y % 5))
@@ -524,21 +561,27 @@ object Multimodal {
     if (il == 1) s"$base${depth}_adam7" else s"$base$depth"
   }
 
-  /** m7d — PNG storage-coverage card: the m7b-style counted degrade
-    * bucket for the PNG real-pixel pipeline. One row per
-    * (png_class, decoded) with payload counts, where png_class comes
-    * from [[pngClass]]'s header read and decoded is whether
-    * [[PngCodec.decodeGray]] actually produced pixels — the number a
-    * corpus owner reads before trusting m4b/m4f's real-pixel dedup:
-    * which storage classes rode the real path and which were hashed
-    * through the md5 stub. Map-only classify+decode (payload bytes
-    * never shuffle) + one card-sized aggregate. */
+  /** m7d — image storage-coverage card (PNG + GIF, the natively
+    * decoded raster containers): the m7b-style counted degrade bucket
+    * for the real-pixel pipeline. One row per (png_class, decoded)
+    * with payload counts, where the class comes from [[pngClass]]'s
+    * header read (or [[GifCodec.gifClass]] for GIF bytes) and decoded
+    * is whether a lossless decode actually produced pixels — the
+    * number a corpus owner reads before trusting m4b/m4f/m4g/m4h
+    * coverage: which storage classes rode the real path and which
+    * were hashed through the md5 stub. Map-only classify+decode
+    * (payload bytes never shuffle) + one card-sized aggregate. */
   def pngFormatCard(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        (pngClass(r.payload), PngCodec.decodeGray(r.payload).isDefined)
+        val cls =
+          if (GifCodec.isGif(r.payload)) GifCodec.gifClass(r.payload)
+          else pngClass(r.payload)
+        val dec = PngCodec.decodeGray(r.payload)
+          .orElse(GifCodec.decodeGray(r.payload)).isDefined
+        (cls, dec)
       }
     }.toDF("png_class", "decoded")
       .groupBy("png_class", "decoded")
