@@ -165,7 +165,10 @@ object Bench {
     "url6_crawl_budget", "idx5_postings_delete", "cms1_heavy_hitters",
     "dp6g_gzip_corpus_prep", "sim15_filtered_ann",
     "m5e_extensible_header_dedup", "m7e_audio_coverage_card",
-    "m6e_fragmented_mp4_dedup", "m7f_video_coverage_card")
+    "m6e_fragmented_mp4_dedup", "m7f_video_coverage_card",
+    // round-17 additions
+    "ext1_html_extraction", "dp6r_raw_crawl_prep",
+    "m4h_gif_storage_dedup", "out5b_zone_map_card")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -6,18 +6,29 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed in partition-sized batches.
   *
-  * The real decode libraries (JPEG/PNG/audio codecs) are NOT in this
-  * container, so `decodeStub` is a clearly-marked deterministic fake —
-  * but everything Spark-side is real and tested: the schema
-  * (binary + struct metadata), the batched `mapPartitions` execution
-  * shape (the Scala analog of `mapInPandas` — one iterator per
-  * partition, amortizing model/codec init), partitioning control, and
-  * the feature-column contract downstream ops consume.
+  * The decode paths are REAL, clean-room, pure-JVM codecs built in this
+  * repo — no image/audio libraries ship in the container, and none are
+  * needed: PNG (every legal depth × color type, Adam7 —
+  * [[PngCodec]]), baseline + progressive JPEG ([[JpegCodec]]), GIF
+  * (LZW, palettes, interlace — [[GifCodec]]), WAV PCM incl.
+  * WAVE_FORMAT_EXTENSIBLE, FLAC, µ-law/A-law, IMA-ADPCM
+  * ([[FlacCodec]]/[[G711]]/[[ImaAdpcm]]), AVI-MJPEG and plain +
+  * fragmented MP4 ([[Mp4Codec]]). `decodeStub` survives only as the
+  * clearly-marked DEGRADE path for payloads no codec claims
+  * (inter-coded video, truncated streams): such bytes hash through a
+  * deterministic lattice and are COUNTED in the m7-family coverage
+  * cards rather than silently mis-decoded.
   *
-  * Scale: payloads never pass through a shuffle — metadata extraction is
-  * map-only; `repartition(n)` bounds batch memory (payload bytes per
-  * task), the knob the 300-item audience batches of the reference tuned
-  * by hand (`mailchimp/src/members.rs:130-134`).
+  * Everything Spark-side is the shape that holds at 100 TB: schema
+  * (binary + struct metadata), batched `mapPartitions` execution (one
+  * iterator per partition, amortizing codec init — the Scala analog of
+  * `mapInPandas`), partitioning control, and the feature-column
+  * contract downstream ops consume.
+  *
+  * Scale: payloads never pass through a shuffle — decode/fingerprint is
+  * map-only (ScaleSpec pins it); `repartition(n)` bounds batch memory
+  * (payload bytes per task), the knob the 300-item audience batches of
+  * the reference tuned by hand (`mailchimp/src/members.rs:130-134`).
   */
 object Multimodal {
 
@@ -38,13 +49,14 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode for formats without a header parser below: a real
-    * implementation would decode the payload with a full codec here (one
-    * codec init per partition, amortized over the iterator — the reason
-    * this is mapPartitions, not a per-row UDF). The fake derives
-    * deterministic pseudo-features from the bytes so the plumbing
-    * (batching, schema, downstream consumption) stays testable for
-    * arbitrary payloads. */
+  /** STUB decode — the DEGRADE path for payloads none of the repo's
+    * real codecs claim (inter-coded video, unknown containers,
+    * arbitrary bytes): derives deterministic pseudo-features so the
+    * plumbing (batching, schema, downstream consumption) keeps working
+    * on any payload, while the m7-family coverage cards COUNT what
+    * rode this path vs a real decode. Runs inside the same
+    * mapPartitions batches as the real codecs (init amortized per
+    * partition, never a per-row UDF). */
   private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val n = payload.length
     val w = 16 + (n % 64)
@@ -321,15 +333,17 @@ object Multimodal {
     hash
   }
 
-  /** m4 step 1 — perceptual hash per image. For PNG payloads with pixel
-    * data the path is REAL end-to-end: [[PngCodec.decodeGray]] (IDAT
-    * inflate + unfilter + luma) feeds [[PngCodec.dHashPixels]] (area
-    * resize + gradient sign). Payloads the pure-JVM codec can't decode
-    * (JPEG entropy coding, header-only fixtures) fall back to the
+  /** m4 step 1 — perceptual hash per image. For PNG, JPEG, and GIF
+    * payloads the path is REAL end-to-end: [[PngCodec.decodeGray]] /
+    * [[JpegCodec.decodeGray]] / [[GifCodec.decodeGray]] feed
+    * [[PngCodec.dHashPixels]] (area resize + gradient sign), so
+    * cross-container twins hash identically. Payloads no codec claims
+    * (header-only fixtures, truncated streams) fall back to the
     * header-dims md5-lattice stub — same banded machinery downstream
-    * either way. All inside the one batched mapPartitions pass that
-    * scans each payload once (decode init amortized per partition, the
-    * multimodal execution contract). Non-image payloads drop. Output:
+    * either way, and the m7d card counts which path each class rode.
+    * All inside the one batched mapPartitions pass that scans each
+    * payload once (decode init amortized per partition, the multimodal
+    * execution contract). Non-image payloads drop. Output:
     * (doc_id, phash) — 8 bytes per image ever leaves the scan. */
   def imageDHash(media: Dataset[MediaRow]): DataFrame = {
     val spark = media.sparkSession

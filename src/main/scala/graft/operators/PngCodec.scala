@@ -4,8 +4,10 @@ package graft.operators
   * pixel path needs none: IDAT is one zlib stream (`java.util.zip`) and
   * the five scanline filters are byte arithmetic. This makes m4's
   * perceptual hash REAL end-to-end for PNG payloads: decode → grayscale
-  * → area-resize → gradient-sign dHash, with the md5-lattice stub left
-  * only for formats that genuinely need a codec (JPEG entropy decode).
+  * → area-resize → gradient-sign dHash. (JPEG and GIF have their own
+  * clean-room codecs — [[JpegCodec]]/[[GifCodec]] — so the md5-lattice
+  * stub survives only as the counted degrade path for payloads no
+  * codec claims.)
   *
   * Scope (r16: EVERY legal PNG pixel format, spec §11.2.2): color
   * types 0 (gray, depths 1/2/4/8/16), 2 (RGB, 8/16), 3 (palette,

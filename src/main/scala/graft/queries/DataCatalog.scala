@@ -1590,9 +1590,22 @@ object DataCatalog {
   /** The entry-side twin of [[KmeansCtesDerived]]'s seed bound: the
     * quantizer cell count every catalog entry training k-means on the
     * full embeddings corpus must use (one bounded driver scalar — the
-    * same class as the k-means model collect itself). */
-  private def derivedKCells(e: org.apache.spark.sql.DataFrame): Int =
-    math.max(10L, (e.count() + 49) / 50).toInt
+    * same class as the k-means model collect itself).
+    *
+    * MEMOIZED per fixture dir (r17, the r16 verdict's ask #4 — the
+    * Members base-cache move for a scalar): a driver run touches this
+    * from ~11 entries, and each formerly paid a full corpus count just
+    * to re-derive the same k. The fixture tables are immutable for the
+    * life of a driver run, so one count per (dir) is the honest cost;
+    * the session-tier release hook drops the memo with the other
+    * cross-query caches, keeping long-lived sessions unsurprising.
+    * ScaleSpec keeps the derived-k-matches-oracle pin. */
+  private val derivedKMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  graft.CacheScope.onSessionRelease(() => derivedKMemo.clear())
+  private def derivedKCells(e: org.apache.spark.sql.DataFrame, d: String): Int =
+    derivedKMemo.computeIfAbsent(d,
+      _ => Integer.valueOf(math.max(10L, (e.count() + 49) / 50).toInt)).intValue()
 
   /** [[kmeansBody]] with k DERIVED from the corpus inside the SQL —
     * `k = max(kMin, ceil(count(*) / cellTarget))`, the operator
@@ -1619,7 +1632,7 @@ object DataCatalog {
       val e = embeddings(s, d)
       // derived k (r16): the trained model itself scales cell count with
       // the corpus (constant-cell-size contract); verify SF derives k=10.
-      val cents = Clustering.kmeans(e, derivedKCells(e), 3)
+      val cents = Clustering.kmeans(e, derivedKCells(e, d), 3)
       ordered(cents.select(col("cid"), posexplode(col("cv")))
         .toDF("cid", "pos", "vf")
         .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
@@ -1669,7 +1682,7 @@ object DataCatalog {
   val sim4 = Q(
     (s, d) => {
       val e = embeddings(s, d)
-      val cells = Clustering.kmeansAssign(e, derivedKCells(e), 3)
+      val cells = Clustering.kmeansAssign(e, derivedKCells(e, d), 3)
         .select(col("vec_id"), col("cid").as("cell"))
       ordered(Similarity.topKIvf(
         e.join(cells, Seq("vec_id"))
@@ -1791,7 +1804,7 @@ object DataCatalog {
       val e = embeddings(s, d)
       // derived k (r16): entry and oracle both scale cell count with the
       // corpus — at the verify SF this is the former pinned k=10.
-      ordered(Similarity.topKMultiProbe(e, Clustering.kmeans(e, derivedKCells(e), 3), 5, 3))
+      ordered(Similarity.topKMultiProbe(e, Clustering.kmeans(e, derivedKCells(e, d), 3), 5, 3))
     },
     Some(KmeansCtesDerived +
       ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
@@ -1898,7 +1911,7 @@ object DataCatalog {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val e = embeddings(s, d)
-    val cellsF = Future(blocking(Clustering.kmeansAssign(e, derivedKCells(e), 3)
+    val cellsF = Future(blocking(Clustering.kmeansAssign(e, derivedKCells(e, d), 3)
       .select(col("vec_id"), col("cid").as("cell"))))
     val cbF = Future(blocking(Clustering.pqTrain(e)))
     (e, Await.result(cellsF, Duration.Inf), Await.result(cbF, Duration.Inf))
@@ -2257,7 +2270,7 @@ object DataCatalog {
       val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
       val walk = Similarity.graphWalkSeeded(e,
         Similarity.mutualKnn(e, "label", 10), queries,
-        Clustering.kmeans(e, derivedKCells(e), 3), 5)
+        Clustering.kmeans(e, derivedKCells(e, d), 3), 5)
       ordered(Similarity.annRecall(truth, walk))
     },
     Some("WITH " + kmeansBodyDerivedK("embeddings", "km", 3, 10, 50, 64) + ", " +
@@ -2340,7 +2353,7 @@ object DataCatalog {
       // driver scalar, the same class as kmeans' own model collect.
       // The oracle derives the identical k inside the SQL
       // (kmeansBodyDerivedK), so the entry matches at ANY SF.
-      val kCells = derivedKCells(e)
+      val kCells = derivedKCells(e, d)
       val queries = e.filter(col("vec_id") % 50 === 0)
       val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
       val walk = Similarity.graphWalkLayered(e,
@@ -2554,7 +2567,7 @@ object DataCatalog {
       // the verify SF (500 vectors) this is exactly the former pinned
       // k=10, so oracle results are unchanged, and the oracle derives
       // the identical k in SQL (kmeansBodyDerivedK).
-      val kCells = derivedKCells(e)
+      val kCells = derivedKCells(e, d)
       val cents = Clustering.kmeans(e, kCells, 3)
       val configs = Seq(
         ("a_base", 5, 2, 8, 64, 250),
@@ -3144,6 +3157,59 @@ object DataCatalog {
       "SELECT layout, CAST(file_id AS BIGINT) AS file_id, n_rows, " +
       "min_x, max_x, min_y, max_y, " +
       "(max_x >= 2 AND min_x <= 3 AND max_y >= 2 AND min_y <= 3) AS touched FROM m" + OBA))
+
+  // OUT5B — combined ZONE-MAP card for the z-order layout (r17, the
+  // r16 verdict's ask #7 — rounding out the layout story out5
+  // started): the same Morton-clustered 32-file layout, now carrying a
+  // third, NON-CLUSTERED column (w = doc_id % 13) whose per-file
+  // min/max envelopes ride the same manifest — the honest half of the
+  // zone-map story, showing what z-order does NOT buy: the clustered
+  // rectangle (x,y ∈ [2,3]²) touches a handful of files while the
+  // w ∈ [3,4] range touches essentially every file, because w is
+  // uncorrelated with the sort key and every envelope spans its full
+  // domain. A scan planner reads exactly this card to decide which
+  // predicates the layout can serve. Oracle: the ENTIRE pipeline
+  // replayed closed-form (same generated interleave SQL, row_number
+  // rank, floor-division file assignment, per-file envelopes, both
+  // pruning decisions) — and DataOpsSpec pins the inequality the card
+  // exists to show.
+  private val Out5bBase = "/tmp/graft_out5b_zonemap"
+  val out5b = Q(
+    (s, d) => {
+      import graft.operators.Zorder
+      val dir = sfScratch(Out5bBase, d)
+      val base = documents(s, d).select(col("doc_id").as("id"),
+        expr("least(CAST(15 AS BIGINT), CAST(length(text) AS BIGINT) DIV 64)").as("x"),
+        (col("doc_id") % 11).as("y"),
+        (col("doc_id") % 13).as("w"))
+      Zorder.writeLayoutWith(base, col("id"), col("x"), col("y"),
+        Seq("w" -> col("w")), 32, 4, zorder = true, dir)
+      val card = Zorder.withTouchedRange(
+        Zorder.withTouchedRange(
+          Zorder.manifestCardCols(s, dir, Seq("x", "y", "w")),
+          "x", 2, 3, "touched_x"),
+        "w", 3, 4, "touched_w")
+        .withColumn("touched_xy",
+          col("touched_x") && col("max_y") >= 2 && col("min_y") <= 3)
+      ordered(card.select(col("file_id"), col("n_rows"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+        col("min_w"), col("max_w"), col("touched_xy"), col("touched_w")))
+    },
+    Some("WITH b AS (SELECT doc_id AS id, " +
+      "least(CAST(15 AS BIGINT), CAST(len(text) AS BIGINT) // 64) AS x, " +
+      "doc_id % 11 AS y, doc_id % 13 AS w FROM documents), " +
+      "nn AS (SELECT count(*) AS n FROM b), " +
+      "z AS (SELECT id, x, y, w, " +
+      graft.operators.Zorder.zValueSql("x", "y", 4) + " AS k FROM b), " +
+      "rz AS (SELECT id, x, y, w, row_number() OVER (ORDER BY k, id) AS rk FROM z), " +
+      "az AS (SELECT x, y, w, ((rk - 1) * 32) // n AS file_id FROM rz, nn), " +
+      "m AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows, " +
+      "min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y, " +
+      "min(w) AS min_w, max(w) AS max_w FROM az GROUP BY 1) " +
+      "SELECT CAST(file_id AS BIGINT) AS file_id, n_rows, " +
+      "min_x, max_x, min_y, max_y, min_w, max_w, " +
+      "(max_x >= 2 AND min_x <= 3 AND max_y >= 2 AND min_y <= 3) AS touched_xy, " +
+      "(max_w >= 3 AND min_w <= 4) AS touched_w FROM m" + OBA))
 
   // OUT2B — the verifier's FAILURE statuses, oracle-gated: export
   // shards, then deterministically tamper the committed MANIFEST.json
@@ -4405,7 +4471,7 @@ object DataCatalog {
   val sem1 = Q(
     (s, d) => {
       val e = embeddings(s, d)
-      val cells = Clustering.kmeansAssign(e, derivedKCells(e), 3)
+      val cells = Clustering.kmeansAssign(e, derivedKCells(e, d), 3)
         .select(col("vec_id"), col("cid").as("cell"))
       ordered(Similarity.semanticDedup(
         e.join(cells, Seq("vec_id"))
@@ -4538,7 +4604,7 @@ object DataCatalog {
       val e = embeddings(s, d)
       // derived k (r16): the balance report must card however many
       // cells the corpus-scaled quantizer actually trains.
-      ordered(Clustering.cellReport(e, Clustering.kmeans(e, derivedKCells(e), 3)))
+      ordered(Clustering.cellReport(e, Clustering.kmeans(e, derivedKCells(e, d), 3)))
     },
     Some(KmeansCtesDerived +
       ", fin AS (SELECT e.vec_id, c.cid, " + cosSql("e.embedding", "c.cv") +
@@ -5020,7 +5086,7 @@ object DataCatalog {
   val smp5 = Q(
     (s, d) => {
       val e = embeddings(s, d)
-      val cells = Clustering.kmeansAssign(e, derivedKCells(e), 3)
+      val cells = Clustering.kmeansAssign(e, derivedKCells(e, d), 3)
         .select(col("vec_id"), col("cid").as("cell"))
       ordered(Sampling.diversityCap(cells, col("vec_id"), col("cell"), 20))
     },
@@ -7621,5 +7687,5 @@ object DataCatalog {
     "sim13_incremental_knn" -> sim13, "sim14_knn_delete" -> sim14,
     "sim15_filtered_ann" -> sim15,
     "ext1_html_extraction" -> ext1, "dp6r_raw_crawl_prep" -> dp6r,
-    "m4h_gif_storage_dedup" -> m4h)
+    "m4h_gif_storage_dedup" -> m4h, "out5b_zone_map_card" -> out5b)
 }

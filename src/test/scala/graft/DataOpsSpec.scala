@@ -438,6 +438,34 @@ class DataOpsSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("zone-map card (out5b): clustered dims prune, the non-clustered column does not") {
+    import graft.operators.Zorder
+    import graft.sources.Tables
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"),
+        expr("least(CAST(15 AS BIGINT), CAST(length(text) AS BIGINT) DIV 64)").as("x"),
+        (col("doc_id") % 11).as("y"),
+        (col("doc_id") % 13).as("w"))
+    val card = Zorder.assignFilesWith(base, col("id"), col("x"), col("y"),
+      Seq("w" -> col("w")), 32, 4, zorder = true)
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+    val xy = Zorder.withTouchedRange(card, "x", 2, 3, "tx")
+      .withColumn("txy", col("tx") && col("max_y") >= 2 && col("min_y") <= 3)
+    val nXy = xy.filter(col("txy")).count()
+    val nW = Zorder.withTouchedRange(card, "w", 3, 4, "tw")
+      .filter(col("tw")).count()
+    val nFiles = card.count()
+    // the inequality the card exists to show: the clustered rectangle
+    // prunes most files, the non-clustered range prunes (almost) none
+    assert(nXy * 2 < nFiles, s"xy rectangle must prune: touched $nXy of $nFiles")
+    assert(nW * 10 >= nFiles * 9, s"w range must NOT prune: touched $nW of $nFiles")
+    CacheScope.releaseAll()
+  }
+
   test("exactSubstrMask: covered tokens drop, clean docs pass through, full coverage empties") {
     val d = Seq(
       // A and B share "q1 q2 q3 q4 q5" — those 5 tokens drop from both
