@@ -168,7 +168,8 @@ object Bench {
     "m6e_fragmented_mp4_dedup", "m7f_video_coverage_card",
     // round-17 additions
     "ext1_html_extraction", "dp6r_raw_crawl_prep",
-    "m4h_gif_storage_dedup", "out5b_zone_map_card")
+    "m4h_gif_storage_dedup", "out5b_zone_map_card",
+    "ext2_link_extraction")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -3,8 +3,9 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HTML → text extraction (the WET-production step): the transform that
@@ -199,6 +200,225 @@ object HtmlText {
   }
 }
 
+/** Link extraction + reference resolution — the other half of raw-HTML
+  * processing: the crawl-graph production step (every `url`/`pr`/`dp7`
+  * input ultimately comes from anchors in fetched pages, resolved
+  * against the page's own URL).
+  *
+  * [[HtmlLinks.linksKernel]] scans once for `<a … href=…>` (attribute
+  * order free, quoted or bare values, case-insensitive), entity-decodes
+  * each value (hrefs legally carry `&amp;` between query params), and
+  * drops non-navigational schemes (`javascript:`, `mailto:`, `tel:`,
+  * `data:`) and pure fragments — the hygiene every link extractor
+  * applies before the frontier.
+  *
+  * [[HtmlLinks.resolveKernel]] is clean-room RFC 3986 §5 reference
+  * resolution: absolute references pass through; `//host/…` adopts the
+  * base scheme; `/path` replaces the base path; `path` merges with the
+  * base path's directory; `?q` replaces the query; and dot segments
+  * (`.` / `..`) are removed by the §5.2.4 algorithm. Fragments are
+  * dropped (crawl identity ignores them — the same rule the url1
+  * canonicalizer applies). An unresolvable reference (no base scheme/
+  * authority) returns null — degrade, never a fabricated URL. */
+object HtmlLinks {
+
+  private val SkipSchemes = Array("javascript:", "mailto:", "tel:", "data:")
+
+  /** Decode entities in an attribute value (no markup context inside
+    * attributes — a pure entity pass: &amp; &lt; &#NN; …). */
+  private def decodeAttr(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    // reuse the text kernel on the bare value: no '<' means no tag
+    // handling can trigger, whitespace in URLs is already meaningless
+    HtmlText.extractKernel(UTF8String.fromString(s)).toString
+  }
+
+  /** All extracted (decoded, scheme-filtered, fragment-stripped) href
+    * values of `<a>` tags, in document order. */
+  def linksKernel(input: UTF8String): ArrayData = {
+    val html = input.toString
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    val n = html.length
+    while (i + 2 < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { i = n }
+      else {
+        // anchor open tag: "<a" followed by whitespace or '>'
+        val isA = lt + 2 < n &&
+          (html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A') &&
+          (html.charAt(lt + 2) == '>' || Character.isWhitespace(html.charAt(lt + 2)))
+        if (!isA) { i = lt + 1 }
+        else {
+          val gt = html.indexOf('>', lt)
+          if (gt < 0) { i = n }
+          else {
+            val tag = html.substring(lt, gt)
+            val at = findHref(tag)
+            if (at != null) {
+              var v = decodeAttr(at).trim
+              val hash = v.indexOf('#')
+              if (hash >= 0) v = v.substring(0, hash) // crawl identity drops fragments
+              val lower = v.toLowerCase
+              if (v.nonEmpty && !SkipSchemes.exists(lower.startsWith))
+                out.add(UTF8String.fromString(v))
+            }
+            i = gt + 1
+          }
+        }
+      }
+    }
+    val arr = new Array[Any](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** The href attribute's raw value inside one tag's text, or null:
+    * `href` (case-insensitive) = "quoted" | 'quoted' | bare-token. */
+  private def findHref(tag: String): String = {
+    var i = 0
+    val n = tag.length
+    while (i + 4 < n) {
+      val at = indexOfIc(tag, "href", i)
+      if (at < 0) return null
+      // must be a standalone attribute name (not e.g. data-href)
+      val before = if (at == 0) ' ' else tag.charAt(at - 1)
+      var j = at + 4
+      while (j < n && Character.isWhitespace(tag.charAt(j))) j += 1
+      if (!Character.isWhitespace(before) || j >= n || tag.charAt(j) != '=') {
+        i = at + 4
+      } else {
+        j += 1
+        while (j < n && Character.isWhitespace(tag.charAt(j))) j += 1
+        if (j >= n) return null
+        val q = tag.charAt(j)
+        if (q == '"' || q == '\'') {
+          val end = tag.indexOf(q, j + 1)
+          return if (end < 0) null else tag.substring(j + 1, end)
+        }
+        val start = j
+        while (j < n && !Character.isWhitespace(tag.charAt(j))) j += 1
+        return tag.substring(start, j)
+      }
+    }
+    null
+  }
+
+  private def indexOfIc(hay: String, needle: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length &&
+        Character.toLowerCase(hay.charAt(i + j)) == needle.charAt(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** RFC 3986 §5 reference resolution — see the object scaladoc. */
+  def resolveKernel(base: UTF8String, ref0: UTF8String): UTF8String = {
+    val ref = ref0.toString
+    // absolute reference (has a scheme): pass through
+    if (ref.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")) return ref0
+    val b = base.toString
+    val sEnd = b.indexOf("://")
+    if (sEnd < 0) return null // unresolvable base — degrade
+    val scheme = b.substring(0, sEnd)
+    val authStart = sEnd + 3
+    var authEnd = authStart
+    while (authEnd < b.length && b.charAt(authEnd) != '/' &&
+      b.charAt(authEnd) != '?' && b.charAt(authEnd) != '#') authEnd += 1
+    val authority = b.substring(authStart, authEnd)
+    if (ref.startsWith("//")) return UTF8String.fromString(scheme + ":" + ref)
+    // base path (no query/fragment)
+    var pathEnd = authEnd
+    while (pathEnd < b.length && b.charAt(pathEnd) != '?' && b.charAt(pathEnd) != '#')
+      pathEnd += 1
+    val basePath = if (authEnd == pathEnd) "/" else b.substring(authEnd, pathEnd)
+    val resolvedPath =
+      if (ref.isEmpty) basePath
+      else if (ref.startsWith("?")) return UTF8String.fromString(
+        scheme + "://" + authority + basePath + ref)
+      else if (ref.startsWith("/")) removeDots(ref)
+      else {
+        // merge: base path's directory + ref (RFC 3986 §5.3)
+        val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
+        removeDots(dir + ref)
+      }
+    UTF8String.fromString(scheme + "://" + authority + resolvedPath)
+  }
+
+  /** Dot-segment removal (RFC 3986 §5.2.4) over a path that may carry
+    * a query suffix (the query never participates). */
+  private def removeDots(pathAndQuery: String): String = {
+    val qAt = pathAndQuery.indexOf('?')
+    val path = if (qAt < 0) pathAndQuery else pathAndQuery.substring(0, qAt)
+    val query = if (qAt < 0) "" else pathAndQuery.substring(qAt)
+    val segs = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < path.length) {
+      val slash = path.indexOf('/', i + 1)
+      val end = if (slash < 0) path.length else slash
+      val seg = path.substring(i, end) // leading '/' included
+      seg match {
+        case "/." | "/" => // drop (trailing '/' re-added below if needed)
+        case "/.." => if (!segs.isEmpty) segs.remove(segs.size() - 1)
+        case s => segs.add(s)
+      }
+      i = end
+    }
+    val sb = new java.lang.StringBuilder()
+    segs.forEach(s => { sb.append(s); () })
+    // preserve a trailing slash ('/', '/.', '/..' endings all end in '/')
+    if (path.endsWith("/") || path.endsWith("/.") || path.endsWith("/.."))
+      sb.append('/')
+    if (sb.length() == 0) sb.append('/')
+    sb.append(query)
+    sb.toString
+  }
+}
+
+/** Anchor hrefs of an HTML string column, decoded and scheme-filtered,
+  * in document order — see [[HtmlLinks]]. NULL in, NULL out. */
+case class HtmlHrefs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlLinks.linksKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.HtmlLinks.linksKernel($in);")
+
+  override protected def withNewChildInternal(c: Expression): HtmlHrefs = copy(child = c)
+}
+
+/** RFC 3986 resolution of `ref` against `base` — see [[HtmlLinks]].
+  * NULL (either side, or an unresolvable pair) → NULL. */
+case class ResolveUrl(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  // the kernel degrades unresolvable pairs to null even on non-null
+  // inputs, so the expression must report nullable (a FalseLiteral
+  // isNull slot would make the generated assignment unwritable)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(base: Any, ref: Any): Any =
+    HtmlLinks.resolveKernel(base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, (b, r) =>
+      s"""${ev.value} = graft.plans.HtmlLinks.resolveKernel($b, $r);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+    code
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ResolveUrl =
+    copy(left = l, right = r)
+}
+
 /** Extract visible plain text from an HTML string column — see
   * [[HtmlText]] for the contract. NULL in, NULL out. */
 case class HtmlToText(child: Expression) extends UnaryExpression {
@@ -217,4 +437,15 @@ case class HtmlToText(child: Expression) extends UnaryExpression {
 object HtmlTextExpr {
   def htmlToText(html: Column): Column =
     ColumnBridge.column(HtmlToText(ColumnBridge.expression(html)))
+
+  /** Anchor hrefs (decoded, scheme-filtered, fragment-stripped), in
+    * document order. */
+  def htmlHrefs(html: Column): Column =
+    ColumnBridge.column(HtmlHrefs(ColumnBridge.expression(html)))
+
+  /** RFC 3986 resolution of `ref` against `base`; NULL when
+    * unresolvable. */
+  def resolveUrl(base: Column, ref: Column): Column =
+    ColumnBridge.column(ResolveUrl(
+      ColumnBridge.expression(base), ColumnBridge.expression(ref)))
 }

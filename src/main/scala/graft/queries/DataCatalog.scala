@@ -4148,6 +4148,48 @@ object DataCatalog {
     },
     Some(Dp6OracleSql))
 
+  // EXT2 — link extraction + RFC 3986 resolution (r17 — the crawl-graph
+  // production step: every url/pr/dp7 input ultimately comes from
+  // anchors in fetched pages, resolved against the page's own URL; the
+  // url family extracts bare URLs from plain text, which raw HTML never
+  // gives you): the fixture's pages carry five anchors per doc —
+  // absolute, root-relative (single-quoted, `&amp;`-encoded between
+  // query params), dotted-relative (`../`), a `javascript:` and a pure
+  // fragment (both of which the extractor must DROP) — and the entry
+  // explodes the decoded hrefs and resolves each against the record's
+  // WARC-Target-URI (§5.2.4 dot-segment removal included). The oracle
+  // derives all three surviving resolved links per doc closed-form from
+  // doc_id arithmetic, so attribute parsing, entity decode inside
+  // attributes, scheme/fragment hygiene, and reference resolution are
+  // all hash-gated. Extraction + resolution are codegen'd expressions —
+  // pure map + explode, link cardinality bounds what moves.
+  val ext2 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+      ordered(recs
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"),
+          explode(graft.plans.HtmlTextExpr.htmlHrefs(col("payload"))).as("href"))
+        .select(col("doc_id"),
+          graft.plans.HtmlTextExpr.resolveUrl(col("target_uri"), col("href"))
+            .as("link")))
+    },
+    Some("SELECT doc_id, link FROM (" +
+      "SELECT doc_id, 'https://example' || (doc_id % 7) || '.org/abs/' || " +
+      "(doc_id % 50) AS link FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
+      "'.org/rel/' || (doc_id % 13) || '?a=1&b=2' FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
+      "'.org/up/' || (doc_id % 5) FROM documents)" + OBA))
+
   // DP7 — authority-weighted curation: the composition a CommonCrawl-
   // style curator actually runs with the graph family. Each doc's host
   // is a residue bucket; the host graph comes from url1's link
@@ -7687,5 +7729,6 @@ object DataCatalog {
     "sim13_incremental_knn" -> sim13, "sim14_knn_delete" -> sim14,
     "sim15_filtered_ann" -> sim15,
     "ext1_html_extraction" -> ext1, "dp6r_raw_crawl_prep" -> dp6r,
-    "m4h_gif_storage_dedup" -> m4h, "out5b_zone_map_card" -> out5b)
+    "m4h_gif_storage_dedup" -> m4h, "out5b_zone_map_card" -> out5b,
+    "ext2_link_extraction" -> ext2)
 }

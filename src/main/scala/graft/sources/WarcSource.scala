@@ -263,6 +263,17 @@ object WarcSource {
   private def htmlResponseRecord(r: Row): Array[Byte] = {
     val id = r.getLong(0)
     val (b1, b2) = encodeBlocks(id, r.getString(3))
+    // anchors for the link-extraction entry (ext2): absolute,
+    // root-relative (entity-encoded &amp; between query params, bare
+    // single-quoted value), dotted-relative, plus a javascript: and a
+    // pure-fragment href the extractor must DROP. Image-only content —
+    // no visible text, so ext1/dp6r's closed forms are untouched.
+    val links =
+      s"""<nav><a href="https://example${id % 7}.org/abs/${id % 50}"><img src="i.png"/></a>""" +
+        s"""<a class="x" href='/rel/${id % 13}?a=1&amp;b=2'><img src="j.png"/></a>""" +
+        s"""<a href="../up/${id % 5}"><img src="k.png"/></a>""" +
+        """<a href="javascript:void(0)"><img src="l.png"/></a>""" +
+        """<a href="#top"><img src="m.png"/></a></nav>"""
     val html = "<!DOCTYPE html>\n<html><head>\n" +
       s"<title>graft fixture doc $id</title>\n" +
       "<script type=\"text/javascript\">var gate = 1 < 2; " +
@@ -271,7 +282,7 @@ object WarcSource {
       "</head>\n<body class=\"doc\">\n" +
       "<!-- crawler boilerplate: <p>not text</p> -->\n" +
       s"<div id=\"main\"><p> $b1 </p>\n<p>$b2</p></div>\n" +
-      "</body></html>"
+      links + "\n</body></html>"
     val (cs, declared) =
       if (id % 5 == 2) (ISO_8859_1, "iso-8859-1") else (UTF_8, "utf-8")
     record(Seq(

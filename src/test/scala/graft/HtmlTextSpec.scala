@@ -71,6 +71,55 @@ class HtmlTextSpec extends AnyFunSuite {
     }
   }
 
+  test("link extraction: attribute forms, entity decode, scheme/fragment hygiene") {
+    def links(html: String): Seq[String] = {
+      val a = graft.plans.HtmlLinks.linksKernel(UTF8String.fromString(html))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    val html = """<body>
+      <a href="https://x.org/a">t</a>
+      <A CLASS="y" HREF='/b?p=1&amp;q=2'>t</A>
+      <a href=../c/d>bare</a>
+      <a name="anchor-no-href">t</a>
+      <a href="javascript:void(0)">t</a>
+      <a href="mailto:someone@example.org">t</a>
+      <a href="#frag-only">t</a>
+      <a href="/keep#frag-dropped">t</a>
+      <abbr href="/not-an-anchor">t</abbr>
+      <a data-href="/decoy" href="/real">t</a>
+    </body>"""
+    assert(links(html) == Seq("https://x.org/a", "/b?p=1&q=2", "../c/d",
+      "/keep", "/real"))
+    // never throws on garbage
+    val rnd = new java.util.Random(3L)
+    val alphabet = "<>ahref='\"= /#&;x"
+    for (_ <- 1 to 100)
+      links(new String(Array.fill(rnd.nextInt(200))(
+        alphabet.charAt(rnd.nextInt(alphabet.length)))))
+  }
+
+  test("URL resolution: RFC 3986 reference cases and dot-segment removal") {
+    def res(base: String, ref: String): String = {
+      val r = graft.plans.HtmlLinks.resolveKernel(
+        UTF8String.fromString(base), UTF8String.fromString(ref))
+      if (r == null) null else r.toString
+    }
+    val base = "https://h.example.org/a/b/c?q=1"
+    assert(res(base, "https://other.org/x") == "https://other.org/x")
+    assert(res(base, "//cdn.example.org/x") == "https://cdn.example.org/x")
+    assert(res(base, "/x/y") == "https://h.example.org/x/y")
+    assert(res(base, "x") == "https://h.example.org/a/b/x")
+    assert(res(base, "../x") == "https://h.example.org/a/x")
+    assert(res(base, "../../x") == "https://h.example.org/x")
+    assert(res(base, "../../../x") == "https://h.example.org/x", "underflow clamps at root")
+    assert(res(base, "./x") == "https://h.example.org/a/b/x")
+    assert(res(base, "?q=2") == "https://h.example.org/a/b/c?q=2")
+    assert(res(base, "") == "https://h.example.org/a/b/c")
+    assert(res("https://h.org", "x") == "https://h.org/x", "authority-only base")
+    assert(res(base, "x/") == "https://h.example.org/a/b/x/", "trailing slash kept")
+    assert(res("not-a-url", "x") == null, "unresolvable base degrades to null")
+  }
+
   test("fixture round trip: encodeBlocks pages extract back to the closed form") {
     for (id <- 0L to 9L) {
       val text = "alpha beta gamma delta epsilon zeta eta theta"
