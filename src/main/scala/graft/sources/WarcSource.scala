@@ -397,6 +397,27 @@ object WarcSource {
       java.util.Arrays.copyOfRange(chunk, hEnd + 4, hEnd + 4 + len.toInt)))
   }
 
+  /** Split one whole WARC file's bytes into record chunks (the bytes
+    * AFTER each "WARC/1.0\r\n", up to the next) — the byte-level twin
+    * of the Hadoop record-delimiter split, for sources that deliver
+    * whole files (the streaming binaryFile source: response payloads
+    * are NOT UTF-8-safe, so the text source's lineSep trick would
+    * U+FFFD-mangle the latin-1/cp1252 slices before the charset is
+    * even known). */
+  private[graft] def splitChunks(b: Array[Byte]): Iterator[Array[Byte]] = {
+    val starts = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = indexOf(b, DelimBytes, 0)
+    while (i >= 0) {
+      starts += i + DelimBytes.length
+      i = indexOf(b, DelimBytes, i + DelimBytes.length)
+    }
+    starts.iterator.zipWithIndex.map { case (s, k) =>
+      val e = if (k + 1 < starts.length) starts(k + 1) - DelimBytes.length
+        else b.length
+      java.util.Arrays.copyOfRange(b, s, e)
+    }
+  }
+
   /** String-input shim over [[parseRecordBytes]] (UTF-8 text records —
     * the WET shape; the streaming twin's kernel and the kernel tests'
     * surface): body returned as a UTF-8 string. */

@@ -80,6 +80,71 @@ object WarcStream {
     DocStream.curate(docs, langs, minWords, minQuality, permille)
   }
 
+  /** RAW-CRAWL extraction IN FLIGHT (r17 — ext1/dp6r's stream twin,
+    * completing the streaming story for the raw-response chain):
+    * `response` WARC segments land over time, and each discovered file
+    * splits at record boundaries at BYTE level through the binaryFile
+    * source — the text source's lineSep trick would U+FFFD-mangle the
+    * latin-1/cp1252 charset slices before [[WarcSource.parseHttp]]
+    * could dispatch them, so whole-file byte delivery is the correct
+    * streaming shape here (per-file memory = one crawl segment, the
+    * size the fetcher's rotation policy already bounds). Envelope
+    * split, de-chunk, gzip inflate, charset decode, and the HTML→text
+    * extraction expression are all ROW-LOCAL and stateless, so
+    * stream ≡ batch holds row-for-row at any trigger cadence
+    * (ScaleSpec pins it against the batch readResponses + htmlToText
+    * chain). Output is the documents shape (doc_id, lang, text) —
+    * [[DocStream.curate]] composes on top exactly as dp6r's batch
+    * pipeline does. Undecodable payloads (encoding degrade) drop, the
+    * same rows the batch chain drops. */
+  def extractedDocs(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the binaryFile source's fixed schema, required explicitly for
+    // streaming reads (no inference on a stream)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val rows = spark.readStream.format("binaryFile").schema(binarySchema)
+      .load(glob)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        WarcSource.splitChunks(bytes)
+          .flatMap(WarcSource.parseRecordBytes)
+          .flatMap { case (t, _, rid, lang, _, _, body) =>
+            if (t != "response") None
+            else WarcSource.parseHttp(body) match {
+              case Some((_, _, _, _, true, Some(payload))) =>
+                Some((rid, lang, payload))
+              case _ => None
+            }
+          }
+      }.toDF("record_id", "lang", "payload")
+    rows.select(
+      regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long").as("doc_id"),
+      col("lang"),
+      graft.plans.HtmlTextExpr.htmlToText(col("payload")).as("text"))
+  }
+
+  /** Drive [[extractedDocs]] (AvailableNow) into a memory sink. */
+  def runExtractedAvailableNow(spark: SparkSession, glob: String,
+      outName: String): StreamingQuery = {
+    val q = extractedDocs(spark, glob).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(outName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Drive [[curatedDocs]] (AvailableNow) into a memory sink. */
   def runCuratedAvailableNow(spark: SparkSession, glob: String,
       langs: Seq[String], minWords: Long, minQuality: Double,

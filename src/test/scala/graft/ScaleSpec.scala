@@ -1471,6 +1471,33 @@ class ScaleSpec extends AnyFunSuite {
       "in-flight curation must equal the batch pipeline")
   }
 
+  test("streaming raw-crawl extraction emits exactly the batch extraction chain") {
+    import graft.streaming.WarcStream
+    import graft.sources.{Tables, WarcSource}
+    val dir = java.nio.file.Files.createTempDirectory("warc_extract_stream").toString
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"),
+      col("text"), concat(lit("https://example"), col("doc_id") % 7,
+        lit(".org/doc/"), col("doc_id")).as("uri"))
+    WarcSource.writeHtmlResponses(docs, dir, 4)
+    // response segments land whole (binaryFile source), records split at
+    // BYTE level, envelope + encodings + charset + extraction run
+    // row-locally: the streamed documents frame must equal the batch
+    // readResponses → htmlToText chain row-for-row — including the
+    // non-UTF-8 charset slices a text-source stream would mangle
+    WarcStream.runExtractedAvailableNow(spark, dir + "/warc-*.warc",
+      "warc_extract_out")
+    val streamed = spark.table("warc_extract_out")
+    val batch = WarcSource.readResponses(spark, dir + "/warc-*.warc")
+      .filter(col("warc_type") === "response" && col("encoding_ok"))
+      .select(
+        regexp_extract(col("record_id"), "doc:(\\d+)", 1).cast("long").as("doc_id"),
+        col("content_lang").as("lang"),
+        graft.plans.HtmlTextExpr.htmlToText(col("payload")).as("text"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0,
+      "in-flight extraction must equal the batch chain row-for-row")
+  }
+
   test("streaming curation gate emits exactly the batch result (stateless, rerun-stable)") {
     import graft.streaming.DocStream
     val dir = java.nio.file.Files.createTempDirectory("doc_curate")
