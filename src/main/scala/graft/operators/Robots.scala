@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** robots.txt (RFC 9309, the Robots Exclusion Protocol) — the gate
+  * every polite crawler runs between link extraction and the fetch
+  * frontier: a URL is fetched only if the target host's published
+  * rules allow it for this crawler's user-agent.
+  *
+  * Parsing (§2.2): `field: value` lines, `#` comments stripped, fields
+  * case-insensitive; one or more consecutive `User-agent` lines start
+  * a group and the group's `Allow`/`Disallow` rules apply to each
+  * named agent; the crawler obeys the group(s) naming ITS agent token
+  * (case-insensitive exact match here — product-token prefix matching
+  * is a crawler-side refinement), falling back to the `*` group when
+  * none do, and to allow-all when there is no `*` group either. An
+  * empty Disallow value matches nothing (the classic "allow all"
+  * idiom) and is dropped at parse.
+  *
+  * Matching (§2.2.2): rules are path-prefix patterns over the URL's
+  * path + optional query, with `*` matching any character run and a
+  * trailing `$` anchoring the end; the MOST SPECIFIC match wins —
+  * longest pattern by octets, ties broken in favor of Allow — and a
+  * URL matching no rule is allowed.
+  *
+  * Spark shape: a host's rule set is small bounded driver state (the
+  * same class as a k-means model), so the decision compiles into a
+  * LITERAL first-match `when` chain over rules pre-sorted by
+  * (length desc, allow first) — plain prefixes become `startswith`,
+  * wildcard/anchored patterns become foldable `rlike` regexes, all
+  * codegen'd built-ins, zero UDFs, zero joins: the frontier filter is
+  * a pure map at any corpus size. A deployment gating MANY hosts'
+  * robots at once joins the frontier to a broadcast (host, rules)
+  * frame instead — same decision semantics, one broadcast join. */
+object Robots {
+
+  /** One parsed rule: the raw pattern and whether it allows. */
+  final case class Rule(pattern: String, allow: Boolean)
+
+  /** Parse `txt` and return the rules governing `agent` —
+    * the agent's own group(s), else the `*` group(s), else empty
+    * (allow everything). */
+  def parseRules(txt: String, agent: String): Seq[Rule] = {
+    val want = agent.trim.toLowerCase
+    // groups as (agent tokens, rules); consecutive UA lines share a group
+    val groups = scala.collection.mutable.ArrayBuffer[
+      (scala.collection.mutable.ArrayBuffer[String],
+        scala.collection.mutable.ArrayBuffer[Rule])]()
+    var inAgents = false
+    txt.split("\r?\n").foreach { line0 =>
+      val line = line0.takeWhile(_ != '#').trim
+      val sep = line.indexOf(':')
+      if (sep > 0) {
+        val field = line.substring(0, sep).trim.toLowerCase
+        val value = line.substring(sep + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgents || groups.isEmpty) {
+              groups += ((scala.collection.mutable.ArrayBuffer[String](),
+                scala.collection.mutable.ArrayBuffer[Rule]()))
+            }
+            groups.last._1 += value.toLowerCase
+            inAgents = true
+          case "allow" | "disallow" =>
+            inAgents = false
+            // a rule before any UA line is spec-invalid: ignored;
+            // an empty Disallow matches nothing: dropped
+            if (groups.nonEmpty && value.nonEmpty)
+              groups.last._2 += Rule(value, field == "allow")
+          case _ => inAgents = false // sitemap/crawl-delay/…: not rules
+        }
+      }
+    }
+    val own = groups.filter(_._1.contains(want)).flatMap(_._2).toSeq
+    if (own.nonEmpty) own
+    else groups.filter(_._1.contains("*")).flatMap(_._2).toSeq
+  }
+
+  /** The match condition for one REP pattern over a path(+query)
+    * column: a plain pattern is a prefix test; `*`/trailing-`$`
+    * patterns compile to an anchored regex (all other chars quoted). */
+  private[graft] def matchCond(path: Column, pattern: String): Column =
+    if (!pattern.contains('*') && !pattern.endsWith("$"))
+      path.startsWith(pattern)
+    else {
+      val (body, anchored) =
+        if (pattern.endsWith("$")) (pattern.dropRight(1), true)
+        else (pattern, false)
+      val rx = body.split("\\*", -1)
+        .map(p => if (p.isEmpty) "" else java.util.regex.Pattern.quote(p))
+        .mkString("^", ".*", if (anchored) "$" else "")
+      path.rlike(rx)
+    }
+
+  /** Longest-match-wins decision column over `rules` (ties → Allow;
+    * no match → allowed). The chain is ordered at plan-build time, so
+    * the whole gate is one codegen'd boolean expression. */
+  def allowCol(path: Column, rules: Seq[Rule]): Column = {
+    val ordered = rules.sortBy(r => (-r.pattern.length, !r.allow))
+    ordered.foldRight(lit(true)) { (r, acc) =>
+      when(matchCond(path, r.pattern), lit(r.allow)).otherwise(acc)
+    }
+  }
+
+  /** The path + optional query of a URL column — what REP patterns
+    * match against (scheme/host/fragment never participate). A bare
+    * authority URL gates as "/". */
+  def urlPath(url: Column): Column =
+    when(regexp_extract(url, "^[a-z]+://[^/?#]+([^#]*)", 1) === "", lit("/"))
+      .otherwise(regexp_extract(url, "^[a-z]+://[^/?#]+([^#]*)", 1))
+}

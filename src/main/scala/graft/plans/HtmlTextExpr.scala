@@ -274,20 +274,24 @@ object HtmlLinks {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
-  /** The href attribute's raw value inside one tag's text, or null:
-    * `href` (case-insensitive) = "quoted" | 'quoted' | bare-token. */
-  private def findHref(tag: String): String = {
+  private def findHref(tag: String): String = findAttr(tag, "href")
+
+  /** The named attribute's raw value inside one tag's text, or null:
+    * `name` (case-insensitive) = "quoted" | 'quoted' | bare-token.
+    * The name must stand alone (whitespace before it — `data-href`
+    * does not match `href`). */
+  private[graft] def findAttr(tag: String, name: String): String = {
     var i = 0
     val n = tag.length
-    while (i + 4 < n) {
-      val at = indexOfIc(tag, "href", i)
+    val nl = name.length
+    while (i + nl < n) {
+      val at = indexOfIc(tag, name, i)
       if (at < 0) return null
-      // must be a standalone attribute name (not e.g. data-href)
       val before = if (at == 0) ' ' else tag.charAt(at - 1)
-      var j = at + 4
+      var j = at + nl
       while (j < n && Character.isWhitespace(tag.charAt(j))) j += 1
       if (!Character.isWhitespace(before) || j >= n || tag.charAt(j) != '=') {
-        i = at + 4
+        i = at + nl
       } else {
         j += 1
         while (j < n && Character.isWhitespace(tag.charAt(j))) j += 1
@@ -301,6 +305,49 @@ object HtmlLinks {
         while (j < n && !Character.isWhitespace(tag.charAt(j))) j += 1
         return tag.substring(start, j)
       }
+    }
+    null
+  }
+
+  /** The first `<title>…</title>` element's text, entity-decoded and
+    * whitespace-collapsed — the page metadata every crawl index keys
+    * on (head content, which body-scoped text extraction deliberately
+    * excludes). Null when absent/unterminated. */
+  def titleKernel(input: UTF8String): UTF8String = {
+    val html = input.toString
+    val at = indexOfIc(html, "<title", 0)
+    if (at < 0) return null
+    val open = html.indexOf('>', at)
+    if (open < 0) return null
+    val close = indexOfIc(html, "</title", open + 1)
+    if (close < 0) return null
+    // inner text has no markup; the text kernel is exactly the entity
+    // decode + whitespace collapse this needs
+    HtmlText.extractKernel(
+      UTF8String.fromString(html.substring(open + 1, close)))
+  }
+
+  /** The first `<meta name="<metaName>" content="…">` value,
+    * entity-decoded (attribute values carry &amp; legally) — the
+    * description/keywords/robots metadata cards read. Attribute order
+    * free; null when no such meta tag exists. */
+  def metaKernel(input: UTF8String, metaName: String): UTF8String = {
+    val html = input.toString
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val at = indexOfIc(html, "<meta", i)
+      if (at < 0) return null
+      val gt = html.indexOf('>', at)
+      if (gt < 0) return null
+      val tag = html.substring(at, gt)
+      val nm = findAttr(tag, "name")
+      if (nm != null && nm.equalsIgnoreCase(metaName)) {
+        val content = findAttr(tag, "content")
+        if (content != null)
+          return UTF8String.fromString(decodeAttr(content).trim)
+      }
+      i = gt + 1
     }
     null
   }
@@ -419,6 +466,41 @@ case class ResolveUrl(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** The first `<title>` element's decoded text — null when absent. */
+case class HtmlTitle(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlLinks.titleKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""${ev.value} = graft.plans.HtmlLinks.titleKernel($in);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): HtmlTitle = copy(child = c)
+}
+
+/** The first `<meta name=… content=…>` value for a given name — null
+  * when absent. */
+case class HtmlMeta(child: Expression, metaName: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlLinks.metaKernel(input.asInstanceOf[UTF8String], metaName)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nameRef = ctx.addReferenceObj("metaName", metaName, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""${ev.value} = graft.plans.HtmlLinks.metaKernel($in, $nameRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HtmlMeta = copy(child = c)
+}
+
 /** Extract visible plain text from an HTML string column — see
   * [[HtmlText]] for the contract. NULL in, NULL out. */
 case class HtmlToText(child: Expression) extends UnaryExpression {
@@ -448,4 +530,12 @@ object HtmlTextExpr {
   def resolveUrl(base: Column, ref: Column): Column =
     ColumnBridge.column(ResolveUrl(
       ColumnBridge.expression(base), ColumnBridge.expression(ref)))
+
+  /** The first `<title>` element's decoded text; NULL when absent. */
+  def htmlTitle(html: Column): Column =
+    ColumnBridge.column(HtmlTitle(ColumnBridge.expression(html)))
+
+  /** The first `<meta name=… content=…>` value; NULL when absent. */
+  def htmlMeta(html: Column, name: String): Column =
+    ColumnBridge.column(HtmlMeta(ColumnBridge.expression(html), name))
 }

@@ -4190,6 +4190,92 @@ object DataCatalog {
       "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
       "'.org/up/' || (doc_id % 5) FROM documents)" + OBA))
 
+  // EXT3 — page-metadata extraction (r17 — the head fields every crawl
+  // index keys on, which body-scoped text extraction deliberately
+  // EXCLUDES: title for display/ranking, meta description for
+  // snippets): the fixture's titles carry messy internal whitespace
+  // (runs + a newline — the collapse must run) and the description
+  // meta carries its content attribute BEFORE its name attribute
+  // behind a decoy viewport meta, with an `&amp;` entity in the value
+  // — so attribute-order-free parsing, named-meta selection, entity
+  // decode inside attributes, and whitespace collapse are all
+  // hash-gated against closed forms on doc_id. Both extractors are
+  // codegen'd expressions; pure map, zero shuffle.
+  val ext3 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+      ordered(recs.select(
+        regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        graft.plans.HtmlTextExpr.htmlTitle(col("payload")).as("title"),
+        graft.plans.HtmlTextExpr.htmlMeta(col("payload"), "description")
+          .as("description")))
+    },
+    Some("SELECT doc_id, 'graft fixture doc ' || doc_id AS title, " +
+      "'summary & digest ' || (doc_id % 97) AS description " +
+      "FROM documents" + OBA))
+
+  // URL7 — robots.txt fetch gate (r17 — RFC 9309, the Robots Exclusion
+  // Protocol: the gate every polite crawler runs between link
+  // extraction and the frontier; composes directly on ext2's resolved
+  // links): the fixture robots.txt exercises group selection (an
+  // `other` group that disallows everything and must NOT apply, two
+  // consecutive user-agent lines sharing the crawler's group,
+  // case-insensitive agent match), comment stripping, the empty-
+  // Disallow allow-all idiom, and all three pattern shapes — plain
+  // prefix, `*` wildcard, trailing `$` anchor — under longest-match-
+  // wins (the /rel/2 Allow beats the shorter /rel/ Disallow). The
+  // oracle states every link's fetch decision closed-form from doc_id
+  // arithmetic. The rule set is bounded driver state compiled into a
+  // literal first-match when-chain of startswith/rlike built-ins —
+  // zero UDFs, zero joins, pure map over the frontier.
+  val url7 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"),
+          explode(graft.plans.HtmlTextExpr.htmlHrefs(col("payload"))).as("href"))
+        .select(col("doc_id"),
+          graft.plans.HtmlTextExpr.resolveUrl(col("target_uri"), col("href"))
+            .as("link"))
+      val robotsTxt =
+        "# fixture robots, RFC 9309 shapes\n" +
+          "User-agent: other\nDisallow: /\n\n" +
+          "User-agent: graftbot # our crawler\n" +
+          "User-agent: graftbot-images\n" +
+          "Crawl-delay: 2\n" +
+          "Disallow: /rel/\n" +
+          "Allow: /rel/2\n" +
+          "Disallow: /up/*3\n" +
+          "Disallow: /abs/1$\n" +
+          "Disallow:\n"
+      val rules = graft.operators.Robots.parseRules(robotsTxt, "GraftBot")
+      ordered(links.select(col("doc_id"), col("link"),
+        graft.operators.Robots.allowCol(
+          graft.operators.Robots.urlPath(col("link")), rules).as("allowed")))
+    },
+    Some("SELECT doc_id, link, allowed FROM (" +
+      "SELECT doc_id, 'https://example' || (doc_id % 7) || '.org/abs/' || " +
+      "(doc_id % 50) AS link, doc_id % 50 <> 1 AS allowed FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
+      "'.org/rel/' || (doc_id % 13) || '?a=1&b=2', doc_id % 13 = 2 FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
+      "'.org/up/' || (doc_id % 5), doc_id % 5 <> 3 FROM documents)" + OBA))
+
   // DP7 — authority-weighted curation: the composition a CommonCrawl-
   // style curator actually runs with the graph family. Each doc's host
   // is a residue bucket; the host graph comes from url1's link
@@ -7730,5 +7816,6 @@ object DataCatalog {
     "sim15_filtered_ann" -> sim15,
     "ext1_html_extraction" -> ext1, "dp6r_raw_crawl_prep" -> dp6r,
     "m4h_gif_storage_dedup" -> m4h, "out5b_zone_map_card" -> out5b,
-    "ext2_link_extraction" -> ext2)
+    "ext2_link_extraction" -> ext2, "ext3_page_metadata" -> ext3,
+    "url7_robots_gate" -> url7)
 }

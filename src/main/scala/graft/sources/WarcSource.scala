@@ -275,7 +275,9 @@ object WarcSource {
         """<a href="javascript:void(0)"><img src="l.png"/></a>""" +
         """<a href="#top"><img src="m.png"/></a></nav>"""
     val html = "<!DOCTYPE html>\n<html><head>\n" +
-      s"<title>graft fixture doc $id</title>\n" +
+      s"<title> graft   fixture\ndoc $id </title>\n" +
+      s"""<meta name="viewport" content="width=device-width"/>\n""" +
+      s"""<meta content="summary &amp; digest ${id % 97}" name="description"/>\n""" +
       "<script type=\"text/javascript\">var gate = 1 < 2; " +
       "var decoy = \"</p> not a closer\";</script>\n" +
       "<style>p > .main { quotes: '\\201C'; content: \"</span>\"; }</style>\n" +

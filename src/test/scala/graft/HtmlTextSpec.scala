@@ -120,6 +120,64 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(res("not-a-url", "x") == null, "unresolvable base degrades to null")
   }
 
+  test("title and meta extraction: whitespace collapse, attribute order, entity decode") {
+    import graft.plans.HtmlLinks
+    def title(h: String): String = {
+      val t = HtmlLinks.titleKernel(UTF8String.fromString(h))
+      if (t == null) null else t.toString
+    }
+    def meta(h: String, n: String): String = {
+      val m = HtmlLinks.metaKernel(UTF8String.fromString(h), n)
+      if (m == null) null else m.toString
+    }
+    val h = """<html><head><title> A  &amp;
+      B </title><meta name="viewport" content="w"/>
+      <meta content="desc &quot;x&quot;" NAME="Description"/></head><body/></html>"""
+    assert(title(h) == "A & B", "title must entity-decode and collapse whitespace")
+    assert(meta(h, "description") == "desc \"x\"",
+      "meta lookup is name-case-insensitive and attribute-order free")
+    assert(meta(h, "keywords") == null)
+    assert(title("<html><body>no head</body></html>") == null)
+    assert(title("<title>unterminated") == null)
+    assert(meta("<meta name=description>", "description") == null, "no content attr")
+  }
+
+  test("robots.txt: group selection, pattern shapes, longest-match-wins") {
+    import graft.operators.Robots
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val txt = "# comment\nUser-agent: other\nDisallow: /\n\n" +
+      "User-agent: bot\nUser-agent: bot-images\n" +
+      "Crawl-delay: 1\nDisallow: /a/\nAllow: /a/b\nDisallow: /c/*d\n" +
+      "Disallow: /e$\nDisallow:\n"
+    val rules = Robots.parseRules(txt, "Bot")
+    assert(rules.map(r => (r.pattern, r.allow)).toSet ==
+      Set(("/a/", false), ("/a/b", true), ("/c/*d", false), ("/e$", false)),
+      s"got $rules")
+    // unknown agent falls back to the * group; none here → allow-all…
+    assert(Robots.parseRules(txt, "stranger").isEmpty)
+    // …and the * group applies when present
+    assert(Robots.parseRules(txt + "\nUser-agent: *\nDisallow: /z\n", "stranger")
+      .map(_.pattern) == Seq("/z"))
+    // decision semantics over a frame
+    val paths = Seq("/a/x", "/a/b/x", "/c/qqd", "/c/q", "/e", "/ee", "/other")
+      .toDF("p")
+    val out = paths.select(col("p"), Robots.allowCol(col("p"), rules).as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    assert(!out("/a/x"), "prefix disallow")
+    assert(out("/a/b/x"), "longer Allow beats shorter Disallow")
+    assert(!out("/c/qqd"), "wildcard matches")
+    assert(out("/c/q"), "wildcard needs the literal tail")
+    assert(!out("/e"), "anchored match")
+    assert(out("/ee"), "anchor must not prefix-match")
+    assert(out("/other"), "no rule matches: allowed")
+    // urlPath: path+query, fragments and authority-only forms
+    val urls = Seq("https://h.org/p?q=1#frag", "https://h.org", "https://h.org/x")
+      .toDF("u").select(Robots.urlPath(col("u"))).as[String].collect().toSeq
+    assert(urls == Seq("/p?q=1", "/", "/x"))
+  }
+
   test("fixture round trip: encodeBlocks pages extract back to the closed form") {
     for (id <- 0L to 9L) {
       val text = "alpha beta gamma delta epsilon zeta eta theta"
