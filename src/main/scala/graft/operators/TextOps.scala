@@ -340,6 +340,25 @@ object TextOps {
     * per-host caps à la C4/RefinedWeb). Pure map + explode on the
     * matches, then ONE hash agg on the host — no URL table, no join;
     * host cardinality bounds the agg output, not the corpus. */
+  /** Drop boilerplate-sized blocks from block-structured text — the
+    * length gate of the jusText/trafilatura family's paragraph
+    * classifiers, and the natural consumer of the extraction kernel's
+    * output (HtmlText emits paragraphs separated by single newlines):
+    * blocks with fewer than `minTokens` whitespace tokens (nav bars,
+    * footers, cookie banners, "Home About Contact") drop; surviving
+    * blocks rejoin in order. A fully-boilerplate document becomes the
+    * empty string — the caller's length floor (dp6's s2 stage) then
+    * drops it, which is exactly the composition a curation pipeline
+    * wants. Pure built-in composition (split → filter → array_join),
+    * map-only, zero UDFs. */
+  def dropShortBlocks(text: Column, minTokens: Int): Column = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    array_join(
+      filter(split(text, "\n"),
+        b => size(split(trim(b), "\\s+")) >= minTokens),
+      "\n")
+  }
+
   /** Per-document extracted URLs, one row per link occurrence — the
     * shared extraction under [[docHosts]]/[[linkHosts]] (host stats,
     * pr1 edges) and [[urlDedup]]. Pure map + explode. */

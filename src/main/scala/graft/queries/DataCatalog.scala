@@ -4235,6 +4235,22 @@ object DataCatalog {
   // arithmetic. The rule set is bounded driver state compiled into a
   // literal first-match when-chain of startswith/rlike built-ins —
   // zero UDFs, zero joins, pure map over the frontier.
+  /** The url7/url7b robots fixture — every RFC 9309 shape the parser
+    * must handle: a non-matching group, shared consecutive user-agent
+    * lines, comments, non-rule fields, all three pattern forms, and
+    * the empty-Disallow idiom. */
+  private val RobotsFixture: String =
+    "# fixture robots, RFC 9309 shapes\n" +
+      "User-agent: other\nDisallow: /\n\n" +
+      "User-agent: graftbot # our crawler\n" +
+      "User-agent: graftbot-images\n" +
+      "Crawl-delay: 2\n" +
+      "Disallow: /rel/\n" +
+      "Allow: /rel/2\n" +
+      "Disallow: /up/*3\n" +
+      "Disallow: /abs/1$\n" +
+      "Disallow:\n"
+
   val url7 = Q(
     (s, d) => {
       val dir = sfScratch("/tmp/graft_warc_html", d)
@@ -4252,18 +4268,7 @@ object DataCatalog {
         .select(col("doc_id"),
           graft.plans.HtmlTextExpr.resolveUrl(col("target_uri"), col("href"))
             .as("link"))
-      val robotsTxt =
-        "# fixture robots, RFC 9309 shapes\n" +
-          "User-agent: other\nDisallow: /\n\n" +
-          "User-agent: graftbot # our crawler\n" +
-          "User-agent: graftbot-images\n" +
-          "Crawl-delay: 2\n" +
-          "Disallow: /rel/\n" +
-          "Allow: /rel/2\n" +
-          "Disallow: /up/*3\n" +
-          "Disallow: /abs/1$\n" +
-          "Disallow:\n"
-      val rules = graft.operators.Robots.parseRules(robotsTxt, "GraftBot")
+      val rules = graft.operators.Robots.parseRules(RobotsFixture, "GraftBot")
       ordered(links.select(col("doc_id"), col("link"),
         graft.operators.Robots.allowCol(
           graft.operators.Robots.urlPath(col("link")), rules).as("allowed")))
@@ -4275,6 +4280,80 @@ object DataCatalog {
       "'.org/rel/' || (doc_id % 13) || '?a=1&b=2', doc_id % 13 = 2 FROM documents " +
       "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
       "'.org/up/' || (doc_id % 5), doc_id % 5 <> 3 FROM documents)" + OBA))
+
+  // URL7B — the robots gate at MANY-HOST scale (r17 — url7's broadcast
+  // twin, the m4f/mbr1b storage-vs-plan move applied to rules: url7
+  // compiles one host's bounded rule set into a literal when-chain,
+  // which cannot hold a million hosts' robots): rules arrive as a
+  // (host, pattern, allow) FRAME — patterns compiled to anchored
+  // regexes ON the rules frame, a per-rule cost — and the frontier
+  // gates through ONE broadcast hash join on host with the REP match
+  // as residual, then one map-side-combined aggregate picking each
+  // URL's longest matching rule (Allow on ties, no match → allowed).
+  // Graded against url7's ORACLE VERBATIM: the data-driven plan and
+  // the literal plan must reach identical fetch decisions on every
+  // link. ScaleSpec pins the broadcast join and the scala-side
+  // equality with url7's when-chain.
+  val url7b = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"),
+          explode(graft.plans.HtmlTextExpr.htmlHrefs(col("payload"))).as("href"))
+        .select(col("doc_id"),
+          graft.plans.HtmlTextExpr.resolveUrl(col("target_uri"), col("href"))
+            .as("link"))
+      // every fixture host publishes the same policy — as DATA, one
+      // row per (host, rule), the shape a million-host corpus ships in
+      import s.implicits._
+      val rules = graft.operators.Robots.parseRules(RobotsFixture, "graftbot")
+      val rulesDf = (for { k <- 0 until 7; r <- rules }
+        yield (s"example$k.org", r.pattern, r.allow))
+        .toDF("host", "pattern", "allow")
+      ordered(graft.operators.Robots.gateFrontier(links, col("link"), rulesDf))
+    },
+    Some("SELECT doc_id, link, allowed FROM (" +
+      "SELECT doc_id, 'https://example' || (doc_id % 7) || '.org/abs/' || " +
+      "(doc_id % 50) AS link, doc_id % 50 <> 1 AS allowed FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
+      "'.org/rel/' || (doc_id % 13) || '?a=1&b=2', doc_id % 13 = 2 FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
+      "'.org/up/' || (doc_id % 5), doc_id % 5 <> 3 FROM documents)" + OBA))
+
+  // TX18 — boilerplate-block filter (r17 — the paragraph-length gate of
+  // the jusText/trafilatura family, the natural consumer of ext1's
+  // block-structured output: nav bars, footers, and cookie banners are
+  // SHORT blocks, and a curation pipeline drops them before any token
+  // accounting): each doc gains three boilerplate blocks ("Home About
+  // Contact" ahead of the text, "Prev Next" and a two-token footer
+  // after it); the filter must drop exactly those three and keep the
+  // main block VERBATIM — the md5 pins both directions (kept content
+  // unmodified, boilerplate gone). Pure built-in composition (split →
+  // filter HOF → array_join), map-only, zero UDFs; the oracle replays
+  // it closed-form.
+  val tx18 = Q(
+    (s, d) => {
+      val blocks = documents(s, d).select(col("doc_id"),
+        concat(lit("Home About Contact\n"), col("text"),
+          lit("\nPrev Next\n© 2024 footer")).as("t"))
+      val clean = TextOps.dropShortBlocks(col("t"), 5)
+      ordered(blocks.select(col("doc_id"),
+        (size(split(col("t"), "\n")) - size(split(clean, "\n")))
+          .cast("long").as("n_dropped"),
+        octet_length(clean).cast("long").as("clean_len"),
+        md5(clean.cast("binary")).as("clean_md5")))
+    },
+    Some("SELECT doc_id, CAST(3 AS BIGINT) AS n_dropped, " +
+      "CAST(octet_length(encode(text)) AS BIGINT) AS clean_len, " +
+      "md5(text) AS clean_md5 FROM documents" + OBA))
 
   // DP7 — authority-weighted curation: the composition a CommonCrawl-
   // style curator actually runs with the graph family. Each doc's host
@@ -7817,5 +7896,6 @@ object DataCatalog {
     "ext1_html_extraction" -> ext1, "dp6r_raw_crawl_prep" -> dp6r,
     "m4h_gif_storage_dedup" -> m4h, "out5b_zone_map_card" -> out5b,
     "ext2_link_extraction" -> ext2, "ext3_page_metadata" -> ext3,
-    "url7_robots_gate" -> url7)
+    "url7_robots_gate" -> url7, "url7b_robots_frontier" -> url7b,
+    "tx18_boilerplate_blocks" -> tx18)
 }

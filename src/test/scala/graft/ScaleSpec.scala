@@ -1471,6 +1471,34 @@ class ScaleSpec extends AnyFunSuite {
       "in-flight curation must equal the batch pipeline")
   }
 
+  test("robots frontier gate: broadcast-join plan, decisions equal the literal when-chain") {
+    import graft.operators.Robots
+    val txt = "User-agent: bot\nDisallow: /a/\nAllow: /a/b\n" +
+      "Disallow: /c/*d\nDisallow: /e$\n"
+    val rules = Robots.parseRules(txt, "bot")
+    val frontier = (0L until 500L).map { i =>
+      (i, s"https://h${i % 5}.example.org/" +
+        Seq("a/x", "a/b/y", "c/qd", "c/q", "e", "ee", "other")(
+          (i % 7).toInt))
+    }.toDF("id", "link")
+    import org.apache.spark.sql.functions.{col => c}
+    val rulesDf = (for { k <- 0 until 5; r <- rules }
+      yield (s"h$k.example.org", r.pattern, r.allow)).toDF("host", "pattern", "allow")
+    val gated = Robots.gateFrontier(frontier, c("link"), rulesDf)
+    // the data-driven plan must reach the literal plan's decisions
+    val literal = frontier.select(c("id"), c("link"),
+      Robots.allowCol(Robots.urlPath(c("link")), rules).as("allowed"))
+    assert(gated.count() == 500)
+    assert(gated.except(literal).count() == 0 && literal.except(gated).count() == 0,
+      "broadcast gate must equal the literal when-chain row-for-row")
+    // plan shape: rules ride a broadcast hash join, never a shuffle of
+    // the frontier before the join
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val joins = nodes(gated).collect { case b: BroadcastHashJoinExec => b }
+    assert(joins.nonEmpty, "rules must join by broadcast")
+    CacheScope.releaseAll()
+  }
+
   test("streaming raw-crawl extraction emits exactly the batch extraction chain") {
     import graft.streaming.WarcStream
     import graft.sources.{Tables, WarcSource}
