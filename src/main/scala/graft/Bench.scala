@@ -170,7 +170,8 @@ object Bench {
     "ext1_html_extraction", "dp6r_raw_crawl_prep",
     "m4h_gif_storage_dedup", "out5b_zone_map_card",
     "ext2_link_extraction", "ext3_page_metadata", "url7_robots_gate",
-    "url7b_robots_frontier", "tx18_boilerplate_blocks")
+    "url7b_robots_frontier", "tx18_boilerplate_blocks",
+    "url8_sitemap_manifest")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

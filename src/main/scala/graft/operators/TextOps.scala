@@ -359,6 +359,29 @@ object TextOps {
       "\n")
   }
 
+  /** Parse a sitemaps.org `urlset` document (the crawl-discovery
+    * channel next to robots.txt: hosts PUBLISH their fetchable URLs,
+    * and a crawler seeds its frontier from them instead of discovering
+    * every page through links): one row per `<url>` entry with its
+    * `<loc>` (required) and `<lastmod>` (optional, NULL when absent —
+    * the field schedulers use for recrawl priority). Whitespace around
+    * values is the spec's to ignore. Pure built-in composition
+    * (regexp_extract_all over entries + explode + per-entry extracts)
+    * — map + explode, entry cardinality bounds what moves; a sitemap
+    * INDEX (`<sitemapindex>` of child sitemaps) is one more hop of the
+    * same parse, driver-sequenced like any bounded fetch loop.
+    * Input: (key, xml) columns; output: (key, loc, lastmod). */
+  def sitemapEntries(df: DataFrame, key: Column, xml: Column): DataFrame =
+    df.select(key.as("key"),
+      explode(regexp_extract_all(xml,
+        lit("(?s)<url>(.*?)</url>"), lit(1))).as("e"))
+      .select(col("key"),
+        regexp_extract(col("e"), "<loc>\\s*([^<]+?)\\s*</loc>", 1).as("loc"),
+        when(col("e").contains("<lastmod>"),
+          regexp_extract(col("e"), "<lastmod>\\s*([^<]+?)\\s*</lastmod>", 1))
+          .otherwise(lit(null).cast("string")).as("lastmod"))
+      .filter(col("loc") =!= "")
+
   /** Per-document extracted URLs, one row per link occurrence — the
     * shared extraction under [[docHosts]]/[[linkHosts]] (host stats,
     * pr1 edges) and [[urlDedup]]. Pure map + explode. */

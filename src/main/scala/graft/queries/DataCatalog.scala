@@ -4355,6 +4355,45 @@ object DataCatalog {
       "CAST(octet_length(encode(text)) AS BIGINT) AS clean_len, " +
       "md5(text) AS clean_md5 FROM documents" + OBA))
 
+  // URL8 — sitemap manifest (r17 — the crawl-discovery channel next to
+  // url7's robots gate: hosts PUBLISH their fetchable URLs and a
+  // crawler seeds its frontier from them): each fixture host's
+  // sitemaps.org urlset is BUILT as data (per-host aggregation of
+  // <url> entries — one string-concat path) and parsed back through
+  // the entry-exploding regex path (a genuinely different code path,
+  // the muxer-vs-parser inverse-pair discipline every warc entry
+  // uses), with every third entry omitting <lastmod> (the optional
+  // field must come back NULL, not empty) and spec-legal whitespace
+  // padding around values. The manifest (host, loc, lastmod) is
+  // closed-form from doc_id arithmetic. Build is one host-keyed agg
+  // (7 rows); parse is map + explode.
+  val url8 = Q(
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        concat(lit("example"), col("doc_id") % 7, lit(".org")).as("host"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("url"),
+        date_format(date_add(lit("2024-01-01"),
+          (col("doc_id") % 28).cast("int")), "yyyy-MM-dd").as("lastmod"))
+      val xml = docs
+        .withColumn("entry", when(col("doc_id") % 3 === 0,
+          format_string("<url><loc> %s </loc></url>", col("url")))
+          .otherwise(format_string(
+            "<url><loc>%s</loc><lastmod> %s </lastmod></url>",
+            col("url"), col("lastmod"))))
+        .groupBy("host")
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          array_join(array_sort(collect_list(col("entry"))), "\n"),
+          lit("</urlset>")).as("xml"))
+      ordered(TextOps.sitemapEntries(xml, col("host"), col("xml"))
+        .select(col("key").as("host"), col("loc"), col("lastmod")))
+    },
+    Some("SELECT 'example' || (doc_id % 7) || '.org' AS host, " +
+      "'https://example' || (doc_id % 7) || '.org/doc/' || doc_id AS loc, " +
+      "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE " +
+      "strftime(DATE '2024-01-01' + INTERVAL ((doc_id % 28)::INT) DAY, '%Y-%m-%d') " +
+      "END AS lastmod FROM documents" + OBA))
+
   // DP7 — authority-weighted curation: the composition a CommonCrawl-
   // style curator actually runs with the graph family. Each doc's host
   // is a residue bucket; the host graph comes from url1's link
@@ -7897,5 +7936,5 @@ object DataCatalog {
     "m4h_gif_storage_dedup" -> m4h, "out5b_zone_map_card" -> out5b,
     "ext2_link_extraction" -> ext2, "ext3_page_metadata" -> ext3,
     "url7_robots_gate" -> url7, "url7b_robots_frontier" -> url7b,
-    "tx18_boilerplate_blocks" -> tx18)
+    "tx18_boilerplate_blocks" -> tx18, "url8_sitemap_manifest" -> url8)
 }
