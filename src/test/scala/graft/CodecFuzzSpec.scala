@@ -74,7 +74,17 @@ class CodecFuzzSpec extends AnyFunSuite {
       "mp4_mjpeg" -> graft.operators.Mp4Codec.encodeMjpeg(16, 16,
         (0 until 3).map(i => JpegCodec.encodeGray(16, 16, raster(16, 16, 20L + i)))),
       "flac" -> graft.operators.FlacCodec.encodeVerbatim(8000, 2,
-        Array.tabulate(1040)(i => ((i * 977) % 8191).toShort), blockSize = 256))
+        Array.tabulate(1040)(i => ((i * 977) % 8191).toShort), blockSize = 256),
+      "mp4_mjpeg_frag" -> graft.operators.Mp4Codec.encodeMjpegFragmented(16, 16,
+        (0 until 3).map(i => JpegCodec.encodeGray(16, 16, raster(16, 16, 30L + i))), 2),
+      "mp4_mjpeg_frag_audio" -> graft.operators.Mp4Codec.encodeMjpegFragmented(16, 16,
+        (0 until 3).map(i => JpegCodec.encodeGray(16, 16, raster(16, 16, 40L + i))), 2,
+        withAudioTraf = true),
+      "gif" -> graft.operators.GifCodec.encodeGray(24, 24, raster(24, 24, 50L)),
+      "gif_interlaced" -> graft.operators.GifCodec.encodeGray(24, 24,
+        raster(24, 24, 51L), interlaced = true),
+      "gif_local_palette" -> graft.operators.GifCodec.encodeGray(24, 24,
+        raster(24, 24, 52L), localPalette = true))
   }
 
   /** Every decoder that accepts raw payload bytes. */
@@ -95,6 +105,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     graft.operators.FlacCodec.info(b)
     Multimodal.jpegSofClass(b)
     Multimodal.exifOrientation(b)
+    graft.operators.Mp4Codec.mjpegFramesFragmented(b)
+    graft.operators.GifCodec.decodeGray(b)
+    graft.operators.GifCodec.gifClass(b)
   }
 
   test("every decoder returns on every truncation prefix of every encoder variant") {

@@ -507,4 +507,81 @@ class PropertySpec extends AnyFunSuite {
     assert(r2._3 == 2000488L,
       s"late event must not inflate the next in-order gap: expected 2000488, got ${r2._3}")
   }
+
+  // ---- extraction / URL kernels (pure, no Spark) ----------------------
+
+  private val tokenGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(('a' to 'z') ++ ('0' to '9') ++ Seq('é', 'ü')))
+      .map(_.mkString)
+  private val tokensGen: Gen[List[String]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, tokenGen))
+
+  test("extraction round trip holds for arbitrary token corpora across every entity slice") {
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(tokensGen, Gen.choose(0L, 99L)) { (toks, id) =>
+      val text = toks.mkString(" ")
+      val (b1, b2) = graft.sources.WarcSource.encodeBlocks(id, text)
+      val html = s"<!DOCTYPE html><html><head><title>t</title>" +
+        "<script>var d = \"</p>\";</script></head>" +
+        s"<body><!-- c --><div><p> $b1 </p>\n<p>$b2</p></div></body></html>"
+      val got = graft.plans.HtmlText
+        .extractKernel(UTF8String.fromString(html)).toString
+      val h = (toks.length + 1) / 2
+      val f1 = (id % 5) match {
+        case 0 => "\"" + toks.head + "\""
+        case 1 => "<" + toks.head + ">"
+        case 2 => toks.head + "é"
+        case _ => toks.head
+      }
+      val expect = (f1 +: toks.slice(1, h)).mkString(" ") +
+        (if (toks.length > h) "\n" + toks.slice(h, toks.length).mkString(" ") else "")
+      assert(got == expect, s"id=$id toks=$toks")
+    }
+  }
+
+  private val baseGen: Gen[String] = for {
+    host <- Gen.oneOf("h.example.org", "x.example.net")
+    segs <- Gen.choose(0, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "d1")))
+    q <- Gen.oneOf("", "?q=1")
+  } yield s"https://$host" + segs.map("/" + _).mkString + q
+  private val refGen: Gen[String] = Gen.oneOf(
+    Gen.oneOf("x", "x/y", "../x", "../../x", "./x", "?p=2", "/abs/x", "//cdn.example.org/z",
+      "https://other.example.com/q", "x/../y", "a/./b"),
+    Gen.listOfN(2, Gen.oneOf("x", "..", ".", "yy")).map(_.mkString("/")))
+
+  test("URL resolution: results are absolute, dot-free, and idempotent") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def res(b: String, r: String): String = {
+      val out = graft.plans.HtmlLinks.resolveKernel(
+        UTF8String.fromString(b), UTF8String.fromString(r))
+      if (out == null) null else out.toString
+    }
+    forAll(baseGen, refGen) { (base, ref) =>
+      val out = res(base, ref)
+      assert(out != null, s"base=$base ref=$ref must resolve")
+      assert(out.matches("^[a-z][a-z0-9+.-]*://[^/?#]+.*"),
+        s"resolved must be absolute: $out")
+      val path = out.replaceFirst("^[a-z]+://[^/?#]*", "").takeWhile(_ != '?')
+      assert(!path.contains("/../") && !path.contains("/./") &&
+        !path.endsWith("/..") && !path.endsWith("/."),
+        s"dot segments must be removed: base=$base ref=$ref -> $out")
+      // resolving an absolute result against any base is the identity
+      assert(res(base, out) == out, s"idempotence: $out")
+    }
+  }
+
+  test("GIF round trip holds across arbitrary dims and both storage flags") {
+    forAll(Gen.zip(Gen.choose(1, 60), Gen.choose(1, 40)),
+      Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))) {
+      case ((w, h), (il, lp)) =>
+        val rnd = new java.util.Random(w * 1000L + h)
+        val px = Array.fill(w * h)(rnd.nextInt(256))
+        val out = graft.operators.GifCodec.decodeGray(
+          graft.operators.GifCodec.encodeGray(w, h, px,
+            interlaced = il, localPalette = lp))
+        assert(out.exists(t => t._1 == w && t._2 == h &&
+          java.util.Arrays.equals(t._3, px)), s"${w}x$h il=$il lp=$lp")
+    }
+  }
 }

@@ -1471,6 +1471,35 @@ class ScaleSpec extends AnyFunSuite {
       "in-flight curation must equal the batch pipeline")
   }
 
+  test("extraction expressions ride WholeStageCodegen (no interpreted eval in the hot path)") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // a REAL scan under the projection — a literal local relation would
+    // constant-fold the expressions at optimization time and the pin
+    // would pass (or fail) vacuously with no codegen span anywhere
+    val df = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        concat(lit("<body><p>"), col("text"), lit("</p><a href=\"/x\">t</a></body>"))
+          .as("html"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("base"))
+      .select(col("doc_id"),
+        graft.plans.HtmlTextExpr.htmlToText(col("html")).as("text"),
+        graft.plans.HtmlTextExpr.htmlTitle(col("html")).as("title"),
+        graft.plans.HtmlTextExpr.resolveUrl(col("base"), lit("../x")).as("r"))
+      .filter(col("text").isNotNull)
+    assert(df.count() > 0)
+    // every extraction expression must sit INSIDE a codegen span — a
+    // CodegenFallback would silently drop the projection out of
+    // whole-stage codegen and interpret per row at 100 TB
+    val spans = nodes(df).collect { case w: WholeStageCodegenExec => w.toString }
+    assert(spans.exists(s => s.contains("htmltotext") || s.contains("HtmlToText")),
+      s"htmlToText must be codegen'd; spans:\n${spans.mkString("\n")}")
+    assert(spans.exists(s => s.toLowerCase.contains("htmltitle")),
+      "htmlTitle must be codegen'd")
+    assert(spans.exists(s => s.toLowerCase.contains("resolveurl")),
+      "resolveUrl must be codegen'd")
+  }
+
   test("robots frontier gate: broadcast-join plan, decisions equal the literal when-chain") {
     import graft.operators.Robots
     val txt = "User-agent: bot\nDisallow: /a/\nAllow: /a/b\n" +
