@@ -97,7 +97,7 @@ object HtmlText {
     // scope: <body …> … </body> (last closer), else the whole input
     var lo = 0
     var hi = html.length
-    val bodyAt = indexOfIgnoreCase(html, "<body", 0)
+    val bodyAt = HtmlLinks.indexOfTag(html, "body", 0)
     if (bodyAt >= 0) {
       val open = html.indexOf('>', bodyAt)
       if (open >= 0) {
@@ -315,7 +315,7 @@ object HtmlLinks {
     * excludes). Null when absent/unterminated. */
   def titleKernel(input: UTF8String): UTF8String = {
     val html = input.toString
-    val at = indexOfIc(html, "<title", 0)
+    val at = indexOfTag(html, "title", 0)
     if (at < 0) return null
     val open = html.indexOf('>', at)
     if (open < 0) return null
@@ -336,7 +336,7 @@ object HtmlLinks {
     var i = 0
     val n = html.length
     while (i < n) {
-      val at = indexOfIc(html, "<meta", i)
+      val at = indexOfTag(html, "meta", i)
       if (at < 0) return null
       val gt = html.indexOf('>', at)
       if (gt < 0) return null
@@ -361,6 +361,21 @@ object HtmlLinks {
         Character.toLowerCase(hay.charAt(i + j)) == needle.charAt(j)) j += 1
       if (j == needle.length) return i
       i += 1
+    }
+    -1
+  }
+
+  /** Index of the OPEN tag `<name` with a real name boundary after it
+    * (whitespace, `>`, or `/`) — so `<body` cannot match `<bodyguard`
+    * nor `<title` match `<titlebar>` (case-insensitive), or -1. */
+  private[graft] def indexOfTag(hay: String, name: String, from: Int): Int = {
+    var i = indexOfIc(hay, "<" + name, from)
+    while (i >= 0) {
+      val after = i + 1 + name.length
+      if (after >= hay.length) return -1 // truncated right at the name
+      val c = hay.charAt(after)
+      if (c == '>' || c == '/' || Character.isWhitespace(c)) return i
+      i = indexOfIc(hay, "<" + name, i + 1)
     }
     -1
   }

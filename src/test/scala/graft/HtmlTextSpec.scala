@@ -120,6 +120,19 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(res("not-a-url", "x") == null, "unresolvable base degrades to null")
   }
 
+  test("tag-name boundaries: <bodyguard>/<titlebar>/<metadata> never match body/title/meta") {
+    // a custom element sharing the prefix must not open the scope
+    assert(x("<bodyguard>decoy</bodyguard><body><p>real</p></body>") == "real")
+    import graft.plans.HtmlLinks
+    val t = HtmlLinks.titleKernel(UTF8String.fromString(
+      "<titlebar>decoy</titlebar><title>real</title>"))
+    assert(t != null && t.toString == "real")
+    val m = HtmlLinks.metaKernel(UTF8String.fromString(
+      "<metadata name=\"description\" content=\"decoy\"/>" +
+        "<meta name=\"description\" content=\"real\"/>"), "description")
+    assert(m != null && m.toString == "real")
+  }
+
   test("title and meta extraction: whitespace collapse, attribute order, entity decode") {
     import graft.plans.HtmlLinks
     def title(h: String): String = {
