@@ -107,12 +107,14 @@ object Robots {
     * match against (scheme/host/fragment never participate). A bare
     * authority URL gates as "/". */
   def urlPath(url: Column): Column =
-    when(regexp_extract(url, "^[a-z]+://[^/?#]+([^#]*)", 1) === "", lit("/"))
-      .otherwise(regexp_extract(url, "^[a-z]+://[^/?#]+([^#]*)", 1))
+    when(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)", 1) === "",
+      lit("/"))
+      .otherwise(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)", 1))
 
-  /** The host of a URL column (lowercased) — the robots-rules key. */
+  /** The host of a URL column (lowercased) — the robots-rules key.
+    * Scheme matching is case-insensitive (RFC 3986 §3.1). */
   def urlHost(url: Column): Column =
-    lower(regexp_extract(url, "^[a-z]+://([^/?#]+)", 1))
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
 
   /** The many-host deployment shape (url7b): rules arrive as a small
     * `(host, pattern, allow)` frame — one row per published rule

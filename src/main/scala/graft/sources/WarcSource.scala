@@ -507,7 +507,10 @@ object WarcSource {
     val hEnd = indexOf(body, Crlf2, 0)
     if (hEnd < 0) return None
     val lines = new String(body, 0, hEnd, ISO_8859_1).split("\r\n")
-    val status = "^HTTP/1\\.[01] (\\d{3})".r.findFirstMatchIn(lines.head)
+    // any HTTP-version status line: crawls store HTTP/1.x today but
+    // "HTTP/2 200" captures exist — a version mismatch must not throw
+    // away an otherwise-parseable record
+    val status = "^HTTP/[0-9](?:\\.[0-9])? (\\d{3})".r.findFirstMatchIn(lines.head)
       .map(_.group(1).toLong)
     if (status.isEmpty) return None
     val hdrs = lines.iterator.drop(1)

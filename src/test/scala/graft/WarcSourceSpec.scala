@@ -121,6 +121,10 @@ class WarcSourceSpec extends AnyFunSuite {
     // malformed: no blank line / no status line → None (caller degrades)
     assert(WarcSource.parseHttp("HTTP/1.1 200 OK\r\n".getBytes("ISO-8859-1")).isEmpty)
     assert(WarcSource.parseHttp("not-http\r\n\r\nbody".getBytes("ISO-8859-1")).isEmpty)
+    // an HTTP/2 capture still parses (version mismatch must not drop the record)
+    val h2 = WarcSource.parseHttp(
+      "HTTP/2 204 No Content\r\nContent-Type: text/html\r\n\r\n".getBytes("ISO-8859-1"))
+    assert(h2.exists(_._1 == 204L))
   }
 
   test("parseHttp: chunked, gzip, chunked+gzip, unsupported and malformed encodings") {
