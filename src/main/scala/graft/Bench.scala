@@ -171,7 +171,8 @@ object Bench {
     "m4h_gif_storage_dedup", "out5b_zone_map_card",
     "ext2_link_extraction", "ext3_page_metadata", "url7_robots_gate",
     "url7b_robots_frontier", "tx18_boilerplate_blocks",
-    "url8_sitemap_manifest")
+    "url8_sitemap_manifest", "warc5_wet_production",
+    "url9_frontier_expansion")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

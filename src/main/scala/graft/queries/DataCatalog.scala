@@ -4072,6 +4072,22 @@ object DataCatalog {
     },
     Some(Dp6OracleSql))
 
+  /** The expected-extracted-text oracle CTE shared by ext1 and warc5's
+    * WET-production round trip: `x(doc_id, xt)` — the closed form of
+    * what extraction recovers from the html fixture (first-token
+    * entity transform by doc_id % 5, blocks joined by \n). One builder,
+    * so the two oracles cannot drift from the writer's encodeBlocks. */
+  private val ExtractedTextCte: String =
+    "WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t " +
+      "FROM documents), " +
+      "e AS (SELECT doc_id, len(t) AS n, (len(t)+1)//2 AS h, t FROM tk), " +
+      "f AS (SELECT doc_id, n, h, t, CASE doc_id % 5 " +
+      "WHEN 0 THEN '\"' || t[1] || '\"' WHEN 1 THEN '<' || t[1] || '>' " +
+      "WHEN 2 THEN t[1] || 'é' ELSE t[1] END AS f1 FROM e), " +
+      "x AS (SELECT doc_id, f1 || CASE WHEN h > 1 THEN ' ' || " +
+      "array_to_string(t[2:h], ' ') ELSE '' END || CASE WHEN n > h THEN " +
+      "chr(10) || array_to_string(t[h+1:n], ' ') ELSE '' END AS xt FROM f)"
+
   // EXT1 — HTML → text extraction (the WET-production step, r17 — the
   // r16 verdict's top ask): the one transform between warc2's raw
   // `response` payloads and the plain text every curation stage
@@ -4106,17 +4122,51 @@ object DataCatalog {
           octet_length(col("x")).cast("long").as("text_len"),
           md5(col("x").cast("binary")).as("text_md5")))
     },
-    Some("WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t " +
-      "FROM documents), " +
-      "e AS (SELECT doc_id, len(t) AS n, (len(t)+1)//2 AS h, t FROM tk), " +
-      "f AS (SELECT doc_id, n, h, t, CASE doc_id % 5 " +
-      "WHEN 0 THEN '\"' || t[1] || '\"' WHEN 1 THEN '<' || t[1] || '>' " +
-      "WHEN 2 THEN t[1] || 'é' ELSE t[1] END AS f1 FROM e), " +
-      "x AS (SELECT doc_id, f1 || CASE WHEN h > 1 THEN ' ' || " +
-      "array_to_string(t[2:h], ' ') ELSE '' END || CASE WHEN n > h THEN " +
-      "chr(10) || array_to_string(t[h+1:n], ' ') ELSE '' END AS xt FROM f) " +
-      "SELECT doc_id, CAST(octet_length(encode(xt)) AS BIGINT) AS text_len, " +
+    Some(ExtractedTextCte +
+      " SELECT doc_id, CAST(octet_length(encode(xt)) AS BIGINT) AS text_len, " +
       "md5(xt) AS text_md5 FROM x" + OBA))
+
+  // WARC5 — WET PRODUCTION from raw responses (r17 — the other half of
+  // the raw-crawl symmetry: dp6w/dp6g proved this engine CONSUMES WET;
+  // this entry proves it PRODUCES the WET layer — the CommonCrawl
+  // WET-generation job itself): raw `response` records extract
+  // through ext1's kernel, the extracted corpus writes back out as a
+  // real warcinfo-led WET fixture (per-bucket files, Content-Length in
+  // UTF-8 BYTES — the mark-2 docs' accents pin the byte-vs-char
+  // accounting through the round trip), and the DISTRIBUTED WET reader
+  // re-reads it into a manifest graded against the same closed form as
+  // ext1. crawl → extract → WET files on disk → re-read, every hop
+  // hash-gated.
+  val warc5 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      val extracted = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri").as("uri"),
+          col("content_lang").as("lang"),
+          graft.plans.HtmlTextExpr.htmlToText(col("payload")).as("text"))
+      val wetDir = sfScratch("/tmp/graft_wet_prod", d)
+      graft.sources.WarcSource.writeWet(extracted, wetDir, 4)
+      val recs = graft.sources.WarcSource.readWet(s, wetDir + "/wet-*.warc")
+        .filter(col("warc_type") === "conversion")
+      ordered(recs.select(
+        regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri"),
+        col("content_length").as("content_len"),
+        md5(col("body").cast("binary")).as("body_md5")))
+    },
+    Some(ExtractedTextCte +
+      " SELECT doc_id, 'https://example' || (doc_id % 7) || '.org/doc/' || doc_id " +
+      "AS target_uri, CAST(octet_length(encode(xt)) AS BIGINT) AS content_len, " +
+      "md5(xt) AS body_md5 FROM x" + OBA))
 
   // DP6R — dp6's web-corpus prep END-TO-END FROM RAW `response` RECORDS
   // (ext1's second half — the chain real corpus owners actually run:
@@ -4152,13 +4202,14 @@ object DataCatalog {
   // production step: every url/pr/dp7 input ultimately comes from
   // anchors in fetched pages, resolved against the page's own URL; the
   // url family extracts bare URLs from plain text, which raw HTML never
-  // gives you): the fixture's pages carry five anchors per doc —
+  // gives you): the fixture's pages carry six anchors per doc —
   // absolute, root-relative (single-quoted, `&amp;`-encoded between
-  // query params), dotted-relative (`../`), a `javascript:` and a pure
-  // fragment (both of which the extractor must DROP) — and the entry
-  // explodes the decoded hrefs and resolves each against the record's
-  // WARC-Target-URI (§5.2.4 dot-segment removal included). The oracle
-  // derives all three surviving resolved links per doc closed-form from
+  // query params), dotted-relative (`../`), a self link back to the
+  // page's own URL (url9's anti-join target), a `javascript:` and a
+  // pure fragment (both of which the extractor must DROP) — and the
+  // entry explodes the decoded hrefs and resolves each against the
+  // record's WARC-Target-URI (§5.2.4 dot-segment removal included).
+  // The oracle derives all four surviving resolved links closed-form from
   // doc_id arithmetic, so attribute parsing, entity decode inside
   // attributes, scheme/fragment hygiene, and reference resolution are
   // all hash-gated. Extraction + resolution are codegen'd expressions —
@@ -4188,7 +4239,9 @@ object DataCatalog {
       "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
       "'.org/rel/' || (doc_id % 13) || '?a=1&b=2' FROM documents " +
       "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
-      "'.org/up/' || (doc_id % 5) FROM documents)" + OBA))
+      "'.org/up/' || (doc_id % 5) FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
+      "'.org/doc/' || doc_id FROM documents)" + OBA))
 
   // EXT3 — page-metadata extraction (r17 — the head fields every crawl
   // index keys on, which body-scoped text extraction deliberately
@@ -4279,7 +4332,9 @@ object DataCatalog {
       "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
       "'.org/rel/' || (doc_id % 13) || '?a=1&b=2', doc_id % 13 = 2 FROM documents " +
       "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
-      "'.org/up/' || (doc_id % 5), doc_id % 5 <> 3 FROM documents)" + OBA))
+      "'.org/up/' || (doc_id % 5), doc_id % 5 <> 3 FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
+      "'.org/doc/' || doc_id, TRUE FROM documents)" + OBA))
 
   // URL7B — the robots gate at MANY-HOST scale (r17 — url7's broadcast
   // twin, the m4f/mbr1b storage-vs-plan move applied to rules: url7
@@ -4326,7 +4381,9 @@ object DataCatalog {
       "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
       "'.org/rel/' || (doc_id % 13) || '?a=1&b=2', doc_id % 13 = 2 FROM documents " +
       "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
-      "'.org/up/' || (doc_id % 5), doc_id % 5 <> 3 FROM documents)" + OBA))
+      "'.org/up/' || (doc_id % 5), doc_id % 5 <> 3 FROM documents " +
+      "UNION ALL SELECT doc_id, 'https://example' || (doc_id % 7) || " +
+      "'.org/doc/' || doc_id, TRUE FROM documents)" + OBA))
 
   // TX18 — boilerplate-block filter (r17 — the paragraph-length gate of
   // the jusText/trafilatura family, the natural consumer of ext1's
@@ -4393,6 +4450,49 @@ object DataCatalog {
       "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE " +
       "strftime(DATE '2024-01-01' + INTERVAL ((doc_id % 28)::INT) DAY, '%Y-%m-%d') " +
       "END AS lastmod FROM documents" + OBA))
+
+  // URL9 — frontier expansion (r17 — ONE crawl iteration's output, the
+  // composition a fetch scheduler actually runs each round: extract
+  // links from the fetched pages (ext2), keep only robots-allowed URLs
+  // (url7), DEDUPE the candidates (the same URL is discovered from
+  // many pages — distinct on the url key), and anti-join away
+  // everything already crawled — the fixture's self links point every
+  // page back at its own URL, so the anti-join genuinely removes a
+  // family rather than passing vacuously). Output = the next fetch
+  // frontier. Plan: map+explode extraction, the literal robots
+  // when-chain filter, one distinct shuffle on the url key, one
+  // anti-join against the crawled set (broadcast here; at 100 TB the
+  // crawled side is a bloom pre-filter + bucketed anti-join). The
+  // oracle states the frontier closed-form: the distinct allowed
+  // links, with the self family absent.
+  val url9 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri"),
+          explode(graft.plans.HtmlTextExpr.htmlHrefs(col("payload"))).as("href"))
+        .select(graft.plans.HtmlTextExpr.resolveUrl(col("target_uri"), col("href"))
+          .as("url"))
+      val rules = graft.operators.Robots.parseRules(RobotsFixture, "graftbot")
+      val crawled = docs.select(col("uri").as("url"))
+      ordered(links
+        .where(graft.operators.Robots.allowCol(
+          graft.operators.Robots.urlPath(col("url")), rules))
+        .distinct()
+        .join(crawled, Seq("url"), "left_anti"))
+    },
+    Some("SELECT DISTINCT url FROM (" +
+      "SELECT 'https://example' || (doc_id % 7) || '.org/abs/' || (doc_id % 50) " +
+      "AS url FROM documents WHERE doc_id % 50 <> 1 " +
+      "UNION ALL SELECT 'https://example' || (doc_id % 7) || '.org/rel/' || " +
+      "(doc_id % 13) || '?a=1&b=2' FROM documents WHERE doc_id % 13 = 2 " +
+      "UNION ALL SELECT 'https://example' || (doc_id % 7) || '.org/up/' || " +
+      "(doc_id % 5) FROM documents WHERE doc_id % 5 <> 3)" + OBA))
 
   // DP7 — authority-weighted curation: the composition a CommonCrawl-
   // style curator actually runs with the graph family. Each doc's host
@@ -7936,5 +8036,6 @@ object DataCatalog {
     "m4h_gif_storage_dedup" -> m4h, "out5b_zone_map_card" -> out5b,
     "ext2_link_extraction" -> ext2, "ext3_page_metadata" -> ext3,
     "url7_robots_gate" -> url7, "url7b_robots_frontier" -> url7b,
-    "tx18_boilerplate_blocks" -> tx18, "url8_sitemap_manifest" -> url8)
+    "tx18_boilerplate_blocks" -> tx18, "url8_sitemap_manifest" -> url8,
+    "warc5_wet_production" -> warc5, "url9_frontier_expansion" -> url9)
 }

@@ -263,15 +263,18 @@ object WarcSource {
   private def htmlResponseRecord(r: Row): Array[Byte] = {
     val id = r.getLong(0)
     val (b1, b2) = encodeBlocks(id, r.getString(3))
-    // anchors for the link-extraction entry (ext2): absolute,
+    // anchors for the link-extraction entries (ext2/url9): absolute,
     // root-relative (entity-encoded &amp; between query params, bare
-    // single-quoted value), dotted-relative, plus a javascript: and a
-    // pure-fragment href the extractor must DROP. Image-only content —
-    // no visible text, so ext1/dp6r's closed forms are untouched.
+    // single-quoted value), dotted-relative, a SELF link back to the
+    // page's own URL (the already-crawled row url9's frontier anti-join
+    // must remove), plus a javascript: and a pure-fragment href the
+    // extractor must DROP. Image-only content — no visible text, so
+    // ext1/dp6r's closed forms are untouched.
     val links =
       s"""<nav><a href="https://example${id % 7}.org/abs/${id % 50}"><img src="i.png"/></a>""" +
         s"""<a class="x" href='/rel/${id % 13}?a=1&amp;b=2'><img src="j.png"/></a>""" +
         s"""<a href="../up/${id % 5}"><img src="k.png"/></a>""" +
+        s"""<a href="/doc/$id"><img src="n.png"/></a>""" +
         """<a href="javascript:void(0)"><img src="l.png"/></a>""" +
         """<a href="#top"><img src="m.png"/></a></nav>"""
     val html = "<!DOCTYPE html>\n<html><head>\n" +
