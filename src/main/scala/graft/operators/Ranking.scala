@@ -100,7 +100,12 @@ object Ranking {
     * `(score, ties…)`. `score` must cast losslessly to BIGINT; the
     * ties chain must make the order total (the last tie unique) for
     * the rank to be deterministic. Input columns named `rank` or the
-    * internal `__gr_*` names are rejected loudly. */
+    * internal `__gr_*` names are rejected loudly. A row whose score
+    * casts to NULL is KEPT with `rank = NULL` (r18 — the advice fix:
+    * such rows previously vanished through the bucket equi-join when
+    * other rows were non-null, inconsistent with the all-NULL path,
+    * which keeps every row); non-null ranks count only non-null
+    * rows. */
   def rankRows(df: DataFrame, score: Column, ties: Seq[Column],
       buckets: Int = 256): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
@@ -120,14 +125,19 @@ object Ranking {
         base.withColumn("__gr_bkt", expr(s"(__gr_score - $minS) DIV $width"))
       else
         base.withColumn("__gr_bkt", expr(s"__gr_score DIV $width"))
-    val offsets = bucketed.groupBy("__gr_bkt").count()
+    // offsets count only non-null scores; the LEFT join routes
+    // NULL-score rows (NULL bucket — never equi-matched) around the
+    // offsets frame, and the final `when` gives them rank = NULL
+    val offsets = bucketed.filter(col("__gr_score").isNotNull)
+      .groupBy("__gr_bkt").count()
       .select(col("__gr_bkt"),
         coalesce(sum("count").over(Window.orderBy("__gr_bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__gr_off"))
     val wIn = Window.partitionBy("__gr_bkt")
       .orderBy(col("__gr_score") +: ties: _*)
-    bucketed.join(broadcast(offsets), Seq("__gr_bkt"))
-      .withColumn("rank", col("__gr_off") + row_number().over(wIn).cast("long"))
+    bucketed.join(broadcast(offsets), Seq("__gr_bkt"), "left")
+      .withColumn("rank", when(col("__gr_score").isNull, lit(null).cast("long"))
+        .otherwise(col("__gr_off") + row_number().over(wIn).cast("long")))
       .drop("__gr_bkt", "__gr_off", "__gr_score")
   }
 

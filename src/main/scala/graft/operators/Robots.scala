@@ -11,18 +11,23 @@ import org.apache.spark.sql.functions._
   * Parsing (§2.2): `field: value` lines, `#` comments stripped, fields
   * case-insensitive; one or more consecutive `User-agent` lines start
   * a group and the group's `Allow`/`Disallow` rules apply to each
-  * named agent; the crawler obeys the group(s) naming ITS agent token
-  * (case-insensitive exact match here — product-token prefix matching
-  * is a crawler-side refinement), falling back to the `*` group when
-  * none do, and to allow-all when there is no `*` group either. An
-  * empty Disallow value matches nothing (the classic "allow all"
-  * idiom) and is dropped at parse.
+  * named agent; the crawler obeys the group(s) naming ITS agent —
+  * matched case-insensitively against the full agent string AND
+  * against its PRODUCT TOKEN (the part before `/`, so a crawler
+  * identifying as `graftbot/1.2` obeys a `User-agent: graftbot`
+  * group — RFC 9309 §2.2.1's product-token match) — falling back to
+  * the `*` group when none do, and to allow-all when there is no `*`
+  * group either. An empty Disallow value matches nothing (the classic
+  * "allow all" idiom) and is dropped at parse. `Sitemap:` lines are
+  * not rules but ARE the sitemap discovery channel (§2.3 / the
+  * sitemaps.org protocol) — [[parseSitemaps]] returns them.
   *
   * Matching (§2.2.2): rules are path-prefix patterns over the URL's
   * path + optional query, with `*` matching any character run and a
   * trailing `$` anchoring the end; the MOST SPECIFIC match wins —
-  * longest pattern by octets, ties broken in favor of Allow — and a
-  * URL matching no rule is allowed.
+  * longest pattern by OCTETS (UTF-8 bytes, §2.2.2's unit — not UTF-16
+  * chars, which diverge on multi-byte patterns), ties broken in favor
+  * of Allow — and a URL matching no rule is allowed.
   *
   * Spark shape: a host's rule set is small bounded driver state (the
   * same class as a k-means model), so the decision compiles into a
@@ -43,6 +48,8 @@ object Robots {
     * (allow everything). */
   def parseRules(txt: String, agent: String): Seq[Rule] = {
     val want = agent.trim.toLowerCase
+    // the agent's product token: "graftbot/1.2" obeys a "graftbot" group
+    val wantTok = want.takeWhile(_ != '/').trim
     // groups as (agent tokens, rules); consecutive UA lines share a group
     val groups = scala.collection.mutable.ArrayBuffer[
       (scala.collection.mutable.ArrayBuffer[String],
@@ -72,10 +79,28 @@ object Robots {
         }
       }
     }
-    val own = groups.filter(_._1.contains(want)).flatMap(_._2).toSeq
+    val own = groups
+      .filter(g => g._1.contains(want) || g._1.contains(wantTok))
+      .flatMap(_._2).toSeq
     if (own.nonEmpty) own
     else groups.filter(_._1.contains("*")).flatMap(_._2).toSeq
   }
+
+  /** The `Sitemap:` lines of a robots.txt, in file order — the sitemap
+    * discovery channel (RFC 9309 §2.3: group-independent fields; the
+    * sitemaps.org protocol's advertised entry point). A crawler seeds
+    * url8's sitemap parse from THESE URLs — robots.txt is how sitemap
+    * locations are actually discovered. Comments strip as in
+    * [[parseRules]]; empty values drop. */
+  def parseSitemaps(txt: String): Seq[String] =
+    txt.split("\r?\n").toSeq.flatMap { line0 =>
+      val line = line0.takeWhile(_ != '#').trim
+      val sep = line.indexOf(':')
+      if (sep > 0 && line.substring(0, sep).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(sep + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
 
   /** The match condition for one REP pattern over a path(+query)
     * column: a plain pattern is a prefix test; `*`/trailing-`$`
@@ -94,10 +119,14 @@ object Robots {
     }
 
   /** Longest-match-wins decision column over `rules` (ties → Allow;
-    * no match → allowed). The chain is ordered at plan-build time, so
-    * the whole gate is one codegen'd boolean expression. */
+    * no match → allowed). Specificity is the pattern's OCTET length
+    * (RFC 9309 §2.2.2 counts bytes; `pattern.length` would count
+    * UTF-16 chars and mis-order multi-byte patterns on IDN paths).
+    * The chain is ordered at plan-build time, so the whole gate is one
+    * codegen'd boolean expression. */
   def allowCol(path: Column, rules: Seq[Rule]): Column = {
-    val ordered = rules.sortBy(r => (-r.pattern.length, !r.allow))
+    val ordered = rules.sortBy(r =>
+      (-r.pattern.getBytes(java.nio.charset.StandardCharsets.UTF_8).length, !r.allow))
     ordered.foldRight(lit(true)) { (r, acc) =>
       when(matchCond(path, r.pattern), lit(r.allow)).otherwise(acc)
     }
@@ -146,7 +175,8 @@ object Robots {
     val compiled = rules.select(
       lower(col("host")).as("__r_host"),
       ruleRegexCol(col("pattern")).as("__r_rx"),
-      length(col("pattern")).as("__r_len"),
+      // octet length — the §2.2.2 specificity unit (allowCol's twin)
+      octet_length(col("pattern")).as("__r_len"),
       col("allow").as("__r_allow"))
     val withKey = frontier
       .withColumn("__f_host", urlHost(url))

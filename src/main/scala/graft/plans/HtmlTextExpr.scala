@@ -26,9 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Extraction contract (each rule pinned in HtmlTextSpec):
   *   - scope: the content of `<body …> … </body>` (case-insensitive;
-  *     last closing tag wins); a document with no body tag extracts
-  *     from the whole input — head content (title included) is NOT
-  *     visible text under the WET convention;
+  *     the FIRST closing tag ends the scope — a premature `</body`
+  *     inside commented-out markup truncates, the same degrade class
+  *     as the script-string approximation below); a document with no
+  *     body tag extracts from the whole input — head content (title
+  *     included) is NOT visible text under the WET convention;
   *   - `<!-- … -->` comments and `<script>`/`<style>` elements drop
   *     WITH their content (non-greedy to their own closers, so markup
   *     inside a script string cannot truncate the scan);
@@ -234,7 +236,10 @@ object HtmlLinks {
   }
 
   /** All extracted (decoded, scheme-filtered, fragment-stripped) href
-    * values of `<a>` tags, in document order. */
+    * values of `<a>` tags, in document order. Comment (`<!-- -->`) and
+    * `<script>`/`<style>` spans are skipped the same way the text
+    * kernel skips them — a commented-out or script-embedded anchor is
+    * markup no browser renders and must not feed the crawl frontier. */
   def linksKernel(input: UTF8String): ArrayData = {
     val html = input.toString
     val out = new java.util.ArrayList[Any]()
@@ -243,7 +248,20 @@ object HtmlLinks {
     while (i + 2 < n) {
       val lt = html.indexOf('<', i)
       if (lt < 0) { i = n }
-      else {
+      else if (html.regionMatches(lt, "<!--", 0, 4)) {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else if (atOpenTag(html, lt, "script") || atOpenTag(html, lt, "style")) {
+        // drop the element WITH content: an '<a' inside a script
+        // string or style rule is not a rendered link
+        val name = if (atOpenTag(html, lt, "script")) "script" else "style"
+        val close = indexOfIc(html, "</" + name, lt + 1)
+        if (close < 0) i = n
+        else {
+          val gt = html.indexOf('>', close)
+          i = if (gt < 0) n else gt + 1
+        }
+      } else {
         // anchor open tag: "<a" followed by whitespace or '>'
         val isA = lt + 2 < n &&
           (html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A') &&
@@ -276,34 +294,73 @@ object HtmlLinks {
 
   private def findHref(tag: String): String = findAttr(tag, "href")
 
-  /** The named attribute's raw value inside one tag's text, or null:
+  /** True iff position `at` (which holds '<') opens tag `name`
+    * (lowercase) with a real name boundary after it — a LOCAL check,
+    * unlike [[indexOfTag]]'s scan. */
+  private def atOpenTag(html: String, at: Int, name: String): Boolean = {
+    val after = at + 1 + name.length
+    if (after >= html.length) return false
+    var j = 0
+    while (j < name.length &&
+      Character.toLowerCase(html.charAt(at + 1 + j)) == name.charAt(j)) j += 1
+    if (j < name.length) return false
+    val c = html.charAt(after)
+    c == '>' || c == '/' || Character.isWhitespace(c)
+  }
+
+  /** The named attribute's value inside one tag's text, or null:
     * `name` (case-insensitive) = "quoted" | 'quoted' | bare-token.
-    * The name must stand alone (whitespace before it — `data-href`
-    * does not match `href`). */
+    * A real attribute TOKENIZER (r18 — the advice fix): the tag is
+    * walked attribute by attribute with quoted values skipped as
+    * opaque spans, so a preceding attribute whose quoted value happens
+    * to contain `href =` (e.g. `title="my href = x"`) can no longer
+    * hijack the match, and `data-href` never matches `href` because
+    * names compare whole-token. An unterminated quote degrades to
+    * null (malformed tag), never to a fabricated value. */
   private[graft] def findAttr(tag: String, name: String): String = {
-    var i = 0
     val n = tag.length
-    val nl = name.length
-    while (i + nl < n) {
-      val at = indexOfIc(tag, name, i)
-      if (at < 0) return null
-      val before = if (at == 0) ' ' else tag.charAt(at - 1)
-      var j = at + nl
-      while (j < n && Character.isWhitespace(tag.charAt(j))) j += 1
-      if (!Character.isWhitespace(before) || j >= n || tag.charAt(j) != '=') {
-        i = at + nl
-      } else {
-        j += 1
+    var i = 0
+    // step over "<" / "</" and the tag name itself
+    if (i < n && tag.charAt(i) == '<') {
+      i += 1
+      if (i < n && tag.charAt(i) == '/') i += 1
+      while (i < n && Character.isLetterOrDigit(tag.charAt(i))) i += 1
+    }
+    while (i < n) {
+      // skip whitespace and self-closing slashes between attributes
+      while (i < n && (Character.isWhitespace(tag.charAt(i)) || tag.charAt(i) == '/')) i += 1
+      if (i >= n) return null
+      // attribute name token
+      val ns = i
+      while (i < n && !Character.isWhitespace(tag.charAt(i)) &&
+        tag.charAt(i) != '=' && tag.charAt(i) != '/' &&
+        tag.charAt(i) != '"' && tag.charAt(i) != '\'') i += 1
+      if (i == ns) { i += 1 } // stray punctuation: step past it
+      else {
+        val aname = tag.substring(ns, i)
+        var j = i
         while (j < n && Character.isWhitespace(tag.charAt(j))) j += 1
-        if (j >= n) return null
-        val q = tag.charAt(j)
-        if (q == '"' || q == '\'') {
-          val end = tag.indexOf(q, j + 1)
-          return if (end < 0) null else tag.substring(j + 1, end)
+        if (j < n && tag.charAt(j) == '=') {
+          j += 1
+          while (j < n && Character.isWhitespace(tag.charAt(j))) j += 1
+          if (j >= n) return null
+          val q = tag.charAt(j)
+          if (q == '"' || q == '\'') {
+            val end = tag.indexOf(q, j + 1)
+            if (end < 0) return null // unterminated quote: malformed tag
+            if (aname.equalsIgnoreCase(name)) return tag.substring(j + 1, end)
+            i = end + 1
+          } else {
+            val vs = j
+            while (j < n && !Character.isWhitespace(tag.charAt(j))) j += 1
+            if (aname.equalsIgnoreCase(name)) return tag.substring(vs, j)
+            i = j
+          }
+        } else {
+          // bare attribute (no value): the named attribute without a
+          // value has no href/content to give — keep scanning
+          i = j
         }
-        val start = j
-        while (j < n && !Character.isWhitespace(tag.charAt(j))) j += 1
-        return tag.substring(start, j)
       }
     }
     null

@@ -1647,6 +1647,24 @@ class DataOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)))
   }
 
+  test("rankRows keeps NULL-score rows with rank NULL (r18 advice fix)") {
+    import graft.operators.Ranking
+    val rows = Seq((1L, Some(30L)), (2L, None), (3L, Some(10L)), (4L, None),
+      (5L, Some(20L))).toDF("id", "score")
+    val got = Ranking.rankRows(rows, col("score"), Seq(col("id")))
+      .select(col("id"), col("rank")).as[(Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some(3L)), (2L, None), (3L, Some(1L)),
+      (4L, None), (5L, Some(2L))),
+      "NULL scores must stay as rows with rank NULL, not vanish; " +
+        "non-null ranks count only non-null rows")
+    // the all-NULL path keeps its historical shape: every row, rank NULL
+    val allNull = Ranking.rankRows(
+      Seq((1L, Option.empty[Long]), (2L, None)).toDF("id", "score"),
+      col("score"), Seq(col("id")))
+    assert(allNull.count() == 2 && allNull.filter(col("rank").isNull).count() == 2)
+  }
+
   test("shard append rejects a numShards that disagrees with the export's record") {
     import graft.operators.Sharding
     val dir = java.nio.file.Files.createTempDirectory("shard_modulus").toString

@@ -98,6 +98,38 @@ class HtmlTextSpec extends AnyFunSuite {
         alphabet.charAt(rnd.nextInt(alphabet.length)))))
   }
 
+  test("link extraction skips comments, script/style content, and quoted-value decoys (r18)") {
+    def links(html: String): Seq[String] = {
+      val a = graft.plans.HtmlLinks.linksKernel(UTF8String.fromString(html))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    // commented-out and script/style-embedded anchors render nowhere —
+    // they must not feed the crawl frontier
+    val html = """<body>
+      <!-- <a href="/commented-out">ghost</a> -->
+      <script>var s = '<a href="/script-string">ghost</a>';</script>
+      <style>a[href="/style-decoy"] { color: red }</style>
+      <a href="/real">kept</a>
+      <SCRIPT src="x.js">document.write('<a href="/dw">g</a>');</SCRIPT>
+      <a href="/real2">kept</a>
+    </body>"""
+    assert(links(html) == Seq("/real", "/real2"))
+    // unterminated comment/script swallow to EOF — degrade, never a ghost link
+    assert(links("""<body><!-- <a href="/x"> <a href="/y">""").isEmpty)
+    assert(links("""<body><script><a href="/x">""").isEmpty)
+    // a preceding attribute whose QUOTED VALUE contains 'href =' must
+    // not hijack the attribute match (the advice's findAttr hole)
+    assert(links("""<a title="my href = /decoy" href="/value">t</a>""")
+      == Seq("/value"))
+    assert(links("""<a title='href="/decoy"' href=/bare>t</a>""") == Seq("/bare"))
+    // unterminated quote: malformed tag degrades to no link
+    assert(links("""<a href="/unclosed>t</a>""").isEmpty)
+    import graft.plans.HtmlLinks
+    assert(HtmlLinks.findAttr("""<meta content="c v" name=description""", "name")
+      == "description")
+    assert(HtmlLinks.findAttr("""<a data-href="/decoy">""", "href") == null)
+  }
+
   test("URL resolution: RFC 3986 reference cases and dot-segment removal") {
     def res(base: String, ref: String): String = {
       val r = graft.plans.HtmlLinks.resolveKernel(
@@ -189,6 +221,42 @@ class HtmlTextSpec extends AnyFunSuite {
     val urls = Seq("https://h.org/p?q=1#frag", "https://h.org", "https://h.org/x")
       .toDF("u").select(Robots.urlPath(col("u"))).as[String].collect().toSeq
     assert(urls == Seq("/p?q=1", "/", "/x"))
+  }
+
+  test("robots RFC nits (r18): product-token agent match, octet-length rule order, sitemap lines") {
+    import graft.operators.Robots
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val txt = "User-agent: graftbot\nDisallow: /private/\n\n" +
+      "User-agent: *\nDisallow: /\n" +
+      "Sitemap: https://h.org/sitemap_index.xml\n" +
+      "Sitemap: https://h.org/sitemap-news.xml # daily\n"
+    // a crawler identifying as graftbot/1.2 obeys the graftbot group
+    // (RFC 9309 §2.2.1 product-token match), not the * group
+    assert(Robots.parseRules(txt, "GraftBot/1.2").map(_.pattern) == Seq("/private/"))
+    assert(Robots.parseRules(txt, "graftbot").map(_.pattern) == Seq("/private/"))
+    assert(Robots.parseRules(txt, "otherbot/2.0").map(_.pattern) == Seq("/"))
+    // sitemap discovery channel: Sitemap lines come back in file order
+    assert(Robots.parseSitemaps(txt) == Seq("https://h.org/sitemap_index.xml",
+      "https://h.org/sitemap-news.xml"))
+    // specificity counts OCTETS (§2.2.2), not UTF-16 chars. The
+    // divergence pin: Disallow '/éé' (3 chars / 5 UTF-8 octets) vs
+    // Allow '/*d' (3 chars / 3 octets) on path '/ééd', which matches
+    // both. Octet ordering puts the Disallow first → disallowed;
+    // char ordering would TIE at 3 and let Allow win ties → allowed.
+    val div = Seq(Robots.Rule("/*d", true), Robots.Rule("/éé", false))
+    val okDiv = Seq("/ééd").toDF("p")
+      .select(Robots.allowCol(col("p"), div).as("ok")).as[Boolean].head()
+    assert(!okDiv,
+      "5-octet Disallow must outrank the 3-octet Allow (char-length ties would flip this)")
+    // same divergence through the data-driven many-host gate (url7b path)
+    val rulesDf = Seq(("h.org", "/*d", true), ("h.org", "/éé", false))
+      .toDF("host", "pattern", "allow")
+    val gated = Robots.gateFrontier(
+      Seq("https://h.org/ééd").toDF("url"), col("url"), rulesDf)
+      .select(col("allowed")).as[Boolean].head()
+    assert(!gated, "gateFrontier must rank by octet_length too")
   }
 
   test("fixture round trip: encodeBlocks pages extract back to the closed form") {
