@@ -3855,11 +3855,16 @@ object DataCatalog {
   // cut, and the type filter compose losslessly on real record bytes.
   /** The warc2/warc4 fixture's expected DECODED payload as a shared
     * oracle CTE — the per-doc html with the charset slices'
-    * windows-1252 fragment appended (one builder, so the two oracles
+    * windows-1252 fragment appended and (r18) the meta-only slice's
+    * `<meta charset>` head injected (one builder, so the two oracles
     * cannot drift from the writer's [[graft.sources.WarcSource]]
     * residues). */
   private val ResponseHtmlCte: String =
-    "WITH h AS (SELECT doc_id, '<html><body><p>' || text || " +
+    "WITH h AS (SELECT doc_id, '<html>' || " +
+      "CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 <> 0 AND doc_id % 11 <> 5 " +
+      "AND doc_id % 13 NOT IN (9, 11) AND doc_id % 17 = 1 " +
+      "THEN '<head><meta charset=\"utf-8\"/></head>' ELSE '' END || " +
+      "'<body><p>' || text || " +
       s"'</p>${graft.sources.WarcSource.AccentFragment}' || " +
       "CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 <> 0 AND doc_id % 11 = 5 " +
       s"THEN '${graft.sources.WarcSource.Cp1252Fragment}' ELSE '' END || " +
@@ -3908,6 +3913,17 @@ object DataCatalog {
   // range the HTML5 rule maps to real punctuation and actual latin-1
   // maps to invisible C1 controls (the whole latin-1 label family now
   // decodes as cp1252, so the pre-r17 slices are byte-identical).
+  // r18 adds the full HTML5 charset PRECEDENCE (the r17 verdict's top
+  // ask) with a charset_src accounting column (bom/header/meta/default)
+  // and two more transfer slices: doc_id % 17 carves the historical
+  // utf-8 bucket into META-ONLY utf-8 (no header charset — skipping the
+  // 1024-byte prescan garbles the accent bytes under cp1252 and
+  // hash-mismatches), BOM'd utf-8 with no header, BOM'd utf-8 UNDER a
+  // WRONG iso-8859-1 header (BOM must win), header-declared UTF-16LE,
+  // and a NOTHING-declared page (reported none/false/default — absence
+  // is no longer conflated with "declared and understood");
+  // doc_id % 13 ∈ {8, 10} ride Content-Encoding: deflate as zlib and
+  // RAW streams respectively (both real-world shapes, dual-decoded).
   val warc2 = Q(
     (s, d) => {
       val dir = sfScratch("/tmp/graft_warc_resp", d)
@@ -3923,6 +3939,7 @@ object DataCatalog {
         col("http_status"),
         col("charset"),
         col("charset_ok"),
+        col("charset_src"),
         col("encoding"),
         col("encoding_ok"),
         octet_length(col("payload")).cast("long").as("payload_len"),
@@ -3932,11 +3949,23 @@ object DataCatalog {
       " SELECT doc_id, CAST(200 AS BIGINT) AS http_status, " +
       "CASE WHEN doc_id % 3 = 0 THEN 'iso-8859-1' " +
       "WHEN doc_id % 7 = 0 THEN 'x-unknown' " +
-      "WHEN doc_id % 11 = 5 THEN 'windows-1252' ELSE 'utf-8' END AS charset, " +
-      "(doc_id % 3 = 0 OR doc_id % 7 <> 0) AS charset_ok, " +
+      "WHEN doc_id % 11 = 5 THEN 'windows-1252' " +
+      "WHEN doc_id % 13 IN (9, 11) THEN 'utf-8' " +
+      "WHEN doc_id % 17 IN (1, 3, 5) THEN 'utf-8' " +
+      "WHEN doc_id % 17 = 7 THEN 'utf-16le' " +
+      "WHEN doc_id % 17 = 9 THEN 'none' ELSE 'utf-8' END AS charset, " +
+      "CASE WHEN doc_id % 3 = 0 THEN TRUE WHEN doc_id % 7 = 0 THEN FALSE " +
+      "WHEN doc_id % 11 = 5 THEN TRUE WHEN doc_id % 13 IN (9, 11) THEN TRUE " +
+      "WHEN doc_id % 17 = 9 THEN FALSE ELSE TRUE END AS charset_ok, " +
+      "CASE WHEN doc_id % 3 = 0 OR doc_id % 7 = 0 OR doc_id % 11 = 5 " +
+      "OR doc_id % 13 IN (9, 11) THEN 'header' " +
+      "WHEN doc_id % 17 = 1 THEN 'meta' " +
+      "WHEN doc_id % 17 IN (3, 5) THEN 'bom' " +
+      "WHEN doc_id % 17 = 9 THEN 'default' ELSE 'header' END AS charset_src, " +
       "CASE WHEN doc_id % 13 IN (2, 11) THEN 'chunked' " +
       "WHEN doc_id % 13 = 4 THEN 'chunked+gzip' " +
       "WHEN doc_id % 13 = 6 THEN 'gzip' " +
+      "WHEN doc_id % 13 IN (8, 10) THEN 'deflate' " +
       "WHEN doc_id % 13 = 9 THEN 'br' ELSE 'identity' END AS encoding, " +
       "doc_id % 13 NOT IN (9, 11) AS encoding_ok, " +
       "CASE WHEN doc_id % 13 IN (9, 11) THEN NULL " +

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_16BE, UTF_16LE, UTF_8}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -39,13 +39,17 @@ import org.apache.spark.sql.functions._
   * HTTP `response` records ([[readResponses]]) additionally split the
   * body's HTTP envelope at byte level, undo the payload's transfer and
   * content encodings (`Transfer-Encoding: chunked` de-chunks,
-  * `Content-Encoding: gzip` inflates — BEFORE any charset decode;
-  * unsupported codings and malformed chunk streams are a counted
-  * degrade, `encoding_ok = false` + NULL payload), and decode by the
-  * Content-Type charset parameter under the HTML5 rules: utf-8 as
-  * itself; the whole latin-1 label family as WINDOWS-1252 (what
-  * browsers actually do — 0x80–0x9F become real punctuation, not C1
-  * controls); unknown labels fall back to cp1252 with
+  * `Content-Encoding: gzip`/`deflate` inflate — BEFORE any charset
+  * decode; unsupported codings, malformed streams, and any transfer
+  * coding other than exactly chunked are a counted degrade,
+  * `encoding_ok = false` + NULL payload), and decode the payload under
+  * the full HTML5 charset precedence (r18): BOM > Content-Type header
+  * charset > `<meta charset>` prescan of the first 1024 bytes > the
+  * cp1252 legacy default — with `charset_src` reporting which channel
+  * decided. Labels resolve WHATWG-style: utf-8 as itself; the whole
+  * latin-1 family as WINDOWS-1252 (what browsers actually do —
+  * 0x80–0x9F become real punctuation, not C1 controls); utf-16/LE/BE
+  * natively; unknown labels fall back to cp1252 with
   * `charset_ok = false` — a COUNTED degrade, never a garble (the m9
   * convention). A body with no blank line or no parseable status line
   * keeps its record row with NULL http fields, so malformed-envelope
@@ -158,32 +162,43 @@ object WarcSource {
 
   /** Wrap an encoded-HTML payload as a full HTTP/1.1 response with the
     * doc's TRANSFER slices (doc_id % 13): 2 = chunked, 4 = gzip then
-    * chunked (the on-the-wire composition), 6 = gzip, and — only when
-    * `degradeSlices` (warc2/warc4's fixture; the extraction fixture
-    * keeps every doc decodable) — 9 = an unsupported `br` declaration
-    * and 11 = a MALFORMED chunk stream, the two counted degrade rows.
-    * Chunked responses omit Content-Length (RFC 9112 §6.2). */
+    * chunked (the on-the-wire composition), 6 = gzip, 8 = zlib deflate
+    * and 10 = RAW deflate (r18 — both real-world shapes of
+    * `Content-Encoding: deflate`), and — only when `degradeSlices`
+    * (warc2/warc4's fixture; the extraction fixture keeps every doc
+    * decodable) — 9 = an unsupported `br` declaration and 11 = a
+    * MALFORMED chunk stream, the two counted degrade rows. Chunked
+    * responses omit Content-Length (RFC 9112 §6.2). `declaredCharset`
+    * None = a Content-Type WITHOUT a charset parameter — the
+    * header-silent shape the BOM/meta/default charset slices ride. */
   private[graft] def httpWrap(id: Long, payload: Array[Byte],
-      declaredCharset: String, degradeSlices: Boolean): Array[Byte] = {
+      declaredCharset: Option[String], degradeSlices: Boolean): Array[Byte] = {
     val m = math.floorMod(id, 13L)
     val (body, extraHdrs) = m match {
       case 2 => (chunkEncode(payload), Seq("Transfer-Encoding: chunked"))
       case 4 => (chunkEncode(gzipMember(payload)),
         Seq("Transfer-Encoding: chunked", "Content-Encoding: gzip"))
       case 6 => (gzipMember(payload), Seq("Content-Encoding: gzip"))
+      case 8 => (deflateBytes(payload, raw = false), Seq("Content-Encoding: deflate"))
       case 9 if degradeSlices => (payload, Seq("Content-Encoding: br"))
+      case 10 => (deflateBytes(payload, raw = true), Seq("Content-Encoding: deflate"))
       case 11 if degradeSlices =>
         ("zz;bogus\r\n".getBytes(ISO_8859_1) ++ payload,
           Seq("Transfer-Encoding: chunked"))
       case _ => (payload, Seq.empty[String])
     }
+    val ct = "Content-Type: text/html" +
+      declaredCharset.fold("")(c => s"; charset=$c")
     val lenHdr =
       if (extraHdrs.exists(_.startsWith("Transfer-Encoding"))) Seq.empty[String]
       else Seq(s"Content-Length: ${body.length}")
-    ((s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$declaredCharset" +:
+    ((s"HTTP/1.1 200 OK\r\n$ct" +:
       (extraHdrs ++ lenHdr)).mkString("", "\r\n", "\r\n\r\n"))
       .getBytes(ISO_8859_1) ++ body
   }
+
+  /** The UTF-8 byte-order mark. */
+  private[graft] val BomUtf8 = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
 
   /** One `response` record's bytes from a (doc_id, uri, lang, text)
     * row — shared by [[writeResponses]] and the revisit fixture.
@@ -193,25 +208,52 @@ object WarcSource {
     * cp1252-fallback degrade, charset_ok = false — same text either
     * way since every accent byte is ≥ 0xA0); else % 11 == 5
     * WINDOWS-1252 truthfully declared with [[Cp1252Fragment]] appended
-    * (bytes in 0x80–0x9F — the slice that catches a latin-1 decoder);
-    * else UTF-8. Transfer slices ride [[httpWrap]]. */
+    * (bytes in 0x80–0x9F — the slice that catches a latin-1 decoder).
+    * The remaining docs split on doc_id % 17 (r18 — the charset-sniff
+    * slices; suppressed on the % 13 ∈ {9, 11} encoding-degrade rows,
+    * whose payload bytes never decode):
+    *   1: META-ONLY UTF-8 — no header charset, `<meta charset="utf-8">`
+    *      in the head; the UTF-8 accent bytes visibly break under
+    *      cp1252, so skipping the prescan garbles the hash;
+    *   3: BOM'd UTF-8, no header charset;
+    *   5: BOM'd UTF-8 UNDER a wrong `iso-8859-1` header — BOM must win
+    *      (the HTML5 precedence pin);
+    *   7: UTF-16LE truthfully declared in the header;
+    *   9: NOTHING declared anywhere — bytes written ISO-8859-1 (all
+    *      accents ≥ 0xA0, so the cp1252 default decodes them exactly),
+    *      reported ("none", charset_ok = false, charset_src = default);
+    *   else: UTF-8 truthfully declared (the historical slice).
+    * Transfer slices ride [[httpWrap]]. */
   private def responseRecord(r: Row): Array[Byte] = {
     val id = r.getLong(0)
     val frag = if (id % 3 != 0 && id % 7 != 0 && id % 11 == 5) Cp1252Fragment else ""
-    val html = "<html><body><p>" + r.getString(3) + "</p>" + AccentFragment +
-      frag + "</body></html>"
-    val (cs, declared) =
-      if (id % 3 == 0) (ISO_8859_1, "iso-8859-1")
-      else if (id % 7 == 0) (ISO_8859_1, "x-unknown")
-      else if (id % 11 == 5) (CP1252, "windows-1252")
-      else (UTF_8, "utf-8")
+    val m17 = math.floorMod(id, 17L)
+    val sniffSlices = id % 3 != 0 && id % 7 != 0 && id % 11 != 5 &&
+      id % 13 != 9 && id % 13 != 11
+    val metaHead =
+      if (sniffSlices && m17 == 1) "<head><meta charset=\"utf-8\"/></head>" else ""
+    val html = "<html>" + metaHead + "<body><p>" + r.getString(3) + "</p>" +
+      AccentFragment + frag + "</body></html>"
+    val (payload, declared: Option[String]) =
+      if (id % 3 == 0) (html.getBytes(ISO_8859_1), Some("iso-8859-1"))
+      else if (id % 7 == 0) (html.getBytes(ISO_8859_1), Some("x-unknown"))
+      else if (id % 11 == 5) (html.getBytes(CP1252), Some("windows-1252"))
+      else if (!sniffSlices) (html.getBytes(UTF_8), Some("utf-8"))
+      else m17 match {
+        case 1 => (html.getBytes(UTF_8), None)
+        case 3 => (BomUtf8 ++ html.getBytes(UTF_8), None)
+        case 5 => (BomUtf8 ++ html.getBytes(UTF_8), Some("iso-8859-1"))
+        case 7 => (html.getBytes(UTF_16LE), Some("utf-16le"))
+        case 9 => (html.getBytes(ISO_8859_1), None)
+        case _ => (html.getBytes(UTF_8), Some("utf-8"))
+      }
     record(Seq(
       "WARC-Type" -> "response",
       "WARC-Target-URI" -> r.getString(1),
       "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
       "WARC-Identified-Content-Language" -> r.getString(2),
       "Content-Type" -> "application/http; msgtype=response"),
-      httpWrap(id, html.getBytes(cs), declared, degradeSlices = true))
+      httpWrap(id, payload, declared, degradeSlices = true))
   }
 
   /** Write the REALISTIC-HTML response fixture the extraction entries
@@ -296,9 +338,9 @@ object WarcSource {
       "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
       "WARC-Identified-Content-Language" -> r.getString(2),
       "Content-Type" -> "application/http; msgtype=response"),
-      // transfer slices ride too (chunked/gzip/both — every doc stays
-      // decodable), so extraction composes with payload decodings
-      httpWrap(id, html.getBytes(cs), declared, degradeSlices = false))
+      // transfer slices ride too (chunked/gzip/deflate — every doc
+      // stays decodable), so extraction composes with payload decodings
+      httpWrap(id, html.getBytes(cs), Some(declared), degradeSlices = false))
   }
 
   private def writeRecords(docs: DataFrame, dir: String, nFiles: Int,
@@ -461,6 +503,47 @@ object WarcSource {
     None
   }
 
+  /** Inflate a `Content-Encoding: deflate` body (bounded —
+    * [[MaxPayload]] cap). RFC 9110 defines `deflate` as the ZLIB
+    * container (RFC 1950), but real servers infamously send RAW
+    * deflate streams under the same name — so zlib is tried first and
+    * a raw-deflate pass second (the dual-decode every browser ships).
+    * None on both failing — a counted degrade, never garble. */
+  private[graft] def inflate(b: Array[Byte]): Option[Array[Byte]] = {
+    def run(nowrap: Boolean): Option[Array[Byte]] =
+      try {
+        val inf = new java.util.zip.Inflater(nowrap)
+        try {
+          inf.setInput(b)
+          val out = new java.io.ByteArrayOutputStream(b.length * 2 + 64)
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+              return None // truncated stream or preset-dictionary ask
+            out.write(buf, 0, n)
+            if (out.size > MaxPayload) return None
+          }
+          Some(out.toByteArray)
+        } finally inf.end()
+      } catch { case _: java.util.zip.DataFormatException => None }
+    run(false).orElse(run(true))
+  }
+
+  /** One deterministic zlib (RFC 1950) or raw deflate stream wrapping
+    * `data` — the write-side twin of [[inflate]]'s two accepted
+    * shapes (fixture slices only). */
+  private[graft] def deflateBytes(data: Array[Byte], raw: Boolean): Array[Byte] = {
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+    defl.setInput(data); defl.finish()
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    bos.toByteArray
+  }
+
   /** Inflate a `Content-Encoding: gzip` body (bounded — [[MaxPayload]]
     * cap, the zip-bomb stance); None on any malformed stream. */
   private[graft] def gunzip(b: Array[Byte]): Option[Array[Byte]] =
@@ -481,32 +564,78 @@ object WarcSource {
       case _: java.util.zip.ZipException => None
     }
 
+  /** The encoding BOM of a payload, when present: (charset, canonical
+    * label, bytes to strip before decode). UTF-8 / UTF-16BE / UTF-16LE
+    * — the three BOMs the HTML5 sniff recognizes, checked in that
+    * order (EF BB BF cannot be confused with the 16-bit marks). */
+  private[graft] def bomOf(b: Array[Byte]): Option[(java.nio.charset.Charset, String, Int)] =
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte)
+      Some((UTF_8, "utf-8", 3))
+    else if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+      Some((UTF_16BE, "utf-16be", 2))
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+      Some((UTF_16LE, "utf-16le", 2))
+    else None
+
+  /** A charset LABEL resolved to its decode charset under the HTML5
+    * (WHATWG encoding) rules: utf-8 as itself; the whole latin-1
+    * family as WINDOWS-1252 (browsers map 0x80–0x9F to real
+    * punctuation, not C1 controls); the bare `utf-16` label as
+    * UTF-16LE (the WHATWG rule — BOM sniffing, which runs FIRST,
+    * catches the BE shape); None for an unknown label. */
+  private def resolveLabel(label: String): Option[java.nio.charset.Charset] = label match {
+    case "utf-8" | "utf8" => Some(UTF_8)
+    case "windows-1252" | "cp1252" | "x-cp1252" | "iso-8859-1" | "latin-1" |
+        "latin1" | "us-ascii" | "ascii" => Some(CP1252)
+    case "utf-16" | "utf-16le" => Some(UTF_16LE)
+    case "utf-16be" => Some(UTF_16BE)
+    case _ => None
+  }
+
+  /** HTML5-style prescan of the first 1024 payload BYTES for a
+    * `<meta charset=…>` (or http-equiv Content-Type `…charset=…`)
+    * declaration — the channel header-silent pages actually declare
+    * their encoding through. The prescan reads the ASCII byte view
+    * (every registered label is ASCII); a declaration past the 1024th
+    * byte is not found, the spec's own cutoff. */
+  private[graft] def metaCharsetPrescan(b: Array[Byte]): Option[String] = {
+    val head = new String(b, 0, math.min(b.length, 1024), ISO_8859_1)
+    "(?i)<meta[\\s/][^>]*?charset\\s*=\\s*[\"']?\\s*([a-zA-Z0-9._-]+)".r
+      .findFirstMatchIn(head).map(_.group(1).toLowerCase)
+  }
+
   /** Split an HTTP response envelope out of a record body at byte
-    * level: (status, declared_charset, charset_ok, encoding,
+    * level: (status, charset, charset_ok, charset_src, encoding,
     * encoding_ok, payload_text). None = no CRLFCRLF blank line or
     * unparseable status line — the caller degrades to NULL http
     * fields.
     *
-    * Payload ENCODINGS (r17 — the r16 verdict's ask #2) run before any
-    * charset decode, on bytes: `Transfer-Encoding: chunked` bodies
-    * de-chunk (size lines would otherwise enter the corpus as text),
-    * then `Content-Encoding: gzip` bodies inflate. `encoding` reports
-    * the declared chain (`identity`, `chunked`, `gzip`,
-    * `chunked+gzip`, or the unsupported coding's own name);
-    * `encoding_ok = false` with a None payload for an unsupported
-    * coding (br, deflate, …) or a malformed chunk stream — a COUNTED
-    * degrade (the m9 convention), never garbled text.
+    * Payload ENCODINGS run before any charset decode, on bytes:
+    * `Transfer-Encoding: chunked` bodies de-chunk (size lines would
+    * otherwise enter the corpus as text), then `Content-Encoding:
+    * gzip` bodies inflate and `deflate` bodies (zlib or raw — both
+    * real-world shapes) inflate (r18). `encoding` reports the declared
+    * chain (`identity`, `chunked`, `gzip`, `chunked+gzip`, `deflate`,
+    * or the unsupported coding's own name); `encoding_ok = false` with
+    * a None payload for an unsupported content coding (br, zstd, …), a
+    * malformed stream, or — r18, the r17 advice fix — any transfer
+    * coding other than exactly `chunked`/`identity` (a
+    * `Transfer-Encoding: gzip` previously slipped through the
+    * contains-"chunked" test and decoded compressed bytes as charset
+    * text). Counted degrades (the m9 convention), never garbled text.
     *
-    * Charset dispatch follows the HTML5 encoding rules: utf-8 decodes
-    * as itself; every latin-1-family label (iso-8859-1, latin-1,
-    * us-ascii, windows-1252, cp1252) decodes as WINDOWS-1252 — the
-    * superset browsers actually use, mapping 0x80–0x9F to real
-    * punctuation — with charset_ok = true; a missing charset reports
-    * "none" and decodes cp1252 (the legacy default); any other label
-    * falls back to cp1252 with charset_ok = FALSE, the counted
-    * charset-degrade bucket. */
+    * CHARSET resolution follows the HTML5 precedence (r18 — the r17
+    * verdict's top ask): BOM > HTTP header > `<meta charset>` prescan
+    * of the first 1024 bytes > the cp1252 legacy default, with
+    * `charset_src` reporting which channel decided
+    * (`bom`/`header`/`meta`/`default`). Labels resolve under
+    * [[resolveLabel]]'s WHATWG rules; an unknown label falls back to
+    * cp1252 with `charset_ok = false`, and a page declaring NOTHING
+    * reports `("none", false, "default")` — absence is no longer
+    * conflated with "declared and understood" (the accounting a corpus
+    * owner reads to size the mojibake exposure). */
   private[graft] def parseHttp(body: Array[Byte]):
-      Option[(Long, String, Boolean, String, Boolean, Option[String])] = {
+      Option[(Long, String, Boolean, String, String, Boolean, Option[String])] = {
     val hEnd = indexOf(body, Crlf2, 0)
     if (hEnd < 0) return None
     val lines = new String(body, 0, hEnd, ISO_8859_1).split("\r\n")
@@ -519,36 +648,54 @@ object WarcSource {
     val hdrs = lines.iterator.drop(1)
       .map(_.split(":", 2)).collect { case Array(k, v) => (k.trim.toLowerCase, v.trim) }
       .toMap
-    val chunked = hdrs.get("transfer-encoding")
-      .exists(_.toLowerCase.contains("chunked"))
+    // transfer codings as a LIST; only exactly-'chunked' (after
+    // dropping 'identity') is undoable here — 'gzip', 'gzip, chunked',
+    // or anything else is an unsupported TRANSFER coding
+    val teCodings = hdrs.get("transfer-encoding").toSeq
+      .flatMap(_.toLowerCase.split(","))
+      .map(_.trim).filter(c => c.nonEmpty && c != "identity")
+    val chunked = teCodings == Seq("chunked")
+    val teUnsupported = teCodings.nonEmpty && !chunked
     val ceName = hdrs.get("content-encoding").map(_.toLowerCase.trim)
       .filter(c => c.nonEmpty && c != "identity")
-    val encoding = (if (chunked) "chunked" else "") +
-      (if (chunked && ceName.nonEmpty) "+" else "") + ceName.getOrElse("") match {
-        case "" => "identity"
-        case e => e
-      }
+    val encoding = (teCodings ++ ceName).mkString("+") match {
+      case "" => "identity"
+      case e => e
+    }
     val raw0: Option[Array[Byte]] =
-      if (chunked) dechunk(body, hEnd + 4)
+      if (teUnsupported) None
+      else if (chunked) dechunk(body, hEnd + 4)
       else Some(java.util.Arrays.copyOfRange(body, hEnd + 4, body.length))
     val rawBytes: Option[Array[Byte]] = ceName match {
       case None => raw0
       case Some("gzip") | Some("x-gzip") => raw0.flatMap(gunzip)
+      case Some("deflate") => raw0.flatMap(inflate)
       case Some(_) => None // unsupported coding: counted degrade
     }
     val declared = hdrs.get("content-type")
       .flatMap(ct => "(?i)charset=\"?([^;\\s\"]+)".r.findFirstMatchIn(ct))
       .map(_.group(1).toLowerCase)
-    val (cs, name, ok) = declared match {
-      case Some(c @ ("utf-8" | "utf8")) => (UTF_8, c, true)
-      case Some(c @ ("windows-1252" | "cp1252" | "x-cp1252" | "iso-8859-1" |
-          "latin-1" | "latin1" | "us-ascii" | "ascii")) =>
-        (CP1252, c, true) // HTML5: the latin-1 family IS cp1252
-      case Some(c) => (CP1252, c, false) // unknown label → cp1252, counted
-      case None => (CP1252, "none", true)
+    // HTML5 precedence: BOM > header > meta prescan > default. BOM and
+    // meta need decoded payload BYTES — on an encoding degrade (None
+    // payload) the header channel, when declared, still accounts.
+    val (cs, name, ok, src, skip) = rawBytes.flatMap(bomOf) match {
+      case Some((c, n, k)) => (c, n, true, "bom", k)
+      case None => declared match {
+        case Some(label) => resolveLabel(label) match {
+          case Some(c) => (c, label, true, "header", 0)
+          case None => (CP1252, label, false, "header", 0)
+        }
+        case None => rawBytes.flatMap(metaCharsetPrescan) match {
+          case Some(label) => resolveLabel(label) match {
+            case Some(c) => (c, label, true, "meta", 0)
+            case None => (CP1252, label, false, "meta", 0)
+          }
+          case None => (CP1252, "none", false, "default", 0)
+        }
+      }
     }
-    Some((status.get, name, ok, encoding, rawBytes.nonEmpty,
-      rawBytes.map(new String(_, cs))))
+    Some((status.get, name, ok, src, encoding, rawBytes.nonEmpty,
+      rawBytes.map(b => new String(b, skip, b.length - skip, cs))))
   }
 
   /** Raw record chunks (bytes AFTER each "WARC/1.0\r\n") from the
@@ -606,25 +753,28 @@ object WarcSource {
     * transfer/content decodings applied, and the payload
     * charset-decoded (see [[parseHttp]]): (warc_type, target_uri,
     * record_id, content_lang, refers_to, content_length, http_status,
-    * charset, charset_ok, encoding, encoding_ok, payload). Records
-    * whose body is not a parseable HTTP response keep their row with
-    * NULL http fields; an unsupported or malformed payload encoding
-    * keeps the envelope fields with `encoding_ok = false` and a NULL
-    * payload — degrade buckets stay countable. */
+    * charset, charset_ok, charset_src, encoding, encoding_ok,
+    * payload). `charset_src` reports which HTML5 channel decided the
+    * decode — bom/header/meta/default. Records whose body is not a
+    * parseable HTTP response keep their row with NULL http fields; an
+    * unsupported or malformed payload encoding keeps the envelope
+    * fields with `encoding_ok = false` and a NULL payload — degrade
+    * buckets stay countable. */
   def readResponses(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
     rawChunks(spark, glob).flatMap(parseRecordBytes)
       .map { case (t, u, r, l, rt, n, body) =>
         parseHttp(body) match {
-          case Some((st, cs, ok, enc, encOk, payload)) =>
-            (t, u, r, l, rt, n, Some(st), Some(cs), Some(ok),
+          case Some((st, cs, ok, src, enc, encOk, payload)) =>
+            (t, u, r, l, rt, n, Some(st), Some(cs), Some(ok), Some(src),
               Some(enc), Some(encOk), payload)
-          case None => (t, u, r, l, rt, n, None, None, None, None, None, None)
+          case None =>
+            (t, u, r, l, rt, n, None, None, None, None, None, None, None)
         }
       }
       .toDF("warc_type", "target_uri", "record_id", "content_lang",
         "refers_to", "content_length", "http_status", "charset",
-        "charset_ok", "encoding", "encoding_ok", "payload")
+        "charset_ok", "charset_src", "encoding", "encoding_ok", "payload")
   }
 
   /** Write the [[writeResponses]] fixture WITH REVISIT records — the

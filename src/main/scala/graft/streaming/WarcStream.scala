@@ -120,7 +120,7 @@ object WarcStream {
           .flatMap { case (t, _, rid, lang, _, _, body) =>
             if (t != "response") None
             else WarcSource.parseHttp(body) match {
-              case Some((_, _, _, _, true, Some(payload))) =>
+              case Some((_, _, _, _, _, true, Some(payload))) =>
                 Some((rid, lang, payload))
               case _ => None
             }

@@ -97,27 +97,28 @@ class WarcSourceSpec extends AnyFunSuite {
     val text = "déjà vu à côté ®"
     // utf-8 declared, utf-8 bytes
     val u = WarcSource.parseHttp(http("utf-8", text.getBytes("UTF-8")))
-    assert(u.contains((200L, "utf-8", true, "identity", true, Some(text))))
+    assert(u.contains((200L, "utf-8", true, "header", "identity", true, Some(text))))
     // latin-1 declared, latin-1 bytes ≥ 0xA0 — cp1252 decodes them identically
     val l = WarcSource.parseHttp(http("iso-8859-1", text.getBytes("ISO-8859-1")))
-    assert(l.contains((200L, "iso-8859-1", true, "identity", true, Some(text))))
+    assert(l.contains((200L, "iso-8859-1", true, "header", "identity", true, Some(text))))
     // the HTML5 rule: a latin-1 LABEL with 0x80–0x9F bytes decodes as
     // cp1252 punctuation, not C1 controls
     val smart = "€ “q” – x"
     val w = WarcSource.parseHttp(http("iso-8859-1", smart.getBytes("windows-1252")))
-    assert(w.contains((200L, "iso-8859-1", true, "identity", true, Some(smart))))
+    assert(w.contains((200L, "iso-8859-1", true, "header", "identity", true, Some(smart))))
     val w2 = WarcSource.parseHttp(http("windows-1252", smart.getBytes("windows-1252")))
-    assert(w2.contains((200L, "windows-1252", true, "identity", true, Some(smart))))
+    assert(w2.contains((200L, "windows-1252", true, "header", "identity", true, Some(smart))))
     // bogus declaration → cp1252 fallback recovers the bytes, counted NOT ok
     val b = WarcSource.parseHttp(http("x-klingon", text.getBytes("ISO-8859-1")))
-    assert(b.contains((200L, "x-klingon", false, "identity", true, Some(text))))
+    assert(b.contains((200L, "x-klingon", false, "header", "identity", true, Some(text))))
     // a UTF-8-only reader WOULD have garbled the latin-1 slice: the raw
     // bytes are not valid UTF-8
     assert(new String(text.getBytes("ISO-8859-1"), "UTF-8") != text)
-    // no charset param → reported "none", cp1252 (legacy default) decode
+    // nothing declared anywhere → ("none", NOT ok, default): absence is
+    // not "declared and understood" (r18)
     val n = WarcSource.parseHttp(
       ("HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\nx").getBytes("ISO-8859-1"))
-    assert(n.contains((404L, "none", true, "identity", true, Some("x"))))
+    assert(n.contains((404L, "none", false, "default", "identity", true, Some("x"))))
     // malformed: no blank line / no status line → None (caller degrades)
     assert(WarcSource.parseHttp("HTTP/1.1 200 OK\r\n".getBytes("ISO-8859-1")).isEmpty)
     assert(WarcSource.parseHttp("not-http\r\n\r\nbody".getBytes("ISO-8859-1")).isEmpty)
@@ -125,6 +126,91 @@ class WarcSourceSpec extends AnyFunSuite {
     val h2 = WarcSource.parseHttp(
       "HTTP/2 204 No Content\r\nContent-Type: text/html\r\n\r\n".getBytes("ISO-8859-1"))
     assert(h2.exists(_._1 == 204L))
+  }
+
+  test("parseHttp r18: BOM > header > meta prescan > default precedence, UTF-16") {
+    def http(ct: String, payload: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1") ++ payload
+    val text = "déjà vu à côté ®"
+    val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    // BOM with no header charset: src=bom, BOM stripped from the text
+    val b1 = WarcSource.parseHttp(http("text/html", bom ++ text.getBytes("UTF-8")))
+    assert(b1.contains((200L, "utf-8", true, "bom", "identity", true, Some(text))))
+    // BOM BEATS a wrong header declaration (HTML5 precedence)
+    val b2 = WarcSource.parseHttp(
+      http("text/html; charset=iso-8859-1", bom ++ text.getBytes("UTF-8")))
+    assert(b2.contains((200L, "utf-8", true, "bom", "identity", true, Some(text))))
+    // UTF-16LE/BE BOMs
+    val le = WarcSource.parseHttp(http("text/html",
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE")))
+    assert(le.contains((200L, "utf-16le", true, "bom", "identity", true, Some(text))))
+    val be = WarcSource.parseHttp(http("text/html",
+      Array[Byte](0xFE.toByte, 0xFF.toByte) ++ text.getBytes("UTF-16BE")))
+    assert(be.contains((200L, "utf-16be", true, "bom", "identity", true, Some(text))))
+    // header-declared utf-16le decodes natively (no BOM needed)
+    val hle = WarcSource.parseHttp(
+      http("text/html; charset=utf-16le", text.getBytes("UTF-16LE")))
+    assert(hle.contains((200L, "utf-16le", true, "header", "identity", true, Some(text))))
+    // the bare utf-16 label is LE under the WHATWG rule
+    val h16 = WarcSource.parseHttp(
+      http("text/html; charset=utf-16", text.getBytes("UTF-16LE")))
+    assert(h16.contains((200L, "utf-16", true, "header", "identity", true, Some(text))))
+    // meta prescan: <meta charset=…> inside the first 1024 bytes decides
+    val metaHtml = s"""<html><head><meta charset="utf-8"/></head><body>$text</body></html>"""
+    val m1 = WarcSource.parseHttp(http("text/html", metaHtml.getBytes("UTF-8")))
+    assert(m1.contains((200L, "utf-8", true, "meta", "identity", true, Some(metaHtml))))
+    // …the http-equiv content= form too, case-insensitive
+    val eqHtml = "<html><head><meta http-equiv=\"Content-Type\" " +
+      s"""content="text/html; CHARSET=UTF-8"></head><body>$text</body></html>"""
+    val m2 = WarcSource.parseHttp(http("text/html", eqHtml.getBytes("UTF-8")))
+    assert(m2.contains((200L, "utf-8", true, "meta", "identity", true, Some(eqHtml))))
+    // header BEATS meta when both declare
+    val m3 = WarcSource.parseHttp(
+      http("text/html; charset=iso-8859-1", metaHtml.getBytes("ISO-8859-1")))
+    assert(m3.exists(t => t._2 == "iso-8859-1" && t._4 == "header"))
+    // a meta declaration past the 1024-byte prescan window is not seen
+    val far = "<html><body>" + ("x" * 1100) +
+      s"""<meta charset="utf-8"/>$text</body></html>"""
+    val m4 = WarcSource.parseHttp(http("text/html", far.getBytes("ISO-8859-1")))
+    assert(m4.exists(t => t._2 == "none" && t._4 == "default" && !t._3))
+    // <metadata charset=…> must NOT match the prescan (name boundary)
+    assert(WarcSource.metaCharsetPrescan(
+      "<html><metadata charset=\"utf-8\"/>".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("parseHttp r18: deflate (zlib and raw), TE strictness") {
+    val text = "deflate me — déjà vu " * 30
+    val payload = text.getBytes("UTF-8")
+    def http(extra: Seq[String], body: Array[Byte]): Array[Byte] =
+      (("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +: extra)
+        .mkString("", "\r\n", "\r\n\r\n")).getBytes("ISO-8859-1") ++ body
+    // zlib-wrapped deflate (the RFC 9110 shape)
+    val z = WarcSource.parseHttp(http(Seq("Content-Encoding: deflate"),
+      WarcSource.deflateBytes(payload, raw = false)))
+    assert(z.contains((200L, "utf-8", true, "header", "deflate", true, Some(text))))
+    // raw deflate (the broken-server shape browsers also accept)
+    val r = WarcSource.parseHttp(http(Seq("Content-Encoding: deflate"),
+      WarcSource.deflateBytes(payload, raw = true)))
+    assert(r.contains((200L, "utf-8", true, "header", "deflate", true, Some(text))))
+    // corrupt deflate: counted degrade, never garble or throw
+    val bad = WarcSource.deflateBytes(payload, raw = false)
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x55).toByte
+    val c = WarcSource.parseHttp(http(Seq("Content-Encoding: deflate"), bad))
+    assert(c.exists(t => !t._6 && t._7.isEmpty))
+    // TE other than exactly chunked is an unsupported TRANSFER coding
+    // (r17 advice: 'gzip' / 'gzip, chunked' previously decoded the
+    // compressed bytes as charset text under encoding_ok = true)
+    val teG = WarcSource.parseHttp(http(Seq("Transfer-Encoding: gzip"),
+      WarcSource.gzipMember(payload)))
+    assert(teG.exists(t => t._5 == "gzip" && !t._6 && t._7.isEmpty))
+    val teGC = WarcSource.parseHttp(http(Seq("Transfer-Encoding: gzip, chunked"),
+      WarcSource.chunkEncode(WarcSource.gzipMember(payload))))
+    assert(teGC.exists(t => t._5 == "gzip+chunked" && !t._6 && t._7.isEmpty))
+    // 'chunked, identity' still de-chunks (identity drops from the list)
+    val teCI = WarcSource.parseHttp(http(Seq("Transfer-Encoding: chunked, identity"),
+      WarcSource.chunkEncode(payload)))
+    assert(teCI.contains((200L, "utf-8", true, "header", "chunked", true, Some(text))))
   }
 
   test("parseHttp: chunked, gzip, chunked+gzip, unsupported and malformed encodings") {
@@ -136,32 +222,32 @@ class WarcSourceSpec extends AnyFunSuite {
     // chunked (multi-chunk, extension on the first size line)
     val c = WarcSource.parseHttp(http(Seq("Transfer-Encoding: chunked"),
       WarcSource.chunkEncode(payload)))
-    assert(c.contains((200L, "utf-8", true, "chunked", true, Some(text))),
+    assert(c.contains((200L, "utf-8", true, "header", "chunked", true, Some(text))),
       "de-chunk must reassemble the payload (size lines are NOT text)")
     // gzip
     val g = WarcSource.parseHttp(http(Seq("Content-Encoding: gzip"),
       WarcSource.gzipMember(payload)))
-    assert(g.contains((200L, "utf-8", true, "gzip", true, Some(text))))
+    assert(g.contains((200L, "utf-8", true, "header", "gzip", true, Some(text))))
     // gzip then chunked — the on-the-wire composition, undone in order
     val cg = WarcSource.parseHttp(http(
       Seq("Transfer-Encoding: chunked", "Content-Encoding: gzip"),
       WarcSource.chunkEncode(WarcSource.gzipMember(payload))))
-    assert(cg.contains((200L, "utf-8", true, "chunked+gzip", true, Some(text))))
+    assert(cg.contains((200L, "utf-8", true, "header", "chunked+gzip", true, Some(text))))
     // unsupported coding: counted degrade, NULL payload, envelope kept
     val br = WarcSource.parseHttp(http(Seq("Content-Encoding: br"), payload))
-    assert(br.contains((200L, "utf-8", true, "br", false, None)))
+    assert(br.contains((200L, "utf-8", true, "header", "br", false, None)))
     // malformed chunk stream: degrade, never size-lines-as-text
     val m = WarcSource.parseHttp(http(Seq("Transfer-Encoding: chunked"),
       "zz;bogus\r\n".getBytes("ISO-8859-1") ++ payload))
-    assert(m.contains((200L, "utf-8", true, "chunked", false, None)))
+    assert(m.contains((200L, "utf-8", true, "header", "chunked", false, None)))
     // truncated chunk + corrupt gzip: degrade, never throw
     val tr = WarcSource.parseHttp(http(Seq("Transfer-Encoding: chunked"),
       WarcSource.chunkEncode(payload).dropRight(20)))
-    assert(tr.exists(t => !t._5 && t._6.isEmpty))
+    assert(tr.exists(t => !t._6 && t._7.isEmpty))
     val cz = WarcSource.gzipMember(payload)
     cz(cz.length / 2) = (cz(cz.length / 2) ^ 0x55).toByte
     val bz = WarcSource.parseHttp(http(Seq("Content-Encoding: gzip"), cz))
-    assert(bz.exists(t => !t._5 && t._6.isEmpty))
+    assert(bz.exists(t => !t._6 && t._7.isEmpty))
   }
 
   test("gzipMember emits a valid deterministic RFC 1952 member") {
