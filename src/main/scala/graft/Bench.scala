@@ -172,7 +172,9 @@ object Bench {
     "ext2_link_extraction", "ext3_page_metadata", "url7_robots_gate",
     "url7b_robots_frontier", "tx18_boilerplate_blocks",
     "url8_sitemap_manifest", "warc5_wet_production",
-    "url9_frontier_expansion")
+    "url9_frontier_expansion",
+    // round-18 additions
+    "url8b_sitemap_discovery")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -368,8 +368,9 @@ object TextOps {
     * values is the spec's to ignore. Pure built-in composition
     * (regexp_extract_all over entries + explode + per-entry extracts)
     * — map + explode, entry cardinality bounds what moves; a sitemap
-    * INDEX (`<sitemapindex>` of child sitemaps) is one more hop of the
-    * same parse, driver-sequenced like any bounded fetch loop.
+    * INDEX (`<sitemapindex>` of child sitemaps — the dominant
+    * real-world shape) is one more hop of the same parse,
+    * [[sitemapIndexEntries]] (r18).
     * Input: (key, xml) columns; output: (key, loc, lastmod). */
   def sitemapEntries(df: DataFrame, key: Column, xml: Column): DataFrame =
     df.select(key.as("key"),
@@ -380,6 +381,24 @@ object TextOps {
         when(col("e").contains("<lastmod>"),
           regexp_extract(col("e"), "<lastmod>\\s*([^<]+?)\\s*</lastmod>", 1))
           .otherwise(lit(null).cast("string")).as("lastmod"))
+      .filter(col("loc") =!= "")
+
+  /** Parse a sitemaps.org `sitemapindex` document — the one-more-hop
+    * [[sitemapEntries]] promised (r18): big sites publish an INDEX of
+    * child sitemaps, each `<sitemap><loc>…</loc></sitemap>` naming one
+    * urlset file (commonly `.xml.gz`). One row per child with its
+    * `<loc>`; whitespace-tolerant like the urlset parse. The discovery
+    * chain a crawler actually runs is robots.txt `Sitemap:` line
+    * ([[graft.operators.Robots.parseSitemaps]]) → this index hop →
+    * [[sitemapEntries]] per child (gunzipping `.xml.gz` children via
+    * [[graft.plans.GzipExprs.gunzipText]]) — url8b composes all three.
+    * Input: (key, xml); output: (key, loc). */
+  def sitemapIndexEntries(df: DataFrame, key: Column, xml: Column): DataFrame =
+    df.select(key.as("key"),
+      explode(regexp_extract_all(xml,
+        lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as("e"))
+      .select(col("key"),
+        regexp_extract(col("e"), "<loc>\\s*([^<]+?)\\s*</loc>", 1).as("loc"))
       .filter(col("loc") =!= "")
 
   /** Per-document extracted URLs, one row per link occurrence — the

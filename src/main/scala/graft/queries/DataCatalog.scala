@@ -4480,20 +4480,108 @@ object DataCatalog {
       "strftime(DATE '2024-01-01' + INTERVAL ((doc_id % 28)::INT) DAY, '%Y-%m-%d') " +
       "END AS lastmod FROM documents" + OBA))
 
+  // URL8B — the sitemap DISCOVERY CHANNEL end-to-end (r18 — the r17
+  // verdict's ask #2: url8 parsed a urlset handed to it; real crawlers
+  // DISCOVER sitemaps through robots.txt): per host, a robots.txt
+  // whose `Sitemap:` line (parsed by Robots.parseSitemaps — 7 hosts'
+  // robots are bounded driver state, the rules-model class) names a
+  // `<sitemapindex>`, whose index hop (TextOps.sitemapIndexEntries)
+  // names two child urlsets per host — one plain XML, one GZIPPED
+  // `.xml.gz` (the near-universal real shape, inflated by the
+  // GunzipText expression) — and the children parse through url8's
+  // urlset path into the (host, loc, lastmod) frontier seed. Docs
+  // split across the two children by doc_id parity, so BOTH transport
+  // shapes carry real rows. Graded against URL8'S ORACLE VERBATIM
+  // (the url7b discipline): the three-hop discovery chain must land
+  // the identical manifest the one-shot parse produced. All frames on
+  // the chain are host- or entry-sized; the only corpus-shaped work is
+  // the per-host entry aggregation (one hash agg, 7×2 groups).
+  val url8b = Q(
+    (s, d) => {
+      import s.implicits._
+      val docs = documents(s, d).select(col("doc_id"),
+        concat(lit("example"), col("doc_id") % 7, lit(".org")).as("host"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("url"),
+        date_format(date_add(lit("2024-01-01"),
+          (col("doc_id") % 28).cast("int")), "yyyy-MM-dd").as("lastmod"))
+      // hop 1 — robots.txt per host; Sitemap: lines are bounded driver
+      // state exactly like the host's rule set
+      val robots = (0 until 7).map { k =>
+        (s"example$k.org",
+          "User-agent: graftbot\nDisallow: /private/\n" +
+            s"Sitemap: https://example$k.org/sitemap_index.xml # published\n")
+      }
+      val discovered = robots.flatMap { case (h, txt) =>
+        graft.operators.Robots.parseSitemaps(txt).map((h, _))
+      }.toDF("host", "sitemap_url")
+      // hop 2 — the index documents (spec-legal whitespace padding)
+      val index = (0 until 7).map { k =>
+        (s"example$k.org", s"https://example$k.org/sitemap_index.xml",
+          "<?xml version=\"1.0\"?><sitemapindex>" +
+            s"<sitemap><loc> https://example$k.org/sitemap-a.xml </loc></sitemap>" +
+            s"<sitemap><loc>https://example$k.org/sitemap-b.xml.gz</loc></sitemap>" +
+            "</sitemapindex>")
+      }.toDF("ihost", "iurl", "ixml")
+      val children = TextOps.sitemapIndexEntries(
+        discovered.join(broadcast(index),
+          col("host") === col("ihost") && col("sitemap_url") === col("iurl"))
+          .select(col("host"), col("ixml")),
+        col("host"), col("ixml"))
+        .select(col("key").as("host"), col("loc").as("child_url"))
+      // hop 3 — the child urlsets as STORED BYTES: -a plain UTF-8,
+      // -b a gzip member (GzipBytes — deterministic RFC 1952)
+      val entries = docs.withColumn("entry", when(col("doc_id") % 3 === 0,
+        format_string("<url><loc> %s </loc></url>", col("url")))
+        .otherwise(format_string(
+          "<url><loc>%s</loc><lastmod> %s </lastmod></url>",
+          col("url"), col("lastmod"))))
+        .withColumn("child_url", concat(lit("https://"), col("host"),
+          when(col("doc_id") % 2 === 0, lit("/sitemap-a.xml"))
+            .otherwise(lit("/sitemap-b.xml.gz"))))
+      val stored = entries.groupBy("host", "child_url")
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          array_join(array_sort(collect_list(col("entry"))), "\n"),
+          lit("</urlset>")).as("xml"))
+        .select(col("host").as("shost"), col("child_url").as("surl"),
+          when(col("child_url").endsWith(".gz"),
+            graft.plans.GzipExprs.gzipBytes(col("xml")))
+            .otherwise(col("xml").cast("binary")).as("bytes"))
+      // fetch the discovered children, inflate the .gz ones, parse
+      val fetched = children.join(stored,
+        col("host") === col("shost") && col("child_url") === col("surl"))
+        .select(col("host"),
+          when(col("child_url").endsWith(".gz"),
+            graft.plans.GzipExprs.gunzipText(col("bytes")))
+            .otherwise(col("bytes").cast("string")).as("xml"))
+      ordered(TextOps.sitemapEntries(fetched, col("host"), col("xml"))
+        .select(col("key").as("host"), col("loc"), col("lastmod")))
+    },
+    Some("SELECT 'example' || (doc_id % 7) || '.org' AS host, " +
+      "'https://example' || (doc_id % 7) || '.org/doc/' || doc_id AS loc, " +
+      "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE " +
+      "strftime(DATE '2024-01-01' + INTERVAL ((doc_id % 28)::INT) DAY, '%Y-%m-%d') " +
+      "END AS lastmod FROM documents" + OBA))
+
   // URL9 — frontier expansion (r17 — ONE crawl iteration's output, the
   // composition a fetch scheduler actually runs each round: extract
-  // links from the fetched pages (ext2), keep only robots-allowed URLs
-  // (url7), DEDUPE the candidates (the same URL is discovered from
-  // many pages — distinct on the url key), and anti-join away
-  // everything already crawled — the fixture's self links point every
-  // page back at its own URL, so the anti-join genuinely removes a
-  // family rather than passing vacuously). Output = the next fetch
-  // frontier. Plan: map+explode extraction, the literal robots
-  // when-chain filter, one distinct shuffle on the url key, one
-  // anti-join against the crawled set (broadcast here; at 100 TB the
-  // crawled side is a bloom pre-filter + bucketed anti-join). The
-  // oracle states the frontier closed-form: the distinct allowed
-  // links, with the self family absent.
+  // links from the fetched pages (ext2), UNION the sitemap-DISCOVERED
+  // URLs (r18 — the discovery channel feeds the frontier next to link
+  // extraction: each host publishes a urlset of /site/ pages no page
+  // links to, parsed through the real sitemapEntries path), keep only
+  // robots-allowed URLs (url7), DEDUPE the candidates (the same URL is
+  // discovered from many pages — distinct on the url key), and
+  // anti-join away everything already crawled — the fixture's self
+  // links point every page back at its own URL, so the anti-join
+  // genuinely removes a family rather than passing vacuously). Output
+  // = the next fetch frontier: extracted ∪ discovered, minus crawled.
+  // Plan: map+explode extraction, one host-sized sitemap parse, the
+  // literal robots when-chain filter, one distinct shuffle on the url
+  // key, one anti-join against the crawled set (broadcast here; at
+  // 100 TB the crawled side is a bloom pre-filter + exact anti-join —
+  // dp14 ships that shape as code via BloomJoin.antiJoin). The oracle
+  // states the frontier closed-form: the distinct allowed links plus
+  // the discovered /site family, with the self family absent.
   val url9 = Q(
     (s, d) => {
       val dir = sfScratch("/tmp/graft_warc_html", d)
@@ -4507,9 +4595,21 @@ object DataCatalog {
           explode(graft.plans.HtmlTextExpr.htmlHrefs(col("payload"))).as("href"))
         .select(graft.plans.HtmlTextExpr.resolveUrl(col("target_uri"), col("href"))
           .as("url"))
+      // the discovery channel: each host's published urlset, parsed —
+      // /site/ pages exist in NO page's anchors, so the union
+      // genuinely widens the frontier
+      val siteXml = docs
+        .select((col("doc_id") % 7).as("k"),
+          format_string("<url><loc>https://example%d.org/site/%d</loc></url>",
+            col("doc_id") % 7, col("doc_id") % 23).as("entry"))
+        .groupBy("k").agg(concat(lit("<urlset>"),
+          array_join(array_sort(collect_list(col("entry"))), ""),
+          lit("</urlset>")).as("xml"))
+      val discovered = TextOps.sitemapEntries(siteXml, col("k"), col("xml"))
+        .select(col("loc").as("url"))
       val rules = graft.operators.Robots.parseRules(RobotsFixture, "graftbot")
       val crawled = docs.select(col("uri").as("url"))
-      ordered(links
+      ordered(links.unionByName(discovered)
         .where(graft.operators.Robots.allowCol(
           graft.operators.Robots.urlPath(col("url")), rules))
         .distinct()
@@ -4521,7 +4621,9 @@ object DataCatalog {
       "UNION ALL SELECT 'https://example' || (doc_id % 7) || '.org/rel/' || " +
       "(doc_id % 13) || '?a=1&b=2' FROM documents WHERE doc_id % 13 = 2 " +
       "UNION ALL SELECT 'https://example' || (doc_id % 7) || '.org/up/' || " +
-      "(doc_id % 5) FROM documents WHERE doc_id % 5 <> 3)" + OBA))
+      "(doc_id % 5) FROM documents WHERE doc_id % 5 <> 3 " +
+      "UNION ALL SELECT 'https://example' || (doc_id % 7) || '.org/site/' || " +
+      "(doc_id % 23) FROM documents)" + OBA))
 
   // DP7 — authority-weighted curation: the composition a CommonCrawl-
   // style curator actually runs with the graph family. Each doc's host
@@ -8066,5 +8168,7 @@ object DataCatalog {
     "ext2_link_extraction" -> ext2, "ext3_page_metadata" -> ext3,
     "url7_robots_gate" -> url7, "url7b_robots_frontier" -> url7b,
     "tx18_boilerplate_blocks" -> tx18, "url8_sitemap_manifest" -> url8,
-    "warc5_wet_production" -> warc5, "url9_frontier_expansion" -> url9)
+    "warc5_wet_production" -> warc5, "url9_frontier_expansion" -> url9,
+    // round 18
+    "url8b_sitemap_discovery" -> url8b)
 }
