@@ -60,6 +60,31 @@ object BloomJoin {
       .join(build.select(buildKey.as("__bf_key")).distinct(),
         probeKey === col("__bf_key"), "left_semi")
   }
+
+  /** probe ▷ build (LEFT ANTI) on arbitrary keys, bloom-pruned (r18 —
+    * the crawled-set shape dp14 ships: at 100 TB the "already crawled"
+    * side is billions of URLs, and MOST frontier candidates are new).
+    * The bloom answers "definitely not crawled" for free: rows whose
+    * xxhash64(key) the filter rules OUT pass the anti-join WITHOUT
+    * shuffling — only the bloom-positive slice (fpp + the true-overlap
+    * fraction of the probe) pays the exact anti-join, which runs on
+    * the REAL key (not the hash), so a hash collision can never drop a
+    * genuinely-new row. Result ≡
+    * `probe.join(build, probeKey === buildKey, "left_anti")` exactly.
+    *
+    * (The semi-join dual prunes the KEPT side; here the bloom-negative
+    * rows ARE the kept side, which is why anti-joins benefit even more
+    * at low overlap.) */
+  def antiJoin(probe: DataFrame, probeKey: Column,
+      build: DataFrame, buildKey: Column, fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val bf = buildFilter(build, xxhash64(buildKey), fpp, expectedItems)
+    val neg = probe.filter(!mightContain(xxhash64(probeKey), bf))
+    val pos = probe.filter(mightContain(xxhash64(probeKey), bf))
+      .join(build.select(buildKey.as("__bf_key")).distinct(),
+        probeKey === col("__bf_key"), "left_anti")
+    neg.unionByName(pos)
+  }
 }
 
 /** `bf.mightContainLong(key)` as a codegen'd expression; the filter

@@ -4625,6 +4625,145 @@ object DataCatalog {
       "UNION ALL SELECT 'https://example' || (doc_id % 7) || '.org/site/' || " +
       "(doc_id % 23) FROM documents)" + OBA))
 
+  // DP14 — CRAWL-SCHEDULER flagship (r18 — the composition a fetch
+  // scheduler actually runs each cycle, wiring the whole url family
+  // together the way the r17 verdict asked): candidate URLs = extracted
+  // links (ext2) ∪ sitemap-discovered URLs (url8b's channel) →
+  // DISTINCT → the MANY-HOST data-driven robots gate (url7b's
+  // broadcast rules frame, not the literal chain — a scheduler gates
+  // thousands of hosts) → the crawled-set anti-join SHIPPED AS THE
+  // 100 TB SHAPE: BloomJoin.antiJoin — a driver-built bloom over the
+  // crawled keys rules most candidates "definitely new" with NO
+  // shuffle, and only the bloom-positive slice pays the exact
+  // anti-join (result ≡ a plain left_anti, ScaleSpec-pinned) → pr1
+  // authority over the historical host link graph (dp7's fixture
+  // shape) weights each host → url6's largest-remainder apportionment
+  // splits a 100-fetch budget across hosts by authority → each host's
+  // fetch list is its top-quota frontier URLs under the deterministic
+  // md5 priority. The per-host cut is a host-partitioned window —
+  // millions of SMALL partitions at scale (host count is huge, quota
+  // bounds each list), the shape where windows parallelize perfectly.
+  // Output: (host, url, priority, fetch_rank ≤ quota) — the cycle's
+  // fetch lists. The oracle replays extraction closed-form, the
+  // 3-iteration integer PageRank, the Hamilton apportionment, and the
+  // md5 ranking bit-for-bit.
+  val dp14 = Q(
+    (s, d) => {
+      import s.implicits._
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      // candidates: extracted links ∪ sitemap-discovered (url9's union)
+      val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri"),
+          explode(graft.plans.HtmlTextExpr.htmlHrefs(col("payload"))).as("href"))
+        .select(graft.plans.HtmlTextExpr.resolveUrl(col("target_uri"), col("href"))
+          .as("url"))
+      val siteXml = docs
+        .select((col("doc_id") % 7).as("k"),
+          format_string("<url><loc>https://example%d.org/site/%d</loc></url>",
+            col("doc_id") % 7, col("doc_id") % 23).as("entry"))
+        .groupBy("k").agg(concat(lit("<urlset>"),
+          array_join(array_sort(collect_list(col("entry"))), ""),
+          lit("</urlset>")).as("xml"))
+      val discovered = TextOps.sitemapEntries(siteXml, col("k"), col("xml"))
+        .select(col("loc").as("url"))
+      // many-host robots gate: rules as a broadcast (host, pattern,
+      // allow) frame — url7b's deployment shape
+      val rules = graft.operators.Robots.parseRules(RobotsFixture, "graftbot")
+      val rulesDf = (for { k <- 0 until 7; r <- rules }
+        yield (s"example$k.org", r.pattern, r.allow))
+        .toDF("host", "pattern", "allow")
+      val gated = graft.operators.Robots.gateFrontier(
+        links.unionByName(discovered).distinct(), col("url"), rulesDf)
+        .filter(col("allowed")).drop("allowed")
+      // crawled-set anti-join, bloom-pruned (the at-scale shape as CODE)
+      val crawled = docs.select(col("uri").as("curl"))
+      val frontier = graft.plans.BloomJoin.antiJoin(
+        gated, col("url"), crawled, col("curl"))
+      // authority: integer-exact PageRank on the historical host graph
+      val own = docs.select(col("doc_id"),
+        concat(lit("example"), col("doc_id") % 11, lit(".org")).as("host"))
+      val withLinks = docs.withColumn("text", concat(col("text"),
+        lit(" https://example"), col("doc_id") % 7, lit(".org/a"),
+        lit(" https://example"), (col("doc_id") * 3 + 1) % 11, lit(".org/b")))
+      val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
+        .join(own.withColumnRenamed("host", "src"), Seq("doc_id"))
+        .select(col("src"), col("host").as("dst"))
+      val ranks = graft.operators.Graph.pagerank(edges, 3)
+        .select(col("host"),
+          (lit(1L) + expr("rank_micro DIV 50000000000")).as("host_weight"))
+      // per-host budget by authority (Hamilton / largest remainder)
+      val fhosts = frontier
+        .withColumn("host", graft.operators.Robots.urlHost(col("url")))
+      val hostW = fhosts.select("host").distinct()
+        .join(broadcast(ranks), Seq("host"))
+      val quotas = Sampling.apportionBudget(
+        hostW, col("host"), col("host_weight"), 100L)
+        .select(col("key").as("host"), col("quota"))
+      // fetch lists: top-quota per host under the md5 priority
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy(col("priority"), col("url"))
+      ordered(fhosts
+        .withColumn("priority", Sampling.hashPriority(col("url")))
+        .withColumn("fetch_rank", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), Seq("host"))
+        .filter(col("fetch_rank") <= col("quota"))
+        .select(col("host"), col("url"), col("priority"), col("fetch_rank")))
+    },
+    Some {
+      val iterSql = (1 to 3).map { t =>
+        s"r$t AS (SELECT nd.host, CAST((SELECT base FROM c0) + " +
+          "(850 * COALESCE(s.cs, 0)) // 1000 AS BIGINT) AS r " +
+          "FROM nd LEFT JOIN (SELECT e.dst AS host, sum(rr.r // dg.deg) AS cs " +
+          s"FROM e JOIN r${t - 1} rr ON rr.host = e.src " +
+          "JOIN dg ON dg.src = e.src GROUP BY 1) s USING (host))"
+      }.mkString(", ")
+      "WITH fr AS (SELECT DISTINCT url FROM (" +
+        "SELECT 'https://example' || (doc_id % 7) || '.org/abs/' || (doc_id % 50) " +
+        "AS url FROM documents WHERE doc_id % 50 <> 1 " +
+        "UNION ALL SELECT 'https://example' || (doc_id % 7) || '.org/rel/' || " +
+        "(doc_id % 13) || '?a=1&b=2' FROM documents WHERE doc_id % 13 = 2 " +
+        "UNION ALL SELECT 'https://example' || (doc_id % 7) || '.org/up/' || " +
+        "(doc_id % 5) FROM documents WHERE doc_id % 5 <> 3 " +
+        "UNION ALL SELECT 'https://example' || (doc_id % 7) || '.org/site/' || " +
+        "(doc_id % 23) FROM documents)), " +
+        "fh AS (SELECT url, regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) " +
+        "AS host FROM fr), " +
+        "t AS (SELECT doc_id, text || ' https://example' || (doc_id % 7) || '.org/a' || " +
+        "' https://example' || ((doc_id * 3 + 1) % 11) || '.org/b' AS text FROM documents), " +
+        "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url FROM t), " +
+        "h AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\\s?#]+)', 1)), " +
+        "'^www\\.', '') AS host FROM u), " +
+        "own AS (SELECT doc_id, 'example' || (doc_id % 11) || '.org' AS host FROM documents), " +
+        "e AS (SELECT DISTINCT o.host AS src, h.host AS dst FROM h JOIN own o USING (doc_id)), " +
+        "nd AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)), " +
+        "c0 AS (SELECT 1000000000000 // count(*) AS init, " +
+        "(150 * (1000000000000 // count(*))) // 1000 AS base FROM nd), " +
+        "dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+        "r0 AS (SELECT host, (SELECT init FROM c0) AS r FROM nd), " +
+        iterSql +
+        ", rk AS (SELECT host, CAST(1 + r // 50000000000 AS BIGINT) AS host_weight FROM r3), " +
+        "hw AS (SELECT DISTINCT fh.host, rk.host_weight FROM fh JOIN rk USING (host)), " +
+        "tt AS (SELECT CAST(sum(host_weight) AS BIGINT) AS t FROM hw), " +
+        "sh AS (SELECT host, host_weight AS w, (100 * host_weight) // t AS q, " +
+        "(100 * host_weight) % t AS rem, " +
+        "('0x' || substr(md5(host), 1, 15))::BIGINT AS hid FROM hw, tt), " +
+        "l AS (SELECT 100 - sum(q) AS leftover FROM sh), " +
+        "rr AS (SELECT host, q, row_number() OVER (ORDER BY rem DESC, hid ASC, host ASC) AS rkk FROM sh), " +
+        "qt AS (SELECT host, CAST(q + CASE WHEN rkk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota " +
+        "FROM rr, l), " +
+        "pl AS (SELECT host, url, ('0x' || substr(md5(url), 1, 15))::BIGINT AS priority, " +
+        "CAST(row_number() OVER (PARTITION BY host " +
+        "ORDER BY ('0x' || substr(md5(url), 1, 15))::BIGINT, url) AS BIGINT) AS fetch_rank " +
+        "FROM fh) " +
+        "SELECT pl.host, pl.url, pl.priority, pl.fetch_rank " +
+        "FROM pl JOIN qt USING (host) WHERE pl.fetch_rank <= qt.quota" + OBA
+    })
+
   // DP7 — authority-weighted curation: the composition a CommonCrawl-
   // style curator actually runs with the graph family. Each doc's host
   // is a residue bucket; the host graph comes from url1's link
@@ -8170,5 +8309,5 @@ object DataCatalog {
     "tx18_boilerplate_blocks" -> tx18, "url8_sitemap_manifest" -> url8,
     "warc5_wet_production" -> warc5, "url9_frontier_expansion" -> url9,
     // round 18
-    "url8b_sitemap_discovery" -> url8b)
+    "url8b_sitemap_discovery" -> url8b, "dp14_crawl_scheduler" -> dp14)
 }

@@ -551,6 +551,34 @@ class ScaleSpec extends AnyFunSuite {
       "bloom might_contain not applied below the join")
   }
 
+  test("bloom anti-join ≡ plain left_anti; bloom-negative rows skip the join (r18, dp14's shape)") {
+    import graft.plans.{BloomJoin, BloomMightContain}
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import spark.implicits._
+    // string keys with partial overlap — the crawled-set shape
+    val probe = spark.range(0, 5000)
+      .select(concat(lit("https://h.org/p/"), col("id")).as("url"))
+    val crawled = spark.range(0, 5000, 3)
+      .select(concat(lit("https://h.org/p/"), col("id")).as("curl"))
+    val out = BloomJoin.antiJoin(probe, col("url"), crawled, col("curl"))
+    val plain = probe.join(crawled, col("url") === col("curl"), "left_anti")
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty,
+      "bloom anti-join must be exactly a left_anti (collisions scrubbed by the real key)")
+    // plan shape: a NEGATED might_contain filter exists OUTSIDE any
+    // join (the no-shuffle pass-through lane), and the exact anti-join
+    // probes only the bloom-positive slice
+    out.count()
+    val plan = nodes(out)
+    val joins = plan.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, "the exact anti-join must exist (fpp scrub)")
+    val bloomFilters = plan.collect {
+      case f: FilterExec if f.condition.exists(_.isInstanceOf[BloomMightContain]) => f
+    }
+    assert(bloomFilters.size >= 2,
+      "both lanes (bloom-negative pass-through, bloom-positive join probe) must filter on the bloom")
+  }
+
   test("tx8 does not force-broadcast the vocabulary-cardinality df table") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val df = graft.queries.DataCatalog.tx8.build(spark, sf)
