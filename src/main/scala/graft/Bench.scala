@@ -174,7 +174,8 @@ object Bench {
     "url8_sitemap_manifest", "warc5_wet_production",
     "url9_frontier_expansion",
     // round-18 additions
-    "url8b_sitemap_discovery", "dp14_crawl_scheduler")
+    "url8b_sitemap_discovery", "dp14_crawl_scheduler",
+    "tx19_linkdensity_gate")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

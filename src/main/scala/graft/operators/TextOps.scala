@@ -359,6 +359,29 @@ object TextOps {
       "\n")
   }
 
+  /** jusText-proper boilerplate gate over RAW HTML (tx19, r18 — the
+    * classifier [[dropShortBlocks]]'s pure length floor approximates):
+    * a block survives only if it has at least `minTokens` whitespace
+    * tokens AND its LINK DENSITY — the fraction of visible codepoints
+    * emitted inside `<a>` elements, from the blocksKernel walk — is at
+    * most `maxLinkPermille`. This is the gate that actually kills nav
+    * bars, footer link farms, and "related articles" rails, which are
+    * often LONG (tx18 keeps them) but almost entirely anchor text.
+    * Surviving blocks rejoin in document order with `\n` — byte-equal
+    * to what htmlToText would have produced for just those blocks.
+    * One codegen'd kernel pass + array HOFs: pure map, zero shuffle. */
+  def dropLinkDenseBlocks(html: Column, minTokens: Int,
+      maxLinkPermille: Int): Column = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    require(maxLinkPermille >= 0 && maxLinkPermille <= 1000,
+      s"maxLinkPermille must be in [0, 1000], got $maxLinkPermille")
+    val blocks = graft.plans.HtmlTextExpr.htmlBlocks(html)
+    val kept = filter(blocks, b =>
+      size(split(b.getField("btext"), " ")) >= minTokens &&
+        b.getField("a_chars") * 1000 <= length(b.getField("btext")) * maxLinkPermille)
+    array_join(transform(kept, b => b.getField("btext")), "\n")
+  }
+
   /** Parse a sitemaps.org `urlset` document (the crawl-discovery
     * channel next to robots.txt: hosts PUBLISH their fetchable URLs,
     * and a crawler seeds its frontier from them instead of discovering

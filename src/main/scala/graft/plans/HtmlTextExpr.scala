@@ -200,6 +200,132 @@ object HtmlText {
     }
     UTF8String.fromString(out.toString)
   }
+
+  /** Block-structured extraction WITH per-block anchor accounting
+    * (r18 — the inputs of the jusText/trafilatura link-density
+    * classifier, which tx18's pure length floor cannot express: nav
+    * bars and footers are blocks whose VISIBLE TEXT lives mostly
+    * inside `<a>` elements, however long they are). One struct per
+    * non-empty block — `(btext, a_chars)`: the block's extracted text
+    * under exactly [[extractKernel]]'s rules (same scoping, comment/
+    * script/style dropping, entity decode, whitespace collapse), and
+    * how many of its codepoints (collapsed separators included —
+    * attributed to the anchor state of the character that flushes
+    * them) were emitted inside an `<a>` element. `a_chars / length
+    * (btext)` IS the block's link density; joining the texts with \n
+    * reproduces extractKernel's output (property-pinned). Anchors
+    * don't legally nest, so anchor state is a flag toggled by
+    * `<a`/`</a`, cleared at block boundaries' flush. */
+  def blocksKernel(input: UTF8String): ArrayData = {
+    val html = input.toString
+    var lo = 0
+    var hi = html.length
+    val bodyAt = HtmlLinks.indexOfTag(html, "body", 0)
+    if (bodyAt >= 0) {
+      val open = html.indexOf('>', bodyAt)
+      if (open >= 0) {
+        val close = indexOfIgnoreCase(html, "</body", open + 1)
+        if (close > open) { lo = open + 1; hi = close }
+      }
+    }
+    val out = new java.util.ArrayList[Any]()
+    val sb = new java.lang.StringBuilder()
+    var aChars = 0L
+    var pendingSpace = false
+    var inAnchor = false
+    def flushBlock(): Unit = {
+      if (sb.length > 0) {
+        out.add(org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(sb.toString), aChars))
+        sb.setLength(0)
+      }
+      aChars = 0L
+      pendingSpace = false
+    }
+    def emit(cp: Int): Unit = {
+      if (cp <= ' ' || cp == 0xa0) pendingSpace = true
+      else {
+        if (sb.length > 0 && pendingSpace) {
+          sb.append(' ')
+          if (inAnchor) aChars += 1
+        }
+        pendingSpace = false
+        sb.appendCodePoint(cp)
+        if (inAnchor) aChars += 1
+      }
+    }
+    var i = lo
+    while (i < hi) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) hi else end + 3
+        } else if (i + 1 < hi && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val gt = html.indexOf('>', i + 1)
+          i = if (gt < 0) hi else gt + 1
+        } else {
+          var j = i + 1
+          var closing = false
+          if (j < hi && html.charAt(j) == '/') { closing = true; j += 1 }
+          val nameStart = j
+          while (j < hi && Character.isLetterOrDigit(html.charAt(j))) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          if (name.isEmpty) {
+            emit(c.toInt); i += 1
+          } else if (!closing && (name == "script" || name == "style")) {
+            val close = indexOfIgnoreCase(html, "</" + name, i + 1)
+            if (close < 0) i = hi
+            else {
+              val gt = html.indexOf('>', close)
+              i = if (gt < 0) hi else gt + 1
+            }
+          } else {
+            if (name == "a") inAnchor = !closing
+            if (BlockTags.contains(name)) flushBlock()
+            val gt = html.indexOf('>', j)
+            i = if (gt < 0) hi else gt + 1
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        var decoded: String = null
+        if (semi > i && semi - i <= 12) {
+          val body = html.substring(i + 1, semi)
+          if (body.startsWith("#")) {
+            val num = body.substring(1)
+            val cp =
+              try {
+                if (num.length > 1 && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+                  Integer.parseInt(num.substring(1), 16)
+                else Integer.parseInt(num, 10)
+              } catch { case _: NumberFormatException => -1 }
+            if (cp >= 0 && cp <= 0x10ffff && (cp < 0xd800 || cp > 0xdfff))
+              decoded = new String(Character.toChars(cp))
+          } else {
+            decoded = NamedEntities.get(body)
+          }
+        }
+        if (decoded != null) {
+          var k = 0
+          while (k < decoded.length) {
+            val cp = decoded.codePointAt(k)
+            emit(cp)
+            k += Character.charCount(cp)
+          }
+          i = semi + 1
+        } else {
+          emit('&'.toInt)
+          i += 1
+        }
+      } else {
+        emit(c.toInt)
+        i += 1
+      }
+    }
+    flushBlock()
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** Link extraction + reference resolution — the other half of raw-HTML
@@ -573,6 +699,27 @@ case class HtmlMeta(child: Expression, metaName: String) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): HtmlMeta = copy(child = c)
 }
 
+/** Block-structured extraction with per-block anchor-codepoint counts
+  * — `array<struct<btext: string, a_chars: long>>`; see
+  * [[HtmlText.blocksKernel]]. NULL in, NULL out. */
+case class HtmlBlocks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("btext", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("a_chars",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlText.blocksKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.plans.HtmlText.blocksKernel($in);")
+
+  override protected def withNewChildInternal(c: Expression): HtmlBlocks = copy(child = c)
+}
+
 /** Extract visible plain text from an HTML string column — see
   * [[HtmlText]] for the contract. NULL in, NULL out. */
 case class HtmlToText(child: Expression) extends UnaryExpression {
@@ -610,4 +757,10 @@ object HtmlTextExpr {
   /** The first `<meta name=… content=…>` value; NULL when absent. */
   def htmlMeta(html: Column, name: String): Column =
     ColumnBridge.column(HtmlMeta(ColumnBridge.expression(html), name))
+
+  /** Block-structured extraction with per-block anchor counts —
+    * `array<struct<btext, a_chars>>`; the link-density classifier's
+    * input (tx19). */
+  def htmlBlocks(html: Column): Column =
+    ColumnBridge.column(HtmlBlocks(ColumnBridge.expression(html)))
 }

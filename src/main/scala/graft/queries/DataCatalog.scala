@@ -4441,6 +4441,52 @@ object DataCatalog {
       "CAST(octet_length(encode(text)) AS BIGINT) AS clean_len, " +
       "md5(text) AS clean_md5 FROM documents" + OBA))
 
+  // TX19 — link-density boilerplate gate (r18 — jusText PROPER, the
+  // r17 verdict's ask #5: tx18's length floor keeps any block with
+  // enough tokens, but real nav bars / footer link farms / "related"
+  // rails are LONG and almost entirely anchor text — the classifier
+  // that kills them keys on per-block LINK DENSITY, which the
+  // HtmlBlocks kernel now reports per block). Fixture: each doc's page
+  // carries a 5-link nav block (5 tokens — PASSES tx18's floor, 100%
+  // anchor chars — tx19 drops it), the doc's text as a prose block
+  // with ONE trailing source link (low density — both keep it), and a
+  // 2-token Prev/Next block (both drop it: floor). The card counts
+  // both gates' survivors side by side — n_kept_tx18 = 2 vs
+  // n_kept_tx19 = 1 on every doc IS the "where the length floor
+  // loses" evidence — and hash-gates the tx19-clean text (the prose
+  // block verbatim, trailing ` source` anchor text included: anchor
+  // TEXT is visible text; it's the BLOCK that was boilerplate). One
+  // kernel pass + array HOFs; pure map, zero shuffle, zero UDFs.
+  val tx19 = Q(
+    (s, d) => {
+      val navB = "<p><a href=\"/h\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a> <a href=\"/n\">News</a> <a href=\"/l\">Login</a></p>"
+      val pnB = "<p><a href=\"/p\">Prev</a> <a href=\"/n2\">Next</a></p>"
+      val pages = documents(s, d).select(col("doc_id"),
+        concat(lit("<html><body>" + navB + "<p>"), col("text"),
+          lit(" <a href=\"/ref\">source</a></p>" + pnB + "</body></html>"))
+          .as("html"))
+      val blocks = graft.plans.HtmlTextExpr.htmlBlocks(col("html"))
+      val lenGate = filter(blocks,
+        b => size(split(b.getField("btext"), " ")) >= 3)
+      val clean = TextOps.dropLinkDenseBlocks(col("html"), 3, 500)
+      ordered(pages.select(col("doc_id"),
+        size(blocks).cast("long").as("n_blocks"),
+        size(filter(blocks, b =>
+          size(split(b.getField("btext"), " ")) >= 3 &&
+            b.getField("a_chars") * 1000 <= length(b.getField("btext")) * 500))
+          .cast("long").as("n_kept_tx19"),
+        size(lenGate).cast("long").as("n_kept_tx18"),
+        length(clean).cast("long").as("clean_len"),
+        md5(clean.cast("binary")).as("clean_md5")))
+    },
+    Some("WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t " +
+      "FROM documents), " +
+      "x AS (SELECT doc_id, array_to_string(t, ' ') || ' source' AS ct FROM tk) " +
+      "SELECT doc_id, CAST(3 AS BIGINT) AS n_blocks, " +
+      "CAST(1 AS BIGINT) AS n_kept_tx19, CAST(2 AS BIGINT) AS n_kept_tx18, " +
+      "CAST(length(ct) AS BIGINT) AS clean_len, md5(ct) AS clean_md5 FROM x" + OBA))
+
   // URL8 — sitemap manifest (r17 — the crawl-discovery channel next to
   // url7's robots gate: hosts PUBLISH their fetchable URLs and a
   // crawler seeds its frontier from them): each fixture host's
@@ -8309,5 +8355,6 @@ object DataCatalog {
     "tx18_boilerplate_blocks" -> tx18, "url8_sitemap_manifest" -> url8,
     "warc5_wet_production" -> warc5, "url9_frontier_expansion" -> url9,
     // round 18
-    "url8b_sitemap_discovery" -> url8b, "dp14_crawl_scheduler" -> dp14)
+    "url8b_sitemap_discovery" -> url8b, "dp14_crawl_scheduler" -> dp14,
+    "tx19_linkdensity_gate" -> tx19)
 }

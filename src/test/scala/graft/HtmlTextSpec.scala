@@ -223,6 +223,41 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(urls == Seq("/p?q=1", "/", "/x"))
   }
 
+  test("blocksKernel (r18): per-block anchor accounting, join reproduces extractKernel") {
+    import graft.plans.HtmlText
+    def blocks(html: String): Seq[(String, Long)] = {
+      val a = HtmlText.blocksKernel(UTF8String.fromString(html))
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getLong(1))
+      }
+    }
+    val html = """<body>
+      <p><a href="/h">Home</a> <a href="/a">About</a></p>
+      <p>real prose text with a <a href="/ref">source link</a> inside</p>
+      <p>no links at all here</p>
+    </body>"""
+    val b = blocks(html)
+    assert(b.map(_._1) == Seq("Home About",
+      "real prose text with a source link inside", "no links at all here"))
+    // nav: every codepoint (the separating space included) is anchor
+    assert(b(0)._2 == 10L && b(0)._1.length == 10)
+    // prose: 'source link' (11) + the flushed space before it (1) = 12
+    assert(b(1)._2 == 12L)
+    assert(b(2)._2 == 0L)
+    // joining block texts with \n must equal the flat extraction
+    for (h <- Seq(html,
+      "<body><!-- x --><p>a &amp; b</p><script>var x = '<p>g</p>';</script><div>c</div></body>",
+      "<p>no body tag</p><p>two</p>")) {
+      val joined = blocks(h).map(_._1).mkString("\n")
+      assert(joined == x(h), s"block join must reproduce extractKernel on $h")
+    }
+    // anchor state clears at block boundaries (an unclosed <a> cannot
+    // bleed into the next block's accounting forever — degrade honestly:
+    // the open anchor taints only until its closer or EOF)
+    assert(blocks("<body><p><a href='/x'>open").head == (("open", 4L)))
+  }
+
   test("robots RFC nits (r18): product-token agent match, octet-length rule order, sitemap lines") {
     import graft.operators.Robots
     val spark = TestSpark.spark
