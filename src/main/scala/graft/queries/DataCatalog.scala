@@ -4227,6 +4227,74 @@ object DataCatalog {
     },
     Some(Dp6OracleSql))
 
+  // WARC6 — WAT PRODUCTION (r18 — the r17 verdict's ask #6, the warc5
+  // move for the THIRD CommonCrawl layer: raw WARC holds responses,
+  // WET the extracted text, WAT the per-page METADATA records crawl
+  // indexes and graph builders actually consume): raw responses →
+  // title (ext3's kernel) + meta description + RESOLVED outlinks
+  // (ext2's kernels, resolution riding INSIDE a transform() lambda
+  // over the href array — still one codegen'd map) → a deterministic
+  // JSON document per page (outlinks sorted — set semantics on the
+  // wire) → written as a real warcinfo-led WARC `metadata` twin
+  // (Content-Type application/json, WARC-Refers-To the response
+  // record) → RE-READ by the distributed WET reader and manifested.
+  // The oracle derives the byte-exact JSON closed-form from doc_id
+  // arithmetic — title/description/link entity decodes, whitespace
+  // collapse, RFC 3986 resolution, the sort, and the byte-length
+  // accounting all hash-gate through the round trip.
+  val warc6 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+      val meta = recs.select(
+        regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("uri"),
+        col("content_lang").as("lang"),
+        graft.plans.HtmlTextExpr.htmlTitle(col("payload")).as("title"),
+        graft.plans.HtmlTextExpr.htmlMeta(col("payload"), "description")
+          .as("description"),
+        array_sort(transform(
+          graft.plans.HtmlTextExpr.htmlHrefs(col("payload")),
+          h => graft.plans.HtmlTextExpr.resolveUrl(col("target_uri"), h)))
+          .as("outlinks"))
+      val json = meta.select(col("doc_id"), col("uri"), col("lang"),
+        concat(lit("{\"title\":\""), col("title"),
+          lit("\",\"description\":\""), col("description"),
+          lit("\",\"outlinks\":[\""),
+          array_join(col("outlinks"), "\",\""),
+          lit("\"]}")).as("text"))
+      val watDir = sfScratch("/tmp/graft_wat_prod", d)
+      graft.sources.WarcSource.writeWat(json, watDir, 4)
+      val back = graft.sources.WarcSource.readWet(s, watDir + "/wat-*.warc")
+        .filter(col("warc_type") === "metadata")
+      ordered(back.select(
+        regexp_extract(col("record_id"), "urn:graft:wat:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri"),
+        col("refers_to"),
+        col("content_length").as("content_len"),
+        md5(col("body").cast("binary")).as("body_md5")))
+    },
+    Some("WITH j AS (SELECT doc_id, " +
+      "'https://example' || (doc_id % 7) || '.org/doc/' || doc_id AS target_uri, " +
+      "'{\"title\":\"graft fixture doc ' || doc_id || " +
+      "'\",\"description\":\"summary & digest ' || (doc_id % 97) || " +
+      "'\",\"outlinks\":[\"' || array_to_string(list_sort([" +
+      "'https://example' || (doc_id % 7) || '.org/abs/' || (doc_id % 50), " +
+      "'https://example' || (doc_id % 7) || '.org/rel/' || (doc_id % 13) || '?a=1&b=2', " +
+      "'https://example' || (doc_id % 7) || '.org/up/' || (doc_id % 5), " +
+      "'https://example' || (doc_id % 7) || '.org/doc/' || doc_id]), '\",\"') || " +
+      "'\"]}' AS json FROM documents) " +
+      "SELECT doc_id, target_uri, '<urn:graft:doc:' || doc_id || '>' AS refers_to, " +
+      "CAST(octet_length(encode(json)) AS BIGINT) AS content_len, " +
+      "md5(json) AS body_md5 FROM j" + OBA))
+
   // EXT2 — link extraction + RFC 3986 resolution (r17 — the crawl-graph
   // production step: every url/pr/dp7 input ultimately comes from
   // anchors in fetched pages, resolved against the page's own URL; the
@@ -8356,5 +8424,5 @@ object DataCatalog {
     "warc5_wet_production" -> warc5, "url9_frontier_expansion" -> url9,
     // round 18
     "url8b_sitemap_discovery" -> url8b, "dp14_crawl_scheduler" -> dp14,
-    "tx19_linkdensity_gate" -> tx19)
+    "tx19_linkdensity_gate" -> tx19, "warc6_wat_production" -> warc6)
 }

@@ -256,6 +256,25 @@ object WarcSource {
       httpWrap(id, payload, declared, degradeSlices = true))
   }
 
+  /** Write a WAT fixture (r18 — the THIRD CommonCrawl layer next to
+    * raw WARC and WET): one `metadata` record per page, Content-Type
+    * application/json, WARC-Refers-To naming the response record it
+    * describes, body = the page's metadata JSON (title, description,
+    * resolved outlinks — what warc6 composes from ext2 + ext3). Input
+    * rows: (doc_id, uri, lang, json-as-text); same warcinfo-led
+    * per-bucket file layout as [[writeWet]]. */
+  def writeWat(pages: DataFrame, dir: String, nFiles: Int): Unit =
+    writeRecords(pages, dir, nFiles, "wat", ".warc", identity, { r =>
+      record(Seq(
+        "WARC-Type" -> "metadata",
+        "WARC-Target-URI" -> r.getString(1),
+        "WARC-Record-ID" -> s"<urn:graft:wat:${r.getLong(0)}>",
+        "WARC-Refers-To" -> s"<urn:graft:doc:${r.getLong(0)}>",
+        "WARC-Identified-Content-Language" -> r.getString(2),
+        "Content-Type" -> "application/json"),
+        r.getString(3).getBytes(UTF_8))
+    })
+
   /** Write the REALISTIC-HTML response fixture the extraction entries
     * (ext1/dp6r) run from: each record's payload is a full HTML page —
     * doctype, head with title/script/style (whose content includes
