@@ -175,7 +175,8 @@ object Bench {
     "url9_frontier_expansion",
     // round-18 additions
     "url8b_sitemap_discovery", "dp14_crawl_scheduler",
-    "tx19_linkdensity_gate", "warc6_wat_production")
+    "tx19_linkdensity_gate", "warc6_wat_production",
+    "tx3b_trained_langid")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -556,6 +556,116 @@ object DataCatalog {
       "WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr' " +
       "ELSE 'zh' END AS lang_pred FROM mx" + OBA))
 
+  // TX3B — fastText-STYLE language ID (r18 — the r17 verdict's ask #7:
+  // tx3's marker-word heuristic against a TRAINED character-n-gram
+  // linear model, the shape fastText's langid actually is): 32
+  // hashed char-TRIGRAM relative frequencies per doc (md5-derived
+  // bucket hash — the shared oracle-parity hashing; one codegen'd
+  // map, no shuffle; ×8 feature scaling so the discriminative dims
+  // move at the bias's gradient pace — ×8 is a power of two, exact in
+  // both engines' doubles) feed lr1's bit-reproducible batch-GD loop
+  // (10 rounds, lr=2, fixed-point BIGINT gradients, algebraic
+  // sigmoid) on the en-vs-rest task. The base table's text is
+  // lang-INDEPENDENT (every language shares the same vocabulary —
+  // measured: zero non-en marker words anywhere), so each doc gains a
+  // language-typical function-word tail that carries NO tx3 marker
+  // word ('übergrößen straßenbahn', 'niño mañana', CJK, …) — real
+  // pages' shape: character distributions differ, magic words absent.
+  // The card then grades BOTH classifiers per true language on the
+  // binary task, and the marker heuristic LOSES almost everywhere
+  // (measured at sf0.01: trained 498/500, marker 225/500): 'a'/'the'
+  // appear in every language's text here, so the heuristic calls
+  // nearly everything en, while the trigram model reads the actual
+  // character distribution. Everything is exact — ratios of exact
+  // integer counts, the lr1 training machinery, bit-equal doubles —
+  // so the DuckDB replay reproduces the card hash-for-hash.
+  val tx3b = Q(
+    (s, d) => {
+      val tail = when(col("lang") === "en", lit(" throughput benchmark quickly" * 3))
+        .when(col("lang") === "de", lit(" übergrößen straßenbahn zwölf" * 3))
+        .when(col("lang") === "es", lit(" niño mañana señorita" * 3))
+        .when(col("lang") === "fr", lit(" château français déjà" * 3))
+        .otherwise(lit(" 中文字符语言模型" * 3))
+      val s0 = lower(concat(col("text"), tail))
+      val grams = when(length(s0) >= 3,
+        transform(sequence(lit(1), length(s0) - 2), i => s0.substr(i, lit(3))))
+        .otherwise(typedLit(Seq.empty[String]))
+      val hg = transform(grams, g =>
+        pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(32L)))
+      // hg materializes in its OWN projection: the bucket-count lambda
+      // below references it 64 times (filter + size per j), and
+      // CollapseProject correctly refuses to inline a multiply-
+      // referenced non-cheap alias — so the 548-gram md5 walk runs
+      // once per row, and the 64 references scan a materialized int
+      // array (measured: the inlined form re-hashed 64× per row)
+      val f = (hgc: org.apache.spark.sql.Column) =>
+        transform(sequence(lit(0), lit(31)), j =>
+          when(size(hgc) === 0, lit(0.0))
+            .otherwise(size(filter(hgc, h => h === j)).cast("double") * 8.0
+              / size(hgc).cast("double")))
+      val docs = documents(s, d)
+      // MATERIALIZE the features before the train loop: the nested
+      // array-HOF feature expression is interpreted (HOFs don't
+      // codegen) and referenced by every GD round — cached rows make
+      // each of the 10 iterations a plain scan of 33 doubles instead
+      // of a per-round re-derivation of 16k trigram hashes per doc
+      // repartition first: the documents table is one parquet file →
+      // one input partition, and the trigram-hash pass is the entry's
+      // whole compute — spread it across the session's cores (results
+      // are partitioning-independent: fixed-point sums, no windows)
+      val feats = graft.CacheScope.persist(docs
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          (col("lang") === "en").cast("double").as("y"), hg.as("hg"))
+        .select(col("doc_id"), col("lang"), col("y"), f(col("hg")).as("f")))
+      val w = Learning.logregTrain(feats, col("f"), col("y"), 32, 10, 2.0)
+      val scored = Learning.classifierGate(feats, col("f"), col("doc_id"), w, 0.0)
+      val marker = TextOps.langId(docs, col("doc_id"), col("text"))
+      ordered(feats.join(scored, col("doc_id") === col("vec_id"))
+        .join(marker, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(((col("score") >= 0.5) === (col("lang") === "en")).cast("long"))
+            .as("n_lr_correct"),
+          sum(((col("lang_pred") === "en") === (col("lang") === "en")).cast("long"))
+            .as("n_marker_correct")))
+    },
+    Some(logregCtesFrom(
+      "g0 AS (SELECT doc_id, lang, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, " +
+        "lower(text || repeat(CASE lang " +
+        "WHEN 'en' THEN ' throughput benchmark quickly' " +
+        "WHEN 'de' THEN ' übergrößen straßenbahn zwölf' " +
+        "WHEN 'es' THEN ' niño mañana señorita' " +
+        "WHEN 'fr' THEN ' château français déjà' " +
+        "ELSE ' 中文字符语言模型' END, 3)) AS s FROM documents), " +
+        "gr AS (SELECT doc_id, lang, y, list_transform(range(1, greatest(len(s) - 1, 1)), " +
+        "i -> ('0x' || substr(md5(substr(s, i, 3)), 1, 15))::BIGINT % 32) AS hg FROM g0), " +
+        "r0 AS (SELECT doc_id AS vec_id, list_concat([1.0], list_transform(range(0, 32), " +
+        "j -> CASE WHEN len(hg) = 0 THEN 0.0 ELSE " +
+        "len(list_filter(hg, h -> h = j))::DOUBLE * 8.0 / len(hg) END)) AS x, y FROM gr)",
+      10, 32, 2.0) +
+      ", sc AS (SELECT vec_id, 0.5 + 0.5 * tt / (1 + abs(tt)) AS score FROM " +
+      "(SELECT r.vec_id, list_reduce(list_transform(range(1, 34), " +
+      "j -> r.x[j] * w.w[j]), (a, b) -> a + b) AS tt FROM r0 r, w10 w)), " +
+      "mt AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+      "msc AS (SELECT doc_id, " +
+      "len(list_filter(tk, x -> x IN ('the','a','and'))) AS s_en, " +
+      "len(list_filter(tk, x -> x IN ('el','la','de'))) AS s_es, " +
+      "len(list_filter(tk, x -> x IN ('der','die','und'))) AS s_de, " +
+      "len(list_filter(tk, x -> x IN ('le','la','et'))) AS s_fr, " +
+      "len(list_filter(tk, x -> x IN ('的','是','了'))) AS s_zh FROM mt), " +
+      "mmx AS (SELECT *, greatest(s_en, s_es, s_de, s_fr, s_zh) AS m FROM msc), " +
+      "mk AS (SELECT doc_id, CASE WHEN m = 0 THEN 'und' WHEN s_en = m THEN 'en' " +
+      "WHEN s_es = m THEN 'es' WHEN s_de = m THEN 'de' WHEN s_fr = m THEN 'fr' " +
+      "ELSE 'zh' END AS lang_pred FROM mmx) " +
+      "SELECT g.lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN (sc.score >= 0.5) = (g.lang = 'en') THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_lr_correct, " +
+      "CAST(sum(CASE WHEN (mk.lang_pred = 'en') = (g.lang = 'en') THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_marker_correct " +
+      "FROM g0 g JOIN sc ON sc.vec_id = g.doc_id JOIN mk ON mk.doc_id = g.doc_id " +
+      "GROUP BY 1" + OBA))
+
   // TX4 document fingerprint (position-weighted polynomial token hash).
   val tx4 = Q(
     (s, d) => ordered(TextOps.fingerprint(documents(s, d), col("doc_id"), col("text"))),
@@ -1710,13 +1820,21 @@ object DataCatalog {
     * determinism move), then the identical double-arithmetic update.
     * Bias is feature 1 of the dim+1 x-list; w0 = zeros; final weights
     * land in CTE `w<iters>`. */
-  private def logregCtes(iters: Int, dim: Int, lr: Double): String = {
-    val d1 = dim + 1
-    val init =
+  private def logregCtes(iters: Int, dim: Int, lr: Double): String =
+    logregCtesFrom(
       "r0 AS (SELECT vec_id, list_concat([1.0], list_transform(embedding, e -> e::DOUBLE)) AS x, " +
-        "CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y FROM embeddings), " +
-        "n0 AS (SELECT count(*)::DOUBLE AS n FROM r0), " +
-        s"w0 AS (SELECT list_transform(range(1, ${d1 + 1}), j -> 0.0) AS w)"
+        "CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y FROM embeddings)",
+      iters, dim, lr)
+
+  /** [[logregCtes]] over ANY feature CTE chain (r18 — tx3b trains on
+    * text features, not embeddings): `r0Ctes` must end by defining
+    * `r0(vec_id, x, y)` with x the dim+1 bias-led double list. */
+  private def logregCtesFrom(r0Ctes: String, iters: Int, dim: Int,
+      lr: Double): String = {
+    val d1 = dim + 1
+    val init = r0Ctes + ", " +
+      "n0 AS (SELECT count(*)::DOUBLE AS n FROM r0), " +
+      s"w0 AS (SELECT list_transform(range(1, ${d1 + 1}), j -> 0.0) AS w)"
     val rounds = (1 to iters).map { t =>
       s"s$t AS (SELECT x, y, 0.5 + 0.5 * tt / (1 + abs(tt)) AS sig FROM " +
         s"(SELECT x, y, list_reduce(list_transform(range(1, ${d1 + 1}), " +
@@ -8424,5 +8542,6 @@ object DataCatalog {
     "warc5_wet_production" -> warc5, "url9_frontier_expansion" -> url9,
     // round 18
     "url8b_sitemap_discovery" -> url8b, "dp14_crawl_scheduler" -> dp14,
-    "tx19_linkdensity_gate" -> tx19, "warc6_wat_production" -> warc6)
+    "tx19_linkdensity_gate" -> tx19, "warc6_wat_production" -> warc6,
+    "tx3b_trained_langid" -> tx3b)
 }
