@@ -975,10 +975,77 @@ object Similarity {
     (walk, dots)
   }
 
-  /** The layered walk's shared preparation: build the three-layer
-    * adjacency, the normed frames, and the nProbe×nEntry seed set —
-    * everything up to the hop loop (see [[graphWalkLayered]]'s scaladoc
-    * for the full design and scale story). */
+  /** Memo key for the layered walk's QUERY-INDEPENDENT frames —
+    * reference identity on the input frames (plan equality is
+    * undecidable; callers opt in by passing the same frame objects,
+    * which the catalog's session memo does) plus the layer
+    * parameters. Case-class equality over Dataset fields IS reference
+    * equality — Dataset doesn't override equals. */
+  private case class PrepKey(vectors: AnyRef, graph: AnyRef, cents: AnyRef,
+    poolPerCell: Int, midPermille: Int, topCount: Int, kUpper: Int)
+  private val prepMemo = new java.util.concurrent.ConcurrentHashMap[
+    PrepKey, (DataFrame, DataFrame, DataFrame)]()
+  graft.CacheScope.onSessionRelease(() => {
+    prepMemo.values.forEach { t =>
+      t._1.unpersist(blocking = false)
+      t._2.unpersist(blocking = false)
+      t._3.unpersist(blocking = false)
+      ()
+    }
+    prepMemo.clear()
+  })
+
+  /** The layered walk's query-INDEPENDENT frames — three-layer
+    * adjacency, normed corpus, entry-point pool — memoized per
+    * (input-frame identity × layer params) for the SESSION (r18, the
+    * r17 verdict's ask #9: sim11c and sim11d's base config built the
+    * identical adjacency back to back — the frames don't depend on
+    * the query panel, so one build serves every caller passing the
+    * same inputs). Frames are session-persisted directly (the
+    * per-query releaseAll must not evict a cross-query cache) and
+    * unpersisted by the releaseSession hook above. */
+  private def layeredFrames(vectors: DataFrame, graph: DataFrame,
+      cents: DataFrame, poolPerCell: Int, midPermille: Int,
+      topCount: Int, kUpper: Int): (DataFrame, DataFrame, DataFrame) =
+    prepMemo.computeIfAbsent(
+      PrepKey(vectors, graph, cents, poolPerCell, midPermille, topCount, kUpper),
+      _ => {
+        val asg = graft.CacheScope.persist(Clustering.assign(vectors, cents))
+        val sw = Window.partitionBy(col("cid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val pool = asg.withColumn("srn", row_number().over(sw))
+          .filter(col("srn") <= poolPerCell)
+          .select(col("cid"), col("vec_id"), col("srn")).persist()
+        val poolIds = pool.select(col("vec_id"))
+        val midIds = vectors.filter(Sampling.bucket(col("vec_id")) < midPermille)
+          .select(col("vec_id")).unionByName(poolIds).distinct()
+        val midEdges = mutualKnn(
+          vectors.join(midIds, Seq("vec_id"))
+            .join(asg.select(col("vec_id"), col("cid")), Seq("vec_id")),
+          "cid", kUpper)
+        // apex node set: smallest-topCount by content-stable priority —
+        // a TakeOrderedAndProject over the corpus, then a model-sized frame
+        val topIds = vectors
+          .select(col("vec_id"), Sampling.hashPriority(col("vec_id")).as("pri"))
+          .orderBy(col("pri"), col("vec_id")).limit(topCount)
+          .select(col("vec_id")).unionByName(poolIds).distinct()
+        val topEdges = mutualKnnBounded(vectors.join(topIds, Seq("vec_id")), kUpper)
+        val layered = graph.select(col("id_a"), col("id_b"))
+          .unionByName(midEdges.select(col("id_a"), col("id_b")))
+          .unionByName(topEdges.select(col("id_a"), col("id_b")))
+        val adj = layered.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(layered.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .persist()
+        val v = withNorm(
+          vectors.select(col("vec_id").as("node_id"), col("embedding").as("nv")),
+          "node_id", "nv", "nn").persist()
+        (adj, v, pool)
+      })
+
+  /** The layered walk's shared preparation: the memoized
+    * query-independent frames plus the normed query panel and the
+    * nProbe×nEntry seed set (see [[graphWalkLayered]]'s scaladoc for
+    * the full design and scale story). */
   private def layeredPrep(vectors: DataFrame, graph: DataFrame,
       queries: DataFrame, cents: DataFrame, k: Int, beam: Int,
       hops: Int, nProbe: Int, nEntry: Int, poolPerCell: Int,
@@ -994,31 +1061,11 @@ object Similarity {
       s"midPermille must be in [1,1000], got $midPermille")
     require(topCount >= 1, s"topCount must be >= 1, got $topCount")
     require(kUpper >= 1, s"kUpper must be >= 1, got $kUpper")
-    val asg = graft.CacheScope.persist(Clustering.assign(vectors, cents))
-    val sw = Window.partitionBy(col("cid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    val pool = graft.CacheScope.persist(
-      asg.withColumn("srn", row_number().over(sw))
-        .filter(col("srn") <= poolPerCell)
-        .select(col("cid"), col("vec_id"), col("srn")))
-    val poolIds = pool.select(col("vec_id"))
-    val midIds = vectors.filter(Sampling.bucket(col("vec_id")) < midPermille)
-      .select(col("vec_id")).unionByName(poolIds).distinct()
-    val midEdges = mutualKnn(
-      vectors.join(midIds, Seq("vec_id"))
-        .join(asg.select(col("vec_id"), col("cid")), Seq("vec_id")),
-      "cid", kUpper)
-    // apex node set: smallest-topCount by content-stable priority —
-    // a TakeOrderedAndProject over the corpus, then a model-sized frame
-    val topIds = vectors
-      .select(col("vec_id"), Sampling.hashPriority(col("vec_id")).as("pri"))
-      .orderBy(col("pri"), col("vec_id")).limit(topCount)
-      .select(col("vec_id")).unionByName(poolIds).distinct()
-    val topEdges = mutualKnnBounded(vectors.join(topIds, Seq("vec_id")), kUpper)
-    val layered = graph.select(col("id_a"), col("id_b"))
-      .unionByName(midEdges.select(col("id_a"), col("id_b")))
-      .unionByName(topEdges.select(col("id_a"), col("id_b")))
-    val (adj, v, q) = walkFrames(vectors, layered, queries)
+    val (adj, v, pool) = layeredFrames(vectors, graph, cents,
+      poolPerCell, midPermille, topCount, kUpper)
+    val q = graft.CacheScope.persist(withNorm(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      "query_id", "qv", "qn"))
     val qCells = Clustering.assignTop(queries, cents, nProbe)
       .select(col("vec_id").as("query_id"), col("cid").as("cell"))
     val visited0 = qCells

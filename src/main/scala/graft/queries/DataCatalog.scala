@@ -1717,6 +1717,41 @@ object DataCatalog {
     derivedKMemo.computeIfAbsent(d,
       _ => Integer.valueOf(math.max(10L, (e.count() + 49) / 50).toInt)).intValue()
 
+  /** sim11c/sim11d's shared layered-walk inputs — the base mutual-kNN
+    * graph and the learned coarse quantizer — memoized per SF dir for
+    * the SESSION (r18, the r17 verdict's ask #9: the two entries
+    * rebuilt the identical corpus-kNN join and 3-round Lloyd loop back
+    * to back, 9.6% of the bench wall). Both frames are model-shaped
+    * (edge list ≈ corpus×k rows, centroids k rows) and session-
+    * persisted directly — the per-query releaseAll must NOT evict them
+    * — with eviction registered on releaseSession (the DrupalFixture
+    * discipline). Entry RESULTS are unchanged: the memo returns the
+    * same frames the entries built locally before. */
+  private val sim11Memo = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]()
+  graft.CacheScope.onSessionRelease(() => {
+    sim11Memo.values.forEach { t =>
+      t._2.unpersist(blocking = false)
+      t._3.unpersist(blocking = false)
+      ()
+    }
+    sim11Memo.clear()
+  })
+  /** Returns the shared (embeddings frame, base mutual-kNN graph,
+    * learned centroids) — the SAME frame objects on every call for a
+    * given SF dir, so Similarity's identity-keyed layered-frames memo
+    * can recognize the shared prep across entries. */
+  private def sim11Shared(s: org.apache.spark.sql.SparkSession, d: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) =
+    sim11Memo.computeIfAbsent(d, _ => {
+      val e = embeddings(s, d)
+      val base = Similarity.mutualKnn(e, "label", 10).persist()
+      val cents = Clustering.kmeans(e, derivedKCells(e, d), 3).persist()
+      (e, base, cents)
+    })
+
   /** [[kmeansBody]] with k DERIVED from the corpus inside the SQL —
     * `k = max(kMin, ceil(count(*) / cellTarget))`, the operator
     * contract's constant-cell-size rule — so an oracle entry using it
@@ -2460,7 +2495,6 @@ object DataCatalog {
   // three-way union; the hop blocks are sim11's verbatim.
   val sim11c = Q(
     (s, d) => {
-      val e = embeddings(s, d)
       // Quantizer k DERIVED from the corpus (r15, the r14 verdict's
       // ask): the operator contract says cell count scales with corpus
       // size to keep cell size constant, and the ENTRY must honor it
@@ -2471,12 +2505,12 @@ object DataCatalog {
       // driver scalar, the same class as kmeans' own model collect.
       // The oracle derives the identical k inside the SQL
       // (kmeansBodyDerivedK), so the entry matches at ANY SF.
-      val kCells = derivedKCells(e, d)
-      val queries = e.filter(col("vec_id") % 50 === 0)
-      val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
-      val walk = Similarity.graphWalkLayered(e,
-        Similarity.mutualKnn(e, "label", 10), queries,
-        Clustering.kmeans(e, kCells, 3), 5)
+      // shared frame OBJECTS from the session memo (sim11d passes the
+      // same refs, so the layered-frames identity memo fires)
+      val (se, base, cents) = sim11Shared(s, d)
+      val queries = se.filter(col("vec_id") % 50 === 0)
+      val truth = graft.CacheScope.persist(Similarity.topK(queries, se, 5))
+      val walk = Similarity.graphWalkLayered(se, base, queries, cents, 5)
       ordered(Similarity.annRecall(truth, walk))
     },
     Some("WITH " + kmeansBodyDerivedK("embeddings", "km", 3, 10, 50, 64) + ", " +
@@ -2668,7 +2702,6 @@ object DataCatalog {
   // closed-form card per point).
   val sim11d = Q(
     (s, d) => {
-      val e = embeddings(s, d)
       // FIXED query panel (the eval-protocol framing, and the same
       // discipline as ScalingProbe's fixed 1×-sample query set): a
       // recall benchmark grades a fixed panel against the growing
@@ -2676,23 +2709,18 @@ object DataCatalog {
       // walks by the corpus and measure the fixture, not the index.
       // At the verify SF the panel IS the full %50 set (all vec_ids
       // < 500), so the oracle results are unchanged.
-      val queries = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
-      val truth = graft.CacheScope.persist(Similarity.topK(queries, e, 5))
-      val base = Similarity.mutualKnn(e, "label", 10)
-      // Quantizer k DERIVED from the corpus (r16, closing the r15
-      // verdict's nit: sim11c derives, the frontier entry must too) —
-      // k = max(10, ceil(N / 50)), the constant-cell-size contract; at
-      // the verify SF (500 vectors) this is exactly the former pinned
-      // k=10, so oracle results are unchanged, and the oracle derives
-      // the identical k in SQL (kmeansBodyDerivedK).
-      val kCells = derivedKCells(e, d)
-      val cents = Clustering.kmeans(e, kCells, 3)
+      // shared frame OBJECTS from the session memo (same refs as
+      // sim11c, so the a_base config reuses its layered frames; k
+      // stays DERIVED from the corpus — the memo calls derivedKCells)
+      val (se, base, cents) = sim11Shared(s, d)
+      val queries = se.filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+      val truth = graft.CacheScope.persist(Similarity.topK(queries, se, 5))
       val configs = Seq(
         ("a_base", 5, 2, 8, 64, 250),
         ("b_denser", 12, 3, 12, 64, 250),
         ("c_wide", 12, 6, 24, 256, 400))
       val cards = configs.map { case (name, kU, np, beam, tc, mp) =>
-        val (walk, dots) = Similarity.graphWalkLayeredCarded(e, base, queries,
+        val (walk, dots) = Similarity.graphWalkLayeredCarded(se, base, queries,
           cents, 5, beam = beam, hops = 3, nProbe = np, nEntry = 4,
           midPermille = mp, topCount = tc, kUpper = kU)
         // Each config's card collapses to ONE row; localCheckpoint it
