@@ -176,7 +176,7 @@ object Bench {
     // round-18 additions
     "url8b_sitemap_discovery", "dp14_crawl_scheduler",
     "tx19_linkdensity_gate", "warc6_wat_production",
-    "tx3b_trained_langid")
+    "tx3b_trained_langid", "wat1_outlink_inventory")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

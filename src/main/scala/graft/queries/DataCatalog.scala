@@ -4441,6 +4441,69 @@ object DataCatalog {
       "CAST(octet_length(encode(json)) AS BIGINT) AS content_len, " +
       "md5(json) AS body_md5 FROM j" + OBA))
 
+  // WAT1 — WAT CONSUMPTION (r18 — warc6's other half, the warc5↔dp6w
+  // symmetry applied to the metadata layer: producing WAT is only
+  // useful if the records are machine-readable back into the link
+  // graph, which is exactly how CommonCrawl's host-level graph is
+  // actually built — from WAT outlinks, not by re-parsing HTML): the
+  // warc6 fixture re-reads through the distributed record reader,
+  // each metadata record's JSON body parses with get_json_object /
+  // from_json built-ins (title back out, outlinks as a real array),
+  // outlinks explode into page→target edges, and the card aggregates
+  // the per-host link inventory — pages, outlinks, distinct targets —
+  // the frame a crawl scheduler's authority pass consumes. The oracle
+  // derives the same card closed-form from doc_id arithmetic, so JSON
+  // structure, array round-trip, and the explode all hash-gate.
+  val wat1 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_html", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+      val meta = recs.select(
+        regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri").as("uri"),
+        col("content_lang").as("lang"),
+        concat(lit("{\"title\":\""),
+          graft.plans.HtmlTextExpr.htmlTitle(col("payload")),
+          lit("\",\"description\":\""),
+          graft.plans.HtmlTextExpr.htmlMeta(col("payload"), "description"),
+          lit("\",\"outlinks\":[\""),
+          array_join(array_sort(transform(
+            graft.plans.HtmlTextExpr.htmlHrefs(col("payload")),
+            h => graft.plans.HtmlTextExpr.resolveUrl(col("target_uri"), h))),
+            "\",\""),
+          lit("\"]}")).as("text"))
+      val watDir = sfScratch("/tmp/graft_wat_prod", d)
+      graft.sources.WarcSource.writeWat(meta, watDir, 4)
+      // consume: JSON back out of the metadata records, outlinks as a
+      // REAL array via from_json, edges via explode
+      val back = graft.sources.WarcSource.readWet(s, watDir + "/wat-*.warc")
+        .filter(col("warc_type") === "metadata")
+        .select(col("target_uri"),
+          from_json(get_json_object(col("body"), "$.outlinks"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)).as("outlinks"))
+      val edges = back.select(
+        graft.operators.Robots.urlHost(col("target_uri")).as("host"),
+        explode(col("outlinks")).as("target"))
+      ordered(edges.groupBy("host")
+        .agg(count_distinct(col("target")).as("n_distinct_targets"),
+          count(lit(1)).cast("long").as("n_outlinks")))
+    },
+    Some("WITH l AS (SELECT doc_id, 'example' || (doc_id % 7) || '.org' AS host, " +
+      "unnest(['https://example' || (doc_id % 7) || '.org/abs/' || (doc_id % 50), " +
+      "'https://example' || (doc_id % 7) || '.org/rel/' || (doc_id % 13) || '?a=1&b=2', " +
+      "'https://example' || (doc_id % 7) || '.org/up/' || (doc_id % 5), " +
+      "'https://example' || (doc_id % 7) || '.org/doc/' || doc_id]) AS target " +
+      "FROM documents) " +
+      "SELECT host, CAST(count(DISTINCT target) AS BIGINT) AS n_distinct_targets, " +
+      "CAST(count(*) AS BIGINT) AS n_outlinks FROM l GROUP BY 1" + OBA))
+
   // EXT2 — link extraction + RFC 3986 resolution (r17 — the crawl-graph
   // production step: every url/pr/dp7 input ultimately comes from
   // anchors in fetched pages, resolved against the page's own URL; the
@@ -8571,5 +8634,5 @@ object DataCatalog {
     // round 18
     "url8b_sitemap_discovery" -> url8b, "dp14_crawl_scheduler" -> dp14,
     "tx19_linkdensity_gate" -> tx19, "warc6_wat_production" -> warc6,
-    "tx3b_trained_langid" -> tx3b)
+    "tx3b_trained_langid" -> tx3b, "wat1_outlink_inventory" -> wat1)
 }
