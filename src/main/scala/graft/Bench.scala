@@ -176,7 +176,8 @@ object Bench {
     // round-18 additions
     "url8b_sitemap_discovery", "dp14_crawl_scheduler",
     "tx19_linkdensity_gate", "warc6_wat_production",
-    "tx3b_trained_langid", "wat1_outlink_inventory")
+    "tx3b_trained_langid", "wat1_outlink_inventory",
+    "url10_recrawl_schedule")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -4886,6 +4886,62 @@ object DataCatalog {
       "strftime(DATE '2024-01-01' + INTERVAL ((doc_id % 28)::INT) DAY, '%Y-%m-%d') " +
       "END AS lastmod FROM documents" + OBA))
 
+  // URL10 — lastmod-driven RECRAWL scheduling (r18 — the reason
+  // sitemaps carry <lastmod> at all: a scheduler diffs each published
+  // URL's advertised modification date against its own crawl log and
+  // refetches only what moved, instead of re-crawling everything on a
+  // timer): the url8 manifest (built + parsed through the real urlset
+  // path, optional-lastmod slices included) joins the crawl log on the
+  // url key, and a URL recrawls iff its lastmod POSTDATES the last
+  // fetch OR it advertises no lastmod (unknown freshness degrades to
+  // a refetch, never a stale-forever page — the m9 stance applied to
+  // scheduling). The per-host card counts urls / recrawls / fresh —
+  // the frame that sizes each cycle's fetch budget before dp14's
+  // apportionment runs. One equi-join on url + one host-keyed agg;
+  // date compares are exact DATE arithmetic on both engines.
+  val url10 = Q(
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        concat(lit("example"), col("doc_id") % 7, lit(".org")).as("host"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("url"),
+        date_format(date_add(lit("2024-01-01"),
+          (col("doc_id") % 28).cast("int")), "yyyy-MM-dd").as("lastmod"))
+      val xml = docs
+        .withColumn("entry", when(col("doc_id") % 3 === 0,
+          format_string("<url><loc> %s </loc></url>", col("url")))
+          .otherwise(format_string(
+            "<url><loc>%s</loc><lastmod> %s </lastmod></url>",
+            col("url"), col("lastmod"))))
+        .groupBy("host")
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          array_join(array_sort(collect_list(col("entry"))), "\n"),
+          lit("</urlset>")).as("xml"))
+      val manifest = TextOps.sitemapEntries(xml, col("host"), col("xml"))
+        .select(col("key").as("host"), col("loc").as("url"),
+          to_date(col("lastmod")).as("lastmod"))
+      val crawlLog = documents(s, d).select(
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("url"),
+        date_add(lit("2024-01-01"), (col("doc_id") % 14).cast("int"))
+          .as("last_crawl"))
+      val joined = manifest.join(crawlLog, Seq("url"))
+        .withColumn("recrawl",
+          col("lastmod").isNull || col("lastmod") > col("last_crawl"))
+      ordered(joined.groupBy("host")
+        .agg(count(lit(1)).cast("long").as("n_urls"),
+          sum(col("recrawl").cast("long")).as("n_recrawl"),
+          sum((!col("recrawl")).cast("long")).as("n_fresh")))
+    },
+    Some("WITH m AS (SELECT doc_id, 'example' || (doc_id % 7) || '.org' AS host, " +
+      "CASE WHEN doc_id % 3 = 0 THEN TRUE " +
+      "WHEN doc_id % 28 > doc_id % 14 THEN TRUE ELSE FALSE END AS recrawl " +
+      "FROM documents) " +
+      "SELECT host, CAST(count(*) AS BIGINT) AS n_urls, " +
+      "CAST(sum(CASE WHEN recrawl THEN 1 ELSE 0 END) AS BIGINT) AS n_recrawl, " +
+      "CAST(sum(CASE WHEN recrawl THEN 0 ELSE 1 END) AS BIGINT) AS n_fresh " +
+      "FROM m GROUP BY 1" + OBA))
+
   // URL9 — frontier expansion (r17 — ONE crawl iteration's output, the
   // composition a fetch scheduler actually runs each round: extract
   // links from the fetched pages (ext2), UNION the sitemap-DISCOVERED
@@ -8634,5 +8690,6 @@ object DataCatalog {
     // round 18
     "url8b_sitemap_discovery" -> url8b, "dp14_crawl_scheduler" -> dp14,
     "tx19_linkdensity_gate" -> tx19, "warc6_wat_production" -> warc6,
-    "tx3b_trained_langid" -> tx3b, "wat1_outlink_inventory" -> wat1)
+    "tx3b_trained_langid" -> tx3b, "wat1_outlink_inventory" -> wat1,
+    "url10_recrawl_schedule" -> url10)
 }
