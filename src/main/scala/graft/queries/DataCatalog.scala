@@ -4942,6 +4942,114 @@ object DataCatalog {
       "CAST(sum(CASE WHEN recrawl THEN 0 ELSE 1 END) AS BIGINT) AS n_fresh " +
       "FROM m GROUP BY 1" + OBA))
 
+  // CDX1 — record INDEX production (r18 — the fourth CommonCrawl
+  // artifact next to WARC/WET/WAT: the CDX index every wayback/fetch
+  // service uses to dereference a capture WITHOUT scanning crawl
+  // files). The entry writes the WET fixture, scans it through the
+  // record-LOCATION reader (WarcSource.readRecordIndex — the Hadoop
+  // reader's absolute byte key becomes each record's on-disk offset;
+  // length = delimiter + chunk), and emits one index line per
+  // conversion record: SURT urlkey (host labels reversed and
+  // comma-joined — the sort-friendly key that clusters a domain's
+  // captures), the 14-digit capture timestamp from WARC-Date, url,
+  // mime, payload md5, and the (filename, offset, length) fetch
+  // triple. The oracle rebuilds the EXACT byte geometry closed-form:
+  // each record's length is octet_length of the reconstructed header
+  // string + body + terminator, and its offset is the warcinfo length
+  // plus a cumulative window sum over the file's earlier records — so
+  // a hash match proves the reader's offsets/lengths agree with the
+  // writer's bytes to the byte, per file, at any split count. Scan is
+  // block-split parallel (a multi-GB file indexes across tasks); the
+  // index itself is rows-not-bytes, shuffled once by the final sort.
+  val cdx1 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_cdx", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeWet(docs, dir, 4)
+      val idx = graft.sources.WarcSource.readRecordIndex(s, dir + "/wet-*.warc")
+        .filter(col("warc_type") === "conversion")
+      val host = lower(regexp_extract(col("target_uri"),
+        "^https?://([^/]+)", 1))
+      val path = lower(regexp_extract(col("target_uri"),
+        "^https?://[^/]+(/.*)?$", 1))
+      ordered(idx.select(
+        concat(array_join(reverse(split(host, "\\.")), ","),
+          lit(")"), path).as("urlkey"),
+        regexp_replace(col("warc_date"), "[-:TZ]", "").as("cdx_ts"),
+        col("target_uri").as("url"),
+        col("content_type").as("mime"),
+        md5(col("body").cast("binary")).as("digest_md5"),
+        col("filename"), col("offset"), col("length")))
+    },
+    Some("WITH r AS (SELECT doc_id, " +
+      "'https://example' || (doc_id % 7) || '.org/doc/' || doc_id AS url, " +
+      "lang, octet_length(encode(text)) AS blen, md5(text) AS dg, " +
+      "doc_id % 86400 AS sec FROM documents), " +
+      "geom AS (SELECT *, " +
+      "'2026-01-01T' || lpad((sec // 3600)::VARCHAR, 2, '0') || ':' || " +
+      "lpad((sec % 3600 // 60)::VARCHAR, 2, '0') || ':' || " +
+      "lpad((sec % 60)::VARCHAR, 2, '0') || 'Z' AS wdate, " +
+      "octet_length(encode('WARC/1.0' || chr(13) || chr(10) || " +
+      "'WARC-Type: conversion' || chr(13) || chr(10) || " +
+      "'WARC-Target-URI: ' || url || chr(13) || chr(10) || " +
+      "'WARC-Record-ID: <urn:graft:doc:' || doc_id || '>' || chr(13) || chr(10) || " +
+      "'WARC-Date: ' || wdate || chr(13) || chr(10) || " +
+      "'WARC-Identified-Content-Language: ' || lang || chr(13) || chr(10) || " +
+      "'Content-Type: text/plain' || chr(13) || chr(10) || " +
+      "'Content-Length: ' || blen || chr(13) || chr(10) || chr(13) || chr(10))) " +
+      "+ blen + 4 AS rec_len, " +
+      "octet_length(encode('WARC/1.0' || chr(13) || chr(10) || " +
+      "'WARC-Type: warcinfo' || chr(13) || chr(10) || " +
+      "'WARC-Record-ID: <urn:graft:warcinfo:' || (doc_id % 4) || '>' || chr(13) || chr(10) || " +
+      "'Content-Type: application/warc-fields' || chr(13) || chr(10) || " +
+      "'Content-Length: 29' || chr(13) || chr(10) || chr(13) || chr(10))) " +
+      "+ 29 + 4 AS info_len FROM r) " +
+      "SELECT 'org,example' || (doc_id % 7) || ')/doc/' || doc_id AS urlkey, " +
+      "'20260101' || lpad((sec // 3600)::VARCHAR, 2, '0') || " +
+      "lpad((sec % 3600 // 60)::VARCHAR, 2, '0') || " +
+      "lpad((sec % 60)::VARCHAR, 2, '0') AS cdx_ts, " +
+      "url, 'text/plain' AS mime, dg AS digest_md5, " +
+      "'wet-' || lpad((doc_id % 4)::VARCHAR, 5, '0') || '.warc' AS filename, " +
+      "CAST(info_len + coalesce(sum(rec_len) OVER (PARTITION BY doc_id % 4 " +
+      "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+      "AS BIGINT) AS offset, CAST(rec_len AS BIGINT) AS length FROM geom" + OBA))
+
+  // CDX2 — index DEREFERENCE (cdx1's consumption side, the
+  // produce↔consume symmetry the warc5↔dp6w and warc6↔wat1 pairs
+  // establish: an index is only proven by FETCHING through it): the
+  // cdx1 fixture's (filename, offset, length) triples drive RANGED
+  // reads (WarcSource.fetchRanged — repartition by filename, sort by
+  // offset, one forward-seeking file walk per task; the local-FS twin
+  // of an HTTP-Range/DFS positioned read), each fetched range must
+  // parse as a COMPLETE record, and the payload md5 gates against the
+  // pre-extracted twin — proving every offset/length pair in the index
+  // dereferences to exactly the bytes the writer put there. A
+  // one-byte-off offset fails the version-line check and drops the
+  // row; a short length truncates the body and fails Content-Length.
+  val cdx2 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_cdx2", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeWet(docs, dir, 4)
+      val idx = graft.sources.WarcSource.readRecordIndex(s, dir + "/wet-*.warc")
+        .filter(col("warc_type") === "conversion")
+        .select(col("filename"), col("offset"), col("length"))
+      val recs = graft.sources.WarcSource.fetchRanged(idx, dir)
+      ordered(recs.select(
+        regexp_extract(col("record_id"), "urn:graft:doc:(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri"),
+        octet_length(col("body")).cast("long").as("body_len"),
+        md5(col("body").cast("binary")).as("body_md5")))
+    },
+    Some("SELECT doc_id, 'https://example' || (doc_id % 7) || '.org/doc/' || doc_id " +
+      "AS target_uri, CAST(octet_length(encode(text)) AS BIGINT) AS body_len, " +
+      "md5(text) AS body_md5 FROM documents" + OBA))
+
   // URL9 — frontier expansion (r17 — ONE crawl iteration's output, the
   // composition a fetch scheduler actually runs each round: extract
   // links from the fetched pages (ext2), UNION the sitemap-DISCOVERED
@@ -8691,5 +8799,6 @@ object DataCatalog {
     "url8b_sitemap_discovery" -> url8b, "dp14_crawl_scheduler" -> dp14,
     "tx19_linkdensity_gate" -> tx19, "warc6_wat_production" -> warc6,
     "tx3b_trained_langid" -> tx3b, "wat1_outlink_inventory" -> wat1,
-    "url10_recrawl_schedule" -> url10)
+    "url10_recrawl_schedule" -> url10,
+    "cdx1_record_index" -> cdx1, "cdx2_ranged_fetch" -> cdx2)
 }

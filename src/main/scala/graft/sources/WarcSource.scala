@@ -103,11 +103,21 @@ object WarcSource {
   def writeWetGz(docs: DataFrame, dir: String, nFiles: Int): Unit =
     writeRecords(docs, dir, nFiles, "wet", ".warc.gz", gzipMember, wetRecord)
 
+  /** Deterministic WARC-Date for the fixture: capture second
+    * `doc_id % 86400` of 2026-01-01 UTC. String-built (no timezone
+    * machinery), so both the muxer and the oracle state the identical
+    * ISO-8601 value from doc_id arithmetic alone. */
+  private[graft] def warcDate(docId: Long): String = {
+    val s = docId % 86400
+    f"2026-01-01T${s / 3600}%02d:${s % 3600 / 60}%02d:${s % 60}%02dZ"
+  }
+
   private def wetRecord(r: Row): Array[Byte] =
     record(Seq(
       "WARC-Type" -> "conversion",
       "WARC-Target-URI" -> r.getString(1),
       "WARC-Record-ID" -> s"<urn:graft:doc:${r.getLong(0)}>",
+      "WARC-Date" -> warcDate(r.getLong(0)),
       "WARC-Identified-Content-Language" -> r.getString(2),
       "Content-Type" -> "text/plain"),
       r.getString(3).getBytes(UTF_8))
@@ -766,6 +776,109 @@ object WarcSource {
         Some(java.util.Arrays.copyOfRange(m, DelimBytes.length, m.length))
       else None
     })
+  }
+
+  /** Record-LOCATION scan — the CDX indexing read (reference:
+    * CommonCrawl's cluster.idx/CDXJ convention; pywb/OpenWayback
+    * consume the same triple): one row per parseable record with the
+    * byte coordinates a random-access consumer needs to fetch it
+    * WITHOUT scanning the file — (filename, offset, length) plus the
+    * header fields an index line carries (type, uri, record id,
+    * WARC-Date, Content-Type, Content-Length, body). Offsets come
+    * straight from the Hadoop reader's key (the absolute byte position
+    * where each delimiter-split chunk starts): the record on disk
+    * begins one delimiter earlier (`key - len("WARC/1.0\r\n")`) and
+    * runs to the next version line, so `length = delim + chunk`. Same
+    * block-split parallel scan as [[readWet]] — a multi-GB file
+    * indexes across tasks, keys stay absolute across splits. */
+  def readRecordIndex(spark: SparkSession, glob: String): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", Delim)
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(glob, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+    rdd.mapPartitionsWithInputSplit { (split, it) =>
+      val file = split.asInstanceOf[FileSplit].getPath.getName
+      it.flatMap { case (k, v) =>
+        // Text is reused by the reader: copy bytes + key NOW.
+        val chunk = v.copyBytes()
+        val off = k.get - DelimBytes.length
+        if (off < 0) None // the empty pre-first-record chunk
+        else {
+          val hEnd = indexOf(chunk, Crlf2, 0)
+          if (hEnd < 0) None
+          else {
+            val hdrs = new String(chunk, 0, hEnd, ISO_8859_1).split("\r\n")
+              .iterator.map(_.split(":", 2))
+              .collect { case Array(hk, hv) => (hk.trim, hv.trim) }.toMap
+            val len = hdrs.get("Content-Length")
+              .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(-1L)
+            if (len < 0 || len > Int.MaxValue ||
+                chunk.length - (hEnd + 4) < len) None
+            else Some((file, off, (DelimBytes.length + chunk.length).toLong,
+              hdrs.getOrElse("WARC-Type", ""),
+              hdrs.getOrElse("WARC-Target-URI", ""),
+              hdrs.getOrElse("WARC-Record-ID", ""),
+              hdrs.getOrElse("WARC-Date", ""),
+              hdrs.getOrElse("Content-Type", ""), len,
+              new String(chunk, hEnd + 4, len.toInt, UTF_8)))
+          }
+        }
+      }
+    }.toDF("filename", "offset", "length", "warc_type", "target_uri",
+      "record_id", "warc_date", "content_type", "content_length", "body")
+  }
+
+  /** The index's CONSUMPTION side — dereference (filename, offset,
+    * length) triples by RANGED reads (what a wayback/fetch service
+    * does over HTTP Range or a DFS positioned read; here the local-FS
+    * twin): rows repartition by filename and sort by offset so each
+    * task walks each file once, forward-seeking — never a full scan —
+    * and every fetched range must parse as a complete record
+    * (version line + headers + Content-Length body) or it degrades to
+    * no row. Output: (target_uri, record_id, body). */
+  def fetchRanged(index: DataFrame, dir: String): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index.select(col("filename"), col("offset").cast("long"),
+        col("length").cast("long"))
+      .repartition(col("filename"))
+      .sortWithinPartitions(col("filename"), col("offset"))
+      .as[(String, Long, Long)]
+      .mapPartitions { rows =>
+        var raf: java.io.RandomAccessFile = null
+        var cur: String = null
+        def close(): Unit = if (raf != null) { raf.close(); raf = null }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        rows.flatMap { case (f, off, len) =>
+          if (f != cur) {
+            close()
+            raf = new java.io.RandomAccessFile(new java.io.File(dir, f), "r")
+            cur = f
+          }
+          if (off < 0 || len <= DelimBytes.length || len > MaxPayload ||
+              off + len > raf.length()) None
+          else {
+            raf.seek(off)
+            val buf = new Array[Byte](len.toInt)
+            raf.readFully(buf)
+            // the range starts at the version line; the parser takes
+            // everything after it
+            if (!buf.startsWith(DelimBytes)) None
+            else parseRecordBytes(
+              java.util.Arrays.copyOfRange(buf, DelimBytes.length, buf.length))
+              .map { case (_, u, rid, _, _, _, body) =>
+                (u, rid, new String(body, UTF_8))
+              }
+          }
+        }
+      }.toDF("target_uri", "record_id", "body")
   }
 
   /** Distributed `response`-record scan with the HTTP envelope split,

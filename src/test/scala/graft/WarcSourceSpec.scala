@@ -282,6 +282,86 @@ class WarcSourceSpec extends AnyFunSuite {
       "gzip member read must be a drop-in for the uncompressed read")
   }
 
+  test("readRecordIndex: offsets/lengths dereference byte-exactly, files tile completely") {
+    val dir = "/tmp/graft_warcspec_idx"
+    WarcSource.writeWet(docsDf(83), dir, 2)
+    val rows = WarcSource.readRecordIndex(spark, dir + "/wet-*.warc")
+      .select("filename", "offset", "length", "warc_type", "record_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(rows.count(_._4 == "conversion") == 83)
+    assert(rows.count(_._4 == "warcinfo") == 2)
+    val byFile = rows.groupBy(_._1)
+    for ((f, rs) <- byFile) {
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, f))
+      val sorted = rs.sortBy(_._2)
+      // the records tile the file: first at 0, each starts where the
+      // previous ended, last ends at EOF
+      assert(sorted.head._2 == 0L, s"$f: first record not at offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 + a._3 == b._2,
+          s"$f: gap/overlap between records at ${a._2} and ${b._2}")
+        case _ =>
+      }
+      assert(sorted.last._2 + sorted.last._3 == bytes.length,
+        s"$f: last record does not end at EOF")
+      // every (offset, length) range is a complete record: version
+      // line at the start, and the range alone re-parses to the same id
+      for ((_, off, len, _, rid) <- sorted) {
+        val range = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+        assert(new String(range, 0, 10, "ISO-8859-1") == "WARC/1.0\r\n",
+          s"$f: offset $off does not start a record")
+        val parsed = WarcSource.parseRecordBytes(
+          java.util.Arrays.copyOfRange(range, 10, range.length))
+        assert(parsed.exists(_._3 == rid), s"$f: range at $off fails to re-parse")
+      }
+    }
+  }
+
+  test("readRecordIndex: forced multi-split keeps offsets absolute and exactly-once") {
+    val dir = "/tmp/graft_warcspec_idx_split"
+    WarcSource.writeWet(docsDf(157), dir, 1)
+    val read = () => WarcSource.readRecordIndex(spark, dir + "/wet-*.warc")
+      .select("offset", "record_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toVector.sorted
+    val single = read()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.input.fileinputformat.split.maxsize"
+    val prev = Option(hc.get(key))
+    try {
+      hc.set(key, "2048")
+      val multi = read()
+      assert(multi == single,
+        "multi-split index must equal the single-split index (absolute offsets)")
+      assert(multi.map(_._2).distinct.size == 158, // 157 + warcinfo
+        "lost or duplicated records across splits")
+    } finally prev.fold(hc.unset(key))(v => hc.set(key, v))
+  }
+
+  test("fetchRanged: exact ranges fetch all records; corrupted offsets degrade to no row") {
+    import org.apache.spark.sql.functions._
+    val dir = "/tmp/graft_warcspec_fetch"
+    WarcSource.writeWet(docsDf(41), dir, 2)
+    val idx = WarcSource.readRecordIndex(spark, dir + "/wet-*.warc")
+      .filter(col("warc_type") === "conversion")
+      .select("filename", "offset", "length")
+    val got = WarcSource.fetchRanged(idx, dir).collect()
+    assert(got.length == 41, s"exact ranges must fetch every record, got ${got.length}")
+    // +1 offset misses the version line; the row drops instead of garbling
+    val off1 = WarcSource.fetchRanged(
+      idx.withColumn("offset", col("offset") + 1), dir).collect()
+    assert(off1.isEmpty, "off-by-one offsets must degrade to no row")
+    // short length truncates the body; Content-Length check drops it
+    val short = WarcSource.fetchRanged(
+      idx.withColumn("length", col("length") - 5), dir).collect()
+    assert(short.isEmpty, "short ranges must degrade to no row")
+    // out-of-file range must not throw
+    val far = WarcSource.fetchRanged(
+      idx.withColumn("offset", col("offset") + 1000000), dir).collect()
+    assert(far.isEmpty)
+  }
+
   test("WarcGzInputFormat: forced multi-split read is exactly-once") {
     val gz = "/tmp/graft_warcspec_split"
     WarcSource.writeWetGz(docsDf(211), gz, 1) // one file → splits cut INSIDE it
