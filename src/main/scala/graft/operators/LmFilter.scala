@@ -143,4 +143,69 @@ object LmFilter {
         expr("CASE WHEN n_bigrams = 0 THEN 0L ELSE coalesce(s, 0L) DIV n_bigrams END")
           .as("bigram_familiarity_micro"))
   }
+
+  /** lm4 — trigram BACKOFF coverage (Stupid Backoff's resolution shape
+    * — Brants et al. 2007, the n-gram scoring built FOR distributed
+    * corpora — with the float α-chain replaced by integer level
+    * accounting, the [[coverageGate]] exactness stance at order 3):
+    * every token position with a 2-token history resolves to the
+    * HIGHEST order the reference slice has seen — trigram (level 3),
+    * else its bigram tail (2), else the unigram (1), else OOV (0) —
+    * and the doc cards the level histogram plus a permille score
+    * weighting levels 3/2/1 as 3/2/1 (score = Σlevel · 1000 DIV
+    * (3 · n_scorable)). A doc of common words in unseen ORDER scores
+    * ~2/3 of one whose exact phrasing the reference knows — the
+    * perplexity signal CCNet gates on, as exact BIGINT arithmetic
+    * that cannot reassociate across partitions.
+    *
+    * Scale shape: the three reference sets are DISTINCT hash aggs
+    * (map-side combined; n-gram-type-sized — the tx16 shuffle class,
+    * never corpus²); resolution is three LEFT equi-joins on the
+    * trigram/bigram/unigram keys + one doc agg. No windows, no pair
+    * joins, nothing driver-side. */
+  def backoffCoverage(df: DataFrame, id: Column, text: Column,
+      isRef: Column): DataFrame = {
+    val base = df.select(id.as("doc_id"), isRef.as("is_ref"),
+      F.tokens(lower(text)).as("tk"))
+    val tris = base.filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), col("is_ref"), explode(expr(
+        "transform(sequence(2, size(tk) - 1), " +
+          "i -> struct(tk[i-2] AS w1, tk[i-1] AS w2, tk[i] AS w3))")).as("g"))
+      .select(col("doc_id"), col("is_ref"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+    val refTri = tris.filter(col("is_ref")).select("w1", "w2", "w3")
+      .distinct().withColumn("tri_hit", lit(true))
+    val refBi = base.filter(col("is_ref") && size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(tk[i-1] AS w2, tk[i] AS w3))")).as("b"))
+      .select(col("b.w2").as("w2"), col("b.w3").as("w3"))
+      .distinct().withColumn("bi_hit", lit(true))
+    val refUni = base.filter(col("is_ref"))
+      .select(explode(col("tk")).as("w3"))
+      .distinct().withColumn("uni_hit", lit(true))
+    val lvl = tris
+      .join(refTri, Seq("w1", "w2", "w3"), "left")
+      .join(refBi, Seq("w2", "w3"), "left")
+      .join(refUni, Seq("w3"), "left")
+      .select(col("doc_id"),
+        when(col("tri_hit"), 3L).when(col("bi_hit"), 2L)
+          .when(col("uni_hit"), 1L).otherwise(0L).as("lvl"))
+    val agg = lvl.groupBy("doc_id").agg(
+      sum((col("lvl") === 3).cast("long")).as("n_tri"),
+      sum((col("lvl") === 2).cast("long")).as("n_bi"),
+      sum((col("lvl") === 1).cast("long")).as("n_uni"),
+      sum((col("lvl") === 0).cast("long")).as("n_oov"))
+    base.select(col("doc_id"),
+        greatest(size(col("tk")) - 2, lit(0)).cast("long").as("n_scorable"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_scorable"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("backoff_permille",
+        expr("CASE WHEN n_scorable = 0 THEN 0L ELSE " +
+          "(3 * n_tri + 2 * n_bi + n_uni) * 1000 DIV (3 * n_scorable) END"))
+  }
 }

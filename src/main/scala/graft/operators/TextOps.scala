@@ -628,4 +628,53 @@ object TextOps {
       .agg(count(lit(1)).cast("long").as("n_words"),
         sum("freq").cast("long").as("n_tokens"))
   }
+
+  /** tx20 — the Gopher quality-rule battery (Rae et al. 2021 §A.1.1,
+    * the published per-document filter every big web corpus since has
+    * reused): seven structural rules, each stated as EXACT integer
+    * cross-multiplication (never a float ratio, so any partitioning
+    * and the oracle agree bit-for-bit):
+    *   1. 50 ≤ word count ≤ 100 000
+    *   2. mean word length in [3, 10]   (3·n_words ≤ Σlen ≤ 10·n_words)
+    *   3. ≤ 30% of lines end with an ellipsis
+    *   4. < 90% of lines start with a bullet (-, *, •)
+    *   5. symbol-to-word ratio ≤ 0.1    (symbols = '#' chars + '...' runs)
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 distinct Gopher stop words present
+    * Output: doc_id, the driving counts, one boolean per rule, and
+    * `kept` = all seven. Pure map over each doc (token/line HOFs, no
+    * explode, no shuffle until the caller aggregates) — the cheapest
+    * possible shape for a first-pass gate at crawl scale. */
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  def gopherRules(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), text.as("txt"))
+      .withColumn("tk", F.tokens(lower(col("txt"))))
+      .withColumn("ln", split(col("txt"), "\n"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        expr("aggregate(tk, 0L, (a, t) -> a + length(t))").as("n_wchars"),
+        size(col("ln")).cast("long").as("n_lines"),
+        expr("CAST(size(filter(ln, l -> endswith(rtrim(l), '...'))) AS BIGINT)")
+          .as("n_ellipsis_lines"),
+        expr("CAST(size(filter(ln, l -> startswith(ltrim(l), '-') OR " +
+          "startswith(ltrim(l), '*') OR startswith(ltrim(l), '•'))) AS BIGINT)")
+          .as("n_bullet_lines"),
+        (length(col("txt")) - length(regexp_replace(col("txt"), "#", "")) +
+          (length(col("txt")) - length(regexp_replace(col("txt"), "\\.\\.\\.", "")))
+            / 3).cast("long").as("n_symbols"),
+        expr("CAST(size(filter(tk, t -> t rlike '[a-z]')) AS BIGINT)")
+          .as("n_alpha_words"),
+        size(array_intersect(array_distinct(col("tk")),
+          array(GopherStops.map(lit): _*))).cast("long").as("n_stop_distinct"))
+      .withColumn("r_wordcount", col("n_words").between(50L, 100000L))
+      .withColumn("r_meanlen", col("n_wchars") >= col("n_words") * 3 &&
+        col("n_wchars") <= col("n_words") * 10)
+      .withColumn("r_ellipsis", col("n_ellipsis_lines") * 10 <= col("n_lines") * 3)
+      .withColumn("r_bullet", col("n_bullet_lines") * 10 < col("n_lines") * 9)
+      .withColumn("r_symbol", col("n_symbols") * 10 <= col("n_words"))
+      .withColumn("r_alpha", col("n_alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("r_stop", col("n_stop_distinct") >= 2)
+      .withColumn("kept", col("r_wordcount") && col("r_meanlen") &&
+        col("r_ellipsis") && col("r_bullet") && col("r_symbol") &&
+        col("r_alpha") && col("r_stop"))
 }

@@ -8150,6 +8150,134 @@ object DataCatalog {
       "ELSE coalesce(ds.s, 0) // nb.n_bigrams END AS BIGINT) AS bigram_familiarity_micro " +
       "FROM nb LEFT JOIN ds ON ds.doc_id = nb.doc_id" + OBA))
 
+  // TX20 — the Gopher quality-rule battery (r18 — Rae et al. 2021
+  // §A.1.1, the PUBLISHED per-document structural filter every big web
+  // corpus since has reused; tx2's heuristic score is a blend, this is
+  // the rule-by-rule accounting a corpus owner actually reads): seven
+  // rules as exact integer cross-multiplications, one boolean column
+  // each plus the kept conjunction. The fixture appends deterministic
+  // per-doc tails so every rule genuinely fires BOTH ways on this
+  // corpus: doc_id%7==0 gains mild bullet lines (rule passes), ==1
+  // ellipsis lines, ==2 a hash-symbol line, ==3 a numeric
+  // (non-alphabetic) word run, ==4 a bullet-dominated tail (19 of 20
+  // lines — the nav-menu shape the 90% rule exists for, rule fails);
+  // every doc_id%11<>0 doc gains a stop-word tail so r_stop and the
+  // kept conjunction genuinely split (the synthetic corpus carries no
+  // English function words of its own). The oracle rebuilds the
+  // identical text and rules closed-form. Pure map per doc —
+  // token/line HOFs, no explode, no shuffle.
+  val tx20 = Q(
+    (s, d) => {
+      val nl = lit("\n")
+      val suffix = when(col("doc_id") % 7 === 0,
+          concat(nl, lit("- bullet one"), nl, lit("- bullet two"),
+            nl, lit("- bullet three")))
+        .when(col("doc_id") % 7 === 1,
+          concat(nl, lit("to be continued..."), nl, lit("and more...")))
+        .when(col("doc_id") % 7 === 2,
+          concat(nl, lit("# # # # # # # # # # # #")))
+        .when(col("doc_id") % 7 === 3,
+          concat(nl, lit("0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9")))
+        .when(col("doc_id") % 7 === 4, repeat(concat(nl, lit("- nav item")), 19))
+        .otherwise(lit(""))
+      val stops = when(col("doc_id") % 11 =!= 0,
+        lit(" the state of the art and all that we have with us to be"))
+        .otherwise(lit(""))
+      val docs = documents(s, d)
+        .select(col("doc_id"), concat(col("text"), stops, suffix).as("txt"))
+      ordered(TextOps.gopherRules(docs, col("doc_id"), col("txt")))
+    },
+    Some("WITH src AS (SELECT doc_id, text || CASE WHEN doc_id % 11 <> 0 THEN " +
+      "' the state of the art and all that we have with us to be' ELSE '' END " +
+      "|| CASE " +
+      "WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet one' || chr(10) || " +
+      "'- bullet two' || chr(10) || '- bullet three' " +
+      "WHEN doc_id % 7 = 1 THEN chr(10) || 'to be continued...' || chr(10) || " +
+      "'and more...' " +
+      "WHEN doc_id % 7 = 2 THEN chr(10) || '# # # # # # # # # # # #' " +
+      "WHEN doc_id % 7 = 3 THEN chr(10) || " +
+      "'0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9' " +
+      "WHEN doc_id % 7 = 4 THEN repeat(chr(10) || '- nav item', 19) " +
+      "ELSE '' END AS txt FROM documents), " +
+      "c AS (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(txt)), '\\s+') AS tk, " +
+      "string_split(txt, chr(10)) AS ln, txt FROM src), " +
+      "n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, " +
+      "CAST(coalesce(list_aggregate(list_transform(tk, t -> len(t)), 'sum'), 0) " +
+      "AS BIGINT) AS n_wchars, " +
+      "CAST(len(ln) AS BIGINT) AS n_lines, " +
+      "CAST(len(list_filter(ln, l -> ends_with(rtrim(l), '...'))) AS BIGINT) " +
+      "AS n_ellipsis_lines, " +
+      "CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '-') OR " +
+      "starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS BIGINT) " +
+      "AS n_bullet_lines, " +
+      "CAST(len(txt) - len(replace(txt, '#', '')) + " +
+      "(len(txt) - len(replace(txt, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+      "CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) " +
+      "AS n_alpha_words, " +
+      "CAST(len(list_intersect(list_distinct(tk), ['the', 'be', 'to', 'of', " +
+      "'and', 'that', 'have', 'with'])) AS BIGINT) AS n_stop_distinct FROM c) " +
+      "SELECT *, r_wordcount AND r_meanlen AND r_ellipsis AND r_bullet AND " +
+      "r_symbol AND r_alpha AND r_stop AS kept FROM (SELECT *, " +
+      "n_words BETWEEN 50 AND 100000 AS r_wordcount, " +
+      "n_wchars >= n_words * 3 AND n_wchars <= n_words * 10 AS r_meanlen, " +
+      "n_ellipsis_lines * 10 <= n_lines * 3 AS r_ellipsis, " +
+      "n_bullet_lines * 10 < n_lines * 9 AS r_bullet, " +
+      "n_symbols * 10 <= n_words AS r_symbol, " +
+      "n_alpha_words * 5 >= n_words * 4 AS r_alpha, " +
+      "n_stop_distinct >= 2 AS r_stop FROM n)" + OBA))
+
+  // LM4 — trigram BACKOFF coverage (r18 — Stupid Backoff's resolution
+  // shape, the order-3 completion of the lm1/lm2/lm3 family): every
+  // token position with a 2-token history resolves to the highest
+  // order the reference slice (even doc_ids) has seen — trigram, else
+  // bigram tail, else unigram, else OOV — and the doc cards the level
+  // histogram plus an integer permille score (levels weighted 3/2/1).
+  // Common words in unseen ORDER score ~2/3 of known phrasing — the
+  // CCNet perplexity gate as exact BIGINT arithmetic. Three distinct
+  // hash aggs for the reference sets + three left equi-joins + one
+  // doc agg; no windows, no pair joins. Non-ref docs gain one
+  // doc-unique tail token so the OOV bucket (level 0) genuinely
+  // fires — the synthetic corpus's vocabulary is otherwise fully
+  // shared across the ref split.
+  val lm4 = Q(
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 2 === 1,
+          concat(lit(" zq"), col("doc_id"))).otherwise(lit(""))).as("txt"))
+      ordered(LmFilter.backoffCoverage(docs,
+        col("doc_id"), col("txt"), col("doc_id") % 2 === 0))
+    },
+    Some("WITH base AS (SELECT doc_id, doc_id % 2 = 0 AS is_ref, " +
+      "regexp_split_to_array(trim(lower(text || CASE WHEN doc_id % 2 = 1 " +
+      "THEN ' zq' || doc_id ELSE '' END)), '\\s+') AS tk FROM documents), " +
+      "tg AS (SELECT doc_id, is_ref, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3 " +
+      "FROM base, unnest(range(1, len(tk) - 1)) u(i) WHERE len(tk) >= 3), " +
+      "rt AS (SELECT DISTINCT w1, w2, w3 FROM tg WHERE is_ref), " +
+      "rb AS (SELECT DISTINCT tk[i] AS b1, tk[i+1] AS b2 FROM base, " +
+      "unnest(range(1, len(tk))) u(i) WHERE is_ref AND len(tk) >= 2), " +
+      "ru AS (SELECT DISTINCT w FROM base, unnest(tk) t(w) WHERE is_ref), " +
+      "lvl AS (SELECT tg.doc_id, CASE WHEN rt.w1 IS NOT NULL THEN 3 " +
+      "WHEN rb.b1 IS NOT NULL THEN 2 WHEN ru.w IS NOT NULL THEN 1 ELSE 0 END AS lvl " +
+      "FROM tg LEFT JOIN rt ON tg.w1 = rt.w1 AND tg.w2 = rt.w2 AND tg.w3 = rt.w3 " +
+      "LEFT JOIN rb ON tg.w2 = rb.b1 AND tg.w3 = rb.b2 " +
+      "LEFT JOIN ru ON tg.w3 = ru.w), " +
+      "agg AS (SELECT doc_id, sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS n_tri, " +
+      "sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS n_bi, " +
+      "sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS n_uni, " +
+      "sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS n_oov FROM lvl GROUP BY 1), " +
+      "ns AS (SELECT doc_id, CAST(greatest(len(tk) - 2, 0) AS BIGINT) AS n_scorable " +
+      "FROM base) " +
+      "SELECT ns.doc_id, ns.n_scorable, " +
+      "CAST(coalesce(agg.n_tri, 0) AS BIGINT) AS n_tri, " +
+      "CAST(coalesce(agg.n_bi, 0) AS BIGINT) AS n_bi, " +
+      "CAST(coalesce(agg.n_uni, 0) AS BIGINT) AS n_uni, " +
+      "CAST(coalesce(agg.n_oov, 0) AS BIGINT) AS n_oov, " +
+      "CAST(CASE WHEN ns.n_scorable = 0 THEN 0 ELSE " +
+      "(3 * coalesce(agg.n_tri, 0) + 2 * coalesce(agg.n_bi, 0) + " +
+      "coalesce(agg.n_uni, 0)) * 1000 // (3 * ns.n_scorable) END AS BIGINT) " +
+      "AS backoff_permille FROM ns LEFT JOIN agg ON agg.doc_id = ns.doc_id" + OBA))
+
   // IDX4 — tiered compaction plan: segments built over four doc-id
   // ranges (three block-aligned small ones + one 4-block large one)
   // group into digit-count size tiers; tiers holding >= 2 segments are
@@ -8800,5 +8928,6 @@ object DataCatalog {
     "tx19_linkdensity_gate" -> tx19, "warc6_wat_production" -> warc6,
     "tx3b_trained_langid" -> tx3b, "wat1_outlink_inventory" -> wat1,
     "url10_recrawl_schedule" -> url10,
-    "cdx1_record_index" -> cdx1, "cdx2_ranged_fetch" -> cdx2)
+    "cdx1_record_index" -> cdx1, "cdx2_ranged_fetch" -> cdx2,
+    "lm4_backoff_coverage" -> lm4, "tx20_gopher_rules" -> tx20)
 }
