@@ -281,4 +281,35 @@ object Profiling {
     }.select(g.columns.map(col) :+ col("suppressed_groups"): _*)
     released.unionByName(nulledResidual)
   }
+
+  /** qc21 — key-SKEW card: per candidate key column, row count,
+    * distinct-value count, the heaviest value's share (permille), and
+    * Gini impurity in permille (1000 − Σcᵢ²·1000 DIV n² — the
+    * concentration measure that stays EXACT integer arithmetic where
+    * entropy's log floats). This is the card read BEFORE choosing a
+    * partition/join/bucket key at scale: a key with top_permille near
+    * 1000 or gini near 0 hash-partitions one executor to death (the
+    * j12 salting trigger); high gini + high distinct is a good key.
+    *
+    * Shape: per column one map-combined count aggregate to the value
+    * space, then a card-sized re-aggregate; columns union into one
+    * frame. Nothing touches raw rows twice, no windows. */
+  def keySkewCard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(cols.forall(df.columns.contains),
+      s"unknown columns: ${cols.filterNot(df.columns.contains).mkString(", ")}")
+    cols.map { c =>
+      df.groupBy(col(c).cast("string").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_count"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(lit(c).as("key_col"),
+          col("n_rows").cast("long").as("n_rows"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          expr("top_count * 1000 DIV n_rows").as("top_permille"),
+          expr("1000 - ss * 1000 DIV (n_rows * n_rows)").as("gini_permille"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -86,6 +86,49 @@ object Robots {
     else groups.filter(_._1.contains("*")).flatMap(_._2).toSeq
   }
 
+  /** The de-facto `Crawl-delay` extension (not an RFC 9309 §2.2 rule
+    * but honored by Bing/Yandex and published by a large share of real
+    * sites): seconds a polite crawler waits between fetches to the
+    * host. Group selection mirrors [[parseRules]] — the agent's own
+    * group(s) first (full string or product token), falling back to
+    * `*` when those carry no delay; the first parseable value wins;
+    * absent → None (the caller picks its politeness floor). */
+  def parseCrawlDelay(txt: String, agent: String): Option[Long] = {
+    val want = agent.trim.toLowerCase
+    val wantTok = want.takeWhile(_ != '/').trim
+    val groups = scala.collection.mutable.ArrayBuffer[
+      (scala.collection.mutable.ArrayBuffer[String],
+        scala.collection.mutable.ArrayBuffer[Long])]()
+    var inAgents = false
+    txt.split("\r?\n").foreach { line0 =>
+      val line = line0.takeWhile(_ != '#').trim
+      val sep = line.indexOf(':')
+      if (sep > 0) {
+        val field = line.substring(0, sep).trim.toLowerCase
+        val value = line.substring(sep + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!inAgents || groups.isEmpty) {
+              groups += ((scala.collection.mutable.ArrayBuffer[String](),
+                scala.collection.mutable.ArrayBuffer[Long]()))
+            }
+            groups.last._1 += value.toLowerCase
+            inAgents = true
+          case "crawl-delay" =>
+            inAgents = false
+            if (groups.nonEmpty)
+              value.toLongOption.filter(_ >= 0).foreach(groups.last._2.+=)
+          case _ => inAgents = false
+        }
+      }
+    }
+    val own = groups
+      .filter(g => g._1.contains(want) || g._1.contains(wantTok))
+      .flatMap(_._2)
+    val star = groups.filter(_._1.contains("*")).flatMap(_._2)
+    (if (own.nonEmpty) own else star).headOption
+  }
+
   /** The `Sitemap:` lines of a robots.txt, in file order — the sitemap
     * discovery channel (RFC 9309 §2.3: group-independent fields; the
     * sitemaps.org protocol's advertised entry point). A crawler seeds

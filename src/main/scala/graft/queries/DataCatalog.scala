@@ -5050,6 +5050,80 @@ object DataCatalog {
       "AS target_uri, CAST(octet_length(encode(text)) AS BIGINT) AS body_len, " +
       "md5(text) AS body_md5 FROM documents" + OBA))
 
+  // URL11 — POLITENESS schedule (r18 — the step between dp14's per-host
+  // fetch lists and actual fetching: a polite crawler spaces requests
+  // to one host by its advertised Crawl-delay — the de-facto robots
+  // extension Bing/Yandex honor — and spreads hosts across fetcher
+  // workers): each host's robots.txt parses through the agent-group
+  // matcher (Robots.parseCrawlDelay; one host advertises NO delay and
+  // takes the 1 s politeness floor — degrade to slower, never to
+  // hammering), each URL ranks within its host under the dp14 md5
+  // priority, and its fetch slot is (rank−1)·delay seconds; hosts
+  // hash to workers by the portable md5-derived key. The oracle
+  // replays rank, delay, and worker closed-form. Per-host windows are
+  // the millions-of-small-partitions shape; the delay frame is
+  // host-count-sized broadcast state.
+  val url11 = Q(
+    (s, d) => {
+      val delays = (0L until 7L).map { k =>
+        val txt =
+          if (k == 3) "User-agent: *\nDisallow:\n"
+          else s"User-agent: *\nCrawl-delay: ${1 + k % 5}\n"
+        (s"example$k.org",
+          graft.operators.Robots.parseCrawlDelay(txt, "graftbot/1.2").getOrElse(1L))
+      }
+      import s.implicits._
+      val delayDf = delays.toDF("host", "delay_s")
+      val urls = documents(s, d).select(
+        concat(lit("example"), col("doc_id") % 7, lit(".org")).as("host"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("url"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy(md5(col("url")), col("url"))
+      ordered(urls
+        .withColumn("r", row_number().over(w).cast("long"))
+        .join(broadcast(delayDf), Seq("host"))
+        .select(
+          (conv(substring(md5(col("host")), 1, 15), 16, 10).cast("long") % 8)
+            .as("worker"),
+          col("host"), col("url"),
+          ((col("r") - 1) * col("delay_s")).as("slot_s")))
+    },
+    Some("WITH u AS (SELECT 'example' || (doc_id % 7) || '.org' AS host, " +
+      "'https://example' || (doc_id % 7) || '.org/doc/' || doc_id AS url, " +
+      "CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 1 + (doc_id % 7) % 5 END AS delay_s " +
+      "FROM documents) " +
+      "SELECT CAST(('0x' || substr(md5(host), 1, 15))::BIGINT % 8 AS BIGINT) AS worker, " +
+      "host, url, CAST((row_number() OVER (PARTITION BY host " +
+      "ORDER BY md5(url), url) - 1) * delay_s AS BIGINT) AS slot_s FROM u" + OBA))
+
+  // QC21 — key-SKEW card (r18 — the profile read BEFORE choosing a
+  // partition/join/bucket key at 100 TB: a key whose heaviest value
+  // owns most rows hash-partitions one executor to death — the j12
+  // salting trigger — and this card is how that is seen BEFORE the
+  // job, not in its straggler tail): per candidate key, rows, distinct
+  // values, the top value's permille share, and Gini impurity permille
+  // (1000 − Σcᵢ²·1000 DIV n²) — the concentration measure that stays
+  // exact integer arithmetic where entropy's log floats. One
+  // map-combined count agg per column + a card-sized re-aggregate.
+  val qc21 = Q(
+    (s, d) => ordered(Profiling.keySkewCard(
+      documents(s, d).select(col("lang"), col("source"),
+        (col("doc_id") % 97).as("shard_97")),
+      Seq("lang", "source", "shard_97"))),
+    Some("WITH src AS (SELECT lang, source, CAST(doc_id % 97 AS VARCHAR) " +
+      "AS shard_97 FROM documents), " +
+      Seq("lang", "source", "shard_97").map { c =>
+        s"g_$c AS (SELECT count(*) AS c FROM src GROUP BY $c), " +
+          s"card_$c AS (SELECT '$c' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows, " +
+          "CAST(count(*) AS BIGINT) AS n_distinct, " +
+          "CAST(max(c) * 1000 // sum(c) AS BIGINT) AS top_permille, " +
+          "CAST(1000 - sum(c * c) * 1000 // (sum(c) * sum(c)) AS BIGINT) " +
+          s"AS gini_permille FROM g_$c)"
+      }.mkString(", ") +
+      " SELECT * FROM card_lang UNION ALL SELECT * FROM card_source " +
+      "UNION ALL SELECT * FROM card_shard_97" + OBA))
+
   // URL9 — frontier expansion (r17 — ONE crawl iteration's output, the
   // composition a fetch scheduler actually runs each round: extract
   // links from the fetched pages (ext2), UNION the sitemap-DISCOVERED
@@ -8929,5 +9003,6 @@ object DataCatalog {
     "tx3b_trained_langid" -> tx3b, "wat1_outlink_inventory" -> wat1,
     "url10_recrawl_schedule" -> url10,
     "cdx1_record_index" -> cdx1, "cdx2_ranged_fetch" -> cdx2,
-    "lm4_backoff_coverage" -> lm4, "tx20_gopher_rules" -> tx20)
+    "lm4_backoff_coverage" -> lm4, "tx20_gopher_rules" -> tx20,
+    "url11_politeness_schedule" -> url11, "qc21_key_skew_card" -> qc21)
 }

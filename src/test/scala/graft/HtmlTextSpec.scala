@@ -258,6 +258,27 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(blocks("<body><p><a href='/x'>open").head == (("open", 4L)))
   }
 
+  test("robots Crawl-delay: group-matched, agent group shadows *, junk values drop") {
+    import graft.operators.Robots
+    val txt = "User-agent: graftbot\nCrawl-delay: 7\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 2\n"
+    // product-token match picks the agent's own group
+    assert(Robots.parseCrawlDelay(txt, "GraftBot/1.2").contains(7L))
+    // a stranger falls back to the * group
+    assert(Robots.parseCrawlDelay(txt, "otherbot").contains(2L))
+    // an own group WITHOUT a delay falls back (the parseRules stance)
+    val noOwn = "User-agent: graftbot\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 3\n"
+    assert(Robots.parseCrawlDelay(noOwn, "graftbot").contains(3L))
+    // junk and negative values drop; absence everywhere is None
+    assert(Robots.parseCrawlDelay("User-agent: *\nCrawl-delay: fast\n", "b").isEmpty)
+    assert(Robots.parseCrawlDelay("User-agent: *\nCrawl-delay: -4\n", "b").isEmpty)
+    assert(Robots.parseCrawlDelay("User-agent: *\nDisallow: /\n", "b").isEmpty)
+    // comments strip; first parseable value wins
+    assert(Robots.parseCrawlDelay(
+      "User-agent: *\nCrawl-delay: 5 # seconds\nCrawl-delay: 9\n", "b")
+      .contains(5L))
+  }
+
   test("robots RFC nits (r18): product-token agent match, octet-length rule order, sitemap lines") {
     import graft.operators.Robots
     val spark = TestSpark.spark
