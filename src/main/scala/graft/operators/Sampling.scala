@@ -464,4 +464,46 @@ object Sampling {
         (col("q") + when(col("rank") <= col("leftover"), 1L).otherwise(0L))
           .cast("long").as("quota"))
   }
+
+  /** dsir1 — hashed-feature IMPORTANCE gate (the DSIR shape — Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling" — with its float log-likelihood ratios replaced by
+    * exact integer micro-ratios, the lm4 stance): token features hash
+    * into `buckets` cells (portable md5 bucket — both engines agree),
+    * each cell's importance weight is the smoothed target/raw count
+    * ratio in micros ((c_target+1)·10⁶ DIV (c_raw+1)), and a document
+    * scores the MEAN weight of its token instances — "does this doc's
+    * vocabulary look more like the target distribution than the raw
+    * one". Score > 10⁶ (parity) means target-like; the gate keeps
+    * those. This is the modern data-selection step between quality
+    * heuristics (tx2/tx20) and a trained classifier (lr2): no labels,
+    * no training loop, one pass over counts.
+    *
+    * Shape at 100 TB: two map-combined bucket-count aggs collapse the
+    * corpus to `buckets` rows of model state, the weight frame
+    * broadcasts into the scoring join, and the doc agg is the only
+    * corpus-sized shuffle. Nothing driver-side scales with the data. */
+  def importanceGate(df: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val toks = df.select(id.as("doc_id"), isTarget.as("is_t"),
+        explode(graft.functions.F.tokens(lower(text))).as("w"))
+      .withColumn("bkt",
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % buckets)
+    val wts = toks.groupBy("bkt").agg(
+        sum(col("is_t").cast("long")).as("c_target"),
+        sum((!col("is_t")).cast("long")).as("c_raw"))
+      .select(col("bkt"),
+        expr("(c_target + 1) * 1000000 DIV (c_raw + 1)").as("w_micro"))
+    val scored = toks.join(broadcast(wts), Seq("bkt"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"),
+        sum("w_micro").as("sw"))
+    df.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        expr("CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN 0L " +
+          "ELSE sw DIV n_tokens END").as("dsir_micro"))
+      .withColumn("kept", col("dsir_micro") >= 1000000L)
+  }
 }

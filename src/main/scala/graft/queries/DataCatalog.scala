@@ -5124,6 +5124,51 @@ object DataCatalog {
       " SELECT * FROM card_lang UNION ALL SELECT * FROM card_source " +
       "UNION ALL SELECT * FROM card_shard_97" + OBA))
 
+  // DSIR1 — hashed-feature IMPORTANCE gate (r18 — the DSIR selection
+  // shape, Xie et al. 2023, with float log-likelihood ratios replaced
+  // by exact integer micro-ratios): 64 portable md5 token buckets,
+  // per-bucket smoothed target/raw count ratio, per-doc mean over its
+  // token instances; docs whose vocabulary leans toward the target
+  // slice (here lang='en') score over parity and keep. The label-free
+  // selection step between the heuristic gates (tx2/tx20) and the
+  // trained classifier (lr2). Two bucket aggs → 64-row broadcast →
+  // one doc agg; nothing driver-side scales with the corpus. The
+  // fixture carries tx3b's language-typical function-word tails so the
+  // target lean is real (the base synthetic vocabulary is fully
+  // shared): en docs cross parity on their tail buckets, others sink.
+  val dsir1 = Q(
+    (s, d) => {
+      val tail = when(col("lang") === "en", lit(" throughput benchmark quickly" * 3))
+        .when(col("lang") === "de", lit(" übergrößen straßenbahn zwölf" * 3))
+        .when(col("lang") === "es", lit(" niño mañana señorita" * 3))
+        .when(col("lang") === "fr", lit(" château français déjà" * 3))
+        .otherwise(lit(" 中文字符语言模型" * 3))
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        concat(col("text"), tail).as("txt"))
+      ordered(Sampling.importanceGate(docs,
+        col("doc_id"), col("txt"), col("lang") === "en"))
+    },
+    Some("WITH toks AS (SELECT doc_id, is_t, " +
+      "('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bkt FROM " +
+      "(SELECT doc_id, lang = 'en' AS is_t, " +
+      "unnest(regexp_split_to_array(trim(lower(text || repeat(CASE lang " +
+      "WHEN 'en' THEN ' throughput benchmark quickly' " +
+      "WHEN 'de' THEN ' übergrößen straßenbahn zwölf' " +
+      "WHEN 'es' THEN ' niño mañana señorita' " +
+      "WHEN 'fr' THEN ' château français déjà' " +
+      "ELSE ' 中文字符语言模型' END, 3))), '\\s+')) AS w " +
+      "FROM documents)), " +
+      "wts AS (SELECT bkt, (sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1) " +
+      "* 1000000 // (sum(CASE WHEN is_t THEN 0 ELSE 1 END) + 1) AS w_micro " +
+      "FROM toks GROUP BY 1), " +
+      "sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w_micro) AS sw " +
+      "FROM toks JOIN wts USING (bkt) GROUP BY 1), " +
+      "card AS (SELECT d.doc_id, CAST(coalesce(sc.n_tokens, 0) AS BIGINT) " +
+      "AS n_tokens, CAST(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0 " +
+      "ELSE sc.sw // sc.n_tokens END AS BIGINT) AS dsir_micro " +
+      "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id) " +
+      "SELECT *, dsir_micro >= 1000000 AS kept FROM card" + OBA))
+
   // URL9 — frontier expansion (r17 — ONE crawl iteration's output, the
   // composition a fetch scheduler actually runs each round: extract
   // links from the fetched pages (ext2), UNION the sitemap-DISCOVERED
@@ -9004,5 +9049,6 @@ object DataCatalog {
     "url10_recrawl_schedule" -> url10,
     "cdx1_record_index" -> cdx1, "cdx2_ranged_fetch" -> cdx2,
     "lm4_backoff_coverage" -> lm4, "tx20_gopher_rules" -> tx20,
-    "url11_politeness_schedule" -> url11, "qc21_key_skew_card" -> qc21)
+    "url11_politeness_schedule" -> url11, "qc21_key_skew_card" -> qc21,
+    "dsir1_importance_gate" -> dsir1)
 }
