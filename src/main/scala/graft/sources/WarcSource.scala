@@ -857,25 +857,33 @@ object WarcSource {
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => close()))
         rows.flatMap { case (f, off, len) =>
-          if (f != cur) {
-            close()
-            raf = new java.io.RandomAccessFile(new java.io.File(dir, f), "r")
-            cur = f
-          }
-          if (off < 0 || len <= DelimBytes.length || len > MaxPayload ||
-              off + len > raf.length()) None
+          // an index is data, not code: a filename carrying a path
+          // separator (../ escape or absolute path), naming a missing
+          // file, or describing an impossible range degrades to no
+          // row — never a throw, never a read outside `dir`
+          if (f == null || f.contains('/') || f.contains('\\')) None
           else {
-            raf.seek(off)
-            val buf = new Array[Byte](len.toInt)
-            raf.readFully(buf)
-            // the range starts at the version line; the parser takes
-            // everything after it
-            if (!buf.startsWith(DelimBytes)) None
-            else parseRecordBytes(
-              java.util.Arrays.copyOfRange(buf, DelimBytes.length, buf.length))
-              .map { case (_, u, rid, _, _, _, body) =>
-                (u, rid, new String(body, UTF_8))
-              }
+            if (f != cur) {
+              close()
+              cur = f
+              raf = try new java.io.RandomAccessFile(new java.io.File(dir, f), "r")
+              catch { case _: java.io.FileNotFoundException => null }
+            }
+            if (raf == null || off < 0 || len <= DelimBytes.length ||
+                len > MaxPayload || off + len > raf.length()) None
+            else {
+              raf.seek(off)
+              val buf = new Array[Byte](len.toInt)
+              raf.readFully(buf)
+              // the range starts at the version line; the parser takes
+              // everything after it
+              if (!buf.startsWith(DelimBytes)) None
+              else parseRecordBytes(
+                java.util.Arrays.copyOfRange(buf, DelimBytes.length, buf.length))
+                .map { case (_, u, rid, _, _, _, body) =>
+                  (u, rid, new String(body, UTF_8))
+                }
+            }
           }
         }
       }.toDF("target_uri", "record_id", "body")

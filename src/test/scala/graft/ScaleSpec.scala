@@ -1125,6 +1125,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("importance gate: 64-row weight frame broadcasts, no pair joins anywhere") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.Sampling
+    import graft.sources.Tables
+    val out = Sampling.importanceGate(Tables.documents(spark, sf),
+      col("doc_id"), col("text"), col("lang") === "en")
+    out.count()
+    val ns = nodes(out)
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the bucket-weight model frame must broadcast into the scoring join")
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "importance scoring must never form row pairs")
+  }
+
+  test("backoff coverage: reference-set joins are equi-joins, never pair-forming") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.operators.LmFilter
+    import graft.sources.Tables
+    val out = LmFilter.backoffCoverage(Tables.documents(spark, sf),
+      col("doc_id"), col("text"), col("doc_id") % 2 === 0)
+    out.count()
+    val ns = nodes(out)
+    assert(!ns.exists(n => n.isInstanceOf[CartesianProductExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "backoff resolution must stay on the trigram/bigram/unigram equi-keys")
+    // the resolved-level frame carries (doc_id, lvl) only — the doc
+    // TEXT must not ride any shuffle past tokenization
+    val textThroughShuffle = ns
+      .collect { case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }
+      .filter(_.output.exists(_.name == "text"))
+    assert(textThroughShuffle.isEmpty,
+      s"document text must never shuffle, got: $textThroughShuffle")
+  }
+
   test("gopher rule battery is stateless: streaming verdicts ≡ batch (availableNow)") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.operators.TextOps

@@ -360,6 +360,13 @@ class WarcSourceSpec extends AnyFunSuite {
     val far = WarcSource.fetchRanged(
       idx.withColumn("offset", col("offset") + 1000000), dir).collect()
     assert(far.isEmpty)
+    // an index is data: traversal filenames and missing files degrade
+    val esc = WarcSource.fetchRanged(
+      idx.withColumn("filename", concat(lit("../"), col("filename"))), dir).collect()
+    assert(esc.isEmpty, "path-separator filenames must degrade, not escape dir")
+    val missing = WarcSource.fetchRanged(
+      idx.withColumn("filename", lit("nope.warc")), dir).collect()
+    assert(missing.isEmpty, "missing files must degrade, not throw")
   }
 
   test("WarcGzInputFormat: forced multi-split read is exactly-once") {
