@@ -5169,6 +5169,45 @@ object DataCatalog {
       "FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id) " +
       "SELECT *, dsir_micro >= 1000000 AS kept FROM card" + OBA))
 
+  // WARC7 — request/response PAIRING (r18 — the sixth and last core
+  // ISO 28500 record type the reader handles: real crawls store the
+  // HTTP *request* next to each response, WARC-Concurrent-To naming
+  // its capture, and that is where fetch-side provenance lives — which
+  // agent string actually fetched a page): the fixture writes request
+  // records ahead of their responses (one doc_id % 19 slice writes the
+  // request ONLY — the dangling shape a fetch that died mid-write
+  // leaves), the reader parses the request envelope's User-Agent from
+  // the raw body, and the card counts per (host, agent) how many
+  // requests exist and how many found their response — one equi-join
+  // on the Concurrent-To key, the warc4 resolution shape run in the
+  // other direction. The oracle states pairing and agent accounting
+  // closed-form from doc parity.
+  val warc7 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_req", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeRequestResponses(docs, dir, 4)
+      val recs = graft.sources.WarcSource.readRecordIndex(s, dir + "/warc-*.warc")
+      val reqs = recs.filter(col("warc_type") === "request")
+        .select(
+          regexp_extract(col("target_uri"), "^https?://([^/]+)", 1).as("host"),
+          col("concurrent_to"),
+          regexp_extract(col("body"), "User-Agent: ([^\\r\\n]+)", 1).as("agent"))
+      val resps = recs.filter(col("warc_type") === "response")
+        .select(col("record_id").as("concurrent_to"), lit(true).as("paired"))
+      ordered(reqs.join(resps, Seq("concurrent_to"), "left")
+        .groupBy("host", "agent")
+        .agg(count(lit(1)).cast("long").as("n_requests"),
+          sum(coalesce(col("paired"), lit(false)).cast("long")).as("n_paired")))
+    },
+    Some("SELECT 'example' || (doc_id % 7) || '.org' AS host, " +
+      "CASE WHEN doc_id % 2 = 0 THEN 'graftbot/1.2' ELSE 'graftbot/1.3' END " +
+      "AS agent, CAST(count(*) AS BIGINT) AS n_requests, " +
+      "CAST(sum(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 1 END) AS BIGINT) " +
+      "AS n_paired FROM documents GROUP BY 1, 2" + OBA))
+
   // URL9 — frontier expansion (r17 — ONE crawl iteration's output, the
   // composition a fetch scheduler actually runs each round: extract
   // links from the fetched pages (ext2), UNION the sitemap-DISCOVERED
@@ -9050,5 +9089,6 @@ object DataCatalog {
     "cdx1_record_index" -> cdx1, "cdx2_ranged_fetch" -> cdx2,
     "lm4_backoff_coverage" -> lm4, "tx20_gopher_rules" -> tx20,
     "url11_politeness_schedule" -> url11, "qc21_key_skew_card" -> qc21,
-    "dsir1_importance_gate" -> dsir1)
+    "dsir1_importance_gate" -> dsir1,
+    "warc7_request_pairing" -> warc7)
 }

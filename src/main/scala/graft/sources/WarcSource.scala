@@ -826,13 +826,45 @@ object WarcSource {
               hdrs.getOrElse("WARC-Record-ID", ""),
               hdrs.getOrElse("WARC-Date", ""),
               hdrs.getOrElse("Content-Type", ""), len,
-              new String(chunk, hEnd + 4, len.toInt, UTF_8)))
+              new String(chunk, hEnd + 4, len.toInt, UTF_8),
+              hdrs.getOrElse("WARC-Concurrent-To", "")))
           }
         }
       }
     }.toDF("filename", "offset", "length", "warc_type", "target_uri",
-      "record_id", "warc_date", "content_type", "content_length", "body")
+      "record_id", "warc_date", "content_type", "content_length", "body",
+      "concurrent_to")
   }
+
+  /** Write the response fixture WITH each capture's `request` record
+    * (ISO 28500: the request precedes its response in capture order
+    * and `WARC-Concurrent-To` names the response it belongs to) —
+    * completing the six core record types (warcinfo, request,
+    * response, revisit, metadata, conversion). The request body is the
+    * real HTTP/1.1 request line + Host + User-Agent (UA alternates by
+    * doc parity so agent accounting has two classes). A doc_id % 19
+    * == 0 capture writes the request ONLY — the dangling shape a fetch
+    * that died mid-write leaves — so pairing genuinely varies. */
+  def writeRequestResponses(docs: DataFrame, dir: String, nFiles: Int): Unit =
+    writeRecords(docs, dir, nFiles, "warc", ".warc", identity, { r =>
+      val id = r.getLong(0)
+      val uri = r.getString(1)
+      val host = uri.replaceFirst("^https?://", "").takeWhile(_ != '/')
+      val path = uri.replaceFirst("^https?://[^/]+", "") match {
+        case "" => "/"
+        case p => p
+      }
+      val ua = if (id % 2 == 0) "graftbot/1.2" else "graftbot/1.3"
+      val req = record(Seq(
+        "WARC-Type" -> "request",
+        "WARC-Target-URI" -> uri,
+        "WARC-Record-ID" -> s"<urn:graft:req:$id>",
+        "WARC-Concurrent-To" -> s"<urn:graft:doc:$id>",
+        "Content-Type" -> "application/http;msgtype=request"),
+        s"GET $path HTTP/1.1\r\nHost: $host\r\nUser-Agent: $ua\r\n\r\n"
+          .getBytes(UTF_8))
+      if (id % 19 == 0) req else req ++ responseRecord(r)
+    })
 
   /** The index's CONSUMPTION side — dereference (filename, offset,
     * length) triples by RANGED reads (what a wayback/fetch service
