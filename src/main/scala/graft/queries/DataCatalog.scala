@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Bucketing, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Profiling, Ranking, Retrieval, Sampling, Sharding, Similarity, TextOps}
+import graft.operators.{Bpe, Bucketing, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Profiling, Ranking, Redirects, Retrieval, Sampling, Sharding, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -5208,6 +5208,54 @@ object DataCatalog {
       "CAST(sum(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 1 END) AS BIGINT) " +
       "AS n_paired FROM documents GROUP BY 1, 2" + OBA))
 
+  // URL12 — redirect-chain resolution (r18 — the 3xx layer every real
+  // crawl has and this chain didn't: servers answer moved URLs with a
+  // Location header, and canonical dedup / frontier accounting / the
+  // authority graph all need each captured URL mapped to where it
+  // LANDS). The fixture writes, next to every doc's final 200 response,
+  // doc-parity chain slices: a one-hop 301 with an ABSOLUTE Location, a
+  // two-hop 302→307 chain whose first Location is ROOT-RELATIVE (RFC
+  // 3986 resolution is part of following — the ext2 kernel resolves
+  // it), a 301 whose target was never captured (the DANGLING chain —
+  // reported with the target so a scheduler can frontier it), and a
+  // 301⇄301 LOOP pair (the shape a follower must bound, never chase:
+  // final_url/hops NULL, outcome 'loop', exactly how browsers cap).
+  // Resolution is maxHops LEFT equi-joins of the capture frame against
+  // the 3xx edge slice — terminal rows stop matching and ride through,
+  // so there is no per-row done flag and no driver fixpoint loop; the
+  // oracle states every chain's landing closed-form from doc parity.
+  val url12 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_rd", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeRedirectResponses(docs, dir, 4)
+      val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+      ordered(Redirects.resolveChains(recs, maxHops = 4))
+    },
+    Some("WITH u AS (SELECT doc_id, " +
+      "'https://example' || (doc_id % 7) || '.org' AS origin, " +
+      "'https://example' || (doc_id % 7) || '.org/doc/' || doc_id AS u " +
+      "FROM documents) " +
+      "SELECT url, final_url, hops, outcome FROM (" +
+      "SELECT u AS url, u AS final_url, CAST(0 AS BIGINT) AS hops, " +
+      "'ok' AS outcome FROM u " +
+      "UNION ALL SELECT origin || '/old/' || doc_id, " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'https://gone.example/' || doc_id " +
+      "ELSE u END, CAST(1 AS BIGINT), " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'dangling' ELSE 'ok' END " +
+      "FROM u WHERE doc_id % 4 = 1 " +
+      "UNION ALL SELECT origin || '/old/' || doc_id, u, CAST(2 AS BIGINT), " +
+      "'ok' FROM u WHERE doc_id % 4 = 2 " +
+      "UNION ALL SELECT origin || '/mid/' || doc_id, u, CAST(1 AS BIGINT), " +
+      "'ok' FROM u WHERE doc_id % 4 = 2 " +
+      "UNION ALL SELECT origin || '/loopa/' || doc_id, NULL, NULL, 'loop' " +
+      "FROM u WHERE doc_id % 4 = 3 " +
+      "UNION ALL SELECT origin || '/loopb/' || doc_id, NULL, NULL, 'loop' " +
+      "FROM u WHERE doc_id % 4 = 3)" + OBA))
+
   // URL9 — frontier expansion (r17 — ONE crawl iteration's output, the
   // composition a fetch scheduler actually runs each round: extract
   // links from the fetched pages (ext2), UNION the sitemap-DISCOVERED
@@ -9090,5 +9138,6 @@ object DataCatalog {
     "lm4_backoff_coverage" -> lm4, "tx20_gopher_rules" -> tx20,
     "url11_politeness_schedule" -> url11, "qc21_key_skew_card" -> qc21,
     "dsir1_importance_gate" -> dsir1,
-    "warc7_request_pairing" -> warc7)
+    "warc7_request_pairing" -> warc7,
+    "url12_redirect_chains" -> url12)
 }

@@ -727,6 +727,23 @@ object WarcSource {
       rawBytes.map(b => new String(b, skip, b.length - skip, cs))))
   }
 
+  /** The `Location` header of an HTTP response envelope — the redirect
+    * target a 3xx response names (RFC 9110 §10.2.2). Parsed from the
+    * header block only (first CRLFCRLF), so it costs one small scan and
+    * leaves [[parseHttp]]'s payload contract untouched; None when the
+    * envelope is malformed or the header is absent/empty. The value is
+    * returned VERBATIM (absolute or relative) — resolution against the
+    * capture URL is the consumer's step (RFC 3986, the ext2 kernel). */
+  private[graft] def parseLocation(body: Array[Byte]): Option[String] = {
+    val hEnd = indexOf(body, Crlf2, 0)
+    if (hEnd < 0) None
+    else new String(body, 0, hEnd, ISO_8859_1).split("\r\n").iterator.drop(1)
+      .map(_.split(":", 2)).collectFirst {
+        case Array(k, v) if k.trim.equalsIgnoreCase("location") &&
+          v.trim.nonEmpty => v.trim
+      }
+  }
+
   /** Raw record chunks (bytes AFTER each "WARC/1.0\r\n") from the
     * uncompressed files under `glob`, block-split parallel via the
     * Hadoop record-delimiter reader. Raw BYTES — Text.toString would
@@ -925,8 +942,10 @@ object WarcSource {
     * transfer/content decodings applied, and the payload
     * charset-decoded (see [[parseHttp]]): (warc_type, target_uri,
     * record_id, content_lang, refers_to, content_length, http_status,
-    * charset, charset_ok, charset_src, encoding, encoding_ok,
-    * payload). `charset_src` reports which HTML5 channel decided the
+    * charset, charset_ok, charset_src, encoding, encoding_ok, payload,
+    * location). `location` is the raw Location header (r18 — the
+    * redirect target a 3xx capture names; NULL when absent), and
+    * `charset_src` reports which HTML5 channel decided the
     * decode — bom/header/meta/default. Records whose body is not a
     * parseable HTTP response keep their row with NULL http fields; an
     * unsupported or malformed payload encoding keeps the envelope
@@ -939,14 +958,16 @@ object WarcSource {
         parseHttp(body) match {
           case Some((st, cs, ok, src, enc, encOk, payload)) =>
             (t, u, r, l, rt, n, Some(st), Some(cs), Some(ok), Some(src),
-              Some(enc), Some(encOk), payload)
+              Some(enc), Some(encOk), payload, parseLocation(body))
           case None =>
-            (t, u, r, l, rt, n, None, None, None, None, None, None, None)
+            (t, u, r, l, rt, n, None, None, None, None, None, None, None,
+              None)
         }
       }
       .toDF("warc_type", "target_uri", "record_id", "content_lang",
         "refers_to", "content_length", "http_status", "charset",
-        "charset_ok", "charset_src", "encoding", "encoding_ok", "payload")
+        "charset_ok", "charset_src", "encoding", "encoding_ok", "payload",
+        "location")
   }
 
   /** Write the [[writeResponses]] fixture WITH REVISIT records — the
@@ -969,6 +990,60 @@ object WarcSource {
           "WARC-Profile" -> "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
           Array.emptyByteArray)
       else responseRecord(r)
+    })
+
+  /** Write a REDIRECT-chain response fixture (r18 — the 3xx shapes a
+    * real crawl is full of: servers answer moved URLs with a Location
+    * header, and a consumer must FOLLOW the chain to know which capture
+    * is the page): every doc gets its final 200 response at its own
+    * URI, and doc_id % 4 adds the chain slices —
+    *   1: `/old/<id>` 301 → the final URI (absolute Location); except
+    *      doc_id % 5 == 0, where the Location names an UNCAPTURED
+    *      `https://gone.example/<id>` (the dangling chain);
+    *   2: `/old/<id>` 302 → `/mid/<id>` (ROOT-RELATIVE Location — RFC
+    *      3986 resolution is part of following), and `/mid/<id>` 307 →
+    *      the final URI (a two-hop chain);
+    *   3: `/loopa/<id>` 301 ⇄ `/loopb/<id>` 301 (a redirect LOOP — the
+    *      shape a follower must bound, never chase).
+    * Redirect responses carry an empty body and Content-Length: 0, the
+    * wire shape RFC 9110 §10.2.2 responses actually have. */
+  def writeRedirectResponses(docs: DataFrame, dir: String, nFiles: Int): Unit =
+    writeRecords(docs, dir, nFiles, "warc", ".warc", identity, { r =>
+      val id = r.getLong(0)
+      val u = r.getString(1)
+      val origin = u.split("/").take(3).mkString("/")
+      def http(status: Int, reason: String, loc: Option[String],
+          body: String): Array[Byte] = {
+        val b = body.getBytes(UTF_8)
+        ((Seq(s"HTTP/1.1 $status $reason",
+          "Content-Type: text/html; charset=utf-8") ++
+          loc.map("Location: " + _) ++ Seq(s"Content-Length: ${b.length}"))
+          .mkString("", "\r\n", "\r\n\r\n")).getBytes(ISO_8859_1) ++ b
+      }
+      def resp(uri: String, seq: Int, status: Int, reason: String,
+          loc: Option[String], body: String): Array[Byte] =
+        record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> uri,
+          "WARC-Record-ID" -> s"<urn:graft:rd:$id:$seq>",
+          "Content-Type" -> "application/http; msgtype=response"),
+          http(status, reason, loc, body))
+      val fin = resp(u, 0, 200, "OK", None, s"<html><body>doc $id</body></html>")
+      val extra = math.floorMod(id, 4L) match {
+        case 1 =>
+          val target = if (id % 5 == 0) s"https://gone.example/$id" else u
+          resp(s"$origin/old/$id", 1, 301, "Moved Permanently", Some(target), "")
+        case 2 =>
+          resp(s"$origin/old/$id", 1, 302, "Found", Some(s"/mid/$id"), "") ++
+            resp(s"$origin/mid/$id", 2, 307, "Temporary Redirect", Some(u), "")
+        case 3 =>
+          resp(s"$origin/loopa/$id", 1, 301, "Moved Permanently",
+            Some(s"/loopb/$id"), "") ++
+            resp(s"$origin/loopb/$id", 2, 301, "Moved Permanently",
+              Some(s"/loopa/$id"), "")
+        case _ => Array.emptyByteArray
+      }
+      fin ++ extra
     })
 
   /** Resolve revisit records against their referred responses — the

@@ -427,4 +427,67 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(got == Set("<urn:graft:doc:1>", "<urn:graft:doc:2>"),
       "reader must resync past garbage between members")
   }
+
+  test("parseLocation: header-block only, case-insensitive, absent/empty/malformed degrade") {
+    def http(hdrs: Seq[String], body: String = ""): Array[Byte] =
+      (("HTTP/1.1 301 Moved Permanently" +: hdrs)
+        .mkString("", "\r\n", "\r\n\r\n") + body).getBytes("ISO-8859-1")
+    assert(WarcSource.parseLocation(
+      http(Seq("Location: https://x.org/new"))).contains("https://x.org/new"))
+    assert(WarcSource.parseLocation(
+      http(Seq("location:  /rel/path "))).contains("/rel/path"),
+      "case-insensitive name, trimmed value")
+    assert(WarcSource.parseLocation(http(Seq("Content-Type: text/html"))).isEmpty)
+    assert(WarcSource.parseLocation(http(Seq("Location:"))).isEmpty,
+      "empty value degrades")
+    // a 'Location:' line in the BODY must not match — header block only
+    assert(WarcSource.parseLocation(
+      http(Seq("Content-Type: text/html"), "Location: https://evil/")).isEmpty)
+    assert(WarcSource.parseLocation("no blank line".getBytes("ISO-8859-1")).isEmpty)
+  }
+
+  test("resolveChains: multi-hop follow, relative Location, dangling, bounded loop") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val recs = Seq(
+      // terminal page
+      ("https://x.org/final", Some(200L), None: Option[String]),
+      // two-hop chain, first Location root-relative
+      ("https://x.org/old", Some(302L), Some("/mid")),
+      ("https://x.org/mid", Some(307L), Some("https://x.org/final")),
+      // dangling: target never captured
+      ("https://x.org/gonefrom", Some(301L), Some("https://gone.example/1")),
+      // loop pair
+      ("https://x.org/a", Some(301L), Some("/b")),
+      ("https://x.org/b", Some(301L), Some("/a")),
+      // a 200 with a (meaningless) Location header: not an edge
+      ("https://x.org/ok", Some(200L), Some("/elsewhere"))
+    ).toDF("target_uri", "http_status", "location")
+    val out = graft.operators.Redirects.resolveChains(recs, maxHops = 4)
+      .as[(String, Option[String], Option[Long], String)].collect().toSet
+    assert(out == Set(
+      ("https://x.org/final", Some("https://x.org/final"), Some(0L), "ok"),
+      ("https://x.org/old", Some("https://x.org/final"), Some(2L), "ok"),
+      ("https://x.org/mid", Some("https://x.org/final"), Some(1L), "ok"),
+      ("https://x.org/gonefrom", Some("https://gone.example/1"), Some(1L), "dangling"),
+      ("https://x.org/a", None, None, "loop"),
+      ("https://x.org/b", None, None, "loop"),
+      ("https://x.org/ok", Some("https://x.org/ok"), Some(0L), "ok")))
+  }
+
+  test("resolveChains: a chain longer than maxHops classifies as loop, shorter resolves") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // c0 → c1 → c2 → c3 → c4 → end : 5 hops
+    val chain = (0 until 5).map(i =>
+      (s"https://x.org/c$i", Some(301L), Some(s"/c${i + 1}"))) :+
+      (("https://x.org/c5", Some(200L), None: Option[String]))
+    val recs = chain.toDF("target_uri", "http_status", "location")
+    val out = graft.operators.Redirects.resolveChains(recs, maxHops = 4)
+      .as[(String, Option[String], Option[Long], String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out("https://x.org/c0") == "loop",
+      "5 hops under maxHops=4 must bound, not resolve")
+    assert(out("https://x.org/c1") == "ok" && out("https://x.org/c5") == "ok")
+  }
 }
