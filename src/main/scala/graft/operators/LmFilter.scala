@@ -144,6 +144,54 @@ object LmFilter {
           .as("bigram_familiarity_micro"))
   }
 
+  /** ccnet1 — per-language familiarity TERCILES (the CCNet bucketing,
+    * Wenzek et al. 2020 §4.3: within each language, documents split
+    * head/middle/tail by LM perplexity against a high-quality reference,
+    * and downstream corpora keep head or head+middle). Here the
+    * perplexity prior is [[familiarityScore]]'s exact integer micro
+    * score, and the split is VALUE-based exactly as CCNet's published
+    * pipeline does it — per-language cutoff values from a score
+    * histogram, ties sharing a bucket — not a per-document NTILE.
+    *
+    * That choice IS the scale design: a per-language global window over
+    * the corpus would hash every document of the dominant language into
+    * one partition (web corpora are mostly one language — the qc21 skew
+    * card's red flag), while the histogram frame is (language × ≤1001
+    * distinct scores) rows of MODEL state regardless of corpus size.
+    * The only windows run over that frame; the two cutoffs per language
+    * broadcast back into a map-side bucket assignment.
+    *
+    * Cutoffs: scanning scores descending, `head_cut` is the score at
+    * which the running count first covers ⌈n/3⌉ documents, `mid_cut`
+    * at ⌈2n/3⌉; a document buckets 'head' iff score ≥ head_cut, else
+    * 'middle' iff ≥ mid_cut, else 'tail'. Output: (doc_id, lang,
+    * familiarity_micro, bucket). */
+  def familiarityTerciles(df: DataFrame, id: Column, text: Column,
+      lang: Column, isRef: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = familiarityScore(df, id, text, isRef)
+      .join(df.select(id.as("doc_id"), lang.as("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("familiarity_micro"))
+    val hist = scored.groupBy("lang", "familiarity_micro")
+      .agg(count(lit(1)).as("c"))
+    val byScoreDesc = Window.partitionBy("lang")
+      .orderBy(col("familiarity_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("lang")
+    val cum = hist.select(col("lang"), col("familiarity_micro"),
+      sum("c").over(byScoreDesc).as("cum"), sum("c").over(whole).as("n"))
+    val cuts = cum.groupBy("lang").agg(
+      max(when(col("cum") * 3 >= col("n"), col("familiarity_micro")))
+        .as("head_cut"),
+      max(when(col("cum") * 3 >= col("n") * 2, col("familiarity_micro")))
+        .as("mid_cut"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("familiarity_micro"),
+        when(col("familiarity_micro") >= col("head_cut"), "head")
+          .when(col("familiarity_micro") >= col("mid_cut"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** lm4 — trigram BACKOFF coverage (Stupid Backoff's resolution shape
     * — Brants et al. 2007, the n-gram scoring built FOR distributed
     * corpora — with the float α-chain replaced by integer level

@@ -7998,6 +7998,46 @@ object DataCatalog {
       "SELECT doc_id, n_tokens, CAST(sw * 1000000 // (9 * n_tokens) AS BIGINT) " +
       "AS familiarity_micro FROM sc" + OBA))
 
+  // CCNET1 — per-language familiarity TERCILES (r18 — the CCNet
+  // bucketing, Wenzek et al. 2020 §4.3: within each language, split
+  // documents head/middle/tail by LM perplexity against a high-quality
+  // reference; training corpora keep head or head+middle). The prior is
+  // lm2's exact integer micro score; the split is VALUE-based via
+  // per-language cutoffs from a (lang × score) HISTOGRAM — exactly the
+  // published pipeline's percentile-cutoff shape, and the scale reason:
+  // an NTILE window partitioned by language would hash the dominant
+  // language of a web corpus into one partition (qc21's red-flag
+  // pattern), while the histogram is model-sized at any corpus size
+  // and the two cutoffs per language broadcast back into a map-side
+  // bucket assignment. Ties share a bucket (value rule), so the oracle
+  // states every assignment closed-form with no rank nondeterminism.
+  val ccnet1 = Q(
+    (s, d) => ordered(LmFilter.familiarityTerciles(documents(s, d),
+      col("doc_id"), col("text"), col("lang"), col("doc_id") % 2 === 0)),
+    Some("WITH toks AS (SELECT doc_id, " +
+      "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+      "vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks " +
+      "WHERE doc_id % 2 = 0 GROUP BY 1), " +
+      "vid AS (SELECT term, cnt, ('0x' || substr(md5(term), 1, 15))::BIGINT AS tid FROM vocab), " +
+      "r AS (SELECT term, row_number() OVER (ORDER BY cnt, tid) AS rank, " +
+      "count(*) OVER () AS n FROM vid), " +
+      "w AS (SELECT term, ((rank - 1) * 1000 // n) // 100 AS w FROM r), " +
+      "sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "coalesce(sum(w.w), 0) AS sw FROM toks t LEFT JOIN w USING (term) GROUP BY 1), " +
+      "scl AS (SELECT sc.doc_id, d.lang, " +
+      "CAST(sw * 1000000 // (9 * n_tokens) AS BIGINT) AS fam " +
+      "FROM sc JOIN documents d USING (doc_id)), " +
+      "hist AS (SELECT lang, fam, count(*) AS c FROM scl GROUP BY 1, 2), " +
+      "cum AS (SELECT lang, fam, sum(c) OVER (PARTITION BY lang ORDER BY fam DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "sum(c) OVER (PARTITION BY lang) AS n FROM hist), " +
+      "cuts AS (SELECT lang, max(CASE WHEN cum * 3 >= n THEN fam END) AS head_cut, " +
+      "max(CASE WHEN cum * 3 >= 2 * n THEN fam END) AS mid_cut FROM cum GROUP BY 1) " +
+      "SELECT s.doc_id, s.lang, s.fam AS familiarity_micro, " +
+      "CASE WHEN s.fam >= c.head_cut THEN 'head' " +
+      "WHEN s.fam >= c.mid_cut THEN 'middle' ELSE 'tail' END AS bucket " +
+      "FROM scl s JOIN cuts c USING (lang)" + OBA))
+
   // E17 — arrival-decay engagement score: each event adds 10⁶ micro-
   // points after the user's score right-shifts one notch per whole
   // week since their previous event — the decayed-counter freshness
@@ -9139,5 +9179,6 @@ object DataCatalog {
     "url11_politeness_schedule" -> url11, "qc21_key_skew_card" -> qc21,
     "dsir1_importance_gate" -> dsir1,
     "warc7_request_pairing" -> warc7,
-    "url12_redirect_chains" -> url12)
+    "url12_redirect_chains" -> url12,
+    "ccnet1_familiarity_terciles" -> ccnet1)
 }

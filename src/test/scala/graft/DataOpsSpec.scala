@@ -2222,4 +2222,37 @@ class DataOpsSpec extends AnyFunSuite {
     assert(syms == "aaaa")
     CacheScope.releaseAll()
   }
+
+  test("familiarityTerciles: value-based cutoffs, ties share a bucket, tiny langs degrade to head") {
+    import graft.operators.LmFilter
+    // six 'aa' docs with a clean score ladder: ref slice = the even ids.
+    // 'xx' has ONE doc: n=1, both cutoffs = its own score -> 'head'
+    // (a language too small to split must not tail-bucket everything).
+    val docs = Seq(
+      (0L, "aa", "w w w w"), // ref, all common
+      (1L, "aa", "w w w w"),
+      (2L, "aa", "w w q q"), // ref
+      (3L, "aa", "w q q q"),
+      (4L, "aa", "q q q q"), // ref
+      (5L, "aa", "z z z z"), // all OOV -> 0
+      (6L, "xx", "w w")
+    ).toDF("doc_id", "lang", "text")
+    val out = LmFilter.familiarityTerciles(docs, col("doc_id"), col("text"),
+      col("lang"), col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // vocab = {w (ref cnt 6), q (ref cnt 6)} -> identical counts: deciles
+    // by (cnt, md5-id); whatever the order, scores rank docs 0/1 (all
+    // top-weight or all low) .. monotone in w-share iff w outranks q.
+    // Assert structure, not absolute scores: same-score docs share a
+    // bucket; buckets are monotone in score; lang 'xx' is head.
+    val aa = out.collect { case (id, v) if id <= 5 => (id, v) }
+    assert(aa(0L) == aa(1L), "identical docs must share score AND bucket")
+    val byScore = aa.values.toSeq.distinct.sortBy(-_._1)
+    val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    assert(byScore.map(v => order(v._2)) == byScore.map(v => order(v._2)).sorted,
+      s"buckets must be monotone non-increasing in score: $byScore")
+    assert(byScore.head._2 == "head" && byScore.last._2 == "tail")
+    assert(out(6L)._2 == "head", "a single-doc language is its own head")
+    CacheScope.releaseAll()
+  }
 }
