@@ -677,4 +677,36 @@ object TextOps {
       .withColumn("kept", col("r_wordcount") && col("r_meanlen") &&
         col("r_ellipsis") && col("r_bullet") && col("r_symbol") &&
         col("r_alpha") && col("r_stop"))
+
+  /** qc22 — encoding-INTEGRITY card: the QC read a corpus owner runs
+    * over DECODED text to find what the charset chain got wrong
+    * upstream (the warc2 accounting says what was DECLARED; this says
+    * what the text actually looks like). Three per-doc counters:
+    *   - `n_replacement` — U+FFFD instances (a decoder already gave up:
+    *     invalid bytes under the chosen charset);
+    *   - `n_control`     — C0 control chars other than \t \n \r (binary
+    *     bleed-through or charset garbling);
+    *   - `n_moji`        — 'Ã' (U+00C3) instances, the signature char
+    *     of UTF-8 bytes decoded as latin-1/cp1252 (every 2-byte
+    *     sequence starting 0xC3 — é è ü and friends — becomes 'Ã'+x).
+    * `verdict` classes the doc by priority replacement > double_encoded
+    * > control > clean. `n_moji` is a HINT, not proof — legitimate text
+    * (Portuguese 'São') carries the char too, which is why this is a
+    * card to read, not a gate to drop on. Pure map, no shuffle. */
+  def encodingIntegrity(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), text.as("t"))
+      .select(col("doc_id"),
+        (length(col("t")) - length(regexp_replace(col("t"), "\uFFFD", "")))
+          .cast("long").as("n_replacement"),
+        size(regexp_extract_all(col("t"),
+          lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit(0)))
+          .cast("long").as("n_control"),
+        (length(col("t")) - length(regexp_replace(col("t"), "\u00C3", "")))
+          .cast("long").as("n_moji"))
+      .select(col("doc_id"), col("n_replacement"), col("n_control"),
+        col("n_moji"),
+        when(col("n_replacement") > 0, "replacement")
+          .when(col("n_moji") > 0, "double_encoded")
+          .when(col("n_control") > 0, "control")
+          .otherwise("clean").as("verdict"))
 }

@@ -5124,6 +5124,49 @@ object DataCatalog {
       " SELECT * FROM card_lang UNION ALL SELECT * FROM card_source " +
       "UNION ALL SELECT * FROM card_shard_97" + OBA))
 
+  // QC22 — encoding-INTEGRITY card (r18 — the QC a corpus owner runs
+  // over DECODED text to find what the charset chain got wrong
+  // upstream: warc2's accounting says what each page DECLARED, this
+  // says what the text actually LOOKS like — real corpora are full of
+  // mojibake that decoded "successfully"): per doc, U+FFFD replacement
+  // instances (a decoder already gave up), C0 controls other than
+  // \t\n\r (binary bleed-through), and the 'Ã' double-encode signature
+  // (UTF-8 bytes read as latin-1 turn every é/è/ü-class char into
+  // 'Ã'+x), with a priority verdict. The fixture injects each
+  // corruption class by doc parity — a mojibake'd accent tail, a
+  // replacement-char pair, a BEL control — and BOTH engines count over
+  // the identical corrupted strings, so the counters (length-diff and
+  // regex-class counts) are graded as dual implementations, not
+  // constants. n_moji is documented as a HINT (legit 'São' text
+  // carries the char) — a card to read, not a gate to drop on.
+  val qc22 = Q(
+    (s, d) => {
+      val corrupted = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" \u00C3\u00A9l\u00C3\u00A8ve")))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" bad\uFFFD\uFFFDbyte")))
+          .when(col("doc_id") % 4 === 3,
+            concat(col("text"), lit(" x\u0007")))
+          .otherwise(col("text")).as("text"))
+      ordered(TextOps.encodingIntegrity(corrupted, col("doc_id"), col("text")))
+    },
+    Some("WITH c AS (SELECT doc_id, CASE " +
+      "WHEN doc_id % 4 = 1 THEN text || ' ' || chr(195) || chr(169) || 'l' || " +
+      "chr(195) || chr(168) || 've' " +
+      "WHEN doc_id % 4 = 2 THEN text || ' bad' || chr(65533) || chr(65533) || 'byte' " +
+      "WHEN doc_id % 4 = 3 THEN text || ' x' || chr(7) " +
+      "ELSE text END AS t FROM documents) " +
+      "SELECT doc_id, " +
+      "CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT) AS n_replacement, " +
+      "CAST(len(regexp_extract_all(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT) " +
+      "AS n_control, " +
+      "CAST(length(t) - length(replace(t, chr(195), '')) AS BIGINT) AS n_moji, " +
+      "CASE WHEN length(t) - length(replace(t, chr(65533), '')) > 0 THEN 'replacement' " +
+      "WHEN length(t) - length(replace(t, chr(195), '')) > 0 THEN 'double_encoded' " +
+      "WHEN len(regexp_extract_all(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) > 0 " +
+      "THEN 'control' ELSE 'clean' END AS verdict FROM c" + OBA))
+
   // DSIR1 — hashed-feature IMPORTANCE gate (r18 — the DSIR selection
   // shape, Xie et al. 2023, with float log-likelihood ratios replaced
   // by exact integer micro-ratios): 64 portable md5 token buckets,
@@ -9180,5 +9223,6 @@ object DataCatalog {
     "dsir1_importance_gate" -> dsir1,
     "warc7_request_pairing" -> warc7,
     "url12_redirect_chains" -> url12,
-    "ccnet1_familiarity_terciles" -> ccnet1)
+    "ccnet1_familiarity_terciles" -> ccnet1,
+    "qc22_encoding_integrity" -> qc22)
 }
