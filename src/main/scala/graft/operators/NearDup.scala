@@ -328,6 +328,42 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** d21 — SCOPE-keyed MinHash LSH (the FineWeb finding, Penedo et al.
+    * 2024 §3.3: deduplicating each CommonCrawl dump INDIVIDUALLY kept
+    * model quality that global cross-dump dedup destroyed — cross-dump
+    * repeats carry an upweighting signal): d2's pipeline with the scope
+    * (dump id, snapshot, source) FOLDED INTO the band key, so candidate
+    * generation never pairs documents across scopes. Scoped pairs are
+    * provably global pairs ∩ same-scope (folding scope into the key
+    * only removes collisions), which is what the d21 oracle states —
+    * but the plan property is the point at 100 TB: each dump's band
+    * join runs over its own key space, new dumps dedup incrementally
+    * without touching old ones, and the join never grows with the
+    * number of dumps retained. */
+  def minhashLshScoped(docs: DataFrame, id: Column, text: Column,
+      scope: Column, threshold: Double): DataFrame = {
+    val base = docs.select(id.as("doc_id"), scope.cast("string").as("scope"),
+      text.as("txt"))
+    val sigs = graft.CacheScope.persist(
+      base.select(col("doc_id"), col("scope"),
+          TextHashExprs.minhashSigs(lower(col("txt")), 16, 3).as("sigs"))
+        .filter(col("sigs").isNotNull))
+    sigs.count()
+    // bands() with the scope concatenated into each band signature —
+    // same (band, sig) join key shape, scope-disjoint by construction
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", col("scope"), concat_ws(",", (0 until 4).map(r =>
+          element_at(col("sigs"), b * 4 + r + 1)): _*)).as("sig"))
+    }
+    val scopedBands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    jaccardPairs(candidates(scopedBands),
+        shingleArrays(base, col("doc_id"), col("txt")))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** d17 — containment pairs (asymmetric near-dup): for band-collision
     * candidates, the integer-permille CONTAINMENT in each direction —
     * |A∩B|·1000 DIV |A| and DIV |B| over distinct shingle sets — kept

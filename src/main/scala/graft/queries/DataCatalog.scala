@@ -7539,6 +7539,57 @@ object DataCatalog {
       "SELECT 'near', CAST(count(*) AS BIGINT), CAST(coalesce(sum(tk), 0) AS BIGINT) FROM tk " +
       "WHERE doc_id NOT IN (SELECT DISTINCT cluster_id FROM cl)" + OBA))
 
+  // D21 — per-DUMP scoped dedup vs global (r18 — the FineWeb finding,
+  // Penedo et al. 2024 §3.3: deduplicating each CommonCrawl dump
+  // individually kept model quality that global cross-dump dedup
+  // destroyed — cross-dump repetition carries an upweighting signal
+  // that global min-id keeping erases). Dumps = doc_id % 3 snapshot
+  // slices; the scoped pipeline folds the dump id INTO the LSH band
+  // key (minhashLshScoped), so candidate generation never pairs across
+  // dumps — provably global-pairs ∩ same-dump (folding a key only
+  // removes collisions), which is exactly what the oracle states. The
+  // card reports, per dump, removals under each policy and the
+  // cross-dump-saved delta — the budget evidence for choosing scope.
+  // Removal rule: a doc drops iff it verifies ≥ 0.5 against a
+  // smaller-id doc (pairs carry id_a < id_b, so removed = appears as
+  // id_b) — the greedy min-keeper, closed-form without recursion.
+  // At 100 TB the scoped shape is also the OPERATIONAL one: each new
+  // dump dedups incrementally over its own band key space without
+  // re-joining the full history.
+  val d21 = Q(
+    (s, d) => {
+      val docs = documents(s, d).withColumn("dump", col("doc_id") % 3)
+      val global = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
+      val scoped = NearDup.minhashLshScoped(docs, col("doc_id"), col("text"),
+        col("dump"), 0.5)
+      val rg = global.select(col("id_b").as("doc_id")).distinct()
+        .withColumn("g", lit(1L))
+      val rs = scoped.select(col("id_b").as("doc_id")).distinct()
+        .withColumn("sc", lit(1L))
+      ordered(docs.select(col("doc_id"), col("dump"))
+        .join(rg, Seq("doc_id"), "left")
+        .join(rs, Seq("doc_id"), "left")
+        .groupBy("dump")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(coalesce(col("g"), lit(0L))).as("n_removed_global"),
+          sum(coalesce(col("sc"), lit(0L))).as("n_removed_scoped"))
+        .withColumn("n_cross_dump_saved",
+          col("n_removed_global") - col("n_removed_scoped")))
+    },
+    Some("WITH " + MinhashPairsBody + ", " +
+      "rg AS (SELECT DISTINCT id_b AS doc_id FROM pairs), " +
+      "rs AS (SELECT DISTINCT id_b AS doc_id FROM pairs " +
+      "WHERE id_a % 3 = id_b % 3) " +
+      "SELECT doc_id % 3 AS dump, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM rg) THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_removed_global, " +
+      "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM rs) THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_removed_scoped, " +
+      "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM rg) THEN 1 ELSE 0 END) - " +
+      "sum(CASE WHEN doc_id IN (SELECT doc_id FROM rs) THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_cross_dump_saved " +
+      "FROM documents GROUP BY 1" + OBA))
+
   // RET4 — retrieval eval card (the retrieval family's eval1): BM25,
   // TF-IDF, and PRF-BM25 each scored against a deterministic
   // relevance oracle — "doc carries every query term with tf ≥ 3"
@@ -9224,5 +9275,6 @@ object DataCatalog {
     "warc7_request_pairing" -> warc7,
     "url12_redirect_chains" -> url12,
     "ccnet1_familiarity_terciles" -> ccnet1,
-    "qc22_encoding_integrity" -> qc22)
+    "qc22_encoding_integrity" -> qc22,
+    "d21_scoped_dedup" -> d21)
 }
