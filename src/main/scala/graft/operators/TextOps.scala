@@ -678,6 +678,43 @@ object TextOps {
         col("r_ellipsis") && col("r_bullet") && col("r_symbol") &&
         col("r_alpha") && col("r_stop"))
 
+  /** tx21 — the C4 cleaning battery (Raffel et al. 2020 §2.2 /
+    * tensorflow_datasets c4_utils — the PUBLISHED line-level filter the
+    * original C4 corpus shipped with, the line-rule complement to
+    * tx20's Gopher document-structure rules):
+    *   - a LINE is retained iff it ends in terminal punctuation
+    *     (. ! ? ") after right-trim, carries ≥ 5 whitespace words, and
+    *     does not contain 'javascript' (case-insensitive);
+    *   - the PAGE drops if the RAW text contains 'lorem ipsum'
+    *     (case-insensitive) or a '{' (c4_utils checks the raw page,
+    *     not the cleaned text), or if the CLEANED text carries fewer
+    *     than 3 sentences (terminal-punctuation count — the c4_utils
+    *     sentence splitter's deterministic stand-in).
+    * Output: per doc, line/sentence counters, one boolean per page
+    * rule, `kept`, and md5 of the cleaned text — so the oracle gates
+    * the exact line filter, not just the verdict. Pure map (line HOFs),
+    * zero shuffle — the same first-pass-gate shape as tx20. */
+  def c4Rules(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), text.as("txt"))
+      .withColumn("ln", split(col("txt"), "\n"))
+      .withColumn("kept_ln", expr(
+        "filter(ln, l -> rtrim(l) rlike '[.!?\"]$' AND " +
+          "size(split(trim(l), '\\\\s+')) >= 5 AND " +
+          "NOT contains(lower(l), 'javascript'))"))
+      .withColumn("cleaned", array_join(col("kept_ln"), "\n"))
+      .select(col("doc_id"),
+        size(col("ln")).cast("long").as("n_lines"),
+        size(col("kept_ln")).cast("long").as("n_kept_lines"),
+        size(regexp_extract_all(col("cleaned"), lit("[.!?]"), lit(0)))
+          .cast("long").as("n_sentences"),
+        (size(regexp_extract_all(col("cleaned"), lit("[.!?]"), lit(0))) >= 3)
+          .as("r_min_sentences"),
+        (!contains(lower(col("txt")), lit("lorem ipsum"))).as("r_no_lorem"),
+        (!contains(col("txt"), lit("{"))).as("r_no_brace"),
+        md5(col("cleaned").cast("binary")).as("cleaned_md5"))
+      .withColumn("kept",
+        col("r_min_sentences") && col("r_no_lorem") && col("r_no_brace"))
+
   /** qc22 — encoding-INTEGRITY card: the QC read a corpus owner runs
     * over DECODED text to find what the charset chain got wrong
     * upstream (the warc2 accounting says what was DECLARED; this says

@@ -8567,6 +8567,64 @@ object DataCatalog {
       "n_alpha_words * 5 >= n_words * 4 AS r_alpha, " +
       "n_stop_distinct >= 2 AS r_stop FROM n)" + OBA))
 
+  // TX21 — the C4 cleaning battery (r18 — Raffel et al. 2020 §2.2 /
+  // tensorflow_datasets c4_utils: the PUBLISHED line-level filter the
+  // original C4 shipped with, the line-rule complement to tx20's
+  // Gopher document-structure rules): a line is retained iff it ends
+  // in terminal punctuation, carries ≥ 5 words, and lacks
+  // 'javascript'; the page drops on raw-text 'lorem ipsum' or '{'
+  // (c4_utils checks the raw page), or when the CLEANED text carries
+  // fewer than 3 sentences. Fixture tails fire every rule both ways:
+  // a 3-sentence passing tail, a Lorem-ipsum line (retained by the
+  // line filter — the PAGE rule must catch it), a brace line (dropped
+  // by the line filter — the page rule must still see the raw '{'),
+  // and a junk slice whose only surviving line leaves 1 sentence. The
+  // cleaned text itself is md5-gated, so the oracle grades the exact
+  // line filter, not just the verdicts.
+  val tx21 = Q(
+    (s, d) => {
+      val nl = lit("\n")
+      val pass = concat(nl, lit("Alpha beta gamma delta one two. " +
+        "Three four five six seven eight. Nine ten eleven twelve thirteen done."))
+      val suffix = when(col("doc_id") % 4 === 0, pass)
+        .when(col("doc_id") % 4 === 1,
+          concat(pass, nl, lit("Lorem ipsum dolor sit amet okay.")))
+        .when(col("doc_id") % 4 === 2,
+          concat(pass, nl, lit("brace = { zero }")))
+        .otherwise(concat(nl, lit("short line"), nl,
+          lit("this page uses javascript heavily today.")))
+      val docs = documents(s, d)
+        .select(col("doc_id"), concat(col("text"), lit("."), suffix).as("txt"))
+      ordered(TextOps.c4Rules(docs, col("doc_id"), col("txt")))
+    },
+    Some("WITH src AS (SELECT doc_id, text || '.' || CASE " +
+      "WHEN doc_id % 4 = 0 THEN chr(10) || 'Alpha beta gamma delta one two. " +
+      "Three four five six seven eight. Nine ten eleven twelve thirteen done.' " +
+      "WHEN doc_id % 4 = 1 THEN chr(10) || 'Alpha beta gamma delta one two. " +
+      "Three four five six seven eight. Nine ten eleven twelve thirteen done.' " +
+      "|| chr(10) || 'Lorem ipsum dolor sit amet okay.' " +
+      "WHEN doc_id % 4 = 2 THEN chr(10) || 'Alpha beta gamma delta one two. " +
+      "Three four five six seven eight. Nine ten eleven twelve thirteen done.' " +
+      "|| chr(10) || 'brace = { zero }' " +
+      "ELSE chr(10) || 'short line' || chr(10) || " +
+      "'this page uses javascript heavily today.' END AS txt FROM documents), " +
+      "c AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS ln FROM src), " +
+      "k AS (SELECT doc_id, txt, ln, list_filter(ln, l -> " +
+      "regexp_matches(rtrim(l), '[.!?\"]$') AND " +
+      "len(regexp_split_to_array(trim(l), '\\s+')) >= 5 AND " +
+      "NOT contains(lower(l), 'javascript')) AS kl FROM c), " +
+      "m AS (SELECT doc_id, txt, ln, kl, array_to_string(kl, chr(10)) AS cleaned FROM k) " +
+      "SELECT doc_id, CAST(len(ln) AS BIGINT) AS n_lines, " +
+      "CAST(len(kl) AS BIGINT) AS n_kept_lines, " +
+      "CAST(len(regexp_extract_all(cleaned, '[.!?]')) AS BIGINT) AS n_sentences, " +
+      "len(regexp_extract_all(cleaned, '[.!?]')) >= 3 AS r_min_sentences, " +
+      "NOT contains(lower(txt), 'lorem ipsum') AS r_no_lorem, " +
+      "NOT contains(txt, '{') AS r_no_brace, " +
+      "md5(cleaned) AS cleaned_md5, " +
+      "(len(regexp_extract_all(cleaned, '[.!?]')) >= 3 AND " +
+      "NOT contains(lower(txt), 'lorem ipsum') AND NOT contains(txt, '{')) AS kept " +
+      "FROM m" + OBA))
+
   // LM4 — trigram BACKOFF coverage (r18 — Stupid Backoff's resolution
   // shape, the order-3 completion of the lm1/lm2/lm3 family): every
   // token position with a 2-token history resolves to the highest
@@ -9276,5 +9334,6 @@ object DataCatalog {
     "url12_redirect_chains" -> url12,
     "ccnet1_familiarity_terciles" -> ccnet1,
     "qc22_encoding_integrity" -> qc22,
-    "d21_scoped_dedup" -> d21)
+    "d21_scoped_dedup" -> d21,
+    "tx21_c4_rules" -> tx21)
 }
