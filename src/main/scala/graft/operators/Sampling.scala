@@ -465,6 +465,73 @@ object Sampling {
           .cast("long").as("quota"))
   }
 
+  /** mix8 — UniMax language-budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining" — the published successor
+    * to temperature sampling: instead of a temperature knob, give
+    * every language an equal share of the token budget EXCEPT that no
+    * language repeats more than `epochCap` epochs of its available
+    * data; the freed budget redistributes equally among the rest).
+    *
+    * Water-filling, closed-form: languages sort ascending by their cap
+    * (epochCap · available tokens, ties by language); scanning in that
+    * order, language i is CAPPED iff its cap fits an equal split of
+    * what remains assuming all smaller languages were capped
+    * (cap_i · (n − i + 1) ≤ B − Σ_{j<i} cap_j) — with ascending caps
+    * the capped set is a prefix, enforced by a prefix-min so a
+    * non-monotone edge cannot split it. Uncapped languages share the
+    * leftover equally (integer DIV; the ≤ n−1-token truncation remainder
+    * stays unallocated and is visible in the card). The budget B is
+    * stated as a permille of the corpus's own one-epoch token total
+    * (`budgetPermille` = 1000 → train on exactly one epoch's worth) —
+    * the self-normalizing parameterization.
+    *
+    * Output per language: available tokens, cap, allocated tokens,
+    * epochs_permille (allocated·1000 DIV available — over 1000 means
+    * repetition), and the capped flag. Every window here runs over the
+    * LANGUAGE frame — model-sized at any corpus scale — and the only
+    * corpus-sized work is the one map-combined token-total agg. */
+  def unimaxAllocation(df: DataFrame, lang: Column, tokens: Column,
+      epochCap: Int = 2, budgetPermille: Int = 1000): DataFrame = {
+    require(epochCap >= 1, s"epochCap must be >= 1, got $epochCap")
+    require(budgetPermille >= 1,
+      s"budgetPermille must be >= 1, got $budgetPermille")
+    val avail = df.groupBy(lang.as("lang"))
+      .agg(sum(tokens).cast("long").as("avail"))
+      .filter(col("avail") > 0)
+    val tot = avail.agg(
+      expr(s"sum(avail) * $budgetPermille DIV 1000").cast("long").as("budget"))
+    val byCap = Window.orderBy(col("cap").asc, col("lang").asc)
+    val whole = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pre = avail.crossJoin(broadcast(tot))
+      .withColumn("cap", col("avail") * epochCap)
+      .withColumn("i", row_number().over(byCap).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("p_prev", coalesce(
+        sum("cap").over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("cond",
+        when(col("cap") * (col("n") - col("i") + 1) <=
+          col("budget") - col("p_prev"), 1).otherwise(0))
+      .withColumn("capped",
+        min("cond").over(byCap.rowsBetween(Window.unboundedPreceding, 0)) === 1)
+    val scalars = pre.groupBy().agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("p_t"),
+      sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"),
+      max("n").as("n_all"), max("budget").as("b"))
+    pre.crossJoin(broadcast(scalars))
+      .withColumn("share", when(col("n_all") > col("n_capped"),
+        expr("(b - p_t) DIV (n_all - n_capped)")).otherwise(lit(0L)))
+      .withColumn("allocated_tokens",
+        when(col("capped"), col("cap")).otherwise(least(col("cap"), col("share")))
+          .cast("long"))
+      .select(col("lang"), col("avail").as("avail_tokens"),
+        col("cap").as("cap_tokens"), col("allocated_tokens"),
+        expr("allocated_tokens * 1000 DIV avail").as("epochs_permille"),
+        col("capped"))
+  }
+
   /** dsir1 — hashed-feature IMPORTANCE gate (the DSIR shape — Xie et
     * al. 2023, "Data Selection for Language Models via Importance
     * Resampling" — with its float log-likelihood ratios replaced by

@@ -8465,6 +8465,49 @@ object DataCatalog {
       "// 1000 AS BIGINT) AS planned_docs " +
       "FROM w LEFT JOIN c ON c.stratum = w.stratum CROSS JOIN e" + OBA))
 
+  // MIX8 — UniMax language-budget allocation (r18 — Chung et al. 2023,
+  // the published successor to mix3's temperature sampling: equal
+  // budget shares per language EXCEPT no language repeats more than
+  // epochCap epochs of its data; freed budget redistributes equally).
+  // Water-filling closed-form: languages sort ascending by cap
+  // (epochCap·avail), the capped set is the prefix where
+  // cap·(n−i+1) ≤ B − Σ_{j<i} cap_j (prefix-min enforced), the rest
+  // share the leftover by integer DIV. B = 1800‰ of the corpus's own
+  // one-epoch token total, the fraction at which BOTH branches fire on
+  // this corpus: the four smaller languages pin at their 2000‰ cap and
+  // the dominant en takes the share remainder under parity — the
+  // fairness picture the paper's Figure 1 draws. All windows run over
+  // the LANGUAGE frame (model-sized at any corpus scale); the only
+  // corpus-sized work is one map-combined token agg.
+  val mix8 = Q(
+    (s, d) => ordered(Sampling.unimaxAllocation(documents(s, d), col("lang"),
+      size(graft.functions.F.tokens(col("text"))), epochCap = 2,
+      budgetPermille = 1800)),
+    Some("WITH a AS (SELECT lang, CAST(sum(len(regexp_split_to_array(trim(text), " +
+      "'\\s+'))) AS BIGINT) AS avail FROM documents GROUP BY 1 " +
+      "HAVING sum(len(regexp_split_to_array(trim(text), '\\s+'))) > 0), " +
+      "b AS (SELECT CAST(sum(avail) * 1800 // 1000 AS BIGINT) AS budget FROM a), " +
+      "p AS (SELECT lang, avail, avail * 2 AS cap, " +
+      "CAST(row_number() OVER (ORDER BY avail * 2, lang) AS BIGINT) AS i, " +
+      "count(*) OVER () AS n, " +
+      "coalesce(sum(avail * 2) OVER (ORDER BY avail * 2, lang " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev FROM a), " +
+      "q AS (SELECT p.*, b.budget, CASE WHEN cap * (n - i + 1) <= " +
+      "budget - p_prev THEN 1 ELSE 0 END AS cond FROM p, b), " +
+      "r AS (SELECT *, min(cond) OVER (ORDER BY cap, lang " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS capped FROM q), " +
+      "sc AS (SELECT sum(CASE WHEN capped THEN cap ELSE 0 END) AS p_t, " +
+      "sum(CASE WHEN capped THEN 1 ELSE 0 END) AS n_capped, " +
+      "max(n) AS n_all, max(budget) AS b FROM r), " +
+      "f AS (SELECT r.lang, r.avail, r.cap, r.capped, " +
+      "CASE WHEN r.capped THEN r.cap ELSE least(r.cap, " +
+      "CASE WHEN sc.n_all > sc.n_capped THEN (sc.b - sc.p_t) // (sc.n_all - sc.n_capped) " +
+      "ELSE 0 END) END AS alloc FROM r, sc) " +
+      "SELECT lang, avail AS avail_tokens, CAST(cap AS BIGINT) AS cap_tokens, " +
+      "CAST(alloc AS BIGINT) AS allocated_tokens, " +
+      "CAST(alloc * 1000 // avail AS BIGINT) AS epochs_permille, capped " +
+      "FROM f" + OBA))
+
   // LM3 — bigram familiarity: the CCNet-style quality prior at order 2
   // (conditional-frequency proxy c(w1 w2)·1e6 DIV c(w1), doc mean in
   // integer micros). Catches common-word salad that unigram
@@ -9335,5 +9378,6 @@ object DataCatalog {
     "ccnet1_familiarity_terciles" -> ccnet1,
     "qc22_encoding_integrity" -> qc22,
     "d21_scoped_dedup" -> d21,
-    "tx21_c4_rules" -> tx21)
+    "tx21_c4_rules" -> tx21,
+    "mix8_unimax_budget" -> mix8)
 }

@@ -2255,4 +2255,29 @@ class DataOpsSpec extends AnyFunSuite {
     assert(out(6L)._2 == "head", "a single-doc language is its own head")
     CacheScope.releaseAll()
   }
+
+  test("unimaxAllocation: water-filling caps, equal share, degenerate budgets") {
+    import graft.operators.Sampling
+    // langs with 10/20/70 tokens (one doc each, token count = word count)
+    val docs = Seq(
+      (0L, "aa", Seq.fill(10)("w").mkString(" ")),
+      (1L, "bb", Seq.fill(20)("w").mkString(" ")),
+      (2L, "cc", Seq.fill(70)("w").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    def run(cap: Int, bpm: Int) =
+      Sampling.unimaxAllocation(docs, col("lang"),
+        size(split(trim(col("text")), "\\s+")), cap, bpm)
+        .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(5))).toMap
+    // B = 100, cap 2x: aa capped at 20 (20*3 <= 100), bb capped at 40
+    // (40*2 <= 80), cc shares the remaining 40 (< its 140 cap)
+    val m = run(2, 1000)
+    assert(m == Map("aa" -> (20L, true), "bb" -> (40L, true), "cc" -> (40L, false)))
+    // budget above the cap sum: everyone capped, remainder unallocated
+    val hi = run(2, 3000) // B = 300 > 200 = cap sum
+    assert(hi.values.forall(_._2) && hi.values.map(_._1).sum == 200L)
+    // tiny budget: nobody reaches a cap, equal integer shares
+    val lo = run(2, 300) // B = 30 -> 10 each (aa's cap = 20 > 10)
+    assert(lo == Map("aa" -> (10L, false), "bb" -> (10L, false), "cc" -> (10L, false)))
+    CacheScope.releaseAll()
+  }
 }
