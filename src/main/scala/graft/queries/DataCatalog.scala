@@ -7590,6 +7590,64 @@ object DataCatalog {
       "AS BIGINT) AS n_cross_dump_saved " +
       "FROM documents GROUP BY 1" + OBA))
 
+  // WARC8 — revisit PRODUCTION (r18 — the crawl-side dedup a fetcher
+  // RUNS where warc4 only consumed the result: after a refetch, the
+  // payload digest compares against the prior capture of the SAME URL
+  // — the wayback/CDX lookup order, (urlkey, digest) — and a match
+  // writes a `revisit` record naming it while changed content writes a
+  // full capture). The entry runs the WHOLE cycle: prior crawl written
+  // → digest index read back (readRecordIndex) → refetch with a
+  // doc_id % 3 content-change slice → the (uri, digest) decision join
+  // → the decided records WRITTEN as a real WARC (empty revisit
+  // bodies, Payload-Digest + profile headers) → re-read → revisits
+  // MATERIALIZED against the prior bodies. The manifest grades each
+  // doc's decision AND its resolved payload md5 against the closed
+  // form, so a wrong decision, a fabricated body, or a mis-joined
+  // back-reference all hash-mismatch. The decision join is
+  // (uri, digest)-keyed — the CDX shape: at 100 TB the prior index is
+  // rows-not-bytes, the join shuffles keys, bodies never move twice.
+  val warc8 = Q(
+    (s, d) => {
+      val dirA = sfScratch("/tmp/graft_warc_prior", d)
+      val dirB = sfScratch("/tmp/graft_warc_dedup", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeDedupedCrawl(
+        docs.withColumn("ref_id", lit(null).cast("string")), dirA, 4, "prior")
+      val prior = graft.sources.WarcSource.readRecordIndex(s, dirA + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri").as("uri"), col("record_id").as("ref_id"),
+          md5(col("body").cast("binary")).as("digest"))
+      val refetched = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      val decided = refetched
+        .withColumn("digest", md5(col("text").cast("binary")))
+        .join(prior, Seq("uri", "digest"), "left")
+        .select(col("doc_id"), col("uri"), col("lang"), col("text"), col("ref_id"))
+      graft.sources.WarcSource.writeDedupedCrawl(decided, dirB, 4, "new")
+      val newRecs = graft.sources.WarcSource.readRecordIndex(s, dirB + "/warc-*.warc")
+      val docId = regexp_extract(col("record_id"), "urn:graft:new:(\\d+)", 1)
+        .cast("long").as("doc_id")
+      val direct = newRecs.filter(col("warc_type") === "response")
+        .select(docId, lit(false).as("was_revisit"),
+          md5(col("body").cast("binary")).as("payload_md5"))
+      val priorBodies = graft.sources.WarcSource
+        .readRecordIndex(s, dirA + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+        .select(col("record_id").as("concurrent_to_ref"),
+          md5(col("body").cast("binary")).as("ref_md5"))
+      val revisits = newRecs.filter(col("warc_type") === "revisit")
+        .join(priorBodies, col("refers_to") === col("concurrent_to_ref"))
+        .select(docId, lit(true).as("was_revisit"),
+          col("ref_md5").as("payload_md5"))
+      ordered(direct.unionByName(revisits))
+    },
+    Some("SELECT doc_id, doc_id % 3 <> 0 AS was_revisit, " +
+      "md5(text || CASE WHEN doc_id % 3 = 0 THEN ' v2' ELSE '' END) " +
+      "AS payload_md5 FROM documents" + OBA))
+
   // RET4 — retrieval eval card (the retrieval family's eval1): BM25,
   // TF-IDF, and PRF-BM25 each scored against a deterministic
   // relevance oracle — "doc carries every query term with tf ≥ 3"
@@ -9379,5 +9437,6 @@ object DataCatalog {
     "qc22_encoding_integrity" -> qc22,
     "d21_scoped_dedup" -> d21,
     "tx21_c4_rules" -> tx21,
-    "mix8_unimax_budget" -> mix8)
+    "mix8_unimax_budget" -> mix8,
+    "warc8_revisit_production" -> warc8)
 }

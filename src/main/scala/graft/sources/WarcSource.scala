@@ -374,14 +374,16 @@ object WarcSource {
 
   private def writeRecords(docs: DataFrame, dir: String, nFiles: Int,
       stem: String, suffix: String, wrap: Array[Byte] => Array[Byte],
-      mk: Row => Array[Byte]): Unit = {
+      mk: Row => Array[Byte],
+      extra: Seq[org.apache.spark.sql.Column] = Seq.empty): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val d = new java.io.File(dir)
     d.mkdirs()
     // clean slate: stale files from a previous run would double-read
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(suffix)).foreach(_.delete())
-    docs.select(col("doc_id").cast("long"), col("uri"), col("lang"), col("text"))
+    docs.select(Seq(col("doc_id").cast("long"), col("uri"), col("lang"),
+        col("text")) ++ extra: _*)
       .repartition(nFiles, pmod(col("doc_id"), lit(nFiles)))
       // bucket-major, id-minor: a partition can hold several buckets
       // (hash(bucket) % nFiles collisions), so the streaming writer
@@ -844,13 +846,14 @@ object WarcSource {
               hdrs.getOrElse("WARC-Date", ""),
               hdrs.getOrElse("Content-Type", ""), len,
               new String(chunk, hEnd + 4, len.toInt, UTF_8),
-              hdrs.getOrElse("WARC-Concurrent-To", "")))
+              hdrs.getOrElse("WARC-Concurrent-To", ""),
+              hdrs.getOrElse("WARC-Refers-To", "")))
           }
         }
       }
     }.toDF("filename", "offset", "length", "warc_type", "target_uri",
       "record_id", "warc_date", "content_type", "content_length", "body",
-      "concurrent_to")
+      "concurrent_to", "refers_to")
   }
 
   /** Write the response fixture WITH each capture's `request` record
@@ -1045,6 +1048,47 @@ object WarcSource {
       }
       fin ++ extra
     })
+
+  /** warc8 — the revisit-PRODUCTION writer (the crawl-side dedup a
+    * fetcher actually RUNS, where [[writeResponsesWithRevisits]] only
+    * ships the result: after a refetch, the payload digest compares
+    * against the prior capture of the SAME URL — the wayback/CDX lookup
+    * order — and a match writes a `revisit` record naming it
+    * (WARC-Refers-To + WARC-Payload-Digest + the
+    * identical-payload-digest profile, EMPTY body: the storage saving
+    * IS the point), while changed content writes a full capture).
+    * Input rows: (doc_id, uri, lang, text, ref_id) — a non-null
+    * `ref_id` means "digest matched this prior record id". Record ids
+    * are `urn:graft:<idStem>:<doc_id>`, so a prior crawl and its
+    * refetch can share a directory namespace without colliding.
+    * Captures here are the SIMPLE body shape (Content-Type text/html,
+    * raw payload — no HTTP envelope): the decision layer is what this
+    * writer proves; envelope fidelity is warc2's gate. */
+  def writeDedupedCrawl(decided: DataFrame, dir: String, nFiles: Int,
+      idStem: String): Unit =
+    writeRecords(decided, dir, nFiles, "warc", ".warc", identity, { r =>
+      val id = r.getLong(0)
+      val body = r.getString(3).getBytes(UTF_8)
+      if (!r.isNullAt(4)) {
+        val md = java.security.MessageDigest.getInstance("MD5").digest(body)
+        record(Seq(
+          "WARC-Type" -> "revisit",
+          "WARC-Target-URI" -> r.getString(1),
+          "WARC-Record-ID" -> s"<urn:graft:$idStem:$id>",
+          "WARC-Refers-To" -> r.getString(4),
+          "WARC-Payload-Digest" -> ("md5:" + md.map("%02x".format(_)).mkString),
+          "WARC-Profile" -> "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest",
+          "WARC-Identified-Content-Language" -> r.getString(2)),
+          Array.emptyByteArray)
+      } else
+        record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> r.getString(1),
+          "WARC-Record-ID" -> s"<urn:graft:$idStem:$id>",
+          "WARC-Identified-Content-Language" -> r.getString(2),
+          "Content-Type" -> "text/html"),
+          body)
+    }, extra = Seq(col("ref_id")))
 
   /** Resolve revisit records against their referred responses — the
     * materialization step every consumer of a deduplicated crawl runs

@@ -1181,6 +1181,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
   }
 
+  test("c4 rule battery is stateless: streaming verdicts ≡ batch (availableNow)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.TextOps
+    import graft.streaming.DocStream
+    val dir = java.nio.file.Files.createTempDirectory("c4_gate")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val batchIn = spark.read.schema(DocStream.schema).parquet(dir.toString)
+    val src = spark.readStream.schema(DocStream.schema).parquet(dir.toString)
+    val q = TextOps.c4Rules(src, col("doc_id"), col("text"))
+      .select("doc_id", "n_kept_lines", "cleaned_md5", "kept")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("c4_gate_out").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("c4_gate_out")
+    val batch = TextOps.c4Rules(batchIn, col("doc_id"), col("text"))
+      .select("doc_id", "n_kept_lines", "cleaned_md5", "kept")
+    assert(streamed.count() == batchIn.count(), "one verdict row per doc")
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("streaming funnel: per-stage counts over emitted rows equal the batch funnel card") {
     import graft.streaming.EventStream
     import graft.sources.Tables
