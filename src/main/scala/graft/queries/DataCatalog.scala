@@ -7590,6 +7590,40 @@ object DataCatalog {
       "AS BIGINT) AS n_cross_dump_saved " +
       "FROM documents GROUP BY 1" + OBA))
 
+  // URL13 — redirect-aware CANONICAL grouping (r18 — url12's output
+  // put to its actual use: URL-keyed dedup, frontier accounting, and
+  // the authority graph must key on where a capture LANDS, not the URL
+  // it was fetched under — a page captured at /old/, /mid/ AND /doc/
+  // is ONE page). Composition: resolveChains over the redirect fixture
+  // → keep resolved ('ok') chains → group captures by final_url → per
+  // landing page, the capture count and the canonical keeper (min url
+  // — deterministic). Loop chains have no landing page and dangling
+  // chains leave the capture set, so both classes drop here exactly as
+  // a dedup pass must treat them. Oracle: the fixture's chain shapes
+  // state every group size closed-form (3 for the two-hop family, 2
+  // for one-hop, 1 for direct/dangling-source pages).
+  val url13 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_warc_rd", d)
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+        concat(lit("https://example"), col("doc_id") % 7,
+          lit(".org/doc/"), col("doc_id")).as("uri"))
+      graft.sources.WarcSource.writeRedirectResponses(docs, dir, 4)
+      val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
+        .filter(col("warc_type") === "response")
+      ordered(Redirects.resolveChains(recs, maxHops = 4)
+        .filter(col("outcome") === "ok")
+        .groupBy("final_url")
+        .agg(count(lit(1)).cast("long").as("n_captures"),
+          min("url").as("keeper_url")))
+    },
+    Some("WITH u AS (SELECT doc_id, " +
+      "'https://example' || (doc_id % 7) || '.org/doc/' || doc_id AS u " +
+      "FROM documents) " +
+      "SELECT u AS final_url, CAST(CASE WHEN doc_id % 4 = 1 AND doc_id % 5 <> 0 " +
+      "THEN 2 WHEN doc_id % 4 = 2 THEN 3 ELSE 1 END AS BIGINT) AS n_captures, " +
+      "u AS keeper_url FROM u" + OBA))
+
   // WARC8 — revisit PRODUCTION (r18 — the crawl-side dedup a fetcher
   // RUNS where warc4 only consumed the result: after a refetch, the
   // payload digest compares against the prior capture of the SAME URL
@@ -9438,5 +9472,6 @@ object DataCatalog {
     "d21_scoped_dedup" -> d21,
     "tx21_c4_rules" -> tx21,
     "mix8_unimax_budget" -> mix8,
-    "warc8_revisit_production" -> warc8)
+    "warc8_revisit_production" -> warc8,
+    "url13_redirect_canonical" -> url13)
 }
