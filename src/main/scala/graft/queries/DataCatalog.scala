@@ -7590,6 +7590,127 @@ object DataCatalog {
       "AS BIGINT) AS n_cross_dump_saved " +
       "FROM documents GROUP BY 1" + OBA))
 
+  // DP15 — the PUBLISHED-GATES prep pipeline (r18 — the modern web
+  // corpus recipe assembled from this round's published filters, in
+  // the order FineWeb/RefinedWeb actually run them: C4's line rules
+  // (tx21, Raffel et al. 2020) → Gopher's structural battery (tx20,
+  // Rae et al. 2021) → per-dump scoped MinHash dedup (d21, Penedo et
+  // al. 2024)). Every stage reuses its oracle-verified operator
+  // verbatim; the entry's stage-attribution card (docs surviving each
+  // gate) is the receipt a corpus owner reads to see WHERE the corpus
+  // shrinks. The fixture input carries tx20's stop tail and tx21's
+  // rule tails so every gate genuinely fires, and the oracle is the
+  // three verified oracle bodies composed over the same CTE chain —
+  // pipeline correctness, not just per-stage correctness. A
+  // SYNDICATION slice (doc_id % 24 == 12 re-posts the text of
+  // doc_id − 12: same dump (12 ≡ 0 mod 3), same c4 slice (12 ≡ 0 mod
+  // 4), differing only in the stop-tail parity) makes the dedup stage
+  // genuinely fire — without it the gate survivors carry no same-dump
+  // near-dups and stage 3 would pass vacuously. Scale: three
+  // pure-map gates + the dump-keyed band join; survivors only ever
+  // shrink, so each stage is cheaper than the last.
+  val dp15 = Q(
+    (s, d) => {
+      val nl = lit("\n")
+      val stops = when(col("doc_id") % 11 =!= 0,
+        lit(" the state of the art and all that we have with us to be"))
+        .otherwise(lit(""))
+      val pass = concat(nl, lit("Alpha beta gamma delta one two. " +
+        "Three four five six seven eight. Nine ten eleven twelve thirteen done."))
+      val suffix = when(col("doc_id") % 4 === 0, pass)
+        .when(col("doc_id") % 4 === 1,
+          concat(pass, nl, lit("Lorem ipsum dolor sit amet okay.")))
+        .when(col("doc_id") % 4 === 2,
+          concat(pass, nl, lit("brace = { zero }")))
+        .otherwise(concat(nl, lit("short line"), nl,
+          lit("this page uses javascript heavily today.")))
+      val base0 = documents(s, d)
+      val donor = base0.select((col("doc_id") + 12).as("doc_id"),
+        col("text").as("donor_text"))
+      val base = base0.join(donor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 24 === 12,
+            coalesce(col("donor_text"), col("text")))
+            .otherwise(col("text")).as("text"))
+      val src = base.select(col("doc_id"),
+        concat(col("text"), stops, lit("."), suffix).as("text"))
+      val c4k = src.join(TextOps.c4Rules(src, col("doc_id"), col("text"))
+        .filter(col("kept")).select("doc_id"), Seq("doc_id"))
+      val gk = c4k.join(TextOps.gopherRules(c4k, col("doc_id"), col("text"))
+        .filter(col("kept")).select("doc_id"), Seq("doc_id"))
+      val removed = NearDup.minhashLshScoped(
+        gk.withColumn("dump", col("doc_id") % 3),
+        col("doc_id"), col("text"), col("dump"), 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      val fin = gk.join(removed, Seq("doc_id"), "left_anti")
+      ordered(Seq("0_input" -> src, "1_c4" -> c4k, "2_gopher" -> gk,
+        "3_dedup" -> fin)
+        .map { case (st, f) =>
+          f.agg(count(lit(1)).cast("long").as("n_docs"))
+            .select(lit(st).as("stage"), col("n_docs"))
+        }.reduce(_.unionByName(_)))
+    },
+    Some("WITH base AS (SELECT d1.doc_id, CASE WHEN d1.doc_id % 24 = 12 " +
+      "AND d2.text IS NOT NULL THEN d2.text ELSE d1.text END AS text " +
+      "FROM documents d1 LEFT JOIN documents d2 ON d2.doc_id = d1.doc_id - 12), " +
+      "src AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 11 <> 0 THEN " +
+      "' the state of the art and all that we have with us to be' ELSE '' END " +
+      "|| '.' || CASE " +
+      "WHEN doc_id % 4 = 0 THEN chr(10) || 'Alpha beta gamma delta one two. " +
+      "Three four five six seven eight. Nine ten eleven twelve thirteen done.' " +
+      "WHEN doc_id % 4 = 1 THEN chr(10) || 'Alpha beta gamma delta one two. " +
+      "Three four five six seven eight. Nine ten eleven twelve thirteen done.' " +
+      "|| chr(10) || 'Lorem ipsum dolor sit amet okay.' " +
+      "WHEN doc_id % 4 = 2 THEN chr(10) || 'Alpha beta gamma delta one two. " +
+      "Three four five six seven eight. Nine ten eleven twelve thirteen done.' " +
+      "|| chr(10) || 'brace = { zero }' " +
+      "ELSE chr(10) || 'short line' || chr(10) || " +
+      "'this page uses javascript heavily today.' END AS txt FROM base), " +
+      "cl AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS ln FROM src), " +
+      "ck AS (SELECT doc_id, txt, list_filter(ln, l -> " +
+      "regexp_matches(rtrim(l), '[.!?\"]$') AND " +
+      "len(regexp_split_to_array(trim(l), '\\s+')) >= 5 AND " +
+      "NOT contains(lower(l), 'javascript')) AS kl FROM cl), " +
+      "cm AS (SELECT doc_id, txt, array_to_string(kl, chr(10)) AS cleaned FROM ck), " +
+      "c4k AS (SELECT doc_id, txt FROM cm WHERE " +
+      "len(regexp_extract_all(cleaned, '[.!?]')) >= 3 AND " +
+      "NOT contains(lower(txt), 'lorem ipsum') AND NOT contains(txt, '{')), " +
+      "g0 AS (SELECT doc_id, txt, " +
+      "regexp_split_to_array(trim(lower(txt)), '\\s+') AS tk, " +
+      "string_split(txt, chr(10)) AS ln FROM c4k), " +
+      "g1 AS (SELECT doc_id, txt, CAST(len(tk) AS BIGINT) AS n_words, " +
+      "CAST(coalesce(list_aggregate(list_transform(tk, t -> len(t)), 'sum'), 0) " +
+      "AS BIGINT) AS n_wchars, CAST(len(ln) AS BIGINT) AS n_lines, " +
+      "CAST(len(list_filter(ln, l -> ends_with(rtrim(l), '...'))) AS BIGINT) " +
+      "AS n_ellipsis_lines, " +
+      "CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '-') OR " +
+      "starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS BIGINT) " +
+      "AS n_bullet_lines, " +
+      "CAST(len(txt) - len(replace(txt, '#', '')) + " +
+      "(len(txt) - len(replace(txt, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+      "CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) " +
+      "AS n_alpha_words, " +
+      "CAST(len(list_intersect(list_distinct(tk), ['the', 'be', 'to', 'of', " +
+      "'and', 'that', 'have', 'with'])) AS BIGINT) AS n_stop FROM g0), " +
+      "gk AS (SELECT doc_id, txt AS text FROM g1 WHERE " +
+      "n_words BETWEEN 50 AND 100000 AND " +
+      "n_wchars >= n_words * 3 AND n_wchars <= n_words * 10 AND " +
+      "n_ellipsis_lines * 10 <= n_lines * 3 AND " +
+      "n_bullet_lines * 10 < n_lines * 9 AND " +
+      "n_symbols * 10 <= n_words AND " +
+      "n_alpha_words * 5 >= n_words * 4 AND n_stop >= 2), " +
+      minhashPairsBody("gk") + ", " +
+      "rs AS (SELECT DISTINCT id_b AS doc_id FROM pairs " +
+      "WHERE id_a % 3 = id_b % 3), " +
+      "fin AS (SELECT doc_id FROM gk WHERE doc_id NOT IN " +
+      "(SELECT doc_id FROM rs)) " +
+      "SELECT stage, n_docs FROM (" +
+      "SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM src " +
+      "UNION ALL SELECT '1_c4', CAST(count(*) AS BIGINT) FROM c4k " +
+      "UNION ALL SELECT '2_gopher', CAST(count(*) AS BIGINT) FROM gk " +
+      "UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM fin)" + OBA))
+
   // URL13 — redirect-aware CANONICAL grouping (r18 — url12's output
   // put to its actual use: URL-keyed dedup, frontier accounting, and
   // the authority graph must key on where a capture LANDS, not the URL
@@ -9473,5 +9594,6 @@ object DataCatalog {
     "tx21_c4_rules" -> tx21,
     "mix8_unimax_budget" -> mix8,
     "warc8_revisit_production" -> warc8,
-    "url13_redirect_canonical" -> url13)
+    "url13_redirect_canonical" -> url13,
+    "dp15_published_gates" -> dp15)
 }
