@@ -177,7 +177,17 @@ object Bench {
     "url8b_sitemap_discovery", "dp14_crawl_scheduler",
     "tx19_linkdensity_gate", "warc6_wat_production",
     "tx3b_trained_langid", "wat1_outlink_inventory",
-    "url10_recrawl_schedule")
+    "url10_recrawl_schedule",
+    // round-18 mid-round additions (append-only order)
+    "cdx1_record_index", "cdx2_ranged_fetch",
+    "lm4_backoff_coverage", "tx20_gopher_rules",
+    "url11_politeness_schedule", "qc21_key_skew_card",
+    "dsir1_importance_gate", "warc7_request_pairing",
+    "url12_redirect_chains", "ccnet1_familiarity_terciles",
+    "qc22_encoding_integrity", "d21_scoped_dedup",
+    "tx21_c4_rules", "mix8_unimax_budget",
+    "warc8_revisit_production", "url13_redirect_canonical",
+    "dp15_published_gates", "g2_star_components")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Bpe, Bucketing, Clustering, Contamination, Learning, LmFilter, NearDup, Packing, Profiling, Ranking, Redirects, Retrieval, Sampling, Sharding, Similarity, TextOps}
+import graft.operators.{Bpe, Bucketing, Clustering, Contamination, Graph, Learning, LmFilter, NearDup, Packing, Profiling, Ranking, Redirects, Retrieval, Sampling, Sharding, Similarity, TextOps}
 import graft.sources.Tables._
 import Catalog.ordered
 
@@ -100,18 +100,49 @@ object DataCatalog {
   // survivor convention). Spark runs iterative min-label propagation
   // (one shuffle per round, O(diameter) rounds); the oracle computes the
   // identical fixpoint via recursive transitive closure + MIN.
+  /** The min-reachable-id clustering oracle shared by d6 and g2 — two
+    * different distributed algorithms (label propagation; large-star/
+    * small-star) graded against ONE recursive-closure fixpoint. */
+  private val ClusterOracleSql: String =
+    "WITH RECURSIVE " + MinhashPairsBody + ", " +
+      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+      "UNION ALL SELECT id_b, id_a FROM pairs), " +
+      "reach(a, b) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src) " +
+      "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a" + OBA
+
   val d6 = Q(
     (s, d) => {
       val docs = documents(s, d)
       val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
       ordered(NearDup.dedupClusters(docs, col("doc_id"), pairs))
     },
-    Some("WITH RECURSIVE " + MinhashPairsBody + ", " +
-      "e AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
-      "UNION ALL SELECT id_b, id_a FROM pairs), " +
-      "reach(a, b) AS (SELECT doc_id, doc_id FROM documents " +
-      "UNION SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src) " +
-      "SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a" + OBA))
+    Some(ClusterOracleSql))
+
+  // G2 — connected components by LARGE-STAR/SMALL-STAR (r18 — Kiveris
+  // et al. 2014, the published MapReduce-era CC algorithm built for
+  // exactly the case d6's label propagation pays for: propagation
+  // costs one shuffle per unit of component DIAMETER, the star
+  // alternation contracts components toward their minimum in O(log n)
+  // rounds regardless of diameter — chain-shaped syndication
+  // components are the motivating case). Same minhash pair graph as
+  // d6, singletons unioned back, and the SAME recursive-closure
+  // oracle: two structurally different distributed algorithms must
+  // land the identical clustering — the strongest correctness
+  // statement either can get.
+  val g2 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
+      val sub = Graph.connectedComponentsStar(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("node").as("doc_id"), col("component").as("sub_cluster"))
+      ordered(docs.select(col("doc_id"))
+        .join(sub, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("sub_cluster"), col("doc_id")).as("cluster_id")))
+    },
+    Some(ClusterOracleSql))
 
   // D11 — duplicate-cluster size distribution: how many clusters of
   // each size the near-dup graph produced (n_docs = size × clusters
@@ -9595,5 +9626,6 @@ object DataCatalog {
     "mix8_unimax_budget" -> mix8,
     "warc8_revisit_production" -> warc8,
     "url13_redirect_canonical" -> url13,
-    "dp15_published_gates" -> dp15)
+    "dp15_published_gates" -> dp15,
+    "g2_star_components" -> g2)
 }

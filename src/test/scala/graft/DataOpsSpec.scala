@@ -2280,4 +2280,20 @@ class DataOpsSpec extends AnyFunSuite {
     assert(lo == Map("aa" -> (10L, false), "bb" -> (10L, false), "cc" -> (10L, false)))
     CacheScope.releaseAll()
   }
+
+  test("connectedComponentsStar: chains, triangles, pairs land on component minima") {
+    import graft.operators.Graph
+    // chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21,
+    // plus a duplicate and a reversed edge (must collapse)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (21L, 20L), (20L, 21L), (21L, 20L)
+    ).toDF("src", "dst")
+    val out = Graph.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    CacheScope.releaseAll()
+  }
 }
