@@ -7742,6 +7742,91 @@ object DataCatalog {
       "UNION ALL SELECT '2_gopher', CAST(count(*) AS BIGINT) FROM gk " +
       "UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM fin)" + OBA))
 
+  // QC23 — gate-OVERLAP attribution (r18 — the filter-overlap analysis
+  // RefinedWeb (Penedo et al. 2023, Table 2) publishes before anyone
+  // composes gates: what fraction does each filter remove, and how
+  // much of that would the OTHER filter have removed anyway? dp15 runs
+  // the gates sequentially — this card runs both INDEPENDENTLY over
+  // the same corpus and counts the 2×2 verdict matrix, the evidence
+  // for dropping a redundant gate (its unique-kill cell near zero) or
+  // keeping both (large off-diagonal cells). Same fixture tails as
+  // dp15 so both gates genuinely fire; oracle = both verified rule
+  // bodies composed over one src CTE, joined per doc.
+  val qc23 = Q(
+    (s, d) => {
+      val nl = lit("\n")
+      val stops = when(col("doc_id") % 11 =!= 0,
+        lit(" the state of the art and all that we have with us to be"))
+        .otherwise(lit(""))
+      val pass = concat(nl, lit("Alpha beta gamma delta one two. " +
+        "Three four five six seven eight. Nine ten eleven twelve thirteen done."))
+      val suffix = when(col("doc_id") % 4 === 0, pass)
+        .when(col("doc_id") % 4 === 1,
+          concat(pass, nl, lit("Lorem ipsum dolor sit amet okay.")))
+        .when(col("doc_id") % 4 === 2,
+          concat(pass, nl, lit("brace = { zero }")))
+        .otherwise(concat(nl, lit("short line"), nl,
+          lit("this page uses javascript heavily today.")))
+      val src = documents(s, d).select(col("doc_id"),
+        concat(col("text"), stops, lit("."), suffix).as("text"))
+      val c4 = TextOps.c4Rules(src, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("kept").as("c4_kept"))
+      val gv = TextOps.gopherRules(src, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("kept").as("gopher_kept"))
+      ordered(c4.join(gv, Seq("doc_id"))
+        .groupBy("c4_kept", "gopher_kept")
+        .agg(count(lit(1)).cast("long").as("n_docs")))
+    },
+    Some("WITH src AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 11 <> 0 THEN " +
+      "' the state of the art and all that we have with us to be' ELSE '' END " +
+      "|| '.' || CASE " +
+      "WHEN doc_id % 4 = 0 THEN chr(10) || 'Alpha beta gamma delta one two. " +
+      "Three four five six seven eight. Nine ten eleven twelve thirteen done.' " +
+      "WHEN doc_id % 4 = 1 THEN chr(10) || 'Alpha beta gamma delta one two. " +
+      "Three four five six seven eight. Nine ten eleven twelve thirteen done.' " +
+      "|| chr(10) || 'Lorem ipsum dolor sit amet okay.' " +
+      "WHEN doc_id % 4 = 2 THEN chr(10) || 'Alpha beta gamma delta one two. " +
+      "Three four five six seven eight. Nine ten eleven twelve thirteen done.' " +
+      "|| chr(10) || 'brace = { zero }' " +
+      "ELSE chr(10) || 'short line' || chr(10) || " +
+      "'this page uses javascript heavily today.' END AS txt FROM documents), " +
+      "cl AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS ln FROM src), " +
+      "ck AS (SELECT doc_id, txt, list_filter(ln, l -> " +
+      "regexp_matches(rtrim(l), '[.!?\"]$') AND " +
+      "len(regexp_split_to_array(trim(l), '\\s+')) >= 5 AND " +
+      "NOT contains(lower(l), 'javascript')) AS kl FROM cl), " +
+      "cm AS (SELECT doc_id, txt, array_to_string(kl, chr(10)) AS cleaned FROM ck), " +
+      "c4v AS (SELECT doc_id, " +
+      "len(regexp_extract_all(cleaned, '[.!?]')) >= 3 AND " +
+      "NOT contains(lower(txt), 'lorem ipsum') AND NOT contains(txt, '{') " +
+      "AS c4_kept FROM cm), " +
+      "g0 AS (SELECT doc_id, txt, " +
+      "regexp_split_to_array(trim(lower(txt)), '\\s+') AS tk, " +
+      "string_split(txt, chr(10)) AS ln FROM src), " +
+      "g1 AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, " +
+      "CAST(coalesce(list_aggregate(list_transform(tk, t -> len(t)), 'sum'), 0) " +
+      "AS BIGINT) AS n_wchars, CAST(len(ln) AS BIGINT) AS n_lines, " +
+      "CAST(len(list_filter(ln, l -> ends_with(rtrim(l), '...'))) AS BIGINT) " +
+      "AS n_ellipsis_lines, " +
+      "CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '-') OR " +
+      "starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•'))) AS BIGINT) " +
+      "AS n_bullet_lines, " +
+      "CAST(len(txt) - len(replace(txt, '#', '')) + " +
+      "(len(txt) - len(replace(txt, '...', ''))) // 3 AS BIGINT) AS n_symbols, " +
+      "CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) " +
+      "AS n_alpha_words, " +
+      "CAST(len(list_intersect(list_distinct(tk), ['the', 'be', 'to', 'of', " +
+      "'and', 'that', 'have', 'with'])) AS BIGINT) AS n_stop FROM g0), " +
+      "gv AS (SELECT doc_id, n_words BETWEEN 50 AND 100000 AND " +
+      "n_wchars >= n_words * 3 AND n_wchars <= n_words * 10 AND " +
+      "n_ellipsis_lines * 10 <= n_lines * 3 AND " +
+      "n_bullet_lines * 10 < n_lines * 9 AND " +
+      "n_symbols * 10 <= n_words AND " +
+      "n_alpha_words * 5 >= n_words * 4 AND n_stop >= 2 AS gopher_kept FROM g1) " +
+      "SELECT c4_kept, gopher_kept, CAST(count(*) AS BIGINT) AS n_docs " +
+      "FROM c4v JOIN gv USING (doc_id) GROUP BY 1, 2" + OBA))
+
   // URL13 — redirect-aware CANONICAL grouping (r18 — url12's output
   // put to its actual use: URL-keyed dedup, frontier accounting, and
   // the authority graph must key on where a capture LANDS, not the URL
@@ -9627,5 +9712,6 @@ object DataCatalog {
     "warc8_revisit_production" -> warc8,
     "url13_redirect_canonical" -> url13,
     "dp15_published_gates" -> dp15,
-    "g2_star_components" -> g2)
+    "g2_star_components" -> g2,
+    "qc23_gate_overlap" -> qc23)
 }
