@@ -187,7 +187,9 @@ object Bench {
     "qc22_encoding_integrity", "d21_scoped_dedup",
     "tx21_c4_rules", "mix8_unimax_budget",
     "warc8_revisit_production", "url13_redirect_canonical",
-    "dp15_published_gates", "g2_star_components")
+    "dp15_published_gates", "g2_star_components", "qc23_gate_overlap",
+    "out6_tar_shards", "out7_tfrecord_shards", "tok1_fertility_card",
+    "dp16_packed_export")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

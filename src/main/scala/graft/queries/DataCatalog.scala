@@ -9548,6 +9548,170 @@ object DataCatalog {
       "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS label_cents_sum, " +
       "CAST(sum(prior_events) AS BIGINT) AS prior_events_sum FROM j" + OBA))
 
+  // OUT6 — WebDataset tar-shard round trip (r18 — the container layer
+  // training loaders actually stream: out1–out3 prove the manifest
+  // contract over parquet, but a multimodal loader consumes TAR shards
+  // whose members sit adjacent under a shared key stem so samples read
+  // sequentially with zero seeks). The corpus writes as POSIX ustar
+  // shards (clean-room header layout: octal fields, the spec's
+  // spaces-substituted checksum, `ustar\0` magic, two zero-block
+  // tail; per sample a typed `.json` metadata sidecar then the `.txt`
+  // payload) and RE-READS through the distributed streaming parser —
+  // one task per shard file, the WebDataset parallel unit — which
+  // re-verifies every header checksum rather than trusting it. The
+  // oracle states each member closed-form from doc_id arithmetic:
+  // names, byte sizes (multi-byte text under octet semantics), and
+  // payload md5s all hash-gate through the container round trip.
+  val out6 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_out6_tar", d)
+      graft.sources.TrainShards.writeTar(
+        documents(s, d).select(col("doc_id"), col("lang"), col("text")), dir, 4)
+      ordered(graft.sources.TrainShards.readTar(s, dir + "/shard-*.tar"))
+    },
+    Some("WITH d AS (SELECT doc_id, lang, text, doc_id % 4 AS shard FROM documents) " +
+      "SELECT shard, name, size, true AS checksum_ok, payload_md5 FROM (" +
+      "SELECT shard, lpad(CAST(doc_id AS VARCHAR), 9, '0') || '.json' AS name, " +
+      "CAST(octet_length(encode('{\"doc_id\":' || doc_id || ',\"lang\":\"' || lang || '\"}')) AS BIGINT) AS size, " +
+      "md5('{\"doc_id\":' || doc_id || ',\"lang\":\"' || lang || '\"}') AS payload_md5 FROM d " +
+      "UNION ALL SELECT shard, lpad(CAST(doc_id AS VARCHAR), 9, '0') || '.txt', " +
+      "CAST(octet_length(encode(text)) AS BIGINT), md5(text) FROM d)" + OBA))
+
+  // OUT7 — TFRecord round trip (r18 — out6's sibling for the framed
+  // record stream shape: 8-byte LE length + masked CRC-32C of the
+  // length bytes + payload + masked CRC-32C of the payload, CRC-32C
+  // from the JDK, mask = rotl(crc,15) + 0xa282ead8 per the published
+  // framing). Written in doc_id order per shard so every record's BYTE
+  // OFFSET is a closed form the oracle states with one windowed
+  // cumulative sum — the round trip therefore gates the stream framing
+  // itself, not just payload identity: a single mis-sized frame shifts
+  // every later offset in its shard. Both CRCs re-verify on read and
+  // report as columns; TrainShardsSpec pins the tamper path (a flipped
+  // payload byte flags data_crc_ok=false and the walk continues at the
+  // claimed length — one bad record never voids a shard).
+  val out7 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_out7_tfr", d)
+      graft.sources.TrainShards.writeTfrecord(documents(s, d), dir, 4)
+      ordered(graft.sources.TrainShards.readTfrecord(s, dir + "/part-*.tfrecord"))
+    },
+    Some("WITH d AS (SELECT doc_id, text, doc_id % 4 AS shard FROM documents), " +
+      "w AS (SELECT shard, doc_id, " +
+      "CAST(octet_length(encode(text)) AS BIGINT) AS length, md5(text) AS payload_md5, " +
+      "CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1 AS BIGINT) AS rec_index, " +
+      "CAST(COALESCE(SUM(octet_length(encode(text)) + 16) OVER (" +
+      "PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS \"offset\" " +
+      "FROM d) " +
+      "SELECT shard, rec_index, \"offset\", length, true AS len_crc_ok, " +
+      "true AS data_crc_ok, payload_md5 FROM w" + OBA))
+
+  // TOK1 — tokenizer fertility card (r18 — the per-language efficiency
+  // frame a tokenizer owner reads before committing a vocab: a
+  // tokenizer that spends 3× the tokens on one language's bytes taxes
+  // that language's effective context and training budget by the same
+  // factor). Composes the in-engine trained tokenizer (bpe1's learn)
+  // with per-doc encoded lengths (bpe3) and rolls up per language:
+  // docs, UTF-8 bytes (octet semantics — the multi-byte languages are
+  // the point), whitespace words, BPE tokens, then the two published
+  // ratios as exact integer milli-units (BIGINT floor division, no
+  // float drift): fertility_milli = tokens per word ×1000,
+  // bytes_per_token_milli = bytes per token ×1000. Docs with no words
+  // (empty text) stay counted in n_docs/n_bytes through the left join.
+  val tok1 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val (_, fin) = Bpe.learn(Bpe.wordCounts(docs, col("text")), BpeMerges)
+      val lens = Bpe.encodedLengths(docs, col("doc_id"), col("text"), fin)
+      val base = docs.select(col("doc_id"), col("lang"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      ordered(base.join(lens, Seq("doc_id"), "left")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_bytes").as("n_bytes"),
+          coalesce(sum("n_words"), lit(0L)).as("n_words"),
+          coalesce(sum("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+        .withColumn("fertility_milli",
+          expr("CASE WHEN n_words > 0 THEN 1000 * n_bpe_tokens DIV n_words END"))
+        .withColumn("bytes_per_token_milli",
+          expr("CASE WHEN n_bpe_tokens > 0 THEN 1000 * n_bytes DIV n_bpe_tokens END")))
+    },
+    Some(bpeBody(BpeMerges) +
+      s", nt AS (SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_syms " +
+      s"FROM v$BpeMerges), " +
+      "dw AS (SELECT doc_id, w AS word FROM (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+      "unnest(tk) t(w) WHERE len(w) > 0), " +
+      "pl AS (SELECT doc_id, count(*) AS n_words, sum(n_syms) AS n_tok " +
+      "FROM dw JOIN nt USING (word) GROUP BY doc_id), " +
+      "b AS (SELECT doc_id, lang, octet_length(encode(text)) AS n_bytes FROM documents) " +
+      "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n_bytes) AS BIGINT) AS n_bytes, " +
+      "CAST(coalesce(sum(n_words), 0) AS BIGINT) AS n_words, " +
+      "CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_bpe_tokens, " +
+      "CAST(CASE WHEN coalesce(sum(n_words), 0) > 0 " +
+      "THEN (1000 * coalesce(sum(n_tok), 0)) // sum(n_words) END AS BIGINT) AS fertility_milli, " +
+      "CAST(CASE WHEN coalesce(sum(n_tok), 0) > 0 " +
+      "THEN (1000 * sum(n_bytes)) // sum(n_tok) END AS BIGINT) AS bytes_per_token_milli " +
+      "FROM b LEFT JOIN pl USING (doc_id) GROUP BY lang" + OBA))
+
+  // DP16 — packed-sequence EXPORT (r18 — the last mile nothing else
+  // covers end-to-end: the curated corpus must leave the engine as the
+  // framed shard bytes a training loader mmaps, and the only proof that
+  // matters is reading those bytes back): tx9's running-sum packing
+  // assigns docs to 2048-token packs, each pack's payload assembles as
+  // its docs' texts joined "\n\n" in doc_id order (collect_list is
+  // bounded by the pack budget — a few docs, never corpus-sized — and
+  // array_sort makes the agg order-deterministic), packs write as
+  // TFRecord shards (out7's framing), and the read-back rows re-attach
+  // their logical pack by CONTENT (join on payload md5) — so the entry
+  // simultaneously gates the packing arithmetic, the payload assembly,
+  // the stream framing (offsets closed-form via one windowed cumsum
+  // over pack lengths), and the bytes-on-disk ↔ logical-pack
+  // correspondence. Oracle = tx9's verified body composed with
+  // string_agg payload assembly and out7's offset closed form.
+  val dp16 = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val packed = Packing.pack(docs, col("doc_id"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))),
+        2048)
+      val payloads = packed.join(docs, "doc_id")
+        .groupBy("pack_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "\n\n").as("text"),
+          sum("n_tokens").as("pack_tokens"),
+          count(lit(1)).as("n_docs"))
+      val dir = sfScratch("/tmp/graft_dp16_tfr", d)
+      graft.sources.TrainShards.writeTfrecord(
+        payloads.select(col("pack_id").as("doc_id"), col("text")), dir, 4)
+      val back = graft.sources.TrainShards.readTfrecord(s, dir + "/part-*.tfrecord")
+      ordered(back.join(
+        payloads.select(md5(col("text").cast("binary")).as("payload_md5"),
+          col("pack_id"), col("pack_tokens"), col("n_docs")),
+        Seq("payload_md5")))
+    },
+    Some("WITH t AS (SELECT doc_id, " +
+      "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens " +
+      "FROM documents), " +
+      "s AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (" +
+      "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM t), " +
+      "p AS (SELECT doc_id, n_tokens, CAST(prev // 2048 AS BIGINT) AS pack_id FROM s), " +
+      "pp AS (SELECT pack_id, " +
+      "string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS ptext, " +
+      "CAST(sum(n_tokens) AS BIGINT) AS pack_tokens, " +
+      "CAST(count(*) AS BIGINT) AS n_docs " +
+      "FROM p JOIN documents USING (doc_id) GROUP BY pack_id), " +
+      "w AS (SELECT pack_id % 4 AS shard, pack_id, pack_tokens, n_docs, " +
+      "CAST(octet_length(encode(ptext)) AS BIGINT) AS length, md5(ptext) AS payload_md5, " +
+      "CAST(row_number() OVER (PARTITION BY pack_id % 4 ORDER BY pack_id) - 1 AS BIGINT) AS rec_index, " +
+      "CAST(COALESCE(SUM(octet_length(encode(ptext)) + 16) OVER (" +
+      "PARTITION BY pack_id % 4 ORDER BY pack_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS \"offset\" " +
+      "FROM pp) " +
+      "SELECT payload_md5, shard, rec_index, \"offset\", length, " +
+      "true AS len_crc_ok, true AS data_crc_ok, pack_id, pack_tokens, n_docs FROM w" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -9713,5 +9877,9 @@ object DataCatalog {
     "url13_redirect_canonical" -> url13,
     "dp15_published_gates" -> dp15,
     "g2_star_components" -> g2,
-    "qc23_gate_overlap" -> qc23)
+    "qc23_gate_overlap" -> qc23,
+    "out6_tar_shards" -> out6,
+    "out7_tfrecord_shards" -> out7,
+    "tok1_fertility_card" -> tok1,
+    "dp16_packed_export" -> dp16)
 }

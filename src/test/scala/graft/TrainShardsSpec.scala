@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.TrainShards
+
+class TrainShardsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "en", "the quick brown fox"),
+    (1L, "de", "über den Wolken — müßig"), // multi-byte UTF-8
+    (2L, "en", ""),                        // zero-length payload
+    (3L, "fr", "a" * 512),                 // payload exactly one block: pad = 0
+    (4L, "en", "tail sample")
+  ).toDF("doc_id", "lang", "text")
+
+  // ------------------------------------------------------------- ustar
+
+  test("tarHeader: POSIX magic, octal fields, self-consistent checksum") {
+    val h = TrainShards.tarHeader("000000001.txt", 19)
+    assert(new String(h, 257, 6, UTF_8) == "ustar\u0000")
+    assert(new String(h, 263, 2, UTF_8) == "00")
+    assert(h(156) == '0'.toByte)
+    // size: 11 zero-padded octal digits + NUL
+    assert(new String(h, 124, 12, UTF_8) == "00000000023\u0000")
+    // recompute the checksum the spec way (chksum field as spaces)
+    var sum = 0L
+    (0 until 512).foreach { i =>
+      sum += (if (i >= 148 && i < 156) ' '.toInt else h(i) & 0xff)
+    }
+    val stored = java.lang.Long.parseLong(
+      new String(h, 148, 6, UTF_8), 8)
+    assert(sum == stored)
+  }
+
+  test("tar round trip: members, sizes, md5s, block alignment, zero tail") {
+    val dir = Files.createTempDirectory("graft_tar").toString
+    TrainShards.writeTar(docs, dir, 2)
+    val got = TrainShards.readTar(spark, dir + "/shard-*.tar")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getString(4))).toSet
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    val want = docs.collect().map { r =>
+      val (id, lang, text) = (r.getLong(0), r.getString(1), r.getString(2))
+      Set(
+        (id % 2, f"$id%09d.json",
+          s"""{"doc_id":$id,"lang":"$lang"}""".getBytes(UTF_8).length.toLong,
+          true, md5(s"""{"doc_id":$id,"lang":"$lang"}""")),
+        (id % 2, f"$id%09d.txt", text.getBytes(UTF_8).length.toLong,
+          true, md5(text)))
+    }.reduce(_ ++ _)
+    assert(got == want)
+    // every archive is 512-aligned and ends with two zero blocks
+    (0 to 1).foreach { s =>
+      val bytes = Files.readAllBytes(Paths.get(dir, f"shard-$s%05d.tar"))
+      assert(bytes.length % 512 == 0)
+      assert(bytes.takeRight(1024).forall(_ == 0))
+    }
+  }
+
+  test("tar: a flipped header byte degrades to checksum_ok=false, member still read") {
+    val dir = Files.createTempDirectory("graft_tar_t").toString
+    TrainShards.writeTar(docs, dir, 1)
+    val p = Paths.get(dir, "shard-00000.tar")
+    val bytes = Files.readAllBytes(p)
+    bytes(105) = (bytes(105) ^ 1).toByte // a mode digit in the FIRST header
+    Files.write(p, bytes)
+    val rows = TrainShards.readTar(spark, dir + "/shard-*.tar")
+      .collect().map(r => (r.getString(1), r.getBoolean(3)))
+    assert(rows.length == docs.count() * 2)
+    assert(rows.count(!_._2) == 1, "exactly the tampered member flags")
+  }
+
+  // ---------------------------------------------------------- tfrecord
+
+  test("crc32c matches the public check vector; mask is the published formula") {
+    // CRC-32C ("Castagnoli") of ASCII "123456789" — RFC 3720 App. B.4
+    assert(TrainShards.crc32c("123456789".getBytes(UTF_8)) == 0xE3069283L)
+    // mask(0) = 0xa282ead8 (rotl of 0 is 0, plus the constant)
+    assert(TrainShards.maskCrc(0L) == 0xa282ead8L)
+    // uint32 wraparound stays in range
+    val m = TrainShards.maskCrc(0xffffffffL)
+    assert(m >= 0L && m <= 0xffffffffL)
+  }
+
+  test("tfrecord frame: LE length + masked CRCs laid out exactly") {
+    val f = TrainShards.tfrecordFrame("abc".getBytes(UTF_8))
+    assert(f.length == 8 + 4 + 3 + 4)
+    assert(f(0) == 3 && (1 until 8).forall(f(_) == 0)) // 3 as LE u64
+    assert(new String(f, 12, 3, UTF_8) == "abc")
+  }
+
+  test("tfrecord round trip: offsets closed-form, CRCs verify, tamper degrades") {
+    val dir = Files.createTempDirectory("graft_tfr").toString
+    TrainShards.writeTfrecord(docs, dir, 2)
+    val got = TrainShards.readTfrecord(spark, dir + "/part-*.tfrecord")
+      .orderBy("shard", "rec_index").collect()
+    val byShard = docs.collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1 % 2).view.mapValues(_.sortBy(_._1)).toMap
+    got.foreach { r =>
+      val (shard, idx) = (r.getLong(0), r.getLong(1))
+      val expText = byShard(shard)(idx.toInt)._2
+      val expOffset = byShard(shard).take(idx.toInt)
+        .map(16L + _._2.getBytes(UTF_8).length).sum
+      assert(r.getLong(2) == expOffset, s"offset of $shard/$idx")
+      assert(r.getLong(3) == expText.getBytes(UTF_8).length.toLong)
+      assert(r.getBoolean(4) && r.getBoolean(5))
+    }
+    // flip one PAYLOAD byte of the first record in shard 1 (single-byte
+    // payloads excluded by fixture choice: record 0 there is doc 1's text)
+    val p = Paths.get(dir, "part-00001.tfrecord")
+    val bytes = Files.readAllBytes(p)
+    bytes(12) = (bytes(12) ^ 1).toByte
+    Files.write(p, bytes)
+    val after = TrainShards.readTfrecord(spark, dir + "/part-00001.tfrecord")
+      .orderBy("rec_index").collect()
+    assert(after.length == byShard(1L).length, "framing survives the bad record")
+    assert(!after.head.getBoolean(5), "payload CRC flags the tamper")
+    assert(after.head.getBoolean(4), "length CRC untouched")
+    assert(after.tail.forall(r => r.getBoolean(4) && r.getBoolean(5)))
+  }
+}
