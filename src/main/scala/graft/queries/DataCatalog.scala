@@ -9712,6 +9712,48 @@ object DataCatalog {
       "SELECT payload_md5, shard, rec_index, \"offset\", length, " +
       "true AS len_crc_ok, true AS data_crc_ok, pack_id, pack_tokens, n_docs FROM w" + OBA))
 
+  // OUT6B — MULTIMODAL WebDataset export (r18 — out6 proved the tar
+  // container on text; the format's actual reason to exist is binary
+  // media samples + typed sidecars): the real PNG payloads the m4b
+  // chain decodes (syntheticPixelImages — every byte deterministic from
+  // doc_id) write as `<stem>.json` + `<stem>.png` member pairs through
+  // writeTarMedia, re-read through the streaming parser, and each
+  // member's bytes must come back EXACTLY (md5 + size equal to the
+  // in-engine payload's, computed independently on the source side) —
+  // the container-is-byte-transparent guarantee a training loader
+  // silently assumes. The card rolls up per shard; the oracle pins
+  // every count closed-form from doc_id arithmetic — one member short,
+  // one checksum miss, or one byte off anywhere turns a cell. Payload
+  // bytes ride mapPartitions→write and file→parse; they never shuffle.
+  val out6b = Q(
+    (s, d) => {
+      val docs = documents(s, d)
+      val media = graft.operators.Multimodal.syntheticPixelImages(docs).toDF()
+      val dir = sfScratch("/tmp/graft_out6b_tar", d)
+      graft.sources.TrainShards.writeTarMedia(
+        media.select(col("doc_id"), col("payload"),
+          concat(lit("{\"doc_id\":"), col("doc_id"),
+            lit(",\"mime\":\""), col("mime"), lit("\"}")).as("meta")),
+        dir, 4, "png")
+      val back = graft.sources.TrainShards.readTar(s, dir + "/shard-*.tar")
+      val src = media.select(col("doc_id"),
+        md5(col("payload")).as("src_md5"),
+        length(col("payload")).cast("long").as("src_len"))
+      val png = back.filter(col("name").endsWith(".png"))
+        .select(substring(col("name"), 1, 9).cast("long").as("doc_id"),
+          col("shard"), col("size"), col("checksum_ok"), col("payload_md5"))
+      ordered(png.join(src, Seq("doc_id"))
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_png"),
+          sum(when(col("payload_md5") === col("src_md5") &&
+            col("size") === col("src_len"), 1L).otherwise(0L)).as("n_byte_exact"),
+          sum(when(col("checksum_ok"), 1L).otherwise(0L)).as("n_checksum_ok")))
+    },
+    Some("SELECT doc_id % 4 AS shard, CAST(count(*) AS BIGINT) AS n_png, " +
+      "CAST(count(*) AS BIGINT) AS n_byte_exact, " +
+      "CAST(count(*) AS BIGINT) AS n_checksum_ok " +
+      "FROM documents GROUP BY 1" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -9881,5 +9923,6 @@ object DataCatalog {
     "out6_tar_shards" -> out6,
     "out7_tfrecord_shards" -> out7,
     "tok1_fertility_card" -> tok1,
-    "dp16_packed_export" -> dp16)
+    "dp16_packed_export" -> dp16,
+    "out6b_media_tar_export" -> out6b)
 }

@@ -74,20 +74,19 @@ object TrainShards {
     h
   }
 
-  /** Write `(doc_id, lang, text)` rows as WebDataset-style tar shards
-    * `dir/shard-NNNNN.tar`: per sample, `<9-digit id>.json` (the typed
-    * metadata sidecar) then `<9-digit id>.txt` (the payload), adjacent
-    * under the shared key stem. Archive ends with the spec's two zero
-    * blocks. */
-  def writeTar(docs: DataFrame, dir: String, nShards: Int): Unit = {
+  /** Shared shard-file writer: `df`'s first column must be the long
+    * sample key; `members` turns each row into its (name, bytes) tar
+    * members, emitted adjacent in order. One streaming task per shard. */
+  private def writeTarShards(df: DataFrame, dir: String, nShards: Int)(
+      members: Row => Seq[(String, Array[Byte])]): Unit = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val d = new java.io.File(dir)
     d.mkdirs()
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".tar")).foreach(_.delete())
-    docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
-      .repartition(nShards, pmod(col("doc_id"), lit(nShards)))
-      .sortWithinPartitions(pmod(col("doc_id"), lit(nShards)), col("doc_id"))
+    val key = col(df.columns.head)
+    df.repartition(nShards, pmod(key, lit(nShards)))
+      .sortWithinPartitions(pmod(key, lit(nShards)), key)
       .foreachPartition { rows: Iterator[Row] =>
         var cur = -1
         var out: java.io.BufferedOutputStream = null
@@ -111,14 +110,43 @@ object TrainShards {
                 new java.io.File(dir, f"shard-$f%05d.tar")))
               cur = f
             }
-            val stem = f"$id%09d"
-            entry(stem + ".json",
-              s"""{"doc_id":$id,"lang":"${r.getString(1)}"}""".getBytes(UTF_8))
-            entry(stem + ".txt", r.getString(2).getBytes(UTF_8))
+            members(r).foreach { case (n, b) => entry(n, b) }
           }
         } finally close()
       }
   }
+
+  /** Write `(doc_id, lang, text)` rows as WebDataset-style tar shards
+    * `dir/shard-NNNNN.tar`: per sample, `<9-digit id>.json` (the typed
+    * metadata sidecar) then `<9-digit id>.txt` (the payload), adjacent
+    * under the shared key stem. Archive ends with the spec's two zero
+    * blocks. */
+  def writeTar(docs: DataFrame, dir: String, nShards: Int): Unit =
+    writeTarShards(
+      docs.select(col("doc_id").cast("long"), col("lang"), col("text")),
+      dir, nShards) { r =>
+      val id = r.getLong(0)
+      val stem = f"$id%09d"
+      Seq(
+        stem + ".json" ->
+          s"""{"doc_id":$id,"lang":"${r.getString(1)}"}""".getBytes(UTF_8),
+        stem + ".txt" -> r.getString(2).getBytes(UTF_8))
+    }
+
+  /** The multimodal variant: `(doc_id, payload binary, meta json
+    * string)` rows become `<stem>.json` + `<stem>.<ext>` members — the
+    * image/audio WebDataset shape, with the payload bytes written
+    * verbatim (the container must be byte-transparent; out6b gates
+    * that by md5 through the round trip). */
+  def writeTarMedia(rows: DataFrame, dir: String, nShards: Int, ext: String): Unit =
+    writeTarShards(
+      rows.select(col("doc_id").cast("long"), col("payload"), col("meta")),
+      dir, nShards) { r =>
+      val stem = f"${r.getLong(0)}%09d"
+      Seq(
+        stem + ".json" -> r.getString(2).getBytes(UTF_8),
+        stem + "." + ext -> r.getAs[Array[Byte]](1))
+    }
 
   /** Stream-read tar shards; one task per shard file. Emits one row per
     * member: (shard, name, size, checksum_ok, payload_md5). The header

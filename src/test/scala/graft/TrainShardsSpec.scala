@@ -76,6 +76,21 @@ class TrainShardsSpec extends AnyFunSuite {
     assert(rows.count(!_._2) == 1, "exactly the tampered member flags")
   }
 
+  test("writeTarMedia: arbitrary binary payloads survive byte-exact") {
+    val dir = Files.createTempDirectory("graft_tar_m").toString
+    // bytes that would corrupt under any charset round trip: full 0-255
+    val payload = Array.tabulate(300)(i => (i % 256).toByte)
+    val rows = Seq((7L, payload, """{"doc_id":7,"mime":"application/octet-stream"}"""))
+      .toDF("doc_id", "payload", "meta")
+    TrainShards.writeTarMedia(rows, dir, 1, "bin")
+    val got = TrainShards.readTar(spark, dir + "/shard-*.tar")
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(got.size == 2)
+    val binMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(payload).map("%02x".format(_)).mkString
+    assert(got("000000007.bin") == ((300L, true, binMd5)))
+  }
+
   // ---------------------------------------------------------- tfrecord
 
   test("crc32c matches the public check vector; mask is the published formula") {
