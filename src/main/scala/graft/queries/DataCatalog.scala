@@ -9754,6 +9754,87 @@ object DataCatalog {
       "CAST(count(*) AS BIGINT) AS n_checksum_ok " +
       "FROM documents GROUP BY 1" + OBA))
 
+  // OUT7B — TOKEN-ID shard export (r18 — the final artifact of the
+  // whole pipeline: not text, but the fixed-width int32 id stream a
+  // trainer mmaps; dp16 shipped packed TEXT, this ships packed TOKEN
+  // IDS with the id assignment itself oracle-verified): the trained
+  // vocab's symbols take deterministic ids (rank in sorted order — a
+  // vocab-sized window), every doc's word stream rewrites to its
+  // symbol-id sequence through two equi-joins (word→symbols,
+  // symbol→id; both against model-sized frames AQE broadcasts), docs
+  // pack under the REAL token counts (bpe3's lengths through tx9's
+  // packing), and each pack's id sequence serializes as an int32 LE
+  // TFRecord payload. The reader PARSES the ints back and emits an
+  // order-sensitive sequence checksum (ids_dot = Σ position·id) next
+  // to the count and plain sum — so the oracle convicts a
+  // right-multiset-wrong-order serialization, a dropped id, or a
+  // shifted frame, each through a different column; offsets/lengths
+  // pin the framing arithmetic (length = 4·n_ids exactly).
+  val out7b = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val (_, fin0) = Bpe.learn(Bpe.wordCounts(docs, col("text")), BpeMerges)
+      val fin = graft.CacheScope.persist(fin0)
+      val symIds = fin.select(explode(split(col("sym"), " ")).as("token"))
+        .distinct()
+        .withColumn("tid",
+          row_number().over(Window.orderBy("token")).cast("long"))
+      val words = docs.select(col("doc_id"),
+          posexplode(graft.functions.F.tokens(lower(col("text"))))
+            .as(Seq("wpos", "word")))
+        .where(length(col("word")) > 0)
+      val seq0 = words
+        .join(fin.select(col("word"), split(col("sym"), " ").as("syms")), Seq("word"))
+        .select(col("doc_id"), col("wpos"),
+          posexplode(col("syms")).as(Seq("spos", "token")))
+        .join(symIds, Seq("token"))
+      val lens = Bpe.encodedLengths(docs, col("doc_id"), col("text"), fin)
+      val packed = Packing.pack(lens, col("doc_id"), col("n_bpe_tokens"), 2048)
+      val seq = seq0.join(packed.select("doc_id", "pack_id"), Seq("doc_id"))
+      val packs = seq.groupBy("pack_id").agg(
+        transform(array_sort(collect_list(
+          struct(col("doc_id"), col("wpos"), col("spos"), col("tid")))),
+          x => x.getField("tid")).as("ids"))
+      val dir = sfScratch("/tmp/graft_out7b_tfr", d)
+      graft.sources.TrainShards.writeTfrecordInts(
+        packs.select(col("pack_id").as("doc_id"), col("ids")), dir, 4)
+      val back = graft.sources.TrainShards.readTfrecordInts(s, dir + "/part-*.tfrecord")
+      val wIdx = Window.partitionBy("shard").orderBy("pack_id")
+      val packIdx = packs.select(col("pack_id"),
+          pmod(col("pack_id"), lit(4)).as("shard"))
+        .withColumn("rec_index", (row_number().over(wIdx) - 1).cast("long"))
+      ordered(back.join(packIdx, Seq("shard", "rec_index")))
+    },
+    Some(bpeBody(BpeMerges) + ", " +
+      s"sy AS (SELECT DISTINCT t AS token FROM (SELECT string_split(sym, ' ') AS a " +
+      s"FROM v$BpeMerges), unnest(a) u(t)), " +
+      "sid AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid FROM sy), " +
+      "dw AS (SELECT doc_id, i AS wpos, tk[i] AS word FROM (SELECT doc_id, " +
+      "regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+      "unnest(range(1, len(tk) + 1)) u(i) WHERE len(tk[i]) > 0), " +
+      s"vs AS (SELECT word, string_split(sym, ' ') AS a FROM v$BpeMerges), " +
+      "ds AS (SELECT dw.doc_id, dw.wpos, j AS spos, vs.a[j] AS token " +
+      "FROM dw JOIN vs USING (word), unnest(range(1, len(vs.a) + 1)) s(j)), " +
+      "dst AS (SELECT ds.doc_id, ds.wpos, ds.spos, sid.tid FROM ds JOIN sid USING (token)), " +
+      "ln AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dst GROUP BY doc_id), " +
+      "cs AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM ln), " +
+      "pk AS (SELECT doc_id, CAST(prev // 2048 AS BIGINT) AS pack_id FROM cs), " +
+      "seq AS (SELECT pk.pack_id, dst.tid, row_number() OVER (" +
+      "PARTITION BY pk.pack_id ORDER BY dst.doc_id, dst.wpos, dst.spos) AS pos " +
+      "FROM dst JOIN pk USING (doc_id)), " +
+      "pp AS (SELECT pack_id, CAST(count(*) AS BIGINT) AS n_ids, " +
+      "CAST(sum(tid) AS BIGINT) AS ids_sum, CAST(sum(pos * tid) AS BIGINT) AS ids_dot " +
+      "FROM seq GROUP BY pack_id), " +
+      "w AS (SELECT pack_id % 4 AS shard, pack_id, n_ids, ids_sum, ids_dot, " +
+      "CAST(4 * n_ids AS BIGINT) AS length, " +
+      "CAST(row_number() OVER (PARTITION BY pack_id % 4 ORDER BY pack_id) - 1 AS BIGINT) AS rec_index, " +
+      "CAST(COALESCE(SUM(4 * n_ids + 16) OVER (PARTITION BY pack_id % 4 ORDER BY pack_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS \"offset\" FROM pp) " +
+      "SELECT shard, rec_index, \"offset\", length, true AS len_crc_ok, " +
+      "true AS data_crc_ok, n_ids, ids_sum, ids_dot, pack_id FROM w" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -9924,5 +10005,6 @@ object DataCatalog {
     "out7_tfrecord_shards" -> out7,
     "tok1_fertility_card" -> tok1,
     "dp16_packed_export" -> dp16,
-    "out6b_media_tar_export" -> out6b)
+    "out6b_media_tar_export" -> out6b,
+    "out7b_tokenid_export" -> out7b)
 }

@@ -272,6 +272,130 @@ object TrainShards {
       }
   }
 
+  /** Token-id variant: `(doc_id, ids array<long>)` rows frame as
+    * int32 LE payloads — the fixed-width id stream a trainer mmaps.
+    * Ids must fit int32 (vocabularies do by orders of magnitude);
+    * out-of-range throws at write rather than truncating silently. */
+  def writeTfrecordInts(docs: DataFrame, dir: String, nShards: Int): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tfrecord")).foreach(_.delete())
+    docs.select(col("doc_id").cast("long"), col("ids"))
+      .repartition(nShards, pmod(col("doc_id"), lit(nShards)))
+      .sortWithinPartitions(pmod(col("doc_id"), lit(nShards)), col("doc_id"))
+      .foreachPartition { rows: Iterator[Row] =>
+        var cur = -1
+        var out: java.io.BufferedOutputStream = null
+        def close(): Unit = if (out != null) { out.close(); out = null }
+        try {
+          rows.foreach { r =>
+            val id = r.getLong(0)
+            val f = (((id % nShards) + nShards) % nShards).toInt
+            if (f != cur) {
+              close()
+              out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(
+                new java.io.File(dir, f"part-$f%05d.tfrecord")))
+              cur = f
+            }
+            val ids = r.getSeq[Long](1)
+            val data = new Array[Byte](ids.length * 4)
+            var i = 0
+            ids.foreach { v =>
+              require(v >= Int.MinValue && v <= Int.MaxValue, s"id $v exceeds int32")
+              data(i) = (v & 0xff).toByte
+              data(i + 1) = ((v >>> 8) & 0xff).toByte
+              data(i + 2) = ((v >>> 16) & 0xff).toByte
+              data(i + 3) = ((v >>> 24) & 0xff).toByte
+              i += 4
+            }
+            out.write(tfrecordFrame(data))
+          }
+        } finally close()
+      }
+  }
+
+  /** Read token-id TFRecord shards and PARSE the int32 payload back:
+    * emits (shard, rec_index, offset, length, len_crc_ok, data_crc_ok,
+    * n_ids, ids_sum, ids_dot) where ids_dot = Σ position·id (1-based)
+    * — an order-sensitive checksum of the id SEQUENCE, so the oracle
+    * can convict a right-multiset-wrong-order serialization, not just
+    * missing ids. A length not divisible by 4 reports n_ids = -1
+    * (framing intact, payload shape wrong — a counted degrade). */
+  def readTfrecordInts(spark: SparkSession, glob: String): DataFrame = {
+    val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (path, pds) =>
+      val shard = "part-(\\d+)\\.tfrecord".r.findFirstMatchIn(path)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(pds.open()))
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Boolean, Boolean, Long, Long, Long)]
+      try {
+        var offset = 0L
+        var idx = 0L
+        var done = false
+        while (!done) {
+          val lenBuf = new Array[Byte](8)
+          var got = 0
+          var eof = false
+          while (got < 8 && !eof) {
+            val n = in.read(lenBuf, got, 8 - got)
+            if (n < 0) eof = true else got += n
+          }
+          if (eof) done = true
+          else {
+            val len = (0 until 8).map(i => (lenBuf(i) & 0xffL) << (8 * i)).sum
+            val lenCrcBuf = new Array[Byte](4)
+            in.readFully(lenCrcBuf)
+            val lenCrc = (0 until 4).map(i => (lenCrcBuf(i) & 0xffL) << (8 * i)).sum
+            val lenOk = maskCrc(crc32c(lenBuf)) == lenCrc
+            if (len < 0 || len > Int.MaxValue - 16) done = true
+            else {
+              val data = new Array[Byte](len.toInt)
+              in.readFully(data)
+              val dataCrcBuf = new Array[Byte](4)
+              in.readFully(dataCrcBuf)
+              val dataCrc = (0 until 4).map(i => (dataCrcBuf(i) & 0xffL) << (8 * i)).sum
+              val dataOk = maskCrc(crc32c(data)) == dataCrc
+              var nIds = -1L
+              var sum = 0L
+              var dot = 0L
+              if (len % 4 == 0) {
+                nIds = len / 4
+                var p = 0
+                while (p < data.length) {
+                  val v = (data(p) & 0xffL) | ((data(p + 1) & 0xffL) << 8) |
+                    ((data(p + 2) & 0xffL) << 16) | ((data(p + 3) & 0xffL) << 24)
+                  val sv = v.toInt.toLong // sign-extend back from int32
+                  sum += sv
+                  dot += (p / 4 + 1) * sv
+                  p += 4
+                }
+              }
+              acc += ((shard, idx, offset, len, lenOk, dataOk, nIds, sum, dot))
+              offset += 16 + len
+              idx += 1
+            }
+          }
+        }
+      } finally in.close()
+      acc
+    }
+    spark.createDataFrame(
+      rows.map(t => Row(t._1, t._2, t._3, t._4, t._5, t._6, t._7, t._8, t._9)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rec_index", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("offset", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("len_crc_ok", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("data_crc_ok", org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("n_ids", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ids_sum", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ids_dot", org.apache.spark.sql.types.LongType))))
+  }
+
   /** Stream-read TFRecord shards; one task per shard file. Emits one
     * row per record: (shard, rec_index, offset, length, len_crc_ok,
     * data_crc_ok, payload_md5). Both CRCs re-verify on read; a

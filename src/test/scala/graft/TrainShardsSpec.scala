@@ -110,6 +110,35 @@ class TrainShardsSpec extends AnyFunSuite {
     assert(new String(f, 12, 3, UTF_8) == "abc")
   }
 
+  test("tfrecordInts: sign-extended ids, order-sensitive checksum, shape degrade") {
+    val dir = Files.createTempDirectory("graft_tfri").toString
+    val rows = Seq(
+      (0L, Seq(5L, -3L, 7L)), // negative id exercises int32 sign extension
+      (2L, Seq(1L, 2L))
+    ).toDF("doc_id", "ids")
+    TrainShards.writeTfrecordInts(rows, dir, 1)
+    val got = TrainShards.readTfrecordInts(spark, dir + "/part-*.tfrecord")
+      .orderBy("rec_index").collect()
+    assert(got.length == 2)
+    // record 0: n=3, sum=9, dot=1*5+2*(-3)+3*7=20
+    assert(got(0).getLong(6) == 3 && got(0).getLong(7) == 9 && got(0).getLong(8) == 20)
+    assert(got(0).getLong(3) == 12 && got(0).getBoolean(4) && got(0).getBoolean(5))
+    // record 1: n=2, sum=3, dot=1*1+2*2=5; offset = 16+12
+    assert(got(1).getLong(2) == 28)
+    assert(got(1).getLong(6) == 2 && got(1).getLong(7) == 3 && got(1).getLong(8) == 5)
+    // a length not divisible by 4 degrades to n_ids = -1 (frame intact)
+    val p = Paths.get(dir, "part-00000.tfrecord")
+    val bytes = Files.readAllBytes(p)
+    // append a hand-built 3-byte frame
+    val data = Array[Byte](1, 2, 3)
+    val frame = TrainShards.tfrecordFrame(data)
+    Files.write(p, bytes ++ frame)
+    val after = TrainShards.readTfrecordInts(spark, dir + "/part-*.tfrecord")
+      .orderBy("rec_index").collect()
+    assert(after.length == 3)
+    assert(after(2).getLong(6) == -1L && after(2).getBoolean(5))
+  }
+
   test("tfrecord round trip: offsets closed-form, CRCs verify, tamper degrades") {
     val dir = Files.createTempDirectory("graft_tfr").toString
     TrainShards.writeTfrecord(docs, dir, 2)
