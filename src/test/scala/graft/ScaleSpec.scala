@@ -2082,4 +2082,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(globalWins.size <= 2,
       s"expected only the bucket-offset frames unpartitioned, got ${globalWins.size}")
   }
+
+  test("token-id rewrite (out7b shape): vocab joins broadcast, no cartesian, corpus explodes only") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Bpe
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val (_, fin) = Bpe.learn(Bpe.wordCounts(docs, col("text")), 6)
+    val symIds = fin.select(explode(split(col("sym"), " ")).as("token")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("token")).cast("long"))
+    val seq = docs.select(col("doc_id"),
+        posexplode(graft.functions.F.tokens(lower(col("text")))).as(Seq("wpos", "word")))
+      .where(length(col("word")) > 0)
+      .join(fin.select(col("word"), split(col("sym"), " ").as("syms")), Seq("word"))
+      .select(col("doc_id"), col("wpos"), posexplode(col("syms")).as(Seq("spos", "token")))
+      .join(symIds, Seq("token"))
+    seq.count()
+    val ns = nodes(seq)
+    assert(ns.collect { case c: CartesianProductExec => c }.isEmpty &&
+      ns.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "id rewrite must stay equi-joins — never a pair join over the corpus")
+    val bhj = ns.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2,
+      s"both model-sized frames (word→symbols, symbol→id) should broadcast, got ${bhj.size}")
+    // the corpus side must never be a broadcast build: its exchanges are
+    // only the vocab-derived frames, each bounded by the model
+    import org.apache.spark.sql.execution.window.WindowExec
+    val globalWins = nodes(seq).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globalWins.size <= 1,
+      s"only the vocab-rank window may be unpartitioned, got ${globalWins.size}")
+  }
 }

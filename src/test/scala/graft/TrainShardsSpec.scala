@@ -91,6 +91,26 @@ class TrainShardsSpec extends AnyFunSuite {
     assert(got("000000007.bin") == ((300L, true, binMd5)))
   }
 
+  test("shard writes are deterministic: a re-run reproduces the bytes bit-exactly") {
+    def md5s(dir: String, suffix: String): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(suffix))
+        .map(f => f.getName ->
+          md.digest(Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString)
+        .toMap
+    }
+    val tarDir = Files.createTempDirectory("graft_tar_d").toString
+    TrainShards.writeTar(docs, tarDir, 2)
+    val first = md5s(tarDir, ".tar")
+    TrainShards.writeTar(docs, tarDir, 2)
+    assert(md5s(tarDir, ".tar") == first, "tar re-run must be bit-identical")
+    val tfrDir = Files.createTempDirectory("graft_tfr_d").toString
+    TrainShards.writeTfrecord(docs, tfrDir, 2)
+    val tfFirst = md5s(tfrDir, ".tfrecord")
+    TrainShards.writeTfrecord(docs, tfrDir, 2)
+    assert(md5s(tfrDir, ".tfrecord") == tfFirst, "tfrecord re-run must be bit-identical")
+  }
+
   // ---------------------------------------------------------- tfrecord
 
   test("crc32c matches the public check vector; mask is the published formula") {
