@@ -189,7 +189,8 @@ object Bench {
     "warc8_revisit_production", "url13_redirect_canonical",
     "dp15_published_gates", "g2_star_components", "qc23_gate_overlap",
     "out6_tar_shards", "out7_tfrecord_shards", "tok1_fertility_card",
-    "dp16_packed_export", "out6b_media_tar_export", "out7b_tokenid_export")
+    "dp16_packed_export", "out6b_media_tar_export", "out7b_tokenid_export",
+    "qc24_export_balance")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

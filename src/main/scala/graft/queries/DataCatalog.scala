@@ -9835,6 +9835,42 @@ object DataCatalog {
       "SELECT shard, rec_index, \"offset\", length, true AS len_crc_ok, " +
       "true AS data_crc_ok, n_ids, ids_sum, ids_dot, pack_id FROM w" + OBA))
 
+  // QC24 — export-balance card (r18 — the capacity-planning frame read
+  // from the PRODUCED artifact, not the logical plan: shard files feed
+  // one loader worker each, so the slowest worker runs at the heaviest
+  // shard and the fleet idles at peak_vs_even): per shard the REAL
+  // on-disk record count and framed byte total (payload + 16 bytes of
+  // framing, summed from the re-read frames), each shard's permille of
+  // the export, and the peak-shard-vs-even-split ratio in milli. All
+  // integers; the oracle restates every cell closed-form from doc_id
+  // arithmetic and octet lengths — so the card also re-proves the
+  // byte accounting of the export it describes.
+  val qc24 = Q(
+    (s, d) => {
+      val dir = sfScratch("/tmp/graft_out7_tfr", d)
+      graft.sources.TrainShards.writeTfrecord(documents(s, d), dir, 4)
+      val back = graft.sources.TrainShards.readTfrecord(s, dir + "/part-*.tfrecord")
+      val per = back.groupBy("shard").agg(
+        count(lit(1)).as("n_records"),
+        sum(col("length") + lit(16L)).as("n_bytes"))
+      val tot = per.agg(sum("n_bytes").as("total_bytes"),
+        max("n_bytes").as("max_bytes"))
+      ordered(per.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_records"), col("n_bytes"),
+          expr("1000 * n_bytes DIV total_bytes").as("bytes_permille"),
+          expr("1000 * max_bytes * 4 DIV total_bytes").as("peak_vs_even_milli")))
+    },
+    Some("WITH d AS (SELECT doc_id % 4 AS shard, " +
+      "octet_length(encode(text)) + 16 AS b FROM documents), " +
+      "p AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_records, " +
+      "CAST(sum(b) AS BIGINT) AS n_bytes FROM d GROUP BY shard), " +
+      "t AS (SELECT CAST(sum(n_bytes) AS BIGINT) AS total_bytes, " +
+      "CAST(max(n_bytes) AS BIGINT) AS max_bytes FROM p) " +
+      "SELECT shard, n_records, n_bytes, " +
+      "CAST(1000 * n_bytes // total_bytes AS BIGINT) AS bytes_permille, " +
+      "CAST(1000 * max_bytes * 4 // total_bytes AS BIGINT) AS peak_vs_even_milli " +
+      "FROM p, t" + OBA))
+
   val entries: Seq[(String, Q)] = Seq(
     "d1_exact_dedup" -> d1, "d2_minhash_lsh" -> d2,
     "d3_simhash_pairs" -> d3, "d4_ngram_jaccard" -> d4,
@@ -10006,5 +10042,6 @@ object DataCatalog {
     "tok1_fertility_card" -> tok1,
     "dp16_packed_export" -> dp16,
     "out6b_media_tar_export" -> out6b,
-    "out7b_tokenid_export" -> out7b)
+    "out7b_tokenid_export" -> out7b,
+    "qc24_export_balance" -> qc24)
 }
