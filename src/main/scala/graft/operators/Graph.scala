@@ -251,20 +251,27 @@ object Graph {
         .unionByName(m.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
     }
+    // Eager localCheckpoint per round, not persist: the loop re-derives
+    // from `e` several times per round (two star ops + the fixpoint
+    // check), and cache-plan matching proved unreliable across the
+    // unpersist/repersist hand-over — measured at sf0.1, the persist
+    // variant re-ran the upstream pair generation every round (15 s/
+    // round on a 255-edge frame); the hard lineage cut makes each round
+    // a concrete-RDD-to-concrete-RDD step (1.5 s/round, same fixpoint).
+    // Same move as the sim11c layered-walk fix.
     var e = edges.select(col("src").as("u"), col("dst").as("v"))
-      .filter(col("u") =!= col("v")).distinct().persist()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var eCnt = e.count()
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      var next = smallStar(largeStar(e))
-      if (rounds % 4 == 3) next = next.localCheckpoint(eager = false)
-      next = next.persist()
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cnt = next.count()
       // fixpoint: the edge SET is unchanged (both are canonical
       // (max, min) forms after smallStar, so except() is exact)
-      done = next.count() == e.count() &&
-        next.except(e).isEmpty
-      e.unpersist()
+      done = cnt == eCnt && next.except(e).isEmpty
       e = next
+      eCnt = cnt
       rounds += 1
     }
     if (!done)
@@ -274,8 +281,8 @@ object Graph {
     // component minimum; centers belong to their own component
     val members = e.select(col("u").as("node"), col("v").as("component"))
     val centers = e.select(col("v").as("node"), col("v").as("component")).distinct()
-    val out = members.unionByName(centers).distinct()
-    e.unpersist()
-    out
+    // e is a checkpointed RDD; the ContextCleaner reclaims it once the
+    // returned frame's lineage (rooted at that RDD) is unreachable
+    members.unionByName(centers).distinct()
   }
 }
