@@ -914,9 +914,10 @@ object Similarity {
       queries: DataFrame, cents: DataFrame, k: Int, beam: Int = 8,
       hops: Int = 3, nProbe: Int = 2, nEntry: Int = 4,
       poolPerCell: Int = 8, midPermille: Int = 250, topCount: Int = 64,
-      kUpper: Int = 5): DataFrame = {
+      kUpper: Int = 5, cutLineage: Boolean = true): DataFrame = {
     val (adj, v, q, visited0) = layeredPrep(vectors, graph, queries, cents,
-      k, beam, hops, nProbe, nEntry, poolPerCell, midPermille, topCount, kUpper)
+      k, beam, hops, nProbe, nEntry, poolPerCell, midPermille, topCount, kUpper,
+      cutLineage)
     walkLoop(adj, v, q, visited0, k, beam, hops)
   }
 
@@ -939,9 +940,10 @@ object Similarity {
       queries: DataFrame, cents: DataFrame, k: Int, beam: Int = 8,
       hops: Int = 3, nProbe: Int = 2, nEntry: Int = 4,
       poolPerCell: Int = 8, midPermille: Int = 250, topCount: Int = 64,
-      kUpper: Int = 5): (DataFrame, DataFrame) = {
+      kUpper: Int = 5, cutLineage: Boolean = true): (DataFrame, DataFrame) = {
     val (adj, v, q, visited0) = layeredPrep(vectors, graph, queries, cents,
-      k, beam, hops, nProbe, nEntry, poolPerCell, midPermille, topCount, kUpper)
+      k, beam, hops, nProbe, nEntry, poolPerCell, midPermille, topCount, kUpper,
+      cutLineage)
     // Lineage is CUT per hop with lazy localCheckpoints instead of
     // persists (the Graph.scala iterative-operator move): each hop's
     // frame otherwise carries the whole layer-build tree below it, and
@@ -982,7 +984,8 @@ object Similarity {
     * parameters. Case-class equality over Dataset fields IS reference
     * equality — Dataset doesn't override equals. */
   private case class PrepKey(vectors: AnyRef, graph: AnyRef, cents: AnyRef,
-    poolPerCell: Int, midPermille: Int, topCount: Int, kUpper: Int)
+    poolPerCell: Int, midPermille: Int, topCount: Int, kUpper: Int,
+    cutLineage: Boolean)
   private val prepMemo = new java.util.concurrent.ConcurrentHashMap[
     PrepKey, (DataFrame, DataFrame, DataFrame)]()
   graft.CacheScope.onSessionRelease(() => {
@@ -1006,16 +1009,19 @@ object Similarity {
     * unpersisted by the releaseSession hook above. */
   private def layeredFrames(vectors: DataFrame, graph: DataFrame,
       cents: DataFrame, poolPerCell: Int, midPermille: Int,
-      topCount: Int, kUpper: Int): (DataFrame, DataFrame, DataFrame) =
+      topCount: Int, kUpper: Int, cutLineage: Boolean): (DataFrame, DataFrame, DataFrame) =
     prepMemo.computeIfAbsent(
-      PrepKey(vectors, graph, cents, poolPerCell, midPermille, topCount, kUpper),
+      PrepKey(vectors, graph, cents, poolPerCell, midPermille, topCount, kUpper,
+        cutLineage),
       _ => {
         val asg = graft.CacheScope.persist(Clustering.assign(vectors, cents))
         val sw = Window.partitionBy(col("cid"))
           .orderBy(col("cos").desc, col("vec_id").asc)
-        val pool = asg.withColumn("srn", row_number().over(sw))
+        val poolBuilt = asg.withColumn("srn", row_number().over(sw))
           .filter(col("srn") <= poolPerCell)
-          .select(col("cid"), col("vec_id"), col("srn")).persist()
+          .select(col("cid"), col("vec_id"), col("srn"))
+        val pool =
+          if (cutLineage) poolBuilt.localCheckpoint() else poolBuilt.persist()
         val poolIds = pool.select(col("vec_id"))
         val midIds = vectors.filter(Sampling.bucket(col("vec_id")) < midPermille)
           .select(col("vec_id")).unionByName(poolIds).distinct()
@@ -1033,12 +1039,26 @@ object Similarity {
         val layered = graph.select(col("id_a"), col("id_b"))
           .unionByName(midEdges.select(col("id_a"), col("id_b")))
           .unionByName(topEdges.select(col("id_a"), col("id_b")))
-        val adj = layered.select(col("id_a").as("src"), col("id_b").as("dst"))
+        val adjBuilt = layered.select(col("id_a").as("src"), col("id_b").as("dst"))
           .unionByName(layered.select(col("id_b").as("src"), col("id_a").as("dst")))
-          .persist()
-        val v = withNorm(
+        val vBuilt = withNorm(
           vectors.select(col("vec_id").as("node_id"), col("embedding").as("nv")),
-          "node_id", "nv", "nn").persist()
+          "node_id", "nv", "nn")
+        // cutLineage (r18 opt, guide §3.3 "materialising an intermediate
+        // truncates the plan"): the memoized frames feed every hop of
+        // every rep, and keeping their FULL build lineage under the hop
+        // loop made the executed plan ~2.7 MB of text with >1000 Exchange
+        // nodes — Catalyst re-optimized that tree on every rep even
+        // though execution reused the persisted frames. An eager
+        // localCheckpoint turns each frame into a flat scan (execution
+        // identical — the same persisted partitions) and collapses
+        // per-rep planning to the hop loop itself. ScaleSpec passes
+        // cutLineage=false so its plan pins still see the layer-build
+        // join shapes; the flag changes WHERE the plan is truncated,
+        // never what is computed. Checkpoint residue: model-sized edge
+        // and norm frames, freed with the session.
+        val adj = if (cutLineage) adjBuilt.localCheckpoint() else adjBuilt.persist()
+        val v = if (cutLineage) vBuilt.localCheckpoint() else vBuilt.persist()
         (adj, v, pool)
       })
 
@@ -1049,7 +1069,8 @@ object Similarity {
   private def layeredPrep(vectors: DataFrame, graph: DataFrame,
       queries: DataFrame, cents: DataFrame, k: Int, beam: Int,
       hops: Int, nProbe: Int, nEntry: Int, poolPerCell: Int,
-      midPermille: Int, topCount: Int, kUpper: Int):
+      midPermille: Int, topCount: Int, kUpper: Int,
+      cutLineage: Boolean):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(k >= 1 && beam >= 1 && hops >= 1,
       s"k/beam/hops must be >= 1, got $k/$beam/$hops")
@@ -1062,7 +1083,7 @@ object Similarity {
     require(topCount >= 1, s"topCount must be >= 1, got $topCount")
     require(kUpper >= 1, s"kUpper must be >= 1, got $kUpper")
     val (adj, v, pool) = layeredFrames(vectors, graph, cents,
-      poolPerCell, midPermille, topCount, kUpper)
+      poolPerCell, midPermille, topCount, kUpper, cutLineage)
     val q = graft.CacheScope.persist(withNorm(
       queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       "query_id", "qv", "qn"))
@@ -1098,26 +1119,41 @@ object Similarity {
     * non-self nodes are the answer. The initial frontier is ALL of
     * `visited0`'s nodes (callers keep seed counts ≤ beam).
     *
-    * The loop persists per hop and keeps the FULL lineage — this is
-    * deliberate: the ScaleSpec plan pins (no constant-key equi-join,
-    * bounded crosses, no pair scan) read the final plan, and cutting
-    * lineage here would turn the hop/layer subtrees into opaque RDD
-    * scans and make every pin vacuous. The carded sweep variant
-    * ([[graphWalkLayeredCarded]]), which runs the same join shapes
-    * three configs at a time, cuts lineage for wall-time and is
-    * covered by THESE pins through the shared construction. */
+    * The loop persists per hop and keeps the hop-loop lineage — the
+    * ScaleSpec plan pins (no constant-key equi-join, bounded crosses,
+    * no pair scan) read the final plan, and cutting lineage HERE would
+    * turn the hop subtrees into opaque RDD scans and make every pin
+    * vacuous. The layer-build subtrees BELOW the loop are truncated by
+    * the memoized frames' `cutLineage` checkpoint in production
+    * (ScaleSpec passes cutLineage=false to keep them visible — same
+    * construction, different truncation point). The carded sweep
+    * variant ([[graphWalkLayeredCarded]]), which runs the same join
+    * shapes three configs at a time, additionally cuts lineage per hop
+    * and is covered by these pins through the shared construction. */
   private def walkLoop(adj: DataFrame, v: DataFrame, q: DataFrame,
       visited0: DataFrame, k: Int, beam: Int, hops: Int): DataFrame = {
     var visited = visited0
     var frontier = visited.select("query_id", "node_id")
     for (_ <- 1 to hops) {
+      // No distinct on the reached set: the visited fold's max() dedups
+      // (query_id, node_id) anyway, so the extra aggregate bought nothing
+      // but an exchange (r18 opt: duplicates here are ≤ beam·degree rows
+      // per query that score to identical cosines — the fold keeps one).
       val reached = frontier.join(adj, col("node_id") === col("src"))
-        .select(col("query_id"), col("dst").as("node_id")).distinct()
+        .select(col("query_id"), col("dst").as("node_id"))
       val scoredHop = reached.join(v, Seq("node_id")).join(q, Seq("query_id"))
         .select(col("query_id"), col("node_id"),
           (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+      // ONE exchange per hop (r18 opt, guide §2.4 "share one exchange"):
+      // hash-partition the fold input by query_id alone — that clustering
+      // satisfies BOTH the (query_id, node_id) aggregate (subset rule)
+      // and the query_id beam window, where the naive shape paid one
+      // exchange for each (hash(query_id, node_id) does not satisfy the
+      // window's query_id clustering). Deterministic hash partitioning;
+      // results unchanged.
       visited = graft.CacheScope.persist(
         visited.unionByName(scoredHop)
+          .repartition(col("query_id"))
           .groupBy("query_id", "node_id").agg(max("cos").as("cos")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("node_id").asc)

@@ -275,10 +275,13 @@ class ScaleSpec extends AnyFunSuite {
     import graft.operators.{Clustering, Similarity}
     import graft.sources.Tables
     val e = Tables.embeddings(spark, sf)
+    // cutLineage=false: production checkpoints the memoized layer frames
+    // (plan truncation only — the construction is identical); the pin
+    // needs the layer-build subtrees visible to assert on their joins.
     val walk = Similarity.graphWalkLayered(e,
       Similarity.mutualKnn(e, "label", 10),
       e.filter(col("vec_id") % 50 === 0),
-      Clustering.kmeans(e, 10, 3), 5)
+      Clustering.kmeans(e, 10, 3), 5, cutLineage = false)
     walk.count()
     // the r13 apex funnelled a corpus-proportional sample through a
     // `gcell = lit(0)` equi-join — all pair work on ONE shuffle key, and
