@@ -955,14 +955,21 @@ object Similarity {
     var visited = visited0.localCheckpoint(false)
     var frontier = visited.select("query_id", "node_id")
     for (_ <- 1 to hops) {
+      // The distinct STAYS here (unlike walkLoop's): the dots card
+      // counts distinct reached nodes per hop — that is its contract.
+      // The repartition ahead of it is walkLoop's one-exchange move:
+      // query_id clustering satisfies the (query_id, node_id) distinct
+      // and the fold aggregate alike.
       val reached = frontier.join(adj, col("node_id") === col("src"))
-        .select(col("query_id"), col("dst").as("node_id")).distinct()
+        .select(col("query_id"), col("dst").as("node_id"))
+        .repartition(col("query_id")).distinct()
         .localCheckpoint(false)
       dotsEvents = dotsEvents.unionByName(reached)
       val scoredHop = reached.join(v, Seq("node_id")).join(q, Seq("query_id"))
         .select(col("query_id"), col("node_id"),
           (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
       visited = visited.unionByName(scoredHop)
+        .repartition(col("query_id"))
         .groupBy("query_id", "node_id").agg(max("cos").as("cos"))
         .localCheckpoint(false)
       val w = Window.partitionBy(col("query_id"))
