@@ -273,10 +273,24 @@ object Multimodal {
     * edit — the "same picture, tiny edit" shape perceptual hashing
     * exists to catch. Dims/edit derive from doc_id arithmetic so the
     * oracle predicts them without parsing bytes. */
+  /** Spread the fixture id frame across the session's parallelism
+    * before the payload mux (r18 opt, guide §2.5 "input skew"): the
+    * ids scan out of ONE small parquet split, so the synthetic encode
+    * — and the decode+hash pass FUSED into the same stage — ran on a
+    * single core while the rest of the box idled (measured: m4c's
+    * encode 3.0 s + decode 1.4 s wall on one core at sf0.1). A hash
+    * repartition on doc_id is deterministic, costs one tiny id-only
+    * shuffle, and scales with the session (defaultParallelism), not a
+    * constant tuned to this box; at a real corpus the payload source
+    * arrives in many splits and the repartition of ids stays noise. */
+  private def spreadIds(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   def syntheticImages(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val g = (id % 251).toInt
       MediaRow(id, pngBytes(16 + (g * 37) % 200, 16 + (g * 53) % 150,
         (id % 2).toInt), "image/png")
@@ -382,7 +396,7 @@ object Multimodal {
       group: Long => Long = _ % 251): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val g = group(id)
       val w = (16 + (g * 37) % 200).toInt
       val h = (16 + (g * 53) % 150).toInt
@@ -629,7 +643,7 @@ object Multimodal {
       group: Long => Long = _ % 239): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val g = group(id)
       val ws = (4 + (g * 37) % 12).toInt
       val hs = (4 + (g * 53) % 12).toInt
@@ -862,7 +876,7 @@ object Multimodal {
       member: Long => Long = _ / 241): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val g = group(id)
       val ws = (4 + (g * 37) % 12).toInt
       val hs = (4 + (g * 53) % 12).toInt
@@ -1218,7 +1232,7 @@ object Multimodal {
       group: Long => Long = _ % 97): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val (rate, ch, pcm) = noiseClipSamples(id, group(id))
       MediaRow(id, wavBytesPcm(rate, ch, pcm), "audio/wav")
     }
@@ -1285,7 +1299,7 @@ object Multimodal {
   def syntheticAudioCoverageMix(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val g = id % 97
       val (rate, ch, pcm) = noiseClipSamples(id, g)
       def mono: Array[Short] =
@@ -1341,7 +1355,7 @@ object Multimodal {
       group: Long => Long = _ % 97): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val (rate, ch, pcm) = noiseClipSamples(id, group(id))
       if (id % 3 == 1)
         MediaRow(id, wavBytesPcmExtensible(rate, ch, pcm), "audio/wav")
@@ -1353,7 +1367,7 @@ object Multimodal {
       group: Long => Long = _ % 97): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val (rate, ch, pcm) = noiseClipSamples(id, group(id))
       if (id % 3 == 1)
         MediaRow(id, FlacCodec.encodeVerbatim(rate, ch, pcm), "audio/flac")
@@ -1429,7 +1443,7 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     val winFrames = 129
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val g = group(id)
       val rate = 8000
       val rnd = new java.util.Random(g * 2654435761L + 23)
@@ -1932,7 +1946,7 @@ object Multimodal {
   def videoFrameHashes(docs: DataFrame, k: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].flatMap { id =>
+    spreadIds(docs).as[Long].flatMap { id =>
       val fam = id / 10
       // Dims stay Long end-to-end: an Int wh would wrap/alias for
       // fam >= ~2.15M (doc_id >= ~21.5M) and diverge from the oracle's
@@ -2062,7 +2076,7 @@ object Multimodal {
       group: Long => Long = _ % 151, nFrames: Int = 4): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val (w, h, frames) = plateauClipFrames(id, group(id), nFrames)
       MediaRow(id, aviMjpegBytes(w, h, frames), "video/avi")
     }
@@ -2118,7 +2132,7 @@ object Multimodal {
       group: Long => Long = _ % 151, nFrames: Int = 4): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val (w, h, frames) = plateauClipFrames(id, group(id), nFrames)
       if (id % 3 == 1)
         MediaRow(id, Mp4Codec.encodeMjpeg(w, h, frames), "video/mp4")
@@ -2137,7 +2151,7 @@ object Multimodal {
       group: Long => Long = _ % 151, nFrames: Int = 4): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val (w, h, frames) = plateauClipFrames(id, group(id), nFrames)
       if (id % 3 == 2)
         MediaRow(id, Mp4Codec.encodeMjpegFragmented(w, h, frames), "video/mp4")
@@ -2176,7 +2190,7 @@ object Multimodal {
   def syntheticVideoCoverageMix(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+    spreadIds(docs).as[Long].map { id =>
       val (w, h, frames) = plateauClipFrames(id, id % 151, 4)
       val payload = id % 7 match {
         case 1 => Mp4Codec.encodeMjpeg(w, h, frames)
