@@ -228,7 +228,7 @@ object DataCatalog {
   // engaged (doc-freq ≤ 20) — similarity over the capped shingle sets,
   // the skew-bounding variant that survives hot shingles at 100 TB.
   val d7 = Q(
-    (s, d) => ordered(NearDup.ngramJaccardBlocked(documents(s, d),
+    (s, d) => ordered(NearDup.ngramJaccardBlocked(spreadDocs(documents(s, d)),
       col("doc_id"), col("text"), Seq(col("lang"), col("source")), 0.3,
       maxDocFreq = Some(20L))),
     Some(ShinglesCte + ", " +
@@ -644,8 +644,9 @@ object DataCatalog {
       // one input partition, and the trigram-hash pass is the entry's
       // whole compute — spread it across the session's cores (results
       // are partitioning-independent: fixed-point sums, no windows)
-      val feats = graft.CacheScope.persist(docs
-        .repartition(col("doc_id"))
+      // (r18 opt: explicit partition count — AQE coalesced the former
+      // number-less repartition back down, re-serializing the pass)
+      val feats = graft.CacheScope.persist(spreadDocs(docs)
         .select(col("doc_id"), col("lang"),
           (col("lang") === "en").cast("double").as("y"), hg.as("hg"))
         .select(col("doc_id"), col("lang"), col("y"), f(col("hg")).as("f")))
@@ -1293,7 +1294,7 @@ object DataCatalog {
   // only hint left is the 1-row corpus count.
   val tx8 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val toks = docs.select(col("doc_id"),
         explode(graft.functions.F.tokens(lower(col("text")))).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -1349,7 +1350,7 @@ object DataCatalog {
   // the scan-speed pre-filter that shrinks ANN shuffle bytes 4×.
   val emb7 = Q(
     (s, d) => ordered(graft.operators.Projection.jlProject(
-        embeddings(s, d), col("vec_id"), col("embedding"), 64, 16)
+        spreadDocs(embeddings(s, d), col("vec_id")), col("vec_id"), col("embedding"), 64, 16)
       .withColumnRenamed("id", "vec_id")),
     Some("WITH q AS (SELECT vec_id, i - 1 AS i, " +
       "CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv " +
@@ -1584,7 +1585,9 @@ object DataCatalog {
     * the catalog's output ordering. */
   private[graft] def dp1Curated(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val docs = documents(s, d)
+    // spreadDocs (r18 opt): the exact-hash and minhash map passes fuse
+    // into the one-split fixture scan otherwise
+    val docs = spreadDocs(documents(s, d))
     // localCheckpoint (lineage TRUNCATION, not just caching — the dp5
     // lesson, same measured disease here: ProfileDp1 shows the fused
     // entry spending ~7 of 10.4 s in DRIVER plan re-analysis, with
@@ -2406,14 +2409,11 @@ object DataCatalog {
   // verbatim overlap ⇔ a shared aligned 8-gram); both engines run the
   // identical md5-window + distinct-doc-count + island-merge pipeline.
   val dsub1 = Q(
-    (s, d) => {
-      val docs = documents(s, d)
-      val q = docs.select(col("doc_id").as("q_id"), col("text").as("q_text"))
-      val spliced = docs.join(q, col("doc_id") % 25 === col("q_id"))
-        .select(col("doc_id"), concat(col("text"), lit(" "), col("q_text"),
-          lit(" "), col("text")).as("text"))
-      ordered(NearDup.exactSubstrSpans(spliced, col("doc_id"), col("text"), 8))
-    },
+    (s, d) =>
+      // identical construction to splicedDocs (r18 opt: deduplicated,
+      // and the shared spread parallelizes the window-hash pass)
+      ordered(NearDup.exactSubstrSpans(splicedDocs(s, d),
+        col("doc_id"), col("text"), 8)),
     Some("WITH q AS (SELECT doc_id AS q_id, text AS q_text FROM documents), " +
       "src AS (SELECT d.doc_id, d.text || ' ' || q.q_text || ' ' || d.text AS text " +
       "FROM documents d JOIN q ON q.q_id = d.doc_id % 25), " +
@@ -3076,12 +3076,29 @@ object DataCatalog {
   // masking by an anti-join of token positions against exploded span
   // ranges.
   /** The spliced fixture shared by dsub1/dsub2/dp11 (Spark side). */
+  /** Deterministic input spread for map-heavy fixture entries (r18
+    * opt, guide §2.5 "input skew: one huge unsplittable file"): the
+    * fixture tables are single-row-group parquet, so every scan is ONE
+    * split and a hash/tokenize pass fused into it runs on one core.
+    * Hash-repartitioning by the row key with an EXPLICIT partition
+    * count (AQE may coalesce a number-less repartition back to one
+    * partition — its advisory sizing optimizes bytes, not CPU) spreads
+    * the compute across the session; the count derives from the
+    * session's parallelism, never a box constant. Results are
+    * partition-independent everywhere this is used. At a real corpus
+    * the input arrives in many splits and the entry-level spread is
+    * dropped with the fixture — operators stay shuffle-pure (their
+    * ScaleSpec pins read un-spread plans). */
+  private def spreadDocs(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column = col("doc_id")): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
   private def splicedDocs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = documents(s, d)
     val q = docs.select(col("doc_id").as("q_id"), col("text").as("q_text"))
-    docs.join(q, col("doc_id") % 25 === col("q_id"))
+    spreadDocs(docs.join(q, col("doc_id") % 25 === col("q_id"))
       .select(col("doc_id"), concat(col("text"), lit(" "), col("q_text"),
-        lit(" "), col("text")).as("text"))
+        lit(" "), col("text")).as("text")))
   }
 
   /** The window→dup→island→mask oracle chain shared by dsub2 and dp11,
@@ -5723,7 +5740,7 @@ object DataCatalog {
   // two-level prefix sum.
   val dp3 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val curatedIds = dp1Curated(s, d).select("doc_id")
       val withPii = docs.join(curatedIds, Seq("doc_id"), "left_semi")
         .withColumn("text", concat(col("text"), lit(" contact user"), col("doc_id"),
@@ -5767,7 +5784,7 @@ object DataCatalog {
   // these rates) keeps CorpusPrep's chunk-key total order unique.
   val dp5 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val curated = docs.join(dp1Curated(s, d).select("doc_id"), Seq("doc_id"), "left_semi")
       val mixed = Sampling.epochs(curated.select(col("doc_id"), col("lang"), col("text")),
         col("doc_id"), col("lang"), Map("en" -> 1300L, "de" -> 2500L, "fr" -> 700L))
@@ -6264,7 +6281,8 @@ object DataCatalog {
       "md5(array_to_string(ck, ' ')) AS chunk_hash FROM cc)"
 
   val cdc1 = Q(
-    (s, d) => ordered(TextOps.cdcChunk(documents(s, d), col("doc_id"), col("text"))),
+    (s, d) => ordered(TextOps.cdcChunk(spreadDocs(documents(s, d)),
+      col("doc_id"), col("text"))),
     Some("WITH " + CdcChunksBody +
       " SELECT doc_id, chunk_id, n_tokens, chunk_text, chunk_hash FROM cks" + OBA))
 
@@ -6276,7 +6294,7 @@ object DataCatalog {
   // + one per-doc reassembly agg on top of cdc1's pure map.
   val d10 = Q(
     (s, d) => {
-      val ck = TextOps.cdcChunk(documents(s, d), col("doc_id"), col("text"))
+      val ck = TextOps.cdcChunk(spreadDocs(documents(s, d)), col("doc_id"), col("text"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_id"))
       ordered(ck.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -6406,8 +6424,9 @@ object DataCatalog {
   // block bound is the skew defense: a stopword's postings shuffle as
   // many small (term, block) groups, never one hot key.
   val idx1 = Q(
+    // spreadDocs (r18 opt): the tokenize pass fuses into a one-split scan
     (s, d) => ordered(Retrieval.postingsIndex(
-      documents(s, d), col("doc_id"), col("text"))),
+      spreadDocs(documents(s, d)), col("doc_id"), col("text"))),
     Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
       "FROM documents), " +
       "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2), " +
@@ -6429,7 +6448,7 @@ object DataCatalog {
   val ret1 = Q(
     (s, d) => {
       import s.implicits._
-      ordered(Retrieval.bm25(documents(s, d), col("doc_id"), col("text"),
+      ordered(Retrieval.bm25(spreadDocs(documents(s, d)), col("doc_id"), col("text"),
         Bm25Queries.toDF("q_id", "q_text")))
     },
     Some("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term " +
@@ -6460,7 +6479,7 @@ object DataCatalog {
   // incremental-index twin of out3's append-≡-recompute contract.
   val idx2 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val seg1 = Retrieval.postingsIndex(
         docs.filter(col("doc_id") < 256), col("doc_id"), col("text"))
       val seg2 = Retrieval.postingsIndex(
@@ -6493,7 +6512,7 @@ object DataCatalog {
   // df-keyed join instead of a full re-tokenize.
   val idx5 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       ordered(Retrieval.deleteFromIndex(
         Retrieval.postingsIndex(docs, col("doc_id"), col("text")),
         docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"))))
@@ -6518,7 +6537,7 @@ object DataCatalog {
   val ret2 = Q(
     (s, d) => {
       import s.implicits._
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val qs = Bm25Queries.toDF("q_id", "q_text")
       // one shared stats bundle → hybrid costs ONE tokenize pass
       val st = Retrieval.stats(docs, col("doc_id"), col("text"))
@@ -7116,7 +7135,7 @@ object DataCatalog {
   val ret3 = Q(
     (s, d) => {
       import s.implicits._
-      ordered(Retrieval.bm25Prf(documents(s, d), col("doc_id"), col("text"),
+      ordered(Retrieval.bm25Prf(spreadDocs(documents(s, d)), col("doc_id"), col("text"),
         Bm25Queries.toDF("q_id", "q_text")))
     },
     Some {
@@ -7641,7 +7660,7 @@ object DataCatalog {
   // (labels ARE the min member by construction).
   val d14 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val toks = docs.select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("tk"))
       val exactKeep = NearDup.exact(docs, col("doc_id"), col("text"))
@@ -7692,7 +7711,7 @@ object DataCatalog {
   // re-joining the full history.
   val d21 = Q(
     (s, d) => {
-      val docs = documents(s, d).withColumn("dump", col("doc_id") % 3)
+      val docs = spreadDocs(documents(s, d)).withColumn("dump", col("doc_id") % 3)
       val global = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
       val scoped = NearDup.minhashLshScoped(docs, col("doc_id"), col("text"),
         col("dump"), 0.5)
@@ -7758,7 +7777,7 @@ object DataCatalog {
           concat(pass, nl, lit("brace = { zero }")))
         .otherwise(concat(nl, lit("short line"), nl,
           lit("this page uses javascript heavily today.")))
-      val base0 = documents(s, d)
+      val base0 = spreadDocs(documents(s, d))
       val donor = base0.select((col("doc_id") + 12).as("doc_id"),
         col("text").as("donor_text"))
       val base = base0.join(donor, Seq("doc_id"), "left")
@@ -7766,12 +7785,18 @@ object DataCatalog {
           when(col("doc_id") % 24 === 12,
             coalesce(col("donor_text"), col("text")))
             .otherwise(col("text")).as("text"))
-      val src = base.select(col("doc_id"),
-        concat(col("text"), stops, lit("."), suffix).as("text"))
-      val c4k = src.join(TextOps.c4Rules(src, col("doc_id"), col("text"))
-        .filter(col("kept")).select("doc_id"), Seq("doc_id"))
-      val gk = c4k.join(TextOps.gopherRules(c4k, col("doc_id"), col("text"))
-        .filter(col("kept")).select("doc_id"), Seq("doc_id"))
+      // src/c4k/gk each feed BOTH their stage count and the next gate's
+      // rule map — persist them (r18 opt) or the whole text build and
+      // every upstream gate re-run per consumer (the 4-stage card paid
+      // the chain ~4 times over).
+      val src = graft.CacheScope.persist(base.select(col("doc_id"),
+        concat(col("text"), stops, lit("."), suffix).as("text")))
+      val c4k = graft.CacheScope.persist(
+        src.join(TextOps.c4Rules(src, col("doc_id"), col("text"))
+          .filter(col("kept")).select("doc_id"), Seq("doc_id")))
+      val gk = graft.CacheScope.persist(
+        c4k.join(TextOps.gopherRules(c4k, col("doc_id"), col("text"))
+          .filter(col("kept")).select("doc_id"), Seq("doc_id")))
       val removed = NearDup.minhashLshScoped(
         gk.withColumn("dump", col("doc_id") % 3),
         col("doc_id"), col("text"), col("dump"), 0.5)
@@ -8034,7 +8059,7 @@ object DataCatalog {
   val ret4 = Q(
     (s, d) => {
       import s.implicits._
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val queries = Bm25Queries.toDF("q_id", "q_text")
       val st = Retrieval.stats(docs, col("doc_id"), col("text"))
       val qt = queries.select(col("q_id"),
@@ -8323,7 +8348,9 @@ object DataCatalog {
   // marginals are a 64-row broadcast.
   val emb11 = Q(
     (s, d) => {
-      val q = embeddings(s, d).select(col("vec_id"),
+      // spreadDocs on vec_id (r18 opt): the 2080-pair-per-vector explode
+      // and its map-side partial aggregate fuse into a one-split scan
+      val q = spreadDocs(embeddings(s, d), col("vec_id")).select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       val pairs = q.select(explode(expr(
           "flatten(transform(sequence(0, size(q) - 1), i -> " +
@@ -8708,7 +8735,9 @@ object DataCatalog {
           lit("(\\S+)"), concat(lit("$1~"), col("doc_id") % 97)).as("text"))
       val twins = zh.select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit("之")).as("text"))
-      ordered(NearDup.minhashLshChar(zh.unionByName(twins),
+      // spread (r18 opt): the char-4-gram minhash pass is the entry's
+      // whole compute and the fixture scans as one split
+      ordered(NearDup.minhashLshChar(spreadDocs(zh.unionByName(twins)),
         col("doc_id"), col("text"), 0.9))
     },
     Some("WITH zh AS (SELECT doc_id, regexp_replace(text, '(\\S+)', " +
@@ -8773,7 +8802,7 @@ object DataCatalog {
           lit("(\\S+)"), concat(lit("$1~"), col("doc_id") % 97)).as("text"))
       val twins = zh.select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit("之")).as("text"))
-      val src = zh.unionByName(twins)
+      val src = spreadDocs(zh.unionByName(twins))
       val sigs = graft.CacheScope.persist(
         src.select(col("doc_id"),
             graft.plans.TextHashExprs.minhashCharSigs(lower(col("text")), 16, 4)
@@ -9160,7 +9189,7 @@ object DataCatalog {
   // block) pairs per range.
   val idx4 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val segs = Seq((0L, 0L, 64L), (1L, 64L, 128L), (2L, 128L, 192L),
         (3L, 192L, 448L)).map { case (sid, lo, hi) =>
           Retrieval.postingsIndex(
