@@ -113,7 +113,7 @@ object DataCatalog {
 
   val d6 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
       ordered(NearDup.dedupClusters(docs, col("doc_id"), pairs))
     },
@@ -152,7 +152,7 @@ object DataCatalog {
   // two tiny aggs on top of the clustering, nothing new at scale.
   val d11 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
       ordered(NearDup.dedupClusters(docs, col("doc_id"), pairs)
         .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
@@ -3904,7 +3904,7 @@ object DataCatalog {
   // weights for source filtering à la CommonCrawl host ranking.
   val pr1 = Q(
     (s, d) => {
-      val withLinks = documents(s, d).withColumn("text",
+      val withLinks = spreadDocs(documents(s, d)).withColumn("text",
         concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
           lit(".org/p?q="), col("doc_id"),
           lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
@@ -3946,7 +3946,7 @@ object DataCatalog {
   val pr2 = Q(
     (s, d) => {
       import s.implicits._
-      val withLinks = documents(s, d).withColumn("text",
+      val withLinks = spreadDocs(documents(s, d)).withColumn("text",
         concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
           lit(".org/p?q="), col("doc_id"),
           lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
@@ -4413,7 +4413,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
       ordered(recs
@@ -4446,7 +4446,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       val extracted = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
         .select(
@@ -4489,7 +4489,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       val fromHtml = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
         .select(
@@ -4522,7 +4522,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
       val meta = recs.select(
@@ -4588,7 +4588,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
       val meta = recs.select(
@@ -4654,7 +4654,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
       ordered(recs
@@ -4694,7 +4694,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
       ordered(recs.select(
@@ -4744,7 +4744,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
         .select(
@@ -4789,7 +4789,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
         .select(
@@ -5314,7 +5314,7 @@ object DataCatalog {
         .when(col("lang") === "es", lit(" niño mañana señorita" * 3))
         .when(col("lang") === "fr", lit(" château français déjà" * 3))
         .otherwise(lit(" 中文字符语言模型" * 3))
-      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      val docs = spreadDocs(documents(s, d)).select(col("doc_id"), col("lang"),
         concat(col("text"), tail).as("txt"))
       ordered(Sampling.importanceGate(docs,
         col("doc_id"), col("txt"), col("lang") === "en"))
@@ -5452,7 +5452,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
         .select(col("target_uri"),
@@ -5518,7 +5518,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.writeHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
       // candidates: extracted links ∪ sitemap-discovered (url9's union)
       val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
@@ -6656,7 +6656,7 @@ object DataCatalog {
   // persist once across rounds.
   val hits1 = Q(
     (s, d) => {
-      val withLinks = documents(s, d).withColumn("text",
+      val withLinks = spreadDocs(documents(s, d)).withColumn("text",
         concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
           lit(".org/p?q="), col("doc_id"),
           lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
@@ -6696,7 +6696,7 @@ object DataCatalog {
   // pathology. One explode + two map-side aggs; the vocab-sized
   // unigram join shuffles on word; top-k is TakeOrderedAndProject.
   val tx16 = Q(
-    (s, d) => ordered(TextOps.bigramAssoc(documents(s, d), col("text"))),
+    (s, d) => ordered(TextOps.bigramAssoc(spreadDocs(documents(s, d)), col("text"))),
     Some("WITH t AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
       "FROM documents), " +
       "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM " +
@@ -6839,7 +6839,7 @@ object DataCatalog {
   // round over the host list (tiny vs the corpus map that built it).
   val url4 = Q(
     (s, d) => {
-      val withLinks = documents(s, d).withColumn("text",
+      val withLinks = spreadDocs(documents(s, d)).withColumn("text",
         concat(col("text"), lit(" https://WWW.Example"), (col("doc_id") % 8) % 4,
           lit("-"), col("doc_id") % 3, lit(".org/x")))
       val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
@@ -7090,7 +7090,7 @@ object DataCatalog {
   // machinery; the keeper pick is one windowed top-1 per cluster.
   val d13 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
       val clusters = NearDup.dedupClusters(docs, col("doc_id"), pairs)
       val scored = docs.select(col("doc_id"),
@@ -7602,7 +7602,7 @@ object DataCatalog {
   // TakeOrderedAndProject.
   val smp8 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
       val cl = NearDup.dedupClusters(docs, col("doc_id"), pairs)
       val sz = cl.groupBy("cluster_id").agg(count(lit(1)).as("csz"))
@@ -8536,7 +8536,7 @@ object DataCatalog {
   // prior — integer end-to-end where a float log-prob sum would
   // reassociate. Reference slice = even doc_ids; all docs scored.
   val lm2 = Q(
-    (s, d) => ordered(LmFilter.familiarityScore(documents(s, d),
+    (s, d) => ordered(LmFilter.familiarityScore(spreadDocs(documents(s, d)),
       col("doc_id"), col("text"), col("doc_id") % 2 === 0)),
     Some("WITH toks AS (SELECT doc_id, " +
       "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
@@ -8565,7 +8565,7 @@ object DataCatalog {
   // bucket assignment. Ties share a bucket (value rule), so the oracle
   // states every assignment closed-form with no rank nondeterminism.
   val ccnet1 = Q(
-    (s, d) => ordered(LmFilter.familiarityTerciles(documents(s, d),
+    (s, d) => ordered(LmFilter.familiarityTerciles(spreadDocs(documents(s, d)),
       col("doc_id"), col("text"), col("lang"), col("doc_id") % 2 === 0)),
     Some("WITH toks AS (SELECT doc_id, " +
       "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
@@ -8651,8 +8651,10 @@ object DataCatalog {
   private val Qc17Cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_orderpriority")
   val qc17 = Q(
+    // spreadDocs on o_orderkey (r18 opt): the per-pair count-distinct
+    // partial aggregates fuse into a one-split 150k-row scan
     (s, d) => ordered(graft.operators.Profiling.fdDiscovery(
-      orders(s, d), Qc17Cols)),
+      spreadDocs(orders(s, d), col("o_orderkey")), Qc17Cols)),
     Some {
       val pairs = for (a <- Qc17Cols; b <- Qc17Cols if a != b) yield (a, b)
       val meas = "CAST(count(*) AS BIGINT) AS n_rows, " +
@@ -9144,7 +9146,7 @@ object DataCatalog {
   // shared across the ref split.
   val lm4 = Q(
     (s, d) => {
-      val docs = documents(s, d).select(col("doc_id"),
+      val docs = spreadDocs(documents(s, d)).select(col("doc_id"),
         concat(col("text"), when(col("doc_id") % 2 === 1,
           concat(lit(" zq"), col("doc_id"))).otherwise(lit(""))).as("txt"))
       ordered(LmFilter.backoffCoverage(docs,
@@ -9803,7 +9805,7 @@ object DataCatalog {
   // string_agg payload assembly and out7's offset closed form.
   val dp16 = Q(
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       val packed = Packing.pack(docs, col("doc_id"),
         size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))),
         2048)
@@ -9905,7 +9907,7 @@ object DataCatalog {
   val out7b = Q(
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = documents(s, d)
+      val docs = spreadDocs(documents(s, d))
       // trained tokenizer from the session memo (r18 opt); the memoized
       // vocab is already checkpointed flat, so no per-query persist.
       val (_, fin) = bpeShared(s, d)
