@@ -4413,7 +4413,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
       ordered(recs
@@ -4446,7 +4446,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       val extracted = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
         .select(
@@ -4489,7 +4489,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       val fromHtml = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
         .select(
@@ -4522,7 +4522,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
       val meta = recs.select(
@@ -4588,7 +4588,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
       val meta = recs.select(
@@ -4654,7 +4654,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
       ordered(recs
@@ -4694,7 +4694,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       val recs = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
       ordered(recs.select(
@@ -4744,7 +4744,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
         .select(
@@ -4789,7 +4789,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
         .select(
@@ -5452,7 +5452,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
         .select(col("target_uri"),
@@ -5518,7 +5518,7 @@ object DataCatalog {
       val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
         concat(lit("https://example"), col("doc_id") % 7,
           lit(".org/doc/"), col("doc_id")).as("uri"))
-      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, 4)
+      graft.sources.WarcSource.ensureHtmlResponses(docs, dir, s.sparkContext.defaultParallelism)
       // candidates: extracted links ∪ sitemap-discovered (url9's union)
       val links = graft.sources.WarcSource.readResponses(s, dir + "/warc-*.warc")
         .filter(col("warc_type") === "response")
