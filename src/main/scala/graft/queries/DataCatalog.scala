@@ -3904,7 +3904,7 @@ object DataCatalog {
   // weights for source filtering à la CommonCrawl host ranking.
   val pr1 = Q(
     (s, d) => {
-      val withLinks = spreadDocs(documents(s, d)).withColumn("text",
+      val withLinks = documents(s, d).withColumn("text",
         concat(col("text"), lit(" see https://WWW.Example"), col("doc_id") % 7,
           lit(".org/p?q="), col("doc_id"),
           lit(" and http://cdn.example"), col("doc_id") % 3, lit(".net/a#frag")))
@@ -6839,7 +6839,7 @@ object DataCatalog {
   // round over the host list (tiny vs the corpus map that built it).
   val url4 = Q(
     (s, d) => {
-      val withLinks = spreadDocs(documents(s, d)).withColumn("text",
+      val withLinks = documents(s, d).withColumn("text",
         concat(col("text"), lit(" https://WWW.Example"), (col("doc_id") % 8) % 4,
           lit("-"), col("doc_id") % 3, lit(".org/x")))
       val edges = TextOps.docHosts(withLinks, col("doc_id"), col("text"))
@@ -7090,7 +7090,7 @@ object DataCatalog {
   // machinery; the keeper pick is one windowed top-1 per cluster.
   val d13 = Q(
     (s, d) => {
-      val docs = spreadDocs(documents(s, d))
+      val docs = documents(s, d)
       val pairs = NearDup.minhashLsh(docs, col("doc_id"), col("text"), 0.5)
       val clusters = NearDup.dedupClusters(docs, col("doc_id"), pairs)
       val scored = docs.select(col("doc_id"),
@@ -8536,7 +8536,7 @@ object DataCatalog {
   // prior — integer end-to-end where a float log-prob sum would
   // reassociate. Reference slice = even doc_ids; all docs scored.
   val lm2 = Q(
-    (s, d) => ordered(LmFilter.familiarityScore(spreadDocs(documents(s, d)),
+    (s, d) => ordered(LmFilter.familiarityScore(documents(s, d),
       col("doc_id"), col("text"), col("doc_id") % 2 === 0)),
     Some("WITH toks AS (SELECT doc_id, " +
       "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
