@@ -3400,10 +3400,18 @@ object DataCatalog {
       val base = documents(s, d).select(col("doc_id").as("id"),
         expr("least(CAST(15 AS BIGINT), CAST(length(text) AS BIGINT) DIV 64)").as("x"),
         (col("doc_id") % 11).as("y"))
-      Zorder.writeLayout(base, col("id"), col("x"), col("y"), 32, 4,
-        zorder = true, dir + "/zorder")
-      Zorder.writeLayout(base, col("id"), col("x"), col("y"), 32, 4,
-        zorder = false, dir + "/linear")
+      // the two layout writes are independent jobs over the same base —
+      // overlap them (r18 opt, guide §2.6, the sim11d move)
+      locally {
+        import scala.concurrent.{Await, Future, blocking}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val w = Seq(true -> "/zorder", false -> "/linear").map { case (z, sub) =>
+          Future(blocking(Zorder.writeLayout(base, col("id"), col("x"), col("y"),
+            32, 4, zorder = z, dir + sub)))
+        }
+        w.foreach(Await.result(_, Duration.Inf))
+      }
       val card = Zorder.withTouched(
         Zorder.manifestCard(s, dir + "/zorder").withColumn("layout", lit("zorder"))
           .unionByName(
@@ -9809,14 +9817,16 @@ object DataCatalog {
       val packed = Packing.pack(docs, col("doc_id"),
         size(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))),
         2048)
-      val payloads = packed.join(docs, "doc_id")
+      // payloads feeds BOTH the TFRecord write and the read-back md5
+      // join — persist (r18 opt) or the pack+assemble chain runs twice
+      val payloads = graft.CacheScope.persist(packed.join(docs, "doc_id")
         .groupBy("pack_id")
         .agg(
           array_join(transform(
             array_sort(collect_list(struct(col("doc_id"), col("text")))),
             x => x.getField("text")), "\n\n").as("text"),
           sum("n_tokens").as("pack_tokens"),
-          count(lit(1)).as("n_docs"))
+          count(lit(1)).as("n_docs")))
       val dir = sfScratch("/tmp/graft_dp16_tfr", d)
       graft.sources.TrainShards.writeTfrecord(
         payloads.select(col("pack_id").as("doc_id"), col("text")), dir, 4)
@@ -9862,7 +9872,10 @@ object DataCatalog {
   val out6b = Q(
     (s, d) => {
       val docs = documents(s, d)
-      val media = graft.operators.Multimodal.syntheticPixelImages(docs).toDF()
+      // media feeds BOTH the tar write and the source-md5 frame —
+      // persist (r18 opt) or the PNG encode pass runs twice
+      val media = graft.CacheScope.persist(
+        graft.operators.Multimodal.syntheticPixelImages(docs).toDF())
       val dir = sfScratch("/tmp/graft_out6b_tar", d)
       graft.sources.TrainShards.writeTarMedia(
         media.select(col("doc_id"), col("payload"),
@@ -9927,10 +9940,13 @@ object DataCatalog {
       val lens = Bpe.encodedLengths(docs, col("doc_id"), col("text"), fin)
       val packed = Packing.pack(lens, col("doc_id"), col("n_bpe_tokens"), 2048)
       val seq = seq0.join(packed.select("doc_id", "pack_id"), Seq("doc_id"))
-      val packs = seq.groupBy("pack_id").agg(
+      // packs feeds BOTH the TFRecord write and the read-back index
+      // frame — persist (r18 opt) or the whole BPE-encode/pack chain
+      // runs twice
+      val packs = graft.CacheScope.persist(seq.groupBy("pack_id").agg(
         transform(array_sort(collect_list(
           struct(col("doc_id"), col("wpos"), col("spos"), col("tid")))),
-          x => x.getField("tid")).as("ids"))
+          x => x.getField("tid")).as("ids")))
       val dir = sfScratch("/tmp/graft_out7b_tfr", d)
       graft.sources.TrainShards.writeTfrecordInts(
         packs.select(col("pack_id").as("doc_id"), col("ids")), dir, 4)
