@@ -951,6 +951,7 @@ object Similarity {
     // codegen of those growing plans dominated the entry's wall time
     // (the data per hop is beam-bounded and tiny). The checkpointed
     // frames are Q·beam-row residues, freed with the session.
+    val hopParts = hopPartitions(q, beam)
     var dotsEvents = visited0.select(col("query_id"), col("node_id"))
     var visited = visited0.localCheckpoint(false)
     var frontier = visited.select("query_id", "node_id")
@@ -959,17 +960,19 @@ object Similarity {
       // counts distinct reached nodes per hop — that is its contract.
       // The repartition ahead of it is walkLoop's one-exchange move:
       // query_id clustering satisfies the (query_id, node_id) distinct
-      // and the fold aggregate alike.
+      // and the fold aggregate alike. Partition count from the panel,
+      // not the session (hopPartitions — three of these loops run
+      // concurrently in sim11d's sweep).
       val reached = frontier.join(adj, col("node_id") === col("src"))
         .select(col("query_id"), col("dst").as("node_id"))
-        .repartition(col("query_id")).distinct()
+        .repartition(hopParts, col("query_id")).distinct()
         .localCheckpoint(false)
       dotsEvents = dotsEvents.unionByName(reached)
       val scoredHop = reached.join(v, Seq("node_id")).join(q, Seq("query_id"))
         .select(col("query_id"), col("node_id"),
           (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
       visited = visited.unionByName(scoredHop)
-        .repartition(col("query_id"))
+        .repartition(hopParts, col("query_id"))
         .groupBy("query_id", "node_id").agg(max("cos").as("cos"))
         .localCheckpoint(false)
       val w = Window.partitionBy(col("query_id"))
@@ -1137,8 +1140,28 @@ object Similarity {
     * variant ([[graphWalkLayeredCarded]]), which runs the same join
     * shapes three configs at a time, additionally cuts lineage per hop
     * and is covered by these pins through the shared construction. */
+  /** Hop-exchange partition count sized by the QUERY PANEL, not the
+    * session (r19 opt, guide §2 scale-adaptive partitioning): the
+    * r18 scaling block measured sim11c/d running 2–3× FASTER on 8
+    * cores than 32 — with `shuffle.partitions = cpus`, concurrent
+    * ~15-stage hop loops split beam-bounded data into cpus-many tiny
+    * tasks per stage and contended on the scheduler. The fold input is
+    * ≤ queries × beam × degree rows of a few dozen bytes, so one
+    * partition per ~64k query·beam units keeps partitions O(MB); the
+    * count grows with the panel and is capped by the session's
+    * parallelism. The q panel is persisted by every caller, so the
+    * count() here is the panel's first materialization, not an extra
+    * corpus pass. */
+  private def hopPartitions(q: DataFrame, beam: Int): Int = {
+    val nQ = q.count()
+    math.max(1L, math.min(
+      q.sparkSession.sparkContext.defaultParallelism.toLong,
+      (nQ * beam + (1L << 16) - 1) / (1L << 16))).toInt
+  }
+
   private def walkLoop(adj: DataFrame, v: DataFrame, q: DataFrame,
       visited0: DataFrame, k: Int, beam: Int, hops: Int): DataFrame = {
+    val hopParts = hopPartitions(q, beam)
     var visited = visited0
     var frontier = visited.select("query_id", "node_id")
     for (_ <- 1 to hops) {
@@ -1160,7 +1183,7 @@ object Similarity {
       // results unchanged.
       visited = graft.CacheScope.persist(
         visited.unionByName(scoredHop)
-          .repartition(col("query_id"))
+          .repartition(hopParts, col("query_id"))
           .groupBy("query_id", "node_id").agg(max("cos").as("cos")))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("node_id").asc)
