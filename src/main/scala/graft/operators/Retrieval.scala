@@ -59,9 +59,23 @@ object Retrieval {
     * every document shuffles as many (term, block) groups of ≤ width
     * postings — no hot-key group ever exceeds `blockWidth` entries. */
   def postingsIndex(df: DataFrame, id: Column, text: Column,
-      blockWidth: Int = 256): DataFrame = {
+      blockWidth: Int = 256): DataFrame =
+    postingsIndexFromTf(tfTable(df, id, text), blockWidth)
+
+  /** The one-tokenize-pass (doc_id, term, tf) table, persisted for the
+    * query's lifetime — public so segmented builders (idx2's shape)
+    * share ONE tokenize pass across their batch slices: filtering this
+    * frame by a batch's doc-id range is row-identical to tokenizing
+    * the filtered batch, and per-segment df still derives from the
+    * slice (r19 opt, guide §1.2 — each segment build re-ran the full
+    * corpus tokenize before). */
+  def termFrequencies(df: DataFrame, id: Column, text: Column): DataFrame =
+    tfTable(df, id, text)
+
+  /** [[postingsIndex]] over a prebuilt [[termFrequencies]] frame (or a
+    * doc-id slice of one). */
+  def postingsIndexFromTf(tf: DataFrame, blockWidth: Int = 256): DataFrame = {
     require(blockWidth > 0, s"blockWidth must be positive, got $blockWidth")
-    val tf = tfTable(df, id, text)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.withColumn("block", expr(s"doc_id div $blockWidth"))
       .groupBy("term", "block")
@@ -195,6 +209,27 @@ object Retrieval {
     *
     * Shape: one segment-keyed count (segments-sized, tiny) + a
     * tiers-sized agg. Never touches postings content. */
+  /** The distinct (segment_id, term, block) rows a stack of
+    * [[postingsIndex]] builds over block-aligned doc-id ranges would
+    * contain — the segment-table SKELETON [[compactionPlan]] reads.
+    * The planner only counts rows per segment (its scaladoc: "never
+    * touches postings content"), so the packed postings strings and df
+    * column of a full build are computed-and-dropped work when the
+    * table exists only to be planned (guide §1.2 / §2.3 project
+    * early): one tokenize pass over the union of ranges replaces one
+    * full index build per range. Row-count-identical per segment to
+    * the full builds because block-aligned ranges make (term, block)
+    * groups disjoint across segments. */
+  def segmentSkeleton(df: DataFrame, id: Column, text: Column,
+      segId: Column, blockWidth: Int = 256): DataFrame = {
+    require(blockWidth > 0, s"blockWidth must be positive, got $blockWidth")
+    df.select(segId.as("segment_id"), id.as("doc_id"),
+        explode(F.tokens(lower(text))).as("term"))
+      .select(col("segment_id"), col("term"),
+        expr(s"doc_id div $blockWidth").as("block"))
+      .distinct()
+  }
+
   def compactionPlan(segTable: DataFrame, minMerge: Int = 2): DataFrame = {
     require(minMerge >= 2, s"minMerge must be >= 2, got $minMerge")
     segTable.groupBy("segment_id").agg(count(lit(1)).as("seg_rows"))
