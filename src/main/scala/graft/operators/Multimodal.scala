@@ -287,10 +287,16 @@ object Multimodal {
     docs.select(col("doc_id").cast("long"))
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
 
+  // NO spreadIds here (r19, closing the r18 keep/revert pass): m4's
+  // phash map is the cheapest of the codec consumers, and the added
+  // id-shuffle cost more than the parallel map saved — the same
+  // measured pattern that reverted lm2/pr1/url4/d13's spreads
+  // (6-rep A/B: no-spread median 0.735 s / lo 0.684 vs spread
+  // 0.792 / lo 0.717, and the r18 driver saw 0.81->1.16 s).
   def syntheticImages(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    spreadIds(docs).as[Long].map { id =>
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
       val g = (id % 251).toInt
       MediaRow(id, pngBytes(16 + (g * 37) % 200, 16 + (g * 53) % 150,
         (id % 2).toInt), "image/png")
