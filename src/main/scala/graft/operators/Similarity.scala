@@ -963,7 +963,9 @@ object Similarity {
       // and the fold aggregate alike. Partition count from the panel,
       // not the session (hopPartitions — three of these loops run
       // concurrently in sim11d's sweep).
-      val reached = frontier.join(adj, col("node_id") === col("src"))
+      // frontier broadcasts into the expansion join (walkLoop's r19
+      // move — the adjacency otherwise pays a SortMergeJoin per hop)
+      val reached = broadcast(frontier).join(adj, col("node_id") === col("src"))
         .select(col("query_id"), col("dst").as("node_id"))
         .repartition(hopParts, col("query_id")).distinct()
         .localCheckpoint(false)
@@ -1169,7 +1171,14 @@ object Similarity {
       // (query_id, node_id) anyway, so the extra aggregate bought nothing
       // but an exchange (r18 opt: duplicates here are ≤ beam·degree rows
       // per query that score to identical cosines — the fold keeps one).
-      val reached = frontier.join(adj, col("node_id") === col("src"))
+      // The frontier side BROADCASTS into the expansion join (r19 opt,
+      // guide §3.1): the checkpointed adjacency reports unknown stats,
+      // so the planner picked a SortMergeJoin that shuffled + sorted the
+      // model-sized edge list EVERY hop. The frontier is ≤ panel × beam
+      // rows — panel-bounded by the recall protocol (Similarity.topK
+      // caps the query side at maxQueries), so the broadcast stays
+      // model-sized at any corpus scale while adj never moves.
+      val reached = broadcast(frontier).join(adj, col("node_id") === col("src"))
         .select(col("query_id"), col("dst").as("node_id"))
       val scoredHop = reached.join(v, Seq("node_id")).join(q, Seq("query_id"))
         .select(col("query_id"), col("node_id"),
