@@ -46,9 +46,15 @@ object Retrieval {
 
   def stats(df: DataFrame, id: Column, text: Column): Stats = {
     val tf = tfTable(df, id, text)
+    // dl/dft persist alongside tf (r19 opt): a multi-system consumer
+    // (ret2's fusion, ret4's scorecard, PRF's two passes) re-aggregated
+    // the doc-length and document-frequency tables once per ranking
+    // pass; both are metadata-sized (docs / vocab rows).
     Stats(tf,
-      tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")),
-      tf.groupBy("term").agg(count(lit(1)).as("df")),
+      graft.CacheScope.persist(
+        tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))),
+      graft.CacheScope.persist(
+        tf.groupBy("term").agg(count(lit(1)).as("df"))),
       df.agg(count(lit(1)).as("n_docs")))
   }
 
