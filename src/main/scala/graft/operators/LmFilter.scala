@@ -169,9 +169,13 @@ object LmFilter {
   def familiarityTerciles(df: DataFrame, id: Column, text: Column,
       lang: Column, isRef: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = familiarityScore(df, id, text, isRef)
+    // persisted (r19 opt, guide §5 persist-on-reuse): the scored frame
+    // feeds BOTH the histogram/cutoff chain and the final bucket
+    // assignment — without it the whole tokenize→vocab→rank→score
+    // chain ran twice per invocation.
+    val scored = graft.CacheScope.persist(familiarityScore(df, id, text, isRef)
       .join(df.select(id.as("doc_id"), lang.as("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("familiarity_micro"))
+      .select(col("doc_id"), col("lang"), col("familiarity_micro")))
     val hist = scored.groupBy("lang", "familiarity_micro")
       .agg(count(lit(1)).as("c"))
     val byScoreDesc = Window.partitionBy("lang")
