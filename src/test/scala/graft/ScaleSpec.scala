@@ -1001,6 +1001,13 @@ class ScaleSpec extends AnyFunSuite {
   test("operator-internal persists are released at pipeline end (no cache leak)") {
     import graft.queries.DataCatalog
     val sc = spark.sparkContext
+    // Pre-fill the SESSION-tier caches these entries consume (r19: d6
+    // reads the memoized near-dup pair graph): session memos hold
+    // checkpointed frames alive past the per-query releaseAll by
+    // design — the DrupalFixture discipline — so they must be in the
+    // baseline set, not counted as leaks. What this test pins is that
+    // OPERATOR-internal per-query persists are released.
+    DataCatalog.d6.build(spark, sf).count()
     graft.CacheScope.releaseAll() // clean slate (other suites may have run queries)
     val before = sc.getPersistentRDDs.keySet
     // the three persist-using operator families, run end-to-end
