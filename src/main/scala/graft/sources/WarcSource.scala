@@ -320,16 +320,24 @@ object WarcSource {
     * still writes from the parquet inputs — nothing persists across
     * runs. */
   private val writtenHtmlDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, String)]()
   graft.CacheScope.onSessionRelease(() => writtenHtmlDirs.clear())
-  def ensureHtmlResponses(docs: DataFrame, dir: String, nFiles: Int): Unit =
-    if (!writtenHtmlDirs.contains(dir)) writtenHtmlDirs.synchronized {
-      if (!writtenHtmlDirs.contains(dir)) {
+  def ensureHtmlResponses(docs: DataFrame, dir: String, nFiles: Int): Unit = {
+    // Memo key = (dir, nFiles, docs-plan fingerprint) — r19, per the
+    // r18 advice: keying on dir alone let the FIRST caller's projection
+    // and layout silently win for the whole session; all call sites
+    // pass byte-identical docs today, and this key fails safe (a
+    // different projection or file count re-writes) instead of
+    // trusting that invariant unchecked.
+    val key = (dir, nFiles, docs.queryExecution.logical.canonicalized.toString)
+    if (!writtenHtmlDirs.contains(key)) writtenHtmlDirs.synchronized {
+      if (!writtenHtmlDirs.contains(key)) {
         writeHtmlResponses(docs, dir, nFiles)
-        writtenHtmlDirs.add(dir)
+        writtenHtmlDirs.add(key)
         ()
       }
     }
+  }
 
   /** The two entity-encoded blocks of a doc's fixture page — the
     * write-side twin of the oracle's closed form (see
