@@ -167,8 +167,11 @@ object Graph {
       s"iters must be in [1, 4] (unnormalized scores grow ~deg^2/round), got $iters")
     val e = graft.CacheScope.persist(
       edges.select(col("src"), col("dst")).distinct())
-    val nodes = e.select(col("src").as("host"))
-      .unionByName(e.select(col("dst").as("host"))).distinct()
+    // persisted (r19): the node list anchors both score vectors in
+    // every round — five consumers re-ran the union+distinct before
+    val nodes = graft.CacheScope.persist(
+      e.select(col("src").as("host"))
+        .unionByName(e.select(col("dst").as("host"))).distinct())
     var h = nodes.withColumn("s", lit(1L))
     var a: DataFrame = null
     for (_ <- 1 to iters) {

@@ -832,13 +832,20 @@ object Similarity {
     * discard seeds before they expand. */
   def graphWalkSeeded(vectors: DataFrame, graph: DataFrame,
       queries: DataFrame, cents: DataFrame, k: Int, beam: Int = 8,
-      hops: Int = 3, nSeeds: Int = 8): DataFrame = {
+      hops: Int = 3, nSeeds: Int = 8,
+      sharedAssign: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 1,
       s"k/beam/hops must be >= 1, got $k/$beam/$hops")
     require(nSeeds >= 1 && nSeeds <= beam,
       s"nSeeds must be in [1, beam=$beam], got $nSeeds")
     val (adj, v, q) = walkFrames(vectors, graph, queries)
-    val asg = graft.CacheScope.persist(Clustering.assign(vectors, cents))
+    // sharedAssign (r19 opt): a caller holding the session's corpus
+    // assignment against the SAME centroids (the catalog's
+    // kmAssignShared) passes it here instead of re-running the
+    // corpus-wide assign per invocation; the seed construction is
+    // identical either way.
+    val asg = sharedAssign.getOrElse(
+      graft.CacheScope.persist(Clustering.assign(vectors, cents)))
     val sw = Window.partitionBy(col("cid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     val seeds = asg.withColumn("srn", row_number().over(sw))

