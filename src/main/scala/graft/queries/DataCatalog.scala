@@ -280,11 +280,23 @@ object DataCatalog {
   // the compare scalar-typed.
   val emb1 = Q(
     (s, d) => {
+      // maxabs binds as a LAMBDA VARIABLE so it evaluates once per ROW
+      // (r19 opt, guide §1.2 per-task work): written inline, the
+      // zero-guard CASE sat inside the element lambda and re-ran
+      // array_max(transform(abs)) twice per array ELEMENT — 128
+      // array-max passes and allocations per row; a two-step projection
+      // doesn't survive CollapseProject (it re-inlines once-referenced
+      // aliases into lambda bodies — verified on the plan). Wrapping
+      // the row-level value in a 1-element array and transforming over
+      // THAT binds it to a cheap lambda variable; values are
+      // bit-identical.
       val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-      val sc = when(maxabs === 0.0, lit(null)).otherwise(lit(127.0) / maxabs)
-      ordered(embeddings(s, d).select(col("vec_id"),
+      val q8 = element_at(transform(array(maxabs), m =>
         array_join(transform(col("embedding"),
-          x => floor(x.cast("double") * sc).cast("long")), ",").as("q8")))
+          x => floor(x.cast("double") *
+            when(m === 0.0, lit(null)).otherwise(lit(127.0) / m))
+            .cast("long")), ",")), 1)
+      ordered(embeddings(s, d).select(col("vec_id"), q8.as("q8")))
     },
     Some("SELECT vec_id, array_to_string(list_transform(embedding, " +
       "x -> CAST(floor(x::DOUBLE * s) AS BIGINT)), ',') AS q8 FROM (" +
