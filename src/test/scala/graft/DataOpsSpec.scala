@@ -2000,6 +2000,30 @@ class DataOpsSpec extends AnyFunSuite {
     assert(idx.filter(_._1 == "unique3").toSeq == Seq(("unique3", 1L, 1L, "3:1", 1L)))
   }
 
+  test("segmented builds: tf-slice ≡ filtered-docs build; skeleton counts ≡ stacked index rows (r19)") {
+    import graft.operators.Retrieval
+    val corpus = (0L until 8L).map(i => (i, s"common w$i x${i % 3}")).toDF("doc_id", "text")
+    // one tokenize pass, sliced per batch — must equal the per-batch build
+    val tf = Retrieval.termFrequencies(corpus, col("doc_id"), col("text"))
+    val viaSlice = Retrieval.postingsIndexFromTf(tf.filter(col("doc_id") < 4), 2)
+      .as[(String, Long, Long, String, Long)].collect().toSet
+    val viaFilter = Retrieval.postingsIndex(
+      corpus.filter(col("doc_id") < 4), col("doc_id"), col("text"), 2)
+      .as[(String, Long, Long, String, Long)].collect().toSet
+    assert(viaSlice == viaFilter)
+    // skeleton row counts per segment ≡ stacked full builds' row counts
+    val segId = when(col("doc_id") < 4, 0L).otherwise(1L)
+    val skel = Retrieval.segmentSkeleton(corpus, col("doc_id"), col("text"), segId, 2)
+      .groupBy("segment_id").count().as[(Long, Long)].collect().toMap
+    val stacked = Seq((0L, 0L, 4L), (1L, 4L, 8L)).map { case (sid, lo, hi) =>
+      sid -> Retrieval.postingsIndex(
+        corpus.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        col("doc_id"), col("text"), 2).count()
+    }.toMap
+    assert(skel == stacked)
+    graft.CacheScope.releaseAll()
+  }
+
   test("diversity cap: per-cell cap enforced, md5-order picks match a serial reference") {
     import graft.operators.Sampling
     val rows = (0L until 30L).map(i => (i, i % 3)).toDF("vec_id", "cell")
