@@ -167,15 +167,23 @@ object LmFilter {
     * 'middle' iff ≥ mid_cut, else 'tail'. Output: (doc_id, lang,
     * familiarity_micro, bucket). */
   def familiarityTerciles(df: DataFrame, id: Column, text: Column,
-      lang: Column, isRef: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      lang: Column, isRef: Column): DataFrame =
     // persisted (r19 opt, guide §5 persist-on-reuse): the scored frame
     // feeds BOTH the histogram/cutoff chain and the final bucket
     // assignment — without it the whole tokenize→vocab→rank→score
     // chain ran twice per invocation.
-    val scored = graft.CacheScope.persist(familiarityScore(df, id, text, isRef)
-      .join(df.select(id.as("doc_id"), lang.as("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("familiarity_micro")))
+    familiarityTercilesFromScores(
+      graft.CacheScope.persist(familiarityScore(df, id, text, isRef)
+        .join(df.select(id.as("doc_id"), lang.as("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("familiarity_micro"))))
+
+  /** The bucketing half of [[familiarityTerciles]] over a prebuilt
+    * `(doc_id, lang, familiarity_micro)` frame — the split mirrors the
+    * published pipeline's staging (CCNet scores once, then buckets on
+    * percentile cutoffs), so a caller holding the scored corpus as
+    * stored state pays only the histogram + map-side assignment. */
+  def familiarityTercilesFromScores(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hist = scored.groupBy("lang", "familiarity_micro")
       .agg(count(lit(1)).as("c"))
     val byScoreDesc = Window.partitionBy("lang")
